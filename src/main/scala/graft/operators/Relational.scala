@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Generic relational operators from SURVEY.md §2.2/§2.5, parameterized by
+  * column. Every operator is expressed as a declarative plan (no
+  * `.collect()`-then-refilter, no driver-side loops), so each one scales to
+  * arbitrary input size: scalar statistics (quantile bounds, min/max) are
+  * computed as single-row aggregates and re-attached with a broadcast
+  * cross-join, which Catalyst plans as a BroadcastNestedLoopJoin over one
+  * row — a no-shuffle pattern that works identically at 100 TB.
+  */
+object Relational {
+
+  /** Exact cent-quantized sum of a money column: `sum(round(c*100)::long)`.
+    * Per-element quantization is bit-deterministic across engines and the
+    * integer sum is associative, so results are exactly reproducible
+    * regardless of partitioning/merge order — unlike a raw double sum,
+    * whose low bits depend on aggregation order. Used for every money SUM
+    * in the oracle-checked suite. */
+  def centsSum(c: Column): Column = sum(round(c * 100).cast("long"))
+
+  /** Cent-quantized sum rendered back to currency units (exact / 100.0). */
+  def moneySum(c: Column): Column = centsSum(c) / 100.0
+
+  /** A4 — top-k groups by frequency with a deterministic tie-break. */
+  def topKByCount(df: DataFrame, keys: Seq[Column], k: Int): DataFrame =
+    df.groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc +: keys.map(_.asc): _*)
+      .limit(k)
+
+  /** Single-row frame of interquartile bounds for `c` (exact percentiles,
+    * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). */
+  def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5): DataFrame =
+    df.agg(percentile(col(c), lit(0.25)).as("q1"),
+           percentile(col(c), lit(0.75)).as("q3"))
+      .select((col("q1") - lit(factor) * (col("q3") - col("q1"))).as("lo"),
+              (col("q3") + lit(factor) * (col("q3") - col("q1"))).as("hi"))
+
+  /** P8 — IQR outlier filter (featureEngineering.ipynb cell 20;
+    * 1_EDA_Dashboard.py:141-148). The bounds row is broadcast, not
+    * collected: one aggregate job + one narrow filtered scan. */
+  def iqrFilter(df: DataFrame, c: String, factor: Double = 1.5): DataFrame =
+    df.crossJoin(broadcast(iqrBounds(df, c, factor)))
+      .filter(col(c) >= col("lo") && col(c) <= col("hi"))
+      .drop("lo", "hi")
+
+  /** A15 — equal-width histogram: bucket = min(floor((x-min)/w), bins-1).
+    * Min/max come from one aggregate, broadcast back; the bucketing itself
+    * is a narrow map + one hash aggregate. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    val m = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    df.crossJoin(broadcast(m))
+      .select(least(floor((col(c) - col("mn")) / ((col("mx") - col("mn")) / bins)),
+                    lit(bins - 1L)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("bucket"))
+  }
+
+  /** A16 — per-column null-count profile in a single aggregate pass. */
+  def nullProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+           cols.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c")): _*)
+
+  /** A13/A14/A17 — describe-style exact summary of one numeric column. */
+  def summaryStats(df: DataFrame, c: String, scale: Int = 6): DataFrame =
+    df.agg(
+      count(col(c)).as("n"),
+      round(avg(col(c)), scale).as("mean"),
+      round(stddev_samp(col(c)), scale).as("sd"),
+      min(col(c)).as("mn"),
+      round(percentile(col(c), lit(0.25)), scale).as("q1"),
+      round(percentile(col(c), lit(0.5)), scale).as("median"),
+      round(percentile(col(c), lit(0.75)), scale).as("q3"),
+      max(col(c)).as("mx"))
+
+  /** A12 — argmax row per group via a rank-1 window (deterministic
+    * tie-break on `tieBreak` ascending). */
+  def argmaxPerGroup(df: DataFrame, part: Column, order: Column,
+                     tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(part).orderBy(order.desc, tieBreak.asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+}

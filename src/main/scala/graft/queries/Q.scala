@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One named engine query: the Spark plan plus (when SQL-expressible) the
+  * equivalent ANSI SQL the driver runs in DuckDB for the hash-compare.
+  *
+  * Contract notes (from the driver):
+  *  - result column names must match the oracle's exactly (compare sorts
+  *    columns by name before hashing);
+  *  - every query orders its output deterministically with full tie-breaks;
+  *  - double outputs are either exact (cent-quantized integer sums, see
+  *    [[graft.operators.Relational.centsSum]]) or rounded at a scale where
+  *    cross-engine float-summation-order noise is orders of magnitude
+  *    smaller than the rounding step.
+  */
+final case class Q(
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    doc: String = "")
+
+object Registry {
+  /** Insertion-ordered full suite. */
+  lazy val all: Seq[(String, Q)] =
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, q) => n -> q.fn }.toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.collect { case (n, Q(_, Some(sql), _)) => n -> sql }.toMap
+}

@@ -1,0 +1,563 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.TripFeatures
+import graft.operators.Relational
+import graft.operators.Relational.{centsSum, moneySum}
+
+/** The relational operator suite — SURVEY.md §2.2-§2.6 re-expressed over
+  * the driver's synthetic tables, each with a DuckDB oracle.
+  *
+  * Scale notes are attached per query: joins against fixed-size dims are
+  * broadcast; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew; scalar statistics travel via one-row broadcast joins, never a
+  * driver collect.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---------------------------------------------------------------- A1-A3
+    // TPC-H-Q1-shaped pricing summary: scan → filter (pushed to parquet) →
+    // partial+final hash agg on 2 low-cardinality keys. At 100 TB this is a
+    // near-perfect map-side-combine plan: 6 running aggregates, tiny shuffle.
+    "q01_pricing_summary" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .filter($"l_shipdate" < lit("2001-01-01").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            (centsSum($"l_quantity") / 100.0).as("sum_qty"),
+            moneySum($"l_extendedprice").as("sum_base_price"),
+            (sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+              .cast("long")) / 100.0).as("sum_disc_price"),
+            round(avg($"l_quantity"), 6).as("avg_qty"),
+            round(avg($"l_extendedprice"), 6).as("avg_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+        CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_qty,
+        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_base_price,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_disc_price,
+        round(avg(l_quantity),6) AS avg_qty,
+        round(avg(l_extendedprice),6) AS avg_price,
+        count(*) AS count_order
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-01-01'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""),
+      "A2/A3 grouped multi-aggregate (dashboard §2.5) on the lineitem fact"),
+
+    // ------------------------------------------------------------------ A4
+    // Top-k by frequency (value_counts().head(10), 1_EDA_Dashboard.py:62).
+    // groupBy+count is partial-aggregated map-side; the global top-10 is a
+    // TakeOrderedAndProject — no full sort at scale.
+    "q02_topk_parts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Relational.topKByCount(t(s, d, "lineitem"), Seq($"l_partkey"), 10)
+      },
+      Some("""SELECT l_partkey, count(*) AS cnt FROM lineitem
+        GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 10"""),
+      "A4 top-k by frequency with deterministic tie-break"),
+
+    // -------------------------------------------------------------- J1 + A6
+    // Broadcast equi-join against the part dim (J1 analog of the taxi-zone
+    // join, 1_EDA_Dashboard.py:26-29) + grouped multi-agg.
+    "q03_join_brand_revenue" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+          .groupBy($"p_brand")
+          .agg(
+            (sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+              .cast("long")) / 100.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand,
+        CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue,
+        count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""),
+      "J1 broadcast dim join + A6 grouped multi-aggregate"),
+
+    // -------------------------------------------------------------- J2 + A6
+    // Fact-to-fact shuffle join (orders⋈customer on custkey) + broadcast
+    // nation dim — the two-hop J1/J2 pattern. customer is NOT broadcast:
+    // it scales with SF (15M rows at sf1000), so the join shuffles on the
+    // key and AQE picks broadcast only when the build side is small.
+    "q04_orders_by_nation" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val n = t(s, d, "nation")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy($"n_name")
+          .agg(count(lit(1)).as("n_orders"),
+               moneySum($"o_totalprice").as("total_price"))
+          .orderBy($"n_name")
+      },
+      Some("""SELECT n_name, count(*) AS n_orders,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""),
+      "J1/J2 two-hop join: shuffle join on scaling key + broadcast dim"),
+
+    // ------------------------------------------------------------------ P4
+    // Three-valued-logic filter parity (`!= 0` silently drops NULLs,
+    // sparkConsumer.py:97). Nulls synthesized via nullif since the
+    // synthetic tables are null-free.
+    "q05_filter_null_semantics" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .withColumn("disc_n", nullif($"l_discount", lit(0.0)))
+          .filter($"disc_n" =!= 0.01)
+          .agg(count(lit(1)).as("n_rows"),
+               count($"disc_n").as("n_disc"),
+               round(min($"disc_n"), 6).as("min_d"),
+               round(max($"disc_n"), 6).as("max_d"))
+      },
+      Some("""SELECT count(*) AS n_rows, count(disc_n) AS n_disc,
+        round(min(disc_n),6) AS min_d, round(max(disc_n),6) AS max_d
+        FROM (SELECT nullif(l_discount, 0.0) AS disc_n FROM lineitem)
+        WHERE disc_n <> 0.01"""),
+      "P4 filter with three-valued-logic null drop"),
+
+    // ------------------------------------------------------------------ P5
+    // Null-impute + cast chain (sparkML.py:58-64) as coalesce(cast, 0).
+    "q06_impute_cast" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "customer")
+          .select(
+            $"c_custkey",
+            coalesce(when($"c_acctbal" < 0, lit(null)).otherwise($"c_acctbal")
+              .cast("double"), lit(0.0)).as("bal_imputed"),
+            $"c_nationkey".cast("string").as("nation_str"))
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey,
+        coalesce(CAST(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS DOUBLE), 0.0) AS bal_imputed,
+        CAST(c_nationkey AS VARCHAR) AS nation_str
+        FROM customer ORDER BY c_custkey"""),
+      "P5 per-column null-to-zero impute + cast"),
+
+    // ------------------------------------------------------------- P8 + A13
+    // IQR outlier filter: quantile bounds via one aggregate, re-attached by
+    // broadcast — no collect, scales to any row count.
+    "q07_iqr_filter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Relational.iqrFilter(t(s, d, "lineitem"), "l_extendedprice")
+          .agg(count(lit(1)).as("n_kept"),
+               moneySum($"l_extendedprice").as("sum_kept"),
+               round(avg($"l_extendedprice"), 6).as("avg_kept"))
+      },
+      Some("""WITH b AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                    quantile_cont(l_extendedprice, 0.75) AS q3 FROM lineitem)
+        SELECT count(*) AS n_kept,
+        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_kept,
+        round(avg(l_extendedprice),6) AS avg_kept
+        FROM lineitem, b
+        WHERE l_extendedprice >= q1 - 1.5*(q3-q1) AND l_extendedprice <= q3 + 1.5*(q3-q1)"""),
+      "P8 IQR outlier filter via broadcast quantile bounds"),
+
+    // ----------------------------------------------------------------- A15
+    // 50-bin equal-width histogram (px.histogram parity).
+    "q08_histogram" -> Q(
+      (s, d) => Relational.histogram(t(s, d, "lineitem"), "l_extendedprice", 50),
+      Some("""SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 50)), 49) AS BIGINT) AS bucket,
+        count(*) AS cnt
+        FROM lineitem, (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+        GROUP BY bucket ORDER BY bucket"""),
+      "A15 equal-width histogram, bounds via broadcast"),
+
+    // ----------------------------------------------------- A13 + A14 + A17
+    // describe(): count/mean/std/min/quartiles/max with exact interpolating
+    // percentiles (matches DuckDB quantile_cont bit-for-bit modulo the
+    // rounding guard).
+    "q09_summary_stats" -> Q(
+      (s, d) => Relational.summaryStats(t(s, d, "lineitem"), "l_extendedprice"),
+      Some("""SELECT count(l_extendedprice) AS n,
+        round(avg(l_extendedprice),6) AS mean,
+        round(stddev_samp(l_extendedprice),6) AS sd,
+        min(l_extendedprice) AS mn,
+        round(quantile_cont(l_extendedprice,0.25),6) AS q1,
+        round(quantile_cont(l_extendedprice,0.5),6) AS median,
+        round(quantile_cont(l_extendedprice,0.75),6) AS q3,
+        max(l_extendedprice) AS mx
+        FROM lineitem"""),
+      "A13/A14/A17 exact quantiles, stddev, describe"),
+
+    // ----------------------------------------------------------------- A12
+    // Argmax per group as a rank-1 window (the §2.6 window-capability form
+    // of the dashboard's idxmax).
+    "q10_argmax_per_segment" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Relational.argmaxPerGroup(t(s, d, "customer"),
+            $"c_mktsegment", $"c_acctbal", $"c_custkey")
+          .select($"c_mktsegment", $"c_custkey", round($"c_acctbal", 2).as("acctbal"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, round(c_acctbal,2) AS acctbal
+        FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer)
+        WHERE rn = 1 ORDER BY c_mktsegment"""),
+      "A12 argmax per group via row_number window"),
+
+    // ----------------------------------------------------------------- A10
+    "q11_distinct_years" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders").select(year($"o_orderdate").as("y")).distinct().orderBy($"y")
+      },
+      Some("""SELECT DISTINCT CAST(year(o_orderdate) AS INTEGER) AS y
+        FROM orders ORDER BY y"""),
+      "A10 distinct + sort over a derived date part"),
+
+    // ----------------------------------------------------------------- A16
+    // Per-column null profile in a single pass (df.isnull().sum() parity).
+    "q12_null_profile" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select(nullif($"l_discount", lit(0.0)).as("disc"),
+                  nullif($"l_tax", lit(0.0)).as("tax"),
+                  $"l_quantity")
+          .agg(count(lit(1)).as("n_rows"),
+               sum($"disc".isNull.cast("long")).as("nulls_disc"),
+               sum($"tax".isNull.cast("long")).as("nulls_tax"),
+               sum($"l_quantity".isNull.cast("long")).as("nulls_qty"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+        CAST(sum(CASE WHEN nullif(l_discount,0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_disc,
+        CAST(sum(CASE WHEN nullif(l_tax,0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_tax,
+        CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_qty
+        FROM lineitem"""),
+      "A16 single-pass null-count profile"),
+
+    // ----------------------------------------------------------------- A18
+    // Ratio of sums on exact cent-quantized integer sums — fully
+    // order-independent, so bit-identical across engines.
+    "q13_ratio_of_sums" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .agg((centsSum($"l_discount" * $"l_extendedprice") /
+                centsSum($"l_extendedprice") * 100).as("discount_pct"))
+      },
+      Some("""SELECT CAST(sum(CAST(round(l_discount*l_extendedprice*100) AS BIGINT)) AS BIGINT)
+        / CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) * 100 AS discount_pct
+        FROM lineitem"""),
+      "A18 overall ratio of sums (tip% parity shape)"),
+
+    // ----------------------------------------------------------------- A19
+    // Regression metrics as relational aggregates: the mean-predictor
+    // RMSE/MAE/R² identity (RegressionEvaluator parity, sparkML.py:103-122).
+    "q14_regression_metrics" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+        val m = o.agg(avg($"o_totalprice").as("mu"))
+        o.crossJoin(broadcast(m))
+          .agg(round(sqrt(avg(pow($"o_totalprice" - $"mu", 2))), 4).as("rmse"),
+               round(avg(abs($"o_totalprice" - $"mu")), 4).as("mae"))
+      },
+      Some("""WITH m AS (SELECT avg(o_totalprice) AS mu FROM orders)
+        SELECT round(sqrt(avg((o_totalprice-mu)*(o_totalprice-mu))),4) AS rmse,
+        round(avg(abs(o_totalprice-mu)),4) AS mae
+        FROM orders, m"""),
+      "A19 RMSE/MAE as plain aggregates"),
+
+    // ---------------------------------------------------------------- semi
+    "q15_semi_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer")
+        val big = t(s, d, "orders").filter($"o_totalprice" > 450000).select($"o_custkey")
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+          .select($"c_custkey", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        ORDER BY c_custkey"""),
+      "left-semi join (EXISTS) — capability extension per SURVEY §2.4"),
+
+    // ---------------------------------------------------------------- anti
+    "q16_anti_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val c = t(s, d, "customer")
+        val big = t(s, d, "orders").filter($"o_totalprice" > 490000).select($"o_custkey")
+        c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n_without"),
+               moneySum($"c_acctbal").as("bal_sum"))
+      },
+      Some("""SELECT count(*) AS n_without,
+        CAST(sum(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)/100.0 AS bal_sum
+        FROM customer WHERE c_custkey NOT IN
+        (SELECT o_custkey FROM orders WHERE o_totalprice > 490000)"""),
+      "left-anti join (NOT EXISTS) — capability extension"),
+
+    // -------------------------------------------------------------- set ops
+    "q17_set_ops" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val a = t(s, d, "customer").select($"c_nationkey".as("k")).distinct()
+        val b = t(s, d, "supplier").select($"s_nationkey".as("k")).distinct()
+        val u = a.union(b).distinct().agg(count(lit(1)).as("n")).select(lit("union").as("op"), $"n")
+        val i = a.intersect(b).agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), $"n")
+        val e = a.except(b).agg(count(lit(1)).as("n")).select(lit("except").as("op"), $"n")
+        u.union(i).union(e).orderBy($"op")
+      },
+      Some("""SELECT op, n FROM (
+        SELECT 'union' AS op, count(*) AS n FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+        UNION ALL SELECT 'intersect', count(*) FROM (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        UNION ALL SELECT 'except', count(*) FROM (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        ) ORDER BY op"""),
+      "union/intersect/except — capability extension per SURVEY §2.6"),
+
+    // ------------------------------------------------------------- lag/lead
+    // Sessionized inter-event gaps per user: shuffle once on user_id, sort
+    // within partitions, single window pass — the scalable form of
+    // sequential per-entity analytics.
+    "q18_event_gaps" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        e.withColumn("prev_ts", lag($"ts", 1).over(w))
+          .withColumn("gap_s", unix_timestamp($"ts") - unix_timestamp($"prev_ts"))
+          .filter($"gap_s".isNotNull)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n_gaps"), round(avg($"gap_s"), 4).as("avg_gap_s"))
+          .orderBy($"event_type")
+      },
+      Some("""WITH g AS (SELECT event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (
+            PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id))) AS BIGINT) AS gap_s
+        FROM events)
+        SELECT event_type, count(*) AS n_gaps, round(avg(gap_s),4) AS avg_gap_s
+        FROM g WHERE gap_s IS NOT NULL GROUP BY event_type ORDER BY event_type"""),
+      "lag window over per-user event sequences — capability extension"),
+
+    // ------------------------------------------------------------- E7 + A5
+    // Time-of-day bucketing (native when-chain, no UDF) + grouped mean —
+    // the reference's flagship enrichment as one codegen'd stage.
+    "q19_time_of_day" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .withColumn("tod", TripFeatures.timeOfDay(hour($"ts")))
+          .groupBy($"tod")
+          .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+          .orderBy($"tod")
+      },
+      Some("""SELECT CASE WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'morning'
+          WHEN hour(ts) >= 12 AND hour(ts) < 16 THEN 'afternoon'
+          WHEN hour(ts) >= 16 AND hour(ts) < 22 THEN 'evening'
+          ELSE 'late night' END AS tod,
+        count(*) AS n, round(avg(value),6) AS avg_value
+        FROM events GROUP BY tod ORDER BY tod"""),
+      "E7 time-of-day when-chain + A5 grouped mean"),
+
+    // ------------------------------------------------------------ E11 + A6
+    // Day-name grouping with Monday-first ordering (pandas weekday parity).
+    "q20_by_day_name" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy(TripFeatures.dayName($"ts").as("day_name"),
+                   TripFeatures.pandasWeekday($"ts").as("dow"))
+          .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+          .orderBy($"dow")
+      },
+      Some("""SELECT dayname(ts) AS day_name,
+        CAST((dayofweek(ts) + 6) % 7 AS INTEGER) AS dow,
+        count(*) AS n, round(avg(value),6) AS avg_value
+        FROM events GROUP BY day_name, dow ORDER BY dow"""),
+      "E4/E11 day-of-week naming with explicit sort key"),
+
+    // ------------------------------------------------------------- E9 + A4
+    // Top-10 supplier-nation → customer-nation routes: the E9 concat + A4
+    // top-k over a 4-way join (TPC-H Q7 shape). Dims broadcast; the two
+    // fact-fact joins shuffle on orderkey/custkey.
+    "q21_route_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val sup = t(s, d, "supplier")
+        val n1 = t(s, d, "nation").select($"n_nationkey".as("sn_key"), $"n_name".as("sn_name"))
+        val n2 = t(s, d, "nation").select($"n_nationkey".as("cn_key"), $"n_name".as("cn_name"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+          .join(broadcast(n1), sup("s_nationkey") === n1("sn_key"))
+          .join(broadcast(n2), c("c_nationkey") === n2("cn_key"))
+          .select(concat($"sn_name", lit(" to "), $"cn_name").as("route"))
+          .groupBy($"route")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy($"cnt".desc, $"route".asc)
+          .limit(10)
+      },
+      Some("""SELECT sn.n_name || ' to ' || cn.n_name AS route, count(*) AS cnt
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        GROUP BY route ORDER BY cnt DESC, route LIMIT 10"""),
+      "E9 route concat + A4 top-k over a 4-way join"),
+
+    // ----------------------------------------------------------------- E10
+    "q22_decode_map" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .withColumn("type_name",
+            when($"event_type" === "click", "Click")
+              .when($"event_type" === "view", "View")
+              .when($"event_type" === "purchase", "Purchase")
+              .when($"event_type" === "signup", "Sign Up")
+              .when($"event_type" === "error", "Error")
+              .otherwise("Other"))
+          .groupBy($"type_name")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"type_name")
+      },
+      Some("""SELECT CASE event_type WHEN 'click' THEN 'Click' WHEN 'view' THEN 'View'
+          WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Sign Up'
+          WHEN 'error' THEN 'Error' ELSE 'Other' END AS type_name, count(*) AS n
+        FROM events GROUP BY type_name ORDER BY type_name"""),
+      "E10 categorical decode map (payment_type parity shape)"),
+
+    // ------------------------------------------------------- E2-analog math
+    // Date arithmetic across a join: avg order→ship latency per priority.
+    "q23_ship_latency" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy($"o_orderpriority")
+          .agg(round(avg(datediff($"l_shipdate", $"o_orderdate")), 6).as("avg_ship_days"),
+               count(lit(1)).as("n"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        round(avg(date_diff('day', o_orderdate, l_shipdate)),6) AS avg_ship_days,
+        count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "E2-analog duration arithmetic over a shuffle join"),
+
+    // ----------------------------------------------------------------- A11
+    "q24_column_means" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem").agg(
+          round(avg($"l_quantity"), 6).as("avg_qty"),
+          round(avg($"l_extendedprice"), 6).as("avg_price"),
+          round(avg($"l_discount"), 6).as("avg_discount"),
+          round(avg($"l_tax"), 6).as("avg_tax"),
+          moneySum($"l_extendedprice").as("sum_price"))
+      },
+      Some("""SELECT round(avg(l_quantity),6) AS avg_qty,
+        round(avg(l_extendedprice),6) AS avg_price,
+        round(avg(l_discount),6) AS avg_discount,
+        round(avg(l_tax),6) AS avg_tax,
+        CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_price
+        FROM lineitem"""),
+      "A11 mean-of-column-set single-row aggregate"),
+
+    // --------------------------------------------------------------- rollup
+    // Grouping-set capability (absent in the reference, §2.5 note): rollup
+    // with null group labels made explicit for deterministic ordering.
+    "q25_rollup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"), (centsSum($"l_quantity") / 100.0).as("sum_qty"))
+          .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+                  coalesce($"l_linestatus", lit("ALL")).as("ls"),
+                  $"n", $"sum_qty")
+          .orderBy($"rf", $"ls")
+      },
+      Some("""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        count(*) AS n,
+        CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY rf, ls"""),
+      "rollup grouping sets — capability extension"),
+
+    // -------------------------------------------------------------- P1/E14
+    // JSON decode on real data: events.props carries {"k": int}. The
+    // reference's from_json ingest (sparkConsumer.py:66) in point form.
+    "q26_json_extract" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
+          .groupBy(($"k" % 10).as("k_mod"))
+          .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+          .orderBy($"k_mod")
+      },
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+        count(*) AS n, round(avg(value),6) AS avg_value
+        FROM events GROUP BY k_mod ORDER BY k_mod"""),
+      "P1 JSON field decode + aggregate"),
+
+    // ------------------------------------------------------------- window()
+    // Tumbling event-time window as a *batch* plan — the identical
+    // groupBy(window(...)) works under readStream with a watermark (see
+    // graft.streaming.StreamPipeline); oracled here via date_trunc.
+    "q27_tumbling_window" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy(window($"ts", "1 day").getField("start").as("day"), $"event_type")
+          .agg(count(lit(1)).as("n"), (centsSum($"value") / 100.0).as("sum_value"))
+          .orderBy($"day", $"event_type")
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n,
+        CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_value
+        FROM events GROUP BY day, event_type ORDER BY day, event_type"""),
+      "streaming-shaped tumbling window aggregate (batch-checked)"),
+
+    // ---------------------------------------------------------- E13/E12 mix
+    // Derived per-row ratios then grouped: value-per-k spend rate by hour.
+    "q28_hourly_rate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .withColumn("h", hour($"ts"))
+          .withColumn("rate", TripFeatures.zeroGuardedRatio($"value", $"user_id" % 100))
+          .groupBy($"h")
+          .agg(count(lit(1)).as("n"), round(avg($"rate"), 6).as("avg_rate"))
+          .orderBy($"h")
+      },
+      Some("""SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS n,
+        round(avg(CASE WHEN user_id % 100 = 0 THEN 0.0 ELSE value / (user_id % 100) END),6) AS avg_rate
+        FROM events GROUP BY h ORDER BY h"""),
+      "E6/E12 zero-guarded ratio + hourly grouping")
+  )
+}
