@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-data-pipeline extensions
+  * (BASELINE.json north-star): tokenization, shingling, quality scoring,
+  * language-ID heuristics, fingerprinting. All pure Catalyst expressions
+  * (higher-order array functions, no UDFs) — they run inside codegen'd
+  * projections and scale linearly with rows, no shuffle of their own.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens (the corpus is single-space separated). */
+  def words(text: Column): Column = split(lower(text), " ")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  def uniqueWordCount(text: Column): Column = size(array_distinct(words(text)))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-alnum
+    * marks — the classic pre-tokenizer split, kept to RE2-safe classes. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Character n-gram shingle set (distinct). Guards short strings by
+    * falling back to the whole string as one shingle. */
+  def charNGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+
+  /** Word n-gram shingle set (distinct), same short-input guard. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ws = words(text)
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", ws)))
+  }
+
+  /** |A ∩ B| / |A ∪ B| for two *distinct* arrays, via the inclusion-
+    * exclusion identity — avoids engine-specific intersect dedup rules,
+    * so the same arithmetic is expressible in the DuckDB oracle. */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_distinct(concat(a, b)))
+    (size(a) + size(b) - union).cast("double") / union
+  }
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ws = words(text)
+    size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / size(ws)
+  }
+
+  /** Fraction of characters that are lowercase ASCII letters. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text)
+
+  /** Marker-word hit count for one language (n-gram-free language-ID
+    * heuristic; see langId for the argmax decision). */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(words(text), w => w.isin(markers: _*)))
+
+  /** Deterministic argmax over four language scores with a fixed
+    * tie-break order (en > de > es > fr). */
+  def langId(en: Column, de: Column, es: Column, fr: Column): Column =
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+
+  /** Normalization fingerprint (OpenRefine-style): md5 of the sorted
+    * distinct token set — catches shuffled/duplicated-word near-dups. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(words(text))), " "))
+
+  /** 64-bit order-sensitive rolling document hash (polynomial over token
+    * hashes). Spark-native (xxhash64) — used by rows-only dedup ops. */
+  def rollingHash64(text: Column): Column =
+    aggregate(words(text), lit(0L),
+      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector column functions over `array<float>` columns, computed
+  * in double precision via Catalyst higher-order functions (zip_with /
+  * aggregate) — no UDF, no VectorUDT dependency, streaming-safe.
+  *
+  * The sequential left-fold of `aggregate` gives bit-reproducible sums for
+  * a fixed element order, which is what makes the DuckDB oracle compare
+  * exact for similarity thresholds.
+  */
+object VectorFunctions {
+
+  def toDoubleVec(v: Column): Column = v.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine given precomputed norms (compute norms once per vector before
+    * a pair join — halves the flops of the O(n²) inner loop). */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** Sign-LSH bucket: an integer whose bit i is set iff v[i] > 0, over the
+    * first `bits` dimensions. A data-derived random-hyperplane sketch
+    * (dimensions of a whitened embedding behave as random projections);
+    * bucket-equality prunes candidate pairs by ~2^bits. */
+  def signBucket(v: Column, bits: Int): Column =
+    aggregate(sequence(lit(1), lit(bits)), lit(0L),
+      (acc, i) => acc + when(element_at(v, i) > 0,
+        pow(lit(2.0), i.cast("double") - 1).cast("long")).otherwise(lit(0L)))
+}

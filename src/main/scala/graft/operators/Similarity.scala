@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column (`array<float>`).
+  *
+  * Scale ladder (BASELINE.json north-star):
+  *  1. brute-force cosine top-k — the exactness baseline; O(|Q|·|C|) with
+  *     the small query set broadcast, so it's a single narrow pass over
+  *     the candidate table (no shuffle of the candidates);
+  *  2. IVF-style partition pruning on a coarse assignment column — the
+  *     join key restricts each query to one cell (here the precomputed
+  *     `label`; in production the assignment comes from a k-means fit);
+  *  3. sign-LSH bucketing — hyperplane-sign sketch as the equi-join key,
+  *     pruning pairs by ~2^bits before the exact re-rank.
+  */
+object Similarity {
+
+  /** Normalize: attach the L2 norm once per vector (narrow projection) so
+    * the pair loop only pays one dot product. */
+  def withNorm(df: DataFrame, vec: String): DataFrame =
+    df.withColumn("vec_d", toDoubleVec(col(vec)))
+      .withColumn("nrm", norm(col("vec_d")))
+
+  /** Brute-force cosine top-k: every query against every candidate.
+    * Queries are broadcast (top-k only makes sense for a small query
+    * set); ranking is a window over query_id. At extreme candidate
+    * counts, swap the window for a per-partition top-k + merge — noted
+    * rather than implemented since k and |Q| are tiny here. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vec)
+      .select(col(id).as("query_id"), col("vec_d").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(candidates, vec)
+      .select(col(id).as("cand_id"), col("vec_d").as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+  }
+
+  /** IVF-style pruned top-k: identical to brute force but the pair join
+    * carries an additional cell-equality predicate, so each query scans
+    * only its coarse cell (a |C|/cells fraction of the data). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, id: String,
+              vec: String, cell: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vec).select(col(id).as("query_id"),
+      col(cell).as("qcell"), col("vec_d").as("qv"), col("nrm").as("qn"))
+    val c = withNorm(candidates, vec).select(col(id).as("cand_id"),
+      col(cell).as("ccell"), col("vec_d").as("cv"), col("nrm").as("cn"))
+    val scored = c.join(broadcast(q),
+        col("qcell") === col("ccell") && col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+  }
+
+  /** Sign-LSH near-dup pairs: bucket by hyperplane signs (equi-join key),
+    * verify with exact cosine. The shuffle is on the bucket id — pair
+    * count drops from n²/2 to Σ_b |b|²/2. */
+  def lshNearDupPairs(df: DataFrame, id: String, vec: String, bits: Int,
+                      threshold: Double): DataFrame = {
+    val v = withNorm(df, vec)
+      .withColumn("bucket", signBucket(col("vec_d"), bits))
+    val a = v.select(col("bucket"), col(id).as("id_a"),
+      col("vec_d").as("va"), col("nrm").as("na"))
+    val b = v.select(col("bucket"), col(id).as("id_b"),
+      col("vec_d").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Exact cosine near-dup pairs over a bounded id range — the O(n²)
+    * baseline the LSH path is checked against. */
+  def bruteForceNearDupPairs(df: DataFrame, id: String, vec: String,
+                             threshold: Double): DataFrame = {
+    val v = withNorm(df, vec)
+    val a = v.select(col(id).as("id_a"), col("vec_d").as("va"), col("nrm").as("na"))
+    val b = v.select(col(id).as("id_b"), col("vec_d").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+}

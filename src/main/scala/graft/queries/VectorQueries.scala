@@ -1,7 +1,118 @@
 package graft.queries
 
-/** Embedding similarity-search / near-dup suite over the embeddings table —
-  * filled in milestone M2 (SURVEY.md §7.2 M5 north-star extensions). */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Similarity
+
+/** Embedding similarity-search suite over `embeddings` (64-dim float
+  * vectors): brute-force baseline, IVF-style pruning, sign-LSH bucketing.
+  * Cosine is computed in double precision by sequential fold on both
+  * engines, so thresholds and ranks hash-match exactly.
+  */
 object VectorQueries {
-  val all: Seq[(String, Q)] = Seq.empty
+
+  private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
+
+  /** DuckDB double-precision dot product over the 64 dims. */
+  private def sqlDot(a: String, b: String): String =
+    s"(SELECT sum($a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE) FROM range(1, 65) t(i))"
+
+  private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------ embedding near-dups
+    // Exact cosine near-dup pairs over a bounded id range: the O(n²)
+    // ground truth for the LSH variant below. Output is ids only —
+    // float-free, so the hash compare is exact.
+    "q45_embed_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Similarity.bruteForceNearDupPairs(
+            emb(s, d).filter($"vec_id" < 300), "vec_id", "embedding", 0.4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 300)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a, n b WHERE a.vec_id < b.vec_id
+          AND ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.4
+        ORDER BY id_a, id_b"""),
+      "embedding-cosine near-dup pairs (brute-force ground truth)"),
+
+    // --------------------------------------------------- brute-force ANN
+    // Cosine top-5 for a broadcast query set against all candidates —
+    // one narrow pass over candidates + a per-query rank window.
+    "q46_ann_bruteforce" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.bruteForceTopK(
+            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+            "vec_id", "embedding", 5)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id >= 10),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS sim FROM q, c)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      "brute-force cosine top-k (exactness baseline)"),
+
+    // ------------------------------------------------------ IVF-style ANN
+    // Partition-pruned top-k: each query searches only its coarse cell
+    // (the precomputed label plays the k-means assignment). |C|/cells of
+    // the data per query — the scale path when |C| is huge.
+    "q47_ann_ivf" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.ivfTopK(
+            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+            "vec_id", "embedding", "label", 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, label, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, label, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id >= 10),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS sim
+          FROM q, c WHERE q.label = c.label)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY query_id, rank"""),
+      "IVF-style partition-pruned ANN via coarse-cell equi-join"),
+
+    // -------------------------------------------------------- sign-LSH ANN
+    // Hyperplane-sign bucket join (8 bits → ~256× pair pruning) + exact
+    // cosine verify. Bucket arithmetic is integer, so the oracle matches.
+    "q48_ann_lsh_bucket" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Similarity.lshNearDupPairs(
+            emb(s, d).filter($"vec_id" < 500), "vec_id", "embedding",
+            bits = 8, threshold = 0.3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm,
+          CAST(list_sum(list_transform(range(1, 9), i ->
+            CASE WHEN embedding[i] > 0 THEN CAST(2**(i-1) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+          FROM embeddings WHERE vec_id < 500)
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM v a, v b WHERE a.bucket = b.bucket AND a.vec_id < b.vec_id
+          AND ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.3
+        ORDER BY id_a, id_b"""),
+      "sign-LSH bucketed near-dup search with exact re-rank")
+  )
 }
