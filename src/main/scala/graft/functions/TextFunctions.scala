@@ -40,12 +40,14 @@ object TextFunctions {
       .otherwise(array(concat_ws(" ", ws)))
   }
 
-  /** |A ∩ B| / |A ∪ B| for two *distinct* arrays, via the inclusion-
-    * exclusion identity — avoids engine-specific intersect dedup rules,
-    * so the same arithmetic is expressible in the DuckDB oracle. */
+  /** |A ∩ B| / |A ∪ B| via the inclusion-exclusion identity — avoids
+    * engine-specific intersect dedup rules, so the same arithmetic is
+    * expressible in the DuckDB oracle. Inputs are deduped here; the
+    * identity is only valid on sets. */
   def jaccard(a: Column, b: Column): Column = {
-    val union = size(array_distinct(concat(a, b)))
-    (size(a) + size(b) - union).cast("double") / union
+    val (da, db) = (array_distinct(a), array_distinct(b))
+    val union = size(array_distinct(concat(da, db)))
+    (size(da) + size(db) - union).cast("double") / union
   }
 
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {

@@ -18,8 +18,10 @@ object TripFeatures {
   val IsoPattern = "yyyy-MM-dd'T'HH:mm:ss"
 
   /** E1 — strict parse, parity with sparkConsumer.py:85-86 (fractional
-    * seconds → null, a documented reference quirk). */
-  def parseIsoStrict(s: Column): Column = to_timestamp(s, IsoPattern)
+    * seconds → null, a documented reference quirk). try_to_timestamp
+    * because Spark 4's ANSI mode would otherwise *throw* where Spark 3.5
+    * returned null — the reference's observable behavior is null. */
+  def parseIsoStrict(s: Column): Column = try_to_timestamp(s, lit(IsoPattern))
 
   /** E1 lenient variant — accepts fractional seconds. */
   def parseIsoLenient(s: Column): Column = to_timestamp(s)

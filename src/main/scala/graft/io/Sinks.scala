@@ -1,0 +1,52 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TripFeatures
+
+/** Sink factories (SURVEY.md §2.1 K1-K5). */
+object Sinks {
+
+  def parquet(df: DataFrame, path: String,
+              mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** K4 — CSV with header. */
+  def csv(df: DataFrame, path: String,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  /** K1 — the producer's row-at-a-time JSON serialization
+    * (kafkaProducer.py:12-16,36-38) as a single distributed expression:
+    * every column into a JSON object, timestamps rendered ISO-8601 the
+    * way DateTimeEncoder did. Returns the frame so tests can round-trip
+    * it through from_json without a broker. */
+  def toKafkaJson(df: DataFrame): DataFrame = {
+    val isoRendered = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType.typeName == "timestamp")
+        d.withColumn(f.name, TripFeatures.toIso(col(f.name)))
+      else d
+    }
+    isoRendered.select(to_json(struct(isoRendered.columns.map(col): _*)).as("value"))
+  }
+
+  /** K1 — write the JSON frame to a Kafka topic (production path). */
+  def kafkaJson(df: DataFrame, servers: String, topic: String): Unit =
+    toKafkaJson(df).write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .save()
+
+  /** K2 — JDBC append (the foreachBatch writer's production target).
+    * Spark's JDBC dialect emits the CREATE TABLE DDL on first write —
+    * the reference's 30-line hand-rolled information_schema probe +
+    * type-mapping (sparkConsumer.py:111-141) collapses into mode(Append)
+    * + createTableOptions. */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+                 user: String, password: String): Unit =
+    df.write.format("jdbc").mode(SaveMode.Append)
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+      .save()
+}

@@ -1,0 +1,52 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source factories for every ingest the reference performs (SURVEY.md
+  * §2.1 S1-S6), config-driven so tests can exercise the file-based ones
+  * and production supplies real endpoints for Kafka/JDBC.
+  */
+object Sources {
+
+  /** S1 — parquet scan; splits by row-group, so parallelism scales with
+    * file count/size, not a single reader like the reference's pandas. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S5/S6 — CSV with explicit schema (schema-on-read discipline; the
+    * reference inferred on upload, main.py:65-67). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.option("header", header.toString).schema(schema).csv(path)
+
+  /** JSON-lines scan (Kafka-message-shaped fixtures on disk). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** S3/S4 — JDBC scan. Unlike the reference's single-partition read
+    * (sparkML.py:40-46, a serial bottleneck), an optional numeric
+    * partition column splits the read across executors. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           user: String, password: String,
+           partitionColumn: Option[String] = None,
+           lowerBound: Long = 0L, upperBound: Long = 1L,
+           numPartitions: Int = 8): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("user", user).option("password", password)
+    partitionColumn.fold(base) { c =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lowerBound).option("upperBound", upperBound)
+        .option("numPartitions", numPartitions)
+    }.load()
+  }
+
+  /** S2 (batch flavor) — bounded Kafka read for backfills. */
+  def kafkaBatch(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+}

@@ -558,6 +558,38 @@ object RelationalQueries {
       Some("""SELECT CAST(hour(ts) AS INTEGER) AS h, count(*) AS n,
         round(avg(CASE WHEN user_id % 100 = 0 THEN 0.0 ELSE value / (user_id % 100) END),6) AS avg_rate
         FROM events GROUP BY h ORDER BY h"""),
-      "E6/E12 zero-guarded ratio + hourly grouping")
+      "E6/E12 zero-guarded ratio + hourly grouping"),
+
+    // -------------------------------------------------------- session window
+    // Session windows (30-min gap) per user — Spark's session_window in a
+    // batch plan; the identical grouping runs under readStream with a
+    // watermark. Oracled via the gaps-and-islands identity.
+    "q29_session_window" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .agg(count(lit(1)).as("n_sessions"),
+               round(avg($"n_events"), 6).as("avg_events_per_session"),
+               max($"n_events").as("max_events"))
+      },
+      Some("""WITH o AS (SELECT user_id, ts,
+          CASE WHEN epoch(date_trunc('microseconds', ts))
+                 - epoch(date_trunc('microseconds', lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)))) >= 1800
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)) IS NULL
+          THEN 1 ELSE 0 END AS new_session
+        FROM events),
+        sess AS (SELECT user_id, sum(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM o),
+        counts AS (SELECT user_id, session_id, count(*) AS n_events
+          FROM sess GROUP BY user_id, session_id)
+        SELECT count(*) AS n_sessions,
+          round(avg(n_events),6) AS avg_events_per_session,
+          max(n_events) AS max_events
+        FROM counts"""),
+      "session windows (gap-based) — streaming-shaped, batch-checked")
   )
 }

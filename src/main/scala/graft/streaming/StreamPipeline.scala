@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.TripFeatures
+
+/** The reference's streaming path (sparkConsumer.py) rebuilt Spark-first:
+  * one transform function shared verbatim between batch and streaming
+  * plans (Structured Streaming's core contract), watermarked windowed
+  * aggregates as the stateful extension, and a foreachBatch sink with the
+  * reference's create-if-absent + catch-log-continue semantics.
+  *
+  * Differences from the reference, on purpose (SURVEY.md §2.8):
+  *  - no Python UDF hop: the whole per-row chain stays in one
+  *    WholeStageCodegen span per micro-batch;
+  *  - checkpointing is configured (the reference had none — restarts
+  *    lost offsets);
+  *  - the micro-batch is persisted before count+write (the reference
+  *    recomputed the batch for its pre-write count).
+  */
+object StreamPipeline {
+
+  /** P1 — Kafka-value JSON decode: bytes → string → from_json(schema) →
+    * flatten. PERMISSIVE: malformed JSON yields an all-null row, exactly
+    * like sparkConsumer.py:66. */
+  def decodeJson(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("data"))
+      .select("data.*")
+
+  /** The full consumer transform: decode → parse timestamps (strict ISO,
+    * E1) → enrich (9 derived columns) → P4 filter. Works identically on a
+    * bounded frame and a streaming one. */
+  def consumerTransform(raw: DataFrame, schema: StructType,
+                        pickupCol: String = "tpep_pickup_datetime",
+                        dropoffCol: String = "tpep_dropoff_datetime"): DataFrame = {
+    val decoded = decodeJson(raw, schema)
+      .withColumn(pickupCol, TripFeatures.parseIsoStrict(col(pickupCol)))
+      .withColumn(dropoffCol, TripFeatures.parseIsoStrict(col(dropoffCol)))
+    TripFeatures.dropZeroOrNull(
+      TripFeatures.enrich(decoded, pickupCol, dropoffCol), "passenger_count")
+  }
+
+  /** Kafka streaming source factory (S2). Compile-checked; no broker in
+    * the build env — tests drive the same transforms via MemoryStream. */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .load()
+
+  /** Watermarked tumbling-window aggregate — the stateful-streaming
+    * extension (§2.8: absent in the reference). State is bounded by the
+    * watermark; keys = (window, event_type). */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+                     windowLen: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** foreachBatch sink with reference semantics: create-if-absent target,
+    * cache the batch (the reference double-computed it), count for the
+    * log, append, catch-log-continue (sparkConsumer.py:103-163). The
+    * writer is injected so JDBC/parquet/kafka targets share the loop. */
+  def foreachBatchSink(df: DataFrame, checkpointDir: String,
+                       writer: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val b = batch.persist()
+        try {
+          b.count() // observability, now on the cached plan
+          writer(b.toDF(), id)
+        } catch {
+          case e: Exception =>
+            // parity: log and drop the batch rather than kill the query
+            System.err.println(s"[stream] batch $id failed: ${e.getMessage}")
+        } finally b.unpersist()
+      }
+      .start()
+
+  /** Parquet-append batch writer (the JDBC-append analog testable without
+    * a database; swap for Sinks.jdbcAppend in production). */
+  def parquetAppendWriter(path: String): (DataFrame, Long) => Unit =
+    (batch, _) => batch.write.mode("append").parquet(path)
+
+  /** Micro-batch trigger constant used by production starts. */
+  val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+}

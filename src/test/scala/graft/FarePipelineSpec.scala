@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.sql.functions._
+
+import graft.ml.{FareConfig, FarePipeline}
+
+/** ML pipeline parity (SURVEY.md §2.9): 5 stages, deterministic split,
+  * three metrics, importances, save/load. Small forest for test speed —
+  * the stage graph and params are what parity is about. */
+class FarePipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Synthetic fare-shaped data with a learnable signal:
+    * fare ≈ 3 + 2.5*distance + noise, timeofday shifts the intercept. */
+  private lazy val trips = {
+    val base = spark.range(2000)
+      .withColumn("trip_distance", (rand(7) * 10))
+      .withColumn("pickup_timeofday",
+        element_at(array(lit("morning"), lit("afternoon"), lit("evening"), lit("late night")),
+          (col("id") % 4 + 1).cast("int")))
+      .withColumn("passenger_count", (col("id") % 4 + 1).cast("double"))
+      .withColumn("fare_amount",
+        lit(3.0) + col("trip_distance") * 2.5 +
+          when(col("pickup_timeofday") === "evening", 2.0).otherwise(0.0) +
+          randn(11) * 0.3)
+    base.select("fare_amount", "trip_distance", "passenger_count", "pickup_timeofday")
+  }
+
+  // depth 10 as in the reference; RF regression subsets 1/3 of features
+  // per split, so shallow trees underfit even a clean linear signal
+  private lazy val cfg = FareConfig(
+    labelCol = "fare_amount",
+    categoricalCol = "pickup_timeofday",
+    numericCols = Seq("trip_distance", "passenger_count"),
+    numTrees = 30, maxDepth = 10, featureSubsetStrategy = "all")
+
+  private lazy val (model, metrics) = FarePipeline.fitEval(trips, cfg)
+
+  test("pipeline has the reference's 5 stages") {
+    assert(model.stages.length == 5)
+    val names = model.stages.map(_.getClass.getSimpleName).toSeq
+    assert(names == Seq("StringIndexerModel", "OneHotEncoderModel",
+      "VectorAssembler", "StandardScalerModel", "RandomForestRegressionModel"))
+  }
+
+  test("learns the signal: test R2 high, RMSE near the noise floor") {
+    assert(metrics.testR2 > 0.9, s"got ${metrics.testR2}")
+    assert(metrics.testRmse < 2.5, s"got ${metrics.testRmse}")
+    assert(metrics.testMae <= metrics.testRmse)
+  }
+
+  test("distance dominates feature importances") {
+    assert(metrics.importances.head._1 == "trip_distance")
+    assert(metrics.importances.head._2 > 0.6)
+  }
+
+  test("deterministic split + seed give reproducible metrics") {
+    val (_, m2) = FarePipeline.fitEval(trips, cfg)
+    assert(m2.testRmse == metrics.testRmse && m2.trainR2 == metrics.trainR2)
+  }
+
+  test("model save/load round-trips (K5)") {
+    val dir = Files.createTempDirectory("fare_model").toString + "/model"
+    model.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val a = model.transform(trips.limit(50)).select(sum($"prediction")).as[Double].collect()(0)
+    val b = loaded.transform(trips.limit(50)).select(sum($"prediction")).as[Double].collect()(0)
+    assert(a == b)
+  }
+}

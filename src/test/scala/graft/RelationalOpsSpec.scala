@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("centsSum is exact under any partitioning") {
+    val df = Seq.fill(1000)(0.01).toDF("x")
+    val a = df.repartition(1).agg(Relational.centsSum($"x")).as[Long].collect()(0)
+    val b = df.repartition(7).agg(Relational.centsSum($"x")).as[Long].collect()(0)
+    assert(a == 1000L && b == 1000L, "0.01 x 1000 must be exactly 1000 cents")
+  }
+
+  test("topKByCount breaks ties deterministically") {
+    val df = Seq("b", "b", "a", "a", "c").toDF("k")
+    val top = Relational.topKByCount(df, Seq($"k"), 2).as[(String, Long)].collect()
+    assert(top.toSeq == Seq(("a", 2L), ("b", 2L)), "equal counts -> ascending key order")
+  }
+
+  test("IQR filter keeps [Q1-1.5IQR, Q3+1.5IQR] and drops outliers") {
+    val df = (Seq.tabulate(100)(_.toDouble) :+ 10000.0).toDF("x")
+    val kept = Relational.iqrFilter(df, "x")
+    assert(kept.count() == 100)
+    assert(kept.agg(max($"x")).as[Double].collect()(0) == 99.0)
+  }
+
+  test("histogram covers min and max rows, buckets sum to row count") {
+    val df = spark.range(101).select($"id".cast("double").as("x"))
+    val h = Relational.histogram(df, "x", 10).as[(Long, Long)].collect().toMap
+    assert(h.values.sum == 101)
+    assert(h(0L) >= 1 && h(9L) >= 1, "max value must land in the last bucket, not bucket 10")
+  }
+
+  test("nullProfile counts per column in one pass") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("i", "s")
+    val row = Relational.nullProfile(df, Seq("i", "s")).collect()(0)
+    assert(row.getLong(0) == 3 && row.getLong(1) == 1 && row.getLong(2) == 1)
+  }
+
+  test("argmaxPerGroup returns exactly one row per group with ties broken") {
+    val df = Seq(("g1", 5, 1), ("g1", 5, 2), ("g2", 3, 9)).toDF("g", "v", "id")
+    val out = Relational.argmaxPerGroup(df, $"g", $"v", $"id")
+      .select($"g", $"id").as[(String, Int)].collect().toSet
+    assert(out == Set(("g1", 1), ("g2", 9)))
+  }
+
+  test("summaryStats percentiles interpolate exactly") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Relational.summaryStats(df, "x").collect()(0)
+    assert(r.getAs[Double]("q1") == 1.75 && r.getAs[Double]("median") == 2.5 &&
+      r.getAs[Double]("q3") == 3.25)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // sign-LSH needs nonzero components (0 has no sign); keep dims small but ±
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.05f, 0.05f), 0),
+    (1L, Array(0.9f, 0.1f, 0.05f), 0),    // close to 0
+    (2L, Array(0.05f, 1.0f, 0.05f), 1),   // near-orthogonal to 0
+    (3L, Array(-1.0f, -0.05f, -0.05f), 0), // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.05f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val axes = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val v = axes.select($"vec_id",
+      VectorFunctions.cosine(
+        VectorFunctions.toDoubleVec($"embedding"),
+        array(lit(1.0), lit(0.0), lit(0.0))).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(v(0L) - 1.0) < 1e-12)
+    assert(math.abs(v(2L)) < 1e-12)
+    assert(math.abs(v(3L) + 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self") {
+    val out = Similarity.bruteForceTopK(
+        vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", 2)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(out(0) == ((0L, 1, 1L)), "0.9/0.1 vector is nearest")
+    assert(out(1) == ((0L, 2, 4L)))
+  }
+
+  test("IVF pruning restricts candidates to the query's cell") {
+    val out = Similarity.ivfTopK(
+        vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", "label", 5)
+      .select($"cand_id").as[Long].collect().toSet
+    assert(out == Set(1L, 3L, 4L), "label-1 vector must be pruned out")
+  }
+
+  test("sign-LSH buckets separate opposite-sign vectors, keep same-sign together") {
+    val pairs = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding",
+        bits = 3, threshold = 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "opposite vector lands in a different sign bucket")
+  }
+
+  test("LSH pairs are a subset of brute-force pairs at the same threshold") {
+    val bf = Similarity.bruteForceNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(vecs, "vec_id", "embedding", 3, 0.9)
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(bf), "LSH must never produce a false positive (exact verify)")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sinks
+import graft.streaming.StreamPipeline
+
+/** Streaming parity (SURVEY.md §2.8): the consumer transform over a
+  * MemoryStream, foreachBatch sink semantics, watermarked windows —
+  * and the batch/stream unification (same function, same results). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tripSchema = StructType(Seq(
+    StructField("tpep_pickup_datetime", StringType),
+    StructField("tpep_dropoff_datetime", StringType),
+    StructField("passenger_count", DoubleType),
+    StructField("trip_distance", DoubleType),
+    StructField("fare_amount", DoubleType)))
+
+  private val messages = Seq(
+    """{"tpep_pickup_datetime":"2024-05-01T08:30:00","tpep_dropoff_datetime":"2024-05-01T08:45:30","passenger_count":2,"trip_distance":3.0,"fare_amount":15.0}""",
+    """{"tpep_pickup_datetime":"2024-05-01T09:00:00","tpep_dropoff_datetime":"2024-05-01T09:10:00","passenger_count":0,"trip_distance":1.0,"fare_amount":5.0}""",
+    "not json at all")
+
+  test("consumer transform: decode -> enrich -> filter, batch and stream agree") {
+    // batch run
+    val batchRaw = messages.toDF("value")
+    val batchOut = StreamPipeline.consumerTransform(batchRaw, tripSchema)
+    assert(batchOut.count() == 1, "zero-passenger row filtered; malformed JSON row all-null filtered")
+    val row = batchOut.select($"trip_duration", $"pickup_timeofday").collect()(0)
+    assert(row.getDouble(0) == 15.5 && row.getString(1) == "morning")
+
+    // identical function over a MemoryStream + foreachBatch parquet sink
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val outDir = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    val q = StreamPipeline.foreachBatchSink(
+      StreamPipeline.consumerTransform(stream.toDF().withColumnRenamed("value", "value"), tripSchema),
+      ckpt, StreamPipeline.parquetAppendWriter(outDir))
+    stream.addData(messages: _*)
+    q.processAllAvailable()
+    stream.addData(messages: _*) // second micro-batch: append semantics
+    q.processAllAvailable()
+    q.stop()
+    val sunk = spark.read.parquet(outDir)
+    assert(sunk.count() == 2, "one surviving row per micro-batch, appended")
+    assert(sunk.columns.contains("fare_per_mile"))
+  }
+
+  test("watermarked tumbling window emits per-window counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = stream.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamPipeline.windowedCounts(events, "ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    stream.addData(
+      (java.sql.Timestamp.valueOf("2024-05-01 08:01:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-05-01 08:03:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-05-01 08:07:00"), "view", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT event_type, n, sum_value FROM win_out ORDER BY event_type")
+      .as[(String, Long, Double)].collect()
+    assert(out.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 4.0)))
+  }
+
+  test("K1/P1 round-trip: to_json with ISO timestamps parses back losslessly") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-05-01 08:30:00"), 2.0, 3.0, 15.0))
+      .toDF("tpep_pickup_datetime", "passenger_count", "trip_distance", "fare_amount")
+    val json = Sinks.toKafkaJson(df).as[String].collect()(0)
+    assert(json.contains(""""tpep_pickup_datetime":"2024-05-01T08:30:00""""),
+      "DateTimeEncoder parity: ISO-8601, no fractional seconds")
+    val schema = StructType(Seq(
+      StructField("tpep_pickup_datetime", StringType),
+      StructField("passenger_count", DoubleType),
+      StructField("trip_distance", DoubleType),
+      StructField("fare_amount", DoubleType)))
+    val back = StreamPipeline.decodeJson(Seq(json).toDF("value"), schema)
+      .select(to_timestamp($"tpep_pickup_datetime", "yyyy-MM-dd'T'HH:mm:ss").as("ts"),
+        $"fare_amount")
+      .as[(java.sql.Timestamp, Double)].collect()(0)
+    assert(back._1 == java.sql.Timestamp.valueOf("2024-05-01 08:30:00") && back._2 == 15.0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "dog lazy the over jumps fox brown quick the"),   // permutation of 0
+    (3L, "completely different words entirely unrelated text here")
+  ).toDF("doc_id", "text")
+
+  test("fingerprint is order-invariant: permuted doc shares doc 0's fingerprint") {
+    val fps = docs.select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fps(0L) == fps(2L))
+    assert(fps(0L) != fps(3L))
+  }
+
+  test("jaccard: identical sets -> 1.0, disjoint -> 0.0") {
+    val j = docs.filter($"doc_id" === 0)
+      .select(
+        TextFunctions.jaccard(TextFunctions.words($"text"), TextFunctions.words($"text")).as("self"),
+        TextFunctions.jaccard(TextFunctions.words($"text"), array(lit("zzz"))).as("disj"))
+      .as[(Double, Double)].collect()(0)
+    assert(j._1 == 1.0 && j._2 == 0.0)
+  }
+
+  test("exact dedup stats distinguish exact vs fingerprint uniqueness") {
+    val r = Dedup.exactStats(docs, "doc_id", "text").collect()(0)
+    assert(r.getLong(0) == 4)
+    assert(r.getLong(1) == 4, "no byte-identical docs")
+    assert(r.getLong(2) == 3, "permuted doc collapses under fingerprint")
+  }
+
+  test("minhash LSH finds the permuted and near-dup pairs, not the unrelated doc") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleWords = 1, k = 32, bands = 16, threshold = 0.7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), "permutation shares the whole shingle set")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: permutation -> hamming 0; unrelated doc -> large distance") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text")
+    val m = sh.as[(Long, Long)].collect().toMap
+    assert(m(0L) == m(2L), "simhash over token set ignores order")
+    val dist = spark.range(1).select(
+      Dedup.hamming64(lit(m(0L)), lit(m(3L)))).as[Int].collect()(0)
+    assert(dist > 10)
+  }
+
+  test("langId ties break deterministically toward english") {
+    val r = spark.range(1).select(
+      TextFunctions.langId(lit(0), lit(0), lit(0), lit(0))).as[String].collect()(0)
+    assert(r == "en")
+  }
+}
