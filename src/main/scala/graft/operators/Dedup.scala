@@ -25,10 +25,12 @@ object Dedup {
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** MinHash signatures: k independent min-hashes over the distinct
-    * shingle set of each doc. One explode + one grouped aggregate with k
-    * running mins — the map-side-combinable formulation (each partition
-    * emits one partial signature per doc, so shuffle volume is
-    * O(docs × k), independent of shingle count). */
+    * shingle set of each doc, as one explode + one grouped aggregate with
+    * k running mins. This shape is deliberately NOT a higher-order-
+    * function expression: HOF lambdas evaluate interpreted (outside
+    * whole-stage codegen), ~10× slower per hash — the explode/agg form
+    * keeps xxhash64 codegen'd and is map-side combinable, so shuffle
+    * volume is O(docs × k) regardless of shingle count. */
   def minhashSignatures(df: DataFrame, id: String, shingles: Column,
                         k: Int): DataFrame = {
     val mins = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"mh$j"))
@@ -38,7 +40,7 @@ object Dedup {
   }
 
   /** LSH banding: signature → (band_idx, band_hash) rows. Docs sharing any
-    * band bucket become candidate pairs. bands*rowsPerBand must equal k. */
+    * band bucket become candidate pairs. bands must divide k. */
   def lshBands(sigs: DataFrame, id: String, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
@@ -49,13 +51,23 @@ object Dedup {
   }
 
   /** Candidate pairs from band buckets: self equi-join on (band_idx,
-    * band_hash) with id_a < id_b, then distinct. The join key is the
-    * band hash — uniform by construction, so no skew salting needed; a
-    * pathological bucket (all-identical corpus) is bounded by `distinct`
-    * before verification. */
-  def lshCandidates(bandsDf: DataFrame, id: String): DataFrame = {
-    val a = bandsDf.select(col("band_idx"), col("band_hash"), col(id).as("id_a"))
-    val b = bandsDf.select(col("band_idx"), col("band_hash"), col(id).as("id_b"))
+    * band_hash) with id_a < id_b, then distinct.
+    *
+    * Buckets larger than `maxBucket` are dropped first (stop-bucket
+    * removal, the standard LSH hygiene step): a bucket of b docs emits
+    * b²/2 pairs, so one pathological bucket — boilerplate-heavy corpora
+    * produce them — turns the join quadratic and skews one task. The cap
+    * bounds any bucket's contribution and, at cluster scale, keeps the
+    * shuffle-side pair explosion O(buckets · maxBucket²). Docs in dropped
+    * buckets still pair through their other bands. */
+  def lshCandidates(bandsDf: DataFrame, id: String,
+                    maxBucket: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = bandsDf.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = sized.select(col("band_idx"), col("band_hash"), col(id).as("id_a"))
+    val b = sized.select(col("band_idx"), col("band_hash"), col(id).as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -32,10 +32,13 @@ object Relational {
       .limit(k)
 
   /** Single-row frame of interquartile bounds for `c` (exact percentiles,
-    * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). */
+    * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). One array-percentile
+    * aggregate — Percentile is a buffer-all TypedImperativeAggregate, so
+    * asking for the quantiles together halves the buffered data vs two
+    * separate percentile calls. */
   def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5): DataFrame =
-    df.agg(percentile(col(c), lit(0.25)).as("q1"),
-           percentile(col(c), lit(0.75)).as("q3"))
+    df.agg(percentile(col(c), array(lit(0.25), lit(0.75))).as("qs"))
+      .select(element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
       .select((col("q1") - lit(factor) * (col("q3") - col("q1"))).as("lo"),
               (col("q3") + lit(factor) * (col("q3") - col("q1"))).as("hi"))
 
@@ -65,17 +68,21 @@ object Relational {
     df.agg(count(lit(1)).as("n_rows"),
            cols.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c")): _*)
 
-  /** A13/A14/A17 — describe-style exact summary of one numeric column. */
+  /** A13/A14/A17 — describe-style exact summary of one numeric column.
+    * The three quartiles share one percentile buffer (see iqrBounds). */
   def summaryStats(df: DataFrame, c: String, scale: Int = 6): DataFrame =
     df.agg(
       count(col(c)).as("n"),
       round(avg(col(c)), scale).as("mean"),
       round(stddev_samp(col(c)), scale).as("sd"),
       min(col(c)).as("mn"),
-      round(percentile(col(c), lit(0.25)), scale).as("q1"),
-      round(percentile(col(c), lit(0.5)), scale).as("median"),
-      round(percentile(col(c), lit(0.75)), scale).as("q3"),
+      percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
       max(col(c)).as("mx"))
+    .select(col("n"), col("mean"), col("sd"), col("mn"),
+      round(element_at(col("qs"), 1), scale).as("q1"),
+      round(element_at(col("qs"), 2), scale).as("median"),
+      round(element_at(col("qs"), 3), scale).as("q3"),
+      col("mx"))
 
   /** A12 — argmax row per group via a rank-1 window (deterministic
     * tie-break on `tieBreak` ascending). */
