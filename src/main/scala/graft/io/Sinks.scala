@@ -23,8 +23,10 @@ object Sinks {
     * way DateTimeEncoder did. Returns the frame so tests can round-trip
     * it through from_json without a broker. */
   def toKafkaJson(df: DataFrame): DataFrame = {
+    // covers TimestampType AND TimestampNTZType — Spark 4 reads parquet
+    // timestamps with isAdjustedToUTC=false (pandas-written files) as NTZ
     val isoRendered = df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType.typeName == "timestamp")
+      if (f.dataType.typeName.startsWith("timestamp"))
         d.withColumn(f.name, TripFeatures.toIso(col(f.name)))
       else d
     }

@@ -18,28 +18,28 @@ import graft.functions.VectorFunctions._
   *     `label`; in production the assignment comes from a k-means fit);
   *  3. sign-LSH bucketing — hyperplane-sign sketch as the equi-join key,
   *     pruning pairs by ~2^bits before the exact re-rank.
+  *
+  * All pair loops score with the codegen'd fused
+  * [[graft.expressions.CosineSimilarity]] — one generated loop per pair,
+  * no interpreted lambda evaluation, no per-vector norm precompute state
+  * to shuffle around.
   */
 object Similarity {
 
-  /** Normalize: attach the L2 norm once per vector (narrow projection) so
-    * the pair loop only pays one dot product. */
-  def withNorm(df: DataFrame, vec: String): DataFrame =
-    df.withColumn("vec_d", toDoubleVec(col(vec)))
-      .withColumn("nrm", norm(col("vec_d")))
+  private def prep(df: DataFrame, id: String, vec: String,
+                   idAs: String, vecAs: String): DataFrame =
+    df.select(col(id).as(idAs), toDoubleVec(col(vec)).as(vecAs))
 
   /** Brute-force cosine top-k: every query against every candidate.
     * Queries are broadcast (top-k only makes sense for a small query
     * set); ranking is a window over query_id. At extreme candidate
-    * counts, swap the window for a per-partition top-k + merge — noted
-    * rather than implemented since k and |Q| are tiny here. */
+    * counts, swap the window for a per-partition top-k + merge. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
-    val q = withNorm(queries, vec)
-      .select(col(id).as("query_id"), col("vec_d").as("qv"), col("nrm").as("qn"))
-    val c = withNorm(candidates, vec)
-      .select(col(id).as("cand_id"), col("vec_d").as("cv"), col("nrm").as("cn"))
+    val q = prep(queries, id, vec, "query_id", "qv")
+    val c = prep(candidates, id, vec, "cand_id", "cv")
     val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("sim", cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -51,13 +51,13 @@ object Similarity {
     * only its coarse cell (a |C|/cells fraction of the data). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, id: String,
               vec: String, cell: String, k: Int): DataFrame = {
-    val q = withNorm(queries, vec).select(col(id).as("query_id"),
-      col(cell).as("qcell"), col("vec_d").as("qv"), col("nrm").as("qn"))
-    val c = withNorm(candidates, vec).select(col(id).as("cand_id"),
-      col(cell).as("ccell"), col("vec_d").as("cv"), col("nrm").as("cn"))
-    val scored = c.join(broadcast(q),
+    val q2 = queries.select(col(id).as("query_id"), col(cell).as("qcell"),
+      toDoubleVec(col(vec)).as("qv"))
+    val c2 = candidates.select(col(id).as("cand_id"), col(cell).as("ccell"),
+      toDoubleVec(col(vec)).as("cv"))
+    val scored = c2.join(broadcast(q2),
         col("qcell") === col("ccell") && col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("sim", cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -69,15 +69,13 @@ object Similarity {
     * count drops from n²/2 to Σ_b |b|²/2. */
   def lshNearDupPairs(df: DataFrame, id: String, vec: String, bits: Int,
                       threshold: Double): DataFrame = {
-    val v = withNorm(df, vec)
+    val v = df.select(col(id), toDoubleVec(col(vec)).as("vec_d"))
       .withColumn("bucket", signBucket(col("vec_d"), bits))
-    val a = v.select(col("bucket"), col(id).as("id_a"),
-      col("vec_d").as("va"), col("nrm").as("na"))
-    val b = v.select(col("bucket"), col(id).as("id_b"),
-      col("vec_d").as("vb"), col("nrm").as("nb"))
+    val a = v.select(col("bucket"), col(id).as("id_a"), col("vec_d").as("va"))
+    val b = v.select(col("bucket"), col(id).as("id_b"), col("vec_d").as("vb"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("sim", cosineFast(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"))
       .distinct()
@@ -87,11 +85,10 @@ object Similarity {
     * baseline the LSH path is checked against. */
   def bruteForceNearDupPairs(df: DataFrame, id: String, vec: String,
                              threshold: Double): DataFrame = {
-    val v = withNorm(df, vec)
-    val a = v.select(col(id).as("id_a"), col("vec_d").as("va"), col("nrm").as("na"))
-    val b = v.select(col(id).as("id_b"), col("vec_d").as("vb"), col("nrm").as("nb"))
+    val a = prep(df, id, vec, "id_a", "va")
+    val b = prep(df, id, vec, "id_b", "vb")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .withColumn("sim", cosineFast(col("va"), col("vb")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"))
   }

@@ -590,6 +590,62 @@ object RelationalQueries {
           round(avg(n_events),6) AS avg_events_per_session,
           max(n_events) AS max_events
         FROM counts"""),
-      "session windows (gap-based) — streaming-shaped, batch-checked")
+      "session windows (gap-based) — streaming-shaped, batch-checked"),
+
+    // ------------------------------------------------------------ UDF surface
+    // The same time-of-day logic as q19 but through a *registered Scala
+    // UDF* — the §2.7 capability demo. Deliberately the only UDF in the
+    // suite: the when-chain form (q19) stays in codegen, this one shows
+    // the escape hatch exists. Same oracle as the native form.
+    "q49_udf_time_of_day" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val todUdf = udf((h: Int) =>
+          if (h >= 6 && h < 12) "morning"
+          else if (h >= 12 && h < 16) "afternoon"
+          else if (h >= 16 && h < 22) "evening"
+          else "late night")
+        t(s, d, "events")
+          .withColumn("tod", todUdf(hour($"ts")))
+          .groupBy($"tod")
+          .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
+          .orderBy($"tod")
+      },
+      Some("""SELECT CASE WHEN hour(ts) >= 6 AND hour(ts) < 12 THEN 'morning'
+          WHEN hour(ts) >= 12 AND hour(ts) < 16 THEN 'afternoon'
+          WHEN hour(ts) >= 16 AND hour(ts) < 22 THEN 'evening'
+          ELSE 'late night' END AS tod,
+        count(*) AS n, round(avg(value),6) AS avg_value
+        FROM events GROUP BY tod ORDER BY tod"""),
+      "registered Scala UDF variant of E7 (capability surface)"),
+
+    // -------------------------------------------------------- K1/E14/P1 parity
+    // Producer-serialization round trip without a broker: every order row
+    // → JSON message (ISO-8601 timestamps, kafkaProducer.py DateTimeEncoder
+    // parity) → strict from_json decode → aggregates over the *recovered*
+    // values. The oracle computes the same aggregates from the raw table,
+    // so any serialization loss would hash-mismatch.
+    "q50_kafka_json_roundtrip" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderdate", StringType),
+          StructField("o_orderpriority", StringType)))
+        val json = graft.io.Sinks.toKafkaJson(
+          t(s, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderdate", $"o_orderpriority"))
+        graft.streaming.StreamPipeline.decodeJson(json, schema)
+          .agg(count(lit(1)).as("n"),
+               countDistinct($"o_orderkey").as("n_keys"),
+               moneySum($"o_totalprice").as("total"),
+               min($"o_orderdate").as("min_date_iso"))
+      },
+      Some("""SELECT count(*) AS n, count(DISTINCT o_orderkey) AS n_keys,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total,
+        strftime(min(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS min_date_iso
+        FROM orders"""),
+      "K1/E14/P1 producer JSON round-trip, loss checked by aggregate parity")
   )
 }

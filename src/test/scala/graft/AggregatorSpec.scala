@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions.udaf
+
+import graft.functions.Aggregators
+import graft.functions.VectorFunctions
+import graft.expressions.VectorExpressions
+
+class AggregatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("typed Rmse aggregator matches the closed form") {
+    val ds = Seq((1.0, 2.0), (3.0, 3.0), (5.0, 1.0)).toDS()
+    val got = ds.select(Aggregators.Rmse.toColumn).collect()(0)
+    val want = math.sqrt((1.0 + 0.0 + 16.0) / 3)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("Rmse works as an untyped udaf in a grouped aggregation") {
+    val rmse = udaf(Aggregators.Rmse)
+    val df = Seq(("a", 1.0, 2.0), ("a", 3.0, 3.0), ("b", 0.0, 4.0))
+      .toDF("g", "y", "yhat")
+    val out = df.groupBy($"g").agg(rmse($"y", $"yhat").as("rmse"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(out("a") - math.sqrt(0.5)) < 1e-12)
+    assert(out("b") == 4.0)
+  }
+
+  test("weighted mean aggregator") {
+    val ds = Seq((10.0, 1.0), (20.0, 3.0)).toDS()
+    val got = ds.select(Aggregators.WeightedMean.toColumn).collect()(0)
+    assert(math.abs(got - 17.5) < 1e-12)
+  }
+
+  test("cosine_similarity registers as a SQL function") {
+    VectorExpressions.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .as[Double].collect()(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("cosineFast equals the HOF cosine bit-for-bit on real embeddings") {
+    val e = Tables(spark, sf("sf0.001"), "embeddings").limit(50)
+    val a = e.select($"vec_id".as("ia"), VectorFunctions.toDoubleVec($"embedding").as("va"))
+    val b = e.select($"vec_id".as("ib"), VectorFunctions.toDoubleVec($"embedding").as("vb"))
+    val pairs = a.join(b, $"ia" < $"ib")
+    val diff = pairs.select(
+        (VectorFunctions.cosineFast($"va", $"vb") -
+         VectorFunctions.cosine($"va", $"vb")).as("d"))
+      .filter($"d" =!= 0.0).count()
+    assert(diff == 0, "fused codegen loop must accumulate in the same order as the HOF fold")
+  }
+}
