@@ -38,12 +38,14 @@ object VectorFunctions {
       GraftGlue.expression(a), GraftGlue.expression(b)))
   }
 
-  /** Sign-LSH bucket: an integer whose bit i is set iff v[i] > 0, over the
-    * first `bits` dimensions. A data-derived random-hyperplane sketch
-    * (dimensions of a whitened embedding behave as random projections);
-    * bucket-equality prunes candidate pairs by ~2^bits. */
-  def signBucket(v: Column, bits: Int): Column =
+  /** Sign-LSH bucket: an integer whose bit i is set iff v[offset+i] > 0,
+    * over `bits` consecutive dimensions. A data-derived random-hyperplane
+    * sketch (dimensions of a whitened embedding behave as random
+    * projections); bucket-equality prunes candidate pairs by ~2^bits.
+    * Different offsets give independent hash tables for OR-amplified
+    * multi-table LSH (recall 1-(1-p^bits)^tables). */
+  def signBucket(v: Column, bits: Int, offset: Int = 0): Column =
     aggregate(sequence(lit(1), lit(bits)), lit(0L),
-      (acc, i) => acc + when(element_at(v, i) > 0,
+      (acc, i) => acc + when(element_at(v, i + offset) > 0,
         pow(lit(2.0), i.cast("double") - 1).cast("long")).otherwise(lit(0L)))
 }

@@ -65,15 +65,24 @@ object Similarity {
   }
 
   /** Sign-LSH near-dup pairs: bucket by hyperplane signs (equi-join key),
-    * verify with exact cosine. The shuffle is on the bucket id — pair
-    * count drops from n²/2 to Σ_b |b|²/2. */
+    * verify with exact cosine. The shuffle is on the (table, bucket) id —
+    * pair count drops from n²/2 to Σ_b |b|²/2 per table.
+    *
+    * `tables` > 1 turns on OR-amplification: each table hashes a
+    * different dimension slice, a pair is a candidate if ANY table
+    * buckets it together — recall 1-(1-p^bits)^tables at candidate cost
+    * ×tables. Single-table recall at moderate similarity is poor by
+    * construction ((1-θ/π)^bits); multi-table is the production setting. */
   def lshNearDupPairs(df: DataFrame, id: String, vec: String, bits: Int,
-                      threshold: Double): DataFrame = {
+                      threshold: Double, tables: Int = 1): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      signBucket(col("vec_d"), bits, t * bits)): _*)
     val v = df.select(col(id), toDoubleVec(col(vec)).as("vec_d"))
-      .withColumn("bucket", signBucket(col("vec_d"), bits))
-    val a = v.select(col("bucket"), col(id).as("id_a"), col("vec_d").as("va"))
-    val b = v.select(col("bucket"), col(id).as("id_b"), col("vec_d").as("vb"))
-    a.join(b, Seq("bucket"))
+      .select(col(id), col("vec_d"),
+        posexplode(buckets).as(Seq("table_idx", "bucket")))
+    val a = v.select(col("table_idx"), col("bucket"), col(id).as("id_a"), col("vec_d").as("va"))
+    val b = v.select(col("table_idx"), col("bucket"), col(id).as("id_b"), col("vec_d").as("vb"))
+    a.join(b, Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosineFast(col("va"), col("vb")))
       .filter(col("sim") >= threshold)

@@ -58,6 +58,22 @@ class SimilaritySpec extends SparkSpec {
       "opposite vector lands in a different sign bucket")
   }
 
+  test("multi-table LSH lifts recall over single-table on real embeddings") {
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val truth = Similarity.bruteForceNearDupPairs(e, "vec_id", "embedding", 0.35)
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshNearDupPairs(e, "vec_id", "embedding",
+        bits = 8, threshold = 0.35, tables = tables).as[(Long, Long)].collect().toSet
+      assert(got.subsetOf(truth), "exact verify must kill false positives")
+      got.size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r6 = recall(6)
+    assert(r6 > r1, s"OR-amplification must lift recall (r1=$r1, r6=$r6)")
+  }
+
   test("LSH pairs are a subset of brute-force pairs at the same threshold") {
     val bf = Similarity.bruteForceNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .as[(Long, Long)].collect().toSet
