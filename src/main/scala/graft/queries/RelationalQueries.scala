@@ -646,6 +646,32 @@ object RelationalQueries {
         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total,
         strftime(min(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS min_date_iso
         FROM orders"""),
-      "K1/E14/P1 producer JSON round-trip, loss checked by aggregate parity")
+      "K1/E14/P1 producer JSON round-trip, loss checked by aggregate parity"),
+
+    // ---------------------------------------------------------------- E8+A5
+    // The dashboard's *second* time-of-day bucketing (different cutpoints,
+    // 1_EDA_Dashboard.py:84-96) with its fixed category presentation order
+    // ([Morning, Afternoon, Evening, Night] — the pandas reindex).
+    "q51_timeofday_dashboard" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .withColumn("tod", TripFeatures.timeOfDayDashboard(hour($"ts")))
+          .groupBy($"tod")
+          .agg(round(avg($"value"), 6).as("avg_value"), count(lit(1)).as("n"))
+          .withColumn("tod_order",
+            when($"tod" === "Morning", 0).when($"tod" === "Afternoon", 1)
+              .when($"tod" === "Evening", 2).otherwise(3))
+          .orderBy($"tod_order")
+      },
+      Some("""WITH b AS (SELECT CASE WHEN hour(ts) >= 5 AND hour(ts) < 12 THEN 'Morning'
+          WHEN hour(ts) >= 12 AND hour(ts) < 17 THEN 'Afternoon'
+          WHEN hour(ts) >= 17 AND hour(ts) < 21 THEN 'Evening'
+          ELSE 'Night' END AS tod, value FROM events)
+        SELECT tod, round(avg(value),6) AS avg_value, count(*) AS n,
+          CAST(CASE tod WHEN 'Morning' THEN 0 WHEN 'Afternoon' THEN 1
+            WHEN 'Evening' THEN 2 ELSE 3 END AS INTEGER) AS tod_order
+        FROM b GROUP BY tod ORDER BY tod_order"""),
+      "E8 dashboard bucketing with fixed category order (A5 reindex parity)")
   )
 }
