@@ -672,6 +672,28 @@ object RelationalQueries {
           CAST(CASE tod WHEN 'Morning' THEN 0 WHEN 'Afternoon' THEN 1
             WHEN 'Evening' THEN 2 ELSE 3 END AS INTEGER) AS tod_order
         FROM b GROUP BY tod ORDER BY tod_order"""),
-      "E8 dashboard bucketing with fixed category order (A5 reindex parity)")
+      "E8 dashboard bucketing with fixed category order (A5 reindex parity)"),
+
+    // -------------------------------------------------------- sliding window
+    // Overlapping 1h windows sliding every 30min — each event lands in two
+    // windows. Same groupBy(window(...)) runs streaming under a watermark;
+    // oracled via the two-shifted-buckets identity (Spark and DuckDB both
+    // align buckets to epoch-divisible boundaries).
+    "q52_sliding_window" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "events")
+          .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select($"window.start".as("win_start"), $"event_type", $"n")
+          .orderBy($"win_start", $"event_type")
+      },
+      Some("""WITH b AS (
+          SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS win_start, event_type FROM events
+          UNION ALL
+          SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS TIMESTAMP), event_type FROM events)
+        SELECT win_start, event_type, count(*) AS n
+        FROM b GROUP BY win_start, event_type ORDER BY win_start, event_type"""),
+      "sliding event-time window (streaming-shaped, batch-checked)")
   )
 }

@@ -62,6 +62,25 @@ class FarePipelineSpec extends SparkSpec {
     assert(m2.testRmse == metrics.testRmse && m2.trainR2 == metrics.trainR2)
   }
 
+  test("serving path (S6): CSV upload -> impute -> transform -> (fare, prediction)") {
+    // deployment/main.py parity: uploaded CSV, schema'd read, null-impute,
+    // PipelineModel.transform, project (label, prediction).
+    val dir = java.nio.file.Files.createTempDirectory("upload").toString + "/csv"
+    trips.limit(25).write.option("header", "true").csv(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fare_amount", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("trip_distance", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("passenger_count", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("pickup_timeofday", org.apache.spark.sql.types.StringType)))
+    val uploaded = graft.io.Sources.csv(spark, dir, schema)
+    val prepped = graft.functions.TripFeatures.imputeZeroCastDouble(
+      uploaded, Seq("trip_distance", "passenger_count"))
+    val served = model.transform(prepped).select($"fare_amount", $"prediction")
+    val rows = served.as[(Double, Double)].collect()
+    assert(rows.length == 25)
+    assert(rows.forall { case (fare, pred) => !pred.isNaN && math.abs(pred - fare) < 10 })
+  }
+
   test("model save/load round-trips (K5)") {
     val dir = Files.createTempDirectory("fare_model").toString + "/model"
     model.write.overwrite().save(dir)

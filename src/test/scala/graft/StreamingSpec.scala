@@ -71,6 +71,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 4.0)))
   }
 
+  test("mapGroupsWithState keeps running per-user counts across micro-batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val counts = stream.toDS()
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + rows.size
+          state.update(c)
+          (user, c)
+      }
+    val q = counts.toDF("user_id", "n_events").writeStream
+      .outputMode(OutputMode.Update).format("memory").queryName("state_out").start()
+    stream.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+    q.processAllAvailable()
+    stream.addData((1L, 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.sql(
+      "SELECT user_id, max(n_events) FROM state_out GROUP BY user_id ORDER BY user_id")
+      .as[(Long, Long)].collect()
+    assert(last.toSeq == Seq((1L, 3L), (2L, 1L)),
+      "state must carry the first batch's counts into the second")
+  }
+
   test("K1/P1 round-trip: to_json with ISO timestamps parses back losslessly") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-05-01 08:30:00"), 2.0, 3.0, 15.0))
       .toDF("tpep_pickup_datetime", "passenger_count", "trip_distance", "fare_amount")
