@@ -55,9 +55,12 @@ object TextFunctions {
     size(filter(ws, w => w.isin(stopwords: _*))).cast("double") / size(ws)
   }
 
-  /** Fraction of characters that are lowercase ASCII letters. */
+  /** Fraction of characters that are lowercase ASCII letters; 0.0 for
+    * empty text (routine in raw corpora; unguarded division would throw
+    * under ANSI mode). */
   def alphaRatio(text: Column): Column =
-    length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text)
+    when(length(text) === 0, 0.0)
+      .otherwise(length(regexp_replace(lower(text), "[^a-z]", "")).cast("double") / length(text))
 
   /** Marker-word hit count for one language (n-gram-free language-ID
     * heuristic; see langId for the argmax decision). */

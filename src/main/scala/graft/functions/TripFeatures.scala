@@ -83,9 +83,11 @@ object TripFeatures {
       .when(code === 6, "Voided trip")
       .otherwise("Other")
 
-  /** E12 — speed in mph from miles and minutes. */
+  /** E12 — speed in mph from miles and minutes; zero-duration trips
+    * (identical pickup/dropoff timestamps exist in the real data) map to
+    * 0 via the same guard as fare_per_mile rather than an ANSI throw. */
   def speedMph(distanceMiles: Column, durationMin: Column): Column =
-    distanceMiles / (durationMin / 60.0)
+    zeroGuardedRatio(distanceMiles, durationMin / 60.0)
 
   /** P5 — the reference's null-impute-and-cast
     * (`when(isNull,0).otherwise(cast(double))`, sparkML.py:58-64) as one

@@ -45,7 +45,10 @@ object VectorFunctions {
     * Different offsets give independent hash tables for OR-amplified
     * multi-table LSH (recall 1-(1-p^bits)^tables). */
   def signBucket(v: Column, bits: Int, offset: Int = 0): Column =
+    // try_element_at: dimensions past the vector's end contribute 0
+    // instead of throwing under ANSI mode (e.g. multi-table LSH asking
+    // for more offset slices than the embedding has dims)
     aggregate(sequence(lit(1), lit(bits)), lit(0L),
-      (acc, i) => acc + when(element_at(v, i + offset) > 0,
+      (acc, i) => acc + when(try_element_at(v, i + offset) > 0,
         pow(lit(2.0), i.cast("double") - 1).cast("long")).otherwise(lit(0L)))
 }

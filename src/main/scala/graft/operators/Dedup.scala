@@ -13,7 +13,7 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact dedup stats: total vs distinct-by-content-hash. */
-  def exactStats(df: DataFrame, id: String, text: String): DataFrame =
+  def exactStats(df: DataFrame, text: String): DataFrame =
     df.agg(count(lit(1)).as("n_docs"),
            countDistinct(md5(col(text))).as("n_unique_exact"),
            countDistinct(TextFunctions.fingerprint(col(text))).as("n_unique_fingerprint"))

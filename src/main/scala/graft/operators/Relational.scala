@@ -56,8 +56,11 @@ object Relational {
   def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     val m = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
     df.crossJoin(broadcast(m))
-      .select(least(floor((col(c) - col("mn")) / ((col("mx") - col("mn")) / bins)),
-                    lit(bins - 1L)).cast("long").as("bucket"))
+      // mn == mx guard: a constant column is one bucket, not a
+      // divide-by-zero (which ANSI mode turns into a query-killing throw)
+      .select(when(col("mn") === col("mx"), lit(0L))
+        .otherwise(least(floor((col(c) - col("mn")) / ((col("mx") - col("mn")) / bins)),
+                   lit(bins - 1L)).cast("long")).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("bucket"))

@@ -179,7 +179,8 @@ object RelationalQueries {
     // 50-bin equal-width histogram (px.histogram parity).
     "q08_histogram" -> Q(
       (s, d) => Relational.histogram(t(s, d, "lineitem"), "l_extendedprice", 50),
-      Some("""SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 50)), 49) AS BIGINT) AS bucket,
+      Some("""SELECT CASE WHEN mn = mx THEN 0
+          ELSE CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 50)), 49) AS BIGINT) END AS bucket,
         count(*) AS cnt
         FROM lineitem, (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
         GROUP BY bucket ORDER BY bucket"""),

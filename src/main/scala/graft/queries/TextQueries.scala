@@ -59,7 +59,8 @@ object TextQueries {
         CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words,
         round(CAST(len(list_filter(string_split(lower(text), ' '),
           w -> w IN ('the','a','of','and'))) AS DOUBLE) / len(string_split(lower(text), ' ')), 6) AS stop_ratio,
-        round(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6) AS alpha_ratio,
+        round(CASE WHEN length(text) = 0 THEN 0.0
+          ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS alpha_ratio,
         round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(lower(text), ' ')), 6) AS avg_word_len
         FROM documents ORDER BY doc_id"""),
       "quality scoring: length/stopword/alpha ratios"),
@@ -102,7 +103,7 @@ object TextQueries {
 
     // ----------------------------------------------------------- exact dedup
     "q40_dedup_exact" -> Q(
-      (s, d) => Dedup.exactStats(docs(s, d), "doc_id", "text"),
+      (s, d) => Dedup.exactStats(docs(s, d), "text"),
       Some("""SELECT count(*) AS n_docs,
         count(DISTINCT md5(text)) AS n_unique_exact,
         count(DISTINCT md5(array_to_string(list_sort(list_distinct(
@@ -125,8 +126,9 @@ object TextQueries {
           .filter($"jaccard" >= 0.6)
           .orderBy($"id_a", $"id_b")
       },
-      Some("""WITH s AS (SELECT doc_id, list_distinct(list_transform(
-          range(1, length(text)-1), i -> substr(text, i, 3))) AS sh
+      Some("""WITH s AS (SELECT doc_id, CASE WHEN length(text) >= 3
+          THEN list_distinct(list_transform(range(1, length(text)-1), i -> substr(text, i, 3)))
+          ELSE [text] END AS sh
         FROM documents WHERE doc_id < 100)
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           round((len(a.sh)+len(b.sh)-len(list_distinct(list_concat(a.sh,b.sh))))::DOUBLE

@@ -37,14 +37,14 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("histogram bucket counts always sum to the row count") {
-    samples(Gen.nonEmptyListOf(Gen.chooseNum(-1e3, 1e3)), 5).foreach { xs =>
-      if (xs.distinct.size > 1) {
-        val df = xs.toDF("x")
-        val total = Relational.histogram(df, "x", 7)
-          .agg(org.apache.spark.sql.functions.sum($"cnt")).as[Long].collect()(0)
-        assert(total == xs.length)
-      }
+  test("histogram bucket counts always sum to the row count (incl. constant columns)") {
+    val cases = samples(Gen.nonEmptyListOf(Gen.chooseNum(-1e3, 1e3)), 5) :+
+      List.fill(10)(5.0) // constant column: one bucket, not a divide-by-zero
+    cases.foreach { xs =>
+      val df = xs.toDF("x")
+      val total = Relational.histogram(df, "x", 7)
+        .agg(org.apache.spark.sql.functions.sum($"cnt")).as[Long].collect()(0)
+      assert(total == xs.length)
     }
   }
 }

@@ -48,6 +48,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out == Set(("g1", 1), ("g2", 9)))
   }
 
+  test("P9 offset slice via row_number over an explicit order (fixture-only op)") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(100).toDF("id")
+    val sliced = df.withColumn("rn",
+        row_number().over(Window.orderBy($"id")))
+      .filter($"rn" > 90).drop("rn")
+    assert(sliced.as[Long].collect().toSeq == (90L until 100L))
+  }
+
+  test("P10 seeded exact-n sample is deterministic within the engine") {
+    val df = spark.range(1000).toDF("id")
+    def draw() = df.orderBy(rand(42), $"id").limit(5).as[Long].collect().toSeq
+    val a = draw(); val b = draw()
+    assert(a == b && a.length == 5 && a.distinct.length == 5)
+  }
+
+  test("P11 head/tail/limit(1)") {
+    val df = spark.range(10).toDF("id")
+    assert(df.limit(5).count() == 5)
+    assert(df.orderBy($"id").tail(5).map(_.getLong(0)).toSeq == (5L until 10L))
+    assert(df.orderBy($"id").limit(1).as[Long].collect()(0) == 0L)
+  }
+
   test("summaryStats percentiles interpolate exactly") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val r = Relational.summaryStats(df, "x").collect()(0)

@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
     val outDir = Files.createTempDirectory("stream_out").toString
     val ckpt = Files.createTempDirectory("stream_ckpt").toString
     val q = StreamPipeline.foreachBatchSink(
-      StreamPipeline.consumerTransform(stream.toDF().withColumnRenamed("value", "value"), tripSchema),
+      StreamPipeline.consumerTransform(stream.toDF(), tripSchema),
       ckpt, StreamPipeline.parquetAppendWriter(outDir))
     stream.addData(messages: _*)
     q.processAllAvailable()

@@ -32,7 +32,7 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("exact dedup stats distinguish exact vs fingerprint uniqueness") {
-    val r = Dedup.exactStats(docs, "doc_id", "text").collect()(0)
+    val r = Dedup.exactStats(docs, "text").collect()(0)
     assert(r.getLong(0) == 4)
     assert(r.getLong(1) == 4, "no byte-identical docs")
     assert(r.getLong(2) == 3, "permuted doc collapses under fingerprint")

@@ -43,9 +43,8 @@ def main(out_dir, sf_dir):
         try:
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
-            exp_rows = con.sql(sql).fetchall()
             exp_idx = [exp.columns.index(c) for c in exp_cols]
-            exp_rows = [tuple(r[i] for i in exp_idx) for r in exp_rows]
+            exp_rows = [tuple(r[i] for i in exp_idx) for r in exp.fetchall()]
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -71,7 +70,7 @@ def main(out_dir, sf_dir):
                         bad.append((i, c, va, vb))
             return bad
         bad = cmp(got_rows, exp_rows)
-        exact = cmp(got_rows, exp_rows) == [] and all(
+        exact = not bad and all(
             norm(va) == norm(vb) for ra, rb in zip(got_rows, exp_rows)
             for va, vb in zip(ra, rb))
         if bad:
