@@ -87,6 +87,44 @@ object Relational {
       round(element_at(col("qs"), 3), scale).as("q3"),
       col("mx"))
 
+  /** Skew-salted equi-join: replicates each build-side row `salt` times
+    * and scatters probe-side rows uniformly across the replicas, so one
+    * hot key spreads over `salt` tasks instead of stalling a single
+    * reducer. Semantics-preserving for any 1:N equi-join (each probe row
+    * meets exactly one replica of its match). AQE's skew-join split
+    * handles sort-merge cases automatically; this explicit form covers
+    * hash joins and pre-AQE plans, and documents the technique.
+    *
+    * Probe salt is `pmod(hash(all probe columns), salt)` — deterministic,
+    * so results are reproducible run-to-run. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
+                 buildKey: String, salt: Int = 8): DataFrame = {
+    val saltedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    val saltedProbe = probe.withColumn("__salt",
+      pmod(hash(probe.columns.map(col): _*), lit(salt)))
+    saltedProbe.join(saltedBuild,
+        saltedProbe(probeKey) === saltedBuild(buildKey) &&
+          saltedProbe("__salt") === saltedBuild("__salt"))
+      .drop("__salt")
+  }
+
+  /** Approximate describe for the 100 TB path: t-digest quantiles and HLL
+    * distinct count instead of the buffer-all exact Percentile (which
+    * holds every value in memory per partition — fine at bench SFs,
+    * impossible at petabyte group sizes). NOT oracle-hashable by design;
+    * accuracy is asserted against the exact form in tests. */
+  def summaryStatsApprox(df: DataFrame, c: String, accuracy: Int = 10000): DataFrame =
+    df.agg(
+      count(col(c)).as("n"),
+      approx_count_distinct(col(c), 0.02).as("n_distinct_approx"),
+      avg(col(c)).as("mean"),
+      approx_percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("qs"))
+    .select(col("n"), col("n_distinct_approx"), col("mean"),
+      element_at(col("qs"), 1).as("q1"),
+      element_at(col("qs"), 2).as("median"),
+      element_at(col("qs"), 3).as("q3"))
+
   /** A12 — argmax row per group via a rank-1 window (deterministic
     * tie-break on `tieBreak` ascending). */
   def argmaxPerGroup(df: DataFrame, part: Column, order: Column,

@@ -48,6 +48,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out == Set(("g1", 1), ("g2", 9)))
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // 90% of probe rows share one hot key
+    val probe = spark.range(1000)
+      .select(when($"id" < 900, 7L).otherwise($"id").as("k"), $"id".as("v"))
+    val build = spark.range(50).select($"id".as("bk"), ($"id" * 10).as("bv"))
+    val plain = probe.join(build, probe("k") === build("bk"))
+      .select($"v", $"bv").as[(Long, Long)].collect().toSet
+    val salted = Relational.saltedJoin(probe, build, "k", "bk", salt = 8)
+      .select($"v", $"bv").as[(Long, Long)].collect().toSet
+    assert(salted == plain)
+    assert(plain.count(_._2 == 70L) == 900, "hot key rows all preserved")
+  }
+
+  test("approx summary tracks the exact one within sketch tolerance") {
+    val df = spark.range(20000).select(($"id" % 1000).cast("double").as("x"))
+    val exact = Relational.summaryStats(df, "x").collect()(0)
+    val approx = Relational.summaryStatsApprox(df, "x").collect()(0)
+    assert(approx.getAs[Long]("n") == exact.getAs[Long]("n"))
+    val relErr = math.abs(approx.getAs[Long]("n_distinct_approx") - 1000.0) / 1000.0
+    assert(relErr < 0.1, s"HLL relative error $relErr")
+    assert(math.abs(approx.getAs[Double]("median") - exact.getAs[Double]("median")) <= 5.0)
+  }
+
   test("P9 offset slice via row_number over an explicit order (fixture-only op)") {
     import org.apache.spark.sql.expressions.Window
     val df = spark.range(100).toDF("id")
