@@ -695,6 +695,30 @@ object RelationalQueries {
           SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS TIMESTAMP), event_type FROM events)
         SELECT win_start, event_type, count(*) AS n
         FROM b GROUP BY win_start, event_type ORDER BY win_start, event_type"""),
-      "sliding event-time window (streaming-shaped, batch-checked)")
+      "sliding event-time window (streaming-shaped, batch-checked)"),
+
+    // --------------------------------------------------------------- as-of
+    // Click→purchase attribution: for every purchase, the user's most
+    // recent click at-or-before it. Spark-side: the union+window as-of
+    // composition (operators.AsOf); oracle: DuckDB's native ASOF JOIN.
+    "q53_asof_attribution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"event_id", $"user_id", $"ts")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"event_id".as("click_event_id"), $"user_id", $"ts".as("click_ts"))
+        graft.operators.AsOf.asOfJoin(purchases, clicks, "user_id", "ts", "click_ts")
+          .select($"event_id".as("purchase_id"),
+                  $"right_click_event_id".as("attributed_click_id"))
+          .orderBy($"purchase_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS attributed_click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY purchase_id"""),
+      "as-of join (union+window composition) vs DuckDB native ASOF")
   )
 }

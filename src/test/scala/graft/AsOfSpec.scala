@@ -1,0 +1,36 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("as-of join picks the latest right row at-or-before each left row") {
+    val purchases = Seq(
+      (100L, 1L, ts("2024-05-01 10:00:00")),  // two prior clicks -> latest wins
+      (101L, 1L, ts("2024-05-01 08:00:00")),  // exact-tie click matches (>= rule)
+      (102L, 2L, ts("2024-05-01 09:00:00")),  // no prior click -> null
+      (103L, 3L, ts("2024-05-01 12:00:00"))   // later click ignored
+    ).toDF("event_id", "user_id", "t")
+    val clicks = Seq(
+      (200L, 1L, ts("2024-05-01 07:00:00")),
+      (201L, 1L, ts("2024-05-01 08:00:00")),
+      (202L, 1L, ts("2024-05-01 09:30:00")),
+      (203L, 2L, ts("2024-05-01 09:30:00")),
+      (204L, 3L, ts("2024-05-01 13:00:00"))
+    ).toDF("click_id", "user_id", "ct")
+
+    val out = AsOf.asOfJoin(purchases, clicks, "user_id", "t", "ct")
+      .select($"event_id", $"right_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(out(100L).contains(202L), "latest of the prior clicks")
+    assert(out(101L).contains(201L), "click at exactly the purchase time matches")
+    assert(out(102L).isEmpty, "no click at-or-before -> null")
+    assert(out(103L).isEmpty, "future clicks never match")
+  }
+}
