@@ -719,6 +719,30 @@ object RelationalQueries {
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY purchase_id"""),
-      "as-of join (union+window composition) vs DuckDB native ASOF")
+      "as-of join (union+window composition) vs DuckDB native ASOF"),
+
+    // ------------------------------------------------------------ range join
+    // Same-user event pairs within a 1-hour window, counted by type pair.
+    // Spark-side: bucketized equi-join (operators.RangeJoin) — no per-key
+    // cartesian; oracle: DuckDB's inequality join (IEJoin).
+    "q54_range_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+          .select($"event_id", $"user_id", $"ts", $"event_type")
+        graft.operators.RangeJoin
+          .selfPairsWithin(e, "user_id", "event_id", "ts", 3600, Seq("event_type"))
+          .groupBy($"a_event_type", $"b_event_type")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"a_event_type", $"b_event_type")
+      },
+      Some("""SELECT a.event_type AS a_event_type, b.event_type AS b_event_type,
+          count(*) AS n_pairs
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+          AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 3600
+        GROUP BY a_event_type, b_event_type
+        ORDER BY a_event_type, b_event_type"""),
+      "range join via bucketized equi-join vs DuckDB IEJoin")
   )
 }

@@ -33,4 +33,18 @@ class AsOfSpec extends SparkSpec {
     assert(out(102L).isEmpty, "no click at-or-before -> null")
     assert(out(103L).isEmpty, "future clicks never match")
   }
+
+  test("range join: inclusive at the window boundary, excludes beyond and cross-key") {
+    val events = Seq(
+      (1L, 10L, ts("2024-05-01 10:00:00")),
+      (2L, 10L, ts("2024-05-01 10:01:00")),  // exactly 60s from #1 -> pair
+      (3L, 10L, ts("2024-05-01 10:02:01")),  // 61s from #2 -> no pair with #2
+      (4L, 20L, ts("2024-05-01 10:00:30"))   // other user -> never pairs
+    ).toDF("event_id", "user_id", "t")
+    val pairs = graft.operators.RangeJoin
+      .selfPairsWithin(events, "user_id", "event_id", "t", 60)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected only the boundary-inclusive same-user pair, got $pairs")
+  }
 }
