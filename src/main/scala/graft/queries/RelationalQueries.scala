@@ -743,6 +743,27 @@ object RelationalQueries {
           AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 3600
         GROUP BY a_event_type, b_event_type
         ORDER BY a_event_type, b_event_type"""),
-      "range join via bucketized equi-join vs DuckDB IEJoin")
+      "range join via bucketized equi-join vs DuckDB IEJoin"),
+
+    // ------------------------------------------------------------------ cube
+    // Full CUBE over two dimensions (q25 covers ROLLUP): all four
+    // grouping-set combinations, null labels made explicit.
+    "q55_cube" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), moneySum($"o_totalprice").as("total"))
+          .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+                  coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+                  $"n", $"total")
+          .orderBy($"status", $"priority")
+      },
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS status,
+        coalesce(o_orderpriority,'ALL') AS priority, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY status, priority"""),
+      "CUBE grouping sets — capability extension per SURVEY §2.5")
   )
 }
