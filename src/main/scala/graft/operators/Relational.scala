@@ -31,14 +31,98 @@ object Relational {
       .orderBy(col("cnt").desc +: keys.map(_.asc): _*)
       .limit(k)
 
-  /** Single-row frame of interquartile bounds for `c` (exact percentiles,
-    * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). One array-percentile
-    * aggregate — Percentile is a buffer-all TypedImperativeAggregate, so
-    * asking for the quantiles together halves the buffered data vs two
-    * separate percentile calls. */
-  def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5): DataFrame =
-    df.agg(percentile(col(c), array(lit(0.25), lit(0.75))).as("qs"))
-      .select(element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
+  /** Exact linear-interpolated quantiles of a decimal-quantized column
+    * (money: 2 decimals → scale=100) via two-level rank selection, NOT a
+    * buffer-all Percentile aggregate. Quantization is lossless for
+    * s-decimal data (round(x·s) / s round-trips the double exactly for
+    * |x·s| < 2^53), so results are bit-identical to exact
+    * percentile/quantile_cont — but every stage is a codegen'd hash
+    * aggregate or a window over a bounded histogram, never a per-
+    * partition buffer of the data:
+    *
+    *   1. coarse pass — groupBy floor(cents/W): at most range/W buckets
+    *      whatever the row count; a cumulative window over those buckets
+    *      locates the bucket holding each target rank;
+    *   2. refine pass — per-value histogram restricted to the ≤ 2·|qs|
+    *      target buckets (≤ W distinct values each, so skew cannot blow
+    *      it up: an all-ties column compresses to one row), then the
+    *      bracketing values are picked by rank and interpolated.
+    *
+    * Returns one row with columns p0..p{qs.size-1}. */
+  def exactQuantilesQuantized(df: DataFrame, c: String, qs: Seq[Double],
+                              scale: Int = 100, bucketWidth: Long = 1024L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = bucketWidth
+    def centsOf(x: Column): Column = round(x * scale).cast("long")
+    def bucketOf(cents: Column): Column =
+      floor(cents.cast("double") / W).cast("long") // floor-division, negative-safe
+
+    // Level 1: coarse bucket histogram. Map-side combine collapses the
+    // scan to ≤ (value-range / W) rows regardless of row count; the
+    // ordered cumulative window runs over that bounded histogram only.
+    val rows = df.filter(col(c).isNotNull)
+    val coarse = rows
+      .groupBy(bucketOf(centsOf(col(c))).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy(col("b"))
+    val cumc = coarse.select(
+      col("b"), col("cnt"),
+      sum(col("cnt")).over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("cnt")).over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+    def k(q: Double): Column = (col("n") - 1) * lit(q)
+    // For each quantile, the bucket holding global rank r (1-based) and
+    // the count of rows strictly before that bucket. cum and cum-cnt are
+    // both increasing in b, so min-over-eligible picks the first bucket.
+    val targetAggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      val r0 = floor(k(q)) + 1
+      val r1 = ceil(k(q)) + 1
+      Seq(min(when(col("cum") >= r0, col("b"))).as(s"b0_$i"),
+          min(when(col("cum") >= r0, col("cum") - col("cnt"))).as(s"below0_$i"),
+          min(when(col("cum") >= r1, col("b"))).as(s"b1_$i"),
+          min(when(col("cum") >= r1, col("cum") - col("cnt"))).as(s"below1_$i"))
+    }
+    val targets = cumc.agg(max(col("n")).as("n"), targetAggs: _*)
+
+    // Level 2: refine only inside the (≤ 2·|qs|) target buckets. The
+    // per-bucket distinct-value histogram is bounded by W rows, so the
+    // partitioned cumulative window and final pick are O(|qs|·W) however
+    // skewed the data is (an all-ties column compresses to one row).
+    val withT = rows.select(centsOf(col(c)).as("v")).crossJoin(broadcast(targets))
+    val isTarget = qs.indices
+      .map(i => bucketOf(col("v")) === col(s"b0_$i") || bucketOf(col("v")) === col(s"b1_$i"))
+      .reduce(_ || _)
+    val fine = withT.filter(isTarget)
+      .groupBy(col("v") +: col("n") +: qs.indices.flatMap(i =>
+        Seq(col(s"b0_$i"), col(s"below0_$i"), col(s"b1_$i"), col(s"below1_$i"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("fcum", sum(col("cnt")).over(
+        Window.partitionBy(bucketOf(col("v"))).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pickAggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      val r0 = floor(k(q)) + 1
+      val r1 = ceil(k(q)) + 1
+      Seq(
+        min(when(bucketOf(col("v")) === col(s"b0_$i") &&
+          col(s"below0_$i") + col("fcum") >= r0, col("v"))).as(s"v0_$i"),
+        min(when(bucketOf(col("v")) === col(s"b1_$i") &&
+          col(s"below1_$i") + col("fcum") >= r1, col("v"))).as(s"v1_$i"))
+    }
+    val picked = fine.agg(max(col("n")).as("n"), pickAggs: _*)
+    picked.select(qs.zipWithIndex.map { case (q, i) =>
+      val frac = k(q) - floor(k(q))
+      val v0 = col(s"v0_$i").cast("double") / scale.toDouble
+      val v1 = col(s"v1_$i").cast("double") / scale.toDouble
+      (v0 + frac * (v1 - v0)).as(s"p$i")
+    }: _*)
+  }
+
+  /** Single-row frame of interquartile bounds for `c` (exact quantiles,
+    * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). Quantiles come from the
+    * scalable histogram path ([[exactQuantilesQuantized]]). */
+  def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5,
+                scale: Int = 100): DataFrame =
+    exactQuantilesQuantized(df, c, Seq(0.25, 0.75), scale)
+      .select(col("p0").as("q1"), col("p1").as("q3"))
       .select((col("q1") - lit(factor) * (col("q3") - col("q1"))).as("lo"),
               (col("q3") + lit(factor) * (col("q3") - col("q1"))).as("hi"))
 
@@ -71,20 +155,22 @@ object Relational {
     df.agg(count(lit(1)).as("n_rows"),
            cols.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c")): _*)
 
-  /** A13/A14/A17 — describe-style exact summary of one numeric column.
-    * The three quartiles share one percentile buffer (see iqrBounds). */
-  def summaryStats(df: DataFrame, c: String, scale: Int = 6): DataFrame =
+  /** A13/A14/A17 — describe-style exact summary of one numeric
+    * (2-decimal) column: moments/extremes in one codegen'd scan, exact
+    * quartiles from the histogram path ([[exactQuantilesQuantized]]),
+    * fused with a one-row broadcast join. */
+  def summaryStats(df: DataFrame, c: String, roundScale: Int = 6): DataFrame =
     df.agg(
       count(col(c)).as("n"),
-      round(avg(col(c)), scale).as("mean"),
-      round(stddev_samp(col(c)), scale).as("sd"),
+      round(avg(col(c)), roundScale).as("mean"),
+      round(stddev_samp(col(c)), roundScale).as("sd"),
       min(col(c)).as("mn"),
-      percentile(col(c), array(lit(0.25), lit(0.5), lit(0.75))).as("qs"),
       max(col(c)).as("mx"))
+    .crossJoin(broadcast(exactQuantilesQuantized(df, c, Seq(0.25, 0.5, 0.75))))
     .select(col("n"), col("mean"), col("sd"), col("mn"),
-      round(element_at(col("qs"), 1), scale).as("q1"),
-      round(element_at(col("qs"), 2), scale).as("median"),
-      round(element_at(col("qs"), 3), scale).as("q3"),
+      round(col("p0"), roundScale).as("q1"),
+      round(col("p1"), roundScale).as("median"),
+      round(col("p2"), roundScale).as("q3"),
       col("mx"))
 
   /** Skew-salted equi-join: replicates each build-side row `salt` times

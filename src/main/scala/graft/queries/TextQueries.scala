@@ -16,6 +16,73 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
 
+  /** DuckDB mirror of [[graft.operators.Dedup.minhashNearDups]]: identical
+    * md5-hex min-hash sketches, banding, stop-bucket cap and verify
+    * arithmetic, so the driver hash-compares the full LSH pipeline. The
+    * oracle uses a window + self-join where the engine uses a bucket
+    * aggregate + nested explodes — same pair set, different (non-scalable,
+    * oracle-only) plan shape. */
+  private def minhashOracle(bound: Int, k: Int, bands: Int,
+                            threshold: Double, maxBucket: Int): String = {
+    val r = k / bands
+    val minExprs = (0 until k)
+      .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
+    val bandSelects = (0 until bands).map { b =>
+      val cat = (b * r until (b + 1) * r).map(j => s"mh$j").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS sh
+         FROM documents WHERE doc_id < $bound),
+       sigs AS (SELECT doc_id, $minExprs FROM tok GROUP BY doc_id),
+       bands AS ($bandSelects),
+       sized AS (SELECT * FROM (SELECT doc_id, band_idx, band_hash,
+           count(*) OVER (PARTITION BY band_idx, band_hash) AS n FROM bands)
+         WHERE n BETWEEN 2 AND $maxBucket),
+       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sized a JOIN sized b USING (band_idx, band_hash)
+         WHERE a.doc_id < b.doc_id),
+       sets AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+         FROM documents WHERE doc_id < $bound)
+       SELECT * FROM (
+         SELECT id_a, id_b,
+           round((len(sa.s) + len(sb.s)
+               - len(list_distinct(list_concat(sa.s, sb.s))))::DOUBLE
+             / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+         FROM pairs JOIN sets sa ON sa.doc_id = id_a
+                    JOIN sets sb ON sb.doc_id = id_b)
+       WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+  }
+
+  /** DuckDB mirror of [[graft.operators.Dedup.simhashChunks]] + all-pairs
+    * Hamming: same md5-hex-digit bit source (strpos over the hex alphabet
+    * = Spark's conv(_,16,10)), same ±1 bit sums, same 16-bit chunk packing
+    * and popcount-of-xor distance. */
+  private def simhashOracle(bound: Int, maxDist: Int): String = {
+    val digits = (0 until 16)
+      .map(i => s"strpos('0123456789abcdef', substr(md5(sh), ${i + 1}, 1)) - 1 AS d$i")
+      .mkString(", ")
+    val bitSums = (0 until 64)
+      .map(b => s"sum(CASE WHEN ((d${b / 4} >> ${b % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val chunks = (0 until 4).map { c =>
+      (0 until 16)
+        .map(j => s"(CASE WHEN b${16 * c + j} > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ") + s" AS c$c"
+    }.mkString(", ")
+    val dist = (0 until 4).map(c => s"bit_count(xor(a.c$c, b.c$c))").mkString(" + ")
+    s"""WITH tok AS (
+         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS sh
+         FROM documents WHERE doc_id < $bound),
+       dig AS (SELECT doc_id, $digits FROM tok),
+       sums AS (SELECT doc_id, $bitSums FROM dig GROUP BY doc_id),
+       sk AS (SELECT doc_id, $chunks FROM sums)
+       SELECT * FROM (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($dist AS INTEGER) AS dist
+         FROM sk a JOIN sk b ON a.doc_id < b.doc_id)
+       WHERE dist <= $maxDist ORDER BY id_a, id_b"""
+  }
+
   private val EnStops = Seq("the", "a", "of", "and")
   private val DeStops = Seq("der", "die", "und", "das")
   private val EsStops = Seq("el", "la", "los", "y")
@@ -113,17 +180,15 @@ object TextQueries {
 
     // ------------------------------------------------- n-gram Jaccard pairs
     // Exact character-3-gram Jaccard over a bounded id range — the
-    // ground-truth near-dup measure the LSH path approximates.
+    // ground-truth near-dup measure the LSH path approximates. Computed
+    // with the sparse intersection-count join (explode → self equi-join on
+    // the shingle → inclusion-exclusion), the shape that survives scale-up:
+    // no array cross-join, every stage a codegen'd hash join/aggregate.
     "q41_dedup_ngram_jaccard" -> Q(
       (s, d) => {
         import s.implicits._
-        val sh = docs(s, d).filter($"doc_id" < 100)
-          .select($"doc_id", charNGrams($"text", 3).as("sh"))
-        val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-        val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-        a.join(b, $"id_a" < $"id_b")
-          .select($"id_a", $"id_b", round(jaccard($"sh_a", $"sh_b"), 6).as("jaccard"))
-          .filter($"jaccard" >= 0.6)
+        Dedup.sparseJaccardPairs(docs(s, d).filter($"doc_id" < 100),
+            "doc_id", charNGrams($"text", 3), threshold = 0.6)
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH s AS (SELECT doc_id, CASE WHEN length(text) >= 3
@@ -140,39 +205,45 @@ object TextQueries {
       "exact n-gram Jaccard near-dup pairs (bounded baseline)"),
 
     // ------------------------------------------------------ MinHash+LSH dedup
-    // Scale path: shingle → 64 minhashes → 8 bands of 8 → bucket equi-join
+    // Scale path: shingle → 64 minhashes → 8 bands of 8 → bucket grouping
     // → exact-Jaccard verify on candidates only. r=8 rows/band keeps the
     // candidate rate low even on this pathologically-self-similar corpus
     // (unigram Jaccard median ≈0.62); the id bound keeps the *query* fixed
-    // across SFs — the operator itself is unbounded.
-    // Rows-only check: MinHash uses Spark's xxhash64, not SQL-expressible.
+    // across SFs — the operator itself is unbounded. Min-hashes are
+    // lexicographic md5-hex minima, so the DuckDB oracle recomputes the
+    // identical sketches and the whole pipeline is hash-verified.
     "q42_dedup_minhash_lsh" -> Q(
       (s, d) => {
         import s.implicits._
         Dedup.minhashNearDups(docs(s, d).filter($"doc_id" < 1000), "doc_id", "text",
-            shingleWords = 1, k = 64, bands = 8, threshold = 0.9)
+            k = 64, bands = 8, threshold = 0.9, maxBucket = 100)
           .orderBy($"id_a", $"id_b")
       },
-      None,
+      Some(minhashOracle(bound = 1000, k = 64, bands = 8,
+        threshold = 0.9, maxBucket = 100)),
       "MinHash+LSH near-dup pipeline (banded, verify-on-candidates)"),
 
     // ----------------------------------------------------------- SimHash dedup
-    // 64-bit SimHash sketches + banded pair search (first 16 bits as the
-    // bucket), Hamming-verified. Rows-only (xxhash64-based).
+    // 64-bit SimHash sketches (four 16-bit chunks from md5 hex digits —
+    // portable, so the oracle rebuilds them), all-pairs Hamming ≤ 10 over
+    // a bounded id range.
     "q43_dedup_simhash" -> Q(
       (s, d) => {
         import s.implicits._
-        val sh = Dedup.simhash64(docs(s, d).filter($"doc_id" < 300), "doc_id", "text")
-        val a = sh.select($"doc_id".as("id_a"), $"simhash".as("ha"))
-        val b = sh.select($"doc_id".as("id_b"), $"simhash".as("hb"))
+        val sh = Dedup.simhashChunks(docs(s, d).filter($"doc_id" < 300), "doc_id", "text")
+        val a = sh.select($"doc_id".as("id_a"),
+          $"c0".as("a0"), $"c1".as("a1"), $"c2".as("a2"), $"c3".as("a3"))
+        val b = sh.select($"doc_id".as("id_b"),
+          $"c0".as("b0"), $"c1".as("b1"), $"c2".as("b2"), $"c3".as("b3"))
         a.join(b, $"id_a" < $"id_b")
-          .withColumn("dist", Dedup.hamming64($"ha", $"hb"))
+          .withColumn("dist", Dedup.hammingChunks(
+            Seq($"a0", $"a1", $"a2", $"a3"), Seq($"b0", $"b1", $"b2", $"b3")))
           .filter($"dist" <= 10)
-          .select($"id_a", $"id_b", $"dist")
+          .select($"id_a", $"id_b", $"dist".cast("int").as("dist"))
           .orderBy($"id_a", $"id_b")
       },
-      None,
-      "SimHash near-dup pairs (Hamming ≤ 10 over 64-bit sketches)"),
+      Some(simhashOracle(bound = 300, maxDist = 10)),
+      "SimHash near-dup pairs (Hamming ≤ 10 over portable 64-bit sketches)"),
 
     // ------------------------------------------------- multimodal plumbing
     // Binary media columns with typed metadata: content as opaque bytes

@@ -100,4 +100,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("q1") == 1.75 && r.getAs[Double]("median") == 2.5 &&
       r.getAs[Double]("q3") == 3.25)
   }
+
+  test("histogram-path quantiles are bit-identical to buffer-all percentile") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Seq(42.17),                                    // n = 1
+      Seq(1.25, 7.50),                               // n = 2
+      Seq(3.00, 3.00, 3.00, 3.00),                   // all ties
+      Seq.fill(17)(math.floor(rnd.nextDouble() * 10000) / 100),  // small n
+      Seq.fill(5000)(math.floor(rnd.nextDouble() * 1e6) / 100)   // dense + dups
+    )
+    val qs = Seq(0.25, 0.5, 0.75)
+    cases.foreach { xs =>
+      val df = xs.toDF("x")
+      val fast = Relational.exactQuantilesQuantized(df, "x", qs)
+        .as[(Double, Double, Double)].collect()(0)
+      val exact = df
+        .agg(percentile($"x", array(qs.map(lit): _*)))
+        .as[Seq[Double]].collect()(0)
+      assert(Seq(fast._1, fast._2, fast._3) == exact,
+        s"n=${xs.length}: fast=$fast exact=$exact")
+    }
+  }
 }

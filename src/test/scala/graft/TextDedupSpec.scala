@@ -40,19 +40,37 @@ class TextDedupSpec extends SparkSpec {
 
   test("minhash LSH finds the permuted and near-dup pairs, not the unrelated doc") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
-        shingleWords = 1, k = 32, bands = 16, threshold = 0.7)
+        k = 32, bands = 16, threshold = 0.7)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 2L)), "permutation shares the whole shingle set")
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
   test("simhash: permutation -> hamming 0; unrelated doc -> large distance") {
-    val sh = Dedup.simhash64(docs, "doc_id", "text")
-    val m = sh.as[(Long, Long)].collect().toMap
+    val sh = Dedup.simhashChunks(docs, "doc_id", "text")
+    val m = sh.as[(Long, Int, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
     assert(m(0L) == m(2L), "simhash over token set ignores order")
     val dist = spark.range(1).select(
-      Dedup.hamming64(lit(m(0L)), lit(m(3L)))).as[Int].collect()(0)
+      Dedup.hammingChunks(m(0L).map(lit(_)), m(3L).map(lit(_))).as("d"))
+      .as[Int].collect()(0)
     assert(dist > 10)
+  }
+
+  test("sparse intersection-count jaccard matches the array-identity jaccard") {
+    val sparse = Dedup.sparseJaccardPairs(docs, "doc_id",
+        TextFunctions.charNGrams($"text", 3), threshold = 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val sh = docs.select($"doc_id", TextFunctions.charNGrams($"text", 3).as("sh"))
+    val dense = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        round(TextFunctions.jaccard($"sh_a", $"sh_b"), 6).as("j"))
+      .filter($"j" >= 0.1)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(sparse == dense)
   }
 
   test("langId ties break deterministically toward english") {
