@@ -26,6 +26,25 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Bit-reproducible weighted mean over (cents, integer-weight) pairs:
+    * both running sums are longs, so the aggregation is associative and
+    * the result is identical under any partitioning — and recomputable by
+    * the DuckDB oracle from the same integer arithmetic. Used through
+    * `functions.udaf(...)` as an untyped column aggregate in the query
+    * suite (§2.7 UDAF capability, exercised end-to-end). */
+  object WeightedCentsMean extends Aggregator[(Long, Long), (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), a: (Long, Long)): (Long, Long) =
+      (b._1 + a._1 * a._2, b._2 + a._2)
+    override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+      (x._1 + y._1, x._2 + y._2)
+    override def finish(r: (Long, Long)): Double =
+      r._1.toDouble / r._2.toDouble / 100.0
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
   /** Exact weighted mean — the second §2.7 capability example. */
   object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
     override def zero: (Double, Double) = (0.0, 0.0)

@@ -1,0 +1,205 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Aggregators
+
+/** Capability-widening suite beyond the reference's own operator surface
+  * (SURVEY.md §2.6/§2.7 extensions): pivot/unpivot reshaping, the full
+  * window-function family, grouped quantiles, an end-to-end typed UDAF,
+  * and correlation/regression aggregates. Every query is DuckDB-oracled.
+  *
+  * Scale notes: pivot compiles to one hash aggregate with a fixed column
+  * fan-out (values are declared, so no driver-side distinct scan);
+  * unpivot is a narrow row-expansion (no shuffle of its own); windows
+  * partition by their group key — no global ordering is ever required.
+  */
+object ExtendedQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ---------------------------------------------------------------- pivot
+    // groupBy().pivot(values declared).count(): declaring the pivot values
+    // keeps the plan a single pass (Spark otherwise runs a distinct scan
+    // on the driver first — a scale anti-pattern). Missing combos -> 0 to
+    // match the SQL conditional-count form.
+    "q56_pivot" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .count()
+          .select($"o_orderpriority",
+            coalesce($"F", lit(0L)).as("F"),
+            coalesce($"O", lit(0L)).as("O"),
+            coalesce($"P", lit(0L)).as("P"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "pivot (declared values, single-pass) order status x priority"),
+
+    // -------------------------------------------------------------- unpivot
+    // Dataset.unpivot (melt): wide money columns -> long (component, v)
+    // rows, then a component-wise exact aggregate. The expansion is
+    // narrow; the aggregate is the only shuffle.
+    "q57_unpivot" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .unpivot(
+            Array.empty[org.apache.spark.sql.Column],
+            Array($"l_extendedprice", $"l_discount", $"l_tax"),
+            "component", "v")
+          .groupBy($"component")
+          .agg(count(lit(1)).as("n"),
+               (sum(round($"v" * 100).cast("long")) / 100.0).as("sum_v"))
+          .orderBy($"component")
+      },
+      Some("""SELECT component, count(*) AS n,
+          CAST(sum(CAST(round(v*100) AS BIGINT)) AS BIGINT)/100.0 AS sum_v
+        FROM (
+          SELECT 'l_extendedprice' AS component, l_extendedprice AS v FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        GROUP BY component ORDER BY component"""),
+      "unpivot/melt wide money columns to long form + exact sums"),
+
+    // ------------------------------------------------------- window family
+    // The §2.6 window-function family in one partitioned pass:
+    // row_number / lead / ntile / percent_rank / cume_dist share a single
+    // (segment, balance desc) window — one shuffle + one sort, no global
+    // ordering. Bounded id range keeps the output row count fixed.
+    "q58_window_family" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"c_mktsegment")
+          .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+        t(s, d, "customer")
+          .filter($"c_custkey" <= 200)
+          .select($"c_mktsegment", $"c_custkey",
+            round($"c_acctbal", 2).as("bal"),
+            row_number().over(w).as("rn"),
+            round(lead($"c_acctbal", 1).over(w), 2).as("next_bal"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cum_dist"))
+          .orderBy($"c_mktsegment", $"rn")
+      },
+      Some("""SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS bal,
+          row_number() OVER w AS rn,
+          round(lead(c_acctbal, 1) OVER w, 2) AS next_bal,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cum_dist
+        FROM customer WHERE c_custkey <= 200
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_mktsegment, rn"""),
+      "window family: row_number/lead/ntile/percent_rank/cume_dist"),
+
+    // ----------------------------------------------------- grouped quantiles
+    // Exact interpolated quantiles PER GROUP via the built-in percentile
+    // aggregate (buffer-per-group: fine when group value counts fit an
+    // executor; the histogram path in Relational.exactQuantilesQuantized
+    // is the unbounded-scale alternative).
+    "q59_grouped_quantiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            percentile($"o_totalprice", array(lit(0.5), lit(0.9))).as("qs"))
+          .select($"o_orderpriority", $"n",
+            round(element_at($"qs", 1), 6).as("median"),
+            round(element_at($"qs", 2), 6).as("p90"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          round(quantile_cont(o_totalprice, 0.5), 6) AS median,
+          round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "grouped exact quantiles (median, p90) per order priority"),
+
+    // ------------------------------------------------------------ typed UDAF
+    // The §2.7 UDAF surface end-to-end in the oracled suite: a custom
+    // Aggregator (quantity-weighted mean price) applied as an untyped
+    // column aggregate via functions.udaf. Long-integer running sums make
+    // the result associative — bit-identical under any partitioning, and
+    // recomputable by the oracle from the same integer arithmetic.
+    "q60_udaf_weighted_mean" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val wmean = udaf(Aggregators.WeightedCentsMean)
+        t(s, d, "lineitem")
+          .groupBy($"l_returnflag")
+          .agg(wmean(round($"l_extendedprice" * 100).cast("long"),
+                     round($"l_quantity").cast("long")).as("w_avg_price"))
+          .select($"l_returnflag", round($"w_avg_price", 6).as("w_avg_price"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+          round(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                       * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+            / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / 100.0,
+            6) AS w_avg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "custom typed Aggregator as column UDAF: weighted mean, exact"),
+
+    // --------------------------------------------- correlation / regression
+    // Bivariate statistics as single-pass co-moment aggregates (corr,
+    // covariance, OLS slope/intercept/r2) — all map-side combinable.
+    // Rounded at scales where cross-engine summation-order noise is
+    // orders of magnitude below the rounding step.
+    "q61_corr_regression" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem").agg(
+          round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+          round(covar_samp($"l_quantity", $"l_extendedprice"), 3).as("covar_qp"),
+          round(regr_slope($"l_extendedprice", $"l_quantity"), 3).as("slope"),
+          round(regr_intercept($"l_extendedprice", $"l_quantity"), 3).as("intercept"),
+          round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"))
+      },
+      Some("""SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+          round(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qp,
+          round(regr_slope(l_extendedprice, l_quantity), 3) AS slope,
+          round(regr_intercept(l_extendedprice, l_quantity), 3) AS intercept,
+          round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+        FROM lineitem"""),
+      "corr / covariance / OLS regression aggregates in one pass"),
+
+    // -------------------------------------------------------------- regex ops
+    // Regex capability over documents (the reference uses none; corpus
+    // mining needs them): match predicate, guarded first-match extract,
+    // pattern counting. Patterns stay in the RE2-safe subset so the Java
+    // and RE2 engines agree.
+    "q62_regex_extract" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .filter($"doc_id" < 50)
+          .select($"doc_id",
+            $"text".rlike("[0-9]").cast("int").as("has_digit"),
+            when($"text".rlike("[0-9]+"),
+              regexp_extract($"text", "([0-9]+)", 1)).as("first_num"),
+            regexp_count(lower($"text"), lit("[a-z]+")).as("n_alpha_runs"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(regexp_matches(text, '[0-9]') AS INTEGER) AS has_digit,
+          CASE WHEN regexp_matches(text, '[0-9]+')
+               THEN regexp_extract(text, '([0-9]+)', 1) END AS first_num,
+          CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_alpha_runs
+        FROM documents WHERE doc_id < 50 ORDER BY doc_id"""),
+      "regex predicate / guarded extract / pattern count")
+  )
+}

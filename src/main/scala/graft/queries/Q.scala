@@ -22,7 +22,8 @@ final case class Q(
 object Registry {
   /** Insertion-ordered full suite. */
   lazy val all: Seq[(String, Q)] =
-    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+      ExtendedQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -39,7 +39,12 @@ class QuerySuiteSpec extends SparkSpec {
       "dedup-exact" -> "q40_dedup_exact", "dedup-jaccard" -> "q41_dedup_ngram_jaccard",
       "dedup-minhash" -> "q42_dedup_minhash_lsh", "dedup-simhash" -> "q43_dedup_simhash",
       "multimodal" -> "q44_multimodal_meta", "neardup" -> "q45_embed_neardup",
-      "ann" -> "q46_ann_bruteforce", "ivf" -> "q47_ann_ivf", "lsh" -> "q48_ann_lsh_bucket")
+      "ann" -> "q46_ann_bruteforce", "ivf" -> "q47_ann_ivf", "lsh" -> "q48_ann_lsh_bucket",
+      "pivot" -> "q56_pivot", "unpivot" -> "q57_unpivot",
+      "window-family" -> "q58_window_family",
+      "grouped-quantile" -> "q59_grouped_quantiles",
+      "udaf" -> "q60_udaf_weighted_mean", "corr" -> "q61_corr_regression",
+      "regex" -> "q62_regex_extract")
     val missing = families.filterNot { case (_, q) => names.contains(q) }
     assert(missing.isEmpty, s"missing families: ${missing.keys}")
   }
