@@ -91,4 +91,79 @@ object StreamPipeline {
 
   /** Micro-batch trigger constant used by production starts. */
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
+
+  /** Streaming exact dedup with bounded state: drops re-deliveries of the
+    * same key seen within the watermark horizon, then state for expired
+    * event times is evicted. The streaming face of the batch exact-dedup
+    * operator (graft.operators.Dedup) — at-least-once sources (the
+    * reference's Kafka producer re-sends on retry) become effectively-once
+    * under it. `keys` must NOT include the event-time column (the
+    * within-watermark variant treats time as the expiry dimension, not an
+    * identity component). */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, watermark: String,
+                           keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream inner equi-join with an event-time range
+    * bound. Both sides buffer state only within their watermark; the
+    * range predicate lets Spark evict rows once the other side's clock
+    * passes `maxDelay`, so state is bounded on both sides — the
+    * streaming form of the batch range join (q54). */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: String, leftTs: String, rightTs: String,
+                       watermark: String, maxDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelay"))
+      .drop(r(key))
+  }
+
+  /** Event-time sessionization with custom state (flatMapGroupsWithState):
+    * per-user sessions close after `gapMinutes` of event-time silence or
+    * on state timeout, emitting (user, start, end, n_events). State per
+    * key is one open session — O(users) bytes, bounded by the event-time
+    * timeout; the streaming face of the batch session_window (q29). */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp)], gapMinutes: Int,
+                 watermark: String = "1 hour")
+      : Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .toDF("user", "ts")
+      .withWatermark("ts", watermark) // EventTimeTimeout needs an event-time clock
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) => // (startMs, endMs, n)
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator((user, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n))
+          } else {
+            val ts = rows.map(_._2.getTime).toSeq.sorted
+            var closed = List.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+            var cur = state.getOption
+            ts.foreach { t =>
+              cur match {
+                case Some((s, e, n)) if t - e <= gapMs => cur = Some((s, t max e, n + 1))
+                case Some((s, e, n)) =>
+                  closed ::= ((user, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n))
+                  cur = Some((t, t, 1L))
+                case None => cur = Some((t, t, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -97,6 +97,67 @@ class StreamingSpec extends SparkSpec {
       "state must carry the first batch's counts into the second")
   }
 
+  test("dropDuplicatesWithinWatermark suppresses re-delivered keys across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val deduped = StreamPipeline.dedupWithinWatermark(
+      stream.toDF().toDF("msg_id", "ts"), "ts", "10 minutes", Seq("msg_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-05-01 08:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-05-01 08:01:00")
+    stream.addData((1L, t0), (1L, t0), (2L, t1)) // duplicate within batch
+    q.processAllAvailable()
+    stream.addData((1L, t1)) // re-delivery in a later batch, same key
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT msg_id FROM dedup_out ORDER BY msg_id")
+      .as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L), "each key emitted exactly once within the horizon")
+  }
+
+  test("watermarked stream-stream join matches events to attributions in range") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamPipeline.streamStreamJoin(
+      clicks.toDF().toDF("user_id", "click_ts"),
+      buys.toDF().toDF("user_id", "buy_ts"),
+      "user_id", "click_ts", "buy_ts", "1 hour", "30 minutes")
+    val q = joined.select(col("user_id"), col("click_ts"), col("buy_ts"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((1L, ts("2024-05-01 08:00:00")), (2L, ts("2024-05-01 08:00:00")))
+    buys.addData((1L, ts("2024-05-01 08:10:00")),   // in range
+                 (2L, ts("2024-05-01 09:50:00")))   // past maxDelay
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT user_id FROM ssj_out").as[Long].collect()
+    assert(out.toSeq == Seq(1L), "only the in-range purchase joins")
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamPipeline.sessionize(stream.toDS(), gapMinutes = 30)
+    val q = sessions.toDF("user_id", "start", "end", "n_events")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // session 1: two events 10 min apart; then a 2-hour gap starts session 2
+    stream.addData((1L, ts("2024-05-01 08:00:00")), (1L, ts("2024-05-01 08:10:00")))
+    q.processAllAvailable()
+    stream.addData((1L, ts("2024-05-01 10:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT user_id, start, end, n_events FROM sess_out ORDER BY start")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+    assert(out.length == 1, "first session closed by the gap; second still open")
+    assert(out(0) == ((1L, ts("2024-05-01 08:00:00"), ts("2024-05-01 08:10:00"), 2L)))
+  }
+
   test("K1/P1 round-trip: to_json with ISO timestamps parses back losslessly") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-05-01 08:30:00"), 2.0, 3.0, 15.0))
       .toDF("tpep_pickup_datetime", "passenger_count", "trip_distance", "fare_amount")
