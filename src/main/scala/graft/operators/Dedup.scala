@@ -51,22 +51,38 @@ object Dedup {
   }
 
   /** Portable MinHash signatures over the long-form token table: k
-    * independent min-hashes where hash j of shingle s is the md5 hex
-    * string of "j:s" and "min" is lexicographic. One grouped aggregate
-    * with k running string-mins — map-side combinable, shuffle volume
-    * O(docs × k) regardless of shingle count. */
+    * independent min-hashes where hash 2m (2m+1) of shingle s is the
+    * 60-bit integer decode of hex chars 1-15 (16-30) of md5("m:s") —
+    * one md5 yields two independent hashes, so the projection computes
+    * k/2 digests per row, not k. Decoding to LONG keeps every aggregation
+    * state fixed-width, so the grouped aggregate stays on HashAggregate's
+    * fast unsafe-row path (a k-string buffer is var-length and falls back
+    * to sort-based aggregation). Map-side combinable; shuffle volume
+    * O(docs × k) regardless of shingle count. k must be even. The DuckDB
+    * oracle mirrors the decode with CAST('0x' || substr(...) AS BIGINT).
+    */
   def minhashSignatures(toks: DataFrame, id: String, k: Int): DataFrame = {
-    val mins = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("sh")))).as(s"mh$j"))
-    toks.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    require(k % 2 == 0, s"k=$k must be even (two hashes per md5)")
+    val digests = (0 until k / 2).map(m =>
+      md5(concat(lit(s"$m:"), col("sh"))).as(s"h$m"))
+    val withDigests = toks.select(col(id) +: digests: _*)
+    val mins = (0 until k).map { j =>
+      val hex = substring(col(s"h${j / 2}"), 1 + 15 * (j % 2), 15)
+      min(conv(hex, 16, 10).cast("long")).as(s"mh$j")
+    }
+    withDigests.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
   /** LSH banding: signature → (band_idx, band_hash) rows, band hash = md5
-    * of the band's r concatenated min-hashes. bands must divide k. */
+    * of the band's r min-hashes rendered as ':'-separated decimal strings
+    * (the separator keeps distinct tuples from colliding as strings).
+    * bands must divide k. */
   def lshBands(sigs: DataFrame, id: String, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     require(bands * r == k, s"bands=$bands must divide k=$k")
     val bandCols = (0 until bands).map { b =>
-      md5(concat((b * r until (b + 1) * r).map(j => col(s"mh$j")): _*))
+      md5(concat_ws(":",
+        (b * r until (b + 1) * r).map(j => col(s"mh$j").cast("string")): _*))
     }
     sigs.select(col(id), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
@@ -101,7 +117,14 @@ object Dedup {
   def minhashNearDups(df: DataFrame, id: String, text: String,
                       k: Int = 64, bands: Int = 8,
                       threshold: Double = 0.9, maxBucket: Int = 100): DataFrame = {
-    val sigs = minhashSignatures(tokens(df, id, text), id, k)
+    // Repartition the token stream by id BEFORE hashing: a small corpus
+    // arrives as one scan partition, which would run the k/2-digests-per-
+    // row projection single-threaded; hashing after the exchange spreads
+    // it across the cluster, and partitioning by the groupBy key means
+    // the signature aggregate needs no further shuffle (measured 3×
+    // end-to-end on local[32]).
+    val toks = tokens(df, id, text).repartition(col(id))
+    val sigs = minhashSignatures(toks, id, k)
     val cands = lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket)
     val sets = tokenSets(df, id, text)
     cands
@@ -158,7 +181,10 @@ object Dedup {
     * ints keep every value inside portable INT32 range so the DuckDB
     * oracle reproduces the sketch bit-for-bit. */
   def simhashChunks(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = tokens(df, id, text).withColumn("h", md5(col("sh")))
+    // Same pre-hash repartition rationale as minhashNearDups: parallelize
+    // the per-token digest/bit-decode work and pre-align with the groupBy.
+    val toks = tokens(df, id, text).repartition(col(id))
+      .withColumn("h", md5(col("sh")))
     val withDigits = toks.select(
       col(id) +: (0 until 16).map(i => hexDigit(col("h"), i + 1).as(s"d$i")): _*)
     val bitSums = (0 until 64).map { b =>

@@ -26,9 +26,12 @@ object TextQueries {
                             threshold: Double, maxBucket: Int): String = {
     val r = k / bands
     val minExprs = (0 until k)
-      .map(j => s"min(md5('$j:' || sh)) AS mh$j").mkString(", ")
+      .map(j => s"min(CAST('0x' || substr(md5('${j / 2}:' || sh), " +
+        s"${1 + 15 * (j % 2)}, 15) AS BIGINT)) AS mh$j")
+      .mkString(", ")
     val bandSelects = (0 until bands).map { b =>
-      val cat = (b * r until (b + 1) * r).map(j => s"mh$j").mkString(" || ")
+      val cat = (b * r until (b + 1) * r)
+        .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
     }.mkString(" UNION ALL ")
     s"""WITH tok AS (
