@@ -1,15 +1,15 @@
 package graft.ml
 
-import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.{Pipeline, PipelineModel, PipelineStage}
 import org.apache.spark.ml.evaluation.RegressionEvaluator
-import org.apache.spark.ml.feature.{OneHotEncoder, StandardScaler, StringIndexer, VectorAssembler}
-import org.apache.spark.ml.regression.{RandomForestRegressionModel, RandomForestRegressor}
+import org.apache.spark.ml.feature.{OneHotEncoder, OneHotEncoderModel, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor, RandomForestRegressionModel, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
 
 /** The reference's 5-stage fare-prediction pipeline (sparkML.py:70-171),
   * 1:1 in native Scala Spark ML — StringIndexer → OneHotEncoder →
-  * VectorAssembler → StandardScaler → RandomForestRegressor — plus the
-  * three RegressionEvaluators and feature importances.
+  * VectorAssembler → StandardScaler → regressor — plus the three
+  * RegressionEvaluators and feature importances.
   *
   * Parameter parity (persisted metadata under savedModels/stages/):
   * handleInvalid="keep" on both the indexer and assembler, default
@@ -18,6 +18,12 @@ import org.apache.spark.sql.DataFrame
   * label-leak (the label is also an assembled feature, SURVEY.md §2.9)
   * is NOT reproduced: pass the label in `numericCols` explicitly if
   * parity with the published metrics matters more than hygiene.
+  *
+  * The model slot is pluggable (`modelKind`: "rf" | "gbt") and extra
+  * categorical columns stack as additional indexer stages — the two
+  * historical variants in the reference's experiment tracking (a GBT run
+  * with maxIter=100/maxDepth=5 and a two-categorical pipeline; see
+  * BASELINE.md) are both expressible from the same config.
   */
 final case class FareConfig(
     labelCol: String,
@@ -28,7 +34,11 @@ final case class FareConfig(
     seed: Long = 42L,
     // "auto" (= onethird for regression) is the reference default; "all"
     // makes small synthetic fixtures learnable with few features
-    featureSubsetStrategy: String = "auto")
+    featureSubsetStrategy: String = "auto",
+    extraCategoricalCols: Seq[String] = Nil,
+    modelKind: String = "rf") {
+  def categoricalCols: Seq[String] = categoricalCol +: extraCategoricalCols
+}
 
 final case class FareMetrics(
     trainRmse: Double, trainMae: Double, trainR2: Double,
@@ -38,28 +48,43 @@ final case class FareMetrics(
 object FarePipeline {
 
   def build(cfg: FareConfig): Pipeline = {
-    val indexer = new StringIndexer()
-      .setInputCol(cfg.categoricalCol)
-      .setOutputCol(s"${cfg.categoricalCol}_index")
-      .setHandleInvalid("keep")
+    val indexers = cfg.categoricalCols.map { c =>
+      new StringIndexer()
+        .setInputCol(c)
+        .setOutputCol(s"${c}_index")
+        .setHandleInvalid("keep")
+    }
     val encoder = new OneHotEncoder()
-      .setInputCol(s"${cfg.categoricalCol}_index")
-      .setOutputCol(s"${cfg.categoricalCol}_encoded")
+      .setInputCols(cfg.categoricalCols.map(c => s"${c}_index").toArray)
+      .setOutputCols(cfg.categoricalCols.map(c => s"${c}_encoded").toArray)
     val assembler = new VectorAssembler()
-      .setInputCols((cfg.numericCols :+ s"${cfg.categoricalCol}_encoded").toArray)
+      .setInputCols((cfg.numericCols ++
+        cfg.categoricalCols.map(c => s"${c}_encoded")).toArray)
       .setOutputCol("assembled_features")
       .setHandleInvalid("keep")
     val scaler = new StandardScaler()
       .setInputCol("assembled_features")
       .setOutputCol("features")
-    val rf = new RandomForestRegressor()
-      .setLabelCol(cfg.labelCol)
-      .setFeaturesCol("features")
-      .setNumTrees(cfg.numTrees)
-      .setMaxDepth(cfg.maxDepth)
-      .setFeatureSubsetStrategy(cfg.featureSubsetStrategy)
-      .setSeed(cfg.seed)
-    new Pipeline().setStages(Array(indexer, encoder, assembler, scaler, rf))
+    val model: PipelineStage = cfg.modelKind match {
+      case "rf" =>
+        new RandomForestRegressor()
+          .setLabelCol(cfg.labelCol)
+          .setFeaturesCol("features")
+          .setNumTrees(cfg.numTrees)
+          .setMaxDepth(cfg.maxDepth)
+          .setFeatureSubsetStrategy(cfg.featureSubsetStrategy)
+          .setSeed(cfg.seed)
+      case "gbt" => // the reference's alternative run: maxIter plays numTrees
+        new GBTRegressor()
+          .setLabelCol(cfg.labelCol)
+          .setFeaturesCol("features")
+          .setMaxIter(cfg.numTrees)
+          .setMaxDepth(cfg.maxDepth)
+          .setSeed(cfg.seed)
+      case other => throw new IllegalArgumentException(
+        s"modelKind must be rf|gbt, got $other")
+    }
+    new Pipeline().setStages((indexers :+ encoder :+ assembler :+ scaler :+ model).toArray)
   }
 
   private def evaluate(pred: DataFrame, label: String, metric: String): Double =
@@ -68,16 +93,31 @@ object FarePipeline {
       .setMetricName(metric)
       .evaluate(pred)
 
+  /** Feature names aligned with the assembled vector: numeric columns,
+    * then each categorical's one-hot slots (categorySizes from the fitted
+    * encoder, minus the dropLast slot). */
+  private def featureNames(model: PipelineModel, cfg: FareConfig): Seq[String] = {
+    val sizes = model.stages.collectFirst {
+      case m: OneHotEncoderModel => m.categorySizes.toSeq
+    }.getOrElse(Seq.fill(cfg.categoricalCols.size)(1))
+    cfg.numericCols ++ cfg.categoricalCols.zip(sizes).flatMap {
+      case (c, size) => (0 until math.max(size - 1, 0)).map(i => s"${c}_$i")
+    }
+  }
+
   /** Deterministic 0.8/0.2 split (P12), fit, evaluate train+test with the
     * reference's three metrics, extract sorted importances. */
   def fitEval(df: DataFrame, cfg: FareConfig): (PipelineModel, FareMetrics) = {
     val Array(train, test) = df.randomSplit(Array(0.8, 0.2), cfg.seed)
     val model = build(cfg).fit(train)
     val (pTrain, pTest) = (model.transform(train), model.transform(test))
-    val rf = model.stages.last.asInstanceOf[RandomForestRegressionModel]
-    val names = cfg.numericCols ++
-      (0 until (rf.numFeatures - cfg.numericCols.size)).map(i => s"${cfg.categoricalCol}_$i")
-    val imps = names.zip(rf.featureImportances.toArray).sortBy(-_._2)
+    val importances = model.stages.last match {
+      case m: RandomForestRegressionModel => m.featureImportances.toArray.toSeq
+      case m: GBTRegressionModel => m.featureImportances.toArray.toSeq
+      case _ => Nil
+    }
+    val names = featureNames(model, cfg)
+    val imps = names.zipAll(importances, "feature_?", 0.0).sortBy(-_._2)
     (model, FareMetrics(
       evaluate(pTrain, cfg.labelCol, "rmse"),
       evaluate(pTrain, cfg.labelCol, "mae"),

@@ -89,4 +89,26 @@ class FarePipelineSpec extends SparkSpec {
     val b = loaded.transform(trips.limit(50)).select(sum($"prediction")).as[Double].collect()(0)
     assert(a == b)
   }
+
+  test("model slot is pluggable: GBT variant learns the same signal") {
+    // the reference's alternative experiment run (GBT maxIter/maxDepth)
+    val (gbtModel, m) = FarePipeline.fitEval(trips,
+      cfg.copy(modelKind = "gbt", numTrees = 30, maxDepth = 5))
+    assert(gbtModel.stages.last.getClass.getSimpleName == "GBTRegressionModel")
+    assert(m.testR2 > 0.9, s"got ${m.testR2}")
+    assert(m.importances.head._1 == "trip_distance")
+  }
+
+  test("extra categorical stacks as an additional indexer stage (7-stage variant)") {
+    val twoCat = trips.withColumn("payment_kind",
+      when($"passenger_count" > 2, "card").otherwise("cash"))
+    val (m2, metrics2) = FarePipeline.fitEval(twoCat,
+      cfg.copy(extraCategoricalCols = Seq("payment_kind")))
+    // 2 indexers + encoder + assembler + scaler + model
+    assert(m2.stages.length == 6)
+    assert(metrics2.testR2 > 0.9)
+    val impNames = metrics2.importances.map(_._1).toSet
+    assert(impNames.exists(_.startsWith("payment_kind_")),
+      "second categorical's one-hot slots must appear in the importance names")
+  }
 }
