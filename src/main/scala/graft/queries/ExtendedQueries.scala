@@ -200,6 +200,84 @@ object ExtendedQueries {
                THEN regexp_extract(text, '([0-9]+)', 1) END AS first_num,
           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INTEGER) AS n_alpha_runs
         FROM documents WHERE doc_id < 50 ORDER BY doc_id"""),
-      "regex predicate / guarded extract / pattern count")
+      "regex predicate / guarded extract / pattern count"),
+
+    // ------------------------------------------------------ vocabulary stats
+    // Corpus vocabulary: term frequency + document frequency in one
+    // explode + hash aggregate — the canonical long-form text layout. At
+    // 100 TB the shuffle is bounded by the vocabulary (map-side combine
+    // collapses per-partition duplicates), not the token count.
+    "q63_vocab_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+          .groupBy($"w")
+          .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
+          .orderBy($"tf".desc, $"w".asc)
+          .limit(20)
+      },
+      Some("""SELECT w, count(*) AS tf, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        GROUP BY w ORDER BY tf DESC, w LIMIT 20"""),
+      "corpus vocabulary: term + document frequency, top-20"),
+
+    // -------------------------------------------------------- bigram counts
+    // Language-model-style n-gram counts (all occurrences, not the
+    // distinct shingle sets the dedup path uses). Bigrams come from
+    // arrays_zip of two shifted slices — codegen'd collection ops, not a
+    // higher-order transform (HOF lambdas evaluate interpreted and
+    // dominate this query's runtime).
+    "q64_bigram_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ws = split(lower($"text"), " ")
+        t(s, d, "documents")
+          // single-row-group fixture scan -> spread the bigram build
+          .repartition($"doc_id")
+          .select(explode(arrays_zip(
+            slice(ws, lit(1), size(ws) - 1),
+            slice(ws, lit(2), size(ws) - 1))).as("z"))
+          .select(concat_ws(" ", $"z.0", $"z.1").as("bigram"))
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bigram".asc)
+          .limit(20)
+      },
+      Some("""SELECT bigram, count(*) AS n
+        FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                i -> ws[i] || ' ' || ws[i+1])) AS bigram
+              FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents))
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""),
+      "bigram counts over the corpus, top-20"),
+
+    // --------------------------------------------------- embedding centroids
+    // Per-label centroid statistics over the embedding column in long
+    // form: posexplode to (label, dim, value), average per cell, reduce to
+    // the centroid norm. The long-form layout is the scalable shape for
+    // embedding analytics — the shuffle carries (labels × dims) cells,
+    // never the vectors.
+    "q65_embed_centroids" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "embeddings")
+          .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+          .groupBy($"label", $"dim")
+          .agg(avg($"x".cast("double")).as("c"), count(lit(1)).as("n"))
+          .groupBy($"label")
+          .agg(max($"n").as("n_vectors"),
+               round(sqrt(sum($"c" * $"c")), 6).as("centroid_norm"))
+          .orderBy($"label")
+      },
+      Some("""SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+          round(sqrt(sum(c * c)), 6) AS centroid_norm
+        FROM (SELECT label, pos, avg(CAST(x AS DOUBLE)) AS c, count(*) AS n
+              FROM (SELECT label, unnest(embedding) AS x,
+                           generate_subscripts(embedding, 1) AS pos
+                    FROM embeddings)
+              GROUP BY label, pos)
+        GROUP BY label ORDER BY label"""),
+      "per-label embedding centroid norms via long-form explode")
   )
 }

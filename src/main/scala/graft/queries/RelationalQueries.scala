@@ -636,7 +636,11 @@ object RelationalQueries {
           StructField("o_orderdate", StringType),
           StructField("o_orderpriority", StringType)))
         val json = graft.io.Sinks.toKafkaJson(
-          t(s, d, "orders").select($"o_orderkey", $"o_totalprice", $"o_orderdate", $"o_orderpriority"))
+          t(s, d, "orders")
+            // single-row-group fixture scan -> spread the to_json/from_json
+            // round-trip (the dominant per-row cost) across cores
+            .repartition($"o_orderkey")
+            .select($"o_orderkey", $"o_totalprice", $"o_orderdate", $"o_orderpriority"))
         graft.streaming.StreamPipeline.decodeJson(json, schema)
           .agg(count(lit(1)).as("n"),
                countDistinct($"o_orderkey").as("n_keys"),

@@ -8,9 +8,10 @@ import graft.functions.TextFunctions._
 import graft.operators.Dedup
 
 /** Text-analysis + dedup + multimodal-plumbing suite over `documents` —
-  * the LLM-data-pipeline extensions (BASELINE.json north-star). Oracled
-  * wherever DuckDB can express the same arithmetic; hash-based ops
-  * (MinHash/SimHash use Spark's xxhash64) are rows-only by design.
+  * the LLM-data-pipeline extensions (BASELINE.json north-star). Every
+  * query is DuckDB-oracled, including the MinHash-LSH and SimHash
+  * pipelines: their sketches are md5-derived, so the oracle re-derives
+  * them bit-for-bit (see minhashOracle / simhashOracle below).
   */
 object TextQueries {
 
@@ -97,7 +98,8 @@ object TextQueries {
     "q30_text_tokens" -> Q(
       (s, d) => {
         import s.implicits._
-        docs(s, d).select(
+        // single-row-group fixture scan -> spread the per-doc regex work
+        docs(s, d).repartition($"doc_id").select(
           $"doc_id",
           length($"text").as("n_chars_actual"),
           wordCount($"text").as("n_tokens"),
@@ -116,7 +118,7 @@ object TextQueries {
     "q31_text_quality" -> Q(
       (s, d) => {
         import s.implicits._
-        docs(s, d).select(
+        docs(s, d).repartition($"doc_id").select(
           $"doc_id",
           wordCount($"text").as("n_words"),
           round(stopwordRatio($"text", EnStops), 6).as("stop_ratio"),
@@ -141,7 +143,7 @@ object TextQueries {
     "q32_text_langid" -> Q(
       (s, d) => {
         import s.implicits._
-        docs(s, d).select($"lang",
+        docs(s, d).repartition($"doc_id").select($"lang",
             langId(langScore($"text", EnStops), langScore($"text", DeStops),
                    langScore($"text", EsStops), langScore($"text", FrStops)).as("pred_lang"))
           .groupBy($"lang", $"pred_lang")
