@@ -80,9 +80,15 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(words(text))), " "))
 
-  /** 64-bit order-sensitive rolling document hash (polynomial over token
-    * hashes). Spark-native (xxhash64) — used by rows-only dedup ops. */
-  def rollingHash64(text: Column): Column =
+  /** Order-sensitive rolling document hash: Horner polynomial over token
+    * hashes mod a 56-bit prime. The modulus keeps every intermediate
+    * below 2^61 (acc < 2^56, ×31 < 2^61), so the arithmetic never
+    * overflows — ANSI mode turns a silent long wraparound into a
+    * query-killing throw, which the naive acc*BIG+h form would hit on any
+    * document beyond a few tokens. */
+  def rollingHash64(text: Column): Column = {
+    val p = 72057594037927931L // largest prime < 2^56
     aggregate(words(text), lit(0L),
-      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+      (acc, w) => pmod(acc * 31 + pmod(xxhash64(w), lit(p)), lit(p)))
+  }
 }

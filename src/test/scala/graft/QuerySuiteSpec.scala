@@ -44,7 +44,8 @@ class QuerySuiteSpec extends SparkSpec {
       "window-family" -> "q58_window_family",
       "grouped-quantile" -> "q59_grouped_quantiles",
       "udaf" -> "q60_udaf_weighted_mean", "corr" -> "q61_corr_regression",
-      "regex" -> "q62_regex_extract")
+      "regex" -> "q62_regex_extract", "vocab" -> "q63_vocab_topk",
+      "ngram-lm" -> "q64_bigram_topk", "centroid" -> "q65_embed_centroids")
     val missing = families.filterNot { case (_, q) => names.contains(q) }
     assert(missing.isEmpty, s"missing families: ${missing.keys}")
   }

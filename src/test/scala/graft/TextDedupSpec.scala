@@ -73,6 +73,25 @@ class TextDedupSpec extends SparkSpec {
     assert(sparse == dense)
   }
 
+  test("rolling hash is order-sensitive and ANSI-safe on long docs") {
+    val r = docs.select($"doc_id", TextFunctions.rollingHash64($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) != r(2L), "permutation must change the rolling hash")
+    assert(r.values.forall(h => h >= 0 && h < 72057594037927931L))
+    // 500 tokens: the pre-modular form would overflow (ANSI throw) here
+    val long = Seq((0L, Seq.fill(500)("tok").mkString(" "))).toDF("doc_id", "text")
+    assert(long.select(TextFunctions.rollingHash64($"text")).collect().length == 1)
+  }
+
+  test("wordShingles builds distinct word n-grams with short-input fallback") {
+    val sh = spark.range(1).select(
+      TextFunctions.wordShingles(lit("a b c b c"), 2).as("s2"),
+      TextFunctions.wordShingles(lit("single"), 3).as("s3"))
+      .as[(Seq[String], Seq[String])].collect()(0)
+    assert(sh._1.toSet == Set("a b", "b c", "c b"))
+    assert(sh._2 == Seq("single"))
+  }
+
   test("langId ties break deterministically toward english") {
     val r = spark.range(1).select(
       TextFunctions.langId(lit(0), lit(0), lit(0), lit(0))).as[String].collect()(0)
