@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, Tables}
+
+/** Scale-stress harness: replicates the sf0.1 fixtures 10× (6M-row
+  * lineitem, 1.5M orders, 50k docs) into a multi-file layout under /tmp,
+  * then times representative suite queries at both scales and reports the
+  * runtime ratio. Linear operators should land near the replication
+  * factor; anything super-linear is a scale bug. Dev tool — the driver's
+  * bench is unchanged.
+  *
+  * `sbt "runMain graft.tools.ScaleStress [factor]"`
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val src = "/root/testdata/sf0.1"
+    val dst = s"/tmp/graft_scale_x$factor"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // default 128MB splits would bin the ~8MB replica files into 2-3
+      // scan tasks; 16MB mimics the per-task data share of a real cluster
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Replicated tables get fresh synthetic keys per replica so grouping
+    // cardinality scales with the data; dims copy through unchanged.
+    val replicated = Map(
+      "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
+      "documents" -> "doc_id", "events" -> "user_id", "embeddings" -> "vec_id")
+    Tables.names.foreach { t =>
+      val df = Tables(spark, src, t)
+      val out = replicated.get(t) match {
+        case Some(key) =>
+          df.crossJoin(spark.range(factor).select($"id".as("__rep")))
+            .withColumn(key, col(key) * factor + col("__rep"))
+            .drop("__rep")
+            .repartition(32)
+        case None => df
+      }
+      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    println(s"STRESS built $dst")
+
+    val queries = Seq(
+      "q01_pricing_summary", "q07_iqr_filter", "q09_summary_stats",
+      "q21_route_topk", "q42_dedup_minhash_lsh", "q63_vocab_topk",
+      "q65_embed_centroids")
+    queries.foreach { name =>
+      def run(dir: String): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      run(src); run(dst) // warm both plans
+      val small = run(src)
+      val big = run(dst)
+      println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio ${big / small}%5.2f")
+    }
+    spark.stop()
+  }
+}
