@@ -61,8 +61,14 @@ object Bench {
       r
     }
     val warm = if (allPasses.length > 1) allPasses.tail else allPasses
+    // failed queries report their MAX duration (not the min of fast-fail
+    // times) so a throwing query can't deflate the total while hiding in
+    // the failed[] array
     val results = warm.flatten.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (name, times) => name -> times.map(_._2).min }
+      .map { case (name, times) =>
+        val ts = times.map(_._2)
+        name -> (if (failed.contains(name)) ts.max else ts.min)
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

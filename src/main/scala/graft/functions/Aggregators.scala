@@ -38,8 +38,12 @@ object Aggregators {
       (b._1 + a._1 * a._2, b._2 + a._2)
     override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
       (x._1 + y._1, x._2 + y._2)
+    // zero total weight has no defined mean: surface NaN explicitly
+    // (primitive Double output cannot be null) rather than relying on
+    // incidental 0/0 behavior — callers filtering/serializing should
+    // treat NaN as "no data", like SQL's avg-of-empty null
     override def finish(r: (Long, Long)): Double =
-      r._1.toDouble / r._2.toDouble / 100.0
+      if (r._2 == 0L) Double.NaN else r._1.toDouble / r._2.toDouble / 100.0
     override def bufferEncoder: Encoder[(Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

@@ -117,7 +117,11 @@ object FarePipeline {
       case _ => Nil
     }
     val names = featureNames(model, cfg)
-    val imps = names.zipAll(importances, "feature_?", 0.0).sortBy(-_._2)
+    // a name/vector length mismatch would silently attribute importances
+    // to the wrong features — fail loudly instead
+    require(importances.isEmpty || names.size == importances.size,
+      s"feature name count ${names.size} != importance vector ${importances.size}")
+    val imps = names.zip(importances).sortBy(-_._2)
     (model, FareMetrics(
       evaluate(pTrain, cfg.labelCol, "rmse"),
       evaluate(pTrain, cfg.labelCol, "mae"),

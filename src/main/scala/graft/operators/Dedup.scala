@@ -34,13 +34,15 @@ object Dedup {
 
   /** Long-form distinct unigram tokens: one (id, token) row per distinct
     * word of each doc. The explode feeds hash aggregates, so everything
-    * downstream is map-side combinable and scales with executors. */
+    * downstream is map-side combinable and scales with executors.
+    * Tokenization is [[TextFunctions.words]] — the single definition the
+    * DuckDB oracle mirrors; do not re-inline the split here. */
   def tokens(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id), explode(array_distinct(split(lower(col(text)), " "))).as("sh"))
+    df.select(col(id), explode(array_distinct(TextFunctions.words(col(text)))).as("sh"))
 
   /** Distinct unigram set per doc as a narrow projection (no shuffle). */
   def tokenSets(df: DataFrame, id: String, text: String): DataFrame =
-    df.select(col(id), array_distinct(split(lower(col(text)), " ")).as("sh_set"))
+    df.select(col(id), array_distinct(TextFunctions.words(col(text))).as("sh_set"))
 
   /** Jaccard for arrays that are already distinct (skips the re-dedup
     * [[TextFunctions.jaccard]] performs): inclusion–exclusion on set
@@ -87,27 +89,36 @@ object Dedup {
     sigs.select(col(id), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Candidate pairs from band buckets, join-free: aggregate each bucket's
-    * id list (one shuffle), then emit ordered pairs with two nested
-    * explodes — a per-row cross product, no self-join stage.
+  /** Candidate pairs from band buckets, join-free: size buckets with a
+    * count aggregate first, keep only buckets in [2, maxBucket], then
+    * aggregate those buckets' id lists and emit ordered pairs with two
+    * nested explodes — a per-row cross product, no self-join stage.
     *
     * Buckets larger than `maxBucket` are dropped (stop-bucket removal,
     * standard LSH hygiene): a bucket of b docs emits b²/2 pairs, so one
     * pathological bucket — boilerplate-heavy corpora produce them — turns
-    * the pair step quadratic and skews one task. The cap bounds both the
-    * aggregate's list state and any bucket's pair contribution at
-    * O(buckets · maxBucket²); docs in dropped buckets still pair through
-    * their other bands. */
+    * the pair step quadratic and skews one task. Sizing BEFORE collecting
+    * matters at scale: the count aggregate carries O(1) state per bucket,
+    * so a million-doc stop bucket is discarded for the cost of a counter
+    * — collect_list never materializes it. The surviving lists are ≤
+    * maxBucket elements by construction, bounding both aggregation state
+    * and any bucket's pair contribution at O(buckets · maxBucket²); docs
+    * in dropped buckets still pair through their other bands. */
   def lshCandidates(bandsDf: DataFrame, id: String,
-                    maxBucket: Int = 100): DataFrame =
-    bandsDf.groupBy(col("band_idx"), col("band_hash"))
+                    maxBucket: Int = 100): DataFrame = {
+    val sized = bandsDf.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucket))
+      .select(col("band_idx"), col("band_hash"))
+    bandsDf.join(sized, Seq("band_idx", "band_hash")) // survivors only
+      .groupBy(col("band_idx"), col("band_hash"))
       .agg(collect_list(col(id)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
 
   /** Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     * → exact-Jaccard verify. Only candidate pairs (a vanishing fraction of

@@ -118,7 +118,11 @@ object Relational {
 
   /** Single-row frame of interquartile bounds for `c` (exact quantiles,
     * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). Quantiles come from the
-    * scalable histogram path ([[exactQuantilesQuantized]]). */
+    * scalable histogram path ([[exactQuantilesQuantized]]), which is
+    * EXACT only for `scale`-decimal data (default: 2-decimal money). For
+    * finer-grained columns either raise `scale` or accept bounds
+    * quantized to 1/scale — the filter below stays a valid outlier fence
+    * either way, just at quantized resolution. */
   def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5,
                 scale: Int = 100): DataFrame =
     exactQuantilesQuantized(df, c, Seq(0.25, 0.75), scale)
@@ -158,7 +162,9 @@ object Relational {
   /** A13/A14/A17 — describe-style exact summary of one numeric
     * (2-decimal) column: moments/extremes in one codegen'd scan, exact
     * quartiles from the histogram path ([[exactQuantilesQuantized]]),
-    * fused with a one-row broadcast join. */
+    * fused with a one-row broadcast join. The quartiles are exact for
+    * 2-decimal data (the money columns this serves); columns with finer
+    * precision get quartiles of the cent-rounded values. */
   def summaryStats(df: DataFrame, c: String, roundScale: Int = 6): DataFrame =
     df.agg(
       count(col(c)).as("n"),

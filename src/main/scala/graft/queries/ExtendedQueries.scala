@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import graft.functions.Aggregators
+import graft.functions.{Aggregators, TextFunctions}
 
 /** Capability-widening suite beyond the reference's own operator surface
   * (SURVEY.md §2.6/§2.7 extensions): pivot/unpivot reshaping, the full
@@ -211,7 +211,7 @@ object ExtendedQueries {
       (s, d) => {
         import s.implicits._
         t(s, d, "documents")
-          .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+          .select($"doc_id", explode(TextFunctions.words($"text")).as("w"))
           .groupBy($"w")
           .agg(count(lit(1)).as("tf"), countDistinct($"doc_id").as("df"))
           .orderBy($"tf".desc, $"w".asc)
@@ -232,7 +232,7 @@ object ExtendedQueries {
     "q64_bigram_topk" -> Q(
       (s, d) => {
         import s.implicits._
-        val ws = split(lower($"text"), " ")
+        val ws = TextFunctions.words($"text")
         t(s, d, "documents")
           // single-row-group fixture scan -> spread the bigram build
           .repartition($"doc_id")

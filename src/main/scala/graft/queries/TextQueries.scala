@@ -98,8 +98,7 @@ object TextQueries {
     "q30_text_tokens" -> Q(
       (s, d) => {
         import s.implicits._
-        // single-row-group fixture scan -> spread the per-doc regex work
-        docs(s, d).repartition($"doc_id").select(
+        docs(s, d).select(
           $"doc_id",
           length($"text").as("n_chars_actual"),
           wordCount($"text").as("n_tokens"),
@@ -118,7 +117,7 @@ object TextQueries {
     "q31_text_quality" -> Q(
       (s, d) => {
         import s.implicits._
-        docs(s, d).repartition($"doc_id").select(
+        docs(s, d).select(
           $"doc_id",
           wordCount($"text").as("n_words"),
           round(stopwordRatio($"text", EnStops), 6).as("stop_ratio"),
@@ -143,7 +142,7 @@ object TextQueries {
     "q32_text_langid" -> Q(
       (s, d) => {
         import s.implicits._
-        docs(s, d).repartition($"doc_id").select($"lang",
+        docs(s, d).select($"lang",
             langId(langScore($"text", EnStops), langScore($"text", DeStops),
                    langScore($"text", EsStops), langScore($"text", FrStops)).as("pred_lang"))
           .groupBy($"lang", $"pred_lang")

@@ -126,7 +126,14 @@ object StreamPipeline {
     * per-user sessions close after `gapMinutes` of event-time silence or
     * on state timeout, emitting (user, start, end, n_events). State per
     * key is one open session — O(users) bytes, bounded by the event-time
-    * timeout; the streaming face of the batch session_window (q29). */
+    * timeout; the streaming face of the batch session_window (q29).
+    *
+    * Out-of-order events within the watermark extend the open session on
+    * either side (start and end both move). An event older than the open
+    * session by more than the gap emits immediately as a singleton
+    * session; two such stragglers within a gap of each other emit as two
+    * singletons rather than merging — the conservative trade for keeping
+    * exactly one open session per key in state. */
   def sessionize(events: Dataset[(Long, java.sql.Timestamp)], gapMinutes: Int,
                  watermark: String = "1 hour")
       : Dataset[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] = {
@@ -151,10 +158,19 @@ object StreamPipeline {
             var cur = state.getOption
             ts.foreach { t =>
               cur match {
-                case Some((s, e, n)) if t - e <= gapMs => cur = Some((s, t max e, n + 1))
-                case Some((s, e, n)) =>
+                // within the gap of the open session's span (either side —
+                // batches can deliver out-of-order events): extend both ends
+                case Some((s, e, n)) if t >= s - gapMs && t <= e + gapMs =>
+                  cur = Some((t min s, t max e, n + 1))
+                // newer than the span by more than the gap: close, start new
+                case Some((s, e, n)) if t > e + gapMs =>
                   closed ::= ((user, new java.sql.Timestamp(s), new java.sql.Timestamp(e), n))
                   cur = Some((t, t, 1L))
+                // older than the span by more than the gap: a late singleton
+                // session that can no longer grow (anything near it is even
+                // later than this already-late event) — emit immediately
+                case Some(_) =>
+                  closed ::= ((user, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1L))
                 case None => cur = Some((t, t, 1L))
               }
             }

@@ -80,6 +80,19 @@ class RelationalOpsSpec extends SparkSpec {
     assert(sliced.as[Long].collect().toSeq == (90L until 100L))
   }
 
+  test("stratified sample (sampleBy) honors per-stratum fractions") {
+    val df = spark.range(10000).select(
+      (col("id") % 2 === 0).cast("string").as("k"), col("id"))
+    val s = df.stat.sampleBy("k", Map("true" -> 0.5, "false" -> 0.1), 7L)
+    val counts = s.groupBy("k").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("true") - 2500.0) < 300, s"got ${counts("true")}")
+    assert(math.abs(counts("false") - 500.0) < 200, s"got ${counts("false")}")
+    // seeded -> deterministic within the engine
+    val s2 = df.stat.sampleBy("k", Map("true" -> 0.5, "false" -> 0.1), 7L)
+    assert(s2.count() == s.count())
+  }
+
   test("P10 seeded exact-n sample is deterministic within the engine") {
     val df = spark.range(1000).toDF("id")
     def draw() = df.orderBy(rand(42), $"id").limit(5).as[Long].collect().toSeq

@@ -158,6 +158,30 @@ class StreamingSpec extends SparkSpec {
     assert(out(0) == ((1L, ts("2024-05-01 08:00:00"), ts("2024-05-01 08:10:00"), 2L)))
   }
 
+  test("sessionize handles out-of-order events: extends start, isolates stragglers") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamPipeline.sessionize(stream.toDS(), gapMinutes = 30)
+    val q = sessions.toDF("user_id", "start", "end", "n_events")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData((1L, ts("2024-05-01 08:00:00")))
+    q.processAllAvailable()
+    // batch 2 delivers (within the 1h watermark horizon) a slightly-late
+    // event that extends the open session's START, and a straggler more
+    // than a gap older than the session (own singleton, emitted now).
+    // Anything below the watermark itself never reaches the state
+    // function — Spark drops it before the gap logic sees it.
+    stream.addData((1L, ts("2024-05-01 07:50:00")), (1L, ts("2024-05-01 07:10:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT start, end, n_events FROM sess_ooo ORDER BY start")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long)].collect()
+    assert(out.length == 1, "only the straggler singleton is closed so far")
+    assert(out(0) == ((ts("2024-05-01 07:10:00"), ts("2024-05-01 07:10:00"), 1L)))
+  }
+
   test("K1/P1 round-trip: to_json with ISO timestamps parses back losslessly") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-05-01 08:30:00"), 2.0, 3.0, 15.0))
       .toDF("tpep_pickup_datetime", "passenger_count", "trip_distance", "fare_amount")
