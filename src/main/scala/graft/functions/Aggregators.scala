@@ -49,6 +49,31 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Collect up to `cap`+1 long ids per group with hard-bounded state: a
+    * group that exceeds the cap stops accumulating and is marked
+    * overflowed (empty result). Built for LSH stop-bucket removal
+    * ([[graft.operators.Dedup.lshCandidates]]): a pathological
+    * million-doc bucket costs cap+1 slots of aggregation state, not a
+    * million-element collect_list, and the whole sizing+collection is one
+    * aggregate pass. The buffer is map-side combinable (merge respects
+    * the same cap), so shuffle volume per bucket is O(cap). */
+  final case class BoundedCollect(cap: Int)
+      extends Aggregator[Long, List[Long], Seq[Long]] {
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], a: Long): List[Long] =
+      if (b.length > cap) b else a :: b
+    override def merge(x: List[Long], y: List[Long]): List[Long] = {
+      val m = x.length + y.length
+      if (m > cap + 1) (x ::: y).take(cap + 1) else x ::: y
+    }
+    override def finish(r: List[Long]): Seq[Long] =
+      if (r.length > cap) Seq.empty else r
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Exact weighted mean — the second §2.7 capability example. */
   object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
     override def zero: (Double, Double) = (0.0, 0.0)

@@ -97,22 +97,20 @@ object Dedup {
     * Buckets larger than `maxBucket` are dropped (stop-bucket removal,
     * standard LSH hygiene): a bucket of b docs emits b²/2 pairs, so one
     * pathological bucket — boilerplate-heavy corpora produce them — turns
-    * the pair step quadratic and skews one task. Sizing BEFORE collecting
-    * matters at scale: the count aggregate carries O(1) state per bucket,
-    * so a million-doc stop bucket is discarded for the cost of a counter
-    * — collect_list never materializes it. The surviving lists are ≤
-    * maxBucket elements by construction, bounding both aggregation state
-    * and any bucket's pair contribution at O(buckets · maxBucket²); docs
-    * in dropped buckets still pair through their other bands. */
+    * the pair step quadratic and skews one task. The collection itself is
+    * the state bound: [[graft.functions.Aggregators.BoundedCollect]]
+    * stops accumulating past maxBucket+1 elements and resolves overflowed
+    * buckets to empty, so a million-doc stop bucket costs O(maxBucket)
+    * aggregation state and shuffle bytes — in the same single aggregate
+    * pass that collects the survivors. Pair fan-out is then bounded at
+    * O(buckets · maxBucket²); docs in dropped buckets still pair through
+    * their other bands. */
   def lshCandidates(bandsDf: DataFrame, id: String,
                     maxBucket: Int = 100): DataFrame = {
-    val sized = bandsDf.groupBy(col("band_idx"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n").between(2, maxBucket))
-      .select(col("band_idx"), col("band_hash"))
-    bandsDf.join(sized, Seq("band_idx", "band_hash")) // survivors only
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col(id)).as("ids"))
+    val boundedIds = udaf(graft.functions.Aggregators.BoundedCollect(maxBucket))
+    bandsDf.groupBy(col("band_idx"), col("band_hash"))
+      .agg(boundedIds(col(id)).as("ids"))
+      .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))

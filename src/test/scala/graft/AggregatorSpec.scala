@@ -32,6 +32,21 @@ class AggregatorSpec extends SparkSpec {
     assert(math.abs(got - 17.5) < 1e-12)
   }
 
+  test("BoundedCollect caps state and empties overflowed groups") {
+    import org.apache.spark.sql.functions.{col, size, udaf}
+    val bounded = udaf(graft.functions.Aggregators.BoundedCollect(5))
+    val df = spark.range(50)
+      .select((col("id") % 10).as("g"), col("id")) // 5 ids per group = cap
+      // group 0 gets 90 extra rows -> overflows the cap of 5
+      .union(spark.range(90).select(org.apache.spark.sql.functions.lit(0L).as("g"), col("id")))
+    val out = df.repartition(8) // force multi-partition merge path
+      .groupBy("g").agg(bounded(col("id")).as("ids"))
+      .select(col("g"), size(col("ids")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) == 0, "overflowed bucket resolves to empty")
+    (1L to 9L).foreach(g => assert(out(g) == 5, s"group $g keeps all 5 ids"))
+  }
+
   test("cosine_similarity registers as a SQL function") {
     VectorExpressions.register(spark)
     val got = spark.sql(
