@@ -49,27 +49,33 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
-  /** Collect up to `cap`+1 long ids per group with hard-bounded state: a
-    * group that exceeds the cap stops accumulating and is marked
-    * overflowed (empty result). Built for LSH stop-bucket removal
+  /** Collect up to `cap`+1 LONG ids per group with hard-bounded state: a
+    * group that exceeds the cap stops accumulating and resolves to empty.
+    * Built for LSH stop-bucket removal
     * ([[graft.operators.Dedup.lshCandidates]]): a pathological
-    * million-doc bucket costs cap+1 slots of aggregation state, not a
-    * million-element collect_list, and the whole sizing+collection is one
-    * aggregate pass. The buffer is map-side combinable (merge respects
-    * the same cap), so shuffle volume per bucket is O(cap). */
+    * million-doc bucket costs cap+1 slots of aggregation state per map
+    * partition (so O(partitions × cap) shuffle bytes for that bucket in
+    * total — bounded by the cap, never by the bucket's true size), not a
+    * million-element collect_list, and sizing+collection is one aggregate
+    * pass. The buffer carries an explicit count so the per-row overflow
+    * check is O(1); the count also makes overflow survive merges of two
+    * already-capped partials. Input ids must be numeric (the udaf
+    * signature is Long) and non-null — the caller filters nulls, since a
+    * primitive-Long deserializer would read a null slot as a phantom 0. */
   final case class BoundedCollect(cap: Int)
-      extends Aggregator[Long, List[Long], Seq[Long]] {
-    override def zero: List[Long] = Nil
-    override def reduce(b: List[Long], a: Long): List[Long] =
-      if (b.length > cap) b else a :: b
-    override def merge(x: List[Long], y: List[Long]): List[Long] = {
-      val m = x.length + y.length
-      if (m > cap + 1) (x ::: y).take(cap + 1) else x ::: y
+      extends Aggregator[Long, (Int, List[Long]), Seq[Long]] {
+    override def zero: (Int, List[Long]) = (0, Nil)
+    override def reduce(b: (Int, List[Long]), a: Long): (Int, List[Long]) =
+      if (b._1 > cap) (b._1, b._2) else (b._1 + 1, a :: b._2)
+    override def merge(x: (Int, List[Long]), y: (Int, List[Long])): (Int, List[Long]) = {
+      val total = x._1 + y._1 // counts saturate just past cap, never wrap
+      if (total > cap + 1) (cap + 1, (x._2 ::: y._2).take(cap + 1))
+      else (total, x._2 ::: y._2)
     }
-    override def finish(r: List[Long]): Seq[Long] =
-      if (r.length > cap) Seq.empty else r
-    override def bufferEncoder: Encoder[List[Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def finish(r: (Int, List[Long])): Seq[Long] =
+      if (r._1 > cap) Seq.empty else r._2
+    override def bufferEncoder: Encoder[(Int, List[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Int, List[Long])]()
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }

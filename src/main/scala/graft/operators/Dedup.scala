@@ -101,14 +101,28 @@ object Dedup {
     * the state bound: [[graft.functions.Aggregators.BoundedCollect]]
     * stops accumulating past maxBucket+1 elements and resolves overflowed
     * buckets to empty, so a million-doc stop bucket costs O(maxBucket)
-    * aggregation state and shuffle bytes — in the same single aggregate
+    * aggregation state per map partition — in the same single aggregate
     * pass that collects the survivors. Pair fan-out is then bounded at
     * O(buckets · maxBucket²); docs in dropped buckets still pair through
-    * their other bands. */
+    * their other bands.
+    *
+    * Trade-off, on purpose: a typed-Aggregator plan runs on
+    * ObjectHashAggregate, which falls back to sort-based aggregation past
+    * spark.sql.objectHashAggregate.sortBased.fallbackThreshold distinct
+    * groups per task (default 128) — an external sort of the band rows,
+    * but each carrying ≤ cap state. The alternative (codegen count pass +
+    * join + collect survivors) costs a second full shuffle of the band
+    * table instead; both bound memory, this one does it in one pass.
+    * Raise the threshold (each group's buffer is ≤ ~1 KB) to stay
+    * hash-aggregated when tasks hold many buckets.
+    *
+    * `id` must be a numeric (long-compatible) column; nulls are dropped
+    * (as collect_list would) before aggregation. */
   def lshCandidates(bandsDf: DataFrame, id: String,
                     maxBucket: Int = 100): DataFrame = {
     val boundedIds = udaf(graft.functions.Aggregators.BoundedCollect(maxBucket))
-    bandsDf.groupBy(col("band_idx"), col("band_hash"))
+    bandsDf.filter(col(id).isNotNull)
+      .groupBy(col("band_idx"), col("band_hash"))
       .agg(boundedIds(col(id)).as("ids"))
       .filter(size(col("ids")) >= 2)
       .select(explode(col("ids")).as("id_a"), col("ids"))
