@@ -26,11 +26,15 @@ object Dedup {
            countDistinct(md5(col(text))).as("n_unique_exact"),
            countDistinct(TextFunctions.fingerprint(col(text))).as("n_unique_fingerprint"))
 
-  /** Exact dedup keeper selection: min id per content hash (the standard
-    * "keep first" policy, expressed as one hash aggregate). */
-  def exactKeepers(df: DataFrame, id: String, text: String): DataFrame =
-    df.groupBy(md5(col(text)).as("content_hash"))
+  /** Keeper selection under an arbitrary content key (the standard
+    * "keep first" policy, one hash aggregate): min id per key. */
+  def keepers(df: DataFrame, id: String, key: Column): DataFrame =
+    df.groupBy(key.as("content_hash"))
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup keeper selection: min id per byte-content hash. */
+  def exactKeepers(df: DataFrame, id: String, text: String): DataFrame =
+    keepers(df, id, md5(col(text)))
 
   /** Long-form distinct unigram tokens: one (id, token) row per distinct
     * word of each doc. The explode feeds hash aggregates, so everything

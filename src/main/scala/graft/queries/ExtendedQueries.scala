@@ -278,6 +278,85 @@ object ExtendedQueries {
                     FROM embeddings)
               GROUP BY label, pos)
         GROUP BY label ORDER BY label"""),
-      "per-label embedding centroid norms via long-form explode")
+      "per-label embedding centroid norms via long-form explode"),
+
+    // ------------------------------------------------------- quality filter
+    // The canonical corpus-curation composition: score -> threshold ->
+    // survivor stats per language. Pure narrow projections into one hash
+    // aggregate; the filter thresholds are the tunable curation policy.
+    "q66_quality_filter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"lang", $"doc_id",
+            TextFunctions.wordCount($"text").as("n_words"),
+            TextFunctions.alphaRatio($"text").as("alpha"))
+          .filter($"n_words".between(20, 200) && $"alpha" >= 0.6)
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_kept"),
+               round(avg($"n_words"), 6).as("avg_words"))
+          .orderBy($"lang")
+      },
+      Some("""SELECT lang, count(*) AS n_kept,
+          round(avg(n_words), 6) AS avg_words
+        FROM (SELECT lang,
+                CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_words,
+                CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                    / length(text) END AS alpha
+              FROM documents)
+        WHERE n_words BETWEEN 20 AND 200 AND alpha >= 0.6
+        GROUP BY lang ORDER BY lang"""),
+      "corpus curation: quality thresholds -> survivor stats per lang"),
+
+    // -------------------------------------------------- contamination check
+    // Benchmark-contamination scan: normalized-fingerprint semi-join of
+    // the corpus against a (small, broadcast) benchmark set — at 100 TB
+    // the benchmark side is the broadcast build side and the corpus
+    // streams. Fingerprinting (sorted distinct token set) catches
+    // reordered/duplicated-word copies that byte hashing misses; here the
+    // "benchmark" is the corpus's first docs, so the planted permuted
+    // near-dups of them are the expected hits.
+    "q67_contamination" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val docsT = t(s, d, "documents")
+        val bench = docsT.filter($"doc_id" < 100)
+          .select(TextFunctions.fingerprint($"text").as("bench_hash"),
+                  $"doc_id".as("bench_id"))
+        docsT.filter($"doc_id" >= 100)
+          .select($"doc_id", TextFunctions.fingerprint($"text").as("h"))
+          .join(broadcast(bench), $"h" === $"bench_hash")
+          .select($"doc_id", $"bench_id")
+          .orderBy($"doc_id", $"bench_id")
+      },
+      Some("""WITH fp AS (SELECT doc_id, md5(array_to_string(list_sort(
+            list_distinct(string_split(lower(text), ' '))), ' ')) AS h
+          FROM documents)
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id
+        FROM (SELECT * FROM fp WHERE doc_id >= 100) c
+        JOIN (SELECT * FROM fp WHERE doc_id < 100) b ON c.h = b.h
+        ORDER BY c.doc_id, bench_id"""),
+      "benchmark contamination: fingerprint hits against a broadcast set"),
+
+    // ------------------------------------------------------ dedup keepers
+    // Keep-first dedup policy surfaced as a query: min id per content
+    // FINGERPRINT (order-invariant token-set hash — the corpus plants
+    // permuted near-dups, which byte hashing misses), duplicated content
+    // only. The companion to q40's corpus-level stats.
+    "q68_dedup_keepers" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Dedup.keepers(t(s, d, "documents"), "doc_id",
+            TextFunctions.fingerprint($"text"))
+          .filter($"n_copies" > 1)
+          .orderBy($"keeper_id")
+      },
+      Some("""SELECT md5(array_to_string(list_sort(list_distinct(
+            string_split(lower(text), ' '))), ' ')) AS content_hash,
+          min(doc_id) AS keeper_id, count(*) AS n_copies
+        FROM documents GROUP BY content_hash
+        HAVING count(*) > 1 ORDER BY keeper_id"""),
+      "fingerprint-dedup keeper selection (min id per token-set hash)")
   )
 }

@@ -45,7 +45,9 @@ class QuerySuiteSpec extends SparkSpec {
       "grouped-quantile" -> "q59_grouped_quantiles",
       "udaf" -> "q60_udaf_weighted_mean", "corr" -> "q61_corr_regression",
       "regex" -> "q62_regex_extract", "vocab" -> "q63_vocab_topk",
-      "ngram-lm" -> "q64_bigram_topk", "centroid" -> "q65_embed_centroids")
+      "ngram-lm" -> "q64_bigram_topk", "centroid" -> "q65_embed_centroids",
+      "curation" -> "q66_quality_filter", "contamination" -> "q67_contamination",
+      "keepers" -> "q68_dedup_keepers")
     val missing = families.filterNot { case (_, q) => names.contains(q) }
     assert(missing.isEmpty, s"missing families: ${missing.keys}")
   }
