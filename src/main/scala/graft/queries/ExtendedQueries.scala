@@ -357,6 +357,42 @@ object ExtendedQueries {
           min(doc_id) AS keeper_id, count(*) AS n_copies
         FROM documents GROUP BY content_hash
         HAVING count(*) > 1 ORDER BY keeper_id"""),
-      "fingerprint-dedup keeper selection (min id per token-set hash)")
+      "fingerprint-dedup keeper selection (min id per token-set hash)"),
+
+    // ------------------------------------------------- rolling RANGE frame
+    // Rolling 7-day revenue per order day via a RANGE frame over a day
+    // index — the frame-specification face of §2.6 (rowsBetween/
+    // rangeBetween), plus first_value/last_value over the same frame.
+    // One partitioned-by-nothing window over the tiny daily aggregate
+    // (the 600k-row table reduces to ~2400 day rows first), so the
+    // global-order sort never touches the raw data.
+    "q69_rolling_range_window" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "orders")
+          .groupBy(datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("day_idx"))
+          .agg((sum(round($"o_totalprice" * 100).cast("long")) / 100.0).as("revenue"))
+        val w = Window.orderBy($"day_idx").rangeBetween(-6, 0)
+        daily.select(
+            $"day_idx", $"revenue",
+            round(sum($"revenue").over(w), 2).as("rev_7d"),
+            round(first_value($"revenue").over(w), 2).as("rev_7d_first"),
+            round(last_value($"revenue").over(w), 2).as("rev_7d_last"))
+          .filter($"day_idx" < 60)
+          .orderBy($"day_idx")
+      },
+      Some("""WITH daily AS (SELECT
+            datediff('day', DATE '1995-01-01', o_orderdate) AS day_idx,
+            CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS revenue
+          FROM orders GROUP BY day_idx)
+        SELECT day_idx, revenue,
+          round(sum(revenue) OVER w, 2) AS rev_7d,
+          round(first_value(revenue) OVER w, 2) AS rev_7d_first,
+          round(last_value(revenue) OVER w, 2) AS rev_7d_last
+        FROM daily
+        WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        QUALIFY day_idx < 60 ORDER BY day_idx"""),
+      "rolling 7-day RANGE frame + first/last_value over daily revenue")
   )
 }

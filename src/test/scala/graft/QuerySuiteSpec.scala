@@ -47,7 +47,8 @@ class QuerySuiteSpec extends SparkSpec {
       "regex" -> "q62_regex_extract", "vocab" -> "q63_vocab_topk",
       "ngram-lm" -> "q64_bigram_topk", "centroid" -> "q65_embed_centroids",
       "curation" -> "q66_quality_filter", "contamination" -> "q67_contamination",
-      "keepers" -> "q68_dedup_keepers")
+      "keepers" -> "q68_dedup_keepers",
+      "range-frame" -> "q69_rolling_range_window")
     val missing = families.filterNot { case (_, q) => names.contains(q) }
     assert(missing.isEmpty, s"missing families: ${missing.keys}")
   }
