@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * Equal timestamps: the right row sorts before the left (sort key
   * (time, is_left)), so a right event at exactly left.time matches —
   * the `>=` convention of DuckDB's ASOF JOIN, which oracles this op.
+  * Ties BETWEEN right rows at the same time are broken by a content
+  * hash of the right row, making the attributed match deterministic
+  * under any partitioning (DuckDB's ASOF leaves that pick arbitrary;
+  * the driver fixtures carry no such ties, but an engine must not be
+  * run-to-run nondeterministic on data that does).
   */
 object AsOf {
 
@@ -34,7 +39,7 @@ object AsOf {
       lit(null).cast(lType).as("__l"),
       struct(right.columns.map(right(_)): _*).as("__r"))
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__is_left").asc)
+      .orderBy(col("__t").asc, col("__is_left").asc, xxhash64(col("__r")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))

@@ -369,7 +369,6 @@ object ExtendedQueries {
     "q69_rolling_range_window" -> Q(
       (s, d) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
         val daily = t(s, d, "orders")
           .groupBy(datediff($"o_orderdate", lit("1995-01-01").cast("date")).as("day_idx"))
           .agg((sum(round($"o_totalprice" * 100).cast("long")) / 100.0).as("revenue"))

@@ -21,9 +21,15 @@ final case class Q(
 
 object Registry {
   /** Insertion-ordered full suite. */
-  lazy val all: Seq[(String, Q)] =
-    RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
+  lazy val all: Seq[(String, Q)] = {
+    val qs = RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       ExtendedQueries.all
+    // a duplicate name would silently shadow a query in the toMap below —
+    // the shadowed one would neither run nor be oracled, with no signal
+    val dups = qs.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    qs
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (n, q) => n -> q.fn }.toMap

@@ -520,11 +520,14 @@ object RelationalQueries {
           .select(get_json_object($"props", "$.k").cast("int").as("k"), $"value")
           .groupBy(($"k" % 10).as("k_mod"))
           .agg(count(lit(1)).as("n"), round(avg($"value"), 6).as("avg_value"))
-          .orderBy($"k_mod")
+          // pin null placement: Spark defaults NULLS FIRST, DuckDB NULLS
+          // LAST — a props row without "k" would silently break row-order
+          // parity under the defaults
+          .orderBy($"k_mod".asc_nulls_last)
       },
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
         count(*) AS n, round(avg(value),6) AS avg_value
-        FROM events GROUP BY k_mod ORDER BY k_mod"""),
+        FROM events GROUP BY k_mod ORDER BY k_mod NULLS LAST"""),
       "P1 JSON field decode + aggregate"),
 
     // ------------------------------------------------------------- window()
@@ -575,15 +578,16 @@ object RelationalQueries {
                round(avg($"n_events"), 6).as("avg_events_per_session"),
                max($"n_events").as("max_events"))
       },
-      Some("""WITH o AS (SELECT user_id, ts,
+      Some("""WITH o AS (SELECT user_id, ts, event_id,
           CASE WHEN epoch(date_trunc('microseconds', ts))
                  - epoch(date_trunc('microseconds', lag(ts) OVER (
-                     PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)))) >= 1800
-               OR lag(ts) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts)) IS NULL
+                     PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id))) >= 1800
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id) IS NULL
           THEN 1 ELSE 0 END AS new_session
         FROM events),
         sess AS (SELECT user_id, sum(new_session) OVER (
-            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+            PARTITION BY user_id ORDER BY date_trunc('microseconds', ts), event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
           FROM o),
         counts AS (SELECT user_id, session_id, count(*) AS n_events
           FROM sess GROUP BY user_id, session_id)

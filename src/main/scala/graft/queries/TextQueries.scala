@@ -138,13 +138,23 @@ object TextQueries {
 
     // ---------------------------------------------------------- language-ID
     // Marker-word heuristic with a deterministic argmax; aggregated as a
-    // (declared_lang × predicted_lang) contingency table.
+    // (declared_lang × predicted_lang) contingency table. Scores come
+    // from one explode + four codegen'd conditional sums per doc — the
+    // langScore filter-HOF form evaluates interpreted and re-splits the
+    // text once per language.
     "q32_text_langid" -> Q(
       (s, d) => {
         import s.implicits._
-        docs(s, d).select($"lang",
-            langId(langScore($"text", EnStops), langScore($"text", DeStops),
-                   langScore($"text", EsStops), langScore($"text", FrStops)).as("pred_lang"))
+        val scores = docs(s, d)
+          .select($"doc_id", $"lang", explode(words($"text")).as("w"))
+          .groupBy($"doc_id", $"lang")
+          .agg(
+            sum(when($"w".isin(EnStops: _*), 1).otherwise(0)).as("en"),
+            sum(when($"w".isin(DeStops: _*), 1).otherwise(0)).as("de"),
+            sum(when($"w".isin(EsStops: _*), 1).otherwise(0)).as("es"),
+            sum(when($"w".isin(FrStops: _*), 1).otherwise(0)).as("fr"))
+        scores.select($"lang",
+            langId($"en", $"de", $"es", $"fr").as("pred_lang"))
           .groupBy($"lang", $"pred_lang")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"pred_lang")
