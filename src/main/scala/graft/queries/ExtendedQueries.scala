@@ -21,6 +21,23 @@ object ExtendedQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** q70's statement — runs unchanged on Spark SQL and DuckDB. Declared
+    * before `all`, which captures it during object initialization. The
+    * cent sum casts to DOUBLE before dividing: Spark SQL types the
+    * literal 100.0 as DECIMAL where DuckDB types it DOUBLE, so dividing
+    * an integer by it would produce different result types per engine;
+    * DOUBLE/literal divides identically (and the sum is far below 2^53,
+    * so the cast is exact). */
+  private val SharedSql: String =
+    """SELECT n_name, count(*) AS n_items,
+      CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+      LIMIT 10"""
+
   val all: Seq[(String, Q)] = Seq(
 
     // ---------------------------------------------------------------- pivot
@@ -392,6 +409,21 @@ object ExtendedQueries {
         FROM daily
         WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         QUALIFY day_idx < 60 ORDER BY day_idx"""),
-      "rolling 7-day RANGE frame + first/last_value over daily revenue")
+      "rolling 7-day RANGE frame + first/last_value over daily revenue"),
+
+    // ----------------------------------------------------- spark.sql surface
+    // The SQL entry point: tables registered as temp views, ONE ANSI
+    // statement shared VERBATIM with the DuckDB oracle (cent-quantized
+    // sum keeps the arithmetic engine-agnostic). Catalyst plans it like
+    // the DataFrame form — broadcast dims, partial+final aggregation.
+    "q70_sql_interface" -> Q(
+      (s, d) => {
+        Seq("lineitem", "supplier", "nation").foreach { n =>
+          Tables(s, d, n).createOrReplaceTempView(n)
+        }
+        s.sql(SharedSql)
+      },
+      Some(SharedSql),
+      "spark.sql over temp views; one statement shared with the oracle")
   )
 }

@@ -28,6 +28,11 @@ object Registry {
     // the shadowed one would neither run nor be oracled, with no signal
     val dups = qs.groupBy(_._1).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    // Some(null) oracles happen via object-initialization-order slips
+    // (a val captured before its initializer ran) and would NPE the
+    // Verify dump after all queries executed — fail at first touch instead
+    val nullSql = qs.collect { case (n, Q(_, Some(null), _)) => n }
+    require(nullSql.isEmpty, s"null oracle SQL (init order?): ${nullSql.mkString(", ")}")
     qs
   }
 

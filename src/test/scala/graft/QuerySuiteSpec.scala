@@ -48,7 +48,8 @@ class QuerySuiteSpec extends SparkSpec {
       "ngram-lm" -> "q64_bigram_topk", "centroid" -> "q65_embed_centroids",
       "curation" -> "q66_quality_filter", "contamination" -> "q67_contamination",
       "keepers" -> "q68_dedup_keepers",
-      "range-frame" -> "q69_rolling_range_window")
+      "range-frame" -> "q69_rolling_range_window",
+      "sql-interface" -> "q70_sql_interface")
     val missing = families.filterNot { case (_, q) => names.contains(q) }
     assert(missing.isEmpty, s"missing families: ${missing.keys}")
   }
