@@ -29,23 +29,32 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // result is null for length-mismatched inputs even when children are
+  // non-nullable, so nullability must not be inferred from them
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
   /** Interpreted path (used off the codegen path, e.g. in constant
     * folding): same accumulation order as the generated loop, so results
-    * are bit-identical either way. */
+    * are bit-identical either way. Length-mismatched vectors yield null —
+    * the same answer zip_with-based cosine gives — rather than a silent
+    * prefix cosine that would mask truncated embeddings. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var nx = 0.0; var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
-      dot += xv * yv; nx += xv * xv; ny += yv * yv
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i); val yv = y.getDouble(i)
+        dot += xv * yv; nx += xv * xv; ny += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -58,14 +67,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          double $xv = $a.getDouble($i);
-          double $yv = $b.getDouble($i);
-          $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            double $xv = $a.getDouble($i);
+            double $yv = $b.getDouble($i);
+            $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+          }
+          ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
       """
     })
 
@@ -79,5 +92,12 @@ object VectorExpressions {
     * [[graft.functions.VectorFunctions.cosineFast]]. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+      "cosine_similarity",
+      exprs => {
+        // same arity contract as the GraftExtensions registration path:
+        // a clear analysis-time message, not an IndexOutOfBoundsException
+        require(exprs.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${exprs.length}")
+        CosineSimilarity(exprs.head, exprs(1))
+      }, "scala_udf")
 }

@@ -68,9 +68,13 @@ object TextFunctions {
     size(filter(words(text), w => w.isin(markers: _*)))
 
   /** Deterministic argmax over four language scores with a fixed
-    * tie-break order (en > de > es > fr). */
+    * tie-break order (en > de > es > fr). Null scores (a null document)
+    * yield null, not a spurious "fr" — every `when` predicate on nulls
+    * is null/skipped, so without the guard the otherwise branch would
+    * claim unscorable rows. */
   def langId(en: Column, de: Column, es: Column, fr: Column): Column =
-    when(en >= de && en >= es && en >= fr, "en")
+    when(en.isNull || de.isNull || es.isNull || fr.isNull, lit(null).cast("string"))
+      .when(en >= de && en >= es && en >= fr, "en")
       .when(de >= es && de >= fr, "de")
       .when(es >= fr, "es")
       .otherwise("fr")

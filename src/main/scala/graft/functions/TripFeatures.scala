@@ -93,8 +93,12 @@ object TripFeatures {
     * (`when(isNull,0).otherwise(cast(double))`, sparkML.py:58-64) as one
     * expression per column, folded over the frame. */
   def imputeZeroCastDouble(df: DataFrame, cols: Seq[String]): DataFrame =
+    // try_cast, not cast: under this build's ANSI mode a plain cast
+    // THROWS on an uncastable string (e.g. "N/A" from a CSV upload),
+    // where the Spark 3.5 reference yielded null → imputed 0.0. Same
+    // null-to-zero outcome, no query-killing exception.
     cols.foldLeft(df)((d, c) =>
-      d.withColumn(c, coalesce(col(c).cast("double"), lit(0.0))))
+      d.withColumn(c, coalesce(expr(s"try_cast(`$c` AS DOUBLE)"), lit(0.0))))
 
   /** The full 9-column enrichment chain of sparkConsumer.py:84-97 over a
     * generic (pickupTs, dropoffTs, fare, distance) trip frame. One narrow

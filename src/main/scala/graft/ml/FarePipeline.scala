@@ -110,7 +110,10 @@ object FarePipeline {
   def fitEval(df: DataFrame, cfg: FareConfig): (PipelineModel, FareMetrics) = {
     val Array(train, test) = df.randomSplit(Array(0.8, 0.2), cfg.seed)
     val model = build(cfg).fit(train)
-    val (pTrain, pTest) = (model.transform(train), model.transform(test))
+    // persist predictions: three evaluators per split would otherwise
+    // re-run split + full model scoring six times instead of twice
+    val pTrain = model.transform(train).persist()
+    val pTest = model.transform(test).persist()
     val importances = model.stages.last match {
       case m: RandomForestRegressionModel => m.featureImportances.toArray.toSeq
       case m: GBTRegressionModel => m.featureImportances.toArray.toSeq
@@ -122,13 +125,15 @@ object FarePipeline {
     require(importances.isEmpty || names.size == importances.size,
       s"feature name count ${names.size} != importance vector ${importances.size}")
     val imps = names.zip(importances).sortBy(-_._2)
-    (model, FareMetrics(
+    val metrics = FareMetrics(
       evaluate(pTrain, cfg.labelCol, "rmse"),
       evaluate(pTrain, cfg.labelCol, "mae"),
       evaluate(pTrain, cfg.labelCol, "r2"),
       evaluate(pTest, cfg.labelCol, "rmse"),
       evaluate(pTest, cfg.labelCol, "mae"),
       evaluate(pTest, cfg.labelCol, "r2"),
-      imps))
+      imps)
+    pTrain.unpersist(); pTest.unpersist()
+    (model, metrics)
   }
 }

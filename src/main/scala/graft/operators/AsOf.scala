@@ -34,7 +34,14 @@ object AsOf {
       lit(1).as("__is_left"),
       struct(left.columns.map(left(_)): _*).as("__l"),
       lit(null).cast(rType).as("__r"))
-    val rTagged = right.select(right(key).as("__k"), right(rightTime).as("__t"),
+    // null-keyed right rows can never match (NULL = NULL is false in the
+    // equi/ASOF semantics this mirrors) — but Window.partitionBy groups
+    // null keys together, so they must be removed before the union or a
+    // null-keyed left row would wrongly "match" them. Null-keyed left
+    // rows still flow through and emit with a null match, as a left join
+    // should.
+    val rTagged = right.filter(right(key).isNotNull)
+      .select(right(key).as("__k"), right(rightTime).as("__t"),
       lit(0).as("__is_left"),
       lit(null).cast(lType).as("__l"),
       struct(right.columns.map(right(_)): _*).as("__r"))

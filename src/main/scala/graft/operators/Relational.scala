@@ -142,8 +142,11 @@ object Relational {
     * Min/max come from one aggregate, broadcast back; the bucketing itself
     * is a narrow map + one hash aggregate. */
   def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
-    val m = df.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
-    df.crossJoin(broadcast(m))
+    // drop nulls explicitly: least(null-arithmetic, bins-1) SKIPS the
+    // null and would silently count null rows in the last bucket
+    val rows = df.filter(col(c).isNotNull)
+    val m = rows.agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+    rows.crossJoin(broadcast(m))
       // mn == mx guard: a constant column is one bucket, not a
       // divide-by-zero (which ANSI mode turns into a query-killing throw)
       .select(when(col("mn") === col("mx"), lit(0L))
@@ -187,14 +190,19 @@ object Relational {
     * handles sort-merge cases automatically; this explicit form covers
     * hash joins and pre-AQE plans, and documents the technique.
     *
-    * Probe salt is `pmod(hash(all probe columns), salt)` — deterministic,
-    * so results are reproducible run-to-run. */
+    * Probe salt hashes the row's columns PLUS a per-row ordinal: a hot
+    * key whose rows are full-row duplicates (retry/log data) would all
+    * hash identically and land on one replica, defeating the spread. The
+    * ordinal is partition-dependent, but the JOIN RESULT is identical for
+    * any salt assignment (each probe row meets exactly one replica of its
+    * match), so reproducibility is unaffected. */
   def saltedJoin(probe: DataFrame, build: DataFrame, probeKey: String,
                  buildKey: String, salt: Int = 8): DataFrame = {
     val saltedBuild = build.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     val saltedProbe = probe.withColumn("__salt",
-      pmod(hash(probe.columns.map(col): _*), lit(salt)))
+      pmod(hash(probe.columns.map(col) :+ monotonically_increasing_id(): _*),
+        lit(salt)))
     saltedProbe.join(saltedBuild,
         saltedProbe(probeKey) === saltedBuild(buildKey) &&
           saltedProbe("__salt") === saltedBuild("__salt"))

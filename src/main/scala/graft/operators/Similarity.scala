@@ -30,15 +30,14 @@ object Similarity {
                    idAs: String, vecAs: String): DataFrame =
     df.select(col(id).as(idAs), toDoubleVec(col(vec)).as(vecAs))
 
-  /** Brute-force cosine top-k: every query against every candidate.
-    * Queries are broadcast (top-k only makes sense for a small query
-    * set); ranking is a window over query_id. At extreme candidate
-    * counts, swap the window for a per-partition top-k + merge. */
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, id: String,
-                     vec: String, k: Int): DataFrame = {
-    val q = prep(queries, id, vec, "query_id", "qv")
-    val c = prep(candidates, id, vec, "cand_id", "cv")
-    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+  /** Shared broadcast-join + rank-window top-k core: candidates join the
+    * (small, broadcast) query set under `pairPred`, score with the fused
+    * cosine, rank per query with a deterministic tie-break. At extreme
+    * candidate counts, swap the window for a per-partition top-k +
+    * merge. */
+  private def rankedTopK(q: DataFrame, c: DataFrame, k: Int,
+                         pairPred: Column): DataFrame = {
+    val scored = c.join(broadcast(q), pairPred && col("query_id") =!= col("cand_id"))
       .withColumn("sim", cosineFast(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -46,23 +45,27 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"))
   }
 
-  /** IVF-style pruned top-k: identical to brute force but the pair join
-    * carries an additional cell-equality predicate, so each query scans
-    * only its coarse cell (a |C|/cells fraction of the data). */
+  /** Brute-force cosine top-k: every query against every candidate.
+    * Queries are broadcast (top-k only makes sense for a small query
+    * set); ranking is a window over query_id. */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame =
+    rankedTopK(
+      prep(queries, id, vec, "query_id", "qv"),
+      prep(candidates, id, vec, "cand_id", "cv"),
+      k, lit(true))
+
+  /** IVF-style pruned top-k: the same core with a cell-equality predicate
+    * on the join, so each query scans only its coarse cell (a |C|/cells
+    * fraction of the data). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, id: String,
-              vec: String, cell: String, k: Int): DataFrame = {
-    val q2 = queries.select(col(id).as("query_id"), col(cell).as("qcell"),
-      toDoubleVec(col(vec)).as("qv"))
-    val c2 = candidates.select(col(id).as("cand_id"), col(cell).as("ccell"),
-      toDoubleVec(col(vec)).as("cv"))
-    val scored = c2.join(broadcast(q2),
-        col("qcell") === col("ccell") && col("query_id") =!= col("cand_id"))
-      .withColumn("sim", cosineFast(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"))
-  }
+              vec: String, cell: String, k: Int): DataFrame =
+    rankedTopK(
+      queries.select(col(id).as("query_id"), col(cell).as("qcell"),
+        toDoubleVec(col(vec)).as("qv")),
+      candidates.select(col(id).as("cand_id"), col(cell).as("ccell"),
+        toDoubleVec(col(vec)).as("cv")),
+      k, col("qcell") === col("ccell"))
 
   /** Sign-LSH near-dup pairs: bucket by hyperplane signs (equi-join key),
     * verify with exact cosine. The shuffle is on the (table, bucket) id —
