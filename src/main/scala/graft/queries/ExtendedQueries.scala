@@ -424,6 +424,49 @@ object ExtendedQueries {
         s.sql(SharedSql)
       },
       Some(SharedSql),
-      "spark.sql over temp views; one statement shared with the oracle")
+      "spark.sql over temp views; one statement shared with the oracle"),
+
+    // ------------------------------------------------------------- TF-IDF
+    // Per-document top-3 terms by tf·idf — the canonical corpus term-
+    // weighting op. Three hash aggregates (term frequency per doc,
+    // document frequency, corpus size) joined long-form; df is a
+    // vocabulary-sized table, broadcast when small, shuffled when not.
+    // Ranking tie-breaks on the word, so equal scores (same tf, same df)
+    // order identically on both engines; unequal scores differ by far
+    // more than cross-engine log() ulp noise.
+    "q71_tfidf" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docsT = t(s, d, "documents")
+        val toks = docsT.select($"doc_id", explode(TextFunctions.words($"text")).as("w"))
+        val tf = toks.groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+        val df = toks.select($"doc_id", $"w").distinct()
+          .groupBy($"w").agg(count(lit(1)).as("df"))
+        val n = docsT.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df, "w").crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            $"tf" * log(($"n_docs" + 1).cast("double") / ($"df" + 1)))
+        val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"w".asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3 && $"doc_id" < 30)
+          .select($"doc_id", $"rank", $"w", round($"tfidf", 6).as("tfidf"))
+          .orderBy($"doc_id", $"rank")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        df AS (SELECT w, count(*) AS df FROM
+          (SELECT DISTINCT doc_id, w FROM toks) GROUP BY w),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, tf.w AS w,
+            tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS tfidf
+          FROM tf JOIN df ON tf.w = df.w CROSS JOIN n)
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, w, round(tfidf, 6) AS tfidf
+        FROM (SELECT doc_id, w, tfidf, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
+          FROM scored)
+        WHERE rank <= 3 AND doc_id < 30 ORDER BY doc_id, rank"""),
+      "per-document top-3 TF-IDF terms over the corpus")
   )
 }

@@ -49,7 +49,7 @@ class QuerySuiteSpec extends SparkSpec {
       "curation" -> "q66_quality_filter", "contamination" -> "q67_contamination",
       "keepers" -> "q68_dedup_keepers",
       "range-frame" -> "q69_rolling_range_window",
-      "sql-interface" -> "q70_sql_interface")
+      "sql-interface" -> "q70_sql_interface", "tfidf" -> "q71_tfidf")
     val missing = families.filterNot { case (_, q) => names.contains(q) }
     assert(missing.isEmpty, s"missing families: ${missing.keys}")
   }
