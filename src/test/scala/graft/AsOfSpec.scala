@@ -34,6 +34,36 @@ class AsOfSpec extends SparkSpec {
     assert(out(103L).isEmpty, "future clicks never match")
   }
 
+  test("as-of join never matches null keys; null-keyed left rows keep left-join nulls") {
+    val left = Seq(
+      (1L, Option(5L), ts("2024-05-01 10:00:00")),
+      (2L, Option.empty[Long], ts("2024-05-01 10:00:00"))
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (10L, Option(5L), ts("2024-05-01 09:00:00")),
+      (11L, Option.empty[Long], ts("2024-05-01 09:00:00")) // must match nothing
+    ).toDF("click_id", "user_id", "ct")
+    val out = AsOf.asOfJoin(left, right, "user_id", "t", "ct")
+      .select($"event_id", $"right_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(10L))
+    assert(out(2L).isEmpty,
+      "NULL = NULL never matches in equi/as-of semantics; left row still emitted")
+  }
+
+  test("as-of join is deterministic when right rows tie on the timestamp") {
+    val left = Seq((1L, 7L, ts("2024-05-01 10:00:00"))).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (20L, 7L, ts("2024-05-01 09:00:00")),
+      (21L, 7L, ts("2024-05-01 09:00:00")) // same key, same timestamp
+    ).toDF("click_id", "user_id", "ct")
+    def run(parts: Int): Long = AsOf.asOfJoin(
+        left, right.repartition(parts), "user_id", "t", "ct")
+      .select($"right_click_id").as[Long].collect()(0)
+    val picks = (1 to 4).map(run).toSet
+    assert(picks.size == 1, s"tie pick must not depend on partitioning: $picks")
+  }
+
   test("range join: inclusive at the window boundary, excludes beyond and cross-key") {
     val events = Seq(
       (1L, 10L, ts("2024-05-01 10:00:00")),
