@@ -40,33 +40,67 @@ object Relational {
     * aggregate or a window over a bounded histogram, never a per-
     * partition buffer of the data:
     *
-    *   1. coarse pass — groupBy floor(cents/W): at most range/W buckets
-    *      whatever the row count; a cumulative window over those buckets
-    *      locates the bucket holding each target rank;
+    *   0. range pass — (min, max) of the quantized values picks the
+    *      bucket width W adaptively: W = max(minBucketWidth,
+    *      ceil(range / maxCoarseBuckets)), so the coarse histogram —
+    *      and the single-partition cumulative window over it — never
+    *      exceeds maxCoarseBuckets rows no matter how wide the column's
+    *      value range is (a fixed W would single-thread and spill on a
+    *      wide-range column);
+    *   1. coarse pass — groupBy floor(cents/W): ≤ maxCoarseBuckets
+    *      buckets whatever the row count; a cumulative window over those
+    *      buckets locates the bucket holding each target rank;
     *   2. refine pass — per-value histogram restricted to the ≤ 2·|qs|
     *      target buckets (≤ W distinct values each, so skew cannot blow
     *      it up: an all-ties column compresses to one row), then the
     *      bracketing values are picked by rank and interpolated.
     *
+    * Quantization exactness: results equal percentile/quantile_cont only
+    * when every value round-trips `round(x·scale)/scale == x` (true for
+    * `scale`-decimal data). With `strict = true` the range pass also
+    * measures the max round-trip error and the query FAILS (assert_true)
+    * if any value would lose precision — callers that cannot tolerate
+    * silent quantization opt in instead of silently getting 1/scale-
+    * rounded quantiles.
+    *
     * Returns one row with columns p0..p{qs.size-1}. */
   def exactQuantilesQuantized(df: DataFrame, c: String, qs: Seq[Double],
-                              scale: Int = 100, bucketWidth: Long = 1024L): DataFrame = {
+                              scale: Int = 100, minBucketWidth: Long = 1024L,
+                              maxCoarseBuckets: Long = 1L << 16,
+                              strict: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val W = bucketWidth
     def centsOf(x: Column): Column = round(x * scale).cast("long")
-    def bucketOf(cents: Column): Column =
-      floor(cents.cast("double") / W).cast("long") // floor-division, negative-safe
+    def bucketOf(cents: Column): Column = // floor-division, negative-safe
+      floor(cents.cast("double") / col("__W")).cast("long")
+
+    // Level 0: value range → adaptive bucket width (one-row broadcast).
+    val rows = df.filter(col(c).isNotNull)
+    val wBase = greatest(lit(minBucketWidth),
+      ceil((col("__cmax") - col("__cmin") + 1).cast("double") / maxCoarseBuckets).cast("long"))
+    // strict: assert_true is folded INTO the width expression (adding a
+    // coalesced null) so column pruning cannot drop the check
+    val wExpr =
+      if (strict)
+        wBase + coalesce(assert_true(col("__qerr") <= 0.0,
+          concat(lit(s"exactQuantilesQuantized($c, scale=$scale): values are not " +
+            s"$scale-quantized; max round-trip error "),
+          col("__qerr").cast("string"))).cast("long"), lit(0L))
+      else wBase
+    val statsW = rows
+      .agg(min(centsOf(col(c))).as("__cmin"), max(centsOf(col(c))).as("__cmax"),
+           max(abs(col(c) - centsOf(col(c)).cast("double") / scale)).as("__qerr"))
+      .select(wExpr.as("__W"))
 
     // Level 1: coarse bucket histogram. Map-side combine collapses the
-    // scan to ≤ (value-range / W) rows regardless of row count; the
+    // scan to ≤ maxCoarseBuckets rows regardless of row count; the
     // ordered cumulative window runs over that bounded histogram only.
-    val rows = df.filter(col(c).isNotNull)
-    val coarse = rows
-      .groupBy(bucketOf(centsOf(col(c))).as("b"))
+    val coarse = rows.select(centsOf(col(c)).as("__cents"))
+      .crossJoin(broadcast(statsW))
+      .groupBy(bucketOf(col("__cents")).as("b"), col("__W"))
       .agg(count(lit(1)).as("cnt"))
     val wb = Window.orderBy(col("b"))
     val cumc = coarse.select(
-      col("b"), col("cnt"),
+      col("b"), col("cnt"), col("__W"),
       sum(col("cnt")).over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
       sum(col("cnt")).over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
     def k(q: Double): Column = (col("n") - 1) * lit(q)
@@ -81,7 +115,8 @@ object Relational {
           min(when(col("cum") >= r1, col("b"))).as(s"b1_$i"),
           min(when(col("cum") >= r1, col("cum") - col("cnt"))).as(s"below1_$i"))
     }
-    val targets = cumc.agg(max(col("n")).as("n"), targetAggs: _*)
+    val targets = cumc.agg(max(col("n")).as("n"),
+      min(col("__W")).as("__W") +: targetAggs: _*)
 
     // Level 2: refine only inside the (≤ 2·|qs|) target buckets. The
     // per-bucket distinct-value histogram is bounded by W rows, so the
@@ -92,7 +127,7 @@ object Relational {
       .map(i => bucketOf(col("v")) === col(s"b0_$i") || bucketOf(col("v")) === col(s"b1_$i"))
       .reduce(_ || _)
     val fine = withT.filter(isTarget)
-      .groupBy(col("v") +: col("n") +: qs.indices.flatMap(i =>
+      .groupBy(col("v") +: col("n") +: col("__W") +: qs.indices.flatMap(i =>
         Seq(col(s"b0_$i"), col(s"below0_$i"), col(s"b1_$i"), col(s"below1_$i"))): _*)
       .agg(count(lit(1)).as("cnt"))
       .withColumn("fcum", sum(col("cnt")).over(
@@ -120,12 +155,13 @@ object Relational {
     * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). Quantiles come from the
     * scalable histogram path ([[exactQuantilesQuantized]]), which is
     * EXACT only for `scale`-decimal data (default: 2-decimal money). For
-    * finer-grained columns either raise `scale` or accept bounds
-    * quantized to 1/scale — the filter below stays a valid outlier fence
-    * either way, just at quantized resolution. */
+    * finer-grained columns either raise `scale`, pass `strict = true` to
+    * fail fast instead of silently quantizing, or accept bounds quantized
+    * to 1/scale — the filter below stays a valid outlier fence either
+    * way, just at quantized resolution. */
   def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5,
-                scale: Int = 100): DataFrame =
-    exactQuantilesQuantized(df, c, Seq(0.25, 0.75), scale)
+                scale: Int = 100, strict: Boolean = false): DataFrame =
+    exactQuantilesQuantized(df, c, Seq(0.25, 0.75), scale, strict = strict)
       .select(col("p0").as("q1"), col("p1").as("q3"))
       .select((col("q1") - lit(factor) * (col("q3") - col("q1"))).as("lo"),
               (col("q3") + lit(factor) * (col("q3") - col("q1"))).as("hi"))
@@ -167,15 +203,18 @@ object Relational {
     * quartiles from the histogram path ([[exactQuantilesQuantized]]),
     * fused with a one-row broadcast join. The quartiles are exact for
     * 2-decimal data (the money columns this serves); columns with finer
-    * precision get quartiles of the cent-rounded values. */
-  def summaryStats(df: DataFrame, c: String, roundScale: Int = 6): DataFrame =
+    * precision get quartiles of the cent-rounded values, or a fail-fast
+    * error with `strict = true`. */
+  def summaryStats(df: DataFrame, c: String, roundScale: Int = 6,
+                   strict: Boolean = false): DataFrame =
     df.agg(
       count(col(c)).as("n"),
       round(avg(col(c)), roundScale).as("mean"),
       round(stddev_samp(col(c)), roundScale).as("sd"),
       min(col(c)).as("mn"),
       max(col(c)).as("mx"))
-    .crossJoin(broadcast(exactQuantilesQuantized(df, c, Seq(0.25, 0.5, 0.75))))
+    .crossJoin(broadcast(exactQuantilesQuantized(df, c, Seq(0.25, 0.5, 0.75),
+      strict = strict)))
     .select(col("n"), col("mean"), col("sd"), col("mn"),
       round(col("p0"), roundScale).as("q1"),
       round(col("p1"), roundScale).as("median"),
@@ -203,10 +242,14 @@ object Relational {
     val saltedProbe = probe.withColumn("__salt",
       pmod(hash(probe.columns.map(col) :+ monotonically_increasing_id(): _*),
         lit(salt)))
+    // drop BOTH salt columns by side-specific reference (name-based drop
+    // on an ambiguous post-join name is version-sensitive): the probe salt
+    // embeds a nondeterministic ordinal and must not leak to consumers
     saltedProbe.join(saltedBuild,
         saltedProbe(probeKey) === saltedBuild(buildKey) &&
           saltedProbe("__salt") === saltedBuild("__salt"))
-      .drop("__salt")
+      .drop(saltedProbe("__salt"))
+      .drop(saltedBuild("__salt"))
   }
 
   /** Approximate describe for the 100 TB path: t-digest quantiles and HLL

@@ -141,29 +141,36 @@ object TextQueries {
     // (declared_lang × predicted_lang) contingency table. Scores come
     // from one explode + four codegen'd conditional sums per doc — the
     // langScore filter-HOF form evaluates interpreted and re-splits the
-    // text once per language.
+    // text once per language. explode of a null array emits NO rows, so
+    // the scores are LEFT-joined back to the full document set with
+    // missing scores coalesced to 0: a null-text doc keeps its row in the
+    // contingency table (scoring 'en' on the all-zero tie), matching the
+    // oracle's per-row COALESCE shape instead of silently vanishing.
     "q32_text_langid" -> Q(
       (s, d) => {
         import s.implicits._
         val scores = docs(s, d)
-          .select($"doc_id", $"lang", explode(words($"text")).as("w"))
-          .groupBy($"doc_id", $"lang")
+          .select($"doc_id", explode(words($"text")).as("w"))
+          .groupBy($"doc_id")
           .agg(
             sum(when($"w".isin(EnStops: _*), 1).otherwise(0)).as("en"),
             sum(when($"w".isin(DeStops: _*), 1).otherwise(0)).as("de"),
             sum(when($"w".isin(EsStops: _*), 1).otherwise(0)).as("es"),
             sum(when($"w".isin(FrStops: _*), 1).otherwise(0)).as("fr"))
-        scores.select($"lang",
-            langId($"en", $"de", $"es", $"fr").as("pred_lang"))
+        docs(s, d).select($"doc_id", $"lang")
+          .join(scores, Seq("doc_id"), "left")
+          .select($"lang",
+            langId(coalesce($"en", lit(0L)), coalesce($"de", lit(0L)),
+              coalesce($"es", lit(0L)), coalesce($"fr", lit(0L))).as("pred_lang"))
           .groupBy($"lang", $"pred_lang")
           .agg(count(lit(1)).as("n"))
           .orderBy($"lang", $"pred_lang")
       },
       Some("""WITH sc AS (SELECT lang,
-          len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and'))) AS en,
-          len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','und','das'))) AS de,
-          len(list_filter(string_split(lower(text),' '), w -> w IN ('el','la','los','y'))) AS es,
-          len(list_filter(string_split(lower(text),' '), w -> w IN ('le','les','et','dans'))) AS fr
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and'))), 0) AS en,
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','und','das'))), 0) AS de,
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('el','la','los','y'))), 0) AS es,
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('le','les','et','dans'))), 0) AS fr
         FROM documents)
         SELECT lang, CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
           WHEN de >= es AND de >= fr THEN 'de' WHEN es >= fr THEN 'es'

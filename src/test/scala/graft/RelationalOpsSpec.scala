@@ -55,8 +55,11 @@ class RelationalOpsSpec extends SparkSpec {
     val build = spark.range(50).select($"id".as("bk"), ($"id" * 10).as("bv"))
     val plain = probe.join(build, probe("k") === build("bk"))
       .select($"v", $"bv").as[(Long, Long)].collect().toSet
-    val salted = Relational.saltedJoin(probe, build, "k", "bk", salt = 8)
-      .select($"v", $"bv").as[(Long, Long)].collect().toSet
+    val saltedDf = Relational.saltedJoin(probe, build, "k", "bk", salt = 8)
+    // the internal (nondeterministic) salt columns must not leak to output
+    assert(!saltedDf.columns.contains("__salt"),
+      s"__salt leaked: ${saltedDf.columns.mkString(",")}")
+    val salted = saltedDf.select($"v", $"bv").as[(Long, Long)].collect().toSet
     assert(salted == plain)
     assert(plain.count(_._2 == 70L) == 900, "hot key rows all preserved")
   }
@@ -134,5 +137,29 @@ class RelationalOpsSpec extends SparkSpec {
       assert(Seq(fast._1, fast._2, fast._3) == exact,
         s"n=${xs.length}: fast=$fast exact=$exact")
     }
+  }
+
+  test("quantile bucket width adapts to a wide value range (bounded coarse histogram)") {
+    // range spans ~1e10 cents; fixed W=1024 would make a ~1e7-bucket
+    // histogram under the single-partition cumulative window
+    val df = (Seq(0.0, 1e8) ++ Seq.tabulate(999)(i => (i * 137 % 100000).toDouble)).toDF("x")
+    val qs = Seq(0.25, 0.5, 0.75)
+    val fast = Relational.exactQuantilesQuantized(df, "x", qs, maxCoarseBuckets = 4096)
+      .as[(Double, Double, Double)].collect()(0)
+    val exact = df.agg(percentile($"x", array(qs.map(lit): _*)))
+      .as[Seq[Double]].collect()(0)
+    assert(Seq(fast._1, fast._2, fast._3) == exact, s"fast=$fast exact=$exact")
+  }
+
+  test("strict quantiles fail fast on sub-cent precision and pass on exact data") {
+    val lossy = Seq(1.001, 2.0, 3.0).toDF("x")
+    val e = intercept[Exception] {
+      Relational.exactQuantilesQuantized(lossy, "x", Seq(0.5), strict = true).collect()
+    }
+    assert(e.getMessage.contains("not 100-quantized"), e.getMessage)
+    val cleanR = Relational.exactQuantilesQuantized(
+      Seq(1.25, 2.5, 3.75).toDF("x"), "x", Seq(0.5), strict = true)
+      .as[Double].collect()(0)
+    assert(cleanR == 2.5)
   }
 }
