@@ -79,6 +79,111 @@ object Dedup {
     withDigests.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Prime for the LCG min-hash family — the same one Spark's own
+    * `org.apache.spark.ml.feature.MinHashLSH` uses (`HASH_PRIME`), kept
+    * below 2^31 so `a·h + b` stays under 2^62: portable BIGINT
+    * arithmetic, no overflow in either engine. */
+  val LcgPrime: Long = 2038074743L
+
+  /** Deterministic (a, b) coefficients for hash slot j, derived from md5
+    * so they are reproducible constants: both the Spark plan and the
+    * DuckDB oracle SQL embed the same literals (no cross-engine hash
+    * portability needed for the coefficients themselves). a ∈ [1, P-1],
+    * b ∈ [0, P-1]. */
+  def lcgCoef(j: Int): (Long, Long) = {
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.take(8).foldLeft(0L)((acc, b) => (acc << 8) | (b & 0xffL)) >>> 4
+    }
+    (h60(s"a:$j") % (LcgPrime - 1) + 1, h60(s"b:$j") % LcgPrime)
+  }
+
+  /** MinHash signatures from ONE digest per token: the token's 60-bit
+    * md5 integer is reduced mod [[LcgPrime]] and the k hash slots are the
+    * 2-universal family h_j(x) = (a_j·x + b_j) mod P — the same
+    * construction (and prime) as Spark ML's `MinHashLSH`, so the
+    * statistical structure of the classic k-permutations estimator is
+    * preserved while the per-token digest cost drops k/2-fold vs
+    * [[minhashSignatures]] (measured 1.65 → 0.4 s on the sf0.1 corpus).
+    * Aggregation states stay k fixed-width longs (HashAggregate fast
+    * path, map-side combinable). The DuckDB oracle mirrors the exact
+    * arithmetic with the same embedded (a_j, b_j) literals. */
+  def minhashSignaturesLcg(toks: DataFrame, id: String, k: Int): DataFrame = {
+    val withH = toks.select(col(id),
+      pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
+        lit(LcgPrime)).as("h"))
+    val mins = (0 until k).map { j =>
+      val (a, b) = lcgCoef(j)
+      min(pmod(lit(a) * col("h") + lit(b), lit(LcgPrime))).as(s"mh$j")
+    }
+    withH.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** One-permutation MinHash signatures (Li, Owen & Zhang, "One
+    * Permutation Hashing", NIPS 2012): ONE digest per token instead of
+    * k/2. The token's 60-bit md5 integer both selects a bin (h mod k) and
+    * competes for that bin's minimum, so a doc's signature is the k
+    * per-bin minima of a single hash pass — the classic k-independent-
+    * permutations estimator spends k/2 digests per token for the same
+    * shuffle shape. Empty bins (a doc with few tokens may miss a bin)
+    * resolve to the sentinel -1 rather than rotation-densified
+    * (Shrivastava & Li, ICML 2014): densification is a sequential scan
+    * per signature, and for *candidate generation* (always exact-verified
+    * afterwards) the sentinel only makes two sparse docs agree on empty
+    * bins — a recall-side wobble the verify stage filters exactly.
+    * States are k fixed-width longs → HashAggregate fast path, map-side
+    * combinable; shuffle volume O(docs × k) like the classic path. The
+    * DuckDB oracle mirrors bin selection and minima verbatim
+    * (CAST('0x'||substr(md5(sh),1,15) AS BIGINT) and % k). */
+  def ophSignatures(toks: DataFrame, id: String, k: Int): DataFrame = {
+    val withH = toks.select(col(id),
+      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val mins = (0 until k).map { j =>
+      coalesce(min(when(pmod(col("h"), lit(k)) === j, col("h"))), lit(-1L)).as(s"mh$j")
+    }
+    withH.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** [[ophSignatures]] + rotation densification (Shrivastava & Li,
+    * "Improved Densification of One Permutation Hashing", ICML 2014):
+    * an empty bin borrows the value of the next non-empty bin clockwise
+    * on the bin ring, offset by the hop distance so different distances
+    * stay distinguishable. Without this, docs with fewer tokens than
+    * bins collide trivially on shared-empty-bin bands (sentinel = sentinel),
+    * which both floods buckets past the stop cap and erases real signal —
+    * measured on the synthetic corpus (≤31 distinct tokens, k=64: every
+    * doc ≥33 empty bins) undensified OPH lost ~55% of verified pairs.
+    *
+    * Plan shape: the wide nullable bin-minima aggregate is posexploded to
+    * (id, pos, m) rows, the ring is doubled (pos and pos+k) so the
+    * clockwise scan never wraps, and one window per doc — `first(m,
+    * ignoreNulls)` over [current, ∞) — fills the gaps. The input arrives
+    * hash-partitioned by `id` (the aggregate's own distribution), so the
+    * window and the re-widening aggregate run shuffle-free; densification
+    * costs two narrow stages over k·docs rows, not a new exchange. */
+  def ophDensifiedSignatures(toks: DataFrame, id: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withH = toks.select(col(id),
+      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+    val binMins = (0 until k).map { j =>
+      min(when(pmod(col("h"), lit(k)) === j, col("h"))).as(s"mh$j")
+    }
+    val wide = withH.groupBy(col(id)).agg(binMins.head, binMins.tail: _*)
+    val ring = wide.select(col(id),
+      posexplode(array((0 until k).map(j => col(s"mh$j")): _*)).as(Seq("pos", "m")))
+    val doubled = ring.unionAll(ring.select(col(id), (col("pos") + k).as("pos"), col("m")))
+    val w = Window.partitionBy(col(id)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = doubled.select(col(id), col("pos"),
+      first(col("m"), ignoreNulls = true).over(w).as("nval"),
+      first(when(col("m").isNotNull, col("pos")), ignoreNulls = true).over(w).as("npos"))
+    val dens = filled.filter(col("pos") < k)
+      .select(col(id), col("pos"), (col("nval") + col("npos") - col("pos")).as("d"))
+    val rewiden = (0 until k).map(j => min(when(col("pos") === j, col("d"))).as(s"mh$j"))
+    dens.groupBy(col(id)).agg(rewiden.head, rewiden.tail: _*)
+  }
+
   /** LSH banding: signature → (band_idx, band_hash) rows, band hash = md5
     * of the band's r min-hashes rendered as ':'-separated decimal strings
     * (the separator keeps distinct tuples from colliding as strings).
@@ -143,7 +248,9 @@ object Dedup {
     * shuffle hash join when it isn't. */
   def minhashNearDups(df: DataFrame, id: String, text: String,
                       k: Int = 64, bands: Int = 8,
-                      threshold: Double = 0.9, maxBucket: Int = 100): DataFrame = {
+                      threshold: Double = 0.9, maxBucket: Int = 100,
+                      scheme: String = "salted"): DataFrame = {
+    require(Set("salted", "lcg", "oph")(scheme), s"unknown scheme $scheme")
     // Repartition the token stream by id BEFORE hashing: a small corpus
     // arrives as one scan partition, which would run the k/2-digests-per-
     // row projection single-threaded; hashing after the exchange spreads
@@ -151,7 +258,11 @@ object Dedup {
     // the signature aggregate needs no further shuffle (measured 3×
     // end-to-end on local[32]).
     val toks = tokens(df, id, text).repartition(col(id))
-    val sigs = minhashSignatures(toks, id, k)
+    val sigs = scheme match {
+      case "lcg"    => minhashSignaturesLcg(toks, id, k)
+      case "oph"    => ophDensifiedSignatures(toks, id, k)
+      case "salted" => minhashSignatures(toks, id, k)
+    }
     val cands = lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket)
     val sets = tokenSets(df, id, text)
     cands

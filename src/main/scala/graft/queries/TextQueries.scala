@@ -24,21 +24,68 @@ object TextQueries {
     * aggregate + nested explodes — same pair set, different (non-scalable,
     * oracle-only) plan shape. */
   private def minhashOracle(bound: Int, k: Int, bands: Int,
-                            threshold: Double, maxBucket: Int): String = {
+                            threshold: Double, maxBucket: Int,
+                            scheme: String = "salted"): String = {
     val r = k / bands
-    val minExprs = (0 until k)
-      .map(j => s"min(CAST('0x' || substr(md5('${j / 2}:' || sh), " +
-        s"${1 + 15 * (j % 2)}, 15) AS BIGINT)) AS mh$j")
-      .mkString(", ")
+    // "salted": k/2 salted digests per token, one min per hash slot.
+    // "lcg": mirrors Dedup.minhashSignaturesLcg — one 60-bit hash per
+    //   token reduced mod LcgPrime, k slots via (a_j·h + b_j) mod P with
+    //   the SAME (a_j, b_j) literals the Spark plan embeds.
+    // "oph": mirrors Dedup.ophDensifiedSignatures — bin minima of a
+    //   single 60-bit hash, rotation-densified over the doubled bin ring
+    //   with a distance offset, re-widened by conditional mins.
+    val sigsCte =
+      if (scheme == "lcg")
+        s"""tok AS (
+             SELECT doc_id,
+               CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)
+                 % ${graft.operators.Dedup.LcgPrime} AS h
+             FROM (SELECT doc_id,
+                 unnest(list_distinct(string_split(lower(text), ' '))) AS sh
+               FROM documents WHERE doc_id < $bound)),
+           sigs AS (SELECT doc_id, ${(0 until k).map { j =>
+                 val (a, b) = graft.operators.Dedup.lcgCoef(j)
+                 s"min(($a * h + $b) % ${graft.operators.Dedup.LcgPrime}) AS mh$j"
+               }.mkString(", ")}
+             FROM tok GROUP BY doc_id)"""
+      else if (scheme == "oph")
+        s"""tok AS (
+             SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+             FROM (SELECT doc_id,
+                 unnest(list_distinct(string_split(lower(text), ' '))) AS sh
+               FROM documents WHERE doc_id < $bound)),
+           binm AS (SELECT doc_id, h % $k AS pos, min(h) AS m
+             FROM tok GROUP BY doc_id, h % $k),
+           scaf AS (SELECT d.doc_id, r.range AS pos
+             FROM (SELECT DISTINCT doc_id FROM binm) d, range(${2 * k}) r),
+           ring AS (SELECT s.doc_id, s.pos, b.m FROM scaf s
+             LEFT JOIN (SELECT doc_id, pos, m FROM binm
+                        UNION ALL SELECT doc_id, pos + $k, m FROM binm) b
+             ON b.doc_id = s.doc_id AND b.pos = s.pos),
+           filled AS (SELECT doc_id, pos,
+               first_value(m IGNORE NULLS) OVER w AS nval,
+               first_value(CASE WHEN m IS NOT NULL THEN pos END IGNORE NULLS)
+                 OVER w AS npos
+             FROM ring WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           sigs AS (SELECT doc_id, ${(0 until k).map(j =>
+                 s"min(CASE WHEN pos = $j THEN nval + npos - pos END) AS mh$j")
+               .mkString(", ")}
+             FROM filled WHERE pos < $k GROUP BY doc_id)"""
+      else
+        s"""tok AS (
+             SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS sh
+             FROM documents WHERE doc_id < $bound),
+           sigs AS (SELECT doc_id, ${(0 until k).map(j =>
+                 s"min(CAST('0x' || substr(md5('${j / 2}:' || sh), " +
+                   s"${1 + 15 * (j % 2)}, 15) AS BIGINT)) AS mh$j").mkString(", ")}
+             FROM tok GROUP BY doc_id)"""
     val bandSelects = (0 until bands).map { b =>
       val cat = (b * r until (b + 1) * r)
         .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH tok AS (
-         SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS sh
-         FROM documents WHERE doc_id < $bound),
-       sigs AS (SELECT doc_id, $minExprs FROM tok GROUP BY doc_id),
+    s"""WITH $sigsCte,
        bands AS ($bandSelects),
        sized AS (SELECT * FROM (SELECT doc_id, band_idx, band_hash,
            count(*) OVER (PARTITION BY band_idx, band_hash) AS n FROM bands)
@@ -237,12 +284,13 @@ object TextQueries {
       (s, d) => {
         import s.implicits._
         Dedup.minhashNearDups(docs(s, d).filter($"doc_id" < 1000), "doc_id", "text",
-            k = 64, bands = 8, threshold = 0.9, maxBucket = 100)
+            k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
+            scheme = "lcg")
           .orderBy($"id_a", $"id_b")
       },
       Some(minhashOracle(bound = 1000, k = 64, bands = 8,
-        threshold = 0.9, maxBucket = 100)),
-      "MinHash+LSH near-dup pipeline (banded, verify-on-candidates)"),
+        threshold = 0.9, maxBucket = 100, scheme = "lcg")),
+      "MinHash+LSH near-dup pipeline (LCG hash family, banded, verify-on-candidates)"),
 
     // ----------------------------------------------------------- SimHash dedup
     // 64-bit SimHash sketches (four 16-bit chunks from md5 hex digits —

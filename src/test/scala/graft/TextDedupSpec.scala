@@ -46,6 +46,45 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("LCG minhash scheme: same pair detection as the salted scheme, coefficients in range") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 32, bands = 16, threshold = 0.7, scheme = "lcg")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)), "permutation shares the whole shingle set")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    (0 until 64).foreach { j =>
+      val (a, b) = Dedup.lcgCoef(j)
+      assert(a >= 1 && a < Dedup.LcgPrime && b >= 0 && b < Dedup.LcgPrime)
+    }
+    // hash values stay inside [0, P): products never overflow a long
+    val sigs = Dedup.minhashSignaturesLcg(
+      Dedup.tokens(docs, "doc_id", "text"), "doc_id", 32)
+    val mins = sigs.select(array((0 until 32).map(j => col(s"mh$j")): _*))
+      .as[Seq[Long]].collect().flatten
+    assert(mins.forall(h => h >= 0 && h < Dedup.LcgPrime))
+  }
+
+  test("densified OPH: no null slots even with far fewer tokens than bins, dups still found") {
+    // doc 0 has 8 distinct tokens but k=32 bins: >=24 bins are empty and
+    // must be filled by rotation densification, not sentinels/nulls
+    val sigs = Dedup.ophDensifiedSignatures(
+      Dedup.tokens(docs, "doc_id", "text"), "doc_id", 32)
+    assert(sigs.count() == 4)
+    val anyNull = sigs.select(
+      (0 until 32).map(j => col(s"mh$j").isNull.cast("int")).reduce(_ + _).as("n"))
+      .agg(sum($"n")).as[Long].collect()(0)
+    assert(anyNull == 0, "densification must fill every empty bin")
+    // identical token sets (docs 0 and 2) must produce identical signatures
+    val rows = sigs.orderBy($"doc_id").collect()
+    assert(rows(0).toSeq.drop(1) == rows(2).toSeq.drop(1),
+      "OPH signature is a pure function of the token set")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+        k = 32, bands = 16, threshold = 0.7, scheme = "oph")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("simhash: permutation -> hamming 0; unrelated doc -> large distance") {
     val sh = Dedup.simhashChunks(docs, "doc_id", "text")
     val m = sh.as[(Long, Int, Int, Int, Int)].collect()
