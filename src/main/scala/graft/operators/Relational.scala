@@ -268,6 +268,20 @@ object Relational {
       element_at(col("qs"), 2).as("median"),
       element_at(col("qs"), 3).as("q3"))
 
+  /** Deterministic hash sampling: keep a row iff a salted md5 of its key
+    * lands under `keepPerMille`/1000. Unlike rand()-based sampling this is
+    * reproducible across runs, engines and executor placements (the
+    * decision is a pure function of the key), composes with retries and
+    * incremental reruns at 100 TB — the same doc always makes the same
+    * cut — and needs no RNG state or seed plumbing. Map-only: no shuffle,
+    * pushdown-friendly. The salt namespaces independent samples (two
+    * different salts give statistically independent subsets). */
+  def hashSample(df: DataFrame, key: Column, salt: String,
+                 keepPerMille: Int): DataFrame =
+    df.filter(
+      conv(substring(md5(concat(lit(s"$salt:"), key.cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1000 < keepPerMille)
+
   /** A12 — argmax row per group via a rank-1 window (deterministic
     * tie-break on `tieBreak` ascending). */
   def argmaxPerGroup(df: DataFrame, part: Column, order: Column,

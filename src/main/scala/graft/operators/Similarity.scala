@@ -55,6 +55,25 @@ object Similarity {
       prep(candidates, id, vec, "cand_id", "cv"),
       k, lit(true))
 
+  /** k-NN majority-vote classification: label each query vector by the
+    * modal label of its cosine top-k neighbors (deterministic tie-break
+    * toward the smaller label). Composes [[bruteForceTopK]] with a label
+    * join + vote aggregate + rank-1 window — at scale, swap the
+    * brute-force stage for [[ivfTopK]]/[[lshNearDupPairs]] candidates;
+    * the vote tail is identical. */
+  def knnClassify(queries: DataFrame, candidates: DataFrame, id: String,
+                  vec: String, label: String, k: Int): DataFrame = {
+    val votes = bruteForceTopK(queries, candidates, id, vec, k)
+      .join(candidates.select(col(id).as("cand_id"), col(label).as("cand_label")),
+        "cand_id")
+      .groupBy(col("query_id"), col("cand_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("cand_label").asc)
+    votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_label").as("pred_label"), col("votes"))
+  }
+
   /** IVF-style pruned top-k: the same core with a cell-equality predicate
     * on the join, so each query scans only its coarse cell (a |C|/cells
     * fraction of the data). */

@@ -467,6 +467,72 @@ object ExtendedQueries {
             PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
           FROM scored)
         WHERE rank <= 3 AND doc_id < 30 ORDER BY doc_id, rank"""),
-      "per-document top-3 TF-IDF terms over the corpus")
+      "per-document top-3 TF-IDF terms over the corpus"),
+
+    // ----------------------------------------------- unigram LM scoring
+    // Perplexity-proxy quality score: average negative log-probability of
+    // each doc's tokens under the corpus unigram LM — the classic cheap
+    // filter for LLM training data (gibberish scores high, boilerplate
+    // low). Two hash aggregates (vocabulary counts, corpus total) + one
+    // join back to the token stream; the vocabulary join shuffles on the
+    // word, the one-row total travels by broadcast. No driver collects,
+    // so the plan survives a vocabulary that doesn't fit on one node.
+    // ln() ulp noise across engines is absorbed by round-6 after the avg
+    // (q71 precedent).
+    "q72_unigram_logprob" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select($"doc_id", explode(TextFunctions.words($"text")).as("w"))
+        val vocab = toks.groupBy($"w").agg(count(lit(1)).as("cnt"))
+        val tot = toks.agg(count(lit(1)).as("tot"))
+        toks.join(vocab, "w").crossJoin(broadcast(tot))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               round(avg(-log($"cnt".cast("double") / $"tot")), 6).as("avg_neg_logp"))
+          .filter($"doc_id" < 100)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+        tot AS (SELECT count(*) AS tot FROM toks)
+        SELECT doc_id, count(*) AS n_tokens,
+          round(avg(-ln(CAST(cnt AS DOUBLE) / tot)), 6) AS avg_neg_logp
+        FROM toks JOIN vocab USING (w) CROSS JOIN tot
+        WHERE doc_id < 100
+        GROUP BY doc_id ORDER BY doc_id"""),
+      "corpus unigram-LM negative log-prob per doc (perplexity-proxy quality score)"),
+
+    // ------------------------------------------- deterministic sampling
+    // Stratified reproducible sampling via salted content-key hashing
+    // ([[graft.operators.Relational.hashSample]]): the keep decision is a
+    // pure function of (salt, doc_id), so the same subset falls out on
+    // any engine, any run, any cluster layout — rand()-free, map-only,
+    // no seed plumbing. Reported per stratum to show rate concentration.
+    "q73_stratified_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sampled = graft.operators.Relational.hashSample(
+          t(s, d, "documents"), $"doc_id", "smp", 100)
+        t(s, d, "documents").groupBy($"source").agg(count(lit(1)).as("n_total"))
+          .join(sampled.groupBy($"source").agg(count(lit(1)).as("n_kept")),
+            Seq("source"), "left")
+          .select($"source", $"n_total",
+            coalesce($"n_kept", lit(0L)).as("n_kept"),
+            round(coalesce($"n_kept", lit(0L)).cast("double") / $"n_total", 6)
+              .as("rate"))
+          .orderBy($"source")
+      },
+      Some("""WITH kept AS (SELECT source, count(*) AS n_kept FROM documents
+          WHERE CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000 < 100
+          GROUP BY source)
+        SELECT source, count(*) AS n_total,
+          COALESCE(any_value(n_kept), 0) AS n_kept,
+          round(CAST(COALESCE(any_value(n_kept), 0) AS DOUBLE) / count(*), 6) AS rate
+        FROM documents LEFT JOIN kept USING (source)
+        GROUP BY source ORDER BY source"""),
+      "deterministic salted-hash stratified sample (reproducible, engine-independent)")
   )
 }

@@ -113,6 +113,43 @@ object VectorQueries {
         FROM v a, v b WHERE a.bucket = b.bucket AND a.vec_id < b.vec_id
           AND ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.3
         ORDER BY id_a, id_b"""),
-      "sign-LSH bucketed near-dup search with exact re-rank")
+      "sign-LSH bucketed near-dup search with exact re-rank"),
+
+    // --------------------------------------------------- k-NN classification
+    // Downstream use of the ANN surface: label propagation by majority
+    // vote of the cosine top-10 neighbors (deterministic tie-break toward
+    // the smaller label). Votes are integer counts, so the hash compare
+    // is float-free; the scale path swaps the brute-force candidate
+    // stage for IVF/LSH candidates with the identical vote tail.
+    "q74_knn_classify" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.knnClassify(
+            e.filter($"vec_id" < 20), e.filter($"vec_id" >= 20),
+            "vec_id", "embedding", "label", 10)
+          .select($"query_id", $"pred_label", $"votes")
+          .orderBy($"query_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id, label, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id >= 20),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            c.label AS cand_label, ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS sim
+          FROM q, c),
+        topk AS (SELECT query_id, cand_label FROM (
+          SELECT query_id, cand_label, row_number() OVER (PARTITION BY query_id
+              ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+          WHERE rank <= 10),
+        votes AS (SELECT query_id, cand_label, count(*) AS votes
+          FROM topk GROUP BY query_id, cand_label)
+        SELECT query_id, pred_label, votes FROM (
+          SELECT query_id, cand_label AS pred_label, votes, row_number() OVER (
+            PARTITION BY query_id ORDER BY votes DESC, cand_label) AS rn
+          FROM votes)
+        WHERE rn = 1 ORDER BY query_id"""),
+      "k-NN majority-vote label propagation over the embedding space")
   )
 }

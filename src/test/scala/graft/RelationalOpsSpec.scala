@@ -151,6 +151,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(Seq(fast._1, fast._2, fast._3) == exact, s"fast=$fast exact=$exact")
   }
 
+  test("hashSample is deterministic, salt-namespaced, and near the target rate") {
+    val df = spark.range(10000).toDF("id")
+    val s1 = Relational.hashSample(df, $"id", "a", 100).as[Long].collect().toSet
+    val s2 = Relational.hashSample(df, $"id", "a", 100).as[Long].collect().toSet
+    assert(s1 == s2, "same salt+key must select the same subset on every run")
+    // repartitioning must not change the decision (pure function of the key)
+    val s3 = Relational.hashSample(df.repartition(13), $"id", "a", 100)
+      .as[Long].collect().toSet
+    assert(s3 == s1)
+    val other = Relational.hashSample(df, $"id", "b", 100).as[Long].collect().toSet
+    assert(other != s1, "different salt = independent sample")
+    assert(math.abs(s1.size - 1000) < 150, s"rate off: ${s1.size}/10000 vs 10%")
+    // nested rates: a 5% sample under the same salt is a subset of the 10%
+    val narrower = Relational.hashSample(df, $"id", "a", 50).as[Long].collect().toSet
+    assert(narrower.subsetOf(s1), "keepPerMille thresholds must nest")
+  }
+
   test("strict quantiles fail fast on sub-cent precision and pass on exact data") {
     val lossy = Seq(1.001, 2.0, 3.0).toDF("x")
     val e = intercept[Exception] {

@@ -41,6 +41,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1) == ((0L, 2, 4L)))
   }
 
+  test("knnClassify: majority label of neighbors wins, ties break to smaller label") {
+    // query 0: neighbors ranked 1,4 (label 0), 2 (label 1), 3 (label 0)
+    val pred = Similarity.knnClassify(
+        vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", "label", 3)
+      .as[(Long, Int, Long)].collect()
+    assert(pred.toSeq == Seq((0L, 0, 2L)),
+      s"top-3 = {1,4 (label 0), 2 (label 1)} -> label 0 with 2 votes; got ${pred.toSeq}")
+    // k=2 keeps {1, 4}: unanimous label 0
+    val pred2 = Similarity.knnClassify(
+        vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", "label", 2)
+      .as[(Long, Int, Long)].collect()
+    assert(pred2.toSeq == Seq((0L, 0, 2L)))
+  }
+
   test("IVF pruning restricts candidates to the query's cell") {
     val out = Similarity.ivfTopK(
         vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" =!= 0),
