@@ -20,6 +20,57 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  /** Connected components of an undirected pair graph (near-dup edges →
+    * duplicate clusters) by iterative min-label propagation: every node
+    * starts labeled with its own id; each round every node takes the min
+    * label among itself and its neighbors; at the fixpoint each component
+    * carries its minimum member id. The fixpoint is unique — independent
+    * of iteration count, partitioning or join order — so the result is
+    * engine-reproducible (the DuckDB oracle reaches the same labels with
+    * a recursive CTE).
+    *
+    * Scale posture: one equi-join + one hash aggregate per round, each a
+    * single shuffle on the node id; rounds = graph diameter. Near-dup
+    * graphs are unions of small dense clusters (tiny diameter), so this
+    * terminates in a handful of rounds; for adversarial path-shaped
+    * graphs the published alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) gets O(log² n) rounds from the same per-round primitives.
+    * Every round is localCheckpoint'd: an iterative self-referential plan
+    * otherwise doubles its lineage each round and drowns the driver in
+    * re-analysis (at production scale, use reliable `checkpoint` so a
+    * lost executor cannot lose a round's blocks).
+    *
+    * `pairs` carries one (id_a, id_b) row per undirected edge; `nodes` is
+    * the id universe (isolated nodes become singleton clusters). Returns
+    * (id, cluster_id). Fails loudly if `maxIter` rounds don't reach the
+    * fixpoint rather than returning a partially-propagated labeling. */
+  def connectedComponents(nodes: DataFrame, id: String, pairs: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(id).as("id"), col(id).as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIter) {
+      val fromNeighbors = und.join(labels, und("src") === labels("id"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.union(fromNeighbors)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .filter(col("cluster_id") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"connectedComponents: no fixpoint after $maxIter rounds")
+    labels
+  }
+
   /** Exact dedup stats: total vs distinct-by-content-hash. */
   def exactStats(df: DataFrame, text: String): DataFrame =
     df.agg(count(lit(1)).as("n_docs"),

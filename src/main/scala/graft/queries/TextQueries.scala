@@ -23,9 +23,12 @@ object TextQueries {
     * oracle uses a window + self-join where the engine uses a bucket
     * aggregate + nested explodes — same pair set, different (non-scalable,
     * oracle-only) plan shape. */
-  private def minhashOracle(bound: Int, k: Int, bands: Int,
-                            threshold: Double, maxBucket: Int,
-                            scheme: String = "salted"): String = {
+  /** Shared CTE chain `tok → sigs → bands → sized → cand` re-deriving the
+    * engine's LSH candidate pairs in DuckDB — used by both the full
+    * near-dup oracle ([[minhashOracle]]) and the precision/recall audit
+    * ([[lshAuditOracle]]). */
+  private def lshCandidateCtes(bound: Int, k: Int, bands: Int,
+                               maxBucket: Int, scheme: String): String = {
     val r = k / bands
     // "salted": k/2 salted digests per token, one min per hash slot.
     // "lcg": mirrors Dedup.minhashSignaturesLcg — one 60-bit hash per
@@ -85,14 +88,20 @@ object TextQueries {
         .map(j => s"CAST(mh$j AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sigs"
     }.mkString(" UNION ALL ")
-    s"""WITH $sigsCte,
+    s"""$sigsCte,
        bands AS ($bandSelects),
        sized AS (SELECT * FROM (SELECT doc_id, band_idx, band_hash,
            count(*) OVER (PARTITION BY band_idx, band_hash) AS n FROM bands)
          WHERE n BETWEEN 2 AND $maxBucket),
-       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM sized a JOIN sized b USING (band_idx, band_hash)
-         WHERE a.doc_id < b.doc_id),
+         WHERE a.doc_id < b.doc_id)"""
+  }
+
+  private def minhashOracle(bound: Int, k: Int, bands: Int,
+                            threshold: Double, maxBucket: Int,
+                            scheme: String = "salted"): String =
+    s"""WITH ${lshCandidateCtes(bound, k, bands, maxBucket, scheme)},
        sets AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
          FROM documents WHERE doc_id < $bound)
        SELECT * FROM (
@@ -100,9 +109,33 @@ object TextQueries {
            round((len(sa.s) + len(sb.s)
                - len(list_distinct(list_concat(sa.s, sb.s))))::DOUBLE
              / len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
-         FROM pairs JOIN sets sa ON sa.doc_id = id_a
-                    JOIN sets sb ON sb.doc_id = id_b)
+         FROM cand JOIN sets sa ON sa.doc_id = id_a
+                   JOIN sets sb ON sb.doc_id = id_b)
        WHERE jaccard >= $threshold ORDER BY id_a, id_b"""
+
+  /** DuckDB side of the LSH quality audit: the engine's exact candidate
+    * set (via [[lshCandidateCtes]]) full-joined against the exact unigram
+    * Jaccard ≥ threshold ground truth, reduced to candidate/truth/hit
+    * counts and precision/recall. */
+  private def lshAuditOracle(bound: Int, k: Int, bands: Int,
+                             maxBucket: Int, threshold: Double): String = {
+    val hit = "CASE WHEN c.id_a IS NOT NULL AND t.id_a IS NOT NULL THEN 1 ELSE 0 END"
+    val isCand = "CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END"
+    val isTrue = "CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END"
+    s"""WITH ${lshCandidateCtes(bound, k, bands, maxBucket, "lcg")},
+       sets AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
+         FROM documents WHERE doc_id < $bound),
+       truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM sets a, sets b WHERE a.doc_id < b.doc_id
+           AND round((len(a.s) + len(b.s)
+               - len(list_distinct(list_concat(a.s, b.s))))::DOUBLE
+             / len(list_distinct(list_concat(a.s, b.s))), 6) >= $threshold)
+       SELECT CAST(sum($isCand) AS BIGINT) AS n_candidates,
+         CAST(sum($isTrue) AS BIGINT) AS n_true,
+         CAST(sum($hit) AS BIGINT) AS n_hit,
+         round(CAST(sum($hit) AS DOUBLE) / sum($isCand), 6) AS prec,
+         round(CAST(sum($hit) AS DOUBLE) / sum($isTrue), 6) AS recall
+       FROM cand c FULL JOIN truth t ON c.id_a = t.id_a AND c.id_b = t.id_b"""
   }
 
   /** DuckDB mirror of [[graft.operators.Dedup.simhashChunks]] + all-pairs
@@ -339,6 +372,154 @@ object TextQueries {
         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
         CAST(octet_length(encode(text)) * 7 % 480 AS INTEGER) AS fake_height
         FROM documents ORDER BY doc_id"""),
-      "multimodal binary column: byte length, digest, stub decode dims")
+      "multimodal binary column: byte length, digest, stub decode dims"),
+
+    // ------------------------------------------------ near-dup clustering
+    // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and
+    // the keeper policy needs CLUSTERS (a near-dup of a near-dup is the
+    // same document family even when the two ends never pair directly).
+    // Connected components over the char-3-gram Jaccard ≥ 0.6 pair graph
+    // via iterative min-label propagation ([[graft.operators.Dedup
+    // .connectedComponents]]); every doc gets a cluster id (= min member
+    // id), cluster size, and a keep-first keeper flag. The DuckDB oracle
+    // reaches the identical fixpoint through a recursive CTE, so the
+    // whole iterative operator is hash-verified, not rows-counted.
+    "q75_dedup_clusters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d).filter($"doc_id" < 100)
+        val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
+          charNGrams($"text", 3), threshold = 0.6)
+        val cc = Dedup.connectedComponents(base.select($"doc_id"), "doc_id", pairs)
+        val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select($"id".as("doc_id"), $"cluster_id", $"cluster_size",
+            ($"id" === $"cluster_id").cast("int").as("is_keeper"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE s AS (SELECT doc_id, CASE WHEN length(text) >= 3
+            THEN list_distinct(list_transform(range(1, length(text)-1), i -> substr(text, i, 3)))
+            ELSE [text] END AS sh
+          FROM documents WHERE doc_id < 100),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a, s b WHERE a.doc_id < b.doc_id
+            AND round((len(a.sh)+len(b.sh)-len(list_distinct(list_concat(a.sh,b.sh))))::DOUBLE
+              / len(list_distinct(list_concat(a.sh,b.sh))), 6) >= 0.6),
+        und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+          UNION
+          SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.id),
+        cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        SELECT cc.id AS doc_id, cluster_id, cluster_size,
+          CAST(cc.id = cluster_id AS INTEGER) AS is_keeper
+        FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
+      "near-dup graph -> connected-component clusters -> keeper per cluster"),
+
+    // --------------------------------------------- repetition signals
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1): fraction
+    // of tokens taken by the single most frequent unigram / bigram, and
+    // the duplicate-token fraction. Each signal is an explode + two hash
+    // aggregates — map-side combinable, shuffle bounded by (doc ×
+    // distinct-gram), never all-pairs. Thresholds (0.12 / 0.65 / 0.08)
+    // are the tunable curation policy; `flagged` marks docs exceeding
+    // any. Flags compare the ROUNDED fractions so the engine and oracle
+    // agree at threshold boundaries.
+    "q76_repetition_signals" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ws = words($"text")
+        val uni = docs(s, d)
+          .select($"doc_id", explode(ws).as("w"))
+          .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_unique"),
+               max($"c").as("top_uni"))
+        val bi = docs(s, d)
+          .repartition($"doc_id") // single-row-group scan: spread the zip
+          .select($"doc_id", explode(arrays_zip(
+            slice(ws, lit(1), size(ws) - 1),
+            slice(ws, lit(2), size(ws) - 1))).as("z"))
+          .select($"doc_id", concat_ws(" ", $"z.0", $"z.1").as("b"))
+          .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+          .groupBy($"doc_id")
+          .agg(sum($"c").as("n_bi"), max($"c").as("top_bi"))
+        uni.join(bi, Seq("doc_id"), "left")
+          .select($"doc_id", $"n_tokens",
+            round($"top_uni".cast("double") / $"n_tokens", 6).as("top_uni_frac"),
+            round(($"n_tokens" - $"n_unique").cast("double") / $"n_tokens", 6)
+              .as("dup_frac"),
+            round(coalesce($"top_bi".cast("double") / $"n_bi", lit(0.0)), 6)
+              .as("top_bi_frac"))
+          .select($"doc_id", $"n_tokens", $"top_uni_frac", $"dup_frac", $"top_bi_frac",
+            ($"top_uni_frac" > 0.12 || $"dup_frac" > 0.65 || $"top_bi_frac" > 0.08)
+              .cast("int").as("flagged"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        uc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        uni AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+            count(*) AS n_unique, max(c) AS top_uni
+          FROM uc GROUP BY doc_id),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1])) AS b
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)),
+        bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+        bi AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bi, max(c) AS top_bi
+          FROM bc GROUP BY doc_id),
+        fr AS (SELECT doc_id, n_tokens,
+            round(CAST(top_uni AS DOUBLE) / n_tokens, 6) AS top_uni_frac,
+            round(CAST(n_tokens - n_unique AS DOUBLE) / n_tokens, 6) AS dup_frac,
+            round(COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0), 6) AS top_bi_frac
+          FROM uni LEFT JOIN bi USING (doc_id))
+        SELECT doc_id, n_tokens, top_uni_frac, dup_frac, top_bi_frac,
+          CAST(top_uni_frac > 0.12 OR dup_frac > 0.65 OR top_bi_frac > 0.08
+            AS INTEGER) AS flagged
+        FROM fr ORDER BY doc_id"""),
+      "Gopher-style repetition signals: top-unigram/bigram/dup-token fractions"),
+
+    // ----------------------------------------------------- LSH quality audit
+    // Sketch-quality measurement, the tuning loop of a production dedup
+    // pipeline: the LCG MinHash-LSH candidate set vs the exact unigram
+    // Jaccard ≥ 0.9 ground truth over a bounded range, reduced to
+    // precision/recall. Candidates come from the SAME banding operators
+    // as q42; truth from the sparse intersection join (no all-pairs
+    // blowup). One full-outer join + one aggregate — the audit itself
+    // scales like the pipeline it measures. Expect high recall (banding
+    // r=8 catches j ≥ 0.9 with P ≈ 0.99) and low precision on this
+    // pathologically self-similar corpus (unigram Jaccard median ≈ 0.62
+    // sits on the S-curve's shoulder) — exactly the trade the stop-bucket
+    // cap and verify stage exist to absorb.
+    "q77_lsh_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d).filter($"doc_id" < 300)
+        val cands = Dedup.lshCandidates(
+          Dedup.lshBands(
+            Dedup.minhashSignaturesLcg(
+              Dedup.tokens(base, "doc_id", "text").repartition($"doc_id"),
+              "doc_id", k = 64),
+            "doc_id", k = 64, bands = 8),
+          "doc_id", maxBucket = 100)
+        val truth = Dedup.sparseJaccardPairs(base, "doc_id",
+            array_distinct(words($"text")), threshold = 0.9)
+          .select($"id_a", $"id_b")
+        val hit = $"is_cand" === 1 && $"is_true" === 1
+        cands.withColumn("is_cand", lit(1))
+          .join(truth.withColumn("is_true", lit(1)), Seq("id_a", "id_b"), "full_outer")
+          .agg(
+            sum(coalesce($"is_cand", lit(0))).as("n_candidates"),
+            sum(coalesce($"is_true", lit(0))).as("n_true"),
+            sum(when(hit, 1).otherwise(0)).as("n_hit"))
+          .select($"n_candidates", $"n_true", $"n_hit",
+            round($"n_hit".cast("double") / $"n_candidates", 6).as("prec"),
+            round($"n_hit".cast("double") / $"n_true", 6).as("recall"))
+      },
+      Some(lshAuditOracle(bound = 300, k = 64, bands = 8,
+        maxBucket = 100, threshold = 0.9)),
+      "MinHash-LSH candidate precision/recall vs exact-Jaccard ground truth")
   )
 }
