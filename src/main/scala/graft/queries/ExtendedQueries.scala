@@ -533,6 +533,41 @@ object ExtendedQueries {
           round(CAST(COALESCE(any_value(n_kept), 0) AS DOUBLE) / count(*), 6) AS rate
         FROM documents LEFT JOIN kept USING (source)
         GROUP BY source ORDER BY source"""),
-      "deterministic salted-hash stratified sample (reproducible, engine-independent)")
+      "deterministic salted-hash stratified sample (reproducible, engine-independent)"),
+
+    // --------------------------------------------- data-mixture weights
+    // Multilingual sampling-weight computation (the XLM-R / mC4 recipe):
+    // per (source × lang) token counts → corpus share → temperature-
+    // scaled weight share^α / Σ share^α with α = 0.3, which upsamples
+    // tail groups relative to their raw share. One hash aggregate over
+    // the corpus (shuffle = |groups|), then unpartitioned windows over
+    // the ~|sources×langs|-row aggregate only — the raw data is never
+    // globally sorted. pow() may differ by an ulp across libm
+    // implementations; round-6 sits far above that noise.
+    "q79_mixture_weights" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val g = t(s, d, "documents")
+          .groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(TextFunctions.wordCount($"text")).as("n_tokens"))
+        val all = Window.partitionBy()
+        g.withColumn("share", $"n_tokens".cast("double") / sum($"n_tokens").over(all))
+          .withColumn("w_raw", pow($"share", 0.3))
+          .select($"source", $"lang", $"n_docs", $"n_tokens",
+            round($"share", 6).as("share"),
+            round($"w_raw" / sum($"w_raw").over(all), 6).as("weight"))
+          .orderBy($"source", $"lang")
+      },
+      Some("""WITH g AS (SELECT source, lang, count(*) AS n_docs,
+            CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source, lang),
+        w AS (SELECT source, lang, n_docs, n_tokens,
+            CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER () AS share
+          FROM g)
+        SELECT source, lang, n_docs, n_tokens, round(share, 6) AS share,
+          round(power(share, 0.3) / sum(power(share, 0.3)) OVER (), 6) AS weight
+        FROM w ORDER BY source, lang"""),
+      "temperature-scaled data-mixture sampling weights per source x lang")
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Dedup, Similarity}
 
 /** Embedding similarity-search suite over `embeddings` (64-dim float
   * vectors): brute-force baseline, IVF-style pruning, sign-LSH bucketing.
@@ -150,6 +150,46 @@ object VectorQueries {
             PARTITION BY query_id ORDER BY votes DESC, cand_label) AS rn
           FROM votes)
         WHERE rn = 1 ORDER BY query_id"""),
-      "k-NN majority-vote label propagation over the embedding space")
+      "k-NN majority-vote label propagation over the embedding space"),
+
+    // --------------------------------------------------- semantic dedup
+    // SemDeDup-shaped pipeline (Abbas et al. 2023): cosine ≥ 0.35 pair
+    // graph over the embedding space → connected-component clusters →
+    // keep-first keeper per cluster. Same clustering operator as the
+    // text path (q75), fed by the vector pair stage — at scale, swap the
+    // brute-force pairs for [[Similarity.lshNearDupPairs]]/IVF candidates;
+    // the component/keeper tail is identical. The DuckDB oracle reaches
+    // the same fixpoint via a recursive CTE, so the full iterative
+    // pipeline is hash-verified.
+    "q78_semdedup_clusters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = emb(s, d).filter($"vec_id" < 300)
+        val pairs = Similarity.bruteForceNearDupPairs(
+          base, "vec_id", "embedding", threshold = 0.35)
+        val cc = Dedup.connectedComponents(base.select($"vec_id"), "vec_id", pairs)
+        val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select($"id".as("vec_id"), $"cluster_id", $"cluster_size",
+            ($"id" === $"cluster_id").cast("int").as("is_keeper"))
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH RECURSIVE n AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 300),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM n a, n b WHERE a.vec_id < b.vec_id
+            AND ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.35),
+        und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT vec_id, vec_id FROM embeddings WHERE vec_id < 300
+          UNION
+          SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.id),
+        cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        SELECT cc.id AS vec_id, cluster_id, cluster_size,
+          CAST(cc.id = cluster_id AS INTEGER) AS is_keeper
+        FROM cc JOIN sz USING (cluster_id) ORDER BY vec_id"""),
+      "semantic dedup: cosine pair graph -> component clusters -> keepers")
   )
 }
