@@ -772,6 +772,69 @@ object RelationalQueries {
         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)/100.0 AS total
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY status, priority"""),
-      "CUBE grouping sets — capability extension per SURVEY §2.5")
+      "CUBE grouping sets — capability extension per SURVEY §2.5"),
+
+    // ------------------------------------------------- CDC current state
+    // Latest-wins state materialization from a change log (SCD Type 1 /
+    // the batch face of an upsert sink): treating `events` as per-user
+    // changes, the current state is the rank-1 row of a (ts DESC,
+    // event_id DESC) window per key plus lifetime counters. One shuffle
+    // on the key; at 100 TB this is the standard "compact the log into a
+    // snapshot" job, and the same window works incrementally inside
+    // foreachBatch (new batch UNION old snapshot → same rank-1). DuckDB
+    // orders ts at microsecond truncation to match Spark's µs timestamps
+    // (q18 precedent); epochs are floored to whole seconds in the output.
+    "q80_cdc_latest_state" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n_events", count(lit(1)).over(Window.partitionBy($"user_id")))
+          .filter($"rn" === 1 && $"user_id" < 40)
+          .select($"user_id",
+            unix_timestamp($"ts").as("last_epoch"),
+            $"event_type".as("last_type"),
+            round($"value", 2).as("last_value"),
+            $"n_events")
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+          event_type AS last_type, round(value, 2) AS last_value, n_events
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS n_events
+          FROM events)
+        WHERE rn = 1 AND user_id < 40 ORDER BY user_id"""),
+      "CDC log -> latest-wins current-state snapshot per key"),
+
+    // ---------------------------------------------- SCD Type 2 intervals
+    // Slowly-changing-dimension history: each change opens an effective
+    // interval [ts, next-change ts); the open row is flagged current.
+    // lead() over the per-key change sequence — one shuffle, no
+    // self-join. Bounded to a fixed key range so the checked output is
+    // SF-stable; the operator itself is unbounded.
+    "q81_scd2_intervals" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+        t(s, d, "events")
+          .filter($"user_id" < 5)
+          .select($"user_id", $"event_id", $"event_type",
+            unix_timestamp($"ts").as("valid_from"),
+            unix_timestamp(lead($"ts", 1).over(w)).as("valid_to"))
+          .withColumn("is_current", $"valid_to".isNull.cast("int"))
+          .orderBy($"user_id", $"valid_from", $"event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+          CAST(floor(epoch(ts)) AS BIGINT) AS valid_from,
+          CAST(floor(epoch(lead(ts, 1) OVER (PARTITION BY user_id
+            ORDER BY date_trunc('microseconds', ts), event_id))) AS BIGINT) AS valid_to,
+          CAST(lead(ts, 1) OVER (PARTITION BY user_id
+            ORDER BY date_trunc('microseconds', ts), event_id) IS NULL AS INTEGER) AS is_current
+        FROM events WHERE user_id < 5
+        ORDER BY user_id, valid_from, event_id"""),
+      "SCD Type 2 effective-interval history from a change log")
   )
 }

