@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection operators for training-data curation: "take the best
+  * documents until a token budget is filled" without ever globally
+  * sorting the corpus. */
+object Selection {
+
+  /** Greedy head-of-corpus selection under a weight budget: orders rows
+    * by `score` DESC (ties by `id` ASC) and keeps rows while the running
+    * `weight` total has not yet reached `budget` — the row that crosses
+    * the line is kept, so the selection always fills the budget. Returns
+    * the selected rows of `df` unchanged.
+    *
+    * Scale shape — the naive form is a global sort + running sum (one
+    * partition); this instead mirrors the two-level rank-selection of
+    * [[Relational.exactQuantilesQuantized]]:
+    *
+    *   1. aggregate weight per DISTINCT score (hash aggregate; shuffle
+    *      carries one row per distinct score, which quantized scores —
+    *      e.g. round-6 ratios in [0,1] — bound far below the row count);
+    *   2. one cumulative window over that bounded score histogram finds
+    *      the cut score and the residual budget inside it;
+    *   3. rows strictly above the cut pass with a broadcast filter (no
+    *      sort at all); only the cut bucket runs a per-row cumulative
+    *      window, partitioned by the score so it never sees more than
+    *      one bucket's rows.
+    *
+    * The greedy rule is deterministic (score DESC, id ASC), so the
+    * selected SET is unique and engine-reproducible. If the whole corpus
+    * weighs less than `budget`, everything is selected. `score` must be
+    * non-null; null weights count as 0. */
+  def headByScoreBudget(df: DataFrame, score: Column, weight: Column,
+                        id: Column, budget: Long): DataFrame = {
+    val scored = df.withColumn("__s", score).withColumn("__w",
+      coalesce(weight.cast("long"), lit(0L)))
+    // 1. bounded score histogram
+    val byScore = scored.groupBy(col("__s")).agg(sum(col("__w")).as("__tok"))
+    // 2. cumulative over the histogram only (rows = distinct scores)
+    val cum = byScore.withColumn("__cum",
+      sum(col("__tok")).over(Window.orderBy(col("__s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val crossing = col("__cum") - col("__tok") < budget && col("__cum") >= budget
+    val cut = cum.agg(
+      max(when(crossing, col("__s"))).as("__cut_s"),
+      max(when(crossing, lit(budget) - (col("__cum") - col("__tok"))))
+        .as("__cut_budget"))
+    // 3. pass-through above the cut; per-row window inside the cut bucket
+    val withCut = scored.crossJoin(broadcast(cut))
+    val above = withCut.filter(col("__cut_s").isNull || col("__s") > col("__cut_s"))
+    val atCut = withCut.filter(col("__s") === col("__cut_s"))
+      .withColumn("__dcum", sum(col("__w")).over(
+        Window.partitionBy(col("__s")).orderBy(id.asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__dcum") - col("__w") < col("__cut_budget"))
+      .drop("__dcum")
+    above.union(atCut).drop("__s", "__w", "__cut_s", "__cut_budget")
+  }
+}

@@ -568,6 +568,108 @@ object ExtendedQueries {
         SELECT source, lang, n_docs, n_tokens, round(share, 6) AS share,
           round(power(share, 0.3) / sum(power(share, 0.3)) OVER (), 6) AS weight
         FROM w ORDER BY source, lang"""),
-      "temperature-scaled data-mixture sampling weights per source x lang")
+      "temperature-scaled data-mixture sampling weights per source x lang"),
+
+    // -------------------------------------- n-gram decontamination scan
+    // Benchmark decontamination the way LM pipelines actually do it
+    // (GPT-3 appendix C / open-data replications): flag corpus docs
+    // sharing any word-8-gram with the benchmark set, scored by overlap
+    // fraction. q67's fingerprint check only catches whole-doc token-set
+    // copies; the shingle join catches partial containment. The
+    // benchmark shingle set is DISTINCT + broadcast (benchmarks are
+    // small by nature); the corpus side is one explode + broadcast-hash
+    // join + per-doc count — no shuffle of the corpus at all.
+    "q82_ngram_decontamination" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ws = TextFunctions.words($"text")
+        // 8-grams via arrays_zip of 8 shifted slices — codegen'd collection
+        // ops, not an interpreted HOF lambda (q64 precedent; measured ~2×
+        // on this query). Docs shorter than the shingle width are excluded
+        // on BOTH engines (they cannot be 8-gram-checked).
+        val sh = t(s, d, "documents")
+          .filter(size(ws) >= 8)
+          .repartition($"doc_id") // single-row-group scan: spread the zip
+          .select($"doc_id", explode(arrays_zip(
+            (0 until 8).map(i => slice(ws, lit(i + 1), size(ws) - 7)): _*)).as("z"))
+          .select($"doc_id",
+            concat_ws(" ", (0 until 8).map(i => col(s"z.$i")): _*).as("sh"))
+          .distinct()
+          // three consumers (bench set, join probe, per-doc sizes) would
+          // each recompute the explode+distinct — materialize it once
+          .localCheckpoint()
+        val bench = sh.filter($"doc_id" < 50).select($"sh").distinct()
+        val corpusSh = sh.filter($"doc_id" >= 50)
+        corpusSh.join(broadcast(bench), "sh")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+          .join(corpusSh.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles")),
+            "doc_id")
+          .select($"doc_id", $"n_shared", $"n_shingles",
+            round($"n_shared".cast("double") / $"n_shingles", 6).as("overlap"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH sh AS (SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(ws) - 6),
+              i -> array_to_string(ws[i:i+7], ' '))) AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents)
+          WHERE len(ws) >= 8),
+        bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 50),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+          WHERE doc_id >= 50 GROUP BY doc_id),
+        shared AS (SELECT s.doc_id, count(*) AS n_shared
+          FROM sh s JOIN bench b USING (sh) WHERE s.doc_id >= 50 GROUP BY s.doc_id)
+        SELECT doc_id, n_shared, n_shingles,
+          round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS overlap
+        FROM shared JOIN sizes USING (doc_id) ORDER BY doc_id"""),
+      "benchmark decontamination by word-8-gram overlap against a broadcast set"),
+
+    // --------------------------------------- token-budget head selection
+    // "Take the best documents until N tokens" — the selection step of
+    // quality-filtered pretraining mixes (DSIR-style top-k by score).
+    // [[graft.operators.Selection.headByScoreBudget]] does it without a
+    // global sort: cumulative window over the DISTINCT-score histogram
+    // finds the cut score + residual budget, rows above the cut stream
+    // through a broadcast filter, and only the cut bucket runs a per-row
+    // cumulative window. Greedy rule (score DESC, doc_id ASC, keep the
+    // crossing doc) is deterministic, so the selected set hash-matches
+    // the oracle's window-based reformulation exactly.
+    "q83_token_budget_head" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val scored = t(s, d, "documents").select($"doc_id",
+          TextFunctions.wordCount($"text").as("n_tokens"),
+          round(TextFunctions.stopwordRatio($"text",
+            Seq("the", "a", "of", "and")), 6).as("score"))
+        graft.operators.Selection
+          .headByScoreBudget(scored, $"score", $"n_tokens", $"doc_id", 5000L)
+          .orderBy($"score".desc, $"doc_id")
+      },
+      Some("""WITH scored AS (SELECT doc_id,
+            CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+            round(CAST(len(list_filter(string_split(lower(text), ' '),
+                w -> w IN ('the','a','of','and'))) AS DOUBLE)
+              / len(string_split(lower(text), ' ')), 6) AS score
+          FROM documents),
+        bys AS (SELECT score, CAST(sum(n_tokens) AS BIGINT) AS tok
+          FROM scored GROUP BY score),
+        cum AS (SELECT score, tok,
+            CAST(sum(tok) OVER (ORDER BY score DESC) AS BIGINT) AS cum FROM bys),
+        cut AS (SELECT
+            max(CASE WHEN cum - tok < 5000 AND cum >= 5000 THEN score END) AS cut_s,
+            max(CASE WHEN cum - tok < 5000 AND cum >= 5000
+              THEN 5000 - (cum - tok) END) AS cut_budget
+          FROM cum),
+        above AS (SELECT doc_id, n_tokens, score FROM scored, cut
+          WHERE cut_s IS NULL OR score > cut_s),
+        atcut AS (SELECT doc_id, n_tokens, score FROM (
+            SELECT doc_id, n_tokens, score, cut_budget,
+              CAST(sum(n_tokens) OVER (PARTITION BY score ORDER BY doc_id)
+                AS BIGINT) AS dcum
+            FROM scored, cut WHERE score = cut_s)
+          WHERE dcum - n_tokens < cut_budget)
+        SELECT doc_id, n_tokens, score
+        FROM (SELECT * FROM above UNION ALL SELECT * FROM atcut)
+        ORDER BY score DESC, doc_id"""),
+      "quality-ordered head-of-corpus selection under a token budget, sort-free")
   )
 }

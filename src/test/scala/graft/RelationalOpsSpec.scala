@@ -151,6 +151,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(Seq(fast._1, fast._2, fast._3) == exact, s"fast=$fast exact=$exact")
   }
 
+  test("headByScoreBudget fills the budget greedily with deterministic ties") {
+    import graft.operators.Selection
+    // scores: 0.9 -> ids 1,2 (10 tokens each); 0.5 -> ids 3,4,5 (10 each); 0.1 -> id 6
+    val df = Seq(
+      (1L, 10, 0.9), (2L, 10, 0.9),
+      (3L, 10, 0.5), (4L, 10, 0.5), (5L, 10, 0.5),
+      (6L, 10, 0.1)
+    ).toDF("id", "w", "s")
+    def sel(budget: Long): Set[Long] =
+      Selection.headByScoreBudget(df, $"s", $"w", $"id", budget)
+        .select($"id").as[Long].collect().toSet
+    // budget 25: both 0.9 docs (20), then id 3 crosses the line at 30
+    assert(sel(25L) == Set(1L, 2L, 3L))
+    // budget exactly 20: the 0.9 bucket alone fills it
+    assert(sel(20L) == Set(1L, 2L))
+    // budget 21: one doc of the 0.5 bucket crosses; smallest id wins
+    assert(sel(21L) == Set(1L, 2L, 3L))
+    // budget beyond the corpus: everything selected
+    assert(sel(1000L) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // tiny budget: the first doc of the top bucket still crosses the line
+    assert(sel(5L) == Set(1L))
+  }
+
   test("hashSample is deterministic, salt-namespaced, and near the target rate") {
     val df = spark.range(10000).toDF("id")
     val s1 = Relational.hashSample(df, $"id", "a", 100).as[Long].collect().toSet
