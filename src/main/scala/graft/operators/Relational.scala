@@ -64,17 +64,32 @@ object Relational {
     * rounded quantiles.
     *
     * Returns one row with columns p0..p{qs.size-1}. */
+  /** @param reuseScan materialize the projected (cents, round-trip-error)
+    *   columns once (localCheckpoint) so the three passes re-read a
+    *   16-byte-per-row block instead of re-scanning the source. Worth it
+    *   when the source scan is expensive relative to spilling that
+    *   projection (wide rows, remote storage, costly decode); leave off
+    *   when a narrow columnar re-scan is cheaper than executor-local
+    *   materialization. Results are identical either way. */
   def exactQuantilesQuantized(df: DataFrame, c: String, qs: Seq[Double],
                               scale: Int = 100, minBucketWidth: Long = 1024L,
                               maxCoarseBuckets: Long = 1L << 16,
-                              strict: Boolean = false): DataFrame = {
+                              strict: Boolean = false,
+                              reuseScan: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def centsOf(x: Column): Column = round(x * scale).cast("long")
     def bucketOf(cents: Column): Column = // floor-division, negative-safe
       floor(cents.cast("double") / col("__W")).cast("long")
 
     // Level 0: value range → adaptive bucket width (one-row broadcast).
-    val rows = df.filter(col(c).isNotNull)
+    val rows0 = {
+      val base = df.filter(col(c).isNotNull)
+      if (strict) // the round-trip error column exists only when checked
+        base.select(centsOf(col(c)).as("__cents"),
+          abs(col(c) - centsOf(col(c)).cast("double") / scale).as("__err"))
+      else base.select(centsOf(col(c)).as("__cents"))
+    }
+    val rows = if (reuseScan) rows0.localCheckpoint() else rows0
     val wBase = greatest(lit(minBucketWidth),
       ceil((col("__cmax") - col("__cmin") + 1).cast("double") / maxCoarseBuckets).cast("long"))
     // strict: assert_true is folded INTO the width expression (adding a
@@ -86,15 +101,16 @@ object Relational {
             s"$scale-quantized; max round-trip error "),
           col("__qerr").cast("string"))).cast("long"), lit(0L))
       else wBase
+    val statsAggs = Seq(max(col("__cents")).as("__cmax")) ++
+      (if (strict) Seq(max(col("__err")).as("__qerr")) else Nil)
     val statsW = rows
-      .agg(min(centsOf(col(c))).as("__cmin"), max(centsOf(col(c))).as("__cmax"),
-           max(abs(col(c) - centsOf(col(c)).cast("double") / scale)).as("__qerr"))
+      .agg(min(col("__cents")).as("__cmin"), statsAggs: _*)
       .select(wExpr.as("__W"))
 
     // Level 1: coarse bucket histogram. Map-side combine collapses the
     // scan to ≤ maxCoarseBuckets rows regardless of row count; the
     // ordered cumulative window runs over that bounded histogram only.
-    val coarse = rows.select(centsOf(col(c)).as("__cents"))
+    val coarse = rows.select(col("__cents"))
       .crossJoin(broadcast(statsW))
       .groupBy(bucketOf(col("__cents")).as("b"), col("__W"))
       .agg(count(lit(1)).as("cnt"))
@@ -122,7 +138,7 @@ object Relational {
     // per-bucket distinct-value histogram is bounded by W rows, so the
     // partitioned cumulative window and final pick are O(|qs|·W) however
     // skewed the data is (an all-ties column compresses to one row).
-    val withT = rows.select(centsOf(col(c)).as("v")).crossJoin(broadcast(targets))
+    val withT = rows.select(col("__cents").as("v")).crossJoin(broadcast(targets))
     val isTarget = qs.indices
       .map(i => bucketOf(col("v")) === col(s"b0_$i") || bucketOf(col("v")) === col(s"b1_$i"))
       .reduce(_ || _)
@@ -160,8 +176,10 @@ object Relational {
     * to 1/scale — the filter below stays a valid outlier fence either
     * way, just at quantized resolution. */
   def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5,
-                scale: Int = 100, strict: Boolean = false): DataFrame =
-    exactQuantilesQuantized(df, c, Seq(0.25, 0.75), scale, strict = strict)
+                scale: Int = 100, strict: Boolean = false,
+                reuseScan: Boolean = false): DataFrame =
+    exactQuantilesQuantized(df, c, Seq(0.25, 0.75), scale, strict = strict,
+        reuseScan = reuseScan)
       .select(col("p0").as("q1"), col("p1").as("q3"))
       .select((col("q1") - lit(factor) * (col("q3") - col("q1"))).as("lo"),
               (col("q3") + lit(factor) * (col("q3") - col("q1"))).as("hi"))
@@ -169,8 +187,9 @@ object Relational {
   /** P8 — IQR outlier filter (featureEngineering.ipynb cell 20;
     * 1_EDA_Dashboard.py:141-148). The bounds row is broadcast, not
     * collected: one aggregate job + one narrow filtered scan. */
-  def iqrFilter(df: DataFrame, c: String, factor: Double = 1.5): DataFrame =
-    df.crossJoin(broadcast(iqrBounds(df, c, factor)))
+  def iqrFilter(df: DataFrame, c: String, factor: Double = 1.5,
+                reuseScan: Boolean = false): DataFrame =
+    df.crossJoin(broadcast(iqrBounds(df, c, factor, reuseScan = reuseScan)))
       .filter(col(c) >= col("lo") && col(c) <= col("hi"))
       .drop("lo", "hi")
 
@@ -206,7 +225,8 @@ object Relational {
     * precision get quartiles of the cent-rounded values, or a fail-fast
     * error with `strict = true`. */
   def summaryStats(df: DataFrame, c: String, roundScale: Int = 6,
-                   strict: Boolean = false): DataFrame =
+                   strict: Boolean = false,
+                   reuseScan: Boolean = false): DataFrame =
     df.agg(
       count(col(c)).as("n"),
       round(avg(col(c)), roundScale).as("mean"),
@@ -214,7 +234,7 @@ object Relational {
       min(col(c)).as("mn"),
       max(col(c)).as("mx"))
     .crossJoin(broadcast(exactQuantilesQuantized(df, c, Seq(0.25, 0.5, 0.75),
-      strict = strict)))
+      strict = strict, reuseScan = reuseScan)))
     .select(col("n"), col("mean"), col("sd"), col("mn"),
       round(col("p0"), roundScale).as("q1"),
       round(col("p1"), roundScale).as("median"),

@@ -161,7 +161,8 @@ object RelationalQueries {
     "q07_iqr_filter" -> Q(
       (s, d) => {
         import s.implicits._
-        Relational.iqrFilter(t(s, d, "lineitem"), "l_extendedprice")
+        Relational.iqrFilter(t(s, d, "lineitem"), "l_extendedprice",
+            reuseScan = true)
           .agg(count(lit(1)).as("n_kept"),
                moneySum($"l_extendedprice").as("sum_kept"),
                round(avg($"l_extendedprice"), 6).as("avg_kept"))
@@ -191,7 +192,8 @@ object RelationalQueries {
     // percentiles (matches DuckDB quantile_cont bit-for-bit modulo the
     // rounding guard).
     "q09_summary_stats" -> Q(
-      (s, d) => Relational.summaryStats(t(s, d, "lineitem"), "l_extendedprice"),
+      (s, d) => Relational.summaryStats(t(s, d, "lineitem"), "l_extendedprice",
+        reuseScan = true),
       Some("""SELECT count(l_extendedprice) AS n,
         round(avg(l_extendedprice),6) AS mean,
         round(stddev_samp(l_extendedprice),6) AS sd,
