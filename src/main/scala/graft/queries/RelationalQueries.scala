@@ -837,6 +837,79 @@ object RelationalQueries {
             ORDER BY date_trunc('microseconds', ts), event_id) IS NULL AS INTEGER) AS is_current
         FROM events WHERE user_id < 5
         ORDER BY user_id, valid_from, event_id"""),
-      "SCD Type 2 effective-interval history from a change log")
+      "SCD Type 2 effective-interval history from a change log"),
+
+    // ------------------------------------------------------ funnel analysis
+    // Ordered conversion funnel view → click → purchase: each stage's
+    // entry time is the min event time at-or-after the previous stage's,
+    // computed as three stacked unordered windows over the SAME user
+    // partitioning — one exchange, no sorts, no self-joins; the funnel
+    // reduces to per-user non-null counts. Chained min-after-min is the
+    // declarative form of the sequential scan a funnel engine does.
+    "q84_funnel" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id")
+        val staged = t(s, d, "events")
+          .withColumn("v", min(when($"event_type" === "view", $"ts")).over(w))
+          .withColumn("c", min(when($"event_type" === "click" && $"ts" >= $"v", $"ts")).over(w))
+          .withColumn("p", min(when($"event_type" === "purchase" && $"ts" >= $"c", $"ts")).over(w))
+        staged.groupBy($"user_id")
+          .agg(min($"v").as("v"), min($"c").as("c"), min($"p").as("p"))
+          .agg(count(lit(1)).as("n_users"),
+               count($"v").as("n_viewed"),
+               count($"c").as("n_clicked_after_view"),
+               count($"p").as("n_purchased_after_click"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, ts, event_type,
+            min(CASE WHEN event_type = 'view' THEN ts END)
+              OVER (PARTITION BY user_id) AS v
+          FROM events),
+        s2 AS (SELECT user_id, ts, event_type, v,
+            min(CASE WHEN event_type = 'click' AND ts >= v THEN ts END)
+              OVER (PARTITION BY user_id) AS c
+          FROM s1),
+        s3 AS (SELECT user_id, v, c,
+            min(CASE WHEN event_type = 'purchase' AND ts >= c THEN ts END)
+              OVER (PARTITION BY user_id) AS p
+          FROM s2),
+        u AS (SELECT user_id, min(v) AS v, min(c) AS c, min(p) AS p
+          FROM s3 GROUP BY user_id)
+        SELECT count(*) AS n_users, count(v) AS n_viewed,
+          count(c) AS n_clicked_after_view,
+          count(p) AS n_purchased_after_click
+        FROM u"""),
+      "ordered conversion funnel via stacked per-user min-after windows"),
+
+    // ------------------------------------------------------ cohort retention
+    // Weekly cohort retention: cohort = a user's first active week;
+    // retention cell (cohort, offset) counts users active `offset` weeks
+    // later. distinct (user, week) activity → per-user min (cohort) →
+    // one co-partitioned join back → count per cell. Every stage
+    // shuffles on user_id or the tiny cell key.
+    "q85_cohort_retention" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val weeks = t(s, d, "events")
+          .select($"user_id",
+            floor(datediff($"ts".cast("date"), lit("2024-01-01").cast("date")) / 7.0)
+              .cast("int").as("wk"))
+          .distinct()
+        val cohorts = weeks.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+        weeks.join(cohorts, "user_id")
+          .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("week_offset"))
+          .agg(countDistinct($"user_id").as("n_users"))
+          .orderBy($"cohort_wk", $"week_offset")
+      },
+      Some("""WITH weeks AS (SELECT DISTINCT user_id,
+            CAST(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7.0)
+              AS INTEGER) AS wk
+          FROM events),
+        cohorts AS (SELECT user_id, min(wk) AS cohort_wk FROM weeks GROUP BY user_id)
+        SELECT cohort_wk, CAST(wk - cohort_wk AS INTEGER) AS week_offset,
+          count(DISTINCT user_id) AS n_users
+        FROM weeks JOIN cohorts USING (user_id)
+        GROUP BY cohort_wk, week_offset ORDER BY cohort_wk, week_offset"""),
+      "weekly cohort retention matrix from first-active-week cohorts")
   )
 }
