@@ -89,6 +89,36 @@ object StreamPipeline {
   def parquetAppendWriter(path: String): (DataFrame, Long) => Unit =
     (batch, _) => batch.write.mode("append").parquet(path)
 
+  /** Latest-wins upsert writer for foreachBatch: merges each micro-batch
+    * into a keyed parquet snapshot by re-ranking (current snapshot ∪
+    * batch) on the EVENT-time order columns — the incremental form of the
+    * q80 CDC query, and provably arrival-order-independent: a late batch
+    * carrying an older version of a key cannot regress the snapshot,
+    * because rank is taken over event time, not processing time.
+    *
+    * The merged frame is localCheckpoint'd before the overwrite (the plan
+    * reads the files it is about to replace — materializing first breaks
+    * that dependency). Production swaps this for a table format with
+    * atomic MERGE (the dir-overwrite is not crash-atomic); the merge
+    * plan itself — union + rank-1 window per key — is unchanged there. */
+  def upsertLatestWriter(spark: SparkSession, snapshotDir: String,
+                         keyCol: String, orderCols: Seq[String]): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      import org.apache.spark.sql.expressions.Window
+      val dir = new java.io.File(snapshotDir)
+      val current =
+        if (dir.exists && Option(dir.list).exists(_.nonEmpty))
+          Some(spark.read.parquet(snapshotDir))
+        else None
+      val all = current.map(batch.unionByName(_)).getOrElse(batch)
+      val w = Window.partitionBy(col(keyCol))
+        .orderBy(orderCols.map(c => col(c).desc): _*)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(snapshotDir)
+    }
+
   /** Micro-batch trigger constant used by production starts. */
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")
 

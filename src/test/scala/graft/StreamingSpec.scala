@@ -182,6 +182,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(0) == ((ts("2024-05-01 07:10:00"), ts("2024-05-01 07:10:00"), 1L)))
   }
 
+  test("foreachBatch latest-wins upsert maintains the CDC snapshot incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double, Long)]
+    val ev = stream.toDF().toDF("user_id", "ts", "event_type", "value", "event_id")
+    val snapDir = Files.createTempDirectory("snap").toString + "/state"
+    val ckpt = Files.createTempDirectory("snap_ckpt").toString
+    val q = StreamPipeline.foreachBatchSink(ev, ckpt,
+      StreamPipeline.upsertLatestWriter(spark, snapDir, "user_id", Seq("ts", "event_id")))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData((1L, t("2024-01-01 10:00:00"), "view", 1.0, 1L),
+                   (2L, t("2024-01-01 10:05:00"), "click", 2.0, 2L))
+    q.processAllAvailable()
+    // batch 2: newer state for user 1; LATE (older) update for user 2 —
+    // event-time ranking must keep user 2's existing state
+    stream.addData((1L, t("2024-01-01 11:00:00"), "purchase", 3.0, 3L),
+                   (2L, t("2024-01-01 09:00:00"), "view", 9.0, 4L))
+    q.processAllAvailable()
+    q.stop()
+    val snap = spark.read.parquet(snapDir)
+      .select($"user_id", $"event_type", $"value")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    assert(snap == Seq((1L, "purchase", 3.0), (2L, "click", 2.0)),
+      s"snapshot must reflect event-time latest per key, got $snap")
+  }
+
   test("K1/P1 round-trip: to_json with ISO timestamps parses back losslessly") {
     val df = Seq((java.sql.Timestamp.valueOf("2024-05-01 08:30:00"), 2.0, 3.0, 15.0))
       .toDF("tpep_pickup_datetime", "passenger_count", "trip_distance", "fare_amount")
