@@ -393,4 +393,47 @@ object Dedup {
     * 16-bit chunk, summed — overflow-free in portable INT32 math). */
   def hammingChunks(a: Seq[Column], b: Seq[Column]): Column =
     a.zip(b).map { case (x, y) => bit_count(x.bitwiseXOR(y)) }.reduce(_ + _)
+
+  /** Scalable SimHash near-dup pairs via chunk banding (the pigeonhole
+    * construction): two 64-bit sketches within Hamming distance d ≤ 3
+    * must agree EXACTLY on at least one of their four 16-bit chunks, so
+    * candidates are pairs sharing any (chunk_idx, chunk_value) bucket —
+    * four equi-joins' worth of buckets instead of the all-pairs cross
+    * join ([[simhashChunks]] + a theta-join, the q43 ground-truth shape).
+    * Exact-recall guarantee holds ONLY for maxDist ≤ 3 (4 chunks, d ≥ 4
+    * can differ in every chunk); the require enforces it rather than
+    * silently losing pairs. Candidates are then verified with the exact
+    * chunked Hamming distance.
+    *
+    * Every stage is a hash join/aggregate on (chunk_idx, chunk_value) —
+    * shuffle-bounded, no n² anywhere; bucket skew (low-entropy corpora
+    * concentrate chunk values) is the LSH stop-bucket story again and
+    * AQE's skew split covers the join. The sketch table is
+    * localCheckpoint'd: three consumers would otherwise recompute the
+    * full token-hash aggregate. */
+  def simhashBandedPairs(df: DataFrame, id: String, text: String,
+                         maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3,
+      s"maxDist=$maxDist: 4-chunk pigeonhole only guarantees recall for d <= 3")
+    val sk = simhashChunks(df, id, text).localCheckpoint()
+    val bands = sk.select(col(id),
+      posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
+        .as(Seq("bi", "bv")))
+    val cand = bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    cand
+      .join(sk.select(col(id).as("id_a"), col("c0").as("a0"), col("c1").as("a1"),
+        col("c2").as("a2"), col("c3").as("a3")), "id_a")
+      .join(sk.select(col(id).as("id_b"), col("c0").as("b0"), col("c1").as("b1"),
+        col("c2").as("b2"), col("c3").as("b3")), "id_b")
+      .withColumn("dist", hammingChunks(
+        Seq(col("a0"), col("a1"), col("a2"), col("a3")),
+        Seq(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
 }

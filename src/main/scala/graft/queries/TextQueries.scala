@@ -142,7 +142,9 @@ object TextQueries {
     * Hamming: same md5-hex-digit bit source (strpos over the hex alphabet
     * = Spark's conv(_,16,10)), same ±1 bit sums, same 16-bit chunk packing
     * and popcount-of-xor distance. */
-  private def simhashOracle(bound: Int, maxDist: Int): String = {
+  /** Shared CTE chain `tok → dig → sums → sk` re-deriving the engine's
+    * chunked SimHash sketches in DuckDB. */
+  private def simhashSketchCtes(bound: Int): String = {
     val digits = (0 until 16)
       .map(i => s"strpos('0123456789abcdef', substr(md5(sh), ${i + 1}, 1)) - 1 AS d$i")
       .mkString(", ")
@@ -154,18 +156,40 @@ object TextQueries {
         .map(j => s"(CASE WHEN b${16 * c + j} > 0 THEN ${1 << j} ELSE 0 END)")
         .mkString(" + ") + s" AS c$c"
     }.mkString(", ")
-    val dist = (0 until 4).map(c => s"bit_count(xor(a.c$c, b.c$c))").mkString(" + ")
-    s"""WITH tok AS (
+    s"""tok AS (
          SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS sh
          FROM documents WHERE doc_id < $bound),
        dig AS (SELECT doc_id, $digits FROM tok),
        sums AS (SELECT doc_id, $bitSums FROM dig GROUP BY doc_id),
-       sk AS (SELECT doc_id, $chunks FROM sums)
+       sk AS (SELECT doc_id, $chunks FROM sums)"""
+  }
+
+  private def simhashDist(a: String, b: String): String =
+    (0 until 4).map(c => s"bit_count(xor($a.c$c, $b.c$c))").mkString(" + ")
+
+  private def simhashOracle(bound: Int, maxDist: Int): String =
+    s"""WITH ${simhashSketchCtes(bound)}
        SELECT * FROM (
-         SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST($dist AS INTEGER) AS dist
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(${simhashDist("a", "b")} AS INTEGER) AS dist
          FROM sk a JOIN sk b ON a.doc_id < b.doc_id)
        WHERE dist <= $maxDist ORDER BY id_a, id_b"""
-  }
+
+  /** DuckDB side of the banded (pigeonhole) SimHash pipeline: the same
+    * sketches, candidates from shared (chunk_idx, chunk_value) buckets
+    * via a UNION-ALL band table + equi-join, exact Hamming verify. */
+  private def simhashBandedOracle(bound: Int, maxDist: Int): String =
+    s"""WITH ${simhashSketchCtes(bound)},
+       bands AS (SELECT doc_id, 0 AS bi, c0 AS bv FROM sk
+         UNION ALL SELECT doc_id, 1, c1 FROM sk
+         UNION ALL SELECT doc_id, 2, c2 FROM sk
+         UNION ALL SELECT doc_id, 3, c3 FROM sk),
+       cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b USING (bi, bv) WHERE a.doc_id < b.doc_id)
+       SELECT * FROM (
+         SELECT id_a, id_b, CAST(${simhashDist("sa", "sb")} AS INTEGER) AS dist
+         FROM cand JOIN sk sa ON sa.doc_id = id_a JOIN sk sb ON sb.doc_id = id_b)
+       WHERE dist <= $maxDist ORDER BY id_a, id_b"""
 
   private val EnStops = Seq("the", "a", "of", "and")
   private val DeStops = Seq("der", "die", "und", "das")
@@ -520,6 +544,25 @@ object TextQueries {
       },
       Some(lshAuditOracle(bound = 300, k = 64, bands = 8,
         maxBucket = 100, threshold = 0.9)),
-      "MinHash-LSH candidate precision/recall vs exact-Jaccard ground truth")
+      "MinHash-LSH candidate precision/recall vs exact-Jaccard ground truth"),
+
+    // ----------------------------------------------- banded SimHash dedup
+    // The SCALABLE SimHash path (q43 is the bounded all-pairs ground
+    // truth): by pigeonhole, two 64-bit sketches within Hamming ≤ 3 must
+    // share one of their four 16-bit chunks exactly, so candidates come
+    // from (chunk_idx, chunk_value) bucket equi-joins — no n² anywhere,
+    // with PROVABLY exact recall at this radius (unlike probabilistic
+    // MinHash banding). Verification is the exact chunked Hamming
+    // distance on candidates only. Same sketches as q43, so the oracle
+    // re-derives the identical pipeline.
+    "q86_simhash_banded" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Dedup.simhashBandedPairs(docs(s, d).filter($"doc_id" < 300),
+            "doc_id", "text", maxDist = 3)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(simhashBandedOracle(bound = 300, maxDist = 3)),
+      "banded SimHash near-dups: pigeonhole chunk buckets, exact recall at d<=3")
   )
 }

@@ -137,6 +137,32 @@ class TextDedupSpec extends SparkSpec {
     assert(r == "en")
   }
 
+  test("banded SimHash equals the all-pairs ground truth at d <= 3 (pigeonhole)") {
+    val many = (0L until 40L).map { i =>
+      // clusters of 4 share a base text with tiny perturbations
+      (i, s"base${i / 4} tokens shared across the cluster plus word${i % 4}")
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashBandedPairs(many, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val sk = Dedup.simhashChunks(many, "doc_id", "text")
+    val a = sk.select($"doc_id".as("id_a"), $"c0".as("a0"), $"c1".as("a1"),
+      $"c2".as("a2"), $"c3".as("a3"))
+    val b = sk.select($"doc_id".as("id_b"), $"c0".as("b0"), $"c1".as("b1"),
+      $"c2".as("b2"), $"c3".as("b3"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("dist", Dedup.hammingChunks(
+        Seq($"a0", $"a1", $"a2", $"a3"), Seq($"b0", $"b1", $"b2", $"b3")))
+      .filter($"dist" <= 3)
+      .select($"id_a", $"id_b", $"dist".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs")
+    assert(banded == exact, "banding must lose no pair within the radius")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.simhashBandedPairs(many, "doc_id", "text", maxDist = 4)
+    }
+    assert(err.getMessage.contains("pigeonhole"))
+  }
+
   test("connectedComponents labels transitive near-dup chains and singletons") {
     // graph: 0-1, 1-2 (chain: 0 and 2 never pair directly), 5-6; 9 isolated
     val nodes = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("id")
