@@ -69,13 +69,30 @@ object Bench {
         val ts = times.map(_._2)
         name -> (if (failed.contains(name)) ts.max else ts.min)
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // failed queries are flagged in the JSON so a fast failure can't
     // masquerade as a fast query in the round's benchmark record
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = "%.3f".format(v)
+    // Full-precision, full-name record for humans and the judge:
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val detailLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"failed":$failedJson,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(detailLine) finally w.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // The driver captures only the LAST ~2000 chars of output and parses
+    // the JSON line out of it — with 86+ full query names the line blew
+    // past that window both prior rounds (BENCH_r{1,2}.json parsed:null).
+    // Emit a compact line: qNN keys (names truncated at the first '_' —
+    // unique by construction) and 3-decimal seconds.
+    val qs = results.map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
