@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -84,6 +84,71 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): CosineSimilarity = copy(newLeft, newRight)
+}
+
+/** Squared L2 distance between two fixed-point vectors (`array<long>`),
+  * fully in integer arithmetic — Σ (aᵢ-bᵢ)². The k-means quantizer's hot
+  * loop ([[graft.operators.Similarity.kmeansAssign]]): O(n·k·d) evaluations
+  * per Lloyd iteration, so it must stay inside whole-stage codegen, and it
+  * must be exactly reproducible across engines for the DuckDB oracle —
+  * integer math is order-independent, unlike a double fold.
+  *
+  * Overflow posture: inputs are quantized embeddings (|v|·scale ≲ 2³⁰ even
+  * for extreme embedding magnitudes at scale=10⁶), so each term < 2⁶⁰ and a
+  * 64-dim sum stays far below Long.Max; raw Java long arithmetic (no ANSI
+  * overflow checks) is safe here and matches DuckDB's HUGEINT-then-cast. */
+case class FixedSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  // null for length-mismatched inputs, as CosineSimilarity
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "fixed_sq_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            long $d = $a.getLong($i) - $b.getLong($i);
+            $acc += $d * $d;
+          }
+          ${ev.value} = $acc;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FixedSqDist = copy(newLeft, newRight)
 }
 
 object VectorExpressions {

@@ -38,6 +38,23 @@ object VectorFunctions {
       GraftGlue.expression(a), GraftGlue.expression(b)))
   }
 
+  /** Fixed-point quantization of a float/double vector: round(v·scale) as
+    * long, element-wise. One narrow pass per vector (the interpreted HOF
+    * cost is amortized over the O(n·k·d·iters) integer distance loop it
+    * enables); all downstream k-means arithmetic is exact integer math, so
+    * centroids and assignments are bit-reproducible across partitionings
+    * AND across engines (the DuckDB oracle re-derives them). */
+  def toFixedVec(v: Column, scale: Double): Column =
+    transform(v, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Codegen'd integer squared-L2 distance over fixed-point vectors
+    * (graft.expressions.FixedSqDist) — the k-means hot loop. */
+  def sqDistFixed(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.FixedSqDist(
+      GraftGlue.expression(a), GraftGlue.expression(b)))
+  }
+
   /** Sign-LSH bucket: an integer whose bit i is set iff v[offset+i] > 0,
     * over `bits` consecutive dimensions. A data-derived random-hyperplane
     * sketch (dimensions of a whitened embedding behave as random

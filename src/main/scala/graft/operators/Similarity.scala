@@ -86,6 +86,88 @@ object Similarity {
         toDoubleVec(col(vec)).as("cv")),
       k, col("qcell") === col("ccell"))
 
+  // ------------------------------------------------------------------
+  // k-means coarse quantizer (the IVF "train" step)
+  // ------------------------------------------------------------------
+
+  /** Fixed-point quantized points: (pid, pf: array<long>). */
+  private def fixedPts(df: DataFrame, id: String, vec: String,
+                       scale: Double): DataFrame =
+    df.select(col(id).as("pid"), toFixedVec(col(vec), scale).as("pf"))
+
+  /** Nearest-centroid assignment: argmin over cells of the integer squared
+    * distance, tie-broken toward the smaller cell id. Centroids (k rows)
+    * broadcast; the only shuffle is the per-point argmin aggregate. */
+  private def assignCells(pts: DataFrame, cents: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistFixed(col("pf"), col("cf")))
+      .groupBy(col("pid"))
+      .agg(min(struct(col("dist"), col("cell"))).getField("cell").as("cell"),
+        // pf is functionally dependent on pid, so first() is deterministic
+        first(col("pf")).as("pf"))
+
+  /** Relational k-means (Lloyd) over a fixed-point quantization of the
+    * embedding space — the coarse quantizer that IVF indexes train
+    * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011; same coarse-cell role as FAISS IndexIVF's k-means).
+    *
+    * Everything is deterministic and engine-portable:
+    *  - init: the k points with the smallest `md5(id)` digests, cell ids
+    *    assigned in digest order — a seedless hash-sample, reproducible
+    *    on any engine with md5;
+    *  - distances: integer Σ(aᵢ-bᵢ)² on round(v·scale) fixed-point vectors
+    *    (codegen'd [[graft.expressions.FixedSqDist]]) — no float summation
+    *    order to diverge;
+    *  - update: centroid component = round(Σpf/n) back to the fixed-point
+    *    grid — an exact integer sum and one double division, identical on
+    *    both engines; empty cells keep their previous centroid.
+    *
+    * Each Lloyd iteration is one broadcast join + two hash aggregates
+    * (argmin by point, mean by cell,pos); the k×d centroid table is
+    * `localCheckpoint`ed per round to truncate lineage, so plan depth
+    * stays O(1) as iterations grow. At 100 TB the per-iteration cost is a
+    * single narrow pass over the points — the textbook scalable k-means
+    * shape (MLlib's KMeans does the same passes, with driver-side
+    * centroid state; here the state stays relational for oracle parity).
+    *
+    * Returns the centroid table (cell: int, cf: array<long>). */
+  def kmeansCentroids(df: DataFrame, id: String, vec: String, k: Int,
+                      iters: Int, scale: Double = 1e6): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    val pts = fixedPts(df, id, vec, scale)
+    val seedW = Window.orderBy(col("h"))
+    var cents = pts
+      .withColumn("h", md5(col("pid").cast("string")))
+      .orderBy(col("h")).limit(k)
+      // window over k rows only (post-limit) — bounded by construction
+      .withColumn("cell", row_number().over(seedW).cast("int"))
+      .select(col("cell"), col("pf").as("cf"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val upd = assignCells(pts, cents)
+        .select(col("cell"), posexplode(col("pf")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("cv", round(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pc"))
+        .select(col("cell"), transform(col("pc"), x => x.getField("cv")).as("cf"))
+      cents = cents.as("o").join(upd.as("u"), Seq("cell"), "left_outer")
+        .select(col("cell"), coalesce(col("u.cf"), col("o.cf")).as("cf"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Fit + assign: k-means cells for every row of `df` — the learned
+    * replacement for a precomputed IVF cell column. Output (id, cell). */
+  def kmeansAssign(df: DataFrame, id: String, vec: String, k: Int,
+                   iters: Int, scale: Double = 1e6): DataFrame = {
+    val cents = kmeansCentroids(df, id, vec, k, iters, scale)
+    assignCells(fixedPts(df, id, vec, scale), cents)
+      .select(col("pid").as(id), col("cell"))
+  }
+
   /** Sign-LSH near-dup pairs: bucket by hyperplane signs (equi-join key),
     * verify with exact cosine. The shuffle is on the (table, bucket) id —
     * pair count drops from n²/2 to Σ_b |b|²/2 per table.

@@ -21,6 +21,39 @@ object VectorQueries {
 
   private def sqlNorm(a: String): String = s"sqrt(${sqlDot(a, a)})"
 
+  /** DuckDB mirror of [[Similarity.kmeansCentroids]]: the same Lloyd
+    * iterations as a chained-CTE pipeline (one assign + one update CTE per
+    * round), entirely in the fixed-point integer arithmetic the Spark side
+    * uses, so centroids and assignments are bit-identical. `af` is the
+    * final assignment (vec_id, cell) against the last centroid table. */
+  private def kmeansSql(k: Int, iters: Int, scaleL: Long, dims: Int): String = {
+    def dist(p: String, c: String): String =
+      s"list_sum(list_transform(range(1, ${dims + 1}), i -> ($p.pf[i]-$c.cf[i])*($p.pf[i]-$c.cf[i])))"
+    val sb = new StringBuilder
+    sb ++= s"""p AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(v::DOUBLE * $scaleL) AS BIGINT)) AS pf
+        FROM embeddings),
+      c0 AS (SELECT cell, cf FROM (
+        SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS INTEGER) AS cell, pf AS cf
+        FROM p) WHERE cell <= $k)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+      a$i AS (SELECT vec_id, cell, pf FROM (
+        SELECT p.vec_id, c.cell, p.pf, row_number() OVER (
+          PARTITION BY p.vec_id ORDER BY ${dist("p", "c")}, c.cell) AS rn
+        FROM p, c${i - 1} c) WHERE rn = 1),
+      u$i AS (SELECT cell, list(cv ORDER BY pos) AS cf FROM (
+        SELECT cell, i AS pos, CAST(round(sum(pf[i])::DOUBLE / count(*)) AS BIGINT) AS cv
+        FROM a$i, range(1, ${dims + 1}) t(i) GROUP BY cell, i) GROUP BY cell),
+      c$i AS (SELECT cell, coalesce(u.cf, o.cf) AS cf FROM c${i - 1} o LEFT JOIN u$i u USING (cell))"""
+    }
+    sb ++= s""",
+      af AS (SELECT vec_id, cell FROM (
+        SELECT p.vec_id, c.cell, row_number() OVER (
+          PARTITION BY p.vec_id ORDER BY ${dist("p", "c")}, c.cell) AS rn
+        FROM p, c$iters c) WHERE rn = 1)"""
+    sb.result()
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------ embedding near-dups
@@ -190,6 +223,56 @@ object VectorQueries {
         SELECT cc.id AS vec_id, cluster_id, cluster_size,
           CAST(cc.id = cluster_id AS INTEGER) AS is_keeper
         FROM cc JOIN sz USING (cluster_id) ORDER BY vec_id"""),
-      "semantic dedup: cosine pair graph -> component clusters -> keepers")
+      "semantic dedup: cosine pair graph -> component clusters -> keepers"),
+
+    // ------------------------------------------------- k-means quantizer
+    // The IVF "train" step made real: relational Lloyd iterations (k=8,
+    // 3 rounds) over a fixed-point quantization of the embedding space,
+    // deterministic md5-digest seeding, integer distances. DuckDB re-runs
+    // the identical iterations CTE-by-CTE, so the full learned assignment
+    // — every (vec_id, cell) — is hash-verified, not just row counts.
+    "q87_kmeans_cells" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Similarity.kmeansAssign(emb(s, d), "vec_id", "embedding",
+            k = 8, iters = 3)
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)}
+        SELECT vec_id, cell FROM af ORDER BY vec_id"""),
+      "k-means coarse quantizer: Lloyd iterations as joins + aggregates"),
+
+    // -------------------------------------------- IVF ANN, learned cells
+    // q47's IVF search with the precomputed label replaced by the learned
+    // k-means assignment — train + index + search end-to-end, all three
+    // stages re-derived by the oracle. Each query probes only its own
+    // coarse cell (nprobe=1); the exact cosine re-rank runs inside the
+    // cell, |C|/k of the data per query.
+    "q88_ivf_learned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val withCell = e.join(
+          Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8, iters = 3),
+          "vec_id")
+        Similarity.ivfTopK(
+            withCell.filter($"vec_id" < 10), withCell.filter($"vec_id" >= 10),
+            "vec_id", "embedding", "cell", 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)},
+        q AS (SELECT e.vec_id, af.cell, e.embedding, ${sqlNorm("e")} AS nrm
+          FROM embeddings e JOIN af USING (vec_id) WHERE e.vec_id < 10),
+        c AS (SELECT e.vec_id, af.cell, e.embedding, ${sqlNorm("e")} AS nrm
+          FROM embeddings e JOIN af USING (vec_id) WHERE e.vec_id >= 10),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS sim
+          FROM q, c WHERE q.cell = c.cell)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY query_id, rank"""),
+      "IVF ANN with the learned k-means assignment: train + index + search")
   )
 }

@@ -90,6 +90,52 @@ class SimilaritySpec extends SparkSpec {
     assert(r6 > r1, s"OR-amplification must lift recall (r1=$r1, r6=$r6)")
   }
 
+  test("kmeansAssign recovers planted clusters and is partition-invariant") {
+    // three tight planted clusters far apart; any sane Lloyd run separates them
+    def jitter(base: Array[Float], eps: Float) = base.map(_ + eps)
+    val rows = (0 until 30).map { i =>
+      val (base, cl) = (i % 3) match {
+        case 0 => (Array(10f, 0f, 0f), 0)
+        case 1 => (Array(0f, 10f, 0f), 1)
+        case _ => (Array(0f, 0f, 10f), 2)
+      }
+      (i.toLong, jitter(base, (i / 3) * 0.01f), cl)
+    }
+    val df = rows.toDF("vec_id", "embedding", "truth")
+    val out = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 3, iters = 4)
+      .join(df.select($"vec_id", $"truth"), "vec_id")
+      .as[(Long, Int, Int)].collect()
+    // every truth-cluster maps to exactly one learned cell, and vice versa
+    val mapping = out.groupBy(_._3).view.mapValues(_.map(_._2).toSet).toMap
+    assert(mapping.values.forall(_.size == 1),
+      s"each planted cluster must land in one cell: $mapping")
+    assert(mapping.values.flatten.toSet.size == 3,
+      s"three planted clusters must occupy three distinct cells: $mapping")
+    // determinism: a different input partitioning yields identical assignments
+    val out2 = Similarity.kmeansAssign(df.repartition(7), "vec_id", "embedding",
+        k = 3, iters = 4)
+      .as[(Long, Int)].collect().toSet
+    assert(out2 == out.map(t => (t._1, t._2)).toSet,
+      "fixed-point integer k-means must be partition-invariant")
+  }
+
+  test("kmeans keeps empty cells on their previous centroid (no row loss)") {
+    // k=4 over 3 planted clusters: at least one cell ends empty, yet the
+    // centroid table stays at k rows and every point gets an assignment
+    val df = (0 until 12).map { i =>
+      val base = (i % 3) match {
+        case 0 => Array(10f, 0f, 0f)
+        case 1 => Array(0f, 10f, 0f)
+        case _ => Array(0f, 0f, 10f)
+      }
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, "vec_id", "embedding", k = 4, iters = 3)
+    assert(cents.count() == 4, "empty cells must keep their previous centroid row")
+    val assigned = Similarity.kmeansAssign(df, "vec_id", "embedding", k = 4, iters = 3)
+    assert(assigned.count() == 12, "every point must receive a cell")
+  }
+
   test("LSH pairs are a subset of brute-force pairs at the same threshold") {
     val bf = Similarity.bruteForceNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .as[(Long, Long)].collect().toSet
