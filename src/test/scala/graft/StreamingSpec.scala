@@ -200,11 +200,57 @@ class StreamingSpec extends SparkSpec {
                    (2L, t("2024-01-01 09:00:00"), "view", 9.0, 4L))
     q.processAllAvailable()
     q.stop()
-    val snap = spark.read.parquet(snapDir)
+    val snap = StreamPipeline.readUpsertSnapshot(spark, snapDir).get
       .select($"user_id", $"event_type", $"value")
       .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
     assert(snap == Seq((1L, "purchase", 3.0), (2L, "click", 2.0)),
       s"snapshot must reflect event-time latest per key, got $snap")
+  }
+
+  test("upsert sink rewrites only dirty buckets and survives a mid-commit crash") {
+    val snapDir = Files.createTempDirectory("snap_inc").toString + "/state"
+    val writer = StreamPipeline.upsertLatestWriter(spark, snapDir, "user_id",
+      Seq("ts", "event_id"), nBuckets = 8)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: (Long, java.sql.Timestamp, Long)*) =
+      rows.toDF("user_id", "ts", "event_id")
+    def manifest(): Map[Int, String] =
+      Files.readAllLines(java.nio.file.Paths.get(snapDir, "_MANIFEST"))
+        .toArray.map(_.toString).filter(_.nonEmpty)
+        .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }.toMap
+
+    // batch 0 seeds many buckets; batch 1 touches a single key
+    writer(df((1L, t("2024-01-01 10:00:00"), 1L), (2L, t("2024-01-01 10:00:00"), 2L),
+              (3L, t("2024-01-01 10:00:00"), 3L), (4L, t("2024-01-01 10:00:00"), 4L)), 0L)
+    val m0 = manifest()
+    writer(df((1L, t("2024-01-01 11:00:00"), 5L)), 1L)
+    val m1 = manifest()
+    val dirtyBuckets = m1.filter { case (_, p) => p.startsWith("merge-000001") }.keys
+    assert(dirtyBuckets.size < m1.size,
+      s"a one-key batch must not rewrite every bucket: $m1")
+    assert(m1.filterNot { case (b, _) => dirtyBuckets.toSet(b) } ==
+      m0.filterNot { case (b, _) => dirtyBuckets.toSet(b) },
+      "clean buckets must keep their previous files untouched")
+
+    // crash simulation: a merge dir from a dead batch exists, but the
+    // manifest swap never happened — readers must see the old snapshot
+    val orphan = new java.io.File(s"$snapDir/merge-000099/__bucket=0")
+    orphan.mkdirs()
+    Files.writeString(orphan.toPath.resolve("part-junk.parquet"), "not parquet")
+    val afterCrash = StreamPipeline.readUpsertSnapshot(spark, snapDir).get
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(afterCrash(1L) == t("2024-01-01 11:00:00") && afterCrash.size == 4,
+      "an uncommitted merge dir must be invisible to snapshot readers")
+
+    // retry of the crashed batch overwrites the orphan and commits; GC
+    // then removes every merge dir no manifest entry references
+    writer(df((5L, t("2024-01-01 12:00:00"), 6L)), 99L)
+    val snap = StreamPipeline.readUpsertSnapshot(spark, snapDir).get
+    assert(snap.count() == 5, "retried batch must commit cleanly over its orphan")
+    val liveDirs = manifest().values.map(_.takeWhile(_ != '/')).toSet
+    val onDisk = Option(new java.io.File(snapDir).listFiles).get
+      .filter(f => f.isDirectory && f.getName.startsWith("merge-")).map(_.getName).toSet
+    assert(onDisk == liveDirs, s"GC must drop unreferenced merge dirs: $onDisk vs $liveDirs")
   }
 
   test("K1/P1 round-trip: to_json with ISO timestamps parses back losslessly") {
