@@ -563,6 +563,39 @@ object TextQueries {
           .orderBy($"id_a", $"id_b")
       },
       Some(simhashBandedOracle(bound = 300, maxDist = 3)),
-      "banded SimHash near-dups: pigeonhole chunk buckets, exact recall at d<=3")
+      "banded SimHash near-dups: pigeonhole chunk buckets, exact recall at d<=3"),
+
+    // ------------------------------ star-contraction connected components
+    // The adversarial-shape clustering path: a planted 7-chain path graph
+    // (edges doc_id → doc_id+7, diameter ~28) where min-label propagation
+    // (q75's operator) needs diameter-many rounds, but alternating
+    // large-star/small-star contraction (Kiveris SoCC'14) converges in
+    // O(log² n). Same fixpoint labels, so the recursive-CTE oracle that
+    // verifies q75/q78 verifies this operator too.
+    "q89_cc_stars_paths" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d).filter($"doc_id" < 200).select($"doc_id")
+        val pairs = base.filter($"doc_id" < 193)
+          .select($"doc_id".as("id_a"), ($"doc_id" + 7).as("id_b"))
+        val cc = Dedup.connectedComponentsStars(base, "doc_id", pairs)
+        val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select($"id".as("doc_id"), $"cluster_id", $"cluster_size")
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE pairs AS (SELECT doc_id AS id_a, doc_id + 7 AS id_b
+          FROM documents WHERE doc_id < 193),
+        und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+          UNION
+          SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.id),
+        cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        SELECT cc.id AS doc_id, cluster_id, cluster_size
+        FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
+      "large-star/small-star components on a chain-shaped dup graph")
   )
 }

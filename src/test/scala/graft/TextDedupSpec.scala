@@ -188,4 +188,33 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(cc == Map(3L -> 3L, 7L -> 7L))
   }
+
+  test("star contraction matches min-label labels on a mixed graph") {
+    val nodes = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val stars = Dedup.connectedComponentsStars(nodes, "id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(stars == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    val none = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val iso = Dedup.connectedComponentsStars(Seq(3L, 7L).toDF("id"), "id", none)
+      .as[(Long, Long)].collect().toMap
+    assert(iso == Map(3L -> 3L, 7L -> 7L), "no edges -> identity labeling")
+  }
+
+  test("star contraction needs O(log^2 n) alternations where min-label needs diameter") {
+    // a 64-node path: min-label propagation would need ~63 rounds (its
+    // default maxIter=50 gives up); star contraction halves chain length
+    // per alternation pair
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, "id", pairs)
+    }
+    val (cc, rounds) = Dedup.connectedComponentsStarsWithRounds(nodes, "id", pairs)
+    val labels = cc.as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(0L), "single path is one component labeled 0")
+    assert(rounds <= 10,
+      s"star contraction must beat the 63-round diameter bound, took $rounds")
+  }
 }
