@@ -670,6 +670,40 @@ object ExtendedQueries {
         SELECT doc_id, n_tokens, score
         FROM (SELECT * FROM above UNION ALL SELECT * FROM atcut)
         ORDER BY score DESC, doc_id"""),
-      "quality-ordered head-of-corpus selection under a token budget, sort-free")
+      "quality-ordered head-of-corpus selection under a token budget, sort-free"),
+
+    // --------------------------------------------------- skew-salted join
+    // A planted-hot-key join: ~80% of orders hash to customer 1, the
+    // reducer-stall shape AQE's skew split targets for sort-merge joins.
+    // Relational.saltedJoin spreads the hot key over `salt` replicas of
+    // the build row so no single task owns the whole key; the joined
+    // multiset — and hence this aggregate — is identical to the plain
+    // join, which is exactly what the oracle checks. (customer is
+    // broadcastable at bench SF; the operator's target is the
+    // large-large hash-join regime where neither side broadcasts —
+    // ScalePostureSpec pins the spread property itself.)
+    "q90_salted_skew_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val probe = t(s, d, "orders").select(
+          when(pmod($"o_orderkey", lit(5)) > 0, 1)
+            .otherwise(pmod($"o_orderkey", lit(1000)) + 1).as("cust_hot"),
+          $"o_totalprice")
+        graft.operators.Relational.saltedJoin(
+            probe, t(s, d, "customer"), "cust_hot", "c_custkey", salt = 8)
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            (graft.operators.Relational.centsSum($"o_totalprice").cast("double") / 100.0)
+              .as("revenue"))
+          .orderBy($"c_mktsegment")
+      },
+      Some("""WITH probe AS (SELECT
+          CASE WHEN o_orderkey % 5 > 0 THEN 1 ELSE o_orderkey % 1000 + 1 END AS cust_hot,
+          o_totalprice FROM orders)
+        SELECT c_mktsegment, count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        FROM probe JOIN customer ON cust_hot = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      "skew-salted equi-join on a planted 80%-hot key, aggregate-verified")
   )
 }

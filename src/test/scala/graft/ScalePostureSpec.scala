@@ -61,4 +61,34 @@ class ScalePostureSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan.take(1500)}")
     assert(!plan.contains("SortMergeJoin"), "dim join must not sort-merge")
   }
+
+  test("saltedJoin spreads a planted hot key and preserves join semantics") {
+    import graft.operators.Relational
+    val orders = Tables(spark, sf("sf0.01"), "orders")
+    // ~80% of probe rows share key 1 — the single-stalled-reducer shape
+    val probe = orders.select(
+      when(pmod($"o_orderkey", lit(5)) > 0, 1)
+        .otherwise(pmod($"o_orderkey", lit(1000)) + 1).as("k"),
+      $"o_totalprice")
+    val customer = Tables(spark, sf("sf0.01"), "customer")
+    // semantics: the salted join's multiset equals the plain join's
+    val salted = Relational.saltedJoin(probe, customer, "k", "c_custkey", salt = 8)
+    val plain = probe.join(customer, $"k" === $"c_custkey")
+    assert(salted.count() == plain.count())
+    assert(!salted.columns.exists(_.contains("salt")),
+      "salt plumbing must not leak into the join output")
+    // spread bound: the join shuffles on (k, __salt), so the most rows any
+    // reducer receives for the hot key is the biggest (k, salt) group.
+    // Mirrors the operator's probe-salt expression (hash of row + ordinal).
+    val hot = probe.filter($"k" === 1).count()
+    val shares = probe.withColumn("__salt",
+        pmod(hash(probe.columns.map(col) :+ monotonically_increasing_id(): _*), lit(8)))
+      .filter($"k" === 1)
+      .groupBy($"__salt").count().as[(Int, Long)].collect()
+    assert(shares.length == 8, s"hot key must spread across all 8 salt replicas: ${shares.toSeq}")
+    val maxShare = shares.map(_._2).max
+    assert(maxShare <= hot / 8 * 3 / 2,
+      s"no salt replica may own more than ~1.5x the fair share of the hot key " +
+        s"(hot=$hot, maxShare=$maxShare)")
+  }
 }
