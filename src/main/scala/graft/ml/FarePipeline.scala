@@ -136,4 +136,33 @@ object FarePipeline {
     pTrain.unpersist(); pTest.unpersist()
     (model, metrics)
   }
+
+  /** One JSON line for a fit: params + the six metrics + importances —
+    * the persistent form of the reference's experiment tracking (params,
+    * metrics and the importance table logged per run; SURVEY.md §1.1
+    * declares the tracking *server* out of scope, this is the artifact).
+    * Stable key order, so lines diff cleanly across runs. */
+  def metricsJson(cfg: FareConfig, m: FareMetrics): String = {
+    def js(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // NaN/Infinity are not JSON — absent metric slots serialize as null
+    def num(d: Double) = if (d.isNaN || d.isInfinite) "null" else d.toString
+    val imps = m.importances
+      .map { case (n, v) => s"[${js(n)},${num(v)}]" }.mkString("[", ",", "]")
+    s"""{"model":${js(cfg.modelKind)},"label":${js(cfg.labelCol)},""" +
+      s""""num_trees":${cfg.numTrees},"max_depth":${cfg.maxDepth},""" +
+      s""""seed":${cfg.seed},""" +
+      s""""train_rmse":${num(m.trainRmse)},"train_mae":${num(m.trainMae)},"train_r2":${num(m.trainR2)},""" +
+      s""""test_rmse":${num(m.testRmse)},"test_mae":${num(m.testMae)},"test_r2":${num(m.testR2)},""" +
+      s""""importances":$imps}"""
+  }
+
+  /** Append a fit's metrics line to a JSON-lines run log (K6: the metric
+    * sink). Plain file append — one line per fit, newest last. */
+  def appendMetrics(path: String, cfg: FareConfig, m: FareMetrics): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p, metricsJson(cfg, m) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND): Unit
+  }
 }

@@ -81,6 +81,45 @@ class FarePipelineSpec extends SparkSpec {
     assert(rows.forall { case (fare, pred) => !pred.isNaN && math.abs(pred - fare) < 10 })
   }
 
+  test("value-pinned metrics on a fixed fixture catch silent ML-path drift") {
+    // The reference's published metrics (RMSE 2.6375 on the real NYC data)
+    // act as a de-facto regression test; that data isn't in this
+    // environment, so this is the engine-side analog: a fully
+    // deterministic fixture (no RNG, single partition, fixed seed) whose
+    // 4-decimal metrics are pinned by value. Any change to the split,
+    // stage graph, params, or evaluator semantics shows up here.
+    val rows = (0 until 400).map { i =>
+      val d = (i % 97) / 10.0
+      val tod = Seq("morning", "afternoon", "evening", "late night")(i % 4)
+      val noise = math.sin(i * 12.9898) * 0.3
+      val fare = 3.0 + 2.5 * d + (if (tod == "evening") 2.0 else 0.0) + noise
+      (fare, d, (i % 4 + 1).toDouble, tod)
+    }
+    val df = rows.toDF("fare_amount", "trip_distance", "passenger_count",
+      "pickup_timeofday").coalesce(1)
+    val (_, m) = FarePipeline.fitEval(df, cfg.copy(numTrees = 10, maxDepth = 6))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    info(s"pinned: rmse=${r4(m.testRmse)} mae=${r4(m.testMae)} r2=${r4(m.testR2)}")
+    assert((r4(m.testRmse), r4(m.testMae), r4(m.testR2)) ==
+      (BigDecimal("0.4177"), BigDecimal("0.3526"), BigDecimal("0.9968")))
+  }
+
+  test("Serve scores an uploaded CSV from a saved model and logs batch metrics") {
+    val base = java.nio.file.Files.createTempDirectory("serve").toString
+    val modelDir = s"$base/model"
+    model.write.overwrite().save(modelDir)
+    val csvDir = s"$base/upload"
+    trips.limit(40).write.option("header", "true").csv(csvDir)
+    val n = graft.tools.Serve.serve(spark, modelDir, csvDir, s"$base/out")
+    assert(n == 40)
+    val scored = spark.read.parquet(s"$base/out/scored")
+    assert(scored.columns.contains("prediction") && scored.count() == 40)
+    val logged = spark.read.json(s"$base/out/metrics.jsonl")
+    val row = logged.select($"model", $"test_rmse").as[(String, Double)].collect()
+    assert(row.length == 1 && row(0)._1 == "served" && row(0)._2 < 2.5,
+      s"served-batch metrics line must carry the batch RMSE: ${row.toSeq}")
+  }
+
   test("model save/load round-trips (K5)") {
     val dir = Files.createTempDirectory("fare_model").toString + "/model"
     model.write.overwrite().save(dir)

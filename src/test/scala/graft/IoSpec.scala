@@ -37,6 +37,28 @@ class IoSpec extends SparkSpec {
     assert(back.length == 3 && back(1)._2.contains("beta,comma"))
   }
 
+  test("fit-metrics JSON-lines sink round-trips params, metrics and importances") {
+    import graft.ml.{FareConfig, FareMetrics, FarePipeline}
+    val path = Files.createTempDirectory("metrics").toString + "/runs.jsonl"
+    val cfg = FareConfig("fare_amount", "pickup_timeofday",
+      Seq("trip_distance"), numTrees = 30, maxDepth = 10)
+    FarePipeline.appendMetrics(path, cfg,
+      FareMetrics(1.5, 1.0, 0.9, 2.5, 2.0, 0.8,
+        Seq("trip_distance" -> 0.7, "pickup_timeofday_0" -> 0.3)))
+    FarePipeline.appendMetrics(path, cfg.copy(modelKind = "gbt"),
+      FareMetrics(1.1, 0.9, 0.95, Double.NaN, 2.1, 0.85, Nil))
+    val back = spark.read.json(path).orderBy($"model")
+    val rows = back.select($"model", $"num_trees", $"test_rmse", $"train_rmse")
+      .as[(String, Long, Option[Double], Double)].collect()
+    assert(rows.length == 2)
+    assert(rows(0) == (("gbt", 30L, None, 1.1)), "NaN slots must read back as null")
+    assert(rows(1) == (("rf", 30L, Some(2.5), 1.5)))
+    val imps = back.filter($"model" === "rf").select($"importances").collect()(0)
+      .getSeq[scala.collection.Seq[Any]](0)
+    assert(imps.map(_.head) == Seq("trip_distance", "pickup_timeofday_0"),
+      s"importance order must persist: $imps")
+  }
+
   test("parquet sink/source round-trip preserves schema exactly") {
     val dir = Files.createTempDirectory("pq_rt").toString + "/out"
     Sinks.parquet(df, dir)
