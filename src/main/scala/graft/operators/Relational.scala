@@ -302,6 +302,23 @@ object Relational {
       conv(substring(md5(concat(lit(s"$salt:"), key.cast("string"))), 1, 15), 16, 10)
         .cast("long") % 1000 < keepPerMille)
 
+  /** P9 — offset slice: rows [offset, offset+n) of an explicit total
+    * order (the pandas `iloc[offset:offset+n]` shape). Offset semantics
+    * are inherently global-order, so this materializes only the first
+    * offset+n rows (a pushed sort-limit) and ranks inside that bounded
+    * set — the unpartitioned window never sees more than offset+n rows.
+    * For deep pagination at 100 TB, carry a key-range predicate from the
+    * previous page instead (offset cost grows with offset). */
+  def sliceByOffset(df: DataFrame, order: Seq[Column], offset: Int,
+                    n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(offset >= 0 && n > 0, s"need offset>=0, n>0; got $offset, $n")
+    val w = Window.orderBy(order: _*)
+    df.orderBy(order: _*).limit(offset + n)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > offset).drop("__rn")
+  }
+
   /** A12 — argmax row per group via a rank-1 window (deterministic
     * tie-break on `tieBreak` ascending). */
   def argmaxPerGroup(df: DataFrame, part: Column, order: Column,

@@ -704,6 +704,60 @@ object ExtendedQueries {
           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
         FROM probe JOIN customer ON cust_hot = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
-      "skew-salted equi-join on a planted 80%-hot key, aggregate-verified")
+      "skew-salted equi-join on a planted 80%-hot key, aggregate-verified"),
+
+    // ------------------------------------------- incremental upsert merge
+    // The streaming upsert sink's merge step, batch-checked: fold the
+    // change log in two micro-batches (even event_ids, then odd) through
+    // the same rank-1-window merge upsertLatestWriter runs per batch,
+    // while the ORACLE compacts the whole log in one shot. Hash equality
+    // proves the incremental fold is arrival-order-independent — folding
+    // a snapshot with the next batch can never regress a key — which is
+    // the correctness claim the streaming sink rests on.
+    "q91_upsert_incremental" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+        def latest(df: DataFrame): DataFrame =
+          df.withColumn("rn", row_number().over(w)).filter($"rn" === 1).drop("rn")
+        val ev = t(s, d, "events").filter($"user_id" < 40)
+          .select($"user_id", $"ts", $"event_id", $"event_type", $"value")
+        val snap1 = latest(ev.filter(pmod($"event_id", lit(2)) === 0))
+        latest(snap1.unionByName(ev.filter(pmod($"event_id", lit(2)) === 1)))
+          .select($"user_id", unix_timestamp($"ts").as("last_epoch"),
+            $"event_type".as("last_type"), round($"value", 2).as("last_value"))
+          .orderBy($"user_id")
+      },
+      Some("""SELECT user_id,
+          CAST(floor(epoch(ts)) AS BIGINT) AS last_epoch,
+          event_type AS last_type, round(value, 2) AS last_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY date_trunc('microseconds', ts) DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 AND user_id < 40 ORDER BY user_id"""),
+      "two-batch incremental upsert fold == one-shot log compaction"),
+
+    // ------------------------------------------------------ offset slice
+    // P9: pandas iloc[offset:offset+n] as a named op. The sort-limit
+    // bounds the unpartitioned rank window to offset+n rows; the date
+    // renders as a yyyymmdd int to keep the compare timestamp-type-free.
+    "q92_slice_by_offset" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Relational.sliceByOffset(
+            t(s, d, "orders").select($"o_orderkey", $"o_orderdate"),
+            Seq($"o_orderdate".asc, $"o_orderkey".asc), offset = 100, n = 50)
+          .select($"o_orderkey",
+            (year($"o_orderdate") * 10000 + month($"o_orderdate") * 100 +
+              dayofmonth($"o_orderdate")).as("order_ymd"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+            + day(o_orderdate) AS INTEGER) AS order_ymd
+        FROM (SELECT o_orderkey, o_orderdate FROM orders
+          ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100)
+        ORDER BY o_orderkey"""),
+      "offset slice of an explicit total order (pandas iloc parity)")
   )
 }
