@@ -80,6 +80,39 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Element-wise long-vector sum + count per group — the k-means
+    * centroid update in ONE hash aggregate: per-group state is (d longs,
+    * count), map-side combinable, so the shuffle carries k × (d+1) longs
+    * total instead of the posexplode fan-out (rows × d elements through
+    * two aggregates). Vectors must share one length per group (the
+    * quantizer guarantees it); empty-vs-sized buffers merge by adopting
+    * the sized side. Raw JVM long addition (no ANSI overflow check):
+    * callers keep |value|·rows below 2⁶³, which fixed-point embeddings
+    * do by orders of magnitude. */
+  object VecSumCount
+      extends Aggregator[Seq[Long], (Seq[Long], Long), (Seq[Long], Long)] {
+    private def add(x: Seq[Long], y: Seq[Long]): Seq[Long] =
+      if (x.isEmpty) y else if (y.isEmpty) x
+      else {
+        require(x.length == y.length,
+          s"VecSumCount: length mismatch ${x.length} vs ${y.length}")
+        val out = new Array[Long](x.length)
+        var i = 0
+        while (i < out.length) { out(i) = x(i) + y(i); i += 1 }
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    override def zero: (Seq[Long], Long) = (Seq.empty, 0L)
+    override def reduce(b: (Seq[Long], Long), a: Seq[Long]): (Seq[Long], Long) =
+      (add(b._1, a), b._2 + 1)
+    override def merge(x: (Seq[Long], Long), y: (Seq[Long], Long)): (Seq[Long], Long) =
+      (add(x._1, y._1), x._2 + y._2)
+    override def finish(r: (Seq[Long], Long)): (Seq[Long], Long) = r
+    override def bufferEncoder: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+    override def outputEncoder: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
+  }
+
   /** Exact weighted mean — the second §2.7 capability example. */
   object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
     override def zero: (Double, Double) = (0.0, 0.0)

@@ -132,9 +132,20 @@ object Similarity {
     *
     * Returns the centroid table (cell: int, cf: array<long>). */
   def kmeansCentroids(df: DataFrame, id: String, vec: String, k: Int,
-                      iters: Int, scale: Double = 1e6): DataFrame = {
+                      iters: Int, scale: Double = 1e6): DataFrame =
+    kmeansCore(df, id, vec, k, iters, scale)._2
+
+  private def kmeansCore(df: DataFrame, id: String, vec: String, k: Int,
+                         iters: Int, scale: Double): (DataFrame, DataFrame) = {
     require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
+    // one upfront shuffle on pid, materialized once: every iteration's
+    // per-point argmin aggregate then reuses the partitioning (no
+    // per-round exchange of the points) — the same align-the-exchange
+    // trick the MinHash signature path uses. The materialized block is
+    // the quantized vectors only (d longs/row), the k-means working set
+    // MLlib caches too.
     val pts = fixedPts(df, id, vec, scale)
+      .repartition(col("pid")).localCheckpoint()
     val seedW = Window.orderBy(col("h"))
     var cents = pts
       .withColumn("h", md5(col("pid").cast("string")))
@@ -142,29 +153,32 @@ object Similarity {
       // window over k rows only (post-limit) — bounded by construction
       .withColumn("cell", row_number().over(seedW).cast("int"))
       .select(col("cell"), col("pf").as("cf"))
-      .localCheckpoint()
+      .coalesce(1).localCheckpoint()
+    val vsum = udaf(graft.functions.Aggregators.VecSumCount)
     for (_ <- 1 to iters) {
+      // centroid update in one aggregate: per-cell element-wise sums +
+      // count (k × (d+1) longs of shuffle state), then one narrow pass
+      // divides and re-quantizes — arithmetic identical to the per-pos
+      // sum/count formulation the DuckDB oracle mirrors
       val upd = assignCells(pts, cents)
-        .select(col("cell"), posexplode(col("pf")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .withColumn("cv", round(col("s").cast("double") / col("n")).cast("long"))
         .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("pc"))
-        .select(col("cell"), transform(col("pc"), x => x.getField("cv")).as("cf"))
+        .agg(vsum(col("pf")).as("sc"))
+        .select(col("cell"),
+          transform(col("sc._1"),
+            v => round(v.cast("double") / col("sc._2")).cast("long")).as("cf"))
       cents = cents.as("o").join(upd.as("u"), Seq("cell"), "left_outer")
         .select(col("cell"), coalesce(col("u.cf"), col("o.cf")).as("cf"))
-        .localCheckpoint()
+        .coalesce(1).localCheckpoint()
     }
-    cents
+    (pts, cents)
   }
 
   /** Fit + assign: k-means cells for every row of `df` — the learned
     * replacement for a precomputed IVF cell column. Output (id, cell). */
   def kmeansAssign(df: DataFrame, id: String, vec: String, k: Int,
                    iters: Int, scale: Double = 1e6): DataFrame = {
-    val cents = kmeansCentroids(df, id, vec, k, iters, scale)
-    assignCells(fixedPts(df, id, vec, scale), cents)
+    val (pts, cents) = kmeansCore(df, id, vec, k, iters, scale)
+    assignCells(pts, cents)
       .select(col("pid").as(id), col("cell"))
   }
 
