@@ -64,21 +64,30 @@ object Bench {
     // failed queries report their MAX duration (not the min of fast-fail
     // times) so a throwing query can't deflate the total while hiding in
     // the failed[] array
-    val results = warm.flatten.groupBy(_._1).toSeq.sortBy(_._1)
-      .map { case (name, times) =>
-        val ts = times.map(_._2)
-        name -> (if (failed.contains(name)) ts.max else ts.min)
-      }
+    val byName = warm.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+    val results = byName.map { case (name, times) =>
+      val ts = times.map(_._2)
+      name -> (if (failed.contains(name)) ts.max else ts.min)
+    }
+    // p50 across the warm passes, alongside the min: jitter shows up as
+    // p50 ≫ min, so a future regression in min can be separated from
+    // scheduler noise without re-running the round
+    val p50s = byName.map { case (name, times) =>
+      val ts = times.map(_._2).sorted
+      name -> (if (ts.size % 2 == 1) ts(ts.size / 2)
+               else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2)
+    }
     val total = results.map(_._2).sum
     // failed queries are flagged in the JSON so a fast failure can't
     // masquerade as a fast query in the round's benchmark record
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def fmt(v: Double): String = "%.3f".format(v)
     // Full-precision, full-name record for humans and the judge:
-    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detailLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},""" +
+        s""""queries_p50":${obj(p50s)},"failed":$failedJson,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
       try w.println(detailLine) finally w.close()

@@ -3,8 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -149,6 +149,63 @@ case class FixedSqDist(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): FixedSqDist = copy(newLeft, newRight)
+}
+
+/** Element-wise difference of two fixed-point vectors (`array<long>`) —
+  * the residual step of IVF-PQ (point − assigned coarse centroid),
+  * generated as one primitive loop instead of an interpreted `zip_with`
+  * lambda (the measured ~10× HOF penalty; see file scaladoc). Integer
+  * subtraction is exactly engine-portable, so residual codebooks and ADC
+  * scores stay oracle-hashable. Length-mismatched inputs yield null, as
+  * the sibling expressions. */
+case class FixedVecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "fixed_vec_sub"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = x.getLong(i) - y.getLong(i)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long[] $out = new long[$n];
+          for (int $i = 0; $i < $n; $i++) {
+            $out[$i] = $a.getLong($i) - $b.getLong($i);
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): FixedVecSub = copy(newLeft, newRight)
 }
 
 object VectorExpressions {

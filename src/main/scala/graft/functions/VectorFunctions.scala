@@ -55,6 +55,15 @@ object VectorFunctions {
       GraftGlue.expression(a), GraftGlue.expression(b)))
   }
 
+  /** Codegen'd element-wise difference of fixed-point vectors
+    * (graft.expressions.FixedVecSub) — the IVF-PQ residual step, exact
+    * integer math so residual codebooks stay oracle-hashable. */
+  def vecSubFixed(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.FixedVecSub(
+      GraftGlue.expression(a), GraftGlue.expression(b)))
+  }
+
   /** Sign-LSH bucket: an integer whose bit i is set iff v[offset+i] > 0,
     * over `bits` consecutive dimensions. A data-derived random-hyperplane
     * sketch (dimensions of a whitened embedding behave as random

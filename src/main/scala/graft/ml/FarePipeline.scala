@@ -143,7 +143,12 @@ object FarePipeline {
     * declares the tracking *server* out of scope, this is the artifact).
     * Stable key order, so lines diff cleanly across runs. */
   def metricsJson(cfg: FareConfig, m: FareMetrics): String = {
-    def js(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def js(x: String) = "\"" + x.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x" // control chars break JSONL
+      case c => c.toString
+    } + "\""
     // NaN/Infinity are not JSON — absent metric slots serialize as null
     def num(d: Double) = if (d.isNaN || d.isInfinite) "null" else d.toString
     val imps = m.importances

@@ -100,12 +100,23 @@ object Dedup {
   def connectedComponentsStarsWithRounds(nodes: DataFrame, id: String,
                                          pairs: DataFrame, maxIter: Int = 25)
       : (DataFrame, Int) = {
+    // Cheap convergence signature: (|edges|, Σ xxhash64(u,v) mod p) in ONE
+    // aggregate over the already-materialized round output — an unchanged
+    // round is detected without any `except` (which costs a full shuffle +
+    // distinct-aggregate over the edge set). The mod keeps the ANSI-mode
+    // long sum from overflowing at any row count that fits a cluster.
+    def sig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     // canonical larger→smaller edges, self-loops dropped, deduped
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+    var edgeSig = sig(edges)
     var converged = false
     var round = 0
     while (!converged && round < maxIter) {
@@ -127,8 +138,14 @@ object Dedup {
         .union(mins.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // signature mismatch disproves convergence outright; on a match,
+      // ONE one-sided except confirms it — both sides are distinct sets,
+      // so equal cardinality + next ⊆ edges ⇒ set equality (no symmetric
+      // second except needed)
+      val nextSig = sig(next)
+      converged = nextSig == edgeSig && next.except(edges).isEmpty
       edges = next
+      edgeSig = nextSig
       round += 1
     }
     require(converged,
@@ -139,6 +156,20 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
     (labels, round)
   }
+
+  /** THE clustering entry point for dup pipelines: nodes + undirected
+    * pair edges → (id, cluster_id) component labels. Routes to
+    * [[connectedComponentsStars]] so the O(log² n) any-shape algorithm is
+    * the path of least resistance — min-label propagation
+    * ([[connectedComponents]]) silently regresses to diameter rounds on
+    * chain-shaped families, so a caller should have to opt INTO it (it
+    * wins only when the graph is known to be unions of tiny dense
+    * clusters and the ~2-round head start matters). Both reach the same
+    * fixpoint labels (component minimum), so swapping is invisible to
+    * results. */
+  def cluster(nodes: DataFrame, id: String, pairs: DataFrame,
+              maxIter: Int = 25): DataFrame =
+    connectedComponentsStars(nodes, id, pairs, maxIter)
 
   /** Exact dedup stats: total vs distinct-by-content-hash. */
   def exactStats(df: DataFrame, text: String): DataFrame =
@@ -233,6 +264,25 @@ object Dedup {
     val withH = toks.select(col(id),
       pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
         lit(LcgPrime)).as("h"))
+    val mins = (0 until k).map { j =>
+      val (a, b) = lcgCoef(j)
+      min(pmod(lit(a) * col("h") + lit(b), lit(LcgPrime))).as(s"mh$j")
+    }
+    withH.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash signatures on a NATIVE 64-bit hash base: the token integer
+    * comes from one codegen'd `xxhash64` call instead of an md5 digest +
+    * hex decode — the fast path when cross-engine verification isn't
+    * needed (xxhash64 has no DuckDB twin, so this scheme is excluded
+    * from the hash oracle BY DESIGN; TextDedupSpec pins verified-pair-set
+    * equality with the md5/LCG path on the corpus, and the q42-vs-q95
+    * bench pair carries the measured delta). Same 2-universal LCG family
+    * and prime as [[minhashSignaturesLcg]] — only the base hash changes,
+    * so the estimator's statistical structure is identical. */
+  def minhashSignaturesXx(toks: DataFrame, id: String, k: Int): DataFrame = {
+    val withH = toks.select(col(id),
+      pmod(xxhash64(col("sh")), lit(LcgPrime)).as("h"))
     val mins = (0 until k).map { j =>
       val (a, b) = lcgCoef(j)
       min(pmod(lit(a) * col("h") + lit(b), lit(LcgPrime))).as(s"mh$j")
@@ -370,7 +420,7 @@ object Dedup {
                       k: Int = 64, bands: Int = 8,
                       threshold: Double = 0.9, maxBucket: Int = 100,
                       scheme: String = "salted"): DataFrame = {
-    require(Set("salted", "lcg", "oph")(scheme), s"unknown scheme $scheme")
+    require(Set("salted", "lcg", "oph", "xx64")(scheme), s"unknown scheme $scheme")
     // Repartition the token stream by id BEFORE hashing: a small corpus
     // arrives as one scan partition, which would run the k/2-digests-per-
     // row projection single-threaded; hashing after the exchange spreads
@@ -381,6 +431,7 @@ object Dedup {
     val sigs = scheme match {
       case "lcg"    => minhashSignaturesLcg(toks, id, k)
       case "oph"    => ophDensifiedSignatures(toks, id, k)
+      case "xx64"   => minhashSignaturesXx(toks, id, k)
       case "salted" => minhashSignatures(toks, id, k)
     }
     val cands = lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket)
@@ -438,6 +489,23 @@ object Dedup {
     * running sums in one hash aggregate (map-side combinable); chunked
     * ints keep every value inside portable INT32 range so the DuckDB
     * oracle reproduces the sketch bit-for-bit. */
+  /** Shared SimHash tail: per-bit ±1 sums in one hash aggregate, then the
+    * sign bits packed into four 16-bit chunks. `bit(b)` supplies bit b of
+    * the current row's token hash (whatever the hash family). */
+  private def simhashFromBits(toks: DataFrame, id: String,
+                              bit: Int => Column): DataFrame = {
+    val bitSums = (0 until 64).map { b =>
+      sum(when(bit(b) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val sums = toks.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
+    sums.select(
+      col(id) +: (0 until 4).map { c =>
+        (0 until 16).map { j =>
+          when(col(s"b${16 * c + j}") > 0, lit(1 << j)).otherwise(lit(0))
+        }.reduce(_ + _).as(s"c$c")
+      }: _*)
+  }
+
   def simhashChunks(df: DataFrame, id: String, text: String): DataFrame = {
     // Same pre-hash repartition rationale as minhashNearDups: parallelize
     // the per-token digest/bit-decode work and pre-align with the groupBy.
@@ -445,17 +513,20 @@ object Dedup {
       .withColumn("h", md5(col("sh")))
     val withDigits = toks.select(
       col(id) +: (0 until 16).map(i => hexDigit(col("h"), i + 1).as(s"d$i")): _*)
-    val bitSums = (0 until 64).map { b =>
-      val bit = shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(1)
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val sums = withDigits.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
-    sums.select(
-      col(id) +: (0 until 4).map { c =>
-        (0 until 16).map { j =>
-          when(col(s"b${16 * c + j}") > 0, lit(1 << j)).otherwise(lit(0))
-        }.reduce(_ + _).as(s"c$c")
-      }: _*)
+    simhashFromBits(withDigits, id,
+      b => shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(1))
+  }
+
+  /** [[simhashChunks]] on the xxhash64 base: bit b is bit b of ONE
+    * codegen'd 64-bit token hash — no hex decode, no 16 digit columns.
+    * Like [[minhashSignaturesXx]], excluded from the cross-engine oracle
+    * by design (no DuckDB xxhash64); validated in TextDedupSpec by the
+    * pigeonhole recall property within its own hash family. */
+  def simhashChunksXx(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = tokens(df, id, text).repartition(col(id))
+      .withColumn("h", xxhash64(col("sh")))
+    simhashFromBits(toks, id,
+      b => shiftright(col("h"), b).bitwiseAND(1).cast("int"))
   }
 
   /** Hamming distance between two chunked sketches (popcount of xor per
@@ -481,10 +552,14 @@ object Dedup {
     * localCheckpoint'd: three consumers would otherwise recompute the
     * full token-hash aggregate. */
   def simhashBandedPairs(df: DataFrame, id: String, text: String,
-                         maxDist: Int = 3): DataFrame = {
+                         maxDist: Int = 3, scheme: String = "md5"): DataFrame = {
     require(maxDist <= 3,
       s"maxDist=$maxDist: 4-chunk pigeonhole only guarantees recall for d <= 3")
-    val sk = simhashChunks(df, id, text).localCheckpoint()
+    require(Set("md5", "xx64")(scheme), s"unknown scheme $scheme")
+    val sketch =
+      if (scheme == "xx64") simhashChunksXx(df, id, text)
+      else simhashChunks(df, id, text)
+    val sk = sketch.localCheckpoint()
     val bands = sk.select(col(id),
       posexplode(array(col("c0"), col("c1"), col("c2"), col("c3")))
         .as(Seq("bi", "bv")))

@@ -272,6 +272,52 @@ object Relational {
       .drop(saltedBuild("__salt"))
   }
 
+  /** Per-key salt factors for [[saltedJoinAdaptive]]: keys whose probe-side
+    * row count exceeds `targetPerReplica` get replication
+    * ceil(cnt / targetPerReplica), capped at `maxSalt`; every other key is
+    * ABSENT (→ unsalted, factor 1). One map-side-combined aggregate over
+    * the probe keys; the output is hot-keys-only, so it stays tiny (≤
+    * |probe| / targetPerReplica rows by construction) and broadcasts. */
+  def saltFactors(probe: DataFrame, key: String, targetPerReplica: Long,
+                  maxSalt: Int): DataFrame =
+    probe.groupBy(col(key).as("__k"))
+      .agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > targetPerReplica)
+      .select(col("__k"),
+        least(ceil(col("__cnt").cast("double") / targetPerReplica).cast("int"),
+          lit(maxSalt)).as("__nsalt"))
+
+  /** Adaptive form of [[saltedJoin]]: replication is paid ONLY where skew
+    * exists. A fixed salt=N multiplies the whole build side by N — at 100
+    * TB that is N× build shuffle and N× hash-table memory to fix one hot
+    * key; here per-key factors from [[saltFactors]] replicate hot keys
+    * just enough (ceil(cnt/targetPerReplica), ≤ maxSalt) and leave cold
+    * keys untouched. The factor table is broadcast to BOTH sides, so the
+    * per-key salt modulus agrees by construction and the join result is
+    * identical to the unsalted join for any factor assignment — counts
+    * only steer performance, never semantics. */
+  def saltedJoinAdaptive(probe: DataFrame, build: DataFrame, probeKey: String,
+                         buildKey: String, targetPerReplica: Long,
+                         maxSalt: Int = 64): DataFrame = {
+    val factors = saltFactors(probe, probeKey, targetPerReplica, maxSalt)
+    val saltedBuild = build
+      .join(broadcast(factors), build(buildKey) === factors("__k"), "left_outer")
+      .withColumn("__salt",
+        explode(sequence(lit(0), coalesce(col("__nsalt"), lit(1)) - 1)))
+      .drop("__k", "__nsalt")
+    val saltedProbe = probe
+      .join(broadcast(factors), probe(probeKey) === factors("__k"), "left_outer")
+      .withColumn("__salt",
+        pmod(hash(probe.columns.map(col) :+ monotonically_increasing_id(): _*),
+          coalesce(col("__nsalt"), lit(1))))
+      .drop("__k", "__nsalt")
+    saltedProbe.join(saltedBuild,
+        saltedProbe(probeKey) === saltedBuild(buildKey) &&
+          saltedProbe("__salt") === saltedBuild("__salt"))
+      .drop(saltedProbe("__salt"))
+      .drop(saltedBuild("__salt"))
+  }
+
   /** Approximate describe for the 100 TB path: t-digest quantiles and HLL
     * distinct count instead of the buffer-all exact Percentile (which
     * holds every value in memory per partition — fine at bench SFs,
@@ -308,7 +354,14 @@ object Relational {
     * offset+n rows (a pushed sort-limit) and ranks inside that bounded
     * set — the unpartitioned window never sees more than offset+n rows.
     * For deep pagination at 100 TB, carry a key-range predicate from the
-    * previous page instead (offset cost grows with offset). */
+    * previous page instead (offset cost grows with offset).
+    *
+    * CONTRACT: `order` must be a TOTAL order (no ties). With ties at the
+    * `offset+n` boundary, the pushed sort-limit keeps an arbitrary tie
+    * subset and the slice diverges nondeterministically from LIMIT/OFFSET
+    * semantics. Append a unique key as the last order column (the way
+    * q92 tie-breaks on `o_orderkey`) when the natural sort key can
+    * repeat. */
   def sliceByOffset(df: DataFrame, order: Seq[Column], offset: Int,
                     n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -137,7 +137,6 @@ object Similarity {
 
   private def kmeansCore(df: DataFrame, id: String, vec: String, k: Int,
                          iters: Int, scale: Double): (DataFrame, DataFrame) = {
-    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
     // one upfront shuffle on pid, materialized once: every iteration's
     // per-point argmin aggregate then reuses the partitioning (no
     // per-round exchange of the points) — the same align-the-exchange
@@ -146,6 +145,15 @@ object Similarity {
     // MLlib caches too.
     val pts = fixedPts(df, id, vec, scale)
       .repartition(col("pid")).localCheckpoint()
+    (pts, lloydFixed(pts, k, iters))
+  }
+
+  /** The Lloyd loop over an already-quantized, pid-partitioned,
+    * materialized (pid, pf: array<long>) frame — shared by the coarse
+    * quantizer ([[kmeansCentroids]]) and the per-subspace residual
+    * codebooks of [[ivfPqTopK]]. Returns the centroid table (cell, cf). */
+  private def lloydFixed(pts: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"need k>0, iters>=0; got k=$k iters=$iters")
     val seedW = Window.orderBy(col("h"))
     var cents = pts
       .withColumn("h", md5(col("pid").cast("string")))
@@ -170,7 +178,7 @@ object Similarity {
         .select(col("cell"), coalesce(col("u.cf"), col("o.cf")).as("cf"))
         .coalesce(1).localCheckpoint()
     }
-    (pts, cents)
+    cents
   }
 
   /** Fit + assign: k-means cells for every row of `df` — the learned
@@ -180,6 +188,147 @@ object Similarity {
     val (pts, cents) = kmeansCore(df, id, vec, k, iters, scale)
     assignCells(pts, cents)
       .select(col("pid").as(id), col("cell"))
+  }
+
+  /** Multi-probe IVF top-k (the full Jégou TPAMI 2011 coarse-search
+    * shape): train the k-means quantizer on `corpus`, assign every
+    * candidate to its nearest cell, then let each query search its
+    * `nprobe` NEAREST cells — not just its own — before the exact cosine
+    * re-rank. nprobe=1 recall collapses near cell boundaries (a true
+    * neighbor on the far side of the bisector is invisible); probing the
+    * next-nearest cells is what makes IVF recall survive real data at
+    * scale, at candidate cost nprobe/kCells of the corpus per query.
+    *
+    * Plan shape: centroid ranking is a window over (queries × kCells)
+    * broadcast-joined rows — bounded by the query set; the probe list
+    * (query, cell, qv) is small and broadcast into the candidate-cell
+    * equi-join, so candidates never shuffle (same posture as
+    * [[bruteForceTopK]], scanning only the probed cells). A candidate
+    * belongs to exactly one cell, so the probe union is duplicate-free by
+    * construction. Cell ranking uses the same fixed-point integer
+    * distance (and tie-break toward the smaller cell) as the quantizer
+    * itself, so probe order is deterministic and engine-portable. */
+  def ivfTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+                        corpus: DataFrame, id: String, vec: String, k: Int,
+                        kCells: Int, iters: Int, nprobe: Int,
+                        scale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= kCells,
+      s"need 1 <= nprobe <= kCells; got nprobe=$nprobe kCells=$kCells")
+    val cents = kmeansCore(corpus, id, vec, kCells, iters, scale)._2
+    // candidate assignment carrying the double vector for the re-rank
+    // (one aggregate; cv is functionally dependent on cand_id)
+    val candCells = candidates
+      .select(col(id).as("cand_id"), toDoubleVec(col(vec)).as("cv"),
+        toFixedVec(col(vec), scale).as("pf"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistFixed(col("pf"), col("cf")))
+      .groupBy(col("cand_id"))
+      .agg(min(struct(col("dist"), col("cell"))).getField("cell").as("cell"),
+        first(col("cv")).as("cv"))
+    // per-query nprobe nearest cells, deterministic (dist, cell) order
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = queries
+      .select(col(id).as("query_id"), toDoubleVec(col(vec)).as("qv"),
+        toFixedVec(col(vec), scale).as("pf"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistFixed(col("pf"), col("cf")))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"), col("qv"))
+    val scored = candCells.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosineFast(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+  }
+
+  /** IVF-PQ top-k — the complete Jégou et al. TPAMI 2011 construction,
+    * fully relational and engine-portable:
+    *
+    *  1. **train**: coarse k-means quantizer over `corpus` (the q87
+    *     operator), then per-point residual r = pf − cf(assigned cell)
+    *     via the codegen'd [[graft.expressions.FixedVecSub]];
+    *  2. **product-quantize**: split the d dims into `subspaces` slices;
+    *     per slice, a k-means codebook of `ksub` codewords over the
+    *     residual sub-vectors (the SAME Lloyd loop as the coarse stage,
+    *     [[lloydFixed]], just narrower input) and per-candidate nearest-
+    *     codeword codes — the candidate index stores `subspaces` small
+    *     ints per point instead of d floats (the memory win that lets an
+    *     ANN index hold 100 TB of vectors);
+    *  3. **search (ADC)**: per query, ONE distance table of
+    *     (subspaces × ksub) integer entries — squared distance from the
+    *     query's residual slice to each codeword — then each candidate in
+    *     the query's coarse cell is scored by summing `subspaces` table
+    *     lookups instead of a d-dim distance. Here the lookup is a
+    *     broadcast equi-join of the LUT against the candidates' unpivoted
+    *     codes + one sum aggregate — candidates never shuffle their
+    *     vectors, only (cell, m, code) ints.
+    *
+    * Everything is fixed-point integer arithmetic end-to-end (distances,
+    * codebooks, ADC sums), so the DuckDB oracle re-derives codebooks,
+    * codes and scores bit-for-bit. ADC ranks by approximate distance —
+    * the output deliberately differs from exact-rerank searches (q46/q93)
+    * exactly the way production IVF-PQ recall differs; SimilaritySpec
+    * pins that ADC@k recall against brute-force truth. Scoring is
+    * restricted to each query's own coarse cell (nprobe=1); compose with
+    * the [[ivfTopKMultiProbe]] probe ranking for nprobe>1. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, corpus: DataFrame,
+                id: String, vec: String, k: Int, kCells: Int,
+                coarseIters: Int, subspaces: Int, ksub: Int, pqIters: Int,
+                dims: Int, scale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % subspaces == 0,
+      s"subspaces=$subspaces must divide dims=$dims")
+    val subDim = dims / subspaces
+    val (pts, cents) = kmeansCore(corpus, id, vec, kCells, coarseIters, scale)
+    // residuals, materialized once: 4 codebook fits + encodings + the
+    // query LUTs all re-read this narrow (pid, cell, rf) block
+    val res = assignCells(pts, cents)
+      .join(broadcast(cents), "cell")
+      .select(col("pid"), col("cell"),
+        vecSubFixed(col("pf"), col("cf")).as("rf"))
+      .localCheckpoint()
+    def subOf(m: Int): Column = slice(col("rf"), m * subDim + 1, subDim)
+    val codebooks = (0 until subspaces).map { m =>
+      lloydFixed(res.select(col("pid"), subOf(m).as("pf")), ksub, pqIters)
+    }
+    // candidate codes: per-subspace nearest codeword (argmin over ksub
+    // broadcast rows; res is pid-partitioned, so no exchange), then the
+    // per-point code tuple unpivoted to (cand_id, cell, m, code) rows
+    val cres = res.join(candidates.select(col(id).as("pid")), "pid")
+    val encoded = (0 until subspaces).map { m =>
+      assignCells(cres.select(col("pid"), subOf(m).as("pf")), codebooks(m))
+        .select(col("pid"), col("cell").as(s"code$m"))
+    }
+    val cand = encoded.reduce(_.join(_, "pid"))
+      .join(cres.select(col("pid"), col("cell")), "pid")
+      .select(col("pid").as("cand_id"), col("cell"),
+        posexplode(array((0 until subspaces).map(m => col(s"code$m")): _*))
+          .as(Seq("cm", "ccode")))
+    // per-query ADC lookup table: queries × subspaces × ksub rows — tiny,
+    // broadcast into the candidate-code join
+    val qres = res.join(broadcast(queries.select(col(id).as("pid"))), "pid")
+    val lut = (0 until subspaces).map { m =>
+      qres.select(col("pid").as("query_id"), col("cell").as("qcell"),
+          subOf(m).as("qs"))
+        .crossJoin(broadcast(codebooks(m)))
+        .select(col("query_id"), col("qcell"), lit(m).as("m"),
+          col("cell").as("code"), sqDistFixed(col("qs"), col("cf")).as("d"))
+    }.reduce(_.unionByName(_))
+    val scored = cand.join(broadcast(lut),
+        col("cell") === col("qcell") && col("cm") === col("m") &&
+          col("ccode") === col("code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"))
   }
 
   /** Sign-LSH near-dup pairs: bucket by hyperplane signs (equi-join key),

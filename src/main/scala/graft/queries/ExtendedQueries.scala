@@ -675,13 +675,15 @@ object ExtendedQueries {
     // --------------------------------------------------- skew-salted join
     // A planted-hot-key join: ~80% of orders hash to customer 1, the
     // reducer-stall shape AQE's skew split targets for sort-merge joins.
-    // Relational.saltedJoin spreads the hot key over `salt` replicas of
-    // the build row so no single task owns the whole key; the joined
-    // multiset — and hence this aggregate — is identical to the plain
-    // join, which is exactly what the oracle checks. (customer is
-    // broadcastable at bench SF; the operator's target is the
+    // Relational.saltedJoinAdaptive derives per-key replication from a
+    // probe-side key-count aggregate: the hot key spreads over
+    // ceil(cnt/target) replicas so no single task owns it, while cold
+    // keys join UNSALTED (no build amplification where none is needed);
+    // the joined multiset — and hence this aggregate — is identical to
+    // the plain join, which is exactly what the oracle checks. (customer
+    // is broadcastable at bench SF; the operator's target is the
     // large-large hash-join regime where neither side broadcasts —
-    // ScalePostureSpec pins the spread property itself.)
+    // ScalePostureSpec pins the spread + no-cold-replication properties.)
     "q90_salted_skew_join" -> Q(
       (s, d) => {
         import s.implicits._
@@ -689,8 +691,9 @@ object ExtendedQueries {
           when(pmod($"o_orderkey", lit(5)) > 0, 1)
             .otherwise(pmod($"o_orderkey", lit(1000)) + 1).as("cust_hot"),
           $"o_totalprice")
-        graft.operators.Relational.saltedJoin(
-            probe, t(s, d, "customer"), "cust_hot", "c_custkey", salt = 8)
+        graft.operators.Relational.saltedJoinAdaptive(
+            probe, t(s, d, "customer"), "cust_hot", "c_custkey",
+            targetPerReplica = 2000)
           .groupBy($"c_mktsegment")
           .agg(count(lit(1)).as("n_orders"),
             (graft.operators.Relational.centsSum($"o_totalprice").cast("double") / 100.0)
@@ -758,6 +761,40 @@ object ExtendedQueries {
         FROM (SELECT o_orderkey, o_orderdate FROM orders
           ORDER BY o_orderdate, o_orderkey LIMIT 50 OFFSET 100)
         ORDER BY o_orderkey"""),
-      "offset slice of an explicit total order (pandas iloc parity)")
+      "offset slice of an explicit total order (pandas iloc parity)"),
+
+    // ------------------------------------------- partition-pruned layout
+    // The first scale lever at 100 TB is LAYOUT: orders hive-partitioned
+    // by month ([[graft.io.Sources.materializePartitioned]]), then read
+    // back under a month predicate that Catalyst turns into a
+    // PartitionFilter — whole directories are pruned before a single
+    // file is listed or opened, so the month query touches 1/|months| of
+    // the store regardless of total size. The layout is materialized
+    // once per testdata generation (keyed on the source file's mtime)
+    // and reused; results are oracle-checked against the unpartitioned
+    // original, and ScalePostureSpec pins the plan evidence (the
+    // PartitionFilters entry + exactly one partition listed).
+    "q94_partition_pruned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = new java.io.File(s"$d/orders.parquet")
+        val layout = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/orders_by_month"
+        val pruned = graft.io.Sources.materializePartitioned(s,
+            t(s, d, "orders")
+              .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")),
+            layout, Seq("o_month"))
+          .filter($"o_month" === "1995-03")
+        pruned.groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            graft.operators.Relational.moneySum($"o_totalprice").as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "partition-pruned scan: a month predicate prunes hive layout dirs")
   )
 }

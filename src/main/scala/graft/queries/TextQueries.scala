@@ -349,6 +349,25 @@ object TextQueries {
         threshold = 0.9, maxBucket = 100, scheme = "lcg")),
       "MinHash+LSH near-dup pipeline (LCG hash family, banded, verify-on-candidates)"),
 
+    // -------------------------------------------- MinHash xx64 fast path
+    // q42 with the md5 token digest swapped for one codegen'd xxhash64 —
+    // the production hash when cross-engine verification isn't needed.
+    // No DuckDB xxhash64 exists, so this is deliberately a rows-only
+    // entry (the ONE capability whose portability trade-off is the whole
+    // point); TextDedupSpec pins verified-pair-set equality against the
+    // oracled LCG path, and the q42/q95 bench pair carries the measured
+    // hash-cost delta.
+    "q95_minhash_xx64" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Dedup.minhashNearDups(docs(s, d).filter($"doc_id" < 1000), "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
+            scheme = "xx64")
+          .orderBy($"id_a", $"id_b")
+      },
+      None,
+      "q42 on the xxhash64 token-hash fast path (rows-only by design)"),
+
     // ----------------------------------------------------------- SimHash dedup
     // 64-bit SimHash sketches (four 16-bit chunks from md5 hex digits —
     // portable, so the oracle rebuilds them), all-pairs Hamming ≤ 10 over
@@ -403,18 +422,19 @@ object TextQueries {
     // the keeper policy needs CLUSTERS (a near-dup of a near-dup is the
     // same document family even when the two ends never pair directly).
     // Connected components over the char-3-gram Jaccard ≥ 0.6 pair graph
-    // via iterative min-label propagation ([[graft.operators.Dedup
-    // .connectedComponents]]); every doc gets a cluster id (= min member
-    // id), cluster size, and a keep-first keeper flag. The DuckDB oracle
-    // reaches the identical fixpoint through a recursive CTE, so the
-    // whole iterative operator is hash-verified, not rows-counted.
+    // via the single clustering entry point ([[graft.operators.Dedup
+    // .cluster]], which routes to shape-safe star contraction); every doc
+    // gets a cluster id (= min member id), cluster size, and a keep-first
+    // keeper flag. The DuckDB oracle reaches the identical fixpoint
+    // through a recursive CTE, so the whole iterative operator is
+    // hash-verified, not rows-counted.
     "q75_dedup_clusters" -> Q(
       (s, d) => {
         import s.implicits._
         val base = docs(s, d).filter($"doc_id" < 100)
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           charNGrams($"text", 3), threshold = 0.6)
-        val cc = Dedup.connectedComponents(base.select($"doc_id"), "doc_id", pairs)
+        val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
         val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, "cluster_id")
           .select($"id".as("doc_id"), $"cluster_id", $"cluster_size",

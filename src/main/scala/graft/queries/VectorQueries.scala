@@ -26,9 +26,12 @@ object VectorQueries {
     * round), entirely in the fixed-point integer arithmetic the Spark side
     * uses, so centroids and assignments are bit-identical. `af` is the
     * final assignment (vec_id, cell) against the last centroid table. */
+  /** DuckDB fixed-point squared distance between `$p.pf` and `$c.cf`. */
+  private def fixedDistSql(p: String, c: String, dims: Int): String =
+    s"list_sum(list_transform(range(1, ${dims + 1}), i -> ($p.pf[i]-$c.cf[i])*($p.pf[i]-$c.cf[i])))"
+
   private def kmeansSql(k: Int, iters: Int, scaleL: Long, dims: Int): String = {
-    def dist(p: String, c: String): String =
-      s"list_sum(list_transform(range(1, ${dims + 1}), i -> ($p.pf[i]-$c.cf[i])*($p.pf[i]-$c.cf[i])))"
+    def dist(p: String, c: String): String = fixedDistSql(p, c, dims)
     val sb = new StringBuilder
     sb ++= s"""p AS (SELECT vec_id, list_transform(embedding, v -> CAST(round(v::DOUBLE * $scaleL) AS BIGINT)) AS pf
         FROM embeddings),
@@ -51,6 +54,30 @@ object VectorQueries {
         SELECT p.vec_id, c.cell, row_number() OVER (
           PARTITION BY p.vec_id ORDER BY ${dist("p", "c")}, c.cell) AS rn
         FROM p, c$iters c) WHERE rn = 1)"""
+    sb.result()
+  }
+
+  /** DuckDB mirror of [[Similarity.lloydFixed]] over an existing CTE
+    * `src(pid, pf)`: emits centroid CTEs `${p}0 .. ${p}$iters` (cell, cf)
+    * with the same md5-digest seeding, integer distances, round-to-grid
+    * updates and empty-cell carry-over as the Spark loop. */
+  private def lloydSql(src: String, p: String, k: Int, iters: Int,
+                       dims: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""${p}0 AS (SELECT cell, cf FROM (
+        SELECT CAST(row_number() OVER (ORDER BY md5(CAST(pid AS VARCHAR))) AS INTEGER) AS cell, pf AS cf
+        FROM $src) WHERE cell <= $k)"""
+    for (i <- 1 to iters) {
+      sb ++= s""",
+      ${p}a$i AS (SELECT pid, cell, pf FROM (
+        SELECT s.pid, c.cell, s.pf, row_number() OVER (
+          PARTITION BY s.pid ORDER BY ${fixedDistSql("s", "c", dims)}, c.cell) AS rn
+        FROM $src s, ${p}${i - 1} c) WHERE rn = 1),
+      ${p}u$i AS (SELECT cell, list(cv ORDER BY pos) AS cf FROM (
+        SELECT cell, i AS pos, CAST(round(sum(pf[i])::DOUBLE / count(*)) AS BIGINT) AS cv
+        FROM ${p}a$i, range(1, ${dims + 1}) t(i) GROUP BY cell, i) GROUP BY cell),
+      ${p}$i AS (SELECT cell, coalesce(u.cf, o.cf) AS cf FROM ${p}${i - 1} o LEFT JOIN ${p}u$i u USING (cell))"""
+    }
     sb.result()
   }
 
@@ -188,19 +215,20 @@ object VectorQueries {
     // --------------------------------------------------- semantic dedup
     // SemDeDup-shaped pipeline (Abbas et al. 2023): cosine ≥ 0.35 pair
     // graph over the embedding space → connected-component clusters →
-    // keep-first keeper per cluster. Same clustering operator as the
-    // text path (q75), fed by the vector pair stage — at scale, swap the
-    // brute-force pairs for [[Similarity.lshNearDupPairs]]/IVF candidates;
-    // the component/keeper tail is identical. The DuckDB oracle reaches
-    // the same fixpoint via a recursive CTE, so the full iterative
-    // pipeline is hash-verified.
+    // keep-first keeper per cluster. Same clustering entry point as the
+    // text path (q75) — [[Dedup.cluster]], routing to star contraction —
+    // fed by the vector pair stage; at scale, swap the brute-force pairs
+    // for [[Similarity.lshNearDupPairs]]/IVF candidates; the
+    // component/keeper tail is identical. The DuckDB oracle reaches the
+    // same fixpoint via a recursive CTE, so the full iterative pipeline
+    // is hash-verified.
     "q78_semdedup_clusters" -> Q(
       (s, d) => {
         import s.implicits._
         val base = emb(s, d).filter($"vec_id" < 300)
         val pairs = Similarity.bruteForceNearDupPairs(
           base, "vec_id", "embedding", threshold = 0.35)
-        val cc = Dedup.connectedComponents(base.select($"vec_id"), "vec_id", pairs)
+        val cc = Dedup.cluster(base.select($"vec_id"), "vec_id", pairs)
         val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, "cluster_id")
           .select($"id".as("vec_id"), $"cluster_id", $"cluster_size",
@@ -273,6 +301,125 @@ object VectorQueries {
             PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
           FROM scored)
         WHERE rank <= 3 ORDER BY query_id, rank"""),
-      "IVF ANN with the learned k-means assignment: train + index + search")
+      "IVF ANN with the learned k-means assignment: train + index + search"),
+
+    // ---------------------------------------------- multi-probe IVF ANN
+    // q88 with nprobe=3: each query ranks the learned centroids by the
+    // quantizer's own fixed-point distance and searches its THREE nearest
+    // cells before the exact cosine re-rank — the recall repair for
+    // true neighbors that sit across a cell bisector (Jégou TPAMI 2011's
+    // production setting; nprobe=1 is the degenerate case q88 keeps as
+    // the cheapest point on the curve). The oracle re-derives training,
+    // candidate assignment, probe ranking and re-rank end-to-end, so the
+    // full multi-probe search result is hash-verified. The recall gain
+    // over nprobe=1 is pinned against brute-force truth in
+    // SimilaritySpec.
+    "q93_ivf_multiprobe" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.ivfTopKMultiProbe(
+            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10), e,
+            "vec_id", "embedding", k = 5, kCells = 8, iters = 3, nprobe = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)},
+        qp AS (SELECT vec_id AS query_id, cell FROM (
+            SELECT p.vec_id, c.cell, row_number() OVER (
+              PARTITION BY p.vec_id ORDER BY ${fixedDistSql("p", "c", 64)}, c.cell) AS rn
+            FROM p, c3 c WHERE p.vec_id < 10) WHERE rn <= 3),
+        q AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT e.vec_id, af.cell, e.embedding, ${sqlNorm("e")} AS nrm
+          FROM embeddings e JOIN af USING (vec_id) WHERE e.vec_id >= 10),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS sim
+          FROM qp JOIN q ON q.vec_id = qp.query_id
+          JOIN c ON c.cell = qp.cell)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      "multi-probe IVF: each query searches its nprobe nearest learned cells"),
+
+    // ------------------------------------------------------------ IVF-PQ
+    // The complete Jégou TPAMI 2011 construction end-to-end: coarse
+    // quantizer (q87) → per-point residuals → four 16-dim product
+    // codebooks over the residuals (the same Lloyd operator, narrower
+    // input) → candidate codes → asymmetric-distance search (per-query
+    // integer LUT, candidates scored by 4 table lookups instead of a
+    // 64-dim distance). All integer arithmetic, so DuckDB re-derives
+    // training, codebooks, codes and ADC scores bit-for-bit — the whole
+    // three-stage index pipeline is hash-verified, and SimilaritySpec
+    // pins ADC recall against brute-force truth.
+    "q96_ivfpq_adc" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.ivfPqTopK(
+            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10), e,
+            "vec_id", "embedding", k = 5, kCells = 8, coarseIters = 3,
+            subspaces = 8, ksub = 16, pqIters = 2, dims = 64)
+          .orderBy($"query_id", $"rank")
+      },
+      Some {
+        // 8 subspaces × 16 codewords = 32 bits/point — the coarsest code
+        // whose ADC ranking still tracks exact within-cell order (the
+        // 12-bit first cut ranked near cell-random; SimilaritySpec pins
+        // the recall ratio against the nprobe=1 exact-rerank ceiling)
+        val M = 8; val ksub = 16; val subDim = 64 / M
+        def lutDist(m: Int): String =
+          s"list_sum(list_transform(range(1, ${subDim + 1}), i -> " +
+            s"(q.rf[i + ${m * subDim}] - c.cf[i])*(q.rf[i + ${m * subDim}] - c.cf[i])))"
+        val subCtes = (0 until M).map { m =>
+          s"""sub$m AS (SELECT pid, rf[${m * subDim + 1}:${(m + 1) * subDim}] AS pf FROM res),
+          ${lloydSql(s"sub$m", s"s${m}c", k = ksub, iters = 2, dims = subDim)},
+          enc$m AS (SELECT pid, cell AS code FROM (
+            SELECT s.pid, c.cell, row_number() OVER (
+              PARTITION BY s.pid ORDER BY ${fixedDistSql("s", "c", subDim)}, c.cell) AS rn
+            FROM sub$m s, s${m}c2 c) WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        val candJoins = (0 until M)
+          .map(m => s"JOIN enc$m e$m USING (pid)").mkString(" ")
+        val candCols = (0 until M).map(m => s"e$m.code AS code$m").mkString(", ")
+        val candArms = (0 until M).map(m =>
+          s"SELECT cand_id, cell, $m AS m, code$m AS code FROM cand")
+          .mkString("\n          UNION ALL ")
+        val lutArms = (0 until M).map { m =>
+          s"""SELECT q.pid AS query_id, q.cell AS qcell, $m AS m, c.cell AS code,
+            ${lutDist(m)} AS d
+          FROM res q, s${m}c2 c WHERE q.pid < 10"""
+        }.mkString("\n          UNION ALL ")
+        val raw = s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)},
+        res AS (SELECT p.vec_id AS pid, af.cell,
+            list_transform(range(1, 65), i -> p.pf[i] - c.cf[i]) AS rf
+          FROM p JOIN af ON p.vec_id = af.vec_id JOIN c3 c ON af.cell = c.cell),
+        $subCtes,
+        cand AS (SELECT r.pid AS cand_id, r.cell, $candCols
+          FROM res r $candJoins
+          WHERE r.pid >= 10),
+        candcodes AS (
+          $candArms),
+        lut AS (
+          $lutArms),
+        scored AS (SELECT l.query_id, cc.cand_id, sum(l.d) AS score
+          FROM candcodes cc JOIN lut l
+            ON l.qcell = cc.cell AND l.m = cc.m AND l.code = cc.code
+          WHERE l.query_id <> cc.cand_id
+          GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY score, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+        // DuckDB inlines single-reference CTEs; with ~30 chained k-means
+        // CTEs that re-expansion goes combinatorial (measured: >10 min
+        // inlined vs 0.9 s materialized at sf0.01). Pin MATERIALIZED on
+        // every CTE — same results, linear plan. Column aliases are
+        // `expr AS name` (no paren), so the rewrite touches only CTEs.
+        raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
+      },
+      "IVF-PQ: residual product codebooks + asymmetric-distance search")
   )
 }

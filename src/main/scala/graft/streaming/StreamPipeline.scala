@@ -96,20 +96,30 @@ object StreamPipeline {
   private def manifestPath(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(dir, "_MANIFEST")
 
-  /** bucket → live data path (relative to the snapshot root). The
-    * manifest IS the snapshot: files not reachable from it are invisible
-    * to readers, which is what makes the commit protocol atomic. */
-  private def readManifest(dir: String): Map[Int, String] = {
+  /** Manifest = writer epoch + (bucket → live data path, relative to the
+    * snapshot root). The manifest IS the snapshot: files not reachable
+    * from it are invisible to readers, which is what makes the commit
+    * protocol atomic. Epoch lines (`#epoch=N`) fence zombie writers —
+    * see [[upsertLatestWriter]]. */
+  private def readManifestMeta(dir: String): (Long, Map[Int, String]) = {
     val p = manifestPath(dir)
-    if (!java.nio.file.Files.exists(p)) Map.empty
+    if (!java.nio.file.Files.exists(p)) (0L, Map.empty)
     else {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val lines = java.nio.file.Files.readAllLines(p).asScala.filter(_.nonEmpty)
+      val epoch = lines.collectFirst {
+        case l if l.startsWith("#epoch=") => l.stripPrefix("#epoch=").toLong
+      }.getOrElse(0L)
+      val m = lines.filterNot(_.startsWith("#")).map { l =>
         val Array(b, rel) = l.split("\t", 2)
         b.toInt -> rel
       }.toMap
+      (epoch, m)
     }
   }
+
+  private def readManifest(dir: String): Map[Int, String] =
+    readManifestMeta(dir)._2
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles).getOrElse(Array.empty).foreach(deleteRecursively)
@@ -140,24 +150,43 @@ object StreamPipeline {
     *    O(touched buckets), not O(snapshot) — at 100 TB the snapshot
     *    rewrite amplification is bounded by batch key spread;
     *  - **atomic manifest commit**: new bucket files are written to a
-    *    fresh `merge-<batchId>` dir first, then a `_MANIFEST` mapping
-    *    bucket → live path is swapped in via temp-file + atomic rename.
-    *    A crash at ANY point leaves the previous manifest — and thus the
-    *    previous snapshot — fully intact; a foreachBatch retry of the
-    *    same batchId simply overwrites the orphan dir and re-commits.
-    *    Unreferenced merge dirs are GC'd only after a successful swap.
+    *    fresh `merge-<batchId>-a<attempt>` dir first, then a `_MANIFEST`
+    *    mapping bucket → live path is swapped in via temp-file + atomic
+    *    rename. A crash at ANY point leaves the previous manifest — and
+    *    thus the previous snapshot — fully intact. The attempt suffix is
+    *    the first index whose dir the CURRENT manifest does not
+    *    reference, so a retry of a batchId whose earlier attempt already
+    *    committed can never overwrite files the live snapshot still
+    *    reads (the lazy merge plan reads the old attempt's files while
+    *    the new attempt writes elsewhere); re-merging the same rows is a
+    *    semantic no-op because rank is over event time. Unreferenced
+    *    merge dirs are GC'd only after a successful swap.
+    *  - **epoch fence**: each writer instance claims epoch = (manifest
+    *    epoch at creation) + 1 and stamps it into every commit. A commit
+    *    observing a manifest epoch LARGER than its own is a zombie — a
+    *    foreachBatch retry loop that survived a driver restart while a
+    *    new query took over the snapshot — and fails loudly instead of
+    *    interleaving half-merged state with the new writer's commits.
     *
     * This is the minimal slice of what a table format (Delta/Iceberg)
-    * provides — snapshot-isolated commits over immutable files; swap in a
-    * real MERGE INTO when one is available. Single-writer by contract
-    * (one streaming query owns the snapshot), like foreachBatch itself. */
+    * provides — snapshot-isolated commits over immutable files plus
+    * writer fencing; swap in a real MERGE INTO when one is available.
+    * Single-writer by contract (one streaming query owns the snapshot),
+    * like foreachBatch itself — the fence turns a contract violation
+    * from silent corruption into an error. */
   def upsertLatestWriter(spark: SparkSession, snapshotDir: String,
                          keyCol: String, orderCols: Seq[String],
-                         nBuckets: Int = 16): (DataFrame, Long) => Unit =
+                         nBuckets: Int = 16): (DataFrame, Long) => Unit = {
+    val writerEpoch = readManifestMeta(snapshotDir)._1 + 1
     (batch, batchId) => {
       import org.apache.spark.sql.expressions.Window
       val bucketOf = pmod(hash(col(keyCol)), lit(nBuckets))
-      val manifest = readManifest(snapshotDir)
+      val (curEpoch, manifest) = readManifestMeta(snapshotDir)
+      if (curEpoch > writerEpoch)
+        throw new IllegalStateException(
+          s"upsert writer fenced: snapshot $snapshotDir is at epoch $curEpoch, " +
+            s"this writer holds epoch $writerEpoch — a newer writer owns the " +
+            "snapshot; refusing to commit stale state")
       val b = batch.withColumn("__bucket", bucketOf)
       // ≤ nBuckets ints — bounded driver state, not a data collect
       val dirty = b.select(col("__bucket")).distinct()
@@ -170,7 +199,12 @@ object StreamPipeline {
         val all = current.map(b.unionByName(_)).getOrElse(b)
         val w = Window.partitionBy(col(keyCol))
           .orderBy(orderCols.map(c => col(c).desc): _*)
-        val mergeDir = f"merge-$batchId%06d"
+        // never write into a dir the live snapshot references: a prior
+        // attempt of this batchId may have committed already, and
+        // mode(overwrite) would delete its files under the merge plan
+        val referenced = manifest.values.map(_.takeWhile(_ != '/')).toSet
+        val mergeDir = Iterator.from(0).map(a => f"merge-$batchId%06d-a$a")
+          .filterNot(referenced).next()
         all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
           .repartition(col("__bucket")) // one file per bucket, not per task
@@ -180,7 +214,8 @@ object StreamPipeline {
           dirty.map(bk => bk -> s"$mergeDir/__bucket=$bk").toMap
         val tmp = java.nio.file.Paths.get(snapshotDir, "_MANIFEST.tmp")
         java.nio.file.Files.writeString(tmp,
-          updated.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }.mkString("\n"))
+          (s"#epoch=$writerEpoch" +:
+            updated.toSeq.sortBy(_._1).map { case (k, v) => s"$k\t$v" }).mkString("\n"))
         java.nio.file.Files.move(tmp, manifestPath(snapshotDir),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -191,6 +226,7 @@ object StreamPipeline {
           .foreach(deleteRecursively)
       }
     }
+  }
 
   /** Micro-batch trigger constant used by production starts. */
   val DefaultTrigger: Trigger = Trigger.ProcessingTime("5 seconds")

@@ -48,8 +48,11 @@ object Serve {
     val model = PipelineModel.load(modelDir)
     val raw = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(csvPath)
+    // impute FEATURES only: imputing the label would turn null-label rows
+    // into fare_amount=0 and silently skew the served-batch metrics below
     val numericCols = raw.schema.fields
       .collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+      .filterNot(_ == "fare_amount")
     val prepped = TripFeatures.imputeZeroCastDouble(raw, numericCols.toSeq)
     val scored = model.transform(prepped)
       .select((raw.columns.map(col) :+ col("prediction")).toSeq: _*)
@@ -57,10 +60,13 @@ object Serve {
     try {
       scored.write.mode("overwrite").parquet(s"$outDir/scored")
       if (raw.columns.contains("fare_amount")) {
+        // unlabeled uploads still get scored; only labeled rows are judged
+        val labeled = scored.filter(col("fare_amount").isNotNull)
+          .withColumn("fare_amount", col("fare_amount").cast("double"))
         val Seq(rmse, mae, r2) = Seq("rmse", "mae", "r2").map { m =>
           new org.apache.spark.ml.evaluation.RegressionEvaluator()
             .setLabelCol("fare_amount").setPredictionCol("prediction")
-            .setMetricName(m).evaluate(scored)
+            .setMetricName(m).evaluate(labeled)
         }
         // served-batch metrics fill the test slots; train slots are NaN
         // (no training happened here) — consumers key on "model":"served"

@@ -104,6 +104,46 @@ class FarePipelineSpec extends SparkSpec {
       (BigDecimal("0.4177"), BigDecimal("0.3526"), BigDecimal("0.9968")))
   }
 
+  test("real-data parity gate: reference metrics reproduce when the NYC fixture is present") {
+    // The reference's published numbers (Readme.md:57-63: test RMSE
+    // 2.6372, MAE 0.5148, R² 0.9800) come from yellow_tripdata_2024-05 —
+    // not shipped in this environment, so this gate runs only when the
+    // file is provided (GRAFT_NYC_PARQUET or the default path) and skips
+    // cleanly otherwise. It rebuilds the reference's exact real-data
+    // flow: enrich (sparkConsumer.py:84-97) → passenger filter →
+    // lowercase (Postgres folded the identifiers) → impute+cast
+    // (sparkML.py:63-66) → the 5-stage pipeline WITH the reference's
+    // label leak (fare_amount is feature AND label, sparkML.py:62,81) —
+    // reproducing the published numbers requires reproducing the leak.
+    // Tolerances absorb split-partitioning and Spark 3.5→4 RNG drift;
+    // they are tight enough that a wrong feature set or broken enrich
+    // (R² plummets) cannot pass.
+    val path = sys.env.getOrElse("GRAFT_NYC_PARQUET",
+      "/root/data/yellow_tripdata_2024-05.parquet")
+    assume(new java.io.File(path).exists,
+      s"NYC fixture not present at $path — real-data parity gate skipped")
+    import graft.functions.TripFeatures
+    val raw = spark.read.parquet(path)
+    val enriched = TripFeatures.dropZeroOrNull(
+      TripFeatures.enrich(raw), "passenger_count")
+    val lower = enriched.columns.foldLeft(enriched)(
+      (d, c) => d.withColumnRenamed(c, c.toLowerCase))
+    val numericCols = Seq("vendorid", "ratecodeid", "pulocationid",
+      "dolocationid", "passenger_count", "trip_distance", "fare_amount",
+      "tip_amount", "improvement_surcharge", "total_amount",
+      "trip_duration", "payment_type")
+    val imputed = TripFeatures.imputeZeroCastDouble(lower, numericCols)
+    val (_, m) = FarePipeline.fitEval(imputed, FareConfig(
+      labelCol = "fare_amount",
+      categoricalCol = "pickup_timeofday",
+      numericCols = numericCols :+ "fare_per_mile",
+      numTrees = 100, maxDepth = 10))
+    info(s"real-data: rmse=${m.testRmse} mae=${m.testMae} r2=${m.testR2}")
+    assert(math.abs(m.testRmse - 2.6372) <= 0.75, s"test RMSE ${m.testRmse}")
+    assert(math.abs(m.testMae - 0.5148) <= 0.35, s"test MAE ${m.testMae}")
+    assert(math.abs(m.testR2 - 0.9800) <= 0.015, s"test R2 ${m.testR2}")
+  }
+
   test("Serve scores an uploaded CSV from a saved model and logs batch metrics") {
     val base = java.nio.file.Files.createTempDirectory("serve").toString
     val modelDir = s"$base/model"

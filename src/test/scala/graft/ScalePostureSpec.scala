@@ -53,6 +53,41 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("month layout (q94): the partition predicate prunes dirs before listing") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val dir = Files.createTempDirectory("graft_month").toString
+    try {
+      val orders = Tables(spark, sf("sf0.001"), "orders")
+        .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM"))
+      val layout = graft.io.Sources.materializePartitioned(
+        spark, orders, s"$dir/orders_by_month", Seq("o_month"))
+      val nMonths = layout.select($"o_month").distinct().count()
+      assert(nMonths > 10, s"layout must span many month dirs, got $nMonths")
+      val q = layout.filter($"o_month" === "1995-03").select($"o_orderkey")
+      val scan = scanNode(q)
+      assert(scan.contains("PartitionFilters") && scan.contains("o_month"),
+        s"month predicate must become a PartitionFilter:\n$scan")
+      q.collect()
+      // the scan's driver metric counts partitions actually listed — the
+      // non-matching month dirs must never appear
+      val fs = scans(q.queryExecution.executedPlan)
+      assert(fs.nonEmpty, "expected a FileSourceScanExec in the executed plan")
+      val partsRead = fs.head.metrics.get("numPartitions").map(_.value)
+      assert(partsRead.contains(1L),
+        s"exactly one of $nMonths month dirs may be listed; metrics = " +
+          s"${fs.head.metrics.view.mapValues(_.value).toMap}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("broadcast hint keeps dimension joins shuffle-free on the fact side") {
     val li = Tables(spark, sf("sf0.001"), "lineitem")
     val supp = Tables(spark, sf("sf0.001"), "supplier")
@@ -90,5 +125,32 @@ class ScalePostureSpec extends SparkSpec {
     assert(maxShare <= hot / 8 * 3 / 2,
       s"no salt replica may own more than ~1.5x the fair share of the hot key " +
         s"(hot=$hot, maxShare=$maxShare)")
+  }
+
+  test("adaptive salt replicates the hot key only; cold keys join unsalted") {
+    import graft.operators.Relational
+    val orders = Tables(spark, sf("sf0.01"), "orders")
+    val probe = orders.select(
+      when(pmod($"o_orderkey", lit(5)) > 0, 1)
+        .otherwise(pmod($"o_orderkey", lit(1000)) + 1).as("k"),
+      $"o_totalprice")
+    val customer = Tables(spark, sf("sf0.01"), "customer")
+    // the factor table IS the replication policy: absent key ⇒ factor 1
+    // (coalesce in the operator), so hot-key-only content is exactly the
+    // "cold keys are never replicated" guarantee
+    val factors = Relational.saltFactors(probe, "k",
+        targetPerReplica = 2000, maxSalt = 64)
+      .as[(Long, Int)].collect().toMap
+    assert(factors.keySet == Set(1L),
+      s"only the planted hot key may carry a salt factor: $factors")
+    assert(factors(1) > 1 && factors(1) <= 64,
+      s"hot-key factor must scale with its count: ${factors(1)}")
+    // semantics: identical multiset to the plain join, no salt leak
+    val joined = Relational.saltedJoinAdaptive(probe, customer,
+      "k", "c_custkey", targetPerReplica = 2000)
+    val plain = probe.join(customer, $"k" === $"c_custkey")
+    assert(joined.count() == plain.count())
+    assert(!joined.columns.exists(_.contains("salt")),
+      "salt plumbing must not leak into the join output")
   }
 }

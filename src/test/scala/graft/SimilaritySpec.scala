@@ -136,6 +136,58 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.count() == 12, "every point must receive a cell")
   }
 
+  test("multi-probe IVF lifts recall toward brute-force truth as nprobe grows") {
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopKMultiProbe(q, c, e, "vec_id", "embedding",
+          k = 5, kCells = 8, iters = 3, nprobe = nprobe)
+        .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r3 > r1,
+      s"probing 3 cells must recover neighbors across cell bisectors (r1=$r1, r3=$r3)")
+    assert(recall(8) == 1.0,
+      "probing every cell is exhaustive search: must equal brute-force truth")
+  }
+
+  test("IVF-PQ ADC ranks by compressed distance with useful recall") {
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val truth = Similarity.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val adc = Similarity.ivfPqTopK(q, c, e, "vec_id", "embedding",
+        k = 5, kCells = 8, coarseIters = 3, subspaces = 8, ksub = 16,
+        pqIters = 2, dims = 64)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    assert(adc.size == truth.size, "every query must fill its top-5")
+    // ADC's ceiling is the nprobe=1 EXACT re-rank (same trainer, same
+    // cell pruning, uncompressed distances); the gate is that 32-bit
+    // codes preserve most of that within-cell ranking — compression
+    // noise, not chance-level scoring
+    val ceiling = Similarity.ivfTopKMultiProbe(q, c, e, "vec_id", "embedding",
+        k = 5, kCells = 8, iters = 3, nprobe = 1)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val adcRecall = (adc & truth).size.toDouble / truth.size
+    val exactRecall = (ceiling & truth).size.toDouble / truth.size
+    info(s"recall@5 vs brute force: ADC=$adcRecall, nprobe1-exact ceiling=$exactRecall")
+    assert(adcRecall >= 0.5 * exactRecall,
+      s"ADC must keep most of the exact within-cell recall " +
+        s"(adc=$adcRecall, ceiling=$exactRecall)")
+    // determinism: integer training + ADC must be partition-invariant
+    val adc2 = Similarity.ivfPqTopK(q, c, e.repartition(7), "vec_id", "embedding",
+        k = 5, kCells = 8, coarseIters = 3, subspaces = 8, ksub = 16,
+        pqIters = 2, dims = 64)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    assert(adc2 == adc, "fixed-point IVF-PQ must be partition-invariant")
+  }
+
   test("LSH pairs are a subset of brute-force pairs at the same threshold") {
     val bf = Similarity.bruteForceNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .as[(Long, Long)].collect().toSet

@@ -216,7 +216,7 @@ class StreamingSpec extends SparkSpec {
       rows.toDF("user_id", "ts", "event_id")
     def manifest(): Map[Int, String] =
       Files.readAllLines(java.nio.file.Paths.get(snapDir, "_MANIFEST"))
-        .toArray.map(_.toString).filter(_.nonEmpty)
+        .toArray.map(_.toString).filter(l => l.nonEmpty && !l.startsWith("#"))
         .map { l => val Array(b, p) = l.split("\t", 2); b.toInt -> p }.toMap
 
     // batch 0 seeds many buckets; batch 1 touches a single key
@@ -251,6 +251,51 @@ class StreamingSpec extends SparkSpec {
     val onDisk = Option(new java.io.File(snapDir).listFiles).get
       .filter(f => f.isDirectory && f.getName.startsWith("merge-")).map(_.getName).toSet
     assert(onDisk == liveDirs, s"GC must drop unreferenced merge dirs: $onDisk vs $liveDirs")
+  }
+
+  test("upsert retry of an already-committed batchId must not corrupt the snapshot") {
+    // foreachBatch can re-deliver a batchId whose previous attempt already
+    // swapped the manifest (crash after commit, before checkpoint ack). The
+    // retry must write to a FRESH dir: overwriting the committed one would
+    // delete files the lazy merge plan is about to read — and the manifest
+    // would then reference deleted files forever.
+    val snapDir = Files.createTempDirectory("snap_retry").toString + "/state"
+    val writer = StreamPipeline.upsertLatestWriter(spark, snapDir, "user_id",
+      Seq("ts", "event_id"), nBuckets = 4)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: (Long, java.sql.Timestamp, Long)*) =
+      rows.toDF("user_id", "ts", "event_id")
+    writer(df((1L, t("2024-01-01 10:00:00"), 1L), (2L, t("2024-01-01 10:00:00"), 2L)), 0L)
+    writer(df((1L, t("2024-01-01 11:00:00"), 3L)), 1L)
+    // redelivery of batch 1 after its commit: must succeed and be a no-op
+    writer(df((1L, t("2024-01-01 11:00:00"), 3L)), 1L)
+    val snap = StreamPipeline.readUpsertSnapshot(spark, snapDir).get
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(snap == Map(1L -> t("2024-01-01 11:00:00"), 2L -> t("2024-01-01 10:00:00")),
+      s"retried commit must leave the latest-wins snapshot intact, got $snap")
+  }
+
+  test("upsert epoch fence rejects commits from a zombie writer") {
+    val snapDir = Files.createTempDirectory("snap_fence").toString + "/state"
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: (Long, java.sql.Timestamp, Long)*) =
+      rows.toDF("user_id", "ts", "event_id")
+    val writerA = StreamPipeline.upsertLatestWriter(spark, snapDir, "user_id",
+      Seq("ts", "event_id"), nBuckets = 4)
+    writerA(df((1L, t("2024-01-01 10:00:00"), 1L)), 0L)
+    // a restarted query takes over the snapshot at a higher epoch
+    val writerB = StreamPipeline.upsertLatestWriter(spark, snapDir, "user_id",
+      Seq("ts", "event_id"), nBuckets = 4)
+    writerB(df((2L, t("2024-01-01 11:00:00"), 2L)), 0L)
+    // the orphaned old writer retries: fenced, snapshot unchanged
+    val e = intercept[IllegalStateException] {
+      writerA(df((1L, t("2024-01-01 12:00:00"), 3L)), 1L)
+    }
+    assert(e.getMessage.contains("fenced"), e.getMessage)
+    val snap = StreamPipeline.readUpsertSnapshot(spark, snapDir).get
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(snap == Map(1L -> t("2024-01-01 10:00:00"), 2L -> t("2024-01-01 11:00:00")),
+      s"a fenced commit must not touch the snapshot, got $snap")
   }
 
   test("K1/P1 round-trip: to_json with ISO timestamps parses back losslessly") {

@@ -163,6 +163,51 @@ class TextDedupSpec extends SparkSpec {
     assert(err.getMessage.contains("pigeonhole"))
   }
 
+  test("xx64 minhash finds the same verified near-dup pairs as the LCG path") {
+    // Planted clusters with DISJOINT token spaces: within-cluster Jaccard
+    // 100/102 ≈ 0.98 (well above any band-miss probability), cross-cluster
+    // 0 — so the full ground truth is exactly the within-cluster pairs and
+    // BOTH hash families must recover all of it (the driver corpus is
+    // pathologically self-similar: there, stop-bucket caps drop different
+    // buckets per family and candidate sets legitimately diverge). Both
+    // hashes are deterministic, so this equality is flake-free.
+    val fixture = (0L until 40L).map { i =>
+      val cluster = i / 4
+      val shared = (0 until 100).map(t => s"c${cluster}tok$t").mkString(" ")
+      (i, s"$shared unique${i}a unique${i}b")
+    }.toDF("doc_id", "text")
+    val truth = (0L until 40L).flatMap(a => (a + 1 until 40L)
+      .filter(_ / 4 == a / 4).map(b => (a, b))).toSet
+    def pairs(scheme: String) =
+      Dedup.minhashNearDups(fixture, "doc_id", "text",
+          k = 64, bands = 8, threshold = 0.9, maxBucket = 100, scheme = scheme)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs("lcg") == truth, "LCG path must recover the planted truth")
+    assert(pairs("xx64") == truth, "xx64 path must recover the planted truth")
+  }
+
+  test("xx64 banded SimHash keeps the pigeonhole recall within its own family") {
+    val many = (0L until 40L).map { i =>
+      (i, s"base${i / 4} tokens shared across the cluster plus word${i % 4}")
+    }.toDF("doc_id", "text")
+    val banded = Dedup.simhashBandedPairs(many, "doc_id", "text",
+        maxDist = 3, scheme = "xx64")
+      .as[(Long, Long, Int)].collect().toSet
+    val sk = Dedup.simhashChunksXx(many, "doc_id", "text")
+    val a = sk.select($"doc_id".as("id_a"), $"c0".as("a0"), $"c1".as("a1"),
+      $"c2".as("a2"), $"c3".as("a3"))
+    val b = sk.select($"doc_id".as("id_b"), $"c0".as("b0"), $"c1".as("b1"),
+      $"c2".as("b2"), $"c3".as("b3"))
+    val exact = a.join(b, $"id_a" < $"id_b")
+      .withColumn("dist", Dedup.hammingChunks(
+        Seq($"a0", $"a1", $"a2", $"a3"), Seq($"b0", $"b1", $"b2", $"b3")))
+      .filter($"dist" <= 3)
+      .select($"id_a", $"id_b", $"dist".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(exact.nonEmpty, "fixture must produce near-dup pairs under xx64")
+    assert(banded == exact, "xx64 banding must lose no pair within the radius")
+  }
+
   test("connectedComponents labels transitive near-dup chains and singletons") {
     // graph: 0-1, 1-2 (chain: 0 and 2 never pair directly), 5-6; 9 isolated
     val nodes = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("id")
