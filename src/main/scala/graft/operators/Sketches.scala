@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable summary sketches for the 100 TB path: a Bloom filter for
+  * semi-join reduction, a K-minimum-values (KMV) sketch for distinct
+  * counting, and a count-min sketch for frequency estimation.
+  *
+  * Why sketches matter at scale: the exact forms of these operations —
+  * a shuffled semi-join, `count(distinct)`, a full `groupBy(key).count`
+  * — all shuffle data proportional to the INPUT. A sketch is a fixed-size
+  * commutative summary built with one map-side-combinable aggregate, so
+  * the shuffle carries only `O(sketch)` bytes per partition no matter how
+  * many rows feed it. All three here follow the repo's portability rule
+  * (Dedup.scala:13): positions/hashes derive from md5 hex, so the DuckDB
+  * oracle re-derives the *exact same* sketch bits from SQL and the whole
+  * construction is hash-verified, not just rows-counted. Swapping md5 for
+  * xxhash64 (the q95 pattern) is the production fast path.
+  *
+  * References: Bloom CACM'70; Bar-Yossef et al. RANDOM'02 (KMV / k-th
+  * minimum value distinct estimator); Cormode & Muthukrishnan J.Alg'05
+  * (count-min). The reference pipeline has no sketch surface — these are
+  * part of the LLM-data-pipeline extension mandated by the brief.
+  */
+object Sketches {
+
+  /** First 60 bits of md5 as a non-negative long — the same portable
+    * construction as [[Relational.hashSample]] / [[Dedup]]; DuckDB mirror
+    * is `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
+  private def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  // ------------------------------------------------------------- Bloom
+
+  /** Build a Bloom filter over `key`: `kHashes` md5-derived probe
+    * positions per key in an `mBits`-bit space, packed 63 bits per long
+    * (sign bit untouched). Returns a ONE-ROW frame with column `words`
+    * (`array<long>`, length `ceil(mBits/63)`) — small enough to broadcast
+    * (m=2^16 → 8 KiB), built with one hash aggregate over the dim side.
+    *
+    * Scale posture: this is the classic semi-join reduction — build the
+    * filter on the small side, broadcast it, and drop non-matching fact
+    * rows AT THE SCAN, before they pay the join shuffle. False positives
+    * only cost wasted shuffle bytes (the exact join still runs after);
+    * false negatives are impossible, so results are exact. Spark's own
+    * runtime row-level filtering (`spark.sql.optimizer.runtime.bloomFilter
+    * .enabled`) does this automatically for shuffle joins; this explicit
+    * operator covers the cases AQE can't see — pre-filtering a stream
+    * against a static dim, persisting the filter across jobs, or pruning
+    * before an aggregation rather than a join. */
+  def bloomBuild(dim: DataFrame, key: Column, mBits: Int, kHashes: Int,
+                 salt: String): DataFrame = {
+    require(mBits > 0, s"mBits must be positive: $mBits")
+    require(kHashes >= 1, s"kHashes must be >= 1: $kHashes")
+    // 63 bits per word keeps every mask positive in a signed BIGINT —
+    // both engines (Spark long, DuckDB BIGINT) shift at most 62, so the
+    // packing never touches the sign bit (DuckDB traps 1<<63 as overflow)
+    val nWords = (mBits + 62) / 63
+    val pos = dim
+      .select(explode(sequence(lit(0), lit(kHashes - 1))).as("i"),
+        key.cast("string").as("k"))
+      .select(pmod(md5Long(concat(lit(s"$salt:"), col("i"), lit(":"), col("k"))),
+        lit(mBits.toLong)).as("pos"))
+    // word masks: d*|dim| rows -> at most nWords rows; the final one-row
+    // packing aggregates a bounded (nWords) set, same pattern as the
+    // bounded stats frames elsewhere in the repo
+    pos
+      .select((col("pos") / 63).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").as("bit"))
+      .groupBy(col("w")).agg(bit_or(col("bit")).as("mask"))
+      .agg(map_from_arrays(collect_list(col("w")), collect_list(col("mask"))).as("m"))
+      .select(transform(sequence(lit(0), lit(nWords - 1)),
+        w => coalesce(element_at(col("m"), w), lit(0L))).as("words"))
+  }
+
+  /** Filter `fact` to rows whose `key` *may* be in the Bloom filter
+    * (one-row `bloom` frame from [[bloomBuild]]; same mBits/kHashes/salt
+    * or the test is meaningless). The one-row cross join broadcasts the
+    * packed words to every task; the k probes are codegen'd arithmetic
+    * over the in-register array — no join, no shuffle, evaluated at the
+    * scan so Parquet row groups whose rows all miss never leave the
+    * executor. */
+  def bloomFilter(fact: DataFrame, bloom: DataFrame, key: Column,
+                  mBits: Int, kHashes: Int, salt: String): DataFrame = {
+    val probed = fact
+      .withColumn("__bk", key.cast("string"))
+      .crossJoin(broadcast(bloom))
+    val hit = (0 until kHashes)
+      .map { i =>
+        // same arithmetic as bloomBuild, spelled in SQL because
+        // functions.shiftleft only takes a literal shift amount
+        val p = "pmod(CAST(conv(substring(md5(concat(" +
+          s"'$salt:$i:', __bk)), 1, 15), 16, 10) AS BIGINT), ${mBits}L)"
+        expr(s"(element_at(words, CAST($p / 63 AS INT) + 1) & " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST($p % 63 AS INT))) != 0")
+      }
+      .reduce(_ && _)
+    probed.filter(hit).drop("__bk", "words")
+  }
+
+  /** DuckDB mirror of [[bloomBuild]]: CTE bodies deriving the same packed
+    * words (as one-row list `bloom_arr(words)`). `dimSql` must yield one
+    * VARCHAR column `k`. Splice into `WITH <this>, ...` and pair with
+    * [[bloomOracleTest]] on the fact side. */
+  def bloomOracleCtes(dimSql: String, mBits: Int, kHashes: Int,
+                      salt: String): String = {
+    val nWords = (mBits + 62) / 63
+    s"""bloom_pos AS (
+         SELECT (CAST('0x' || substr(md5('$salt:' || i || ':' || k), 1, 15) AS BIGINT)
+                 % $mBits) AS pos
+         FROM ($dimSql) dim CROSS JOIN range($kHashes) t(i)),
+       bloom_words AS (
+         SELECT CAST(pos // 63 AS INT) AS w,
+                bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
+         FROM bloom_pos GROUP BY 1),
+       bloom_arr AS (
+         SELECT list(COALESCE(bw.mask, 0) ORDER BY r.i) AS words
+         FROM range($nWords) r(i) LEFT JOIN bloom_words bw ON bw.w = r.i)"""
+  }
+
+  /** DuckDB mirror of [[bloomFilter]]'s probe predicate. The enclosing
+    * query must `CROSS JOIN bloom_arr` ([[bloomOracleCtes]]) so `words`
+    * resolves; `keyExpr` is the fact-side key already cast to VARCHAR. */
+  def bloomOracleTest(keyExpr: String, mBits: Int, kHashes: Int,
+                      salt: String): String =
+    (0 until kHashes).map { i =>
+      val p = s"(CAST('0x' || substr(md5('$salt:$i:' || $keyExpr), 1, 15) AS BIGINT) % $mBits)"
+      s"(words[CAST($p // 63 AS INT) + 1] & (CAST(1 AS BIGINT) << CAST($p % 63 AS INT))) != 0"
+    }.mkString("(", "\n        AND ", ")")
+
+  // --------------------------------------------------------------- KMV
+
+  /** K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002):
+    * keep the k lexicographically smallest md5 hashes of the values; if
+    * fewer than k distinct hashes exist the count is exact, else estimate
+    * n ≈ (k-1)/h_(k) with h_(k) the k-th minimum normalized to [0,1).
+    *
+    * Returns one row: (n_kept, kth_hash60, est_distinct). `kth_hash60`
+    * is the raw 60-bit integer of the k-th minimum — including it in the
+    * output makes the sketch itself hash-verified, not just the derived
+    * estimate. Scale posture: `distinct-of-hash` is a map-side-combinable
+    * hash aggregate and the top-k is a TakeOrdered (per-partition heads,
+    * k-row merge) — state is O(k) per partition regardless of input, the
+    * shape `count(distinct)` can never have. Sketches from disjoint
+    * shards merge by union + re-take-k (same two lines), which exact
+    * distinct counts cannot do without re-scanning. */
+  def kmvDistinct(df: DataFrame, key: Column, k: Int, salt: String): DataFrame =
+    kmvEstimate(kmvSketch(df, key, k, salt), k)
+
+  /** The sketch itself: the k smallest distinct hashes (column `h`).
+    * Sketches over disjoint (or overlapping!) shards merge losslessly:
+    * union → distinct → re-take-k gives EXACTLY the sketch of the
+    * combined input, because "k smallest of a set union" only needs each
+    * side's k smallest. That closure is what lets a 100 TB count run as
+    * per-shard sketches + a k-row merge instead of one global shuffle. */
+  def kmvSketch(df: DataFrame, key: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    df.select(md5(concat(lit(s"$salt:"), key.cast("string"))).as("h"))
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+  }
+
+  /** Merge any number of same-(k, salt) sketches into one. */
+  def kmvMerge(k: Int, sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ union _).distinct().orderBy(col("h")).limit(k)
+  }
+
+  /** Estimate from a [[kmvSketch]] frame. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch
+      .agg(count(lit(1)).as("n_kept"),
+        max(conv(substring(col("h"), 1, 15), 16, 10).cast("long")).as("kth_hash60"))
+      .select(col("n_kept"), col("kth_hash60"),
+        round(
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+              col("kth_hash60").cast("double")),
+          4).as("est_distinct"))
+
+  // --------------------------------------------------------- count-min
+
+  /** Count-min sketch table (Cormode & Muthukrishnan 2005): `d` hash
+    * rows × `w` counters; cell (r, c) sums the count of every key whose
+    * r-th hash lands on c. Returns (r, c, n) — at most d·w rows, one
+    * map-side-combinable aggregate over the input. Point estimate for a
+    * key = min over its d cells (see [[countMinEstimate]]), an upper
+    * bound on the true count with error ≤ N·e/w at confidence 1−e^−d.
+    *
+    * Scale posture: the shuffle carries d·w counters per map partition,
+    * not per-key rows — frequency estimation over a trillion-row stream
+    * in kilobytes of state, and two sketches merge by cell-wise add. */
+  def countMinTable(df: DataFrame, key: Column, d: Int, w: Int,
+                    salt: String): DataFrame = {
+    require(d >= 1 && w >= 2, s"need d>=1, w>=2; got $d, $w")
+    df.select(explode(sequence(lit(0), lit(d - 1))).as("r"),
+        key.cast("string").as("k"))
+      .select(col("r"),
+        pmod(md5Long(concat(lit(s"$salt:"), col("r"), lit(":"), col("k"))),
+          lit(w.toLong)).cast("int").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-query the sketch for each row of `probes` (one column `k`):
+    * min over the d cells the key hashes to. `table` is broadcast — it is
+    * at most d·w rows by construction. Keys absent from the sketch
+    * estimate 0 (all-empty cells), never negative; estimates are always
+    * >= the true count (count-min never undercounts). */
+  def countMinEstimate(probes: DataFrame, table: DataFrame, key: Column,
+                       d: Int, w: Int, salt: String): DataFrame = {
+    val probeCells = probes
+      .select(key.cast("string").as("k"),
+        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("c",
+        pmod(md5Long(concat(lit(s"$salt:"), col("r"), lit(":"), col("k"))),
+          lit(w.toLong)).cast("int"))
+    probeCells
+      .join(broadcast(table), Seq("r", "c"), "left_outer")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
+  }
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Incremental, Layout, Sketches}
+
+/** Round-5 scale operators: the summary-sketch family (Bloom semi-join
+  * reduction, KMV distinct, count-min frequencies), Z-order layout math,
+  * and incremental aggregate-state maintenance. Each one replaces an
+  * exact operation whose cost at 100 TB is dominated by a shuffle
+  * proportional to the INPUT with a fixed-size mergeable summary — and
+  * each is md5-portable, so the DuckDB oracle re-derives the sketch bits
+  * themselves (the repo's standard for "verified", per Dedup/Similarity).
+  */
+object ScaleQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  private val MoneySum =
+    "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0"
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------- Bloom semi-join pruning
+    // The classic semi-join reduction: build a 4096-bit / 4-hash Bloom
+    // filter over the German suppliers (the small side), broadcast it,
+    // and drop lineitem rows at the scan before they pay the join
+    // shuffle. n_candidates counts bloom survivors (exact bit-for-bit
+    // sketch agreement with the oracle), n_matched/revenue come from the
+    // exact join that still runs after — false positives cost only
+    // wasted bytes, never wrong answers. Spark's runtime bloom (AQE)
+    // does this automatically inside one query; the explicit operator
+    // covers what AQE can't: persisting the filter across jobs or
+    // pre-filtering a stream against a static dim.
+    "q97_bloom_semijoin" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val M = 4096; val K = 4; val SALT = "q97"
+        val dim = t(s, d, "supplier").filter($"s_nationkey" === 7)
+          .select($"s_suppkey")
+        val bloom = Sketches.bloomBuild(dim, $"s_suppkey", M, K, SALT)
+        val cand = Sketches.bloomFilter(
+          t(s, d, "lineitem").select($"l_suppkey", $"l_extendedprice"),
+          bloom, $"l_suppkey", M, K, SALT)
+        val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+        val matched = cand.join(dim, cand("l_suppkey") === dim("s_suppkey"), "left_semi")
+          .agg(count(lit(1)).as("n_matched"),
+            (sum(round($"l_extendedprice" * 100).cast("long")).cast("double") / 100.0)
+              .as("revenue"))
+        nCand.crossJoin(matched)
+      },
+      Some {
+        val dimSql = "SELECT CAST(s_suppkey AS VARCHAR) AS k FROM supplier WHERE s_nationkey = 7"
+        s"""WITH ${Sketches.bloomOracleCtes(dimSql, 4096, 4, "q97")},
+          cand AS (
+            SELECT l_suppkey, l_extendedprice
+            FROM lineitem CROSS JOIN bloom_arr
+            WHERE ${Sketches.bloomOracleTest("CAST(l_suppkey AS VARCHAR)", 4096, 4, "q97")}),
+          c AS (SELECT count(*) AS n_candidates FROM cand),
+          m AS (SELECT count(*) AS n_matched, $MoneySum AS revenue
+                FROM cand
+                WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7))
+          SELECT n_candidates, n_matched, revenue FROM c CROSS JOIN m"""
+      },
+      "Bloom-filter semi-join reduction (bit-exact sketch, exact join after)"),
+
+    // ------------------------------------------------- KMV distinct count
+    // count(distinct key) at 100 TB shuffles every distinct key; the KMV
+    // sketch keeps the 256 smallest md5 hashes (O(k) state per partition,
+    // TakeOrdered merge) and estimates n ≈ (k-1)/h_(k). kth_hash60 in the
+    // output pins the sketch itself; n_exact rides along so the result
+    // documents its own accuracy (~1/sqrt(k) ≈ 6%).
+    "q98_kmv_distinct" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sketch = Sketches.kmvDistinct(t(s, d, "lineitem"), $"l_partkey",
+          k = 256, salt = "q98")
+        val exact = t(s, d, "lineitem")
+          .agg(countDistinct($"l_partkey").as("n_exact"))
+        sketch.crossJoin(exact)
+      },
+      Some("""WITH h AS (
+            SELECT DISTINCT md5('q98:' || CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+          topk AS (SELECT h FROM h ORDER BY h LIMIT 256),
+          s AS (SELECT count(*) AS n_kept,
+                       max(CAST('0x' || substr(h, 1, 15) AS BIGINT)) AS kth_hash60
+                FROM topk),
+          e AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
+          SELECT n_kept, kth_hash60,
+            round(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                  ELSE 255.0 * pow(2.0, 60.0) / CAST(kth_hash60 AS DOUBLE) END, 4)
+              AS est_distinct,
+            n_exact
+          FROM s CROSS JOIN e"""),
+      "K-minimum-values distinct sketch, kth hash pinned bit-for-bit"),
+
+    // ------------------------------------------------- Z-order box query
+    // The Morton interleave behind multi-dimensional file clustering
+    // (Layout.writeZOrdered): bit b of x at position 2b, bit b of y at
+    // 2b+1. This query oracle-pins the interleave math on a 2-D box
+    // predicate; the physical payoff — a y-only slice touching ~sqrt of
+    // the files instead of all of them — is asserted on real written
+    // layouts in ScalePostureSpec (file splits are sampled by
+    // repartitionByRange, so file COUNTS are a test property, not an
+    // oracle hash).
+    "q99_zorder_box" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_partkey" % 256).cast("long").as("x"),
+            ($"l_suppkey" % 256).cast("long").as("y"))
+          .withColumn("z", Layout.zValue($"x", $"y", bits = 8))
+          .filter($"x".between(32, 47) && $"y".between(10, 20))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber,
+            CAST(l_partkey % 256 AS BIGINT) AS x,
+            CAST(l_suppkey % 256 AS BIGINT) AS y,
+            ${Layout.zOracleExpr("(l_partkey % 256)", "(l_suppkey % 256)", 8)} AS z
+          FROM lineitem
+          WHERE (l_partkey % 256) BETWEEN 32 AND 47
+            AND (l_suppkey % 256) BETWEEN 10 AND 20
+          ORDER BY l_orderkey, l_linenumber"""),
+      "Morton/Z-order interleave pinned bit-for-bit on a 2-D box predicate"),
+
+    // -------------------------------------- incremental aggregate state
+    // Materialized-view maintenance: aggregate two disjoint order batches
+    // separately (as a daily job would see them), fold the per-group
+    // states, and finalize — the oracle one-shots the same aggregate over
+    // the union, so the hash compare IS the fold identity
+    // state(a ⊎ b) == merge(state(a), state(b)). Cent-exact sums make the
+    // fold associative; AVG derives from (sum, n) at the end.
+    "q100_incremental_agg" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val orders = t(s, d, "orders")
+        val keys = Seq("o_orderpriority")
+        val old = Incremental.aggState(
+          orders.filter($"o_orderdate" < "1996-01-01"), keys, $"o_totalprice")
+        val fresh = Incremental.aggState(
+          orders.filter($"o_orderdate" >= "1996-01-01"), keys, $"o_totalprice")
+        Incremental.finalizeState(Incremental.mergeStates(keys, old, fresh))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS total,
+            round(CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+              / count(*) / 100.0, 4) AS avg_value,
+            min(o_totalprice) AS mn, max(o_totalprice) AS mx
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      "incremental agg-state fold == one-shot recompute (MV maintenance)"),
+
+    // ------------------------------------------------- count-min sketch
+    // Frequency estimation from d=4 × w=512 counters instead of a
+    // per-key groupBy: the shuffle carries 2048 cells per map partition
+    // no matter how many rows feed it, and sketches merge cell-wise.
+    // Probes are the 20 heaviest suppliers (truth rides along), and the
+    // oracle re-derives every cell — estimates are exact-match verified,
+    // including any collision inflation (est_n >= true_n always; the
+    // over-estimate property itself is pinned in SketchSpec).
+    "q101_countmin_heavy" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val D = 4; val W = 512; val SALT = "q101"
+        val li = t(s, d, "lineitem")
+        val table = Sketches.countMinTable(li, $"l_suppkey", D, W, SALT)
+        val probes = li.groupBy($"l_suppkey")
+          .agg(count(lit(1)).as("true_n"))
+          .orderBy($"true_n".desc, $"l_suppkey")
+          .limit(20)
+        val est = Sketches.countMinEstimate(
+          probes.select($"l_suppkey"), table, $"l_suppkey", D, W, SALT)
+        probes.join(est, probes("l_suppkey").cast("string") === est("k"))
+          .select($"l_suppkey", $"true_n", $"est_n")
+          .orderBy($"l_suppkey")
+      },
+      Some("""WITH cm AS (
+            SELECT i AS r,
+              CAST(CAST('0x' || substr(md5('q101:' || i || ':' ||
+                CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 512 AS INT) AS c,
+              count(*) AS n
+            FROM lineitem CROSS JOIN range(4) t(i) GROUP BY 1, 2),
+          probes AS (
+            SELECT l_suppkey, count(*) AS true_n FROM lineitem
+            GROUP BY 1 ORDER BY true_n DESC, l_suppkey LIMIT 20),
+          probe_cells AS (
+            SELECT p.l_suppkey, p.true_n, cm.n
+            FROM probes p CROSS JOIN range(4) t(i)
+            LEFT JOIN cm ON cm.r = t.i
+              AND cm.c = CAST(CAST('0x' || substr(md5('q101:' || t.i || ':' ||
+                CAST(p.l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 512 AS INT))
+          SELECT l_suppkey, true_n, min(COALESCE(n, 0)) AS est_n
+          FROM probe_cells GROUP BY 1, 2 ORDER BY l_suppkey"""),
+      "count-min frequency sketch, every cell oracle-derived")
+  )
+}

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Incremental, Layout, Sketches}
+
+/** Properties of the round-5 sketch/layout/incremental operators that the
+  * DuckDB hash-compare can't express: Bloom's no-false-negative guarantee,
+  * KMV's error bound, count-min's one-sided error, the fold identity
+  * under DIFFERENT batch splits, and the Morton interleave's bit
+  * geometry. (Bit-for-bit construction agreement with an independent
+  * engine is covered by q97–q101's oracle entries.) */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val lineitem = Tables(spark, sf("sf0.001"), "lineitem")
+
+  // ------------------------------------------------------------- Bloom
+
+  test("bloom filter never drops a true match and prunes most non-matches") {
+    val dim = Tables(spark, sf("sf0.001"), "supplier")
+      .filter($"s_nationkey" === 7).select($"s_suppkey")
+    val bloom = Sketches.bloomBuild(dim, $"s_suppkey", mBits = 4096, kHashes = 4,
+      salt = "spec")
+    val fact = lineitem.select($"l_suppkey")
+    val kept = Sketches.bloomFilter(fact, bloom, $"l_suppkey", 4096, 4, "spec")
+
+    // no false negatives: every row whose key IS in dim must survive
+    val trueMatches = fact.join(dim, fact("l_suppkey") === dim("s_suppkey"), "left_semi")
+    val dropped = trueMatches.exceptAll(kept.select($"l_suppkey"))
+    assert(dropped.isEmpty, "bloom filter dropped a true match (false negative)")
+
+    // the filter must actually prune: a 4-hash/4096-bit filter over a
+    // handful of keys passes (far) fewer rows than the full fact side
+    val total = fact.count()
+    val survivors = kept.count()
+    val matches = trueMatches.count()
+    assert(survivors >= matches, "survivors can never undercut true matches")
+    assert(survivors < total / 2,
+      s"bloom pruned almost nothing: $survivors of $total survive ($matches true)")
+  }
+
+  test("bloom membership is decided by the packed words, not a join") {
+    val dim = Seq(1L, 2L, 3L).toDF("k")
+    val bloom = Sketches.bloomBuild(dim, $"k", mBits = 512, kHashes = 3, salt = "t")
+    val words = bloom.collect()(0).getSeq[Long](0)
+    assert(words.length == (512 + 62) / 63, s"word count: ${words.length}")
+    assert(words.exists(_ != 0L), "some bits must be set")
+    assert(words.forall(_ >= 0L), "63-bit packing must never touch the sign bit")
+  }
+
+  // --------------------------------------------------------------- KMV
+
+  test("KMV distinct estimate lands within the ~1/sqrt(k) band") {
+    val k = 256
+    val est = Sketches.kmvDistinct(lineitem, $"l_partkey", k, salt = "spec")
+      .collect()(0)
+    val exact = lineitem.select($"l_partkey").distinct().count()
+    val rel = math.abs(est.getDouble(2) - exact) / exact.toDouble
+    // 3 standard errors of the KMV estimator (1/sqrt(k-2) per the paper)
+    assert(rel < 3.0 / math.sqrt(k - 2),
+      s"KMV estimate ${est.getDouble(2)} too far from exact $exact (rel $rel)")
+  }
+
+  test("KMV sketches merge losslessly: sketch(A ∪ B) == merge(sketch(A), sketch(B))") {
+    val k = 64
+    val a = lineitem.filter($"l_orderkey" % 2 === 0)
+    val b = lineitem.filter($"l_orderkey" % 3 === 0) // overlaps a on 6k keys
+    val whole = Sketches.kmvSketch(
+      a.unionByName(b), $"l_partkey", k, salt = "m")
+    val merged = Sketches.kmvMerge(k,
+      Sketches.kmvSketch(a, $"l_partkey", k, salt = "m"),
+      Sketches.kmvSketch(b, $"l_partkey", k, salt = "m"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty,
+      "merged shard sketches must equal the sketch of the combined input exactly")
+  }
+
+  test("KMV is exact below k distinct values") {
+    val small = Seq(1, 2, 3, 4, 5).toDF("v")
+    val r = Sketches.kmvDistinct(small, $"v", k = 256, salt = "t").collect()(0)
+    assert(r.getLong(0) == 5L && r.getDouble(2) == 5.0,
+      s"under-k input must count exactly: $r")
+  }
+
+  // --------------------------------------------------------- count-min
+
+  test("count-min never undercounts, and is exact for most keys when w >> keys") {
+    val table = Sketches.countMinTable(lineitem, $"l_suppkey", d = 4, w = 512,
+      salt = "spec")
+    val truth = lineitem.groupBy($"l_suppkey").agg(count(lit(1)).as("true_n"))
+    val est = Sketches.countMinEstimate(truth.select($"l_suppkey"), table,
+      $"l_suppkey", d = 4, w = 512, salt = "spec")
+    val joined = truth
+      .join(est, truth("l_suppkey").cast("string") === est("k"))
+      .select($"true_n", $"est_n").collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(1) >= r.getLong(0)),
+      "count-min must never undercount")
+    val exactFrac = joined.count(r => r.getLong(1) == r.getLong(0)).toDouble / joined.length
+    assert(exactFrac > 0.8,
+      s"with w=512 over ~10 keys, most estimates should be exact; got $exactFrac")
+  }
+
+  test("count-min estimates 0 for keys never seen") {
+    val table = Sketches.countMinTable(Seq("a", "b").toDF("v"), $"v", 4, 512, "t")
+    // a key whose 4 cells are all empty must estimate 0 (left join + coalesce)
+    val est = Sketches.countMinEstimate(Seq("zzz-not-present").toDF("v"), table,
+      $"v", 4, 512, "t").collect()(0)
+    assert(est.getLong(1) == 0L, s"absent key should estimate 0: $est")
+  }
+
+  // ------------------------------------------------------- incremental
+
+  test("aggregate state fold is split-invariant (2-way == 3-way == one-shot)") {
+    val orders = Tables(spark, sf("sf0.001"), "orders")
+    val keys = Seq("o_orderpriority")
+    def state(df: org.apache.spark.sql.DataFrame) =
+      Incremental.aggState(df, keys, $"o_totalprice")
+
+    val oneShot = Incremental.finalizeState(state(orders))
+    val two = Incremental.finalizeState(Incremental.mergeStates(keys,
+      state(orders.filter($"o_orderkey" % 2 === 0)),
+      state(orders.filter($"o_orderkey" % 2 === 1))))
+    val three = Incremental.finalizeState(Incremental.mergeStates(keys,
+      state(orders.filter($"o_orderkey" % 3 === 0)),
+      state(orders.filter($"o_orderkey" % 3 === 1)),
+      state(orders.filter($"o_orderkey" % 3 === 2))))
+
+    assert(two.exceptAll(oneShot).isEmpty && oneShot.exceptAll(two).isEmpty,
+      "2-way fold must equal the one-shot aggregate exactly")
+    assert(three.exceptAll(oneShot).isEmpty && oneShot.exceptAll(three).isEmpty,
+      "3-way fold must equal the one-shot aggregate exactly")
+  }
+
+  // ----------------------------------------------------------- Z-order
+
+  test("Morton interleave places x bits at even, y bits at odd positions") {
+    val rows = Seq((1L, 0L), (0L, 1L), (3L, 0L), (0L, 3L), (3L, 5L), (255L, 255L))
+      .toDF("x", "y")
+      .withColumn("z", Layout.zValue($"x", $"y", bits = 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // x=1,y=0 -> bit0 ; x=0,y=1 -> bit1 ; x=3 -> bits 0,2 ; y=3 -> bits 1,3
+    // x=3(011),y=5(101): x bits {0,1}->pos{0,2}, y bits {0,2}->pos{1,5}
+    //   = 1+4+2+32 = 39
+    assert(rows == Seq((1L, 0L, 1L), (0L, 1L, 2L), (3L, 0L, 5L), (0L, 3L, 10L),
+      (3L, 5L, 39L), (255L, 255L, 65535L)), s"interleave mismatch: $rows")
+  }
+}
