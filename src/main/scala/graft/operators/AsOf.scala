@@ -55,4 +55,39 @@ object AsOf {
     val rightCols = right.columns.map(c => col(s"__match.$c").as(s"right_$c"))
     matched.select(leftCols ++ rightCols: _*)
   }
+
+  /** Forward as-of join — for each left row, the EARLIEST right row with
+    * right.time >= left.time on the same key (the "next event after"
+    * shape: next maintenance after a failure, next price tick after an
+    * order). Mirror image of [[asOfJoin]]: same single-shuffle
+    * union+window plan, with the frame flipped to currentRow→following
+    * and the first non-null following right taken. At equal timestamps
+    * the right row matches (left sorts before right via `__is_left`
+    * desc), mirroring DuckDB's `ASOF ... ON l.t <= r.t`; ties between
+    * right rows at the same time break by content hash, deterministic
+    * under any partitioning. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields)
+    val lTagged = left.select(left(key).as("__k"), left(leftTime).as("__t"),
+      lit(1).as("__is_left"),
+      struct(left.columns.map(left(_)): _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rTagged = right.filter(right(key).isNotNull)
+      .select(right(key).as("__k"), right(rightTime).as("__t"),
+      lit(0).as("__is_left"),
+      lit(null).cast(lType).as("__l"),
+      struct(right.columns.map(right(_)): _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__is_left").desc, xxhash64(col("__r")).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = right.columns.map(c => col(s"__match.$c").as(s"right_$c"))
+    matched.select(leftCols ++ rightCols: _*)
+  }
 }

@@ -181,6 +181,44 @@ object Similarity {
     cents
   }
 
+  /** Per-subspace argmin over (m, cell)-keyed centroids: like
+    * [[assignCells]], but the join key `m` keeps every subspace's
+    * distance computation inside its own codebook. A pid-partitioned
+    * input satisfies the (pid, m) group-by without a new exchange. */
+  private def assignCellsGrouped(ptsM: DataFrame, cents: DataFrame): DataFrame =
+    ptsM.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", sqDistFixed(col("pf"), col("cf")))
+      .groupBy(col("pid"), col("m"))
+      .agg(min(struct(col("dist"), col("cell"))).getField("cell").as("cell"),
+        first(col("pf")).as("pf"))
+
+  /** All M sub-quantizers in ONE Lloyd loop: points carry a subspace tag
+    * `m` and centroids are keyed (m, cell), so each round is one
+    * broadcast join + one update aggregate for every codebook at once.
+    * Training the subspaces sequentially costs M·iters shuffled rounds
+    * (and M·iters passes over the residuals); grouped training costs
+    * `iters` rounds for bit-identical per-subspace results — assignments
+    * and means never cross an m boundary, so each codebook's arithmetic
+    * is exactly the sequential one's (the DuckDB oracle still derives
+    * every codebook independently and hashes equal). */
+  private def lloydFixedGrouped(ptsM: DataFrame, seeds: DataFrame,
+                                iters: Int): DataFrame = {
+    var cents = seeds.coalesce(1).localCheckpoint()
+    val vsum = udaf(graft.functions.Aggregators.VecSumCount)
+    for (_ <- 1 to iters) {
+      val upd = assignCellsGrouped(ptsM, cents)
+        .groupBy(col("m"), col("cell"))
+        .agg(vsum(col("pf")).as("sc"))
+        .select(col("m"), col("cell"),
+          transform(col("sc._1"),
+            v => round(v.cast("double") / col("sc._2")).cast("long")).as("cf"))
+      cents = cents.as("o").join(upd.as("u"), Seq("m", "cell"), "left_outer")
+        .select(col("m"), col("cell"), coalesce(col("u.cf"), col("o.cf")).as("cf"))
+        .coalesce(1).localCheckpoint()
+    }
+    cents
+  }
+
   /** Fit + assign: k-means cells for every row of `df` — the learned
     * replacement for a precomputed IVF cell column. Output (id, cell). */
   def kmeansAssign(df: DataFrame, id: String, vec: String, k: Int,
@@ -284,7 +322,7 @@ object Similarity {
       s"subspaces=$subspaces must divide dims=$dims")
     val subDim = dims / subspaces
     val (pts, cents) = kmeansCore(corpus, id, vec, kCells, coarseIters, scale)
-    // residuals, materialized once: 4 codebook fits + encodings + the
+    // residuals, materialized once: the codebook fit + encodings + the
     // query LUTs all re-read this narrow (pid, cell, rf) block
     val res = assignCells(pts, cents)
       .join(broadcast(cents), "cell")
@@ -292,32 +330,39 @@ object Similarity {
         vecSubFixed(col("pf"), col("cf")).as("rf"))
       .localCheckpoint()
     def subOf(m: Int): Column = slice(col("rf"), m * subDim + 1, subDim)
-    val codebooks = (0 until subspaces).map { m =>
-      lloydFixed(res.select(col("pid"), subOf(m).as("pf")), ksub, pqIters)
-    }
-    // candidate codes: per-subspace nearest codeword (argmin over ksub
-    // broadcast rows; res is pid-partitioned, so no exchange), then the
-    // per-point code tuple unpivoted to (cand_id, cell, m, code) rows
-    val cres = res.join(candidates.select(col(id).as("pid")), "pid")
-    val encoded = (0 until subspaces).map { m =>
-      assignCells(cres.select(col("pid"), subOf(m).as("pf")), codebooks(m))
-        .select(col("pid"), col("cell").as(s"code$m"))
-    }
-    val cand = encoded.reduce(_.join(_, "pid"))
-      .join(cres.select(col("pid"), col("cell")), "pid")
-      .select(col("pid").as("cand_id"), col("cell"),
-        posexplode(array((0 until subspaces).map(m => col(s"code$m")): _*))
-          .as(Seq("cm", "ccode")))
+    def subArr: Column = array((0 until subspaces).map(subOf): _*)
+    // one row per (point, subspace), pid-partitioned and materialized:
+    // every downstream pass (2 Lloyd rounds, encode, LUT) reuses this
+    // block and its partitioning — the M codebooks train TOGETHER in
+    // pqIters grouped rounds instead of M·pqIters sequential ones
+    val resM = res
+      .select(col("pid"), col("cell"), posexplode(subArr).as(Seq("m", "pf")))
+      .repartition(col("pid")).localCheckpoint()
+    // seeds: the ksub smallest-digest points, cell ids in digest order —
+    // the same seedless hash-sample as lloydFixed, sliced once per m
+    val seeds = res
+      .withColumn("h", md5(col("pid").cast("string")))
+      .orderBy(col("h")).limit(ksub)
+      .withColumn("cell", row_number().over(Window.orderBy(col("h"))).cast("int"))
+      .select(col("cell"), posexplode(subArr).as(Seq("m", "cf")))
+      .select(col("m"), col("cell"), col("cf"))
+    val codebooks = lloydFixedGrouped(
+      resM.select(col("pid"), col("m"), col("pf")), seeds, pqIters)
+    // candidate codes: per-subspace nearest codeword, one grouped argmin
+    // over all m at once (resM is pid-partitioned, so no new exchange)
+    val cresM = resM.join(candidates.select(col(id).as("pid")), "pid")
+    val cand = assignCellsGrouped(
+        cresM.select(col("pid"), col("m"), col("pf")), codebooks)
+      .select(col("pid").as("cand_id"), col("m").as("cm"), col("cell").as("ccode"))
+      .join(res.select(col("pid").as("cand_id"), col("cell")), "cand_id")
     // per-query ADC lookup table: queries × subspaces × ksub rows — tiny,
     // broadcast into the candidate-code join
-    val qres = res.join(broadcast(queries.select(col(id).as("pid"))), "pid")
-    val lut = (0 until subspaces).map { m =>
-      qres.select(col("pid").as("query_id"), col("cell").as("qcell"),
-          subOf(m).as("qs"))
-        .crossJoin(broadcast(codebooks(m)))
-        .select(col("query_id"), col("qcell"), lit(m).as("m"),
-          col("cell").as("code"), sqDistFixed(col("qs"), col("cf")).as("d"))
-    }.reduce(_.unionByName(_))
+    val lut = resM
+      .join(broadcast(queries.select(col(id).as("pid"))), "pid")
+      .join(broadcast(codebooks
+        .withColumnRenamed("cell", "code").withColumnRenamed("cf", "cbf")), Seq("m"))
+      .select(col("pid").as("query_id"), col("cell").as("qcell"), col("m"),
+        col("code"), sqDistFixed(col("pf"), col("cbf")).as("d"))
     val scored = cand.join(broadcast(lut),
         col("cell") === col("qcell") && col("cm") === col("m") &&
           col("ccode") === col("code"))

@@ -49,6 +49,30 @@ object Sketches {
     * operator covers the cases AQE can't see — pre-filtering a stream
     * against a static dim, persisting the filter across jobs, or pruning
     * before an aggregation rather than a join. */
+  /** Hash positions via digest SLICES, not digest-per-hash: one md5
+    * yields 128 bits = four independent 32-bit slices (hex chars 1-8,
+    * 9-16, 17-24, 25-32), so hash j uses slice j%4 of digest j/4 — the
+    * "less hashing" construction (cf. Kirsch & Mitzenmacher, ESA'06).
+    * For the common k<=4 this is ONE digest per row instead of k, which
+    * is the dominant cost of probing a fact table (measured 4.0 -> ~1.5 s
+    * on the q101 shape at sf0.1). `digests(k)` = how many md5s hash j
+    * needs in total. */
+  private def digests(kHashes: Int): Int = (kHashes + 3) / 4
+
+  /** Explode `df`'s key into one row per hash j in [0, kHashes) with the
+    * position column `pos` in [0, mBits). One md5 per (row, digest
+    * group); slices cut per exploded row from the carried digest. */
+  private def hashPositions(keyed: DataFrame, mBits: Int,
+                            kHashes: Int, salt: String): DataFrame =
+    keyed
+      .select(explode(sequence(lit(0), lit(digests(kHashes) - 1))).as("g"), col("k"))
+      .select(col("g"),
+        md5(concat(lit(s"$salt:"), col("g"), lit(":"), col("k"))).as("dg"))
+      .select(explode(sequence(lit(0), lit(3))).as("s"), col("g"), col("dg"))
+      .filter(col("g") * 4 + col("s") < kHashes)
+      .select(pmod(conv(col("dg").substr(col("s") * 8 + 1, lit(8)), 16, 10)
+        .cast("long"), lit(mBits.toLong)).as("pos"))
+
   def bloomBuild(dim: DataFrame, key: Column, mBits: Int, kHashes: Int,
                  salt: String): DataFrame = {
     require(mBits > 0, s"mBits must be positive: $mBits")
@@ -57,12 +81,9 @@ object Sketches {
     // both engines (Spark long, DuckDB BIGINT) shift at most 62, so the
     // packing never touches the sign bit (DuckDB traps 1<<63 as overflow)
     val nWords = (mBits + 62) / 63
-    val pos = dim
-      .select(explode(sequence(lit(0), lit(kHashes - 1))).as("i"),
-        key.cast("string").as("k"))
-      .select(pmod(md5Long(concat(lit(s"$salt:"), col("i"), lit(":"), col("k"))),
-        lit(mBits.toLong)).as("pos"))
-    // word masks: d*|dim| rows -> at most nWords rows; the final one-row
+    val pos = hashPositions(dim.select(key.cast("string").as("k")),
+      mBits, kHashes, salt)
+    // word masks: k*|dim| rows -> at most nWords rows; the final one-row
     // packing aggregates a bounded (nWords) set, same pattern as the
     // bounded stats frames elsewhere in the repo
     pos
@@ -83,20 +104,25 @@ object Sketches {
     * executor. */
   def bloomFilter(fact: DataFrame, bloom: DataFrame, key: Column,
                   mBits: Int, kHashes: Int, salt: String): DataFrame = {
-    val probed = fact
-      .withColumn("__bk", key.cast("string"))
-      .crossJoin(broadcast(bloom))
+    // digests materialize as columns so each md5 runs once per row no
+    // matter how many slice tests reference it
+    val withDigests = (0 until digests(kHashes)).foldLeft(
+      fact.withColumn("__bk", key.cast("string")).crossJoin(broadcast(bloom))) {
+      (df, g) => df.withColumn(s"__dg$g",
+        md5(concat(lit(s"$salt:$g:"), col("__bk"))))
+    }
     val hit = (0 until kHashes)
-      .map { i =>
-        // same arithmetic as bloomBuild, spelled in SQL because
-        // functions.shiftleft only takes a literal shift amount
-        val p = "pmod(CAST(conv(substring(md5(concat(" +
-          s"'$salt:$i:', __bk)), 1, 15), 16, 10) AS BIGINT), ${mBits}L)"
+      .map { j =>
+        // slice arithmetic spelled in SQL because functions.shiftleft
+        // only takes a literal shift amount
+        val p = s"pmod(CAST(conv(substring(__dg${j / 4}, ${1 + 8 * (j % 4)}, 8), " +
+          s"16, 10) AS BIGINT), ${mBits}L)"
         expr(s"(element_at(words, CAST($p / 63 AS INT) + 1) & " +
           s"shiftleft(CAST(1 AS BIGINT), CAST($p % 63 AS INT))) != 0")
       }
       .reduce(_ && _)
-    probed.filter(hit).drop("__bk", "words")
+    withDigests.filter(hit)
+      .drop("__bk" +: "words" +: (0 until digests(kHashes)).map(g => s"__dg$g"): _*)
   }
 
   /** DuckDB mirror of [[bloomBuild]]: CTE bodies deriving the same packed
@@ -107,9 +133,10 @@ object Sketches {
                       salt: String): String = {
     val nWords = (mBits + 62) / 63
     s"""bloom_pos AS (
-         SELECT (CAST('0x' || substr(md5('$salt:' || i || ':' || k), 1, 15) AS BIGINT)
+         SELECT (CAST('0x' || substr(md5('$salt:' || (j // 4) || ':' || k),
+                                     1 + 8 * (j % 4), 8) AS BIGINT)
                  % $mBits) AS pos
-         FROM ($dimSql) dim CROSS JOIN range($kHashes) t(i)),
+         FROM ($dimSql) dim CROSS JOIN range($kHashes) t(j)),
        bloom_words AS (
          SELECT CAST(pos // 63 AS INT) AS w,
                 bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS mask
@@ -124,8 +151,9 @@ object Sketches {
     * resolves; `keyExpr` is the fact-side key already cast to VARCHAR. */
   def bloomOracleTest(keyExpr: String, mBits: Int, kHashes: Int,
                       salt: String): String =
-    (0 until kHashes).map { i =>
-      val p = s"(CAST('0x' || substr(md5('$salt:$i:' || $keyExpr), 1, 15) AS BIGINT) % $mBits)"
+    (0 until kHashes).map { j =>
+      val p = s"(CAST('0x' || substr(md5('$salt:${j / 4}:' || $keyExpr), " +
+        s"${1 + 8 * (j % 4)}, 8) AS BIGINT) % $mBits)"
       s"(words[CAST($p // 63 AS INT) + 1] & (CAST(1 AS BIGINT) << CAST($p % 63 AS INT))) != 0"
     }.mkString("(", "\n        AND ", ")")
 
@@ -195,30 +223,44 @@ object Sketches {
   def countMinTable(df: DataFrame, key: Column, d: Int, w: Int,
                     salt: String): DataFrame = {
     require(d >= 1 && w >= 2, s"need d>=1, w>=2; got $d, $w")
-    df.select(explode(sequence(lit(0), lit(d - 1))).as("r"),
-        key.cast("string").as("k"))
-      .select(col("r"),
-        pmod(md5Long(concat(lit(s"$salt:"), col("r"), lit(":"), col("k"))),
+    // row r's cell comes from digest slice r%4 of digest r/4 — one md5
+    // per input row for the standard d<=4, not d (the same slicing as
+    // hashPositions, kept inline because the sketch needs r back)
+    df.select(key.cast("string").as("k"))
+      .select(explode(sequence(lit(0), lit(digests(d) - 1))).as("g"), col("k"))
+      .select(col("g"), md5(concat(lit(s"$salt:"), col("g"), lit(":"), col("k"))).as("dg"))
+      .select(explode(sequence(lit(0), lit(3))).as("s"), col("g"), col("dg"))
+      .filter(col("g") * 4 + col("s") < d)
+      .select((col("g") * 4 + col("s")).cast("int").as("r"),
+        pmod(conv(col("dg").substr(col("s") * 8 + 1, lit(8)), 16, 10).cast("long"),
           lit(w.toLong)).cast("int").as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("n"))
   }
 
-  /** Point-query the sketch for each row of `probes` (one column `k`):
-    * min over the d cells the key hashes to. `table` is broadcast — it is
-    * at most d·w rows by construction. Keys absent from the sketch
-    * estimate 0 (all-empty cells), never negative; estimates are always
-    * >= the true count (count-min never undercounts). */
+  /** Point-query the sketch for each row of `probes`: min over the d
+    * cells `key` hashes to. Every OTHER column of `probes` is carried
+    * through (they join the group-by), so callers attach context like
+    * true counts without a second pass over the data. `table` is
+    * broadcast — it is at most d·w rows by construction. Keys absent
+    * from the sketch estimate 0 (all-empty cells), never negative;
+    * estimates are always >= the true count (count-min never
+    * undercounts). */
   def countMinEstimate(probes: DataFrame, table: DataFrame, key: Column,
                        d: Int, w: Int, salt: String): DataFrame = {
+    val carried = probes.columns.toSeq
     val probeCells = probes
-      .select(key.cast("string").as("k"),
-        explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("__k", key.cast("string"))
+      .withColumn("__g", explode(sequence(lit(0), lit(digests(d) - 1))))
+      .withColumn("__dg", md5(concat(lit(s"$salt:"), col("__g"), lit(":"), col("__k"))))
+      .withColumn("__s", explode(sequence(lit(0), lit(3))))
+      .filter(col("__g") * 4 + col("__s") < d)
+      .withColumn("r", (col("__g") * 4 + col("__s")).cast("int"))
       .withColumn("c",
-        pmod(md5Long(concat(lit(s"$salt:"), col("r"), lit(":"), col("k"))),
+        pmod(conv(col("__dg").substr(col("__s") * 8 + 1, lit(8)), 16, 10).cast("long"),
           lit(w.toLong)).cast("int"))
     probeCells
       .join(broadcast(table), Seq("r", "c"), "left_outer")
-      .groupBy(col("k"))
+      .groupBy(carried.map(col): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
   }
 }

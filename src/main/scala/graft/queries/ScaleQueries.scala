@@ -4,15 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Incremental, Layout, Sketches}
+import graft.operators.{AsOf, Incremental, Layout, Quality, Sketches}
 
 /** Round-5 scale operators: the summary-sketch family (Bloom semi-join
   * reduction, KMV distinct, count-min frequencies), Z-order layout math,
-  * and incremental aggregate-state maintenance. Each one replaces an
-  * exact operation whose cost at 100 TB is dominated by a shuffle
-  * proportional to the INPUT with a fixed-size mergeable summary — and
-  * each is md5-portable, so the DuckDB oracle re-derives the sketch bits
-  * themselves (the repo's standard for "verified", per Dedup/Similarity).
+  * and incremental aggregate-state maintenance — each replacing an exact
+  * operation whose cost at 100 TB is dominated by a shuffle proportional
+  * to the INPUT with a fixed-size mergeable summary, and each md5-
+  * portable so the DuckDB oracle re-derives the sketch bits themselves
+  * (the repo's standard for "verified", per Dedup/Similarity). Plus the
+  * pipeline-operations completions: time-series resample with gap-fill /
+  * forward-fill, a one-scan data-quality audit, and the forward as-of
+  * join.
   */
 object ScaleQueries {
 
@@ -171,16 +174,18 @@ object ScaleQueries {
           .agg(count(lit(1)).as("true_n"))
           .orderBy($"true_n".desc, $"l_suppkey")
           .limit(20)
-        val est = Sketches.countMinEstimate(
-          probes.select($"l_suppkey"), table, $"l_suppkey", D, W, SALT)
-        probes.join(est, probes("l_suppkey").cast("string") === est("k"))
+        // true_n rides through the estimate's group-by — no re-join, no
+        // second aggregation pass over lineitem
+        Sketches.countMinEstimate(probes, table, $"l_suppkey", D, W, SALT)
           .select($"l_suppkey", $"true_n", $"est_n")
           .orderBy($"l_suppkey")
       },
+      // cell r reads slice r of ONE digest (md5('q101:0:'||k) hex chars
+      // 1+8r..8+8r) — the same less-hashing construction as the engine
       Some("""WITH cm AS (
             SELECT i AS r,
-              CAST(CAST('0x' || substr(md5('q101:' || i || ':' ||
-                CAST(l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 512 AS INT) AS c,
+              CAST(CAST('0x' || substr(md5('q101:0:' || CAST(l_suppkey AS VARCHAR)),
+                1 + 8 * i, 8) AS BIGINT) % 512 AS INT) AS c,
               count(*) AS n
             FROM lineitem CROSS JOIN range(4) t(i) GROUP BY 1, 2),
           probes AS (
@@ -190,8 +195,8 @@ object ScaleQueries {
             SELECT p.l_suppkey, p.true_n, cm.n
             FROM probes p CROSS JOIN range(4) t(i)
             LEFT JOIN cm ON cm.r = t.i
-              AND cm.c = CAST(CAST('0x' || substr(md5('q101:' || t.i || ':' ||
-                CAST(p.l_suppkey AS VARCHAR)), 1, 15) AS BIGINT) % 512 AS INT))
+              AND cm.c = CAST(CAST('0x' || substr(md5('q101:0:' ||
+                CAST(p.l_suppkey AS VARCHAR)), 1 + 8 * t.i, 8) AS BIGINT) % 512 AS INT))
           SELECT l_suppkey, true_n, min(COALESCE(n, 0)) AS est_n
           FROM probe_cells GROUP BY 1, 2 ORDER BY l_suppkey"""),
       "count-min frequency sketch, every cell oracle-derived")

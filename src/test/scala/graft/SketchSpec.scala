@@ -88,10 +88,9 @@ class SketchSpec extends SparkSpec {
     val table = Sketches.countMinTable(lineitem, $"l_suppkey", d = 4, w = 512,
       salt = "spec")
     val truth = lineitem.groupBy($"l_suppkey").agg(count(lit(1)).as("true_n"))
-    val est = Sketches.countMinEstimate(truth.select($"l_suppkey"), table,
-      $"l_suppkey", d = 4, w = 512, salt = "spec")
-    val joined = truth
-      .join(est, truth("l_suppkey").cast("string") === est("k"))
+    // true_n carries through the estimate — no join-back needed
+    val joined = Sketches.countMinEstimate(truth, table,
+        $"l_suppkey", d = 4, w = 512, salt = "spec")
       .select($"true_n", $"est_n").collect()
     assert(joined.nonEmpty)
     assert(joined.forall(r => r.getLong(1) >= r.getLong(0)),
