@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resample with gap-fill and forward-fill — the pandas
+  * `resample(...).agg(...).ffill()` shape (the reference's dashboard
+  * leans on pandas time-bucket groupbys, e.g. hourly trip counts at
+  * 1_EDA_Dashboard.py:159-214; this is the engine form that also
+  * densifies the axis, which a plotting layer otherwise fakes).
+  *
+  * Scale posture: three stages, each one shuffle, all keyed —
+  *   1. bucket-aggregate (hash aggregate on (key, bucket) — map-side
+  *      partial, input-proportional but combiner-collapsed);
+  *   2. per-key spine = min/max bucket (tiny: one row per key) exploded
+  *      through `sequence()` — the dense axis is generated DISTRIBUTED,
+  *      per key, never on the driver, and its size is bounded by
+  *      span/unit per key (a decade of hourly buckets is 87 k rows/key),
+  *      not by input rows;
+  *   3. left join spine←agg on (key, bucket) + a per-key window for the
+  *      forward fill. The window needs one key's buckets in one
+  *      partition — bounded by the same span/unit cap, independent of
+  *      how many raw events fed the bucket.
+  * Nothing collects; adding a key multiplies nothing but its own spine.
+  */
+object TimeSeries {
+
+  /** Resample `df` into `date_trunc(unit)` buckets per `key`, densify
+    * each key's axis from its first to its last observed bucket, and
+    * return one row per (key, bucket) with:
+    *   - `n`: rows observed in the bucket (0 on generated gap rows);
+    *   - `v`: `sum(value)` for the bucket (null on gaps);
+    *   - `v_ffill`: `v` forward-filled from the key's last non-empty
+    *     bucket (gap rows carry the previous observation, the first
+    *     bucket is never null by construction of the spine).
+    *
+    * `unit` is a `date_trunc` unit (`"hour"`, `"day"`, `"week"`, ...)
+    * also used as the spine step (`interval 1 <unit>`).
+    */
+  def resampleFfill(df: DataFrame, key: String, tsCol: String, unit: String,
+                    value: Column): DataFrame = {
+    val agg = df
+      .groupBy(col(key), date_trunc(unit, col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(value).as("v"))
+    val spine = agg
+      .groupBy(col(key))
+      .agg(min(col("bucket")).as("__mn"), max(col("bucket")).as("__mx"))
+      .select(col(key),
+        explode(expr(s"sequence(__mn, __mx, interval 1 $unit)")).as("bucket"))
+    val w = Window.partitionBy(col(key)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(agg, Seq(key, "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Incremental, Layout, Quality, Sketches}
+import graft.operators.{AsOf, Incremental, Layout, Quality, Sketches, TimeSeries}
 
 /** Round-5 scale operators: the summary-sketch family (Bloom semi-join
   * reduction, KMV distinct, count-min frequencies), Z-order layout math,
@@ -199,6 +199,139 @@ object ScaleQueries {
                 CAST(p.l_suppkey AS VARCHAR)), 1 + 8 * t.i, 8) AS BIGINT) % 512 AS INT))
           SELECT l_suppkey, true_n, min(COALESCE(n, 0)) AS est_n
           FROM probe_cells GROUP BY 1, 2 ORDER BY l_suppkey"""),
-      "count-min frequency sketch, every cell oracle-derived")
+      "count-min frequency sketch, every cell oracle-derived"),
+
+    // ------------------------------------- time-series resample + ffill
+    // Hourly purchase/signup revenue with a DENSE axis: generated gap
+    // buckets carry n=0 and the forward-filled last observation — the
+    // pandas resample().sum().ffill() shape, but the spine is exploded
+    // per key from a one-row-per-key min/max aggregate, never built on
+    // the driver. Value sums are cent-quantized (order-independent), so
+    // both the observed and forward-filled columns hash exactly.
+    "q102_resample_ffill" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+          .filter($"event_type".isin("purchase", "signup"))
+        TimeSeries.resampleFfill(e, "event_type", "ts", "hour",
+            round($"value" * 100).cast("long"))
+          .select($"event_type", $"bucket", $"n",
+            ($"v".cast("double") / 100.0).as("v"),
+            ($"v_ffill".cast("double") / 100.0).as("v_ffill"))
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""WITH agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+              sum(CAST(round(value*100) AS BIGINT)) AS v
+            FROM events WHERE event_type IN ('purchase','signup') GROUP BY 1, 2),
+          span AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+            FROM agg GROUP BY 1),
+          spine AS (SELECT event_type,
+              unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM span),
+          dense AS (SELECT s.event_type, s.bucket, COALESCE(a.n, 0) AS n, a.v
+            FROM spine s LEFT JOIN agg a
+              ON s.event_type = a.event_type AND s.bucket = a.bucket)
+          SELECT event_type, bucket, n, CAST(v AS DOUBLE)/100.0 AS v,
+            CAST(last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+                ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE)/100.0 AS v_ffill
+          FROM dense ORDER BY event_type, bucket"""),
+      "resample to dense hourly buckets with gap-fill + forward-fill"),
+
+    // --------------------------------------------- one-scan data audit
+    // The expectations layer before publishing a batch: six checks fold
+    // into ONE hash aggregate over lineitem (adding a check adds a
+    // column, not a scan). Counters count VIOLATIONS; a null check
+    // result is a violation, not a pass.
+    "q103_quality_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Quality.audit(t(s, d, "lineitem"), Seq(
+          "v_qty_positive" -> ($"l_quantity" > 0),
+          "v_qty_le_30" -> ($"l_quantity" <= 30),
+          "v_disc_le_6pct" -> ($"l_discount" <= 0.06),
+          "v_tax_le_disc" -> ($"l_tax" <= $"l_discount"),
+          "v_flag_domain" -> $"l_returnflag".isin("A", "N", "R"),
+          "v_ship_from_1996" -> ($"l_shipdate" >= "1996-01-01")))
+      },
+      Some("""SELECT count(*) AS n_rows,
+          CAST(sum(CASE WHEN COALESCE(l_quantity > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_qty_positive,
+          CAST(sum(CASE WHEN COALESCE(l_quantity <= 30, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_qty_le_30,
+          CAST(sum(CASE WHEN COALESCE(l_discount <= 0.06, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_disc_le_6pct,
+          CAST(sum(CASE WHEN COALESCE(l_tax <= l_discount, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_tax_le_disc,
+          CAST(sum(CASE WHEN COALESCE(l_returnflag IN ('A','N','R'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v_flag_domain,
+          CAST(sum(CASE WHEN COALESCE(l_shipdate >= TIMESTAMP '1996-01-01', false) THEN 0 ELSE 1 END) AS BIGINT) AS v_ship_from_1996
+        FROM lineitem"""),
+      "one-scan data-quality audit (violation counters as one aggregate)"),
+
+    // ------------------------------------------------- forward as-of
+    // Time-to-convert: for each click, the user's EARLIEST purchase
+    // at-or-after it. Engine side is the mirror-image union+window
+    // composition (operators.AsOf.asOfJoinForward); oracle is DuckDB's
+    // native ASOF with the inequality flipped.
+    "q104_asof_forward" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+        val clicks = e.filter($"event_type" === "click")
+          .select($"event_id", $"user_id", $"ts")
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"event_id".as("p_event_id"), $"user_id", $"ts".as("p_ts"))
+        AsOf.asOfJoinForward(clicks, purchases, "user_id", "ts", "p_ts")
+          .select($"event_id".as("click_id"),
+            $"right_p_event_id".as("next_purchase_id"),
+            (unix_timestamp($"right_p_ts") - unix_timestamp($"ts"))
+              .as("secs_to_convert"))
+          .orderBy($"click_id")
+      },
+      Some("""SELECT c.event_id AS click_id, p.event_id AS next_purchase_id,
+          CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+            AS secs_to_convert
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY click_id"""),
+      "forward as-of join (next event at-or-after) vs DuckDB native ASOF"),
+
+    // --------------------------------------------- referential orphans
+    // FK integrity audit with a PLANTED violation: parents restricted to
+    // p_size <= 25, so every lineitem referencing a larger part is an
+    // orphan. The anti-join broadcasts when the parent is dim-sized; the
+    // summary groups orphan damage by return flag.
+    "q105_fk_orphans" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val parent = t(s, d, "part").filter($"p_size" <= 25)
+        Quality.orphans(t(s, d, "lineitem"), "l_partkey", parent, "p_partkey")
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_orphans"),
+               (sum(round($"l_extendedprice" * 100).cast("long"))
+                 .cast("double") / 100.0).as("orphan_revenue"))
+          .orderBy($"l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, count(*) AS n_orphans,
+          $MoneySum AS orphan_revenue
+        FROM lineitem l
+        WHERE l_partkey IS NOT NULL AND NOT EXISTS (
+          SELECT 1 FROM part p
+          WHERE p.p_partkey = l.l_partkey AND p.p_size <= 25)
+        GROUP BY 1 ORDER BY 1"""),
+      "FK orphan audit via anti-join, planted by shrinking the parent"),
+
+    // ---------------------------------------------- duplicate key audit
+    // Uniqueness check on a key that is NOT unique — (user_id,
+    // event_type) — returning the 20 heaviest duplicate groups. One hash
+    // aggregate; the empty result on a truly-unique key is the pass.
+    "q106_duplicate_keys" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Quality.duplicateKeys(t(s, d, "events"), Seq("user_id", "event_type"))
+          .orderBy($"n_dups".desc, $"user_id", $"event_type")
+          .limit(20)
+      },
+      Some("""SELECT user_id, event_type, count(*) AS n_dups
+        FROM events GROUP BY 1, 2 HAVING count(*) > 1
+        ORDER BY n_dups DESC, user_id, event_type LIMIT 20"""),
+      "duplicate-key audit (top-20 heaviest groups)")
   )
 }

@@ -64,6 +64,27 @@ class AsOfSpec extends SparkSpec {
     assert(picks.size == 1, s"tie pick must not depend on partitioning: $picks")
   }
 
+  test("forward as-of join picks the earliest right row at-or-after each left row") {
+    val clicks = Seq(
+      (1L, 7L, ts("2024-05-01 10:00:00")),  // two later purchases -> earliest wins
+      (2L, 7L, ts("2024-05-01 12:00:00")),  // exact-tie purchase matches (<= rule)
+      (3L, 7L, ts("2024-05-01 15:00:00")),  // nothing after -> null
+      (4L, 8L, ts("2024-05-01 10:00:00"))   // earlier purchase ignored
+    ).toDF("click_id", "user_id", "t")
+    val purchases = Seq(
+      (20L, 7L, ts("2024-05-01 11:00:00")),
+      (21L, 7L, ts("2024-05-01 12:00:00")),
+      (22L, 8L, ts("2024-05-01 09:00:00"))
+    ).toDF("purchase_id", "user_id", "pt")
+    val out = AsOf.asOfJoinForward(clicks, purchases, "user_id", "t", "pt")
+      .select($"click_id", $"right_purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(20L), "earliest of the following purchases")
+    assert(out(2L).contains(21L), "purchase at exactly the click time matches")
+    assert(out(3L).isEmpty, "no purchase at-or-after -> null")
+    assert(out(4L).isEmpty, "past purchases never match forward")
+  }
+
   test("range join: inclusive at the window boundary, excludes beyond and cross-key") {
     val events = Seq(
       (1L, 10L, ts("2024-05-01 10:00:00")),

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Quality, TimeSeries}
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("resample densifies gaps with n=0 and forward-fills the value") {
+    val df = Seq(
+      ("a", ts("2024-05-01 10:05:00"), 10L),
+      ("a", ts("2024-05-01 10:40:00"), 5L),
+      // 11:00 and 12:00 are gaps for key a
+      ("a", ts("2024-05-01 13:10:00"), 7L),
+      ("b", ts("2024-05-01 11:30:00"), 1L)
+    ).toDF("k", "t", "v")
+
+    val out = TimeSeries.resampleFfill(df, "k", "t", "hour", col("v"))
+      .select($"k", $"bucket", $"n", $"v", $"v_ffill")
+      .as[(String, Timestamp, Long, Option[Long], Option[Long])]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+
+    // key a: 4 dense buckets 10:00..13:00; key b: just its own bucket
+    assert(out.size === 5)
+    assert(out(("a", ts("2024-05-01 10:00:00"))) === ((2L, Some(15L), Some(15L))))
+    assert(out(("a", ts("2024-05-01 11:00:00"))) === ((0L, None, Some(15L))),
+      "gap bucket: n=0, v null, ffill carries 15")
+    assert(out(("a", ts("2024-05-01 12:00:00"))) === ((0L, None, Some(15L))))
+    assert(out(("a", ts("2024-05-01 13:00:00"))) === ((1L, Some(7L), Some(7L))))
+    assert(out(("b", ts("2024-05-01 11:00:00"))) === ((1L, Some(1L), Some(1L))))
+  }
+
+  test("spine never extends beyond a key's own observed range") {
+    val df = Seq(
+      ("a", ts("2024-05-01 00:00:00"), 1L),
+      ("a", ts("2024-05-03 00:00:00"), 2L),
+      ("b", ts("2024-05-02 00:00:00"), 3L) // single-day key -> single row
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.resampleFfill(df, "k", "t", "day", col("v"))
+    assert(out.filter($"k" === "a").count() === 3)
+    assert(out.filter($"k" === "b").count() === 1)
+  }
+
+  test("audit counts violations in one aggregate; null check result is a violation") {
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "x"), (-2L, "y"), (null, "x")
+    ).toDF("amount", "tag")
+    val row = Quality.audit(df, Seq(
+      "v_amount_pos" -> ($"amount" > 0),
+      "v_tag_domain" -> $"tag".isin("x", "y")
+    )).as[(Long, Long, Long)].collect().head
+    assert(row === ((3L, 2L, 0L)),
+      "null amount counts as a violation of amount > 0")
+  }
+
+  test("duplicateKeys flags only repeated tuples; orphans excludes null FKs") {
+    val child = Seq(
+      (1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)),
+      (4L, Option.empty[Long])
+    ).toDF("id", "fk")
+    val parent = Seq(10L).toDF("pk")
+    val orphan = Quality.orphans(child, "fk", parent, "pk")
+      .select($"id").as[Long].collect().toSet
+    assert(orphan === Set(3L), "null FK is not an orphan; 99 is")
+
+    val dups = Quality.duplicateKeys(child, Seq("fk"))
+      .select($"fk", $"n_dups").as[(Option[Long], Long)].collect().toMap
+    assert(dups === Map(Option(10L) -> 2L), "only fk=10 repeats")
+  }
+}
