@@ -59,4 +59,56 @@ object Selection {
       .drop("__dcum")
     above.union(atCut).drop("__s", "__w", "__cut_s", "__cut_budget")
   }
+
+  /** Weight-proportional systematic sample of `m` rows: lay every row's
+    * integer weight end-to-end on a number line of total length W (in
+    * `id` order), drop `m` evenly-spaced probes t_j = ⌊(2j+1)·W / 2m⌋
+    * (the midpoints of m equal strata), and pick the row whose weight
+    * interval [cum−w, cum) contains each probe. The classic deterministic
+    * alternative to weighted random sampling for mixture construction:
+    * inclusion is exactly weight-proportional, needs no RNG, and — being
+    * all-integer — reproduces bit-for-bit on any engine (no float `pow`
+    * or `ln` whose last-ulp could flip a selection near a boundary).
+    * A row heavier than a stratum can win multiple probes (correct:
+    * that's sampling with replacement, weight-proportionally).
+    *
+    * Scale shape: the naive cumulative sum is a one-partition window
+    * over the corpus. This instead buckets ids by `bucketWidth`:
+    *   1. per-row cumsum WITHIN each bucket (window partitioned by
+    *      bucket — bounded by bucketWidth rows per partition);
+    *   2. per-bucket totals (hash aggregate, one row per bucket) get a
+    *      cumulative offset via a window over just the bucket list;
+    *   3. global cum = bucket offset + within-bucket cum (broadcast-able
+    *      join on bucket id); probes are a broadcast m-row table matched
+    *      with a range condition (BroadcastNestedLoop over m tiny rows).
+    * Null/zero weights get empty intervals and are never selected. */
+  def weightedSystematicSample(df: DataFrame, id: Column, weight: Column,
+                               m: Int, bucketWidth: Long): DataFrame = {
+    require(m > 0 && bucketWidth > 0, s"need m>0, bucketWidth>0; got $m, $bucketWidth")
+    val spark = df.sparkSession
+    val base = df
+      .withColumn("__id", id)
+      .withColumn("__w", coalesce(weight.cast("long"), lit(0L)))
+      // integer `div`, not floor(double /): a float quotient would lose
+      // id precision past 2^53 and silently merge far-apart buckets
+      .withColumn("__b", expr(s"__id div ${bucketWidth}L"))
+    val inBucket = base.withColumn("__cin",
+      sum(col("__w")).over(Window.partitionBy(col("__b")).orderBy(col("__id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = base.groupBy(col("__b")).agg(sum(col("__w")).as("__bw"))
+      .withColumn("__off",
+        coalesce(sum(col("__bw")).over(Window.orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val total = offsets.agg(sum(col("__bw")).as("__W"))
+    val probes = broadcast(spark.range(m).select(col("id").as("pick"))
+      .crossJoin(total)
+      .select(col("pick"),
+        expr(s"CAST(((2 * pick + 1) * __W) div ${2L * m} AS BIGINT)").as("__t")))
+    val cum = inBucket
+      .join(broadcast(offsets.select(col("__b"), col("__off"))), Seq("__b"))
+      .withColumn("__cum", col("__off") + col("__cin"))
+    cum.join(probes,
+        probes("__t") >= cum("__cum") - cum("__w") && probes("__t") < cum("__cum"))
+      .drop("__id", "__w", "__b", "__cin", "__off", "__cum", "__t")
+  }
 }

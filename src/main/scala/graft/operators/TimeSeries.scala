@@ -55,4 +55,40 @@ object TimeSeries {
       .withColumn("n", coalesce(col("n"), lit(0L)))
       .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
   }
+
+  /** Rolling z-score anomaly detection over an already-bucketed series,
+    * integer-exact: for each row, the trailing window of the `lookback`
+    * PRECEDING rows (current row excluded — the candidate can't vote on
+    * its own baseline) yields n, S=Σc, Q=Σc² over the integer-quantized
+    * value `cents`, and the row is anomalous iff
+    *
+    *   n ≥ minObs  ∧  (c·n − S)² > z²·(n·Q − S²)
+    *
+    * which is |c − μ| > z·σ with both sides multiplied through by n² —
+    * no float mean, stddev, or sqrt anywhere, so the flag reproduces
+    * bit-for-bit on any engine (a last-ulp float difference can never
+    * flip a boundary case). σ=0 windows flag ANY deviation, the strict
+    * z-score limit. Fits |c|·lookback up to ~3·10⁹ before the squared
+    * terms leave the long range — far beyond cent-quantized bucket sums.
+    *
+    * Appends `win_n` and `is_anomaly`. One per-key window — the frame is
+    * `lookback` rows regardless of input size, and a key's whole series
+    * in one partition is bounded by span/unit (see [[resampleFfill]]). */
+  def rollingZScore(df: DataFrame, key: String, order: String, cents: Column,
+                    lookback: Int, minObs: Int, z: Int): DataFrame = {
+    require(lookback > 0 && minObs > 0 && z > 0,
+      s"need lookback, minObs, z > 0; got $lookback, $minObs, $z")
+    val w = Window.partitionBy(col(key)).orderBy(col(order))
+      .rowsBetween(-lookback, -1)
+    val dev = col("__c") * col("win_n") - col("__S")
+    df.withColumn("__c", cents.cast("long"))
+      .withColumn("win_n", count(col("__c")).over(w))
+      .withColumn("__S", sum(col("__c")).over(w))
+      .withColumn("__Q", sum(col("__c") * col("__c")).over(w))
+      .withColumn("is_anomaly",
+        col("win_n") >= minObs &&
+          dev * dev > lit(z.toLong * z) *
+            (col("win_n") * col("__Q") - col("__S") * col("__S")))
+      .drop("__c", "__S", "__Q")
+  }
 }

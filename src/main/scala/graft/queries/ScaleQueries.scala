@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Incremental, Layout, Quality, Sketches, TimeSeries}
+import graft.operators.{AsOf, Incremental, Layout, Quality, Redact, Selection, Sketches, TimeSeries}
 
 /** Round-5 scale operators: the summary-sketch family (Bloom semi-join
   * reduction, KMV distinct, count-min frequencies), Z-order layout math,
@@ -332,6 +332,151 @@ object ScaleQueries {
       Some("""SELECT user_id, event_type, count(*) AS n_dups
         FROM events GROUP BY 1, 2 HAVING count(*) > 1
         ORDER BY n_dups DESC, user_id, event_type LIMIT 20"""),
-      "duplicate-key audit (top-20 heaviest groups)")
+      "duplicate-key audit (top-20 heaviest groups)"),
+
+    // ---------------------------------------------------- PII redaction
+    // Curation scrub pass: emails / SSN-shaped ids / phones / IPv4s →
+    // placeholder tokens, with per-rule replacement counts. The corpus
+    // is synthetic word-salad, so PII is PLANTED deterministically from
+    // doc_id (same construction on both engines — the q105 convention);
+    // rules are RE2-safe and apply in order, each counting on the text
+    // state it rewrites. Output pins md5(redacted), so the oracle
+    // verifies every byte of the scrubbed text, not just the counts.
+    "q107_pii_redaction" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val planted = t(s, d, "documents").withColumn("t0", concat(
+          $"text", lit(" contact user"), $"doc_id", lit("@example.com"),
+          when($"doc_id" % 3 === 0, concat(lit(" call 555-"),
+            lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((($"doc_id" * 7) % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when($"doc_id" % 5 === 0, concat(lit(" from 10."),
+            ($"doc_id" % 256).cast("string"), lit(".0."),
+            (($"doc_id" * 3) % 256).cast("string"))).otherwise(lit("")),
+          when($"doc_id" % 7 === 0, concat(lit(" ssn "),
+            ($"doc_id" % 900 + 100).cast("string"), lit("-"),
+            ($"doc_id" % 90 + 10).cast("string"), lit("-"),
+            ($"doc_id" % 9000 + 1000).cast("string"))).otherwise(lit(""))))
+        Redact.piiScrub(planted, $"t0")
+          .select($"doc_id", $"n_email", $"n_ssn", $"n_phone", $"n_ipv4",
+            md5($"redacted").as("redacted_md5"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH planted AS (
+            SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+                   || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                   || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' from 10.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                   || CAST((doc_id * 3) % 256 AS VARCHAR) ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN ' ssn '
+                   || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                   || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+                   || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END AS t0
+            FROM documents),
+          s1 AS (SELECT doc_id,
+            CAST(len(regexp_extract_all(t0,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+            regexp_replace(t0,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g') AS t1
+            FROM planted),
+          s2 AS (SELECT doc_id, n_email,
+            CAST(len(regexp_extract_all(t1,
+              '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+            regexp_replace(t1, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g') AS t2
+            FROM s1),
+          s3 AS (SELECT doc_id, n_email, n_ssn,
+            CAST(len(regexp_extract_all(t2,
+              '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS BIGINT) AS n_phone,
+            regexp_replace(t2, '\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b',
+              '<PHONE>', 'g') AS t3
+            FROM s2),
+          s4 AS (SELECT doc_id, n_email, n_ssn, n_phone,
+            CAST(len(regexp_extract_all(t3,
+              '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+            regexp_replace(t3, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+              '<IP>', 'g') AS t4
+            FROM s3)
+          SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, md5(t4) AS redacted_md5
+          FROM s4 ORDER BY doc_id"""),
+      "PII scrub with per-rule counts; redacted text pinned via md5"),
+
+    // ------------------------------------- weighted systematic sample
+    // Weight-proportional selection for mixture construction: m probes
+    // at the midpoints of m equal strata over the corpus's n_chars mass.
+    // All-integer (no float pow/ln near a selection boundary), so the
+    // picked set is bit-reproducible; the distributed form is a
+    // two-level cumsum (per-bucket window + bucket-offset window over
+    // the bucket list), probes a broadcast m-row table.
+    "q108_weighted_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Selection.weightedSystematicSample(
+            t(s, d, "documents").select($"doc_id", $"n_chars"),
+            $"doc_id", $"n_chars", m = 25, bucketWidth = 64)
+          .select($"pick", $"doc_id", $"n_chars")
+          .orderBy($"pick")
+      },
+      Some("""WITH base AS (
+            SELECT doc_id, n_chars, COALESCE(n_chars, 0) AS w FROM documents),
+          tot AS (SELECT sum(w) AS W FROM base),
+          cum AS (SELECT doc_id, n_chars, w,
+            sum(w) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM base),
+          probes AS (SELECT j AS pick, ((2 * j + 1) * W) // 50 AS t
+            FROM range(25) r(j) CROSS JOIN tot)
+          SELECT p.pick, c.doc_id, c.n_chars
+          FROM probes p JOIN cum c ON p.t >= c.c - c.w AND p.t < c.c
+          ORDER BY p.pick"""),
+      "integer-exact weight-proportional systematic sample (m strata midpoints)"),
+
+    // ------------------------------------------ rolling z-score anomaly
+    // Trailing-window outlier detection on the dense hourly series from
+    // q102's resampler: a bucket is anomalous when it sits more than 3σ
+    // from the mean of its 24 preceding buckets (≥12 observed). The
+    // z-score compare is all-integer — (c·n − S)² > 9·(n·Q − S²) — so
+    // the flag set hashes bit-for-bit, no float stddev at a boundary.
+    "q109_rolling_zscore" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+          .filter($"event_type".isin("purchase", "view"))
+        val ser = TimeSeries.resampleFfill(e, "event_type", "ts", "hour",
+            round($"value" * 100).cast("long"))
+          .select($"event_type", $"bucket", coalesce($"v", lit(0L)).as("c"))
+        TimeSeries.rollingZScore(ser, "event_type", "bucket", $"c",
+            lookback = 24, minObs = 12, z = 3)
+          .filter($"is_anomaly")
+          .select($"event_type", $"bucket",
+            ($"c".cast("double") / 100.0).as("v"), $"win_n")
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""WITH agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+              sum(CAST(round(value*100) AS BIGINT)) AS v
+            FROM events WHERE event_type IN ('purchase','view') GROUP BY 1, 2),
+          span AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+            FROM agg GROUP BY 1),
+          spine AS (SELECT event_type,
+              unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM span),
+          ser AS (SELECT s.event_type, s.bucket,
+              CAST(COALESCE(a.v, 0) AS BIGINT) AS c
+            FROM spine s LEFT JOIN agg a
+              ON s.event_type = a.event_type AND s.bucket = a.bucket),
+          win AS (SELECT event_type, bucket, c,
+              CAST(count(c) OVER w AS BIGINT) AS n,
+              CAST(sum(c) OVER w AS BIGINT) AS S,
+              CAST(sum(c*c) OVER w AS BIGINT) AS Q
+            FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          SELECT event_type, bucket, CAST(c AS DOUBLE)/100.0 AS v, n AS win_n
+          FROM win
+          WHERE n >= 12 AND (c*n - S)*(c*n - S) > 9*(n*Q - S*S)
+          ORDER BY event_type, bucket"""),
+      "integer-exact rolling z-score anomalies on the dense hourly series")
   )
 }

@@ -190,4 +190,44 @@ class ScalePostureSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("piiScrub is shuffle-free: pure codegen'd projections, no Exchange") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+    val plan = graft.operators.Redact.piiScrub(docs, col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"redaction must not shuffle:\n${plan.take(800)}")
+  }
+
+  test("weighted sample: probes broadcast; single-partition windows only over bucket-count rows") {
+    val docs = Tables(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", $"n_chars")
+    val plan = graft.operators.Selection
+      .weightedSystematicSample(docs, $"doc_id", $"n_chars", 25, 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the m-row probe table must broadcast, never shuffle the corpus:\n${plan.take(800)}")
+    // two SinglePartition exchanges are allowed, both over bounded input:
+    // the bucket-offset window (one row per bucket) and the total-mass
+    // aggregate (partial sums, one row per task) — never the data rows
+    val singles = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 2,
+      s"only the bounded bucket-list stages may be single-partition ($singles):\n${plan.take(1200)}")
+  }
+
+  test("resample + rolling z-score windows are all key-partitioned") {
+    val e = Tables(spark, sf("sf0.001"), "events")
+    val ser = graft.operators.TimeSeries
+      .resampleFfill(e, "event_type", "ts", "hour", lit(1L))
+    val plan1 = ser.queryExecution.executedPlan.toString
+    assert(!plan1.contains("Exchange SinglePartition"),
+      s"resample must never run a global-order window over rows:\n${plan1.take(800)}")
+    val plan2 = graft.operators.TimeSeries
+      .rollingZScore(ser.select($"event_type", $"bucket",
+          coalesce($"v", lit(0L)).as("c")),
+        "event_type", "bucket", $"c", 24, 12, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("Exchange SinglePartition"),
+      s"z-score trailing window must stay key-partitioned:\n${plan2.take(800)}")
+  }
 }
