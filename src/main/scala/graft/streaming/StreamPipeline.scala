@@ -321,4 +321,48 @@ object StreamPipeline {
           }
       }
   }
+
+  /** Streaming face of [[graft.operators.TimeSeries.rollingZScore]]: the
+    * same all-integer trailing-window z-test — (c·n − S)² > z²·(n·Q − S²)
+    * — applied as bucket observations arrive, so flags match the batch
+    * operator bit-for-bit on an in-order series (pinned in
+    * StreamingSpec). Input is one row per (key, bucket) — the output of
+    * a windowed aggregation — not raw events.
+    *
+    * State per key is the ring of the last `lookback` integer
+    * observations: O(keys × lookback) longs, independent of stream
+    * length. Rows inside a micro-batch are processed in timestamp order;
+    * an out-of-order bucket ACROSS batches is judged against the ring as
+    * it stands (the practical streaming trade — re-sorting history would
+    * need unbounded state; run the batch operator for a late-data-exact
+    * backfill). Emits (key, ts, c, win_n, is_anomaly) for every row. */
+  def anomalyStream(values: Dataset[(String, java.sql.Timestamp, Long)],
+                    lookback: Int, minObs: Int, z: Int,
+                    watermark: String = "1 hour")
+      : Dataset[(String, java.sql.Timestamp, Long, Long, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import values.sparkSession.implicits._
+    require(lookback > 0 && minObs > 0 && z > 0,
+      s"need lookback, minObs, z > 0; got $lookback, $minObs, $z")
+    values
+      .toDF("k", "ts", "c").withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
+         state: GroupState[List[Long]]) =>
+          var ring = state.getOption.getOrElse(List.empty[Long]) // oldest..newest
+          val out = rows.toSeq.sortBy(_._2.getTime).map { case (_, ts, c) =>
+            val n = ring.size.toLong
+            val s = ring.sum
+            val q = ring.iterator.map(x => x * x).sum
+            val dev = c * n - s
+            val flag = n >= minObs && dev * dev > z.toLong * z * (n * q - s * s)
+            ring = (ring :+ c).takeRight(lookback)
+            (k, ts, c, n, flag)
+          }
+          state.update(ring)
+          out.iterator
+      }
+  }
 }

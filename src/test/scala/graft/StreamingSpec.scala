@@ -315,4 +315,35 @@ class StreamingSpec extends SparkSpec {
       .as[(java.sql.Timestamp, Double)].collect()(0)
     assert(back._1 == java.sql.Timestamp.valueOf("2024-05-01 08:30:00") && back._2 == 15.0)
   }
+
+  test("anomalyStream matches the batch rollingZScore flags across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-05-01 ${i}%02d:00:00")
+    // flat-ish baseline, one planted spike at hour 10, then recovery
+    val cents = Seq(100L, 104L, 96L, 101L, 99L, 103L, 97L, 100L, 102L, 98L, 140L, 101L)
+    val rows = cents.zipWithIndex.map { case (c, i) => ("k", ts(i), c) }
+
+    val stream = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = StreamPipeline.anomalyStream(stream.toDS(), lookback = 10, minObs = 5, z = 3)
+      .toDF("k", "ts", "c", "win_n", "is_anomaly")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("zs_out").start()
+    // split mid-series: state (the ring) must carry across micro-batches
+    stream.addData(rows.take(7))
+    q.processAllAvailable()
+    stream.addData(rows.drop(7))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT ts, win_n, is_anomaly FROM zs_out ORDER BY ts")
+      .as[(java.sql.Timestamp, Long, Boolean)].collect()
+    val batch = graft.operators.TimeSeries.rollingZScore(
+        rows.toDF("k", "b", "c"), "k", "b", $"c", lookback = 10, minObs = 5, z = 3)
+      .orderBy($"b").select($"b", $"win_n", $"is_anomaly")
+      .as[(java.sql.Timestamp, Long, Boolean)].collect()
+    assert(streamed.toSeq == batch.toSeq,
+      s"streaming flags must equal the batch operator's:\n${streamed.toSeq}\nvs\n${batch.toSeq}")
+    assert(streamed.count(_._3) == 1 && streamed.find(_._3).get._1 == ts(10),
+      "exactly the planted spike flags")
+  }
 }
