@@ -23,6 +23,19 @@ object TextFunctions {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
+  /** Distinct word-n-gram shingle HASHES (xxhash64 seed 42 of each
+    * shingle string) via the codegen-friendly
+    * [[graft.expressions.WordShingleHash64]] — one static call per row
+    * over the lowered UTF-8 bytes instead of the interpreted
+    * split/transform/slice/concat_ws chain (~1 ms/doc → ~µs/doc). Hash
+    * equality with `xxhash64` over [[wordShingles]] elements is pinned
+    * in ExpressionSpec. */
+  def wordShingleHash64(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.WordShingleHash64(
+      GraftGlue.expression(text), n))
+  }
+
   /** Character n-gram shingle set (distinct). Guards short strings by
     * falling back to the whole string as one shingle. */
   def charNGrams(text: Column, n: Int): Column =

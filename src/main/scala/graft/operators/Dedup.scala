@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -124,11 +125,14 @@ object Dedup {
       // each neighbor n > c re-attaches to m (m ≤ c < n keeps direction)
       val und = edges.select(col("u").as("c"), col("v").as("n"))
         .union(edges.select(col("v").as("c"), col("u").as("n")))
+      // no distinct here: duplicate (u,v) rows are absorbed by the mins
+      // groupBy and the final distinct below — deduping now would cost a
+      // full edge-set shuffle per alternation for no semantic gain
       val ls = und
         .join(und.groupBy(col("c")).agg(min(col("n")).as("mn"))
           .select(col("c"), least(col("mn"), col("c")).as("m")), "c")
         .filter(col("n") > col("c"))
-        .select(col("n").as("u"), col("m").as("v")).distinct()
+        .select(col("n").as("u"), col("m").as("v"))
       // small-star on the larger→smaller edges: u and all its smaller
       // neighbors attach to their minimum m
       val mins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -475,6 +479,134 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** EXACT Jaccard ≥ tNum/tDen similarity join via prefix filtering —
+    * the AllPairs/PPJoin construction (Bayardo et al., WWW'07; Xiao et
+    * al., TODS'11): order every document's shingles by ascending
+    * document frequency (rarest first, ties by shingle), and note that
+    * two documents with Jaccard ≥ t must share a shingle within their
+    * first n − ⌈t·n⌉ + 1 shingles under that common order. Candidates
+    * therefore come from an inverted-index equi-join over PREFIXES only
+    * — the frequent shingles that make [[sparseJaccardPairs]]'s full
+    * inverted join quadratic never generate candidates — and the filter
+    * is LOSSLESS, so the result equals the brute-force join (the oracle
+    * compare against the full O(n²) ground truth is the losslessness
+    * proof, every round).
+    *
+    * The threshold is a RATIONAL tNum/tDen and every pruning compare is
+    * integer (⌈t·n⌉ as (tNum·n + tDen−1) div tDen; J ≥ t as
+    * inter·tDen ≥ tNum·(n_a+n_b−inter)) — a float ceil at a prefix
+    * boundary could silently shorten a prefix and drop a true pair.
+    *
+    * Scale posture: df-rank is one hash aggregate + one per-doc window;
+    * the candidate join carries only ~n·(1−t) prefix shingles per doc,
+    * rarest-first (low fan-out by construction); verification joins the
+    * two shingle arrays in by id and intersects per pair — O(|a|+|b|)
+    * per candidate, candidates bounded by prefix-shingle df, never n². */
+  def prefixJaccardPairs(df: DataFrame, id: String, shingles: Column,
+                         tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
+    // The shingle HOF (transform/slice/concat_ws) is INTERPRETED — no
+    // doGenCode — and measures ~0.25 ms/doc; left in the lineage it
+    // would re-evaluate at every consumer (token explode, df count,
+    // sizes, both verify sides: 4+ full passes). Materialize the per-doc
+    // shingle arrays ONCE; everything downstream reads stored arrays.
+    // This shingle table IS the working set of any AllPairs run — its
+    // size is the shingle expansion of the corpus, spillable to local
+    // disk, and it is read three times instead of rebuilt.
+    val docSets = df.select(col(id).as("doc"), shingles.as("__set"))
+      .withColumn("__n", size(col("__set")))
+      .localCheckpoint()
+    // Shingles collapse to a 64-bit hash at the explode: every exchange,
+    // join and window sort then moves 8-byte keys instead of multi-word
+    // strings. A collision can only merge two shingles' df counts or
+    // emit a spurious candidate — the exact array_intersect verify
+    // removes it, so the RESULT is still exact (any common total order
+    // works for the prefix argument; (df, hash) is one).
+    val toks = docSets.select(col("doc"), col("__n"),
+        explode(col("__set")).as("__s"))
+      .select(col("doc"), col("__n"), xxhash64(col("__s")).as("sh"))
+    val cand = prefixCandidates(toks, tNum, tDen)
+    verifyJaccard(cand, docSets, tNum, tDen)
+  }
+
+  /** [[prefixJaccardPairs]] specialized to word-n-gram shingles, with
+    * the interpreted shingle HOF replaced end-to-end:
+    *  - candidate generation hashes shingles via the codegen-friendly
+    *    [[graft.expressions.WordShingleHash64]] (one pass over the
+    *    lowered UTF-8 bytes, no per-shingle strings — ~1 ms/doc → ~µs);
+    *  - the exact string-array verify runs ONLY on documents that appear
+    *    in some candidate pair (semi-join first, HOF after), so the
+    *    expensive expression touches the candidate set, not the corpus.
+    * Size-compatibility pruning uses hash-distinct sizes; the final
+    * J ≥ t compare uses TRUE shingle-set sizes from the verify arrays,
+    * so emitted pairs are exact. (A 64-bit shingle-hash collision could
+    * in principle prune a boundary pair — probability ~shingles²/2⁶⁴,
+    * and the oracle compare against exact ground truth would surface
+    * it.) */
+  def prefixJaccardPairsWords(df: DataFrame, id: String, text: String,
+                              n: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
+    val hashArr = TextFunctions.wordShingleHash64(col(text), n)
+    val toks = df
+      .select(col(id).as("doc"), size(hashArr).as("__n"),
+        explode(hashArr).as("sh"))
+    val cand = prefixCandidates(toks, tNum, tDen)
+    val candIds = cand.select(col("id_a").as("doc"))
+      .union(cand.select(col("id_b").as("doc"))).distinct()
+    val verifySets = df
+      .join(broadcast(candIds.withColumnRenamed("doc", id)), Seq(id), "left_semi")
+      .select(col(id).as("doc"),
+        TextFunctions.wordShingles(col(text), n).as("__set"))
+      .withColumn("__n", size(col("__set")))
+      .localCheckpoint()
+    verifyJaccard(cand, verifySets, tNum, tDen)
+  }
+
+  /** Shared AllPairs candidate stage over hashed tokens (doc, __n, sh):
+    * df-rank window → prefix filter → self equi-join on the prefix
+    * hashes with rational size-compatibility pruning. Returns distinct
+    * (id_a, id_b) with id_a < id_b. */
+  private def prefixCandidates(toks: DataFrame, tNum: Int,
+                               tDen: Int): DataFrame = {
+    val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val pref = toks
+      .join(dfreq, "sh")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("__df"), col("sh"))))
+      .filter(col("__pos") <=
+        col("__n") - expr(s"(($tNum * __n + ${tDen - 1}) div $tDen)") + 1)
+      .select(col("doc"), col("sh"), col("__n"))
+      // materialize: the self-join below would otherwise expand the whole
+      // explode→df-count→window pipeline once PER SIDE; the prefix table
+      // is ~n·(1−t) rows per doc, cheap to hold, expensive to rebuild
+      .localCheckpoint()
+    pref.alias("a")
+      .join(pref.alias("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
+          // size compatibility: J ≥ t forces t·max(n_a,n_b) ≤ min(n_a,n_b)
+          col("b.__n") * tDen >= col("a.__n") * tNum &&
+          col("a.__n") * tDen >= col("b.__n") * tNum)
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact verify: join the true shingle arrays in by id, intersect, and
+    * keep pairs passing the rational J ≥ t integer compare on TRUE set
+    * sizes. `sets` must carry (doc, __set, __n). */
+  private def verifyJaccard(cand: DataFrame, sets: DataFrame, tNum: Int,
+                            tDen: Int): DataFrame =
+    cand
+      .join(sets.select(col("doc").as("id_a"), col("__set").as("__sa"),
+        col("__n").as("__na")), "id_a")
+      .join(sets.select(col("doc").as("id_b"), col("__set").as("__sb"),
+        col("__n").as("__nb")), "id_b")
+      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .filter(col("__inter") * tDen >=
+        lit(tNum) * (col("__na") + col("__nb") - col("__inter")))
+      .select(col("id_a"), col("id_b"),
+        round(col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")), 6).as("jaccard"))
 
   /** Hex-digit value (0..15) of `h` at 1-based position `pos` — the
     * portable bit source for SimHash (DuckDB mirrors it with strpos over

@@ -56,6 +56,45 @@ object TimeSeries {
       .withColumn("v_ffill", last(col("v"), ignoreNulls = true).over(w))
   }
 
+  /** Linear interpolation across the gap rows of a dense series (the
+    * pandas `interpolate(method="linear")` to [[resampleFfill]]'s
+    * `ffill()`): a gap bucket k steps past the previous observation
+    * `pv` and g−k steps before the next `nv` gets
+    *
+    *   v_interp = pv + ⌊(nv − pv)·k / g⌋
+    *
+    * on the integer-quantized value — floor-of-exact-rational, so the
+    * filled value reproduces bit-for-bit on any engine as long as
+    * |nv − pv|·k stays within the 2^53 double mantissa (cent-quantized
+    * series are ~10 orders below that). Observed buckets keep their own
+    * value; trailing gaps (no next observation) carry the previous one.
+    * Input must be the DENSE (key, order, v) frame — run it on
+    * [[resampleFfill]] output, where the leading bucket is observed by
+    * spine construction.
+    *
+    * One per-key window sort shared by all four framed aggregates — the
+    * same single-shuffle posture as the resampler. */
+  def interpolate(dense: DataFrame, key: String, order: String,
+                  v: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(order))
+    val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsIdx = when(v.isNotNull, col("__i"))
+    dense
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__pi", last(obsIdx, ignoreNulls = true).over(back))
+      .withColumn("__pv", last(v, ignoreNulls = true).over(back))
+      .withColumn("__ni", first(obsIdx, ignoreNulls = true).over(fwd))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("v_interp",
+        when(v.isNotNull, v)
+          .when(col("__ni").isNull, col("__pv")) // trailing gap: carry
+          .otherwise(col("__pv") +
+            floor(((col("__nv") - col("__pv")) * (col("__i") - col("__pi")))
+                .cast("double") / (col("__ni") - col("__pi"))).cast("long")))
+      .drop("__i", "__pi", "__pv", "__ni", "__nv")
+  }
+
   /** Rolling z-score anomaly detection over an already-bucketed series,
     * integer-exact: for each row, the trailing window of the `lookback`
     * PRECEDING rows (current row excluded — the candidate can't vote on

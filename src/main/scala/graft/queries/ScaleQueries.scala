@@ -477,6 +477,99 @@ object ScaleQueries {
           FROM win
           WHERE n >= 12 AND (c*n - S)*(c*n - S) > 9*(n*Q - S*S)
           ORDER BY event_type, bucket"""),
-      "integer-exact rolling z-score anomalies on the dense hourly series")
+      "integer-exact rolling z-score anomalies on the dense hourly series"),
+
+    // ------------------------------------- linear interpolation fill
+    // The interpolate(method='linear') face of the q102 resampler: gap
+    // buckets get pv + ⌊(nv−pv)·k/g⌋ between their neighboring
+    // observations — floor-of-exact-rational on cents, so the filled
+    // series hashes bit-for-bit; trailing gaps carry forward.
+    "q110_resample_interp" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = t(s, d, "events")
+          .filter($"event_type".isin("purchase", "signup"))
+        val dense = TimeSeries.resampleFfill(e, "event_type", "ts", "hour",
+          round($"value" * 100).cast("long"))
+        TimeSeries.interpolate(dense, "event_type", "bucket", $"v")
+          .select($"event_type", $"bucket", $"n",
+            ($"v".cast("double") / 100.0).as("v"),
+            ($"v_interp".cast("double") / 100.0).as("v_interp"))
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""WITH agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket, count(*) AS n,
+              sum(CAST(round(value*100) AS BIGINT)) AS v
+            FROM events WHERE event_type IN ('purchase','signup') GROUP BY 1, 2),
+          span AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+            FROM agg GROUP BY 1),
+          spine AS (SELECT event_type,
+              unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM span),
+          dense AS (SELECT s.event_type, s.bucket, COALESCE(a.n, 0) AS n, a.v
+            FROM spine s LEFT JOIN agg a
+              ON s.event_type = a.event_type AND s.bucket = a.bucket),
+          win AS (SELECT event_type, bucket, n, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS i
+            FROM dense),
+          fill AS (SELECT event_type, bucket, n, v, i,
+              last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER wb AS pi,
+              last_value(v IGNORE NULLS) OVER wb AS pv,
+              first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS) OVER wf AS ni,
+              first_value(v IGNORE NULLS) OVER wf AS nv
+            FROM win
+            WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              wf AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT event_type, bucket, n, CAST(v AS DOUBLE)/100.0 AS v,
+            CAST(CASE WHEN v IS NOT NULL THEN v
+                WHEN ni IS NULL THEN pv
+                ELSE pv + CAST(floor(CAST((nv - pv) * (i - pi) AS DOUBLE)
+                  / (ni - pi)) AS BIGINT) END AS DOUBLE)/100.0 AS v_interp
+          FROM fill ORDER BY event_type, bucket"""),
+      "linear interpolation across resample gaps, floor-of-rational exact"),
+
+    // --------------------------------- exact similarity join (prefix)
+    // The LOSSLESS scalable twin of q41's brute-force Jaccard: AllPairs/
+    // PPJoin prefix filtering over the FULL corpus (q41 bounds itself to
+    // doc_id < 100 because its inverted join is quadratic in shingle
+    // df). Candidates come only from each doc's ~n·(1−t) rarest
+    // shingles; the oracle runs the full O(n²) ground truth, so the
+    // hash compare IS the proof that prefix pruning dropped nothing.
+    // Word-5-gram shingles: their universe is combinatorial (median
+    // df=1 here), which is what prefix filtering exploits — char-3grams
+    // on this deliberately self-similar corpus have only ~400 types, ALL
+    // stop-shingles, and no candidate-pruning scheme survives that (the
+    // right tool there is MinHash-LSH, q42). Threshold 3/4 is rational
+    // end-to-end — prefix length and the J ≥ t verify are integer
+    // compares on both engines.
+    "q111_prefix_jaccard" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Dedup.prefixJaccardPairsWords(
+            t(s, d, "documents"), "doc_id", "text", n = 5,
+            tNum = 3, tDen = 4)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH s AS (SELECT doc_id,
+            CASE WHEN len(string_split(lower(text), ' ')) >= 5
+              THEN list_distinct(list_transform(
+                range(1, len(string_split(lower(text), ' ')) - 3),
+                i -> array_to_string(
+                  list_slice(string_split(lower(text), ' '), i, i + 4), ' ')))
+              ELSE [array_to_string(string_split(lower(text), ' '), ' ')]
+            END AS sh FROM documents),
+          tok AS (SELECT doc_id, unnest(sh) AS sh_one FROM s),
+          sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+          inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+            FROM tok a JOIN tok b
+              ON a.sh_one = b.sh_one AND a.doc_id < b.doc_id GROUP BY 1, 2)
+          SELECT ia AS id_a, ib AS id_b,
+            round(CAST(ni AS DOUBLE)/(sa.n + sb.n - ni), 6) AS jaccard
+          FROM inter JOIN sizes sa ON ia = sa.doc_id
+            JOIN sizes sb ON ib = sb.doc_id
+          WHERE ni*4 >= 3*(sa.n + sb.n - ni)
+          ORDER BY id_a, id_b"""),
+      "exact Jaccard join via prefix filtering vs full O(n²) ground truth")
   )
 }

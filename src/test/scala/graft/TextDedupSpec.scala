@@ -262,4 +262,64 @@ class TextDedupSpec extends SparkSpec {
     assert(rounds <= 10,
       s"star contraction must beat the 63-round diameter bound, took $rounds")
   }
+
+  test("prefix-filtered Jaccard join equals the brute-force join (losslessness)") {
+    // near-dup pairs, a disjoint doc, and size-incompatible docs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+      (3L, "entirely different words live here tonight"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again and again")
+    ).toDF("doc_id", "text")
+    val sh = graft.functions.TextFunctions.charNGrams($"text", 3)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    for ((tn, td) <- Seq((1, 2), (3, 4), (9, 10))) {
+      val brute = key(Dedup.sparseJaccardPairs(docs, "doc_id", sh, tn.toDouble / td))
+      val pref = key(Dedup.prefixJaccardPairs(docs, "doc_id", sh, tn, td))
+      assert(pref == brute, s"t=$tn/$td: prefix filter must be lossless:\n$pref\nvs\n$brute")
+    }
+    // sanity: the planted near-dup survives a mid threshold
+    assert(key(Dedup.prefixJaccardPairs(docs, "doc_id", sh, 3, 4))
+      .exists(p => p._1 == 1L && p._2 == 2L), "1-2 is a true near-dup pair")
+  }
+
+  test("WordShingleHash64 equals xxhash64 over wordShingles, incl. edge shapes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "Short text"),                       // fewer words than n -> whole-string shingle
+      (3L, "a b c d e"),                        // exactly n words -> one shingle
+      (4L, "dup dup dup dup dup dup dup dup"),  // all shingles identical -> distinct of 1
+      (5L, "Mixed CASE und ümlaut ärger ötzi"), // lowercase + multibyte UTF-8
+      (6L, "")                                  // empty string
+    ).toDF("doc_id", "text")
+    val viaHof = docs.select($"doc_id",
+        explode(graft.functions.TextFunctions.wordShingles($"text", 5)).as("s"))
+      .select($"doc_id", xxhash64($"s").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val viaExpr = docs.select($"doc_id",
+        explode(graft.functions.TextFunctions.wordShingleHash64($"text", 5)).as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(viaExpr == viaHof,
+      s"byte-span hashing must equal string-shingle hashing:\n$viaExpr\nvs\n$viaHof")
+  }
+
+  test("prefixJaccardPairsWords equals the generic word-shingle prefix join") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mu")
+    ).toDF("doc_id", "text")
+    val generic = Dedup.prefixJaccardPairs(docs, "doc_id",
+        graft.functions.TextFunctions.wordShingles($"text", 5), 1, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    val words = Dedup.prefixJaccardPairsWords(docs, "doc_id", "text", 5, 1, 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(words == generic, s"specialized path must match:\n$words\nvs\n$generic")
+    assert(words.nonEmpty, "fixture must produce at least one pair")
+  }
 }

@@ -45,6 +45,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.filter($"k" === "b").count() === 1)
   }
 
+  test("interpolate fills gaps linearly, floors exactly, and carries trailing gaps") {
+    val df = Seq(
+      ("a", 1, Option(100L)), ("a", 2, None), ("a", 3, None), ("a", 4, Option(10L)),
+      ("a", 5, None), // trailing gap -> carry 10
+      ("b", 1, Option(5L)), ("b", 2, None), ("b", 3, Option(6L))
+    ).toDF("k", "i", "v")
+    val out = TimeSeries.interpolate(df, "k", "i", $"v")
+      .select($"k", $"i", $"v_interp").as[(String, Int, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    // slope (10-100)/3 = -30: floor semantics -> 100+⌊-30⌋=70, 100+⌊-60⌋=40
+    assert(out(("a", 2)) === 70L && out(("a", 3)) === 40L,
+      "negative slope floors toward -inf identically on both engines")
+    assert(out(("a", 4)) === 10L, "observed rows keep their value")
+    assert(out(("a", 5)) === 10L, "trailing gap carries the last observation")
+    assert(out(("b", 2)) === 5L, "⌊(6-5)·1/2⌋ = 0 -> stays at 5")
+  }
+
   test("audit counts violations in one aggregate; null check result is a violation") {
     val df = Seq[(java.lang.Long, String)](
       (1L, "x"), (-2L, "y"), (null, "x")
