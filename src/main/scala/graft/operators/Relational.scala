@@ -380,4 +380,32 @@ object Relational {
     val w = Window.partitionBy(part).orderBy(order.desc, tieBreak.asc)
     df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
+
+  /** Snapshot reconciliation: classify every key of two table versions as
+    * added (only in `b`), removed (only in `a`), changed (in both, any
+    * compared column differs under null-safe equality), or unchanged —
+    * the anti-entropy check a pipeline runs after a backfill, a
+    * migration, or an incremental-vs-recompute audit (the batch face of
+    * the q91 upsert-fold identity). One full outer join on the key; the
+    * per-column null-safe compares stay inside codegen; no hashing, so
+    * no cross-engine hash portability concern. `key` must be unique per
+    * side (use [[graft.operators.Quality.duplicateKeys]] to check).
+    * Returns (key, diff_status, each compared column from both sides
+    * prefixed a_/b_). */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+                   compare: Seq[String]): DataFrame = {
+    val changed = compare
+      .map(c => !(col(s"__a.$c") <=> col(s"__b.$c")))
+      .reduce(_ || _)
+    a.alias("__a").join(b.alias("__b"),
+        col(s"__a.$key") === col(s"__b.$key"), "full_outer")
+      .select(
+        coalesce(col(s"__a.$key"), col(s"__b.$key")).as(key) +:
+        when(col(s"__a.$key").isNull, "added")
+          .when(col(s"__b.$key").isNull, "removed")
+          .when(changed, "changed")
+          .otherwise("unchanged").as("diff_status") +:
+        compare.flatMap(c => Seq(
+          col(s"__a.$c").as(s"a_$c"), col(s"__b.$c").as(s"b_$c"))): _*)
+  }
 }

@@ -208,6 +208,39 @@ object Sketches {
               col("kth_hash60").cast("double")),
           4).as("est_distinct"))
 
+  /** Per-GROUP KMV: the k smallest distinct hashes within each group —
+    * "approx distinct users per segment" as one relational pipeline. The
+    * window is partitioned by the group columns, so no group ever sorts
+    * more than its own distinct hashes, and the same shard-merge closure
+    * as [[kmvSketch]] holds per group. Returns (groups..., h). */
+  def kmvSketchGrouped(df: DataFrame, groups: Seq[String], key: Column,
+                       k: Int, salt: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    df.select(groups.map(col) :+
+        md5(concat(lit(s"$salt:"), key.cast("string"))).as("h"): _*)
+      .distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(groups.map(col): _*).orderBy(col("h"))))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Per-group estimate from a [[kmvSketchGrouped]] frame: groups with
+    * fewer than k distinct hashes report their exact count. */
+  def kmvEstimateGrouped(sketch: DataFrame, groups: Seq[String],
+                         k: Int): DataFrame =
+    sketch
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+        max(conv(substring(col("h"), 1, 15), 16, 10).cast("long")).as("kth_hash60"))
+      .select(groups.map(col) ++ Seq(col("n_kept"), col("kth_hash60"),
+        round(
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+              col("kth_hash60").cast("double")),
+          4).as("est_distinct")): _*)
+
   // --------------------------------------------------------- count-min
 
   /** Count-min sketch table (Cormode & Muthukrishnan 2005): `d` hash

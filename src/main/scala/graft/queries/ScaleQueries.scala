@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{AsOf, Incremental, Layout, Quality, Redact, Selection, Sketches, TimeSeries}
+import graft.operators.{AsOf, Incremental, Layout, Quality, Redact, Relational, Selection, Sketches, TimeSeries}
 
 /** Round-5 scale operators: the summary-sketch family (Bloom semi-join
   * reduction, KMV distinct, count-min frequencies), Z-order layout math,
@@ -570,6 +570,84 @@ object ScaleQueries {
             JOIN sizes sb ON ib = sb.doc_id
           WHERE ni*4 >= 3*(sa.n + sb.n - ni)
           ORDER BY id_a, id_b"""),
-      "exact Jaccard join via prefix filtering vs full O(n²) ground truth")
+      "exact Jaccard join via prefix filtering vs full O(n²) ground truth"),
+
+    // --------------------------------------------- grouped KMV sketch
+    // "Approx distinct parts per return flag": the q98 KMV sketch, per
+    // group — the window is partitioned by the group so no group sorts
+    // more than its own distinct hashes, and shard sketches still merge
+    // losslessly per group. Exact truth rides along; every kth hash is
+    // pinned bit-for-bit by the oracle.
+    "q112_kmv_grouped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val sk = Sketches.kmvSketchGrouped(li, Seq("l_returnflag"),
+          $"l_partkey", k = 128, salt = "q112")
+        val est = Sketches.kmvEstimateGrouped(sk, Seq("l_returnflag"), k = 128)
+        val exact = li.groupBy($"l_returnflag")
+          .agg(countDistinct($"l_partkey").as("n_exact"))
+        est.join(exact, "l_returnflag").orderBy($"l_returnflag")
+      },
+      Some("""WITH h AS (SELECT DISTINCT l_returnflag,
+              md5('q112:' || CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+          topk AS (SELECT l_returnflag, h FROM (
+              SELECT l_returnflag, h,
+                row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+              FROM h) WHERE rn <= 128),
+          s AS (SELECT l_returnflag, count(*) AS n_kept,
+              max(CAST('0x' || substr(h, 1, 15) AS BIGINT)) AS kth_hash60
+            FROM topk GROUP BY 1),
+          e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact
+            FROM lineitem GROUP BY 1)
+          SELECT s.l_returnflag, n_kept, kth_hash60,
+            round(CASE WHEN n_kept < 128 THEN CAST(n_kept AS DOUBLE)
+                ELSE 127.0 * pow(2.0, 60.0) / CAST(kth_hash60 AS DOUBLE) END, 4)
+              AS est_distinct,
+            n_exact
+          FROM s JOIN e ON s.l_returnflag = e.l_returnflag
+          ORDER BY s.l_returnflag"""),
+      "per-group KMV distinct sketch, kth hashes pinned bit-for-bit"),
+
+    // --------------------------------------------- snapshot diff audit
+    // Reconciliation after a simulated backfill: version B of orders
+    // drops every 97th key, bumps every 101st total — snapshotDiff
+    // classifies every key added/removed/changed/unchanged in ONE full
+    // outer join with codegen'd null-safe column compares (no row
+    // hashing, so nothing to keep hash-portable). The batch face of the
+    // q91 incremental-vs-recompute identity.
+    "q113_snapshot_diff" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+          .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+        val a = o.filter($"o_orderkey" % 89 =!= 0)
+        val b = o.filter($"o_orderkey" % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when($"o_orderkey" % 101 === 0, $"o_totalprice" + 1.0)
+              .otherwise($"o_totalprice"))
+        Relational.snapshotDiff(a, b, "o_orderkey",
+            Seq("o_totalprice", "o_orderstatus"))
+          .groupBy($"diff_status")
+          .agg(count(lit(1)).as("n"), min($"o_orderkey").as("min_key"))
+          .orderBy($"diff_status")
+      },
+      Some("""WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 89 <> 0),
+          b AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice, o_orderstatus
+            FROM orders WHERE o_orderkey % 97 <> 0),
+          d AS (SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+              CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice IS DISTINCT FROM b.o_totalprice
+                  OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                  THEN 'changed'
+                ELSE 'unchanged' END AS diff_status
+            FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+          SELECT diff_status, count(*) AS n, min(k) AS min_key
+          FROM d GROUP BY 1 ORDER BY 1"""),
+      "snapshot reconciliation: added/removed/changed/unchanged in one join")
   )
 }

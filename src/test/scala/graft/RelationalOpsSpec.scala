@@ -202,4 +202,25 @@ class RelationalOpsSpec extends SparkSpec {
       .as[Double].collect()(0)
     assert(cleanR == 2.5)
   }
+
+  test("snapshotDiff classifies all four statuses with null-safe compares") {
+    val a = Seq(
+      (1L, Option(10.0), "O"),  // unchanged
+      (2L, Option(20.0), "O"),  // changed (price)
+      (3L, Option.empty[Double], "F"), // unchanged with null price (null <=> null)
+      (4L, Option(40.0), "O"),  // removed
+      (5L, Option.empty[Double], "O")  // changed: null -> value
+    ).toDF("k", "price", "status")
+    val b = Seq(
+      (1L, Option(10.0), "O"),
+      (2L, Option(21.0), "O"),
+      (3L, Option.empty[Double], "F"),
+      (5L, Option(5.0), "O"),
+      (6L, Option(60.0), "O")   // added
+    ).toDF("k", "price", "status")
+    val out = Relational.snapshotDiff(a, b, "k", Seq("price", "status"))
+      .select($"k", $"diff_status").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "unchanged",
+      4L -> "removed", 5L -> "changed", 6L -> "added"), s"got $out")
+  }
 }

@@ -82,6 +82,27 @@ class SketchSpec extends SparkSpec {
       s"under-k input must count exactly: $r")
   }
 
+  test("grouped KMV matches the global sketch run per group, exact under k") {
+    val k = 32
+    val grouped = Sketches.kmvSketchGrouped(lineitem, Seq("l_returnflag"),
+      $"l_partkey", k, salt = "g").orderBy($"l_returnflag", $"h")
+      .as[(String, String)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSeq).toMap
+    for (flag <- Seq("A", "N", "R")) {
+      val solo = Sketches.kmvSketch(lineitem.filter($"l_returnflag" === flag),
+        $"l_partkey", k, salt = "g").as[String].collect().toSeq
+      assert(grouped(flag) == solo,
+        s"group $flag sketch must equal a standalone sketch of that group")
+    }
+    // groups below k report exact counts
+    val tiny = Seq(("x", 1), ("x", 2), ("y", 9)).toDF("g", "v")
+    val est = Sketches.kmvEstimateGrouped(
+        Sketches.kmvSketchGrouped(tiny, Seq("g"), $"v", k = 16, salt = "t"),
+        Seq("g"), k = 16)
+      .select($"g", $"est_distinct").as[(String, Double)].collect().toMap
+    assert(est == Map("x" -> 2.0, "y" -> 1.0), s"under-k groups exact: $est")
+  }
+
   // --------------------------------------------------------- count-min
 
   test("count-min never undercounts, and is exact for most keys when w >> keys") {
