@@ -336,6 +336,48 @@ object StreamPipeline {
     * it stands (the practical streaming trade — re-sorting history would
     * need unbounded state; run the batch operator for a late-data-exact
     * backfill). Emits (key, ts, c, win_n, is_anomaly) for every row. */
+  /** Streaming distinct-count via the KMV sketch ([[graft.operators
+    * .Sketches.kmvSketchGrouped]]'s streaming face): state per key is
+    * the k smallest distinct 60-bit hashes seen so far — O(keys × k)
+    * longs, independent of stream length — and each micro-batch emits
+    * the key's refreshed (n_kept, est_distinct). The hash is the same
+    * md5-prefix decode the batch sketch uses, so a streamed estimate
+    * equals the batch operator run over the same prefix of the stream
+    * EXACTLY (pinned in StreamingSpec), and a restart from checkpointed
+    * state continues the same sketch. Under-k keys report exact counts.
+    */
+  def kmvDistinctStream(values: Dataset[(String, String)], k: Int,
+                        salt: String): Dataset[(String, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import values.sparkSession.implicits._
+    require(k >= 2, s"k must be >= 2: $k")
+    def hash60(v: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$v".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    values
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Seq[Long]]) =>
+          val prev = state.getOption.getOrElse(Seq.empty[Long])
+          val merged = (prev ++ rows.map(r => hash60(r._2)))
+            .distinct.sorted.take(k)
+          state.update(merged)
+          val n = merged.size.toLong
+          val est =
+            if (n < k) n.toDouble
+            else {
+              val kth = merged.last.toDouble
+              BigDecimal((k - 1).toDouble * math.pow(2.0, 60.0) / kth)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+          Iterator((key, n, est))
+      }
+  }
+
   def anomalyStream(values: Dataset[(String, java.sql.Timestamp, Long)],
                     lookback: Int, minObs: Int, z: Int,
                     watermark: String = "1 hour")

@@ -56,7 +56,17 @@ object ScaleStress {
     val queries = Seq(
       "q01_pricing_summary", "q07_iqr_filter", "q09_summary_stats",
       "q21_route_topk", "q42_dedup_minhash_lsh", "q63_vocab_topk",
-      "q65_embed_centroids")
+      "q65_embed_centroids",
+      // round-5 additions: the prefix similarity join (its stress ratio
+      // is OUTPUT-driven — k-fold duplication makes the true pair set
+      // grow by C(k,2) per duplicated doc: ~226k pairs at x10 vs 256 at
+      // x1, so a ~13x runtime on ~900x output is strongly sublinear per
+      // emitted pair; this is why real pipelines run exact/MinHash dedup
+      // before any pairwise join), the time-series resample family, the
+      // weighted sampler's two-level cumsum, and the one-join
+      // reconciliation diff
+      "q111_prefix_jaccard", "q102_resample_ffill", "q108_weighted_sample",
+      "q113_snapshot_diff")
     queries.foreach { name =>
       def run(dir: String): Double = {
         val t0 = System.nanoTime()

@@ -346,4 +346,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._3) == 1 && streamed.find(_._3).get._1 == ts(10),
       "exactly the planted spike flags")
   }
+
+  test("kmvDistinctStream converges to the batch sketch estimate exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    // key a sees 200 distinct elements (> k, estimated); key b sees 5 (exact)
+    val elemsA = (0 until 200).map(i => ("a", s"user$i"))
+    val elemsB = (0 until 5).map(i => ("b", s"acct$i"))
+    val all = (elemsA ++ elemsB)
+
+    val stream = MemoryStream[(String, String)]
+    val q = StreamPipeline.kmvDistinctStream(stream.toDS(), k, salt = "s")
+      .toDF("k", "n_kept", "est")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("kmv_out").start()
+    stream.addData(all.take(80))  // state must carry across the split
+    q.processAllAvailable()
+    stream.addData(all.drop(80))
+    q.processAllAvailable()
+    q.stop()
+
+    // The sketch only refines monotonically (kth min shrinks, est grows),
+    // so the max-est row per key IS the final state; a batch that adds
+    // nothing below the prior kth re-emits an identical tuple, which the
+    // toMap collapses.
+    val streamed = spark.sql(
+        """SELECT k, n_kept, est FROM (
+             SELECT k, n_kept, est, row_number() OVER (
+               PARTITION BY k ORDER BY est DESC, n_kept DESC) AS rn FROM kmv_out)
+           WHERE rn = 1""")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val batch = graft.operators.Sketches.kmvEstimateGrouped(
+        graft.operators.Sketches.kmvSketchGrouped(
+          all.toDF("g", "v"), Seq("g"), $"v", k, salt = "s"),
+        Seq("g"), k)
+      .select($"g", $"n_kept", $"est_distinct")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(streamed == batch,
+      s"streamed sketch must equal the batch sketch:\n$streamed\nvs\n$batch")
+    assert(batch("b")._1 == 5L && batch("b")._2 == 5.0, "under-k key is exact")
+  }
 }
