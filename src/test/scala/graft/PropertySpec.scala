@@ -47,4 +47,57 @@ class PropertySpec extends SparkSpec {
       assert(total == xs.length)
     }
   }
+
+  test("prefix-filtered Jaccard join is lossless on random corpora (vs brute force)") {
+    import graft.operators.Dedup
+    // small vocabulary forces shared shingles; repeated words force the
+    // short-text fallback and duplicate-shingle paths
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val text = Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    samples(Gen.listOfN(8, text), 4).zipWithIndex.foreach { case (texts, i) =>
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val sh = TextFunctions.wordShingles($"text", 3)
+      def norm(df: org.apache.spark.sql.DataFrame) =
+        df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      val brute = norm(Dedup.sparseJaccardPairs(docs, "doc_id", sh, 0.5))
+      val pref = norm(Dedup.prefixJaccardPairs(docs, "doc_id", sh, 1, 2))
+      val words = norm(Dedup.prefixJaccardPairsWords(docs, "doc_id", "text", 3, 1, 2))
+      assert(pref == brute, s"case $i: prefix filter lost/invented pairs\n$texts")
+      assert(words == brute, s"case $i: word fast path diverged\n$texts")
+    }
+  }
+
+  test("snapshotDiff(a, a) is all-unchanged; statuses partition the key union") {
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)), 4).foreach { keys =>
+      val a = keys.distinct.map(k => (k, k * 1.5)).toDF("k", "v")
+      val self = Relational.snapshotDiff(a, a, "k", Seq("v"))
+        .select($"diff_status").distinct().as[String].collect().toSet
+      assert(self == Set("unchanged"), s"self-diff must be unchanged: $self")
+      // drop half the keys on one side: every key still classified exactly once
+      val b = keys.distinct.filter(_ % 2 == 0).map(k => (k, k * 1.5)).toDF("k", "v")
+      val d = Relational.snapshotDiff(a, b, "k", Seq("v"))
+      assert(d.count() == keys.distinct.size, "one row per key in the union")
+    }
+  }
+
+  test("rolling z-score never flags inside a constant series; interpolation hits observations") {
+    import graft.operators.TimeSeries
+    samples(Gen.chooseNum(60L, 1000L), 3).foreach { base =>
+      val df = (1 to 30).map(i => ("k", i, base)).toDF("k", "b", "c")
+      val flags = TimeSeries.rollingZScore(df, "k", "b", $"c", 10, 5, 3)
+        .filter($"is_anomaly").count()
+      assert(flags == 0, s"constant series at $base must never flag")
+    }
+    // interpolation returns the observed value at every observed bucket
+    val obs = samples(Gen.nonEmptyListOf(Gen.chooseNum(1, 50)), 3)
+    obs.map(_.distinct.sorted).filter(_.size >= 2).foreach { idxs =>
+      val rows = idxs.map(i => ("k", i, Option(i * 7L)))
+      val dense = (idxs.min to idxs.max).map(i =>
+        ("k", i, if (idxs.contains(i)) Option(i * 7L) else None))
+      val out = TimeSeries.interpolate(dense.toDF("k", "i", "v"), "k", "i", $"v")
+        .filter($"v".isNotNull).select($"i", $"v_interp")
+        .as[(Int, Long)].collect().toMap
+      idxs.foreach(i => assert(out(i) == i * 7L, s"observed bucket $i must keep its value"))
+    }
+  }
 }
