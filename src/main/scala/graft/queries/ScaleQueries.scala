@@ -648,6 +648,50 @@ object ScaleQueries {
             FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
           SELECT diff_status, count(*) AS n, min(k) AS min_key
           FROM d GROUP BY 1 ORDER BY 1"""),
-      "snapshot reconciliation: added/removed/changed/unchanged in one join")
+      "snapshot reconciliation: added/removed/changed/unchanged in one join"),
+
+    // ------------------------------------------- rolling exact median
+    // Exact order statistic over trailing windows: the 24-bucket rolling
+    // median of the dense hourly series — `percentile` (Spark's exact,
+    // interpolating aggregate) as a window function vs DuckDB's
+    // quantile_cont, both linear-interpolating at p·(n−1). Medians of
+    // integer cents are whole or half cents, so /100 at round-4 never
+    // sits on a rounding boundary. The frame is 24 rows regardless of
+    // input size; the window is key-partitioned.
+    "q114_rolling_median" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = t(s, d, "events")
+          .filter($"event_type".isin("purchase", "signup"))
+        val ser = TimeSeries.resampleFfill(e, "event_type", "ts", "hour",
+            round($"value" * 100).cast("long"))
+          .select($"event_type", $"bucket", coalesce($"v", lit(0L)).as("c"))
+        val w = Window.partitionBy($"event_type").orderBy($"bucket")
+          .rowsBetween(-23, Window.currentRow)
+        ser
+          .withColumn("med", expr("percentile(c, 0.5)").over(w))
+          .select($"event_type", $"bucket",
+            round($"med" / 100.0, 4).as("med"))
+          .orderBy($"event_type", $"bucket")
+      },
+      Some("""WITH agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket,
+              sum(CAST(round(value*100) AS BIGINT)) AS v
+            FROM events WHERE event_type IN ('purchase','signup') GROUP BY 1, 2),
+          span AS (SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+            FROM agg GROUP BY 1),
+          spine AS (SELECT event_type,
+              unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket FROM span),
+          ser AS (SELECT s.event_type, s.bucket,
+              CAST(COALESCE(a.v, 0) AS BIGINT) AS c
+            FROM spine s LEFT JOIN agg a
+              ON s.event_type = a.event_type AND s.bucket = a.bucket)
+          SELECT event_type, bucket,
+            round(quantile_cont(c, 0.5) OVER (PARTITION BY event_type
+                ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+              / 100.0, 4) AS med
+          FROM ser ORDER BY event_type, bucket"""),
+      "rolling exact median (interpolating percentile) over trailing frames")
   )
 }
