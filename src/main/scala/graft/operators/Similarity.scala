@@ -310,13 +310,74 @@ object Similarity {
     * codes and scores bit-for-bit. ADC ranks by approximate distance —
     * the output deliberately differs from exact-rerank searches (q46/q93)
     * exactly the way production IVF-PQ recall differs; SimilaritySpec
-    * pins that ADC@k recall against brute-force truth. Scoring is
-    * restricted to each query's own coarse cell (nprobe=1); compose with
-    * the [[ivfTopKMultiProbe]] probe ranking for nprobe>1. */
+    * pins that ADC@k recall against brute-force truth. Scoring probes
+    * each query's `nprobe` nearest coarse cells (the [[ivfTopKMultiProbe]]
+    * probe ranking composed with ADC): the query's residual — and hence
+    * its distance LUT — is computed PER PROBED CELL, because the
+    * residual r = q − centroid(c) differs by cell; a candidate scores
+    * against the LUT of its own cell whenever that cell is among the
+    * query's probes. nprobe=1 is exactly the own-cell search (the coarse
+    * assignment IS the rank-1 probe under the same (dist, cell)
+    * tie-break), which [[ivfPqTopK]] delegates to. */
+  def ivfPqTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+                          corpus: DataFrame, id: String, vec: String, k: Int,
+                          kCells: Int, coarseIters: Int, subspaces: Int,
+                          ksub: Int, pqIters: Int, dims: Int, nprobe: Int,
+                          scale: Double = 1e6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && nprobe <= kCells,
+      s"need 1 <= nprobe <= kCells; got nprobe=$nprobe kCells=$kCells")
+    val subDim = dims / subspaces
+    val (pts, cents, codebooks, cand) = pqIndex(candidates, corpus, id, vec,
+      kCells, coarseIters, subspaces, ksub, pqIters, dims, scale)
+    // per-query nprobe nearest cells with their PER-CELL residuals —
+    // deterministic (dist, cell) order, same tie-break as assignCells
+    val pw = Window.partitionBy(col("pid")).orderBy(col("dist"), col("cell"))
+    val qres = pts
+      .join(broadcast(queries.select(col(id).as("pid"))), "pid")
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistFixed(col("pf"), col("cf")))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("pid"), col("cell"), vecSubFixed(col("pf"), col("cf")).as("rf"))
+    def subOf(m: Int): Column = slice(col("rf"), m * subDim + 1, subDim)
+    val qresM = qres.select(col("pid"), col("cell"),
+      posexplode(array((0 until subspaces).map(subOf): _*)).as(Seq("m", "pf")))
+    // LUT: (query, probed cell, subspace, codeword) → integer distance;
+    // queries × nprobe × subspaces × ksub rows — tiny, broadcast
+    val lut = qresM
+      .join(broadcast(codebooks
+        .withColumnRenamed("cell", "code").withColumnRenamed("cf", "cbf")), Seq("m"))
+      .select(col("pid").as("query_id"), col("cell").as("qcell"), col("m"),
+        col("code"), sqDistFixed(col("pf"), col("cbf")).as("d"))
+    val scored = cand.join(broadcast(lut),
+        col("cell") === col("qcell") && col("cm") === col("m") &&
+          col("ccode") === col("code"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("d")).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+  }
+
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, corpus: DataFrame,
                 id: String, vec: String, k: Int, kCells: Int,
                 coarseIters: Int, subspaces: Int, ksub: Int, pqIters: Int,
-                dims: Int, scale: Double = 1e6): DataFrame = {
+                dims: Int, scale: Double = 1e6): DataFrame =
+    ivfPqTopKMultiProbe(queries, candidates, corpus, id, vec, k, kCells,
+      coarseIters, subspaces, ksub, pqIters, dims, nprobe = 1, scale)
+
+  /** Shared IVF-PQ index build: coarse quantizer + residuals + the M
+    * grouped-trained codebooks + per-candidate codes. Returns
+    * (pts, cents, codebooks, cand) where cand carries
+    * (cand_id, cm, ccode, cell). */
+  private def pqIndex(candidates: DataFrame, corpus: DataFrame, id: String,
+                      vec: String, kCells: Int, coarseIters: Int,
+                      subspaces: Int, ksub: Int, pqIters: Int, dims: Int,
+                      scale: Double): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(dims % subspaces == 0,
       s"subspaces=$subspaces must divide dims=$dims")
@@ -355,25 +416,7 @@ object Similarity {
         cresM.select(col("pid"), col("m"), col("pf")), codebooks)
       .select(col("pid").as("cand_id"), col("m").as("cm"), col("cell").as("ccode"))
       .join(res.select(col("pid").as("cand_id"), col("cell")), "cand_id")
-    // per-query ADC lookup table: queries × subspaces × ksub rows — tiny,
-    // broadcast into the candidate-code join
-    val lut = resM
-      .join(broadcast(queries.select(col(id).as("pid"))), "pid")
-      .join(broadcast(codebooks
-        .withColumnRenamed("cell", "code").withColumnRenamed("cf", "cbf")), Seq("m"))
-      .select(col("pid").as("query_id"), col("cell").as("qcell"), col("m"),
-        col("code"), sqDistFixed(col("pf"), col("cbf")).as("d"))
-    val scored = cand.join(broadcast(lut),
-        col("cell") === col("qcell") && col("cm") === col("m") &&
-          col("ccode") === col("code"))
-      .filter(col("query_id") =!= col("cand_id"))
-      .groupBy(col("query_id"), col("cand_id"))
-      .agg(sum(col("d")).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").asc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"))
+    (pts, cents, codebooks, cand)
   }
 
   /** Sign-LSH near-dup pairs: bucket by hyperplane signs (equi-join key),

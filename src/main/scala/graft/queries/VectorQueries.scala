@@ -420,6 +420,79 @@ object VectorQueries {
         // `expr AS name` (no paren), so the rewrite touches only CTEs.
         raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
       },
-      "IVF-PQ: residual product codebooks + asymmetric-distance search")
+      "IVF-PQ: residual product codebooks + asymmetric-distance search"),
+
+    // ------------------------------------------- IVF-PQ × multi-probe
+    // The last cell of the ANN matrix: ADC scoring over each query's 3
+    // nearest coarse cells instead of only its own. The query's residual
+    // — and so its distance LUT — is rebuilt PER PROBED CELL (residual
+    // r = q − centroid(c) changes with c); a candidate scores against
+    // its own cell's LUT whenever that cell is probed. Same codebooks,
+    // codes and integer arithmetic as q96, re-derived bit-for-bit.
+    "q115_ivfpq_multiprobe" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.ivfPqTopKMultiProbe(
+            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10), e,
+            "vec_id", "embedding", k = 5, kCells = 8, coarseIters = 3,
+            subspaces = 8, ksub = 16, pqIters = 2, dims = 64, nprobe = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some {
+        val M = 8; val ksub = 16; val subDim = 64 / M
+        def lutDist(m: Int): String =
+          s"list_sum(list_transform(range(1, ${subDim + 1}), i -> " +
+            s"(q.rf[i + ${m * subDim}] - c.cf[i])*(q.rf[i + ${m * subDim}] - c.cf[i])))"
+        val subCtes = (0 until M).map { m =>
+          s"""sub$m AS (SELECT pid, rf[${m * subDim + 1}:${(m + 1) * subDim}] AS pf FROM res),
+          ${lloydSql(s"sub$m", s"s${m}c", k = ksub, iters = 2, dims = subDim)},
+          enc$m AS (SELECT pid, cell AS code FROM (
+            SELECT s.pid, c.cell, row_number() OVER (
+              PARTITION BY s.pid ORDER BY ${fixedDistSql("s", "c", subDim)}, c.cell) AS rn
+            FROM sub$m s, s${m}c2 c) WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        val candJoins = (0 until M)
+          .map(m => s"JOIN enc$m e$m USING (pid)").mkString(" ")
+        val candCols = (0 until M).map(m => s"e$m.code AS code$m").mkString(", ")
+        val candArms = (0 until M).map(m =>
+          s"SELECT cand_id, cell, $m AS m, code$m AS code FROM cand")
+          .mkString("\n          UNION ALL ")
+        val lutArms = (0 until M).map { m =>
+          s"""SELECT q.pid AS query_id, q.cell AS qcell, $m AS m, c.cell AS code,
+            ${lutDist(m)} AS d
+          FROM probes q, s${m}c2 c"""
+        }.mkString("\n          UNION ALL ")
+        val raw = s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)},
+        res AS (SELECT p.vec_id AS pid, af.cell,
+            list_transform(range(1, 65), i -> p.pf[i] - c.cf[i]) AS rf
+          FROM p JOIN af ON p.vec_id = af.vec_id JOIN c3 c ON af.cell = c.cell),
+        probes AS (SELECT pid, cell, rf FROM (
+            SELECT p.vec_id AS pid, c.cell,
+              row_number() OVER (PARTITION BY p.vec_id
+                ORDER BY ${fixedDistSql("p", "c", 64)}, c.cell) AS rn,
+              list_transform(range(1, 65), i -> p.pf[i] - c.cf[i]) AS rf
+            FROM p, c3 c WHERE p.vec_id < 10) WHERE rn <= 3),
+        $subCtes,
+        cand AS (SELECT r.pid AS cand_id, r.cell, $candCols
+          FROM res r $candJoins
+          WHERE r.pid >= 10),
+        candcodes AS (
+          $candArms),
+        lut AS (
+          $lutArms),
+        scored AS (SELECT l.query_id, cc.cand_id, sum(l.d) AS score
+          FROM candcodes cc JOIN lut l
+            ON l.qcell = cc.cell AND l.m = cc.m AND l.code = cc.code
+          WHERE l.query_id <> cc.cand_id
+          GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY score, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""
+        raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
+      },
+      "IVF-PQ composed with multi-probe: per-probed-cell residual LUTs")
   )
 }

@@ -186,6 +186,19 @@ class SimilaritySpec extends SparkSpec {
         pqIters = 2, dims = 64)
       .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
     assert(adc2 == adc, "fixed-point IVF-PQ must be partition-invariant")
+    // multi-probe composition: probing 3 cells must not lose recall vs
+    // own-cell ADC (it scores a strict superset of candidates, though
+    // compressed distances can reorder within the bigger pool — so >=,
+    // not strict, is the guarantee; SimilaritySpec's nprobe ladder above
+    // shows the strict lift for the exact re-rank)
+    val adc3 = Similarity.ivfPqTopKMultiProbe(q, c, e, "vec_id", "embedding",
+        k = 5, kCells = 8, coarseIters = 3, subspaces = 8, ksub = 16,
+        pqIters = 2, dims = 64, nprobe = 3)
+      .as[(Long, Int, Long)].collect().map(t => (t._1, t._3)).toSet
+    val adc3Recall = (adc3 & truth).size.toDouble / truth.size
+    info(s"recall@5 vs brute force: ADC nprobe3=$adc3Recall")
+    assert(adc3Recall >= adcRecall,
+      s"multi-probe ADC must not lose recall (np1=$adcRecall, np3=$adc3Recall)")
   }
 
   test("LSH pairs are a subset of brute-force pairs at the same threshold") {
