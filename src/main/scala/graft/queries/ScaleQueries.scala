@@ -692,6 +692,59 @@ object ScaleQueries {
                 ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
               / 100.0, 4) AS med
           FROM ser ORDER BY event_type, bucket"""),
-      "rolling exact median (interpolating percentile) over trailing frames")
+      "rolling exact median (interpolating percentile) over trailing frames"),
+
+    // ------------------------------------- exact dedup pipeline (e2e)
+    // The EXACT end-to-end twin of the approximate q42→q75 MinHash
+    // pipeline, over the FULL corpus: prefix-filtered Jaccard pairs
+    // (q111's lossless join, word-5-grams t=3/4) → shape-safe star-
+    // contraction clustering → keep-first keeper per family. Every
+    // stage re-derived by the oracle: the O(n²) ground-truth pair join
+    // feeding a recursive-CTE fixpoint — so the composed pipeline, not
+    // just its pieces, is hash-verified.
+    "q116_exact_dedup_pipeline" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+        val pairs = graft.operators.Dedup.prefixJaccardPairsWords(
+          base, "doc_id", "text", n = 5, tNum = 3, tDen = 4)
+        val cc = graft.operators.Dedup.cluster(
+          base.select($"doc_id"), "doc_id", pairs)
+        val sizes = cc.groupBy($"cluster_id")
+          .agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select($"id".as("doc_id"), $"cluster_id", $"cluster_size",
+            ($"id" === $"cluster_id").cast("int").as("is_keeper"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH RECURSIVE s AS (SELECT doc_id,
+            CASE WHEN len(string_split(lower(text), ' ')) >= 5
+              THEN list_distinct(list_transform(
+                range(1, len(string_split(lower(text), ' ')) - 3),
+                i -> array_to_string(
+                  list_slice(string_split(lower(text), ' '), i, i + 4), ' ')))
+              ELSE [array_to_string(string_split(lower(text), ' '), ' ')]
+            END AS sh FROM documents),
+          tok AS (SELECT doc_id, unnest(sh) AS sh_one FROM s),
+          sizes AS (SELECT doc_id, len(sh) AS n FROM s),
+          inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+            FROM tok a JOIN tok b
+              ON a.sh_one = b.sh_one AND a.doc_id < b.doc_id GROUP BY 1, 2),
+          pairs AS (SELECT ia AS id_a, ib AS id_b
+            FROM inter JOIN sizes sa ON ia = sa.doc_id
+              JOIN sizes sb ON ib = sb.doc_id
+            WHERE ni*4 >= 3*(sa.n + sb.n - ni)),
+          und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+          walk(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.id),
+          cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+          SELECT cc.id AS doc_id, cluster_id, cluster_size,
+            CAST(cc.id = cluster_id AS INTEGER) AS is_keeper
+          FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
+      "exact dedup end-to-end: lossless pair join -> clusters -> keepers")
   )
 }
