@@ -712,4 +712,53 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
+
+  // ------------------------------------------------- substring spans
+
+  /** Substring-level duplication profile (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL'22): document-level
+    * dedup misses the boilerplate CASE — near-unique pages sharing long
+    * verbatim spans (headers, licenses, templates). The paper's suffix-
+    * array construction is inherently sequential; the distributed
+    * equivalent used at corpus scale is fixed-width window fingerprints:
+    * hash every `width`-char window at `stride`-char steps, and a window
+    * hash seen in ≥ 2 DISTINCT documents marks a duplicated span.
+    *
+    * `stride` trades recall for cost: stride=1 is the exact construction
+    * (every duplicated span ≥ width chars is caught); stride=s still
+    * catches every duplicated span ≥ width + s - 1 chars (some window
+    * start inside it falls on a stride point in both copies ONLY when
+    * alignment matches — so for guaranteed detection under arbitrary
+    * alignment use stride=1 on the shorter side, or accept the
+    * alignment-sensitive recall documented here; the profile's job is
+    * corpus triage, not proof of absence).
+    *
+    * Scale shape: |text|/stride window hashes per doc (md5-portable),
+    * one hash aggregate keyed by the window hash (shuffle ∝ windows, the
+    * unavoidable cost), then a semi-join back. No pairwise stage at all —
+    * unlike MinHash this never materializes document PAIRS, so a span
+    * shared by 10^6 docs costs one group, not C(10^6, 2) rows.
+    *
+    * Returns per-document span stats for docs with ≥ 1 duplicated span:
+    * (id, n_spans, n_dup_spans, dup_frac). */
+  def duplicateSpans(docs: DataFrame, id: String, text: String,
+                     width: Int = 40, stride: Int = 8): DataFrame = {
+    require(width >= 4 && stride >= 1, s"bad width/stride: $width/$stride")
+    val wins = docs
+      .filter(length(col(text)) >= width)
+      .select(col(id), col(text))
+      .withColumn("pos",
+        explode(sequence(lit(1), length(col(text)) - (width - 1), lit(stride))))
+      .select(col(id), md5(col(text).substr(col("pos"), lit(width))).as("wh"))
+    val dupHashes = wins.select(col(id), col("wh")).distinct()
+      .groupBy(col("wh")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("wh"))
+    wins
+      .join(dupHashes, Seq("wh"), "left_semi")
+      .groupBy(col(id)).agg(count(lit(1)).as("n_dup_spans"))
+      .join(wins.groupBy(col(id)).agg(count(lit(1)).as("n_spans")), id)
+      .select(col(id), col("n_spans"), col("n_dup_spans"),
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
+  }
 }

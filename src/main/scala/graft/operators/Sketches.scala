@@ -296,4 +296,104 @@ object Sketches {
       .groupBy(carried.map(col): _*)
       .agg(min(coalesce(col("n"), lit(0L))).as("est_n"))
   }
+
+  // -------------------------------------------------------------- HLL
+
+  /** HyperLogLog (Flajolet et al., AofA'07) — the industry-standard
+    * distinct sketch next to KMV: m = 2^b registers, each holding the
+    * maximum leading-zero run (ρ) seen among hashes routed to it. State
+    * is m BYTES (vs KMV's k hashes) and the merge is element-wise max —
+    * even simpler than KMV's re-take-k — which is why HLL is what
+    * `approx_count_distinct` ships everywhere. Kept md5-portable like
+    * every sketch here: register = first `b/4` hex chars, ρ from the
+    * next 56 bits, so the oracle re-derives the registers bit-for-bit.
+    *
+    * ρ convention: ρ = 57 - length(bin(v)) over the 56-bit tail v,
+    * capped at 50 so the estimator's 2^-ρ sum stays EXACT in integer
+    * arithmetic (Σ 2^(50-ρ) ≤ m·2^50 < 2^63): the oracle compares
+    * integer sums, not float-summation-order noise. The cap loses
+    * nothing real — ρ > 50 needs ~2^50 distinct values per register. */
+  def hllSketch(df: DataFrame, key: Column, b: Int, salt: String): DataFrame = {
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be in {4,8,12,16}: $b")
+    df.select(md5(concat(lit(s"$salt:"), key.cast("string"))).as("h"))
+      .select(
+        conv(substring(col("h"), 1, b / 4), 16, 10).cast("int").as("reg"),
+        conv(substring(col("h"), b / 4 + 1, 14), 16, 10).cast("long").as("v"))
+      .groupBy(col("reg"))
+      .agg(max(least(lit(57) - length(bin(col("v"))), lit(50))).as("rho"))
+  }
+
+  /** Merge same-(b, salt) sketches: element-wise register max. */
+  def hllMerge(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty, "need at least one sketch")
+    sketches.reduce(_ union _).groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+  }
+
+  /** One-row estimate from a [[hllSketch]] frame: (n_nonzero, sum_pow50,
+    * est_distinct). `sum_pow50` = Σ_registers 2^(50-ρ) as an exact
+    * integer (absent registers count ρ=0) — the sketch-pinning output,
+    * like KMV's kth_hash60. The estimate applies the standard
+    * small-range linear-counting correction below 2.5m when zero
+    * registers remain (the raw harmonic mean biases high there). */
+  def hllEstimate(sketch: DataFrame, b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha = // Flajolet's bias constants by register count
+      if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    sketch
+      .agg(count(lit(1)).as("n_nonzero"),
+        sum(pow(lit(2.0), lit(50) - col("rho")).cast("long")).as("__present"))
+      .select(col("n_nonzero"),
+        (col("__present") +
+          (lit(m.toLong) - col("n_nonzero")) * lit(1L << 50)).as("sum_pow50"))
+      .select(col("n_nonzero"), col("sum_pow50"),
+        round(
+          when(
+            lit(alpha * m) * m * pow(lit(2.0), lit(50.0)) /
+              col("sum_pow50").cast("double") <= lit(2.5 * m) &&
+              col("n_nonzero") < m,
+            lit(m.toDouble) * log(lit(m.toDouble) /
+              (lit(m.toLong) - col("n_nonzero")).cast("double")))
+            .otherwise(lit(alpha * m) * m * pow(lit(2.0), lit(50.0)) /
+              col("sum_pow50").cast("double")),
+          2).as("est_distinct"))
+  }
+
+  /** [[hllSketch]] + [[hllEstimate]] in one call. */
+  def hllDistinct(df: DataFrame, key: Column, b: Int, salt: String): DataFrame =
+    hllEstimate(hllSketch(df, key, b, salt), b)
+
+  /** DuckDB CTEs re-deriving the identical sketch + estimate from
+    * `keyExpr` (a VARCHAR SQL expression) over `fromSql` (a FROM body).
+    * Exposes CTE `hll(n_nonzero, sum_pow50, est_distinct)`. */
+  def hllOracleCtes(keyExpr: String, fromSql: String, b: Int,
+                    salt: String): String = {
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be in {4,8,12,16}: $b")
+    val m = 1 << b
+    val alpha =
+      if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    s"""hll_regs AS (
+        SELECT CAST('0x' || substr(h, 1, ${b / 4}) AS BIGINT) AS reg,
+               max(least(57 - length(bin(CAST('0x' || substr(h, ${b / 4 + 1}, 14) AS BIGINT))), 50)) AS rho
+        FROM (SELECT md5('$salt:' || $keyExpr) AS h FROM $fromSql)
+        GROUP BY 1),
+      hll_sum AS (
+        SELECT count(*) AS n_nonzero,
+               sum(CAST(pow(2, 50 - rho) AS BIGINT))
+                 + ($m - count(*)) * CAST(pow(2, 50) AS BIGINT) AS sum_pow50
+        FROM hll_regs),
+      hll AS (
+        SELECT n_nonzero, sum_pow50,
+          round(CASE WHEN CAST($alpha AS DOUBLE) * $m * $m * pow(2, 50) / CAST(sum_pow50 AS DOUBLE) <= CAST(${2.5 * m} AS DOUBLE)
+                      AND n_nonzero < $m
+                THEN $m * ln(CAST($m AS DOUBLE) / ($m - n_nonzero))
+                ELSE CAST($alpha AS DOUBLE) * $m * $m * pow(2, 50) / CAST(sum_pow50 AS DOUBLE) END,
+            2) AS est_distinct
+        FROM hll_sum)"""
+  }
 }

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Ranking, RangeJoin, Sketches}
+
+/** Round-6 operators: multidimensional grouping plan shape, the binned
+  * range join vs the naive inequality join, BM25 ranking order, HLL
+  * merge/accuracy invariants, and substring-span duplication. */
+class OlapOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ grouping plans
+
+  test("rollup/cube/grouping-sets run as ONE scan + Expand, not a union of scans") {
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+    for (q <- Seq(
+        li.rollup($"l_returnflag", $"l_linestatus").count(),
+        li.cube($"l_returnflag", $"l_linestatus").count())) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"multi-grouping must plan an Expand:\n$plan")
+      val scans = "Scan parquet".r.findAllIn(plan).size
+      assert(scans == 1, s"expected exactly 1 scan, got $scans:\n$plan")
+    }
+  }
+
+  test("rollup equals the union of per-level aggregates") {
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+    val rolled = li.rollup($"l_returnflag").agg(count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("k"), $"n")
+    val manual = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n"))
+      .select($"l_returnflag".as("k"), $"n")
+      .unionByName(li.agg(count(lit(1)).as("n")).select(lit("(all)").as("k"), $"n"))
+    assert(rolled.except(manual).isEmpty && manual.except(rolled).isEmpty)
+  }
+
+  // --------------------------------------------------------- range join
+
+  test("pointInInterval matches the naive inequality join, boundaries included") {
+    // points on every unit; intervals deliberately straddle, touch, and
+    // miss bin boundaries (binWidth=10), plus an empty one (lo == hi)
+    val pts = (0L to 100L).toDF("pt")
+    val ivs = Seq(
+      (1, 0L, 10L),   // aligned exactly to one bin
+      (2, 5L, 25L),   // straddles two boundaries
+      (3, 9L, 10L),   // single point, just below a boundary
+      (4, 10L, 10L),  // empty: must match nothing
+      (5, 98L, 300L), // runs past the data
+      (6, 40L, 41L)   // single point at a bin start
+    ).toDF("iv_id", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, col("pt"), ivs, col("lo"), col("hi"), 10L)
+      .select($"iv_id", $"pt")
+    val want = pts.crossJoin(ivs).filter($"lo" <= $"pt" && $"pt" < $"hi")
+      .select($"iv_id", $"pt")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    assert(got.filter($"iv_id" === 4).count() == 0, "empty interval matched")
+    // exactly-once semantics: no (iv, pt) pair is emitted twice
+    assert(got.count() == got.distinct().count(), "duplicate pair emitted")
+  }
+
+  test("range-join query plans an equi-join, never a nested-loop/cartesian") {
+    val q = graft.queries.Registry.queries("q122_range_join")(spark, sf("sf0.001"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must bin to an equi-join:\n${plan.take(2000)}")
+  }
+
+  // --------------------------------------------------------------- BM25
+
+  test("BM25 ranks a doc with all query terms above single-term docs; rare terms weigh more") {
+    val docs = Seq(
+      (1, "alpha beta gamma"),
+      (2, "alpha alpha alpha delta epsilon"),
+      (3, "beta zeta eta theta"),
+      (4, "iota kappa lambda mu"),   // no query terms: must not appear
+      (5, "alpha beta beta nu")
+    ).toDF("doc_id", "text")
+    val top = Ranking.bm25TopK(docs, "doc_id", "text", Seq("alpha", "beta"), 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(!top.map(_._1).contains(4), "doc without query terms leaked into results")
+    val score = top.toMap
+    assert(score(5) > score(2), "two distinct query terms must beat repeats of one")
+    assert(score.keySet == Set(1, 2, 3, 5))
+  }
+
+  test("BM25 length normalization: same tf, shorter doc scores higher") {
+    val docs = Seq(
+      (1, "alpha one two"),
+      (2, "alpha one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val s = Ranking.bm25TopK(docs, "doc_id", "text", Seq("alpha"), 10)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(s(1) > s(2))
+  }
+
+  // ---------------------------------------------------------------- HLL
+
+  test("HLL sketches merge by register max: split == one-shot, any split") {
+    val df = (1 to 3000).map(i => s"k$i").toDF("k")
+    val whole = Sketches.hllSketch(df, $"k", 8, "t")
+    val parts = Seq(
+      Sketches.hllSketch(df.filter(substring($"k", 2, 10).cast("long") % 3 === 0), $"k", 8, "t"),
+      Sketches.hllSketch(df.filter(substring($"k", 2, 10).cast("long") % 3 === 1), $"k", 8, "t"),
+      Sketches.hllSketch(df.filter(substring($"k", 2, 10).cast("long") % 3 === 2), $"k", 8, "t"))
+    val merged = Sketches.hllMerge(parts: _*)
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty,
+      "merged register table differs from the one-shot sketch")
+  }
+
+  test("HLL estimate lands within the published error band (b=8 -> ~6.5% rse)") {
+    for (n <- Seq(500, 5000, 50000)) {
+      val df = (1 to n).map(i => s"v$i").toDF("k")
+      val est = Sketches.hllDistinct(df, $"k", 8, "acc")
+        .select($"est_distinct").head().getDouble(0)
+      assert(math.abs(est - n) < 4 * 0.065 * n, // 4 sigma: deterministic fixture
+        s"n=$n est=$est off by ${math.abs(est - n) / n}")
+    }
+  }
+
+  test("HLL duplicate-insensitivity: multiplicity never changes the sketch") {
+    val once = (1 to 1000).map(i => s"d$i").toDF("k")
+    val thrice = once.union(once).union(once)
+    assert(Sketches.hllSketch(thrice, $"k", 8, "m")
+      .except(Sketches.hllSketch(once, $"k", 8, "m")).isEmpty)
+  }
+
+  // ----------------------------------------------------- duplicate spans
+
+  test("duplicateSpans finds planted shared boilerplate and nothing else") {
+    val license = "this exact forty-character license line!!" // 42 chars
+    require(license.length > 40)
+    def noise(seed: Int) = Seq.tabulate(30)(i => s"w${seed * 31 + i * 7}").mkString(" ")
+    val docs = Seq(
+      (1, s"$license ${noise(1)}"),
+      (2, s"${noise(2)} $license"),
+      (3, noise(3)),
+      (4, noise(4))
+    ).toDF("doc_id", "text")
+    // stride=1: exact detection of any shared span >= width
+    val hit = Dedup.duplicateSpans(docs, "doc_id", "text", width = 40, stride = 1)
+      .collect().map(_.getInt(0)).toSet
+    assert(hit == Set(1, 2), s"expected the two license docs, got $hit")
+  }
+
+  test("duplicateSpans: a doc repeating its own text is NOT cross-doc duplicated") {
+    val block = "b " * 40
+    val docs = Seq((1, s"$block $block"), (2, "totally unrelated text " * 5))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(docs, "doc_id", "text", 40, 1).count() == 0)
+  }
+}
