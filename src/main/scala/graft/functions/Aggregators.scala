@@ -113,6 +113,44 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Seq[Long], Long)]()
   }
 
+  /** Bounded-state per-group top-k: keeps the k largest (value, id)
+    * pairs, ordered (value desc, id asc). The buffer never exceeds k
+    * entries, so a group with a billion rows shuffles k pairs — the
+    * window-rank formulation (`row_number() <= k`) instead sorts EVERY
+    * group's full row set before discarding all but k; with high-
+    * cardinality groups the aggregator's partial-combine shape is the
+    * one that survives scale. Total order (value desc, id asc) makes the
+    * result deterministic and oracle-comparable under ties.
+    *
+    * Insertion cost is O(k) per row (linear insert into a sorted
+    * ArraySeq) — the right trade for the small k (top-3/top-10) this
+    * models; a heap only wins for large k. */
+  final case class TopKPairs(k: Int)
+      extends Aggregator[(Long, Long), Seq[(Long, Long)], Seq[(Long, Long)]] {
+    require(k >= 1, s"k must be >= 1: $k")
+    private def lt(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    private def ins(buf: Seq[(Long, Long)], v: (Long, Long)): Seq[(Long, Long)] = {
+      // full buffer and v ranks below the current floor: O(1) reject —
+      // the common case once a group has seen > k rows
+      if (buf.length == k && !lt(v, buf.last)) buf
+      else {
+        val i = buf.indexWhere(lt(v, _)) match { case -1 => buf.length; case x => x }
+        (buf.take(i) :+ v) ++ buf.drop(i).take(k - i - 1)
+      }
+    }
+    override def zero: Seq[(Long, Long)] = Seq.empty
+    override def reduce(b: Seq[(Long, Long)], a: (Long, Long)): Seq[(Long, Long)] =
+      ins(b, a)
+    override def merge(x: Seq[(Long, Long)], y: Seq[(Long, Long)]): Seq[(Long, Long)] =
+      y.foldLeft(x)(ins)
+    override def finish(r: Seq[(Long, Long)]): Seq[(Long, Long)] = r
+    override def bufferEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+  }
+
   /** Exact weighted mean — the second §2.7 capability example. */
   object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
     override def zero: (Double, Double) = (0.0, 0.0)

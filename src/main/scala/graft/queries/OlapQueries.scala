@@ -243,6 +243,130 @@ object OlapQueries {
         SELECT doc_id, n_spans, n_dup_spans,
           round(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
         FROM dupper JOIN per USING (doc_id) ORDER BY doc_id"""),
-      "substring-span duplication profile (Lee et al. ACL'22 window form)")
+      "substring-span duplication profile (Lee et al. ACL'22 window form)"),
+
+    // ------------------------------------------------ canonical selection
+    // The curation step AFTER near-dup clustering: which copy to keep?
+    // q75 keeps the min-id; real pipelines keep the BEST copy — here the
+    // longest text (n_chars desc, id asc tiebreak), the common heuristic
+    // for boilerplate-truncated duplicates. One window argmax per
+    // cluster, partitioned by cluster_id — no group ever sorts more than
+    // its own members.
+    "q125_canonical_keep" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val base = t(s, d, "documents").filter($"doc_id" < 100)
+        val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
+          graft.functions.TextFunctions.charNGrams($"text", 3), threshold = 0.6)
+        val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
+        val withLen = cc.join(
+          base.select($"doc_id".as("id"), $"n_chars"), "id")
+        val w = Window.partitionBy($"cluster_id")
+          .orderBy($"n_chars".desc, $"id")
+        withLen.withColumn("__rn", row_number().over(w))
+          .groupBy($"cluster_id")
+          .agg(max(when($"__rn" === 1, $"id")).as("keep_doc_id"),
+            max(when($"__rn" === 1, $"n_chars")).as("keep_chars"),
+            count(lit(1)).as("n_docs"))
+          .withColumn("n_dropped", $"n_docs" - 1)
+          .orderBy($"cluster_id")
+      },
+      Some("""WITH RECURSIVE s AS (SELECT doc_id, CASE WHEN length(text) >= 3
+            THEN list_distinct(list_transform(range(1, length(text)-1), i -> substr(text, i, 3)))
+            ELSE [text] END AS sh
+          FROM documents WHERE doc_id < 100),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a, s b WHERE a.doc_id < b.doc_id
+            AND round((len(a.sh)+len(b.sh)-len(list_distinct(list_concat(a.sh,b.sh))))::DOUBLE
+              / len(list_distinct(list_concat(a.sh,b.sh))), 6) >= 0.6),
+        und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+          UNION
+          SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.id),
+        cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        ranked AS (SELECT cc.id, cluster_id, n_chars, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY n_chars DESC, cc.id) AS rn
+          FROM cc JOIN documents ON cc.id = doc_id)
+        SELECT cluster_id,
+          max(CASE WHEN rn = 1 THEN id END) AS keep_doc_id,
+          max(CASE WHEN rn = 1 THEN n_chars END) AS keep_chars,
+          count(*) AS n_docs, count(*) - 1 AS n_dropped
+        FROM ranked GROUP BY cluster_id ORDER BY cluster_id"""),
+      "near-dup clusters -> keep the longest copy (canonical selection)"),
+
+    // ------------------------------------------------- bounded-state top-k
+    // Per-group top-3 parts by revenue through the [[graft.functions
+    // .Aggregators.TopKPairs]] typed aggregator: buffer state is k pairs
+    // per group regardless of group size, so the shuffle carries
+    // O(groups × k) — the shape that beats window-rank (sort EVERY
+    // group, keep 3) when groups are huge. Oracle = the window-rank
+    // formulation, proving the two agree.
+    "q126_grouped_topk" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val topk = udaf(graft.functions.Aggregators.TopKPairs(3))
+        t(s, d, "lineitem")
+          .groupBy($"l_returnflag", $"l_partkey")
+          .agg(Relational.centsSum($"l_extendedprice").as("cents"))
+          .groupBy($"l_returnflag")
+          .agg(topk($"cents", $"l_partkey").as("top"))
+          .select($"l_returnflag", posexplode($"top").as(Seq("i", "p")))
+          .select($"l_returnflag", ($"i" + 1).cast("int").as("rank"),
+            $"p._2".as("l_partkey"), ($"p._1" / 100.0).as("revenue"))
+          .orderBy($"l_returnflag", $"rank")
+      },
+      Some("""SELECT l_returnflag, CAST(rn AS INTEGER) AS rank, l_partkey,
+          CAST(cents AS DOUBLE)/100.0 AS revenue
+        FROM (SELECT l_returnflag, l_partkey, cents, row_number() OVER (
+            PARTITION BY l_returnflag ORDER BY cents DESC, l_partkey) AS rn
+          FROM (SELECT l_returnflag, l_partkey,
+              sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents
+            FROM lineitem GROUP BY 1, 2))
+        WHERE rn <= 3 ORDER BY l_returnflag, rank"""),
+      "top-k per group via bounded-state typed aggregator (k pairs, not a sort)"),
+
+    // ------------------------------------------- int8 scalar quantization
+    // The memory lever for ANN at 100 TB: 4 bytes/dim float32 → 1 byte
+    // int8 with per-dimension symmetric scales (q_d = round(127·x/max|x_d|)),
+    // then EXACT integer dot-product scoring — deterministic, so the
+    // oracle re-derives scores bit-for-bit (float cosine scoring can
+    // only be compared through rounding). Long-form throughout: no
+    // array re-assembly, the score is one hash aggregate over
+    // (vec, dim) rows joined to the broadcast query vector.
+    "q127_int8_ann" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val long = t(s, d, "embeddings")
+          .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+        val scales = long.groupBy($"dim").agg(max(abs($"x")).as("ma"))
+        val quant = long.join(broadcast(scales), "dim")
+          .select($"vec_id", $"dim",
+            when($"ma" === 0f, lit(0L))
+              .otherwise(round($"x".cast("double") * 127.0 / $"ma".cast("double"))
+                .cast("long")).as("qv"))
+        val qry = quant.filter($"vec_id" === 0)
+          .select($"dim", $"qv".as("qq"))
+        quant.filter($"vec_id" =!= 0)
+          .join(broadcast(qry), "dim")
+          .groupBy($"vec_id")
+          .agg(sum($"qv" * $"qq").as("score"))
+          .orderBy($"score".desc, $"vec_id")
+          .limit(10)
+      },
+      Some("""WITH long AS (SELECT vec_id, i AS dim, embedding[i]::DOUBLE AS x
+          FROM embeddings, range(1, 65) t(i)),
+        scales AS (SELECT dim, max(abs(x)) AS ma FROM long GROUP BY dim),
+        quant AS (SELECT vec_id, dim,
+            CASE WHEN ma = 0 THEN 0
+                 ELSE CAST(round(x * 127.0 / ma) AS BIGINT) END AS qv
+          FROM long JOIN scales USING (dim)),
+        qry AS (SELECT dim, qv AS qq FROM quant WHERE vec_id = 0)
+        SELECT vec_id, sum(qv * qq) AS score
+        FROM quant JOIN qry USING (dim) WHERE vec_id <> 0
+        GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10"""),
+      "int8 scalar-quantized ANN: 4x memory cut, integer-exact scoring")
   )
 }

@@ -148,4 +148,90 @@ class OlapOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(Dedup.duplicateSpans(docs, "doc_id", "text", 40, 1).count() == 0)
   }
+
+  // ------------------------------------------------- bounded-state top-k
+
+  test("TopKPairs equals the window-rank formulation on adversarial ties") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Aggregators
+    // many ties (value = i % 7) force the (value desc, id asc) tiebreak
+    val rows = (1L to 500L).map(i => (s"g${i % 5}", i % 7, i)).toDF("g", "v", "id")
+    val topk = udaf(Aggregators.TopKPairs(4))
+    val got = rows.groupBy($"g").agg(topk($"v", $"id").as("top"))
+      .select($"g", posexplode($"top").as(Seq("i", "p")))
+      .select($"g", ($"i" + 1).as("rank"), $"p._1".as("v"), $"p._2".as("id"))
+    val want = rows.withColumn("rank",
+        row_number().over(Window.partitionBy($"g").orderBy($"v".desc, $"id")))
+      .filter($"rank" <= 4).select($"g", $"rank".cast("long"), $"v", $"id")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
+  test("TopKPairs merge is order-insensitive and the buffer stays bounded") {
+    import graft.functions.Aggregators
+    val agg = Aggregators.TopKPairs(3)
+    val items = Seq((5L, 1L), (5L, 0L), (9L, 7L), (1L, 2L), (9L, 8L), (3L, 3L))
+    val whole = items.foldLeft(agg.zero)(agg.reduce)
+    for (cut <- 1 until items.length) {
+      val (l, r) = items.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m == whole, s"split at $cut diverged: $m vs $whole")
+      assert(m.length <= 3)
+    }
+    assert(whole == Seq((9L, 7L), (9L, 8L), (5L, 0L)))
+  }
+
+  // --------------------------------------------- int8 scalar quantization
+
+  test("int8 quantization keeps brute-force top-1 on well-separated vectors") {
+    // query near e1; candidates: aligned, orthogonal, opposite — gaps far
+    // exceed the <=1% per-dim quantization error, so top-1 must agree
+    val vecs = Seq(
+      (0, Seq(1.0f, 0.1f, 0.0f)),   // query
+      (1, Seq(0.9f, 0.2f, 0.1f)),   // close
+      (2, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal
+      (3, Seq(-1.0f, -0.1f, 0.0f))  // opposite
+    ).toDF("vec_id", "embedding")
+    val long = vecs.select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+    val scales = long.groupBy($"dim").agg(max(abs($"x")).as("ma"))
+    val quant = long.join(broadcast(scales), "dim")
+      .select($"vec_id", $"dim",
+        when($"ma" === 0f, lit(0L))
+          .otherwise(round($"x".cast("double") * 127.0 / $"ma".cast("double"))
+            .cast("long")).as("qv"))
+    val qry = quant.filter($"vec_id" === 0).select($"dim", $"qv".as("qq"))
+    val best = quant.filter($"vec_id" =!= 0).join(broadcast(qry), "dim")
+      .groupBy($"vec_id").agg(sum($"qv" * $"qq").as("score"))
+      .orderBy($"score".desc, $"vec_id").head()
+    assert(best.getInt(0) == 1, s"expected vec 1 on top, got $best")
+    // all-zero dimension must quantize to 0, not NaN/null
+    val zdim = Seq((0, Seq(0.0f, 1.0f)), (1, Seq(0.0f, 0.5f))).toDF("vec_id", "embedding")
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim", "x")))
+    val zq = zdim.join(zdim.groupBy($"dim").agg(max(abs($"x")).as("ma")), "dim")
+      .select(when($"ma" === 0f, lit(0L))
+        .otherwise(round($"x".cast("double") * 127.0 / $"ma".cast("double")).cast("long")).as("qv"))
+    assert(zq.filter($"qv".isNull).count() == 0)
+  }
+
+  // ----------------------------------------------- canonical selection
+
+  test("canonical keep selects the longest copy, not the min id") {
+    import org.apache.spark.sql.expressions.Window
+    // planted cluster: 10 and 11 near-identical, 11 longer; 12 unrelated
+    val docs = Seq(
+      (10, "the quick brown fox jumps over the lazy dog"),
+      (11, "the quick brown fox jumps over the lazy dog again and again"),
+      (12, "completely different content with zero character overlap xyz")
+    ).toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+    val pairs = Dedup.sparseJaccardPairs(docs, "doc_id",
+      graft.functions.TextFunctions.charNGrams($"text", 3), threshold = 0.5)
+    val cc = Dedup.cluster(docs.select($"doc_id"), "doc_id", pairs)
+    val w = Window.partitionBy($"cluster_id").orderBy($"n_chars".desc, $"id")
+    val keep = cc.join(docs.select($"doc_id".as("id"), $"n_chars"), "id")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"cluster_id", $"id").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(keep(10) == 11, s"longest copy (11) must be canonical: $keep")
+    assert(keep(12) == 12)
+  }
 }
