@@ -744,20 +744,24 @@ object Dedup {
   def duplicateSpans(docs: DataFrame, id: String, text: String,
                      width: Int = 40, stride: Int = 8): DataFrame = {
     require(width >= 4 && stride >= 1, s"bad width/stride: $width/$stride")
+    import org.apache.spark.sql.expressions.Window
     val wins = docs
       .filter(length(col(text)) >= width)
       .select(col(id), col(text))
       .withColumn("pos",
         explode(sequence(lit(1), length(col(text)) - (width - 1), lit(stride))))
       .select(col(id), md5(col(text).substr(col("pos"), lit(width))).as("wh"))
-    val dupHashes = wins.select(col(id), col("wh")).distinct()
-      .groupBy(col("wh")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select(col("wh"))
-    wins
-      .join(dupHashes, Seq("wh"), "left_semi")
-      .groupBy(col(id)).agg(count(lit(1)).as("n_dup_spans"))
-      .join(wins.groupBy(col(id)).agg(count(lit(1)).as("n_spans")), id)
+    // Single pass over the exploded windows: aggregate to (wh, id, occ)
+    // once (the md5 explode is the dominant cost — never recompute it),
+    // count distinct docs per hash with a count-only window over the
+    // aggregated rows (partition sizes = docs sharing one hash; no join
+    // back to the raw window stream), then fold to per-doc stats.
+    wins.groupBy(col("wh"), col(id)).agg(count(lit(1)).as("occ"))
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .groupBy(col(id))
+      .agg(sum(col("occ")).as("n_spans"),
+        sum(when(col("ndocs") >= 2, col("occ")).otherwise(lit(0L))).as("n_dup_spans"))
+      .filter(col("n_dup_spans") >= 1)
       .select(col(id), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
   }

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as relational fixpoints — the PageRank
+  * face of the family that already includes connected components
+  * ([[Dedup.cluster]]) and Lloyd's k-means ([[Similarity]]).
+  *
+  * All rank arithmetic is FIXED-POINT INTEGER (ranks in micro-units,
+  * damping as a rational, integer floor division at every step), the
+  * same discipline as the k-means quantizer: no float summation order
+  * to diverge between engines or between partitionings, so the DuckDB
+  * oracle re-derives every iteration's rank table bit-for-bit and the
+  * result is reproducible under any cluster layout.
+  *
+  * Scale shape per iteration: one equi-join (ranks ⋈ edges on src) and
+  * one hash aggregate (contributions by dst) — both shuffle on node
+  * ids, both map-side combinable; rank state is one long per node.
+  * Edges are pre-partitioned by src and materialized ONCE; each
+  * round's join then reuses that partitioning, and each round's rank
+  * table is localCheckpoint'd so plan depth stays O(1) (the CC/k-means
+  * trick). Reference: Page et al., "The PageRank Citation Ranking",
+  * Stanford InfoLab 1999.
+  */
+object Graph {
+
+  /** `iters` rounds of damped PageRank over directed `edges`
+    * (columns `src`, `dst`; duplicate edges are counted once — the
+    * caller dedups if needed). Returns (node, rank) with rank in
+    * micro-units of `scale`.
+    *
+    * Update rule, all integer:
+    *   unit      = scale div N
+    *   contrib(v)= Σ_{(u,v)∈E} rank(u) div outdeg(u)
+    *   rank'(v)  = ((dampDen−dampNum)·unit + dampNum·contrib(v)) div dampDen
+    *
+    * Dangling nodes (no out-edges) keep receiving the base term but
+    * their mass is dropped, not redistributed — the common simplified
+    * variant; total mass therefore decays slightly, which is harmless
+    * for RANKING and keeps the recurrence strictly local (no global
+    * mass term to agree on). */
+  def pageRankFixed(edges: DataFrame, src: String, dst: String, iters: Int,
+                    dampNum: Int = 85, dampDen: Int = 100,
+                    scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0 && dampNum > 0 && dampDen > dampNum && scale > 0,
+      s"bad params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    val spark = edges.sparkSession
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint() // reused every round: one upfront shuffle on src
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // N and the base unit travel as a one-row broadcast, never a collect;
+    // integer div (Spark `/` on longs would widen to double)
+    val unit = nodes.agg(count(lit(1)).as("n"))
+      .select(expr(s"${scale}L div n").as("u"))
+    var rank = nodes.crossJoin(broadcast(unit))
+      .select(col("node"), col("u").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
+      rank = nodes.crossJoin(broadcast(unit))
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left_outer")
+        .select(col("node"),
+          expr(s"(${dampDen - dampNum}L * u + ${dampNum}L * coalesce(csum, 0L)) " +
+            s"div ${dampDen}L").as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("node"), col("r").as("rank"))
+  }
+
+  /** DuckDB mirror of [[pageRankFixed]]: the identical integer
+    * recurrence as `iters` chained CTE rounds (the k-means oracle
+    * pattern). Expects a CTE `edges(src, dst)` (pre-distinct) to be in
+    * scope; exposes `pr_final(node, rank)`. */
+  def pageRankOracleCtes(iters: Int, dampNum: Int = 85, dampDen: Int = 100,
+                         scale: Long = 1000000L): String = {
+    require(iters >= 1, s"oracle CTE chain needs iters >= 1: $iters")
+    val base = dampDen - dampNum
+    val rounds = (1 to iters).map { i =>
+      s"""pr_c$i AS (SELECT e.dst AS node, sum(r.r // d.odeg) AS csum
+            FROM edges e JOIN pr_r${i - 1} r ON e.src = r.node
+            JOIN pr_outdeg d ON e.src = d.src GROUP BY e.dst),
+          pr_r$i AS (SELECT n.node,
+              ($base * (SELECT u FROM pr_unit) + $dampNum * coalesce(c.csum, 0)) // $dampDen AS r
+            FROM pr_nodes n LEFT JOIN pr_c$i c ON n.node = c.node)"""
+    }.mkString(",\n")
+    s"""pr_nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+      pr_outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
+      pr_unit AS (SELECT $scale // count(*) AS u FROM pr_nodes),
+      pr_r0 AS (SELECT node, (SELECT u FROM pr_unit) AS r FROM pr_nodes),
+      $rounds,
+      pr_final AS (SELECT node, r AS rank FROM pr_r$iters)"""
+  }
+}

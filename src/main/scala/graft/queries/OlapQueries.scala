@@ -367,6 +367,80 @@ object OlapQueries {
         SELECT vec_id, sum(qv * qq) AS score
         FROM quant JOIN qry USING (dim) WHERE vec_id <> 0
         GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10"""),
-      "int8 scalar-quantized ANN: 4x memory cut, integer-exact scoring")
+      "int8 scalar-quantized ANN: 4x memory cut, integer-exact scoring"),
+
+    // ---------------------------------------------------------- PageRank
+    // Iterative graph analytics: 5 damped PageRank rounds over the
+    // bipartite customer↔supplier trade graph (both directions, so the
+    // graph is strongly connected and mass circulates). Fixed-point
+    // integer arithmetic end-to-end — the oracle re-derives all five
+    // rank tables bit-for-bit via chained CTEs, the k-means pattern.
+    // Output: top-20 suppliers by rank.
+    "q128_pagerank" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        graft.operators.Graph.pageRankFixed(both, "src", "dst", iters = 5)
+          .filter($"node".startsWith("s"))
+          .orderBy($"rank".desc, $"node")
+          .limit(20)
+      },
+      Some(s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+            's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        edges AS (SELECT src, dst FROM cs
+          UNION SELECT dst AS src, src AS dst FROM cs),
+        ${graft.operators.Graph.pageRankOracleCtes(5)}
+        SELECT node, rank FROM pr_final WHERE node LIKE 's%'
+        ORDER BY rank DESC, node LIMIT 20"""),
+      "fixed-point PageRank over the customer-supplier graph, 5 oracled rounds"),
+
+    // ----------------------------------------------------------- c-TF-IDF
+    // Class-based TF-IDF (the BERTopic labeling trick, Grootendorst
+    // 2022): treat each `source` class as ONE concatenated document,
+    // weigh terms by tf_class · ln(1 + avg_class_tokens / corpus_tf).
+    // Top-5 terms per class name what distinguishes it. Two hash
+    // aggregates + a broadcast of the per-term corpus counts — the same
+    // vocabulary-bounded shuffle as q71's TF-IDF.
+    "q129_ctfidf_terms" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, d, "documents")
+          .select($"source", explode(split(lower($"text"), " ")).as("w"))
+        val classTf = toks.groupBy($"source", $"w").agg(count(lit(1)).as("tf"))
+        val corpusTf = toks.groupBy($"w").agg(count(lit(1)).as("ctf"))
+        val avgLen = classTf.groupBy($"source").agg(sum($"tf").as("len"))
+          .agg(avg($"len").as("a"))
+        val ranked = classTf
+          .join(corpusTf, "w")
+          .crossJoin(broadcast(avgLen))
+          .withColumn("score",
+            round($"tf" * log(lit(1.0) + $"a" / $"ctf"), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"source").orderBy($"score".desc, $"w")))
+          .filter($"rank" <= 5)
+        ranked.select($"source", $"rank".cast("int").as("rank"), $"w", $"score")
+          .orderBy($"source", $"rank")
+      },
+      Some("""WITH toks AS (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents),
+        class_tf AS (SELECT source, w, count(*) AS tf FROM toks GROUP BY source, w),
+        corpus_tf AS (SELECT w, count(*) AS ctf FROM toks GROUP BY w),
+        avg_len AS (SELECT avg(len) AS a FROM
+          (SELECT source, sum(tf) AS len FROM class_tf GROUP BY source)),
+        ranked AS (SELECT source, w,
+            round(tf * ln(1.0 + a / ctf), 6) AS score,
+            row_number() OVER (PARTITION BY source
+              ORDER BY round(tf * ln(1.0 + a / ctf), 6) DESC, w) AS rank
+          FROM class_tf JOIN corpus_tf USING (w) CROSS JOIN avg_len)
+        SELECT source, CAST(rank AS INTEGER) AS rank, w, score
+        FROM ranked WHERE rank <= 5 ORDER BY source, rank"""),
+      "c-TF-IDF: top-5 distinguishing terms per source class")
   )
 }

@@ -378,6 +378,63 @@ object StreamPipeline {
       }
   }
 
+  /** Streaming HLL distinct-count ([[graft.operators.Sketches.hllSketch]]'s
+    * streaming face): state per key is the m = 2^b register array — m
+    * BYTES, the smallest distinct-count state there is — updated by
+    * element-wise max, so late/duplicate/reordered data can never corrupt
+    * it. Same md5 register/ρ derivation and the same estimator arithmetic
+    * as the batch operator, so a streamed estimate equals the batch
+    * operator over the same stream prefix EXACTLY (pinned in
+    * StreamingSpec), and a restart from checkpointed state continues the
+    * same sketch. Emits (key, n_nonzero, est_distinct) per key per batch.
+    */
+  def hllDistinctStream(values: Dataset[(String, String)], b: Int,
+                        salt: String): Dataset[(String, Long, Double)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import values.sparkSession.implicits._
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be in {4,8,12,16}: $b")
+    val m = 1 << b
+    val alpha =
+      if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    def regRho(v: String): (Int, Int) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$salt:$v".getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      val reg = Integer.parseInt(hex.substring(0, b / 4), 16)
+      val tail = java.lang.Long.parseLong(hex.substring(b / 4, b / 4 + 14), 16)
+      // bitLength via nlz: tail < 2^56, tail==0 -> bitLength 0 -> capped
+      val rho = math.min(57 - (64 - java.lang.Long.numberOfLeadingZeros(tail)), 50)
+      (reg, rho)
+    }
+    values
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { r =>
+            val (reg, rho) = regRho(r._2)
+            if (rho > regs(reg)) regs(reg) = rho.toByte
+          }
+          state.update(regs)
+          val nz = regs.count(_ > 0).toLong
+          // identical arithmetic to Sketches.hllEstimate: exact integer
+          // 2^(50-rho) sum (zero registers contribute 2^50), then the
+          // same double expression tree and HALF_UP round to 2 decimals
+          val sumPow50 = regs.foldLeft(0L)((acc, r) => acc + (1L << (50 - r)))
+          val raw = (alpha * m) * m * math.pow(2.0, 50.0) / sumPow50.toDouble
+          val est =
+            if (raw <= 2.5 * m && nz < m)
+              m.toDouble * math.log(m.toDouble / (m - nz).toDouble)
+            else raw
+          Iterator((key, nz,
+            BigDecimal(est).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+  }
+
   def anomalyStream(values: Dataset[(String, java.sql.Timestamp, Long)],
                     lookback: Int, minObs: Int, z: Int,
                     watermark: String = "1 hour")

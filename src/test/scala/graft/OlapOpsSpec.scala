@@ -234,4 +234,44 @@ class OlapOpsSpec extends SparkSpec {
     assert(keep(10) == 11, s"longest copy (11) must be canonical: $keep")
     assert(keep(12) == 12)
   }
+
+  // -------------------------------------------------------------- PageRank
+
+  test("PageRank: symmetric cycle stays uniform; a hub out-ranks its spokes") {
+    import graft.operators.Graph
+    // 4-cycle with both directions: perfectly symmetric, ranks must stay
+    // equal to the initial unit for every node at every damping
+    val cyc = Seq(("a","b"),("b","c"),("c","d"),("d","a"))
+    val sym = (cyc ++ cyc.map(_.swap)).toDF("src", "dst")
+    val r1 = Graph.pageRankFixed(sym, "src", "dst", iters = 4)
+      .select($"rank").distinct().collect()
+    assert(r1.length == 1, s"symmetric cycle must have one rank value, got ${r1.toSeq}")
+
+    // star: every spoke links to the hub and back
+    val star = (1 to 6).flatMap(i => Seq(("hub", s"s$i"), (s"s$i", "hub")))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRankFixed(star, "src", "dst", iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((1 to 6).forall(i => ranks("hub") > ranks(s"s$i")),
+      s"hub must out-rank spokes: $ranks")
+  }
+
+  test("PageRank: result is identical under repartitioning (integer arithmetic)") {
+    import graft.operators.Graph
+    val edges = (1 to 60).map(i => (s"n${i % 10}", s"n${(i * 7) % 10}"))
+      .toDF("src", "dst")
+    val a = Graph.pageRankFixed(edges, "src", "dst", iters = 3)
+    val b = Graph.pageRankFixed(edges.repartition(7), "src", "dst", iters = 3)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "fixed-point ranks must not depend on the input partitioning")
+  }
+
+  test("PageRank: total mass never grows (dangling mass is dropped, not minted)") {
+    import graft.operators.Graph
+    // 'sink' has no out-edges: its mass drains each round
+    val edges = Seq(("a","b"),("b","a"),("a","sink"),("b","sink")).toDF("src","dst")
+    val total = Graph.pageRankFixed(edges, "src", "dst", iters = 5)
+      .agg(sum($"rank")).head().getLong(0)
+    assert(total <= 1000000L, s"mass grew: $total > scale")
+  }
 }

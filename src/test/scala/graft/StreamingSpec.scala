@@ -347,6 +347,47 @@ class StreamingSpec extends SparkSpec {
       "exactly the planted spike flags")
   }
 
+  test("hllDistinctStream equals the batch sketch estimate exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // key a: 300 distinct (harmonic-mean regime for b=4's m=16);
+    // key b: 2 distinct with duplicates (linear-counting regime,
+    // duplicate-insensitivity across batches)
+    val elemsA = (0 until 300).map(i => ("a", s"user$i"))
+    val elemsB = Seq(("b", "x"), ("b", "y"), ("b", "x"), ("b", "y"))
+    val all = elemsA ++ elemsB
+
+    val stream = MemoryStream[(String, String)]
+    val q = StreamPipeline.hllDistinctStream(stream.toDS(), b = 4, salt = "hs")
+      .toDF("k", "n_nonzero", "est")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hll_out").start()
+    stream.addData(all.take(150)) // state must carry across the split
+    q.processAllAvailable()
+    stream.addData(all.drop(150))
+    q.processAllAvailable()
+    q.stop()
+
+    // registers only grow, so the final (= max-est) row per key is the
+    // full-stream sketch
+    val streamed = spark.sql(
+        """SELECT k, n_nonzero, est FROM (
+             SELECT k, n_nonzero, est, row_number() OVER (
+               PARTITION BY k ORDER BY est DESC, n_nonzero DESC) AS rn FROM hll_out)
+           WHERE rn = 1""")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val batchOf = (key: String) => {
+      val rows = all.filter(_._1 == key).map(_._2).toDF("v")
+      graft.operators.Sketches.hllDistinct(rows, $"v", b = 4, salt = "hs")
+        .select($"n_nonzero", $"est_distinct")
+        .as[(Long, Double)].head()
+    }
+    assert(streamed("a") == batchOf("a"),
+      s"streamed a != batch: ${streamed("a")} vs ${batchOf("a")}")
+    assert(streamed("b") == batchOf("b"),
+      s"streamed b != batch: ${streamed("b")} vs ${batchOf("b")}")
+  }
+
   test("kmvDistinctStream converges to the batch sketch estimate exactly") {
     implicit val sqlCtx = spark.sqlContext
     val k = 16
