@@ -130,4 +130,36 @@ object TimeSeries {
             (col("win_n") * col("__Q") - col("__S") * col("__S")))
       .drop("__c", "__S", "__Q")
   }
+
+  /** Time-weighted average (TWAP) of an irregularly-sampled cents series
+    * per key: each sample's value holds until the NEXT sample
+    * (left-Riemann step function, the standard market-data convention);
+    * the final sample of a key carries no weight (its holding period is
+    * unobserved). Integer-exact: Σ(cents·seconds) and Σ(seconds) are
+    * long sums, so the result is deterministic under any partitioning
+    * and engine; only the final division is floating.
+    *
+    * `tieCol` breaks equal-timestamp orderings deterministically (the
+    * zero-duration ties contribute no weight themselves, but whichever
+    * sorts LAST inherits the holding period to the next distinct
+    * timestamp — so the order must be total). One window (lead) + one
+    * hash aggregate, both partitioned by key. Returns
+    * (key, twap, span_s). */
+  def twap(df: DataFrame, key: String, tsCol: String, tieCol: String,
+           cents: Column): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("__s"), col(tieCol))
+    df.withColumn("__c", cents.cast("long"))
+      .withColumn("__s", unix_timestamp(col(tsCol)))
+      .withColumn("__next", lead(col("__s"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("__dur", col("__next") - col("__s"))
+      .groupBy(col(key))
+      .agg(sum(col("__c") * col("__dur")).as("__num"),
+        sum(col("__dur")).as("span_s"))
+      // a key with one sample never reaches the aggregate (filtered
+      // above); all-zero spans (all samples simultaneous) yield null
+      .select(col(key),
+        round(col("__num").cast("double") / col("span_s") / 100.0, 6).as("twap"),
+        col("span_s"))
+  }
 }

@@ -441,6 +441,62 @@ object OlapQueries {
           FROM class_tf JOIN corpus_tf USING (w) CROSS JOIN avg_len)
         SELECT source, CAST(rank AS INTEGER) AS rank, w, score
         FROM ranked WHERE rank <= 5 ORDER BY source, rank"""),
-      "c-TF-IDF: top-5 distinguishing terms per source class")
+      "c-TF-IDF: top-5 distinguishing terms per source class"),
+
+    // ---------------------------------------------------------------- TWAP
+    // Time-weighted average over the irregular event stream: each value
+    // holds until the user's next event (left-Riemann step integral, the
+    // market-data convention). Long sums of cents·seconds keep it
+    // integer-exact; one lead() window + one hash aggregate, both
+    // partitioned by user.
+    "q130_twap" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.TimeSeries.twap(
+            t(s, d, "events").filter($"user_id" < 200),
+            "user_id", "ts", "event_id", round($"value" * 100).cast("long"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH base AS (SELECT user_id, event_id,
+            CAST(round(value*100) AS BIGINT) AS c,
+            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS s
+          FROM events WHERE user_id < 200),
+        stepped AS (SELECT user_id, c, s,
+            lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS nxt
+          FROM base)
+        SELECT user_id,
+          round(CAST(sum(c * (nxt - s)) AS DOUBLE) / sum(nxt - s) / 100.0, 6) AS twap,
+          sum(nxt - s) AS span_s
+        FROM stepped WHERE nxt IS NOT NULL
+        GROUP BY user_id ORDER BY user_id"""),
+      "time-weighted average price over irregular samples, integer-exact"),
+
+    // ----------------------------------------------------- BPE training
+    // Tokenizer training as a relational fixpoint: 6 byte-pair-encoding
+    // merge rounds over the corpus vocabulary (Sennrich ACL'16). The
+    // corpus is aggregated to (word, freq) ONCE — the only
+    // input-proportional shuffle — then every round is vocabulary-
+    // bounded: pair-count hash aggregate, deterministic argmax
+    // (cnt desc, lexicographic), greedy left-to-right merge via literal
+    // string replace. The oracle re-derives all 6 merge choices and
+    // counts bit-for-bit. See [[graft.operators.Bpe]].
+    "q131_bpe_merges" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val words = t(s, d, "documents")
+          .select(explode(split(lower($"text"), " ")).as("w"))
+          .filter($"w".rlike("^[a-z0-9]+$"))
+          .groupBy($"w").agg(count(lit(1)).as("freq"))
+        graft.operators.Bpe.trainMerges(words, "w", "freq", rounds = 6)
+          .orderBy($"round")
+      },
+      Some(s"""WITH bpe_words AS (
+          SELECT w AS word, count(*) AS freq FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+          WHERE regexp_matches(w, '^[a-z0-9]+$$')
+          GROUP BY w),
+        ${graft.operators.Bpe.bpeOracleCtes(6)}
+        SELECT round, l, r, cnt FROM bpe_merges ORDER BY round"""),
+      "distributed BPE tokenizer training: 6 oracled merge rounds")
   )
 }

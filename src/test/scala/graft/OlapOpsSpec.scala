@@ -266,6 +266,55 @@ class OlapOpsSpec extends SparkSpec {
       "fixed-point ranks must not depend on the input partitioning")
   }
 
+  // ------------------------------------------------------------ TWAP
+
+  test("TWAP weighs values by holding time; simultaneous samples carry no weight") {
+    import graft.operators.TimeSeries
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // value 100 held 3s, value 200 held 1s -> twap (300+200)/4 = 1.25
+    // the (t=0, id=0) sample is displaced by the id=1 tie at the same
+    // instant: zero duration, no weight
+    val df = Seq(
+      (1L, ts(0), 0L, 9.99), // zero-duration tie, must not contribute
+      (1L, ts(0), 1L, 1.00),
+      (1L, ts(3), 2L, 2.00),
+      (1L, ts(4), 3L, 7.77)  // terminal sample: no holding period
+    ).toDF("user_id", "ts", "event_id", "v")
+    val r = TimeSeries.twap(df, "user_id", "ts", "event_id",
+      round($"v" * 100).cast("long")).head()
+    assert(r.getDouble(1) == 1.25 && r.getLong(2) == 4L, s"$r")
+  }
+
+  // ------------------------------------------------------------- BPE
+
+  test("BPE greedy merge: overlapping runs merge left-to-right, non-overlapping") {
+    import graft.operators.Bpe
+    // 'aaa' + pair (a,a): ONE merge (left pair), the third 'a' survives;
+    // round 2 then merges (aa, a)
+    val m = Bpe.trainMerges(Seq(("aaa", 1L)).toDF("w", "f"), "w", "f", rounds = 2)
+      .orderBy($"round").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1, "a", "a", 2L)), s"round 1: ${m(0)}")
+    assert(m(1) == ((2, "aa", "a", 1L)), s"round 2: ${m(1)}")
+  }
+
+  test("BPE greedy merge: back-to-back occurrences all merge in one round") {
+    import graft.operators.Bpe
+    // 'abab': (a,b) appears twice and both merge in round 1 (the shared
+    // separator must not hide the second occurrence); round 2 = (ab, ab)
+    val m = Bpe.trainMerges(Seq(("abab", 1L)).toDF("w", "f"), "w", "f", rounds = 2)
+      .orderBy($"round").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1, "a", "b", 2L)), s"round 1: ${m(0)}")
+    assert(m(1) == ((2, "ab", "ab", 1L)), s"round 2: ${m(1)}")
+  }
+
+  test("BPE argmax ties break lexicographically; frequency weights count") {
+    import graft.operators.Bpe
+    // (z,w) and (x,y) both have weighted count 3; (x,y) wins the tie
+    val words = Seq(("zw", 3L), ("xy", 2L), ("xyq", 1L)).toDF("w", "f")
+    val m = Bpe.trainMerges(words, "w", "f", rounds = 1).head()
+    assert((m.getString(1), m.getString(2), m.getLong(3)) == (("x", "y", 3L)), s"$m")
+  }
+
   test("PageRank: total mass never grows (dangling mass is dropped, not minted)") {
     import graft.operators.Graph
     // 'sink' has no out-edges: its mass drains each round
