@@ -40,20 +40,37 @@ object Graph {
     * variant; total mass therefore decays slightly, which is harmless
     * for RANKING and keeps the recurrence strictly local (no global
     * mass term to agree on). */
+  /** `broadcastRanks` picks the per-round join regime — an explicit
+    * choice because the rank table is a stat-less checkpoint AQE cannot
+    * size:
+    *  - `true` (default): edges partition by dst; each round BROADCASTS
+    *    the node-sized rank table, so the contribution join is
+    *    exchange-free and the groupBy(dst) reuses the checkpoint
+    *    partitioning — zero per-round edge shuffles. Right whenever the
+    *    rank table (one long per node) fits an executor — hundreds of
+    *    millions of nodes.
+    *  - `false`: edges partition by src; each round shuffle-joins the
+    *    rank table on src (aligned — only the node-sized rank moves)
+    *    and pays one dst exchange for the aggregate. The
+    *    billions-of-nodes regime. */
   def pageRankFixed(edges: DataFrame, src: String, dst: String, iters: Int,
                     dampNum: Int = 85, dampDen: Int = 100,
-                    scale: Long = 1000000L): DataFrame = {
+                    scale: Long = 1000000L,
+                    broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum && scale > 0,
       s"bad params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
     val spark = edges.sparkSession
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+    val eDistinct = edges.select(col(src).as("src"), col(dst).as("dst"))
       .distinct()
-      .repartition(col("src"))
-      .localCheckpoint() // reused every round: one upfront shuffle on src
+    val outdeg = eDistinct.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // materialize (src, dst, odeg) ONCE, pre-partitioned for the chosen
+    // regime; the degree table is never re-joined after this
+    val e = eDistinct.join(outdeg, "src")
+      .repartition(if (broadcastRanks) col("dst") else col("src"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     // N and the base unit travel as a one-row broadcast, never a collect;
     // integer div (Spark `/` on longs would widen to double)
     val unit = nodes.agg(count(lit(1)).as("n"))
@@ -62,9 +79,9 @@ object Graph {
       .select(col("node"), col("u").as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      val rankBySrc = rank.withColumnRenamed("node", "src")
       val contrib = e
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
+        .join(if (broadcastRanks) broadcast(rankBySrc) else rankBySrc, "src")
         .select(col("dst"), expr("r div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
       rank = nodes.crossJoin(broadcast(unit))
