@@ -365,6 +365,53 @@ object Sketches {
   def hllDistinct(df: DataFrame, key: Column, b: Int, salt: String): DataFrame =
     hllEstimate(hllSketch(df, key, b, salt), b)
 
+  /** Per-GROUP HLL registers: one hash aggregate keyed by
+    * (groups, register) — state is ≤ m rows per group no matter how many
+    * rows feed it, and the same element-wise-max merge closure holds per
+    * group. The KMV twin ([[kmvSketchGrouped]]) needs a per-group
+    * window; registers don't even need that. */
+  def hllSketchGrouped(df: DataFrame, groups: Seq[String], key: Column,
+                       b: Int, salt: String): DataFrame = {
+    require(b % 4 == 0 && b >= 4 && b <= 16, s"b must be in {4,8,12,16}: $b")
+    df.select(groups.map(col) :+
+        md5(concat(lit(s"$salt:"), key.cast("string"))).as("h"): _*)
+      .select(groups.map(col) ++ Seq(
+        conv(substring(col("h"), 1, b / 4), 16, 10).cast("int").as("reg"),
+        conv(substring(col("h"), b / 4 + 1, 14), 16, 10).cast("long").as("v")): _*)
+      .groupBy(groups.map(col) :+ col("reg"): _*)
+      .agg(max(least(lit(57) - length(bin(col("v"))), lit(50))).as("rho"))
+  }
+
+  /** Per-group estimate from a [[hllSketchGrouped]] frame — the same
+    * integer-exact estimator as [[hllEstimate]], one row per group. */
+  def hllEstimateGrouped(sketch: DataFrame, groups: Seq[String],
+                         b: Int): DataFrame = {
+    val m = 1 << b
+    val alpha =
+      if (m >= 128) 0.7213 / (1 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    sketch
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_nonzero"),
+        sum(pow(lit(2.0), lit(50) - col("rho")).cast("long")).as("__present"))
+      .select(groups.map(col) ++ Seq(col("n_nonzero"),
+        (col("__present") +
+          (lit(m.toLong) - col("n_nonzero")) * lit(1L << 50)).as("sum_pow50")): _*)
+      .select(groups.map(col) ++ Seq(col("n_nonzero"), col("sum_pow50"),
+        round(
+          when(
+            lit(alpha * m) * m * pow(lit(2.0), lit(50.0)) /
+              col("sum_pow50").cast("double") <= lit(2.5 * m) &&
+              col("n_nonzero") < m,
+            lit(m.toDouble) * log(lit(m.toDouble) /
+              (lit(m.toLong) - col("n_nonzero")).cast("double")))
+            .otherwise(lit(alpha * m) * m * pow(lit(2.0), lit(50.0)) /
+              col("sum_pow50").cast("double")),
+          2).as("est_distinct")): _*)
+  }
+
   /** DuckDB CTEs re-deriving the identical sketch + estimate from
     * `keyExpr` (a VARCHAR SQL expression) over `fromSql` (a FROM body).
     * Exposes CTE `hll(n_nonzero, sum_pow50, est_distinct)`. */

@@ -497,6 +497,71 @@ object OlapQueries {
           GROUP BY w),
         ${graft.operators.Bpe.bpeOracleCtes(6)}
         SELECT round, l, r, cnt FROM bpe_merges ORDER BY round"""),
-      "distributed BPE tokenizer training: 6 oracled merge rounds")
+      "distributed BPE tokenizer training: 6 oracled merge rounds"),
+
+    // -------------------------------------------------- hybrid retrieval
+    // BM25 ∪ embedding ANN fused by reciprocal rank (RRF, Cormack et al.
+    // SIGIR'09: score = Σ 1/(60 + rank)) — the standard hybrid-search
+    // composition, here literally composing q121's lexical ranker with
+    // q46's cosine ranker over the shared id space. Rank lists are 20
+    // rows, so the fusion windows/joins are bounded; the heavy lifting
+    // stays in the two rankers, each already scale-shaped.
+    "q132_hybrid_rrf" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val lex = Ranking.bm25TopK(
+            t(s, d, "documents").filter($"doc_id" =!= 0), "doc_id", "text",
+            Seq("join", "vector", "window"), topK = 20)
+          .withColumn("rl", row_number().over(
+            Window.orderBy($"score".desc, $"doc_id")))
+          .select($"doc_id", $"rl")
+        val e = t(s, d, "embeddings")
+        val sem = graft.operators.Similarity.bruteForceTopK(
+            e.filter($"vec_id" === 0), e.filter($"vec_id" =!= 0),
+            "vec_id", "embedding", 20)
+          .select($"cand_id".as("doc_id"), $"rank".as("rs"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .select($"doc_id",
+            round(
+              coalesce(lit(1.0) / (lit(60) + $"rl"), lit(0.0)) +
+                coalesce(lit(1.0) / (lit(60) + $"rs"), lit(0.0)),
+              6).as("rrf"))
+          .orderBy($"rrf".desc, $"doc_id").limit(10)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+          FROM documents WHERE doc_id <> 0),
+        dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        qt AS (SELECT * FROM t WHERE w IN ('join','vector','window')),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM qt GROUP BY doc_id, w),
+        df AS (SELECT w, count(*) AS df FROM
+          (SELECT DISTINCT doc_id, w FROM qt) GROUP BY w),
+        lex20 AS (SELECT tf.doc_id AS doc_id,
+            round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+              * (tf * (1.2 + 1)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS score
+          FROM tf JOIN df USING (w) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats
+          GROUP BY tf.doc_id ORDER BY score DESC, doc_id LIMIT 20),
+        lex AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rl
+          FROM lex20),
+        qv AS (SELECT vec_id, embedding,
+            sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)
+                  FROM range(1, 65) t(i))) AS nrm
+          FROM embeddings WHERE vec_id = 0),
+        cv AS (SELECT vec_id, embedding,
+            sqrt((SELECT sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE)
+                  FROM range(1, 65) t(i))) AS nrm
+          FROM embeddings WHERE vec_id <> 0),
+        sem20 AS (SELECT c.vec_id AS doc_id,
+            (SELECT sum(q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)
+             FROM range(1, 65) t(i)) / (q.nrm * c.nrm) AS sim
+          FROM qv q, cv c ORDER BY sim DESC, doc_id LIMIT 20),
+        sem AS (SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS rs
+          FROM sem20)
+        SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+          round(coalesce(1.0 / (60 + rl), 0) + coalesce(1.0 / (60 + rs), 0), 6) AS rrf
+        FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 10"""),
+      "hybrid search: BM25 + cosine ANN fused by reciprocal rank (RRF)")
   )
 }

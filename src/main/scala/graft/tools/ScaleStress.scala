@@ -66,7 +66,18 @@ object ScaleStress {
       // weighted sampler's two-level cumsum, and the one-join
       // reconciliation diff
       "q111_prefix_jaccard", "q102_resample_ffill", "q108_weighted_sample",
-      "q113_snapshot_diff")
+      "q113_snapshot_diff",
+      // round-6 additions: multidimensional grouping (Expand over the
+      // replicated fact stream), span fingerprints (windows scale with
+      // corpus bytes; the duplicated-span GROUPS stay hash-bounded —
+      // replicas make every span 10x-duplicated, the worst case), the
+      // sketch whose state never grows (HLL), PageRank (edge table 10x,
+      // rank state 10x, rounds constant), and BPE (the corpus aggregate
+      // is the only input-proportional stage — the merge rounds run on
+      // the vocabulary, which replication leaves UNCHANGED, so the
+      // ratio should sit well under the factor)
+      "q118_cube_flagstatus", "q124_duplicate_spans", "q123_hll_distinct",
+      "q128_pagerank", "q131_bpe_merges")
     queries.foreach { name =>
       def run(dir: String): Double = {
         val t0 = System.nanoTime()

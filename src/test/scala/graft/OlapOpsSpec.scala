@@ -117,6 +117,19 @@ class OlapOpsSpec extends SparkSpec {
     }
   }
 
+  test("grouped HLL equals the per-group ungrouped sketch exactly") {
+    val df = (1 to 2000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val grouped = Sketches.hllEstimateGrouped(
+      Sketches.hllSketchGrouped(df, Seq("g"), $"v", 8, "gg"), Seq("g"), 8)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketches.hllDistinct(df.filter($"g" === g).select($"v"), $"v", 8, "gg")
+        .collect().head
+      assert(grouped(g) == ((solo.getLong(0), solo.getLong(1), solo.getDouble(2))),
+        s"group $g diverged: ${grouped(g)} vs $solo")
+    }
+  }
+
   test("HLL duplicate-insensitivity: multiplicity never changes the sketch") {
     val once = (1 to 1000).map(i => s"d$i").toDF("k")
     val thrice = once.union(once).union(once)
