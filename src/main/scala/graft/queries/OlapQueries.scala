@@ -380,7 +380,13 @@ object OlapQueries {
       (s, d) => {
         import s.implicits._
         val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+        // two nations' customers: thousands of nodes — plenty for the
+        // operator demo while keeping the suite's iterative tail short
+        // (the operator itself is scale-shaped; see ScaleStress x10)
+        val cust = t(s, d, "customer")
+          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
         val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+          .join(cust, col("o_custkey") === cust("c_custkey"))
         val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
           .select(concat(lit("c"), $"o_custkey").as("src"),
             concat(lit("s"), $"l_suppkey").as("dst"))
@@ -392,7 +398,9 @@ object OlapQueries {
       },
       Some(s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
             's' || CAST(l_suppkey AS VARCHAR) AS dst
-          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_nationkey IN (7, 8)),
         edges AS (SELECT src, dst FROM cs
           UNION SELECT dst AS src, src AS dst FROM cs),
         ${graft.operators.Graph.pageRankOracleCtes(5)}
