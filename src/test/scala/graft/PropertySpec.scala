@@ -100,4 +100,99 @@ class PropertySpec extends SparkSpec {
       idxs.foreach(i => assert(out(i) == i * 7L, s"observed bucket $i must keep its value"))
     }
   }
+
+  test("BPE merges equal an independent reference implementation on random corpora") {
+    import graft.operators.Bpe
+    // straight-line reference: mutable pair counts + greedy vector merge,
+    // sharing NO code with the relational operator
+    def refBpe(words: Seq[(String, Long)], rounds: Int): Seq[(Int, String, String, Long)] = {
+      var st = words.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      (1 to rounds).flatMap { r =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- st; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        if (counts.isEmpty) Seq.empty
+        else {
+          val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+          st = st.map { case (syms, f) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == rr) {
+                out += (l + rr); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), f)
+          }
+          Seq((r, l, rr, c))
+        }
+      }
+    }
+    val word = Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c')).map(_.take(6).mkString)
+    val corpus = Gen.nonEmptyListOf(Gen.zip(word, Gen.chooseNum(1L, 5L)))
+      .map(_.take(8).distinctBy(_._1))
+    samples(corpus, 4).foreach { words =>
+      val got = Bpe.trainMerges(words.toDF("w", "f"), "w", "f", rounds = 3)
+        .orderBy($"round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val want = refBpe(words, 3)
+      assert(got == want, s"corpus $words:\n got $got\nwant $want")
+    }
+  }
+
+  test("binned range join equals the naive inequality join on random inputs") {
+    import graft.operators.RangeJoin
+    import org.apache.spark.sql.functions.col
+    val ivGen = Gen.zip(Gen.chooseNum(0L, 100L), Gen.chooseNum(-5L, 30L))
+      .map { case (lo, len) => (lo, lo + len) } // includes empty/inverted
+    val caseGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.chooseNum(0L, 110L)).map(_.take(40)),
+      Gen.nonEmptyListOf(ivGen).map(_.take(15)),
+      Gen.chooseNum(1L, 13L))
+    samples(caseGen, 4).foreach { case (pts, ivs, w) =>
+      val p = pts.toDF("pt")
+      val iv = ivs.zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+        .toDF("iv", "lo", "hi")
+      val got = RangeJoin.pointInInterval(p, col("pt"), iv, col("lo"), col("hi"), w)
+        .select($"iv", $"pt").as[(Int, Long)].collect().sorted.toSeq
+      val want = (for {
+        pt <- pts; ((lo, hi), i) <- ivs.zipWithIndex
+        if lo <= pt && pt < hi
+      } yield (i, pt)).sorted
+      assert(got == want, s"binWidth=$w pts=$pts ivs=$ivs")
+    }
+  }
+
+  test("TWAP equals the direct step-integral on random event sets") {
+    import graft.operators.TimeSeries
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val evGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0L, 50L), Gen.chooseNum(1L, 999L))).map(_.take(12))
+    samples(evGen, 4).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((t, c), i) =>
+        (1L, new java.sql.Timestamp(t * 1000), i.toLong, c / 100.0)
+      }
+      val df = rows.toDF("k", "ts", "id", "v")
+      val got = TimeSeries.twap(df, "k", "ts", "id", sround(col("v") * 100).cast("long"))
+        .collect().headOption.map(r => (r.getDouble(1), r.getLong(2)))
+      // direct: sort by (t, id), value holds to the next sample
+      val sorted = evs.zipWithIndex.map { case ((t, c), i) => (t, i, c) }
+        .sortBy { case (t, i, _) => (t, i) }
+      val steps = sorted.zip(sorted.tail).map { case ((t1, _, c), (t2, _, _)) =>
+        (c * (t2 - t1), t2 - t1)
+      }
+      val span = steps.map(_._2).sum
+      if (evs.size < 2 || span == 0) {
+        // single sample never reaches the aggregate; all-simultaneous
+        // samples divide by a zero span (Infinity) — just require no crash
+        assert(got.isEmpty || span == 0)
+      } else {
+        val num = steps.map(_._1).sum
+        val want = BigDecimal(num.toDouble / span / 100.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got.contains((want, span)), s"evs=$evs got=$got want=($want, $span)")
+      }
+    }
+  }
 }
