@@ -230,4 +230,51 @@ class ScalePostureSpec extends SparkSpec {
     assert(!plan2.contains("Exchange SinglePartition"),
       s"z-score trailing window must stay key-partitioned:\n${plan2.take(800)}")
   }
+
+  test("BM25 cuts the token stream to the query vocabulary BEFORE any shuffle") {
+    val q = graft.operators.Ranking.bm25TopK(
+      Tables(spark, sf("sf0.001"), "documents"), "doc_id", "text",
+      Seq("join", "vector"), topK = 10)
+    val plan = q.queryExecution.executedPlan
+    // every Exchange in the tf branch must sit ABOVE the isin filter:
+    // no exchange's subtree may contain an exploded-token Generate that
+    // is not already filtered. Mechanically: each Exchange subtree that
+    // contains a Generate must also contain the vocabulary Filter.
+    val offenders = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+          if e.toString.contains("Generate") &&
+            !e.toString.contains("IN (join,vector)") &&
+            !e.toString.contains(" INSET ") => e
+    }
+    // the dl (doc length) branch legitimately aggregates ALL tokens
+    // (BM25 normalizes by full document length) — allow exactly that one
+    assert(offenders.size <= 1,
+      s"unfiltered token streams reached ${offenders.size} shuffles:\n" +
+        offenders.map(_.toString.take(400)).mkString("\n---\n"))
+  }
+
+  test("HLL register aggregate is partial+final hash aggregation (map-side combine)") {
+    val q = graft.operators.Sketches.hllSketch(
+      Tables(spark, sf("sf0.001"), "lineitem"), $"l_orderkey", 8, "p")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"),
+      s"register max must be a hash aggregate:\n${plan.take(600)}")
+    assert(!plan.contains("SortAggregate") && !plan.contains("ObjectHashAggregate"),
+      s"register state must stay on the codegen hash-agg fast path:\n${plan.take(600)}")
+  }
+
+  test("grouped top-k via TopKPairs aggregates map-side (partial before the exchange)") {
+    val topk = udaf(graft.functions.Aggregators.TopKPairs(3))
+    val q = Tables(spark, sf("sf0.001"), "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(topk($"l_partkey", $"l_orderkey").as("top"))
+    val plan = q.queryExecution.executedPlan.toString
+    // typed Aggregators plan as ObjectHashAggregate — the documented
+    // trade-off — but MUST still split into partial + final around the
+    // exchange so each mapper ships k pairs per group, not its rows
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed aggregator should object-hash-aggregate:\n${plan.take(600)}")
+    val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregation, got $aggs:\n${plan.take(800)}")
+  }
 }
