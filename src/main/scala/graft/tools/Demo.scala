@@ -68,6 +68,30 @@ object Demo {
     val fr = Multimodal.sampleFrames(dec, 2)
     println(s"DEMO3 multimodal: decoded=${dec.count()} frames=${fr.count()} " +
       s"digestLen=${dec.collect()(0).digest.length}")
+
+    // 4 — corpus toolkit: BM25 retrieval + BPE tokenizer training
+    val corpus = Seq(
+      (1L, "spark shuffles data between stages"),
+      (2L, "spark broadcasts small tables"),
+      (3L, "tokenizers split text into subwords")).toDF("doc_id", "text")
+    val hits = graft.operators.Ranking
+      .bm25TopK(corpus, "doc_id", "text", Seq("spark", "tables"), topK = 2)
+      .collect().map(_.getLong(0)).mkString(",")
+    val wordFreq = corpus
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("f"))
+    val merges = graft.operators.Bpe.trainMerges(wordFreq, "w", "f", rounds = 3)
+      .orderBy($"round").collect()
+      .map(r => s"${r.getString(1)}+${r.getString(2)}").mkString(" ")
+    println(s"DEMO4 corpus: bm25Top=[$hits] bpeMerges=[$merges]")
+
+    // 5 — iterative graph analytics: fixed-point PageRank
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val top = graft.operators.Graph.pageRankFixed(edges, "src", "dst", iters = 5)
+      .orderBy(col("rank").desc, col("node")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"DEMO5 graph: pagerank($top)")
     spark.stop()
   }
 }
