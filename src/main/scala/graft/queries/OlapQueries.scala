@@ -570,6 +570,53 @@ object OlapQueries {
           round(coalesce(1.0 / (60 + rl), 0) + coalesce(1.0 / (60 + rs), 0), 6) AS rrf
         FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
         ORDER BY rrf DESC, doc_id LIMIT 10"""),
-      "hybrid search: BM25 + cosine ANN fused by reciprocal rank (RRF)")
+      "hybrid search: BM25 + cosine ANN fused by reciprocal rank (RRF)"),
+
+    // ------------------------------------------------------ MAD outliers
+    // Robust outlier detection: median absolute deviation with the
+    // normal-consistency constant (flag |x−med| > 3·1.4826·MAD) — the
+    // estimator IQR (q07) users reach for when even the quartiles are
+    // contaminated. Exactness discipline: prices quantize to integer
+    // cents first, so both medians interpolate to exact halves (no
+    // cross-engine interpolation ulp) and the comparison threshold is
+    // bit-identical; money only becomes float at the rounded output.
+    // Two grouped exact-percentile aggregates + one broadcast-sized
+    // join back — no window over data rows.
+    "q133_mad_outliers" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select($"l_returnflag".as("flag"),
+            round($"l_extendedprice" * 100).cast("long").as("c"))
+        val med = li.groupBy($"flag")
+          .agg(percentile($"c", lit(0.5)).as("med_c"), count(lit(1)).as("n"))
+        val dev = li.join(broadcast(med), "flag")
+          .withColumn("adev", abs($"c" - $"med_c"))
+        val mad = dev.groupBy($"flag")
+          .agg(percentile($"adev", lit(0.5)).as("mad_c"))
+        dev.join(broadcast(mad), "flag")
+          .withColumn("is_out", $"adev" > lit(3) * lit(1.4826) * $"mad_c")
+          .groupBy($"flag")
+          .agg(max($"n").as("n"),
+            round(max($"med_c") / 100.0, 6).as("median"),
+            round(max($"mad_c") / 100.0, 6).as("mad"),
+            sum($"is_out".cast("long")).as("n_outliers"))
+          .orderBy($"flag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag,
+            CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
+        med AS (SELECT flag, quantile_cont(c, 0.5) AS med_c, count(*) AS n
+          FROM li GROUP BY flag),
+        dev AS (SELECT li.flag AS flag, c, abs(c - med_c) AS adev, med_c, n
+          FROM li JOIN med ON li.flag = med.flag),
+        mad AS (SELECT flag, quantile_cont(adev, 0.5) AS mad_c
+          FROM dev GROUP BY flag)
+        SELECT dev.flag AS flag, max(n) AS n,
+          round(max(med_c) / 100.0, 6) AS median,
+          round(max(mad_c) / 100.0, 6) AS mad,
+          sum(CAST(adev > 3 * 1.4826 * mad_c AS BIGINT)) AS n_outliers
+        FROM dev JOIN mad ON dev.flag = mad.flag
+        GROUP BY dev.flag ORDER BY flag"""),
+      "MAD robust outliers per group, interpolation-exact via cents quantization")
   )
 }

@@ -435,6 +435,44 @@ object StreamPipeline {
       }
   }
 
+  /** Streaming heavy hitters via the Misra-Gries summary (Misra &
+    * Gries, "Finding repeated elements", Sci.Comp.Prog. 1982): per key,
+    * at most `k` (item, counter) pairs — O(keys × k) state forever. The
+    * deterministic guarantee (NOT sensitive to arrival order): after N
+    * items, every item with true frequency > N/(k+1) is PRESENT in the
+    * summary, and each reported counter lower-bounds the true count by
+    * at most N/(k+1). The streaming twin of the batch count-min
+    * operator (q101) — count-min never undercounts, MG never
+    * over-counts; together they bracket. Emits the key's full summary
+    * (key, item, count) each batch. */
+  def heavyHittersStream(values: Dataset[(String, String)],
+                         k: Int): Dataset[(String, String, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import values.sparkSession.implicits._
+    require(k >= 1, s"k must be >= 1: $k")
+    values
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String)],
+         state: GroupState[Map[String, Long]]) =>
+          var s = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { r =>
+            val item = r._2
+            s.get(item) match {
+              case Some(c) => s = s.updated(item, c + 1)
+              case None if s.size < k => s = s.updated(item, 1L)
+              case None => // decrement-all: the MG eviction step
+                s = s.flatMap { case (i, c) =>
+                  if (c > 1) Some(i -> (c - 1)) else None
+                }
+            }
+          }
+          state.update(s)
+          s.toSeq.sortBy { case (i, c) => (-c, i) }
+            .iterator.map { case (i, c) => (key, i, c) }
+      }
+  }
+
   def anomalyStream(values: Dataset[(String, java.sql.Timestamp, Long)],
                     lookback: Int, minObs: Int, z: Int,
                     watermark: String = "1 hour")

@@ -347,6 +347,51 @@ class StreamingSpec extends SparkSpec {
       "exactly the planted spike flags")
   }
 
+  test("heavyHittersStream honors the Misra-Gries guarantees across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // 300 items: 'hot' appears 120x (40% >> N/(k+1) = 20%), the rest is
+    // a spread of cold items — hot MUST survive with count in
+    // [true - N/(k+1), true]; nothing may ever over-count
+    val k = 4
+    val hot = Seq.fill(120)(("a", "hot"))
+    val cold = (0 until 180).map(i => ("a", s"c${i % 60}"))
+    // interleave deterministically, then split mid-batch
+    val all = (hot ++ cold).zipWithIndex.sortBy { case (_, i) => i * 37 % 300 }.map(_._1)
+
+    val stream = MemoryStream[(String, String)]
+    val q = StreamPipeline.heavyHittersStream(stream.toDS(), k)
+      .toDF("k", "item", "cnt")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hh_out").start()
+    stream.addData(all.take(130))
+    q.processAllAvailable()
+    stream.addData(all.drop(130))
+    q.processAllAvailable()
+    q.stop()
+
+    // last batch's emission = the final summary (batches re-emit, take
+    // the max count per item: counters only reflect the latest state,
+    // and 'hot' grows monotonically here)
+    val last = spark.sql(
+        """SELECT item, cnt FROM (
+             SELECT item, cnt, row_number() OVER (
+               PARTITION BY item ORDER BY cnt DESC) AS rn FROM hh_out)
+           WHERE rn = 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val n = all.size
+    val slack = n / (k + 1)
+    assert(last.contains("hot"), s"40% item must survive MG with k=$k: $last")
+    assert(last("hot") <= 120, s"MG must never over-count: ${last("hot")}")
+    assert(last("hot") >= 120 - slack,
+      s"undercount bound violated: ${last("hot")} < ${120 - slack}")
+    // no counter may exceed its item's true frequency
+    val trueCounts = all.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    last.foreach { case (i, c) =>
+      assert(c <= trueCounts(i), s"$i over-counted: $c > ${trueCounts(i)}")
+    }
+  }
+
   test("hllDistinctStream equals the batch sketch estimate exactly") {
     implicit val sqlCtx = spark.sqlContext
     // key a: 300 distinct (harmonic-mean regime for b=4's m=16);
