@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics as relational fixpoints — the PageRank
@@ -59,7 +59,6 @@ object Graph {
                     broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum && scale > 0,
       s"bad params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
-    val spark = edges.sparkSession
     val eDistinct = edges.select(col(src).as("src"), col(dst).as("dst"))
       .distinct()
     val outdeg = eDistinct.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
