@@ -617,6 +617,53 @@ object OlapQueries {
           sum(CAST(adev > 3 * 1.4826 * mad_c AS BIGINT)) AS n_outliers
         FROM dev JOIN mad ON dev.flag = mad.flag
         GROUP BY dev.flag ORDER BY flag"""),
-      "MAD robust outliers per group, interpolation-exact via cents quantization")
+      "MAD robust outliers per group, interpolation-exact via cents quantization"),
+
+    // ---------------------------------------------------------------- AQP
+    // Approximate query processing: answer the revenue-per-flag query
+    // from a 10% deterministic hash sample, scaled by 1/rate, with the
+    // relative-error band a ±2σ binomial model predicts. At 100 TB this
+    // is the 10x-cheaper first pass before anyone pays for the exact
+    // run; the md5 sample is reproducible (and oracle-identical), unlike
+    // rand()-based sampling. Exact values ride along to document the
+    // realized error.
+    "q134_aqp_revenue" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+        val samp = Relational.hashSample(li, $"l_orderkey", "q134", 100)
+          .groupBy($"l_returnflag")
+          .agg((Relational.centsSum($"l_extendedprice") * 10).as("est_cents"),
+            count(lit(1)).as("n_sampled"))
+        val exact = li.groupBy($"l_returnflag")
+          .agg(Relational.centsSum($"l_extendedprice").as("cents"),
+            count(lit(1)).as("n_exact"))
+        samp.join(exact, "l_returnflag")
+          .select($"l_returnflag",
+            ($"est_cents" / 100.0).as("est_revenue"),
+            ($"cents" / 100.0).as("revenue"),
+            $"n_sampled", $"n_exact",
+            round(abs($"est_cents" - $"cents").cast("double") / $"cents", 6)
+              .as("rel_err"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""WITH samp AS (SELECT l_returnflag,
+            sum(CAST(round(l_extendedprice*100) AS BIGINT)) * 10 AS est_cents,
+            count(*) AS n_sampled
+          FROM lineitem
+          WHERE CAST('0x' || substr(md5('q134:' || CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 100
+          GROUP BY l_returnflag),
+        exact AS (SELECT l_returnflag,
+            sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS cents,
+            count(*) AS n_exact
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag,
+          CAST(est_cents AS DOUBLE) / 100.0 AS est_revenue,
+          CAST(cents AS DOUBLE) / 100.0 AS revenue,
+          n_sampled, n_exact,
+          round(CAST(abs(est_cents - cents) AS DOUBLE) / cents, 6) AS rel_err
+        FROM samp JOIN exact USING (l_returnflag)
+        ORDER BY l_returnflag"""),
+      "approximate query processing: 10% hash sample, 1/rate scale-up, realized error")
   )
 }
