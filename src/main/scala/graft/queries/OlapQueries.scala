@@ -588,6 +588,11 @@ object OlapQueries {
         val li = t(s, d, "lineitem")
           .select($"l_returnflag".as("flag"),
             round($"l_extendedprice" * 100).cast("long").as("c"))
+        // percentile buffers each group's values (the q59 trade-off,
+        // measured as this query's dominant cost); at 100 TB swap both
+        // medians for the histogram quantile engine
+        // (Relational.exactQuantilesQuantized run per group) — integer
+        // cents make the two formulations bit-identical
         val med = li.groupBy($"flag")
           .agg(percentile($"c", lit(0.5)).as("med_c"), count(lit(1)).as("n"))
         val dev = li.join(broadcast(med), "flag")
