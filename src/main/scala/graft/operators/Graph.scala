@@ -71,9 +71,15 @@ object Graph {
       .union(e.select(col("dst"))).distinct()
       .localCheckpoint()
     // N and the base unit travel as a one-row broadcast, never a collect;
-    // integer div (Spark `/` on longs would widen to double)
+    // integer div (Spark `/` on longs would widen to double). scale must
+    // exceed the node count or every rank floors to 0 — fail loudly at
+    // the first job instead of converging to all-zeros silently
     val unit = nodes.agg(count(lit(1)).as("n"))
-      .select(expr(s"${scale}L div n").as("u"))
+      .select(when(expr(s"${scale}L div n") > 0, expr(s"${scale}L div n"))
+        .otherwise(raise_error(concat(lit(
+          s"pageRankFixed: scale=$scale < node count n="), col("n"),
+          lit(" — every rank would floor to 0; raise scale"))))
+        .as("u"))
     var rank = nodes.crossJoin(broadcast(unit))
       .select(col("node"), col("u").as("r"))
       .localCheckpoint()

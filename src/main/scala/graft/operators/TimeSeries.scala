@@ -157,9 +157,13 @@ object TimeSeries {
       .agg(sum(col("__c") * col("__dur")).as("__num"),
         sum(col("__dur")).as("span_s"))
       // a key with one sample never reaches the aggregate (filtered
-      // above); all-zero spans (all samples simultaneous) yield null
+      // above). All-zero spans (every sample simultaneous) are an
+      // explicit null, NOT left to x/0: Spark doubles give Infinity
+      // there while SQL engines (the DuckDB oracle included) give NULL
       .select(col(key),
-        round(col("__num").cast("double") / col("span_s") / 100.0, 6).as("twap"),
+        when(col("span_s") > 0,
+          round(col("__num").cast("double") / col("span_s") / 100.0, 6))
+          .as("twap"),
         col("span_s"))
   }
 }

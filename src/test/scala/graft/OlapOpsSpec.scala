@@ -298,6 +298,28 @@ class OlapOpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 1.25 && r.getLong(2) == 4L, s"$r")
   }
 
+  test("TWAP of an all-simultaneous group is null, not Infinity") {
+    import graft.operators.TimeSeries
+    val t0 = new java.sql.Timestamp(0)
+    val df = Seq((1L, t0, 0L, 1.0), (1L, t0, 1L, 2.0), (1L, t0, 2L, 3.0))
+      .toDF("user_id", "ts", "event_id", "v")
+    val r = TimeSeries.twap(df, "user_id", "ts", "event_id",
+      round($"v" * 100).cast("long")).head()
+    assert(r.isNullAt(1), s"zero-span twap must be null (SQL semantics): $r")
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("PageRank fails loudly when scale is below the node count") {
+    import graft.operators.Graph
+    val edges = (1 to 50).map(i => (s"n$i", s"n${i % 50 + 1}")).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Graph.pageRankFixed(edges, "src", "dst", iters = 1, scale = 10L).count()
+    }
+    assert(ex.getMessage.contains("pageRankFixed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("pageRankFixed")),
+      s"expected the scale guard, got: ${ex.getMessage}")
+  }
+
   // ------------------------------------------------------------- BPE
 
   test("BPE greedy merge: overlapping runs merge left-to-right, non-overlapping") {
