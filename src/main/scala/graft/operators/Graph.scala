@@ -99,6 +99,67 @@ object Graph {
     rank.select(col("node"), col("r").as("rank"))
   }
 
+  /** Global triangle census of an undirected graph: nodes, edges,
+    * wedges (paths of length 2), triangles, and the transitivity ratio
+    * 3·T/W — one row. Algorithm: degree-ordered orientation
+    * ("compact-forward", Latapy, TCS 2008 / Schank & Wagner 2005):
+    * every edge points from the smaller to the larger endpoint in the
+    * total order (degree, id), then a triangle {u,v,w} with
+    * u < v < w in that order is found EXACTLY once, as the wedge
+    * (u→v, u→w) closed by the edge v→w.
+    *
+    * Scale shape: the orientation bounds every node's OUT-degree by
+    * O(√m) on any graph (a node keeps only neighbors of larger
+    * degree), so the wedge fan-out join is O(m^{3/2}) total work —
+    * the best known bound for exact triangle listing — instead of the
+    * Σ deg² blow-up of naive wedge generation on skewed graphs. Three
+    * shuffles: degree aggregate, wedge self-join on src, closing-edge
+    * equi-join on (v, w). The census row itself is a handful of
+    * broadcast-joined scalar aggregates. Wedge count W = Σ C(deg, 2)
+    * comes from the degree table, not the join.
+    *
+    * `pairs` carries one (idA, idB) row per edge in either direction;
+    * self-loops are dropped and duplicates deduped. Transitivity is
+    * null on wedge-free graphs (W = 0), not a division error. */
+  def triangleStats(pairs: DataFrame, idA: String, idB: String): DataFrame = {
+    // canonical undirected edge set, reused by degree/orient/closing join
+    val e = pairs
+      .select(least(col(idA), col(idB)).as("u"),
+        greatest(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // orient each edge toward the (deg, id)-larger endpoint; keep the
+    // destination's degree so later order comparisons need no re-join
+    val keyed = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val oriented = keyed.select(
+        when(uFirst, col("u")).otherwise(col("v")).as("src"),
+        when(uFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
+      .localCheckpoint()
+    // wedges at src with ordered endpoints, closed by an oriented v→w edge
+    val cand = oriented.select(col("src"), col("dst").as("wv"), col("ddeg").as("wvd"))
+      .join(oriented.select(col("src"), col("dst").as("ww"), col("ddeg").as("wwd")), "src")
+      .filter(struct(col("wvd"), col("wv")) < struct(col("wwd"), col("ww")))
+    val tri = cand.join(
+        oriented.select(col("dst").as("ww"), col("src").as("wv")),
+        Seq("wv", "ww"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val counts = e.agg(count(lit(1)).as("n_edges"))
+    val nodesAndWedges = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1L) div 2")).as("n_wedges"))
+    nodesAndWedges.crossJoin(broadcast(counts)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0,
+          round(lit(3L) * col("n_triangles") / col("n_wedges"), 6))
+          .as("transitivity"))
+  }
+
   /** DuckDB mirror of [[pageRankFixed]]: the identical integer
     * recurrence as `iters` chained CTE rounds (the k-means oracle
     * pattern). Expects a CTE `edges(src, dst)` (pre-distinct) to be in

@@ -131,6 +131,44 @@ object TimeSeries {
       .drop("__c", "__S", "__Q")
   }
 
+  /** Merge overlapping-or-touching [start, end] intervals per key — the
+    * interval-union primitive behind "total covered time" metrics
+    * (machine uptime, user engagement, sensor coverage). The classic
+    * running-max sweep as two windows: an interval starts a NEW merged
+    * group iff its start exceeds the max end of every earlier interval
+    * in its key (strictly — touching endpoints merge); the group id is
+    * then the running count of group-starts, and a hash aggregate
+    * collapses each group to (min start, max end, member count).
+    *
+    * All arithmetic on the caller-provided integer columns — no floats,
+    * so merged bounds reproduce exactly on any engine/partitioning.
+    * `tie` must complete a total order for keys with duplicate
+    * (start, end) rows (window-prefix semantics depend on it). Both
+    * windows and the aggregate partition by key: a key's intervals sit
+    * in one task, the scale bound is intervals-per-key, and no global
+    * sort or single-partition window exists anywhere.
+    *
+    * Returns (key, interval_start, interval_end, n_merged). */
+  def mergeIntervals(df: DataFrame, key: String, start: Column, end: Column,
+                     tie: Column): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__s"), col("__e"), tie)
+    val before = w.rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = w.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__s", start.cast("long"))
+      .withColumn("__e", end.cast("long"))
+      .withColumn("__new",
+        when(col("__s") > coalesce(max(col("__e")).over(before),
+          lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(upToHere))
+      .groupBy(col(key), col("__grp"))
+      .agg(min(col("__s")).as("interval_start"),
+        max(col("__e")).as("interval_end"),
+        count(lit(1)).as("n_merged"))
+      .select(col(key), col("interval_start"), col("interval_end"),
+        col("n_merged"))
+  }
+
   /** Time-weighted average (TWAP) of an irregularly-sampled cents series
     * per key: each sample's value holds until the NEXT sample
     * (left-Riemann step function, the standard market-data convention);

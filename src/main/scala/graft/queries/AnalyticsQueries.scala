@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Graph, TimeSeries}
+
+/** Round-6 analytics completions: the association/dependence family
+  * (co-occurrence PMI, chi-square independence, Markov transitions),
+  * interval-union coverage, blocked edit-distance entity resolution,
+  * and the exact triangle census that completes the graph trio
+  * (PageRank q128, connected components q75/q89).
+  *
+  * House discipline throughout: counts and interval bounds are long
+  * arithmetic (bit-reproducible under any partitioning); the only
+  * floats are final ratios whose operands are exact longs — IEEE
+  * division of exact integers is deterministic across engines, and
+  * `ln` (the one libm call, PMI only) is rounded at 6 decimals where
+  * a last-ulp cross-engine difference is orders of magnitude below
+  * the rounding step (the q129 precedent).
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // --------------------------------------------- co-occurrence PMI
+    // Pointwise mutual information over brand pairs co-purchased in one
+    // order (Church & Hanks, CL 1990): PMI(a,b) = ln(n_ab·N / (n_a·n_b)).
+    // The market-basket association primitive. Scale shape: ONE shuffle
+    // total for pair generation — groupBy(order) with a map-side-partial
+    // collect_set whose state is bounded by the 25-brand space, then the
+    // C(k,2) pairs explode from each order's sorted brand array WITHOUT
+    // a self-join (fan-out bounded by order width, never n² in brands
+    // or orders); the pair aggregate is bounded by 25². The order-set
+    // frame is checkpointed once and reused for N, marginals and pairs.
+    "q135_copurchase_pmi" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sets = t(s, d, "lineitem").select($"l_orderkey", $"l_partkey")
+          .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"p_brand")).as("bs"))
+          .localCheckpoint()
+        val n = sets.agg(count(lit(1)).as("n"))
+        val marg = sets.select(explode($"bs").as("b"))
+          .groupBy($"b").agg(count(lit(1)).as("c"))
+        val pairs = sets.select(explode(expr(
+            "flatten(transform(bs, (x, i) -> " +
+              "transform(slice(bs, i + 2, size(bs)), y -> struct(x, y))))"))
+            .as("pr"))
+          .groupBy($"pr.x".as("brand_a"), $"pr.y".as("brand_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(marg.select($"b".as("brand_a"), $"c".as("ca"))), "brand_a")
+          .join(broadcast(marg.select($"b".as("brand_b"), $"c".as("cb"))), "brand_b")
+          .crossJoin(broadcast(n))
+          .select($"brand_a", $"brand_b", $"n_ab",
+            round(log($"n_ab" * $"n" / ($"ca" * $"cb")), 6).as("pmi"))
+          .orderBy($"pmi".desc, $"brand_a", $"brand_b")
+          .limit(20)
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+          n AS (SELECT count(DISTINCT ok) AS n FROM ob),
+          marg AS (SELECT b, count(*) AS c FROM ob GROUP BY 1),
+          pairs AS (SELECT a.b AS brand_a, b2.b AS brand_b, count(*) AS n_ab
+            FROM ob a JOIN ob b2 ON a.ok = b2.ok AND a.b < b2.b GROUP BY 1, 2)
+          SELECT brand_a, brand_b, n_ab,
+            round(ln(n_ab * (SELECT n FROM n) / (ca.c * cb.c)), 6) AS pmi
+          FROM pairs JOIN marg ca ON brand_a = ca.b
+            JOIN marg cb ON brand_b = cb.b
+          ORDER BY pmi DESC, brand_a, brand_b LIMIT 20"""),
+      "co-purchase PMI over brand pairs within orders, top-20 associations"),
+
+    // ------------------------------------------------ interval union
+    // Total covered time per user after merging overlapping-or-touching
+    // view intervals [ts, ts + value hours] — the engagement-coverage
+    // metric no plain aggregate computes (overlaps must not double-
+    // count). Running-max sweep entirely per-user-partitioned
+    // ([[TimeSeries.mergeIntervals]]); epoch seconds and durations stay
+    // long, so merged bounds are exact on both engines.
+    "q136_interval_union" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val v = t(s, d, "events").filter($"event_type" === "view")
+          .select($"user_id", $"event_id",
+            unix_timestamp($"ts").as("st"),
+            (unix_timestamp($"ts") +
+              round($"value" * 3600).cast("long")).as("en"))
+        TimeSeries.mergeIntervals(v, "user_id", $"st", $"en", $"event_id")
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum($"n_merged").as("n_events"),
+            sum($"interval_end" - $"interval_start").as("covered_s"))
+          .orderBy($"covered_s".desc, $"user_id")
+          .limit(50)
+      },
+      Some("""WITH v AS (SELECT user_id, event_id,
+              epoch_ms(ts) // 1000 AS s,
+              epoch_ms(ts) // 1000 + CAST(round(value * 3600) AS BIGINT) AS e
+            FROM events WHERE event_type = 'view'),
+          m AS (SELECT user_id, event_id, s, e,
+              CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                THEN 1 ELSE 0 END AS nw
+            FROM v WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          g AS (SELECT user_id, s, e,
+              sum(nw) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM m),
+          merged AS (SELECT user_id, grp, min(s) AS ms, max(e) AS me,
+              count(*) AS c
+            FROM g GROUP BY 1, 2)
+          SELECT user_id, count(*) AS n_intervals,
+            CAST(sum(c) AS BIGINT) AS n_events,
+            CAST(sum(me - ms) AS BIGINT) AS covered_s
+          FROM merged GROUP BY 1
+          ORDER BY covered_s DESC, user_id LIMIT 50"""),
+      "merged-interval coverage per user: overlap-free engagement seconds"),
+
+    // --------------------------------------- chi-square independence
+    // Pearson chi-square of event_type × weekend: observed cell counts
+    // vs marginal-product expectations, Σ (O−E)²/E. One hash aggregate
+    // over the stream for the 10 cells; marginals and the total are
+    // broadcast one-row/few-row frames. Everything up to the final
+    // ratios is long-exact, and those ratios are pure IEEE arithmetic
+    // on exact longs — bit-identical across engines, no libm involved.
+    "q137_chisq_independence" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cells = t(s, d, "events")
+          .select($"event_type",
+            date_format($"ts", "EEEE").isin("Saturday", "Sunday")
+              .cast("int").as("is_weekend"))
+          .groupBy($"event_type", $"is_weekend").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        val rowT = cells.groupBy($"event_type").agg(sum($"n").as("rt"))
+        val colT = cells.groupBy($"is_weekend").agg(sum($"n").as("ct"))
+        val tot = cells.agg(sum($"n").as("tot"))
+        val scored = cells
+          .join(broadcast(rowT), "event_type")
+          .join(broadcast(colT), "is_weekend")
+          .crossJoin(broadcast(tot))
+          .withColumn("e", $"rt" * $"ct" / $"tot")
+          .withColumn("contrib", ($"n" - $"e") * ($"n" - $"e") / $"e")
+        val chi2 = scored.agg(round(sum($"contrib"), 6).as("chi2"))
+        scored.crossJoin(broadcast(chi2))
+          .select($"event_type", $"is_weekend", $"n",
+            round($"e", 4).as("expected"),
+            round($"contrib", 6).as("contrib"), $"chi2")
+          .orderBy($"event_type", $"is_weekend")
+      },
+      Some("""WITH cells AS (SELECT event_type,
+              CAST(dayname(ts) IN ('Saturday', 'Sunday') AS INTEGER) AS is_weekend,
+              count(*) AS n
+            FROM events GROUP BY 1, 2),
+          rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY 1),
+          ct AS (SELECT is_weekend, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY 1),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+          scored AS (SELECT event_type, is_weekend, n,
+              rt * ct / tot AS e,
+              (n - rt * ct / tot) * (n - rt * ct / tot) / (rt * ct / tot) AS contrib
+            FROM cells JOIN rt USING (event_type) JOIN ct USING (is_weekend)
+              CROSS JOIN tot),
+          chi AS (SELECT round(sum(contrib), 6) AS chi2 FROM scored)
+          SELECT event_type, is_weekend, n, round(e, 4) AS expected,
+            round(contrib, 6) AS contrib, chi2
+          FROM scored CROSS JOIN chi
+          ORDER BY event_type, is_weekend"""),
+      "chi-square independence test: event_type x weekend contingency"),
+
+    // --------------------------------------------- Markov transitions
+    // First-order event-type transition matrix per the user clickstream:
+    // lead() within each user's time-ordered stream, then a count per
+    // (current, next) pair and the row-conditional probability
+    // P(next | current). The sequence-mining primitive behind funnel
+    // discovery and session modeling. One per-user window + one
+    // aggregate bounded by the 5×5 type space.
+    "q138_markov_transitions" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val trans = t(s, d, "events")
+          .select($"user_id", $"ts", $"event_id", $"event_type")
+          .withColumn("next_type", lead($"event_type", 1).over(w))
+          .filter($"next_type".isNotNull)
+          .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+        val rowT = trans.groupBy($"event_type").agg(sum($"n").as("rt"))
+        trans.join(broadcast(rowT), "event_type")
+          .select($"event_type", $"next_type", $"n",
+            round($"n" / $"rt", 6).as("p"))
+          .orderBy($"event_type", $"next_type")
+      },
+      Some("""WITH seq AS (SELECT event_type,
+              lead(event_type) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS next_type
+            FROM events),
+          trans AS (SELECT event_type, next_type, count(*) AS n
+            FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+          rt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS rt
+            FROM trans GROUP BY 1)
+          SELECT event_type, next_type, n, round(n / rt, 6) AS p
+          FROM trans JOIN rt USING (event_type)
+          ORDER BY event_type, next_type"""),
+      "first-order Markov transition matrix over per-user event streams"),
+
+    // ------------------------------------- blocked fuzzy entity match
+    // Entity resolution by blocked edit distance: candidate pairs only
+    // within a (brand, type) block — the classic blocking trick that
+    // turns an O(n²) all-pairs Levenshtein into Σ C(block, 2), bounded
+    // by the largest block — then the exact distance filter keeps near-
+    // matches (1 ≤ d ≤ 2; d=0 exact dupes belong to q40's pipeline).
+    // Both engines implement classic unweighted Levenshtein, and the
+    // full tie-break chain (distance, names, keys) makes the LIMIT
+    // deterministic.
+    "q139_fuzzy_blocked_match" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val p = t(s, d, "part")
+          .select($"p_partkey", $"p_name", $"p_brand", $"p_type")
+        val a = p.select($"p_brand", $"p_type", $"p_partkey".as("key_a"),
+          $"p_name".as("name_a"))
+        val b = p.select($"p_brand", $"p_type", $"p_partkey".as("key_b"),
+          $"p_name".as("name_b"))
+        a.join(b, Seq("p_brand", "p_type"))
+          .filter($"key_a" < $"key_b")
+          // |len(a)−len(b)| lower-bounds the edit distance: the cheap
+          // integer gate drops most in-block pairs before the O(|a|·|b|)
+          // DP runs — semantics-preserving, so the oracle needs no mirror
+          .filter(abs(length($"name_a") - length($"name_b")) <= 2)
+          .withColumn("dist", levenshtein($"name_a", $"name_b"))
+          .filter($"dist".between(1, 2))
+          .select($"name_a", $"name_b", $"dist", $"key_a", $"key_b")
+          .orderBy($"dist", $"name_a", $"name_b", $"key_a", $"key_b")
+          .limit(50)
+      },
+      Some("""SELECT a.p_name AS name_a, b.p_name AS name_b,
+            levenshtein(a.p_name, b.p_name) AS dist,
+            a.p_partkey AS key_a, b.p_partkey AS key_b
+          FROM part a JOIN part b
+            ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+            AND a.p_partkey < b.p_partkey
+          WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+          ORDER BY dist, name_a, name_b, key_a, key_b LIMIT 50"""),
+      "blocked Levenshtein entity resolution over part names"),
+
+    // ------------------------------------------------ triangle census
+    // Exact triangle count + transitivity of the part co-purchase graph
+    // (parts linked when one nation-7 order contains both). Degree-
+    // ordered orientation caps the wedge fan-out at O(√m) per node —
+    // O(m^{3/2}) total, the exact-listing optimum — so the census
+    // survives skewed degree distributions that melt naive wedge
+    // counting. See [[graft.operators.Graph.triangleStats]].
+    "q140_triangle_census" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+          .join(t(s, d, "customer").filter($"c_nationkey" === 7)
+            .select($"c_custkey"), $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey")
+        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_partkey")
+          .join(o, $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"l_partkey").distinct()
+        val e = li.join(li.select($"l_orderkey", $"l_partkey".as("p2")),
+            "l_orderkey")
+          .filter($"l_partkey" < $"p2")
+          .select($"l_partkey".as("id_a"), $"p2".as("id_b"))
+        Graph.triangleStats(e, "id_a", "id_b")
+      },
+      Some("""WITH o AS (SELECT o_orderkey FROM orders
+            JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 7),
+          li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            JOIN o ON l_orderkey = o.o_orderkey),
+          e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey),
+          deg AS (SELECT id, count(*) AS deg FROM
+            (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+          ori AS (SELECT
+              CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END AS src,
+              CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END AS dst,
+              CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg ELSE du.deg END AS ddeg
+            FROM e JOIN deg du ON e.u = du.id JOIN deg dv ON e.v = dv.id),
+          cand AS (SELECT a.src, a.dst AS wv, b.dst AS ww
+            FROM ori a JOIN ori b ON a.src = b.src
+              AND (a.ddeg, a.dst) < (b.ddeg, b.dst)),
+          tri AS (SELECT count(*) AS n_triangles FROM cand
+            JOIN ori ON ori.src = cand.wv AND ori.dst = cand.ww),
+          nw AS (SELECT count(*) AS n_nodes,
+              CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+          ne AS (SELECT count(*) AS n_edges FROM e)
+          SELECT n_nodes, n_edges, n_wedges, n_triangles,
+            CASE WHEN n_wedges > 0
+              THEN round(3 * n_triangles / n_wedges, 6) END AS transitivity
+          FROM nw CROSS JOIN ne CROSS JOIN tri"""),
+      "exact triangle census via degree-ordered orientation, O(m^1.5)")
+  )
+}

@@ -23,7 +23,8 @@ object Registry {
   /** Insertion-ordered full suite. */
   lazy val all: Seq[(String, Q)] = {
     val qs = RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
-      ExtendedQueries.all ++ ScaleQueries.all ++ OlapQueries.all
+      ExtendedQueries.all ++ ScaleQueries.all ++ OlapQueries.all ++
+      AnalyticsQueries.all
     // a duplicate name would silently shadow a query in the toMap below —
     // the shadowed one would neither run nor be oracled, with no signal
     val dups = qs.groupBy(_._1).filter(_._2.size > 1).keys

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, TimeSeries}
+
+/** Round-6 analytics operators: triangle census and interval union. */
+class AnalyticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("triangleStats: K4 has 6 edges, 12 wedges, 4 triangles, transitivity 1") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val r = Graph.triangleStats(k4, "id_a", "id_b").head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6)
+    assert(r.getLong(2) == 12 && r.getLong(3) == 4)
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("triangleStats: a path has wedges but zero triangles, null-free") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val r = Graph.triangleStats(path, "id_a", "id_b").head
+    assert(r.getLong(2) == 3 && r.getLong(3) == 0)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("triangleStats: dedups reversed/duplicate edges and drops self-loops") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (2L, 2L))
+      .toDF("id_a", "id_b")
+    val r = Graph.triangleStats(messy, "id_a", "id_b").head
+    assert(r.getLong(1) == 3 && r.getLong(3) == 1)
+  }
+
+  test("triangleStats: skewed star+clique counts exactly (orientation bound)") {
+    // hub 0 linked to 1..20 (star: no triangles) plus the 3-clique
+    // {1,2,3} which closes 3 hub triangles and 1 clique triangle
+    val star = (1L to 20L).map(i => (0L, i))
+    val clique = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val r = Graph.triangleStats((star ++ clique).toDF("id_a", "id_b"),
+      "id_a", "id_b").head
+    assert(r.getLong(3) == 4, s"expected 4 triangles, got ${r.getLong(3)}")
+  }
+
+  test("mergeIntervals: overlap and touching merge, gaps split, counts kept") {
+    val df = Seq(
+      // key a: [0,10] + [5,20] overlap; [20,25] touches; [30,35] apart
+      ("a", 0L, 10L, 1L), ("a", 5L, 20L, 2L), ("a", 20L, 25L, 3L),
+      ("a", 30L, 35L, 4L),
+      // key b: containment — [0,100] swallows [10,20]
+      ("b", 0L, 100L, 5L), ("b", 10L, 20L, 6L)
+    ).toDF("k", "s", "e", "id")
+    val m = TimeSeries.mergeIntervals(df, "k", col("s"), col("e"), col("id"))
+      .orderBy("k", "interval_start")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.toSeq == Seq(("a", 0L, 25L, 3L), ("a", 30L, 35L, 1L),
+      ("b", 0L, 100L, 2L)))
+  }
+
+  test("mergeIntervals: duplicate (start,end) rows need the tie column, merge fine") {
+    val df = Seq(("k", 0L, 5L, 1L), ("k", 0L, 5L, 2L), ("k", 3L, 9L, 3L))
+      .toDF("k", "s", "e", "id")
+    val m = TimeSeries.mergeIntervals(df, "k", col("s"), col("e"), col("id"))
+      .collect()
+    assert(m.length == 1 && m.head.getLong(2) == 9L && m.head.getLong(3) == 3L)
+  }
+
+  test("q140 plan: data-sized joins are all hash/merge equi-joins") {
+    val plan = graft.queries.Registry.queries("q140_triangle_census")(
+      spark, sf("sf0.001")).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop joins are the final census assembly: two
+    // crossJoins of broadcast ONE-ROW aggregate frames (house pattern)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 2, s"expected exactly the 2 one-row stat joins, got $bnlj")
+  }
+}
