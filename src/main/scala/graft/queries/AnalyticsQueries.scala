@@ -229,11 +229,13 @@ object AnalyticsQueries {
           $"p_name".as("name_b"))
         a.join(b, Seq("p_brand", "p_type"))
           .filter($"key_a" < $"key_b")
-          // |len(a)−len(b)| lower-bounds the edit distance: the cheap
-          // integer gate drops most in-block pairs before the O(|a|·|b|)
-          // DP runs — semantics-preserving, so the oracle needs no mirror
-          .filter(abs(length($"name_a") - length($"name_b")) <= 2)
-          .withColumn("dist", levenshtein($"name_a", $"name_b"))
+          // thresholded levenshtein: banded O(d·n) DP with early exit
+          // (length-difference pregate built in, -1 past the bound) —
+          // Catalyst inlines the distance into the join condition where
+          // it evaluates per candidate pair, so per-pair cost is the
+          // lever; semantics-preserving (BETWEEN discards >2 anyway),
+          // so the oracle needs no mirror
+          .withColumn("dist", levenshtein($"name_a", $"name_b", 2))
           .filter($"dist".between(1, 2))
           .select($"name_a", $"name_b", $"dist", $"key_a", $"key_b")
           .orderBy($"dist", $"name_a", $"name_b", $"key_a", $"key_b")
