@@ -408,4 +408,67 @@ object Relational {
         compare.flatMap(c => Seq(
           col(s"__a.$c").as(s"a_$c"), col(s"__b.$c").as(s"b_$c"))): _*)
   }
+
+  /** 2-D Pareto frontier (skyline, Börzsönyi et al. ICDE 2001): rows not
+    * dominated by any other, where `dominates` means x' ≤ x AND y' ≥ y
+    * with at least one strict (minimize x, maximize y). Equal (x, y)
+    * twins dominate neither and are both kept.
+    *
+    * The naive formulation is an O(n²) self-anti-join and a global-sort
+    * sweep needs one partition for the whole input. This is the
+    * bucket-overlay shape instead (the q122 range-join trick applied to
+    * dominance): bucket x into `nBuckets` fixed-width cells from a
+    * one-row min/max aggregate, reduce each bucket to its max y (hash
+    * aggregate), prefix-max those ≤nBuckets rows in a BOUNDED window,
+    * broadcast, and drop every row whose y fails the prefix bound of
+    * its bucket — any such row is provably dominated by a row in an
+    * earlier (strictly-smaller-x) bucket. Survivors are ≤ first-bucket
+    * occupancy + per-bucket improvers (≈ n/nBuckets + the frontier
+    * itself), so the EXACT windows that finish the job — max y over
+    * x' < x via a rangeBetween frame on integer x, and the per-x group
+    * max for same-x dominance — run on a frame bounded by construction,
+    * not by the input. Full scan cost: one min/max aggregate + one
+    * bucket aggregate + one broadcast-filtered pass.
+    *
+    * `minimize`/`maximize` must cast losslessly to long (quantize money
+    * to cents first — the caller owns the scale). Returns the input
+    * rows (original columns) that sit on the frontier. */
+  def skyline2D(df: DataFrame, minimize: Column, maximize: Column,
+                nBuckets: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val base = df
+      .withColumn("__x", minimize.cast("long"))
+      .withColumn("__y", maximize.cast("long"))
+    val rng = base.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val bucketed = base.crossJoin(broadcast(rng))
+      .withColumn("__w", greatest(lit(1L),
+        expr(s"(__hi - __lo + $nBuckets) div $nBuckets")))
+      .withColumn("__b", expr("(__x - __lo) div __w"))
+      .drop("__lo", "__hi", "__w")
+    // per-bucket max y, then the strictly-earlier-bucket prefix max:
+    // ≤ nBuckets rows, so the unpartitioned window is bounded by
+    // construction (the suite's standard pre-aggregated-frame argument)
+    val pre = bucketed.groupBy(col("__b")).agg(max(col("__y")).as("__bm"))
+      .withColumn("__pre", max(col("__bm")).over(
+        Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("__b"), col("__pre"))
+    val survivors = bucketed
+      .join(broadcast(pre), Seq("__b"))
+      // y ≤ prefix max ⇒ an earlier-bucket row has x' < x, y' ≥ y ⇒ dominated
+      .filter(col("__pre").isNull || col("__y") > col("__pre"))
+      .drop("__b", "__pre")
+    // exact pass on the bounded survivor set: dominated iff a strictly-
+    // smaller-x row reaches y (strict x ⇒ ≥ suffices), or a same-x row
+    // strictly exceeds it
+    val wLt = Window.orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wEq = Window.partitionBy(col("__x"))
+    survivors
+      .withColumn("__ltm", max(col("__y")).over(wLt))
+      .withColumn("__eqm", max(col("__y")).over(wEq))
+      .filter((col("__ltm").isNull || col("__y") > col("__ltm")) &&
+        col("__y") === col("__eqm"))
+      .drop("__x", "__y", "__ltm", "__eqm")
+  }
 }

@@ -300,6 +300,34 @@ object AnalyticsQueries {
             CASE WHEN n_wedges > 0
               THEN round(3 * n_triangles / n_wedges, 6) END AS transitivity
           FROM nw CROSS JOIN ne CROSS JOIN tri"""),
-      "exact triangle census via degree-ordered orientation, O(m^1.5)")
+      "exact triangle census via degree-ordered orientation, O(m^1.5)"),
+
+    // -------------------------------------------------- skyline query
+    // Pareto-optimal parts: cheapest-for-their-size frontier (minimize
+    // retail price, maximize size). The oracle is the INDEPENDENT naive
+    // formulation — a NOT EXISTS dominance anti-join — while the engine
+    // runs the bucket-overlay plan ([[Relational.skyline2D]]): bucket
+    // prefix-max prefilter does the O(n) elimination, exact windows only
+    // on the bounded survivor set. Price quantizes to cents so the
+    // dominance compare is integer on both engines.
+    "q141_skyline_parts" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Relational.skyline2D(
+            t(s, d, "part").select($"p_partkey", $"p_name",
+              $"p_retailprice", $"p_size"),
+            round($"p_retailprice" * 100), $"p_size")
+          .orderBy($"p_retailprice", $"p_size".desc, $"p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_retailprice, p_size FROM part a
+          WHERE NOT EXISTS (SELECT 1 FROM part b WHERE
+            CAST(round(b.p_retailprice * 100) AS BIGINT)
+              <= CAST(round(a.p_retailprice * 100) AS BIGINT)
+            AND b.p_size >= a.p_size
+            AND (CAST(round(b.p_retailprice * 100) AS BIGINT)
+                   < CAST(round(a.p_retailprice * 100) AS BIGINT)
+                 OR b.p_size > a.p_size))
+          ORDER BY p_retailprice, p_size DESC, p_partkey"""),
+      "2-D skyline: Pareto frontier of parts by price (min) and size (max)")
   )
 }

@@ -77,7 +77,18 @@ object ScaleStress {
       // the vocabulary, which replication leaves UNCHANGED, so the
       // ratio should sit well under the factor)
       "q118_cube_flagstatus", "q124_duplicate_spans", "q123_hll_distinct",
-      "q128_pagerank", "q131_bpe_merges")
+      "q128_pagerank", "q131_bpe_merges",
+      // analytics additions: PMI (pair explode linear in orders, the
+      // aggregate brand²-bounded), interval union (10x users, per-user
+      // windows), Markov transitions (10x users, type²-bounded agg), and
+      // the triangle census — whose ratio is DENSIFICATION-driven, not a
+      // scale bug: replicas add orders over the SAME part universe, so
+      // edge count and Σ C(deg,2) wedges grow faster than rows; the
+      // degree orientation keeps the join at O(m^1.5) of the DENSER
+      // graph, which is the honest cost of triangles on a densifying
+      // co-occurrence graph
+      "q135_copurchase_pmi", "q136_interval_union", "q138_markov_transitions",
+      "q140_triangle_census")
     queries.foreach { name =>
       def run(dir: String): Double = {
         val t0 = System.nanoTime()

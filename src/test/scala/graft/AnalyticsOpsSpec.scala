@@ -64,6 +64,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(m.length == 1 && m.head.getLong(2) == 9L && m.head.getLong(3) == 3L)
   }
 
+  test("skyline2D: dominance, same-x ties, and equal-point twins") {
+    val df = Seq(
+      (1L, 10L, 5L),  // frontier (cheapest)
+      (2L, 12L, 9L),  // frontier (bigger, pricier)
+      (3L, 12L, 7L),  // dominated by 2 (same x, smaller y)
+      (4L, 15L, 9L),  // dominated by 2 (same y, larger x — strict x)
+      (5L, 20L, 9L),  // dominated by 2
+      (6L, 20L, 12L), // frontier
+      (7L, 12L, 9L)   // equal twin of 2 — kept (no strict coordinate)
+    ).toDF("id", "price", "size")
+    val got = graft.operators.Relational
+      .skyline2D(df, col("price"), col("size"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 6L, 7L))
+  }
+
+  test("skyline2D matches the naive anti-join on a 500-point cloud, any nBuckets") {
+    val pts = (1 to 500).map { i =>
+      val x = (i * 7919) % 997; val y = (i * 104729) % 991
+      (i.toLong, x.toLong, y.toLong)
+    }
+    val df = pts.toDF("id", "x", "y")
+    val naive = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, x2, y2) =>
+        x2 <= x && y2 >= y && (x2 < x || y2 > y) }
+    }.map(_._1).sorted
+    for (b <- Seq(1, 7, 256)) {
+      val got = graft.operators.Relational
+        .skyline2D(df, col("x"), col("y"), nBuckets = b)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq == naive, s"nBuckets=$b")
+    }
+  }
+
   test("q140 plan: data-sized joins are all hash/merge equi-joins") {
     val plan = graft.queries.Registry.queries("q140_triangle_census")(
       spark, sf("sf0.001")).queryExecution.executedPlan.toString
