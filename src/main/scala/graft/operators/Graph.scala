@@ -160,6 +160,70 @@ object Graph {
           .as("transitivity"))
   }
 
+  /** Single-source BFS levels over directed `edges`: the minimum hop
+    * distance from `source` to every node reachable within `rounds`
+    * hops — the traversal primitive under reachability, blast-radius
+    * and degrees-of-separation questions. Classic frontier expansion:
+    * each round joins the CURRENT frontier (not the whole reached set)
+    * against the edge table, anti-joins away already-reached nodes, and
+    * labels survivors with the round number. Exactly `rounds` rounds
+    * run regardless of early convergence (an empty frontier makes the
+    * remaining rounds no-ops) so a fixed-depth oracle can mirror the
+    * computation CTE-for-CTE.
+    *
+    * Scale shape per round: one equi-join on the edge src (edges
+    * pre-partitioned once and reused), one distinct and one anti-join —
+    * all shuffles on node ids, all proportional to the FRONTIER, not
+    * the graph; reached/frontier state is one (node, dist) row per
+    * reached node, localCheckpoint'd so plan depth stays O(1).
+    * Returns (node, dist), dist in [0, rounds]. */
+  def bfsLevels(edges: DataFrame, src: String, dst: String,
+                source: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0: $rounds")
+    val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var reached = source.select(col(source.columns.head).as("node"))
+      .distinct()
+      .select(col("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = reached
+    for (i <- 1 to rounds) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .select(col("node"), lit(i).as("dist"))
+        .localCheckpoint()
+      reached = reached.union(next).localCheckpoint()
+      frontier = next
+    }
+    reached
+  }
+
+  /** DuckDB mirror of [[bfsLevels]]: `rounds` chained frontier CTEs
+    * (the fixed-depth form — a plain recursive CTE on an undirected
+    * graph never terminates, since (node, d+2) back-and-forth rows are
+    * always new). Expects `edges(src, dst)` (pre-distinct) and
+    * `bfs_src(node)` in scope; exposes `bfs_final(node, dist)`. */
+  def bfsOracleCtes(rounds: Int): String = {
+    require(rounds >= 1, s"oracle CTE chain needs rounds >= 1: $rounds")
+    val steps = (1 to rounds).map { i =>
+      s"""bfs_f$i AS (SELECT DISTINCT e.dst AS node FROM edges e
+            JOIN bfs_f${i - 1} f ON e.src = f.node
+            WHERE e.dst NOT IN (SELECT node FROM bfs_r${i - 1})),
+          bfs_r$i AS (SELECT node FROM bfs_r${i - 1}
+            UNION SELECT node FROM bfs_f$i)"""
+    }.mkString(",\n")
+    val dists = (0 to rounds)
+      .map(i => s"SELECT node, $i AS dist FROM bfs_f$i")
+      .mkString(" UNION ALL ")
+    s"""bfs_f0 AS (SELECT DISTINCT node FROM bfs_src),
+      bfs_r0 AS (SELECT node FROM bfs_f0),
+      $steps,
+      bfs_final AS ($dists)"""
+  }
+
   /** DuckDB mirror of [[pageRankFixed]]: the identical integer
     * recurrence as `iters` chained CTE rounds (the k-means oracle
     * pattern). Expects a CTE `edges(src, dst)` (pre-distinct) to be in

@@ -328,6 +328,94 @@ object AnalyticsQueries {
                    < CAST(round(a.p_retailprice * 100) AS BIGINT)
                  OR b.p_size > a.p_size))
           ORDER BY p_retailprice, p_size DESC, p_partkey"""),
-      "2-D skyline: Pareto frontier of parts by price (min) and size (max)")
+      "2-D skyline: Pareto frontier of parts by price (min) and size (max)"),
+
+    // ---------------------------------------------------- BFS levels
+    // Degrees of separation in the customer↔supplier trade graph
+    // (q128's edge set): hop distance from the smallest nation-7/8
+    // customer to everything within 6 hops, reported per level. Fixed
+    // 6-round frontier expansion, mirrored CTE-for-CTE by the oracle
+    // (a plain recursive CTE cannot terminate on an undirected graph).
+    // Per-round cost scales with the FRONTIER, not the graph.
+    "q142_bfs_levels" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val cust = t(s, d, "customer")
+          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+          .join(cust, col("o_custkey") === cust("c_custkey"))
+        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        val source = t(s, d, "customer")
+          .filter($"c_nationkey".isin(7, 8))
+          .agg(concat(lit("c"), min($"c_custkey")).as("node"))
+        Graph.bfsLevels(both, "src", "dst", source, rounds = 6)
+          .groupBy($"dist")
+          .agg(count(lit(1)).as("n_nodes"), min($"node").as("min_node"))
+          .orderBy($"dist")
+      },
+      Some(s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+            's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_nationkey IN (7, 8)),
+        edges AS (SELECT src, dst FROM cs
+          UNION SELECT dst AS src, src AS dst FROM cs),
+        bfs_src AS (SELECT 'c' || CAST(min(c_custkey) AS VARCHAR) AS node
+          FROM customer WHERE c_nationkey IN (7, 8)),
+        ${graft.operators.Graph.bfsOracleCtes(6)}
+        SELECT dist, count(*) AS n_nodes, min(node) AS min_node
+        FROM bfs_final GROUP BY dist ORDER BY dist"""),
+      "single-source BFS hop levels over the trade graph, 6 oracled rounds"),
+
+    // ------------------------------------------------- KL divergence
+    // Per-source corpus drift: KL(source ‖ corpus) over the unigram
+    // token distributions — the distribution-shift metric behind
+    // mixture rebalancing and contamination triage. Every term of the
+    // Σ p·ln(p/q) sum is quantized to integer NANO-NATS (c_s ·
+    // round(1e9·ln(c_s·T / (c·T_s)))) so the cross-partition sum is an
+    // exact long fold (order-free); a last-ulp ln() difference flips a
+    // term by at most one nano-nat, orders below the 1e-6 output
+    // rounding after the T_s division. Vocabulary-bounded shuffles
+    // throughout; corpus totals travel by broadcast.
+    "q143_kl_divergence" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val toks = t(s, d, "documents")
+          .select($"source", explode(split(lower($"text"), " ")).as("w"))
+        val st = toks.groupBy($"source", $"w").agg(count(lit(1)).as("cs"))
+        val ct = toks.groupBy($"w").agg(count(lit(1)).as("c"))
+        val ts = st.groupBy($"source").agg(sum($"cs").as("tsrc"))
+        val tot = ct.agg(sum($"c").as("tcorp"))
+        st.join(ct, "w")
+          .join(broadcast(ts), "source")
+          .crossJoin(broadcast(tot))
+          .select($"source", $"tsrc",
+            ($"cs" * expr(
+              "CAST(round(1e9 * ln(cs * tcorp / (c * tsrc))) AS BIGINT)"))
+              .as("term"))
+          .groupBy($"source", $"tsrc").agg(sum($"term").as("nano"))
+          .select($"source", $"tsrc".as("n_tokens"),
+            round($"nano" / 1e9 / $"tsrc", 6).as("kl_nats"))
+          .orderBy($"source")
+      },
+      Some("""WITH toks AS (SELECT source,
+            unnest(string_split(lower(text), ' ')) AS w FROM documents),
+          st AS (SELECT source, w, count(*) AS cs FROM toks GROUP BY 1, 2),
+          ct AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+          ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS tsrc
+            FROM st GROUP BY 1),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS tcorp FROM ct),
+          terms AS (SELECT source, tsrc,
+              cs * CAST(round(1e9 * ln(cs * tcorp / (c * tsrc))) AS BIGINT)
+                AS term
+            FROM st JOIN ct USING (w) JOIN ts USING (source) CROSS JOIN tot)
+          SELECT source, tsrc AS n_tokens,
+            round(CAST(sum(term) AS BIGINT) / 1e9 / tsrc, 6) AS kl_nats
+          FROM terms GROUP BY source, tsrc ORDER BY source"""),
+      "KL(source || corpus) over unigram distributions, nano-nat exact sum")
   )
 }

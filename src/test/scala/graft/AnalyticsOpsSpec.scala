@@ -98,6 +98,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("bfsLevels: path graph distances, unreachable nodes absent, fixed rounds") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val source = Seq(Tuple1(1L)).toDF("node")
+    val got = graft.operators.Graph.bfsLevels(edges, "src", "dst", source, 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("bfsLevels: rounds cap truncates the frontier, earlier levels intact") {
+    val chain = (1L to 9L).map(i => (i, i + 1))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val source = Seq(Tuple1(1L)).toDF("node")
+    val got = graft.operators.Graph.bfsLevels(chain, "src", "dst", source, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
   test("q140 plan: data-sized joins are all hash/merge equi-joins") {
     val plan = graft.queries.Registry.queries("q140_triangle_census")(
       spark, sf("sf0.001")).queryExecution.executedPlan.toString
