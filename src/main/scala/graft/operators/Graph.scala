@@ -188,7 +188,12 @@ object Graph {
       .select(col("node"), lit(0).as("dist"))
       .localCheckpoint()
     var frontier = reached
-    for (i <- 1 to rounds) {
+    var i = 1
+    // an empty frontier makes every remaining round a no-op on both
+    // engines (the oracle's extra CTE rounds add nothing), so exiting
+    // early changes no result — it only skips dead shuffle jobs; the
+    // emptiness probe is a head(1) on the already-materialized round
+    while (i <= rounds && !frontier.isEmpty) {
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
@@ -197,6 +202,7 @@ object Graph {
         .localCheckpoint()
       reached = reached.union(next).localCheckpoint()
       frontier = next
+      i += 1
     }
     reached
   }

@@ -82,4 +82,38 @@ object RangeJoin {
       .filter(lo <= pt && pt < hi)
       .drop("__bin")
   }
+
+  /** Overlap join of two CLOSED-interval sets [aLo, aHi] × [bLo, bHi]
+    * (same long unit, e.g. epoch seconds): pairs with
+    * aLo ≤ bHi AND bLo ≤ aHi (touching endpoints overlap), each pair
+    * emitted EXACTLY once with no dedup stage. Both sides register in
+    * every bin they overlap; the pair is then CLAIMED by the single bin
+    * containing max(aLo, bLo) — a point that lies inside both intervals
+    * whenever they overlap, so exactly one of the shared bins keeps the
+    * pair and the inequality becomes a bin equi-join plus a residual
+    * predicate (the Flink/Databricks interval-join construction, the
+    * interval-interval face of [[pointInInterval]]).
+    *
+    * `keys` optionally co-groups the join (same-key overlap only) —
+    * the bin shuffle then keys on (keys, bin). Empty intervals
+    * (hi < lo) are dropped up front. Column names must not collide
+    * across `a` and `b` (caller renames beforehand, as with
+    * [[pointInInterval]]). Explode width is ceil(len/W)+1 bins per
+    * interval — pick `binWidth` of the order of typical interval
+    * length. */
+  def intervalOverlap(a: DataFrame, aLo: Column, aHi: Column,
+                      b: DataFrame, bLo: Column, bHi: Column,
+                      binWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive: $binWidth")
+    def binOf(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    val av = a.filter(aLo <= aHi)
+      .withColumn("__bin", explode(sequence(binOf(aLo), binOf(aHi))))
+    val bv = b.filter(bLo <= bHi)
+      .withColumn("__bin", explode(sequence(binOf(bLo), binOf(bHi))))
+    av.join(bv, keys :+ "__bin")
+      .filter(aLo <= bHi && bLo <= aHi &&
+        binOf(greatest(aLo, bLo)) === col("__bin"))
+      .drop("__bin")
+  }
 }

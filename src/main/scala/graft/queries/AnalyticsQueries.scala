@@ -416,6 +416,115 @@ object AnalyticsQueries {
           SELECT source, tsrc AS n_tokens,
             round(CAST(sum(term) AS BIGINT) / 1e9 / tsrc, 6) AS kl_nats
           FROM terms GROUP BY source, tsrc ORDER BY source"""),
-      "KL(source || corpus) over unigram distributions, nano-nat exact sum")
+      "KL(source || corpus) over unigram distributions, nano-nat exact sum"),
+
+    // --------------------------------------------------------- PSI
+    // Population stability index — the standard production drift
+    // monitor: Σ (p−q)·ln(p/q) over 16 fixed-width bins of the price
+    // distribution, returned-vs-kept lineitems, Laplace-smoothed so
+    // empty bins contribute finitely. The bin spine is a generated
+    // 16-row frame (all bins present even when empty); per-bin terms
+    // quantize to nano-nats (the q143 discipline) so the total is an
+    // exact long fold. One scan → one 16-ary hash aggregate; range and
+    // totals travel as broadcast one-row frames.
+    "q144_psi_drift" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val nb = 16
+        val li = t(s, d, "lineitem").select($"l_returnflag",
+          round($"l_extendedprice" * 100).cast("long").as("cents"))
+        val rng = li.agg(min($"cents").as("lo"), max($"cents").as("hi"))
+        val counts = li.crossJoin(broadcast(rng))
+          .withColumn("bin",
+            expr(s"(cents - lo) div greatest(1L, (hi - lo + $nb) div $nb)"))
+          .groupBy($"bin")
+          .agg(sum(when($"l_returnflag" === "R", 1L).otherwise(0L)).as("ca"),
+            sum(when($"l_returnflag" =!= "R", 1L).otherwise(0L)).as("cb"))
+        val spine = s.range(nb).select($"id".as("bin"))
+        val dense = spine.join(counts, Seq("bin"), "left_outer")
+          .select($"bin", coalesce($"ca", lit(0L)).as("c_a"),
+            coalesce($"cb", lit(0L)).as("c_b"))
+        val tots = dense.agg(sum($"c_a").as("ta"), sum($"c_b").as("tb"))
+        val terms = dense.crossJoin(broadcast(tots))
+          .withColumn("term", expr(
+            s"""CAST(round(1e9 * (((c_a + 1) / (ta + $nb) - (c_b + 1) / (tb + $nb))
+               * ln(((c_a + 1) * (tb + $nb)) / ((c_b + 1) * (ta + $nb))))) AS BIGINT)"""))
+        val psi = terms.agg(round(sum($"term") / 1e9, 6).as("psi"))
+        terms.crossJoin(broadcast(psi))
+          .select($"bin".cast("int").as("bin"), $"c_a", $"c_b",
+            round($"term" / 1e9, 6).as("contrib"), $"psi")
+          .orderBy($"bin")
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem),
+          rng AS (SELECT min(cents) AS lo, max(cents) AS hi FROM li),
+          counts AS (SELECT
+              (cents - lo) // greatest(1, (hi - lo + 16) // 16) AS bin,
+              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+              CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+            FROM li CROSS JOIN rng GROUP BY 1),
+          spine AS (SELECT unnest(generate_series(0, 15)) AS bin),
+          dense AS (SELECT s.bin, coalesce(ca, 0) AS c_a, coalesce(cb, 0) AS c_b
+            FROM spine s LEFT JOIN counts c ON s.bin = c.bin),
+          tots AS (SELECT CAST(sum(c_a) AS BIGINT) AS ta,
+              CAST(sum(c_b) AS BIGINT) AS tb FROM dense),
+          terms AS (SELECT bin, c_a, c_b,
+              CAST(round(1e9 * (((c_a + 1) / (ta + 16.0) - (c_b + 1) / (tb + 16.0))
+                * ln(((c_a + 1) * (tb + 16)) / ((c_b + 1) * (ta + 16))))) AS BIGINT)
+                AS term
+            FROM dense CROSS JOIN tots),
+          psi AS (SELECT round(CAST(sum(term) AS BIGINT) / 1e9, 6) AS psi FROM terms)
+          SELECT CAST(bin AS INTEGER) AS bin, c_a, c_b,
+            round(term / 1e9, 6) AS contrib, psi
+          FROM terms CROSS JOIN psi ORDER BY bin"""),
+      "population stability index, returned vs kept price distributions"),
+
+    // --------------------------------------- interval overlap join
+    // Which error bursts landed inside viewing sessions? View intervals
+    // [ts, ts + value hours] overlap-joined to error intervals
+    // [ts, ts + 30 min] per user — an interval × interval join with no
+    // nested loop: both sides register per day-bin, the pair is claimed
+    // by the single bin containing max(start_a, start_b), residual
+    // predicate exact ([[RangeJoin.intervalOverlap]]). The oracle runs
+    // the naive inequality join (DuckDB's IEJoin). Overlap seconds stay
+    // long-exact.
+    "q145_interval_overlap" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def iv(kind: String, durS: org.apache.spark.sql.Column) =
+          t(s, d, "events").filter($"event_type" === kind)
+            .select($"user_id",
+              unix_timestamp($"ts").as(s"${kind}_s"),
+              (unix_timestamp($"ts") + durS).as(s"${kind}_e"))
+        val views = iv("view", round($"value" * 3600).cast("long"))
+        val errs = iv("error", lit(1800L))
+          .withColumnRenamed("user_id", "user_id_b")
+        val pairs = graft.operators.RangeJoin.intervalOverlap(
+            views, $"view_s", $"view_e",
+            errs.withColumnRenamed("user_id_b", "user_id"),
+            $"error_s", $"error_e",
+            binWidth = 86400L, keys = Seq("user_id"))
+        pairs.groupBy($"user_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(least($"view_e", $"error_e") -
+              greatest($"view_s", $"error_s")).as("overlap_s"))
+          .orderBy($"n_pairs".desc, $"user_id")
+          .limit(50)
+      },
+      Some("""WITH v AS (SELECT user_id,
+              epoch_ms(ts) // 1000 AS vs,
+              epoch_ms(ts) // 1000 + CAST(round(value * 3600) AS BIGINT) AS ve
+            FROM events WHERE event_type = 'view'),
+          er AS (SELECT user_id,
+              epoch_ms(ts) // 1000 AS es,
+              epoch_ms(ts) // 1000 + 1800 AS ee
+            FROM events WHERE event_type = 'error')
+          SELECT v.user_id, count(*) AS n_pairs,
+            CAST(sum(least(ve, ee) - greatest(vs, es)) AS BIGINT) AS overlap_s
+          FROM v JOIN er ON v.user_id = er.user_id
+            AND vs <= ee AND es <= ve
+          GROUP BY v.user_id ORDER BY n_pairs DESC, v.user_id LIMIT 50"""),
+      "interval x interval overlap join, each pair claimed by one bin")
   )
 }

@@ -117,6 +117,41 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("intervalOverlap: overlap/touch/disjoint semantics, one row per pair") {
+    val a = Seq((1L, 0L, 100L), (2L, 200L, 300L)).toDF("aid", "as", "ae")
+    val b = Seq(
+      (10L, 50L, 60L),   // inside a1
+      (11L, 100L, 150L), // touches a1 end
+      (12L, 101L, 150L), // disjoint from a1, before a2
+      (13L, 0L, 1000L)   // spans BOTH a-intervals and many bins
+    ).toDF("bid", "bs", "be")
+    val got = graft.operators.RangeJoin.intervalOverlap(
+        a, col("as"), col("ae"), b, col("bs"), col("be"), binWidth = 10L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted
+    // b13 overlaps both a-intervals but appears exactly once per pair
+    assert(got.toSeq == Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 13L)))
+  }
+
+  test("intervalOverlap matches the naive inequality join on random intervals") {
+    val mk = (n: Int, seed: Int) => (1 to n).map { i =>
+      val s = ((i * seed) % 500).toLong; (i.toLong, s, s + ((i * 31) % 80).toLong)
+    }
+    val as = mk(60, 7919); val bs = mk(60, 104729)
+    val naive = (for {
+      (ai, s1, e1) <- as; (bi, s2, e2) <- bs
+      if s1 <= e2 && s2 <= e1
+    } yield (ai, bi)).sorted
+    for (w <- Seq(7L, 64L, 1000L)) {
+      val got = graft.operators.RangeJoin.intervalOverlap(
+          as.toDF("aid", "as", "ae"), col("as"), col("ae"),
+          bs.toDF("bid", "bs", "be"), col("bs"), col("be"), binWidth = w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq == naive, s"binWidth=$w")
+    }
+  }
+
   test("q140 plan: data-sized joins are all hash/merge equi-joins") {
     val plan = graft.queries.Registry.queries("q140_triangle_census")(
       spark, sf("sf0.001")).queryExecution.executedPlan.toString
