@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Relational, Stats}
+
+/** Closed-form inferential statistics over exact moments: the tests and
+  * estimators an analyst reaches for right after the descriptive family
+  * (q09/q61) — multi-feature OLS, Welch's two-sample t, Wilson-bound
+  * ranking, and the equi-depth histogram that complements q08's
+  * equal-width one.
+  *
+  * Parity discipline (see [[graft.operators.Stats]]): sufficient
+  * statistics are DECIMAL(38,0) sums of per-row long products — exact
+  * at any scale and partitioning — and every closed-form solve is an
+  * IEEE double expression tree written IDENTICALLY here and in the
+  * DuckDB oracle, so the hash compare is on equal bits, not luck.
+  */
+object StatsQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  /** Exact moment: Σ(a·b) with long per-row products, DECIMAL total. */
+  private def m(a: Column, b: Column): Column =
+    sum((a * b).cast("decimal(38,0)")).cast("double")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------- multi-feature OLS
+    // price ~ quantity + discount by the normal equations: ONE scan
+    // aggregates the 3×3 Gram matrix as exact decimal sums of long
+    // products (quantity units, discount cents, price cents), then the
+    // 3×3 Cramer solve runs as a double expression over that one-row
+    // frame. No iteration, no feature matrix materialization — the
+    // whole regression is a map-side-combined aggregate plus O(1)
+    // arithmetic, the shape that holds at any row count. The generic
+    // k-feature driver-solve twin is Stats.olsFit (spec-pinned equal).
+    "q146_ols_normal_eq" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").select(
+          $"l_quantity".cast("long").as("x1"),
+          round($"l_discount" * 100).cast("long").as("x2"),
+          round($"l_extendedprice" * 100).cast("long").as("y"))
+        val mom = li.agg(
+          count(lit(1)).cast("double").as("n"),
+          m($"x1", lit(1L)).as("s1"), m($"x2", lit(1L)).as("s2"),
+          m($"y", lit(1L)).as("sy"),
+          m($"x1", $"x1").as("s11"), m($"x1", $"x2").as("s12"),
+          m($"x2", $"x2").as("s22"),
+          m($"x1", $"y").as("s1y"), m($"x2", $"y").as("s2y"),
+          m($"y", $"y").as("syy"))
+        // 3×3 Cramer: identical parenthesization in the SQL oracle.
+        mom.select($"*",
+            ($"n" * ($"s11" * $"s22" - $"s12" * $"s12") -
+             $"s1" * ($"s1" * $"s22" - $"s12" * $"s2") +
+             $"s2" * ($"s1" * $"s12" - $"s11" * $"s2")).as("det"),
+            ($"sy" * ($"s11" * $"s22" - $"s12" * $"s12") -
+             $"s1" * ($"s1y" * $"s22" - $"s12" * $"s2y") +
+             $"s2" * ($"s1y" * $"s12" - $"s11" * $"s2y")).as("d0"),
+            ($"n" * ($"s1y" * $"s22" - $"s12" * $"s2y") -
+             $"sy" * ($"s1" * $"s22" - $"s12" * $"s2") +
+             $"s2" * ($"s1" * $"s2y" - $"s1y" * $"s2")).as("d1"),
+            ($"n" * ($"s11" * $"s2y" - $"s1y" * $"s12") -
+             $"s1" * ($"s1" * $"s2y" - $"s1y" * $"s2") +
+             $"sy" * ($"s1" * $"s12" - $"s11" * $"s2")).as("d2"))
+          .select($"*",
+            ($"d0" / $"det").as("b0"), ($"d1" / $"det").as("b1"),
+            ($"d2" / $"det").as("b2"))
+          .select(
+            $"n".cast("long").as("n"),
+            round($"b0" / 100.0, 6).as("intercept"),
+            round($"b1" / 100.0, 6).as("coef_qty"),
+            round($"b2", 6).as("coef_disc"),
+            round(lit(1.0) -
+              ($"syy" - ($"b0" * $"sy" + $"b1" * $"s1y" + $"b2" * $"s2y")) /
+              ($"syy" - $"sy" * $"sy" / $"n"), 6).as("r2"))
+      },
+      Some("""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+              CAST(round(l_discount * 100) AS BIGINT) AS x2,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem),
+          mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+              CAST(sum(y) AS DOUBLE) AS sy,
+              CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+              CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+              CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+              CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+              CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+              CAST(sum(y * y) AS DOUBLE) AS syy
+            FROM li),
+          dets AS (SELECT *,
+              (n * (s11 * s22 - s12 * s12) -
+               s1 * (s1 * s22 - s12 * s2) +
+               s2 * (s1 * s12 - s11 * s2)) AS det,
+              (sy * (s11 * s22 - s12 * s12) -
+               s1 * (s1y * s22 - s12 * s2y) +
+               s2 * (s1y * s12 - s11 * s2y)) AS d0,
+              (n * (s1y * s22 - s12 * s2y) -
+               sy * (s1 * s22 - s12 * s2) +
+               s2 * (s1 * s2y - s1y * s2)) AS d1,
+              (n * (s11 * s2y - s1y * s12) -
+               s1 * (s1 * s2y - s1y * s2) +
+               sy * (s1 * s12 - s11 * s2)) AS d2
+            FROM mom),
+          beta AS (SELECT *, (d0 / det) AS b0, (d1 / det) AS b1,
+              (d2 / det) AS b2 FROM dets)
+          SELECT CAST(n AS BIGINT) AS n,
+            round(b0 / 100.0, 6) AS intercept,
+            round(b1 / 100.0, 6) AS coef_qty,
+            round(b2, 6) AS coef_disc,
+            round(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) /
+              (syy - sy * sy / n), 6) AS r2
+          FROM beta"""),
+      "2-feature OLS with intercept via exact normal equations + Cramer"),
+
+    // ------------------------------------------------ Welch's t-test
+    // Returned (R) vs kept (N) price distributions: unequal-variance
+    // two-sample t with Welch–Satterthwaite degrees of freedom. All six
+    // sufficient statistics (n, Σ, Σ² per group) come from ONE
+    // conditional aggregate over one scan — the canonical A/B-test
+    // shape at warehouse scale (no per-group subqueries, no second
+    // pass). sqrt is IEEE-correctly-rounded, so the final tree stays
+    // bit-deterministic.
+    "q147_welch_ttest" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").filter($"l_returnflag".isin("R", "N"))
+          .select($"l_returnflag".as("rf"),
+            round($"l_extendedprice" * 100).cast("long").as("y"))
+        def side(v: String, suf: String) = Seq(
+          sum(when($"rf" === v, 1L).otherwise(0L)).cast("double").as(s"n$suf"),
+          sum(when($"rf" === v, $"y").otherwise(0L).cast("decimal(38,0)"))
+            .cast("double").as(s"s$suf"),
+          sum(when($"rf" === v, $"y" * $"y").otherwise(0L).cast("decimal(38,0)"))
+            .cast("double").as(s"ss$suf"))
+        val aggsAll = side("R", "1") ++ side("N", "2")
+        li.agg(aggsAll.head, aggsAll.tail: _*)
+          .select($"*",
+            ($"s1" / $"n1").as("m1"), ($"s2" / $"n2").as("m2"),
+            (($"ss1" - $"s1" * $"s1" / $"n1") / ($"n1" - 1.0)).as("v1"),
+            (($"ss2" - $"s2" * $"s2" / $"n2") / ($"n2" - 1.0)).as("v2"))
+          .select($"*",
+            ($"v1" / $"n1" + $"v2" / $"n2").as("se2"))
+          .select(
+            $"n1".cast("long").as("n_ret"), $"n2".cast("long").as("n_kept"),
+            round($"m1" / 100.0, 6).as("mean_ret"),
+            round($"m2" / 100.0, 6).as("mean_kept"),
+            round(($"m1" - $"m2") / sqrt($"se2"), 6).as("t_stat"),
+            round($"se2" * $"se2" /
+              (($"v1" / $"n1") * ($"v1" / $"n1") / ($"n1" - 1.0) +
+               ($"v2" / $"n2") * ($"v2" / $"n2") / ($"n2" - 1.0)), 3)
+              .as("df_welch"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+          agg AS (SELECT
+              CAST(sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+              CAST(sum(CASE WHEN rf = 'R' THEN y ELSE 0 END) AS DOUBLE) AS s1,
+              CAST(sum(CASE WHEN rf = 'R' THEN y * y ELSE 0 END) AS DOUBLE) AS ss1,
+              CAST(sum(CASE WHEN rf = 'N' THEN 1 ELSE 0 END) AS DOUBLE) AS n2,
+              CAST(sum(CASE WHEN rf = 'N' THEN y ELSE 0 END) AS DOUBLE) AS s2,
+              CAST(sum(CASE WHEN rf = 'N' THEN y * y ELSE 0 END) AS DOUBLE) AS ss2
+            FROM li),
+          mv AS (SELECT *, (s1 / n1) AS m1, (s2 / n2) AS m2,
+              ((ss1 - s1 * s1 / n1) / (n1 - 1.0)) AS v1,
+              ((ss2 - s2 * s2 / n2) / (n2 - 1.0)) AS v2
+            FROM agg),
+          se AS (SELECT *, (v1 / n1 + v2 / n2) AS se2 FROM mv)
+          SELECT CAST(n1 AS BIGINT) AS n_ret, CAST(n2 AS BIGINT) AS n_kept,
+            round(m1 / 100.0, 6) AS mean_ret,
+            round(m2 / 100.0, 6) AS mean_kept,
+            round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+            round(se2 * se2 /
+              ((v1 / n1) * (v1 / n1) / (n1 - 1.0) +
+               (v2 / n2) * (v2 / n2) / (n2 - 1.0)), 3) AS df_welch
+          FROM se"""),
+      "Welch unequal-variance t-test, returned vs kept prices"),
+
+    // --------------------------------------- Wilson-bound ranking
+    // Brands ranked by the Wilson score lower bound of their
+    // not-returned rate (Wilson JASA 1927) — the small-sample-safe
+    // ranking every review/ctr leaderboard should use instead of the
+    // raw proportion. One fact-dim equi-join then a 25-ary aggregate;
+    // the bound is pure double arithmetic over two exact longs
+    // (Stats.wilsonLower, tree mirrored in the oracle with z²
+    // spelled (1.96*1.96) so both engines fold the same product).
+    "q148_wilson_lcb" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val agg = t(s, d, "lineitem")
+          .join(t(s, d, "part").select($"p_partkey", $"p_brand"),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(when($"l_returnflag" =!= "R", 1L).otherwise(0L)).as("succ"))
+        agg.select($"p_brand", $"n", $"succ",
+            round($"succ".cast("double") / $"n", 6).as("p_hat"),
+            round(Stats.wilsonLower($"succ", $"n", 1.96), 6).as("wilson_lb"))
+          .orderBy($"wilson_lb".desc, $"p_brand")
+      },
+      Some("""WITH agg AS (SELECT p_brand, count(*) AS n,
+              CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS succ
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand),
+          w AS (SELECT p_brand, n, succ,
+              (CAST(succ AS DOUBLE) / n) AS p
+            FROM agg)
+          SELECT p_brand, n, succ, round(p, 6) AS p_hat,
+            round((p + (1.96*1.96) / (2.0 * n) -
+              1.96 * sqrt((p * (1.0 - p) + (1.96*1.96) / (4.0 * n)) / n)) /
+              (1.0 + (1.96*1.96) / n), 6) AS wilson_lb
+          FROM w ORDER BY wilson_lb DESC, p_brand"""),
+      "Wilson score lower-bound ranking of brand not-returned rates"),
+
+    // --------------------------------------- equi-depth histogram
+    // The partner of q08's equal-width histogram: 8 buckets holding
+    // (near-)equal row counts, boundaries from the scalable exact-
+    // quantile engine (3-pass bounded histogram, A13), then ONE scan
+    // with the broadcast 7-boundary row assigns buckets by summed
+    // comparisons. Boundary compare happens in eighth-cents longs
+    // (quantile_cont at eighths interpolates on cent grid → exact
+    // multiples of 1/800 dollar), so bucket edges cannot drift between
+    // engines.
+    "q149_equidepth_hist" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
+        val bounds = Relational.exactQuantilesQuantized(
+            t(s, d, "lineitem"), "l_extendedprice", (1 to 7).map(_ / 8.0))
+          .select((0 to 6).map(i =>
+            round(col(s"p$i") * 800).cast("long").as(s"b$i")): _*)
+        val bucket = (0 to 6).map(i =>
+            when($"cents" * 8 > col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        li.crossJoin(broadcast(bounds))
+          .groupBy(bucket.as("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            (min($"cents") / 100.0).as("lo"),
+            (max($"cents") / 100.0).as("hi"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem),
+          b AS (SELECT
+              CAST(round(quantile_cont(l_extendedprice, 0.125) * 800) AS BIGINT) AS b0,
+              CAST(round(quantile_cont(l_extendedprice, 0.250) * 800) AS BIGINT) AS b1,
+              CAST(round(quantile_cont(l_extendedprice, 0.375) * 800) AS BIGINT) AS b2,
+              CAST(round(quantile_cont(l_extendedprice, 0.500) * 800) AS BIGINT) AS b3,
+              CAST(round(quantile_cont(l_extendedprice, 0.625) * 800) AS BIGINT) AS b4,
+              CAST(round(quantile_cont(l_extendedprice, 0.750) * 800) AS BIGINT) AS b5,
+              CAST(round(quantile_cont(l_extendedprice, 0.875) * 800) AS BIGINT) AS b6
+            FROM lineitem)
+          SELECT (CASE WHEN cents * 8 > b0 THEN 1 ELSE 0 END +
+                  CASE WHEN cents * 8 > b1 THEN 1 ELSE 0 END +
+                  CASE WHEN cents * 8 > b2 THEN 1 ELSE 0 END +
+                  CASE WHEN cents * 8 > b3 THEN 1 ELSE 0 END +
+                  CASE WHEN cents * 8 > b4 THEN 1 ELSE 0 END +
+                  CASE WHEN cents * 8 > b5 THEN 1 ELSE 0 END +
+                  CASE WHEN cents * 8 > b6 THEN 1 ELSE 0 END) AS bucket,
+            count(*) AS cnt,
+            min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi
+          FROM li CROSS JOIN b GROUP BY 1 ORDER BY bucket"""),
+      "8-bucket equi-depth histogram from the exact-quantile engine")
+  )
+}
