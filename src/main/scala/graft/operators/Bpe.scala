@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Initial state from a (word, freq) table: `||c1||c2||...||`. */
+  /** Initial state from a (word, freq) table: `||c1||c2||...||`. The
+    * source word rides along so encoders can map back after merging. */
   def initialState(words: DataFrame, word: String, freq: String): DataFrame =
     words.select(
+      col(word).as("word"),
       concat(lit("||"), array_join(split(col(word), ""), "||"), lit("||"))
         .as("state"),
       col(freq).cast("long").as("freq"))
@@ -56,7 +58,25 @@ object Bpe {
     * The per-round argmax is a sort-limit over the pair table — bounded
     * by the vocabulary's adjacent-pair count, never by the corpus. */
   def trainMerges(words: DataFrame, word: String, freq: String,
+                  rounds: Int): DataFrame =
+    fold(words, word, freq, rounds)._1
+
+  /** Train `rounds` merges AND apply them: returns the encoded
+    * vocabulary `(word, freq, n_tokens)` — token count of each word
+    * under the learned merges. This is the tokenizer APPLY step: the
+    * corpus-sized text never re-enters the loop; only the vocabulary
+    * does, and callers broadcast-join `n_tokens` back onto their word
+    * stream (see q150). */
+  def encodeVocab(words: DataFrame, word: String, freq: String,
                   rounds: Int): DataFrame = {
+    val state = fold(words, word, freq, rounds)._2
+    state.select(col("word"), col("freq"),
+      size(split(regexp_replace(col("state"), "^\\|\\||\\|\\|$", ""), "\\|\\|"))
+        .cast("long").as("n_tokens"))
+  }
+
+  private def fold(words: DataFrame, word: String, freq: String,
+                   rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     var state = initialState(words, word, freq).localCheckpoint()
     var merges: DataFrame = null
@@ -66,17 +86,18 @@ object Bpe {
         .withColumn("round", lit(i)).localCheckpoint()
       merges = if (merges == null) best else merges.unionByName(best)
       state = state.crossJoin(broadcast(best.select(col("l"), col("r"))))
-        .select(expr(
+        .select(col("word"), expr(
           "replace(state, '|' || l || '||' || r || '|', '|' || l || r || '|')")
           .as("state"), col("freq"))
         .localCheckpoint()
     }
-    merges.select(col("round"), col("l"), col("r"), col("cnt"))
+    (merges.select(col("round"), col("l"), col("r"), col("cnt")), state)
   }
 
   /** DuckDB mirror: expects a CTE `bpe_words(word, freq)` in scope;
     * exposes `bpe_merges(round, l, r, cnt)` re-deriving the identical
-    * `rounds` merge choices. */
+    * `rounds` merge choices, plus the final per-word state
+    * `bpe_s{rounds}(word, state, freq)` for encode checks. */
   def bpeOracleCtes(rounds: Int): String = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     def pairsOf(stateCte: String, i: Int): String =
@@ -91,13 +112,14 @@ object Bpe {
     val rs = (1 to rounds).map { i =>
       val prev = if (i == 1) "bpe_s0" else s"bpe_s${i - 1}"
       s"""${pairsOf(prev, i)},
-        bpe_s$i AS (SELECT replace(state, '|' || l || '||' || r || '|',
+        bpe_s$i AS (SELECT word, replace(state, '|' || l || '||' || r || '|',
             '|' || l || r || '|') AS state, freq
           FROM $prev CROSS JOIN bpe_b$i)"""
     }.mkString(",\n")
     val union = (1 to rounds).map(i => s"SELECT round, l, r, cnt FROM bpe_b$i")
       .mkString(" UNION ALL ")
-    s"""bpe_s0 AS (SELECT '||' || array_to_string(string_split(word, ''), '||') || '||' AS state,
+    s"""bpe_s0 AS (SELECT word,
+          '||' || array_to_string(string_split(word, ''), '||') || '||' AS state,
           CAST(freq AS BIGINT) AS freq FROM bpe_words),
       $rs,
       bpe_merges AS ($union)"""

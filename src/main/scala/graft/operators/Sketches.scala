@@ -226,6 +226,42 @@ object Sketches {
       .drop("__rn")
   }
 
+  /** KMV SET OPERATIONS (Beyer et al. SIGMOD'07): union and
+    * intersection cardinality of two keyed sets from their k-smallest
+    * sketches alone. The merged sketch M = k smallest of (Kₐ ∪ K_b) is
+    * exactly the sketch OF the union (the [[kmvSketch]] shard-merge
+    * closure); Jaccard ρ = |M ∩ A ∩ B| / |M| is decidable from the two
+    * side sketches because h ∈ M ∧ h ∈ A ⇒ h ≤ kth(M) ≤ kth(Kₐ) ⇒
+    * h ∈ Kₐ — no rescan of the inputs. Intersection = ρ · est(∪).
+    *
+    * Scale posture: the only input-proportional work is the two
+    * side-sketch builds (each a distinct + top-k, shard-mergeable);
+    * everything after runs on ≤ 3k hash rows. Fully deterministic
+    * given the md5 hashing, so an external engine re-derives every
+    * output bit. Returns one row: n_m, kth_hash60, est_union, n_both,
+    * jaccard, est_inter. */
+  def kmvSetOps(a: DataFrame, keyA: Column, b: DataFrame, keyB: Column,
+                k: Int, salt: String): DataFrame = {
+    val sa = kmvSketch(a, keyA, k, salt)
+    val sb = kmvSketch(b, keyB, k, salt)
+    val m = kmvMerge(k, sa, sb)
+    m.join(sa.withColumn("in_a", lit(1)), Seq("h"), "left")
+      .join(sb.withColumn("in_b", lit(1)), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_m"),
+        max(conv(substring(col("h"), 1, 15), 16, 10).cast("long")).as("kth_hash60"),
+        sum(coalesce(col("in_a"), lit(0)) * coalesce(col("in_b"), lit(0)))
+          .as("n_both"))
+      .select(col("n_m"), col("kth_hash60"), col("n_both"),
+        when(col("n_m") < k, col("n_m").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            col("kth_hash60").cast("double")).as("est_union"))
+      .select(col("n_m"), col("kth_hash60"), col("n_both"),
+        round(col("est_union"), 4).as("est_union"),
+        round(col("n_both").cast("double") / col("n_m"), 6).as("jaccard"),
+        round(col("n_both").cast("double") / col("n_m") * col("est_union"), 4)
+          .as("est_inter"))
+  }
+
   /** Per-group estimate from a [[kmvSketchGrouped]] frame: groups with
     * fewer than k distinct hashes report their exact count. */
   def kmvEstimateGrouped(sketch: DataFrame, groups: Seq[String],

@@ -525,6 +525,54 @@ object AnalyticsQueries {
           FROM v JOIN er ON v.user_id = er.user_id
             AND vs <= ee AND es <= ve
           GROUP BY v.user_id ORDER BY n_pairs DESC, v.user_id LIMIT 50"""),
-      "interval x interval overlap join, each pair claimed by one bin")
+      "interval x interval overlap join, each pair claimed by one bin"),
+
+    // --------------------------------------- sorted-neighborhood ER
+    // The third blocking scheme in the entity-resolution family
+    // (Hernández & Stolfo SIGMOD'95), complementing q139's attribute
+    // blocks and q42's LSH buckets: sort by a normalized key, compare
+    // each record only to its w−1 successors. Relational shape: the
+    // window partitions on the key's 2-char prefix (bounded block
+    // count, no global sort), each candidate pair comes from lead(i)
+    // — zero self-joins — and the thresholded banded Levenshtein
+    // (early-exit, q139's kernel) verifies. Pair cost is O(n·w), the
+    // SNM contract.
+    "q152_sorted_neighborhood" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val keyed = t(s, d, "documents")
+          .select($"doc_id",
+            substring(regexp_replace(lower($"text"), "[^a-z0-9]", ""), 1, 24)
+              .as("k"))
+          .withColumn("blk", substring($"k", 1, 2))
+        val w = Window.partitionBy($"blk").orderBy($"k", $"doc_id")
+        val leads = keyed.select($"doc_id", $"k",
+          array((1 to 3).map(i => struct(
+            lead($"doc_id", i).over(w).as("id2"),
+            lead($"k", i).over(w).as("k2"))): _*).as("cands"))
+        leads.select($"doc_id".as("id_a"), $"k".as("key_a"),
+            explode($"cands").as("c"))
+          .select($"id_a", $"key_a", $"c.id2".as("id_b"), $"c.k2".as("key_b"))
+          .filter($"id_b".isNotNull)
+          .withColumn("dist", levenshtein($"key_a", $"key_b", 8))
+          .filter($"dist".between(0, 8))
+          .select($"id_a", $"id_b", $"dist")
+          .orderBy($"dist", $"id_a", $"id_b")
+          .limit(100)
+      },
+      Some("""WITH k1 AS (SELECT doc_id,
+              substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k
+            FROM documents),
+          k2 AS (SELECT doc_id, k, substr(k, 1, 2) AS blk,
+              row_number() OVER (PARTITION BY substr(k, 1, 2)
+                ORDER BY k, doc_id) AS rn
+            FROM k1)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            levenshtein(a.k, b.k) AS dist
+          FROM k2 a JOIN k2 b
+            ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+          WHERE levenshtein(a.k, b.k) <= 8
+          ORDER BY dist, id_a, id_b LIMIT 100"""),
+      "sorted-neighborhood dedup: prefix-sorted window, lead(i) candidate pairs")
   )
 }

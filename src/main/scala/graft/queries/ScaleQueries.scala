@@ -745,6 +745,71 @@ object ScaleQueries {
           SELECT cc.id AS doc_id, cluster_id, cluster_size,
             CAST(cc.id = cluster_id AS INTEGER) AS is_keeper
           FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
-      "exact dedup end-to-end: lossless pair join -> clusters -> keepers")
+      "exact dedup end-to-end: lossless pair join -> clusters -> keepers"),
+
+    // ----------------------------------------------- KMV set operations
+    // Union AND intersection cardinality of two token sets from their
+    // k-smallest sketches alone (Beyer et al. SIGMOD'07): the merged
+    // sketch is exactly the union's sketch (shard-merge closure), and
+    // Jaccard is decidable inside it because h ∈ M ∧ h ∈ A ⇒ h ∈ Kₐ.
+    // The only corpus-proportional work is the two side sketch builds;
+    // the set algebra runs on ≤ 3k hash rows. Exact counts ride along
+    // (one extra aggregate) to expose the realized estimation error —
+    // at 100 TB you'd drop them and keep only the sketch path.
+    "q151_kmv_setops" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = t(s, d, "documents")
+          .select((substring($"source", 4, 10).cast("int") < 10).as("side_a"),
+            explode(split(lower($"text"), " ")).as("w"))
+          .filter($"w".rlike("^[a-z0-9]+$"))
+          .localCheckpoint() // reused: two sketch builds + exact pass
+        val sk = Sketches.kmvSetOps(
+          w.filter($"side_a"), $"w", w.filter(!$"side_a"), $"w",
+          k = 256, salt = "q151")
+        val exact = w.groupBy($"w")
+          .agg(max(when($"side_a", 1).otherwise(0)).as("ia"),
+            max(when($"side_a", 0).otherwise(1)).as("ib"))
+          .agg(count(lit(1)).as("exact_union"),
+            sum(when($"ia" === 1 && $"ib" === 1, 1L).otherwise(0L))
+              .as("exact_inter"))
+        sk.crossJoin(exact)
+      },
+      Some("""WITH w AS (SELECT CAST(substr(source, 4, 10) AS INT) < 10 AS side_a, w
+            FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+            WHERE regexp_matches(w, '^[a-z0-9]+$')),
+          ha AS (SELECT DISTINCT md5('q151:' || w) AS h FROM w WHERE side_a),
+          sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+          hb AS (SELECT DISTINCT md5('q151:' || w) AS h FROM w WHERE NOT side_a),
+          sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+          m AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+            ORDER BY h LIMIT 256),
+          f AS (SELECT m.h,
+              CASE WHEN sa.h IS NULL THEN 0 ELSE 1 END AS in_a,
+              CASE WHEN sb.h IS NULL THEN 0 ELSE 1 END AS in_b
+            FROM m LEFT JOIN sa ON m.h = sa.h LEFT JOIN sb ON m.h = sb.h),
+          agg AS (SELECT count(*) AS n_m,
+              max(CAST('0x' || substr(h, 1, 15) AS BIGINT)) AS kth_hash60,
+              CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+            FROM f),
+          est AS (SELECT n_m, kth_hash60, n_both,
+              CASE WHEN n_m < 256 THEN CAST(n_m AS DOUBLE)
+                ELSE 255.0 * pow(2.0, 60.0) / CAST(kth_hash60 AS DOUBLE) END AS eu
+            FROM agg),
+          sides AS (SELECT w,
+              max(CASE WHEN side_a THEN 1 ELSE 0 END) AS ia,
+              max(CASE WHEN side_a THEN 0 ELSE 1 END) AS ib
+            FROM w GROUP BY w),
+          ex AS (SELECT count(*) AS exact_union,
+              CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS exact_inter
+            FROM sides)
+          SELECT n_m, kth_hash60, n_both, round(eu, 4) AS est_union,
+            round(CAST(n_both AS DOUBLE) / n_m, 6) AS jaccard,
+            round(CAST(n_both AS DOUBLE) / n_m * eu, 4) AS est_inter,
+            exact_union, exact_inter
+          FROM est CROSS JOIN ex"""),
+      "KMV union/intersection/Jaccard from two k-min sketches, exact ride-along")
   )
 }

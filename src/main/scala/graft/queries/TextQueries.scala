@@ -616,6 +616,54 @@ object TextQueries {
         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
         SELECT cc.id AS doc_id, cluster_id, cluster_size
         FROM cc JOIN sz USING (cluster_id) ORDER BY doc_id"""),
-      "large-star/small-star components on a chain-shaped dup graph")
+      "large-star/small-star components on a chain-shaped dup graph"),
+
+    // ----------------------------------------------- BPE tokenizer APPLY
+    // q131 trained the merges; this is the other half a tokenizer ships:
+    // ENCODE the corpus under those merges and report per-source token
+    // economics (the number every data-mixture budget is denominated
+    // in). Scale shape: the corpus collapses to a (source, word, count)
+    // table in ONE shuffle; the 6 merge folds run on the VOCABULARY only
+    // (never re-touching the corpus); and the learned per-word token
+    // count broadcast-joins back onto the word table. The oracle
+    // re-derives the identical merges (Bpe.bpeOracleCtes) and re-encodes
+    // every word, so tokens_per_word is hash-equal, not approximate.
+    "q150_bpe_encode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sw = docs(s, d)
+          .select($"source", explode(split(lower($"text"), " ")).as("w"))
+          .filter($"w".rlike("^[a-z0-9]+$"))
+          .groupBy($"source", $"w").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // reused: global vocab + token join-back
+        val vocab = sw.groupBy($"w").agg(sum($"cnt").as("freq"))
+        val tok = graft.operators.Bpe.encodeVocab(vocab, "w", "freq", rounds = 6)
+          .select(col("word").as("w"), col("n_tokens"))
+        sw.join(broadcast(tok), Seq("w"))
+          .groupBy($"source")
+          .agg(sum($"cnt").as("n_words"),
+            sum($"cnt" * $"n_tokens").as("n_tokens"),
+            round(sum($"cnt" * $"n_tokens").cast("double") / sum($"cnt"), 6)
+              .as("tokens_per_word"))
+          .orderBy($"source")
+      },
+      Some(s"""WITH sw AS (SELECT source, w, count(*) AS cnt FROM (
+              SELECT source, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+            WHERE regexp_matches(w, '^[a-z0-9]+$$')
+            GROUP BY source, w),
+          bpe_words AS (SELECT w AS word, CAST(sum(cnt) AS BIGINT) AS freq
+            FROM sw GROUP BY w),
+          ${graft.operators.Bpe.bpeOracleCtes(6)},
+          tok AS (SELECT word,
+              CAST(len(string_split(trim(state, '|'), '||')) AS BIGINT) AS n_tokens
+            FROM bpe_s6)
+          SELECT source, CAST(sum(cnt) AS BIGINT) AS n_words,
+            CAST(sum(cnt * n_tokens) AS BIGINT) AS n_tokens,
+            round(CAST(sum(cnt * n_tokens) AS DOUBLE) / sum(cnt), 6)
+              AS tokens_per_word
+          FROM sw JOIN tok ON sw.w = tok.word
+          GROUP BY source ORDER BY source"""),
+      "encode the corpus under learned BPE merges, per-source token stats")
   )
 }

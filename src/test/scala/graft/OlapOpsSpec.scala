@@ -350,6 +350,19 @@ class OlapOpsSpec extends SparkSpec {
     assert((m.getString(1), m.getString(2), m.getLong(3)) == (("x", "y", 3L)), s"$m")
   }
 
+  test("BPE encodeVocab token counts shrink with merges, floor at 1") {
+    import graft.operators.Bpe
+    val words = Seq(("abab", 2L), ("ab", 1L), ("zq", 1L)).toDF("w", "f")
+    // round 1 merges (a,b): abab -> ab|ab (2 tokens), ab -> 1, zq -> 2
+    val r1 = Bpe.encodeVocab(words, "w", "f", rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r1 == Map("abab" -> 2L, "ab" -> 1L, "zq" -> 2L), s"$r1")
+    // round 2 merges (ab,ab): abab collapses to one token
+    val r2 = Bpe.encodeVocab(words, "w", "f", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r2 == Map("abab" -> 1L, "ab" -> 1L, "zq" -> 2L), s"$r2")
+  }
+
   test("PageRank: total mass never grows (dangling mass is dropped, not minted)") {
     import graft.operators.Graph
     // 'sink' has no out-edges: its mass drains each round

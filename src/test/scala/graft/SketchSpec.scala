@@ -75,6 +75,26 @@ class SketchSpec extends SparkSpec {
       "merged shard sketches must equal the sketch of the combined input exactly")
   }
 
+  test("KMV set ops are exact below k and banded above") {
+    // under k: every hash of A ∪ B fits in the merged sketch, so the
+    // estimates must equal the true set algebra exactly
+    val a = (1 to 50).toDF("v")
+    val b = (26 to 75).toDF("v")
+    val r = Sketches.kmvSetOps(a, $"v", b, $"v", k = 256, salt = "so").head()
+    assert(r.getAs[Long]("n_m") == 75)
+    assert(r.getAs[Double]("est_union") == 75.0)
+    assert(r.getAs[Long]("n_both") == 25)
+    assert(r.getAs[Double]("est_inter") == 25.0)
+    // over k: planted 1/3 Jaccard recovered within the sampling band
+    val k = 256
+    val bigA = (1 to 6000).toDF("v")
+    val bigB = (3001 to 9000).toDF("v")
+    val e = Sketches.kmvSetOps(bigA, $"v", bigB, $"v", k, salt = "so2").head()
+    val relU = math.abs(e.getAs[Double]("est_union") - 9000) / 9000.0
+    assert(relU < 3.0 / math.sqrt(k - 2), s"union off: $e")
+    assert(math.abs(e.getAs[Double]("jaccard") - 1.0 / 3) < 0.1, s"jaccard off: $e")
+  }
+
   test("KMV is exact below k distinct values") {
     val small = Seq(1, 2, 3, 4, 5).toDF("v")
     val r = Sketches.kmvDistinct(small, $"v", k = 256, salt = "t").collect()(0)
