@@ -50,6 +50,83 @@ object Layout {
         s"((($yExpr >> $b) & 1) << ${2 * b + 1})")
     }.mkString("(CAST(", " | ", " AS BIGINT))")
 
+  /** Append a Hilbert-curve index column `out` for (x, y), each in
+    * [0, 2^bits): the space-filling curve whose CONSECUTIVE index values
+    * are always Manhattan-adjacent cells (Hilbert 1891; Faloutsos &
+    * Roseman PODS'89 measured ~²⁄₃ fewer cluster breaks than Z-order on
+    * box queries — why newer table formats offer it beside ZORDER).
+    * Z-order jumps diagonally at every power-of-two boundary; Hilbert
+    * never jumps, so file min/max ranges cover tighter rectangles.
+    *
+    * The classic per-level rotate-and-flip walks top bit to bottom; each
+    * level materializes as its OWN projection (withColumn), so rx/ry are
+    * computed once per level instead of re-expanding inside every
+    * downstream reference (CollapseProject keeps non-cheap aliases
+    * un-inlined, so the plan stays linear in `bits`). Pure long
+    * arithmetic end-to-end: exact on any engine, mirrored level-for-
+    * level by [[hilbertOracleCtes]]. */
+  def withHilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+                  out: String): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    var cur = df
+      .withColumn("__hx", x.cast("long"))
+      .withColumn("__hy", y.cast("long"))
+      .withColumn(out, lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, 1L).otherwise(0L))
+        .withColumn(out,
+          col(out) + lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        // rotate/flip the quadrant frame: flip only in the rx=1, ry=0
+        // quadrant, then swap axes whenever ry=0
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hy"))
+              .otherwise(col("__hy")))
+          .otherwise(col("__hx")))
+        .withColumn("__hy",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hx"))
+              .otherwise(col("__hx")))
+          .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+    }
+    cur.drop("__hx", "__hy", "__rx", "__ry", "__nx")
+  }
+
+  /** DuckDB CTE chain mirroring [[withHilbert]] level-for-level. Expects
+    * a CTE (or table) `src`; emits `hilb_0 … hilb_{bits}` where
+    * `hilb_{bits}` carries every `src` column plus `hx{bits}` (ignore),
+    * `hy{bits}` (ignore) and `hd{bits}` — the Hilbert index. Unique
+    * per-level column names sidestep lateral-alias shadowing. */
+  def hilbertOracleCtes(src: String, xExpr: String, yExpr: String,
+                        bits: Int): String = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31]: $bits")
+    val lvl0 = s"""hilb_0 AS (SELECT *, CAST($xExpr AS BIGINT) AS hx0,
+        CAST($yExpr AS BIGINT) AS hy0, CAST(0 AS BIGINT) AS hd0 FROM $src)"""
+    val lvls = (0 until bits).map { lvl =>
+      val i = bits - 1 - lvl // walk top bit to bottom, like the engine
+      val s = 1L << i
+      val n = lvl + 1
+      s"""hilb_$n AS (SELECT *,
+          CASE WHEN (hx$lvl & $s) > 0 THEN 1 ELSE 0 END AS rx$lvl,
+          CASE WHEN (hy$lvl & $s) > 0 THEN 1 ELSE 0 END AS ry$lvl,
+          hd$lvl + ${s * s} * xor(3 * rx$lvl, ry$lvl) AS hd$n,
+          CASE WHEN ry$lvl = 0 THEN (CASE WHEN rx$lvl = 1
+              THEN ${s - 1} - hy$lvl ELSE hy$lvl END)
+            ELSE hx$lvl END AS hx$n,
+          CASE WHEN ry$lvl = 0 THEN (CASE WHEN rx$lvl = 1
+              THEN ${s - 1} - hx$lvl ELSE hx$lvl END)
+            ELSE hy$lvl END AS hy$n
+        FROM hilb_$lvl)"""
+    }
+    (lvl0 +: lvls).mkString(",\n")
+  }
+
   /** Write `df` clustered by the z-value of (x, y): range-partition into
     * `nFiles` z-ranges, sort within each, drop the helper column. The
     * result directory has one file per z-range whose Parquet min/max

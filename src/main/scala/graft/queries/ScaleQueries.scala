@@ -810,6 +810,37 @@ object ScaleQueries {
             round(CAST(n_both AS DOUBLE) / n_m * eu, 4) AS est_inter,
             exact_union, exact_inter
           FROM est CROSS JOIN ex"""),
-      "KMV union/intersection/Jaccard from two k-min sketches, exact ride-along")
+      "KMV union/intersection/Jaccard from two k-min sketches, exact ride-along"),
+
+    // --------------------------------------------- Hilbert-curve layout
+    // The continuity upgrade over q99's Z-order: consecutive Hilbert
+    // indices are ALWAYS Manhattan-adjacent cells (no power-of-two
+    // diagonal jumps), so file min/max ranges cluster tighter on box
+    // predicates (Faloutsos & Roseman PODS'89). Same physical recipe as
+    // writeZOrdered — range-partition + sort on the curve value. The
+    // oracle re-walks all 8 rotate/flip levels CTE-for-CTE in exact
+    // long arithmetic; the adjacency property itself is spec-pinned
+    // over the full 16×16 grid (SketchSpec).
+    "q153_hilbert_box" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boxed = t(s, d, "lineitem")
+          .select($"l_orderkey", $"l_linenumber",
+            ($"l_partkey" % 256).cast("long").as("x"),
+            ($"l_suppkey" % 256).cast("long").as("y"))
+          .filter($"x".between(32, 47) && $"y".between(10, 20))
+        Layout.withHilbert(boxed, $"x", $"y", bits = 8, out = "h")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      Some(s"""WITH src AS (SELECT l_orderkey, l_linenumber,
+              CAST(l_partkey % 256 AS BIGINT) AS x,
+              CAST(l_suppkey % 256 AS BIGINT) AS y
+            FROM lineitem
+            WHERE (l_partkey % 256) BETWEEN 32 AND 47
+              AND (l_suppkey % 256) BETWEEN 10 AND 20),
+          ${Layout.hilbertOracleCtes("src", "x", "y", 8)}
+          SELECT l_orderkey, l_linenumber, x, y, hd8 AS h
+          FROM hilb_8 ORDER BY l_orderkey, l_linenumber"""),
+      "Hilbert curve index pinned level-for-level on a 2-D box predicate")
   )
 }

@@ -185,4 +185,22 @@ class SketchSpec extends SparkSpec {
     assert(rows == Seq((1L, 0L, 1L), (0L, 1L, 2L), (3L, 0L, 5L), (0L, 3L, 10L),
       (3L, 5L, 39L), (255L, 255L, 65535L)), s"interleave mismatch: $rows")
   }
+
+  test("Hilbert index is a bijection and consecutive cells are adjacent") {
+    // the defining curve property Z-order lacks: over the FULL 16x16
+    // grid, d is a permutation of 0..255 and |Δx|+|Δy| = 1 between every
+    // consecutive pair — no diagonal jumps anywhere
+    val grid = spark.range(16).select($"id".as("x"))
+      .crossJoin(spark.range(16).select($"id".as("y")))
+    val cells = Layout.withHilbert(grid, $"x", $"y", bits = 4, out = "d")
+      .collect().map(r => (r.getAs[Long]("d"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq == (0L until 256L), "d is not a bijection")
+    cells.sliding(2).foreach { case Array((_, x1, y1), (d2, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump before d=$d2: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // first cell is the origin (standard orientation)
+    assert(cells.head == ((0L, 0L, 0L)))
+  }
 }
