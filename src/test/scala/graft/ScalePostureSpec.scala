@@ -277,4 +277,42 @@ class ScalePostureSpec extends SparkSpec {
     val aggs = plan.linesIterator.count(_.contains("ObjectHashAggregate"))
     assert(aggs >= 2, s"expected partial+final aggregation, got $aggs:\n${plan.take(800)}")
   }
+
+  private def plan(name: String): String =
+    graft.queries.Registry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("q146 OLS: the whole regression is ONE scan + one hash aggregate") {
+    val p = plan("q146_ols_normal_eq")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"normal equations must not rescan:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    // partial + final: the Gram matrix combines map-side
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("q152 SNM: candidate pairs come from windows, never a join") {
+    val p = plan("q152_sorted_neighborhood")
+    assert(!p.contains("Join"), // no join operator of ANY kind
+      s"sorted-neighborhood must be join-free:\n${p.take(800)}")
+    assert(p.contains("Window"), "expected the lead() window")
+  }
+
+  test("q153 Hilbert: flat projections — plan is linear in bit depth") {
+    val p = plan("q153_hilbert_box")
+    // 8 levels x 5 helper columns must NOT inline into an exponential
+    // tree: the executed plan stays small and single-scan
+    assert(p.length < 100000, s"plan exploded: ${p.length} chars")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1)
+    assert(!p.contains("Join"))
+    // box predicate reaches the scan
+    assert(p.contains("PushedFilters") || p.contains("pushedFilters"))
+  }
+
+  test("q150 BPE encode: token join-back broadcasts; corpus shuffles once") {
+    val p = plan("q150_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab token table must broadcast:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
