@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -26,6 +27,89 @@ object StatsQueries {
   private def m(a: Column, b: Column): Column =
     sum((a * b).cast("decimal(38,0)")).cast("double")
 
+  /** The ten OLS moment aggregates over (x1, x2, y) columns. */
+  private def olsMoments: Seq[Column] = Seq(
+    count(lit(1)).cast("double").as("n"),
+    m(col("x1"), lit(1L)).as("s1"), m(col("x2"), lit(1L)).as("s2"),
+    m(col("y"), lit(1L)).as("sy"),
+    m(col("x1"), col("x1")).as("s11"), m(col("x1"), col("x2")).as("s12"),
+    m(col("x2"), col("x2")).as("s22"),
+    m(col("x1"), col("y")).as("s1y"), m(col("x2"), col("y")).as("s2y"),
+    m(col("y"), col("y")).as("syy"))
+
+  /** 3×3 Cramer solve + fit stats over a moment frame (any extra
+    * grouping columns pass through). Output: intercept / coef_qty /
+    * coef_disc in dollars, r2 — parenthesization mirrored token-for-
+    * token by [[olsOracleSelect]]. */
+  private def olsSolve(mom: DataFrame, keep: Seq[String]): DataFrame =
+    mom.select(col("*"),
+        (col("n") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+         col("s1") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+         col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))).as("det"),
+        (col("sy") * (col("s11") * col("s22") - col("s12") * col("s12")) -
+         col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y")) +
+         col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))).as("d0"),
+        (col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y")) -
+         col("sy") * (col("s1") * col("s22") - col("s12") * col("s2")) +
+         col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))).as("d1"),
+        (col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12")) -
+         col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2")) +
+         col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))).as("d2"))
+      .select(col("*"),
+        (col("d0") / col("det")).as("b0"), (col("d1") / col("det")).as("b1"),
+        (col("d2") / col("det")).as("b2"))
+      .select(keep.map(col) ++ Seq(
+        col("n").cast("long").as("n"),
+        round(col("b0") / 100.0, 6).as("intercept"),
+        round(col("b1") / 100.0, 6).as("coef_qty"),
+        round(col("b2"), 6).as("coef_disc"),
+        round(lit(1.0) -
+          (col("syy") - (col("b0") * col("sy") + col("b1") * col("s1y") +
+            col("b2") * col("s2y"))) /
+          (col("syy") - col("sy") * col("sy") / col("n")), 6).as("r2")): _*)
+
+  /** SQL mirror of [[olsMoments]] + [[olsSolve]]: `group` is "" for the
+    * global fit or a column name to GROUP BY and carry through. Expects
+    * a CTE li(x1, x2, y [, group]). */
+  private def olsOracleSql(group: String): String = {
+    val g = if (group.isEmpty) "" else s"$group, "
+    val by = if (group.isEmpty) "" else s" GROUP BY $group"
+    val ord = if (group.isEmpty) "" else s" ORDER BY $group"
+    s"""mom AS (SELECT ${g}CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+        CAST(sum(y) AS DOUBLE) AS sy,
+        CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+        CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+        CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+        CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+        CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+        CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM li$by),
+    dets AS (SELECT *,
+        (n * (s11 * s22 - s12 * s12) -
+         s1 * (s1 * s22 - s12 * s2) +
+         s2 * (s1 * s12 - s11 * s2)) AS det,
+        (sy * (s11 * s22 - s12 * s12) -
+         s1 * (s1y * s22 - s12 * s2y) +
+         s2 * (s1y * s12 - s11 * s2y)) AS d0,
+        (n * (s1y * s22 - s12 * s2y) -
+         sy * (s1 * s22 - s12 * s2) +
+         s2 * (s1 * s2y - s1y * s2)) AS d1,
+        (n * (s11 * s2y - s1y * s12) -
+         s1 * (s1 * s2y - s1y * s2) +
+         sy * (s1 * s12 - s11 * s2)) AS d2
+      FROM mom),
+    beta AS (SELECT *, (d0 / det) AS b0, (d1 / det) AS b1,
+        (d2 / det) AS b2 FROM dets)
+    SELECT ${g}CAST(n AS BIGINT) AS n,
+      round(b0 / 100.0, 6) AS intercept,
+      round(b1 / 100.0, 6) AS coef_qty,
+      round(b2, 6) AS coef_disc,
+      round(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) /
+        (syy - sy * sy / n), 6) AS r2
+    FROM beta$ord"""
+  }
+
   val all: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------- multi-feature OLS
@@ -44,78 +128,42 @@ object StatsQueries {
           $"l_quantity".cast("long").as("x1"),
           round($"l_discount" * 100).cast("long").as("x2"),
           round($"l_extendedprice" * 100).cast("long").as("y"))
-        val mom = li.agg(
-          count(lit(1)).cast("double").as("n"),
-          m($"x1", lit(1L)).as("s1"), m($"x2", lit(1L)).as("s2"),
-          m($"y", lit(1L)).as("sy"),
-          m($"x1", $"x1").as("s11"), m($"x1", $"x2").as("s12"),
-          m($"x2", $"x2").as("s22"),
-          m($"x1", $"y").as("s1y"), m($"x2", $"y").as("s2y"),
-          m($"y", $"y").as("syy"))
-        // 3×3 Cramer: identical parenthesization in the SQL oracle.
-        mom.select($"*",
-            ($"n" * ($"s11" * $"s22" - $"s12" * $"s12") -
-             $"s1" * ($"s1" * $"s22" - $"s12" * $"s2") +
-             $"s2" * ($"s1" * $"s12" - $"s11" * $"s2")).as("det"),
-            ($"sy" * ($"s11" * $"s22" - $"s12" * $"s12") -
-             $"s1" * ($"s1y" * $"s22" - $"s12" * $"s2y") +
-             $"s2" * ($"s1y" * $"s12" - $"s11" * $"s2y")).as("d0"),
-            ($"n" * ($"s1y" * $"s22" - $"s12" * $"s2y") -
-             $"sy" * ($"s1" * $"s22" - $"s12" * $"s2") +
-             $"s2" * ($"s1" * $"s2y" - $"s1y" * $"s2")).as("d1"),
-            ($"n" * ($"s11" * $"s2y" - $"s1y" * $"s12") -
-             $"s1" * ($"s1" * $"s2y" - $"s1y" * $"s2") +
-             $"sy" * ($"s1" * $"s12" - $"s11" * $"s2")).as("d2"))
-          .select($"*",
-            ($"d0" / $"det").as("b0"), ($"d1" / $"det").as("b1"),
-            ($"d2" / $"det").as("b2"))
-          .select(
-            $"n".cast("long").as("n"),
-            round($"b0" / 100.0, 6).as("intercept"),
-            round($"b1" / 100.0, 6).as("coef_qty"),
-            round($"b2", 6).as("coef_disc"),
-            round(lit(1.0) -
-              ($"syy" - ($"b0" * $"sy" + $"b1" * $"s1y" + $"b2" * $"s2y")) /
-              ($"syy" - $"sy" * $"sy" / $"n"), 6).as("r2"))
+        olsSolve(li.agg(olsMoments.head, olsMoments.tail: _*), keep = Nil)
       },
-      Some("""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+      Some(s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
               CAST(round(l_discount * 100) AS BIGINT) AS x2,
               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
             FROM lineitem),
-          mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,
-              CAST(sum(x1) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
-              CAST(sum(y) AS DOUBLE) AS sy,
-              CAST(sum(x1 * x1) AS DOUBLE) AS s11,
-              CAST(sum(x1 * x2) AS DOUBLE) AS s12,
-              CAST(sum(x2 * x2) AS DOUBLE) AS s22,
-              CAST(sum(x1 * y) AS DOUBLE) AS s1y,
-              CAST(sum(x2 * y) AS DOUBLE) AS s2y,
-              CAST(sum(y * y) AS DOUBLE) AS syy
-            FROM li),
-          dets AS (SELECT *,
-              (n * (s11 * s22 - s12 * s12) -
-               s1 * (s1 * s22 - s12 * s2) +
-               s2 * (s1 * s12 - s11 * s2)) AS det,
-              (sy * (s11 * s22 - s12 * s12) -
-               s1 * (s1y * s22 - s12 * s2y) +
-               s2 * (s1y * s12 - s11 * s2y)) AS d0,
-              (n * (s1y * s22 - s12 * s2y) -
-               sy * (s1 * s22 - s12 * s2) +
-               s2 * (s1 * s2y - s1y * s2)) AS d1,
-              (n * (s11 * s2y - s1y * s12) -
-               s1 * (s1 * s2y - s1y * s2) +
-               sy * (s1 * s12 - s11 * s2)) AS d2
-            FROM mom),
-          beta AS (SELECT *, (d0 / det) AS b0, (d1 / det) AS b1,
-              (d2 / det) AS b2 FROM dets)
-          SELECT CAST(n AS BIGINT) AS n,
-            round(b0 / 100.0, 6) AS intercept,
-            round(b1 / 100.0, 6) AS coef_qty,
-            round(b2, 6) AS coef_disc,
-            round(1.0 - (syy - (b0 * sy + b1 * s1y + b2 * s2y)) /
-              (syy - sy * sy / n), 6) AS r2
-          FROM beta"""),
+          ${olsOracleSql(group = "")}"""),
       "2-feature OLS with intercept via exact normal equations + Cramer"),
+
+    // ------------------------------------------- per-segment OLS
+    // The grouped form of q146 — a separate price model per return
+    // flag, the "elasticity by segment" question. Identical moment
+    // trees, now keyed: STILL one scan and one hash aggregate (the
+    // Gram matrices of every group accumulate in the same map-side
+    // combine); the Cramer solve runs per group-row. This is the shape
+    // that fits a million segment models at 100 TB without a single
+    // extra shuffle over the global fit.
+    "q154_ols_by_group" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").select(
+          $"l_returnflag".as("seg"),
+          $"l_quantity".cast("long").as("x1"),
+          round($"l_discount" * 100).cast("long").as("x2"),
+          round($"l_extendedprice" * 100).cast("long").as("y"))
+        olsSolve(li.groupBy($"seg").agg(olsMoments.head, olsMoments.tail: _*),
+            keep = Seq("seg"))
+          .orderBy($"seg")
+      },
+      Some(s"""WITH li AS (SELECT l_returnflag AS seg,
+              CAST(l_quantity AS BIGINT) AS x1,
+              CAST(round(l_discount * 100) AS BIGINT) AS x2,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem),
+          ${olsOracleSql(group = "seg")}"""),
+      "per-segment OLS: one grouped Gram aggregate, Cramer solve per group"),
 
     // ------------------------------------------------ Welch's t-test
     // Returned (R) vs kept (N) price distributions: unequal-variance
@@ -266,6 +314,59 @@ object StatsQueries {
             count(*) AS cnt,
             min(cents) / 100.0 AS lo, max(cents) / 100.0 AS hi
           FROM li CROSS JOIN b GROUP BY 1 ORDER BY bucket"""),
-      "8-bucket equi-depth histogram from the exact-quantile engine")
+      "8-bucket equi-depth histogram from the exact-quantile engine"),
+
+    // --------------------------------- out-of-fold target encoding
+    // The leakage-safe categorical encoder (Micci-Barreca SIGKDD Expl.
+    // 2001 + the out-of-fold discipline every gradient-boosting
+    // pipeline uses): each (category, fold) cell is encoded by the
+    // target mean of the OTHER folds, so a row never sees its own
+    // label. Folds are deterministic md5 buckets (reproducible across
+    // engines and runs — rand() would be neither). Scale shape: ONE
+    // grouped aggregate to the (category × fold) grid — bounded state,
+    // map-side combined — then complement means via a window over that
+    // 125-row grid, never over data. Cents stay DECIMAL-exact until
+    // the final division.
+    "q155_target_encode_oof" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cells = t(s, d, "lineitem")
+          .join(t(s, d, "part").select($"p_partkey", $"p_brand"),
+            $"l_partkey" === $"p_partkey")
+          .select($"p_brand",
+            pmod(conv(substring(md5(concat(lit("q155:"),
+              $"l_orderkey".cast("string"), lit(":"),
+              $"l_linenumber".cast("string"))), 1, 15), 16, 10).cast("long"),
+              lit(5L)).as("fold"),
+            round($"l_extendedprice" * 100).cast("long").as("y"))
+          .groupBy($"p_brand", $"fold")
+          .agg(count(lit(1)).as("n_f"),
+            sum($"y".cast("decimal(38,0)")).as("s_f"))
+        val w = Window.partitionBy($"p_brand")
+        cells
+          .withColumn("tn", sum($"n_f").over(w))
+          .withColumn("ts", sum($"s_f").over(w))
+          .select($"p_brand", $"fold", $"n_f",
+            round(($"ts" - $"s_f").cast("double") /
+              ($"tn" - $"n_f").cast("double") / 100.0, 6).as("enc_oof"))
+          .orderBy($"p_brand", $"fold")
+      },
+      Some("""WITH cells AS (SELECT p_brand,
+              CAST('0x' || substr(md5('q155:' || CAST(l_orderkey AS VARCHAR)
+                || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+                % 5 AS fold,
+              count(*) AS n_f,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS s_f
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1, 2),
+          tot AS (SELECT *,
+              sum(n_f) OVER (PARTITION BY p_brand) AS tn,
+              sum(s_f) OVER (PARTITION BY p_brand) AS ts
+            FROM cells)
+          SELECT p_brand, fold, n_f,
+            round(CAST(ts - s_f AS DOUBLE) /
+              CAST(tn - n_f AS DOUBLE) / 100.0, 6) AS enc_oof
+          FROM tot ORDER BY p_brand, fold"""),
+      "out-of-fold target encoding over deterministic md5 folds")
   )
 }

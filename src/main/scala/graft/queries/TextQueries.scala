@@ -664,6 +664,106 @@ object TextQueries {
               AS tokens_per_word
           FROM sw JOIN tok ON sw.w = tok.word
           GROUP BY source ORDER BY source"""),
-      "encode the corpus under learned BPE merges, per-source token stats")
+      "encode the corpus under learned BPE merges, per-source token stats"),
+
+    // --------------------------------------------- feature hashing
+    // The hashing trick (Weinberger et al. ICML'09): tokens map to a
+    // fixed 64-bucket feature space via md5, with a ±1 sign bit from
+    // the same digest so collisions cancel in expectation instead of
+    // accumulating bias. No vocabulary table at all — the defining
+    // property: feature extraction is a pure per-row projection plus
+    // one bounded (doc × 64) aggregate, nothing global, which is why
+    // the trick scales to any corpus and vocabulary drift can't break
+    // the feature space.
+    "q156_feature_hashing" -> Q(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d).filter($"doc_id" < 20)
+          .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+          .filter($"w".rlike("^[a-z0-9]+$"))
+          .select($"doc_id",
+            conv(substring(md5(concat(lit("q156:"), $"w")), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .select($"doc_id", pmod($"h", lit(64L)).as("bucket"),
+            when(shiftright($"h", 6).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L).as("sign"))
+          .groupBy($"doc_id", $"bucket")
+          .agg(sum($"sign").as("val"))
+          .filter($"val" =!= 0)
+          .orderBy($"doc_id", $"bucket")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+              CAST('0x' || substr(md5('q156:' || w), 1, 15) AS BIGINT) AS h
+            FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents WHERE doc_id < 20)
+            WHERE regexp_matches(w, '^[a-z0-9]+$')),
+          f AS (SELECT doc_id, h % 64 AS bucket,
+              CASE WHEN ((h >> 6) & 1) = 1 THEN 1 ELSE -1 END AS sign
+            FROM h)
+          SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS val
+          FROM f GROUP BY doc_id, bucket
+          HAVING CAST(sum(sign) AS BIGINT) <> 0
+          ORDER BY doc_id, bucket"""),
+      "hashing-trick features: 64 signed buckets, no vocabulary table"),
+
+    // ------------------------------------- frequency subsampling
+    // word2vec-style frequent-word subsampling (Mikolov et al.
+    // NIPS'13): occurrence of word w with corpus frequency z = f/N
+    // survives with p = min(1, (sqrt(z/0.001)+1)·0.001/z) — stopwords
+    // thin aggressively, rare words always survive. The coin flip is
+    // a deterministic md5 of (doc, position), so the SAMPLE itself is
+    // reproducible across engines/runs/partitionings — the property
+    // that makes a 100 TB curation run auditable. One shuffle for the
+    // vocab frequencies; thresholds broadcast back onto the stream.
+    "q157_word_subsample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val occ = docs(s, d)
+          .select($"doc_id", $"source",
+            posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
+          .filter($"w".rlike("^[a-z0-9]+$"))
+          .localCheckpoint() // reused: vocab + the sampled pass
+        val n = occ.agg(count(lit(1)).as("n_total"))
+        val vocab = occ.groupBy($"w").agg(count(lit(1)).as("f"))
+          .crossJoin(broadcast(n))
+          .withColumn("z", $"f".cast("double") / $"n_total")
+          .withColumn("p_keep",
+            least(lit(1.0), (sqrt($"z" / 0.001) + 1.0) * 0.001 / $"z"))
+          .select($"w", $"p_keep")
+        occ.join(broadcast(vocab), Seq("w"))
+          .withColumn("h", conv(substring(md5(concat(lit("q157:"),
+            $"doc_id".cast("string"), lit(":"), $"pos".cast("string"))),
+            1, 15), 16, 10).cast("long"))
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_before"),
+            sum(when($"h".cast("double") < $"p_keep" * pow(lit(2.0), lit(60.0)),
+              1L).otherwise(0L)).as("n_after"))
+          .select($"source", $"n_before", $"n_after",
+            round($"n_after".cast("double") / $"n_before", 6).as("keep_rate"))
+          .orderBy($"source")
+      },
+      Some("""WITH occ AS (SELECT doc_id, source, i - 1 AS pos, ws[i] AS w
+            FROM (SELECT doc_id, source, ws,
+                unnest(generate_series(1, len(ws))) AS i
+              FROM (SELECT doc_id, source,
+                string_split(lower(text), ' ') AS ws FROM documents))
+            WHERE regexp_matches(ws[i], '^[a-z0-9]+$')),
+          n AS (SELECT count(*) AS n_total FROM occ),
+          vocab AS (SELECT w, p_keep FROM (
+            SELECT w, least(1.0, (sqrt(z / 0.001) + 1.0) * 0.001 / z) AS p_keep
+            FROM (SELECT w, CAST(count(*) AS DOUBLE) / n_total AS z
+              FROM occ CROSS JOIN n GROUP BY w, n_total))),
+          keep AS (SELECT source,
+              CAST('0x' || substr(md5('q157:' || CAST(doc_id AS VARCHAR)
+                || ':' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+              p_keep
+            FROM occ JOIN vocab USING (w))
+          SELECT source, count(*) AS n_before,
+            CAST(sum(CASE WHEN CAST(h AS DOUBLE) < p_keep * pow(2.0, 60.0)
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+            round(CAST(sum(CASE WHEN CAST(h AS DOUBLE) < p_keep * pow(2.0, 60.0)
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
+          FROM keep GROUP BY source ORDER BY source"""),
+      "Mikolov frequency subsampling with a deterministic md5 coin")
   )
 }
