@@ -456,4 +456,54 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein
+    * SIGIR'98): greedily pick k of the topN candidates maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — relevance traded
+    * against redundancy, the standard diversity pass after any
+    * retriever (and the dedup-at-selection-time step of a RAG stack).
+    *
+    * Scale shape: ONE corpus-proportional stage (the broadcast cosine
+    * scoring that produces the topN relevance list — swap in ivfTopK
+    * candidates at scale); everything after runs on the topN×topN sim
+    * grid and k tiny argmax rounds, each a sort-limit over ≤ topN rows
+    * (localCheckpoint'd so plan depth stays O(1) across rounds). Rank 1
+    * reports mmr = rel (no selected set to repel from yet). Greedy is
+    * inherently sequential in k — the bounded-frame fold IS the
+    * distributed-friendly formulation. */
+  def mmrRerank(query: DataFrame, candidates: DataFrame, id: String,
+                vec: String, topN: Int, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && topN >= k, s"need topN >= k >= 1, got topN=$topN k=$k")
+    val q = prep(query, id, vec, "query_id", "qv")
+    val c = prep(candidates, id, vec, "cand_id", "cv")
+    val cands = c.crossJoin(broadcast(q))
+      .select(col("cand_id"), col("cv"),
+        cosineFast(col("qv"), col("cv")).as("rel"))
+      .orderBy(col("rel").desc, col("cand_id")).limit(topN)
+      .localCheckpoint()
+    val sims = cands.select(col("cand_id").as("a"), col("cv").as("av"))
+      .crossJoin(broadcast(
+        cands.select(col("cand_id").as("b"), col("cv").as("bv"))))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"), cosineFast(col("av"), col("bv")).as("sim"))
+      .localCheckpoint()
+    var sel = cands.orderBy(col("rel").desc, col("cand_id")).limit(1)
+      .select(col("cand_id"), lit(1).as("rank"), col("rel").as("mmr"))
+      .localCheckpoint()
+    for (t <- 2 to k) {
+      val m = sims
+        .join(broadcast(sel.select(col("cand_id").as("b"))), Seq("b"))
+        .groupBy(col("a")).agg(max(col("sim")).as("max_sim"))
+      val pick = cands
+        .join(sel.select(col("cand_id")), Seq("cand_id"), "left_anti")
+        .join(m, col("cand_id") === col("a"))
+        .select(col("cand_id"),
+          (lit(lambda) * col("rel") -
+            (lit(1.0) - lit(lambda)) * col("max_sim")).as("mmr"))
+        .orderBy(col("mmr").desc, col("cand_id")).limit(1)
+        .select(col("cand_id"), lit(t).as("rank"), col("mmr"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("rank"), col("cand_id"), col("mmr"))
+  }
 }

@@ -277,12 +277,17 @@ object StatsQueries {
     "q149_equidepth_hist" -> Q(
       (s, d) => {
         import s.implicits._
+        // ONE file scan: the 8-byte cents projection materializes once
+        // and feeds the quantile engine's three passes AND the final
+        // bucket count (scale=1: the engine interpolates directly in
+        // integer cents, so p·8 is an exact eighth-cent long)
         val li = t(s, d, "lineitem")
           .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
+          .localCheckpoint()
         val bounds = Relational.exactQuantilesQuantized(
-            t(s, d, "lineitem"), "l_extendedprice", (1 to 7).map(_ / 8.0))
+            li, "cents", (1 to 7).map(_ / 8.0), scale = 1)
           .select((0 to 6).map(i =>
-            round(col(s"p$i") * 800).cast("long").as(s"b$i")): _*)
+            round(col(s"p$i") * 8).cast("long").as(s"b$i")): _*)
         val bucket = (0 to 6).map(i =>
             when($"cents" * 8 > col(s"b$i"), 1).otherwise(0))
           .reduce(_ + _)

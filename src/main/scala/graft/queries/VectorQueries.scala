@@ -494,5 +494,55 @@ object VectorQueries {
         raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
       },
       "IVF-PQ composed with multi-probe: per-probed-cell residual LUTs")
-  )
+  ) :+ mmrQuery
+
+  // ------------------------------------------------- MMR re-ranking
+  // Diversity, the missing quarter of the retrieval family (lexical
+  // q121, semantic q46, fusion q132, now redundancy control): greedy
+  // λ·rel − (1−λ)·maxsim selection over the cosine top-20
+  // (Carbonell & Goldstein SIGIR'98). The oracle unrolls all 5 greedy
+  // rounds CTE-for-CTE with the identical float expression trees, so
+  // every pick AND its mmr score hash-match. The corpus-proportional
+  // work is exactly one broadcast cosine scan; the greedy fold runs on
+  // the bounded 20×20 sim grid.
+  private lazy val mmrQuery: (String, Q) = {
+    val lam = "0.7"
+    val rounds = (2 to 5).map { t =>
+      s"""m$t AS (SELECT a AS cand_id, max(sim) AS max_sim FROM sims
+            WHERE b IN (SELECT cand_id FROM sel${t - 1}) GROUP BY a),
+          s$t AS (SELECT cand_id, $t AS rank,
+              ($lam * rel - (1.0 - $lam) * max_sim) AS mmr
+            FROM (SELECT c.cand_id, c.rel, m.max_sim
+              FROM cands c JOIN m$t m USING (cand_id)
+              WHERE c.cand_id NOT IN (SELECT cand_id FROM sel${t - 1}))
+            ORDER BY mmr DESC, cand_id LIMIT 1),
+          sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)"""
+    }.mkString(",\n")
+    "q158_mmr_rerank" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.mmrRerank(
+            e.filter($"vec_id" === 0), e.filter($"vec_id" =!= 0),
+            "vec_id", "embedding", topN = 20, k = 5, lambda = 0.7)
+          .select($"rank", $"cand_id", round($"mmr", 6).as("mmr"))
+          .orderBy($"rank")
+      },
+      Some(s"""WITH q AS (SELECT embedding, ${sqlNorm("embeddings")} AS nrm
+            FROM embeddings WHERE vec_id = 0),
+          c0 AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+            FROM embeddings WHERE vec_id <> 0),
+          cands AS (SELECT c0.vec_id AS cand_id, c0.embedding, c0.nrm,
+              ${sqlDot("c0", "q")} / (c0.nrm * q.nrm) AS rel
+            FROM c0 CROSS JOIN q ORDER BY rel DESC, cand_id LIMIT 20),
+          sims AS (SELECT a.cand_id AS a, b.cand_id AS b,
+              ${sqlDot("a", "b")} / (a.nrm * b.nrm) AS sim
+            FROM cands a JOIN cands b ON a.cand_id <> b.cand_id),
+          sel1 AS (SELECT cand_id, 1 AS rank, rel AS mmr FROM cands
+            ORDER BY rel DESC, cand_id LIMIT 1),
+          $rounds
+          SELECT rank, cand_id, round(mmr, 6) AS mmr
+          FROM sel5 ORDER BY rank"""),
+      "MMR diversity re-rank: 5 greedy rounds, scores hash-matched")
+  }
 }

@@ -208,4 +208,26 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(lsh.subsetOf(bf), "LSH must never produce a false positive (exact verify)")
   }
+
+  test("MMR skips the near-duplicate that pure relevance would rank second") {
+    // query along x; candidates 1-2 nearly coincide ABOVE the axis,
+    // candidate 3 sits BELOW it: slightly less relevant but far from
+    // the already-picked 1 (a candidate equal to the query would tie
+    // rel with sim for everyone and tell MMR nothing)
+    val q = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Array(0.90f, 0.44f)),  // most relevant, +26 deg
+      (2L, Array(0.89f, 0.45f)),  // near-duplicate of 1
+      (3L, Array(0.85f, -0.53f))  // -32 deg: diverse, rank 3 by rel
+    ).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(q, c, "vec_id", "embedding",
+        topN = 3, k = 3, lambda = 0.5)
+      .orderBy($"rank").collect().map(_.getAs[Long]("cand_id")).toSeq
+    assert(mmr == Seq(1L, 3L, 2L), s"expected diversity pick at rank 2: $mmr")
+    // λ = 1 degenerates to pure relevance order
+    val rel = Similarity.mmrRerank(q, c, "vec_id", "embedding",
+        topN = 3, k = 3, lambda = 1.0)
+      .orderBy($"rank").collect().map(_.getAs[Long]("cand_id")).toSeq
+    assert(rel == Seq(1L, 2L, 3L), s"lambda=1 must be relevance order: $rel")
+  }
 }
