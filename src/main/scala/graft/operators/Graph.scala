@@ -254,4 +254,57 @@ object Graph {
       $rounds,
       pr_final AS (SELECT node, r AS rank FROM pr_r$iters)"""
   }
+
+  /** Absorption-probability iteration over scenario-tagged Markov
+    * chains (the compute core of removal-effect attribution, Anderl et
+    * al. 2016): given nano-scaled transition probabilities
+    * `(sc, s, t, pr)` (pr ∈ [0, 10⁹], integer), iterate
+    * p(s) ← Σ_t pr(s,t)·p(t)/10⁹ with p(CONV) pinned to 10⁹ and
+    * p(NULL) to 0, for exactly `iters` rounds from p₀ = {CONV: 10⁹}.
+    *
+    * The q128 fixed-point discipline: every term floor-divides back to
+    * nano-units BEFORE the sum, so the whole evolution is long
+    * arithmetic — bit-identical under any partitioning and engine,
+    * convergence not required for reproducibility (the round count IS
+    * part of the contract). State space (channels + virtual states) is
+    * tiny; each round is one broadcast-scale join + aggregate,
+    * localCheckpoint'd to keep plan depth O(1). */
+  def absorptionFixed(trans: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val scen = trans.select(col("sc")).distinct().localCheckpoint()
+    def absorbing = scen
+      .select(col("sc"), lit("CONV").as("st"), lit(1000000000L).as("p"))
+      .unionByName(scen
+        .select(col("sc"), lit("NULL").as("st"), lit(0L).as("p")))
+    var p = absorbing.localCheckpoint()
+    for (_ <- 1 to iters) {
+      p = trans.as("tr").join(p.as("pp"),
+          col("tr.sc") === col("pp.sc") && col("tr.t") === col("pp.st"))
+        .select(col("tr.sc").as("sc"), col("tr.s").as("s"),
+          expr("pr * p div 1000000000L").as("term"))
+        .groupBy(col("sc"), col("s")).agg(sum(col("term")).as("p"))
+        .select(col("sc"), col("s").as("st"), col("p"))
+        .unionByName(absorbing)
+        .localCheckpoint()
+    }
+    p
+  }
+
+  /** DuckDB mirror of [[absorptionFixed]]: expects `sc_trans(sc, s, t,
+    * pr)` and `scen(sc)`; exposes `ab_p{iters}(sc, st, p)`. */
+  def absorptionOracleCtes(iters: Int): String = {
+    require(iters >= 1, s"oracle CTE chain needs iters >= 1: $iters")
+    val rounds = (1 to iters).map { i =>
+      s"""ab_p$i AS (
+          SELECT tr.sc, tr.s AS st, CAST(sum(tr.pr * pp.p // 1000000000) AS BIGINT) AS p
+          FROM sc_trans tr JOIN ab_p${i - 1} pp
+            ON tr.sc = pp.sc AND tr.t = pp.st
+          GROUP BY tr.sc, tr.s
+          UNION ALL SELECT sc, 'CONV', 1000000000 FROM scen
+          UNION ALL SELECT sc, 'NULL', 0 FROM scen)"""
+    }.mkString(",\n")
+    s"""ab_p0 AS (SELECT sc, 'CONV' AS st, CAST(1000000000 AS BIGINT) AS p FROM scen
+        UNION ALL SELECT sc, 'NULL', 0 FROM scen),
+      $rounds"""
+  }
 }

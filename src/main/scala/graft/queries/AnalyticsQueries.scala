@@ -573,6 +573,115 @@ object AnalyticsQueries {
             ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
           WHERE levenshtein(a.k, b.k) <= 8
           ORDER BY dist, id_a, id_b LIMIT 100"""),
-      "sorted-neighborhood dedup: prefix-sorted window, lead(i) candidate pairs")
+      "sorted-neighborhood dedup: prefix-sorted window, lead(i) candidate pairs"),
+
+    // --------------------------------- Markov removal-effect attribution
+    // The principled multi-touch attribution model (Anderl et al. 2016):
+    // per-user journeys START → touchpoints → CONV (first purchase) or
+    // NULL, a transition matrix from q138's machinery, then each
+    // channel's removal effect = the drop in START→CONV absorption
+    // probability when that channel's traffic is redirected to NULL.
+    // Attribution share normalizes removal effects — numerators and
+    // denominator stay LONG (nano-probabilities), so shares are exact
+    // ratios of integers. Absorption runs 20 fixed-point integer rounds
+    // over the scenario-tagged (≤7-state × 5-scenario) chain
+    // (Graph.absorptionFixed — the q128 PageRank discipline: floor-div
+    // per term, bit-reproducible, round count part of the contract).
+    // One corpus shuffle builds the journeys; everything after is
+    // state-space-sized.
+    "q159_markov_attribution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wu = Window.partitionBy($"user_id")
+        val seq = t(s, d, "events")
+          .select($"user_id", $"ts", $"event_id",
+            when($"event_type" === "purchase", "CONV")
+              .otherwise($"event_type").as("st"))
+          .withColumn("rn", row_number().over(wo))
+          .withColumn("prn", min(when($"st" === "CONV", $"rn")).over(wu))
+          .filter($"prn".isNull || $"rn" <= $"prn")
+          .withColumn("nxt", lead($"st", 1).over(wo))
+        val counts = seq.filter($"st" =!= "CONV")
+          .select($"st".as("s"), coalesce($"nxt", lit("NULL")).as("t"))
+          .unionByName(seq.filter($"rn" === 1)
+            .select(lit("START").as("s"), $"st".as("t")))
+          .groupBy($"s", $"t").agg(count(lit(1)).as("n"))
+        val rt = counts.groupBy($"s").agg(sum($"n").as("rtot"))
+        val pn = counts.join(rt, "s")
+          .select($"s", $"t", expr("n * 1000000000L div rtot").as("pr"))
+        val channels = Seq("click", "error", "signup", "view")
+        val scTrans = channels.map { c =>
+            pn.filter($"s" =!= c)
+              .select(lit(c).as("sc"), $"s",
+                when($"t" === c, "NULL").otherwise($"t").as("t"), $"pr")
+          }
+          .foldLeft(pn.select(lit("base").as("sc"), $"s", $"t", $"pr"))(
+            _ unionByName _)
+          .groupBy($"sc", $"s", $"t").agg(sum($"pr").as("pr"))
+          .localCheckpoint()
+        val ps = Graph.absorptionFixed(scTrans, iters = 20)
+          .filter($"st" === "START")
+        val j = ps.filter($"sc" =!= "base")
+          .select($"sc".as("channel"), $"p".as("pc"))
+          .crossJoin(broadcast(
+            ps.filter($"sc" === "base").select($"p".as("pb"))))
+        val den = j.agg(sum($"pb" - $"pc").as("dn"))
+        j.crossJoin(broadcast(den))
+          .select($"channel",
+            round($"pb".cast("double") / 1e9, 6).as("p_conv_base"),
+            round($"pc".cast("double") / 1e9, 6).as("p_conv_removed"),
+            round(($"pb" - $"pc").cast("double") / $"pb", 6).as("removal_effect"),
+            round(($"pb" - $"pc").cast("double") / $"dn", 6).as("share"))
+          .orderBy($"channel")
+      },
+      Some {
+        // 20 chained absorption CTEs: pin MATERIALIZED (the q115/q96
+        // precedent) so DuckDB evaluates each round once instead of
+        // re-inlining the whole journey pipeline per round
+        val raw = s"""WITH ev AS (SELECT user_id, ts, event_id,
+              CASE WHEN event_type = 'purchase' THEN 'CONV'
+                ELSE event_type END AS st,
+              row_number() OVER (PARTITION BY user_id
+                ORDER BY ts, event_id) AS rn
+            FROM events),
+          pe AS (SELECT *, min(CASE WHEN st = 'CONV' THEN rn END)
+              OVER (PARTITION BY user_id) AS prn FROM ev),
+          seq AS (SELECT *, lead(st) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS nxt
+            FROM pe WHERE prn IS NULL OR rn <= prn),
+          counts AS (SELECT s, t, count(*) AS n FROM (
+              SELECT st AS s, coalesce(nxt, 'NULL') AS t FROM seq
+                WHERE st <> 'CONV'
+              UNION ALL
+              SELECT 'START' AS s, st AS t FROM seq WHERE rn = 1)
+            GROUP BY 1, 2),
+          rt AS (SELECT s, CAST(sum(n) AS BIGINT) AS rtot
+            FROM counts GROUP BY s),
+          pn AS (SELECT counts.s, t, CAST(n * 1000000000 // rtot AS BIGINT) AS pr
+            FROM counts JOIN rt ON counts.s = rt.s),
+          chans AS (SELECT unnest(['click', 'error', 'signup', 'view']) AS c),
+          sc_trans AS (SELECT sc, s, t, CAST(sum(pr) AS BIGINT) AS pr FROM (
+              SELECT 'base' AS sc, s, t, pr FROM pn
+              UNION ALL
+              SELECT c AS sc, s, CASE WHEN t = c THEN 'NULL' ELSE t END AS t, pr
+              FROM pn CROSS JOIN chans WHERE s <> c)
+            GROUP BY 1, 2, 3),
+          scen AS (SELECT DISTINCT sc FROM sc_trans),
+          ${Graph.absorptionOracleCtes(20)},
+          ps AS (SELECT sc, p FROM ab_p20 WHERE st = 'START'),
+          j AS (SELECT ch.sc AS channel, ch.p AS pc, b.p AS pb
+            FROM ps ch CROSS JOIN (SELECT p FROM ps WHERE sc = 'base') b
+            WHERE ch.sc <> 'base'),
+          den AS (SELECT CAST(sum(pb - pc) AS BIGINT) AS dn FROM j)
+          SELECT channel,
+            round(CAST(pb AS DOUBLE) / 1000000000.0, 6) AS p_conv_base,
+            round(CAST(pc AS DOUBLE) / 1000000000.0, 6) AS p_conv_removed,
+            round(CAST(pb - pc AS DOUBLE) / pb, 6) AS removal_effect,
+            round(CAST(pb - pc AS DOUBLE) / dn, 6) AS share
+          FROM j CROSS JOIN den ORDER BY channel"""
+        raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
+      },
+      "Markov removal-effect attribution: integer absorption, exact shares")
   )
 }

@@ -152,6 +152,31 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("absorptionFixed: known chain converges to the exact hand-computed value") {
+    import graft.operators.Graph
+    // START -> A (1/2) | NULL (1/2);  A -> CONV (3/4) | NULL (1/4)
+    // p(START) = 1/2 * 3/4 = 0.375, reached after exactly 2 rounds
+    val nano = 1000000000L
+    val trans = Seq(
+      ("base", "START", "A", nano / 2), ("base", "START", "NULL", nano / 2),
+      ("base", "A", "CONV", nano * 3 / 4), ("base", "A", "NULL", nano / 4)
+    ).toDF("sc", "s", "t", "pr")
+    val p = Graph.absorptionFixed(trans, iters = 3)
+      .filter($"st" === "START").head().getAs[Long]("p")
+    assert(p == 375000000L, s"expected exact 0.375 in nano-units, got $p")
+  }
+
+  test("absorptionFixed: extra rounds never change an already-absorbed chain") {
+    import graft.operators.Graph
+    val nano = 1000000000L
+    val trans = Seq(("base", "START", "CONV", nano)).toDF("sc", "s", "t", "pr")
+    val p5 = Graph.absorptionFixed(trans, 5)
+      .filter($"st" === "START").head().getAs[Long]("p")
+    val p1 = Graph.absorptionFixed(trans, 1)
+      .filter($"st" === "START").head().getAs[Long]("p")
+    assert(p1 == nano && p5 == nano)
+  }
+
   test("q140 plan: data-sized joins are all hash/merge equi-joins") {
     val plan = graft.queries.Registry.queries("q140_triangle_census")(
       spark, sf("sf0.001")).queryExecution.executedPlan.toString
