@@ -372,6 +372,103 @@ object StatsQueries {
             round(CAST(ts - s_f AS DOUBLE) /
               CAST(tn - n_f AS DOUBLE) / 100.0, 6) AS enc_oof
           FROM tot ORDER BY p_brand, fold"""),
-      "out-of-fold target encoding over deterministic md5 folds")
+      "out-of-fold target encoding over deterministic md5 folds"),
+
+    // ------------------------------------------------ Benford audit
+    // First-significant-digit fraud/anomaly screen (Benford 1938, the
+    // standard forensic-accounting test): observed digit shares of
+    // price cents vs log10(1+1/d), per-digit χ² contributions. Digit
+    // extraction is pure string arithmetic on the exact cents long (no
+    // log10 on data rows — libm only touches the NINE expected shares).
+    // χ² terms quantize to integer nano-units before summing (the
+    // q143/q144 discipline), so the total is an exact long fold. One
+    // scan, one 9-ary aggregate.
+    "q160_benford_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val digits = t(s, d, "lineitem")
+          .select(substring(round($"l_extendedprice" * 100).cast("long")
+            .cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy($"digit").agg(count(lit(1)).as("n"))
+        val tot = digits.agg(sum($"n").as("nt"))
+        val terms = digits.crossJoin(broadcast(tot))
+          .withColumn("p_exp", log(lit(1.0) + lit(1.0) / $"digit") / log(lit(10.0)))
+          .withColumn("term", expr(
+            "CAST(round(1e9 * (((n - nt * p_exp) * (n - nt * p_exp)) / (nt * p_exp))) AS BIGINT)"))
+        val chi2 = terms.agg(round(sum($"term") / 1e9, 6).as("chi2"))
+        terms.crossJoin(broadcast(chi2))
+          .select($"digit", $"n",
+            round($"n".cast("double") / $"nt", 6).as("p_obs"),
+            round($"p_exp", 6).as("p_benford"),
+            round($"term" / 1e9, 6).as("contrib"), $"chi2")
+          .orderBy($"digit")
+      },
+      Some("""WITH digits AS (SELECT
+              CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                AS VARCHAR), 1, 1) AS INT) AS digit,
+              count(*) AS n
+            FROM lineitem GROUP BY 1),
+          tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM digits),
+          terms AS (SELECT digit, n, nt,
+              ln(1.0 + 1.0 / digit) / ln(10.0) AS p_exp,
+              CAST(round(1e9 * (((n - nt * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+                * (n - nt * (ln(1.0 + 1.0 / digit) / ln(10.0))))
+                / (nt * (ln(1.0 + 1.0 / digit) / ln(10.0))))) AS BIGINT) AS term
+            FROM digits CROSS JOIN tot),
+          chi AS (SELECT round(CAST(sum(term) AS BIGINT) / 1e9, 6) AS chi2
+            FROM terms)
+          SELECT digit, n, round(CAST(n AS DOUBLE) / nt, 6) AS p_obs,
+            round(p_exp, 6) AS p_benford,
+            round(term / 1e9, 6) AS contrib, chi2
+          FROM terms CROSS JOIN chi ORDER BY digit"""),
+      "Benford first-digit audit with nano-exact chi-square fold"),
+
+    // ------------------------------------------- Gini concentration
+    // Revenue-concentration inequality per nation: Gini over customer
+    // lifetime spend via the rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n
+    // on ascending-sorted spend. The rank window partitions by nation
+    // (never a global sort), Σi·xᵢ accumulates in DECIMAL(38,0) (rank ×
+    // cents products overflow longs at warehouse scale), and the final
+    // formula is one IEEE tree over exact integers. Equal-spend ties
+    // take arbitrary rank order — Σi·xᵢ is provably tie-invariant, so
+    // determinism is free.
+    "q161_gini_nation" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val spend = t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+          .join(t(s, d, "customer").select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
+            $"c_nationkey" === $"n_nationkey")
+        val ranked = spend.withColumn("i", row_number().over(
+          Window.partitionBy($"n_name").orderBy($"x", $"o_custkey")))
+        ranked.groupBy($"n_name")
+          .agg(count(lit(1)).as("n_cust"),
+            sum($"x".cast("decimal(38,0)")).as("sx"),
+            sum(($"i" * $"x").cast("decimal(38,0)")).as("six"))
+          .select($"n_name", $"n_cust",
+            round($"sx".cast("double") / 100.0, 2).as("total_spend"),
+            round(lit(2.0) * $"six".cast("double") /
+                ($"n_cust".cast("double") * $"sx".cast("double")) -
+              ($"n_cust" + 1.0) / $"n_cust", 6).as("gini"))
+          .orderBy($"n_name")
+      },
+      Some("""WITH spend AS (SELECT o_custkey,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+            FROM orders GROUP BY o_custkey),
+          ranked AS (SELECT n_name, x, row_number() OVER (
+              PARTITION BY n_name ORDER BY x, o_custkey) AS i
+            FROM spend
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey)
+          SELECT n_name, count(*) AS n_cust,
+            round(CAST(sum(x) AS DOUBLE) / 100.0, 2) AS total_spend,
+            round(2.0 * CAST(sum(i * x) AS DOUBLE) /
+                (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
+              (count(*) + 1.0) / count(*), 6) AS gini
+          FROM ranked GROUP BY n_name ORDER BY n_name"""),
+      "per-nation Gini of customer spend: rank windows, decimal-exact sums")
   )
 }
