@@ -290,6 +290,50 @@ object Graph {
     p
   }
 
+  /** k-core peeling (Seidman 1983; Batagelj-Zaveršnik): repeatedly
+    * delete nodes of degree < k until the k-core remains — the standard
+    * dense-subgraph / influential-community extraction. Runs a FIXED
+    * `rounds` of synchronous peeling (each: one degree aggregate + two
+    * semi-join-shaped filters, all equi-joins on the edge set) — the
+    * round count is part of the reproducibility contract, and peeling
+    * converges when a round removes nothing (spec-checked). Edges must
+    * be symmetric; they are dedup'd here. Returns the surviving
+    * subgraph's (node, deg). */
+  def kCoreFixed(edges: DataFrame, src: String, dst: String, k: Int,
+                 rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: $k, $rounds")
+    var e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint()
+      e = e.join(keep.select(col("node").as("src")), "src")
+        .join(keep.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+  }
+
+  /** DuckDB mirror of [[kCoreFixed]]: expects `edges(src, dst)`
+    * (symmetric); exposes `kc_final(node, deg)` after `rounds` peels. */
+  def kCoreOracleCtes(k: Int, rounds: Int): String = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: $k, $rounds")
+    val rs = (1 to rounds).map { i =>
+      s"""kc_k$i AS (SELECT src AS node FROM kc_e${i - 1}
+            GROUP BY src HAVING count(*) >= $k),
+          kc_e$i AS (SELECT e.src, e.dst FROM kc_e${i - 1} e
+            JOIN kc_k$i a ON e.src = a.node
+            JOIN kc_k$i b ON e.dst = b.node)"""
+    }.mkString(",\n")
+    s"""kc_e0 AS (SELECT DISTINCT src, dst FROM edges),
+      $rs,
+      kc_final AS (SELECT src AS node, count(*) AS deg FROM kc_e$rounds
+        GROUP BY src)"""
+  }
+
   /** DuckDB mirror of [[absorptionFixed]]: expects `sc_trans(sc, s, t,
     * pr)` and `scen(sc)`; exposes `ab_p{iters}(sc, st, p)`. */
   def absorptionOracleCtes(iters: Int): String = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Graph, TimeSeries}
+import graft.operators.{Graph, Relational, TimeSeries}
 
 /** Round-6 analytics completions: the association/dependence family
   * (co-occurrence PMI, chi-square independence, Markov transitions),
@@ -682,6 +682,101 @@ object AnalyticsQueries {
           FROM j CROSS JOIN den ORDER BY channel"""
         raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
       },
-      "Markov removal-effect attribution: integer absorption, exact shares")
+      "Markov removal-effect attribution: integer absorption, exact shares"),
+
+    // --------------------------------- incremental JOIN maintenance
+    // q100 proved aggregate-state folding; this is the JOIN half of
+    // incremental view maintenance: with batched inserts on BOTH sides
+    // (old/new orders × old/new customers), the view delta is exactly
+    // ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB — three joins touching only deltas where
+    // a naive refresh re-joins everything. The oracle one-shots
+    // (A₀∪ΔA)⋈(B₀∪ΔB), so the hash compare IS the algebraic identity.
+    // At 100 TB this is the difference between a nightly full re-join
+    // and a minutes-long delta merge.
+    "q162_incremental_join" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        val bOld = cust.filter($"c_custkey" % 5 =!= 0)
+        val bNew = cust.filter($"c_custkey" % 5 === 0)
+        val ords = t(s, d, "orders")
+          .select($"o_custkey", $"o_orderpriority", $"o_totalprice",
+            $"o_orderdate")
+        val aOld = ords.filter($"o_orderdate" < "1996-01-01")
+        val aNew = ords.filter($"o_orderdate" >= "1996-01-01")
+        def j(a: DataFrame, b: DataFrame) =
+          a.join(b, a("o_custkey") === b("c_custkey"))
+        j(aOld, bOld)            // V₀: the standing view
+          .unionByName(j(aNew, bOld))  // ΔA ⋈ B₀
+          .unionByName(j(aOld, bNew))  // A₀ ⋈ ΔB
+          .unionByName(j(aNew, bNew))  // ΔA ⋈ ΔB
+          .groupBy($"c_mktsegment", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            Relational.moneySum($"o_totalprice").as("revenue"))
+          .orderBy($"c_mktsegment", $"o_orderpriority")
+      },
+      Some("""SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+              / 100.0 AS revenue
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY 1, 2 ORDER BY c_mktsegment, o_orderpriority"""),
+      "incremental join maintenance: delta-join union hash-equals full re-join"),
+
+    // --------------------------------------- association rules
+    // Support / confidence / lift over co-purchased brand pairs
+    // (Agrawal & Srikant VLDB'94) — the rule-mining reading of q135's
+    // counts: same ONE-shuffle pair generation (order-set explode,
+    // never a self-join), then every rule measure is a ratio of exact
+    // longs. Rules gate on support ≥ 1% via integer cross-multiply
+    // (n_ab·100 ≥ N), so the threshold can't drift between engines.
+    "q163_association_rules" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sets = t(s, d, "lineitem").select($"l_orderkey", $"l_partkey")
+          .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .groupBy($"l_orderkey")
+          .agg(sort_array(collect_set($"p_brand")).as("bs"))
+          .localCheckpoint()
+        val n = sets.agg(count(lit(1)).as("n"))
+        val marg = sets.select(explode($"bs").as("b"))
+          .groupBy($"b").agg(count(lit(1)).as("c"))
+        val pairs = sets.select(explode(expr(
+            "flatten(transform(bs, (x, i) -> " +
+              "transform(slice(bs, i + 2, size(bs)), y -> struct(x, y))))"))
+            .as("pr"))
+          .groupBy($"pr.x".as("brand_a"), $"pr.y".as("brand_b"))
+          .agg(count(lit(1)).as("n_ab"))
+        pairs
+          .join(broadcast(marg.select($"b".as("brand_a"), $"c".as("ca"))), "brand_a")
+          .join(broadcast(marg.select($"b".as("brand_b"), $"c".as("cb"))), "brand_b")
+          .crossJoin(broadcast(n))
+          .filter($"n_ab" * 100 >= $"n")
+          .select($"brand_a", $"brand_b", $"n_ab",
+            round($"n_ab".cast("double") / $"n", 6).as("support"),
+            round($"n_ab".cast("double") / $"ca", 6).as("conf_ab"),
+            round($"n_ab".cast("double") / $"cb", 6).as("conf_ba"),
+            round(($"n_ab" * $"n").cast("double") / ($"ca" * $"cb"), 6)
+              .as("lift"))
+          .orderBy($"lift".desc, $"brand_a", $"brand_b")
+          .limit(20)
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+            FROM lineitem JOIN part ON l_partkey = p_partkey),
+          n AS (SELECT count(DISTINCT ok) AS n FROM ob),
+          marg AS (SELECT b, count(*) AS c FROM ob GROUP BY 1),
+          pairs AS (SELECT a.b AS brand_a, b2.b AS brand_b, count(*) AS n_ab
+            FROM ob a JOIN ob b2 ON a.ok = b2.ok AND a.b < b2.b GROUP BY 1, 2)
+          SELECT brand_a, brand_b, n_ab,
+            round(CAST(n_ab AS DOUBLE) / (SELECT n FROM n), 6) AS support,
+            round(CAST(n_ab AS DOUBLE) / ca.c, 6) AS conf_ab,
+            round(CAST(n_ab AS DOUBLE) / cb.c, 6) AS conf_ba,
+            round(CAST(n_ab * (SELECT n FROM n) AS DOUBLE) / (ca.c * cb.c), 6)
+              AS lift
+          FROM pairs JOIN marg ca ON brand_a = ca.b
+            JOIN marg cb ON brand_b = cb.b
+          WHERE n_ab * 100 >= (SELECT n FROM n)
+          ORDER BY lift DESC, brand_a, brand_b LIMIT 20"""),
+      "association rules: support/confidence/lift as exact-long ratios")
   )
 }

@@ -669,6 +669,47 @@ object OlapQueries {
           round(CAST(abs(est_cents - cents) AS DOUBLE) / cents, 6) AS rel_err
         FROM samp JOIN exact USING (l_returnflag)
         ORDER BY l_returnflag"""),
-      "approximate query processing: 10% hash sample, 1/rate scale-up, realized error")
+      "approximate query processing: 10% hash sample, 1/rate scale-up, realized error"),
+
+    // --------------------------------------------------- k-core peeling
+    // Dense-subgraph extraction completing the graph family (PageRank
+    // q128, components q75/q89, triangles q140, BFS q142): peel nodes
+    // of degree < 8 from the q128 customer-supplier graph for 6
+    // synchronous rounds (Seidman 1983). Each round is one degree
+    // aggregate + two equi-join filters over the shrinking edge set —
+    // cost tracks the SURVIVING graph, and the round count is pinned in
+    // both engines so reproducibility never depends on convergence
+    // (though 6 rounds IS the fixpoint here; spec-checked on sf0.001).
+    "q164_kcore" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "customer")
+          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+          .join(cust, col("o_custkey") === cust("c_custkey"))
+        val cs = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(o, $"l_orderkey" === o("o_orderkey"))
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        graft.operators.Graph.kCoreFixed(both, "src", "dst", k = 8, rounds = 6)
+          .orderBy($"deg".desc, $"node")
+          .limit(50)
+      },
+      Some {
+        val raw = s"""WITH cs AS (SELECT DISTINCT
+              'c' || CAST(o_custkey AS VARCHAR) AS src,
+              's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey IN (7, 8)),
+          edges AS (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+          ${graft.operators.Graph.kCoreOracleCtes(8, 6)}
+          SELECT node, deg FROM kc_final
+          ORDER BY deg DESC, node LIMIT 50"""
+        raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
+      },
+      "8-core of the customer-supplier graph: 6 oracled peel rounds")
   )
 }

@@ -177,6 +177,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(p1 == nano && p5 == nano)
   }
 
+  test("kCoreFixed peels pendants, keeps the clique, and 6 rounds is the q164 fixpoint") {
+    import graft.operators.Graph
+    // triangle a-b-c (2-core) with pendant chain c-d-e: peeling k=2
+    // removes e then d; the triangle survives with degree 2 each
+    val tri = Seq(("a","b"),("b","c"),("a","c"),("c","d"),("d","e"))
+    val sym = (tri ++ tri.map(_.swap)).toDF("src", "dst")
+    val core = Graph.kCoreFixed(sym, "src", "dst", k = 2, rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), s"$core")
+    // the q164 configuration: one more round changes nothing (fixpoint)
+    val q = graft.queries.Registry.queries("q164_kcore")(spark, sf("sf0.001"))
+      .collect().map(_.toString).toSeq
+    val cust = Tables(spark, sf("sf0.001"), "customer")
+      .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
+    val o = Tables(spark, sf("sf0.001"), "orders")
+      .select($"o_orderkey", $"o_custkey")
+      .join(cust, col("o_custkey") === cust("c_custkey"))
+    val cs = Tables(spark, sf("sf0.001"), "lineitem")
+      .select($"l_orderkey", $"l_suppkey")
+      .join(o, $"l_orderkey" === o("o_orderkey"))
+      .select(concat(lit("c"), $"o_custkey").as("src"),
+        concat(lit("s"), $"l_suppkey").as("dst"))
+    val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+    val more = Graph.kCoreFixed(both, "src", "dst", k = 8, rounds = 7)
+      .orderBy($"deg".desc, $"node").limit(50)
+      .collect().map(_.toString).toSeq
+    assert(q == more, "6 peel rounds must already be the fixpoint at this SF")
+  }
+
   test("q140 plan: data-sized joins are all hash/merge equi-joins") {
     val plan = graft.queries.Registry.queries("q140_triangle_census")(
       spark, sf("sf0.001")).queryExecution.executedPlan.toString
