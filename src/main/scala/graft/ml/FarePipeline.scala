@@ -5,6 +5,7 @@ import org.apache.spark.ml.evaluation.RegressionEvaluator
 import org.apache.spark.ml.feature.{OneHotEncoder, OneHotEncoderModel, StandardScaler, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor, RandomForestRegressionModel, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, concat_ws, conv, lit, md5, pmod, substring}
 
 /** The reference's 5-stage fare-prediction pipeline (sparkML.py:70-171),
   * 1:1 in native Scala Spark ML — StringIndexer → OneHotEncoder →
@@ -135,6 +136,36 @@ object FarePipeline {
       imps)
     pTrain.unpersist(); pTest.unpersist()
     (model, metrics)
+  }
+
+  final case class CvMetrics(foldRmse: Seq[Double], meanRmse: Double,
+                             sdRmse: Double)
+
+  /** k-fold cross-validation of the pipeline: folds come from an md5 of
+    * the feature+label tuple, so the SAME rows land in the SAME fold on
+    * every run, engine, and partitioning — randomSplit-based CV would
+    * reshuffle membership whenever the partitioning changed. Each fold
+    * trains on the complement and scores held-out RMSE; mean ± sd is
+    * the generalization estimate the single 80/20 split (fitEval) can't
+    * give. Driver loops k times over the checkpointed fold assignment —
+    * k model fits is the inherent cost of CV, not a relational detour. */
+  def crossValidate(df: DataFrame, cfg: FareConfig,
+                    folds: Int = 5): CvMetrics = {
+    require(folds >= 2, s"folds must be >= 2: $folds")
+    val keyCols = (cfg.numericCols ++ cfg.categoricalCols :+ cfg.labelCol)
+      .map(c => col(c).cast("string"))
+    val withFold = df.withColumn("__fold",
+        pmod(conv(substring(md5(concat_ws(":", keyCols: _*)), 1, 15), 16, 10)
+          .cast("long"), lit(folds.toLong)))
+      .localCheckpoint() // assignment materializes once for all k fits
+    val rmses = (0 until folds).map { f =>
+      val model = build(cfg).fit(withFold.filter(col("__fold") =!= f))
+      evaluate(model.transform(withFold.filter(col("__fold") === f)),
+        cfg.labelCol, "rmse")
+    }
+    val mean = rmses.sum / folds
+    val sd = math.sqrt(rmses.map(r => (r - mean) * (r - mean)).sum / (folds - 1))
+    CvMetrics(rmses, mean, sd)
   }
 
   /** One JSON line for a fit: params + the six metrics + importances —

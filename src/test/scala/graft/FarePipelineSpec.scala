@@ -62,6 +62,20 @@ class FarePipelineSpec extends SparkSpec {
     assert(m2.testRmse == metrics.testRmse && m2.trainR2 == metrics.trainR2)
   }
 
+  test("k-fold CV: per-fold RMSEs are finite, near the split estimate, and reproducible") {
+    val fast = cfg.copy(numTrees = 10, maxDepth = 6)
+    val cv = FarePipeline.crossValidate(trips, fast, folds = 3)
+    assert(cv.foldRmse.length == 3)
+    assert(cv.foldRmse.forall(r => r > 0 && !r.isNaN && !r.isInfinite))
+    // CV mean should sit in the same regime as the 80/20 estimate —
+    // a generous band, this is a sanity check not a value pin
+    assert(cv.meanRmse < 3 * metrics.testRmse + 1.0, s"$cv vs $metrics")
+    assert(cv.sdRmse >= 0)
+    // md5 folds + fixed seed: bit-identical on a second run
+    val cv2 = FarePipeline.crossValidate(trips, fast, folds = 3)
+    assert(cv2 == cv, "CV must be deterministic end-to-end")
+  }
+
   test("serving path (S6): CSV upload -> impute -> transform -> (fare, prediction)") {
     // deployment/main.py parity: uploaded CSV, schema'd read, null-impute,
     // PipelineModel.transform, project (label, prediction).
