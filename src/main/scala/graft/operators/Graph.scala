@@ -317,6 +317,55 @@ object Graph {
       .select(col("src").as("node"), col("deg"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007): every node
+    * adopts the modal label of its neighbors each round (ties to the
+    * SMALLEST label — fully deterministic), labels initialized to the
+    * node id. A FIXED `rounds` of updates: community detection whose
+    * per-round cost is one edge join + one degree-bounded argmax
+    * window; bounded rounds make the synchronous variant reproducible
+    * (it may oscillate on bipartite structure rather than converge —
+    * the round count is part of the contract, as with [[kCoreFixed]]).
+    * Edges must be symmetric. Returns (node, label). */
+  def labelPropagationFixed(edges: DataFrame, src: String, dst: String,
+                            rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct().localCheckpoint()
+    var lbl = e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cnt").desc, col("lbl").asc)
+      lbl = e.join(lbl, e("dst") === lbl("node"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
+
+  /** DuckDB mirror of [[labelPropagationFixed]]: expects
+    * `edges(src, dst)` (symmetric, distinct); exposes
+    * `lpa_final(node, lbl)`. */
+  def lpaOracleCtes(rounds: Int): String = {
+    require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    val rs = (1 to rounds).map { i =>
+      s"""lpa_c$i AS (SELECT e.src, l.lbl, count(*) AS cnt
+            FROM edges e JOIN lpa_l${i - 1} l ON e.dst = l.node
+            GROUP BY e.src, l.lbl),
+          lpa_l$i AS (SELECT src AS node, lbl FROM (
+            SELECT src, lbl, row_number() OVER (PARTITION BY src
+              ORDER BY cnt DESC, lbl ASC) AS rn FROM lpa_c$i)
+            WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""lpa_l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+      $rs,
+      lpa_final AS (SELECT node, lbl FROM lpa_l$rounds)"""
+  }
+
   /** DuckDB mirror of [[kCoreFixed]]: expects `edges(src, dst)`
     * (symmetric); exposes `kc_final(node, deg)` after `rounds` peels. */
   def kCoreOracleCtes(k: Int, rounds: Int): String = {

@@ -710,6 +710,52 @@ object OlapQueries {
           ORDER BY deg DESC, node LIMIT 50"""
         raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
       },
-      "8-core of the customer-supplier graph: 6 oracled peel rounds")
+      "8-core of the customer-supplier graph: 6 oracled peel rounds"),
+
+    // ------------------------------------------- label propagation (LPA)
+    // Community detection completing the graph family: synchronous LPA
+    // (Raghavan et al. 2007) over the nation-7/8 customer-supplier
+    // graph — every node adopts its neighbors' modal label each round,
+    // ties to the smallest label so both engines pick the same winner.
+    // 4 pinned rounds; per-round cost is one edge equi-join + one
+    // degree-bounded argmax window, so the plan is the same shape as a
+    // grouped top-1 and scales with |edges|, not diameter. The label
+    // histogram (not the raw per-node table) is the output: community
+    // structure is what a user reads, and it keeps the compared rows
+    // bounded by the community count.
+    "q165_label_propagation" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "customer")
+          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+          .join(cust, col("o_custkey") === cust("c_custkey"))
+        val cs = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+          .join(o, $"l_orderkey" === o("o_orderkey"))
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        graft.operators.Graph.labelPropagationFixed(both, "src", "dst", rounds = 4)
+          .groupBy($"lbl").agg(count(lit(1)).as("members"),
+            min($"node").as("min_node"))
+          .orderBy($"members".desc, $"lbl")
+          .limit(40)
+      },
+      Some {
+        val raw = s"""WITH cs AS (SELECT DISTINCT
+              'c' || CAST(o_custkey AS VARCHAR) AS src,
+              's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey IN (7, 8)),
+          edges AS (SELECT src, dst FROM cs
+            UNION SELECT dst AS src, src AS dst FROM cs),
+          ${graft.operators.Graph.lpaOracleCtes(4)}
+          SELECT lbl, count(*) AS members, min(node) AS min_node
+          FROM lpa_final GROUP BY lbl
+          ORDER BY members DESC, lbl LIMIT 40"""
+        raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
+      },
+      "LPA communities on the customer-supplier graph: 4 oracled rounds")
   )
 }

@@ -206,6 +206,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(q == more, "6 peel rounds must already be the fixpoint at this SF")
   }
 
+  test("labelPropagationFixed finds the two planted communities") {
+    import graft.operators.Graph
+    // two 4-cliques bridged by a single edge d-e: LPA should settle on
+    // one label per clique (the smallest node id in each), with the
+    // bridge unable to flip either side (1 cross vote vs 3 in-clique)
+    val cliqueA = Seq("a","b","c","d").combinations(2).map(p => (p(0), p(1))).toSeq
+    val cliqueB = Seq("e","f","g","h").combinations(2).map(p => (p(0), p(1))).toSeq
+    val edges = cliqueA ++ cliqueB ++ Seq(("d", "e"))
+    val sym = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val lbl = Graph.labelPropagationFixed(sym, "src", "dst", rounds = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lbl.size == 8)
+    assert(Seq("a","b","c","d").map(lbl).distinct.size == 1, s"$lbl")
+    assert(Seq("e","f","g","h").map(lbl).distinct.size == 1, s"$lbl")
+    assert(lbl("a") != lbl("e"), s"communities must differ: $lbl")
+  }
+
   test("q140 plan: data-sized joins are all hash/merge equi-joins") {
     val plan = graft.queries.Registry.queries("q140_triangle_census")(
       spark, sf("sf0.001")).queryExecution.executedPlan.toString
