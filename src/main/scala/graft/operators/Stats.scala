@@ -86,4 +86,101 @@ object Stats {
       lit(z) * sqrt((p * (lit(1.0) - p) + lit(z2) / (lit(4.0) * n)) / n)) /
       (lit(1.0) + lit(z2) / n)
   }
+
+  /** Tie-averaged ranks DOUBLED so they stay integral under ties:
+    * for each distinct value of `v` in a histogram `(v, n)`,
+    * r2 = 2·(rows strictly below) + (ties at v) + 1 = 2 × the average
+    * rank every textbook rank statistic (Spearman, Mann-Whitney)
+    * assigns the tie group. Doubling keeps the whole rank algebra in
+    * exact integers; correlation is scale-invariant so the factor
+    * cancels, and rank SUMS are halved once at the end.
+    *
+    * The cumulative window runs over the DISTINCT-VALUE histogram —
+    * bounded by the column's domain (quantity: 50 values; cent prices:
+    * the price grid), never over data rows — so the single-partition
+    * window is the same bounded-frame class as the quantile engine's
+    * coarse pass. Returns (v, n, r2). */
+  def doubledAvgRanks(hist: DataFrame, v: String, n: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(v))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    hist.withColumn("r2",
+        lit(2L) * coalesce(sum(col(n)).over(w), lit(0L)) + col(n) + lit(1L))
+      .select(col(v), col(n).as("n"), col("r2"))
+  }
+
+  /** Pearson AND Spearman correlation of two integral columns in ONE
+    * input-proportional pass: the joint histogram (x, y, n) is the only
+    * aggregate that touches data; both marginal rank maps derive from
+    * it (bounded windows via [[doubledAvgRanks]]), and all sufficient
+    * statistics are DECIMAL(38,0) sums of exact integer products —
+    * n·x·y for Pearson, n·rx2·ry2 for Spearman-as-Pearson-on-ranks
+    * (tie-averaged; the doubling cancels in the ratio). The final
+    * correlations are one IEEE tree each over those exact moments
+    * (mirror the tree in the oracle). Returns one row:
+    * (n, pearson, spearman), unrounded. */
+  def rankCorr(df: DataFrame, x: String, y: String): DataFrame = {
+    val joint = df.groupBy(col(x), col(y)).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // 3 consumers; never re-scan the input
+    val rx = doubledAvgRanks(
+      joint.groupBy(col(x)).agg(sum(col("n")).as("n")), x, "n")
+      .select(col(x), col("r2").as("rx2"))
+    val ry = doubledAvgRanks(
+      joint.groupBy(col(y)).agg(sum(col("n")).as("n")), y, "n")
+      .select(col(y), col("r2").as("ry2"))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    def corr(sxy: Column, sx: Column, sy: Column,
+             sxx: Column, syy: Column): Column =
+      (col("nn") * sxy - sx * sy) /
+        (sqrt(col("nn") * sxx - sx * sx) * sqrt(col("nn") * syy - sy * sy))
+    joint.join(broadcast(rx), x).join(broadcast(ry), y)
+      .agg(
+        sum(col("n")).cast("double").as("nn"),
+        sum(d38(col("n")) * col(x)).cast("double").as("sx"),
+        sum(d38(col("n")) * col(y)).cast("double").as("sy"),
+        sum(d38(col("n")) * col(x) * col(x)).cast("double").as("sxx"),
+        sum(d38(col("n")) * col(y) * col(y)).cast("double").as("syy"),
+        sum(d38(col("n")) * col(x) * col(y)).cast("double").as("sxy"),
+        sum(d38(col("n")) * col("rx2")).cast("double").as("srx"),
+        sum(d38(col("n")) * col("ry2")).cast("double").as("sry"),
+        sum(d38(col("n")) * col("rx2") * col("rx2")).cast("double").as("srxx"),
+        sum(d38(col("n")) * col("ry2") * col("ry2")).cast("double").as("sryy"),
+        sum(d38(col("n")) * col("rx2") * col("ry2")).cast("double").as("srxy"))
+      .select(col("nn").cast("long").as("n"),
+        corr(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+          .as("pearson"),
+        corr(col("srxy"), col("srx"), col("sry"), col("srxx"), col("sryy"))
+          .as("spearman"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov statistic D = sup |F_A − F_B| with
+    * the value where the supremum is attained. Entirely exact until the
+    * final division: the ECDF gap at each distinct value is the INTEGER
+    * |cA·nB − cB·nA| (cross-multiplied counts in DECIMAL(38,0) — no
+    * float ECDFs to diverge), the argmax is a decimal sort with a value
+    * tiebreak, and D = gap / (nA·nB) is a single double division.
+    *
+    * Scale: one conditional histogram over the data (map-side
+    * combined), then cumulative windows over the DISTINCT-VALUE frame
+    * (bounded by the value domain, as [[doubledAvgRanks]]). Returns one
+    * row: (n_a, n_b, ks_d, at_v) with ks_d unrounded. */
+  def ksTwoSample(df: DataFrame, v: String, isA: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(v))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = df.groupBy(col(v))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isA, 0L).otherwise(1L)).as("nb"))
+      .select(col(v), sum(col("na")).over(w).as("ca"),
+        sum(col("nb")).over(w).as("cb"))
+    val tot = cum.agg(max(col("ca")).as("ta"), max(col("cb")).as("tb"))
+    cum.crossJoin(broadcast(tot))
+      .select(col(v), col("ta"), col("tb"),
+        abs(col("ca").cast("decimal(38,0)") * col("tb") -
+          col("cb").cast("decimal(38,0)") * col("ta")).as("gap"))
+      .orderBy(col("gap").desc, col(v))
+      .limit(1)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        (col("gap").cast("double") /
+          (col("ta").cast("double") * col("tb").cast("double"))).as("ks_d"),
+        col(v).as("at_v"))
+  }
 }

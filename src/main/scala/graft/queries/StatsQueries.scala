@@ -469,6 +469,108 @@ object StatsQueries {
                 (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) -
               (count(*) + 1.0) / count(*), 6) AS gini
           FROM ranked GROUP BY n_name ORDER BY n_name"""),
-      "per-nation Gini of customer spend: rank windows, decimal-exact sums")
+      "per-nation Gini of customer spend: rank windows, decimal-exact sums"),
+
+    // --------------------------------- Spearman + Pearson correlation
+    // Quantity vs line gross revenue (quantity × price — the testdata
+    // draws price independent of quantity, so revenue is the monotone
+    // composite), both correlations in ONE input-proportional pass
+    // (Stats.rankCorr): the joint (x, y) histogram is the only
+    // aggregate over data; tie-averaged ranks derive from its marginals
+    // as DOUBLED integers (Spearman 1904 tie convention, the doubling
+    // cancels in the scale-invariant ratio), and every moment is a
+    // DECIMAL(38,0) sum of exact products — Pearson on values, Pearson
+    // on ranks = Spearman. Rank windows run on distinct-VALUE frames
+    // (50 quantities / the cent price grid), never data rows. Pearson
+    // vs Spearman side by side is the classic linearity-vs-monotonicity
+    // read: rank correlation sees through the multiplicative noise that
+    // depresses the linear one.
+    "q166_spearman_corr" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").select(
+          $"l_quantity".cast("long").as("x"),
+          round($"l_quantity" * $"l_extendedprice" * 100).cast("long").as("y"))
+        Stats.rankCorr(li, "x", "y")
+          .select($"n", round($"pearson", 6).as("pearson"),
+            round($"spearman", 6).as("spearman"))
+      },
+      Some("""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+              CAST(round(l_quantity * l_extendedprice * 100) AS BIGINT) AS y
+            FROM lineitem),
+          joint AS (SELECT x, y, count(*) AS n FROM li GROUP BY x, y),
+          rx AS (SELECT x, 2 * coalesce(sum(n) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + n + 1 AS rx2
+            FROM (SELECT x, sum(n) AS n FROM joint GROUP BY x)),
+          ry AS (SELECT y, 2 * coalesce(sum(n) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + n + 1 AS ry2
+            FROM (SELECT y, sum(n) AS n FROM joint GROUP BY y)),
+          mom AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+              CAST(sum(CAST(n AS HUGEINT) * x) AS DOUBLE) AS sx,
+              CAST(sum(CAST(n AS HUGEINT) * y) AS DOUBLE) AS sy,
+              CAST(sum(CAST(n AS HUGEINT) * x * x) AS DOUBLE) AS sxx,
+              CAST(sum(CAST(n AS HUGEINT) * y * y) AS DOUBLE) AS syy,
+              CAST(sum(CAST(n AS HUGEINT) * x * y) AS DOUBLE) AS sxy,
+              CAST(sum(CAST(n AS HUGEINT) * rx2) AS DOUBLE) AS srx,
+              CAST(sum(CAST(n AS HUGEINT) * ry2) AS DOUBLE) AS sry,
+              CAST(sum(CAST(n AS HUGEINT) * rx2 * rx2) AS DOUBLE) AS srxx,
+              CAST(sum(CAST(n AS HUGEINT) * ry2 * ry2) AS DOUBLE) AS sryy,
+              CAST(sum(CAST(n AS HUGEINT) * rx2 * ry2) AS DOUBLE) AS srxy
+            FROM joint JOIN rx USING (x) JOIN ry USING (y))
+          SELECT CAST(nn AS BIGINT) AS n,
+            round((nn * sxy - sx * sy) /
+              (sqrt(nn * sxx - sx * sx) * sqrt(nn * syy - sy * sy)), 6)
+              AS pearson,
+            round((nn * srxy - srx * sry) /
+              (sqrt(nn * srxx - srx * srx) * sqrt(nn * sryy - sry * sry)), 6)
+              AS spearman
+          FROM mom"""),
+      "Pearson + tie-averaged Spearman from one joint-histogram pass"),
+
+    // --------------------------------------- two-sample KS test
+    // Distribution-free companion to q147's Welch t on the same split:
+    // Kolmogorov-Smirnov D = sup |F_ret − F_kept| over price ECDFs,
+    // with the price where the gap peaks. Exact end to end: the gap at
+    // each distinct cent value is the INTEGER |cA·nB − cB·nA| (decimal
+    // cross-multiply — float ECDFs never exist to diverge), argmax
+    // breaks ties on the smaller price, one double division at output.
+    // One conditional histogram over data; cumulative windows on the
+    // distinct-cents frame (bounded by the price grid).
+    "q167_ks_two_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").filter($"l_returnflag".isin("R", "N"))
+          .select($"l_returnflag".as("rf"),
+            round($"l_extendedprice" * 100).cast("long").as("v"))
+        Stats.ksTwoSample(li, "v", col("rf") === "R")
+          .select($"n_a".as("n_ret"), $"n_b".as("n_kept"),
+            round($"ks_d", 6).as("ks_d"),
+            ($"at_v" / lit(100.0)).as("at_price"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+          hist AS (SELECT v,
+              sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS na,
+              sum(CASE WHEN rf = 'R' THEN 0 ELSE 1 END) AS nb
+            FROM li GROUP BY v),
+          cum AS (SELECT v,
+              sum(na) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+              sum(nb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+            FROM hist),
+          tot AS (SELECT max(ca) AS ta, max(cb) AS tb FROM cum),
+          g AS (SELECT v, ta, tb,
+              abs(CAST(ca AS HUGEINT) * tb - CAST(cb AS HUGEINT) * ta) AS gap
+            FROM cum CROSS JOIN tot)
+          SELECT CAST(ta AS BIGINT) AS n_ret, CAST(tb AS BIGINT) AS n_kept,
+            round(CAST(gap AS DOUBLE) /
+              (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS ks_d,
+            v / 100.0 AS at_price
+          FROM g ORDER BY gap DESC, v LIMIT 1"""),
+      "two-sample KS on returned-vs-kept price ECDFs, integer-exact gaps")
   )
 }

@@ -57,6 +57,42 @@ class StatsSpec extends SparkSpec {
     assert(rows(10L) < rows(100L) && rows(100L) < rows(1000L))
   }
 
+  test("rankCorr: perfect monotone curve → spearman 1, pearson < 1") {
+    // y = x³ is strictly monotone but curved: rank correlation must be
+    // exactly 1 while the linear one stays visibly below it
+    val df = (1L to 30L).map(x => (x, x * x * x)).toDF("x", "y")
+    val r = Stats.rankCorr(df, "x", "y").head()
+    assert(math.abs(r.getAs[Double]("spearman") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("pearson") < 0.95)
+    assert(r.getAs[Long]("n") == 30)
+  }
+
+  test("rankCorr averages tied ranks (textbook 3-point case)") {
+    // x = (1,1,2) → tie-averaged x-ranks (1.5, 1.5, 3); y strictly
+    // increasing → ranks (1,2,3); hand-computed ρ = 1.5/√3 ≈ 0.8660
+    val df = Seq((1L, 5L), (1L, 7L), (2L, 9L)).toDF("x", "y")
+    val r = Stats.rankCorr(df, "x", "y").head()
+    assert(math.abs(r.getAs[Double]("spearman") - 1.5 / math.sqrt(3.0)) < 1e-12)
+  }
+
+  test("ksTwoSample: hand-computed D and argmax with tiebreak") {
+    // A = {1,1,2,3}, B = {2,3,3,4}: ECDF gaps peak at 0.5 twice
+    // (v=1 and v=2) — the reported location must be the SMALLER value
+    val df = (Seq(1L, 1L, 2L, 3L).map(("A", _)) ++
+      Seq(2L, 3L, 3L, 4L).map(("B", _))).toDF("g", "v")
+    val r = Stats.ksTwoSample(df, "v", col("g") === "A").head()
+    assert(r.getAs[Long]("n_a") == 4 && r.getAs[Long]("n_b") == 4)
+    assert(math.abs(r.getAs[Double]("ks_d") - 0.5) < 1e-12)
+    assert(r.getAs[Long]("at_v") == 1L)
+  }
+
+  test("ksTwoSample is zero on identical samples") {
+    val df = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(1L, 2L, 3L).map(("B", _)))
+      .toDF("g", "v")
+    val r = Stats.ksTwoSample(df, "v", col("g") === "A").head()
+    assert(r.getAs[Double]("ks_d") == 0.0)
+  }
+
   test("equi-depth buckets hold near-equal counts") {
     val out = graft.queries.Registry.queries("q149_equidepth_hist")(
       spark, sf("sf0.001")).collect()
