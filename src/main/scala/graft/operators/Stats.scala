@@ -152,6 +152,49 @@ object Stats {
           .as("spearman"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
+    * approximation — the nonparametric location test beside the KS
+    * shape test. Rank algebra stays in exact integers via the doubled
+    * tie-averaged ranks of [[doubledAvgRanks]]: 2·R_A = Σ n_A(v)·r2(v)
+    * and 2·U_A = 2·R_A − n_A(n_A+1) are DECIMAL(38,0) folds, as is the
+    * tie term T = Σ(t³−t); only the final z = (U−μ)/σ and rank-biserial
+    * effect size are double trees over those exact moments.
+    *
+    * Scale: one conditional histogram over data, one cumulative window
+    * over the distinct-value frame. Returns one row:
+    * (n_a, n_b, u_a, z, r_rb), z and r_rb unrounded. */
+  def mannWhitney(df: DataFrame, v: String, isA: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(v))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val hist = df.groupBy(col(v))
+      .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
+        sum(when(isA, 0L).otherwise(1L)).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+      .withColumn("r2",
+        lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) + col("t") + lit(1L))
+    hist.agg(
+        sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+        sum(d38(col("na")) * col("r2")).as("r2a"),
+        sum(d38(col("t")) * col("t") * col("t") - col("t")).as("tt"))
+      .select(col("ta"), col("tb"),
+        (col("r2a") - d38(col("ta")) * (col("ta") + lit(1L))).as("u2a"),
+        col("tt"))
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        (col("u2a").cast("double") / lit(2.0)).as("u_a"),
+        ((col("u2a").cast("double") / lit(2.0) -
+          col("ta").cast("double") * col("tb").cast("double") / lit(2.0)) /
+          sqrt((col("ta").cast("double") * col("tb").cast("double") / lit(12.0)) *
+            ((col("ta") + col("tb")).cast("double") + lit(1.0) -
+              col("tt").cast("double") /
+                ((col("ta") + col("tb")).cast("double") *
+                  ((col("ta") + col("tb")).cast("double") - lit(1.0))))))
+          .as("z"),
+        (col("u2a").cast("double") /
+          (col("ta").cast("double") * col("tb").cast("double")) - lit(1.0))
+          .as("r_rb"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic D = sup |F_A − F_B| with
     * the value where the supremum is attained. Entirely exact until the
     * final division: the ECDF gap at each distinct value is the INTEGER

@@ -571,6 +571,59 @@ object StatsQueries {
               (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)), 6) AS ks_d,
             v / 100.0 AS at_price
           FROM g ORDER BY gap DESC, v LIMIT 1"""),
-      "two-sample KS on returned-vs-kept price ECDFs, integer-exact gaps")
+      "two-sample KS on returned-vs-kept price ECDFs, integer-exact gaps"),
+
+    // --------------------------------------- Mann-Whitney rank-sum
+    // Third member of the two-sample family on the same split: Welch t
+    // (q147) assumes normality, KS (q167) tests shape — Mann-Whitney U
+    // is the nonparametric location test between them. Rank algebra in
+    // exact integers end to end (doubled tie-averaged ranks, decimal
+    // folds for 2R_A, 2U_A and the tie term Σ(t³−t)); the tie-corrected
+    // z and the rank-biserial effect size are single double trees over
+    // those moments. Same scale shape as q167: one conditional
+    // histogram, one bounded-frame cumulative window.
+    "q168_mann_whitney" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").filter($"l_returnflag".isin("R", "N"))
+          .select($"l_returnflag".as("rf"),
+            round($"l_extendedprice" * 100).cast("long").as("v"))
+        Stats.mannWhitney(li, "v", col("rf") === "R")
+          .select($"n_a".as("n_ret"), $"n_b".as("n_kept"),
+            round($"u_a", 1).as("u_ret"),
+            round($"z", 6).as("z"), round($"r_rb", 6).as("r_rb"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS rf,
+              CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+          hist AS (SELECT v,
+              sum(CASE WHEN rf = 'R' THEN 1 ELSE 0 END) AS na,
+              sum(CASE WHEN rf = 'R' THEN 0 ELSE 1 END) AS nb
+            FROM li GROUP BY v),
+          rk AS (SELECT v, na, nb, na + nb AS t,
+              2 * coalesce(sum(na + nb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + na + nb + 1 AS r2
+            FROM hist),
+          agg AS (SELECT
+              CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb,
+              sum(CAST(na AS HUGEINT) * r2) AS r2a,
+              sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+            FROM rk),
+          u AS (SELECT ta, tb, tt,
+              r2a - CAST(ta AS HUGEINT) * (ta + 1) AS u2a
+            FROM agg)
+          SELECT ta AS n_ret, tb AS n_kept,
+            round(CAST(u2a AS DOUBLE) / 2.0, 1) AS u_ret,
+            round((CAST(u2a AS DOUBLE) / 2.0 -
+                CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 2.0) /
+              sqrt((CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE) / 12.0) *
+                (CAST(ta + tb AS DOUBLE) + 1.0 -
+                  CAST(tt AS DOUBLE) / (CAST(ta + tb AS DOUBLE) *
+                    (CAST(ta + tb AS DOUBLE) - 1.0)))), 6) AS z,
+            round(CAST(u2a AS DOUBLE) /
+              (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) - 1.0, 6) AS r_rb
+          FROM u"""),
+      "tie-corrected Mann-Whitney U on returned-vs-kept prices")
   )
 }

@@ -86,6 +86,24 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("at_v") == 1L)
   }
 
+  test("mannWhitney: textbook no-tie and tie-corrected cases") {
+    // A = {1,2}, B = {3,4}: R_A = 3, U_A = 0, z = -2/sqrt(20/12),
+    // r_rb = -1 (complete separation)
+    val d1 = (Seq(1L, 2L).map(("A", _)) ++ Seq(3L, 4L).map(("B", _)))
+      .toDF("g", "v")
+    val r1 = Stats.mannWhitney(d1, "v", col("g") === "A").head()
+    assert(r1.getAs[Double]("u_a") == 0.0)
+    assert(math.abs(r1.getAs[Double]("z") - (-2.0 / math.sqrt(20.0 / 12.0))) < 1e-12)
+    assert(r1.getAs[Double]("r_rb") == -1.0)
+    // A = {1,1}, B = {1,2}: tie group t=3 at v=1 → avg rank 2, R_A = 4,
+    // U_A = 1; tie term T = 24 → sigma² = (4/12)(5 - 24/12) = 1, z = -1
+    val d2 = (Seq(1L, 1L).map(("A", _)) ++ Seq(1L, 2L).map(("B", _)))
+      .toDF("g", "v")
+    val r2 = Stats.mannWhitney(d2, "v", col("g") === "A").head()
+    assert(r2.getAs[Double]("u_a") == 1.0)
+    assert(math.abs(r2.getAs[Double]("z") - (-1.0)) < 1e-12)
+  }
+
   test("ksTwoSample is zero on identical samples") {
     val df = (Seq(1L, 2L, 3L).map(("A", _)) ++ Seq(1L, 2L, 3L).map(("B", _)))
       .toDF("g", "v")
