@@ -756,6 +756,71 @@ object OlapQueries {
           ORDER BY members DESC, lbl LIMIT 40"""
         raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
       },
-      "LPA communities on the customer-supplier graph: 4 oracled rounds")
+      "LPA communities on the customer-supplier graph: 4 oracled rounds"),
+
+    // ------------------------------------------- retrieval evaluation
+    // The IR quality loop over the q121 retriever: NDCG@10 / MRR /
+    // precision@10 of BM25 against deterministic graded qrels (rel =
+    // 2·[doc has "dup"] + 1·[doc has "window"], grades 0..3 — "dup" is
+    // the rare high-idf term, so ranking and relevance correlate
+    // without coinciding). Gains use the exact CASE map 2^rel−1 ∈
+    // {0,1,3,7}; the ideal DCG needs no corpus sort — a 3-counter grade
+    // histogram exploded onto a 10-row rank spine. Discounts are the
+    // only libm calls and the identical ln(rk+1)/ln(2) tree runs in
+    // both engines over ranks 1..10.
+    "q169_retrieval_eval" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val toks = split(lower($"text"), " ")
+        val rel = when(array_contains(toks, "dup"), 2).otherwise(0) +
+          when(array_contains(toks, "window"), 1).otherwise(0)
+        Ranking.retrievalEval(t(s, d, "documents"), "doc_id", "text",
+            Seq("dup", "key", "window"), rel, k = 10)
+          .select($"n_rel", round($"dcg_k", 6).as("dcg10"),
+            round($"idcg_k", 6).as("idcg10"),
+            round($"ndcg_k", 6).as("ndcg10"),
+            round($"mrr", 6).as("mrr"),
+            round($"p_at_k", 6).as("p_at_10"))
+      },
+      Some(s"""WITH ${Ranking.bm25OracleCtes("documents", "doc_id", "text",
+            "'dup','key','window'", topK = 10)},
+          ranked AS (SELECT doc_id,
+              row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+            FROM bm25),
+          qr AS (SELECT * FROM (SELECT doc_id,
+              (CASE WHEN list_contains(string_split(lower(text), ' '), 'dup')
+                  THEN 2 ELSE 0 END +
+               CASE WHEN list_contains(string_split(lower(text), ' '), 'window')
+                  THEN 1 ELSE 0 END) AS rel
+            FROM documents) WHERE rel > 0),
+          j AS (SELECT r.rk, coalesce(q.rel, 0) AS rel
+            FROM ranked r LEFT JOIN qr q USING (doc_id)),
+          m AS (SELECT
+              sum((CASE WHEN rel = 1 THEN 1.0 WHEN rel = 2 THEN 3.0
+                  WHEN rel = 3 THEN 7.0 ELSE 0.0 END)
+                / (ln(CAST(rk + 1 AS DOUBLE)) / ln(2.0))) AS dcg,
+              min(CASE WHEN rel > 0 THEN rk END) AS firstrel,
+              CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits
+            FROM j),
+          gh AS (SELECT
+              CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+              CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+              CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+              count(*) AS n_rel
+            FROM qr),
+          ideal AS (SELECT n_rel, c3, c2, c1, g.rk
+            FROM gh CROSS JOIN generate_series(1, 10) AS g(rk)),
+          idcg AS (SELECT n_rel,
+              sum((CASE WHEN rk <= c3 THEN 7.0
+                  WHEN rk <= c3 + c2 THEN 3.0
+                  WHEN rk <= c3 + c2 + c1 THEN 1.0 ELSE 0.0 END)
+                / (ln(CAST(rk + 1 AS DOUBLE)) / ln(2.0))) AS idcg
+            FROM ideal GROUP BY n_rel)
+          SELECT n_rel, round(dcg, 6) AS dcg10, round(idcg, 6) AS idcg10,
+            round(dcg / idcg, 6) AS ndcg10,
+            round(coalesce(CAST(1.0 AS DOUBLE) / firstrel, 0.0), 6) AS mrr,
+            round(CAST(hits AS DOUBLE) / 10.0, 6) AS p_at_10
+          FROM m CROSS JOIN idcg"""),
+      "NDCG@10 / MRR / P@10 of BM25 against deterministic graded qrels")
   )
 }

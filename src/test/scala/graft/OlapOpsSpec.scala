@@ -93,6 +93,39 @@ class OlapOpsSpec extends SparkSpec {
     assert(s(1) > s(2))
   }
 
+  test("retrievalEval: perfect retrieval scores NDCG = MRR = 1") {
+    // only docs 1-2 contain the query term; both graded 3 → the BM25
+    // order IS an ideal order, partial precision@k reflects corpus size
+    val docs = Seq(
+      (1, "rare filler filler"), (2, "rare filler"),
+      (3, "other words here"), (4, "more other words"), (5, "noise")
+    ).toDF("doc_id", "text")
+    val rel = when(array_contains(split(lower($"text"), " "), "rare"), 3)
+      .otherwise(0)
+    val r = Ranking.retrievalEval(docs, "doc_id", "text",
+      Seq("rare"), rel, k = 5).head()
+    assert(r.getAs[Long]("n_rel") == 2)
+    assert(math.abs(r.getAs[Double]("ndcg_k") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("mrr") == 1.0)
+    assert(math.abs(r.getAs[Double]("p_at_k") - 0.4) < 1e-12)
+  }
+
+  test("retrievalEval: hand-computed NDCG when the best doc ranks second") {
+    // d1 "q q q" outranks d2 "q rel3mark" on tf, but d2 carries grade 3
+    // vs d1's grade 1 → dcg = 1/log2(2) + 7/log2(3), idcg = 7 + 1/log2(3)
+    val docs = Seq((1, "q q q"), (2, "q rel3mark")).toDF("doc_id", "text")
+    val toks = split(lower($"text"), " ")
+    val rel = when(array_contains(toks, "rel3mark"), 3)
+      .when(array_contains(toks, "q"), 1).otherwise(0)
+    val r = Ranking.retrievalEval(docs, "doc_id", "text",
+      Seq("q"), rel, k = 10).head()
+    val log23 = math.log(3.0) / math.log(2.0)
+    val want = (1.0 + 7.0 / log23) / (7.0 + 1.0 / log23)
+    assert(math.abs(r.getAs[Double]("ndcg_k") - want) < 1e-9,
+      s"got ${r.getAs[Double]("ndcg_k")} want $want")
+    assert(r.getAs[Double]("mrr") == 1.0) // rank-1 doc has grade 1 > 0
+  }
+
   // ---------------------------------------------------------------- HLL
 
   test("HLL sketches merge by register max: split == one-shot, any split") {
