@@ -204,4 +204,52 @@ object TimeSeries {
           .as("twap"),
         col("span_s"))
   }
+
+  /** Sample autocorrelation r_k for lags 1..maxLag of an ordered
+    * integer-valued series (Box-Jenkins convention: both factors
+    * centered on the FULL-series mean, denominator the full-series sum
+    * of squares). The textbook formula expands into exact moments so no
+    * running float state exists:
+    *   r_k = (Σxₜxₜ₊ₖ − x̄(H+T) + m·x̄²) / (Σx² − n·x̄²)
+    * with Σxₜxₜ₊ₖ, H = Σ head terms, T = Σ tail terms, Σx² all
+    * DECIMAL(38,0) folds and x̄ = S/n the only derived double — one
+    * IEEE tree per lag over those moments.
+    *
+    * `series` must already be aggregated to one row per `ord` (e.g. a
+    * day) — a BOUNDED frame (the time axis, not the event stream), so
+    * the row_number window and the rn+lag self-join run on frames the
+    * size of the calendar. Lag pairing is by consecutive POSITION in
+    * the ordered series (gaps close up, the pandas/statsmodels
+    * default on an irregular index). Returns (lag, n_pairs, acf),
+    * unrounded. */
+  def acf(series: DataFrame, ord: String, value: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val ser = series.select(col(ord), col(value).as("x"))
+      .withColumn("rn", row_number().over(Window.orderBy(col(ord))))
+      .localCheckpoint() // 3 bounded-frame consumers; never re-aggregate
+    val glob = ser.agg(count(lit(1)).as("n"),
+        sum(d38(col("x"))).as("s"),
+        sum(d38(col("x")) * col("x")).as("sxx"))
+      .select(col("n"), col("sxx"),
+        (col("s").cast("double") / col("n").cast("double")).as("xbar"))
+    val lags = glob.select(explode(sequence(lit(1), lit(maxLag))).as("lag"))
+    val byLag = ser.select(col("rn"), col("x"))
+      .crossJoin(broadcast(lags))
+      .withColumn("rnb", col("rn") + col("lag"))
+      .join(ser.select(col("rn").as("rnb"), col("x").as("xb")), "rnb")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(d38(col("x")) * col("xb")).as("sxy"),
+        sum(d38(col("x"))).as("h"),
+        sum(d38(col("xb"))).as("t2"))
+    byLag.crossJoin(broadcast(glob))
+      .select(col("lag"), col("m").as("n_pairs"),
+        ((col("sxy").cast("double") -
+          col("xbar") * (col("h") + col("t2")).cast("double") +
+          col("m").cast("double") * col("xbar") * col("xbar")) /
+         (col("sxx").cast("double") -
+          col("n").cast("double") * col("xbar") * col("xbar"))).as("acf"))
+      .orderBy(col("lag"))
+  }
 }

@@ -777,6 +777,51 @@ object AnalyticsQueries {
             JOIN marg cb ON brand_b = cb.b
           WHERE n_ab * 100 >= (SELECT n FROM n)
           ORDER BY lift DESC, brand_a, brand_b LIMIT 20"""),
-      "association rules: support/confidence/lift as exact-long ratios")
+      "association rules: support/confidence/lift as exact-long ratios"),
+
+    // ------------------------------------------- autocorrelation (ACF)
+    // Sample ACF of the daily order-revenue series at lags 1..7 — the
+    // first diagnostic of any forecasting workflow (weekly seasonality
+    // shows as a lag-7 spike). The Box-Jenkins formula expands into
+    // exact moments (TimeSeries.acf): Σxₜxₜ₊ₖ / head / tail sums as
+    // DECIMAL(38,0) folds over the BOUNDED daily frame (the calendar,
+    // not the order stream — the only input-proportional work is the
+    // one groupBy(day)); x̄ = S/n is the lone derived double and each
+    // r_k is one IEEE tree over exact ingredients. Lag pairing is by
+    // position with gaps closed up (the pandas default on an irregular
+    // index).
+    "q170_acf_daily_revenue" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val daily = t(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+        TimeSeries.acf(daily, "day", "x", maxLag = 7)
+          .select($"lag", $"n_pairs", round($"acf", 6).as("acf"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+            FROM orders GROUP BY 1),
+          ser AS (SELECT day, x,
+              row_number() OVER (ORDER BY day) AS rn FROM daily),
+          gstats AS (SELECT n, sxx,
+              CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+            FROM (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+                sum(CAST(x AS HUGEINT) * x) AS sxx FROM ser)),
+          pairs AS (SELECT l.lag, a.x AS x, b.x AS xb
+            FROM ser a CROSS JOIN generate_series(1, 7) AS l(lag)
+            JOIN ser b ON b.rn = a.rn + l.lag),
+          bylag AS (SELECT lag, count(*) AS m,
+              sum(CAST(x AS HUGEINT) * xb) AS sxy,
+              sum(CAST(x AS HUGEINT)) AS h,
+              sum(CAST(xb AS HUGEINT)) AS t2
+            FROM pairs GROUP BY lag)
+          SELECT lag, CAST(m AS BIGINT) AS n_pairs,
+            round((CAST(sxy AS DOUBLE) - xbar * CAST(h + t2 AS DOUBLE)
+                + CAST(m AS DOUBLE) * xbar * xbar) /
+              (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * xbar * xbar), 6)
+              AS acf
+          FROM bylag CROSS JOIN gstats ORDER BY lag"""),
+      "daily-revenue autocorrelation, lags 1-7, exact-moment expansion")
   )
 }

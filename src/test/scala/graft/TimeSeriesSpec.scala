@@ -74,6 +74,31 @@ class TimeSeriesSpec extends SparkSpec {
       "null amount counts as a violation of amount > 0")
   }
 
+  test("acf: alternating series has exactly -(n-1)/n at lag 1, (n-2)/n at lag 2") {
+    // x = +1,-1,+1,... over 10 points: mean is exactly 0, so
+    // r1 = Σxₜxₜ₊₁/Σx² = -9/10 and r2 = 8/10 with no float slack
+    val ser = (1 to 10).map(i => (i, if (i % 2 == 0) 1L else -1L))
+      .toDF("t", "x")
+    val r = graft.operators.TimeSeries.acf(ser, "t", "x", maxLag = 2)
+      .collect().map(row => row.getInt(0) -> row.getDouble(2)).toMap
+    assert(r(1) == -0.9, s"lag1 ${r(1)}")
+    assert(r(2) == 0.8, s"lag2 ${r(2)}")
+  }
+
+  test("acf pairs by position: n_pairs shrinks by one per lag") {
+    val ser = (1 to 30).map(i => (i, (i % 7).toLong)).toDF("t", "x")
+    val rows = graft.operators.TimeSeries.acf(ser, "t", "x", maxLag = 7)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
+    rows.foreach(r => assert(r.getLong(1) == 30L - r.getInt(0)))
+    // period-7 integer sawtooth: lag-7 autocorrelation must dominate —
+    // the Box-Jenkins estimator shrinks it toward (n-k)/n ≈ 0.77, so
+    // the bound is the bias-aware one, not 1
+    val acf = rows.map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(acf(7) > 0.7, s"lag7 ${acf(7)}")
+    (1 to 6).foreach(k => assert(acf(7) > acf(k), s"lag $k ${acf(k)}"))
+  }
+
   test("duplicateKeys flags only repeated tuples; orphans excludes null FKs") {
     val child = Seq(
       (1L, Option(10L)), (2L, Option(10L)), (3L, Option(99L)),
