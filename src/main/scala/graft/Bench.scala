@@ -46,9 +46,14 @@ object Bench {
     // passes on this box show ±30% per-query scheduler/GC noise, and the
     // minimum is the steady-state throughput a resident engine delivers.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // optional args: bench only the named queries (dev loop for timing a
+    // query under optimization); the driver always calls with no args
+    val only = args.toSet
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val allPasses = (1 to passes).map { pass =>
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val r = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

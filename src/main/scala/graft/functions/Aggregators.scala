@@ -9,6 +9,17 @@ import org.apache.spark.sql.expressions.Aggregator
   * O(groups) bytes. */
 object Aggregators {
 
+  /** Exact 128-bit Σ of a LONG column as DECIMAL(38,0) — the grouped-
+    * aggregate replacement for `sum(x.cast("decimal(38,0)"))`, which
+    * falls off HashAggregate's mutable fast path (see
+    * [[graft.expressions.Sum128]]). Codegen'd DeclarativeAggregate, two
+    * long buffer slots, map-side combinable. */
+  def sum128(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.Sum128(GraftGlue.expression(c))
+      .toAggregateExpression())
+  }
+
   /** Exact RMSE over (label, prediction) pairs — the relational identity
     * behind RegressionEvaluator("rmse") (sparkML.py:105-112), usable
     * directly in a typed groupBy without an ML dependency. */

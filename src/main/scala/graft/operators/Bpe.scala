@@ -100,9 +100,12 @@ object Bpe {
     * `bpe_s{rounds}(word, state, freq)` for encode checks. */
   def bpeOracleCtes(rounds: Int): String = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
+    // cnt is cast back to BIGINT: DuckDB widens sum(BIGINT) to HUGEINT,
+    // whose client-side export is build-dependent, and cnt is a
+    // PROJECTED column in q131's compared output
     def pairsOf(stateCte: String, i: Int): String =
       s"""bpe_p$i AS (
-          SELECT sy[i] AS l, sy[i+1] AS r, sum(freq) AS cnt FROM (
+          SELECT sy[i] AS l, sy[i+1] AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
             SELECT freq, sy, unnest(generate_series(1, len(sy) - 1)) AS i FROM (
               SELECT freq, string_split(trim(state, '|'), '||') AS sy
               FROM $stateCte))

@@ -238,21 +238,26 @@ object Graph {
                          scale: Long = 1000000L): String = {
     require(iters >= 1, s"oracle CTE chain needs iters >= 1: $iters")
     val base = dampDen - dampNum
+    // every sum() is cast back to BIGINT: DuckDB widens sum(BIGINT) to
+    // HUGEINT, whose client-side export is build-dependent — an uncast
+    // csum would leak HUGEINT into r and the final rank column
     val rounds = (1 to iters).map { i =>
-      s"""pr_c$i AS (SELECT e.dst AS node, sum(r.r // d.odeg) AS csum
+      s"""pr_c$i AS (SELECT e.dst AS node,
+              CAST(sum(r.r // d.odeg) AS BIGINT) AS csum
             FROM edges e JOIN pr_r${i - 1} r ON e.src = r.node
             JOIN pr_outdeg d ON e.src = d.src GROUP BY e.dst),
           pr_r$i AS (SELECT n.node,
-              ($base * (SELECT u FROM pr_unit) + $dampNum * coalesce(c.csum, 0)) // $dampDen AS r
+              CAST(($base * (SELECT u FROM pr_unit)
+                + $dampNum * coalesce(c.csum, 0)) // $dampDen AS BIGINT) AS r
             FROM pr_nodes n LEFT JOIN pr_c$i c ON n.node = c.node)"""
     }.mkString(",\n")
     s"""pr_nodes AS (SELECT src AS node FROM edges
           UNION SELECT dst FROM edges),
       pr_outdeg AS (SELECT src, count(*) AS odeg FROM edges GROUP BY src),
-      pr_unit AS (SELECT $scale // count(*) AS u FROM pr_nodes),
+      pr_unit AS (SELECT CAST($scale // count(*) AS BIGINT) AS u FROM pr_nodes),
       pr_r0 AS (SELECT node, (SELECT u FROM pr_unit) AS r FROM pr_nodes),
       $rounds,
-      pr_final AS (SELECT node, r AS rank FROM pr_r$iters)"""
+      pr_final AS (SELECT node, CAST(r AS BIGINT) AS rank FROM pr_r$iters)"""
   }
 
   /** Absorption-probability iteration over scenario-tagged Markov
@@ -268,7 +273,12 @@ object Graph {
     * convergence not required for reproducibility (the round count IS
     * part of the contract). State space (channels + virtual states) is
     * tiny; each round is one broadcast-scale join + aggregate,
-    * localCheckpoint'd to keep plan depth O(1). */
+    * localCheckpoint'd to keep plan depth O(1).
+    *
+    * This is the UNBOUNDED-state form. When the chain is channel-
+    * bounded (every real attribution model), prefer
+    * [[absorptionFixedDriver]]: same recurrence bit-for-bit over the
+    * collected matrix, zero per-round Spark jobs. */
   def absorptionFixed(trans: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val scen = trans.select(col("sc")).distinct().localCheckpoint()
@@ -290,6 +300,40 @@ object Graph {
     p
   }
 
+  /** Driver-side twin of [[absorptionFixed]] for CHANNEL-BOUNDED chains:
+    * the identical fixed-point integer recurrence (floor-div per term,
+    * round count part of the contract — spec-pinned bit-equal to the
+    * distributed form), run over the collected transition matrix.
+    *
+    * Legitimacy at 100 TB (the [[Stats.olsFit]] precedent): driver
+    * state is O(scenarios × states²) NUMBERS — the channel vocabulary,
+    * never data rows. The corpus-sized work (journey extraction, the
+    * transition-count aggregate) stays distributed; what moves to the
+    * driver is a ≤10³-entry matrix whose 20-round evolution costs
+    * microseconds there and 20 scheduled jobs as a DataFrame loop.
+    *
+    * `trans` rows are (sc, s, t, pr) with pr in nano-units; `s` must
+    * not contain the absorbing states CONV/NULL (the caller's
+    * transition builder never emits them as sources). Returns
+    * (sc, st, p) including the absorbing rows, like the distributed
+    * form. */
+  def absorptionFixedDriver(trans: Seq[(String, String, String, Long)],
+                            iters: Int): Seq[(String, String, Long)] = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val scens = trans.map(_._1).distinct
+    val absorbing: Map[(String, String), Long] = scens.flatMap(sc =>
+      Seq((sc, "CONV") -> 1000000000L, (sc, "NULL") -> 0L)).toMap
+    var p = absorbing
+    for (_ <- 1 to iters) {
+      val next = trans.iterator.flatMap { case (sc, s, t, pr) =>
+        p.get((sc, t)).map(pt => ((sc, s), pr * pt / 1000000000L))
+      }.toSeq.groupBy(_._1)
+        .map { case (k, terms) => k -> terms.map(_._2).sum }
+      p = next ++ absorbing
+    }
+    p.toSeq.map { case ((sc, st), v) => (sc, st, v) }
+  }
+
   /** k-core peeling (Seidman 1983; Batagelj-Zaveršnik): repeatedly
     * delete nodes of degree < k until the k-core remains — the standard
     * dense-subgraph / influential-community extraction. Runs a FIXED
@@ -298,19 +342,29 @@ object Graph {
     * round count is part of the reproducibility contract, and peeling
     * converges when a round removes nothing (spec-checked). Edges must
     * be symmetric; they are dedup'd here. Returns the surviving
-    * subgraph's (node, deg). */
+    * subgraph's (node, deg).
+    *
+    * `statePartitions` > 0 coalesces each round's checkpointed
+    * edge/keep state to that many partitions — the per-round task count
+    * then tracks the caller's knowledge of the SURVIVING subgraph's
+    * size instead of `spark.sql.shuffle.partitions` (rounds ×
+    * mostly-empty tasks is pure scheduler overhead when the peeled
+    * graph is small); 0 (default) leaves partitioning to the
+    * session/AQE, the huge-graph regime. */
   def kCoreFixed(edges: DataFrame, src: String, dst: String, k: Int,
-                 rounds: Int): DataFrame = {
+                 rounds: Int, statePartitions: Int = 0): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1, rounds >= 1: $k, $rounds")
-    var e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .distinct().localCheckpoint()
+    def sized(df: DataFrame): DataFrame =
+      if (statePartitions > 0) df.coalesce(statePartitions) else df
+    var e = sized(edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct()).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src").as("node"))
+      val keep = sized(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node")))
         .localCheckpoint()
-      e = e.join(keep.select(col("node").as("src")), "src")
+      e = sized(e.join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
-        .select(col("src"), col("dst"))
+        .select(col("src"), col("dst")))
         .localCheckpoint()
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -325,23 +379,29 @@ object Graph {
     * window; bounded rounds make the synchronous variant reproducible
     * (it may oscillate on bipartite structure rather than converge —
     * the round count is part of the contract, as with [[kCoreFixed]]).
-    * Edges must be symmetric. Returns (node, label). */
+    * Edges must be symmetric. Returns (node, label).
+    *
+    * `statePartitions` as in [[kCoreFixed]]: > 0 sizes each round's
+    * checkpointed label table to the known-small community graph; 0
+    * (default) inherits the session shuffle partitioning. */
   def labelPropagationFixed(edges: DataFrame, src: String, dst: String,
-                            rounds: Int): DataFrame = {
+                            rounds: Int, statePartitions: Int = 0): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1: $rounds")
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .distinct().localCheckpoint()
-    var lbl = e.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    def sized(df: DataFrame): DataFrame =
+      if (statePartitions > 0) df.coalesce(statePartitions) else df
+    val e = sized(edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct()).localCheckpoint()
+    var lbl = sized(e.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))).localCheckpoint()
     for (_ <- 1 to rounds) {
       val w = Window.partitionBy(col("src"))
         .orderBy(col("cnt").desc, col("lbl").asc)
-      lbl = e.join(lbl, e("dst") === lbl("node"))
+      lbl = sized(e.join(lbl, e("dst") === lbl("node"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
-        .select(col("src").as("node"), col("lbl"))
+        .select(col("src").as("node"), col("lbl")))
         .localCheckpoint()
     }
     lbl

@@ -380,7 +380,10 @@ object Sketches {
       else 0.673
     sketch
       .agg(count(lit(1)).as("n_nonzero"),
-        sum(pow(lit(2.0), lit(50) - col("rho")).cast("long")).as("__present"))
+        // 2^(50-rho) as an exact bit-shift, not libm pow: rho is capped
+        // at 50 so the shift amount is in [0, 49] and the sum is exact
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - rho AS INT))"))
+          .as("__present"))
       .select(col("n_nonzero"),
         (col("__present") +
           (lit(m.toLong) - col("n_nonzero")) * lit(1L << 50)).as("sum_pow50"))
@@ -431,7 +434,8 @@ object Sketches {
     sketch
       .groupBy(groups.map(col): _*)
       .agg(count(lit(1)).as("n_nonzero"),
-        sum(pow(lit(2.0), lit(50) - col("rho")).cast("long")).as("__present"))
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(50 - rho AS INT))"))
+          .as("__present"))
       .select(groups.map(col) ++ Seq(col("n_nonzero"),
         (col("__present") +
           (lit(m.toLong) - col("n_nonzero")) * lit(1L << 50)).as("sum_pow50")): _*)
@@ -466,9 +470,13 @@ object Sketches {
         FROM (SELECT md5('$salt:' || $keyExpr) AS h FROM $fromSql)
         GROUP BY 1),
       hll_sum AS (
+        -- 2^(50-rho) via integer bit-shift (libm pow varies across
+        -- builds); sum(BIGINT) widens to HUGEINT in DuckDB, so the total
+        -- is cast back to BIGINT or it exports engine-dependently
         SELECT count(*) AS n_nonzero,
-               sum(CAST(pow(2, 50 - rho) AS BIGINT))
-                 + ($m - count(*)) * CAST(pow(2, 50) AS BIGINT) AS sum_pow50
+               CAST(sum(CAST(1 AS BIGINT) << (50 - rho))
+                 + ($m - count(*)) * (CAST(1 AS BIGINT) << 50) AS BIGINT)
+                 AS sum_pow50
         FROM hll_regs),
       hll AS (
         SELECT n_nonzero, sum_pow50,

@@ -181,8 +181,15 @@ object TimeSeries {
     * zero-duration ties contribute no weight themselves, but whichever
     * sorts LAST inherits the holding period to the next distinct
     * timestamp — so the order must be total). One window (lead) + one
-    * hash aggregate, both partitioned by key. Returns
-    * (key, twap, span_s). */
+    * hash aggregate, both partitioned by key.
+    *
+    * Returns (key, twap, twap_micro, span_s). `twap_micro` is the
+    * average in integer MICRO-units, ⌊Σ(c·dt)·10⁴ / Σdt + 0.5⌋ —
+    * floor(x+0.5) over one shared IEEE expression tree is
+    * bit-deterministic in any engine build, unlike round(x, n) whose
+    * half-way handling varies; `twap` = twap_micro/10⁶ is the readable
+    * double, fully determined by the integer so a cross-engine compare
+    * never hinges on a libm. */
   def twap(df: DataFrame, key: String, tsCol: String, tieCol: String,
            cents: Column): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col("__s"), col(tieCol))
@@ -198,11 +205,13 @@ object TimeSeries {
       // above). All-zero spans (every sample simultaneous) are an
       // explicit null, NOT left to x/0: Spark doubles give Infinity
       // there while SQL engines (the DuckDB oracle included) give NULL
-      .select(col(key),
+      .withColumn("twap_micro",
         when(col("span_s") > 0,
-          round(col("__num").cast("double") / col("span_s") / 100.0, 6))
-          .as("twap"),
-        col("span_s"))
+          floor(col("__num").cast("double") * 10000.0 /
+            col("span_s").cast("double") + 0.5)))
+      .select(col(key),
+        (col("twap_micro").cast("double") / 1000000.0).as("twap"),
+        col("twap_micro"), col("span_s"))
   }
 
   /** Sample autocorrelation r_k for lags 1..maxLag of an ordered

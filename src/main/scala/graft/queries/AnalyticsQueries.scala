@@ -619,13 +619,19 @@ object AnalyticsQueries {
           .foldLeft(pn.select(lit("base").as("sc"), $"s", $"t", $"pr"))(
             _ unionByName _)
           .groupBy($"sc", $"s", $"t").agg(sum($"pr").as("pr"))
-          .localCheckpoint()
-        val ps = Graph.absorptionFixed(scTrans, iters = 20)
-          .filter($"st" === "START")
-        val j = ps.filter($"sc" =!= "base")
-          .select($"sc".as("channel"), $"p".as("pc"))
-          .crossJoin(broadcast(
-            ps.filter($"sc" === "base").select($"p".as("pb"))))
+        // the collect is the CHANNEL-BOUNDED matrix (≤ 5 scenarios ×
+        // 7×7 states ≈ 250 rows of longs), never data rows: the
+        // absorption evolution then runs on the driver in microseconds
+        // instead of 20 scheduled DataFrame rounds — the Stats.olsFit
+        // driver-solve legitimacy, see Graph.absorptionFixedDriver
+        val mat = scTrans.as[(String, String, String, Long)].collect().toSeq
+        val psRows = Graph.absorptionFixedDriver(mat, iters = 20)
+          .filter(_._2 == "START")
+        val pb = psRows.collectFirst { case ("base", _, v) => v }
+          .getOrElse(sys.error("q159: base scenario missing from absorption"))
+        val j = psRows.filter(_._1 != "base")
+          .map { case (sc, _, pc) => (sc, pc, pb) }
+          .toDF("channel", "pc", "pb")
         val den = j.agg(sum($"pb" - $"pc").as("dn"))
         j.crossJoin(broadcast(den))
           .select($"channel",

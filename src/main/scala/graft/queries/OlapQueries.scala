@@ -205,7 +205,11 @@ object OlapQueries {
     // ~6.5% rse) — the constant-state face of count(distinct); q98's KMV
     // is the order-statistics face. sum_pow50 pins the register array
     // bit-for-bit (exact integer); n_exact rides along so the result
-    // documents its own accuracy.
+    // documents its own accuracy. The compared projection is EXACT
+    // integers only: the float estimate (libm ln in the linear-counting
+    // branch, round(x, 2)) stays an API-level output ([[Sketches
+    // .hllEstimate]]) but is fully determined by sum_pow50/n_nonzero, so
+    // pinning those pins the sketch without betting the hash on a libm.
     "q123_hll_distinct" -> Q(
       (s, d) => {
         import s.implicits._
@@ -213,11 +217,12 @@ object OlapQueries {
         Sketches.hllDistinct(li, $"l_orderkey", b = 8, salt = "q123")
           .crossJoin(broadcast(
             li.agg(countDistinct($"l_orderkey").as("n_exact"))))
+          .select($"n_nonzero", $"sum_pow50", $"n_exact")
       },
       Some(s"""WITH ${Sketches.hllOracleCtes(
           "CAST(l_orderkey AS VARCHAR)", "lineitem", 8, "q123")},
         ex AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
-        SELECT n_nonzero, sum_pow50, est_distinct, n_exact
+        SELECT n_nonzero, sum_pow50, n_exact
         FROM hll CROSS JOIN ex"""),
       "HyperLogLog distinct-count sketch, register state integer-pinned"),
 
@@ -330,12 +335,15 @@ object OlapQueries {
 
     // ------------------------------------------- int8 scalar quantization
     // The memory lever for ANN at 100 TB: 4 bytes/dim float32 → 1 byte
-    // int8 with per-dimension symmetric scales (q_d = round(127·x/max|x_d|)),
-    // then EXACT integer dot-product scoring — deterministic, so the
-    // oracle re-derives scores bit-for-bit (float cosine scoring can
-    // only be compared through rounding). Long-form throughout: no
-    // array re-assembly, the score is one hash aggregate over
-    // (vec, dim) rows joined to the broadcast query vector.
+    // int8 with per-dimension symmetric scales
+    // (q_d = ⌊127·x/max|x_d| + 0.5⌋ — floor(x+0.5), NOT round(): a
+    // libm/decimal round's half-way behavior varies across engine
+    // builds, while floor of one shared IEEE expression tree is
+    // bit-deterministic everywhere), then EXACT integer dot-product
+    // scoring — so the oracle re-derives scores bit-for-bit (float
+    // cosine scoring can only be compared through rounding). Long-form
+    // throughout: no array re-assembly, the score is one hash aggregate
+    // over (vec, dim) rows joined to the broadcast query vector.
     "q127_int8_ann" -> Q(
       (s, d) => {
         import s.implicits._
@@ -345,8 +353,9 @@ object OlapQueries {
         val quant = long.join(broadcast(scales), "dim")
           .select($"vec_id", $"dim",
             when($"ma" === 0f, lit(0L))
-              .otherwise(round($"x".cast("double") * 127.0 / $"ma".cast("double"))
-                .cast("long")).as("qv"))
+              .otherwise(floor(
+                $"x".cast("double") * 127.0 / $"ma".cast("double") + 0.5))
+              .as("qv"))
         val qry = quant.filter($"vec_id" === 0)
           .select($"dim", $"qv".as("qq"))
         quant.filter($"vec_id" =!= 0)
@@ -361,10 +370,10 @@ object OlapQueries {
         scales AS (SELECT dim, max(abs(x)) AS ma FROM long GROUP BY dim),
         quant AS (SELECT vec_id, dim,
             CASE WHEN ma = 0 THEN 0
-                 ELSE CAST(round(x * 127.0 / ma) AS BIGINT) END AS qv
+                 ELSE CAST(floor(x * 127.0 / ma + 0.5) AS BIGINT) END AS qv
           FROM long JOIN scales USING (dim)),
         qry AS (SELECT dim, qv AS qq FROM quant WHERE vec_id = 0)
-        SELECT vec_id, sum(qv * qq) AS score
+        SELECT vec_id, CAST(sum(qv * qq) AS BIGINT) AS score
         FROM quant JOIN qry USING (dim) WHERE vec_id <> 0
         GROUP BY vec_id ORDER BY score DESC, vec_id LIMIT 10"""),
       "int8 scalar-quantized ANN: 4x memory cut, integer-exact scoring"),
@@ -456,7 +465,11 @@ object OlapQueries {
     // holds until the user's next event (left-Riemann step integral, the
     // market-data convention). Long sums of cents·seconds keep it
     // integer-exact; one lead() window + one hash aggregate, both
-    // partitioned by user.
+    // partitioned by user. Portability discipline: the average is
+    // pinned as an integer micro-unit column (floor(x+0.5), see
+    // [[graft.operators.TimeSeries.twap]]) and the readable double is
+    // derived from THAT integer by one division — no round(x, n), no
+    // uncast HUGEINT sums on the oracle side.
     "q130_twap" -> Q(
       (s, d) => {
         import s.implicits._
@@ -471,12 +484,20 @@ object OlapQueries {
           FROM events WHERE user_id < 200),
         stepped AS (SELECT user_id, c, s,
             lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS nxt
-          FROM base)
-        SELECT user_id,
-          round(CAST(sum(c * (nxt - s)) AS DOUBLE) / sum(nxt - s) / 100.0, 6) AS twap,
-          sum(nxt - s) AS span_s
-        FROM stepped WHERE nxt IS NOT NULL
-        GROUP BY user_id ORDER BY user_id"""),
+          FROM base),
+        agg AS (SELECT user_id,
+            CAST(sum(c * (nxt - s)) AS BIGINT) AS num_cs,
+            CAST(sum(nxt - s) AS BIGINT) AS span_s
+          FROM stepped WHERE nxt IS NOT NULL GROUP BY user_id),
+        pinned AS (SELECT user_id,
+            CASE WHEN span_s > 0 THEN CAST(floor(
+              CAST(num_cs AS DOUBLE) * 10000.0 / CAST(span_s AS DOUBLE) + 0.5)
+              AS BIGINT) END AS twap_micro,
+            span_s
+          FROM agg)
+        SELECT user_id, CAST(twap_micro AS DOUBLE) / 1000000.0 AS twap,
+          twap_micro, span_s
+        FROM pinned ORDER BY user_id"""),
       "time-weighted average price over irregular samples, integer-exact"),
 
     // ----------------------------------------------------- BPE training
@@ -576,12 +597,18 @@ object OlapQueries {
     // Robust outlier detection: median absolute deviation with the
     // normal-consistency constant (flag |x−med| > 3·1.4826·MAD) — the
     // estimator IQR (q07) users reach for when even the quartiles are
-    // contaminated. Exactness discipline: prices quantize to integer
-    // cents first, so both medians interpolate to exact halves (no
-    // cross-engine interpolation ulp) and the comparison threshold is
-    // bit-identical; money only becomes float at the rounded output.
+    // contaminated. Exactness discipline, end to end in INTEGERS:
+    // prices quantize to cents, the median is pinned as med2 = lo + hi
+    // (twice the interpolated median — an exact BIGINT, so no engine's
+    // quantile interpolation arithmetic is ever compared), deviations
+    // live in doubled units (adev2 = |2c − med2|, integer), the MAD as
+    // mad4 = twice ITS doubled median, and the outlier test
+    // adev > 3·1.4826·MAD becomes the exact integer comparison
+    // 20000·adev2 > 44478·mad4 (1.4826 = 14826/10⁴ exactly). The
+    // readable money doubles derive from the pinned integers by one
+    // division each — no round(x, n), no quantile_cont, no libm.
     // Two grouped exact-percentile aggregates + one broadcast-sized
-    // join back — no window over data rows.
+    // join back — no window over data rows on the Spark side.
     "q133_mad_outliers" -> Q(
       (s, d) => {
         import s.implicits._
@@ -594,35 +621,48 @@ object OlapQueries {
         // (Relational.exactQuantilesQuantized run per group) — integer
         // cents make the two formulations bit-identical
         val med = li.groupBy($"flag")
-          .agg(percentile($"c", lit(0.5)).as("med_c"), count(lit(1)).as("n"))
+          .agg((percentile($"c", lit(0.5)) * 2).cast("long").as("med2"),
+            count(lit(1)).as("n"))
         val dev = li.join(broadcast(med), "flag")
-          .withColumn("adev", abs($"c" - $"med_c"))
+          .withColumn("adev2", abs($"c" * 2 - $"med2"))
         val mad = dev.groupBy($"flag")
-          .agg(percentile($"adev", lit(0.5)).as("mad_c"))
+          .agg((percentile($"adev2", lit(0.5)) * 2).cast("long").as("mad4"))
         dev.join(broadcast(mad), "flag")
-          .withColumn("is_out", $"adev" > lit(3) * lit(1.4826) * $"mad_c")
+          .withColumn("is_out", $"adev2" * 20000L > $"mad4" * 44478L)
           .groupBy($"flag")
           .agg(max($"n").as("n"),
-            round(max($"med_c") / 100.0, 6).as("median"),
-            round(max($"mad_c") / 100.0, 6).as("mad"),
+            (max($"med2").cast("double") / 200.0).as("median"),
+            (max($"mad4").cast("double") / 400.0).as("mad"),
             sum($"is_out".cast("long")).as("n_outliers"))
           .orderBy($"flag")
       },
       Some("""WITH li AS (SELECT l_returnflag AS flag,
             CAST(round(l_extendedprice*100) AS BIGINT) AS c FROM lineitem),
-        med AS (SELECT flag, quantile_cont(c, 0.5) AS med_c, count(*) AS n
-          FROM li GROUP BY flag),
-        dev AS (SELECT li.flag AS flag, c, abs(c - med_c) AS adev, med_c, n
+        ord AS (SELECT flag, c,
+            row_number() OVER (PARTITION BY flag ORDER BY c) AS rn,
+            count(*) OVER (PARTITION BY flag) AS n FROM li),
+        med AS (SELECT flag,
+            CAST(sum(c * (CASE WHEN 2*rn = n THEN 1 WHEN 2*rn = n+1 THEN 2
+              WHEN 2*rn = n+2 THEN 1 ELSE 0 END)) AS BIGINT) AS med2,
+            max(n) AS n
+          FROM ord GROUP BY flag),
+        dev AS (SELECT li.flag AS flag, abs(2*c - med2) AS adev2, med2, n
           FROM li JOIN med ON li.flag = med.flag),
-        mad AS (SELECT flag, quantile_cont(adev, 0.5) AS mad_c
-          FROM dev GROUP BY flag)
+        dord AS (SELECT flag, adev2,
+            row_number() OVER (PARTITION BY flag ORDER BY adev2) AS rn,
+            count(*) OVER (PARTITION BY flag) AS n2 FROM dev),
+        mad AS (SELECT flag,
+            CAST(sum(adev2 * (CASE WHEN 2*rn = n2 THEN 1 WHEN 2*rn = n2+1 THEN 2
+              WHEN 2*rn = n2+2 THEN 1 ELSE 0 END)) AS BIGINT) AS mad4
+          FROM dord GROUP BY flag)
         SELECT dev.flag AS flag, max(n) AS n,
-          round(max(med_c) / 100.0, 6) AS median,
-          round(max(mad_c) / 100.0, 6) AS mad,
-          sum(CAST(adev > 3 * 1.4826 * mad_c AS BIGINT)) AS n_outliers
+          CAST(max(med2) AS DOUBLE) / 200.0 AS median,
+          CAST(max(mad4) AS DOUBLE) / 400.0 AS mad,
+          CAST(sum(CASE WHEN adev2 * 20000 > mad4 * 44478
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev JOIN mad ON dev.flag = mad.flag
         GROUP BY dev.flag ORDER BY flag"""),
-      "MAD robust outliers per group, interpolation-exact via cents quantization"),
+      "MAD robust outliers per group, medians and threshold pinned in integers"),
 
     // ---------------------------------------------------------------- AQP
     // Approximate query processing: answer the revenue-per-flag query
@@ -692,7 +732,11 @@ object OlapQueries {
           .select(concat(lit("c"), $"o_custkey").as("src"),
             concat(lit("s"), $"l_suppkey").as("dst"))
         val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
-        graft.operators.Graph.kCoreFixed(both, "src", "dst", k = 8, rounds = 6)
+        // statePartitions=4: the nation-bounded subgraph is ~10^3 nodes
+        // at any tested SF — per-round tasks track it, not the session's
+        // 32 (drop the arg on an unfiltered 100 TB graph)
+        graft.operators.Graph.kCoreFixed(both, "src", "dst", k = 8, rounds = 6,
+          statePartitions = 4)
           .orderBy($"deg".desc, $"node")
           .limit(50)
       },
@@ -735,7 +779,8 @@ object OlapQueries {
           .select(concat(lit("c"), $"o_custkey").as("src"),
             concat(lit("s"), $"l_suppkey").as("dst"))
         val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
-        graft.operators.Graph.labelPropagationFixed(both, "src", "dst", rounds = 4)
+        graft.operators.Graph.labelPropagationFixed(both, "src", "dst",
+          rounds = 4, statePartitions = 4)
           .groupBy($"lbl").agg(count(lit(1)).as("members"),
             min($"node").as("min_node"))
           .orderBy($"members".desc, $"lbl")

@@ -23,9 +23,13 @@ object StatsQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
-  /** Exact moment: Σ(a·b) with long per-row products, DECIMAL total. */
+  /** Exact moment: Σ(a·b) with long per-row products, 128-bit exact
+    * total ([[graft.functions.Aggregators.sum128]] — two mutable long
+    * buffer slots, so GROUPED Gram aggregates stay on HashAggregate's
+    * in-place fast path; a decimal(38,0) sum buffer forces the slow
+    * path, measured 7× on q154), one double rounding at the end. */
   private def m(a: Column, b: Column): Column =
-    sum((a * b).cast("decimal(38,0)")).cast("double")
+    graft.functions.Aggregators.sum128(a * b).cast("double")
 
   /** The ten OLS moment aggregates over (x1, x2, y) columns. */
   private def olsMoments: Seq[Column] = Seq(

@@ -166,6 +166,25 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(p == 375000000L, s"expected exact 0.375 in nano-units, got $p")
   }
 
+  test("absorptionFixedDriver is bit-equal to the distributed recurrence") {
+    // a 2-scenario chain with enough structure to exercise floor-div
+    // truncation and multi-source sums in every round
+    val rows = Seq(
+      ("base", "START", "a", 600000000L), ("base", "START", "b", 400000000L),
+      ("base", "a", "b", 500000000L), ("base", "a", "CONV", 300000000L),
+      ("base", "a", "NULL", 200000000L), ("base", "b", "a", 700000000L),
+      ("base", "b", "NULL", 300000000L),
+      ("cut", "START", "a", 600000000L), ("cut", "START", "NULL", 400000000L),
+      ("cut", "a", "CONV", 300000000L), ("cut", "a", "NULL", 700000000L))
+    val trans = rows.toDF("sc", "s", "t", "pr")
+    for (iters <- Seq(1, 3, 7)) {
+      val dist = Graph.absorptionFixed(trans, iters)
+        .as[(String, String, Long)].collect().toSet
+      val drv = Graph.absorptionFixedDriver(rows, iters).toSet
+      assert(drv == dist, s"iters=$iters: driver=$drv distributed=$dist")
+    }
+  }
+
   test("absorptionFixed: extra rounds never change an already-absorbed chain") {
     import graft.operators.Graph
     val nano = 1000000000L

@@ -328,7 +328,8 @@ class OlapOpsSpec extends SparkSpec {
     ).toDF("user_id", "ts", "event_id", "v")
     val r = TimeSeries.twap(df, "user_id", "ts", "event_id",
       round($"v" * 100).cast("long")).head()
-    assert(r.getDouble(1) == 1.25 && r.getLong(2) == 4L, s"$r")
+    assert(r.getDouble(1) == 1.25 && r.getLong(2) == 1250000L &&
+      r.getLong(3) == 4L, s"$r")
   }
 
   test("TWAP of an all-simultaneous group is null, not Infinity") {
@@ -338,8 +339,9 @@ class OlapOpsSpec extends SparkSpec {
       .toDF("user_id", "ts", "event_id", "v")
     val r = TimeSeries.twap(df, "user_id", "ts", "event_id",
       round($"v" * 100).cast("long")).head()
-    assert(r.isNullAt(1), s"zero-span twap must be null (SQL semantics): $r")
-    assert(r.getLong(2) == 0L)
+    assert(r.isNullAt(1) && r.isNullAt(2),
+      s"zero-span twap must be null (SQL semantics): $r")
+    assert(r.getLong(3) == 0L)
   }
 
   test("PageRank fails loudly when scale is below the node count") {

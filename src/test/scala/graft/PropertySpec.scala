@@ -175,7 +175,7 @@ class PropertySpec extends SparkSpec {
       }
       val df = rows.toDF("k", "ts", "id", "v")
       val got = TimeSeries.twap(df, "k", "ts", "id", sround(col("v") * 100).cast("long"))
-        .collect().headOption.map(r => (r.getDouble(1), r.getLong(2)))
+        .collect().headOption.map(r => (r.getDouble(1), r.getLong(2), r.getLong(3)))
       // direct: sort by (t, id), value holds to the next sample
       val sorted = evs.zipWithIndex.map { case ((t, c), i) => (t, i, c) }
         .sortBy { case (t, i, _) => (t, i) }
@@ -189,9 +189,12 @@ class PropertySpec extends SparkSpec {
         assert(got.isEmpty || span == 0)
       } else {
         val num = steps.map(_._1).sum
-        val want = BigDecimal(num.toDouble / span / 100.0)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        assert(got.contains((want, span)), s"evs=$evs got=$got want=($want, $span)")
+        // mirror the operator's pinning: micro units via floor(x+0.5),
+        // the readable double derived from the integer by one division
+        val micro = math.floor(num.toDouble * 10000.0 / span + 0.5).toLong
+        val want = micro.toDouble / 1000000.0
+        assert(got.contains((want, micro, span)),
+          s"evs=$evs got=$got want=($want, $micro, $span)")
       }
     }
   }

@@ -275,6 +275,37 @@ class StreamingSpec extends SparkSpec {
       s"retried commit must leave the latest-wins snapshot intact, got $snap")
   }
 
+  test("upsert chronic retries leave no orphaned attempt dirs behind") {
+    // every redelivery of a committed batchId writes a FRESH attempt dir
+    // (merge-<id>-a0, -a1, ...); once its swap supersedes the older
+    // attempt's buckets, GC must reclaim the stale dirs or the snapshot
+    // grows without bound under a crash-looping checkpoint ack
+    val snapDir = Files.createTempDirectory("snap_gc").toString + "/state"
+    val writer = StreamPipeline.upsertLatestWriter(spark, snapDir, "user_id",
+      Seq("ts", "event_id"), nBuckets = 4)
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    def df(rows: (Long, java.sql.Timestamp, Long)*) =
+      rows.toDF("user_id", "ts", "event_id")
+    writer(df((1L, t("2024-01-01 10:00:00"), 1L), (2L, t("2024-01-01 10:00:00"), 2L)), 0L)
+    // batch 1 delivered, then redelivered twice (crash before ack, twice)
+    (1 to 3).foreach { _ =>
+      writer(df((1L, t("2024-01-01 11:00:00"), 3L)), 1L)
+    }
+    val live = Files.readAllLines(java.nio.file.Paths.get(snapDir, "_MANIFEST"))
+      .toArray.map(_.toString).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(_.split("\t", 2)(1).takeWhile(_ != '/')).toSet
+    val onDisk = Option(new java.io.File(snapDir).listFiles).get
+      .filter(f => f.isDirectory && f.getName.startsWith("merge-")).map(_.getName).toSet
+    assert(onDisk == live,
+      s"chronic-retry attempts must be GC'd after each swap: disk=$onDisk live=$live")
+    assert(onDisk.exists(_.startsWith("merge-000001-a")),
+      s"precondition: batch 1 must own at least one live attempt dir: $onDisk")
+    val snap = StreamPipeline.readUpsertSnapshot(spark, snapDir).get
+      .select($"user_id", $"ts").as[(Long, java.sql.Timestamp)].collect().toMap
+    assert(snap == Map(1L -> t("2024-01-01 11:00:00"), 2L -> t("2024-01-01 10:00:00")),
+      s"snapshot must stay latest-wins through the retries, got $snap")
+  }
+
   test("upsert epoch fence rejects commits from a zombie writer") {
     val snapDir = Files.createTempDirectory("snap_fence").toString + "/state"
     def t(s: String) = java.sql.Timestamp.valueOf(s)
