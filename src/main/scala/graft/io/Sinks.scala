@@ -51,4 +51,40 @@ object Sinks {
       .option("url", url).option("dbtable", table)
       .option("user", user).option("password", password)
       .save()
+
+  /** K2/K3 — the EXACTLY-ONCE contract of the foreachBatch append sink,
+    * file-backed. foreachBatch is at-least-once: after a crash between
+    * sink commit and checkpoint ack, the restarted query REDELIVERS the
+    * last batchId, and a plain [[jdbcAppend]] would insert its rows
+    * twice. The production cure is a transactional target keyed on
+    * batchId (INSERT + ledger row in one DB transaction); this realizes
+    * the same protocol over files so it is testable in-sandbox: each
+    * batch writes `batch-<id>/` then atomically creates the
+    * `batch-<id>.commit` marker — a redelivered batchId whose marker
+    * exists SKIPS the write entirely, and readers union only committed
+    * dirs, so a crash at ANY point leaves either a fully-invisible or a
+    * fully-committed batch, never a partial or doubled one. */
+  def appendOnceWriter(dir: String): (DataFrame, Long) => Unit = {
+    (df, batchId) => {
+      val base = new java.io.File(dir)
+      base.mkdirs()
+      val name = f"batch-$batchId%06d"
+      if (!new java.io.File(base, s"$name.commit").exists()) {
+        df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+        new java.io.File(base, s"$name.commit").createNewFile()
+      }
+    }
+  }
+
+  /** Reader half of [[appendOnceWriter]]: the table is the union of the
+    * COMMITTED batch dirs (None before the first commit). */
+  def readAppendOnce(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Option[DataFrame] = {
+    val committed = Option(new java.io.File(dir).listFiles)
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".commit"))
+      .map(f => s"$dir/${f.getName.stripSuffix(".commit")}")
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(committed.toIndexedSeq: _*))
+  }
 }

@@ -795,6 +795,39 @@ object ExtendedQueries {
           CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
         FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
         GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
-      "partition-pruned scan: a month predicate prunes hive layout dirs")
+      "partition-pruned scan: a month predicate prunes hive layout dirs"),
+
+    // -------------------------------------- date-pruned events layout
+    // q94's layout lever on the SECOND fact table: events (the
+    // streaming-shaped one) hive-partitioned by event DAY — the natural
+    // key for an append-only event store, where every ingest lands in
+    // the open day and time-ranged queries prune everything else. Same
+    // materialize-once machinery; the one-day predicate lists 1/|days|
+    // of the store no matter how large it grows (ScalePostureSpec pins
+    // the single-dir listing for the day layout too).
+    "q171_events_pruned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = new java.io.File(s"$d/events.parquet")
+        val layout = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/events_by_day"
+        val pruned = graft.io.Sources.materializePartitioned(s,
+            t(s, d, "events")
+              .withColumn("e_day", date_format($"ts", "yyyy-MM-dd")),
+            layout, Seq("e_day"))
+          .filter($"e_day" === "2024-01-15")
+        pruned.groupBy($"event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct($"user_id").as("n_users"),
+            sum(round($"value" * 100).cast("long")).as("value_cents"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+          count(DISTINCT user_id) AS n_users,
+          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        GROUP BY event_type ORDER BY event_type"""),
+      "date-pruned events scan: the layout lever on the second fact table")
   )
 }

@@ -88,6 +88,39 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("day layout (q171): the events date predicate lists exactly one dir") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other =>
+        other.children.flatMap(scans) ++ other.subqueries.flatMap(scans)
+    }
+    val dir = Files.createTempDirectory("graft_day").toString
+    try {
+      val events = Tables(spark, sf("sf0.001"), "events")
+        .withColumn("e_day", date_format($"ts", "yyyy-MM-dd"))
+      val layout = graft.io.Sources.materializePartitioned(
+        spark, events, s"$dir/events_by_day", Seq("e_day"))
+      val nDays = layout.select($"e_day").distinct().count()
+      assert(nDays > 10, s"layout must span many day dirs, got $nDays")
+      val q = layout.filter($"e_day" === "2024-01-15").select($"event_id")
+      val scan = scanNode(q)
+      assert(scan.contains("PartitionFilters") && scan.contains("e_day"),
+        s"day predicate must become a PartitionFilter:\n$scan")
+      q.collect()
+      val fs = scans(q.queryExecution.executedPlan)
+      assert(fs.nonEmpty, "expected a FileSourceScanExec in the executed plan")
+      val partsRead = fs.head.metrics.get("numPartitions").map(_.value)
+      assert(partsRead.contains(1L),
+        s"exactly one of $nDays day dirs may be listed; metrics = " +
+          s"${fs.head.metrics.view.mapValues(_.value).toMap}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("broadcast hint keeps dimension joins shuffle-free on the fact side") {
     val li = Tables(spark, sf("sf0.001"), "lineitem")
     val supp = Tables(spark, sf("sf0.001"), "supplier")
