@@ -187,6 +187,39 @@ object Relational {
   /** P8 — IQR outlier filter (featureEngineering.ipynb cell 20;
     * 1_EDA_Dashboard.py:141-148). The bounds row is broadcast, not
     * collected: one aggregate job + one narrow filtered scan. */
+  /** Exact DOUBLED median per group of an integral column: med2 =
+    * c[⌈n/2⌉] + c[⌈(n+1)/2⌉] over the group's sorted values (= 2·median
+    * for odd n, lo+hi for even n) — an exact BIGINT, so no engine's
+    * interpolation arithmetic is ever compared (the q133 house rule).
+    *
+    * Shape: distinct-value histogram (hash agg, map-side combined) +
+    * one rank window over it + one closing hash agg. Cost is bounded by
+    * DISTINCT values per group, never group row count — the scalable
+    * replacement for per-group `percentile`, whose UDAF buffers every
+    * value of the group in executor memory. Returns (g, med2, n). */
+  def groupedMedian2(df: DataFrame, g: String, v: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(g), col(v)).agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(g)).orderBy(col(v))
+    val cum = hist.select(col(g), col(v), col("__n"),
+      sum(col("__n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("__cum"),
+      sum(col("__n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("__nt"))
+    // this value's rows cover ranks (__cum-__n, __cum]; the two median
+    // slots are p1 = (n+1) div 2 and p2 = (n+2) div 2 (equal when n odd)
+    def covers(p: Column): Column =
+      (p > col("__cum") - col("__n") && p <= col("__cum")).cast("long")
+    cum
+      .select(col(g), col(v), col("__nt"),
+        // integer div — Spark `/` on longs widens to double and would
+        // put the even-n slots at half-ranks
+        (covers(expr("(__nt + 1) div 2")) + covers(expr("(__nt + 2) div 2")))
+          .as("__w"))
+      .groupBy(col(g))
+      .agg(sum(col(v) * col("__w")).as("med2"), max(col("__nt")).as("n"))
+  }
+
   def iqrFilter(df: DataFrame, c: String, factor: Double = 1.5,
                 reuseScan: Boolean = false): DataFrame =
     df.crossJoin(broadcast(iqrBounds(df, c, factor, reuseScan = reuseScan)))

@@ -607,26 +607,23 @@ object OlapQueries {
     // 20000·adev2 > 44478·mad4 (1.4826 = 14826/10⁴ exactly). The
     // readable money doubles derive from the pinned integers by one
     // division each — no round(x, n), no quantile_cont, no libm.
-    // Two grouped exact-percentile aggregates + one broadcast-sized
-    // join back — no window over data rows on the Spark side.
+    // Both medians run on Relational.groupedMedian2 — distinct-value
+    // histogram + rank window, cost bounded by distinct cents per
+    // group — NOT the percentile UDAF, which buffers every group value
+    // in executor memory (measured as this query's dominant cost at
+    // sf0.1 and impossible at petabyte group sizes).
     "q133_mad_outliers" -> Q(
       (s, d) => {
         import s.implicits._
         val li = t(s, d, "lineitem")
           .select($"l_returnflag".as("flag"),
             round($"l_extendedprice" * 100).cast("long").as("c"))
-        // percentile buffers each group's values (the q59 trade-off,
-        // measured as this query's dominant cost); at 100 TB swap both
-        // medians for the histogram quantile engine
-        // (Relational.exactQuantilesQuantized run per group) — integer
-        // cents make the two formulations bit-identical
-        val med = li.groupBy($"flag")
-          .agg((percentile($"c", lit(0.5)) * 2).cast("long").as("med2"),
-            count(lit(1)).as("n"))
+        val med = graft.operators.Relational.groupedMedian2(li, "flag", "c")
         val dev = li.join(broadcast(med), "flag")
           .withColumn("adev2", abs($"c" * 2 - $"med2"))
-        val mad = dev.groupBy($"flag")
-          .agg((percentile($"adev2", lit(0.5)) * 2).cast("long").as("mad4"))
+        val mad = graft.operators.Relational
+          .groupedMedian2(dev, "flag", "adev2")
+          .select($"flag", $"med2".as("mad4"))
         dev.join(broadcast(mad), "flag")
           .withColumn("is_out", $"adev2" * 20000L > $"mad4" * 44478L)
           .groupBy($"flag")

@@ -203,6 +203,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(cleanR == 2.5)
   }
 
+  test("groupedMedian2 matches the sorted-values definition in every regime") {
+    // odd n, even n, ties straddling the median, a negative-valued
+    // group, and a singleton — med2 must equal c[(n+1)/2] + c[(n+2)/2]
+    val rows = Seq(
+      ("odd", 1L), ("odd", 7L), ("odd", 3L),
+      ("even", 1L), ("even", 3L), ("even", 5L), ("even", 100L),
+      ("ties", 2L), ("ties", 2L), ("ties", 2L), ("ties", 9L),
+      ("neg", -5L), ("neg", -1L), ("neg", -9L), ("neg", 4L),
+      ("one", 42L))
+    val got = graft.operators.Relational
+      .groupedMedian2(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def ref(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byG.foreach { case (g, xs) =>
+      assert(got(g) == ((ref(xs), xs.length.toLong)),
+        s"group $g: got ${got(g)}, want (${ref(xs)}, ${xs.length})")
+    }
+  }
+
   test("snapshotDiff classifies all four statuses with null-safe compares") {
     val a = Seq(
       (1L, Option(10.0), "O"),  // unchanged
