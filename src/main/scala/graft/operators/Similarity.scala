@@ -283,6 +283,64 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"))
   }
 
+  /** Build-once/query-many IVF index, materialized to parquet at `path`
+    * (the q94 layout discipline — the caller keys `path` on the corpus
+    * identity + mtime, so a regenerated corpus retrains and a live one
+    * never does). At 100 TB the coarse quantizer is trained at INGEST,
+    * one job, like any other index build; every query afterwards reads
+    * two narrow tables — (cell, cf) centroids (kCells rows, broadcast
+    * weight) and (pid, cell) assignments (one int pair per vector) —
+    * instead of re-running Lloyd over the corpus. Returns
+    * (cents, assign) as read back from the materialized store. */
+  def materializeIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                          corpus: DataFrame, path: String, id: String,
+                          vec: String, kCells: Int, iters: Int,
+                          scale: Double = 1e6): (DataFrame, DataFrame) = {
+    // assign/_SUCCESS is written LAST, so a half-built index (crash
+    // between the two writes) is rebuilt, never served
+    if (!new java.io.File(s"$path/assign/_SUCCESS").exists()) {
+      val (pts, cents) = kmeansCore(corpus, id, vec, kCells, iters, scale)
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      assignCells(pts, cents).select(col("pid"), col("cell"))
+        .write.mode("overwrite").parquet(s"$path/assign")
+    }
+    (spark.read.parquet(s"$path/cents"), spark.read.parquet(s"$path/assign"))
+  }
+
+  /** Multi-probe query over a PREBUILT index ([[materializeIvfIndex]]):
+    * the same answers as [[ivfTopKMultiProbe]] under identical
+    * parameters — materialization moves the quantizer build to ingest,
+    * it never changes a result — but the query plan touches only the
+    * centroid table, the assignment table, and the probed candidates'
+    * vectors for the exact cosine re-rank. Probe ranking uses the same
+    * deterministic fixed-point (dist, cell) order as training. */
+  def ivfTopKFromIndex(queries: DataFrame, candidates: DataFrame,
+                       cents: DataFrame, assign: DataFrame,
+                       id: String, vec: String, k: Int, nprobe: Int,
+                       scale: Double = 1e6): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1; got $nprobe")
+    val candCells = candidates
+      .select(col(id).as("cand_id"), toDoubleVec(col(vec)).as("cv"))
+      .join(assign.select(col("pid").as("cand_id"), col("cell")), "cand_id")
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+    val probes = queries
+      .select(col(id).as("query_id"), toDoubleVec(col(vec)).as("qv"),
+        toFixedVec(col(vec), scale).as("pf"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistFixed(col("pf"), col("cf")))
+      .withColumn("rn", row_number().over(pw))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cell"), col("qv"))
+    val scored = candCells.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosineFast(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"))
+  }
+
   /** IVF-PQ top-k — the complete Jégou et al. TPAMI 2011 construction,
     * fully relational and engine-portable:
     *

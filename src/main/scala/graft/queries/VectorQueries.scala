@@ -343,6 +343,49 @@ object VectorQueries {
         WHERE rank <= 5 ORDER BY query_id, rank"""),
       "multi-probe IVF: each query searches its nprobe nearest learned cells"),
 
+    // ------------------------------------------ materialized IVF index
+    // The index LIFECYCLE at 100 TB: nobody retrains a quantizer per
+    // query — the build runs at ingest (materialized once, keyed on the
+    // corpus file's mtime: the q94 layout discipline) and the query path
+    // reads the centroid + assignment tables, never the training loop.
+    // Same quantizer parameters as q93, so the oracle re-derives the
+    // identical index from scratch: materialization moves cost, it never
+    // changes an answer. nprobe=2 differentiates the probe set from q93.
+    "q172_ivf_index_query" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val src = new java.io.File(s"$d/embeddings.parquet")
+        val layout = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/ivf_k8_i3"
+        val (cents, assign) = Similarity.materializeIvfIndex(
+          s, e, layout, "vec_id", "embedding", kCells = 8, iters = 3)
+        Similarity.ivfTopKFromIndex(
+            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+            cents, assign, "vec_id", "embedding", k = 5, nprobe = 2)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)},
+        qp AS (SELECT vec_id AS query_id, cell FROM (
+            SELECT p.vec_id, c.cell, row_number() OVER (
+              PARTITION BY p.vec_id ORDER BY ${fixedDistSql("p", "c", 64)}, c.cell) AS rn
+            FROM p, c3 c WHERE p.vec_id < 10) WHERE rn <= 2),
+        q AS (SELECT vec_id, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT e.vec_id, af.cell, e.embedding, ${sqlNorm("e")} AS nrm
+          FROM embeddings e JOIN af USING (vec_id) WHERE e.vec_id >= 10),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+          ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS sim
+          FROM qp JOIN q ON q.vec_id = qp.query_id
+          JOIN c ON c.cell = qp.cell)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id FROM (
+          SELECT query_id, cand_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 5 ORDER BY query_id, rank"""),
+      "query over a MATERIALIZED IVF index: build at ingest, probe-bounded reads after"),
+
     // ------------------------------------------------------------ IVF-PQ
     // The complete Jégou TPAMI 2011 construction end-to-end: coarse
     // quantizer (q87) → per-point residuals → four 16-dim product

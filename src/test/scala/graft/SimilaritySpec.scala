@@ -156,6 +156,30 @@ class SimilaritySpec extends SparkSpec {
       "probing every cell is exhaustive search: must equal brute-force truth")
   }
 
+  test("materialized IVF index answers exactly like the inline build") {
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    try {
+      val (cents, assign) = Similarity.materializeIvfIndex(
+        spark, e, s"$dir/ivf", "vec_id", "embedding", kCells = 8, iters = 3)
+      def fromIndex() = Similarity.ivfTopKFromIndex(q, c, cents, assign,
+          "vec_id", "embedding", k = 5, nprobe = 2)
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      val inline = Similarity.ivfTopKMultiProbe(q, c, e, "vec_id", "embedding",
+          k = 5, kCells = 8, iters = 3, nprobe = 2)
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      assert(fromIndex() == inline,
+        "materialization must move the build, never change an answer")
+      // second call hits the materialized store (no retrain) — the
+      // _SUCCESS guard makes it a pure read; answers identical
+      assert(fromIndex() == inline, "re-read of the index must be stable")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF-PQ ADC ranks by compressed distance with useful recall") {
     val e = Tables(spark, sf("sf0.001"), "embeddings")
     val q = e.filter($"vec_id" < 10)
