@@ -95,17 +95,36 @@ object Stats {
     * exact integers; correlation is scale-invariant so the factor
     * cancels, and rank SUMS are halved once at the end.
     *
-    * The cumulative window runs over the DISTINCT-VALUE histogram —
-    * bounded by the column's domain (quantity: 50 values; cent prices:
-    * the price grid), never over data rows — so the single-partition
-    * window is the same bounded-frame class as the quantile engine's
-    * coarse pass. Returns (v, n, r2). */
+    * The cumulative count is a RANGE-PARTITIONED two-pass prefix sum,
+    * not a global-ORDER-BY window: the distinct-value histogram tracks
+    * the column's domain, which for derived values (revenue cents) grows
+    * with the data — a single-partition window over it is a one-task
+    * sort that dies at scale. Pass 1 range-shuffles the histogram by v
+    * (equal values co-locate; partitions are v-ordered by construction)
+    * and cumsums WITHIN each partition; pass 2 cumsums the per-partition
+    * totals (one row per partition — bounded by the cluster, not the
+    * data) and broadcasts the offsets back. Exact under any partition
+    * boundary sampling, since prefix sums compose. Returns (v, n, r2). */
   def doubledAvgRanks(hist: DataFrame, v: String, n: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(v))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    hist.withColumn("r2",
-        lit(2L) * coalesce(sum(col(n)).over(w), lit(0L)) + col(n) + lit(1L))
-      .select(col(v), col(n).as("n"), col("r2"))
+    import org.apache.spark.sql.expressions.Window
+    // checkpoint pins the sampled range boundaries: both passes must see
+    // the SAME partition ids
+    val ranged = hist.repartitionByRange(col(v))
+      .select(col(v), col(n).as("__n"),
+        org.apache.spark.sql.functions.spark_partition_id().as("__pid"))
+      .localCheckpoint()
+    val local = Window.partitionBy(col("__pid")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    ranged.join(broadcast(offsets), "__pid")
+      .withColumn("r2",
+        lit(2L) * (col("__off") + coalesce(sum(col("__n")).over(local), lit(0L)))
+          + col("__n") + lit(1L))
+      .select(col(v), col("__n").as("n"), col("r2"))
   }
 
   /** Pearson AND Spearman correlation of two integral columns in ONE
@@ -132,7 +151,10 @@ object Stats {
              sxx: Column, syy: Column): Column =
       (col("nn") * sxy - sx * sy) /
         (sqrt(col("nn") * sxx - sx * sx) * sqrt(col("nn") * syy - sy * sy))
-    joint.join(broadcast(rx), x).join(broadcast(ry), y)
+    // rx (the bounded-domain side) broadcasts; ry tracks the derived-
+    // value domain and can be data-sized — its join shuffles on y (AQE
+    // still broadcasts it when it is actually small)
+    joint.join(broadcast(rx), x).join(ry, y)
       .agg(
         sum(col("n")).cast("double").as("nn"),
         sum(d38(col("n")) * col(x)).cast("double").as("sx"),
@@ -160,19 +182,19 @@ object Stats {
     * tie term T = Σ(t³−t); only the final z = (U−μ)/σ and rank-biserial
     * effect size are double trees over those exact moments.
     *
-    * Scale: one conditional histogram over data, one cumulative window
-    * over the distinct-value frame. Returns one row:
+    * Scale: one conditional histogram over data; ranks come from the
+    * range-partitioned prefix sum of [[doubledAvgRanks]] (never a
+    * one-task global window over the value domain). Returns one row:
     * (n_a, n_b, u_a, z, r_rb), z and r_rb unrounded. */
   def mannWhitney(df: DataFrame, v: String, isA: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(v))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     def d38(c: Column): Column = c.cast("decimal(38,0)")
-    val hist = df.groupBy(col(v))
+    val counts = df.groupBy(col(v))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
         sum(when(isA, 0L).otherwise(1L)).as("nb"))
       .withColumn("t", col("na") + col("nb"))
-      .withColumn("r2",
-        lit(2L) * coalesce(sum(col("t")).over(w), lit(0L)) + col("t") + lit(1L))
+    val hist = counts.join(
+      doubledAvgRanks(counts.select(col(v), col("t")), v, "t")
+        .select(col(v), col("r2")), v)
     hist.agg(
         sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
         sum(d38(col("na")) * col("r2")).as("r2a"),

@@ -75,6 +75,23 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("spearman") - 1.5 / math.sqrt(3.0)) < 1e-12)
   }
 
+  test("doubledAvgRanks two-pass prefix equals the single-window reference") {
+    // 10k distinct values with skewed tie counts, forced through MANY
+    // range partitions — the composed (offset + local cumsum) ranks must
+    // match the naive global definition exactly
+    val rnd = new scala.util.Random(11)
+    val hist = (1 to 10000).map(v => (v.toLong * 3, 1L + rnd.nextInt(7)))
+    val got = Stats.doubledAvgRanks(
+        hist.toDF("v", "n").repartition(13), "v", "n")
+      .select($"v", $"r2").as[(Long, Long)].collect().toMap
+    var below = 0L
+    hist.sortBy(_._1).foreach { case (v, n) =>
+      val want = 2L * below + n + 1
+      assert(got(v) == want, s"v=$v: got ${got(v)}, want $want")
+      below += n
+    }
+  }
+
   test("ksTwoSample: hand-computed D and argmax with tiebreak") {
     // A = {1,1,2,3}, B = {2,3,3,4}: ECDF gaps peak at 0.5 twice
     // (v=1 and v=2) — the reported location must be the SMALLER value
