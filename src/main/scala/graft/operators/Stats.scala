@@ -105,26 +105,43 @@ object Stats {
     * totals (one row per partition — bounded by the cluster, not the
     * data) and broadcasts the offsets back. Exact under any partition
     * boundary sampling, since prefix sums compose. Returns (v, n, r2). */
-  def doubledAvgRanks(hist: DataFrame, v: String, n: String): DataFrame = {
+  def doubledAvgRanks(hist: DataFrame, v: String, n: String): DataFrame =
+    rangeCumSums(hist.select(col(v), col(n).as("n")), v, Seq("n"),
+        inclusive = false)
+      .select(col(v), col("n"),
+        (lit(2L) * col("n_cum") + col("n") + lit(1L)).as("r2"))
+
+  /** Exact running sums of `cols` over `df` ordered by `v`, WITHOUT a
+    * global-ORDER-BY window (a one-task sort of the whole frame): range
+    * shuffle by v, per-partition cumulative windows, then per-partition
+    * totals (one row per partition — bounded by the cluster, not the
+    * data) prefix-summed and broadcast back as offsets. Prefix sums
+    * compose, so the result is exact under ANY sampled partition
+    * boundaries; the checkpoint pins the sampled boundaries so both
+    * passes see the same partition ids. `inclusive` picks the
+    * [first, current] frame; otherwise [first, previous] (exclusive).
+    * Rows with equal `v` must be unique (pre-aggregated histograms —
+    * every caller here). Appends `<c>_cum` per requested column. */
+  def rangeCumSums(df: DataFrame, v: String, cols: Seq[String],
+                   inclusive: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // checkpoint pins the sampled range boundaries: both passes must see
-    // the SAME partition ids
-    val ranged = hist.repartitionByRange(col(v))
-      .select(col(v), col(n).as("__n"),
-        org.apache.spark.sql.functions.spark_partition_id().as("__pid"))
+    val ranged = df.repartitionByRange(col(v))
+      .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
+    val hi = if (inclusive) 0 else -1
     val local = Window.partitionBy(col("__pid")).orderBy(col(v))
-      .rowsBetween(Window.unboundedPreceding, -1)
+      .rowsBetween(Window.unboundedPreceding, hi)
     val offW = Window.orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col("__pid")).agg(sum(col("__n")).as("__pt"))
-      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
-      .select(col("__pid"), col("__off"))
+    val totalAggs = cols.map(c => sum(col(c)).as(s"__pt_$c"))
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(totalAggs.head, totalAggs.tail: _*)
+      .select(col("__pid") +: cols.map(c =>
+        coalesce(sum(col(s"__pt_$c")).over(offW), lit(0L)).as(s"__off_$c")): _*)
     ranged.join(broadcast(offsets), "__pid")
-      .withColumn("r2",
-        lit(2L) * (col("__off") + coalesce(sum(col("__n")).over(local), lit(0L)))
-          + col("__n") + lit(1L))
-      .select(col(v), col("__n").as("n"), col("r2"))
+      .select(df.columns.map(col) ++ cols.map(c =>
+        (col(s"__off_$c") +
+          coalesce(sum(col(c)).over(local), lit(0L))).as(s"${c}_cum")): _*)
   }
 
   /** Pearson AND Spearman correlation of two integral columns in ONE
@@ -225,17 +242,17 @@ object Stats {
     * tiebreak, and D = gap / (nA·nB) is a single double division.
     *
     * Scale: one conditional histogram over the data (map-side
-    * combined), then cumulative windows over the DISTINCT-VALUE frame
-    * (bounded by the value domain, as [[doubledAvgRanks]]). Returns one
+    * combined), then the range-partitioned prefix sums of
+    * [[rangeCumSums]] over the distinct-value frame — no one-task
+    * global window however large the value domain grows. Returns one
     * row: (n_a, n_b, ks_d, at_v) with ks_d unrounded. */
   def ksTwoSample(df: DataFrame, v: String, isA: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(v))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val cum = df.groupBy(col(v))
-      .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
-        sum(when(isA, 0L).otherwise(1L)).as("nb"))
-      .select(col(v), sum(col("na")).over(w).as("ca"),
-        sum(col("nb")).over(w).as("cb"))
+    val cum = rangeCumSums(
+        df.groupBy(col(v))
+          .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
+            sum(when(isA, 0L).otherwise(1L)).as("nb")),
+        v, Seq("na", "nb"), inclusive = true)
+      .select(col(v), col("na_cum").as("ca"), col("nb_cum").as("cb"))
     val tot = cum.agg(max(col("ca")).as("ta"), max(col("cb")).as("tb"))
     cum.crossJoin(broadcast(tot))
       .select(col(v), col("ta"), col("tb"),
