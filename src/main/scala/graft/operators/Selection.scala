@@ -22,8 +22,10 @@ object Selection {
     *   1. aggregate weight per DISTINCT score (hash aggregate; shuffle
     *      carries one row per distinct score, which quantized scores —
     *      e.g. round-6 ratios in [0,1] — bound far below the row count);
-    *   2. one cumulative window over that bounded score histogram finds
-    *      the cut score and the residual budget inside it;
+    *   2. the range-partitioned prefix sum of [[Stats.rangeCumSums]]
+    *      over that histogram finds the cut score and the residual
+    *      budget inside it (never a one-task global window, however
+    *      large the score domain grows);
     *   3. rows strictly above the cut pass with a broadcast filter (no
     *      sort at all); only the cut bucket runs a per-row cumulative
     *      window, partitioned by the score so it never sees more than
@@ -37,12 +39,16 @@ object Selection {
                         id: Column, budget: Long): DataFrame = {
     val scored = df.withColumn("__s", score).withColumn("__w",
       coalesce(weight.cast("long"), lit(0L)))
-    // 1. bounded score histogram
+    // 1. score histogram (one row per distinct score)
     val byScore = scored.groupBy(col("__s")).agg(sum(col("__w")).as("__tok"))
-    // 2. cumulative over the histogram only (rows = distinct scores)
-    val cum = byScore.withColumn("__cum",
-      sum(col("__tok")).over(Window.orderBy(col("__s").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // 2. cumulative weight in score-DESC order via the range-partitioned
+    // two-pass prefix sum (Stats.rangeCumSums, keyed on the NEGATED
+    // score) — a continuous score domain grows with the corpus, so the
+    // histogram must never fall into a one-task global window
+    val cum = Stats.rangeCumSums(
+        byScore.withColumn("__negs", -col("__s")),
+        "__negs", Seq("__tok"), inclusive = true)
+      .withColumn("__cum", col("__tok_cum"))
     val crossing = col("__cum") - col("__tok") < budget && col("__cum") >= budget
     val cut = cum.agg(
       max(when(crossing, col("__s"))).as("__cut_s"),
