@@ -200,12 +200,26 @@ object Relational {
   def groupedMedian2(df: DataFrame, g: String, v: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(g), col(v)).agg(count(lit(1)).as("__n"))
-    val w = Window.partitionBy(col(g)).orderBy(col(v))
-    val cum = hist.select(col(g), col(v), col("__n"),
-      sum(col("__n")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("__cum"),
-      sum(col("__n")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("__nt"))
+    // (g, v)-range-partitioned two-pass prefix (the Stats.rangeCumSums
+    // shape, per group): a per-GROUP window would sort each group's
+    // whole value histogram in one task; here every range partition
+    // cumsums locally and per-(group, partition) totals supply offsets,
+    // so no task ever sees more than its range slice
+    val ranged = hist.repartitionByRange(col(g), col(v))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = Window.partitionBy(col(g), col("__pid")).orderBy(col(v))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.partitionBy(col(g)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col(g), col("__pid"))
+      .agg(sum(col("__n")).as("__pt"))
+      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
+      .select(col(g), col("__pid"), col("__off"))
+    val cum = ranged
+      .join(broadcast(offsets), Seq(g, "__pid"))
+      .withColumn("__cum", col("__off") + sum(col("__n")).over(local))
+      .join(broadcast(ranged.groupBy(col(g)).agg(sum(col("__n")).as("__nt"))), g)
     // this value's rows cover ranks (__cum-__n, __cum]; the two median
     // slots are p1 = (n+1) div 2 and p2 = (n+2) div 2 (equal when n odd)
     def covers(p: Column): Column =
