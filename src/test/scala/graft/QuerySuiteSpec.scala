@@ -15,6 +15,14 @@ class QuerySuiteSpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query is oracled — the suite has NO rows-only entries") {
+    // held since round 7 (q95 was the last holdout, closed by the SQL
+    // XXH64 re-derivation); a new query without an oracle must be a
+    // deliberate, spec-documented exception — not a silent regression
+    val unoracled = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unoracled.isEmpty, s"queries without oracles: $unoracled")
+  }
+
   test("every registered query executes at sf0.001") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try { fn(spark, sf("sf0.001")).count(); None }
