@@ -94,7 +94,11 @@ object Graph {
         .select(col("node"),
           expr(s"(${dampDen - dampNum}L * u + ${dampNum}L * coalesce(csum, 0L)) " +
             s"div ${dampDen}L").as("r"))
-        .localCheckpoint()
+        // LAZY checkpoint: still truncates the logical plan (O(1) depth)
+        // and caches the round's RDD on first compute, but skips the
+        // per-round eager count() job — the next round's broadcast/join
+        // materializes it, halving scheduled jobs across the loop
+        .localCheckpoint(eager = false)
     }
     rank.select(col("node"), col("r").as("rank"))
   }
@@ -359,13 +363,15 @@ object Graph {
     var e = sized(edges.select(col(src).as("src"), col(dst).as("dst"))
       .distinct()).localCheckpoint()
     for (_ <- 1 to rounds) {
+      // lazy checkpoints: plan depth stays O(1), rounds cache on first
+      // compute, no per-round eager count() job (see pageRankFixed)
       val keep = sized(e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("node")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       e = sized(e.join(keep.select(col("node").as("src")), "src")
         .join(keep.select(col("node").as("dst")), "dst")
         .select(col("src"), col("dst")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
@@ -402,7 +408,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("lbl")))
-        .localCheckpoint()
+        .localCheckpoint(eager = false) // lazy: see pageRankFixed
     }
     lbl
   }
