@@ -554,8 +554,13 @@ object Dedup {
     val cand = prefixCandidates(toks, tNum, tDen)
     val candIds = cand.select(col("id_a").as("doc"))
       .union(cand.select(col("id_b").as("doc"))).distinct()
+    // no broadcast HINT on the candidate-id semi-join: the candidate set
+    // scales with the corpus's duplication rate (worst case most of the
+    // corpus), and a forced broadcast of a data-scaled frame is a driver
+    // OOM at 100 TB — AQE still broadcasts it whenever it is actually
+    // small, which is the common case
     val verifySets = df
-      .join(broadcast(candIds.withColumnRenamed("doc", id)), Seq(id), "left_semi")
+      .join(candIds.withColumnRenamed("doc", id), Seq(id), "left_semi")
       .select(col(id).as("doc"),
         TextFunctions.wordShingles(col(text), n).as("__set"))
       .withColumn("__n", size(col("__set")))
