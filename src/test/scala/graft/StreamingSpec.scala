@@ -158,6 +158,39 @@ class StreamingSpec extends SparkSpec {
     assert(out(0) == ((1L, ts("2024-05-01 08:00:00"), ts("2024-05-01 08:10:00"), 2L)))
   }
 
+  test("native session_window streaming aggregation matches the batch q29 shape") {
+    // Spark's built-in session_window under a watermark — the DECLARATIVE
+    // face of sessionization beside the custom flatMapGroupsWithState
+    // sessionizer: merged gap-sessions, append-mode emission once the
+    // watermark passes a session's close
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = stream.toDS().toDF("user_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("start"),
+        $"session_window.end".as("end"), $"n_events")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("native_sess").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    stream.addData((1L, ts("2024-05-01 08:00:00")), (1L, ts("2024-05-01 08:10:00")),
+      (2L, ts("2024-05-01 08:05:00")))
+    q.processAllAvailable()
+    // 4h later: watermark sweeps past both open sessions' close
+    stream.addData((9L, ts("2024-05-01 12:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+        "SELECT user_id, start, end, n_events FROM native_sess ORDER BY user_id")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    // session end = last event + gap (the batch q29 convention too)
+    assert(out == Seq(
+      (1L, ts("2024-05-01 08:00:00"), ts("2024-05-01 08:40:00"), 2L),
+      (2L, ts("2024-05-01 08:05:00"), ts("2024-05-01 08:35:00"), 1L)),
+      s"unexpected native sessions: $out")
+  }
+
   test("session-window foreachBatch append sink is exactly-once under redelivery") {
     // the K2/K3 parity case VERDICT r6 asked for: closed sessions stream
     // into an append-only table through the transactional batch protocol;
