@@ -192,34 +192,40 @@ object Relational {
     * for odd n, lo+hi for even n) — an exact BIGINT, so no engine's
     * interpolation arithmetic is ever compared (the q133 house rule).
     *
-    * Shape: distinct-value histogram (hash agg, map-side combined) +
-    * one rank window over it + one closing hash agg. Cost is bounded by
-    * DISTINCT values per group, never group row count — the scalable
-    * replacement for per-group `percentile`, whose UDAF buffers every
-    * value of the group in executor memory. Returns (g, med2, n). */
-  def groupedMedian2(df: DataFrame, g: String, v: String): DataFrame = {
+    * Shape — the GROUPED form of [[exactQuantilesQuantized]]'s two-level
+    * rank selection, with deterministic coarse buckets instead of
+    * sampled range partitions (no checkpoint, no materialization):
+    * distinct-value histogram (hash agg, map-side combined); per-group
+    * value range picks a bucket width W bounding the bucket count, so
+    * cumulative windows run per (group, bucket) — a task never sorts
+    * more than one bucket's ≤ W distinct values — and bucket offsets
+    * come from a window over the ≤ maxCoarseBuckets bucket totals per
+    * group. Cost is bounded by DISTINCT values per group, never group
+    * row count — the scalable replacement for per-group `percentile`,
+    * whose UDAF buffers every value of the group in executor memory.
+    * Returns (g, med2, n). */
+  def groupedMedian2(df: DataFrame, g: String, v: String,
+                     maxCoarseBuckets: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(g), col(v)).agg(count(lit(1)).as("__n"))
-    // (g, v)-range-partitioned two-pass prefix (the Stats.rangeCumSums
-    // shape, per group): a per-GROUP window would sort each group's
-    // whole value histogram in one task; here every range partition
-    // cumsums locally and per-(group, partition) totals supply offsets,
-    // so no task ever sees more than its range slice
-    val ranged = hist.repartitionByRange(col(g), col(v))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    val local = Window.partitionBy(col(g), col("__pid")).orderBy(col(v))
+    val rng = hist.groupBy(col(g))
+      .agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"),
+        sum(col("__n")).as("__nt"))
+      .withColumn("__W", greatest(lit(1L),
+        ceil((col("__hi") - col("__lo") + 1).cast("double") / maxCoarseBuckets)
+          .cast("long")))
+      .select(col(g), col("__lo"), col("__W"), col("__nt"))
+    val b = hist.join(broadcast(rng), g)
+      .withColumn("__b", expr("(`" + v + "` - __lo) div __W"))
+    val local = Window.partitionBy(col(g), col("__b")).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offW = Window.partitionBy(col(g)).orderBy(col("__pid"))
+    val offW = Window.partitionBy(col(g)).orderBy(col("__b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy(col(g), col("__pid"))
-      .agg(sum(col("__n")).as("__pt"))
-      .withColumn("__off", coalesce(sum(col("__pt")).over(offW), lit(0L)))
-      .select(col(g), col("__pid"), col("__off"))
-    val cum = ranged
-      .join(broadcast(offsets), Seq(g, "__pid"))
+    val offsets = b.groupBy(col(g), col("__b")).agg(sum(col("__n")).as("__bt"))
+      .withColumn("__off", coalesce(sum(col("__bt")).over(offW), lit(0L)))
+      .select(col(g), col("__b"), col("__off"))
+    val cum = b.join(offsets, Seq(g, "__b"))
       .withColumn("__cum", col("__off") + sum(col("__n")).over(local))
-      .join(broadcast(ranged.groupBy(col(g)).agg(sum(col("__n")).as("__nt"))), g)
     // this value's rows cover ranks (__cum-__n, __cum]; the two median
     // slots are p1 = (n+1) div 2 and p2 = (n+2) div 2 (equal when n odd)
     def covers(p: Column): Column =

@@ -607,23 +607,27 @@ object OlapQueries {
     // 20000·adev2 > 44478·mad4 (1.4826 = 14826/10⁴ exactly). The
     // readable money doubles derive from the pinned integers by one
     // division each — no round(x, n), no quantile_cont, no libm.
-    // Both medians run on Relational.groupedMedian2 — distinct-value
-    // histogram + rank window, cost bounded by distinct cents per
-    // group — NOT the percentile UDAF, which buffers every group value
-    // in executor memory (measured as this query's dominant cost at
-    // sf0.1 and impossible at petabyte group sizes).
+    // Median engine choice, explicit per scale: `percentile` buffers
+    // each group's values in executor memory — exact and FASTEST at
+    // bench SFs (A/B'd 2.5s vs 4.7s at sf0.1 against the histogram
+    // path) but impossible at petabyte group sizes; the swap-in for
+    // that regime is Relational.groupedMedian2 (grouped two-level rank
+    // selection, cost bounded by distinct values per group), pinned
+    // med2-bit-equal to this formulation on real data in
+    // RelationalOpsSpec.
     "q133_mad_outliers" -> Q(
       (s, d) => {
         import s.implicits._
         val li = t(s, d, "lineitem")
           .select($"l_returnflag".as("flag"),
             round($"l_extendedprice" * 100).cast("long").as("c"))
-        val med = graft.operators.Relational.groupedMedian2(li, "flag", "c")
+        val med = li.groupBy($"flag")
+          .agg((percentile($"c", lit(0.5)) * 2).cast("long").as("med2"),
+            count(lit(1)).as("n"))
         val dev = li.join(broadcast(med), "flag")
           .withColumn("adev2", abs($"c" * 2 - $"med2"))
-        val mad = graft.operators.Relational
-          .groupedMedian2(dev, "flag", "adev2")
-          .select($"flag", $"med2".as("mad4"))
+        val mad = dev.groupBy($"flag")
+          .agg((percentile($"adev2", lit(0.5)) * 2).cast("long").as("mad4"))
         dev.join(broadcast(mad), "flag")
           .withColumn("is_out", $"adev2" * 20000L > $"mad4" * 44478L)
           .groupBy($"flag")

@@ -226,6 +226,22 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("groupedMedian2 is bit-equal to the percentile formulation on real data") {
+    // the q133 engine-choice contract: the scalable histogram median and
+    // the buffering percentile UDAF must be interchangeable — same med2
+    // (= 2 x interpolated median, exact in integers) per group
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val hist = graft.operators.Relational.groupedMedian2(li, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val pct = li.groupBy(col("g"))
+      .agg((percentile(col("v"), lit(0.5)) * 2).cast("long").as("med2"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(hist == pct, s"hist=$hist pct=$pct")
+  }
+
   test("snapshotDiff classifies all four statuses with null-safe compares") {
     val a = Seq(
       (1L, Option(10.0), "O"),  // unchanged
