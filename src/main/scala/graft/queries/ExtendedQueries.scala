@@ -828,6 +828,46 @@ object ExtendedQueries {
           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
         GROUP BY event_type ORDER BY event_type"""),
-      "date-pruned events scan: the layout lever on the second fact table")
+      "date-pruned events scan: the layout lever on the second fact table"),
+
+    // ----------------------------------------- JSON-lines source (S-family)
+    // The file face of the Kafka-message shape: a lineitem slice
+    // materialized as JSONL once (mtime-keyed, like the q94/q171
+    // layouts), read back through Sources.jsonLines under the SOURCE
+    // schema (schema-on-read discipline — no inference pass over the
+    // store), aggregated, and oracled against the parquet original. The
+    // compare therefore pins JSON round-trip fidelity end to end:
+    // doubles print/parse losslessly (Jackson shortest-repr), dates
+    // render ISO and parse back under DateType.
+    "q173_jsonl_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = new java.io.File(s"$d/lineitem.parquet")
+        val layout = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/lineitem_jsonl"
+        val base = t(s, d, "lineitem")
+          .filter($"l_orderkey" < 1000)
+          .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+            $"l_quantity", $"l_extendedprice", $"l_shipdate")
+        if (!new java.io.File(layout, "_SUCCESS").exists())
+          base.write.mode("overwrite").json(layout)
+        graft.io.Sources.jsonLines(s, layout, base.schema)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum($"l_quantity").cast("long").as("sum_qty"),
+            graft.operators.Relational.moneySum($"l_extendedprice").as("revenue"),
+            (year(min($"l_shipdate")) * 10000 + month(min($"l_shipdate")) * 100 +
+              dayofmonth(min($"l_shipdate"))).as("first_ship_ymd"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+          CAST(year(min(l_shipdate))*10000 + month(min(l_shipdate))*100
+            + day(min(l_shipdate)) AS INTEGER) AS first_ship_ymd
+        FROM lineitem WHERE l_orderkey < 1000
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "JSON-lines source round-trip: write once, schema-on-read back, parquet-oracled")
   )
 }
