@@ -868,6 +868,45 @@ object ExtendedQueries {
             + day(min(l_shipdate)) AS INTEGER) AS first_ship_ymd
         FROM lineitem WHERE l_orderkey < 1000
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      "JSON-lines source round-trip: write once, schema-on-read back, parquet-oracled")
+      "JSON-lines source round-trip: write once, schema-on-read back, parquet-oracled"),
+
+    // ------------------------------------------------ CSV source (S5/S6)
+    // q173's discipline for the reference's OTHER text format (the
+    // dimension/upload path, main.py:65-67): an orders slice written as
+    // headered CSV once, read back through Sources.csv under the source
+    // schema — never inferSchema, whose extra pass and type guesses
+    // don't survive a 100 TB store — and oracled against the parquet
+    // original. Pins CSV round-trip fidelity for doubles, dates and
+    // strings (quoting) through the text path.
+    "q174_csv_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = new java.io.File(s"$d/orders.parquet")
+        val layout = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/orders_csv"
+        val base = t(s, d, "orders")
+          .filter($"o_orderkey" < 4000)
+          .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+            $"o_orderdate", $"o_orderpriority")
+        if (!new java.io.File(layout, "_SUCCESS").exists())
+          base.write.mode("overwrite").option("header", "true").csv(layout)
+        graft.io.Sources.csv(s, layout, base.schema)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).as("n_orders"),
+            graft.operators.Relational.moneySum($"o_totalprice").as("revenue"),
+            countDistinct($"o_orderpriority").as("n_priorities"),
+            (year(max($"o_orderdate")) * 10000 + month(max($"o_orderdate")) * 100 +
+              dayofmonth(max($"o_orderdate"))).as("last_order_ymd"))
+          .orderBy($"o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+          count(DISTINCT o_orderpriority) AS n_priorities,
+          CAST(year(max(o_orderdate))*10000 + month(max(o_orderdate))*100
+            + day(max(o_orderdate)) AS INTEGER) AS last_order_ymd
+        FROM orders WHERE o_orderkey < 4000
+        GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+      "CSV source round-trip: headered write once, schema-on-read back, parquet-oracled")
   )
 }
