@@ -37,6 +37,27 @@ class IoSpec extends SparkSpec {
     assert(back.length == 3 && back(1)._2.contains("beta,comma"))
   }
 
+  test("gzip-compressed JSONL and CSV round-trip transparently") {
+    // 100 TB text stores are compressed; Spark's codec handling must be
+    // invisible to the schema'd source factories (splittability differs
+    // — gz is one stream per file — but values must not)
+    val jd = Files.createTempDirectory("gz_rt").toString
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      .json(s"$jd/j")
+    df.write.mode(SaveMode.Overwrite).option("compression", "gzip")
+      .option("header", "true").csv(s"$jd/c")
+    assert(Option(new java.io.File(s"$jd/j").listFiles).get
+      .exists(_.getName.endsWith(".gz")), "json output must actually be gz")
+    val jBack = Sources.jsonLines(spark, s"$jd/j", schema).orderBy($"id")
+      .as[(Long, Option[String], Double)].collect().toSeq
+    val cBack = Sources.csv(spark, s"$jd/c", schema).orderBy($"id")
+      .as[(Long, Option[String], Double)].collect().toSeq
+    val want = Seq((1L, Some("alpha"), 10.5),
+      (2L, Some("beta,comma"), -3.25), (3L, None, 0.0))
+    assert(jBack == want, s"json-gz: $jBack")
+    assert(cBack == want, s"csv-gz: $cBack")
+  }
+
   test("fit-metrics JSON-lines sink round-trips params, metrics and importances") {
     import graft.ml.{FareConfig, FareMetrics, FarePipeline}
     val path = Files.createTempDirectory("metrics").toString + "/runs.jsonl"
