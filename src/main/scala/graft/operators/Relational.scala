@@ -215,7 +215,10 @@ object Relational {
         ceil((col("__hi") - col("__lo") + 1).cast("double") / maxCoarseBuckets)
           .cast("long")))
       .select(col(g), col("__lo"), col("__W"), col("__nt"))
-    val b = hist.join(broadcast(rng), g)
+    // no broadcast HINT: rng is one row per GROUP, and per-key medians
+    // over a data-scaled key domain would make a forced broadcast a
+    // driver OOM; AQE broadcasts it whenever it is actually small
+    val b = hist.join(rng, g)
       .withColumn("__b", expr("(`" + v + "` - __lo) div __W"))
     val local = Window.partitionBy(col(g), col("__b")).orderBy(col(v))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
