@@ -203,11 +203,16 @@ object Relational {
     * group. Cost is bounded by DISTINCT values per group, never group
     * row count — the scalable replacement for per-group `percentile`,
     * whose UDAF buffers every value of the group in executor memory.
-    * Returns (g, med2, n). */
+    * NULL values of `v` are dropped at the histogram stage — the same
+    * null semantics as `percentile`, so the two formulations stay
+    * interchangeable on null-containing input (a NULL bucket would
+    * otherwise sort first and shift every rank). Returns (g, med2, n),
+    * n counting non-null rows. */
   def groupedMedian2(df: DataFrame, g: String, v: String,
                      maxCoarseBuckets: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.groupBy(col(g), col(v)).agg(count(lit(1)).as("__n"))
+    val hist = df.filter(col(v).isNotNull)
+      .groupBy(col(g), col(v)).agg(count(lit(1)).as("__n"))
     val rng = hist.groupBy(col(g))
       .agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"),
         sum(col("__n")).as("__nt"))

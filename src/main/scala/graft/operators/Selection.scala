@@ -83,7 +83,11 @@ object Selection {
     *   1. per-row cumsum WITHIN each bucket (window partitioned by
     *      bucket — bounded by bucketWidth rows per partition);
     *   2. per-bucket totals (hash aggregate, one row per bucket) get a
-    *      cumulative offset via a window over just the bucket list;
+    *      cumulative offset via [[Stats.rangeCumSums]] — the bucket
+    *      list is rows/bucketWidth and so GROWS with the data; the
+    *      range-partitioned two-pass prefix sum keeps its cumsum off
+    *      any one-task global window (the only single-partition frames
+    *      left are per-shuffle-partition totals, cluster-bounded);
     *   3. global cum = bucket offset + within-bucket cum (broadcast-able
     *      join on bucket id); probes are a broadcast m-row table matched
     *      with a range condition (BroadcastNestedLoop over m tiny rows).
@@ -101,10 +105,10 @@ object Selection {
     val inBucket = base.withColumn("__cin",
       sum(col("__w")).over(Window.partitionBy(col("__b")).orderBy(col("__id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = base.groupBy(col("__b")).agg(sum(col("__w")).as("__bw"))
-      .withColumn("__off",
-        coalesce(sum(col("__bw")).over(Window.orderBy(col("__b"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = Stats.rangeCumSums(
+        base.groupBy(col("__b")).agg(sum(col("__w")).as("__bw")),
+        "__b", Seq("__bw"), inclusive = false)
+      .withColumn("__off", col("__bw_cum"))
     val total = offsets.agg(sum(col("__bw")).as("__W"))
     val probes = broadcast(spark.range(m).select(col("id").as("pick"))
       .crossJoin(total)

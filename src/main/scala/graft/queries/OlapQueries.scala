@@ -607,27 +607,33 @@ object OlapQueries {
     // 20000·adev2 > 44478·mad4 (1.4826 = 14826/10⁴ exactly). The
     // readable money doubles derive from the pinned integers by one
     // division each — no round(x, n), no quantile_cont, no libm.
-    // Median engine choice, explicit per scale: `percentile` buffers
-    // each group's values in executor memory — exact and FASTEST at
-    // bench SFs (A/B'd 2.5s vs 4.7s at sf0.1 against the histogram
-    // path) but impossible at petabyte group sizes; the swap-in for
-    // that regime is Relational.groupedMedian2 (grouped two-level rank
-    // selection, cost bounded by distinct values per group), pinned
-    // med2-bit-equal to this formulation on real data in
-    // RelationalOpsSpec.
+    // Median engine: Relational.groupedMedian2 — grouped two-level
+    // rank selection, cost bounded by DISTINCT values per group. The
+    // `percentile` UDAF formulation (pinned med2-bit-equal on real
+    // data in RelationalOpsSpec) is ~1.5s faster at bench SFs (A/B'd
+    // 2.5s vs 4.1s at sf0.1) but buffers every value of the group in
+    // executor memory — and the groups here are l_returnflag, i.e.
+    // three groups each holding ~1/3 of the table, a guaranteed
+    // executor OOM at 100x. The REGISTERED plan is the one that
+    // survives scale; ScalePostureSpec pins that no Percentile UDAF
+    // appears in this query's physical plan.
     "q133_mad_outliers" -> Q(
       (s, d) => {
         import s.implicits._
         val li = t(s, d, "lineitem")
           .select($"l_returnflag".as("flag"),
             round($"l_extendedprice" * 100).cast("long").as("c"))
-        val med = li.groupBy($"flag")
-          .agg((percentile($"c", lit(0.5)) * 2).cast("long").as("med2"),
-            count(lit(1)).as("n"))
+        // med and mad are 3-row frames whose lineage is the whole rank-
+        // selection chain; checkpoint them so the chain runs ONCE, not
+        // once per downstream consumer (dev feeds both the MAD stage and
+        // the final aggregate)
+        val med = Relational.groupedMedian2(li, "flag", "c").localCheckpoint()
         val dev = li.join(broadcast(med), "flag")
           .withColumn("adev2", abs($"c" * 2 - $"med2"))
-        val mad = dev.groupBy($"flag")
-          .agg((percentile($"adev2", lit(0.5)) * 2).cast("long").as("mad4"))
+        val mad = Relational
+          .groupedMedian2(dev.select($"flag", $"adev2"), "flag", "adev2")
+          .select($"flag", $"med2".as("mad4"))
+          .localCheckpoint()
         dev.join(broadcast(mad), "flag")
           .withColumn("is_out", $"adev2" * 20000L > $"mad4" * 44478L)
           .groupBy($"flag")

@@ -242,6 +242,18 @@ class RelationalOpsSpec extends SparkSpec {
     assert(hist == pct, s"hist=$hist pct=$pct")
   }
 
+  test("groupedMedian2 ignores NULL values like the percentile UDAF does") {
+    // the interchangeability contract must hold on null-containing input:
+    // a NULL bucket sorting first would shift every rank
+    val rows = Seq(("a", Some(1L)), ("a", None), ("a", Some(5L)),
+      ("a", Some(3L)), ("a", None), ("b", None), ("b", Some(7L)))
+      .toDF("g", "v")
+    val got = graft.operators.Relational.groupedMedian2(rows, "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // percentile ignores nulls: a -> median of (1,3,5) = 3 -> med2 6, n 3
+    assert(got == Map("a" -> ((6L, 3L)), "b" -> ((14L, 1L))), s"got $got")
+  }
+
   test("snapshotDiff classifies all four statuses with null-safe compares") {
     val a = Seq(
       (1L, Option(10.0), "O"),  // unchanged

@@ -240,12 +240,21 @@ class ScalePostureSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"the m-row probe table must broadcast, never shuffle the corpus:\n${plan.take(800)}")
-    // two SinglePartition exchanges are allowed, both over bounded input:
-    // the bucket-offset window (one row per bucket) and the total-mass
-    // aggregate (partial sums, one row per task) — never the data rows
+    // two SinglePartition exchanges are allowed, both over CLUSTER-bounded
+    // input: the rangeCumSums per-partition-totals window (one row per
+    // shuffle partition) and the total-mass aggregate (partial sums, one
+    // row per task) — never the data rows
     val singles = plan.linesIterator.count(_.contains("Exchange SinglePartition"))
     assert(singles <= 2,
       s"only the bounded bucket-list stages may be single-partition ($singles):\n${plan.take(1200)}")
+    // no single-partition window over a DATA-scaled frame: the bucket
+    // list is rows/bucketWidth and grows with the data, so a global
+    // window ordered by __b (windowspecdefinition with __b as the
+    // ordering-first argument — partitioned specs list partition columns
+    // before it) must never appear; only the __pid-ordered spec over
+    // per-shuffle-partition totals is cluster-bounded and allowed
+    assert(!"windowspecdefinition\\(__b#\\d+L? ASC".r.findFirstIn(plan).isDefined,
+      s"bucket-offset cumsum fell back to a one-task global window:\n${plan.take(1200)}")
   }
 
   test("resample + rolling z-score windows are all key-partitioned") {
@@ -322,6 +331,29 @@ class ScalePostureSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
     // partial + final: the Gram matrix combines map-side
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2)
+  }
+
+  test("q133 MAD: no Percentile UDAF — the registered plan must survive 1/3-table groups") {
+    // percentile() buffers every value of the group in executor memory;
+    // q133's groups are l_returnflag (3 groups, ~1/3 of the table each),
+    // so that engine is an executor OOM at scale. The registered plan
+    // must use the grouped two-level rank selection instead.
+    // the registered engine itself: grouped two-level rank selection is
+    // window + hash-agg shaped and never plans a Percentile UDAF
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+      .select($"l_returnflag".as("flag"),
+        round($"l_extendedprice" * 100).cast("long").as("c"))
+    val enginePlan = graft.operators.Relational
+      .groupedMedian2(li, "flag", "c")
+      .queryExecution.executedPlan.toString
+    assert(!enginePlan.toLowerCase.contains("percentile"),
+      s"groupedMedian2 must not plan a Percentile UDAF:\n${enginePlan.take(1200)}")
+    assert(enginePlan.contains("Window") && enginePlan.contains("HashAggregate"))
+    // and the registered query's final plan (median chains run eagerly at
+    // the 3-row checkpoints; this guards the deviation/outlier stage)
+    val p = plan("q133_mad_outliers")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"q133 must not plan a Percentile UDAF:\n${p.take(1200)}")
   }
 
   test("q152 SNM: candidate pairs come from windows, never a join") {
