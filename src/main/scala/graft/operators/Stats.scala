@@ -191,27 +191,54 @@ object Stats {
           .as("spearman"))
   }
 
-  /** Mann-Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
-    * approximation — the nonparametric location test beside the KS
-    * shape test. Rank algebra stays in exact integers via the doubled
-    * tie-averaged ranks of [[doubledAvgRanks]]: 2·R_A = Σ n_A(v)·r2(v)
-    * and 2·U_A = 2·R_A − n_A(n_A+1) are DECIMAL(38,0) folds, as is the
-    * tie term T = Σ(t³−t); only the final z = (U−μ)/σ and rank-biserial
-    * effect size are double trees over those exact moments.
+  /** Shared ranked/cumulative state for the two-sample family (KS,
+    * Mann-Whitney — any test that consumes a conditional histogram with
+    * cumulative counts and tie-averaged ranks): ONE conditional
+    * histogram over the data and ONE [[rangeCumSums]] pass yield both
+    * the inclusive ECDF counts (ca, cb) and the doubled tie-averaged
+    * rank (r2 = 2·(rows strictly below) + ties + 1, derived from the
+    * inclusive sums as 2·(ca+cb −na−nb) + na+nb + 1 — exclusive =
+    * inclusive − ties, so no second cumsum pass is needed).
     *
-    * Scale: one conditional histogram over data; ranks come from the
-    * range-partitioned prefix sum of [[doubledAvgRanks]] (never a
-    * one-task global window over the value domain). Returns one row:
-    * (n_a, n_b, u_a, z, r_rb), z and r_rb unrounded. */
-  def mannWhitney(df: DataFrame, v: String, isA: Column): DataFrame = {
-    def d38(c: Column): Column = c.cast("decimal(38,0)")
-    val counts = df.groupBy(col(v))
+    * The result is localCheckpointed: it is a distinct-value frame
+    * (bounded by the value domain, not the row count) and the POINT of
+    * this operator is amortization — q167 (KS) and q168 (Mann-Whitney)
+    * consume the same build, and a session-resident engine computes it
+    * once per dataset rather than once per test statistic. Returns
+    * (v, na, nb, ca, cb, r2). */
+  def rankedPair(df: DataFrame, v: String, isA: Column): DataFrame = {
+    val hist = df.groupBy(col(v))
       .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
         sum(when(isA, 0L).otherwise(1L)).as("nb"))
-      .withColumn("t", col("na") + col("nb"))
-    val hist = counts.join(
-      doubledAvgRanks(counts.select(col(v), col("t")), v, "t")
-        .select(col(v), col("r2")), v)
+    rangeCumSums(hist, v, Seq("na", "nb"), inclusive = true)
+      .select(col(v), col("na"), col("nb"),
+        col("na_cum").as("ca"), col("nb_cum").as("cb"),
+        (lit(2L) * (col("na_cum") + col("nb_cum") - col("na") - col("nb")) +
+          col("na") + col("nb") + lit(1L)).as("r2"))
+      .localCheckpoint()
+  }
+
+  /** [[ksTwoSample]] over a prebuilt [[rankedPair]] frame — the
+    * amortized path when several two-sample statistics run on the same
+    * split. */
+  def ksFromRankedPair(rp: DataFrame, v: String): DataFrame = {
+    val tot = rp.agg(max(col("ca")).as("ta"), max(col("cb")).as("tb"))
+    rp.crossJoin(broadcast(tot))
+      .select(col(v), col("ta"), col("tb"),
+        abs(col("ca").cast("decimal(38,0)") * col("tb") -
+          col("cb").cast("decimal(38,0)") * col("ta")).as("gap"))
+      .orderBy(col("gap").desc, col(v))
+      .limit(1)
+      .select(col("ta").as("n_a"), col("tb").as("n_b"),
+        (col("gap").cast("double") /
+          (col("ta").cast("double") * col("tb").cast("double"))).as("ks_d"),
+        col(v).as("at_v"))
+  }
+
+  /** [[mannWhitney]] over a prebuilt [[rankedPair]] frame. */
+  def mannWhitneyFromRankedPair(rp: DataFrame): DataFrame = {
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val hist = rp.withColumn("t", col("na") + col("nb"))
     hist.agg(
         sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
         sum(d38(col("na")) * col("r2")).as("r2a"),
@@ -234,6 +261,21 @@ object Stats {
           .as("r_rb"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
+    * approximation — the nonparametric location test beside the KS
+    * shape test. Rank algebra stays in exact integers via the doubled
+    * tie-averaged ranks of [[doubledAvgRanks]]: 2·R_A = Σ n_A(v)·r2(v)
+    * and 2·U_A = 2·R_A − n_A(n_A+1) are DECIMAL(38,0) folds, as is the
+    * tie term T = Σ(t³−t); only the final z = (U−μ)/σ and rank-biserial
+    * effect size are double trees over those exact moments.
+    *
+    * Scale: one conditional histogram over data; ranks come from the
+    * range-partitioned prefix sum of [[doubledAvgRanks]] (never a
+    * one-task global window over the value domain). Returns one row:
+    * (n_a, n_b, u_a, z, r_rb), z and r_rb unrounded. */
+  def mannWhitney(df: DataFrame, v: String, isA: Column): DataFrame =
+    mannWhitneyFromRankedPair(rankedPair(df, v, isA))
+
   /** Two-sample Kolmogorov-Smirnov statistic D = sup |F_A − F_B| with
     * the value where the supremum is attained. Entirely exact until the
     * final division: the ECDF gap at each distinct value is the INTEGER
@@ -246,23 +288,6 @@ object Stats {
     * [[rangeCumSums]] over the distinct-value frame — no one-task
     * global window however large the value domain grows. Returns one
     * row: (n_a, n_b, ks_d, at_v) with ks_d unrounded. */
-  def ksTwoSample(df: DataFrame, v: String, isA: Column): DataFrame = {
-    val cum = rangeCumSums(
-        df.groupBy(col(v))
-          .agg(sum(when(isA, 1L).otherwise(0L)).as("na"),
-            sum(when(isA, 0L).otherwise(1L)).as("nb")),
-        v, Seq("na", "nb"), inclusive = true)
-      .select(col(v), col("na_cum").as("ca"), col("nb_cum").as("cb"))
-    val tot = cum.agg(max(col("ca")).as("ta"), max(col("cb")).as("tb"))
-    cum.crossJoin(broadcast(tot))
-      .select(col(v), col("ta"), col("tb"),
-        abs(col("ca").cast("decimal(38,0)") * col("tb") -
-          col("cb").cast("decimal(38,0)") * col("ta")).as("gap"))
-      .orderBy(col("gap").desc, col(v))
-      .limit(1)
-      .select(col("ta").as("n_a"), col("tb").as("n_b"),
-        (col("gap").cast("double") /
-          (col("ta").cast("double") * col("tb").cast("double"))).as("ks_d"),
-        col(v).as("at_v"))
-  }
+  def ksTwoSample(df: DataFrame, v: String, isA: Column): DataFrame =
+    ksFromRankedPair(rankedPair(df, v, isA), v)
 }
