@@ -552,13 +552,16 @@ object Dedup {
       .select(col(id).as("doc"), size(hashArr).as("__n"),
         explode(hashArr).as("sh"))
     val cand = prefixCandidates(toks, tNum, tDen)
-    val candIds = cand.select(col("id_a").as("doc"))
-      .union(cand.select(col("id_b").as("doc"))).distinct()
     // no broadcast HINT on the candidate-id semi-join: the candidate set
     // scales with the corpus's duplication rate (worst case most of the
     // corpus), and a forced broadcast of a data-scaled frame is a driver
-    // OOM at 100 TB — AQE still broadcasts it whenever it is actually
-    // small, which is the common case
+    // OOM at 100 TB. The localCheckpoint gives the planner the frame's
+    // EXACT size instead of an AQE guess re-derived every run, so the
+    // semi-join broadcasts statically whenever the set is actually small
+    // (the common case) and shuffles when it is not.
+    val candIds = cand.select(col("id_a").as("doc"))
+      .union(cand.select(col("id_b").as("doc"))).distinct()
+      .localCheckpoint()
     val verifySets = df
       .join(candIds.withColumnRenamed("doc", id), Seq(id), "left_semi")
       .select(col(id).as("doc"),
