@@ -1,0 +1,40 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Marker-file plumbing through Hadoop's FileSystem API, so the
+  * commit-marker protocols ([[Sinks.appendOnceWriter]], the
+  * materialized layouts/indexes) hold on ANY supported store —
+  * HDFS, S3A, local — not just `java.io.File`'s local disk. A
+  * java.io.File existence probe on an `s3a://` path silently never
+  * matches: writes would succeed while readers see nothing, quietly
+  * degrading the exactly-once contract. */
+object Fs {
+
+  def fs(spark: SparkSession, p: String): (FileSystem, Path) = {
+    val hp = new Path(p)
+    (hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+  }
+
+  def exists(spark: SparkSession, p: String): Boolean = {
+    val (f, hp) = fs(spark, p)
+    f.exists(hp)
+  }
+
+  /** Atomically create an empty marker file (parents included). */
+  def touch(spark: SparkSession, p: String): Unit = {
+    val (f, hp) = fs(spark, p)
+    if (!f.exists(hp)) f.create(hp, false).close()
+  }
+
+  /** Names under `dir` ending with `suffix` (empty if `dir` absent). */
+  def listWithSuffix(spark: SparkSession, dir: String,
+                     suffix: String): Seq[String] = {
+    val (f, hp) = fs(spark, dir)
+    if (!f.exists(hp)) Seq.empty
+    else f.listStatus(hp).toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
+      .map(_.getPath.getName)
+  }
+}

@@ -63,15 +63,16 @@ object Sinks {
     * `batch-<id>.commit` marker — a redelivered batchId whose marker
     * exists SKIPS the write entirely, and readers union only committed
     * dirs, so a crash at ANY point leaves either a fully-invisible or a
-    * fully-committed batch, never a partial or doubled one. */
+    * fully-committed batch, never a partial or doubled one. Marker
+    * existence/create run through Hadoop's FileSystem ([[Fs]]), so the
+    * protocol holds on HDFS/S3A, not just local disk. */
   def appendOnceWriter(dir: String): (DataFrame, Long) => Unit = {
     (df, batchId) => {
-      val base = new java.io.File(dir)
-      base.mkdirs()
+      val spark = df.sparkSession
       val name = f"batch-$batchId%06d"
-      if (!new java.io.File(base, s"$name.commit").exists()) {
+      if (!Fs.exists(spark, s"$dir/$name.commit")) {
         df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
-        new java.io.File(base, s"$name.commit").createNewFile()
+        Fs.touch(spark, s"$dir/$name.commit")
       }
     }
   }
@@ -80,11 +81,9 @@ object Sinks {
     * COMMITTED batch dirs (None before the first commit). */
   def readAppendOnce(spark: org.apache.spark.sql.SparkSession,
                      dir: String): Option[DataFrame] = {
-    val committed = Option(new java.io.File(dir).listFiles)
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".commit"))
-      .map(f => s"$dir/${f.getName.stripSuffix(".commit")}")
+    val committed = Fs.listWithSuffix(spark, dir, ".commit")
+      .map(n => s"$dir/${n.stripSuffix(".commit")}")
     if (committed.isEmpty) None
-    else Some(spark.read.parquet(committed.toIndexedSeq: _*))
+    else Some(spark.read.parquet(committed: _*))
   }
 }

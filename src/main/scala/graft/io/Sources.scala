@@ -55,7 +55,9 @@ object Sources {
     * thousand directories keep listing cheap. */
   def materializePartitioned(spark: SparkSession, df: => DataFrame,
                              path: String, partCols: Seq[String]): DataFrame = {
-    if (!new java.io.File(path, "_SUCCESS").exists())
+    // Hadoop FS probe (not java.io.File): the reuse contract must hold
+    // when `path` is on HDFS/S3A, where a local-file check never matches
+    if (!Fs.exists(spark, s"$path/_SUCCESS"))
       df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
     spark.read.parquet(path)
   }

@@ -297,8 +297,9 @@ object Similarity {
                           vec: String, kCells: Int, iters: Int,
                           scale: Double = 1e6): (DataFrame, DataFrame) = {
     // assign/_SUCCESS is written LAST, so a half-built index (crash
-    // between the two writes) is rebuilt, never served
-    if (!new java.io.File(s"$path/assign/_SUCCESS").exists()) {
+    // between the two writes) is rebuilt, never served; probed through
+    // Hadoop FS so the lifecycle holds on HDFS/S3A stores too
+    if (!graft.io.Fs.exists(spark, s"$path/assign/_SUCCESS")) {
       val (pts, cents) = kmeansCore(corpus, id, vec, kCells, iters, scale)
       cents.write.mode("overwrite").parquet(s"$path/cents")
       assignCells(pts, cents).select(col("pid"), col("cell"))

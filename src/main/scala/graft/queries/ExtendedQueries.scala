@@ -850,7 +850,7 @@ object ExtendedQueries {
           .filter($"l_orderkey" < 1000)
           .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
             $"l_quantity", $"l_extendedprice", $"l_shipdate")
-        if (!new java.io.File(layout, "_SUCCESS").exists())
+        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS"))
           base.write.mode("overwrite").json(layout)
         graft.io.Sources.jsonLines(s, layout, base.schema)
           .groupBy($"l_returnflag")
@@ -889,7 +889,7 @@ object ExtendedQueries {
           .filter($"o_orderkey" < 4000)
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
             $"o_orderdate", $"o_orderpriority")
-        if (!new java.io.File(layout, "_SUCCESS").exists())
+        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS"))
           base.write.mode("overwrite").option("header", "true").csv(layout)
         graft.io.Sources.csv(s, layout, base.schema)
           .groupBy($"o_orderstatus")

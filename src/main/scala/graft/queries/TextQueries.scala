@@ -36,9 +36,11 @@ object TextQueries {
     * mixes. Validated bit-exact against the Spark function on every
     * corpus token (11,695 at sf0.01). Handles inputs up to 16 UTF-8
     * bytes (two 8-byte words + one 4-byte chunk + 3 tail bytes; corpus
-    * max is 8); a longer or non-ASCII token nulls `len`, which poisons
-    * the hash into a VISIBLE driver mismatch instead of a silently
-    * wrong oracle. Emits CTEs `x0..xxh`; `xxh` exposes
+    * max is 8); a longer or non-ASCII token nulls `len` and so `xh` —
+    * consumers must NOT let that NULL reach an aggregate that ignores
+    * nulls (min would silently drop the token); the xx64 sigs CTE
+    * guards it with an error() scalar subquery so an out-of-envelope
+    * token fails the oracle query loudly. Emits CTEs `x0..xxh`; `xxh` exposes
     * (doc_id, sh, xh BIGINT) with xh = Spark's signed xxhash64(sh).
     * Reads (doc_id, sh) from `inCte`. */
   private def xxhash64Ctes(inCte: String): String = {
@@ -132,7 +134,12 @@ object TextQueries {
       else if (scheme == "xx64")
         // the same LCG slot family over the xxhash64 token base — h is
         // Spark's pmod(xxhash64(sh), P) with xxhash64 re-derived by
-        // [[xxhash64Ctes]]; everything downstream is shared with "lcg"
+        // [[xxhash64Ctes]]. The scalar-subquery guard makes an
+        // out-of-envelope token (NULL xh) ERROR the whole oracle query
+        // — without it the NULL would flow into the sigs CTE's min(),
+        // which IGNORES nulls, and the token would be silently dropped
+        // from the signature (surfacing only if it would have been a
+        // slot minimizer).
         s"""tok0 AS (
              SELECT doc_id,
                unnest(list_distinct(string_split(lower(text), ' '))) AS sh
@@ -141,7 +148,11 @@ object TextQueries {
            tok AS (SELECT doc_id,
                ((xh % ${graft.operators.Dedup.LcgPrime})
                  + ${graft.operators.Dedup.LcgPrime})
-                 % ${graft.operators.Dedup.LcgPrime} AS h
+                 % ${graft.operators.Dedup.LcgPrime}
+               + (SELECT CASE WHEN count(*) = 0 THEN 0
+                    ELSE CAST(error('xx64 oracle: token outside the hash envelope')
+                              AS BIGINT) END
+                  FROM xxh WHERE xh IS NULL) AS h
              FROM xxh),
            $lcgSigs"""
       else if (scheme == "oph")
