@@ -532,6 +532,38 @@ object TextQueries {
         FROM documents ORDER BY doc_id"""),
       "multimodal binary column: byte length, digest, stub decode dims"),
 
+    // --------------------------------------------- REAL PNG decode leg
+    // q44 pins the binary-column plumbing with a declared stub; this
+    // query runs an ACTUAL image codec round-trip on the executors:
+    // deterministic PNGs (geometry and fill color derived from doc_id,
+    // pixel (0,0) channel-inverted so an echo-the-constant fake decoder
+    // fails) encoded with javax.imageio, decoded back with ImageIO.read,
+    // and the decoded geometry + exact per-channel pixel SUMS oracled
+    // against DuckDB's closed-form re-derivation. PNG BYTES are not
+    // canonical across encoder versions, so only decode-invariant
+    // quantities are compared. Scale shape: mapPartitions both ways —
+    // one codec context per partition, no shuffle anywhere.
+    "q175_png_decode" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val base = docs(s, d).filter($"doc_id" < 300)
+        val pngs = graft.multimodal.Multimodal.encodePngs(base, "doc_id")
+        graft.multimodal.Multimodal.decodePngStats(pngs).toDF()
+          .orderBy($"media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CAST(doc_id % 13 + 4 AS INTEGER) AS width,
+          CAST(doc_id % 7 + 3 AS INTEGER) AS height,
+          CAST((doc_id % 256) * ((doc_id % 13 + 4) * (doc_id % 7 + 3) - 1)
+            + (255 - doc_id % 256) AS BIGINT) AS sum_r,
+          CAST((doc_id * 7 % 256) * ((doc_id % 13 + 4) * (doc_id % 7 + 3) - 1)
+            + (255 - doc_id * 7 % 256) AS BIGINT) AS sum_g,
+          CAST((doc_id * 13 % 256) * ((doc_id % 13 + 4) * (doc_id % 7 + 3) - 1)
+            + (255 - doc_id * 13 % 256) AS BIGINT) AS sum_b
+        FROM documents WHERE doc_id < 300 ORDER BY media_id"""),
+      "real PNG codec round-trip: decoded geometry + exact pixel sums"),
+
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and
     // the keeper policy needs CLUSTERS (a near-dup of a near-dup is the

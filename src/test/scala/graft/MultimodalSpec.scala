@@ -39,6 +39,33 @@ class MultimodalSpec extends SparkSpec {
     assert(got == (0 until n0 by 3).size)
   }
 
+  test("PNG encode → ImageIO decode round-trips exact geometry and pixel sums") {
+    implicit val s = spark
+    val ids = Seq(0L, 1L, 12L, 255L, 256L, 1000L).toDF("doc_id")
+    val stats = Multimodal.decodePngStats(
+      Multimodal.encodePngs(ids.repartition(3), "doc_id"))
+      .collect().map(p => p.media_id -> p).toMap
+    ids.as[Long].collect().foreach { n =>
+      val (w, h) = ((n % 13 + 4).toInt, (n % 7 + 3).toInt)
+      val (r, g, b) = ((n % 256).toInt, (n * 7 % 256).toInt, (n * 13 % 256).toInt)
+      val p = stats(n)
+      assert(p.width == w && p.height == h, s"id=$n geometry: $p")
+      // fill color everywhere except the channel-inverted (0,0) pixel
+      assert(p.sum_r == r.toLong * (w * h - 1) + (255 - r), s"id=$n sum_r: $p")
+      assert(p.sum_g == g.toLong * (w * h - 1) + (255 - g), s"id=$n sum_g: $p")
+      assert(p.sum_b == b.toLong * (w * h - 1) + (255 - b), s"id=$n sum_b: $p")
+    }
+  }
+
+  test("PNG decode fails loudly on undecodable bytes, never fabricates stats") {
+    implicit val s = spark
+    val junk = Seq((7L, "not a png".getBytes("UTF-8"))).toDF("media_id", "content")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.decodePngStats(junk).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     implicit val s = spark
     val decoded = Multimodal.decodeStub(
