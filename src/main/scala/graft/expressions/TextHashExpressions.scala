@@ -51,6 +51,109 @@ case class WordShingleHash64(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The k salted MinHash slot values of one token, computed straight
+  * from md5 DIGEST BYTES: slot 2m (2m+1) is the 60-bit integer decode
+  * of hex chars 1-15 (16-30) of md5("m:" ++ token) — exactly
+  * `conv(substring(md5(concat(lit("m:"), tok)), 1+15·(j%2), 15), 16,
+  * 10).cast("long")`, the portable decode the DuckDB oracle mirrors —
+  * but with NO hex string, NO substring and NO base-16 parse: the two
+  * halves read directly out of the 16 digest bytes (chars 1-15 = top
+  * 60 bits of the big-endian first 8 bytes; chars 16-30 = low 60 bits
+  * of big-endian bytes 7-14). One thread-local MessageDigest serves all
+  * k/2 digests of a row; doGenCode emits one static call per row, so
+  * the whole k-wide fan-out stays inside whole-stage codegen as one
+  * array-producing expression. Bit-equality with the SQL-functions
+  * formulation is pinned in TextDedupSpec. */
+case class Md5MinHash60(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 2 && k % 2 == 0, s"k=$k must be even (two hashes per md5)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "md5_minhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5MinHash60.hashAll(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.Md5MinHash60.hashAll($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5MinHash60 {
+
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  // "m:" prefix bytes per slot-pair index, computed once per k
+  private val prefixes =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Array[Byte]]]()
+
+  private def be64(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** 60-bit decode of hex chars 1-15 of md5(token) — the unsalted base
+    * hash of the LCG/OPH MinHash families
+    * (`conv(substring(md5(sh), 1, 15), 16, 10)`). */
+  def head60(s: UTF8String): Long = {
+    val digest = md.get()
+    digest.reset()
+    digest.update(s.getBytes)
+    be64(digest.digest(), 0) >>> 4
+  }
+
+  def hashAll(s: UTF8String, k: Int): ArrayData = {
+    val pre = prefixes.computeIfAbsent(k,
+      kk => Array.tabulate(kk / 2)(m => s"$m:".getBytes("UTF-8")))
+    val tok = s.getBytes
+    val out = new Array[Long](k)
+    val digest = md.get()
+    var m = 0
+    while (m < k / 2) {
+      digest.reset()
+      digest.update(pre(m))
+      digest.update(tok)
+      val d = digest.digest()
+      // hex chars 1-15 = nibbles 0-14 = top 60 bits of bytes [0, 8)
+      out(2 * m) = be64(d, 0) >>> 4
+      // hex chars 16-30 = nibbles 15-29 = low 60 bits of bytes [7, 15)
+      out(2 * m + 1) = be64(d, 7) & 0x0fffffffffffffffL
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** [[Md5MinHash60.head60]] as a standalone scalar expression — the
+  * single-digest token base the LCG and OPH MinHash schemes reduce. */
+case class Md5Head60(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "md5_head60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5MinHash60.head60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5MinHash60.head60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WordShingleHash64 {
 
   /** Single pass: lowercase, scan space positions, hash each word-n-gram

@@ -36,6 +36,25 @@ object TextFunctions {
       GraftGlue.expression(text), n))
   }
 
+  /** The k salted MinHash slot values of a token straight from md5
+    * digest bytes ([[graft.expressions.Md5MinHash60]]) — bit-equal to
+    * the `conv(substring(md5(...)))` formulation, with no hex string /
+    * substring / base-16 parse per slot. */
+  def md5MinHash60(tok: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.Md5MinHash60(
+      GraftGlue.expression(tok), k))
+  }
+
+  /** 60-bit decode of hex chars 1-15 of md5(tok)
+    * ([[graft.expressions.Md5Head60]]) — the single-digest token base
+    * of the LCG/OPH MinHash families. */
+  def md5Head60(tok: Column): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.Md5Head60(
+      GraftGlue.expression(tok)))
+  }
+
   /** Character n-gram shingle set (distinct). Guards short strings by
     * falling back to the whole string as one shingle. */
   def charNGrams(text: Column, n: Int): Column =

@@ -224,14 +224,15 @@ object Dedup {
     */
   def minhashSignatures(toks: DataFrame, id: String, k: Int): DataFrame = {
     require(k % 2 == 0, s"k=$k must be even (two hashes per md5)")
-    val digests = (0 until k / 2).map(m =>
-      md5(concat(lit(s"$m:"), col("sh"))).as(s"h$m"))
-    val withDigests = toks.select(col(id) +: digests: _*)
-    val mins = (0 until k).map { j =>
-      val hex = substring(col(s"h${j / 2}"), 1 + 15 * (j % 2), 15)
-      min(conv(hex, 16, 10).cast("long")).as(s"mh$j")
-    }
-    withDigests.groupBy(col(id)).agg(mins.head, mins.tail: _*)
+    // one codegen'd digest-bytes expression per row replaces the k/2
+    // md5-hex columns + k substring/conv decodes
+    // ([[graft.expressions.Md5MinHash60]], bit-equal by TextDedupSpec);
+    // the decode the oracle mirrors is unchanged
+    val withHashes = toks.select(col(id),
+      TextFunctions.md5MinHash60(col("sh"), k).as("__hs"))
+    val mins = (0 until k).map(j =>
+      min(element_at(col("__hs"), j + 1)).as(s"mh$j"))
+    withHashes.groupBy(col(id)).agg(mins.head, mins.tail: _*)
   }
 
   /** Prime for the LCG min-hash family — the same one Spark's own
@@ -266,8 +267,7 @@ object Dedup {
     * arithmetic with the same embedded (a_j, b_j) literals. */
   def minhashSignaturesLcg(toks: DataFrame, id: String, k: Int): DataFrame = {
     val withH = toks.select(col(id),
-      pmod(conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"),
-        lit(LcgPrime)).as("h"))
+      pmod(TextFunctions.md5Head60(col("sh")), lit(LcgPrime)).as("h"))
     val mins = (0 until k).map { j =>
       val (a, b) = lcgCoef(j)
       min(pmod(lit(a) * col("h") + lit(b), lit(LcgPrime))).as(s"mh$j")
@@ -312,7 +312,7 @@ object Dedup {
     * (CAST('0x'||substr(md5(sh),1,15) AS BIGINT) and % k). */
   def ophSignatures(toks: DataFrame, id: String, k: Int): DataFrame = {
     val withH = toks.select(col(id),
-      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      TextFunctions.md5Head60(col("sh")).as("h"))
     val mins = (0 until k).map { j =>
       coalesce(min(when(pmod(col("h"), lit(k)) === j, col("h"))), lit(-1L)).as(s"mh$j")
     }
@@ -339,7 +339,7 @@ object Dedup {
   def ophDensifiedSignatures(toks: DataFrame, id: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val withH = toks.select(col(id),
-      conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+      TextFunctions.md5Head60(col("sh")).as("h"))
     val binMins = (0 until k).map { j =>
       min(when(pmod(col("h"), lit(k)) === j, col("h"))).as(s"mh$j")
     }

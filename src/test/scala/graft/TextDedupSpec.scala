@@ -285,6 +285,30 @@ class TextDedupSpec extends SparkSpec {
       .exists(p => p._1 == 1L && p._2 == 2L), "1-2 is a true near-dup pair")
   }
 
+  test("Md5MinHash60 digest-byte decode equals the conv(substring(md5)) formulation") {
+    val toks = Seq((1L, "alpha"), (2L, "ümlaut-token"), (3L, ""),
+      (4L, "the"), (5L, "0123456789abcdef0123456789abcdef")).toDF("id", "sh")
+    val k = 8
+    // the portable SQL-functions decode the DuckDB oracle mirrors
+    val viaSql = toks.select($"id" +: (0 until k).map { j =>
+        val hex = substring(md5(concat(lit(s"${j / 2}:"), $"sh")), 1 + 15 * (j % 2), 15)
+        conv(hex, 16, 10).cast("long").as(s"h$j")
+      }: _*).collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    val viaExpr = toks.select($"id",
+        graft.functions.TextFunctions.md5MinHash60($"sh", k).as("hs"))
+      .select($"id" +: (0 until k).map(j => element_at($"hs", j + 1).as(s"h$j")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getLong)).toMap
+    assert(viaExpr == viaSql, s"$viaExpr\nvs\n$viaSql")
+    // and the unsalted single-digest base hash
+    val headSql = toks.select($"id",
+        conv(substring(md5($"sh"), 1, 15), 16, 10).cast("long").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val headExpr = toks.select($"id",
+        graft.functions.TextFunctions.md5Head60($"sh").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(headExpr == headSql, s"$headExpr vs $headSql")
+  }
+
   test("WordShingleHash64 equals xxhash64 over wordShingles, incl. edge shapes") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
