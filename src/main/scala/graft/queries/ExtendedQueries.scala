@@ -907,6 +907,60 @@ object ExtendedQueries {
             + day(max(o_orderdate)) AS INTEGER) AS last_order_ymd
         FROM orders WHERE o_orderkey < 4000
         GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
-      "CSV source round-trip: headered write once, schema-on-read back, parquet-oracled")
+      "CSV source round-trip: headered write once, schema-on-read back, parquet-oracled"),
+
+    // ----------------------------------------- JDBC round-trip (S3/S4/K2/K3)
+    // The reference's Postgres leg (sparkConsumer.py:147-154 write,
+    // sparkML.py:40-46 read) driven end to end against a REAL JDBC
+    // engine — Derby embedded (in the Spark distribution) stands in for
+    // the network DB. A lineitem slice goes through Sinks.jdbcAppend
+    // (dialect CREATE TABLE on first write — the DDL-if-absent
+    // contract), comes back through Sources.jdbc with a partitionColumn
+    // so the scan fans out into parallel range queries (the reference
+    // read was a single serial partition), and the aggregate is oracled
+    // against the parquet original — so type mapping, value fidelity
+    // (doubles, dates, strings) and the partitioned-read stride are all
+    // hash-verified, not just unit-tested. The DB is materialized once
+    // per testdata generation (mtime-keyed like the q94/q171 layouts).
+    // Embedded Derby is single-JVM (fine under local[*]); production
+    // swaps the URL for a network DB and the same plan splits the read
+    // across executors.
+    "q176_jdbc_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+        val src = new java.io.File(s"$d/lineitem.parquet")
+        val dbDir = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/lineitem_derby"
+        val url = s"jdbc:derby:$dbDir;create=true"
+        val marker = s"$dbDir.loaded"
+        if (!graft.io.Fs.exists(s, marker)) {
+          graft.io.Sinks.jdbcAppend(
+            t(s, d, "lineitem").filter($"l_orderkey" < 1000)
+              .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+                $"l_quantity", $"l_extendedprice", $"l_shipdate"),
+            url, "lineitem_slice", "app", "app")
+          graft.io.Fs.touch(s, marker)
+        }
+        graft.io.Sources.jdbc(s, url, "lineitem_slice", "app", "app",
+            partitionColumn = Some("l_orderkey"),
+            lowerBound = 0L, upperBound = 1000L, numPartitions = 4)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            sum($"l_quantity").cast("long").as("sum_qty"),
+            graft.operators.Relational.moneySum($"l_extendedprice").as("revenue"),
+            (year(max($"l_shipdate")) * 10000 + month(max($"l_shipdate")) * 100 +
+              dayofmonth(max($"l_shipdate"))).as("last_ship_ymd"))
+          .orderBy($"l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+          CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+          CAST(year(max(l_shipdate))*10000 + month(max(l_shipdate))*100
+            + day(max(l_shipdate)) AS INTEGER) AS last_ship_ymd
+        FROM lineitem WHERE l_orderkey < 1000
+        GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      "JDBC round-trip: dialect DDL write, partitioned read back, parquet-oracled")
   )
 }

@@ -88,8 +88,23 @@ object ScaleStress {
       // graph, which is the honest cost of triangles on a densifying
       // co-occurrence graph
       "q135_copurchase_pmi", "q136_interval_union", "q138_markov_transitions",
-      "q140_triangle_census")
-    queries.foreach { name =>
+      "q140_triangle_census",
+      // round-8 additions: the suite's most expensive plans, so the
+      // 100 TB posture is MEASURED, not argued — the grouped-rank median
+      // engine (distinct-value-bounded), the end-to-end dedup pipeline,
+      // IVF-PQ (codebook training input-proportional, LUT joins
+      // probe-bounded), the one-pass rank correlation, star-contraction
+      // CC, label propagation (rounds shape-bounded), and the
+      // channel-bounded absorption chain
+      "q133_mad_outliers", "q116_exact_dedup_pipeline", "q96_ivfpq_adc",
+      "q115_ivfpq_multiprobe", "q166_spearman_corr", "q89_cc_stars_paths",
+      "q165_label_propagation", "q159_markov_attribution")
+    // flag threshold: super-linear growth — runtime ratio beyond
+    // ~1.3x the data ratio means the operator is NOT input-proportional
+    // (documented exceptions: output-driven q111, densification-driven
+    // q140 — see the per-query notes above)
+    val flagAt = 1.3 * factor
+    val results = queries.map { name =>
       def run(dir: String): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
@@ -97,10 +112,25 @@ object ScaleStress {
         (System.nanoTime() - t0) / 1e9
       }
       run(src); run(dst) // warm both plans
-      val small = run(src)
-      val big = run(dst)
-      println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio ${big / small}%5.2f")
+      val small = math.min(run(src), run(src))
+      val big = math.min(run(dst), run(dst))
+      val ratio = big / small
+      println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio $ratio%5.2f")
+      (name, small, big, ratio)
     }
+    // committed scaling record: the 100 TB claims as measurements
+    val flagged = results.filter(_._4 > flagAt).map(_._1)
+    def f3(v: Double): String = "%.3f".format(v)
+    val qJson = results.map { case (n, s, b, r) =>
+      s""""$n":{"t_base":${f3(s)},"t_x$factor":${f3(b)},"ratio":${f3(r)},""" +
+        s""""flagged":${r > flagAt}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"base":"$src","factor":$factor,"flag_threshold":${f3(flagAt)},""" +
+        s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val w = new java.io.PrintWriter("SCALING.json")
+    try w.println(line) finally w.close()
+    println(s"STRESS wrote SCALING.json (${flagged.size} flagged: ${flagged.mkString(", ")})")
     spark.stop()
   }
 }
