@@ -209,10 +209,22 @@ object Relational {
     * otherwise sort first and shift every rank). Returns (g, med2, n),
     * n counting non-null rows. */
   def groupedMedian2(df: DataFrame, g: String, v: String,
-                     maxCoarseBuckets: Long = 1L << 16): DataFrame = {
+                     maxCoarseBuckets: Long = 1L << 16): DataFrame =
+    groupedMedian2FromHist(
+      df.filter(col(v).isNotNull)
+        .groupBy(col(g), col(v)).agg(count(lit(1)).as("__n")),
+      g, v, maxCoarseBuckets)
+
+  /** [[groupedMedian2]] over a PREBUILT distinct-value histogram
+    * (g, v, __n) — the amortized entry point when several medians
+    * derive from one scan: a deviation histogram (|2v − med2| per
+    * distinct value, counts summed) is itself a distinct-value
+    * histogram, so a MAD computes med-then-mad entirely on the
+    * first histogram without touching the data again (q133's shape).
+    * Rows must be unique per (g, v); counts in `__n`. */
+  def groupedMedian2FromHist(hist: DataFrame, g: String, v: String,
+                             maxCoarseBuckets: Long = 1L << 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = df.filter(col(v).isNotNull)
-      .groupBy(col(g), col(v)).agg(count(lit(1)).as("__n"))
     val rng = hist.groupBy(col(g))
       .agg(min(col(v)).as("__lo"), max(col(v)).as("__hi"),
         sum(col("__n")).as("__nt"))

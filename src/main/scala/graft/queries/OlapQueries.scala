@@ -624,9 +624,15 @@ object OlapQueries {
           .select($"l_returnflag".as("flag"),
             round($"l_extendedprice" * 100).cast("long").as("c"))
         // med and mad are 3-row frames whose lineage is the whole rank-
-        // selection chain; checkpoint them so the chain runs ONCE, not
+        // selection chain; checkpoint them so each chain runs ONCE, not
         // once per downstream consumer (dev feeds both the MAD stage and
-        // the final aggregate)
+        // the final aggregate). A/B'd against a one-scan variant that
+        // derived the deviation histogram from the median histogram
+        // (groupedMedian2FromHist) — the extra hist shuffles cost more
+        // than the saved scan at this shape (5.7-6.0s vs 4.9s at sf0.1),
+        // so the data-fed form stays registered; FromHist remains the
+        // amortized entry point for callers that already hold a
+        // histogram.
         val med = Relational.groupedMedian2(li, "flag", "c").localCheckpoint()
         val dev = li.join(broadcast(med), "flag")
           .withColumn("adev2", abs($"c" * 2 - $"med2"))
