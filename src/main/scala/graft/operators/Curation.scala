@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-curation operators for LLM training-data pipelines: n-gram
+  * language-model quality scoring (the CCNet-style perplexity filter,
+  * Wenzek et al. LREC 2020), hashed-n-gram importance resampling (DSIR,
+  * Xie et al. NeurIPS 2023), and concat-and-chunk sequence packing (the
+  * GPT-style pre-training batch layout).
+  *
+  * Reference scope note: the reference pipeline
+  * (rahult18/NYC-Yellow-Taxi-Trip-Data-Pipeline) has no text-curation
+  * stage — these extend the engine per the driver brief's
+  * training-data-pipeline mandate.
+  *
+  * Everything here is integer-exact: conditional probabilities and
+  * importance ratios are fixed-point `(x * SCALE) div y` floor
+  * divisions, so Spark and the DuckDB oracle agree bit-for-bit with no
+  * float-summation-order noise.
+  */
+object Curation {
+
+  /** Fixed-point probability/ratio scale: 6 decimal digits. */
+  val Scale = 1000000L
+
+  /** All bigram OCCURRENCES (not distinct sets) per doc, from two
+    * shifted array slices — codegen'd collection ops (the q64 shape). */
+  def bigrams(df: DataFrame, id: String, text: String): DataFrame = {
+    val ws = TextFunctions.words(col(text))
+    df.select(col(id), explode(arrays_zip(
+        slice(ws, lit(1), size(ws) - 1),
+        slice(ws, lit(2), size(ws) - 1))).as("z"))
+      .select(col(id), col("z.0").as("w1"), col("z.1").as("w2"))
+  }
+
+  /** Bigram-LM quality score per document (CCNet-style filter): train
+    * MLE conditional probabilities p(w2|w1) = c(w1,w2)/c(w1·) on the
+    * corpus itself, then score each doc by the average conditional
+    * probability of its own bigrams. High scores = text whose local
+    * word transitions are typical of the corpus; boilerplate and
+    * keyboard-mash score low. CCNet ranks by LM perplexity from an
+    * external KenLM — self-trained counts replace the external model
+    * here (no model artifacts in env), and the fixed-point average
+    * conditional probability replaces exp/log perplexity so the score
+    * is integer-exact: p_scaled = (c12 * Scale) div c1, lm_score =
+    * sum(p_scaled) div n_bigrams.
+    *
+    * Scale shape: two hash aggregates bounded by the corpus bigram
+    * vocabulary (map-side combined), one vocabulary-bounded equi-join
+    * back to doc bigrams, one doc-keyed aggregate. No windows, no
+    * driver state. Docs with < 2 tokens have no bigrams and are
+    * excluded (no transition evidence to score). */
+  def lmQualityScores(df: DataFrame, id: String, text: String): DataFrame = {
+    val bg = bigrams(df, id, text)
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    bg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col(id),
+        expr(s"(c12 * $Scale) div c1").as("p_scaled"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_scaled) div count(1)").as("lm_score"))
+  }
+
+  /** Hashed-bigram bucket id in [0, buckets): combine the two tokens'
+    * xxhash64 residues as (x1·31 + x2) mod buckets with xi = pmod(xh_i,
+    * buckets) — all arithmetic stays below 2^40, so ANSI mode never
+    * overflows and no wrap semantics are needed. `buckets` must be a
+    * power of two: 2^k | 2^64 makes the signed pmod residue equal the
+    * unsigned one, which is what lets the DuckDB oracle reproduce the
+    * bucket from its unsigned HUGEINT re-derivation of xxhash64 (the
+    * low k bits of an XXH64 value are avalanche-mixed by the
+    * finalizer, so the residue is a sound feature hash). 31 is odd ⇒
+    * the combine is bijective in x1 for fixed x2 (no bucket collapse). */
+  def hashedBigramBucket(w1: Column, w2: Column, buckets: Int): Column = {
+    require(Integer.bitCount(buckets) == 1, s"buckets=$buckets must be a power of two")
+    val b = lit(buckets.toLong)
+    pmod(pmod(xxhash64(w1), b) * lit(31L) + pmod(xxhash64(w2), b), b)
+  }
+
+  /** DSIR importance weights per hashed-bigram bucket (Xie et al.
+    * NeurIPS 2023 "Data Selection for Language Models via Importance
+    * Resampling"): target and source corpora are each reduced to
+    * counts over `buckets` hashed-bigram features; a bucket's weight is
+    * the Laplace-smoothed fixed-point ratio
+    * ((tgt_b + 1) * Scale) div (src_b + 1) — the +1 smoothing keeps
+    * the ratio finite when one side never saw the bucket (DSIR's
+    * bag-of-hashed-ngrams estimator with the log replaced by the
+    * fixed-point ratio). Only observed buckets materialize: an
+    * unobserved bucket matches no doc feature, so its weight row would
+    * never join anything.
+    *
+    * Scale shape: the weight table is `buckets` rows — a broadcast-size
+    * constant regardless of corpus size; building it is two map-side-
+    * combined aggregates over the bigram stream. */
+  def dsirBucketWeights(source: DataFrame, target: DataFrame, id: String,
+                        text: String, buckets: Int): DataFrame = {
+    def counts(df: DataFrame, as: String): DataFrame =
+      bigrams(df, id, text)
+        .groupBy(hashedBigramBucket(col("w1"), col("w2"), buckets).as("bucket"))
+        .agg(count(lit(1)).as(as))
+    counts(source, "src_n")
+      .join(counts(target, "tgt_n"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        expr(s"((coalesce(tgt_n, 0) + 1) * $Scale) div (coalesce(src_n, 0) + 1)")
+          .as("w_scaled"))
+  }
+
+  /** DSIR selection: score every source doc by the length-normalized
+    * sum of its bigrams' importance weights (sum div n_bigrams — the
+    * raw DSIR log-ratio sum is length-biased; the integer mean keeps
+    * rank order deterministic) and keep the top `k` by
+    * (score desc, id asc). Returns (id, n_bigrams, dsir_score).
+    *
+    * Scale shape: one bigram pass joined to the BROADCAST `buckets`-row
+    * weight table, one doc-keyed aggregate, then a global top-k — a
+    * sort-limit (TakeOrdered), never a full sort. */
+  def dsirSelect(source: DataFrame, target: DataFrame, id: String,
+                 text: String, buckets: Int, k: Int): DataFrame = {
+    val w = dsirBucketWeights(source, target, id, text, buckets)
+    bigrams(source, id, text)
+      .select(col(id), hashedBigramBucket(col("w1"), col("w2"), buckets).as("bucket"))
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(w_scaled) div count(1)").as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col(id).asc)
+      .limit(k)
+  }
+
+  /** Concat-and-chunk sequence packing: lay all docs end-to-end in id
+    * order and cut the token stream into fixed-`seqLen` training
+    * sequences — the standard GPT pre-training batch layout. Returns
+    * one row per sequence: (seq_id, n_docs the sequence touches,
+    * n_docs_starting that begin inside it, n_tokens it holds — seqLen
+    * everywhere except the ragged tail).
+    *
+    * Scale shape: the token-offset cumsum is [[Stats.rangeCumSums]]
+    * (range-partitioned two-pass prefix sum — no global single-task
+    * window); each doc then explodes to the sequences it overlaps
+    * (docLen/seqLen + 1 rows, input-proportional) and a seq-keyed
+    * aggregate finishes. Output cardinality is totalTokens/seqLen. */
+  def packSequences(df: DataFrame, id: String, text: String,
+                    seqLen: Int): DataFrame = {
+    require(seqLen >= 1, s"seqLen=$seqLen must be >= 1")
+    val counts = df.select(col(id),
+      TextFunctions.wordCount(col(text)).cast("long").as("__n"))
+    val withOff = Stats.rangeCumSums(counts, id, Seq("__n"), inclusive = false)
+      .withColumnRenamed("__n_cum", "__off")
+    withOff
+      .select(col(id), col("__off"), col("__n"),
+        expr(s"__off div $seqLen").as("__first"),
+        expr(s"(__off + __n - 1) div $seqLen").as("__last"))
+      .select(col(id), col("__off"), col("__n"), col("__first"),
+        explode(sequence(col("__first"), col("__last"))).as("seq_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__first") === col("seq_id"), 1L).otherwise(0L))
+          .as("n_docs_starting"),
+        sum(least(col("__off") + col("__n"), (col("seq_id") + 1) * seqLen) -
+            greatest(col("__off"), col("seq_id") * lit(seqLen.toLong)))
+          .as("n_tokens"))
+  }
+}

@@ -516,6 +516,33 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    * by clustering embeddings with k-means, then pruning, WITHIN each
+    * cluster, every point whose cosine similarity to a lower-id
+    * clustermate reaches `threshold` — the lowest id of each semantic
+    * near-dup group survives. Returns survivors (id, cell) — integer
+    * columns only, so the cross-engine compare is float-noise-free.
+    *
+    * Scale shape: the cluster assignment is [[kmeansAssign]] (fixed-
+    * point Lloyd, one upfront shuffle); the pair stage is an equi-join
+    * on `cell`, so pair cost is Σ_c n_c² — SemDeDup's design point is
+    * that k is chosen ∝ n to bound the cell population (the paper runs
+    * k=50k on LAION), turning the quadratic global problem into
+    * bounded-size local ones. No cartesian product exists in the plan;
+    * the cell equi-key is pinned by ScalePostureSpec. */
+  def semDedupKeepers(df: DataFrame, id: String, vec: String, k: Int,
+                      iters: Int, threshold: Double): DataFrame = {
+    val cells = kmeansAssign(df, id, vec, k, iters)
+    val v = prep(df, id, vec, id, "vec_d").join(cells, id)
+    val a = v.select(col("cell"), col(id).as("id_a"), col("vec_d").as("va"))
+    val b = v.select(col("cell"), col(id).as("id_b"), col("vec_d").as("vb"))
+    val pruned = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosineFast(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(id)).distinct()
+    v.join(pruned, Seq(id), "left_anti").select(col(id), col("cell"))
+  }
+
   /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein
     * SIGIR'98): greedily pick k of the topN candidates maximizing
     * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s) — relevance traded

@@ -43,7 +43,7 @@ object TextQueries {
     * token fails the oracle query loudly. Emits CTEs `x0..xxh`; `xxh` exposes
     * (doc_id, sh, xh BIGINT) with xh = Spark's signed xxhash64(sh).
     * Reads (doc_id, sh) from `inCte`. */
-  private def xxhash64Ctes(inCte: String): String = {
+  private[queries] def xxhash64Ctes(inCte: String): String = {
     val M = "18446744073709551616" // 2^64
     val (p1, p2, p3, p4, p5) = ("11400714785074694791", "14029467366897019727",
       "1609587929392839161", "9650029242287828579", "2870177450012600261")
@@ -145,15 +145,17 @@ object TextQueries {
                unnest(list_distinct(string_split(lower(text), ' '))) AS sh
              FROM documents WHERE doc_id < $bound),
            ${xxhash64Ctes("tok0")},
+           xm AS MATERIALIZED (SELECT doc_id, sh, xh FROM xxh),
+           xg AS (SELECT CASE WHEN count(*) = 0 THEN 0
+                    ELSE CAST(error('xx64 oracle: token outside the hash envelope')
+                              AS BIGINT) END AS guard
+             FROM xm WHERE xh IS NULL),
            tok AS (SELECT doc_id,
                ((xh % ${graft.operators.Dedup.LcgPrime})
                  + ${graft.operators.Dedup.LcgPrime})
                  % ${graft.operators.Dedup.LcgPrime}
-               + (SELECT CASE WHEN count(*) = 0 THEN 0
-                    ELSE CAST(error('xx64 oracle: token outside the hash envelope')
-                              AS BIGINT) END
-                  FROM xxh WHERE xh IS NULL) AS h
-             FROM xxh),
+               + xg.guard AS h
+             FROM xm, xg),
            $lcgSigs"""
       else if (scheme == "oph")
         s"""tok AS (

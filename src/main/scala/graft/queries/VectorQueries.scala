@@ -303,6 +303,32 @@ object VectorQueries {
         WHERE rank <= 3 ORDER BY query_id, rank"""),
       "IVF ANN with the learned k-means assignment: train + index + search"),
 
+    // ------------------------------------------------------- SemDeDup
+    // Semantic deduplication (Abbas et al., arXiv:2303.09540): k-means
+    // the embedding space, then prune, within each cluster, every
+    // vector whose cosine to a lower-id clustermate reaches 0.3 — the
+    // lowest id of each semantic group survives. The oracle re-derives
+    // the full pipeline: Lloyd training (kmeansSql, bit-identical
+    // fixed-point), the within-cell pair scan, the anti-join. Output is
+    // integer-only so the compare is exact.
+    "q180_semdedup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Similarity.semDedupKeepers(emb(s, d), "vec_id", "embedding",
+            k = 8, iters = 3, threshold = 0.3)
+          .orderBy($"vec_id")
+      },
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)},
+        n AS (SELECT e.vec_id, af.cell, e.embedding, ${sqlNorm("e")} AS nrm
+          FROM embeddings e JOIN af USING (vec_id)),
+        pruned AS (SELECT DISTINCT b.vec_id
+          FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE ${sqlDot("a", "b")} / (a.nrm * b.nrm) >= 0.3)
+        SELECT vec_id, cell FROM n
+        WHERE vec_id NOT IN (SELECT vec_id FROM pruned)
+        ORDER BY vec_id"""),
+      "SemDeDup: k-means cells + within-cell cosine pruning, keep min id"),
+
     // ---------------------------------------------- multi-probe IVF ANN
     // q88 with nprobe=3: each query ranks the learned centroids by the
     // quantizer's own fixed-point distance and searches its THREE nearest

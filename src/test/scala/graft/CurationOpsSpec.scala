@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Redact, Selection, TimeSeries}
+import graft.operators.{Curation, Redact, Selection, TimeSeries}
 import org.apache.spark.sql.functions._
 
 class CurationOpsSpec extends SparkSpec {
@@ -53,6 +53,61 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out(1) && !out(2) && !out(3), "head buckets below minObs never flag")
     assert(!out(5) && !out(6), "flat region is not anomalous")
     assert(out(7), "spike over a zero-variance window flags (sigma=0 strict limit)")
+  }
+
+  test("lmQualityScores: fixed-point bigram MLE, hand-checked") {
+    // corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> c1: a=3, b=2
+    // p(b|a) = 1000000*3//3 = 1000000; p(a|b) = p(c|b) = 1000000*1//2 = 500000
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val m = Curation.lmQualityScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) === ((3L, (1000000L + 500000L + 1000000L) / 3)))
+    assert(m(2L) === ((2L, (1000000L + 500000L) / 2)))
+  }
+
+  test("hashedBigramBucket stays in range and is order-sensitive") {
+    val df = Seq(("x", "y"), ("y", "x"), ("x", "y")).toDF("w1", "w2")
+    val b = df.select(Curation.hashedBigramBucket($"w1", $"w2", 256).as("b"))
+      .as[Long].collect()
+    assert(b.forall(v => v >= 0 && v < 256), s"bucket out of range: ${b.toSeq}")
+    assert(b(0) == b(2), "same bigram -> same bucket")
+    assert(b(0) != b(1), "combine must distinguish (x,y) from (y,x)")
+    intercept[IllegalArgumentException] {
+      Curation.hashedBigramBucket($"w1", $"w2", 100)
+    }
+  }
+
+  test("dsirSelect ranks docs matching the target distribution first") {
+    // target slice repeats 'p q' transitions; doc 10 is pure target-style,
+    // doc 11 mixes, doc 12 shares nothing with the target
+    val src = Seq(
+      (10L, "p q p q p q"),
+      (11L, "p q u v u v"),
+      (12L, "u v w u v w")).toDF("doc_id", "text")
+    val tgt = Seq((99L, "p q p q")).toDF("doc_id", "text")
+    val out = Curation.dsirSelect(src, tgt, "doc_id", "text",
+        buckets = 256, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(10L, 11L, 12L), s"target-like docs must rank first: $out")
+  }
+
+  test("packSequences: hand-checked occupancy at seqLen=4") {
+    // token counts 3,5,2,9 at offsets 0,3,8,10 -> 19 tokens = 5 sequences
+    val df = Seq(
+      (1L, "a a a"), (2L, "b b b b b"), (3L, "c c"),
+      (4L, "d d d d d d d d d")).toDF("doc_id", "text")
+    val out = Curation.packSequences(df, "doc_id", "text", seqLen = 4)
+      .orderBy($"seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 2L, 4L),   // docs 1+2 start here; 3 + 1 tokens
+      (1L, 1L, 0L, 4L),   // doc 2 continues
+      (2L, 2L, 2L, 4L),   // docs 3+4 start; 2 + 2 tokens
+      (3L, 1L, 0L, 4L),   // doc 4 continues
+      (4L, 1L, 0L, 3L)),  // ragged tail
+      s"occupancy mismatch: ${out.toSeq}")
+    // conservation: per-seq token sums must reproduce the corpus total
+    assert(out.map(_._4).sum == 19L)
   }
 
   test("rolling z-score integer compare matches the float z-score on a noisy window") {

@@ -380,4 +380,38 @@ class ScalePostureSpec extends SparkSpec {
       s"vocab token table must broadcast:\n${p.take(800)}")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("q178 DSIR: the 256-row weight table broadcasts; top-k is a sort-limit") {
+    val p = plan("q178_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-bounded weight table must broadcast onto the bigram stream:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a sort-limit, never a global sort:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q179 packing: the token-offset cumsum never globally sorts the docs") {
+    val p = plan("q179_sequence_pack")
+    // rangeCumSums shape: the only permitted SinglePartition stage is the
+    // one-row-per-shuffle-partition offset table; a window ordered by the
+    // doc id itself would be the one-task global cumsum this replaces
+    assert(!"windowspecdefinition\\(doc_id#\\d+L? ASC".r.findFirstIn(p).isDefined,
+      s"per-doc offsets fell back to a one-task global window:\n${p.take(1200)}")
+    val singles = p.linesIterator.count(_.contains("Exchange SinglePartition"))
+    assert(singles <= 1,
+      s"only the partition-totals stage may be single-partition ($singles):\n${p.take(1200)}")
+  }
+
+  test("q180 SemDeDup: the pair scan is a cell equi-join, never all-pairs") {
+    val p = plan("q180_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded all-pairs stage may exist:\n${p.take(1200)}")
+    // the pair join must carry cell as an equi-key (the k-means attach
+    // legitimately broadcast-nested-loops k centroid rows onto points;
+    // that BNLJ is cluster-bounded and allowed)
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[cell#".r
+        .findFirstIn(p).isDefined ||
+      "hashpartitioning\\(cell#".r.findFirstIn(p).isDefined,
+      s"within-cell pairs must come from an equi-join on cell:\n${p.take(1600)}")
+  }
 }

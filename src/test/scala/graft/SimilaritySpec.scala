@@ -254,4 +254,27 @@ class SimilaritySpec extends SparkSpec {
       .orderBy($"rank").collect().map(_.getAs[Long]("cand_id")).toSeq
     assert(rel == Seq(1L, 2L, 3L), s"lambda=1 must be relevance order: $rel")
   }
+
+  test("semDedup keeps the min id of each near-dup group, survivors+pruned partition the ids") {
+    // two tight duplicate groups + one singleton; k=1 puts everything in
+    // one cell, so the pair scan sees every pair — pruning must still
+    // keep exactly the lowest id per cosine-connected group
+    val dup = Seq(
+      (0L, Array(1.0f, 0.02f, 0.0f)),
+      (1L, Array(0.99f, 0.03f, 0.0f)),   // near-dup of 0
+      (2L, Array(0.02f, 1.0f, 0.0f)),
+      (3L, Array(0.03f, 0.99f, 0.0f)),   // near-dup of 2
+      (4L, Array(0.6f, 0.6f, 0.52f))     // distinct from both groups
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedupKeepers(dup, "vec_id", "embedding",
+        k = 1, iters = 1, threshold = 0.99)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 2L, 4L), s"min ids + singleton survive: $kept")
+    // a lower threshold prunes MORE, never less; survivors are monotone
+    val keptLoose = Similarity.semDedupKeepers(dup, "vec_id", "embedding",
+        k = 1, iters = 1, threshold = 0.8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptLoose.subsetOf(kept), s"looser threshold must prune a superset: $keptLoose")
+    assert(keptLoose.contains(0L), "the global min id can never be pruned")
+  }
 }
