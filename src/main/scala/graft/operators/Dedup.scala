@@ -480,6 +480,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** ASYMMETRIC containment join (Broder SEQUENCES'97's containment
+    * measure): directed pairs where C(src→dst) = |S_src ∩ S_dst| /
+    * |S_src| ≥ tNum/tDen — "most of src's shingles appear in dst",
+    * which Jaccard misses whenever the container is much larger than
+    * the contained doc (quotes, benchmark items inside crawl pages —
+    * the decontamination shape q67's equality join can't grade by
+    * degree). The threshold compare is the integer cross-multiply
+    * n_inter·tDen ≥ n_src·tNum and the reported score is the
+    * fixed-point (n_inter·1000000) div n_src — no float at a keep/drop
+    * boundary. Returns (id_src, id_dst, n_inter, n_src, cont_scaled),
+    * both directions evaluated from ONE undirected intersection count.
+    *
+    * Scale posture: identical to [[sparseJaccardPairs]] — the pair
+    * stage is an inverted-index equi-join bounded by shared-shingle
+    * document frequency, never n²; shingle choice (word n-grams, not
+    * unigrams) is what keeps that DF small on real text. */
+  def containmentPairs(df: DataFrame, id: String, shingles: Column,
+                       tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
+    val sizes = df.select(col(id).as("doc"), size(shingles).as("n_sh"))
+    val toks = df.select(col(id).as("doc"), explode(shingles).as("sh"))
+    val inter = toks.alias("a")
+      .join(toks.alias("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sized = inter
+      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), "id_b")
+    val ab = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
+      col("n_inter"), col("n_a").as("n_src"))
+    val ba = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
+      col("n_inter"), col("n_b").as("n_src"))
+    ab.union(ba)
+      .filter(col("n_inter") * tDen >= col("n_src") * tNum)
+      // n_src widens to long: size() is INT but the oracle's len() is
+      // BIGINT, and the schema compare is typed
+      .select(col("id_src"), col("id_dst"), col("n_inter"),
+        col("n_src").cast("long").as("n_src"),
+        expr("(n_inter * 1000000) div n_src").as("cont_scaled"))
+  }
+
   /** EXACT Jaccard ≥ tNum/tDen similarity join via prefix filtering —
     * the AllPairs/PPJoin construction (Bayardo et al., WWW'07; Xiao et
     * al., TODS'11): order every document's shingles by ascending

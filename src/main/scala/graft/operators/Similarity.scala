@@ -55,6 +55,30 @@ object Similarity {
       prep(candidates, id, vec, "cand_id", "cv"),
       k, lit(true))
 
+  /** Hard-negative mining (Karpukhin et al. EMNLP 2020, DPR): for each
+    * query vector, the cosine top-k among candidates whose `label`
+    * DIFFERS from the query's — the near-miss wrong-answers that make
+    * contrastive/retriever training data actually hard. The label
+    * inequality rides the broadcast join predicate, so wrong-label
+    * filtering happens before any scoring work; otherwise the shape is
+    * [[bruteForceTopK]] (swap in IVF candidates at corpus scale).
+    * Returns (query_id, rank, cand_id, cand_label). */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame, id: String,
+                    vec: String, label: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      toDoubleVec(col(vec)).as("qv"), col(label).as("__qlab"))
+    val c = candidates.select(col(id).as("cand_id"),
+      toDoubleVec(col(vec)).as("cv"), col(label).as("cand_label"))
+    val scored = c.join(broadcast(q),
+        col("__qlab") =!= col("cand_label") && col("query_id") =!= col("cand_id"))
+      .withColumn("sim", cosineFast(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cand_label"))
+  }
+
   /** k-NN majority-vote classification: label each query vector by the
     * modal label of its cosine top-k neighbors (deterministic tie-break
     * toward the smaller label). Composes [[bruteForceTopK]] with a label

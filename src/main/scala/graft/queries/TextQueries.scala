@@ -444,6 +444,46 @@ object TextQueries {
         ORDER BY id_a, id_b"""),
       "exact n-gram Jaccard near-dup pairs (bounded baseline)"),
 
+    // ------------------------------------------------ asymmetric containment
+    // Broder containment C(src→dst) = |S_src ∩ S_dst|/|S_src| ≥ 1/2 over
+    // word-4-gram shingles — catches a small doc living inside a large
+    // one (quotes, benchmark leakage) that symmetric Jaccard dilutes
+    // away. Both directions graded from ONE undirected intersection
+    // count; the keep/drop compare is an integer cross-multiply. Word
+    // n-grams (max df 4 on this corpus) keep the inverted-index join
+    // df-bounded where unigrams (31-token vocabulary) would be dense.
+    "q182_containment" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Dedup.containmentPairs(docs(s, d), "doc_id",
+            wordShingles($"text", 4), tNum = 1, tDen = 2)
+          .orderBy($"id_src", $"id_dst")
+      },
+      Some("""WITH s AS (SELECT doc_id, CASE WHEN len(ws) >= 4
+            THEN list_distinct(list_transform(range(1, len(ws) - 2),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+            ELSE [array_to_string(ws, ' ')] END AS sh
+          FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                FROM documents)),
+        t AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            count(*) AS n_inter
+          FROM t a JOIN t b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sized AS (SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b
+          FROM inter
+          JOIN (SELECT doc_id, len(sh) AS n FROM s) sa ON sa.doc_id = id_a
+          JOIN (SELECT doc_id, len(sh) AS n FROM s) sb ON sb.doc_id = id_b),
+        d AS (SELECT id_a AS id_src, id_b AS id_dst, n_inter, n_a AS n_src
+            FROM sized
+          UNION ALL
+          SELECT id_b, id_a, n_inter, n_b FROM sized)
+        SELECT id_src, id_dst, n_inter, n_src,
+          (n_inter * 1000000) // n_src AS cont_scaled
+        FROM d WHERE n_inter * 2 >= n_src
+        ORDER BY id_src, id_dst"""),
+      "asymmetric containment pairs: doc-in-doc detection, df-bounded join"),
+
     // ------------------------------------------------------ MinHash+LSH dedup
     // Scale path: shingle → 64 minhashes → 8 bands of 8 → bucket grouping
     // → exact-Jaccard verify on candidates only. r=8 rows/band keeps the

@@ -303,6 +303,35 @@ object VectorQueries {
         WHERE rank <= 3 ORDER BY query_id, rank"""),
       "IVF ANN with the learned k-means assignment: train + index + search"),
 
+    // ----------------------------------------------- hard-negative mining
+    // DPR-style contrastive training data (Karpukhin EMNLP 2020): per
+    // query, the cosine top-3 among WRONG-label candidates — similar
+    // enough to confuse a retriever, labeled different. The label
+    // inequality is part of the broadcast join predicate, so wrong-label
+    // pruning precedes all scoring.
+    "q181_hard_negatives" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        Similarity.hardNegatives(
+            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10),
+            "vec_id", "embedding", "label", 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(s"""WITH q AS (SELECT vec_id, label, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id, label, embedding, ${sqlNorm("embeddings")} AS nrm
+          FROM embeddings WHERE vec_id >= 10),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            c.label AS cand_label, ${sqlDot("q", "c")} / (q.nrm * c.nrm) AS sim
+          FROM q, c WHERE q.label <> c.label)
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, cand_id, cand_label
+        FROM (SELECT query_id, cand_id, cand_label, row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, cand_id) AS rank
+          FROM scored)
+        WHERE rank <= 3 ORDER BY query_id, rank"""),
+      "hard-negative mining: cosine top-k restricted to wrong-label candidates"),
+
     // ------------------------------------------------------- SemDeDup
     // Semantic deduplication (Abbas et al., arXiv:2303.09540): k-means
     // the embedding space, then prune, within each cluster, every

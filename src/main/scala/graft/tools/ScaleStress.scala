@@ -98,7 +98,18 @@ object ScaleStress {
       // channel-bounded absorption chain
       "q133_mad_outliers", "q116_exact_dedup_pipeline", "q96_ivfpq_adc",
       "q115_ivfpq_multiprobe", "q166_spearman_corr", "q89_cc_stars_paths",
-      "q165_label_propagation", "q159_markov_attribution")
+      "q165_label_propagation", "q159_markov_attribution",
+      // curation additions: LM quality (bigram tables vocabulary-bounded
+      // under replication — only the doc-keyed fold is 10x), DSIR (the
+      // weight table is 256 rows at ANY scale; replication shifts no
+      // mass, so only the bigram stream grows), packing (cumsum +
+      // explode input-proportional; 10x docs = 10x sequences), and
+      // SemDeDup — whose ratio is DUPLICATION-driven like q111: every
+      // vector is 10x-replicated into the same cell, so within-cell
+      // pairs grow by C(10,2) per original; real pipelines run exact
+      // dedup first, which is the documented composition
+      "q177_lm_quality", "q178_dsir_select", "q179_sequence_pack",
+      "q180_semdedup")
     // flag threshold: super-linear growth — runtime ratio beyond
     // ~1.3x the data ratio means the operator is NOT input-proportional
     // (documented exceptions: output-driven q111, densification-driven

@@ -255,6 +255,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rel == Seq(1L, 2L, 3L), s"lambda=1 must be relevance order: $rel")
   }
 
+  test("hardNegatives returns only wrong-label candidates, cosine-ranked") {
+    // query 0 (label 0): wrong-label candidates among 1-4 = only vec 2
+    val out = Similarity.hardNegatives(
+        vecs.filter($"vec_id" === 0), vecs.filter($"vec_id" =!= 0),
+        "vec_id", "embedding", "label", 3)
+      .as[(Long, Int, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 1, 2L, 1)), s"only the label-1 candidate qualifies: $out")
+    // query 2 (label 1): every other vector is wrong-label; ranks follow cosine
+    val out2 = Similarity.hardNegatives(
+        vecs.filter($"vec_id" === 2), vecs.filter($"vec_id" =!= 2),
+        "vec_id", "embedding", "label", 2)
+      .as[(Long, Int, Long, Int)].collect().sortBy(_._2)
+    assert(out2.map(_._3).toSeq == Seq(4L, 1L),
+      s"nearest wrong-label vectors by cosine: $out2")
+  }
+
   test("semDedup keeps the min id of each near-dup group, survivors+pruned partition the ids") {
     // two tight duplicate groups + one singleton; k=1 puts everything in
     // one cell, so the pair scan sees every pair — pruning must still

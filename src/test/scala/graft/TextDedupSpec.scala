@@ -31,6 +31,27 @@ class TextDedupSpec extends SparkSpec {
     assert(j._1 == 1.0 && j._2 == 0.0)
   }
 
+  test("containmentPairs is asymmetric: the contained doc scores 1.0, the container less") {
+    val cd = Seq(
+      (0L, "a b c d e f"),          // 3 word-4-grams, all inside doc 1
+      (1L, "a b c d e f g h"),      // 5 word-4-grams
+      (2L, "x y z w v u")           // disjoint
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(cd, "doc_id",
+        TextFunctions.wordShingles($"text", 4), tNum = 1, tDen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out((0L, 1L)) === ((3L, 3L, 1000000L)), "doc 0 fully contained in doc 1")
+    assert(out((1L, 0L)) === ((3L, 5L, 600000L)), "reverse direction passes at 3/5 >= 1/2")
+    assert(out.size == 2, s"disjoint doc never pairs: ${out.keySet}")
+    // below-threshold direction drops: with tNum/tDen = 2/3, 3/5 fails
+    val strict = Dedup.containmentPairs(cd, "doc_id",
+        TextFunctions.wordShingles($"text", 4), tNum = 2, tDen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict === Set((0L, 1L)), s"only full containment survives 2/3: $strict")
+  }
+
   test("exact dedup stats distinguish exact vs fingerprint uniqueness") {
     val r = Dedup.exactStats(docs, "text").collect()(0)
     assert(r.getLong(0) == 4)
