@@ -24,6 +24,16 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC scan — the other columnar format Spark ships natively (the
+    * Hive-ecosystem interchange counterpart to parquet). Same scale
+    * properties as S1: stripe-level splits, predicate pushdown into
+    * stripe/row-group statistics, column projection. The explicit
+    * schema keeps the schema-on-read discipline the text sources use —
+    * ORC self-describes, but pinning the expected schema turns silent
+    * upstream drift into a loud analysis error. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** S3/S4 — JDBC scan. Unlike the reference's single-partition read
     * (sparkML.py:40-46, a serial bottleneck), an optional numeric
     * partition column splits the read across executors. */

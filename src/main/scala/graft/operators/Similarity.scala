@@ -616,4 +616,146 @@ object Similarity {
     }
     sel.select(col("rank"), col("cand_id"), col("mmr"))
   }
+
+  // ------------------------------------------------------------------
+  // PCA: exact scatter matrix + deterministic power iteration
+  // ------------------------------------------------------------------
+
+  /** Exact integer scatter matrix of a fixed-point quantization of the
+    * embedding column: for 0 ≤ i ≤ j < dims, `c_num = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ`
+    * over `x = round(v·scale)` — that is n² × the sample covariance,
+    * kept as an EXACT integer so PCA training is engine-portable (no
+    * float summation order anywhere).
+    *
+    * Plan shape (the 100 TB story): the d(d+1)/2 per-row products come
+    * from two chained `posexplode`s over the quantized array — a NARROW
+    * expansion, no join, fully inside whole-stage codegen — and the only
+    * shuffle is the final hash aggregate over d(d+1)/2 = O(d²) groups,
+    * which map-side combines each task's expansion down to ≤ 2080 rows
+    * (d=64) regardless of input size. Per-row products are ≤ (scale·B)²
+    * and accumulate in DECIMAL(38,0), so the sums stay exact far past
+    * any realistic corpus; the final `c_num` is returned as BIGINT,
+    * valid while |c_num| ≤ 2·n²·(scale·B)² < 2⁶³ (B = max |component| —
+    * at the default scale=1e3 and B<1 that holds to n ≈ 2·10⁶; larger
+    * corpora lower `scale`, they don't change the plan). DECIMAL
+    * arithmetic overflows to NULL rather than wrapping, so an
+    * out-of-envelope run surfaces as missing rows, never a wrong sum. */
+  def embScatter(df: DataFrame, vec: String, dims: Int,
+                 scale: Double = 1e3): DataFrame = {
+    val xi = df.select(toFixedVec(col(vec), scale).as("xf"))
+      .select(col("xf"), posexplode(col("xf")).as(Seq("i", "xi")))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val scatter = xi
+      .select(col("i"), col("xi"),
+        posexplode(slice(col("xf"), col("i") + 1, lit(dims))).as(Seq("dj", "xj")))
+      .select(col("i"), (col("i") + col("dj")).as("j"),
+        (col("xi") * col("xj")).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(d38(col("p"))).as("sxy"))
+    // 64-row marginals; broadcast into the 2080-row scatter frame
+    val marg = xi.groupBy(col("i"))
+      .agg(sum(d38(col("xi"))).as("sx"), count(lit(1)).as("n"))
+    scatter
+      .join(broadcast(marg.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
+      .join(broadcast(marg.select(col("i").as("j"), col("sx").as("sxj"))), "j")
+      .select(col("i"), col("j"),
+        (d38(col("n")) * col("sxy") - col("sxi") * col("sxj"))
+          .cast("long").as("c_num"))
+  }
+
+  /** Dominant principal component by max-norm power iteration on the
+    * exact scatter matrix, ENTIRELY in integers — so the trained
+    * component is bit-reproducible on any engine (the DuckDB oracle
+    * replays the identical iteration as unrolled CTEs; q185).
+    *
+    * The scatter aggregation above is the data-proportional part; the
+    * d×d solve collects d(d+1)/2 exact entries to the driver (bounded
+    * by DIMENSIONS², never rows — the same legitimacy class as
+    * [[graft.operators.Stats]]' k² Gram solve) and iterates in BigInt:
+    * v ← (A·v)·V ∕ max|A·v| (sign-split floor division, start vector
+    * all-V), `iters` rounds. Max-norm renormalization instead of L2
+    * keeps every step in ℤ — no sqrt, no float, no rounding mode to
+    * disagree on. Output: one row per dimension (pos 1-based, loading
+    * ∈ [−V, V]) plus the explained-variance share of the component as
+    * exact ppm (⌊10⁶·vᵀAv ∕ (vᵀv·trace A)⌋ — Rayleigh quotient over
+    * total variance, nonnegative since A is PSD). */
+  def pcaTopComponent(df: DataFrame, vec: String, dims: Int,
+                      scale: Double = 1e3, iters: Int = 12,
+                      vScale: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val a = Array.ofDim[BigInt](dims, dims)
+    embScatter(df, vec, dims, scale).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = BigInt(r.getLong(2))
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val vSc = BigInt(vScale)
+    var v = Array.fill(dims)(vSc)
+    for (_ <- 1 to iters) {
+      val mv = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => a(i)(j) * v(j)).sum)
+      val mx = mv.map(_.abs).max
+      // mx == 0 (A·v ≡ 0, i.e. a zero scatter matrix) degenerates to the
+      // zero vector — same branch the oracle CTE takes, so the two stay
+      // bit-equal even on constant-embedding corpora
+      v = if (mx > 0) mv.map(m => m.signum * (m.abs * vSc / mx)) else mv
+    }
+    val num = (for (i <- 0 until dims; j <- 0 until dims)
+      yield v(i) * a(i)(j) * v(j)).sum
+    val den = v.map(x => x * x).sum * (0 until dims).map(i => a(i)(i)).sum
+    val evPpm = if (den > 0) (num * 1000000 / den).toLong else 0L
+    spark.createDataset(
+      (0 until dims).map(i => (i + 1L, v(i).toLong, evPpm)))
+      .toDF("pos", "loading", "ev_ppm")
+  }
+
+  /** Top-k orthonormal principal components by power iteration with
+    * Hotelling deflation, double precision (the multi-component basis
+    * is spec-pinned — variance ordering, orthonormality, reconstruction
+    * monotonicity — rather than oracled: only the top-1 integer path
+    * above is cross-engine exact). Returns the k×d basis, row-major. */
+  def pcaBasis(df: DataFrame, vec: String, dims: Int, k: Int,
+               scale: Double = 1e3, iters: Int = 50): Array[Array[Double]] = {
+    require(k >= 1 && k <= dims, s"need 1 <= k <= dims, got k=$k dims=$dims")
+    val a = Array.ofDim[Double](dims, dims)
+    embScatter(df, vec, dims, scale).collect().foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val v = r.getLong(2).toDouble
+      a(i)(j) = v; a(j)(i) = v
+    }
+    val basis = Array.ofDim[Double](k, dims)
+    for (c <- 0 until k) {
+      var v = Array.tabulate(dims)(i => 1.0 / math.sqrt(dims.toDouble))
+      for (_ <- 1 to iters) {
+        val mv = Array.tabulate(dims)(i =>
+          (0 until dims).map(j => a(i)(j) * v(j)).sum)
+        val n = math.sqrt(mv.map(x => x * x).sum)
+        if (n > 0) v = mv.map(_ / n)
+      }
+      basis(c) = v
+      // deflate: A ← A − λvvᵀ with λ the Rayleigh quotient
+      val lam = (for (i <- 0 until dims; j <- 0 until dims)
+        yield v(i) * a(i)(j) * v(j)).sum
+      for (i <- 0 until dims; j <- 0 until dims)
+        a(i)(j) -= lam * v(i) * v(j)
+    }
+    basis
+  }
+
+  /** Project the embedding column onto a PCA basis (k×d, from
+    * [[pcaBasis]]): appends `out` = array<double> of k scores. The basis
+    * is a broadcast literal (k·d doubles); the projection itself is a
+    * narrow codegen'd map — at 100 TB this is the dimensionality-
+    * reduction pass that runs BEFORE brute-force/IVF scoring, shrinking
+    * every downstream distance loop from d to k multiplies. */
+  def pcaProject(df: DataFrame, vec: String, basis: Array[Array[Double]],
+                 out: String): DataFrame = {
+    val vd = toDoubleVec(col(vec))
+    val scores = basis.map { row =>
+      val lits = array(row.map(lit): _*)
+      aggregate(zip_with(vd, lits, (x, b) => x * b), lit(0.0), (s, x) => s + x)
+    }
+    df.withColumn(out, array(scores.toIndexedSeq: _*))
+  }
 }

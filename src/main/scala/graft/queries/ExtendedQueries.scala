@@ -961,6 +961,45 @@ object ExtendedQueries {
             + day(max(l_shipdate)) AS INTEGER) AS last_ship_ymd
         FROM lineitem WHERE l_orderkey < 1000
         GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      "JDBC round-trip: dialect DDL write, partitioned read back, parquet-oracled")
+      "JDBC round-trip: dialect DDL write, partitioned read back, parquet-oracled"),
+
+    // ------------------------------------------------- ORC round-trip
+    // The other columnar format Spark ships natively: a part slice
+    // written as snappy ORC once (mtime-keyed like q173/q174), read
+    // back through Sources.orc under the source schema, aggregated and
+    // oracled against the parquet original — pinning ORC round-trip
+    // fidelity for longs, doubles and strings through the second
+    // columnar path. (Avro has no connector jar in this distribution,
+    // so ORC is the one additional columnar interchange format the
+    // engine can certify end to end; DuckDB cannot read ORC, which is
+    // exactly why the oracle compares against the parquet ORIGINAL —
+    // the round trip itself is what's under test.)
+    "q183_orc_roundtrip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = new java.io.File(s"$d/part.parquet")
+        val layout = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/part_orc"
+        val base = t(s, d, "part")
+          .filter($"p_size" <= 25)
+          .select($"p_partkey", $"p_brand", $"p_type", $"p_size", $"p_retailprice")
+        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS"))
+          base.write.mode("overwrite").orc(layout)
+        graft.io.Sources.orc(s, layout, base.schema)
+          .groupBy($"p_brand")
+          .agg(count(lit(1)).as("n_parts"),
+            countDistinct($"p_type").as("n_types"),
+            sum($"p_size").cast("long").as("sum_size"),
+            graft.operators.Relational.moneySum($"p_retailprice").as("retail_total"))
+          .orderBy($"p_brand")
+      },
+      Some("""SELECT p_brand, count(*) AS n_parts,
+          count(DISTINCT p_type) AS n_types,
+          CAST(sum(p_size) AS BIGINT) AS sum_size,
+          CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS retail_total
+        FROM part WHERE p_size <= 25
+        GROUP BY p_brand ORDER BY p_brand"""),
+      "ORC source round-trip: columnar write once, schema-on-read back, parquet-oracled")
   )
 }

@@ -591,7 +591,99 @@ object VectorQueries {
         WHERE rank <= 5 ORDER BY query_id, rank"""
         raw.replaceAll("(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
       },
-      "IVF-PQ composed with multi-probe: per-probed-cell residual LUTs")
+      "IVF-PQ composed with multi-probe: per-probed-cell residual LUTs"),
+
+    // ------------------------------------------- PCA: exact scatter
+    // PCA training step 1, engine-portable: the d×d scatter matrix of
+    // the fixed-point (scale 1e3) embedding quantization as EXACT
+    // integers — c_num(i,j) = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ = n²·cov. The engine's
+    // d(d+1)/2 products per row come from two chained posexplodes (a
+    // narrow codegen expansion, no join) and map-side combine into 2080
+    // groups, so the only shuffle is 2080 rows per task regardless of
+    // corpus size; sums accumulate in DECIMAL(38,0). The oracle
+    // re-derives every entry via the per-dimension unnest + self-join.
+    "q184_emb_scatter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Similarity.embScatter(emb(s, d), "embedding", dims = 64)
+          .orderBy($"i", $"j")
+      },
+      Some("""WITH px AS (SELECT vec_id, i,
+            CAST(round(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+          FROM embeddings, range(1, 65) t(i)),
+        m AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx, count(*) AS n
+          FROM px GROUP BY i),
+        s AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS sxy
+          FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+        SELECT CAST(s.i - 1 AS INTEGER) AS i, CAST(s.j - 1 AS INTEGER) AS j,
+          CAST(ma.n * s.sxy - ma.sx * mb.sx AS BIGINT) AS c_num
+        FROM s JOIN m ma ON s.i = ma.i JOIN m mb ON s.j = mb.i
+        ORDER BY i, j"""),
+      "PCA scatter matrix: exact integer n²·cov over the fixed-point grid"),
+
+    // -------------------------------------- PCA: integer power iteration
+    // PCA training step 2: the dominant component by max-norm power
+    // iteration on q184's exact scatter matrix, entirely in integers
+    // (v ← (A·v)·10⁶ ∕ max|A·v|, sign-split floor division, 12 rounds
+    // from the all-ones start) — so the TRAINED component, not just its
+    // inputs, is bit-reproducible cross-engine: the oracle replays the
+    // identical iteration as 12 unrolled CTE rounds in HUGEINT. The d²
+    // solve collects 2080 exact entries (bounded by dims², never rows —
+    // the olsFit legitimacy class); the scatter aggregation stays the
+    // one distributed pass. ev_ppm pins the component's explained-
+    // variance share as exact ppm (⌊10⁶·vᵀAv/(vᵀv·tr A)⌋).
+    "q185_pca_power" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Similarity.pcaTopComponent(emb(s, d), "embedding", dims = 64,
+            iters = 12)
+          .orderBy($"pos")
+      },
+      Some {
+        val iters = 12
+        val sb = new StringBuilder
+        sb ++= """WITH px AS (SELECT vec_id, i,
+            CAST(round(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+          FROM embeddings, range(1, 65) t(i)),
+        m AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx, count(*) AS n
+          FROM px GROUP BY i),
+        s AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS sxy
+          FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2),
+        up AS (SELECT s.i AS i, s.j AS j,
+            CAST(ma.n * s.sxy - ma.sx * mb.sx AS HUGEINT) AS a
+          FROM s JOIN m ma ON s.i = ma.i JOIN m mb ON s.j = mb.i),
+        af AS MATERIALIZED (SELECT i, j, a FROM up
+          UNION ALL SELECT j, i, a FROM up WHERE i < j),
+        v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM range(1, 65) t(i))"""
+        for (r <- 1 to iters) sb ++= s""",
+        m$r AS (SELECT af.i AS i, CAST(sum(af.a * v.v) AS HUGEINT) AS mv
+          FROM af JOIN v${r - 1} v ON af.j = v.i GROUP BY 1),
+        x$r AS (SELECT max(abs(mv)) AS mx FROM m$r),
+        v$r AS (SELECT i, CAST(CASE WHEN mx = 0 THEN mv
+            WHEN mv < 0 THEN -(((-mv) * 1000000) // mx)
+            ELSE (mv * 1000000) // mx END AS HUGEINT) AS v
+          FROM m$r, x$r)"""
+        sb ++= s""",
+        num AS (SELECT CAST(sum(va.v * af.a * vb.v) AS HUGEINT) AS num
+          FROM af JOIN v$iters va ON af.i = va.i
+                  JOIN v$iters vb ON af.j = vb.i),
+        den AS (SELECT (SELECT CAST(sum(v * v) AS HUGEINT) FROM v$iters)
+            * (SELECT CAST(sum(a) AS HUGEINT) FROM af WHERE i = j) AS den)
+        SELECT CAST(v$iters.i AS BIGINT) AS pos,
+          CAST(v AS BIGINT) AS loading,
+          CAST(CASE WHEN den > 0 THEN (num * 1000000) // den
+            ELSE 0 END AS BIGINT) AS ev_ppm
+        FROM v$iters, num, den ORDER BY pos"""
+        // materialize EVERY CTE (the q115 discipline): DuckDB inlines
+        // plain CTEs per reference, and each iteration level is referenced
+        // twice (m_r by x_r and v_r) — un-materialized, the 12-round chain
+        // re-expands exponentially and never finishes
+        sb.result().replaceAll(
+          "(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
+      },
+      "dominant PC by integer power iteration — trained weights hash-matched")
   ) :+ mmrQuery
 
   // ------------------------------------------------- MMR re-ranking

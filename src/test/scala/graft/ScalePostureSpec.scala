@@ -414,4 +414,20 @@ class ScalePostureSpec extends SparkSpec {
       "hashpartitioning\\(cell#".r.findFirstIn(p).isDefined,
       s"within-cell pairs must come from an equi-join on cell:\n${p.take(1600)}")
   }
+
+  test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
+    val p = plan("q184_emb_scatter")
+    // the d(d+1)/2 per-row products come from chained posexplodes — a
+    // Generate, never a self-join of the exploded frame
+    assert(p.contains("Generate posexplode"),
+      s"products must come from a narrow generate:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no data-scaled join may exist — the only joins are the broadcast " +
+        s"64-row marginals:\n${p.take(1200)}")
+    // partial aggregation: each task combines its n·d² expansion down to
+    // ≤ d(d+1)/2 rows BEFORE the exchange — the property that makes the
+    // expansion free of shuffle volume at 100 TB
+    assert(p.contains("partial_sum"),
+      s"scatter sums must map-side combine:\n${p.take(1200)}")
+  }
 }

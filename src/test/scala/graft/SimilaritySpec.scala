@@ -293,4 +293,76 @@ class SimilaritySpec extends SparkSpec {
     assert(keptLoose.subsetOf(kept), s"looser threshold must prune a superset: $keptLoose")
     assert(keptLoose.contains(0L), "the global min id can never be pruned")
   }
+
+  test("embScatter matches the naive BigInt scatter on raw data") {
+    val data = Seq(
+      (0L, Array(0.11f, -0.40f, 0.25f)),
+      (1L, Array(-0.32f, 0.18f, 0.07f)),
+      (2L, Array(0.44f, 0.01f, -0.29f)),
+      (3L, Array(-0.05f, -0.22f, 0.31f))
+    )
+    val got = Similarity.embScatter(
+        data.toDF("vec_id", "embedding"), "embedding", dims = 3)
+      .as[(Int, Int, Long)].collect()
+      .map { case (i, j, c) => (i, j) -> BigInt(c) }.toMap
+    // naive reference: quantize, then n·Σxy − Σx·Σy per (i, j) in BigInt
+    val q = data.map(_._2.map(v => BigInt(math.round(v.toDouble * 1000))))
+    val n = BigInt(q.size)
+    for (i <- 0 until 3; j <- i until 3) {
+      val sxy = q.map(r => r(i) * r(j)).sum
+      val want = n * sxy - q.map(_(i)).sum * q.map(_(j)).sum
+      assert(got((i, j)) === want, s"scatter ($i,$j)")
+    }
+    assert(got.size === 6, "upper triangle only: d(d+1)/2 entries")
+    // PSD diagonal: n²·var ≥ 0
+    for (i <- 0 until 3) assert(got((i, i)) >= 0)
+  }
+
+  test("integer power iteration finds the dominant axis; ev_ppm is its variance share") {
+    // variance concentrated on dim 0 (spread ±0.4), dims 1-2 near-constant
+    val skew = Seq(
+      (0L, Array(0.40f, 0.01f, -0.02f)),
+      (1L, Array(-0.38f, 0.02f, 0.01f)),
+      (2L, Array(0.35f, -0.01f, 0.02f)),
+      (3L, Array(-0.41f, 0.02f, -0.01f)),
+      (4L, Array(0.37f, 0.01f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.pcaTopComponent(skew, "embedding", dims = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val loadings = rows.map(_._2)
+    assert(math.abs(loadings(0)) === 1000000L,
+      s"dominant loading saturates the max-norm grid: ${loadings.toSeq}")
+    assert(math.abs(loadings(1)) < 100000L && math.abs(loadings(2)) < 100000L,
+      s"near-constant dims carry tiny loadings: ${loadings.toSeq}")
+    val evPpm = rows.head._3
+    assert(rows.forall(_._3 == evPpm), "ev_ppm is a single trained scalar")
+    assert(evPpm > 950000L && evPpm <= 1000000L,
+      s"dim-0 concentration must explain >95% of variance: $evPpm")
+  }
+
+  test("pcaBasis is orthonormal and variance-ordered; pcaProject scores it") {
+    val basis = Similarity.pcaBasis(vecs, "embedding", dims = 3, k = 2)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(basis(0), basis(0)) - 1.0) < 1e-9, "PC1 unit norm")
+    assert(math.abs(dot(basis(1), basis(1)) - 1.0) < 1e-9, "PC2 unit norm")
+    assert(math.abs(dot(basis(0), basis(1))) < 1e-6, "PC1 ⊥ PC2")
+    val scores = Similarity.pcaProject(vecs, "embedding", basis, "pc")
+      .select($"pc").as[Seq[Double]].collect()
+    assert(scores.forall(_.size == 2), "k scores per row")
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / xs.size
+    }
+    val v1 = variance(scores.map(_(0)).toSeq)
+    val v2 = variance(scores.map(_(1)).toSeq)
+    assert(v1 >= v2, s"projection variance must be ordered: $v1 < $v2")
+    // the deflated double basis and the integer power iteration agree on
+    // the dominant direction (up to sign and the fixed-point grid)
+    val intTop = Similarity.pcaTopComponent(vecs, "embedding", dims = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).map(_._2.toDouble)
+    val nrm = math.sqrt(intTop.map(x => x * x).sum)
+    val cosAgree = math.abs(dot(basis(0), intTop.map(_ / nrm)))
+    assert(cosAgree > 0.999, s"double and integer PC1 must align: $cosAgree")
+  }
 }
