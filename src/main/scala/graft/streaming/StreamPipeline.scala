@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -243,6 +243,73 @@ object StreamPipeline {
                            keys: Seq[String]): DataFrame =
     df.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming NEAR-dup suppression — the ingest-time face of the batch
+    * MinHash-LSH pipeline ([[graft.operators.Dedup.minhashNearDups]]):
+    * each micro-batch of (id, text) docs is banded, checked against a
+    * persistent bucket index of everything previously admitted, and only
+    * docs touching no existing bucket (and no lower-id bucket-mate within
+    * the batch) are appended to the output and have their buckets
+    * appended to the index. At 100 TB this is how near-dup filtering
+    * actually runs — incrementally at ingest, not as a periodic full-
+    * corpus O(corpus) recomputation; the per-batch cost is one equi-join
+    * of the batch's `bands·docs` bucket rows against the index.
+    *
+    * Exactly-once with ONE commit point: both the survivor parquet and
+    * the index-delta parquet for `batch-N` are written BEFORE the single
+    * `batch-N.commit` marker is created (in `outDir`); the index read
+    * unions only deltas whose OUT marker exists. A crash anywhere before
+    * the marker leaves both dirs invisible and the redelivered batchId
+    * rewrites them (mode Overwrite — idempotent); a crash after skips
+    * cleanly. Two markers would reintroduce the torn state this protocol
+    * exists to kill: with an index-side marker committed first, a replay
+    * would find the batch's OWN buckets in the index and suppress every
+    * one of its docs.
+    *
+    * Suppression is per-bucket-collision (any shared band ⇒ suppressed,
+    * no verify pass): streaming admission can't re-verify against docs
+    * it dropped, so the filter trades the batch pipeline's exact-Jaccard
+    * confirmation for bounded state — the standard ingest-time posture
+    * (tune k/bands for precision; the spec pins the semantics). */
+  def nearDupSuppressWriter(indexDir: String, outDir: String,
+                            id: String, text: String,
+                            k: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import graft.io.Fs
+      import graft.operators.Dedup
+      val spark = batch.sparkSession
+      val name = f"batch-$batchId%06d"
+      if (!Fs.exists(spark, s"$outDir/$name.commit")) {
+        val buckets = Dedup.lshBands(
+          Dedup.minhashSignaturesLcg(Dedup.tokens(batch, id, text), id, k),
+          id, k, bands).persist()
+        // committed index = deltas whose OUT marker exists (never the
+        // in-flight batch: its marker isn't there yet)
+        val committed = Fs.listWithSuffix(spark, outDir, ".commit")
+          .map(n => s"$indexDir/${n.stripSuffix(".commit")}")
+        val hitExisting =
+          if (committed.isEmpty) buckets.filter(lit(false)).select(col(id))
+          else buckets.join(
+            spark.read.parquet(committed: _*)
+              .select(col("band_idx"), col("band_hash")),
+            Seq("band_idx", "band_hash"), "left_semi").select(col(id))
+        // within-batch: min id per bucket wins; the window frame is one
+        // LSH bucket — bounded by bucket occupancy, never batch size
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))
+        val hitWithin = buckets
+          .withColumn("__own", min(col(id)).over(w))
+          .filter(col(id) > col("__own")).select(col(id))
+        val suppressed = hitExisting.union(hitWithin).distinct()
+        val survivors = batch.join(suppressed, Seq(id), "left_anti").persist()
+        survivors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+        buckets.join(survivors.select(col(id)), Seq(id), "left_semi")
+          .select(col(id), col("band_idx"), col("band_hash"))
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$name")
+        Fs.touch(spark, s"$outDir/$name.commit")
+        survivors.unpersist(); buckets.unpersist()
+      }
+    }
 
   /** Watermarked stream-stream inner equi-join with an event-time range
     * bound. Both sides buffer state only within their watermark; the

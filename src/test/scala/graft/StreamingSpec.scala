@@ -585,4 +585,55 @@ class StreamingSpec extends SparkSpec {
       s"streamed sketch must equal the batch sketch:\n$streamed\nvs\n$batch")
     assert(batch("b")._1 == 5L && batch("b")._2 == 5.0, "under-k key is exact")
   }
+
+  test("streaming near-dup suppression: LSH bucket index filters across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("neardup").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.nearDupSuppressWriter(
+      indexDir, outDir, "doc_id", "text")
+    val ckpt = Files.createTempDirectory("neardup_ck").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamPipeline.foreachBatchSink(
+      stream.toDF().toDF("doc_id", "text"), ckpt, writer)
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+    // batch 0: doc 2 is doc 1's token-set permutation (near-dup, not
+    // byte-equal — identical MinHash signature, all bands collide);
+    // doc 3 is unrelated
+    stream.addData(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lazy dog the quick brown fox jumps over the"),
+      (3L, "completely different subject matter entirely here"))
+    q.processAllAvailable()
+    assert(admitted() == Seq(1L, 3L),
+      s"within-batch: min id per bucket group survives: ${admitted()}")
+    // batch 1: doc 4 re-sends doc 1's text (hits the PERSISTED index,
+    // not within-batch state); doc 5 is new
+    stream.addData(
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "yet another fresh and unrelated piece of text"))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted() == Seq(1L, 3L, 5L),
+      s"cross-batch: the bucket index must suppress doc 4: ${admitted()}")
+    // crash redelivery: both batchIds replayed verbatim — the single
+    // commit point makes each a no-op (in particular batch 0's docs must
+    // NOT be suppressed by their own index entries on replay)
+    val replay0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "lazy dog the quick brown fox jumps over the"),
+      (3L, "completely different subject matter entirely here"))
+      .toDF("doc_id", "text")
+    writer(replay0, 0L)
+    assert(admitted() == Seq(1L, 3L, 5L),
+      s"redelivered batch must be a no-op: ${admitted()}")
+    // the admitted corpus carries no near-dup pair at all — the batch
+    // verifier over the admitted output finds nothing to merge
+    val pairs = graft.operators.Dedup.minhashNearDups(
+        Sinks.readAppendOnce(spark, outDir).get, "doc_id", "text",
+        k = 16, bands = 4, threshold = 0.9, scheme = "lcg")
+    assert(pairs.count() == 0, "admitted set must be near-dup free")
+  }
 }
