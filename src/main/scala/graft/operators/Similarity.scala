@@ -743,6 +743,43 @@ object Similarity {
     basis
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (k×d), entry
+    * (r, i) = +1 iff the first hex digit of md5("jl:r:i") is even (i is
+    * 1-based to match the SQL mirror's `range(1, d+1)`). Achlioptas
+    * (JCSS 2003) showed ±1 entries satisfy the JL lemma like Gaussians;
+    * deriving them from md5 makes the matrix a pure FUNCTION — no seed
+    * state to ship, any engine regenerates it bit-identically. */
+  def jlSigns(k: Int, dims: Int): Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k, dims) { (r, i) =>
+      val h = md.digest(s"jl:$r:${i + 1}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** JL random projection of the embedding column, exact-integer: each
+    * output coordinate is y_r = Σᵢ round(vᵢ·scale)·s(r,i) with the ±1
+    * signs above — the data-INDEPENDENT dimensionality reduction. Where
+    * [[pcaBasis]] spends a training pass to find the best k directions,
+    * JL needs none at all and still preserves pairwise distances within
+    * (1±ε) for k = O(log n / ε²) — at 100 TB it is the first-cut
+    * reduction you run while the PCA scatter pass is still a plan. One
+    * narrow codegen map per row (the k·d sign matrix rides along as a
+    * broadcast literal, ~k·d bytes); no shuffle, no state, and because
+    * every arithmetic step is an exact integer, the projected
+    * coordinates — not a float approximation of them — hash-match the
+    * oracle's re-derivation. Returns (id, r, y) rows. */
+  def jlProject(df: DataFrame, id: String, vec: String, k: Int,
+                dims: Int, scale: Double = 1e3): DataFrame = {
+    val signs = jlSigns(k, dims)
+    val xf = toFixedVec(col(vec), scale)
+    val ys = signs.map { row =>
+      val lits = array(row.map(lit): _*)
+      aggregate(zip_with(xf, lits, (x, s) => x * s), lit(0L), (a, x) => a + x)
+    }
+    df.select(col(id), posexplode(array(ys.toIndexedSeq: _*)).as(Seq("r", "y")))
+  }
+
   /** Project the embedding column onto a PCA basis (k×d, from
     * [[pcaBasis]]): appends `out` = array<double> of k scores. The basis
     * is a broadcast literal (k·d doubles); the projection itself is a

@@ -683,7 +683,37 @@ object VectorQueries {
         sb.result().replaceAll(
           "(\\b[A-Za-z_][A-Za-z0-9_]*\\s+AS)\\s*\\(", "$1 MATERIALIZED (")
       },
-      "dominant PC by integer power iteration — trained weights hash-matched")
+      "dominant PC by integer power iteration — trained weights hash-matched"),
+
+    // --------------------------------- JL random projection (exact)
+    // The data-INDEPENDENT counterpart to q184/q185's trained PCA:
+    // Achlioptas ±1 Johnson–Lindenstrauss projection to k=16 dims, the
+    // sign matrix a pure function of md5 (no seed state — any engine
+    // regenerates it bit-identically), the projection one narrow
+    // codegen map per row with the k·d sign literals broadcast. Every
+    // step is exact integer arithmetic, so the projected coordinates
+    // themselves hash-match the oracle's re-derivation — no "close
+    // enough" float compare on a randomized method. Distance
+    // preservation is spec-pinned (SimilaritySpec).
+    "q186_jl_projection" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Similarity.jlProject(emb(s, d), "vec_id", "embedding",
+            k = 16, dims = 64)
+          .orderBy($"vec_id", $"r")
+      },
+      Some("""WITH sgn AS (SELECT r, i, CASE WHEN strpos('02468ace',
+            substr(md5('jl:' || r || ':' || i), 1, 1)) > 0
+            THEN 1 ELSE -1 END AS s
+          FROM range(16) t1(r), range(1, 65) t2(i)),
+        px AS (SELECT vec_id, i,
+            CAST(round(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+          FROM embeddings, range(1, 65) t(i))
+        SELECT px.vec_id, CAST(sgn.r AS INTEGER) AS r,
+          CAST(sum(px.x * sgn.s) AS BIGINT) AS y
+        FROM px JOIN sgn ON px.i = sgn.i
+        GROUP BY 1, 2 ORDER BY vec_id, r"""),
+      "JL ±1 random projection, sign matrix a pure md5 function — exact")
   ) :+ mmrQuery
 
   // ------------------------------------------------- MMR re-ranking

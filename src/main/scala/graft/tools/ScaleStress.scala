@@ -109,7 +109,16 @@ object ScaleStress {
       // pairs grow by C(10,2) per original; real pipelines run exact
       // dedup first, which is the documented composition
       "q177_lm_quality", "q178_dsir_select", "q179_sequence_pack",
-      "q180_semdedup")
+      "q180_semdedup",
+      // PCA additions: the scatter matrix is the input-proportional pass
+      // (narrow posexplode expansion, map-side combine into d(d+1)/2
+      // groups — shuffle volume CONSTANT in corpus size), and the power
+      // iteration adds only a fixed d²-bounded driver solve on top, so
+      // both ratios should track the factor. Containment rides the same
+      // duplication caveat as q111: replicas make every doc a superset-
+      // pair of its 9 copies, so the TRUE directed-pair output explodes
+      // by design.
+      "q184_emb_scatter", "q185_pca_power", "q182_containment")
     // flag threshold: super-linear growth — runtime ratio beyond
     // ~1.3x the data ratio means the operator is NOT input-proportional
     // (documented exceptions: output-driven q111, densification-driven

@@ -365,4 +365,30 @@ class SimilaritySpec extends SparkSpec {
     val cosAgree = math.abs(dot(basis(0), intTop.map(_ / nrm)))
     assert(cosAgree > 0.999, s"double and integer PC1 must align: $cosAgree")
   }
+
+  test("JL projection: deterministic signs, exact integers, distances preserved") {
+    val signs = Similarity.jlSigns(4, 8)
+    assert(signs.flatten.forall(s => s == 1L || s == -1L))
+    assert(signs.flatten.toSeq == Similarity.jlSigns(4, 8).flatten.toSeq,
+      "the sign matrix is a pure function — regeneration is bit-identical")
+    // 8-dim inputs: one pair far apart, one pair close
+    val data = Seq(
+      (0L, Array(0.5f, 0.5f, 0.5f, 0.5f, -0.5f, -0.5f, -0.5f, -0.5f)),
+      (1L, Array(0.5f, 0.5f, 0.5f, 0.4f, -0.5f, -0.5f, -0.5f, -0.4f)), // ≈ 0
+      (2L, Array(-0.5f, -0.5f, -0.5f, -0.5f, 0.5f, 0.5f, 0.5f, 0.5f))  // = −0
+    ).toDF("vec_id", "embedding")
+    val proj = Similarity.jlProject(data, "vec_id", "embedding", k = 4, dims = 8)
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    assert(proj.keySet == Set(0L, 1L, 2L) && proj(0L).length == 4)
+    // linearity is exact in the integer grid: P(−x) = −P(x)
+    assert(proj(2L).toSeq == proj(0L).map(-_).toSeq,
+      "projection of the negated vector is the negated projection")
+    def d2(a: Seq[Long], b: Seq[Long]): Double =
+      a.zip(b).map { case (x, y) => val v = (x - y).toDouble; v * v }.sum
+    // order preservation on a clear margin: the close pair stays closer
+    // than the far pair after projection
+    assert(d2(proj(0L).toSeq, proj(1L).toSeq) < d2(proj(0L).toSeq, proj(2L).toSeq),
+      "JL must keep the near pair nearer than the antipodal pair")
+  }
 }
