@@ -713,7 +713,47 @@ object VectorQueries {
           CAST(sum(px.x * sgn.s) AS BIGINT) AS y
         FROM px JOIN sgn ON px.i = sgn.i
         GROUP BY 1, 2 ORDER BY vec_id, r"""),
-      "JL ±1 random projection, sign matrix a pure md5 function — exact")
+      "JL ±1 random projection, sign matrix a pure md5 function — exact"),
+
+    // ------------------------------------- reduce-then-search pipeline
+    // q186 composed into search: vector 0's nearest neighbors ranked by
+    // EXACT integer squared-L2 in the 16-dim JL space — the "project
+    // once, search cheap" pipeline (every distance loop drops 64→16
+    // multiplies; at 100 TB the projection is a narrow ingest pass and
+    // the search touches only the 4× smaller sketch table). Distances
+    // are exact integers, so the ranking — including every tie-break —
+    // hash-matches the oracle's full re-derivation (signs → projection
+    // → distances). Recall vs the full-space brute force is the same
+    // audit discipline as q77 (LSH) — pinned in SimilaritySpec, not the
+    // oracle, since recall is a property of the METHOD, not this data.
+    "q187_jl_ann" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val proj = Similarity.jlProject(emb(s, d), "vec_id", "embedding",
+          k = 16, dims = 64)
+        val qry = proj.filter($"vec_id" === 0)
+          .select($"r", $"y".as("yq"))
+        proj.filter($"vec_id" =!= 0)
+          .join(broadcast(qry), "r")
+          .groupBy($"vec_id")
+          .agg(sum(($"y" - $"yq") * ($"y" - $"yq")).as("d2"))
+          .orderBy($"d2".asc, $"vec_id")
+          .limit(10)
+      },
+      Some("""WITH sgn AS (SELECT r, i, CASE WHEN strpos('02468ace',
+            substr(md5('jl:' || r || ':' || i), 1, 1)) > 0
+            THEN 1 ELSE -1 END AS s
+          FROM range(16) t1(r), range(1, 65) t2(i)),
+        px AS (SELECT vec_id, i,
+            CAST(round(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+          FROM embeddings, range(1, 65) t(i)),
+        proj AS (SELECT px.vec_id, sgn.r, CAST(sum(px.x * sgn.s) AS BIGINT) AS y
+          FROM px JOIN sgn ON px.i = sgn.i GROUP BY 1, 2),
+        qry AS (SELECT r, y AS yq FROM proj WHERE vec_id = 0)
+        SELECT vec_id, CAST(sum((y - yq) * (y - yq)) AS BIGINT) AS d2
+        FROM proj JOIN qry USING (r) WHERE vec_id <> 0
+        GROUP BY vec_id ORDER BY d2, vec_id LIMIT 10"""),
+      "ANN in JL space: exact integer L2 ranking over the 4x-smaller sketch")
   ) :+ mmrQuery
 
   // ------------------------------------------------- MMR re-ranking

@@ -391,4 +391,62 @@ class SimilaritySpec extends SparkSpec {
     assert(d2(proj(0L).toSeq, proj(1L).toSeq) < d2(proj(0L).toSeq, proj(2L).toSeq),
       "JL must keep the near pair nearer than the antipodal pair")
   }
+
+  test("JL-space distances: unbiased in aggregate, and real margins survive") {
+    // The JL audit two ways (top-k overlap vs an isotropic fixture is NOT
+    // the right yardstick — on data where even exact single-probe IVF
+    // gets recall ~0.36, any 16-dim sketch shuffles near-ties):
+    // (1) the distortion LAW: for ±1 sign rows, E[d²_jl] = k·d²_full, so
+    //     the mean ratio over many fixture pairs must sit near k;
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val proj = Similarity.jlProject(e, "vec_id", "embedding", k = 16, dims = 64)
+      .groupBy($"vec_id").agg(collect_list(struct($"r", $"y")).as("ys"))
+      .select($"vec_id", expr("transform(array_sort(ys), p -> p.y)").as("yv"))
+    val full = e.select($"vec_id",
+      graft.functions.VectorFunctions.toFixedVec($"embedding", 1e3).as("xv"))
+    def sq(c: org.apache.spark.sql.Column) = c * c
+    val ratios = full.filter($"vec_id" < 40)
+      .join(proj.withColumnRenamed("vec_id", "qid"), $"qid" === $"vec_id")
+      .drop("qid")
+      .withColumnRenamed("yv", "yq").withColumnRenamed("xv", "xq")
+      .crossJoin(full.filter($"vec_id" >= 40 && $"vec_id" < 80)
+        .withColumnRenamed("vec_id", "cid").withColumnRenamed("xv", "xc")
+        .join(proj.filter($"vec_id" >= 40 && $"vec_id" < 80)
+          .withColumnRenamed("vec_id", "cid2").withColumnRenamed("yv", "yc"),
+          $"cid" === $"cid2").drop("cid2"))
+      .select(
+        aggregate(zip_with($"yq", $"yc", (a, b) => sq(a - b)), lit(0L), _ + _)
+          .cast("double").as("d2jl"),
+        aggregate(zip_with($"xq", $"xc", (a, b) => sq(a - b)), lit(0L), _ + _)
+          .cast("double").as("d2full"))
+      .filter($"d2full" > 0)
+      .select(avg($"d2jl" / $"d2full").as("mean_ratio"))
+      .as[Double].head()
+    assert(ratios > 16 * 0.7 && ratios < 16 * 1.3,
+      s"mean d2_jl/d2_full over 1600 pairs must sit near k=16: $ratios")
+    // (2) margins: a planted near-duplicate must outrank far candidates
+    //     in JL space — the separation ANN actually needs
+    val rnd = new scala.util.Random(7)
+    def vec(f: Int => Float) = Array.tabulate(64)(f)
+    val base = vec(_ => rnd.nextFloat() - 0.5f)
+    val planted = Seq(
+      (0L, base),
+      (1L, base.map(x => x + 0.01f)),              // near-dup of the query
+      (2L, vec(_ => rnd.nextFloat() - 0.5f)),      // unrelated
+      (3L, vec(_ => rnd.nextFloat() - 0.5f)),
+      (4L, base.map(-_))                            // antipodal
+    ).toDF("vec_id", "embedding")
+    val pp = Similarity.jlProject(planted, "vec_id", "embedding", k = 16, dims = 64)
+    val qy = pp.filter($"vec_id" === 0).select($"r", $"y".as("yq"))
+    val ranked = pp.filter($"vec_id" =!= 0)
+      .join(broadcast(qy), "r")
+      .groupBy($"vec_id")
+      .agg(sum(($"y" - $"yq") * ($"y" - $"yq")).as("d2"))
+      .orderBy($"d2".asc, $"vec_id")
+      .select($"vec_id").as[Long].collect()
+    assert(ranked.head == 1L,
+      s"the planted near-dup must rank first in JL space: ${ranked.toSeq}")
+    assert(ranked.last == 4L,
+      s"the antipodal vector must rank last: ${ranked.toSeq}")
+  }
 }
