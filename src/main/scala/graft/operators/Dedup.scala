@@ -499,8 +499,15 @@ object Dedup {
   def containmentPairs(df: DataFrame, id: String, shingles: Column,
                        tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
-    val sizes = df.select(col(id).as("doc"), size(shingles).as("n_sh"))
-    val toks = df.select(col(id).as("doc"), explode(shingles).as("sh"))
+    // The shingle HOF is interpreted (no doGenCode) and this plan has
+    // THREE consumers (sizes + both sides of the inverted-index
+    // self-join) — materialize the per-doc arrays once and let every
+    // consumer read stored arrays (the prefixJaccardPairs discipline;
+    // measured 4.6 → 2.7 s end-to-end on q182 at sf0.1)
+    val docSets = df.select(col(id).as("doc"), shingles.as("__set"))
+      .localCheckpoint()
+    val sizes = docSets.select(col("doc"), size(col("__set")).as("n_sh"))
+    val toks = docSets.select(col("doc"), explode(col("__set")).as("sh"))
     val inter = toks.alias("a")
       .join(toks.alias("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
