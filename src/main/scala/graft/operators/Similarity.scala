@@ -641,27 +641,45 @@ object Similarity {
     * arithmetic overflows to NULL rather than wrapping, so an
     * out-of-envelope run surfaces as missing rows, never a wrong sum. */
   def embScatter(df: DataFrame, vec: String, dims: Int,
-                 scale: Double = 1e3): DataFrame = {
-    val xi = df.select(toFixedVec(col(vec), scale).as("xf"))
+                 scale: Double = 1e3): DataFrame =
+    scatterFromSums(embPairSums(df, vec, dims, scale),
+      embMarginals(df, vec, scale))
+
+  private def d38(c: Column): Column = c.cast("decimal(38,0)")
+
+  /** The ADDITIVE half of [[embScatter]]: raw pair sums (i, j, sxy) for
+    * 0 ≤ i ≤ j < dims over the fixed-point grid. Because these are plain
+    * sums, the frames of DISJOINT corpus slices merge by addition — the
+    * property that makes PCA training incrementally MAINTAINABLE (q188):
+    * a daily ingest aggregates only its delta and folds it into the
+    * stored moment table; no rescan of history, ever. */
+  def embPairSums(df: DataFrame, vec: String, dims: Int,
+                  scale: Double = 1e3): DataFrame =
+    df.select(toFixedVec(col(vec), scale).as("xf"))
       .select(col("xf"), posexplode(col("xf")).as(Seq("i", "xi")))
-    def d38(c: Column): Column = c.cast("decimal(38,0)")
-    val scatter = xi
       .select(col("i"), col("xi"),
         posexplode(slice(col("xf"), col("i") + 1, lit(dims))).as(Seq("dj", "xj")))
       .select(col("i"), (col("i") + col("dj")).as("j"),
         (col("xi") * col("xj")).as("p"))
       .groupBy(col("i"), col("j"))
       .agg(sum(d38(col("p"))).as("sxy"))
-    // 64-row marginals; broadcast into the 2080-row scatter frame
-    val marg = xi.groupBy(col("i"))
+
+  /** The other additive half: per-dimension sums and the row count. */
+  def embMarginals(df: DataFrame, vec: String,
+                   scale: Double = 1e3): DataFrame =
+    df.select(posexplode(toFixedVec(col(vec), scale)).as(Seq("i", "xi")))
+      .groupBy(col("i"))
       .agg(sum(d38(col("xi"))).as("sx"), count(lit(1)).as("n"))
-    scatter
+
+  /** Finalize scatter entries from (merged) moment frames:
+    * c_num = n·Σxy − Σxᵢ·Σxⱼ. Marginals are d rows — broadcast. */
+  def scatterFromSums(pair: DataFrame, marg: DataFrame): DataFrame =
+    pair
       .join(broadcast(marg.select(col("i"), col("sx").as("sxi"), col("n"))), "i")
       .join(broadcast(marg.select(col("i").as("j"), col("sx").as("sxj"))), "j")
       .select(col("i"), col("j"),
         (d38(col("n")) * col("sxy") - col("sxi") * col("sxj"))
           .cast("long").as("c_num"))
-  }
 
   /** Dominant principal component by max-norm power iteration on the
     * exact scatter matrix, ENTIRELY in integers — so the trained

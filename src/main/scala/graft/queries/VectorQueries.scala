@@ -753,7 +753,47 @@ object VectorQueries {
         SELECT vec_id, CAST(sum((y - yq) * (y - yq)) AS BIGINT) AS d2
         FROM proj JOIN qry USING (r) WHERE vec_id <> 0
         GROUP BY vec_id ORDER BY d2, vec_id LIMIT 10"""),
-      "ANN in JL space: exact integer L2 ranking over the 4x-smaller sketch")
+      "ANN in JL space: exact integer L2 ranking over the 4x-smaller sketch"),
+
+    // ---------------------------------- incremental scatter maintenance
+    // PCA as a MAINTAINABLE materialized view (the q100/q162 fold
+    // discipline applied to embeddings): the scatter's raw moments
+    // (Σxᵢxⱼ, Σxᵢ, n) are plain sums, so disjoint corpus slices merge by
+    // addition — here the corpus is split by vec_id parity, each half
+    // aggregated separately (as daily ingests would be), the moment
+    // frames folded, and the scatter finalized from the fold. The oracle
+    // one-shots q184's derivation over the whole table, so the hash
+    // compare IS the fold identity scatter(a ⊎ b) = fin(mom(a) + mom(b)):
+    // at 100 TB, each ingest aggregates only its delta into the stored
+    // d²-row moment table and PCA retrains without rescanning history.
+    "q188_incremental_scatter" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val a = e.filter($"vec_id" % 2 === 0)
+        val b = e.filter($"vec_id" % 2 =!= 0)
+        def mergedPairs = Similarity.embPairSums(a, "embedding", 64)
+          .unionByName(Similarity.embPairSums(b, "embedding", 64))
+          .groupBy($"i", $"j").agg(sum($"sxy").as("sxy"))
+        def mergedMarg = Similarity.embMarginals(a, "embedding")
+          .unionByName(Similarity.embMarginals(b, "embedding"))
+          .groupBy($"i").agg(sum($"sx").as("sx"), sum($"n").as("n"))
+        Similarity.scatterFromSums(mergedPairs, mergedMarg)
+          .orderBy($"i", $"j")
+      },
+      Some("""WITH px AS (SELECT vec_id, i,
+            CAST(round(embedding[i]::DOUBLE * 1000.0) AS BIGINT) AS x
+          FROM embeddings, range(1, 65) t(i)),
+        m AS (SELECT i, CAST(sum(x) AS HUGEINT) AS sx, count(*) AS n
+          FROM px GROUP BY i),
+        s AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS HUGEINT) AS sxy
+          FROM px a JOIN px b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY 1, 2)
+        SELECT CAST(s.i - 1 AS INTEGER) AS i, CAST(s.j - 1 AS INTEGER) AS j,
+          CAST(ma.n * s.sxy - ma.sx * mb.sx AS BIGINT) AS c_num
+        FROM s JOIN m ma ON s.i = ma.i JOIN m mb ON s.j = mb.i
+        ORDER BY i, j"""),
+      "scatter(a ∪ b) == finalize(moments(a) + moments(b)) — PCA as an MV")
   ) :+ mmrQuery
 
   // ------------------------------------------------- MMR re-ranking
