@@ -1000,6 +1000,56 @@ object ExtendedQueries {
           CAST(sum(CAST(round(p_retailprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS retail_total
         FROM part WHERE p_size <= 25
         GROUP BY p_brand ORDER BY p_brand"""),
-      "ORC source round-trip: columnar write once, schema-on-read back, parquet-oracled")
+      "ORC source round-trip: columnar write once, schema-on-read back, parquet-oracled"),
+
+    // ------------------------------------------- schema evolution read
+    // The lake reality at 100 TB: years of files written under DIFFERENT
+    // schema versions sit in one table path, and a re-ingest is not an
+    // option. Two order slices are written as generations v=1 (two
+    // columns) and v=2 (adds o_orderstatus); the read unions them under
+    // mergeSchema=true — old files surface the new column as NULL, the
+    // generation dir becomes a partition column — and the aggregate
+    // coalesces the evolution gap explicitly. The oracle replays the
+    // same union with a NULL literal for the v1 slice, so null-fill
+    // semantics (not just row counts) are hash-verified. mergeSchema
+    // costs a footer read per file at planning; production amortizes it
+    // by declaring the merged schema once (the schema-on-read
+    // discipline) — the WRITE layout is what this query certifies.
+    "q189_schema_evolution" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = new java.io.File(s"$d/orders.parquet")
+        val layout = "/tmp/graft_layout/" +
+          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+          "/orders_evolved"
+        if (!graft.io.Fs.exists(s, s"$layout/_done.marker")) {
+          t(s, d, "orders").filter($"o_orderkey" < 2000)
+            .select($"o_orderkey", $"o_totalprice")
+            .write.mode("overwrite").parquet(s"$layout/v=1")
+          t(s, d, "orders")
+            .filter($"o_orderkey" >= 2000 && $"o_orderkey" < 4000)
+            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+            .write.mode("overwrite").parquet(s"$layout/v=2")
+          graft.io.Fs.touch(s, s"$layout/_done.marker")
+        }
+        s.read.option("mergeSchema", "true").parquet(layout)
+          .groupBy(coalesce($"o_orderstatus", lit("pre-v2")).as("status"))
+          .agg(count(lit(1)).as("n_orders"),
+            countDistinct($"v").as("n_generations"),
+            graft.operators.Relational.moneySum($"o_totalprice").as("revenue"))
+          .orderBy($"status")
+      },
+      Some("""WITH m AS (
+          SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus, 1 AS v
+          FROM orders WHERE o_orderkey < 2000
+          UNION ALL
+          SELECT o_orderkey, o_totalprice, o_orderstatus, 2 AS v
+          FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 4000)
+        SELECT coalesce(o_orderstatus, 'pre-v2') AS status,
+          count(*) AS n_orders,
+          count(DISTINCT v) AS n_generations,
+          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        FROM m GROUP BY 1 ORDER BY status"""),
+      "schema-evolution read: mergeSchema unions generations, null-fill verified")
   )
 }

@@ -415,6 +415,64 @@ class ScalePostureSpec extends SparkSpec {
       s"within-cell pairs must come from an equi-join on cell:\n${p.take(1600)}")
   }
 
+  test("nested schema pruning: a subfield projection reads ONLY that leaf") {
+    // struct columns are how multimodal metadata travels (SURVEY §1.2);
+    // at 100 TB reading a whole struct for one leaf is the same bug as
+    // reading all 16 flat columns for 2 — Catalyst prunes nested leaves
+    // into the parquet ReadSchema and the scan must show it
+    val dir = Files.createTempDirectory("graft_nested").toString
+    try {
+      Tables(spark, sf("sf0.001"), "lineitem")
+        .select($"l_orderkey",
+          struct($"l_quantity", $"l_extendedprice", $"l_discount").as("m"))
+        .write.mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir).select($"l_orderkey", $"m.l_quantity")
+      val scan = scanNode(q)
+      val schema = scan.split("ReadSchema:").last
+      assert(schema.contains("l_quantity"),
+        s"projected leaf missing from ReadSchema:\n$schema")
+      assert(!schema.contains("l_extendedprice") && !schema.contains("l_discount"),
+        s"sibling struct leaves must be pruned from the scan:\n$schema")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    // the 100 TB star-join lever beyond static pruning (q94/q171): the
+    // partition predicate isn't known until the dim side is filtered, so
+    // Catalyst injects a dynamicpruning subquery into the fact scan's
+    // PartitionFilters — only the dim-surviving partitions are listed
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    try {
+      Tables(spark, sf("sf0.001"), "lineitem")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // the dim must be FILE-backed: a local Seq relation constant-folds
+      // its filter away (ConvertToLocalRelation), and DPP's heuristic
+      // requires a surviving selective predicate on the build side
+      Seq(("R", "keep"), ("A", "drop"), ("N", "drop"))
+        .toDF("flag", "verdict")
+        .write.mode("overwrite").parquet(s"$dir-dim")
+      val dim = spark.read.parquet(s"$dir-dim")
+      val q = fact.join(dim.filter($"verdict" === "keep"),
+          fact("l_returnflag") === dim("flag"))
+        .select($"l_orderkey", $"l_quantity")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"the fact scan must carry a dynamicpruning partition filter:\n" +
+          plan.linesIterator.filter(_.contains("PartitionFilters"))
+            .mkString("\n"))
+      // and the answer equals the statically-pruned equivalent
+      val dynamic = q.agg(sum($"l_quantity")).as[Double].head()
+      val static0 = fact.filter($"l_returnflag" === "R")
+        .agg(sum($"l_quantity")).as[Double].head()
+      assert(dynamic == static0, s"DPP must not change results: $dynamic vs $static0")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a
