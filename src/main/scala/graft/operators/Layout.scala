@@ -146,4 +146,31 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Small-file compaction — the unglamorous op every 100 TB lake runs
+    * nightly: streaming appends and over-parallel writers leave
+    * thousands of KB-sized files, and every downstream scan then pays a
+    * task + an open + a footer parse PER FILE (driver-side listing and
+    * scheduling grow the same way). Rewrites `inDir` into `outDir`
+    * sized at `targetBytes` per output file, file count derived from
+    * the layout's ACTUAL on-disk size via the Hadoop FileSystem (never
+    * java.io — the count must be right on HDFS/S3A too). `coalesce`,
+    * not `repartition`: compaction must not pay a shuffle — each output
+    * task concatenates input splits. Returns the output file count.
+    *
+    * Content is preserved row-for-row (spec-pinned); ORDER is not — a
+    * layout that needs clustering compacts through [[writeZOrdered]] /
+    * `repartitionByRange` instead, paying the sort deliberately. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
+              outDir: String, targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(path).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inDir)
+      .coalesce(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    nFiles
+  }
 }

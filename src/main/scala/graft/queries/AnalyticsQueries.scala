@@ -828,6 +828,42 @@ object AnalyticsQueries {
               (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * xbar * xbar), 6)
               AS acf
           FROM bylag CROSS JOIN gstats ORDER BY lag"""),
-      "daily-revenue autocorrelation, lags 1-7, exact-moment expansion")
+      "daily-revenue autocorrelation, lags 1-7, exact-moment expansion"),
+
+    // ------------------------------------- behavioral sequence assembly
+    // Per-user ordered event sequences, the training-example shape for
+    // sequence models (next-event prediction, session recommenders):
+    // each user's first 20 events in (ts, event_id) order rendered as a
+    // '>'-joined type string. The truncation happens BEFORE any
+    // collection — a per-user rank window keeps ≤ 20 rows per user, so
+    // the collect_list state is bounded by the cap, never by a power
+    // user's full history (the unbounded-collect trap of naive
+    // sessionization). Order inside the array is pinned by sorting
+    // (rn, type) structs, not by collect_list arrival order, which
+    // Spark does not guarantee under retries or speculative tasks.
+    "q190_user_sequences" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        t(s, d, "events")
+          .select($"user_id", $"event_type",
+            row_number().over(w).as("rn"),
+            count(lit(1)).over(Window.partitionBy($"user_id")).as("n"))
+          .filter($"rn" <= 20)
+          .groupBy($"user_id")
+          .agg(max($"n").as("n_events"),
+            array_join(
+              expr("transform(array_sort(collect_list(struct(rn, event_type)))," +
+                " p -> p.event_type)"), ">").as("seq"))
+          .orderBy($"user_id")
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id) AS n
+          FROM events)
+        SELECT user_id, max(n) AS n_events,
+          string_agg(event_type, '>' ORDER BY rn) AS seq
+        FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id"""),
+      "per-user ordered event sequences, cap-bounded before collection")
   )
 }

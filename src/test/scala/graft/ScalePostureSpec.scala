@@ -473,6 +473,34 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("compaction: shrinks a fragmented layout shuffle-free, content intact") {
+    val base = Files.createTempDirectory("graft_compact").toString
+    val (frag, tidy) = (s"$base/frag", s"$base/tidy")
+    val li = Tables(spark, sf("sf0.001"), "lineitem")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    def dataFiles(dir: String): Int =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(dataFiles(frag) == 64, "precondition: the layout is fragmented")
+    // target sized so the whole sf0.001 table compacts to a couple files
+    val n = graft.operators.Layout.compact(spark, frag, tidy,
+      targetBytes = 256L * 1024)
+    assert(dataFiles(tidy) <= n && n < 64,
+      s"compaction must cut the file count: $n planned, ${dataFiles(tidy)} written")
+    // the compact plan is coalesce, not repartition: no exchange
+    val plan = spark.read.parquet(frag).coalesce(n)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction must not shuffle:\n$plan")
+    // row-for-row content equality, order-independent
+    def sig(dir: String): org.apache.spark.sql.Row = spark.read.parquet(dir)
+      .agg(count(lit(1)), sum($"l_orderkey"), sum($"l_linenumber"),
+        // mod keeps the ANSI-mode long sum from overflowing (the
+        // connectedComponentsStars signature discipline)
+        sum(pmod(xxhash64(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")), lit(1000000007L))))
+      .head
+    assert(sig(tidy) == sig(frag), "compaction must preserve every row")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a
