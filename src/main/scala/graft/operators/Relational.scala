@@ -260,6 +260,93 @@ object Relational {
       .agg(sum(col(v) * col("__w")).as("med2"), max(col("__nt")).as("n"))
   }
 
+  /** Grouped exact doubled-median for ENUM-BOUNDED group domains —
+    * the third median engine, complementing `percentile` (fast, but
+    * buffers whole groups in executor memory) and [[groupedMedian2]]
+    * (unbounded group domains, but its windows walk the distinct-value
+    * frame, which on near-unique values is the data itself):
+    *
+    *  1. one scan → per-group (min, max, n) — |groups| rows;
+    *  2. one scan → per-(group, bucket) counts over a fixed `buckets`
+    *     grid — |groups|·buckets rows collected to the DRIVER, which
+    *     locates the bucket(s) holding the two median slots and their
+    *     in-bucket rank offsets;
+    *  3. one scan, filtered by pushed-down per-group VALUE RANGES (the
+    *     located buckets — ~n/buckets of the data reaches the agg), →
+    *     per-(group, value) counts of the residual slice; the driver
+    *     walks ranks and pins med2 = v(p1) + v(p2) exactly.
+    *
+    * No windows, no shuffle wider than |groups|·buckets rows, no
+    * executor buffering — per-scan cost is a narrow pass at ANY data
+    * size. The driver state is |groups|·buckets longs, which is why the
+    * GROUP DOMAIN MUST BE ENUM-BOUNDED (flags, statuses, priorities —
+    * the olsFit k² legitimacy class); per-key medians over data-scaled
+    * key domains belong on [[groupedMedian2]]. Returns (g, med2, n),
+    * NULL values of `v` dropped — the [[groupedMedian2]] contract. */
+  def groupedMedian2SmallDomain(df: DataFrame, g: String, v: String,
+                                buckets: Int = 4096): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.filter(col(v).isNotNull).select(col(g), col(v))
+    val rng = rows.groupBy(col(g))
+      .agg(min(col(v)).as("lo"), max(col(v)).as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.get(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    if (rng.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit("").as(g), lit(0L).as("med2"), lit(0L).as("n")).limit(0)
+    require(rng.size <= (1 << 16),
+      s"group domain too large for the driver-assisted engine: ${rng.size}")
+    val w = rng.view.mapValues { case (lo, hi, _) =>
+      math.max(1L, (hi - lo + buckets) / buckets) }.toMap
+    val rngDf = rng.toSeq.map { case (k, (lo, _, _)) =>
+      (k.asInstanceOf[Any].toString, lo, w(k)) }.toDF("__g", "__lo", "__w")
+    // integer div — `/` on longs widens to double
+    def bucketed = rows
+      .join(broadcast(rngDf), col(g).cast("string") === col("__g"))
+      .withColumn("__b", expr(s"(`$v` - __lo) div __w"))
+    val counts = bucketed.groupBy(col(g), col("__b")).agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.get(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)).toMap
+    // locate, per group, the bucket(s) covering slots p1=(n+1)/2, p2=(n+2)/2
+    // and the residual value window [rLo, rHi] that surely contains both
+    val residual = rng.map { case (k, (lo, _, n)) =>
+      val (p1, p2) = ((n + 1) / 2, (n + 2) / 2)
+      var cum = 0L
+      var (b1, b2) = (-1L, -1L)
+      for ((b, c) <- counts(k)) {
+        if (b1 < 0 && cum + c >= p1) b1 = b
+        if (b2 < 0 && cum + c >= p2) b2 = b
+        cum += c
+      }
+      val rankBefore = counts(k).filter(_._1 < b1).map(_._2).sum
+      k -> ((lo + b1 * w(k), lo + (b2 + 1) * w(k) - 1, rankBefore, p1, p2))
+    }
+    val pred = residual.map { case (k, (rLo, rHi, _, _, _)) =>
+      col(g) === lit(k) && col(v) >= lit(rLo) && col(v) <= lit(rHi)
+    }.reduce(_ || _)
+    val slice = rows.filter(pred)
+      .groupBy(col(g), col(v)).agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.get(0))
+      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)).toMap
+    val out = residual.toSeq.map { case (k, (_, _, rankBefore, p1, p2)) =>
+      var cum = rankBefore
+      var (s1, s2) = (0L, 0L)
+      var found1 = false
+      var found2 = false
+      for ((value, c) <- slice(k)) {
+        if (!found1 && cum + c >= p1) { s1 = value; found1 = true }
+        if (!found2 && cum + c >= p2) { s2 = value; found2 = true }
+        cum += c
+      }
+      require(found1 && found2, s"median slots not covered for group $k")
+      (k.asInstanceOf[Any].toString, s1 + s2, rng(k)._3)
+    }
+    out.toDF(g, "med2", "n")
+  }
+
   def iqrFilter(df: DataFrame, c: String, factor: Double = 1.5,
                 reuseScan: Boolean = false): DataFrame =
     df.crossJoin(broadcast(iqrBounds(df, c, factor, reuseScan = reuseScan)))

@@ -607,44 +607,47 @@ object OlapQueries {
     // 20000·adev2 > 44478·mad4 (1.4826 = 14826/10⁴ exactly). The
     // readable money doubles derive from the pinned integers by one
     // division each — no round(x, n), no quantile_cont, no libm.
-    // Median engine: Relational.groupedMedian2 — grouped two-level
-    // rank selection, cost bounded by DISTINCT values per group. The
-    // `percentile` UDAF formulation (pinned med2-bit-equal on real
-    // data in RelationalOpsSpec) is ~1.5s faster at bench SFs (A/B'd
-    // 2.5s vs 4.1s at sf0.1) but buffers every value of the group in
-    // executor memory — and the groups here are l_returnflag, i.e.
-    // three groups each holding ~1/3 of the table, a guaranteed
-    // executor OOM at 100x. The REGISTERED plan is the one that
-    // survives scale; ScalePostureSpec pins that no Percentile UDAF
-    // appears in this query's physical plan.
+    // Median engine — three candidates, all spec-pinned bit-equal on
+    // real data (RelationalOpsSpec):
+    //  - `percentile` UDAF: fastest locally (~2.5s at sf0.1) but
+    //    buffers every value of the group in executor memory, and the
+    //    groups here are l_returnflag — three groups each holding
+    //    ~1/3 of the table, a guaranteed executor OOM at 100×. Never
+    //    registered; ScalePostureSpec pins its absence from this plan.
+    //  - groupedMedian2 (window engine): scale-safe for UNBOUNDED group
+    //    domains, but its windows walk the distinct-value frame, and
+    //    cent prices are ~97% unique — the frame is effectively the
+    //    data (5.1s at sf0.1 with tuned 4096 coarse buckets; 7.7s at
+    //    the 2^16 default).
+    //  - groupedMedian2SmallDomain (REGISTERED): driver-assisted
+    //    two-phase selection — range scan, bucket-count scan with a
+    //    |groups|·4096-row collect, residual probe under pushed-down
+    //    value ranges. No windows, no distinct-value shuffle; 3.65s at
+    //    sf0.1 and each phase is a narrow pass at any data size. Sound
+    //    here because l_returnflag is an ENUM — the |groups|·buckets
+    //    driver state is structurally bounded (the olsFit k² class);
+    //    per-key medians over data-scaled key domains stay on
+    //    groupedMedian2.
     "q133_mad_outliers" -> Q(
       (s, d) => {
         import s.implicits._
         val li = t(s, d, "lineitem")
           .select($"l_returnflag".as("flag"),
             round($"l_extendedprice" * 100).cast("long").as("c"))
-        // med and mad are 3-row frames whose lineage is the whole rank-
-        // selection chain; checkpoint them so each chain runs ONCE, not
-        // once per downstream consumer (dev feeds both the MAD stage and
-        // the final aggregate). A/B'd against a one-scan variant that
-        // derived the deviation histogram from the median histogram
-        // (groupedMedian2FromHist) — the extra hist shuffles cost more
-        // than the saved scan at this shape (5.7-6.0s vs 4.9s at sf0.1),
-        // so the data-fed form stays registered; FromHist remains the
-        // amortized entry point for callers that already hold a
-        // histogram. maxCoarseBuckets=4096 (not the 2^16 default): the
-        // default left ~2 distinct cents per (group,bucket) window —
-        // tens of thousands of tiny sort partitions whose scheduling
-        // overhead dominated — while 4096 buckets hold ~32 values each
-        // (A/B at sf0.1: 7.7s @ 2^16, 6.0s @ 2^10, 5.1s @ 2^12, 6.9s
-        // @ 2^13 on the same box/run). Scale posture is unchanged:
-        // per-window cost stays bounded by distinct VALUES per bucket
-        // (price-domain-bounded), never group row count.
-        val med = Relational.groupedMedian2(li, "flag", "c", 4096).localCheckpoint()
+        // med and mad are 3-row frames; checkpoint them so each
+        // selection chain runs ONCE, not once per downstream consumer
+        // (dev feeds both the MAD stage and the final aggregate).
+        // Earlier A/Bs that informed the engine ranking above: the
+        // FromHist variant (deviation histogram derived from the median
+        // histogram) lost to the data-fed form (5.7-6.0s vs 4.9s —
+        // extra hist shuffles outweigh the saved scan), and the window
+        // engine's coarse-bucket sweep measured 7.7s @ 2^16 / 6.0s @
+        // 2^10 / 5.1s @ 2^12 / 6.9s @ 2^13 buckets.
+        val med = Relational.groupedMedian2SmallDomain(li, "flag", "c").localCheckpoint()
         val dev = li.join(broadcast(med), "flag")
           .withColumn("adev2", abs($"c" * 2 - $"med2"))
         val mad = Relational
-          .groupedMedian2(dev.select($"flag", $"adev2"), "flag", "adev2", 4096)
+          .groupedMedian2SmallDomain(dev.select($"flag", $"adev2"), "flag", "adev2")
           .select($"flag", $"med2".as("mad4"))
           .localCheckpoint()
         dev.join(broadcast(mad), "flag")

@@ -242,6 +242,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(hist == pct, s"hist=$hist pct=$pct")
   }
 
+  test("groupedMedian2SmallDomain agrees with groupedMedian2 in every regime") {
+    // the third median engine (driver-assisted two-phase, for
+    // enum-bounded group domains) must be bit-equal to the window
+    // engine on the same inputs: odd/even/ties/negatives/singleton,
+    // NULLs dropped, plus real data
+    val rows = Seq(
+      ("odd", Some(1L)), ("odd", Some(7L)), ("odd", Some(3L)),
+      ("even", Some(1L)), ("even", Some(3L)), ("even", Some(5L)),
+      ("even", Some(100L)),
+      ("ties", Some(2L)), ("ties", Some(2L)), ("ties", Some(2L)),
+      ("ties", Some(9L)),
+      ("neg", Some(-5L)), ("neg", Some(-1L)), ("neg", Some(-9L)),
+      ("neg", Some(4L)), ("neg", None),
+      ("one", Some(42L))).toDF("g", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(
+      asMap(graft.operators.Relational.groupedMedian2SmallDomain(rows, "g", "v")) ==
+      asMap(graft.operators.Relational.groupedMedian2(rows, "g", "v")))
+    val li = Tables(spark, sf("sf0.01"), "lineitem")
+      .select(col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+    assert(
+      asMap(graft.operators.Relational.groupedMedian2SmallDomain(li, "g", "v")) ==
+      asMap(graft.operators.Relational.groupedMedian2(li, "g", "v")),
+      "engines must agree on real cent prices")
+  }
+
   test("groupedMedian2 ignores NULL values like the percentile UDAF does") {
     // the interchangeability contract must hold on null-containing input:
     // a NULL bucket sorting first would shift every rank
