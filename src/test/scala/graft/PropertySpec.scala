@@ -198,4 +198,54 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("both grouped-median engines equal the sorted definition on random data") {
+    val rowGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-5000L, 5000L)))
+      .map(_.take(60))
+    samples(rowGen, 4).foreach { rows =>
+      val df = rows.toDF("g", "v")
+      def ref(xs: Seq[Long]): Long = {
+        val s = xs.sorted; val n = s.length
+        s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+      }
+      val want = rows.groupBy(_._1).view
+        .mapValues(vs => (ref(vs.map(_._2)), vs.size.toLong)).toMap
+      def got(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got(Relational.groupedMedian2(df, "g", "v")) == want,
+        s"window engine diverged on $rows")
+      assert(got(Relational.groupedMedian2SmallDomain(df, "g", "v")) == want,
+        s"driver-assisted engine diverged on $rows")
+    }
+  }
+
+  test("scatter fold identity holds for any split of a random corpus") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val dims = 4
+    val vecGen = Gen.listOfN(dims, Gen.chooseNum(-900, 900).map(_ / 1000.0f))
+    val corpusGen = Gen.nonEmptyListOf(vecGen).map(_.take(12))
+    samples(Gen.zip(corpusGen, Gen.chooseNum(0, 11)), 3).foreach {
+      case (vecs, cut) =>
+        val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+          .toDF("vec_id", "embedding")
+        val oneShot = Similarity.embScatter(df, "embedding", dims)
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        val (a, b) = (df.filter(col("vec_id") <= cut), df.filter(col("vec_id") > cut))
+        def fold(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                 keys: Seq[String], sums: Seq[String]) = {
+          val u = f(a).unionByName(f(b))
+          u.groupBy(keys.map(col): _*)
+            .agg(ssum(col(sums.head)).as(sums.head),
+              sums.tail.map(s => ssum(col(s)).as(s)): _*)
+        }
+        val merged = Similarity.scatterFromSums(
+            fold(Similarity.embPairSums(_, "embedding", dims), Seq("i", "j"), Seq("sxy")),
+            fold(Similarity.embMarginals(_, "embedding"), Seq("i"), Seq("sx", "n")))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+        assert(merged == oneShot,
+          s"fold identity broke at cut=$cut over ${vecs.size} vectors")
+    }
+  }
 }
