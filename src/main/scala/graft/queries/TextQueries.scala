@@ -953,6 +953,97 @@ object TextQueries {
             round(CAST(sum(CASE WHEN CAST(h AS DOUBLE) < p_keep * pow(2.0, 60.0)
               THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS keep_rate
           FROM keep GROUP BY source ORDER BY source"""),
-      "Mikolov frequency subsampling with a deterministic md5 coin")
+      "Mikolov frequency subsampling with a deterministic md5 coin"),
+
+    // ----------------------------------------------- Heaps-law profile
+    // Vocabulary-saturation curve (Heaps' law V ≈ K·N^β): distinct
+    // vocabulary and token mass at each tenth of the corpus, in doc-id
+    // order — the profile that answers "is more of THIS corpus still
+    // buying new vocabulary?" when sizing corpora and tokenizers. The
+    // distributed trick: prefix-vocabulary needs no per-prefix rescans
+    // and no global sort — a token's FIRST-OCCURRENCE doc (one hash
+    // aggregate, vocabulary-bounded) fully determines which prefixes
+    // count it, so each decile is a conditional sum over the token
+    // table against a broadcast 10-row threshold frame. Token mass per
+    // decile likewise folds from the per-doc count table. All integers.
+    "q191_heaps_curve" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d)
+          .select($"doc_id", explode(words($"text")).as("w"))
+        val tok = toks.groupBy($"w")
+          .agg(min($"doc_id").as("fd"), count(lit(1)).as("c"))
+        val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("nt"))
+        val dec = docs(s, d).agg((max($"doc_id") + 1).as("n"))
+          .select(explode(sequence(lit(1), lit(10))).as("decile"), $"n")
+          .select($"decile", expr("n * decile div 10").as("thr"))
+        val docsTok = dl.crossJoin(broadcast(dec))
+          .groupBy($"decile")
+          .agg(sum(when($"doc_id" < $"thr", lit(1L)).otherwise(0L)).as("n_docs"),
+            sum(when($"doc_id" < $"thr", $"nt").otherwise(0L)).as("n_tokens"))
+        val vocab = tok.crossJoin(broadcast(dec))
+          .groupBy($"decile")
+          .agg(sum(when($"fd" < $"thr", lit(1L)).otherwise(0L)).as("vocab"))
+        docsTok.join(vocab, "decile")
+          .select($"decile", $"n_docs", $"n_tokens", $"vocab",
+            expr("vocab * 1000000 div n_tokens").as("vocab_per_mtoken"))
+          .orderBy($"decile")
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+            unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        tok AS (SELECT w, min(doc_id) AS fd, count(*) AS c
+          FROM toks GROUP BY w),
+        dl AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id),
+        mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+        dec AS (SELECT d AS decile, (n * d) // 10 AS thr
+          FROM range(1, 11) t(d), mx),
+        dt AS (SELECT decile,
+            CAST(sum(CASE WHEN doc_id < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN doc_id < thr THEN nt ELSE 0 END) AS BIGINT) AS n_tokens
+          FROM dl, dec GROUP BY decile),
+        vc AS (SELECT decile,
+            CAST(sum(CASE WHEN fd < thr THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+          FROM tok, dec GROUP BY decile)
+        SELECT CAST(dt.decile AS INTEGER) AS decile, n_docs, n_tokens, vocab,
+          (vocab * 1000000) // n_tokens AS vocab_per_mtoken
+        FROM dt JOIN vc ON dt.decile = vc.decile
+        ORDER BY decile"""),
+      "Heaps-law vocabulary saturation per corpus decile, first-occurrence trick"),
+
+    // ------------------------------------- length-bucketed batch profile
+    // The inference-side counterpart to q179's training packing: batch
+    // inputs padded to a common length waste FLOPs on pad tokens, and
+    // bucketing by length is the standard cure. Each doc lands in the
+    // smallest 16-multiple bucket that holds it (capped at 128 — longer
+    // docs truncate, the serving contract); the profile reports per-
+    // bucket doc count, real-token mass, pad waste, and waste as exact
+    // ppm — the numbers that decide bucket boundaries. One narrow
+    // projection + one ≤8-group hash aggregate at any corpus size.
+    "q192_length_buckets" -> Q(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .select(least(wordCount($"text").cast("long"), lit(128L)).as("nt"))
+          .select($"nt",
+            least(expr("((nt + 15) div 16) * 16"), lit(128L)).as("bucket"))
+          .groupBy($"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"nt").as("n_tokens"),
+            sum($"bucket" - $"nt").as("pad_tokens"))
+          .select($"bucket", $"n_docs", $"n_tokens", $"pad_tokens",
+            expr("pad_tokens * 1000000 div (n_tokens + pad_tokens)")
+              .as("waste_ppm"))
+          .orderBy($"bucket")
+      },
+      Some("""WITH nt AS (SELECT least(CAST(len(string_split(lower(text), ' '))
+              AS BIGINT), 128) AS nt FROM documents),
+        b AS (SELECT nt, least(((nt + 15) // 16) * 16, 128) AS bucket FROM nt)
+        SELECT bucket, count(*) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS n_tokens,
+          CAST(sum(bucket - nt) AS BIGINT) AS pad_tokens,
+          (CAST(sum(bucket - nt) AS BIGINT) * 1000000)
+            // CAST(sum(bucket) AS BIGINT) AS waste_ppm
+        FROM b GROUP BY bucket ORDER BY bucket"""),
+      "length-bucket padding profile: pad waste per 16-token bucket, exact ppm")
   )
 }
