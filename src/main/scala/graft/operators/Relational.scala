@@ -282,7 +282,11 @@ object Relational {
     * GROUP DOMAIN MUST BE ENUM-BOUNDED (flags, statuses, priorities —
     * the olsFit k² legitimacy class); per-key medians over data-scaled
     * key domains belong on [[groupedMedian2]]. Returns (g, med2, n),
-    * NULL values of `v` dropped — the [[groupedMedian2]] contract. */
+    * NULL values of `v` dropped — the [[groupedMedian2]] contract.
+    * `v` must be LongType (exact rank selection); the group key is
+    * compared and returned AS A STRING — enum domains are string-like
+    * by nature, and the residual-probe predicate needs literal group
+    * values either way. */
   def groupedMedian2SmallDomain(df: DataFrame, g: String, v: String,
                                 buckets: Int = 4096): DataFrame = {
     val spark = df.sparkSession

@@ -270,7 +270,14 @@ object StreamPipeline {
     * no verify pass): streaming admission can't re-verify against docs
     * it dropped, so the filter trades the batch pipeline's exact-Jaccard
     * confirmation for bounded state — the standard ingest-time posture
-    * (tune k/bands for precision; the spec pins the semantics). */
+    * (tune k/bands for precision; the spec pins the semantics).
+    *
+    * Housekeeping at scale: the index read unions one delta dir per
+    * committed batch, so listing and plan size grow with batch count —
+    * periodically fold the deltas into one base
+    * ([[graft.operators.Layout.compact]] over `indexDir`, written as a
+    * new single delta whose marker replaces the compacted ones) the
+    * same way any log-structured store compacts. */
   def nearDupSuppressWriter(indexDir: String, outDir: String,
                             id: String, text: String,
                             k: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit =

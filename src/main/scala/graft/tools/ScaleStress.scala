@@ -90,12 +90,14 @@ object ScaleStress {
       "q135_copurchase_pmi", "q136_interval_union", "q138_markov_transitions",
       "q140_triangle_census",
       // round-8 additions: the suite's most expensive plans, so the
-      // 100 TB posture is MEASURED, not argued — the grouped-rank median
-      // engine (distinct-value-bounded), the end-to-end dedup pipeline,
-      // IVF-PQ (codebook training input-proportional, LUT joins
-      // probe-bounded), the one-pass rank correlation, star-contraction
-      // CC, label propagation (rounds shape-bounded), and the
-      // channel-bounded absorption chain
+      // 100 TB posture is MEASURED, not argued — the driver-assisted
+      // two-phase median engine (three narrow passes; its |groups|·4096
+      // bucket collect is constant in data size, so the ratio tracks
+      // the scan), the end-to-end dedup pipeline, IVF-PQ (codebook
+      // training input-proportional, LUT joins probe-bounded), the
+      // one-pass rank correlation, star-contraction CC, label
+      // propagation (rounds shape-bounded), and the channel-bounded
+      // absorption chain
       "q133_mad_outliers", "q116_exact_dedup_pipeline", "q96_ivfpq_adc",
       "q115_ivfpq_multiprobe", "q166_spearman_corr", "q89_cc_stars_paths",
       "q165_label_propagation", "q159_markov_attribution",
@@ -118,7 +120,11 @@ object ScaleStress {
       // duplication caveat as q111: replicas make every doc a superset-
       // pair of its 9 copies, so the TRUE directed-pair output explodes
       // by design.
-      "q184_emb_scatter", "q185_pca_power", "q182_containment")
+      "q184_emb_scatter", "q185_pca_power", "q182_containment",
+      // Heaps curve: the token explode and the two corpus aggregates are
+      // the only input-proportional stages; the decile fold is a
+      // broadcast 10-row conditional sum over the vocabulary table
+      "q191_heaps_curve")
     // flag threshold: super-linear growth — runtime ratio beyond
     // ~1.3x the data ratio means the operator is NOT input-proportional
     // (documented exceptions: output-driven q111, densification-driven
