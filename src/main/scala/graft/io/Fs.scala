@@ -37,4 +37,25 @@ object Fs {
       .filter(s => s.isFile && s.getPath.getName.endsWith(suffix))
       .map(_.getPath.getName)
   }
+
+  /** Write a small UTF-8 text file (metadata, not data) — create-only,
+    * so a concurrent duplicate write fails loudly instead of tearing. */
+  def writeText(spark: SparkSession, p: String, content: String): Unit = {
+    val (f, hp) = fs(spark, p)
+    val out = f.create(hp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read a small UTF-8 text file written by [[writeText]]. */
+  def readText(spark: SparkSession, p: String): String = {
+    val (f, hp) = fs(spark, p)
+    val in = f.open(hp)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      buf.toString("UTF-8")
+    } finally in.close()
+  }
 }

@@ -164,13 +164,19 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, inDir: String,
               outDir: String, targetBytes: Long = 128L << 20): Int = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val path = new org.apache.hadoop.fs.Path(inDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(path).getLength
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inPath = new org.apache.hadoop.fs.Path(inDir)
+    val fs = inPath.getFileSystem(conf)
+    val totalBytes = fs.getContentSummary(inPath).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)
       .coalesce(nFiles)
       .write.mode("overwrite").parquet(outDir)
-    nFiles
+    // report what was WRITTEN, not the coalesce target: coalesce cannot
+    // raise the partition count, so fewer-than-planned files is normal
+    // when the input already has few splits
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    outPath.getFileSystem(conf).listStatus(outPath)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
   }
 }

@@ -267,31 +267,38 @@ object Relational {
     * frame, which on near-unique values is the data itself):
     *
     *  1. one scan → per-group (min, max, n) — |groups| rows;
-    *  2. one scan → per-(group, bucket) counts over a fixed `buckets`
-    *     grid — |groups|·buckets rows collected to the DRIVER, which
-    *     locates the bucket(s) holding the two median slots and their
-    *     in-bucket rank offsets;
-    *  3. one scan, filtered by pushed-down per-group VALUE RANGES (the
-    *     located buckets — ~n/buckets of the data reaches the agg), →
-    *     per-(group, value) counts of the residual slice; the driver
-    *     walks ranks and pins med2 = v(p1) + v(p2) exactly.
+    *  2. iterative narrowing, one scan per round: every unresolved
+    *     median slot's current value window re-buckets into `buckets`
+    *     cells (per-slot windows ride a broadcast frame, the range
+    *     predicate pushes down), the driver descends into the cell
+    *     holding the slot's rank, and a one-value-wide window IS the
+    *     slot. Windows shrink by the bucket factor per round, so
+    *     rounds ≤ log_buckets(value range) — ≤ 6 over the full 2^62
+    *     envelope, 2 for cent prices.
     *
-    * No windows, no shuffle wider than |groups|·buckets rows, no
-    * executor buffering — per-scan cost is a narrow pass at ANY data
-    * size. The driver state is |groups|·buckets longs, which is why the
-    * GROUP DOMAIN MUST BE ENUM-BOUNDED (flags, statuses, priorities —
-    * the olsFit k² legitimacy class); per-key medians over data-scaled
-    * key domains belong on [[groupedMedian2]]. Returns (g, med2, n),
-    * NULL values of `v` dropped — the [[groupedMedian2]] contract.
-    * `v` must be LongType (exact rank selection); the group key is
-    * compared and returned AS A STRING — enum domains are string-like
-    * by nature, and the residual-probe predicate needs literal group
-    * values either way. */
+    * No windows, no shuffle wider than |groups|·2·buckets rows, no
+    * executor buffering, and the driver state is |groups|·2·buckets
+    * longs whatever the VALUE distribution does (skew only adds a
+    * round; a single-level residual probe would instead collect one
+    * row per distinct value of the dominant bucket — data-dependent).
+    * The GROUP DOMAIN MUST BE ENUM-BOUNDED (flags, statuses,
+    * priorities — the olsFit k² legitimacy class); per-key medians
+    * over data-scaled key domains belong on [[groupedMedian2]].
+    * Returns (g, med2, n), NULL values of `v` AND null group keys
+    * dropped — the [[groupedMedian2]] contract (its equi-join loses
+    * null keys). `v` must be LongType (exact rank selection); the
+    * group key is compared and returned AS A STRING — enum domains
+    * are string-like by nature, and the per-slot window predicate
+    * needs literal group values either way. */
   def groupedMedian2SmallDomain(df: DataFrame, g: String, v: String,
                                 buckets: Int = 4096): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.filter(col(v).isNotNull).select(col(g), col(v))
+    // NULL group keys drop (not NPE): the window engine loses them in
+    // its equi-join (null never equals null), so the two engines stay
+    // interchangeable on null-keyed input
+    val rows = df.filter(col(v).isNotNull && col(g).isNotNull)
+      .select(col(g), col(v))
     val rng = rows.groupBy(col(g))
       .agg(min(col(v)).as("lo"), max(col(v)).as("hi"), count(lit(1)).as("n"))
       .collect()
@@ -301,52 +308,72 @@ object Relational {
         .select(lit("").as(g), lit(0L).as("med2"), lit(0L).as("n")).limit(0)
     require(rng.size <= (1 << 16),
       s"group domain too large for the driver-assisted engine: ${rng.size}")
-    val w = rng.view.mapValues { case (lo, hi, _) =>
-      math.max(1L, (hi - lo + buckets) / buckets) }.toMap
-    val rngDf = rng.toSeq.map { case (k, (lo, _, _)) =>
-      (k.asInstanceOf[Any].toString, lo, w(k)) }.toDF("__g", "__lo", "__w")
-    // integer div — `/` on longs widens to double
-    def bucketed = rows
-      .join(broadcast(rngDf), col(g).cast("string") === col("__g"))
-      .withColumn("__b", expr(s"(`$v` - __lo) div __w"))
-    val counts = bucketed.groupBy(col(g), col("__b")).agg(count(lit(1)).as("c"))
-      .collect()
-      .groupBy(_.get(0))
-      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)).toMap
-    // locate, per group, the bucket(s) covering slots p1=(n+1)/2, p2=(n+2)/2
-    // and the residual value window [rLo, rHi] that surely contains both
-    val residual = rng.map { case (k, (lo, _, n)) =>
-      val (p1, p2) = ((n + 1) / 2, (n + 2) / 2)
-      var cum = 0L
-      var (b1, b2) = (-1L, -1L)
-      for ((b, c) <- counts(k)) {
-        if (b1 < 0 && cum + c >= p1) b1 = b
-        if (b2 < 0 && cum + c >= p2) b2 = b
-        cum += c
+    rng.foreach { case (k, (lo, hi, _)) =>
+      require(BigInt(hi) - BigInt(lo) < (BigInt(1) << 62),
+        s"value range of group $k exceeds the engine's 2^62 envelope") }
+    // Iterative range narrowing, one slot per median position: each
+    // round re-buckets every unresolved slot's CURRENT value window into
+    // `buckets` cells (one scan for all slots, predicate pushed down),
+    // and the driver descends into the cell holding the slot's rank.
+    // The window shrinks by the bucket factor per round, so rounds are
+    // bounded by log_buckets(value range) — ≤ 6 for the full 62-bit
+    // envelope — and the driver never holds more than
+    // |groups|·2·buckets count rows, NO MATTER HOW SKEWED the values
+    // are (a single-level residual collect would pull one row per
+    // distinct value of the dominant bucket — data-dependent).
+    // Resolution: when a window is one value wide, that value IS the
+    // slot.
+    case class Slot(lo: Long, hi: Long, rank: Long)
+    var slots: Map[(String, Int), Slot] = rng.flatMap { case (k, (lo, hi, n)) =>
+      val ks = k.asInstanceOf[Any].toString
+      Seq((ks, 1) -> Slot(lo, hi, (n + 1) / 2),
+          (ks, 2) -> Slot(lo, hi, (n + 2) / 2))
+    }.toMap
+    val resolved = scala.collection.mutable.Map.empty[(String, Int), Long]
+    var rounds = 0
+    while (slots.nonEmpty) {
+      val (done, todo) = slots.partition { case (_, s) => s.lo == s.hi }
+      done.foreach { case (key, s) => resolved(key) = s.lo }
+      slots = todo
+      if (slots.nonEmpty) {
+        rounds += 1
+        require(rounds <= 16, "median narrowing failed to converge")
+        def widthOf(s: Slot): Long =
+          ((BigInt(s.hi) - BigInt(s.lo) + buckets) / buckets).max(1).toLong
+        val frame = slots.toSeq.map { case ((gs, sl), s) =>
+          (gs, sl, s.lo, s.hi, widthOf(s)) }
+          .toDF("__g", "__s", "__lo", "__hi", "__w")
+        // integer div — `/` on longs widens to double
+        val counts = rows
+          .join(broadcast(frame), col(g).cast("string") === col("__g")
+            && col(v) >= col("__lo") && col(v) <= col("__hi"))
+          .groupBy(col("__g"), col("__s"),
+            expr(s"(`$v` - __lo) div __w").as("__b"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .groupBy(r => (r.getString(0), r.getInt(1)))
+          .view.mapValues(_.map(r => r.getLong(2) -> r.getLong(3)).sortBy(_._1))
+          .toMap
+        slots = slots.map { case (key, s) =>
+          val w = widthOf(s)
+          var cum = 0L
+          var chosen = -1L
+          var before = 0L
+          for ((b, c) <- counts(key)) {
+            if (chosen < 0) {
+              if (cum + c >= s.rank) { chosen = b; before = cum }
+              else cum += c
+            }
+          }
+          require(chosen >= 0, s"median slot not covered for $key")
+          val nLo = s.lo + chosen * w
+          key -> Slot(nLo, math.min(s.hi, nLo + w - 1), s.rank - before)
+        }
       }
-      val rankBefore = counts(k).filter(_._1 < b1).map(_._2).sum
-      k -> ((lo + b1 * w(k), lo + (b2 + 1) * w(k) - 1, rankBefore, p1, p2))
     }
-    val pred = residual.map { case (k, (rLo, rHi, _, _, _)) =>
-      col(g) === lit(k) && col(v) >= lit(rLo) && col(v) <= lit(rHi)
-    }.reduce(_ || _)
-    val slice = rows.filter(pred)
-      .groupBy(col(g), col(v)).agg(count(lit(1)).as("c"))
-      .collect()
-      .groupBy(_.get(0))
-      .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1)).toMap
-    val out = residual.toSeq.map { case (k, (_, _, rankBefore, p1, p2)) =>
-      var cum = rankBefore
-      var (s1, s2) = (0L, 0L)
-      var found1 = false
-      var found2 = false
-      for ((value, c) <- slice(k)) {
-        if (!found1 && cum + c >= p1) { s1 = value; found1 = true }
-        if (!found2 && cum + c >= p2) { s2 = value; found2 = true }
-        cum += c
-      }
-      require(found1 && found2, s"median slots not covered for group $k")
-      (k.asInstanceOf[Any].toString, s1 + s2, rng(k)._3)
+    val out = rng.toSeq.map { case (k, (_, _, n)) =>
+      val ks = k.asInstanceOf[Any].toString
+      (ks, resolved((ks, 1)) + resolved((ks, 2)), n)
     }
     out.toDF(g, "med2", "n")
   }

@@ -790,12 +790,16 @@ object Similarity {
   def jlProject(df: DataFrame, id: String, vec: String, k: Int,
                 dims: Int, scale: Double = 1e3): DataFrame = {
     val signs = jlSigns(k, dims)
-    val xf = toFixedVec(col(vec), scale)
+    // materialize the fixed-point grid ONCE per row (the embScatter
+    // discipline): inlining toFixedVec into every y_r would evaluate
+    // the interpreted transform HOF k times per row
+    val quant = df.select(col(id), toFixedVec(col(vec), scale).as("__xf"))
     val ys = signs.map { row =>
       val lits = array(row.map(lit): _*)
-      aggregate(zip_with(xf, lits, (x, s) => x * s), lit(0L), (a, x) => a + x)
+      aggregate(zip_with(col("__xf"), lits, (x, s) => x * s),
+        lit(0L), (a, x) => a + x)
     }
-    df.select(col(id), posexplode(array(ys.toIndexedSeq: _*)).as(Seq("r", "y")))
+    quant.select(col(id), posexplode(array(ys.toIndexedSeq: _*)).as(Seq("r", "y")))
   }
 
   /** Project the embedding column onto a PCA basis (k×d, from

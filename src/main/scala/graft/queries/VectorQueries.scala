@@ -729,8 +729,10 @@ object VectorQueries {
     "q187_jl_ann" -> Q(
       (s, d) => {
         import s.implicits._
+        // two consumers (query row + candidate side) — materialize the
+        // projection once or the 16-aggregate pass runs twice
         val proj = Similarity.jlProject(emb(s, d), "vec_id", "embedding",
-          k = 16, dims = 64)
+          k = 16, dims = 64).localCheckpoint()
         val qry = proj.filter($"vec_id" === 0)
           .select($"r", $"y".as("yq"))
         proj.filter($"vec_id" =!= 0)

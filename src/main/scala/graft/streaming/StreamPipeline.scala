@@ -274,10 +274,11 @@ object StreamPipeline {
     *
     * Housekeeping at scale: the index read unions one delta dir per
     * committed batch, so listing and plan size grow with batch count —
-    * periodically fold the deltas into one base
-    * ([[graft.operators.Layout.compact]] over `indexDir`, written as a
-    * new single delta whose marker replaces the compacted ones) the
-    * same way any log-structured store compacts. */
+    * periodically fold them with [[compactNearDupIndex]] (base
+    * generations promoted by a covered-set metadata file; the outDir
+    * batch markers are dual-purpose — they gate SURVIVOR visibility
+    * too — so compaction must never touch them, which is exactly what
+    * the generation scheme avoids). */
   def nearDupSuppressWriter(indexDir: String, outDir: String,
                             id: String, text: String,
                             k: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit =
@@ -290,10 +291,10 @@ object StreamPipeline {
         val buckets = Dedup.lshBands(
           Dedup.minhashSignaturesLcg(Dedup.tokens(batch, id, text), id, k),
           id, k, bands).persist()
-        // committed index = deltas whose OUT marker exists (never the
+        // committed index = newest promoted base + deltas whose OUT
+        // marker exists and that the base doesn't cover (never the
         // in-flight batch: its marker isn't there yet)
-        val committed = Fs.listWithSuffix(spark, outDir, ".commit")
-          .map(n => s"$indexDir/${n.stripSuffix(".commit")}")
+        val committed = committedIndexPaths(spark, indexDir, outDir)
         val hitExisting =
           if (committed.isEmpty) buckets.filter(lit(false)).select(col(id))
           else buckets.join(
@@ -317,6 +318,66 @@ object StreamPipeline {
         survivors.unpersist(); buckets.unpersist()
       }
     }
+
+  /** Index state for [[nearDupSuppressWriter]]: the newest promoted
+    * base generation (gen, covered batch names) if any, plus the
+    * marker-committed delta names it does not cover. */
+  private def indexState(spark: SparkSession, indexDir: String,
+                         outDir: String): (Option[(Int, Set[String])], Seq[String]) = {
+    import graft.io.Fs
+    val gens = Fs.listWithSuffix(spark, indexDir, ".meta").flatMap { n =>
+      val s = n.stripSuffix(".meta")
+      if (s.startsWith("base-") && s.drop(5).nonEmpty && s.drop(5).forall(_.isDigit))
+        Some(s.drop(5).toInt)
+      else None
+    }
+    val base = gens.sorted.lastOption.map { gen =>
+      gen -> Fs.readText(spark, s"$indexDir/base-$gen.meta")
+        .split("\n").filter(_.nonEmpty).toSet
+    }
+    val committed = Fs.listWithSuffix(spark, outDir, ".commit")
+      .map(_.stripSuffix(".commit"))
+    (base, committed.filterNot(n => base.exists(_._2.contains(n))).sorted)
+  }
+
+  private def committedIndexPaths(spark: SparkSession, indexDir: String,
+                                  outDir: String): Seq[String] = {
+    val (base, deltas) = indexState(spark, indexDir, outDir)
+    base.map(b => s"$indexDir/base-${b._1}").toSeq ++
+      deltas.map(n => s"$indexDir/$n")
+  }
+
+  /** Fold the committed bucket-index deltas (plus the previous base)
+    * into a new base GENERATION — the log-structured compaction the
+    * index needs once batch count makes per-delta listing and plan
+    * size hurt. The outDir batch markers are never touched (they also
+    * gate survivor visibility — rewriting them would un-commit output
+    * or point the index read at deleted paths); instead the new base
+    * dir is written first and PROMOTED by the create-only
+    * `base-<gen>.meta` file recording which batch names it covers.
+    * Readers pick the highest promoted generation and union only
+    * uncovered deltas, so a crash before the meta write leaves an
+    * invisible orphan dir and a crash after it leaves stale covered
+    * deltas that readers already exclude — no window double-counts or
+    * drops index entries. Returns the number of deltas folded (0 =
+    * nothing to do). Old generations and covered delta dirs are left
+    * for a janitor pass — deleting them is safe once the meta that
+    * covers them is visible. */
+  def compactNearDupIndex(spark: SparkSession, indexDir: String,
+                          outDir: String): Int = {
+    import graft.io.Fs
+    val (base, deltas) = indexState(spark, indexDir, outDir)
+    if (deltas.isEmpty) return 0
+    val gen = base.map(_._1 + 1).getOrElse(0)
+    val covered = base.map(_._2).getOrElse(Set.empty) ++ deltas
+    val paths = base.map(b => s"$indexDir/base-${b._1}").toSeq ++
+      deltas.map(n => s"$indexDir/$n")
+    spark.read.parquet(paths: _*)
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/base-$gen")
+    Fs.writeText(spark, s"$indexDir/base-$gen.meta",
+      covered.toSeq.sorted.mkString("\n"))
+    deltas.size
+  }
 
   /** Watermarked stream-stream inner equi-join with an event-time range
     * bound. Both sides buffer state only within their watermark; the

@@ -268,6 +268,14 @@ class RelationalOpsSpec extends SparkSpec {
       asMap(graft.operators.Relational.groupedMedian2SmallDomain(li, "g", "v")) ==
       asMap(graft.operators.Relational.groupedMedian2(li, "g", "v")),
       "engines must agree on real cent prices")
+    // NULL group keys: the window engine loses them in its equi-join;
+    // the driver-assisted engine must drop them too, not NPE
+    val nullKeyed = Seq((Some("a"), 1L), (None, 2L), (Some("a"), 3L), (None, 9L))
+      .toDF("g", "v")
+    assert(
+      asMap(graft.operators.Relational.groupedMedian2SmallDomain(nullKeyed, "g", "v")) ==
+        Map("a" -> ((4L, 2L))),
+      "null group keys must drop, matching the window engine")
   }
 
   test("groupedMedian2 ignores NULL values like the percentile UDAF does") {

@@ -484,8 +484,9 @@ class ScalePostureSpec extends SparkSpec {
     // target sized so the whole sf0.001 table compacts to a couple files
     val n = graft.operators.Layout.compact(spark, frag, tidy,
       targetBytes = 256L * 1024)
-    assert(dataFiles(tidy) <= n && n < 64,
-      s"compaction must cut the file count: $n planned, ${dataFiles(tidy)} written")
+    assert(n == dataFiles(tidy),
+      s"compact must report the WRITTEN file count: $n vs ${dataFiles(tidy)}")
+    assert(n < 64, s"compaction must cut the file count: $n")
     // the compact plan is coalesce, not repartition: no exchange
     val plan = spark.read.parquet(frag).coalesce(n)
       .queryExecution.executedPlan.toString

@@ -635,5 +635,20 @@ class StreamingSpec extends SparkSpec {
         Sinks.readAppendOnce(spark, outDir).get, "doc_id", "text",
         k = 16, bands = 4, threshold = 0.9, scheme = "lcg")
     assert(pairs.count() == 0, "admitted set must be near-dup free")
+    // log-structured housekeeping: fold both deltas into base-0 and keep
+    // filtering — a doc-1 dup must now be suppressed via the BASE, and
+    // survivor visibility (outDir markers untouched) must be unchanged
+    assert(StreamPipeline.compactNearDupIndex(spark, indexDir, outDir) == 2,
+      "both committed deltas fold into the first base generation")
+    writer(Seq(
+      (6L, "the quick brown fox jumps over the lazy dog"),
+      (7L, "entirely novel content appearing after compaction"))
+      .toDF("doc_id", "text"), 2L)
+    assert(admitted() == Seq(1L, 3L, 5L, 7L),
+      s"post-compaction: base suppresses doc 6, doc 7 admitted: ${admitted()}")
+    // the second compaction folds base-0 + the one new delta into base-1
+    assert(StreamPipeline.compactNearDupIndex(spark, indexDir, outDir) == 1)
+    assert(StreamPipeline.compactNearDupIndex(spark, indexDir, outDir) == 0,
+      "compaction with no uncovered deltas is a no-op")
   }
 }
