@@ -46,6 +46,28 @@ object Fs {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Write a small UTF-8 text file and PROMOTE it atomically: content
+    * goes to a `.tmp` sibling first, then a single `rename` makes it
+    * visible — a concurrent reader sees either the whole file or no
+    * file, never a torn prefix (rename is atomic on HDFS and local
+    * FS; on S3A pair this with a conditional-write layer). Create-only
+    * like [[writeText]]: rename refuses to clobber an existing target,
+    * so a duplicate promotion fails loudly. */
+  def writeTextAtomic(spark: SparkSession, p: String, content: String): Unit = {
+    val (f, hp) = fs(spark, p)
+    val tmp = new Path(hp.getParent, hp.getName + ".tmp")
+    val out = f.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, hp))
+      throw new java.io.IOException(s"atomic promotion of $p failed (target exists?)")
+  }
+
+  /** Recursively delete a path if it exists (janitor passes). */
+  def deleteRecursive(spark: SparkSession, p: String): Boolean = {
+    val (f, hp) = fs(spark, p)
+    !f.exists(hp) || f.delete(hp, true)
+  }
+
   /** Read a small UTF-8 text file written by [[writeText]]. */
   def readText(spark: SparkSession, p: String): String = {
     val (f, hp) = fs(spark, p)

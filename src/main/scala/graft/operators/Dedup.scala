@@ -492,40 +492,55 @@ object Dedup {
     * boundary. Returns (id_src, id_dst, n_inter, n_src, cont_scaled),
     * both directions evaluated from ONE undirected intersection count.
     *
-    * Scale posture: identical to [[sparseJaccardPairs]] — the pair
-    * stage is an inverted-index equi-join bounded by shared-shingle
-    * document frequency, never n²; shingle choice (word n-grams, not
-    * unigrams) is what keeps that DF small on real text. */
+    * Scale posture — the ASYMMETRIC PREFIX FILTER (Xiao et al.,
+    * TODS'11, adapted to the one-sided containment bound): candidates
+    * never come from a full inverted-index self-join. Order every
+    * document's shingles rarest-first (ascending document frequency,
+    * ties by shingle hash) and observe that C(src→dst) ≥ t forces
+    * overlap o = ⌈t·n_src⌉, so src and dst MUST share a shingle within
+    * src's first n_src − o + 1 shingles under that common order (src's
+    * suffix holds only o − 1 shingles — fewer than the required
+    * overlap). Candidates therefore join src-side PREFIX tokens against
+    * the dst-side full index: a boilerplate shingle shared by f docs is
+    * high-df, lands at the END of every rarest-first order, and so
+    * almost never enters a prefix — its fan-out is (#prefixes holding
+    * it)·f, not f²/2. The filter is LOSSLESS (the oracle compares
+    * against the brute-force intersection join, so the hash is the
+    * proof, every round); the size-compatibility prune
+    * tNum·n_src ≤ tDen·n_dst (⌈t·n_src⌉ ≤ n_dst is necessary) is an
+    * integer cross-multiply. Verification intersects the TRUE shingle
+    * arrays per candidate — O(|src|+|dst|) each, never n². */
   def containmentPairs(df: DataFrame, id: String, shingles: Column,
                        tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
     // The shingle HOF is interpreted (no doGenCode) and this plan has
-    // THREE consumers (sizes + both sides of the inverted-index
-    // self-join) — materialize the per-doc arrays once and let every
-    // consumer read stored arrays (the prefixJaccardPairs discipline;
-    // measured 4.6 → 2.7 s end-to-end on q182 at sf0.1)
+    // multiple consumers (candidate tokens + both verify sides) —
+    // materialize the per-doc arrays once and let every consumer read
+    // stored arrays (the prefixJaccardPairs discipline)
     val docSets = df.select(col(id).as("doc"), shingles.as("__set"))
+      .withColumn("__n", size(col("__set")))
       .localCheckpoint()
-    val sizes = docSets.select(col("doc"), size(col("__set")).as("n_sh"))
-    val toks = docSets.select(col("doc"), explode(col("__set")).as("sh"))
-    val inter = toks.alias("a")
-      .join(toks.alias("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val sized = inter
-      .join(sizes.select(col("doc").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("doc").as("id_b"), col("n_sh").as("n_b")), "id_b")
-    val ab = sized.select(col("id_a").as("id_src"), col("id_b").as("id_dst"),
-      col("n_inter"), col("n_a").as("n_src"))
-    val ba = sized.select(col("id_b").as("id_src"), col("id_a").as("id_dst"),
-      col("n_inter"), col("n_b").as("n_src"))
-    ab.union(ba)
-      .filter(col("n_inter") * tDen >= col("n_src") * tNum)
+    // 64-bit shingle hashes through the candidate machinery: exchanges
+    // move 8-byte keys, and a collision can only ADD a spurious
+    // candidate — the exact array_intersect verify removes it
+    val toks = docSets
+      .select(col("doc"), col("__n"), explode(col("__set")).as("__s"))
+      .select(col("doc"), col("__n"), xxhash64(col("__s")).as("sh"))
+    val cand = containmentCandidates(toks, tNum, tDen).localCheckpoint()
+    // exact verify on the true shingle arrays, candidates only
+    cand
+      .join(docSets.select(col("doc").as("id_src"), col("__set").as("__ss"),
+        col("__n").as("__ns")), "id_src")
+      .join(docSets.select(col("doc").as("id_dst"), col("__set").as("__sd")),
+        "id_dst")
+      .withColumn("n_inter",
+        size(array_intersect(col("__ss"), col("__sd"))).cast("long"))
+      .filter(col("n_inter") * tDen >= col("__ns") * tNum)
       // n_src widens to long: size() is INT but the oracle's len() is
       // BIGINT, and the schema compare is typed
       .select(col("id_src"), col("id_dst"), col("n_inter"),
-        col("n_src").cast("long").as("n_src"),
-        expr("(n_inter * 1000000) div n_src").as("cont_scaled"))
+        col("__ns").cast("long").as("n_src"),
+        expr("(n_inter * 1000000) div __ns").as("cont_scaled"))
   }
 
   /** EXACT Jaccard ≥ tNum/tDen similarity join via prefix filtering —
@@ -617,6 +632,42 @@ object Dedup {
       .withColumn("__n", size(col("__set")))
       .localCheckpoint()
     verifyJaccard(cand, verifySets, tNum, tDen)
+  }
+
+  /** Candidate stage of [[containmentPairs]], package-visible so
+    * ScalePostureSpec can pin its plan shape (prefix filter present,
+    * equi-join on the shingle hash, no cartesian stage). `toks` carries
+    * (doc, __n, sh) hashed tokens. `checkpoint = false` keeps the full
+    * lineage visible for plan assertions; production checkpoints the
+    * prefix table (read twice: fan-out estimate + join build). */
+  private[graft] def containmentCandidates(toks: DataFrame, tNum: Int,
+                                           tDen: Int,
+                                           checkpoint: Boolean = true): DataFrame = {
+    val dfreq = toks.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    val ranked = toks
+      .join(dfreq, "sh")
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col("doc")).orderBy(col("__df"), col("sh"))))
+    // src prefix: first n − ⌈t·n⌉ + 1 rarest shingles (integer ceil)
+    val pref0 = ranked
+      .filter(col("__pos") <=
+        col("__n") - expr(s"(($tNum * __n + ${tDen - 1}) div $tDen)") + 1)
+      .select(col("doc").as("id_src"), col("sh"), col("__n").as("__n_src"))
+    val pref = if (checkpoint) pref0.localCheckpoint() else pref0
+    // dst side indexes ALL tokens (containment has no dst-side prefix:
+    // the container may be arbitrarily larger than the contained doc);
+    // distinct key names — an ambiguous self-join key would tempt the
+    // analyzer into a trivially-true `sh == sh` predicate, silently
+    // degrading the candidate stage to size-compat-only (quadratic)
+    val all = toks.select(col("doc").as("id_dst"), col("sh").as("__sh_d"),
+      col("__n").as("__n_dst"))
+    pref
+      .join(all,
+        col("sh") === col("__sh_d") && col("id_src") =!= col("id_dst") &&
+          // ⌈t·n_src⌉ ≤ n_dst, as an integer cross-multiply
+          col("__n_dst") * tDen >= col("__n_src") * tNum)
+      .select(col("id_src"), col("id_dst"))
+      .distinct()
   }
 
   /** Shared AllPairs candidate stage over hashed tokens (doc, __n, sh):

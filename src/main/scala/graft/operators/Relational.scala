@@ -292,6 +292,12 @@ object Relational {
     * needs literal group values either way. */
   def groupedMedian2SmallDomain(df: DataFrame, g: String, v: String,
                                 buckets: Int = 4096): DataFrame = {
+    // buckets=1 makes widthOf equal the full window width — narrowing
+    // never shrinks and every call dies on the convergence require;
+    // buckets<=0 divides by zero. 16 is the useful floor (each round
+    // must shrink the window by the bucket factor for the ≤16-round
+    // bound over the 2^62 envelope to hold: 16^16 > 2^62).
+    require(buckets >= 16, s"buckets must be >= 16 (narrowing factor); got $buckets")
     val spark = df.sparkSession
     import spark.implicits._
     // NULL group keys drop (not NPE): the window engine loses them in

@@ -702,9 +702,16 @@ object Similarity {
                       vScale: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val a = Array.ofDim[BigInt](dims, dims)
+    // entries default to 0: an empty corpus (or an absent (i,j) pair)
+    // contributes nothing to the scatter, and null BigInt cells would
+    // NPE inside the matrix-vector product
+    val a = Array.fill[BigInt](dims, dims)(BigInt(0))
     embScatter(df, vec, dims, scale).collect().foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
+      // c_num is NULL when the DECIMAL→BIGINT cast overflowed — the row
+      // is PRESENT, not missing, so getLong would throw an opaque NPE
+      require(!r.isNullAt(2),
+        s"scatter entry ($i,$j) overflowed the BIGINT envelope — lower `scale`")
       val v = BigInt(r.getLong(2))
       a(i)(j) = v; a(j)(i) = v
     }
@@ -736,9 +743,13 @@ object Similarity {
   def pcaBasis(df: DataFrame, vec: String, dims: Int, k: Int,
                scale: Double = 1e3, iters: Int = 50): Array[Array[Double]] = {
     require(k >= 1 && k <= dims, s"need 1 <= k <= dims, got k=$k dims=$dims")
+    // zero-filled by construction (Array.ofDim[Double]); but an
+    // overflowed c_num is NULL (row present), and getLong on it NPEs
     val a = Array.ofDim[Double](dims, dims)
     embScatter(df, vec, dims, scale).collect().foreach { r =>
       val (i, j) = (r.getInt(0), r.getInt(1))
+      require(!r.isNullAt(2),
+        s"scatter entry ($i,$j) overflowed the BIGINT envelope — lower `scale`")
       val v = r.getLong(2).toDouble
       a(i)(j) = v; a(j)(i) = v
     }

@@ -359,10 +359,18 @@ object StreamPipeline {
     * uncovered deltas, so a crash before the meta write leaves an
     * invisible orphan dir and a crash after it leaves stale covered
     * deltas that readers already exclude — no window double-counts or
-    * drops index entries. Returns the number of deltas folded (0 =
-    * nothing to do). Old generations and covered delta dirs are left
-    * for a janitor pass — deleting them is safe once the meta that
-    * covers them is visible. */
+    * drops index entries. The meta itself is promoted by
+    * write-to-temp + ATOMIC RENAME ([[graft.io.Fs.writeTextAtomic]]):
+    * a concurrent reader sees the whole covered list or the previous
+    * generation, never a torn prefix. Returns the number of deltas
+    * folded (0 = nothing to do).
+    *
+    * Old generations and covered delta dirs are NOT deleted here —
+    * that is [[janitorNearDupIndex]]'s job, and it must respect a
+    * GRACE WINDOW: a concurrent [[nearDupSuppressWriter]] batch that
+    * resolved `committedIndexPaths` just before this promotion still
+    * holds the OLD delta paths in its plan, so deleting them the
+    * instant the new meta lands races that reader into FileNotFound. */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
                           outDir: String): Int = {
     import graft.io.Fs
@@ -374,9 +382,49 @@ object StreamPipeline {
       deltas.map(n => s"$indexDir/$n")
     spark.read.parquet(paths: _*)
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/base-$gen")
-    Fs.writeText(spark, s"$indexDir/base-$gen.meta",
+    Fs.writeTextAtomic(spark, s"$indexDir/base-$gen.meta",
       covered.toSeq.sorted.mkString("\n"))
     deltas.size
+  }
+
+  /** Janitor for the near-dup index: delete base generations and
+    * covered delta dirs that no reader can still reference. With the
+    * newest promoted generation G, everything covered by generation
+    * `G - grace` (and the older base dirs themselves) is deleted;
+    * dirs first covered by a NEWER generation survive. `grace = 1`
+    * (the default) is the single-concurrent-writer posture: a batch
+    * that resolved its index paths against generation G−1 just before
+    * G's promotion still finds every path it holds, because only
+    * G−2-covered dirs die. `grace = 0` reclaims everything covered by
+    * the newest meta — safe only when no reader can be in flight
+    * (maintenance windows, tests). Generalize grace to the number of
+    * promotions that can occur within one reader's plan lifetime.
+    * Returns the number of directories deleted. The outDir batch
+    * markers are never touched (they gate survivor visibility). */
+  def janitorNearDupIndex(spark: SparkSession, indexDir: String,
+                          grace: Int = 1): Int = {
+    import graft.io.Fs
+    require(grace >= 0, s"grace must be >= 0: $grace")
+    val gens = Fs.listWithSuffix(spark, indexDir, ".meta").flatMap { n =>
+      val s = n.stripSuffix(".meta")
+      if (s.startsWith("base-") && s.drop(5).nonEmpty && s.drop(5).forall(_.isDigit))
+        Some(s.drop(5).toInt)
+      else None
+    }.sorted
+    if (gens.isEmpty) return 0
+    val newest = gens.last
+    val cutoff = newest - grace
+    if (cutoff < 0) return 0
+    val coveredByCutoff = Fs.readText(spark, s"$indexDir/base-$cutoff.meta")
+      .split("\n").filter(_.nonEmpty).toSet
+    // covered deltas of the cutoff generation, then every base strictly
+    // older than the cutoff (their coverage is a subset of the cutoff's)
+    val deltaDirs = coveredByCutoff.toSeq.sorted.map(n => s"$indexDir/$n")
+    val oldBases = gens.filter(_ < cutoff)
+      .flatMap(g => Seq(s"$indexDir/base-$g", s"$indexDir/base-$g.meta"))
+    (deltaDirs ++ oldBases).count { p =>
+      Fs.exists(spark, p) && Fs.deleteRecursive(spark, p)
+    }
   }
 
   /** Watermarked stream-stream inner equi-join with an event-time range

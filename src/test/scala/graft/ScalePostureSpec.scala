@@ -415,6 +415,62 @@ class ScalePostureSpec extends SparkSpec {
       s"within-cell pairs must come from an equi-join on cell:\n${p.take(1600)}")
   }
 
+  test("q182 containment: candidates come from PREFIX tokens, via an equi-join on the shingle") {
+    // the asymmetric prefix filter (Xiao et al. TODS'11): src-side join
+    // input is the __pos-filtered rarest-first prefix, the join carries
+    // the shingle hash as an equi-key, and no cartesian stage exists —
+    // a boilerplate shingle shared corpus-wide can never drive the
+    // candidate stage quadratic
+    val toks = Seq((1L, 4, 10L), (2L, 4, 10L)).toDF("doc", "__n", "sh")
+    val cand = graft.operators.Dedup
+      .containmentCandidates(toks, 1, 2, checkpoint = false)
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.contains("__pos"),
+      s"src side must filter to the rarest-first prefix:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate stage must never be all-pairs:\n${p.take(1200)}")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin) \\[sh#".r
+        .findFirstIn(p).isDefined ||
+      "hashpartitioning\\(sh#".r.findFirstIn(p).isDefined,
+      s"candidates must come from an equi-join on the shingle hash:\n${p.take(1600)}")
+    // behavioral bound: m docs all sharing ONE hot shingle plus three
+    // rare shingles each — the full inverted join would emit m(m-1)
+    // directed candidates from the hot shingle alone; at t=1/2, n=4
+    // the rarest-first prefix holds 3 tokens — the three RARE ones
+    // (df=1), never the hot one (df=m) — so no cross-doc candidates
+    val m = 40
+    val hot = toks.sparkSession.createDataFrame(
+      (0 until m).flatMap(i => Seq(
+        (i.toLong, 4, 999L), (i.toLong, 4, 1000L + 3 * i),
+        (i.toLong, 4, 1001L + 3 * i), (i.toLong, 4, 1002L + 3 * i)))
+    ).toDF("doc", "__n", "sh")
+    val n = graft.operators.Dedup
+      .containmentCandidates(hot, 1, 2, checkpoint = false).count()
+    assert(n == 0,
+      s"hot shingle must be starved out of candidate generation, got $n candidates")
+  }
+
+  test("q41 is the DECLARED brute-force baseline: full shingle self-join allowed THERE ONLY") {
+    // q41 (sparseJaccardPairs) is the bounded ground truth that q111's
+    // prefix filter is audited against every round — its plan is the
+    // full inverted-index self-join BY DESIGN, and it is the only
+    // registered query permitted that shape. The two production paths
+    // over the same semantics must carry the prefix filter instead.
+    val q41 = plan("q41_dedup_ngram_jaccard")
+    assert("(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r.findFirstIn(q41).isDefined,
+      s"q41 must remain the brute-force inverted-index join:\n${q41.take(800)}")
+    assert(!q41.contains("__pos"),
+      "q41 must stay un-prefixed — it IS the losslessness oracle for q111")
+    // production paths: prefix filter present (q111 in-plan; q182's
+    // candidate stage is pinned by the dedicated test above since its
+    // checkpoints hide lineage)
+    val q111 = plan("q111_prefix_jaccard")
+    assert(q111.contains("__pos") ||
+      // checkpointed candidate stage: lineage hidden — accept the scan
+      q111.linesIterator.exists(_.contains("Scan ExistingRDD")),
+      s"q111 must be the prefix-filtered path:\n${q111.take(800)}")
+  }
+
   test("nested schema pruning: a subfield projection reads ONLY that leaf") {
     // struct columns are how multimodal metadata travels (SURVEY §1.2);
     // at 100 TB reading a whole struct for one leaf is the same bug as

@@ -650,5 +650,44 @@ class StreamingSpec extends SparkSpec {
     assert(StreamPipeline.compactNearDupIndex(spark, indexDir, outDir) == 1)
     assert(StreamPipeline.compactNearDupIndex(spark, indexDir, outDir) == 0,
       "compaction with no uncovered deltas is a no-op")
+
+    // ---- crash window: base dir written, meta NOT yet promoted ----
+    // (a compactor killed between the parquet write and the atomic meta
+    // rename) — the orphan generation is invisible: readers keep using
+    // the newest PROMOTED generation, and admission behavior is unchanged
+    new java.io.File(s"$indexDir/base-7").mkdirs()
+    writer(Seq((8L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text"), 3L)
+    assert(admitted() == Seq(1L, 3L, 5L, 7L),
+      s"orphan un-promoted base must be invisible: ${admitted()}")
+
+    // ---- janitor: grace window, then full reclaim ----
+    def idxDirs(): Int =
+      Option(new java.io.File(indexDir).listFiles).map(_.length).getOrElse(0)
+    val before = idxDirs()
+    // grace=1: newest promoted gen is 1, so only generation-0-covered
+    // dirs die (batch-000000, batch-000001) — a concurrent reader that
+    // resolved its paths against gen 0 just before gen 1's promotion
+    // would still find everything it holds
+    assert(StreamPipeline.janitorNearDupIndex(spark, indexDir, grace = 1) == 2,
+      "grace=1 reclaims exactly the two generation-0-covered deltas")
+    writer(Seq((9L, "lazy dog the quick brown fox jumps over the"))
+      .toDF("doc_id", "text"), 4L)
+    assert(admitted() == Seq(1L, 3L, 5L, 7L),
+      s"suppression intact after grace-window janitor: ${admitted()}")
+    // grace=0 (maintenance window): everything covered by the NEWEST
+    // meta dies — batch-000002's delta plus base-0 and its meta
+    assert(StreamPipeline.janitorNearDupIndex(spark, indexDir, grace = 0) == 3,
+      "grace=0 reclaims the newest-covered delta and the old generation")
+    info(s"index dirs before janitor: $before, after: ${idxDirs()}")
+    assert(idxDirs() < before, "janitor must shrink the index listing")
+    // the index now serves entirely from base-1 + uncovered deltas:
+    // dups still suppressed, novel docs still admitted
+    writer(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "post janitor novel document with fresh words"))
+      .toDF("doc_id", "text"), 5L)
+    assert(admitted() == Seq(1L, 3L, 5L, 7L, 11L),
+      s"post-janitor: base suppresses doc 10, doc 11 admitted: ${admitted()}")
   }
 }

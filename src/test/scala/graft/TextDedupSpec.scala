@@ -52,6 +52,41 @@ class TextDedupSpec extends SparkSpec {
     assert(strict === Set((0L, 1L)), s"only full containment survives 2/3: $strict")
   }
 
+  test("containmentPairs prefix filter is lossless on a boilerplate-heavy corpus") {
+    // every doc shares the same 4-word boilerplate prefix — the hot
+    // shingle that makes a FULL inverted-index self-join quadratic;
+    // the rarest-first prefix filter must starve it out of candidate
+    // generation while still emitting exactly the brute-force pairs
+    val boiler = "terms of service apply"
+    val bodies = Seq(
+      "alpha beta gamma delta epsilon", "alpha beta gamma delta zeta",
+      "alpha beta gamma delta epsilon", // exact dup of doc 0's body
+      "one two three four five six",    "one two three four",
+      "unrelated totally different words here now", "x y z w")
+    val cd = bodies.zipWithIndex
+      .map { case (b, i) => (i.toLong, s"$boiler $b") }
+      .toDF("doc_id", "text")
+    val (tNum, tDen) = (1, 2)
+    val got = Dedup.containmentPairs(cd, "doc_id",
+        TextFunctions.wordShingles($"text", 4), tNum, tDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // brute force over the same shingle sets, computed driver-side
+    val sets = cd.select($"doc_id",
+        TextFunctions.wordShingles($"text", 4).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val want = (for {
+      (src, ss) <- sets.toSeq; (dst, ds) <- sets.toSeq if src != dst
+      inter = (ss.toSet intersect ds.toSet).size.toLong
+      if inter * tDen >= ss.size.toLong * tNum
+    } yield (src, dst) -> ((inter, ss.size.toLong, inter * 1000000L / ss.size)))
+      .toMap
+    assert(got === want,
+      s"prefix-filtered result diverges from brute force:\n got=$got\n want=$want")
+    assert(want.nonEmpty, "fixture must actually produce containment pairs")
+  }
+
   test("exact dedup stats distinguish exact vs fingerprint uniqueness") {
     val r = Dedup.exactStats(docs, "text").collect()(0)
     assert(r.getLong(0) == 4)
