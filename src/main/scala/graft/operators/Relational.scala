@@ -291,7 +291,8 @@ object Relational {
     * are string-like by nature, and the per-slot window predicate
     * needs literal group values either way. */
   def groupedMedian2SmallDomain(df: DataFrame, g: String, v: String,
-                                buckets: Int = 4096): DataFrame = {
+                                buckets: Int = 4096,
+                                rangeHint: Option[Map[String, (Long, Long, Long)]] = None): DataFrame = {
     // buckets=1 makes widthOf equal the full window width — narrowing
     // never shrinks and every call dies on the convergence require;
     // buckets<=0 divides by zero. 16 is the useful floor (each round
@@ -305,10 +306,20 @@ object Relational {
     // interchangeable on null-keyed input
     val rows = df.filter(col(v).isNotNull && col(g).isNotNull)
       .select(col(g), col(v))
-    val rng = rows.groupBy(col(g))
-      .agg(min(col(v)).as("lo"), max(col(v)).as("hi"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.get(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // rangeHint skips the min/max/count scan when the caller already
+    // knows a bound — e.g. a MAD stage whose deviation range derives
+    // arithmetically from the median stage's range ([0, max(|2lo−m|,
+    // |2hi−m|)]) and whose n is the same groups' n. Contract: per
+    // string-rendered group key, (lo, hi) must BOUND every value (a
+    // wider window only risks one extra narrowing round) and n must be
+    // the EXACT non-null row count (it fixes the rank).
+    val rng: Map[String, (Long, Long, Long)] = rangeHint.getOrElse {
+      rows.groupBy(col(g))
+        .agg(min(col(v)).as("lo"), max(col(v)).as("hi"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.get(0).toString -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    }
     if (rng.isEmpty)
       return spark.emptyDataFrame
         .select(lit("").as(g), lit(0L).as("med2"), lit(0L).as("n")).limit(0)
