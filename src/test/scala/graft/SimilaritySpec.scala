@@ -225,6 +225,34 @@ class SimilaritySpec extends SparkSpec {
       s"multi-probe ADC must not lose recall (np1=$adcRecall, np3=$adc3Recall)")
   }
 
+  test("materialized PQ index answers exactly like the train-inline build, any nprobe") {
+    val e = Tables(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    val c = e.filter($"vec_id" >= 10)
+    val path = java.nio.file.Files.createTempDirectory("pqidx").toString + "/pq"
+    val (cents, codebooks, cand) = Similarity.materializePqIndex(
+      spark, c, e, path, "vec_id", "embedding", kCells = 8, coarseIters = 3,
+      subspaces = 8, ksub = 16, pqIters = 2, dims = 64)
+    for (np <- Seq(1, 3)) {
+      val fromIdx = Similarity.ivfPqTopKFromIndex(q, cents, codebooks, cand,
+          "vec_id", "embedding", k = 5, subspaces = 8, dims = 64, nprobe = np)
+        .as[(Long, Int, Long)].collect().sorted
+      val inline = Similarity.ivfPqTopKMultiProbe(q, c, e, "vec_id", "embedding",
+          k = 5, kCells = 8, coarseIters = 3, subspaces = 8, ksub = 16,
+          pqIters = 2, dims = 64, nprobe = np)
+        .as[(Long, Int, Long)].collect().sorted
+      assert(fromIdx.sameElements(inline),
+        s"materialization must never change an answer (nprobe=$np)")
+    }
+    // second call is a pure read (the cand/_SUCCESS gate): rewriting the
+    // tables under a served index would be the bug this pin catches
+    val mtime = new java.io.File(s"$path/cand/_SUCCESS").lastModified
+    Similarity.materializePqIndex(spark, c, e, path, "vec_id", "embedding",
+      kCells = 8, coarseIters = 3, subspaces = 8, ksub = 16, pqIters = 2, dims = 64)
+    assert(new java.io.File(s"$path/cand/_SUCCESS").lastModified == mtime,
+      "an existing index must be served, not rebuilt")
+  }
+
   test("LSH pairs are a subset of brute-force pairs at the same threshold") {
     val bf = Similarity.bruteForceNearDupPairs(vecs, "vec_id", "embedding", 0.9)
       .as[(Long, Long)].collect().toSet
