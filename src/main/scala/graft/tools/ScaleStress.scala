@@ -15,8 +15,24 @@ import graft.{SparkEntry, Tables}
   * `sbt "runMain graft.tools.ScaleStress [factor]"`
   */
 object ScaleStress {
+
+  /** The second decade for the suite's five most expensive plans: one
+    * measured ×100 point each, appended to SCALING.json under "x100"
+    * (the 10× full-sweep record stays untouched). Methodology differs
+    * from the sweep only in pass count — the ×100 leg is timed ONCE
+    * after a warmup (a third 4-minute q116 pass buys no information);
+    * base (sf0.1) stays best-of-2. q96 measures the SERVE path over the
+    * materialized PQ index (the build is ingest-time by design — the
+    * warmup pays it); q182's ratio is output-driven like q111: ×k
+    * replication makes every doc a mutual-containment group of k, so
+    * true directed output grows by k(k−1) per original doc — the
+    * documented reason real pipelines run exact dedup first. */
+  private val Top5 = Seq("q133_mad_outliers", "q166_spearman_corr",
+    "q182_containment", "q116_exact_dedup_pipeline", "q96_ivfpq_adc")
+
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    val top5Mode = args.length > 1 && args(1) == "top5"
     val src = "/root/testdata/sf0.1"
     val dst = s"/tmp/graft_scale_x$factor"
     val spark = SparkSession.builder()
@@ -39,19 +55,24 @@ object ScaleStress {
     val replicated = Map(
       "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
       "documents" -> "doc_id", "events" -> "user_id", "embeddings" -> "vec_id")
-    Tables.names.foreach { t =>
-      val df = Tables(spark, src, t)
-      val out = replicated.get(t) match {
-        case Some(key) =>
-          df.crossJoin(spark.range(factor).select($"id".as("__rep")))
-            .withColumn(key, col(key) * factor + col("__rep"))
-            .drop("__rep")
-            .repartition(32)
-        case None => df
+    if (Tables.names.forall(t =>
+        graft.io.Fs.exists(spark, s"$dst/$t.parquet/_SUCCESS"))) {
+      println(s"STRESS reusing existing $dst")
+    } else {
+      Tables.names.foreach { t =>
+        val df = Tables(spark, src, t)
+        val out = replicated.get(t) match {
+          case Some(key) =>
+            df.crossJoin(spark.range(factor).select($"id".as("__rep")))
+              .withColumn(key, col(key) * factor + col("__rep"))
+              .drop("__rep")
+              .repartition(32)
+          case None => df
+        }
+        out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
-      out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"STRESS built $dst")
     }
-    println(s"STRESS built $dst")
 
     val queries = Seq(
       "q01_pricing_summary", "q07_iqr_filter", "q09_summary_stats",
@@ -130,7 +151,8 @@ object ScaleStress {
     // (documented exceptions: output-driven q111, densification-driven
     // q140 — see the per-query notes above)
     val flagAt = 1.3 * factor
-    val results = queries.map { name =>
+    val sel = if (top5Mode) Top5 else queries
+    val results = sel.map { name =>
       def run(dir: String): Double = {
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, dir)
@@ -139,7 +161,8 @@ object ScaleStress {
       }
       run(src); run(dst) // warm both plans
       val small = math.min(run(src), run(src))
-      val big = math.min(run(dst), run(dst))
+      // the ×100 leg is timed once post-warmup (see Top5 note)
+      val big = if (top5Mode) run(dst) else math.min(run(dst), run(dst))
       val ratio = big / small
       println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio $ratio%5.2f")
       (name, small, big, ratio)
@@ -151,12 +174,34 @@ object ScaleStress {
       s""""$n":{"t_base":${f3(s)},"t_x$factor":${f3(b)},"ratio":${f3(r)},""" +
         s""""flagged":${r > flagAt}}"""
     }.mkString("{", ",", "}")
-    val line =
-      s"""{"base":"$src","factor":$factor,"flag_threshold":${f3(flagAt)},""" +
-        s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
-    val w = new java.io.PrintWriter("SCALING.json")
-    try w.println(line) finally w.close()
-    println(s"STRESS wrote SCALING.json (${flagged.size} flagged: ${flagged.mkString(", ")})")
+    if (top5Mode) {
+      // append the second decade under "x100" without touching the
+      // committed 10× sweep (SCALING.json is one single-line object)
+      val raw = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("SCALING.json")), "UTF-8").trim
+      require(raw.endsWith("}"), "SCALING.json must be a JSON object")
+      // idempotent rerun: drop a previous x<factor> block (it is always
+      // the trailing key this branch appended)
+      val marker = s""","x$factor":"""
+      val existing = raw.indexOf(marker) match {
+        case -1 => raw
+        case i  => raw.take(i) + "}"
+      }
+      val merged = existing.dropRight(1) +
+        s""","x$factor":{"factor":$factor,"flag_threshold":${f3(flagAt)},""" +
+        s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}}"""
+      val w = new java.io.PrintWriter("SCALING.json")
+      try w.println(merged) finally w.close()
+      println(s"STRESS appended x$factor block to SCALING.json " +
+        s"(${flagged.size} flagged: ${flagged.mkString(", ")})")
+    } else {
+      val line =
+        s"""{"base":"$src","factor":$factor,"flag_threshold":${f3(flagAt)},""" +
+          s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      val w = new java.io.PrintWriter("SCALING.json")
+      try w.println(line) finally w.close()
+      println(s"STRESS wrote SCALING.json (${flagged.size} flagged: ${flagged.mkString(", ")})")
+    }
     spark.stop()
   }
 }
