@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Round-9 surface: the remaining dataset-engineering operators a
+  * 100 TB training-data pipeline runs between curation and training —
+  * overlapping chunking (the RAG/pretraining windowing step), privacy
+  * k-anonymity audits, leakage-audited train/test splits (group-hash
+  * and temporal-embargo), and the Zipf rank-frequency fit that pairs
+  * with q191's Heaps curve in corpus diagnostics.
+  *
+  * Shared discipline: outputs are integers, md5 hex digests, or doubles
+  * rounded far above cross-engine float noise; every query orders its
+  * output with full tie-breaks; every shuffle is bounded by the corpus
+  * (token stream), the vocabulary, or an enum-sized audit domain.
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // ------------------------------------------------ overlapping chunking
+    // The windowing step every RAG index and long-context pretraining
+    // pipeline runs: split each document into C-token chunks at stride
+    // S (C=32, S=24 → 8-token overlap), with STABLE chunk identities
+    // (doc_id, chunk_idx, start_tok) so re-chunking a re-crawled doc
+    // produces diffable ids. One narrow generate per doc — chunk count
+    // is ⌈n/S⌉, output scales with corpus tokens, no shuffle at all
+    // (the explode and the projection pipeline inside one stage). The
+    // chunk text rides out as an md5 so the hash compare is exact.
+    "q193_chunk_overlap" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val S = 24; val C = 32
+        t(s, d, "documents")
+          .select($"doc_id", TextFunctions.words($"text").as("w"))
+          .withColumn("n", size($"w"))
+          .withColumn("chunk_idx", explode(sequence(lit(0L), expr(s"(n - 1) div $S"))))
+          .select($"doc_id", $"chunk_idx",
+            ($"chunk_idx" * S).as("start_tok"),
+            least(lit(C.toLong), $"n" - $"chunk_idx" * S).as("n_tok"),
+            md5(array_join(slice($"w", ($"chunk_idx" * S + 1).cast("int"), lit(C)), " "))
+              .as("chunk_hash"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS toks,
+            len(string_split(lower(text), ' ')) AS n
+          FROM documents),
+        s AS (SELECT doc_id, toks, n,
+            unnest(generate_series(0, (n - 1) // 24)) AS chunk_idx
+          FROM w)
+        SELECT doc_id, chunk_idx, chunk_idx * 24 AS start_tok,
+          least(32, n - chunk_idx * 24) AS n_tok,
+          md5(array_to_string(list_slice(toks,
+            chunk_idx * 24 + 1, chunk_idx * 24 + 32), ' ')) AS chunk_hash
+        FROM s ORDER BY doc_id, chunk_idx"""),
+      "overlapping C-token chunking at stride S with stable chunk ids"),
+
+    // ---------------------------------------------------- k-anonymity audit
+    // Privacy audit before a training-data release: group rows by the
+    // quasi-identifier tuple (nation, segment, balance-bucket) and
+    // report the equivalence-class size distribution — the dataset's
+    // k-anonymity is the smallest class, and every class below the
+    // policy k (5 here) is a re-identification risk. Two hash
+    // aggregates: rows → classes (QID-bounded), classes → size
+    // histogram (bounded by distinct sizes). The risk flag is an
+    // integer compare; floor() buckets the double balance identically
+    // on both engines (round() half-up vs banker's would not).
+    "q194_k_anonymity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val classes = t(s, d, "customer")
+          .groupBy($"c_nationkey", $"c_mktsegment",
+            floor($"c_acctbal" / 100).as("bal_bucket"))
+          .agg(count(lit(1)).as("class_size"))
+        classes.groupBy($"class_size")
+          .agg(count(lit(1)).as("n_classes"),
+            sum($"class_size").as("n_rows"))
+          .withColumn("at_risk", ($"class_size" < 5).cast("int"))
+          .select($"class_size", $"n_classes", $"n_rows", $"at_risk")
+          .orderBy($"class_size")
+      },
+      Some("""WITH classes AS (SELECT c_nationkey, c_mktsegment,
+            floor(c_acctbal / 100) AS bal_bucket, count(*) AS class_size
+          FROM customer GROUP BY 1, 2, 3)
+        SELECT class_size, count(*) AS n_classes,
+          CAST(sum(class_size) AS BIGINT) AS n_rows,
+          CAST(class_size < 5 AS INTEGER) AS at_risk
+        FROM classes GROUP BY class_size ORDER BY class_size"""),
+      "k-anonymity equivalence-class size distribution over quasi-identifiers"),
+
+    // --------------------------------------------- group split + leak audit
+    // Train/test assignment by GROUP hash (source domain), not by row:
+    // row-level splits leak near-duplicates across the boundary, so the
+    // split key must be the unit that shares content. Assignment is the
+    // q134 md5 idiom (seedless, engine-portable, stable under
+    // re-partitioning); the audit then counts content fingerprints that
+    // STILL straddle the boundary (cross-source duplication — exactly
+    // what group splitting cannot fix and decontamination (q82) must).
+    // Every aggregate is corpus- or fingerprint-bounded; the final
+    // frame is one row.
+    "q195_group_split" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val assigned = t(s, d, "documents")
+          .withColumn("split",
+            when(conv(substring(md5(concat(lit("q195:"), $"source")), 1, 15), 16, 10)
+              .cast("long") % 100 < 80, "train").otherwise("test"))
+          .withColumn("fp", TextFunctions.fingerprint($"text"))
+          .localCheckpoint() // feeds the split totals AND the fp audit
+        val totals = assigned.groupBy($"split")
+          .agg(countDistinct($"source").as("gs"), count(lit(1)).as("docs"),
+            sum(TextFunctions.wordCount($"text")).as("toks"))
+        val row = totals.select(
+          sum(when($"split" === "train", $"gs")).as("n_train_groups"),
+          sum(when($"split" === "train", $"docs")).as("n_train_docs"),
+          sum(when($"split" === "train", $"toks")).as("n_train_tokens"),
+          sum(when($"split" === "test", $"gs")).as("n_test_groups"),
+          sum(when($"split" === "test", $"docs")).as("n_test_docs"),
+          sum(when($"split" === "test", $"toks")).as("n_test_tokens"))
+        val leak = assigned.groupBy($"fp")
+          .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("tr"),
+            sum(when($"split" === "test", 1L).otherwise(0L)).as("te"))
+          .filter($"tr" > 0 && $"te" > 0)
+          .agg(coalesce(count(lit(1)), lit(0L)).as("straddling_fps"),
+            coalesce(sum($"tr" * $"te"), lit(0L)).as("straddling_doc_pairs"))
+        row.crossJoin(leak)
+      },
+      Some("""WITH a AS (SELECT *,
+            CASE WHEN CAST('0x' || substr(md5('q195:' || source), 1, 15) AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'test' END AS split,
+            md5(array_to_string(list_sort(list_distinct(
+              string_split(lower(text), ' '))), ' ')) AS fp,
+            len(string_split(lower(text), ' ')) AS n_tok
+          FROM documents),
+        tot AS (SELECT
+            CAST(sum(CASE WHEN split = 'train' THEN gs END) AS BIGINT) AS n_train_groups,
+            CAST(sum(CASE WHEN split = 'train' THEN docs END) AS BIGINT) AS n_train_docs,
+            CAST(sum(CASE WHEN split = 'train' THEN toks END) AS BIGINT) AS n_train_tokens,
+            CAST(sum(CASE WHEN split = 'test' THEN gs END) AS BIGINT) AS n_test_groups,
+            CAST(sum(CASE WHEN split = 'test' THEN docs END) AS BIGINT) AS n_test_docs,
+            CAST(sum(CASE WHEN split = 'test' THEN toks END) AS BIGINT) AS n_test_tokens
+          FROM (SELECT split, count(DISTINCT source) AS gs, count(*) AS docs,
+              CAST(sum(n_tok) AS BIGINT) AS toks FROM a GROUP BY split)),
+        leak AS (SELECT coalesce(count(*), 0) AS straddling_fps,
+            CAST(coalesce(sum(tr * te), 0) AS BIGINT) AS straddling_doc_pairs
+          FROM (SELECT fp,
+              CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS tr,
+              CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS te
+            FROM a GROUP BY fp)
+          WHERE tr > 0 AND te > 0)
+        SELECT * FROM tot, leak"""),
+      "group-hash train/test split with a cross-split fingerprint leak audit"),
+
+    // ------------------------------------------ temporal embargo split
+    // The time-series evaluation split: train strictly before T, test
+    // strictly after T + embargo, the embargo day DROPPED — the gap
+    // absorbs lagged features/labels that would otherwise leak future
+    // information into training (the backtest-hygiene standard).
+    // The audit counts ENTITIES (users) active on both sides: temporal
+    // splits do not isolate entities, so per-user state (q80/q85
+    // features) can still leak — that count is the decision input for
+    // switching to a user-hash split. One scan, enum-bounded aggregate,
+    // one user-bounded distinct aggregate. Timestamp literals compare
+    // in UTC on both engines (session TZ pinned).
+    "q196_time_embargo_split" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val tCut = lit("2024-01-20 00:00:00").cast("timestamp")
+        val tTest = lit("2024-01-21 00:00:00").cast("timestamp")
+        val tagged = t(s, d, "events")
+          .withColumn("split",
+            when($"ts" < tCut, "train")
+              .when($"ts" >= tTest, "test").otherwise("embargo"))
+        val counts = tagged.groupBy($"split").agg(count(lit(1)).as("n"))
+          .select(
+            sum(when($"split" === "train", $"n")).as("n_train"),
+            sum(when($"split" === "test", $"n")).as("n_test"),
+            sum(when($"split" === "embargo", $"n")).as("n_embargo_dropped"))
+        val users = tagged.filter($"split" =!= "embargo")
+          .groupBy($"user_id")
+          .agg(max(when($"split" === "train", 1).otherwise(0)).as("tr"),
+            max(when($"split" === "test", 1).otherwise(0)).as("te"))
+          .agg(sum($"tr").cast("long").as("n_users_train"),
+            sum($"te").cast("long").as("n_users_test"),
+            sum($"tr" * $"te").cast("long").as("n_users_straddling"))
+        counts.crossJoin(users)
+      },
+      Some("""WITH tagged AS (SELECT *,
+            CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+              WHEN ts >= TIMESTAMP '2024-01-21 00:00:00' THEN 'test'
+              ELSE 'embargo' END AS split
+          FROM events),
+        counts AS (SELECT
+            CAST(sum(CASE WHEN split = 'train' THEN 1 END) AS BIGINT) AS n_train,
+            CAST(sum(CASE WHEN split = 'test' THEN 1 END) AS BIGINT) AS n_test,
+            CAST(sum(CASE WHEN split = 'embargo' THEN 1 END) AS BIGINT) AS n_embargo_dropped
+          FROM tagged),
+        users AS (SELECT CAST(sum(tr) AS BIGINT) AS n_users_train,
+            CAST(sum(te) AS BIGINT) AS n_users_test,
+            CAST(sum(tr * te) AS BIGINT) AS n_users_straddling
+          FROM (SELECT user_id,
+              max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+              max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+            FROM tagged WHERE split <> 'embargo' GROUP BY user_id))
+        SELECT * FROM counts, users"""),
+      "temporal train/test split with an embargo gap and entity-straddle audit"),
+
+    // --------------------------------------------------- Zipf slope fit
+    // The other half of q191's corpus diagnostics: fit ln(freq) ~
+    // ln(rank) over the vocabulary's rank-frequency curve — a healthy
+    // natural-language corpus sits near slope −1 (Zipf's law); template
+    // spam and boilerplate-heavy crawls bend it. Token counts are the
+    // only input-proportional aggregate; the rank window runs over the
+    // VOCABULARY (the q63 legitimacy class), log coordinates quantize
+    // to 1e-6 fixed-point so the OLS moments are exact DECIMAL sums of
+    // integer products, and the closed-form slope/R² are single IEEE
+    // trees over those moments, rounded at 1e-4 — far above any
+    // cross-engine ln() ulp drift.
+    "q197_zipf_slope" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val freq = t(s, d, "documents")
+          .select(explode(TextFunctions.words($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("n"))
+        val ranked = freq
+          .withColumn("rank", row_number().over(
+            Window.orderBy($"n".desc, $"tok".asc)))
+          .select(round(log($"rank".cast("double")) * 1e6).cast("long").as("x"),
+            round(log($"n".cast("double")) * 1e6).cast("long").as("y"))
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        ranked.agg(count(lit(1)).as("nn"),
+            sum(d38($"x")).as("sx"), sum(d38($"y")).as("sy"),
+            sum(d38($"x") * d38($"y")).as("sxy"),
+            sum(d38($"x") * d38($"x")).as("sxx"),
+            sum(d38($"y") * d38($"y")).as("syy"))
+          .select($"nn".as("n_vocab"),
+            round(($"nn" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"nn" * $"sxx" - $"sx" * $"sx").cast("double"), 4).as("slope"),
+            round(pow(($"nn" * $"sxy" - $"sx" * $"sy").cast("double"), 2) /
+              (($"nn" * $"sxx" - $"sx" * $"sx").cast("double") *
+                ($"nn" * $"syy" - $"sy" * $"sy").cast("double")), 4).as("r2"))
+      },
+      Some("""WITH freq AS (SELECT tok, count(*) AS n FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+          GROUP BY tok),
+        ranked AS (SELECT
+            CAST(round(ln(CAST(row_number() OVER (ORDER BY n DESC, tok) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+            CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y
+          FROM freq),
+        m AS (SELECT count(*) AS nn,
+            sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+            sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+            sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+            sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+          FROM ranked)
+        SELECT nn AS n_vocab,
+          round(CAST(nn * sxy - sx * sy AS DOUBLE) /
+            CAST(nn * sxx - sx * sx AS DOUBLE), 4) AS slope,
+          round(pow(CAST(nn * sxy - sx * sy AS DOUBLE), 2) /
+            (CAST(nn * sxx - sx * sx AS DOUBLE) * CAST(nn * syy - sy * sy AS DOUBLE)), 4) AS r2
+        FROM m"""),
+      "Zipf rank-frequency slope via exact-moment OLS on quantized log-log")
+  )
+}

@@ -24,7 +24,8 @@ object Registry {
   lazy val all: Seq[(String, Q)] = {
     val qs = RelationalQueries.all ++ TextQueries.all ++ VectorQueries.all ++
       ExtendedQueries.all ++ ScaleQueries.all ++ OlapQueries.all ++
-      AnalyticsQueries.all ++ StatsQueries.all ++ CurationQueries.all
+      AnalyticsQueries.all ++ StatsQueries.all ++ CurationQueries.all ++
+      PipelineQueries.all
     // a duplicate name would silently shadow a query in the toMap below —
     // the shadowed one would neither run nor be oracled, with no signal
     val dups = qs.groupBy(_._1).filter(_._2.size > 1).keys

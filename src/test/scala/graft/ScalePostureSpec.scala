@@ -471,6 +471,21 @@ class ScalePostureSpec extends SparkSpec {
       s"q111 must be the prefix-filtered path:\n${q111.take(800)}")
   }
 
+  test("q193 chunking is shuffle-free: explode + projections in one stage") {
+    // chunking is the highest-volume pass a pretraining pipeline runs
+    // (every token of the corpus flows through it) — it must stay a
+    // narrow generate with NO exchange; the final orderBy is the
+    // deterministic-output contract, not part of the operator (a real
+    // pipeline writes chunks partitioned, unsorted)
+    val p = plan("q193_chunk_overlap")
+    assert(p.contains("Generate"), s"expected the sequence explode:\n${p.take(600)}")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0,
+      s"chunking must not shuffle (only the output-order sort may range-partition):\n${p.take(1200)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1)
+  }
+
   test("nested schema pruning: a subfield projection reads ONLY that leaf") {
     // struct columns are how multimodal metadata travels (SURVEY §1.2);
     // at 100 TB reading a whole struct for one leaf is the same bug as
