@@ -455,6 +455,12 @@ object TextQueries {
     "q182_containment" -> Q(
       (s, d) => {
         import s.implicits._
+        // A/B note: a words-specialized form (codegen'd shingle hashes
+        // for candidates, string HOF semi-joined to candidate docs — the
+        // q111 discipline) measured 4.96 s vs 3.35 s here: containment
+        // at t=1/2 admits most of the corpus as candidates, so the
+        // semi-join saves no HOF work while its extra stages cost; the
+        // generic form's ONE checkpointed shingle table wins
         Dedup.containmentPairs(docs(s, d), "doc_id",
             wordShingles($"text", 4), tNum = 1, tDen = 2)
           .orderBy($"id_src", $"id_dst")
