@@ -427,6 +427,72 @@ object StreamPipeline {
     }
   }
 
+  /** Per-key fixed-grid quantile monitor on Spark 4's transformWithState
+    * API ([[org.apache.spark.sql.streaming.StatefulProcessor]] over the
+    * RocksDB state store — the successor to flatMapGroupsWithState, with
+    * typed composite state primitives instead of one opaque blob): each
+    * key keeps a HISTOGRAM in `MapState[bucket → count]` on a `grid`-cent
+    * lattice and emits its running (n, p50, p95) upper-bucket-edge
+    * estimates every micro-batch — the latency/price monitor shape.
+    *
+    * State per key is one map entry per OCCUPIED bucket — bounded by
+    * value_range/grid, never by row count (the same envelope argument as
+    * the batch median engine), and RocksDB pages it off-heap. Estimates
+    * are deterministic: quantile q reads the bucket holding rank
+    * ⌈q·n⌉ under ascending bucket order and reports its upper edge, so
+    * the error is at most one grid step and the streamed result equals
+    * the batch recomputation on the same rows (StreamingSpec pins it).
+    *
+    * Each emitted row is the key's post-batch state (Update mode): the
+    * LAST row per key of any run is the full-data answer. */
+  private class GridQuantileProcessor(grid: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var hist: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, Long]("hist",
+        E.scalaLong, E.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 tv: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      rows.foreach { case (_, v) =>
+        val b = Math.floorDiv(v, grid)
+        hist.updateValue(b,
+          (if (hist.containsKey(b)) hist.getValue(b) else 0L) + 1L)
+      }
+      val cells = hist.iterator().map(t => (t._1, t._2)).toArray.sortBy(_._1)
+      if (cells.isEmpty) return Iterator.empty
+      val n = cells.iterator.map(_._2).sum
+      def q(p: Double): Long = {
+        val rank = math.max(1L, math.ceil(p * n).toLong)
+        var cum = 0L
+        var ans = (cells.last._1 + 1) * grid
+        var done = false
+        for ((b, c) <- cells if !done) {
+          cum += c
+          if (cum >= rank) { ans = (b + 1) * grid; done = true }
+        }
+        ans
+      }
+      Iterator((key, n, q(0.5), q(0.95)))
+    }
+  }
+
+  /** [[GridQuantileProcessor]] wired to a typed stream of (key, cents):
+    * requires the RocksDB state store provider (transformWithState's
+    * backing store — set `spark.sql.streaming.stateStore.providerClass`
+    * before starting the query). */
+  def gridQuantileStream(events: Dataset[(String, Long)],
+                         grid: Long): Dataset[(String, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    require(grid >= 1, s"grid must be >= 1 cent: $grid")
+    events.groupByKey(_._1)
+      .transformWithState(new GridQuantileProcessor(grid),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Watermarked stream-stream inner equi-join with an event-time range
     * bound. Both sides buffer state only within their watermark; the
     * range predicate lets Spark evict rows once the other side's clock

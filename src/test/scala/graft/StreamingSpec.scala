@@ -586,6 +586,74 @@ class StreamingSpec extends SparkSpec {
     assert(batch("b")._1 == 5L && batch("b")._2 == 5.0, "under-k key is exact")
   }
 
+  test("transformWithState grid-quantile monitor equals the batch recomputation") {
+    // Spark 4's StatefulProcessor API over RocksDB: per-key bucket
+    // histogram in MapState, running (n, p50, p95) emitted per batch.
+    // The monitor's final per-key row must equal a driver-side batch
+    // recomputation over ALL rows — state survives across micro-batches
+    // and the grid arithmetic is deterministic.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val grid = 100L
+      val stream = MemoryStream[(String, Long)]
+      val q = StreamPipeline.gridQuantileStream(stream.toDS(), grid)
+        .toDF("key", "n", "p50", "p95")
+        .writeStream
+        .format("memory").queryName("gridq")
+        .outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("gridq_ck").toString)
+        .start()
+      val batch1 = Seq(("api", 120L), ("api", 250L), ("api", 260L), ("db", 40L))
+      val batch2 = Seq(("api", 900L), ("api", 130L), ("db", 45L), ("db", 980L))
+      stream.addData(batch1: _*)
+      q.processAllAvailable()
+      stream.addData(batch2: _*)
+      q.processAllAvailable()
+      q.stop()
+      // last emitted row per key (largest n) = full-data state
+      val got = spark.table("gridq")
+        .orderBy($"key", $"n")
+        .as[(String, Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      // driver-side batch recomputation with the same grid rule
+      def expect(vals: Seq[Long]): (Long, Long, Long) = {
+        val cells = vals.groupBy(v => Math.floorDiv(v, grid))
+          .map { case (b, vs) => (b, vs.size.toLong) }.toSeq.sortBy(_._1)
+        val n = vals.size.toLong
+        def qq(p: Double): Long = {
+          val rank = math.max(1L, math.ceil(p * n).toLong)
+          var cum = 0L
+          cells.collectFirst {
+            case (b, c) if { cum += c; cum >= rank } => (b + 1) * grid
+          }.get
+        }
+        (n, qq(0.5), qq(0.95))
+      }
+      val all = batch1 ++ batch2
+      for (k <- Seq("api", "db")) {
+        val (n, p50, p95) = expect(all.filter(_._1 == k).map(_._2))
+        assert(got(k) == ((k, n, p50, p95)),
+          s"streamed state for $k must equal batch recomputation: " +
+            s"${got(k)} vs ($k, $n, $p50, $p95)")
+      }
+      // state boundedness: the api histogram holds 4 occupied buckets for
+      // 5 values — bucket count tracks the value RANGE, not row count
+      assert(got("api")._2 == 5 && got("db")._2 == 3)
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming near-dup suppression: LSH bucket index filters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("neardup").toString
