@@ -212,6 +212,170 @@ object PipelineQueries {
         SELECT * FROM counts, users"""),
       "temporal train/test split with an embargo gap and entity-straddle audit"),
 
+    // ------------------------------------------------ CUPED adjustment
+    // The A/B-testing variance-reduction standard (Deng et al., WSDM'13):
+    // adjust the experiment metric y by the pre-period covariate x,
+    // y' = y − θ·(x − E[x]) with θ = cov(x,y)/var(x) POOLED, shrinking
+    // metric variance by exactly ρ² without biasing the treatment
+    // contrast. Here: variant = md5 coin flip on custkey (the q134
+    // idiom), y = a customer's 1996+ order cents, x = their pre-1996
+    // cents. Everything reduces to one customer-keyed aggregate + one
+    // 5-moment DECIMAL-exact scalar row; the adjusted means and the ρ²
+    // reduction are single IEEE trees over those exact moments (bit-
+    // equal cross-engine), rounded at 1e-4 for the hash.
+    "q198_cuped_adjustment" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val per = t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(
+            sum(when($"o_orderdate" < "1996-01-01",
+              expr("CAST(round(o_totalprice * 100) AS BIGINT)")).otherwise(0L)).as("x"),
+            sum(when($"o_orderdate" >= "1996-01-01",
+              expr("CAST(round(o_totalprice * 100) AS BIGINT)")).otherwise(0L)).as("y"))
+          .withColumn("variant",
+            when(conv(substring(md5(concat(lit("q198:"), $"o_custkey".cast("string"))),
+              1, 15), 16, 10).cast("long") % 2 === 0, "control").otherwise("treatment"))
+          .localCheckpoint() // feeds the pooled moments AND the variant rows
+        val pooled = per.agg(count(lit(1)).as("n"),
+            sum(d38($"x")).as("sx"), sum(d38($"y")).as("sy"),
+            sum(d38($"x") * d38($"y")).as("sxy"),
+            sum(d38($"x") * d38($"x")).as("sxx"),
+            sum(d38($"y") * d38($"y")).as("syy"))
+          .select(
+            (($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+              ($"n" * $"sxx" - $"sx" * $"sx").cast("double")).as("theta"),
+            ($"sx".cast("double") / $"n").as("mx_all"),
+            (pow(($"n" * $"sxy" - $"sx" * $"sy").cast("double"), 2) /
+              (($"n" * $"sxx" - $"sx" * $"sx").cast("double") *
+                ($"n" * $"syy" - $"sy" * $"sy").cast("double"))).as("rho2"))
+        per.groupBy($"variant")
+          .agg(count(lit(1)).as("n"),
+            sum(d38($"x")).as("vx"), sum(d38($"y")).as("vy"))
+          .crossJoin(broadcast(pooled))
+          .select($"variant", $"n",
+            round($"vy".cast("double") / $"n" / 100.0, 4).as("mean_y"),
+            round(($"vy".cast("double") / $"n" -
+              $"theta" * ($"vx".cast("double") / $"n" - $"mx_all")) / 100.0, 4)
+              .as("mean_y_adj"),
+            round($"rho2", 4).as("var_reduction"))
+          .orderBy($"variant")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+            sum(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS x,
+            sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y,
+            CASE WHEN CAST('0x' || substr(md5('q198:' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant
+          FROM orders GROUP BY o_custkey,
+            CASE WHEN CAST('0x' || substr(md5('q198:' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END),
+        pooled AS (SELECT
+            CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+            CAST(sx AS DOUBLE) / n AS mx_all,
+            pow(CAST(n * sxy - sx * sy AS DOUBLE), 2) /
+              (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+          FROM (SELECT count(*) AS n,
+              sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+              sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy,
+              sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+              sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy
+            FROM per)),
+        v AS (SELECT variant, count(*) AS n,
+            sum(CAST(x AS DECIMAL(38,0))) AS vx, sum(CAST(y AS DECIMAL(38,0))) AS vy
+          FROM per GROUP BY variant)
+        SELECT variant, n,
+          round(CAST(vy AS DOUBLE) / n / 100.0, 4) AS mean_y,
+          round((CAST(vy AS DOUBLE) / n -
+            theta * (CAST(vx AS DOUBLE) / n - mx_all)) / 100.0, 4) AS mean_y_adj,
+          round(rho2, 4) AS var_reduction
+        FROM v, pooled ORDER BY variant"""),
+      "CUPED pre-period covariate adjustment: exact-moment theta, rho-squared reduction"),
+
+    // ------------------------------------------- exponential decay score
+    // Recency-weighted scoring — the freshness signal rankers and
+    // retention models use: each event contributes value·2^(−age/half-
+    // life) toward its type's score (half-life 1 day against a fixed
+    // as-of instant, so the query is reproducible). One scan, one
+    // enum-bounded aggregate; ages are integer seconds (both engines
+    // truncate to the epoch second), the weight is one pow() per row,
+    // and the sums are rounded at 1e-2 — three orders above the ~1e-9
+    // float-summation-order noise of a 10k-term double sum.
+    "q199_decayed_score" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val asOf = lit("2024-01-31 00:00:00").cast("timestamp")
+        t(s, d, "events")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(round($"value" * 100).cast("long") *
+              pow(lit(0.5), (unix_timestamp(asOf) - unix_timestamp($"ts"))
+                .cast("double") / 86400.0)) / 100.0, 2).as("decayed_value"),
+            round(sum(pow(lit(0.5), (unix_timestamp(asOf) - unix_timestamp($"ts"))
+              .cast("double") / 86400.0)), 4).as("effective_n"))
+          .orderBy($"event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n,
+          round(sum(CAST(round(value * 100) AS BIGINT) *
+            pow(0.5, CAST(floor(epoch(TIMESTAMP '2024-01-31 00:00:00')) -
+              floor(epoch(ts)) AS DOUBLE) / 86400.0)) / 100.0, 2) AS decayed_value,
+          round(sum(pow(0.5, CAST(floor(epoch(TIMESTAMP '2024-01-31 00:00:00')) -
+            floor(epoch(ts)) AS DOUBLE) / 86400.0)), 4) AS effective_n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      "half-life decayed value and effective sample size per event type"),
+
+    // ------------------------------------------- sample-ratio mismatch
+    // The A/B guardrail that runs BEFORE any metric is read: if the
+    // realized variant counts deviate from the designed 50/50 beyond
+    // chance, the assignment is broken and every downstream readout is
+    // invalid. χ² = Σ(obs−exp)²/exp over the two cells against the
+    // df=1 95% critical value 3.841 — closed form, no CDF needed, the
+    // compare an integer-free single IEEE tree. Uses q198's exact
+    // assignment so the two queries audit the same experiment. One
+    // customer-bounded aggregate.
+    "q200_srm_check" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "orders")
+          .select($"o_custkey").distinct()
+          .withColumn("variant",
+            when(conv(substring(md5(concat(lit("q198:"), $"o_custkey".cast("string"))),
+              1, 15), 16, 10).cast("long") % 2 === 0, "control").otherwise("treatment"))
+          .agg(count(lit(1)).as("n"),
+            sum(when($"variant" === "control", 1L).otherwise(0L)).as("n_control"),
+            sum(when($"variant" === "treatment", 1L).otherwise(0L)).as("n_treatment"))
+          .select($"n", $"n_control", $"n_treatment",
+            round(pow($"n_control".cast("double") - $"n".cast("double") / 2, 2) /
+                ($"n".cast("double") / 2) +
+              pow($"n_treatment".cast("double") - $"n".cast("double") / 2, 2) /
+                ($"n".cast("double") / 2), 4).as("chi2"),
+            (pow($"n_control".cast("double") - $"n".cast("double") / 2, 2) /
+                ($"n".cast("double") / 2) +
+              pow($"n_treatment".cast("double") - $"n".cast("double") / 2, 2) /
+                ($"n".cast("double") / 2) < 3.841).cast("int").as("srm_ok"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey,
+            CASE WHEN CAST('0x' || substr(md5('q198:' || CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0
+              THEN 'control' ELSE 'treatment' END AS variant
+          FROM orders),
+        c AS (SELECT count(*) AS n,
+            CAST(sum(CASE WHEN variant = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+            CAST(sum(CASE WHEN variant = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment
+          FROM a)
+        SELECT n, n_control, n_treatment,
+          round(pow(CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2) /
+              (CAST(n AS DOUBLE) / 2) +
+            pow(CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2) /
+              (CAST(n AS DOUBLE) / 2), 4) AS chi2,
+          CAST(pow(CAST(n_control AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2) /
+              (CAST(n AS DOUBLE) / 2) +
+            pow(CAST(n_treatment AS DOUBLE) - CAST(n AS DOUBLE) / 2, 2) /
+              (CAST(n AS DOUBLE) / 2) < 3.841 AS INTEGER) AS srm_ok
+        FROM c"""),
+      "sample-ratio-mismatch guardrail: chi-squared vs the designed 50/50"),
+
     // --------------------------------------------------- Zipf slope fit
     // The other half of q191's corpus diagnostics: fit ln(freq) ~
     // ln(rank) over the vocabulary's rank-frequency curve — a healthy
