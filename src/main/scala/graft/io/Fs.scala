@@ -50,11 +50,16 @@ object Fs {
     * goes to a `.tmp` sibling first, then a single `rename` makes it
     * visible — a concurrent reader sees either the whole file or no
     * file, never a torn prefix (rename is atomic on HDFS and local
-    * FS; on S3A pair this with a conditional-write layer). Create-only
-    * like [[writeText]]: rename refuses to clobber an existing target,
-    * so a duplicate promotion fails loudly. */
+    * FS; on S3A pair this with a conditional-write layer). Duplicate
+    * promotions fail via an existence pre-check: HDFS rename also
+    * refuses an existing target, but the LOCAL FS delegates to
+    * rename(2), which silently replaces — the pre-check restores the
+    * fail-loud contract there (best-effort under a concurrent racer on
+    * such stores; single-compactor by contract, like the upsert sink). */
   def writeTextAtomic(spark: SparkSession, p: String, content: String): Unit = {
     val (f, hp) = fs(spark, p)
+    if (f.exists(hp))
+      throw new java.io.IOException(s"refusing duplicate promotion: $p exists")
     val tmp = new Path(hp.getParent, hp.getName + ".tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()

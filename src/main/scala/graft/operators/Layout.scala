@@ -167,15 +167,17 @@ object Layout {
     val conf = spark.sparkContext.hadoopConfiguration
     val inPath = new org.apache.hadoop.fs.Path(inDir)
     val fs = inPath.getFileSystem(conf)
-    // outDir == inDir is caught by Spark's self-overwrite check, but an
-    // outDir NESTED inside inDir would silently pollute the source
-    // layout: recursive listings / getContentSummary double-count, and
-    // partition discovery can misread the injected directory
+    // outDir == inDir is caught by Spark's self-overwrite check, but
+    // nesting in EITHER direction is not: an outDir inside inDir
+    // silently pollutes the source layout (recursive listings /
+    // getContentSummary double-count, partition discovery misreads the
+    // injected dir), and an inDir inside outDir is worse — the
+    // mode(overwrite) write CLEARS outDir including the nested source
     val inQ = fs.makeQualified(inPath).toUri.getPath.stripSuffix("/")
     val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
       .toUri.getPath.stripSuffix("/")
-    require(outQ != inQ && !outQ.startsWith(inQ + "/"),
-      s"outDir must not equal or nest under inDir (in=$inQ out=$outQ)")
+    require(outQ != inQ && !outQ.startsWith(inQ + "/") && !inQ.startsWith(outQ + "/"),
+      s"inDir and outDir must not be equal or nested either way (in=$inQ out=$outQ)")
     val totalBytes = fs.getContentSummary(inPath).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

@@ -493,6 +493,13 @@ object Similarity {
                          dims: Int, nprobe: Int,
                          scale: Double = 1e6): DataFrame = {
     require(nprobe >= 1, s"need nprobe >= 1; got $nprobe")
+    // CONTRACT: subspaces/dims/scale must match the parameters the index
+    // was TRAINED with — a mismatch slices residuals on the wrong
+    // boundaries and still joins on (cell, m, code), returning plausible
+    // but wrong neighbors with no error. The divisibility check catches
+    // the truncated-slice case outright.
+    require(dims % subspaces == 0,
+      s"subspaces=$subspaces must divide dims=$dims (and both must match the trained index)")
     pqAdcSearch(fixedPts(queries, id, vec, scale), cents, codebooks, cand,
       k, subspaces, dims, nprobe)
   }

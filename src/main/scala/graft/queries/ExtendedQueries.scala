@@ -777,10 +777,7 @@ object ExtendedQueries {
     "q94_partition_pruned" -> Q(
       (s, d) => {
         import s.implicits._
-        val src = new java.io.File(s"$d/orders.parquet")
-        val layout = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/orders_by_month"
+        val layout = LayoutKey.dir(d, "orders", "orders_by_month")
         val pruned = graft.io.Sources.materializePartitioned(s,
             t(s, d, "orders")
               .withColumn("o_month", date_format($"o_orderdate", "yyyy-MM")),
@@ -808,10 +805,7 @@ object ExtendedQueries {
     "q171_events_pruned" -> Q(
       (s, d) => {
         import s.implicits._
-        val src = new java.io.File(s"$d/events.parquet")
-        val layout = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/events_by_day"
+        val layout = LayoutKey.dir(d, "events", "events_by_day")
         val pruned = graft.io.Sources.materializePartitioned(s,
             t(s, d, "events")
               .withColumn("e_day", date_format($"ts", "yyyy-MM-dd")),
@@ -842,10 +836,7 @@ object ExtendedQueries {
     "q173_jsonl_roundtrip" -> Q(
       (s, d) => {
         import s.implicits._
-        val src = new java.io.File(s"$d/lineitem.parquet")
-        val layout = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/lineitem_jsonl"
+        val layout = LayoutKey.dir(d, "lineitem", "lineitem_jsonl")
         val base = t(s, d, "lineitem")
           .filter($"l_orderkey" < 1000)
           .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
@@ -881,10 +872,7 @@ object ExtendedQueries {
     "q174_csv_roundtrip" -> Q(
       (s, d) => {
         import s.implicits._
-        val src = new java.io.File(s"$d/orders.parquet")
-        val layout = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/orders_csv"
+        val layout = LayoutKey.dir(d, "orders", "orders_csv")
         val base = t(s, d, "orders")
           .filter($"o_orderkey" < 4000)
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
@@ -929,10 +917,7 @@ object ExtendedQueries {
       (s, d) => {
         import s.implicits._
         System.setProperty("derby.stream.error.file", "/tmp/derby.log")
-        val src = new java.io.File(s"$d/lineitem.parquet")
-        val dbDir = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/lineitem_derby"
+        val dbDir = LayoutKey.dir(d, "lineitem", "lineitem_derby")
         val url = s"jdbc:derby:$dbDir;create=true"
         val marker = s"$dbDir.loaded"
         if (!graft.io.Fs.exists(s, marker)) {
@@ -977,10 +962,7 @@ object ExtendedQueries {
     "q183_orc_roundtrip" -> Q(
       (s, d) => {
         import s.implicits._
-        val src = new java.io.File(s"$d/part.parquet")
-        val layout = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/part_orc"
+        val layout = LayoutKey.dir(d, "part", "part_orc")
         val base = t(s, d, "part")
           .filter($"p_size" <= 25)
           .select($"p_partkey", $"p_brand", $"p_type", $"p_size", $"p_retailprice")
@@ -1018,10 +1000,7 @@ object ExtendedQueries {
     "q189_schema_evolution" -> Q(
       (s, d) => {
         import s.implicits._
-        val src = new java.io.File(s"$d/orders.parquet")
-        val layout = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/orders_evolved"
+        val layout = LayoutKey.dir(d, "orders", "orders_evolved")
         if (!graft.io.Fs.exists(s, s"$layout/_done.marker")) {
           t(s, d, "orders").filter($"o_orderkey" < 2000)
             .select($"o_orderkey", $"o_totalprice")

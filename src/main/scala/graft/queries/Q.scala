@@ -19,6 +19,21 @@ final case class Q(
     oracle: Option[String],
     doc: String = "")
 
+/** The ONE mtime-keyed layout-cache path builder (previously copy-pasted
+  * at every materialized layout/index call site): caches key on the
+  * SOURCE parquet's path + lastModified, so a regenerated source
+  * invalidates every derived layout (q94 discipline). java.io.File mtime
+  * probing is local-FS only — a real deployment swaps this for the
+  * Hadoop FileSystem mtime ([[graft.io.Fs]]) and a durable cache root. */
+object LayoutKey {
+  def dir(d: String, table: String, tag: String): String = {
+    val src = new java.io.File(s"$d/$table.parquet")
+    "/tmp/graft_layout/" +
+      s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
+      s"/$tag"
+  }
+}
+
 object Registry {
   /** Insertion-ordered full suite. */
   lazy val all: Seq[(String, Q)] = {

@@ -17,12 +17,8 @@ object VectorQueries {
 
   /** mtime-keyed layout dir for the shared q96/q115 PQ index (the q172
     * discipline: a retouched corpus file invalidates the index). */
-  private def pqLayout(d: String): String = {
-    val src = new java.io.File(s"$d/embeddings.parquet")
-    "/tmp/graft_layout/" +
-      s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-      "/pq_k8_i3_m8_ks16_i2"
-  }
+  private def pqLayout(d: String): String =
+    LayoutKey.dir(d, "embeddings", "pq_k8_i3_m8_ks16_i2")
 
   /** DuckDB double-precision dot product over the 64 dims. */
   private def sqlDot(a: String, b: String): String =
@@ -419,10 +415,7 @@ object VectorQueries {
       (s, d) => {
         import s.implicits._
         val e = emb(s, d)
-        val src = new java.io.File(s"$d/embeddings.parquet")
-        val layout = "/tmp/graft_layout/" +
-          s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
-          "/ivf_k8_i3"
+        val layout = LayoutKey.dir(d, "embeddings", "ivf_k8_i3")
         val (cents, assign) = Similarity.materializeIvfIndex(
           s, e, layout, "vec_id", "embedding", kCells = 8, iters = 3)
         Similarity.ivfTopKFromIndex(

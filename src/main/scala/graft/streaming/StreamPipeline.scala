@@ -413,8 +413,14 @@ object StreamPipeline {
     }.sorted
     if (gens.isEmpty) return 0
     val newest = gens.last
-    val cutoff = newest - grace
-    if (cutoff < 0) return 0
+    // the cutoff generation's meta may itself be gone (a previous
+    // janitor run with a smaller grace deleted it) — fall back to the
+    // newest SURVIVING generation at or below the cutoff; coverage is
+    // monotone, so a lower generation only reclaims less, never wrongly
+    val cutoff = gens.filter(_ <= newest - grace).lastOption match {
+      case Some(g) => g
+      case None => return 0
+    }
     val coveredByCutoff = Fs.readText(spark, s"$indexDir/base-$cutoff.meta")
       .split("\n").filter(_.nonEmpty).toSet
     // covered deltas of the cutoff generation, then every base strictly

@@ -44,11 +44,15 @@ object MlBench {
     spark.sparkContext.setLogLevel("WARN")
 
     // ---- fixture (untimed): A2-shaped enriched trips, 300k rows ----
+    // 13 numeric + the 4-slot one-hot = the reference's 17 assembled
+    // dims; pickup_hour stands in for the leaked fare_amount slot (the
+    // reference's 13th numeric was the label itself — sparkML.py:62,81)
     val numericCols = Seq("vendorid", "ratecodeid", "pulocationid",
       "dolocationid", "passenger_count", "trip_distance", "tip_amount",
       "improvement_surcharge", "total_amount", "trip_duration",
-      "payment_type", "fare_per_mile")
+      "payment_type", "pickup_hour", "fare_per_mile")
     val base = spark.range(rows)
+      .withColumn("pickup_hour", (col("id") % 24).cast("double"))
       .withColumn("vendorid", (col("id") % 2 + 1).cast("double"))
       .withColumn("ratecodeid", (col("id") % 6 + 1).cast("double"))
       .withColumn("pulocationid", (pmod(hash(col("id")), lit(265)) + 1).cast("double"))

@@ -34,7 +34,11 @@ object ScaleStress {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val top5Mode = args.length > 1 && args(1) == "top5"
     val src = "/root/testdata/sf0.1"
-    val dst = s"/tmp/graft_scale_x$factor"
+    // replica dir keyed on the SOURCE's mtime (the layout-cache
+    // discipline): a regenerated sf0.1 invalidates the replica instead
+    // of silently benchmarking fresh base timings against stale data
+    val srcKey = new java.io.File(s"$src/lineitem.parquet").lastModified
+    val dst = s"/tmp/graft_scale_x${factor}_$srcKey"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -180,12 +184,17 @@ object ScaleStress {
       val raw = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("SCALING.json")), "UTF-8").trim
       require(raw.endsWith("}"), "SCALING.json must be a JSON object")
-      // idempotent rerun: drop a previous x<factor> block (it is always
-      // the trailing key this branch appended)
+      // idempotent rerun: drop a previous x<factor> block — but ONLY
+      // when it is the trailing key (truncating at the marker would
+      // otherwise silently delete any LATER factor blocks too)
       val marker = s""","x$factor":"""
       val existing = raw.indexOf(marker) match {
         case -1 => raw
-        case i  => raw.take(i) + "}"
+        case i =>
+          require(raw.indexOf(""","x""", i + marker.length) == -1,
+            s"x$factor is not the trailing block of SCALING.json — " +
+              "re-run the later factors after this one instead of truncating them")
+          raw.take(i) + "}"
       }
       val merged = existing.dropRight(1) +
         s""","x$factor":{"factor":$factor,"flag_threshold":${f3(flagAt)},""" +

@@ -749,6 +749,11 @@ class StreamingSpec extends SparkSpec {
       "grace=0 reclaims the newest-covered delta and the old generation")
     info(s"index dirs before janitor: $before, after: ${idxDirs()}")
     assert(idxDirs() < before, "janitor must shrink the index listing")
+    // regression: after grace=0 removed the older generation, a routine
+    // grace=1 run's cutoff meta no longer exists — it must fall back to
+    // a no-op, not crash on the missing base-<cutoff>.meta
+    assert(StreamPipeline.janitorNearDupIndex(spark, indexDir, grace = 1) == 0,
+      "janitor with no surviving generation at/below the cutoff is a no-op")
     // the index now serves entirely from base-1 + uncovered deltas:
     // dups still suppressed, novel docs still admitted
     writer(Seq(
