@@ -10,9 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark-submit --conf spark.sql.extensions=graft.expressions.GraftExtensions
   *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
   *
-  * Currently injects the codegen'd `cosine_similarity` scalar; planner
-  * rules/strategies would register here too if an operator ever outgrows
-  * the Expression tier (none has — see SURVEY.md §7.3).
+  * Injects the codegen'd `cosine_similarity` scalar and the
+  * [[RewriteSizeOfArrayIntersect]] optimizer rule (the Rule tier:
+  * `size(array_intersect(a, b))` → the allocation-free
+  * [[IntersectCount]], transparently, for SQL and DataFrame plans
+  * alike). A custom SparkStrategy/SparkPlan would register here too if
+  * an operator ever outgrew the Expression+Rule tiers (none has — see
+  * SURVEY.md §7.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
@@ -24,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_similarity expects 2 arguments, got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    e.injectOptimizerRule(_ => RewriteSizeOfArrayIntersect)
   }
 }

@@ -1,0 +1,91 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, BinaryExpression, Expression, If, IsNull, Literal, Or, Size}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** `size(array_intersect(a, b))` without materializing the intersection
+  * array — the exact shape every similarity-verify stage in this engine
+  * evaluates per candidate pair (q41/q111/q116/q182: intersect two
+  * shingle arrays, keep only the count). `ArrayIntersect` builds a
+  * deduplicated result array (a hash set PLUS an output ArrayData per
+  * row) that `Size` immediately reduces to one int; this expression runs
+  * the same membership loop and allocates only the set.
+  *
+  * Semantics are pinned to the composed form (ExpressionSpec): count of
+  * DISTINCT elements present in both arrays, a null element counting
+  * when present in both arrays; null out when either input is null (the
+  * legacy `size(null) = −1` mode is handled by the REWRITE rule, which
+  * wraps this expression in an If — not by a mode flag here).
+  *
+  * Codegen posture: the surrounding stage stays whole-stage-generated —
+  * the generated code makes one virtual call into this compiled counting
+  * loop (the `addReferenceObj` pattern) instead of deoptimizing the
+  * whole stage the way a CodegenFallback subtree would. The loop itself
+  * is compiled Scala over `ArrayData`, generic in the element type. */
+case class IntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "intersect_count"
+
+  @transient private lazy val elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Called from both the interpreted path and the generated code. */
+  def countIntersect(ar: Any, br: Any): Int = {
+    val a = ar.asInstanceOf[ArrayData]
+    val b = br.asInstanceOf[ArrayData]
+    val inB = new java.util.HashSet[Any]()
+    var bNull = false
+    b.foreach(elemType, (_, v) =>
+      if (v == null) bNull = true else inB.add(v))
+    val counted = new java.util.HashSet[Any]()
+    var aNullCounted = false
+    var n = 0
+    a.foreach(elemType, (_, v) =>
+      if (v == null) {
+        if (bNull && !aNullCounted) { n += 1; aNullCounted = true }
+      } else if (inB.contains(v) && counted.add(v)) n += 1)
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = countIntersect(a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intersectCount", this,
+      classOf[IntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $ref.countIntersect($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectCount = copy(newLeft, newRight)
+}
+
+/** Optimizer rule: `Size(ArrayIntersect(a, b), legacy)` →
+  * [[IntersectCount]] — registered by [[GraftExtensions]]
+  * (`injectOptimizerRule`), so ANY query in an extensions-enabled
+  * session (SQL or DataFrame) gets the allocation-free form with no
+  * source change. Semantics-preserving in both null modes: the legacy
+  * `size(null) = −1` behavior is reproduced by an If wrapper (children
+  * must be deterministic for the duplicated IsNull references to be
+  * sound — nondeterministic inputs are left unrewritten). ExpressionSpec
+  * pins equality against the composed form on nulls, null elements,
+  * duplicates, empties and value rows, and pins that the rule fires. */
+object RewriteSizeOfArrayIntersect extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(ai: ArrayIntersect, legacy) if ai.deterministic =>
+        val ic = IntersectCount(ai.left, ai.right)
+        if (legacy)
+          If(Or(IsNull(ai.left), IsNull(ai.right)), Literal(-1), ic)
+        else ic
+    }
+}

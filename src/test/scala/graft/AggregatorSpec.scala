@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.functions.{array_intersect, size, udaf}
 
 import graft.functions.Aggregators
 import graft.functions.VectorFunctions
@@ -53,6 +53,45 @@ class AggregatorSpec extends SparkSpec {
       "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
       .as[Double].collect()(0)
     assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("RewriteSizeOfArrayIntersect fires and preserves size(array_intersect) semantics") {
+    // the rule is injected via spark.sql.extensions (SparkSpec), so a
+    // plain size(array_intersect(..)) plans as intersect_count
+    val rows = Seq(
+      (Seq("a", "b", "b", "c"), Seq("b", "c", "c", "d")), // dups both sides -> 2
+      (Seq("a", "a"), Seq("a")),                          // dup left -> 1
+      (Seq.empty[String], Seq("a")),                      // empty -> 0
+      (Seq("x"), Seq.empty[String]),                      // empty -> 0
+      (Seq("a", null, "b"), Seq(null, "b", "c")),         // null elem in both counts -> 2
+      (Seq("a", null), Seq("b", "c")))                    // null elem one side only -> 0
+    val df = rows.toDF("a", "b")
+    val out = df.select(size(array_intersect($"a", $"b")).as("n"))
+    // plan-shape pin on a SCAN-backed frame (a literal frame constant-
+    // folds to a LocalRelation before the shape can be observed)
+    val scanned = Tables(spark, sf("sf0.001"), "documents")
+      .select(size(array_intersect(
+        org.apache.spark.sql.functions.split($"text", " "),
+        org.apache.spark.sql.functions.split($"source", " "))).as("n"))
+    assert(scanned.queryExecution.optimizedPlan.toString.contains("intersect_count"),
+      s"rule must rewrite the composed form:\n${scanned.queryExecution.optimizedPlan}")
+    // expected counts computed independently (distinct set intersection,
+    // null counting only when present on both sides)
+    val expected = rows.map { case (a, b) =>
+      (a.toSet intersect b.toSet).size }
+    assert(out.as[Int].collect().toSeq == expected)
+    // null INPUT arrays follow the session's size(null) mode exactly:
+    // compare against a size() call the rule cannot touch
+    val nulls = Seq((null: Seq[String], Seq("a")), (Seq("a"), null: Seq[String]))
+      .toDF("a", "b")
+    val gotNull = nulls.select(size(array_intersect($"a", $"b")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    // the session's size(NULL) answer (null under ANSI, -1 legacy)
+    val modeNull = nulls.select(size(
+        org.apache.spark.sql.functions.lit(null).cast("array<string>")).as("n"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    assert(gotNull == modeNull,
+      s"null-input behavior must match the session's size(null) mode: $gotNull vs $modeNull")
   }
 
   test("cosineFast equals the HOF cosine bit-for-bit on real embeddings") {
