@@ -376,6 +376,103 @@ object PipelineQueries {
         FROM c"""),
       "sample-ratio-mismatch guardrail: chi-squared vs the designed 50/50"),
 
+    // ------------------------------------------------ Poisson bootstrap
+    // Confidence intervals at 100 TB: classical bootstrap resampling
+    // needs B full shuffled resamples; the POISSON bootstrap (Chamandy
+    // et al., Google 2012) observes that multinomial resample counts
+    // are asymptotically independent Poisson(1), so each row draws its
+    // per-replicate weight from a hash — ONE narrow pass expands rows
+    // ×B with map-side combine into |groups|·B cells, no resampling
+    // shuffle, fully deterministic (the weight is inverse-CDF over an
+    // md5-derived integer in [0, 1e6), thresholds 367879/735758/919698/
+    // 981011/996340 = ⌊CDF·1e6⌋, capped at 5). Replicate means quantize
+    // to 1e-6 cents so the spread statistics are exact DECIMAL sums; the
+    // reported CI is mean ± 1.96·se_boot, rounded at 1e-4.
+    // Hashing rides the q101 less-hashing construction: replicate b =
+    // 4g+s reads hex slice s (7 chars = 28 bits, %1e6 bias 2.7e-4 —
+    // immaterial to a bootstrap weight) of digest g — 8 md5 calls per
+    // row for 32 replicates, not 32 (measured 5.1 → 3.1 s at sf0.1).
+    "q201_poisson_bootstrap" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val B = 32
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val rows = t(s, d, "orders")
+          .select($"o_orderpriority".as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            $"o_orderkey")
+        val rep = rows
+          .withColumn("g", explode(sequence(lit(0), lit(B / 4 - 1))))
+          .withColumn("dg", md5(concat(lit("q201:"), $"g".cast("string"),
+            lit(":"), $"o_orderkey".cast("string"))))
+          .withColumn("s", explode(sequence(lit(0), lit(3))))
+          .withColumn("b", $"g" * 4 + $"s")
+          .withColumn("u",
+            conv(expr("substring(dg, s * 7 + 1, 7)"), 16, 10)
+              .cast("long") % 1000000L)
+          .withColumn("w",
+            when($"u" < 367879L, 0L).when($"u" < 735758L, 1L)
+              .when($"u" < 919698L, 2L).when($"u" < 981011L, 3L)
+              .when($"u" < 996340L, 4L).otherwise(5L))
+          .groupBy($"prio", $"b")
+          .agg(sum($"w" * $"cents").as("sw"), sum($"w").as("nw"))
+          .select($"prio",
+            round($"sw".cast("double") / $"nw" * 1e6).cast("long").as("mq"))
+        val boot = rep.groupBy($"prio")
+          .agg(count(lit(1)).as("nb"),
+            sum(d38($"mq")).as("sm"),
+            sum(d38($"mq") * d38($"mq")).as("smm"))
+        val exact = rows.groupBy($"prio")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sc"))
+        exact.join(boot, "prio")
+          .select($"prio", $"n",
+            round($"sc".cast("double") / $"n" / 100.0, 4).as("mean"),
+            round(sqrt(($"nb" * $"smm" - $"sm" * $"sm").cast("double") /
+              ($"nb" * ($"nb" - 1)).cast("double")) / 1e6 / 100.0, 4).as("se_boot"),
+            round(($"sc".cast("double") / $"n" -
+              lit(1.96) * sqrt(($"nb" * $"smm" - $"sm" * $"sm").cast("double") /
+                ($"nb" * ($"nb" - 1)).cast("double")) / 1e6) / 100.0, 4).as("ci_lo"),
+            round(($"sc".cast("double") / $"n" +
+              lit(1.96) * sqrt(($"nb" * $"smm" - $"sm" * $"sm").cast("double") /
+                ($"nb" * ($"nb" - 1)).cast("double")) / 1e6) / 100.0, 4).as("ci_hi"))
+          .orderBy($"prio")
+      },
+      Some("""WITH rep AS (SELECT prio, b,
+            CAST(round(CAST(sw AS DOUBLE) / nw * 1e6) AS BIGINT) AS mq
+          FROM (SELECT o_orderpriority AS prio, b,
+              sum(w * cents) AS sw, sum(w) AS nw
+            FROM (SELECT o_orderpriority,
+                CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                4 * g + s AS b,
+                CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+                  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+                  WHEN u < 996340 THEN 4 ELSE 5 END AS w
+              FROM (SELECT *, CAST('0x' || substr(md5('q201:' || CAST(g AS VARCHAR)
+                  || ':' || CAST(o_orderkey AS VARCHAR)), 1 + 7 * s, 7) AS BIGINT) % 1000000 AS u
+                FROM orders,
+                  (SELECT unnest(generate_series(0, 7)) AS g),
+                  (SELECT unnest(generate_series(0, 3)) AS s)))
+            GROUP BY 1, 2)),
+        boot AS (SELECT prio, count(*) AS nb,
+            sum(CAST(mq AS DECIMAL(38,0))) AS sm,
+            sum(CAST(mq AS DECIMAL(38,0)) * CAST(mq AS DECIMAL(38,0))) AS smm
+          FROM rep GROUP BY prio),
+        exact AS (SELECT o_orderpriority AS prio, count(*) AS n,
+            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sc
+          FROM orders GROUP BY 1)
+        SELECT prio, n,
+          round(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean,
+          round(sqrt(CAST(nb * smm - sm * sm AS DOUBLE) /
+            CAST(nb * (nb - 1) AS DOUBLE)) / 1e6 / 100.0, 4) AS se_boot,
+          round((CAST(sc AS DOUBLE) / n -
+            1.96 * sqrt(CAST(nb * smm - sm * sm AS DOUBLE) /
+              CAST(nb * (nb - 1) AS DOUBLE)) / 1e6) / 100.0, 4) AS ci_lo,
+          round((CAST(sc AS DOUBLE) / n +
+            1.96 * sqrt(CAST(nb * smm - sm * sm AS DOUBLE) /
+              CAST(nb * (nb - 1) AS DOUBLE)) / 1e6) / 100.0, 4) AS ci_hi
+        FROM exact JOIN boot USING (prio) ORDER BY prio"""),
+      "Poisson bootstrap CI (Chamandy 2012): one pass, B hash-weighted replicates"),
+
     // --------------------------------------------------- Zipf slope fit
     // The other half of q191's corpus diagnostics: fit ln(freq) ~
     // ln(rank) over the vocabulary's rank-frequency curve — a healthy
