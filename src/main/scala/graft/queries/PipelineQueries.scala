@@ -473,6 +473,56 @@ object PipelineQueries {
         FROM exact JOIN boot USING (prio) ORDER BY prio"""),
       "Poisson bootstrap CI (Chamandy 2012): one pass, B hash-weighted replicates"),
 
+    // --------------------------------------------------- CUSUM drift
+    // Sequential changepoint detection on a daily KPI — the monitor that
+    // pages before a monthly aggregate would: the one-sided CUSUM
+    // S_t = max(0, S_{t−1} + x_t − (μ+kδ)) detects a sustained upward
+    // shift with the earliest expected alarm for a given false-alarm
+    // rate (Page, Biometrika 1954). The recursion LOOKS inherently
+    // sequential, but S_t ≡ P_t − min_{j≤t} P_j for the drift-adjusted
+    // prefix sum P — so it runs as two stacked windows (cumsum +
+    // running min) over the DAY-bounded series, everything in exact
+    // cents (alarm compares are integer). Baseline μ comes from the
+    // first half-year; the detection span is the second. One scan, one
+    // day-bounded aggregate, bounded windows.
+    "q202_cusum_drift" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val daily = t(s, d, "orders")
+          .filter(year($"o_orderdate") === 1995)
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+          .localCheckpoint() // baseline scalar + detection windows reuse it
+        val base = daily.filter($"day" < "1995-07-01")
+          .agg(expr("sum(c) div count(*)").as("mu"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily.filter($"day" >= "1995-07-01")
+          .crossJoin(broadcast(base))
+          .withColumn("p", sum($"c" - $"mu" - expr("mu div 20")).over(w))
+          .withColumn("cusum", $"p" - min($"p").over(w))
+          .select($"day", ($"c".cast("double") / 100.0).as("revenue"),
+            ($"cusum".cast("double") / 100.0).as("cusum"),
+            ($"cusum" > $"mu").cast("int").as("alarm"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS c
+          FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+        base AS (SELECT CAST(sum(c) // count(*) AS BIGINT) AS mu
+          FROM daily WHERE day < DATE '1995-07-01'),
+        p AS (SELECT day, c, mu,
+            sum(c - mu - mu // 20) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+          FROM daily, base WHERE day >= DATE '1995-07-01')
+        SELECT day, CAST(c AS DOUBLE) / 100.0 AS revenue,
+          CAST(p - min(p) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cusum,
+          CAST((p - min(p) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > mu AS INTEGER) AS alarm
+        FROM p ORDER BY day"""),
+      "one-sided CUSUM changepoint monitor via the prefix-sum identity, exact cents"),
+
     // --------------------------------------------------- Zipf slope fit
     // The other half of q191's corpus diagnostics: fit ln(freq) ~
     // ln(rank) over the vocabulary's rank-frequency curve — a healthy
