@@ -523,6 +523,38 @@ object PipelineQueries {
         FROM p ORDER BY day"""),
       "one-sided CUSUM changepoint monitor via the prefix-sum identity, exact cents"),
 
+    // ------------------------------------------------ HLL merge as an MV
+    // Distinct counts as a MAINTAINABLE materialized view — the q100/
+    // q188 fold-identity pattern applied to HLL: each month aggregates
+    // its own m-register sketch (one hash aggregate, register state
+    // only), the year view folds them by element-wise register MAX, and
+    // the oracle one-shots the registers over the whole year — so the
+    // hash compare proves merge(sketch(Jan..Dec)) == sketch(year). At
+    // 100 TB this is how "distinct users, any date range" dashboards
+    // run: per-day register tables folded at query time, no re-scan of
+    // history, ever. Exact distinct rides along for realized error.
+    "q203_hll_mv_merge" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Sketches
+        val o = t(s, d, "orders").filter(year($"o_orderdate") === 1995)
+        val monthly = Sketches.hllSketchGrouped(
+          o.withColumn("m", month($"o_orderdate")),
+          Seq("m"), $"o_custkey", b = 8, salt = "q203")
+        val merged = Sketches.hllMerge(monthly.select($"reg", $"rho"))
+        Sketches.hllEstimate(merged, b = 8)
+          .crossJoin(broadcast(
+            o.agg(countDistinct($"o_custkey").as("n_exact"))))
+          .select($"n_nonzero", $"sum_pow50", $"est_distinct", $"n_exact")
+      },
+      Some(s"""WITH ${graft.operators.Sketches.hllOracleCtes(
+          "CAST(o_custkey AS VARCHAR)",
+          "orders WHERE year(o_orderdate) = 1995", b = 8, salt = "q203")},
+        ex AS (SELECT count(DISTINCT o_custkey) AS n_exact
+          FROM orders WHERE year(o_orderdate) = 1995)
+        SELECT n_nonzero, sum_pow50, est_distinct, n_exact FROM hll, ex"""),
+      "HLL as a maintainable MV: monthly register sketches fold to the year by max"),
+
     // --------------------------------------------------- Zipf slope fit
     // The other half of q191's corpus diagnostics: fit ln(freq) ~
     // ln(rank) over the vocabulary's rank-frequency curve — a healthy
