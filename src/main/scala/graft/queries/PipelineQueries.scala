@@ -555,6 +555,62 @@ object PipelineQueries {
         SELECT n_nonzero, sum_pow50, est_distinct, n_exact FROM hll, ex"""),
       "HLL as a maintainable MV: monthly register sketches fold to the year by max"),
 
+    // --------------------------------------------------- WOE / IV screen
+    // Weight-of-evidence binning + information value — the credit-
+    // scoring feature screen (Siddiqi 2006) a feature platform runs
+    // before training: per bin b, WOE_b = ln((good_b/G)/(bad_b/B)) and
+    // IV = Σ (good_b/G − bad_b/B)·WOE_b grade how well the binned
+    // feature separates the binary target. Bins are log2 price bands
+    // (length(bin(cents))−1 — INTEGER, identical both engines), not
+    // rank deciles: equal-frequency binning needs a global sort, log
+    // bands are a narrow map + an enum-bounded aggregate that survives
+    // any scale. Pure-band WOE is NULL (undefined), its IV term zero.
+    "q204_woe_iv" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val binned = t(s, d, "orders")
+          .select((length(bin(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))) - 1)
+              .cast("long").as("band"), // DuckDB length() is BIGINT
+            ($"o_orderstatus" === "F").cast("long").as("bad"))
+        val bands = binned.groupBy($"band")
+          .agg(count(lit(1)).as("n"), sum($"bad").as("n_bad"))
+          .withColumn("n_good", $"n" - $"n_bad")
+        val tot = bands.agg(sum($"n_good").as("g"), sum($"n_bad").as("b"))
+        bands.crossJoin(broadcast(tot))
+          .withColumn("woe",
+            when($"n_good" > 0 && $"n_bad" > 0,
+              round(log(($"n_good".cast("double") / $"g") /
+                ($"n_bad".cast("double") / $"b")), 6)))
+          .withColumn("iv_contrib",
+            when($"woe".isNotNull,
+              round(($"n_good".cast("double") / $"g" -
+                $"n_bad".cast("double") / $"b") *
+                log(($"n_good".cast("double") / $"g") /
+                  ($"n_bad".cast("double") / $"b")), 6)).otherwise(lit(0.0)))
+          .select($"band", $"n", $"n_bad", $"n_good", $"woe", $"iv_contrib")
+          .orderBy($"band")
+      },
+      Some("""WITH binned AS (SELECT
+            length(bin(CAST(round(o_totalprice * 100) AS BIGINT))) - 1 AS band,
+            CAST(o_orderstatus = 'F' AS BIGINT) AS bad
+          FROM orders),
+        bands AS (SELECT band, count(*) AS n,
+            CAST(sum(bad) AS BIGINT) AS n_bad,
+            count(*) - CAST(sum(bad) AS BIGINT) AS n_good
+          FROM binned GROUP BY band),
+        tot AS (SELECT CAST(sum(n_good) AS BIGINT) AS g,
+            CAST(sum(n_bad) AS BIGINT) AS b FROM bands)
+        SELECT band, n, n_bad, n_good,
+          CASE WHEN n_good > 0 AND n_bad > 0
+            THEN round(ln((CAST(n_good AS DOUBLE) / g) /
+              (CAST(n_bad AS DOUBLE) / b)), 6) END AS woe,
+          CASE WHEN n_good > 0 AND n_bad > 0
+            THEN round((CAST(n_good AS DOUBLE) / g - CAST(n_bad AS DOUBLE) / b) *
+              ln((CAST(n_good AS DOUBLE) / g) / (CAST(n_bad AS DOUBLE) / b)), 6)
+            ELSE 0.0 END AS iv_contrib
+        FROM bands, tot ORDER BY band"""),
+      "weight-of-evidence bins + information value over scale-safe log2 bands"),
+
     // --------------------------------------------------- Zipf slope fit
     // The other half of q191's corpus diagnostics: fit ln(freq) ~
     // ln(rank) over the vocabulary's rank-frequency curve — a healthy
