@@ -486,6 +486,36 @@ class ScalePostureSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1)
   }
 
+  test("q201 bootstrap: replicate expansion aggregates map-side; no sort-merge join") {
+    // the Poisson bootstrap's whole point is ONE narrow pass: the x32
+    // explode must partially aggregate into groups×B cells BEFORE its
+    // exchange, and the only joins are the broadcast attach of the
+    // 5-row exact frame — a SortMergeJoin or a real cartesian would
+    // mean the resampling shuffles data
+    val p = plan("q201_poisson_bootstrap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bootstrap must not shuffle a join:\n${p.take(1200)}")
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.exists(_.contains("partial_")),
+      s"replicate cells must combine map-side:\n${aggLines.mkString("\n").take(800)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2,
+      "one scan for the replicate pass, one for the exact frame")
+  }
+
+  test("q202 CUSUM: windows run only over the day-bounded materialized frame") {
+    // the single-partition windows must run over the DAY-bounded series
+    // (the checkpointed daily aggregate), never over order rows — the
+    // eager checkpoint makes that structural: the registered plan's
+    // windows read the materialized RDD, and NO FileScan (which would
+    // mean a window directly over order rows) appears between them
+    val p = plan("q202_cusum_drift")
+    assert(p.contains("Window"), "expected the cumsum/running-min windows")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")),
+      s"windows must read the materialized day-bounded frame:\n${p.take(1200)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"no window may sort raw order rows — the parquet scan lives inside the checkpoint:\n${p.take(1200)}")
+  }
+
   test("nested schema pruning: a subfield projection reads ONLY that leaf") {
     // struct columns are how multimodal metadata travels (SURVEY §1.2);
     // at 100 TB reading a whole struct for one leaf is the same bug as
