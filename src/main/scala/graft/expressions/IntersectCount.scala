@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * row) that `Size` immediately reduces to one int; this expression runs
   * the same membership loop and allocates only the set.
   *
-  * Semantics are pinned to the composed form (ExpressionSpec): count of
+  * Semantics are pinned to the composed form (AggregatorSpec): count of
   * DISTINCT elements present in both arrays, a null element counting
   * when present in both arrays; null out when either input is null (the
   * legacy `size(null) = −1` mode is handled by the REWRITE rule, which
@@ -38,6 +38,15 @@ case class IntersectCount(left: Expression, right: Expression)
   @transient private lazy val elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
 
+  @transient private lazy val isBinary: Boolean =
+    elemType == org.apache.spark.sql.types.BinaryType
+
+  // Array[Byte] has IDENTITY equals/hashCode — hashing raw byte arrays
+  // would make every binary element "distinct" and count 0 shared
+  // elements. ByteBuffer wraps give value-based equality.
+  private def keyOf(v: Any): Any =
+    if (isBinary) java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]]) else v
+
   /** Called from both the interpreted path and the generated code. */
   def countIntersect(ar: Any, br: Any): Int = {
     val a = ar.asInstanceOf[ArrayData]
@@ -45,14 +54,17 @@ case class IntersectCount(left: Expression, right: Expression)
     val inB = new java.util.HashSet[Any]()
     var bNull = false
     b.foreach(elemType, (_, v) =>
-      if (v == null) bNull = true else inB.add(v))
+      if (v == null) bNull = true else inB.add(keyOf(v)))
     val counted = new java.util.HashSet[Any]()
     var aNullCounted = false
     var n = 0
     a.foreach(elemType, (_, v) =>
       if (v == null) {
         if (bNull && !aNullCounted) { n += 1; aNullCounted = true }
-      } else if (inB.contains(v) && counted.add(v)) n += 1)
+      } else {
+        val k = keyOf(v)
+        if (inB.contains(k) && counted.add(k)) n += 1
+      })
     n
   }
 
@@ -76,13 +88,36 @@ case class IntersectCount(left: Expression, right: Expression)
   * source change. Semantics-preserving in both null modes: the legacy
   * `size(null) = −1` behavior is reproduced by an If wrapper (children
   * must be deterministic for the duplicated IsNull references to be
-  * sound — nondeterministic inputs are left unrewritten). ExpressionSpec
+  * sound — nondeterministic inputs are left unrewritten). AggregatorSpec
   * pins equality against the composed form on nulls, null elements,
-  * duplicates, empties and value rows, and pins that the rule fires. */
+  * duplicates, empties, binary arrays and value rows, and pins that the
+  * rule fires on scan-backed plans and SKIPS nested element types. */
 object RewriteSizeOfArrayIntersect extends Rule[LogicalPlan] {
+  /** Element types whose INTERNAL values carry value-based
+    * equals/hashCode, so a java HashSet reproduces SQL equality:
+    * UTF8String, boxed numerics/booleans, Decimal, and binary (wrapped
+    * to ByteBuffer inside the expression). Nested element types
+    * (struct/array/map) are left to the native path — InternalRow /
+    * ArrayData equality is representation-dependent (Unsafe vs
+    * Generic), and a silent miscount is worse than a skipped rewrite. */
+  private def hashSafe(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match { // AtomicType itself is private[sql] — enumerate
+      case StringType | BinaryType | BooleanType | DateType | TimestampType |
+           TimestampNTZType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ai: ArrayIntersect, legacy) if ai.deterministic =>
+      case Size(ai: ArrayIntersect, legacy)
+          if ai.deterministic && (ai.left.dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _) => hashSafe(et)
+            case _ => false
+          }) =>
         val ic = IntersectCount(ai.left, ai.right)
         if (legacy)
           If(Or(IsNull(ai.left), IsNull(ai.right)), Literal(-1), ic)

@@ -479,7 +479,7 @@ object PipelineQueries {
     // S_t = max(0, S_{t−1} + x_t − (μ+kδ)) detects a sustained upward
     // shift with the earliest expected alarm for a given false-alarm
     // rate (Page, Biometrika 1954). The recursion LOOKS inherently
-    // sequential, but S_t ≡ P_t − min_{j≤t} P_j for the drift-adjusted
+    // sequential, but S_t ≡ P_t − min(0, min_{j≤t} P_j) for the drift-adjusted
     // prefix sum P — so it runs as two stacked windows (cumsum +
     // running min) over the DAY-bounded series, everything in exact
     // cents (alarm compares are integer). Baseline μ comes from the
@@ -500,7 +500,12 @@ object PipelineQueries {
         daily.filter($"day" >= "1995-07-01")
           .crossJoin(broadcast(base))
           .withColumn("p", sum($"c" - $"mu" - expr("mu div 20")).over(w))
-          .withColumn("cusum", $"p" - min($"p").over(w))
+          // the running min must include the VIRTUAL P_0 = 0 (S_0 = 0 in
+          // Page's recursion): without the least(0, ·) floor, an upward
+          // shift starting at the very first detection day — the exact
+          // case the monitor exists for — would zero S_1 by construction
+          // and understate every later S_t by min P_j > 0
+          .withColumn("cusum", $"p" - least(lit(0L), min($"p").over(w)))
           .select($"day", ($"c".cast("double") / 100.0).as("revenue"),
             ($"cusum".cast("double") / 100.0).as("cusum"),
             ($"cusum" > $"mu").cast("int").as("alarm"))
@@ -516,10 +521,10 @@ object PipelineQueries {
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
           FROM daily, base WHERE day >= DATE '1995-07-01')
         SELECT day, CAST(c AS DOUBLE) / 100.0 AS revenue,
-          CAST(p - min(p) OVER (ORDER BY day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cusum,
-          CAST((p - min(p) OVER (ORDER BY day
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) > mu AS INTEGER) AS alarm
+          CAST(p - least(0, min(p) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS DOUBLE) / 100.0 AS cusum,
+          CAST((p - least(0, min(p) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) > mu AS INTEGER) AS alarm
         FROM p ORDER BY day"""),
       "one-sided CUSUM changepoint monitor via the prefix-sum identity, exact cents"),
 

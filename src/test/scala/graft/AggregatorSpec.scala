@@ -92,6 +92,24 @@ class AggregatorSpec extends SparkSpec {
       .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
     assert(gotNull == modeNull,
       s"null-input behavior must match the session's size(null) mode: $gotNull vs $modeNull")
+    // BINARY elements: Array[Byte] has identity equals — the expression
+    // must wrap to value-based keys, or equal binary payloads would
+    // count as disjoint (the review-found regression class)
+    val bin = Seq((Seq(Array[Byte](1, 2), Array[Byte](3)), Seq(Array[Byte](1, 2))))
+      .toDF("a", "b")
+    val binOut = bin.select(size(array_intersect($"a", $"b")).as("n"))
+      .as[Int].collect().toSeq
+    assert(binOut == Seq(1),
+      s"binary arrays must intersect by VALUE: $binOut")
+    // nested element types stay on the native path: a HashSet over
+    // InternalRow/ArrayData equality is representation-dependent, so the
+    // rule must NOT fire there
+    val nested = Tables(spark, sf("sf0.001"), "embeddings")
+      .select(org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.struct($"label")).as("a"))
+      .select(size(array_intersect($"a", $"a")).as("n"))
+    assert(!nested.queryExecution.optimizedPlan.toString.contains("intersect_count"),
+      "struct-element arrays must not be rewritten")
   }
 
   test("cosineFast equals the HOF cosine bit-for-bit on real embeddings") {
