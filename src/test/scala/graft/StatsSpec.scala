@@ -144,4 +144,25 @@ class StatsSpec extends SparkSpec {
       assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
     }
   }
+
+  test("CUSUM prefix-sum identity equals Page's recursion, including the zero floor") {
+    // the q202 shape: S_t = max(0, S_{t-1} + x_t) computed as
+    // P_t - min(0, min_{j<=t} P_j). The min MUST include the virtual
+    // P_0 = 0 - without it a positive first term zeroes S_1 (the
+    // review-found bug both engines shared, invisible to the oracle).
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // first term positive (exercises the floor), deep negative run
+    // (exercises the max-0 reset), then recovery
+    val xs = Seq(5L, -3L, -10L, 4L, 8L, -2L, 20L)
+    var s = 0L
+    val want = xs.map { x => s = math.max(0L, s + x); s }
+    val w = Window.orderBy($"t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("t", "x")
+      .withColumn("p", sum($"x").over(w))
+      .withColumn("s", $"p" - least(lit(0L), min($"p").over(w)))
+      .orderBy($"t").select($"s").as[Long].collect().toSeq
+    assert(got == want, s"identity diverged from the recursion: $got vs $want")
+  }
 }
