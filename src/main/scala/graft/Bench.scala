@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * order, materialized via the noop sink (full computation, no driver
   * collect and no output I/O in the timing). */
 object Bench {
+  /** Where a run may write its detail record: only an UNFILTERED run
+    * (the full registered suite) earns `bench_detail.json`; any
+    * name-filtered spot-check goes to the scratch path. Pure so the
+    * guard is spec-pinned (BenchGuardSpec) without running a session. */
+  def detailPathFor(only: Set[String]): String =
+    if (only.isEmpty) "bench_detail.json" else "bench_detail_partial.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -40,13 +47,16 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
-    // Three passes by default: pass 1 absorbs Janino/JIT compilation of
+    // Four passes by default: pass 1 absorbs Janino/JIT compilation of
     // 50+ distinct codegen'd plans (~75 s of one-time cost that would
     // land on random queries); reported numbers are the per-query MINIMUM
-    // across the warm passes (standard best-of-N timing) — single warm
+    // across the 3 warm passes (standard best-of-N timing) — single warm
     // passes on this box show ±30% per-query scheduler/GC noise, and the
     // minimum is the steady-state throughput a resident engine delivers.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // 3 warm passes (vs r09's 2) make the reported p50 a true 3-sample
+    // median, so one late-JIT warm pass can no longer skew it (r09 detail:
+    // q146-q149 p50 sat 1.9-3.9x above best because p50-of-2 is a mean).
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "4").toInt
     // optional args: bench only the named queries (dev loop for timing a
     // query under optimization); the driver always calls with no args
     val only = args.toSet
@@ -91,11 +101,22 @@ object Bench {
     // Full-precision, full-name record for humans and the judge:
     def obj(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // per-pass times let a p50/min divergence be diagnosed from the
+    // committed artifact without re-running the round
+    val passJson = byName.map { case (name, times) =>
+      "\"" + name + "\":[" + times.map(_._2).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val detailLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},""" +
-        s""""queries_p50":${obj(p50s)},"failed":$failedJson,"sf":"$sfDir"}"""
+        s""""queries_p50":${obj(p50s)},"queries_passes":$passJson,""" +
+        s""""failed":$failedJson,"sf":"$sfDir"}"""
+    // A name-filtered run is a dev spot-check, never the round's record:
+    // it writes to a scratch path so it cannot clobber the committed
+    // full-suite detail (the r09 snapshot did exactly that — a 3-query
+    // partial overwrote the 198-query artifact at HEAD).
+    val detailPath = detailPathFor(only)
     try {
-      val w = new java.io.PrintWriter("bench_detail.json")
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(detailLine) finally w.close()
     } catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }

@@ -43,7 +43,13 @@ case class IntersectCount(left: Expression, right: Expression)
 
   // Array[Byte] has IDENTITY equals/hashCode — hashing raw byte arrays
   // would make every binary element "distinct" and count 0 shared
-  // elements. ByteBuffer wraps give value-based equality.
+  // elements; ByteBuffer wraps give value-based equality. Float/Double
+  // need NO wrapper: boxed equals says NaN == NaN and -0.0 != 0.0, which
+  // is EXACTLY native ArrayIntersect's hash-set behavior (NaN unified
+  // per SPARK-36741; signed zeros hash to different buckets) — pinned
+  // against the native path in AggregatorSpec, so a Spark upgrade that
+  // normalizes -0.0 inside ArrayIntersect fails the suite instead of
+  // silently diverging.
   private def keyOf(v: Any): Any =
     if (isBinary) java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]]) else v
 

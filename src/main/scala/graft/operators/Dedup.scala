@@ -535,7 +535,7 @@ object Dedup {
         "id_dst")
       .withColumn("n_inter",
         size(array_intersect(col("__ss"), col("__sd"))).cast("long"))
-      .filter(col("n_inter") * tDen >= col("__ns") * tNum)
+      .filter(col("n_inter") * tDen >= col("__ns").cast("long") * tNum)
       // n_src widens to long: size() is INT but the oracle's len() is
       // BIGINT, and the schema compare is typed
       .select(col("id_src"), col("id_dst"), col("n_inter"),
@@ -664,8 +664,11 @@ object Dedup {
     pref
       .join(all,
         col("sh") === col("__sh_d") && col("id_src") =!= col("id_dst") &&
-          // ⌈t·n_src⌉ ≤ n_dst, as an integer cross-multiply
-          col("__n_dst") * tDen >= col("__n_src") * tNum)
+          // ⌈t·n_src⌉ ≤ n_dst, as an integer cross-multiply — in LONG:
+          // int n × int threshold overflows for large shingle arrays
+          // (the verify stage already casts n_inter to long for the same
+          // reason)
+          col("__n_dst").cast("long") * tDen >= col("__n_src").cast("long") * tNum)
       .select(col("id_src"), col("id_dst"))
       .distinct()
   }
@@ -692,8 +695,10 @@ object Dedup {
       .join(pref.alias("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc") &&
           // size compatibility: J ≥ t forces t·max(n_a,n_b) ≤ min(n_a,n_b)
-          col("b.__n") * tDen >= col("a.__n") * tNum &&
-          col("a.__n") * tDen >= col("b.__n") * tNum)
+          // — cross-multiplied in LONG (int n × int threshold overflows
+          // for very large shingle arrays)
+          col("b.__n").cast("long") * tDen >= col("a.__n").cast("long") * tNum &&
+          col("a.__n").cast("long") * tDen >= col("b.__n").cast("long") * tNum)
       .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .distinct()
   }
@@ -708,9 +713,10 @@ object Dedup {
         col("__n").as("__na")), "id_a")
       .join(sets.select(col("doc").as("id_b"), col("__set").as("__sb"),
         col("__n").as("__nb")), "id_b")
-      .withColumn("__inter", size(array_intersect(col("__sa"), col("__sb"))))
+      .withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .filter(col("__inter") * tDen >=
-        lit(tNum) * (col("__na") + col("__nb") - col("__inter")))
+        lit(tNum.toLong) * (col("__na").cast("long") + col("__nb") - col("__inter")))
       .select(col("id_a"), col("id_b"),
         round(col("__inter").cast("double") /
           (col("__na") + col("__nb") - col("__inter")), 6).as("jaccard"))

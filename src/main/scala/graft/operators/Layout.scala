@@ -173,9 +173,15 @@ object Layout {
     // getContentSummary double-count, partition discovery misreads the
     // injected dir), and an inDir inside outDir is worse — the
     // mode(overwrite) write CLEARS outDir including the nested source
-    val inQ = fs.makeQualified(inPath).toUri.getPath.stripSuffix("/")
-    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outDir))
-      .toUri.getPath.stripSuffix("/")
+    // FULL qualified URIs (scheme + authority + path), each resolved
+    // against ITS OWN FileSystem: comparing bare paths would falsely
+    // reject same-path dirs on different filesystems (hdfs:/x vs
+    // file:/x) — and qualifying outDir against inDir's fs would
+    // mis-resolve a relative outDir belonging to another scheme
+    val outPath0 = new org.apache.hadoop.fs.Path(outDir)
+    val outFs = outPath0.getFileSystem(conf)
+    val inQ = fs.makeQualified(inPath).toUri.toString.stripSuffix("/")
+    val outQ = outFs.makeQualified(outPath0).toUri.toString.stripSuffix("/")
     require(outQ != inQ && !outQ.startsWith(inQ + "/") && !inQ.startsWith(outQ + "/"),
       s"inDir and outDir must not be equal or nested either way (in=$inQ out=$outQ)")
     val totalBytes = fs.getContentSummary(inPath).getLength

@@ -104,7 +104,7 @@ object MlBench {
 
     def r4(x: Double) = math.rint(x * 10000) / 10000
     val json =
-      s"""{"metric":"ml_training_leg","rows":$rows,"cpus":$cpus,
+      s"""{"metric":"ml_training_leg","rows":$rows,"cpus":"$cpus",
          |"total_sec":${r4(totalSec)},"fit_eval_sec":${r4(fitSec)},
          |"params":{"model":"rf","numTrees":100,"maxDepth":10,"features":17},
          |"metrics":{"train_rmse":${r4(m.trainRmse)},"train_mae":${r4(m.trainMae)},

@@ -34,10 +34,12 @@ object ScaleStress {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val top5Mode = args.length > 1 && args(1) == "top5"
     val src = "/root/testdata/sf0.1"
-    // replica dir keyed on the SOURCE's mtime (the layout-cache
-    // discipline): a regenerated sf0.1 invalidates the replica instead
-    // of silently benchmarking fresh base timings against stale data
-    val srcKey = new java.io.File(s"$src/lineitem.parquet").lastModified
+    // replica dir keyed on EVERY source table's mtime (the layout-cache
+    // discipline): a regenerated sf0.1 — any table, not just lineitem —
+    // invalidates the replica instead of silently benchmarking fresh
+    // base timings against stale replicated data
+    val srcKey = graft.Tables.names
+      .map(t => new java.io.File(s"$src/$t.parquet").lastModified).max
     val dst = s"/tmp/graft_scale_x${factor}_$srcKey"
     val spark = SparkSession.builder()
       .master("local[32]")

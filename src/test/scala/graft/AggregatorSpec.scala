@@ -112,6 +112,47 @@ class AggregatorSpec extends SparkSpec {
       "struct-element arrays must not be rewritten")
   }
 
+  test("rewritten double/float intersect matches the native path on NaN and signed zero") {
+    // Native set-op float semantics (SQLOpenHashSet): NaN equals NaN
+    // (SPARK-36741) but -0.0 does NOT equal 0.0 (bit-level hashing) —
+    // boxed java.lang.Double.equals matches BOTH, which is why the
+    // expression needs no float wrapper; this test pins that equivalence
+    // so a Spark upgrade normalizing -0.0 inside ArrayIntersect fails
+    // loudly instead of silently diverging. The native comparison path is
+    // size(array_sort(array_intersect)): the interposed sort defeats the
+    // Size(ArrayIntersect) match but keeps the intersection itself on
+    // native ArrayIntersect (array_size is no escape — RuntimeReplaceable
+    // into the same Size form).
+    val rows = Seq(
+      (Seq(Double.NaN, 1.0), Seq(Double.NaN)),            // NaN matches NaN -> 1
+      (Seq(-0.0, 2.0), Seq(0.0)),                          // -0.0 != 0.0 -> 0
+      (Seq(0.0), Seq(-0.0)),                               // symmetric -> 0
+      (Seq(-0.0, 0.0, Double.NaN), Seq(Double.NaN, 0.0)),  // {0.0, NaN} -> 2
+      (Seq(1.0, 2.0), Seq(3.0)))                           // -> 0
+    // repartition blocks ConvertToLocalRelation, which would otherwise
+    // eagerly fold the literal frame before the plan shape is observable
+    val df = rows.toDF("a", "b").repartition(2)
+    val rewritten = df.select(size(array_intersect($"a", $"b")).as("n"))
+    assert(rewritten.queryExecution.optimizedPlan.toString.contains("intersect_count"),
+      "double arrays must take the rewritten path")
+    val native = df.select(org.apache.spark.sql.functions.expr("size(array_sort(array_intersect(a, b)))").as("n"))
+    assert(!native.queryExecution.optimizedPlan.toString.contains("intersect_count"),
+      "array_size form must stay native")
+    // sorted: collect order after a round-robin repartition is not a
+    // contract between two separate collects
+    val got = rewritten.as[Int].collect().toSeq.sorted
+    assert(got == native.as[Int].collect().toSeq.sorted,
+      "rewritten path must match native ArrayIntersect on NaN/-0.0")
+    assert(got == Seq(0, 0, 0, 1, 2), "and both must match native float set semantics")
+    // float arrays ride the same whitelist entry
+    val frows = Seq((Seq(Float.NaN, -0.0f), Seq(0.0f, Float.NaN))).toDF("a", "b")
+      .repartition(2)
+    val fGot = frows.select(size(array_intersect($"a", $"b")).as("n")).as[Int].collect().toSeq
+    val fNative = frows.select(org.apache.spark.sql.functions.expr("size(array_sort(array_intersect(a, b)))").as("n"))
+      .as[Int].collect().toSeq
+    assert(fGot == fNative && fGot == Seq(1), s"float NaN/-0.0: $fGot vs native $fNative")
+  }
+
   test("cosineFast equals the HOF cosine bit-for-bit on real embeddings") {
     val e = Tables(spark, sf("sf0.001"), "embeddings").limit(50)
     val a = e.select($"vec_id".as("ia"), VectorFunctions.toDoubleVec($"embedding").as("va"))
