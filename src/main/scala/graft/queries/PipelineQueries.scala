@@ -23,6 +23,16 @@ object PipelineQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  /** ⌊CDF_Poisson(λ=1)(k)·1e6⌋ for k = 0..4 — the inverse-CDF cut
+    * points of q201's hash-to-weight map (weights above the last cut
+    * saturate at 5). THE single source for both the Spark when-chain
+    * and the DuckDB mirror's CASE, and independently re-derived from
+    * the factorial series e⁻¹·Σ 1/i! in StatsSpec — the oracle mirrors
+    * this construction, so only that independent derivation defends
+    * against a shared misreading of the thresholds. */
+  private[graft] val Poisson1CdfMicro: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+
   val all: Seq[(String, Q)] = Seq(
 
     // ------------------------------------------------ overlapping chunking
@@ -411,9 +421,10 @@ object PipelineQueries {
             conv(expr("substring(dg, s * 7 + 1, 7)"), 16, 10)
               .cast("long") % 1000000L)
           .withColumn("w",
-            when($"u" < 367879L, 0L).when($"u" < 735758L, 1L)
-              .when($"u" < 919698L, 2L).when($"u" < 981011L, 3L)
-              .when($"u" < 996340L, 4L).otherwise(5L))
+            Poisson1CdfMicro.zipWithIndex
+              .foldRight(lit(Poisson1CdfMicro.size.toLong)) {
+                case ((cut, k), rest) => when($"u" < cut, k.toLong).otherwise(rest)
+              })
           .groupBy($"prio", $"b")
           .agg(sum($"w" * $"cents").as("sw"), sum($"w").as("nw"))
           .select($"prio",
@@ -437,16 +448,16 @@ object PipelineQueries {
                 ($"nb" * ($"nb" - 1)).cast("double")) / 1e6) / 100.0, 4).as("ci_hi"))
           .orderBy($"prio")
       },
-      Some("""WITH rep AS (SELECT prio, b,
+      Some(s"""WITH rep AS (SELECT prio, b,
             CAST(round(CAST(sw AS DOUBLE) / nw * 1e6) AS BIGINT) AS mq
           FROM (SELECT o_orderpriority AS prio, b,
               sum(w * cents) AS sw, sum(w) AS nw
             FROM (SELECT o_orderpriority,
                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
                 4 * g + s AS b,
-                CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
-                  WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
-                  WHEN u < 996340 THEN 4 ELSE 5 END AS w
+                CASE ${Poisson1CdfMicro.zipWithIndex
+                  .map { case (c, k) => s"WHEN u < $c THEN $k" }
+                  .mkString(" ")} ELSE ${Poisson1CdfMicro.size} END AS w
               FROM (SELECT *, CAST('0x' || substr(md5('q201:' || CAST(g AS VARCHAR)
                   || ':' || CAST(o_orderkey AS VARCHAR)), 1 + 7 * s, 7) AS BIGINT) % 1000000 AS u
                 FROM orders,

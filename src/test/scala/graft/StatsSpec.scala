@@ -165,4 +165,41 @@ class StatsSpec extends SparkSpec {
       .orderBy($"t").select($"s").as[Long].collect().toSeq
     assert(got == want, s"identity diverged from the recursion: $got vs $want")
   }
+
+  test("q201 Poisson thresholds equal the factorial series, and draws hit the pmf") {
+    // Independent derivation of the five inverse-CDF cuts: the oracle
+    // MIRRORS the query's hard-coded thresholds, so a shared misreading
+    // would pass both sides — this recomputes ⌊CDF_Poisson(1)(k)·1e6⌋
+    // from e⁻¹·Σ 1/i! and asserts the registered constant.
+    var fact = 1.0
+    var cdf = 0.0
+    val want = (0 to 4).map { k =>
+      if (k > 0) fact *= k
+      cdf += math.exp(-1.0) / fact
+      math.floor(cdf * 1e6).toLong
+    }
+    assert(graft.queries.PipelineQueries.Poisson1CdfMicro == want,
+      s"thresholds diverge from the factorial series: want $want")
+    // replicate-frequency sanity: the md5-slice draw (the q201
+    // construction, reproduced here over java.security.MessageDigest —
+    // no Spark in the loop) must land each weight near Poisson(1) pmf
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val counts = new Array[Long](7)
+    val n = 40000
+    for (id <- 0 until n / 4; g <- 0 to 0) {
+      val hex = md.digest(s"spec:$g:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      for (s <- 0 to 3) {
+        val u = java.lang.Long.parseLong(hex.substring(s * 7, s * 7 + 7), 16) % 1000000L
+        val w = want.indexWhere(u < _) match { case -1 => 5; case k => k }
+        counts(w) += 1
+      }
+    }
+    val pmf = Seq(0.367879, 0.367879, 0.183940, 0.061313, 0.015328)
+    pmf.zipWithIndex.foreach { case (p, k) =>
+      val gotP = counts(k).toDouble / n
+      assert(math.abs(gotP - p) < 0.01,
+        s"weight $k frequency $gotP vs Poisson(1) pmf $p")
+    }
+  }
 }
