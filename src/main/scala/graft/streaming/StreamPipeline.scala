@@ -499,6 +499,62 @@ object StreamPipeline {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Per-key one-sided CUSUM changepoint monitor — the STREAMING form of
+    * the batch q202 operator. The batch plan computes Page's recursion
+    * S_t = max(0, S_{t−1} + x_t − μ − slack) through the prefix-sum
+    * identity (two stacked windows); the recursion ITSELF is the natural
+    * per-key streaming fold, and StatsSpec has pinned the two forms equal
+    * — so the monitor keeps exactly ONE (S, lastPeriod) pair per key in
+    * `ValueState` and folds each arriving period through the literal
+    * recursion (Page, Biometrika 1954). Everything is exact integer
+    * cents, like the batch side.
+    *
+    * Contract: periods arrive in EVENT order per key (each micro-batch's
+    * rows are sorted internally; a period ≤ the last folded one fails
+    * loudly rather than silently corrupting S — CUSUM is order-defined,
+    * and a monitor that absorbs replayed or late periods without noticing
+    * is worse than one that stops). State per key is two long-sized
+    * fields — scale-independent. Emits one row per folded period:
+    * (key, period, cusum_cents, alarm). StreamingSpec pins streamed
+    * alarms == the batch q202 plan on the same data. */
+  private class CusumProcessor(mu: Long, slack: Long, alarmAt: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Int, Long), (String, Int, Long, Int)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Int)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Int)]("cusum",
+        E.tuple(E.scalaLong, E.scalaInt), TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, Int, Long)],
+                                 tv: TimerValues): Iterator[(String, Int, Long, Int)] = {
+      var (s, lastP) = if (st.exists()) st.get() else (0L, Int.MinValue)
+      val out = rows.toArray.sortBy(_._2).map { case (_, period, x) =>
+        require(period > lastP,
+          s"CUSUM periods must be strictly increasing per key: " +
+            s"$key got $period after $lastP (replay or late data)")
+        lastP = period
+        s = math.max(0L, s + x - mu - slack)
+        (key, period, s, if (s > alarmAt) 1 else 0)
+      }
+      st.update((s, lastP))
+      out.iterator
+    }
+  }
+
+  /** [[CusumProcessor]] wired to a typed stream of (key, period, cents).
+    * `mu` is the in-control baseline, `slack` the drift allowance
+    * (q202 uses μ/20), `alarmAt` the decision threshold — all exact
+    * cents. RocksDB provider required, as for [[gridQuantileStream]]. */
+  def cusumStream(events: Dataset[(String, Int, Long)], mu: Long,
+                  slack: Long, alarmAt: Long): Dataset[(String, Int, Long, Int)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new CusumProcessor(mu, slack, alarmAt),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Watermarked stream-stream inner equi-join with an event-time range
     * bound. Both sides buffer state only within their watermark; the
     * range predicate lets Spark evict rows once the other side's clock

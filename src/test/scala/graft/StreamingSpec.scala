@@ -654,6 +654,89 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed CUSUM alarms equal the batch q202 plan on the same data") {
+    // The changepoint monitor in its streaming form: state = one
+    // (S, lastDay) pair per key, folded through Page's literal recursion
+    // — StatsSpec pins recursion == prefix-sum identity, and THIS test
+    // pins the streamed operator == the registered batch plan end-to-end
+    // on the same orders data (sf0.001, 1995 detection half).
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = sf("sf0.001")
+      // batch truth: the registered q202 plan
+      val batch = SparkEntry.queries("q202_cusum_drift")(spark, dir)
+        .select($"day".cast("string"), $"cusum", $"alarm")
+        .as[(String, Double, Int)].collect().toSeq
+      assert(batch.nonEmpty, "q202 must produce detection days at sf0.001")
+      // the monitor's inputs, derived exactly as the batch plan derives
+      // them: daily cents + the first-half baseline
+      val daily = Tables(spark, dir, "orders")
+        .filter(year($"o_orderdate") === 1995)
+        .groupBy(to_date($"o_orderdate").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      val mu = daily.filter($"day" < "1995-07-01")
+        .agg(expr("sum(c) div count(*)")).as[Long].collect()(0)
+      val feed = daily.filter($"day" >= "1995-07-01")
+        .select(datediff($"day", lit("1970-01-01")).as("d"), $"c")
+        .orderBy($"d").as[(Int, Long)].collect().toSeq
+      val stream = MemoryStream[(String, Int, Long)]
+      val q = StreamPipeline.cusumStream(stream.toDS(),
+          mu = mu, slack = mu / 20, alarmAt = mu)
+        .toDF("key", "d", "cusum_cents", "alarm")
+        .writeStream.format("memory").queryName("cusumq")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("cusum_ck").toString)
+        .start()
+      // three micro-batches in event order — state must carry across
+      val chunks = feed.grouped(math.max(1, feed.size / 3 + 1)).toSeq
+      chunks.foreach { ch =>
+        stream.addData(ch.map { case (d, c) => ("rev", d, c) }: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table("cusumq")
+        .select(date_format(date_add(lit("1970-01-01"), $"d"), "yyyy-MM-dd"),
+          round($"cusum_cents" / 100.0, 2), $"alarm")
+        .as[(String, Double, Int)].collect().toSeq.sortBy(_._1)
+      val batchCmp = batch.map { case (d, cu, a) =>
+        (d, math.rint(cu * 100) / 100, a) }.sortBy(_._1)
+      assert(streamed == batchCmp,
+        s"streamed CUSUM diverged from batch q202 (first rows: " +
+          s"${streamed.take(3)} vs ${batchCmp.take(3)})")
+      // order contract: replaying an already-folded period must kill the
+      // query loudly, not silently corrupt S
+      val stream2 = MemoryStream[(String, Int, Long)]
+      val q2 = StreamPipeline.cusumStream(stream2.toDS(), 100L, 5L, 100L)
+        .toDF("key", "d", "cusum_cents", "alarm")
+        .writeStream.format("memory").queryName("cusumq2")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("cusum_ck2").toString)
+        .start()
+      stream2.addData(("k", 10, 50L))
+      q2.processAllAvailable()
+      stream2.addData(("k", 10, 60L)) // replay of day 10
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("strictly increasing"),
+        s"replay must fail the order contract: ${ex.getMessage.take(200)}")
+      q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming near-dup suppression: LSH bucket index filters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("neardup").toString
