@@ -106,7 +106,7 @@ object TextQueries {
     b.toString
   }
 
-  private def lshCandidateCtes(bound: Int, k: Int, bands: Int,
+  private def lshCandidateCtes(pred: String, k: Int, bands: Int,
                                maxBucket: Int, scheme: String): String = {
     val r = k / bands
     // "salted": k/2 salted digests per token, one min per hash slot.
@@ -129,7 +129,7 @@ object TextQueries {
                  % ${graft.operators.Dedup.LcgPrime} AS h
              FROM (SELECT doc_id,
                  unnest(list_distinct(string_split(lower(text), ' '))) AS sh
-               FROM documents WHERE doc_id < $bound)),
+               FROM documents WHERE $pred)),
            $lcgSigs"""
       else if (scheme == "xx64")
         // the same LCG slot family over the xxhash64 token base — h is
@@ -143,7 +143,7 @@ object TextQueries {
         s"""tok0 AS (
              SELECT doc_id,
                unnest(list_distinct(string_split(lower(text), ' '))) AS sh
-             FROM documents WHERE doc_id < $bound),
+             FROM documents WHERE $pred),
            ${xxhash64Ctes("tok0")},
            xm AS MATERIALIZED (SELECT doc_id, sh, xh FROM xxh),
            xg AS (SELECT CASE WHEN count(*) = 0 THEN 0
@@ -162,7 +162,7 @@ object TextQueries {
              SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
              FROM (SELECT doc_id,
                  unnest(list_distinct(string_split(lower(text), ' '))) AS sh
-               FROM documents WHERE doc_id < $bound)),
+               FROM documents WHERE $pred)),
            binm AS (SELECT doc_id, h % $k AS pos, min(h) AS m
              FROM tok GROUP BY doc_id, h % $k),
            scaf AS (SELECT d.doc_id, r.range AS pos
@@ -184,7 +184,7 @@ object TextQueries {
       else
         s"""tok AS (
              SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS sh
-             FROM documents WHERE doc_id < $bound),
+             FROM documents WHERE $pred),
            sigs AS (SELECT doc_id, ${(0 until k).map(j =>
                  s"min(CAST('0x' || substr(md5('${j / 2}:' || sh), " +
                    s"${1 + 15 * (j % 2)}, 15) AS BIGINT)) AS mh$j").mkString(", ")}
@@ -207,12 +207,12 @@ object TextQueries {
   /** CTE chain ending in `mh_pairs(id_a, id_b, jaccard)` — the verified
     * near-dup pair set of [[graft.operators.Dedup.minhashNearDups]] for
     * the given scheme, re-derived in DuckDB. */
-  private def minhashPairsCtes(bound: Int, k: Int, bands: Int,
+  private def minhashPairsCtes(pred: String, k: Int, bands: Int,
                                threshold: Double, maxBucket: Int,
                                scheme: String): String =
-    s"""${lshCandidateCtes(bound, k, bands, maxBucket, scheme)},
+    s"""${lshCandidateCtes(pred, k, bands, maxBucket, scheme)},
        sets AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
-         FROM documents WHERE doc_id < $bound),
+         FROM documents WHERE $pred),
        mh_pairs AS (SELECT * FROM (
          SELECT id_a, id_b,
            round((len(sa.s) + len(sb.s)
@@ -225,7 +225,7 @@ object TextQueries {
   private def minhashOracle(bound: Int, k: Int, bands: Int,
                             threshold: Double, maxBucket: Int,
                             scheme: String = "salted"): String =
-    s"""WITH ${minhashPairsCtes(bound, k, bands, threshold, maxBucket, scheme)}
+    s"""WITH ${minhashPairsCtes(s"doc_id < $bound", k, bands, threshold, maxBucket, scheme)}
        SELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b"""
 
   /** DuckDB side of the LSH quality audit: the engine's exact candidate
@@ -237,7 +237,7 @@ object TextQueries {
     val hit = "CASE WHEN c.id_a IS NOT NULL AND t.id_a IS NOT NULL THEN 1 ELSE 0 END"
     val isCand = "CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END"
     val isTrue = "CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END"
-    s"""WITH ${lshCandidateCtes(bound, k, bands, maxBucket, "lcg")},
+    s"""WITH ${lshCandidateCtes(s"doc_id < $bound", k, bands, maxBucket, "lcg")},
        sets AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s
          FROM documents WHERE doc_id < $bound),
        truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -509,6 +509,50 @@ object TextQueries {
       Some(minhashOracle(bound = 1000, k = 64, bands = 8,
         threshold = 0.9, maxBucket = 100, scheme = "lcg")),
       "MinHash+LSH near-dup pipeline (LCG hash family, banded, verify-on-candidates)"),
+
+    // ------------------------------------- dedup-first composed pipeline
+    // THE registered form of the composition the ×100 SCALING notes kept
+    // arguing in prose: run EXACT dedup (one hash aggregate on the
+    // content digest) BEFORE any pairwise stage, so k-fold-duplicated
+    // corpora collapse to their distinct content before MinHash ever
+    // explodes a shingle. Under ×k replication the raw q42/q116/q180/
+    // q182 pair families grow by C(k,2) per duplicated doc BY DESIGN
+    // (they answer "which pairs", and the true answer grows); this
+    // composition answers the same question over distinct content and
+    // carries each keeper's copy count, so pair_weight = copies_a ×
+    // copies_b preserves the collapsed pair mass. ScalePostureSpec pins
+    // the collapse functionally on a ×5-replicated corpus; the SCALING
+    // x100 block measures it (the headline: near-linear where raw q116
+    // ran 77×). Full corpus, no id bound — the exact stage IS the bound.
+    "q205_dedup_first_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+        val keep = Dedup.exactKeepers(base, "doc_id", "text")
+        val kept = base.join(
+          keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        Dedup.minhashNearDups(kept, "doc_id", "text",
+            k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
+            scheme = "lcg")
+          .join(keep.select($"keeper_id".as("id_a"), $"n_copies".as("copies_a")), "id_a")
+          .join(keep.select($"keeper_id".as("id_b"), $"n_copies".as("copies_b")), "id_b")
+          .select($"id_a", $"id_b", $"jaccard", $"copies_a", $"copies_b",
+            ($"copies_a" * $"copies_b").as("pair_weight"))
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(s"""WITH keep AS (SELECT md5(text) AS content_hash,
+            min(doc_id) AS keeper_id, count(*) AS n_copies
+          FROM documents GROUP BY 1),
+        ${minhashPairsCtes("doc_id IN (SELECT keeper_id FROM keep)",
+          k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
+          scheme = "lcg")}
+        SELECT id_a, id_b, jaccard,
+          ka.n_copies AS copies_a, kb.n_copies AS copies_b,
+          ka.n_copies * kb.n_copies AS pair_weight
+        FROM mh_pairs JOIN keep ka ON ka.keeper_id = id_a
+          JOIN keep kb ON kb.keeper_id = id_b
+        ORDER BY id_a, id_b"""),
+      "dedup-first composition: exact hash-agg dedup, then MinHash-LSH over keepers only"),
 
     // -------------------------------------------- MinHash xx64 fast path
     // q42 with the md5 token digest swapped for one codegen'd xxhash64 —

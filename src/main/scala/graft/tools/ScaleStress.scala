@@ -30,9 +30,39 @@ object ScaleStress {
   private val Top5 = Seq("q133_mad_outliers", "q166_spearman_corr",
     "q182_containment", "q116_exact_dedup_pipeline", "q96_ivfpq_adc")
 
+  /** Queries whose ×k stress ratio is DUPLICATION/OUTPUT-driven by
+    * declared design: replication makes every doc a k-clique of itself,
+    * so the TRUE pair answer grows by C(k,2) per original doc and
+    * runtime tracks emitted output, not a plan defect. The registered
+    * antidote is q205's dedup-first composition (exact hash-agg dedup
+    * BEFORE any pairwise stage), measured in the "composed" group below
+    * and functionally pinned in ScalePostureSpec. q41 is excluded on
+    * purpose: it is the declared brute-force baseline, plan-pinned in
+    * its own right. */
+  private[graft] val DuplicationDriven: Set[String] = Set(
+    "q111_prefix_jaccard", "q116_exact_dedup_pipeline",
+    "q180_semdedup", "q182_containment")
+
+  /** Named ×N groups beyond the full sweep: `top5` = the suite's five
+    * most expensive plans (r8 directive), `graph` = the iterative graph
+    * family, whose iteration-count × data growth is the classic
+    * superlinear risk (r9 directive #4), `composed` = the dedup-first
+    * composition, whose ×100 point is the measured evidence that exact
+    * dedup collapses duplication-driven blowup (r9 directive #3).
+    * Group runs MERGE into the existing x$factor block, so the record
+    * accumulates across invocations instead of clobbering. */
+  private val Groups: Map[String, Seq[String]] = Map(
+    "top5" -> Top5,
+    "graph" -> Seq("q128_pagerank", "q142_bfs_levels", "q89_cc_stars_paths",
+      "q164_kcore", "q165_label_propagation"),
+    "composed" -> Seq("q205_dedup_first_neardup"))
+
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
-    val top5Mode = args.length > 1 && args(1) == "top5"
+    val groupName = if (args.length > 1) Some(args(1)) else None
+    groupName.foreach(g => require(Groups.contains(g),
+      s"unknown group '$g' (know: ${Groups.keys.mkString(", ")})"))
+    val top5Mode = groupName.isDefined
     val src = "/root/testdata/sf0.1"
     // replica dir keyed on EVERY source table's mtime (the layout-cache
     // discipline): a regenerated sf0.1 — any table, not just lineitem —
@@ -158,7 +188,7 @@ object ScaleStress {
     // (documented exceptions: output-driven q111, densification-driven
     // q140 — see the per-query notes above)
     val flagAt = 1.3 * factor
-    val sel = if (top5Mode) Top5 else queries
+    val sel = groupName.map(Groups).getOrElse(queries)
     val results = sel.map { name =>
       def run(dir: String): Double = {
         val t0 = System.nanoTime()
@@ -182,15 +212,29 @@ object ScaleStress {
         s""""flagged":${r > flagAt}}"""
     }.mkString("{", ",", "}")
     if (top5Mode) {
-      // append the second decade under "x100" without touching the
-      // committed 10× sweep (SCALING.json is one single-line object)
+      // append the extra decade under "x<factor>" without touching the
+      // committed 10× sweep (SCALING.json is one single-line object).
+      // Group runs MERGE into an existing trailing block: entries from
+      // a prior group survive, same-name entries are refreshed.
       val raw = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("SCALING.json")), "UTF-8").trim
       require(raw.endsWith("}"), "SCALING.json must be a JSON object")
-      // idempotent rerun: drop a previous x<factor> block — but ONLY
-      // when it is the trailing key (truncating at the marker would
-      // otherwise silently delete any LATER factor blocks too)
       val marker = s""","x$factor":"""
+      // previously recorded entries + flags of the trailing x<factor>
+      // block (parsed with json4s — on the Spark classpath — so the
+      // merge is structural, not string surgery)
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val root = JsonMethods.parse(raw)
+      val prevEntries: Seq[(String, String)] = root \ s"x$factor" \ "queries" match {
+        case JObject(fields) => fields.map { case (n, v) =>
+          n -> JsonMethods.compact(JsonMethods.render(v)) }
+        case _ => Seq.empty
+      }
+      val prevFlagged: Seq[String] = root \ s"x$factor" \ "flagged" match {
+        case JArray(vs) => vs.collect { case JString(s) => s }
+        case _ => Seq.empty
+      }
       val existing = raw.indexOf(marker) match {
         case -1 => raw
         case i =>
@@ -199,13 +243,22 @@ object ScaleStress {
               "re-run the later factors after this one instead of truncating them")
           raw.take(i) + "}"
       }
+      val newNames = results.map(_._1).toSet
+      val keptPrev = prevEntries.filterNot { case (n, _) => newNames(n) }
+      val qJsonMerged = (keptPrev.map { case (n, v) => s""""$n":$v""" } ++
+        results.map { case (n, s, b, r) =>
+          s""""$n":{"t_base":${f3(s)},"t_x$factor":${f3(b)},"ratio":${f3(r)},""" +
+            s""""flagged":${r > flagAt}}"""
+        }).mkString("{", ",", "}")
+      val flaggedMerged =
+        (prevFlagged.filterNot(newNames) ++ flagged).distinct
       val merged = existing.dropRight(1) +
         s""","x$factor":{"factor":$factor,"flag_threshold":${f3(flagAt)},""" +
-        s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}}"""
+        s""""queries":$qJsonMerged,"flagged":${flaggedMerged.map("\"" + _ + "\"").mkString("[", ",", "]")}}}"""
       val w = new java.io.PrintWriter("SCALING.json")
       try w.println(merged) finally w.close()
-      println(s"STRESS appended x$factor block to SCALING.json " +
-        s"(${flagged.size} flagged: ${flagged.mkString(", ")})")
+      println(s"STRESS merged ${results.size} entries into x$factor block of SCALING.json " +
+        s"(${flaggedMerged.size} flagged: ${flaggedMerged.mkString(", ")})")
     } else {
       val line =
         s"""{"base":"$src","factor":$factor,"flag_threshold":${f3(flagAt)},""" +

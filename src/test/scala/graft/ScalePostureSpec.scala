@@ -471,6 +471,61 @@ class ScalePostureSpec extends SparkSpec {
       s"q111 must be the prefix-filtered path:\n${q111.take(800)}")
   }
 
+  test("q205 dedup-first: replication collapses at the exact stage, before any pairwise work") {
+    // The registered composition for duplication-driven corpora: a ×5
+    // byte-identical replication (the ScaleStress construction — fresh
+    // ids, same text) must collapse back to the base corpus at the
+    // exact hash-agg stage, so the MinHash stage sees the SAME keeper
+    // set and the near-dup pair count does not grow at all — while the
+    // raw (un-composed) pipeline's pair set explodes by construction
+    // (every original doc becomes a 5-clique). This is the functional
+    // form of the SCALING x100 "composed" measurement.
+    val dir = Files.createTempDirectory("graft_dedupfirst").toString
+    try {
+      val factor = 5
+      val base = Tables(spark, sf("sf0.001"), "documents")
+      base.crossJoin(spark.range(factor).select($"id".as("__rep")))
+        .withColumn("doc_id", $"doc_id" * factor + $"__rep")
+        .drop("__rep")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val composed = graft.queries.Registry
+        .queries("q205_dedup_first_neardup")(spark, dir).cache()
+      val baseline = graft.queries.Registry
+        .queries("q205_dedup_first_neardup")(spark, sf("sf0.001"))
+      val nBase = baseline.count()
+      val nComposed = composed.count()
+      assert(nBase > 0, "fixture corpus must contain near-dup pairs")
+      assert(nComposed == nBase,
+        s"composed pair count must NOT grow under replication: " +
+          s"base $nBase vs x$factor $nComposed")
+      // every keeper pair carries the collapsed mass: copies = factor
+      // per side, pair_weight = factor²
+      val weights = composed.select($"copies_a", $"copies_b", $"pair_weight")
+        .distinct().as[(Long, Long, Long)].collect().toSet
+      assert(weights.subsetOf(Set((factor.toLong, factor.toLong,
+        (factor * factor).toLong))),
+        s"keeper pairs must carry copy counts of $factor: $weights")
+      // contrast: the RAW near-dup pipeline on the replicated corpus
+      // explodes — each original doc's 5 copies form C(5,2) = 10 pairs
+      val raw = graft.operators.Dedup.minhashNearDups(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
+        scheme = "lcg").count()
+      val nDocs = base.count()
+      assert(raw >= nDocs * factor * (factor - 1) / 2,
+        s"raw pipeline must exhibit the C(k,2)-per-doc blowup the " +
+          s"composition removes: $raw pairs vs ${nDocs * 10} floor")
+      // and the declared duplication-driven list covers exactly the
+      // registered queries whose ×k ratios are output-driven by design
+      assert(graft.tools.ScaleStress.DuplicationDriven ==
+        Set("q111_prefix_jaccard", "q116_exact_dedup_pipeline",
+          "q180_semdedup", "q182_containment"))
+      composed.unpersist()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("q193 chunking is shuffle-free: explode + projections in one stage") {
     // chunking is the highest-volume pass a pretraining pipeline runs
     // (every token of the corpus flows through it) — it must stay a
