@@ -681,6 +681,284 @@ object PipelineQueries {
           round(pow(CAST(nn * sxy - sx * sy AS DOUBLE), 2) /
             (CAST(nn * sxx - sx * sx AS DOUBLE) * CAST(nn * syy - sy * sy AS DOUBLE)), 4) AS r2
         FROM m"""),
-      "Zipf rank-frequency slope via exact-moment OLS on quantized log-log")
+      "Zipf rank-frequency slope via exact-moment OLS on quantized log-log"),
+
+    // ------------------------------------------- mutual information screen
+    // The information-theoretic sibling of q204's WOE/IV: per log2 price
+    // band b and binary target s, the MI contribution (n_bs/N)·
+    // ln(N·n_bs/(n_b·n_s)) — summed it is I(band; status), the
+    // model-free dependence measure a feature platform ranks candidate
+    // features by (Cover & Thomas ch.2). One enum-bounded hash aggregate
+    // over (band, s) cells; the band and class marginals re-aggregate
+    // from the SAME cells (no second scan); N and class totals broadcast.
+    // All inputs to ln are exact integer ratios, so the doubles agree
+    // across engines; rounded at 1e-6.
+    "q206_mutual_information" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cells = t(s, d, "orders")
+          .select((length(bin(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))) - 1)
+              .cast("long").as("band"),
+            ($"o_orderstatus" === "F").cast("long").as("bad"))
+          .groupBy($"band", $"bad").agg(count(lit(1)).as("n_bs"))
+          .localCheckpoint() // marginals + cells from one aggregate
+        val bandTot = cells.groupBy($"band").agg(sum($"n_bs").as("n_b"))
+        val clsTot = cells.groupBy($"bad").agg(sum($"n_bs").as("n_s"))
+        val tot = cells.agg(sum($"n_bs").as("nn"))
+        cells.join(bandTot, "band")
+          .join(broadcast(clsTot), "bad")
+          .crossJoin(broadcast(tot))
+          .withColumn("contrib",
+            ($"n_bs".cast("double") / $"nn") *
+              log(($"nn".cast("double") * $"n_bs") /
+                ($"n_b".cast("double") * $"n_s")))
+          .groupBy($"band")
+          .agg(max($"n_b").as("n"), round(sum($"contrib"), 6).as("mi_contrib"))
+          .orderBy($"band")
+      },
+      Some("""WITH cells AS (SELECT
+            length(bin(CAST(round(o_totalprice * 100) AS BIGINT))) - 1 AS band,
+            CAST(o_orderstatus = 'F' AS BIGINT) AS bad, count(*) AS n_bs
+          FROM orders GROUP BY 1, 2),
+        bt AS (SELECT band, CAST(sum(n_bs) AS BIGINT) AS n_b FROM cells GROUP BY band),
+        ct AS (SELECT bad, CAST(sum(n_bs) AS BIGINT) AS n_s FROM cells GROUP BY bad),
+        tt AS (SELECT CAST(sum(n_bs) AS BIGINT) AS nn FROM cells)
+        SELECT band, max(n_b) AS n,
+          round(sum((CAST(n_bs AS DOUBLE) / nn) *
+            ln((CAST(nn AS DOUBLE) * n_bs) / (CAST(n_b AS DOUBLE) * n_s))), 6)
+            AS mi_contrib
+        FROM cells JOIN bt USING (band) JOIN ct USING (bad), tt
+        GROUP BY band ORDER BY band"""),
+      "mutual-information feature screen over enum-bounded (band, class) cells"),
+
+    // --------------------------------------------------- Kaplan-Meier
+    // The product-limit survival estimator (Kaplan & Meier, JASA 1958)
+    // over customer lifetimes — the retention curve a subscription /
+    // engagement dashboard draws: lifetime = days between a customer's
+    // first and last order, right-CENSORED when the last order is near
+    // the end of the data window (the customer may still be active).
+    // S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) with nᵢ = customers still at risk.
+    // The product runs as exp(Σ ln(1−dᵢ/nᵢ)) over a window on the
+    // DISTINCT event days — day-bounded state like q202, never
+    // row-proportional; the at-risk counts come from one cumulative sum
+    // over the lifetime histogram. ln inputs are exact integer ratios.
+    "q207_kaplan_meier" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val per = t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(datediff(max($"o_orderdate"), min($"o_orderdate")).as("life"),
+            (max($"o_orderdate") < "1998-06-01").cast("long").as("ev"))
+        val hist = per.groupBy($"life")
+          .agg(count(lit(1)).as("n_all"), sum($"ev").as("d"))
+          .localCheckpoint() // at-risk cumsum + event rows share it
+        val w = Window.orderBy($"life")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val w2 = Window.orderBy($"life")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        hist
+          .withColumn("at_risk",
+            sum($"n_all").over(Window.orderBy($"life").rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)) -
+              coalesce(sum($"n_all").over(w), lit(0L)))
+          .filter($"d" > 0)
+          .withColumn("surv", round(exp(sum(
+            log(lit(1.0) - $"d".cast("double") / $"at_risk")).over(w2)), 6))
+          .select($"life".cast("long").as("t_days"), $"d".as("n_events"),
+            $"at_risk", $"surv")
+          .orderBy($"t_days")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+            date_diff('day', min(o_orderdate), max(o_orderdate)) AS life,
+            CAST(max(o_orderdate) < TIMESTAMP '1998-06-01 00:00:00' AS BIGINT) AS ev
+          FROM orders GROUP BY 1),
+        hist AS (SELECT life, count(*) AS n_all, CAST(sum(ev) AS BIGINT) AS d
+          FROM per GROUP BY life),
+        risk AS (SELECT *,
+            sum(n_all) OVER () -
+              COALESCE(sum(n_all) OVER (ORDER BY life
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+          FROM hist)
+        SELECT CAST(life AS BIGINT) AS t_days, d AS n_events, at_risk,
+          round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / at_risk))
+            OVER (ORDER BY life ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+            AS surv
+        FROM risk WHERE d > 0 ORDER BY t_days"""),
+      "Kaplan-Meier product-limit survival over the day-bounded lifetime histogram"),
+
+    // ---------------------------------------------- jackknife influence
+    // Quenouille/Tukey delete-1 jackknife WITHOUT materializing the n
+    // leave-one-out replicates: loo_i = (S − xᵢ)/(n−1) is linear in the
+    // sufficient statistics, so the extreme LOO means come from the
+    // group min/max alone and the jackknife SE collapses algebraically
+    // to √(Σ(xᵢ−m)²/(n(n−1))) — one exact-moment pass per group where
+    // the textbook procedure runs n re-aggregations. The per-group
+    // influence envelope (how far one dropped order can move the mean)
+    // is the robustness audit a metrics platform runs on every KPI.
+    "q208_jackknife_loo" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val o = t(s, d, "orders")
+          .select($"o_orderpriority".as("prio"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        o.groupBy($"prio")
+          .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
+            sum(d38($"cents") * d38($"cents")).as("scc"),
+            min($"cents").as("mn"), max($"cents").as("mx"))
+          .select($"prio", $"n",
+            round($"sc".cast("double") / $"n" / 100.0, 4).as("mean"),
+            round(($"sc" - $"mx").cast("double") / ($"n" - 1) / 100.0, 4).as("loo_lo"),
+            round(($"sc" - $"mn").cast("double") / ($"n" - 1) / 100.0, 4).as("loo_hi"),
+            round(sqrt(($"n" * $"scc" - d38($"sc") * d38($"sc")).cast("double") /
+              ($"n".cast("double") * $"n" * ($"n" - 1))) / 100.0, 4).as("jk_se"))
+          .orderBy($"prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        g AS (SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sc,
+            sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS scc,
+            min(cents) AS mn, max(cents) AS mx
+          FROM o GROUP BY prio)
+        SELECT prio, n,
+          round(CAST(sc AS DOUBLE) / n / 100.0, 4) AS mean,
+          round(CAST(sc - mx AS DOUBLE) / (n - 1) / 100.0, 4) AS loo_lo,
+          round(CAST(sc - mn AS DOUBLE) / (n - 1) / 100.0, 4) AS loo_hi,
+          round(sqrt(CAST(n * scc - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0)) AS DOUBLE) /
+            (CAST(n AS DOUBLE) * n * (n - 1))) / 100.0, 4) AS jk_se
+        FROM g ORDER BY prio"""),
+      "delete-1 jackknife influence envelope + SE from sufficient statistics"),
+
+    // ----------------------------------------- calibration / Brier bins
+    // Reliability diagram + Murphy (1973) decomposition for a scored
+    // binary outcome: a deterministic RATIONAL score p = c/(c+C)
+    // (IEEE-exact in both engines — no libm in the score path) is
+    // quantized to micro-units, binned into deciles, and each bin
+    // reports mean predicted vs observed rate plus its reliability and
+    // resolution contributions — every sum an exact integer aggregate
+    // (micro-units and micro² as DECIMAL), floats only in the final
+    // rounded divisions. The audit that catches a miscalibrated model
+    // before anyone trusts its probabilities.
+    "q209_calibration_bins" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val scored = t(s, d, "orders")
+          .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            ($"o_orderstatus" === "F").cast("long").as("y"))
+          .withColumn("p_micro",
+            round($"cents".cast("double") /
+              ($"cents" + lit(20000000L)).cast("double") * 1e6).cast("long"))
+          .withColumn("bin", least(expr("p_micro div 100000"), lit(9L)))
+        val bins = scored.groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"p_micro").as("sp"),
+            sum($"y").as("sy"))
+          .localCheckpoint() // ybar + per-bin rows share the aggregate
+        val tot = bins.agg(sum($"n").as("nn"), sum($"sy").as("syy"))
+        bins.crossJoin(broadcast(tot))
+          .select($"bin", $"n",
+            round($"sp".cast("double") / $"n" / 1e6, 6).as("mean_p"),
+            round($"sy".cast("double") / $"n", 6).as("rate_y"),
+            round(($"n".cast("double") / $"nn") *
+              pow($"sp".cast("double") / $"n" / 1e6 -
+                $"sy".cast("double") / $"n", 2), 6).as("reliability_contrib"),
+            round(($"n".cast("double") / $"nn") *
+              pow($"sy".cast("double") / $"n" -
+                $"syy".cast("double") / $"nn", 2), 6).as("resolution_contrib"))
+          .orderBy($"bin")
+      },
+      Some("""WITH scored AS (SELECT
+            CAST(round(CAST(cents AS DOUBLE) / (cents + 20000000) * 1e6) AS BIGINT)
+              AS p_micro,
+            y
+          FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+              CAST(o_orderstatus = 'F' AS BIGINT) AS y FROM orders)),
+        binned AS (SELECT least(p_micro // 100000, 9) AS bin, p_micro, y FROM scored),
+        bins AS (SELECT bin, count(*) AS n, CAST(sum(p_micro) AS BIGINT) AS sp,
+            CAST(sum(y) AS BIGINT) AS sy
+          FROM binned GROUP BY bin),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS syy
+          FROM bins)
+        SELECT bin, n,
+          round(CAST(sp AS DOUBLE) / n / 1e6, 6) AS mean_p,
+          round(CAST(sy AS DOUBLE) / n, 6) AS rate_y,
+          round((CAST(n AS DOUBLE) / nn) *
+            pow(CAST(sp AS DOUBLE) / n / 1e6 - CAST(sy AS DOUBLE) / n, 2), 6)
+            AS reliability_contrib,
+          round((CAST(n AS DOUBLE) / nn) *
+            pow(CAST(sy AS DOUBLE) / n - CAST(syy AS DOUBLE) / nn, 2), 6)
+            AS resolution_contrib
+        FROM bins, tot ORDER BY bin"""),
+      "reliability diagram + Murphy decomposition over decile bins, integer-exact sums"),
+
+    // ------------------------------------------- caliper NN matching
+    // Observational matching (the experimentation fallback when
+    // randomization isn't available): within each order-priority
+    // stratum, every TREATMENT order (the q198 md5 coin) matches its
+    // nearest CONTROL by price — with replacement, via the
+    // sorted-neighborhood trick: one sort per stratum, the previous and
+    // next control arrive through ignore-null window frames, the closer
+    // one wins (ties to the lower price). ATT per stratum = mean
+    // treated-minus-matched difference, exact cents. No pairwise
+    // stage anywhere: matching is two bounded window passes, the
+    // scale-safe form of a nearest-neighbor join (Rubin 1973's caliper
+    // matching, deterministic variant).
+    "q210_caliper_match" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+          .select($"o_orderpriority".as("prio"), $"o_orderkey".as("okey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("treat",
+            (conv(substring(md5(concat(lit("q210:"), $"okey".cast("string"))),
+              1, 15), 16, 10).cast("long") % 2 === 1).cast("int"))
+        val w = Window.partitionBy($"prio").orderBy($"cents", $"okey")
+        val prevC = last(when($"treat" === 0, $"cents"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val nextC = first(when($"treat" === 0, $"cents"), ignoreNulls = true)
+          .over(w.rowsBetween(1, Window.unboundedFollowing))
+        o.withColumn("prev_c", prevC).withColumn("next_c", nextC)
+          .filter($"treat" === 1)
+          .withColumn("match_c",
+            when($"prev_c".isNull, $"next_c")
+              .when($"next_c".isNull, $"prev_c")
+              .when($"cents" - $"prev_c" <= $"next_c" - $"cents", $"prev_c")
+              .otherwise($"next_c"))
+          .filter($"match_c".isNotNull)
+          .groupBy($"prio")
+          .agg(count(lit(1)).as("n_matched"),
+            sum($"cents" - $"match_c").as("sdiff"),
+            sum(abs($"cents" - $"match_c")).as("sgap"))
+          .select($"prio", $"n_matched",
+            round($"sdiff".cast("double") / $"n_matched" / 100.0, 4).as("att"),
+            round($"sgap".cast("double") / $"n_matched" / 100.0, 4).as("mean_abs_gap"))
+          .orderBy($"prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS okey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+            CAST(CAST('0x' || substr(md5('q210:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 = 1 AS INTEGER) AS treat
+          FROM orders),
+        fr AS (SELECT *,
+            last_value(CASE WHEN treat = 0 THEN cents END IGNORE NULLS)
+              OVER (PARTITION BY prio ORDER BY cents, okey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_c,
+            first_value(CASE WHEN treat = 0 THEN cents END IGNORE NULLS)
+              OVER (PARTITION BY prio ORDER BY cents, okey
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c
+          FROM o),
+        m AS (SELECT prio, cents,
+            CASE WHEN prev_c IS NULL THEN next_c
+                 WHEN next_c IS NULL THEN prev_c
+                 WHEN cents - prev_c <= next_c - cents THEN prev_c
+                 ELSE next_c END AS match_c
+          FROM fr WHERE treat = 1)
+        SELECT prio, count(*) AS n_matched,
+          round(CAST(sum(cents - match_c) AS DOUBLE) / count(*) / 100.0, 4) AS att,
+          round(CAST(sum(abs(cents - match_c)) AS DOUBLE) / count(*) / 100.0, 4)
+            AS mean_abs_gap
+        FROM m WHERE match_c IS NOT NULL
+        GROUP BY prio ORDER BY prio"""),
+      "stratified caliper NN matching via ignore-null window frames; ATT in exact cents")
   )
 }
