@@ -648,10 +648,12 @@ object Dedup {
       .join(dfreq, "sh")
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("__df"), col("sh"))))
-    // src prefix: first n − ⌈t·n⌉ + 1 rarest shingles (integer ceil)
+    // src prefix: first n − ⌈t·n⌉ + 1 rarest shingles (integer ceil,
+    // in LONG — int tNum × int n wraps for huge shingle arrays, and a
+    // wrapped prefix length silently DROPS candidates)
     val pref0 = ranked
       .filter(col("__pos") <=
-        col("__n") - expr(s"(($tNum * __n + ${tDen - 1}) div $tDen)") + 1)
+        col("__n") - expr(s"(($tNum * CAST(__n AS BIGINT) + ${tDen - 1}) div $tDen)") + 1)
       .select(col("doc").as("id_src"), col("sh"), col("__n").as("__n_src"))
     val pref = if (checkpoint) pref0.localCheckpoint() else pref0
     // dst side indexes ALL tokens (containment has no dst-side prefix:
@@ -685,7 +687,7 @@ object Dedup {
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col("doc")).orderBy(col("__df"), col("sh"))))
       .filter(col("__pos") <=
-        col("__n") - expr(s"(($tNum * __n + ${tDen - 1}) div $tDen)") + 1)
+        col("__n") - expr(s"(($tNum * CAST(__n AS BIGINT) + ${tDen - 1}) div $tDen)") + 1)
       .select(col("doc"), col("sh"), col("__n"))
       // materialize: the self-join below would otherwise expand the whole
       // explode→df-count→window pipeline once PER SIDE; the prefix table

@@ -173,17 +173,26 @@ object Layout {
     // getContentSummary double-count, partition discovery misreads the
     // injected dir), and an inDir inside outDir is worse — the
     // mode(overwrite) write CLEARS outDir including the nested source
-    // FULL qualified URIs (scheme + authority + path), each resolved
-    // against ITS OWN FileSystem: comparing bare paths would falsely
-    // reject same-path dirs on different filesystems (hdfs:/x vs
-    // file:/x) — and qualifying outDir against inDir's fs would
-    // mis-resolve a relative outDir belonging to another scheme
+    // Component-wise compare of the qualified URIs, each resolved
+    // against ITS OWN FileSystem: different SCHEMES are different
+    // filesystems (same path string allowed — the bare-path compare
+    // falsely rejected hdfs:/x vs file:/x); within one scheme the
+    // AUTHORITY is deliberately ignored, because two spellings of the
+    // same store (file:///tmp vs file://localhost/tmp, hdfs://nn vs
+    // hdfs://nn:8020) would otherwise slip past a whole-string
+    // startsWith and let mode(overwrite) clear a nested source —
+    // rejecting a same-scheme different-cluster pair is the cheap
+    // conservative failure, silently destroying data is not
     val outPath0 = new org.apache.hadoop.fs.Path(outDir)
     val outFs = outPath0.getFileSystem(conf)
-    val inQ = fs.makeQualified(inPath).toUri.toString.stripSuffix("/")
-    val outQ = outFs.makeQualified(outPath0).toUri.toString.stripSuffix("/")
-    require(outQ != inQ && !outQ.startsWith(inQ + "/") && !inQ.startsWith(outQ + "/"),
-      s"inDir and outDir must not be equal or nested either way (in=$inQ out=$outQ)")
+    val inU = fs.makeQualified(inPath).toUri
+    val outU = outFs.makeQualified(outPath0).toUri
+    val inQ = Option(inU.getPath).getOrElse("").stripSuffix("/")
+    val outQ = Option(outU.getPath).getOrElse("").stripSuffix("/")
+    val sameScheme = Option(inU.getScheme) == Option(outU.getScheme)
+    require(!sameScheme ||
+        (outQ != inQ && !outQ.startsWith(inQ + "/") && !inQ.startsWith(outQ + "/")),
+      s"inDir and outDir must not be equal or nested either way (in=$inU out=$outU)")
     val totalBytes = fs.getContentSummary(inPath).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inDir)

@@ -806,6 +806,9 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n"), sum($"cents").as("sc"),
             sum(d38($"cents") * d38($"cents")).as("scc"),
             min($"cents").as("mn"), max($"cents").as("mx"))
+          // delete-1 needs n >= 2: a singleton group would divide by
+          // zero (NULL in Spark, Inf in DuckDB - a cross-engine trap)
+          .filter($"n" > 1)
           .select($"prio", $"n",
             round($"sc".cast("double") / $"n" / 100.0, 4).as("mean"),
             round(($"sc" - $"mx").cast("double") / ($"n" - 1) / 100.0, 4).as("loo_lo"),
@@ -826,7 +829,7 @@ object PipelineQueries {
           round(CAST(sc - mn AS DOUBLE) / (n - 1) / 100.0, 4) AS loo_hi,
           round(sqrt(CAST(n * scc - CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0)) AS DOUBLE) /
             (CAST(n AS DOUBLE) * n * (n - 1))) / 100.0, 4) AS jk_se
-        FROM g ORDER BY prio"""),
+        FROM g WHERE n > 1 ORDER BY prio"""),
       "delete-1 jackknife influence envelope + SE from sufficient statistics"),
 
     // ----------------------------------------- calibration / Brier bins

@@ -529,6 +529,7 @@ object TextQueries {
         import s.implicits._
         val base = docs(s, d)
         val keep = Dedup.exactKeepers(base, "doc_id", "text")
+          .localCheckpoint() // read 3x: keeper filter + both copy joins
         val kept = base.join(
           keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
         Dedup.minhashNearDups(kept, "doc_id", "text",

@@ -62,7 +62,7 @@ object ScaleStress {
     val groupName = if (args.length > 1) Some(args(1)) else None
     groupName.foreach(g => require(Groups.contains(g),
       s"unknown group '$g' (know: ${Groups.keys.mkString(", ")})"))
-    val top5Mode = groupName.isDefined
+    val groupMode = groupName.isDefined
     val src = "/root/testdata/sf0.1"
     // replica dir keyed on EVERY source table's mtime (the layout-cache
     // discipline): a regenerated sf0.1 — any table, not just lineitem —
@@ -199,7 +199,7 @@ object ScaleStress {
       run(src); run(dst) // warm both plans
       val small = math.min(run(src), run(src))
       // the ×100 leg is timed once post-warmup (see Top5 note)
-      val big = if (top5Mode) run(dst) else math.min(run(dst), run(dst))
+      val big = if (groupMode) run(dst) else math.min(run(dst), run(dst))
       val ratio = big / small
       println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio $ratio%5.2f")
       (name, small, big, ratio)
@@ -207,11 +207,10 @@ object ScaleStress {
     // committed scaling record: the 100 TB claims as measurements
     val flagged = results.filter(_._4 > flagAt).map(_._1)
     def f3(v: Double): String = "%.3f".format(v)
-    val qJson = results.map { case (n, s, b, r) =>
+    def entryJson(n: String, s: Double, b: Double, r: Double): String =
       s""""$n":{"t_base":${f3(s)},"t_x$factor":${f3(b)},"ratio":${f3(r)},""" +
         s""""flagged":${r > flagAt}}"""
-    }.mkString("{", ",", "}")
-    if (top5Mode) {
+    if (groupMode) {
       // append the extra decade under "x<factor>" without touching the
       // committed 10× sweep (SCALING.json is one single-line object).
       // Group runs MERGE into an existing trailing block: entries from
@@ -246,10 +245,8 @@ object ScaleStress {
       val newNames = results.map(_._1).toSet
       val keptPrev = prevEntries.filterNot { case (n, _) => newNames(n) }
       val qJsonMerged = (keptPrev.map { case (n, v) => s""""$n":$v""" } ++
-        results.map { case (n, s, b, r) =>
-          s""""$n":{"t_base":${f3(s)},"t_x$factor":${f3(b)},"ratio":${f3(r)},""" +
-            s""""flagged":${r > flagAt}}"""
-        }).mkString("{", ",", "}")
+        results.map { case (n, s, b, r) => entryJson(n, s, b, r) })
+        .mkString("{", ",", "}")
       val flaggedMerged =
         (prevFlagged.filterNot(newNames) ++ flagged).distinct
       val merged = existing.dropRight(1) +
@@ -260,6 +257,8 @@ object ScaleStress {
       println(s"STRESS merged ${results.size} entries into x$factor block of SCALING.json " +
         s"(${flaggedMerged.size} flagged: ${flaggedMerged.mkString(", ")})")
     } else {
+      val qJson = results.map { case (n, s, b, r) => entryJson(n, s, b, r) }
+        .mkString("{", ",", "}")
       val line =
         s"""{"base":"$src","factor":$factor,"flag_threshold":${f3(flagAt)},""" +
           s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
