@@ -915,11 +915,21 @@ object PipelineQueries {
           .withColumn("treat",
             (conv(substring(md5(concat(lit("q210:"), $"okey".cast("string"))),
               1, 15), 16, 10).cast("long") % 2 === 1).cast("int"))
+        // BOTH window passes must be RUNNING frames (unboundedPreceding
+        // → -1): Spark's UnboundedFollowing frame re-evaluates the whole
+        // remaining partition per row — O(n²), measured 108 s at sf0.1 —
+        // so the "next control" comes from the REVERSED sort instead
+        // (preceding rows under (cents desc, okey desc) ≡ following rows
+        // under ascending; the DuckDB mirror keeps the literal
+        // first_value-following form, so the hash compare also proves
+        // the two formulations equivalent). Both passes are O(n)
+        // incremental.
         val w = Window.partitionBy($"prio").orderBy($"cents", $"okey")
+        val wRev = Window.partitionBy($"prio").orderBy($"cents".desc, $"okey".desc)
         val prevC = last(when($"treat" === 0, $"cents"), ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        val nextC = first(when($"treat" === 0, $"cents"), ignoreNulls = true)
-          .over(w.rowsBetween(1, Window.unboundedFollowing))
+        val nextC = last(when($"treat" === 0, $"cents"), ignoreNulls = true)
+          .over(wRev.rowsBetween(Window.unboundedPreceding, -1))
         o.withColumn("prev_c", prevC).withColumn("next_c", nextC)
           .filter($"treat" === 1)
           .withColumn("match_c",
@@ -962,6 +972,240 @@ object PipelineQueries {
             AS mean_abs_gap
         FROM m WHERE match_c IS NOT NULL
         GROUP BY prio ORDER BY prio"""),
-      "stratified caliper NN matching via ignore-null window frames; ATT in exact cents")
+      "stratified caliper NN matching via ignore-null window frames; ATT in exact cents"),
+
+    // ---------------------------------------------- conformal intervals
+    // Split-conformal prediction (Vovk; Lei et al. JASA 2018) — the
+    // distribution-free interval a serving platform wraps around ANY
+    // point model: hash-split 70/15/15, fit the (deliberately simple)
+    // per-group center on TRAIN, take the ⌈(n+1)·0.9⌉-th smallest
+    // absolute residual on CALIBRATION as the interval half-width, and
+    // MEASURE the resulting coverage on TEST — the honest check that
+    // the 90% guarantee holds. Everything before the final divisions is
+    // integer-exact (center = floor train mean in cents, residuals in
+    // cents, the half-width an exact order statistic with full
+    // tie-break). The rank window runs over the CALIBRATION split only
+    // — bounded by design: conformal calibration needs ~10³ points for
+    // a tight guarantee, so at 100 TB the cal split is sampled, never
+    // the corpus.
+    "q211_conformal_interval" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders")
+          .select($"o_orderpriority".as("prio"), $"o_orderkey".as("okey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+          .withColumn("u",
+            conv(substring(md5(concat(lit("q211:"), $"okey".cast("string"))),
+              1, 15), 16, 10).cast("long") % 100)
+          .withColumn("split",
+            when($"u" < 70, "train").when($"u" < 85, "cal").otherwise("test"))
+          .localCheckpoint() // three splits read from one hashed frame
+        val center = o.filter($"split" === "train")
+          .groupBy($"prio")
+          .agg(count(lit(1)).as("n_train"), expr("sum(cents) div count(*)").as("c0"))
+        val cal = o.filter($"split" === "cal")
+          .join(broadcast(center), "prio")
+          .withColumn("r", abs($"cents" - $"c0"))
+        val calN = cal.groupBy($"prio").agg(count(lit(1)).as("n_cal"))
+          .withColumn("k",
+            least(ceil(($"n_cal" + 1) * 0.9).cast("long"), $"n_cal"))
+        val w = Window.partitionBy($"prio").orderBy($"r", $"okey")
+        val qhat = cal.withColumn("rn", row_number().over(w))
+          .join(broadcast(calN), "prio")
+          .filter($"rn" === $"k")
+          .select($"prio", $"n_cal", $"r".as("qh"))
+        val test = o.filter($"split" === "test")
+          .join(broadcast(center), "prio")
+          .join(broadcast(qhat), "prio")
+          .groupBy($"prio")
+          .agg(max($"n_train").as("n_train"), max($"n_cal").as("n_cal"),
+            count(lit(1)).as("n_test"), max($"c0").as("c0"), max($"qh").as("qh"),
+            sum((abs($"cents" - $"c0") <= $"qh").cast("long")).as("n_cov"))
+        test.select($"prio", $"n_train", $"n_cal", $"n_test",
+            round($"c0".cast("double") / 100.0, 2).as("center"),
+            round($"qh".cast("double") / 100.0, 2).as("half_width"),
+            round($"n_cov".cast("double") / $"n_test", 6).as("coverage"))
+          .orderBy($"prio")
+      },
+      Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS okey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+            CAST('0x' || substr(md5('q211:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % 100 AS u
+          FROM orders),
+        sp AS (SELECT *, CASE WHEN u < 70 THEN 'train'
+            WHEN u < 85 THEN 'cal' ELSE 'test' END AS split FROM o),
+        center AS (SELECT prio, count(*) AS n_train,
+            CAST(sum(cents) // count(*) AS BIGINT) AS c0
+          FROM sp WHERE split = 'train' GROUP BY prio),
+        cal AS (SELECT s.prio, s.okey, abs(s.cents - c.c0) AS r
+          FROM sp s JOIN center c USING (prio) WHERE split = 'cal'),
+        caln AS (SELECT prio, count(*) AS n_cal,
+            least(CAST(ceil((count(*) + 1) * 0.9) AS BIGINT), count(*)) AS k
+          FROM cal GROUP BY prio),
+        qh AS (SELECT prio, n_cal, r AS qh FROM (
+            SELECT c.prio, c.r, n.n_cal, n.k,
+              row_number() OVER (PARTITION BY c.prio ORDER BY c.r, c.okey) AS rn
+            FROM cal c JOIN caln n USING (prio))
+          WHERE rn = k)
+        SELECT s.prio, max(c.n_train) AS n_train, max(q.n_cal) AS n_cal,
+          count(*) AS n_test,
+          round(CAST(max(c.c0) AS DOUBLE) / 100.0, 2) AS center,
+          round(CAST(max(q.qh) AS DOUBLE) / 100.0, 2) AS half_width,
+          round(CAST(sum(CAST(abs(s.cents - c.c0) <= q.qh AS BIGINT)) AS DOUBLE)
+            / count(*), 6) AS coverage
+        FROM sp s JOIN center c USING (prio) JOIN qh q USING (prio)
+        WHERE s.split = 'test'
+        GROUP BY s.prio ORDER BY s.prio"""),
+      "split-conformal intervals: exact order-statistic half-width + honest test coverage"),
+
+    // ------------------------------------------------ mSPRT monitor
+    // Always-valid sequential testing (Johari, Koomen, Pekelis, Walsh —
+    // KDD'17 "Peeking at A/B tests"): the mixture SPRT's likelihood
+    // ratio against a N(0, τ²) mixture gives a p-value that is valid at
+    // EVERY look, so the dashboard can be watched daily without
+    // inflating false positives. Λ_t needs only cumulative per-arm
+    // sums: log Λ_t = ½ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²)) with θ̂ the
+    // running mean difference and V its variance from pooled cumulative
+    // moments; p_t = min(1, exp(−max_{j≤t} log Λ_j)) is monotone by the
+    // running max. The md5 coin makes this an A/A monitor — the
+    // expected output is NO rejection, which is exactly the always-
+    // valid guarantee under daily peeking. Day-bounded windows (q202
+    // posture); log-domain Λ so strong effects can't overflow.
+    "q212_msprt_monitor" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+        val tau2 = 1e12 // mixture variance: (10^6 cents = $10k)^2
+        val daily = t(s, d, "orders")
+          .filter(year($"o_orderdate") === 1995)
+          .withColumn("v",
+            (conv(substring(md5(concat(lit("q212:"), $"o_orderkey".cast("string"))),
+              1, 15), 16, 10).cast("long") % 2).cast("int"))
+          .withColumn("cents", expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(when($"v" === 1, 1L).otherwise(0L)).as("nt"),
+            sum(when($"v" === 1, $"cents").otherwise(0L)).as("st"),
+            sum(when($"v" === 0, 1L).otherwise(0L)).as("nc"),
+            sum(when($"v" === 0, $"cents").otherwise(0L)).as("sc"),
+            sum(d38($"cents") * d38($"cents")).as("ss"))
+        val w = Window.orderBy($"day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cnt", sum($"nt").over(w)).withColumn("cst", sum($"st").over(w))
+          .withColumn("cnc", sum($"nc").over(w)).withColumn("csc", sum($"sc").over(w))
+          .withColumn("css", sum($"ss").over(w))
+          .withColumn("nn", $"cnt" + $"cnc")
+          // the monitor starts once BOTH arms have data and the pooled
+          // variance is defined - the same guard as the mirror
+          .filter($"cnt" > 0 && $"cnc" > 0 && $"nn" > 1)
+          .withColumn("sall", d38($"cst") + d38($"csc"))
+          .withColumn("sig2",
+            ($"nn" * $"css" - $"sall" * $"sall").cast("double") /
+              ($"nn".cast("double") * $"nn" * ($"nn" - 1)) * $"nn")
+          .withColumn("theta",
+            $"cst".cast("double") / $"cnt" - $"csc".cast("double") / $"cnc")
+          .withColumn("vv", $"sig2" * (lit(1.0) / $"cnt" + lit(1.0) / $"cnc"))
+          .withColumn("llr",
+            lit(0.5) * log($"vv" / ($"vv" + tau2)) +
+              $"theta" * $"theta" * tau2 / (lit(2.0) * $"vv" * ($"vv" + tau2)))
+          .withColumn("p_alw",
+            least(lit(1.0), exp(-max($"llr").over(w))))
+          .select($"day", $"nn".as("n_seen"),
+            round($"theta" / 100.0, 4).as("theta"),
+            round($"llr", 6).as("log_lambda"),
+            round($"p_alw", 6).as("p_always_valid"),
+            ($"p_alw" <= 0.05).cast("int").as("reject"))
+          .orderBy($"day")
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            CAST(sum(CASE WHEN v = 1 THEN cents ELSE 0 END) AS BIGINT) AS st,
+            CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+            CAST(sum(CASE WHEN v = 0 THEN cents ELSE 0 END) AS BIGINT) AS sc,
+            sum(CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))) AS ss
+          FROM (SELECT *,
+              CAST(CAST('0x' || substr(md5('q212:' || CAST(o_orderkey AS VARCHAR)), 1, 15)
+                AS BIGINT) % 2 AS INTEGER) AS v,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE year(o_orderdate) = 1995)
+          GROUP BY 1),
+        cum AS (SELECT day,
+            sum(nt) OVER wd AS cnt, sum(st) OVER wd AS cst,
+            sum(nc) OVER wd AS cnc, sum(sc) OVER wd AS csc,
+            sum(ss) OVER wd AS css
+          FROM daily
+          WINDOW wd AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        st AS (SELECT day, cnt + cnc AS nn,
+            CAST(cst AS DOUBLE) / cnt - CAST(csc AS DOUBLE) / cnc AS theta,
+            (CAST((cnt + cnc) * css - (CAST(cst AS DECIMAL(38,0)) + csc)
+                 * (CAST(cst AS DECIMAL(38,0)) + csc) AS DOUBLE) /
+              (CAST(cnt + cnc AS DOUBLE) * (cnt + cnc) * (cnt + cnc - 1)) * (cnt + cnc))
+              * (1.0 / cnt + 1.0 / cnc) AS vv
+          FROM cum WHERE cnt > 0 AND cnc > 0 AND cnt + cnc > 1),
+        lam AS (SELECT day, nn, theta, vv,
+            0.5 * ln(vv / (vv + 1e12)) +
+              theta * theta * 1e12 / (2.0 * vv * (vv + 1e12)) AS llr
+          FROM st)
+        SELECT day, nn AS n_seen,
+          round(theta / 100.0, 4) AS theta,
+          round(llr, 6) AS log_lambda,
+          round(least(1.0, exp(-max(llr) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))), 6) AS p_always_valid,
+          CAST(least(1.0, exp(-max(llr) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))) <= 0.05 AS INTEGER)
+            AS reject
+        FROM lam ORDER BY day"""),
+      "always-valid mSPRT p-values from cumulative moments; A/A monitor under daily peeking"),
+
+    // --------------------------------------------- quantile treatment effects
+    // Beyond the mean: QTE compares the WHOLE outcome distribution
+    // between arms — the difference of exact interpolating quantiles at
+    // the standard grid, the analysis that catches an effect
+    // concentrated in the tail that the ATE averages away (Doksum 1974).
+    // One grouped percentile aggregate per arm (the q59 machinery,
+    // whose cross-engine interpolation equality is already proven),
+    // then a 5-row join on the quantile index.
+    "q213_qte" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val fracs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+        val byArm = t(s, d, "orders")
+          .withColumn("v",
+            (conv(substring(md5(concat(lit("q213:"), $"o_custkey".cast("string"))),
+              1, 15), 16, 10).cast("long") % 2).cast("int"))
+          .groupBy($"v")
+          .agg(count(lit(1)).as("n"),
+            percentile($"o_totalprice",
+              array(fracs.map(lit): _*)).as("qs"))
+          .select($"v", $"n", posexplode($"qs"))
+          .select($"v", $"n", $"pos",
+            element_at(array(fracs.map(lit): _*), $"pos" + 1).as("q"),
+            $"col".as("val"))
+        val tr = byArm.filter($"v" === 1)
+          .select($"pos", $"q", $"n".as("n_treat"), $"val".as("q_treat"))
+        val ct = byArm.filter($"v" === 0)
+          .select($"pos", $"n".as("n_control"), $"val".as("q_control"))
+        tr.join(ct, "pos")
+          .select($"q", $"n_treat", $"n_control",
+            round($"q_treat", 6).as("q_treat"),
+            round($"q_control", 6).as("q_control"),
+            round($"q_treat" - $"q_control", 6).as("qte"))
+          .orderBy($"q")
+      },
+      Some("""WITH armed AS (SELECT o_totalprice,
+            CAST(CAST('0x' || substr(md5('q213:' || CAST(o_custkey AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 AS INTEGER) AS v
+          FROM orders),
+        qs AS (SELECT v, count(*) AS n,
+            unnest([0.1, 0.25, 0.5, 0.75, 0.9]) AS q,
+            unnest(quantile_cont(o_totalprice, [0.1, 0.25, 0.5, 0.75, 0.9])) AS val
+          FROM armed GROUP BY v)
+        SELECT CAST(t.q AS DOUBLE) AS q, t.n AS n_treat, c.n AS n_control,
+          round(t.val, 6) AS q_treat, round(c.val, 6) AS q_control,
+          round(t.val - c.val, 6) AS qte
+        FROM (SELECT * FROM qs WHERE v = 1) t
+        JOIN (SELECT * FROM qs WHERE v = 0) c USING (q)
+        ORDER BY t.q"""),
+      "quantile treatment effects: per-decile exact-quantile gap between arms")
   )
 }

@@ -526,6 +526,17 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("q210 matching: both neighbor passes are RUNNING frames — no UnboundedFollowing") {
+    // Spark evaluates an UnboundedFollowing window frame by re-scanning
+    // the remaining partition per row — O(n²), measured 108 s at sf0.1
+    // before the fix. The next-control pass must ride the REVERSED sort
+    // as a running (unboundedPreceding → -1) frame instead; this pin
+    // keeps the quadratic frame from coming back.
+    val p = plan("q210_caliper_match").toLowerCase
+    assert(!p.contains("unboundedfollowing"),
+      s"q210 must not carry an UnboundedFollowing frame:\n${p.take(1200)}")
+  }
+
   test("q193 chunking is shuffle-free: explode + projections in one stage") {
     // chunking is the highest-volume pass a pretraining pipeline runs
     // (every token of the corpus flows through it) — it must stay a
