@@ -582,6 +582,30 @@ class ScalePostureSpec extends SparkSpec {
       s"no window may sort raw order rows — the parquet scan lives inside the checkpoint:\n${p.take(1200)}")
   }
 
+  test("q207/q212: global windows run only over bounded aggregated frames") {
+    // the same contract as the q202 pin, for the two new single-
+    // partition window consumers: Kaplan-Meier's at-risk cumsum runs
+    // over the checkpointed day-bounded lifetime HISTOGRAM (never
+    // customer rows), and the mSPRT monitor's cumulative-moment windows
+    // run over the ≤365-row daily aggregate — the window input must be
+    // the aggregate, so a FileScan may appear only BELOW an Aggregate
+    // in each plan
+    val km = plan("q207_kaplan_meier")
+    assert(km.contains("Window"), "expected the at-risk/survival windows")
+    assert(km.linesIterator.exists(_.contains("Scan ExistingRDD")),
+      s"q207 windows must read the materialized histogram:\n${km.take(1200)}")
+    assert(km.linesIterator.count(_.contains("FileScan")) == 0,
+      s"q207: the orders scan lives inside the checkpoint:\n${km.take(1200)}")
+    val ms = plan("q212_msprt_monitor")
+    val lines = ms.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    val aggAbove = lines.take(winIdx).count(_.contains("HashAggregate"))
+    val aggBelow = lines.drop(winIdx).count(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggBelow >= 2,
+      s"q212's windows must sit above the daily partial+final aggregate " +
+        s"(win@$winIdx, aggAbove=$aggAbove, aggBelow=$aggBelow):\n${ms.take(1600)}")
+  }
+
   test("nested schema pruning: a subfield projection reads ONLY that leaf") {
     // struct columns are how multimodal metadata travels (SURVEY §1.2);
     // at 100 TB reading a whole struct for one leaf is the same bug as
