@@ -80,11 +80,17 @@ object AsOf {
       lit(0).as("__is_left"),
       lit(null).cast(lType).as("__l"),
       struct(right.columns.map(right(_)): _*).as("__r"))
+    // the forward match rides the REVERSED sort as a RUNNING frame (the
+    // O(n) incremental form — an UnboundedFollowing frame re-scans the
+    // remaining partition per row, O(n²) in the per-key row count):
+    // preceding-or-current under (t desc, is_left asc, hash desc) is
+    // exactly current-or-following under the forward order, and the
+    // running `last` of non-nulls is the nearest right row at-or-after
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__is_left").desc, xxhash64(col("__r")).asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      .orderBy(col("__t").desc, col("__is_left").asc, xxhash64(col("__r")).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
-      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__is_left") === 1)
     val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
     val rightCols = right.columns.map(c => col(s"__match.$c").as(s"right_$c"))

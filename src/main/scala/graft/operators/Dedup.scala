@@ -347,6 +347,11 @@ object Dedup {
     val ring = wide.select(col(id),
       posexplode(array((0 until k).map(j => col(s"mh$j")): _*)).as(Seq("pos", "m")))
     val doubled = ring.unionAll(ring.select(col(id), (col("pos") + k).as("pos"), col("m")))
+    // the following-frame scan is BOUNDED here: each doc's ring holds
+    // exactly 2k ≤ 128 rows, so the per-row frame re-scan is a small
+    // constant — cheaper than the extra reversed sort the unbounded
+    // series operators (TimeSeries.interpolate, AsOf.asOfJoinForward)
+    // pay to avoid their O(n²) frames
     val w = Window.partitionBy(col(id)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = doubled.select(col(id), col("pos"),

@@ -78,14 +78,20 @@ object TimeSeries {
                   v: Column): DataFrame = {
     val w = Window.partitionBy(col(key)).orderBy(col(order))
     val back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next observation" rides the REVERSED sort as a RUNNING frame:
+    // Spark evaluates an UnboundedFollowing frame by re-scanning the
+    // remaining partition per row — O(n²) in the series length — while
+    // the reversed running frame is the O(n) incremental equivalent
+    // (preceding-or-current under DESC ≡ current-or-following under ASC)
+    val fwdRun = Window.partitionBy(col(key)).orderBy(col(order).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsIdx = when(v.isNotNull, col("__i"))
     dense
       .withColumn("__i", row_number().over(w))
       .withColumn("__pi", last(obsIdx, ignoreNulls = true).over(back))
       .withColumn("__pv", last(v, ignoreNulls = true).over(back))
-      .withColumn("__ni", first(obsIdx, ignoreNulls = true).over(fwd))
-      .withColumn("__nv", first(v, ignoreNulls = true).over(fwd))
+      .withColumn("__ni", last(obsIdx, ignoreNulls = true).over(fwdRun))
+      .withColumn("__nv", last(v, ignoreNulls = true).over(fwdRun))
       .withColumn("v_interp",
         when(v.isNotNull, v)
           .when(col("__ni").isNull, col("__pv")) // trailing gap: carry

@@ -535,6 +535,18 @@ class ScalePostureSpec extends SparkSpec {
     val p = plan("q210_caliper_match").toLowerCase
     assert(!p.contains("unboundedfollowing"),
       s"q210 must not carry an UnboundedFollowing frame:\n${p.take(1200)}")
+    // the series operators share the contract: forward fills and as-of
+    // matches ride the reversed sort (q110 interpolate, q104 as-of) —
+    // their per-key series are unbounded at 100 TB, so the quadratic
+    // frame must never return. (q207's whole-partition total and the
+    // OPH ring fill keep unbounded frames legitimately: the first is
+    // an O(n)-evaluated UnboundedWindowFunctionFrame, the second runs
+    // over a ≤128-row bounded ring.)
+    for (q <- Seq("q110_resample_interp", "q104_asof_forward")) {
+      val pl = plan(q).toLowerCase
+      assert(!pl.contains("unboundedfollowing"),
+        s"$q must not carry an UnboundedFollowing frame:\n${pl.take(1200)}")
+    }
   }
 
   test("q193 chunking is shuffle-free: explode + projections in one stage") {
