@@ -7,17 +7,25 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
 
-/** Round-9 surface: the remaining dataset-engineering operators a
-  * 100 TB training-data pipeline runs between curation and training —
-  * overlapping chunking (the RAG/pretraining windowing step), privacy
-  * k-anonymity audits, leakage-audited train/test splits (group-hash
-  * and temporal-embargo), and the Zipf rank-frequency fit that pairs
-  * with q191's Heaps curve in corpus diagnostics.
+/** Rounds 9-10 surface: the dataset-engineering and experimentation
+  * operators a 100 TB training-data platform runs between curation and
+  * training — overlapping chunking (the RAG/pretraining windowing
+  * step), privacy k-anonymity audits, leakage-audited train/test
+  * splits (group-hash and temporal-embargo), the Zipf rank-frequency
+  * fit that pairs with q191's Heaps curve, and the measurement stack:
+  * CUPED / SRM / decay scoring / Poisson bootstrap / CUSUM (round 9),
+  * then mutual information, Kaplan-Meier survival, jackknife
+  * influence, calibration bins, caliper matching, conformal intervals,
+  * the always-valid mSPRT monitor, and quantile treatment effects
+  * (round 10).
   *
   * Shared discipline: outputs are integers, md5 hex digests, or doubles
   * rounded far above cross-engine float noise; every query orders its
   * output with full tie-breaks; every shuffle is bounded by the corpus
-  * (token stream), the vocabulary, or an enum-sized audit domain.
+  * (token stream), the vocabulary, the day calendar, or an enum-sized
+  * audit domain — the only per-row sorts are the caliper match's
+  * per-stratum neighbor sort and the conformal calibration rank window,
+  * both bounded by design and plan-pinned.
   */
 object PipelineQueries {
 

@@ -182,7 +182,16 @@ object ScaleStress {
       // Heaps curve: the token explode and the two corpus aggregates are
       // the only input-proportional stages; the decile fold is a
       // broadcast 10-row conditional sum over the vocabulary table
-      "q191_heaps_curve")
+      "q191_heaps_curve",
+      // round-10 additions: the dedup-first composition (the ANTIDOTE —
+      // replication collapses at the exact stage, so the ratio should
+      // sit near 1× where q111/q116/q180/q182 are duplication-driven),
+      // Kaplan-Meier (day-bounded histogram windows), caliper matching
+      // (per-stratum range-sort, both neighbor passes RUNNING frames),
+      // conformal (calibration-bounded rank window), and the mSPRT
+      // monitor (≤365-row cumulative windows)
+      "q205_dedup_first_neardup", "q207_kaplan_meier", "q210_caliper_match",
+      "q211_conformal_interval", "q212_msprt_monitor")
     // flag threshold: super-linear growth — runtime ratio beyond
     // ~1.3x the data ratio means the operator is NOT input-proportional
     // (documented exceptions: output-driven q111, densification-driven
@@ -259,12 +268,26 @@ object ScaleStress {
     } else {
       val qJson = results.map { case (n, s, b, r) => entryJson(n, s, b, r) }
         .mkString("{", ",", "}")
+      // a sweep rerun must PRESERVE any recorded x-factor blocks — the
+      // r9 verdict's artifact-integrity lesson: a partial producer may
+      // never clobber the parts of the record it did not re-measure
+      val xSuffix = {
+        val f = java.nio.file.Paths.get("SCALING.json")
+        if (!java.nio.file.Files.exists(f)) "" else {
+          val raw = new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim
+          raw.indexOf(""","x""") match {
+            case -1 => ""
+            case i  => raw.substring(i, raw.length - 1) // ,"xN":{...} tail
+          }
+        }
+      }
       val line =
         s"""{"base":"$src","factor":$factor,"flag_threshold":${f3(flagAt)},""" +
-          s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+          s""""queries":$qJson,"flagged":${flagged.map("\"" + _ + "\"").mkString("[", ",", "]")}$xSuffix}"""
       val w = new java.io.PrintWriter("SCALING.json")
       try w.println(line) finally w.close()
-      println(s"STRESS wrote SCALING.json (${flagged.size} flagged: ${flagged.mkString(", ")})")
+      println(s"STRESS wrote SCALING.json (${flagged.size} flagged: ${flagged.mkString(", ")}; " +
+        s"preserved x-blocks: ${xSuffix.nonEmpty})")
     }
     spark.stop()
   }
