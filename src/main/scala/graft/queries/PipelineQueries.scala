@@ -1214,6 +1214,128 @@ object PipelineQueries {
         FROM (SELECT * FROM qs WHERE v = 1) t
         JOIN (SELECT * FROM qs WHERE v = 0) c USING (q)
         ORDER BY t.q"""),
-      "quantile treatment effects: per-decile exact-quantile gap between arms")
+      "quantile treatment effects: per-decile exact-quantile gap between arms"),
+
+    // ------------------------------------------------ cluster ARI audit
+    // External validation of dedup clustering (Hubert & Arabie 1985):
+    // the Adjusted Rand Index between the near-dup connected components
+    // (the q75 pipeline) and the provenance partition (`source`) — the
+    // audit that tells a curation team whether duplicate families track
+    // provenance or cut across it. ARI is pure pair-counting: Σ C(n_ij,2)
+    // over the contingency cells against its expectation under the
+    // permutation null — every sum an exact integer (n(n−1) is even, so
+    // `div 2` is exact), floats only in the final two divisions, which
+    // both engines evaluate in the same order. Contingency cells are
+    // bounded by clusters × labels.
+    "q214_cluster_ari" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Dedup
+        def c2(c: org.apache.spark.sql.Column) = (c * (c - 1)).cast("long") / 2
+        val base = t(s, d, "documents").filter($"doc_id" < 100)
+        val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
+          TextFunctions.charNGrams($"text", 3), threshold = 0.6)
+        val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
+        val lab = cc.join(base.select($"doc_id".as("id"), $"source"), "id")
+          .localCheckpoint() // cells + both marginals share it
+        val cells = lab.groupBy($"cluster_id", $"source")
+          .agg(count(lit(1)).as("nij"))
+        val sIj = cells.agg(sum(expr("(nij * (nij - 1)) div 2")).as("p_ij"),
+          countDistinct($"cluster_id").as("n_clusters"),
+          countDistinct($"source").as("n_labels"))
+        val sA = lab.groupBy($"cluster_id").agg(count(lit(1)).as("a"))
+          .agg(sum(expr("(a * (a - 1)) div 2")).as("p_a"))
+        val sB = lab.groupBy($"source").agg(count(lit(1)).as("b"))
+          .agg(sum(expr("(b * (b - 1)) div 2")).as("p_b"))
+        val n = lab.agg(count(lit(1)).as("n"))
+        sIj.crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
+          .crossJoin(broadcast(n))
+          .withColumn("expct",
+            ($"p_a" * $"p_b").cast("double") / c2(col("n")))
+          .select($"n", $"n_clusters", $"n_labels",
+            $"p_ij", $"p_a", $"p_b",
+            round(($"p_ij" - $"expct") /
+              (($"p_a" + $"p_b").cast("double") / 2.0 - $"expct"), 6).as("ari"))
+      },
+      Some("""WITH RECURSIVE s AS (SELECT doc_id, CASE WHEN length(text) >= 3
+            THEN list_distinct(list_transform(range(1, length(text)-1), i -> substr(text, i, 3)))
+            ELSE [text] END AS sh
+          FROM documents WHERE doc_id < 100),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM s a, s b WHERE a.doc_id < b.doc_id
+            AND round((len(a.sh)+len(b.sh)-len(list_distinct(list_concat(a.sh,b.sh))))::DOUBLE
+              / len(list_distinct(list_concat(a.sh,b.sh))), 6) >= 0.6),
+        und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id < 100
+          UNION
+          SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.id),
+        cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        lab AS (SELECT cc.id, cc.cluster_id, d.source
+          FROM cc JOIN documents d ON d.doc_id = cc.id),
+        cells AS (SELECT cluster_id, source, count(*) AS nij
+          FROM lab GROUP BY 1, 2),
+        sij AS (SELECT CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS p_ij,
+            count(DISTINCT cluster_id) AS n_clusters,
+            count(DISTINCT source) AS n_labels FROM cells),
+        sa AS (SELECT CAST(sum((a * (a - 1)) // 2) AS BIGINT) AS p_a
+          FROM (SELECT count(*) AS a FROM lab GROUP BY cluster_id)),
+        sb AS (SELECT CAST(sum((b * (b - 1)) // 2) AS BIGINT) AS p_b
+          FROM (SELECT count(*) AS b FROM lab GROUP BY source)),
+        nn AS (SELECT count(*) AS n FROM lab)
+        SELECT n, n_clusters, n_labels, p_ij, p_a, p_b,
+          round((p_ij - CAST(p_a * p_b AS DOUBLE) / (CAST(n * (n - 1) AS BIGINT) // 2))
+            / (CAST(p_a + p_b AS DOUBLE) / 2.0
+               - CAST(p_a * p_b AS DOUBLE) / (CAST(n * (n - 1) AS BIGINT) // 2)), 6)
+            AS ari
+        FROM sij, sa, sb, nn"""),
+      "Adjusted Rand Index: dedup clusters vs provenance, exact pair counting"),
+
+    // ---------------------------------------------------- l-diversity
+    // The sibling of q194's k-anonymity: class SIZE alone does not stop
+    // attribute disclosure — a class of 50 people who all share one
+    // sensitive value leaks it to anyone who can place a person in the
+    // class. Per quasi-identifier class (nation × segment), distinct-l
+    // and ENTROPY l-diversity (Machanavajjhala et al., ICDE 2006:
+    // exp(H) of the sensitive distribution — here the account-balance
+    // band) with the policy flag at l < 3. Entropy terms quantize to
+    // nano-nats (the q143 discipline), so the per-class fold is an
+    // exact long sum; enum-bounded cells throughout.
+    "q215_l_diversity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cls = t(s, d, "customer")
+          .select($"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
+            floor($"c_acctbal" / 2000).cast("long").as("band"))
+          .groupBy($"nat", $"seg", $"band").agg(count(lit(1)).as("c"))
+        val per = cls.groupBy($"nat", $"seg")
+          .agg(sum($"c").as("n"), count(lit(1)).as("l_distinct"))
+        cls.join(per, Seq("nat", "seg"))
+          .select($"nat", $"seg", $"n", $"l_distinct",
+            ($"c" * expr("CAST(round(1e9 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)"))
+              .as("term"))
+          .groupBy($"nat", $"seg", $"n", $"l_distinct")
+          .agg(sum($"term").as("nano"))
+          .select($"nat", $"seg", $"n", $"l_distinct",
+            round(exp($"nano".cast("double") / 1e9 / $"n"), 6).as("entropy_l"),
+            ($"l_distinct" < 3).cast("int").as("at_risk"))
+          .orderBy($"nat", $"seg")
+      },
+      Some("""WITH cls AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
+            CAST(floor(c_acctbal / 2000) AS BIGINT) AS band, count(*) AS c
+          FROM customer GROUP BY 1, 2, 3),
+        per AS (SELECT nat, seg, CAST(sum(c) AS BIGINT) AS n,
+            count(*) AS l_distinct FROM cls GROUP BY 1, 2),
+        terms AS (SELECT cls.nat, cls.seg, per.n, per.l_distinct,
+            cls.c * CAST(round(1e9 * ln(CAST(per.n AS DOUBLE) / cls.c)) AS BIGINT)
+              AS term
+          FROM cls JOIN per USING (nat, seg))
+        SELECT nat, seg, n, l_distinct,
+          round(exp(CAST(sum(term) AS DOUBLE) / 1e9 / n), 6) AS entropy_l,
+          CAST(l_distinct < 3 AS INTEGER) AS at_risk
+        FROM terms GROUP BY nat, seg, n, l_distinct
+        ORDER BY nat, seg"""),
+      "entropy l-diversity per QID class (nano-nat exact fold) + distinct-l risk flag")
   )
 }
