@@ -290,4 +290,113 @@ object Stats {
     * row: (n_a, n_b, ks_d, at_v) with ks_d unrounded. */
   def ksTwoSample(df: DataFrame, v: String, isA: Column): DataFrame =
     ksFromRankedPair(rankedPair(df, v, isA), v)
+
+  /** Kaplan–Meier product-limit survival (Kaplan & Meier, JASA 1958)
+    * over per-subject (`life`, `ev`) rows — ev = 1 for an observed
+    * event, 0 for right-censoring. At-risk counts come from one
+    * cumulative sum over the lifetime histogram; S(t) runs as
+    * exp(Σ ln(1 − d/n)) over the DISTINCT event times, so window state
+    * is bounded by the time domain, never the subject count. Emits
+    * (t_days, n_events, at_risk, surv) at event times only, surv
+    * rounded at 1e-6. StatsSpec pins the published 6-MP trial values. */
+  def kaplanMeier(per: DataFrame, life: String = "life",
+                  ev: String = "ev"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = per.groupBy(col(life))
+      .agg(count(lit(1)).as("n_all"), sum(col(ev)).as("d"))
+      .localCheckpoint() // at-risk cumsum + event rows share it
+    val before = Window.orderBy(col(life))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = Window.orderBy(col(life))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("at_risk",
+        sum(col("n_all")).over(Window.orderBy(col(life)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)) -
+          coalesce(sum(col("n_all")).over(before), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("surv", round(exp(sum(
+        log(lit(1.0) - col("d").cast("double") / col("at_risk"))).over(upTo)), 6))
+      .select(col(life).cast("long").as("t_days"), col("d").as("n_events"),
+        col("at_risk"), col("surv"))
+      .orderBy(col("t_days"))
+  }
+
+  /** Always-valid mSPRT monitor (Johari, Koomen, Pekelis, Walsh —
+    * KDD'17) over a per-period two-arm frame (`day`, nt, st, nc, sc,
+    * ss): cumulative per-arm moments give the running mean difference
+    * θ̂ and its variance V; log Λ = ½ln(V/(V+τ²)) + θ̂²τ²/(2V(V+τ²));
+    * the always-valid p = min(1, exp(−max log Λ so far)) is monotone by
+    * the running max — valid at EVERY look. Periods with an empty arm
+    * (or fewer than two total observations) are excluded: the monitor
+    * starts once both arms report. Log-domain Λ so strong effects can't
+    * overflow. Windows are bounded by the period calendar. StatsSpec
+    * pins that an injected mean shift drives p below α while the
+    * symmetric A/A stream never rejects. */
+  def msprtMonitor(daily: DataFrame, tau2: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cnt", sum(col("nt")).over(w))
+      .withColumn("cst", sum(col("st")).over(w))
+      .withColumn("cnc", sum(col("nc")).over(w))
+      .withColumn("csc", sum(col("sc")).over(w))
+      .withColumn("css", sum(col("ss")).over(w))
+      .withColumn("nn", col("cnt") + col("cnc"))
+      .filter(col("cnt") > 0 && col("cnc") > 0 && col("nn") > 1)
+      .withColumn("sall", d38(col("cst")) + d38(col("csc")))
+      .withColumn("sig2",
+        (col("nn") * col("css") - col("sall") * col("sall")).cast("double") /
+          (col("nn").cast("double") * col("nn") * (col("nn") - 1)) * col("nn"))
+      .withColumn("theta",
+        col("cst").cast("double") / col("cnt") -
+          col("csc").cast("double") / col("cnc"))
+      .withColumn("vv", col("sig2") * (lit(1.0) / col("cnt") + lit(1.0) / col("cnc")))
+      .withColumn("llr",
+        lit(0.5) * log(col("vv") / (col("vv") + tau2)) +
+          col("theta") * col("theta") * tau2 /
+            (lit(2.0) * col("vv") * (col("vv") + tau2)))
+      .withColumn("p_alw", least(lit(1.0), exp(-max(col("llr")).over(w))))
+      .select(col("day"), col("nn").as("n_seen"),
+        round(col("theta") / 100.0, 4).as("theta"),
+        round(col("llr"), 6).as("log_lambda"),
+        round(col("p_alw"), 6).as("p_always_valid"),
+        (col("p_alw") <= 0.05).cast("int").as("reject"))
+      .orderBy(col("day"))
+  }
+
+  /** Adjusted Rand Index (Hubert & Arabie, J. Classification 1985)
+    * between two partitions of the same rows — `lab` carries one row
+    * per element with its cluster and label. Pure pair counting: every
+    * sum is an exact integer (n(n−1) is even, so the halving is exact);
+    * floats appear only in the two final divisions, evaluated in one
+    * fixed order. Cells bounded by clusters × labels. One row out:
+    * (n, n_clusters, n_labels, p_ij, p_a, p_b, ari). StatsSpec pins the
+    * Hubert–Arabie hand example. */
+  def clusterAri(lab: DataFrame, clusterCol: String,
+                 labelCol: String): DataFrame = {
+    val l = lab.localCheckpoint() // cells + both marginals share it
+    val cells = l.groupBy(col(clusterCol), col(labelCol))
+      .agg(count(lit(1)).as("nij"))
+    val sIj = cells.agg(sum(expr("(nij * (nij - 1)) div 2")).as("p_ij"),
+      countDistinct(col(clusterCol)).as("n_clusters"),
+      countDistinct(col(labelCol)).as("n_labels"))
+    val sA = l.groupBy(col(clusterCol)).agg(count(lit(1)).as("a"))
+      .agg(sum(expr("(a * (a - 1)) div 2")).as("p_a"))
+    val sB = l.groupBy(col(labelCol)).agg(count(lit(1)).as("b"))
+      .agg(sum(expr("(b * (b - 1)) div 2")).as("p_b"))
+    val n = l.agg(count(lit(1)).as("n"))
+    sIj.crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
+      .crossJoin(broadcast(n))
+      .withColumn("expct",
+        (col("p_a") * col("p_b")).cast("double") /
+          ((col("n") * (col("n") - 1)).cast("long") / 2))
+      .select(col("n"), col("n_clusters"), col("n_labels"),
+        col("p_ij"), col("p_a"), col("p_b"),
+        round((col("p_ij") - col("expct")) /
+          ((col("p_a") + col("p_b")).cast("double") / 2.0 - col("expct")), 6)
+          .as("ari"))
+  }
 }

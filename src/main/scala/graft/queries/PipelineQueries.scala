@@ -757,24 +757,7 @@ object PipelineQueries {
           .groupBy($"o_custkey")
           .agg(datediff(max($"o_orderdate"), min($"o_orderdate")).as("life"),
             (max($"o_orderdate") < "1998-06-01").cast("long").as("ev"))
-        val hist = per.groupBy($"life")
-          .agg(count(lit(1)).as("n_all"), sum($"ev").as("d"))
-          .localCheckpoint() // at-risk cumsum + event rows share it
-        val w = Window.orderBy($"life")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val w2 = Window.orderBy($"life")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        hist
-          .withColumn("at_risk",
-            sum($"n_all").over(Window.orderBy($"life").rowsBetween(
-              Window.unboundedPreceding, Window.unboundedFollowing)) -
-              coalesce(sum($"n_all").over(w), lit(0L)))
-          .filter($"d" > 0)
-          .withColumn("surv", round(exp(sum(
-            log(lit(1.0) - $"d".cast("double") / $"at_risk")).over(w2)), 6))
-          .select($"life".cast("long").as("t_days"), $"d".as("n_events"),
-            $"at_risk", $"surv")
-          .orderBy($"t_days")
+        graft.operators.Stats.kaplanMeier(per)
       },
       Some("""WITH per AS (SELECT o_custkey,
             date_diff('day', min(o_orderdate), max(o_orderdate)) AS life,
@@ -1096,34 +1079,7 @@ object PipelineQueries {
             sum(when($"v" === 0, 1L).otherwise(0L)).as("nc"),
             sum(when($"v" === 0, $"cents").otherwise(0L)).as("sc"),
             sum(d38($"cents") * d38($"cents")).as("ss"))
-        val w = Window.orderBy($"day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        daily
-          .withColumn("cnt", sum($"nt").over(w)).withColumn("cst", sum($"st").over(w))
-          .withColumn("cnc", sum($"nc").over(w)).withColumn("csc", sum($"sc").over(w))
-          .withColumn("css", sum($"ss").over(w))
-          .withColumn("nn", $"cnt" + $"cnc")
-          // the monitor starts once BOTH arms have data and the pooled
-          // variance is defined - the same guard as the mirror
-          .filter($"cnt" > 0 && $"cnc" > 0 && $"nn" > 1)
-          .withColumn("sall", d38($"cst") + d38($"csc"))
-          .withColumn("sig2",
-            ($"nn" * $"css" - $"sall" * $"sall").cast("double") /
-              ($"nn".cast("double") * $"nn" * ($"nn" - 1)) * $"nn")
-          .withColumn("theta",
-            $"cst".cast("double") / $"cnt" - $"csc".cast("double") / $"cnc")
-          .withColumn("vv", $"sig2" * (lit(1.0) / $"cnt" + lit(1.0) / $"cnc"))
-          .withColumn("llr",
-            lit(0.5) * log($"vv" / ($"vv" + tau2)) +
-              $"theta" * $"theta" * tau2 / (lit(2.0) * $"vv" * ($"vv" + tau2)))
-          .withColumn("p_alw",
-            least(lit(1.0), exp(-max($"llr").over(w))))
-          .select($"day", $"nn".as("n_seen"),
-            round($"theta" / 100.0, 4).as("theta"),
-            round($"llr", 6).as("log_lambda"),
-            round($"p_alw", 6).as("p_always_valid"),
-            ($"p_alw" <= 0.05).cast("int").as("reject"))
-          .orderBy($"day")
+        graft.operators.Stats.msprtMonitor(daily, tau2)
       },
       Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
             CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
@@ -1231,31 +1187,12 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import graft.operators.Dedup
-        def c2(c: org.apache.spark.sql.Column) = (c * (c - 1)).cast("long") / 2
         val base = t(s, d, "documents").filter($"doc_id" < 100)
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           TextFunctions.charNGrams($"text", 3), threshold = 0.6)
         val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
         val lab = cc.join(base.select($"doc_id".as("id"), $"source"), "id")
-          .localCheckpoint() // cells + both marginals share it
-        val cells = lab.groupBy($"cluster_id", $"source")
-          .agg(count(lit(1)).as("nij"))
-        val sIj = cells.agg(sum(expr("(nij * (nij - 1)) div 2")).as("p_ij"),
-          countDistinct($"cluster_id").as("n_clusters"),
-          countDistinct($"source").as("n_labels"))
-        val sA = lab.groupBy($"cluster_id").agg(count(lit(1)).as("a"))
-          .agg(sum(expr("(a * (a - 1)) div 2")).as("p_a"))
-        val sB = lab.groupBy($"source").agg(count(lit(1)).as("b"))
-          .agg(sum(expr("(b * (b - 1)) div 2")).as("p_b"))
-        val n = lab.agg(count(lit(1)).as("n"))
-        sIj.crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
-          .crossJoin(broadcast(n))
-          .withColumn("expct",
-            ($"p_a" * $"p_b").cast("double") / c2(col("n")))
-          .select($"n", $"n_clusters", $"n_labels",
-            $"p_ij", $"p_a", $"p_b",
-            round(($"p_ij" - $"expct") /
-              (($"p_a" + $"p_b").cast("double") / 2.0 - $"expct"), 6).as("ari"))
+        graft.operators.Stats.clusterAri(lab, "cluster_id", "source")
       },
       Some("""WITH RECURSIVE s AS (SELECT doc_id, CASE WHEN length(text) >= 3
             THEN list_distinct(list_transform(range(1, length(text)-1), i -> substr(text, i, 3)))

@@ -202,4 +202,72 @@ class StatsSpec extends SparkSpec {
         s"weight $k frequency $gotP vs Poisson(1) pmf $p")
     }
   }
+
+  test("kaplanMeier reproduces the published 6-MP trial survival values") {
+    // Freireich et al. 1963, the 6-MP arm — THE textbook Kaplan-Meier
+    // dataset (21 subjects, * = censored): the q207 oracle mirrors the
+    // operator's construction, so this pins the estimator against
+    // literature constants instead
+    val times = Seq(
+      (6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (10, 0),
+      (11, 0), (13, 1), (16, 1), (17, 0), (19, 0), (20, 0), (22, 1),
+      (23, 1), (25, 0), (32, 0), (32, 0), (34, 0), (35, 0))
+    val per = times.map { case (t, e) => (t, e.toLong) }.toDF("life", "ev")
+    val got = Stats.kaplanMeier(per)
+      .select($"t_days", $"n_events", $"at_risk", $"surv")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val want = Seq( // published S(t) at the seven event times
+      (6L, 3L, 21L, 0.857143), (7L, 1L, 17L, 0.806723),
+      (10L, 1L, 15L, 0.752941), (13L, 1L, 12L, 0.690196),
+      (16L, 1L, 11L, 0.627451), (22L, 1L, 7L, 0.537815),
+      (23L, 1L, 6L, 0.448179))
+    assert(got == want, s"KM curve diverged from the published values:\n$got")
+  }
+
+  test("clusterAri matches the Hubert-Arabie hand example and its boundary cases") {
+    // clusters {1,2,3},{4,5},{6} vs labels {1,2},{3,4,5},{6}:
+    // sum C(n_ij,2) = 2, p_a = 4, p_b = 4, C(6,2) = 15
+    // ARI = (2 - 16/15) / (4 - 16/15) = 0.318182
+    val lab = Seq((1, "a", "x"), (2, "a", "x"), (3, "a", "y"),
+      (4, "b", "y"), (5, "b", "y"), (6, "c", "z"))
+      .toDF("id", "cl", "lb")
+    val r = Stats.clusterAri(lab, "cl", "lb")
+      .select($"n", $"n_clusters", $"n_labels", $"p_ij", $"p_a", $"p_b", $"ari")
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()(0)
+    assert(r == ((6L, 3L, 3L, 2L, 4L, 4L, 0.318182)),
+      s"hand-computed ARI diverged: $r")
+    // identical partitions -> ARI exactly 1
+    val same = Seq((1, "a"), (2, "a"), (3, "b"), (4, "b"))
+      .toDF("id", "cl").withColumn("lb", $"cl")
+    assert(Stats.clusterAri(same, "cl", "lb")
+      .select($"ari").as[Double].collect()(0) == 1.0)
+  }
+
+  test("msprtMonitor: injected shift rejects, symmetric A/A never does") {
+    // synthetic 30-day two-arm stream in cents: arms identical except a
+    // +20%-of-mean treatment shift in the effect case. Moments are exact
+    // integers; tau2 matched to the effect scale.
+    def daily(shift: Long) = (1 to 30).map { d =>
+      val nt = 200L; val nc = 200L
+      val mt = 10000L + shift; val mc = 10000L
+      // per-arm sum and pooled sum-of-squares for a two-point spread
+      // (half the arm at mean-1000, half at mean+1000): variance 1e6
+      val st = nt * mt; val sc = nc * mc
+      val ss = BigDecimal(nt / 2 * ((mt - 1000) * (mt - 1000) + (mt + 1000) * (mt + 1000)) +
+        nc / 2 * ((mc - 1000) * (mc - 1000) + (mc + 1000) * (mc + 1000)))
+      (d, nt, st, nc, sc, ss)
+    }.toDF("day", "nt", "st", "nc", "sc", "ss")
+      .withColumn("ss", $"ss".cast("decimal(38,0)"))
+    val tau2 = 1e6
+    val eff = Stats.msprtMonitor(daily(2000L), tau2)
+      .select($"day", $"reject").as[(Int, Int)].collect()
+    assert(eff.exists(_._2 == 1),
+      s"a 20% mean shift must eventually reject: ${eff.takeRight(5).toSeq}")
+    // once rejected, the always-valid p is monotone: rejection persists
+    val firstRej = eff.indexWhere(_._2 == 1)
+    assert(eff.drop(firstRej).forall(_._2 == 1), "rejection must persist")
+    val aa = Stats.msprtMonitor(daily(0L), tau2)
+      .select($"reject").as[Int].collect()
+    assert(aa.forall(_ == 0), "the symmetric A/A stream must never reject")
+  }
 }
