@@ -1273,6 +1273,97 @@ object PipelineQueries {
           CAST(l_distinct < 3 AS INTEGER) AS at_risk
         FROM terms GROUP BY nat, seg, n, l_distinct
         ORDER BY nat, seg"""),
-      "entropy l-diversity per QID class (nano-nat exact fold) + distinct-l risk flag")
+      "entropy l-diversity per QID class (nano-nat exact fold) + distinct-l risk flag"),
+
+    // ------------------------------------------------ Bradley-Terry fit
+    // Pairwise-preference strength fitting (Bradley & Terry 1952; the
+    // model under RLHF reward-data pipelines): items = order
+    // priorities, a "comparison" = one 1995 day, i beats j when i's
+    // daily revenue exceeds j's (ties drop). Strengths come from
+    // Hunter (2004)'s MM fixed point w_i ← W_i / Σ_j g_ij/(w_i+w_j),
+    // run as TEN integer fixed-point iterations in nano-units — every
+    // float op is a single division/multiply on integer operands
+    // followed by floor(x+0.5), the q131-BPE iteration discipline, so
+    // the trajectory is bit-reproducible and the oracle replays it as
+    // ten unrolled CTEs. The comparison aggregate is (days × items²)-
+    // bounded; the solve runs on the ≤ items² win matrix (the PCA
+    // d²-bounded driver-solve pattern) and ships strength_nano as an
+    // exact LONG — the compare is arithmetic, not float-lucky.
+    "q217_bradley_terry" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val daily = t(s, d, "orders").filter(year($"o_orderdate") === 1995)
+          .groupBy(to_date($"o_orderdate").as("day"), $"o_orderpriority".as("prio"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+          .localCheckpoint() // both self-join sides read it
+        val a = daily.select($"day", $"prio".as("i"), $"rev".as("ra"))
+        val b = daily.select($"day", $"prio".as("j"), $"rev".as("rb"))
+        val wins = a.join(b, Seq("day")).filter($"i" =!= $"j")
+          .groupBy($"i", $"j")
+          .agg(sum(($"ra" > $"rb").cast("long")).as("w"))
+        // enum-bounded driver solve: ≤ items² cells
+        val cells = wins.collect()
+          .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+        val items = cells.keys.map(_._1).toSeq.distinct.sorted
+        require(items.size <= 64, s"BT solve is enum-bounded: ${items.size} items")
+        val winTot = items.map(i =>
+          i -> items.filter(_ != i).map(j => cells.getOrElse((i, j), 0L)).sum).toMap
+        val games = (for (i <- items; j <- items if i != j) yield
+          (i, j) -> (cells.getOrElse((i, j), 0L) + cells.getOrElse((j, i), 0L))).toMap
+        val nItems = items.size
+        var w = items.map(_ -> 1000000000L).toMap
+        for (_ <- 1 to 10) {
+          val raw = items.map { i =>
+            val dsum = items.filter(_ != i).map { j =>
+              math.floor(1e18 * games((i, j)) / (w(i) + w(j)) + 0.5).toLong
+            }.sum
+            i -> math.floor(winTot(i) * 1e18 / dsum + 0.5).toLong
+          }.toMap
+          val ssum = raw.values.sum
+          w = items.map(i =>
+            i -> math.floor(raw(i) * (nItems * 1e9) / ssum + 0.5).toLong).toMap
+        }
+        val rows = items.map(i => (i, winTot(i),
+          items.filter(_ != i).map(j => games((i, j))).sum, w(i)))
+        s.createDataFrame(rows)
+          .toDF("prio", "wins", "games", "strength_nano")
+          .orderBy($"prio")
+      },
+      Some {
+        def itSql(k: Int): String =
+          s"""d$k AS (SELECT p.i AS prio,
+               CAST(sum(CAST(floor(1e18 * p.g / (wi.w + wj.w) + 0.5) AS BIGINT)) AS BIGINT) AS dsum
+             FROM pairs p JOIN it${k - 1} wi ON wi.prio = p.i
+               JOIN it${k - 1} wj ON wj.prio = p.j
+             GROUP BY 1),
+           r$k AS MATERIALIZED (SELECT d$k.prio,
+               CAST(floor(wt.wins * 1e18 / d$k.dsum + 0.5) AS BIGINT) AS wraw
+             FROM d$k JOIN wtot wt USING (prio)),
+           s$k AS (SELECT CAST(sum(wraw) AS BIGINT) AS s FROM r$k),
+           it$k AS MATERIALIZED (SELECT prio,
+               CAST(floor(wraw * (nit.n * 1e9) / s$k.s + 0.5) AS BIGINT) AS w
+             FROM r$k, s$k, nit)"""
+        s"""WITH daily AS MATERIALIZED (SELECT CAST(o_orderdate AS DATE) AS day,
+              o_orderpriority AS prio,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1, 2),
+          wins AS MATERIALIZED (SELECT a.prio AS i, b.prio AS j,
+              CAST(sum(CASE WHEN a.rev > b.rev THEN 1 ELSE 0 END) AS BIGINT) AS w
+            FROM daily a JOIN daily b ON a.day = b.day AND a.prio <> b.prio
+            GROUP BY 1, 2),
+          pairs AS MATERIALIZED (SELECT w1.i, w1.j, w1.w + w2.w AS g
+            FROM wins w1 JOIN wins w2 ON w1.i = w2.j AND w1.j = w2.i),
+          wtot AS MATERIALIZED (SELECT i AS prio, CAST(sum(w) AS BIGINT) AS wins
+            FROM wins GROUP BY 1),
+          gtot AS (SELECT i AS prio, CAST(sum(g) AS BIGINT) AS games
+            FROM pairs GROUP BY 1),
+          nit AS (SELECT count(*) AS n FROM wtot),
+          it0 AS MATERIALIZED (SELECT prio, CAST(1000000000 AS BIGINT) AS w FROM wtot),
+          ${(1 to 10).map(itSql).mkString(",\n          ")}
+          SELECT wt.prio, wt.wins, gt.games, it10.w AS strength_nano
+          FROM wtot wt JOIN gtot gt USING (prio) JOIN it10 USING (prio)
+          ORDER BY wt.prio"""
+      },
+      "Bradley-Terry preference strengths via ten integer fixed-point MM iterations")
   )
 }

@@ -397,6 +397,73 @@ object TextQueries {
         FROM sc GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""),
       "language-ID heuristic via marker-word argmax"),
 
+    // ------------------------------------------------- Cohen's kappa
+    // Chance-corrected agreement (Cohen, 1960) between the corpus's
+    // DECLARED language labels and the q32 detector — the labeling-ops
+    // audit that separates "the annotator and the model agree" from
+    // "they agree no more than chance would force": κ = (p_o − p_e)/
+    // (1 − p_e) with p_e from the marginal products. Everything is
+    // exact integer until the one final division — κ's numerator and
+    // denominator ship as N·ΣdiagN − Σr_k·c_k and N² − Σr_k·c_k, both
+    // longs, so the compare is arithmetic, not float-lucky. Confusion
+    // cells are langs² ≤ 16; one corpus aggregate feeds everything.
+    "q216_cohens_kappa" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val scores = docs(s, d)
+          .select($"doc_id", explode(words($"text")).as("w"))
+          .groupBy($"doc_id")
+          .agg(
+            sum(when($"w".isin(EnStops: _*), 1).otherwise(0)).as("en"),
+            sum(when($"w".isin(DeStops: _*), 1).otherwise(0)).as("de"),
+            sum(when($"w".isin(EsStops: _*), 1).otherwise(0)).as("es"),
+            sum(when($"w".isin(FrStops: _*), 1).otherwise(0)).as("fr"))
+        val conf = docs(s, d).select($"doc_id", $"lang")
+          .join(scores, Seq("doc_id"), "left")
+          .select($"lang",
+            langId(coalesce($"en", lit(0L)), coalesce($"de", lit(0L)),
+              coalesce($"es", lit(0L)), coalesce($"fr", lit(0L))).as("pred"))
+          .groupBy($"lang", $"pred").agg(count(lit(1)).as("n"))
+          .localCheckpoint() // diag + both marginals share it
+        val agree = conf.filter($"lang" === $"pred")
+          .agg(coalesce(sum($"n"), lit(0L)).as("n_agree"))
+        val rc = conf.groupBy($"lang").agg(sum($"n").as("rk"))
+          .join(conf.groupBy($"pred").agg(sum($"n").as("ck")),
+            $"lang" === $"pred")
+          .agg(sum($"rk" * $"ck").as("sum_rc"))
+        val tot = conf.agg(sum($"n").as("nn"))
+        tot.crossJoin(broadcast(agree)).crossJoin(broadcast(rc))
+          .select($"nn".as("n"), $"n_agree", $"sum_rc",
+            round($"n_agree".cast("double") / $"nn", 6).as("po"),
+            round($"sum_rc".cast("double") / ($"nn" * $"nn"), 6).as("pe"),
+            round(($"nn" * $"n_agree" - $"sum_rc").cast("double") /
+              ($"nn" * $"nn" - $"sum_rc"), 6).as("kappa"))
+      },
+      Some("""WITH sc AS (SELECT lang,
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and'))), 0) AS en,
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('der','die','und','das'))), 0) AS de,
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('el','la','los','y'))), 0) AS es,
+          COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('le','les','et','dans'))), 0) AS fr
+        FROM documents),
+        conf AS (SELECT lang, CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+            WHEN de >= es AND de >= fr THEN 'de' WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS pred, count(*) AS n
+          FROM sc GROUP BY 1, 2),
+        agree AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS n_agree
+          FROM conf WHERE lang = pred),
+        rc AS (SELECT CAST(sum(rk * ck) AS BIGINT) AS sum_rc
+          FROM (SELECT lang, CAST(sum(n) AS BIGINT) AS rk FROM conf GROUP BY lang) r
+          JOIN (SELECT pred, CAST(sum(n) AS BIGINT) AS ck FROM conf GROUP BY pred) c
+            ON r.lang = c.pred),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM conf)
+        SELECT nn AS n, n_agree, sum_rc,
+          round(CAST(n_agree AS DOUBLE) / nn, 6) AS po,
+          round(CAST(sum_rc AS DOUBLE) / (nn * nn), 6) AS pe,
+          round(CAST(nn * n_agree - sum_rc AS DOUBLE) / (nn * nn - sum_rc), 6)
+            AS kappa
+        FROM tot, agree, rc"""),
+      "Cohen's kappa: chance-corrected declared-vs-detected language agreement"),
+
     // -------------------------------------------------------- fingerprinting
     "q33_text_fingerprint" -> Q(
       (s, d) => {
