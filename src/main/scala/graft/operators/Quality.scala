@@ -43,4 +43,32 @@ object Quality {
               pk: String): DataFrame =
     child.filter(col(fk).isNotNull)
       .join(parent, child(fk) === parent(pk), "left_anti")
+
+  /** Entropy l-diversity (Machanavajjhala et al., ICDE 2006) per
+    * quasi-identifier class over rows carrying QID columns and one
+    * sensitive column: distinct-l plus exp(H) of the sensitive
+    * distribution, with the policy flag at l < `policyL`. Entropy terms
+    * quantize to nano-nats so the per-class fold is an exact long sum
+    * (the engine's float-fold discipline); cells bounded by QID classes
+    * × sensitive domain. Pinned in CurationOpsSpec: a uniform sensitive
+    * distribution gives entropy_l == l_distinct exactly, a degenerate
+    * one gives entropy_l == 1. */
+  def lDiversity(df: DataFrame, qid: Seq[String], sensitive: String,
+                 policyL: Int = 3): DataFrame = {
+    val q = qid.map(col)
+    val cls = df.groupBy((q :+ col(sensitive)): _*)
+      .agg(count(lit(1)).as("c"))
+    val per = cls.groupBy(q: _*)
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"))
+    cls.join(per, qid)
+      .select((q ++ Seq(col("n"), col("l_distinct"),
+        (col("c") * expr("CAST(round(1e9 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)"))
+          .as("term"))): _*)
+      .groupBy((q ++ Seq(col("n"), col("l_distinct"))): _*)
+      .agg(sum(col("term")).as("nano"))
+      .select((q ++ Seq(col("n"), col("l_distinct"),
+        round(exp(col("nano").cast("double") / 1e9 / col("n")), 6).as("entropy_l"),
+        (col("l_distinct") < policyL).cast("int").as("at_risk"))): _*)
+      .orderBy(q: _*)
+  }
 }

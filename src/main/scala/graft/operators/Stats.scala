@@ -367,6 +367,47 @@ object Stats {
       .orderBy(col("day"))
   }
 
+  /** Stratified caliper nearest-neighbor matching (Rubin 1973,
+    * deterministic variant) over rows carrying (`stratum`, `key`,
+    * integer `value`, 0/1 `treat`): every treatment row matches its
+    * nearest control by value within the stratum, with replacement —
+    * ties to the LOWER value, one-sided when a side is missing. Both
+    * neighbor passes are RUNNING window frames (the next control rides
+    * the REVERSED sort — an UnboundedFollowing frame re-scans the
+    * remaining partition per row, O(n²)). Returns per-stratum
+    * (n_matched, att, mean_abs_gap) with ATT = mean treated-minus-
+    * matched in exact integer units before the final rounded division.
+    * StatsSpec pins nearest/tie/one-sided on a hand case. */
+  def caliperMatch(df: DataFrame, stratum: String, key: String,
+                   value: String, treat: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratum)).orderBy(col(value), col(key))
+    val wRev = Window.partitionBy(col(stratum))
+      .orderBy(col(value).desc, col(key).desc)
+    val prevC = last(when(col(treat) === 0, col(value)), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val nextC = last(when(col(treat) === 0, col(value)), ignoreNulls = true)
+      .over(wRev.rowsBetween(Window.unboundedPreceding, -1))
+    df.withColumn("prev_c", prevC).withColumn("next_c", nextC)
+      .filter(col(treat) === 1)
+      .withColumn("match_c",
+        when(col("prev_c").isNull, col("next_c"))
+          .when(col("next_c").isNull, col("prev_c"))
+          .when(col(value) - col("prev_c") <= col("next_c") - col(value),
+            col("prev_c"))
+          .otherwise(col("next_c")))
+      .filter(col("match_c").isNotNull)
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col(value) - col("match_c")).as("sdiff"),
+        sum(abs(col(value) - col("match_c"))).as("sgap"))
+      .select(col(stratum), col("n_matched"),
+        round(col("sdiff").cast("double") / col("n_matched") / 100.0, 4).as("att"),
+        round(col("sgap").cast("double") / col("n_matched") / 100.0, 4)
+          .as("mean_abs_gap"))
+      .orderBy(col(stratum))
+  }
+
   /** Adjusted Rand Index (Hubert & Arabie, J. Classification 1985)
     * between two partitions of the same rows — `lab` carries one row
     * per element with its cluster and label. Pure pair counting: every

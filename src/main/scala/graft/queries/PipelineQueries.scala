@@ -906,37 +906,12 @@ object PipelineQueries {
           .withColumn("treat",
             (conv(substring(md5(concat(lit("q210:"), $"okey".cast("string"))),
               1, 15), 16, 10).cast("long") % 2 === 1).cast("int"))
-        // BOTH window passes must be RUNNING frames (unboundedPreceding
-        // → -1): Spark's UnboundedFollowing frame re-evaluates the whole
-        // remaining partition per row — O(n²), measured 108 s at sf0.1 —
-        // so the "next control" comes from the REVERSED sort instead
-        // (preceding rows under (cents desc, okey desc) ≡ following rows
-        // under ascending; the DuckDB mirror keeps the literal
-        // first_value-following form, so the hash compare also proves
-        // the two formulations equivalent). Both passes are O(n)
-        // incremental.
-        val w = Window.partitionBy($"prio").orderBy($"cents", $"okey")
-        val wRev = Window.partitionBy($"prio").orderBy($"cents".desc, $"okey".desc)
-        val prevC = last(when($"treat" === 0, $"cents"), ignoreNulls = true)
-          .over(w.rowsBetween(Window.unboundedPreceding, -1))
-        val nextC = last(when($"treat" === 0, $"cents"), ignoreNulls = true)
-          .over(wRev.rowsBetween(Window.unboundedPreceding, -1))
-        o.withColumn("prev_c", prevC).withColumn("next_c", nextC)
-          .filter($"treat" === 1)
-          .withColumn("match_c",
-            when($"prev_c".isNull, $"next_c")
-              .when($"next_c".isNull, $"prev_c")
-              .when($"cents" - $"prev_c" <= $"next_c" - $"cents", $"prev_c")
-              .otherwise($"next_c"))
-          .filter($"match_c".isNotNull)
-          .groupBy($"prio")
-          .agg(count(lit(1)).as("n_matched"),
-            sum($"cents" - $"match_c").as("sdiff"),
-            sum(abs($"cents" - $"match_c")).as("sgap"))
-          .select($"prio", $"n_matched",
-            round($"sdiff".cast("double") / $"n_matched" / 100.0, 4).as("att"),
-            round($"sgap".cast("double") / $"n_matched" / 100.0, 4).as("mean_abs_gap"))
-          .orderBy($"prio")
+        // both neighbor passes are RUNNING frames inside the operator —
+        // the DuckDB mirror keeps the literal first_value-following
+        // form, so the hash compare also proves the two formulations
+        // equivalent (see Stats.caliperMatch for the O(n²) rationale)
+        graft.operators.Stats.caliperMatch(o,
+          stratum = "prio", key = "okey", value = "cents", treat = "treat")
       },
       Some("""WITH o AS (SELECT o_orderpriority AS prio, o_orderkey AS okey,
             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
@@ -1242,22 +1217,11 @@ object PipelineQueries {
     "q215_l_diversity" -> Q(
       (s, d) => {
         import s.implicits._
-        val cls = t(s, d, "customer")
-          .select($"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
-            floor($"c_acctbal" / 2000).cast("long").as("band"))
-          .groupBy($"nat", $"seg", $"band").agg(count(lit(1)).as("c"))
-        val per = cls.groupBy($"nat", $"seg")
-          .agg(sum($"c").as("n"), count(lit(1)).as("l_distinct"))
-        cls.join(per, Seq("nat", "seg"))
-          .select($"nat", $"seg", $"n", $"l_distinct",
-            ($"c" * expr("CAST(round(1e9 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)"))
-              .as("term"))
-          .groupBy($"nat", $"seg", $"n", $"l_distinct")
-          .agg(sum($"term").as("nano"))
-          .select($"nat", $"seg", $"n", $"l_distinct",
-            round(exp($"nano".cast("double") / 1e9 / $"n"), 6).as("entropy_l"),
-            ($"l_distinct" < 3).cast("int").as("at_risk"))
-          .orderBy($"nat", $"seg")
+        graft.operators.Quality.lDiversity(
+          t(s, d, "customer")
+            .select($"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
+              floor($"c_acctbal" / 2000).cast("long").as("band")),
+          qid = Seq("nat", "seg"), sensitive = "band", policyL = 3)
       },
       Some("""WITH cls AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band, count(*) AS c

@@ -119,4 +119,45 @@ class CurationOpsSpec extends SparkSpec {
     // float check for the last bucket: mean=100, var=6 -> sigma~2.45; |140-100| >> 3 sigma
     assert(flagged === Set(10), s"only the planted outlier: $flagged")
   }
+
+  test("lDiversity: uniform sensitive -> entropy_l == l_distinct; degenerate -> 1") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // class A: 4 rows over 4 distinct sensitive values (uniform) ->
+    // entropy l = exp(ln 4) = 4 = distinct l, not at risk at policy 3;
+    // class B: 6 rows all sharing ONE value -> entropy l = 1, at risk
+    // (the exact disclosure k-anonymity alone cannot see: B is a large
+    // class that still leaks its attribute)
+    val rows = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 4L),
+      ("B", 9L), ("B", 9L), ("B", 9L), ("B", 9L), ("B", 9L), ("B", 9L))
+      .toDF("qid", "sens")
+    val got = graft.operators.Quality.lDiversity(rows, Seq("qid"), "sens")
+      .select($"qid", $"n", $"l_distinct", $"entropy_l", $"at_risk")
+      .as[(String, Long, Long, Double, Int)].collect().toSeq
+    assert(got == Seq(("A", 4L, 4L, 4.0, 0), ("B", 6L, 1L, 1.0, 1)),
+      s"l-diversity hand case diverged: $got")
+  }
+
+  test("caliperMatch: nearest wins, ties go to the lower value, one-sided matches") {
+    import spark.implicits._
+    // stratum s1 (values in cents): controls at 100 and 200;
+    //   treat at 140 -> nearest is 100 (|40| < |60|)
+    //   treat at 150 -> equidistant -> tie to the LOWER control (100)
+    //   treat at 190 -> nearest is 200
+    // stratum s2: control only ABOVE the treat -> one-sided match
+    // stratum s3: no controls at all -> treat drops out entirely
+    val rows = Seq(
+      ("s1", 1L, 100L, 0), ("s1", 2L, 200L, 0),
+      ("s1", 3L, 140L, 1), ("s1", 4L, 150L, 1), ("s1", 5L, 190L, 1),
+      ("s2", 6L, 500L, 0), ("s2", 7L, 300L, 1),
+      ("s3", 8L, 700L, 1))
+      .toDF("st", "k", "v", "t")
+    val got = graft.operators.Stats.caliperMatch(rows, "st", "k", "v", "t")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // s1: diffs 140-100=40, 150-100=50, 190-200=-10 -> att=(40+50-10)/3
+    //   = 26.6667 cents = 0.2667 dollars; gaps (40+50+10)/3 = 0.3333
+    // s2: 300-500 = -200 -> att -2.0, gap 2.0; s3 absent
+    assert(got == Seq(("s1", 3L, 0.2667, 0.3333), ("s2", 1L, -2.0, 2.0)),
+      s"caliper hand case diverged: $got")
+  }
 }
