@@ -248,4 +248,41 @@ class PropertySpec extends SparkSpec {
           s"fold identity broke at cut=$cut over ${vecs.size} vectors")
     }
   }
+
+  test("clusterAri is symmetric and bounded; 1 iff identical partitions (random data)") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(0, 4), Gen.choose(0, 3)))
+    (1L to 5L).foreach { seed =>
+      val rows = gen(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case ((c, l), i) => (i, s"c$c", s"l$l") }
+      val lab = rows.toDF("id", "cl", "lb")
+      def ari(a: String, b: String): Double =
+        graft.operators.Stats.clusterAri(lab, a, b)
+          .select(col("ari")).as[Double].collect()(0)
+      val fwd = ari("cl", "lb"); val rev = ari("lb", "cl")
+      assert(fwd == rev, s"ARI must be symmetric: $fwd vs $rev (seed $seed)")
+      assert(fwd <= 1.0 + 1e-9, s"ARI <= 1: $fwd")
+      val self = graft.operators.Stats
+        .clusterAri(lab.withColumn("lb2", col("cl")), "cl", "lb2")
+        .select(col("ari")).as[Double].collect()(0)
+      assert(self == 1.0, s"ARI(P, P) must be 1: $self")
+    }
+  }
+
+  test("kaplanMeier survival is non-increasing and in (0, 1] on random cohorts") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 30), Gen.oneOf(0L, 1L)))
+    (1L to 5L).foreach { seed =>
+      val per = gen(Gen.Parameters.default, Seed(seed)).get
+        .toDF("life", "ev")
+      val surv = graft.operators.Stats.kaplanMeier(per)
+        .orderBy(col("t_days")).select(col("surv")).as[Double].collect().toSeq
+      if (surv.nonEmpty) {
+        assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 },
+          s"S(t) must be non-increasing (seed $seed): $surv")
+        assert(surv.forall(v => v >= 0.0 && v <= 1.0 + 1e-12),
+          s"S(t) must sit in [0, 1] (seed $seed): $surv")
+      }
+    }
+  }
 }
