@@ -47,23 +47,31 @@ object Quality {
   /** Entropy l-diversity (Machanavajjhala et al., ICDE 2006) per
     * quasi-identifier class over rows carrying QID columns and one
     * sensitive column: distinct-l plus exp(H) of the sensitive
-    * distribution, with the policy flag at l < `policyL`. Entropy terms
-    * quantize to nano-nats so the per-class fold is an exact long sum
-    * (the engine's float-fold discipline); cells bounded by QID classes
-    * × sensitive domain. Pinned in CurationOpsSpec: a uniform sensitive
-    * distribution gives entropy_l == l_distinct exactly, a degenerate
-    * one gives entropy_l == 1. */
+    * distribution, with the policy flag at l < `policyL`. Class totals
+    * ride a window PARTITION BY the QIDs rather than a groupBy+join —
+    * window partitioning groups NULL QID values exactly like groupBy
+    * does, where the earlier equi-join silently dropped NULL-valued
+    * classes from the audit (under-reporting at-risk classes — a
+    * privacy audit must see them). Entropy terms quantize to nano-nats
+    * and accumulate in DECIMAL(38,0) — a single term c·round(1e9·ln(n/c))
+    * reaches ~2e10 per unit of c, so a LONG product wraps once a cell
+    * holds ~4e8 rows; cells bounded by QID classes × sensitive domain.
+    * Pinned in CurationOpsSpec: a uniform sensitive distribution gives
+    * entropy_l == l_distinct exactly, a degenerate one gives
+    * entropy_l == 1, and a NULL-QID class is reported, not dropped. */
   def lDiversity(df: DataFrame, qid: Seq[String], sensitive: String,
                  policyL: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = qid.map(col)
-    val cls = df.groupBy((q :+ col(sensitive)): _*)
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val wq = Window.partitionBy(q: _*)
+    df.groupBy((q :+ col(sensitive)): _*)
       .agg(count(lit(1)).as("c"))
-    val per = cls.groupBy(q: _*)
-      .agg(sum(col("c")).as("n"), count(lit(1)).as("l_distinct"))
-    cls.join(per, qid)
-      .select((q ++ Seq(col("n"), col("l_distinct"),
-        (col("c") * expr("CAST(round(1e9 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)"))
-          .as("term"))): _*)
+      .withColumn("n", sum(col("c")).over(wq))
+      .withColumn("l_distinct", count(lit(1)).over(wq))
+      .withColumn("term",
+        d38(col("c")) *
+          d38(expr("CAST(round(1e9 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)")))
       .groupBy((q ++ Seq(col("n"), col("l_distinct"))): _*)
       .agg(sum(col("term")).as("nano"))
       .select((q ++ Seq(col("n"), col("l_distinct"),

@@ -330,7 +330,10 @@ object Stats {
     * the running max — valid at EVERY look. Periods with an empty arm
     * (or fewer than two total observations) are excluded: the monitor
     * starts once both arms report. Log-domain Λ so strong effects can't
-    * overflow. Windows are bounded by the period calendar. StatsSpec
+    * overflow; the moment products nn·css and sall² run in
+    * DECIMAL(38,0) whether `ss` arrives as BIGINT or DECIMAL, so no
+    * caller can trip a silent long wraparound in the variance.
+    * Windows are bounded by the period calendar. StatsSpec
     * pins that an injected mean shift drives p below α while the
     * symmetric A/A stream never rejects. */
   def msprtMonitor(daily: DataFrame, tau2: Double): DataFrame = {
@@ -347,8 +350,13 @@ object Stats {
       .withColumn("nn", col("cnt") + col("cnc"))
       .filter(col("cnt") > 0 && col("cnc") > 0 && col("nn") > 1)
       .withColumn("sall", d38(col("cst")) + d38(col("csc")))
+      // nn*css widened like sall — a caller passing BIGINT ss (the
+      // natural type for summed squared cents) would otherwise hit a
+      // silent long*long wraparound in sig2; d38 is the identity when
+      // ss already arrives as decimal(38,0) (both in-repo callers).
       .withColumn("sig2",
-        (col("nn") * col("css") - col("sall") * col("sall")).cast("double") /
+        (d38(col("nn")) * d38(col("css")) -
+          col("sall") * col("sall")).cast("double") /
           (col("nn").cast("double") * col("nn") * (col("nn") - 1)) * col("nn"))
       .withColumn("theta",
         col("cst").cast("double") / col("cnt") -
@@ -411,9 +419,14 @@ object Stats {
   /** Adjusted Rand Index (Hubert & Arabie, J. Classification 1985)
     * between two partitions of the same rows — `lab` carries one row
     * per element with its cluster and label. Pure pair counting: every
-    * sum is an exact integer (n(n−1) is even, so the halving is exact);
-    * floats appear only in the two final divisions, evaluated in one
-    * fixed order. Cells bounded by clusters × labels. One row out:
+    * sum is an exact integer (n(n−1) is even, so the halving is exact),
+    * and the marginal products p_a·p_b and n(n−1) are evaluated in
+    * DECIMAL(38,0) — each pair count can reach n(n−1)/2, so a LONG
+    * product wraps once both marginals pass ~3e9 (reachable near ~100k
+    * concentrated rows; the DuckDB mirror's HUGEINT would silently
+    * diverge). Floats appear only in the two final divisions, evaluated
+    * in one fixed order on exact operands, so both engines round the
+    * same values. Cells bounded by clusters × labels. One row out:
     * (n, n_clusters, n_labels, p_ij, p_a, p_b, ari). StatsSpec pins the
     * Hubert–Arabie hand example. */
   def clusterAri(lab: DataFrame, clusterCol: String,
@@ -429,15 +442,17 @@ object Stats {
     val sB = l.groupBy(col(labelCol)).agg(count(lit(1)).as("b"))
       .agg(sum(expr("(b * (b - 1)) div 2")).as("p_b"))
     val n = l.agg(count(lit(1)).as("n"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
     sIj.crossJoin(broadcast(sA)).crossJoin(broadcast(sB))
       .crossJoin(broadcast(n))
       .withColumn("expct",
-        (col("p_a") * col("p_b")).cast("double") /
-          ((col("n") * (col("n") - 1)).cast("long") / 2))
+        (d38(col("p_a")) * d38(col("p_b"))).cast("double") /
+          (d38(col("n")) * (d38(col("n")) - 1) / 2).cast("double"))
       .select(col("n"), col("n_clusters"), col("n_labels"),
         col("p_ij"), col("p_a"), col("p_b"),
         round((col("p_ij") - col("expct")) /
-          ((col("p_a") + col("p_b")).cast("double") / 2.0 - col("expct")), 6)
+          ((d38(col("p_a")) + d38(col("p_b"))).cast("double") / 2.0 -
+            col("expct")), 6)
           .as("ari"))
   }
 }

@@ -766,9 +766,10 @@ object PipelineQueries {
         hist AS (SELECT life, count(*) AS n_all, CAST(sum(ev) AS BIGINT) AS d
           FROM per GROUP BY life),
         risk AS (SELECT *,
-            sum(n_all) OVER () -
+            CAST(sum(n_all) OVER () -
               COALESCE(sum(n_all) OVER (ORDER BY life
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS at_risk
           FROM hist)
         SELECT CAST(life AS BIGINT) AS t_days, d AS n_events, at_risk,
           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / at_risk))
@@ -1085,7 +1086,7 @@ object PipelineQueries {
             0.5 * ln(vv / (vv + 1e12)) +
               theta * theta * 1e12 / (2.0 * vv * (vv + 1e12)) AS llr
           FROM st)
-        SELECT day, nn AS n_seen,
+        SELECT day, CAST(nn AS BIGINT) AS n_seen,
           round(theta / 100.0, 4) AS theta,
           round(llr, 6) AS log_lambda,
           round(least(1.0, exp(-max(llr) OVER (ORDER BY day
@@ -1155,9 +1156,10 @@ object PipelineQueries {
     // provenance or cut across it. ARI is pure pair-counting: Σ C(n_ij,2)
     // over the contingency cells against its expectation under the
     // permutation null — every sum an exact integer (n(n−1) is even, so
-    // `div 2` is exact), floats only in the final two divisions, which
-    // both engines evaluate in the same order. Contingency cells are
-    // bounded by clusters × labels.
+    // `div 2` is exact) and the marginal products run in DECIMAL(38,0)
+    // (Spark) / HUGEINT (DuckDB) so neither wraps a LONG; floats appear
+    // only in the final two divisions, evaluated in the same order on
+    // exact operands. Contingency cells are bounded by clusters × labels.
     "q214_cluster_ari" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1197,9 +1199,11 @@ object PipelineQueries {
           FROM (SELECT count(*) AS b FROM lab GROUP BY source)),
         nn AS (SELECT count(*) AS n FROM lab)
         SELECT n, n_clusters, n_labels, p_ij, p_a, p_b,
-          round((p_ij - CAST(p_a * p_b AS DOUBLE) / (CAST(n * (n - 1) AS BIGINT) // 2))
-            / (CAST(p_a + p_b AS DOUBLE) / 2.0
-               - CAST(p_a * p_b AS DOUBLE) / (CAST(n * (n - 1) AS BIGINT) // 2)), 6)
+          round((p_ij - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
+              / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE))
+            / (CAST(CAST(p_a AS HUGEINT) + p_b AS DOUBLE) / 2.0
+               - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE)), 6)
             AS ari
         FROM sij, sa, sb, nn"""),
       "Adjusted Rand Index: dedup clusters vs provenance, exact pair counting"),
@@ -1212,8 +1216,10 @@ object PipelineQueries {
     // and ENTROPY l-diversity (Machanavajjhala et al., ICDE 2006:
     // exp(H) of the sensitive distribution — here the account-balance
     // band) with the policy flag at l < 3. Entropy terms quantize to
-    // nano-nats (the q143 discipline), so the per-class fold is an
-    // exact long sum; enum-bounded cells throughout.
+    // nano-nats (the q143 discipline) and fold in DECIMAL(38,0) so a
+    // ~4e8-row cell cannot wrap the sum; class totals ride a window
+    // PARTITION BY the QIDs (NULL-safe — an equi-join would drop
+    // NULL-valued QID classes from the audit); enum-bounded cells.
     "q215_l_diversity" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1226,12 +1232,15 @@ object PipelineQueries {
       Some("""WITH cls AS (SELECT c_nationkey AS nat, c_mktsegment AS seg,
             CAST(floor(c_acctbal / 2000) AS BIGINT) AS band, count(*) AS c
           FROM customer GROUP BY 1, 2, 3),
-        per AS (SELECT nat, seg, CAST(sum(c) AS BIGINT) AS n,
-            count(*) AS l_distinct FROM cls GROUP BY 1, 2),
-        terms AS (SELECT cls.nat, cls.seg, per.n, per.l_distinct,
-            cls.c * CAST(round(1e9 * ln(CAST(per.n AS DOUBLE) / cls.c)) AS BIGINT)
-              AS term
-          FROM cls JOIN per USING (nat, seg))
+        per AS (SELECT nat, seg, c,
+            CAST(sum(c) OVER (PARTITION BY nat, seg) AS BIGINT) AS n,
+            count(*) OVER (PARTITION BY nat, seg) AS l_distinct
+          FROM cls),
+        terms AS (SELECT nat, seg, n, l_distinct,
+            CAST(c AS DECIMAL(38,0)) *
+              CAST(CAST(round(1e9 * ln(CAST(n AS DOUBLE) / c)) AS BIGINT)
+                AS DECIMAL(38,0)) AS term
+          FROM per)
         SELECT nat, seg, n, l_distinct,
           round(exp(CAST(sum(term) AS DOUBLE) / 1e9 / n), 6) AS entropy_l,
           CAST(l_distinct < 3 AS INTEGER) AS at_risk

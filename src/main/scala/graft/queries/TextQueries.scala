@@ -404,9 +404,13 @@ object TextQueries {
     // "they agree no more than chance would force": κ = (p_o − p_e)/
     // (1 − p_e) with p_e from the marginal products. Everything is
     // exact integer until the one final division — κ's numerator and
-    // denominator ship as N·ΣdiagN − Σr_k·c_k and N² − Σr_k·c_k, both
-    // longs, so the compare is arithmetic, not float-lucky. Confusion
+    // denominator, N·ΣdiagN − Σr_k·c_k and N² − Σr_k·c_k, run in
+    // DECIMAL(38,0) on the Spark side and HUGEINT in the mirror (the
+    // products pass a LONG once N nears ~3e9 documents), so the compare
+    // stays arithmetic, not float-lucky, at any corpus size. Confusion
     // cells are langs² ≤ 16; one corpus aggregate feeds everything.
+    // sum_rc ships as BIGINT — its decimal value is cast at the output
+    // boundary only, after the wide arithmetic is done.
     "q216_cohens_kappa" -> Q(
       (s, d) => {
         import s.implicits._
@@ -427,17 +431,20 @@ object TextQueries {
           .localCheckpoint() // diag + both marginals share it
         val agree = conf.filter($"lang" === $"pred")
           .agg(coalesce(sum($"n"), lit(0L)).as("n_agree"))
+        def d38(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
         val rc = conf.groupBy($"lang").agg(sum($"n").as("rk"))
           .join(conf.groupBy($"pred").agg(sum($"n").as("ck")),
             $"lang" === $"pred")
-          .agg(sum($"rk" * $"ck").as("sum_rc"))
+          .agg(sum(d38($"rk") * d38($"ck")).as("sum_rc_w"))
         val tot = conf.agg(sum($"n").as("nn"))
         tot.crossJoin(broadcast(agree)).crossJoin(broadcast(rc))
-          .select($"nn".as("n"), $"n_agree", $"sum_rc",
+          .select($"nn".as("n"), $"n_agree", $"sum_rc_w".cast("long").as("sum_rc"),
             round($"n_agree".cast("double") / $"nn", 6).as("po"),
-            round($"sum_rc".cast("double") / ($"nn" * $"nn"), 6).as("pe"),
-            round(($"nn" * $"n_agree" - $"sum_rc").cast("double") /
-              ($"nn" * $"nn" - $"sum_rc"), 6).as("kappa"))
+            round($"sum_rc_w".cast("double") /
+              (d38($"nn") * d38($"nn")).cast("double"), 6).as("pe"),
+            round((d38($"nn") * d38($"n_agree") - $"sum_rc_w").cast("double") /
+              (d38($"nn") * d38($"nn") - $"sum_rc_w").cast("double"), 6)
+              .as("kappa"))
       },
       Some("""WITH sc AS (SELECT lang,
           COALESCE(len(list_filter(string_split(lower(text),' '), w -> w IN ('the','a','of','and'))), 0) AS en,
@@ -451,15 +458,17 @@ object TextQueries {
           FROM sc GROUP BY 1, 2),
         agree AS (SELECT COALESCE(CAST(sum(n) AS BIGINT), 0) AS n_agree
           FROM conf WHERE lang = pred),
-        rc AS (SELECT CAST(sum(rk * ck) AS BIGINT) AS sum_rc
+        rc AS (SELECT CAST(sum(CAST(rk AS HUGEINT) * ck) AS HUGEINT) AS sum_rc_w
           FROM (SELECT lang, CAST(sum(n) AS BIGINT) AS rk FROM conf GROUP BY lang) r
           JOIN (SELECT pred, CAST(sum(n) AS BIGINT) AS ck FROM conf GROUP BY pred) c
             ON r.lang = c.pred),
         tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM conf)
-        SELECT nn AS n, n_agree, sum_rc,
+        SELECT nn AS n, n_agree, CAST(sum_rc_w AS BIGINT) AS sum_rc,
           round(CAST(n_agree AS DOUBLE) / nn, 6) AS po,
-          round(CAST(sum_rc AS DOUBLE) / (nn * nn), 6) AS pe,
-          round(CAST(nn * n_agree - sum_rc AS DOUBLE) / (nn * nn - sum_rc), 6)
+          round(CAST(sum_rc_w AS DOUBLE)
+            / CAST(CAST(nn AS HUGEINT) * nn AS DOUBLE), 6) AS pe,
+          round(CAST(CAST(nn AS HUGEINT) * n_agree - sum_rc_w AS DOUBLE)
+            / CAST(CAST(nn AS HUGEINT) * nn - sum_rc_w AS DOUBLE), 6)
             AS kappa
         FROM tot, agree, rc"""),
       "Cohen's kappa: chance-corrected declared-vs-detected language agreement"),

@@ -138,6 +138,24 @@ class CurationOpsSpec extends SparkSpec {
       s"l-diversity hand case diverged: $got")
   }
 
+  test("lDiversity reports a NULL-QID class instead of dropping it") {
+    import spark.implicits._
+    // A privacy audit must see the class whose quasi-identifier is NULL
+    // — the old groupBy+equi-join silently discarded it (the join's
+    // null-dropping equality), under-reporting at-risk classes. The
+    // window-partition form groups NULLs exactly like groupBy does.
+    val rows = Seq((Option("A"), 1L), (Option("A"), 2L), (Option("A"), 3L),
+      (Option.empty[String], 7L), (Option.empty[String], 7L))
+      .toDF("qid", "sens")
+    val got = graft.operators.Quality.lDiversity(rows, Seq("qid"), "sens")
+      .select($"qid", $"n", $"l_distinct", $"entropy_l", $"at_risk")
+      .as[(Option[String], Long, Long, Double, Int)].collect().toSeq
+      .sortBy(_._1.getOrElse(""))
+    assert(got == Seq((None, 2L, 1L, 1.0, 1),
+      (Some("A"), 3L, 3L, 3.0, 0)),
+      s"NULL-QID class must be audited (degenerate, at risk): $got")
+  }
+
   test("caliperMatch: nearest wins, ties go to the lower value, one-sided matches") {
     import spark.implicits._
     // stratum s1 (values in cents): controls at 100 and 200;

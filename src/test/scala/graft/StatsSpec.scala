@@ -243,6 +243,25 @@ class StatsSpec extends SparkSpec {
       .select($"ari").as[Double].collect()(0) == 1.0)
   }
 
+  test("clusterAri survives marginal products past Long.MaxValue (decimal widening)") {
+    import org.apache.spark.sql.functions._
+    // 120k rows, ONE cluster, labels split 60k/60k:
+    //   p_a = C(120000,2) = 7,199,940,000   p_b = 2*C(60000,2) = 3,599,940,000
+    //   p_a * p_b ~ 2.6e19 > Long.MaxValue — the pre-widening LONG product
+    //   wrapped to ~7.5e18, driving expct to ~1.04e9 and ARI to ~0.587.
+    // With one cluster, expct = p_a*p_b/C(n,2) = p_b = p_ij exactly, so the
+    //   true ARI is 0 — a wraparound anywhere shows up as a huge shift.
+    val lab = spark.range(120000L)
+      .select($"id", lit("a").as("cl"),
+        when($"id" < 60000L, "x").otherwise("y").as("lb"))
+    val r = Stats.clusterAri(lab, "cl", "lb")
+      .select($"p_a", $"p_b", $"p_ij", $"ari")
+      .as[(Long, Long, Long, Double)].collect()(0)
+    assert(r._1 == 7199940000L && r._2 == 3599940000L && r._3 == 3599940000L,
+      s"pair counts diverged: $r")
+    assert(r._4 == 0.0, s"one-cluster ARI must be exactly 0 (got ${r._4})")
+  }
+
   test("msprtMonitor: injected shift rejects, symmetric A/A never does") {
     // synthetic 30-day two-arm stream in cents: arms identical except a
     // +20%-of-mean treatment shift in the effect case. Moments are exact

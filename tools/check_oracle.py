@@ -53,6 +53,28 @@ def main(out_dir, sf_dir):
         got_cols = sorted(got.columns)
         got_idx = [got.columns.index(c) for c in got_cols]
         got_rows = [tuple(r[i] for i in got_idx) for r in got.fetchall()]
+        # The driver's hash is dtype-sensitive: a DuckDB HUGEINT/DECIMAL
+        # column hashes differently from Spark's BIGINT even when every
+        # value is equal (q207/q212 failed r10 exactly this way). Flag
+        # any numeric-kind divergence between oracle and Spark types.
+        exp_types = {c: str(t) for c, t in zip(exp.columns, exp.types)}
+        got_types = {r[0]: r[1] for r in con.sql(
+            f"DESCRIBE SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()}
+        # int width does not matter (python ints hash the same); what
+        # matters is HUGEINT/DECIMAL vs plain int — pyarrow renders those
+        # as decimal objects, which the driver hashes differently.
+        def kind(t):
+            t = t.upper()
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"): return "INT"
+            if t.startswith("DECIMAL") or t == "HUGEINT": return "WIDE"
+            return t
+        tbad = [(c, exp_types[c], got_types.get(c))
+                for c in exp_cols
+                if c in got_types and kind(exp_types[c]) != kind(got_types[c])]
+        if tbad:
+            print(f"FAIL {name}: dtype divergence (driver hash-sensitive): {tbad}")
+            n_fail += 1
+            continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns spark={got_cols} oracle={exp_cols}")
             n_fail += 1
