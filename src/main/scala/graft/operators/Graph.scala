@@ -264,6 +264,96 @@ object Graph {
       pr_final AS (SELECT node, CAST(r AS BIGINT) AS rank FROM pr_r$iters)"""
   }
 
+  /** `iters` rounds of HITS hubs-and-authorities (Kleinberg, JACM
+    * 1999) over directed `edges` (columns `src`, `dst`; duplicates
+    * counted once). Fixed-point integer arithmetic in the q128
+    * discipline: scores live in units of `scale`, each half-round is
+    *   a_raw(v) = Σ_{u→v} h(u)        then L1-normalize:
+    *   a(v)     = (a_raw(v)·scale) div Σ a_raw
+    * (and symmetrically h from a), with the products and the global
+    * sum widened to DECIMAL(38,0) so a_raw·scale cannot wrap a LONG —
+    * `div` on decimals floor-divides back to BIGINT, so every score
+    * table is a long column and the DuckDB oracle replays all rounds
+    * bit-for-bit via HUGEINT ([[hitsOracleCtes]]).
+    *
+    * Scale shape: TWO pre-partitioned edge copies are materialized
+    * once — by dst (authority aggregate) and by src (hub aggregate);
+    * each half-round then broadcasts the node-sized score table and
+    * reuses the matching edge partitioning, so no per-round edge
+    * shuffle (the q128 broadcast regime; at billions of nodes swap the
+    * broadcasts for aligned shuffle joins exactly as pageRankFixed's
+    * `broadcastRanks = false` arm does). The L1 sum is one map-side-
+    * combined aggregate per half-round. Returns (node, auth, hub). */
+  def hitsFixed(edges: DataFrame, src: String, dst: String, iters: Int,
+                scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && scale > 0, s"bad params: iters=$iters scale=$scale")
+    val eDistinct = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct()
+    val eByDst = eDistinct.repartition(col("dst")).localCheckpoint()
+    val eBySrc = eDistinct.repartition(col("src")).localCheckpoint()
+    val nodes = eDistinct.select(col("src").as("node"))
+      .union(eDistinct.select(col("dst"))).distinct()
+      .localCheckpoint()
+    def normalize(raw: DataFrame, scoreCol: String): DataFrame = {
+      // Σ raw as decimal; the one-row sum travels as a broadcast
+      val s = raw.agg(sum(col("raw")).as("s"))
+      nodes.join(raw, Seq("node"), "left_outer")
+        .crossJoin(broadcast(s))
+        .select(col("node"),
+          expr(s"(coalesce(raw, CAST(0 AS DECIMAL(38,0))) * ${scale}L) div s")
+            .as(scoreCol))
+        .localCheckpoint(eager = false)
+    }
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      // per-node raw sums fold in DECIMAL(38,0) (mirror: HUGEINT) — a
+      // high-degree hub at scale 1e9 would pass a LONG near indeg ~9e9
+      val aRaw = eByDst
+        .join(broadcast(hub.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hub").cast("decimal(38,0)")).as("raw"))
+      auth = normalize(aRaw, "auth")
+      val hRaw = eBySrc
+        .join(broadcast(auth.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("auth").cast("decimal(38,0)")).as("raw"))
+      hub = normalize(hRaw, "hub")
+    }
+    auth.join(hub, "node")
+  }
+
+  /** DuckDB mirror of [[hitsFixed]]: the identical normalize-by-L1
+    * integer recurrence as chained CTE rounds. Expects a CTE
+    * `edges(src, dst)` (pre-distinct) in scope; exposes
+    * `hits_final(node, auth, hub)`. */
+  def hitsOracleCtes(iters: Int, scale: Long = 1000000000L): String = {
+    require(iters >= 1, s"oracle CTE chain needs iters >= 1: $iters")
+    val rounds = (1 to iters).map { i =>
+      s"""hits_ar$i AS (SELECT e.dst AS node, CAST(sum(h.hub) AS HUGEINT) AS raw
+            FROM edges e JOIN hits_h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+          hits_as$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS s FROM hits_ar$i),
+          hits_a$i AS MATERIALIZED (SELECT n.node,
+              CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * $scale
+                // (SELECT s FROM hits_as$i) AS BIGINT) AS auth
+            FROM hits_nodes n LEFT JOIN hits_ar$i r ON n.node = r.node),
+          hits_hr$i AS (SELECT e.src AS node, CAST(sum(a.auth) AS HUGEINT) AS raw
+            FROM edges e JOIN hits_a$i a ON e.dst = a.node GROUP BY e.src),
+          hits_hs$i AS (SELECT CAST(sum(raw) AS HUGEINT) AS s FROM hits_hr$i),
+          hits_h$i AS MATERIALIZED (SELECT n.node,
+              CAST(CAST(coalesce(r.raw, 0) AS HUGEINT) * $scale
+                // (SELECT s FROM hits_hs$i) AS BIGINT) AS hub
+            FROM hits_nodes n LEFT JOIN hits_hr$i r ON n.node = r.node)"""
+    }.mkString(",\n")
+    s"""hits_nodes AS (SELECT src AS node FROM edges
+          UNION SELECT dst FROM edges),
+      hits_h0 AS (SELECT node, CAST($scale AS BIGINT) AS hub FROM hits_nodes),
+      $rounds,
+      hits_final AS (SELECT a.node, a.auth, h.hub
+        FROM hits_a$iters a JOIN hits_h$iters h ON a.node = h.node)"""
+  }
+
   /** Absorption-probability iteration over scenario-tagged Markov
     * chains (the compute core of removal-effect attribution, Anderl et
     * al. 2016): given nano-scaled transition probabilities

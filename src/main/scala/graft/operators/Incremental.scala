@@ -55,4 +55,36 @@ object Incremental {
         (col("sum_cents").cast("double") / 100.0).as("total"),
         round(col("sum_cents").cast("double") / col("n") / 100.0, 4).as("avg_value"),
         col("mn"), col("mx")): _*)
+
+  /** Slowly-changing-dimension type 2 build (Kimball's SCD2) from a
+    * change stream of (key, ordinal, tiebreak, attribute) rows: collapse
+    * consecutive rows whose attribute did NOT change, then stitch each
+    * change's `valid_from` to the next change's ordinal as `valid_to`
+    * (NULL = still current). The attribute compare is NULL-SAFE (`<=>`):
+    * a NULL attribute is a real dimension state — x→NULL→x is two
+    * changes, and plain `=!=` would misread both edges. The sibling of
+    * [[graft.queries.RelationalQueries]] q80's CDC latest-state: q80
+    * keeps the head of each key's history, this keeps the whole
+    * versioned timeline a point-in-time join can range-probe.
+    *
+    * Scale shape: two window passes over the SAME (key)-partitioned
+    * (ordinal, tiebreak) sort — Spark plans one Exchange + one Sort and
+    * runs both lag and lead in that single sorted pass per key; state
+    * is one row per key partition, never history-proportional. */
+  def scd2(df: DataFrame, key: String, ord: String, tie: String,
+           attr: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(ord), col(tie))
+    val changes = df
+      .withColumn("__prev", lag(col(attr), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col(attr) <=> col("__prev")))
+    val wc = Window.partitionBy(col(key)).orderBy(col(ord), col(tie))
+    changes
+      .withColumn("valid_to", lead(col(ord), 1).over(wc))
+      .withColumn("version", row_number().over(wc))
+      .select(col(key), col(attr), col("version"),
+        col(ord).as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
 }

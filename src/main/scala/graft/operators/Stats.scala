@@ -322,6 +322,71 @@ object Stats {
       .orderBy(col("t_days"))
   }
 
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto, JRSS-A 1972)
+    * over per-subject (`life`, `ev`, `grp`) rows — grp ∈ {0, 1}, ev = 1
+    * for an observed event, 0 for right-censoring. At each distinct
+    * event time the observed group-1 events d₁ are compared with the
+    * hypergeometric expectation d·n₁/n and variance
+    * d·(n−d)/(n−1)·n₁/n·(n−n₁)/n; the χ² statistic is (O₁−E₁)²/V.
+    * Per-time expectation and variance quantize to nano-units so the
+    * fold is an exact integer sum in DECIMAL(38,0) — both engines
+    * evaluate the identical double expression (same operand order) on
+    * exact integer inputs before the one round-to-nano, so the folded
+    * sums compare arithmetically. Both at-risk curves come from one
+    * cumulative sum over the (life × grp) histogram; window state is
+    * bounded by the time domain, never the subject count (the
+    * [[kaplanMeier]] shape). The nano quantization is exact while
+    * 1e9·d·n₁/n < 2⁵³ — i.e. up to ~9e6 events at a single time point;
+    * beyond that the two engines still agree (identical IEEE
+    * expression) but the nano value itself carries float error.
+    * One row out: (n0, n1, o1, e1, v1, chi2). */
+  def logRank(per: DataFrame, life: String = "life", ev: String = "ev",
+              grp: String = "grp"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val hist = per.groupBy(col(life))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col(grp) === 1, 1L).otherwise(0L)).as("c_1"),
+        sum(col(ev)).as("d_all"),
+        sum(when(col(grp) === 1, col(ev)).otherwise(0L)).as("d_1"))
+      .localCheckpoint() // at-risk cumsums + event rows share it
+    val before = Window.orderBy(col(life))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val whole = Window.orderBy(col(life)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val terms = hist
+      .withColumn("n_at",
+        sum(col("c_all")).over(whole) -
+          coalesce(sum(col("c_all")).over(before), lit(0L)))
+      .withColumn("n1_at",
+        sum(col("c_1")).over(whole) -
+          coalesce(sum(col("c_1")).over(before), lit(0L)))
+      .filter(col("d_all") > 0 && col("n_at") > 1)
+      // identical operand order in the DuckDB mirror: left-to-right
+      // 1e9 * d1? no — e = 1e9 * d * n1 / n ; v = 1e9 * d * (n-d)
+      //   / (n-1) * n1 / n * (n - n1) / n — each step a double op on
+      // exact integer-valued operands, then ONE round to nano
+      .select(
+        col("d_1"),
+        expr("CAST(round(1e9 * d_all * n1_at / n_at) AS BIGINT)").as("e_nano"),
+        expr("CAST(round(1e9 * d_all * (n_at - d_all) / (n_at - 1) " +
+          "* n1_at / n_at * (n_at - n1_at) / n_at) AS BIGINT)").as("v_nano"))
+    val counts = per.agg(
+      sum(when(col(grp) === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col(grp) === 1, 1L).otherwise(0L)).as("n1"))
+    terms
+      .agg(sum(col("d_1")).as("o1"),
+        sum(d38(col("e_nano"))).as("e1n"),
+        sum(d38(col("v_nano"))).as("v1n"))
+      .crossJoin(broadcast(counts))
+      .select(col("n0"), col("n1"), col("o1"),
+        round(col("e1n").cast("double") / 1e9, 6).as("e1"),
+        round(col("v1n").cast("double") / 1e9, 6).as("v1"),
+        round((col("o1").cast("double") - col("e1n").cast("double") / 1e9) *
+          (col("o1").cast("double") - col("e1n").cast("double") / 1e9) /
+          (col("v1n").cast("double") / 1e9), 6).as("chi2"))
+  }
+
   /** Always-valid mSPRT monitor (Johari, Koomen, Pekelis, Walsh —
     * KDD'17) over a per-period two-arm frame (`day`, nt, st, nc, sc,
     * ss): cumulative per-arm moments give the running mean difference

@@ -267,4 +267,56 @@ object TimeSeries {
           col("n").cast("double") * col("xbar") * col("xbar"))).as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** Holt's linear-trend double exponential smoothing (Holt 1957 /
+    * Winters 1960, no seasonal term) over a CALENDAR-BOUNDED series of
+    * (ordinal, integer cents) rows — level and trend in micro-cents,
+    * the recurrence run as ten-digit integer fixed point:
+    *   l_t = (aNum·y_t·1e6 + (aDen−aNum)·(l_{t−1}+b_{t−1})) quot aDen
+    *   b_t = (bNum·(l_t−l_{t−1}) + (bDen−bNum)·b_{t−1})     quot bDen
+    * with `quot` truncating toward zero — Scala's Long `/`, Spark's
+    * `div`, and DuckDB's `//` all truncate, so the whole trajectory is
+    * bit-reproducible and the oracle replays it as ONE recursive CTE.
+    * Init: l₁ = y₁·1e6, b₁ = (y₂−y₁)·1e6 (the standard two-point
+    * start). The recurrence is inherently sequential, so it runs as
+    * the DECLARED driver-bounded fold (the q202/q217 pattern): the
+    * input must be a pre-aggregated calendar series — `maxRows` (1000)
+    * fails loudly if a caller hands it raw rows. Emits one row per
+    * period: (ordinal, cents, level_micro, trend_micro,
+    * forecast_micro) where forecast is the one-step-ahead l+b. */
+  def holtLinear(series: DataFrame, ord: String, cents: String,
+                 aNum: Long = 2, aDen: Long = 10,
+                 bNum: Long = 1, bDen: Long = 10,
+                 maxRows: Int = 1000): DataFrame = {
+    require(aNum > 0 && aDen > aNum && bNum > 0 && bDen > bNum,
+      s"smoothing fractions must lie in (0,1): $aNum/$aDen, $bNum/$bDen")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val rows = series.select(col(ord).cast("long"), col(cents).cast("long"))
+      .orderBy(col(ord)).as[(Long, Long)].collect()
+    require(rows.length >= 2,
+      s"holtLinear needs >= 2 periods: ${rows.length}")
+    require(rows.length <= maxRows,
+      s"holtLinear is a declared calendar-bounded driver fold: " +
+        s"${rows.length} rows > $maxRows — pre-aggregate the series")
+    // micro-cent headroom: aNum·y·1e6 and 8·(l+b) must stay inside a
+    // Long — fail loudly at ~$9B/period rather than wrapping silently
+    val lim = Long.MaxValue / 1000000L / (aDen max bDen)
+    require(rows.forall(r => math.abs(r._2) < lim),
+      s"holtLinear micro fixed point caps |cents| at $lim per period")
+    val out = Array.ofDim[(Long, Long, Long, Long, Long)](rows.length)
+    var l = rows(0)._2 * 1000000L
+    var b = (rows(1)._2 - rows(0)._2) * 1000000L
+    out(0) = (rows(0)._1, rows(0)._2, l, b, l + b)
+    for (t <- 1 until rows.length) {
+      val y = rows(t)._2 * 1000000L
+      val lPrev = l
+      l = (aNum * y + (aDen - aNum) * (lPrev + b)) / aDen
+      b = (bNum * (l - lPrev) + (bDen - bNum) * b) / bDen
+      out(t) = (rows(t)._1, rows(t)._2, l, b, l + b)
+    }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF(ord, cents, "level_micro", "trend_micro", "forecast_micro")
+      .orderBy(col(ord))
+  }
 }
