@@ -294,14 +294,16 @@ object Graph {
     val nodes = eDistinct.select(col("src").as("node"))
       .union(eDistinct.select(col("dst"))).distinct()
       .localCheckpoint()
+    // SPARSE normalize: a zero-raw node scores (0·scale) div s = 0 and a
+    // zero score contributes nothing to the next half-round's sums, so
+    // the rounds carry only the nonzero rows (on a bipartite graph that
+    // halves every broadcast) and the all-nodes zero fill happens ONCE
+    // at the end — algebraically identical to the oracle's dense rounds
     def normalize(raw: DataFrame, scoreCol: String): DataFrame = {
       // Σ raw as decimal; the one-row sum travels as a broadcast
       val s = raw.agg(sum(col("raw")).as("s"))
-      nodes.join(raw, Seq("node"), "left_outer")
-        .crossJoin(broadcast(s))
-        .select(col("node"),
-          expr(s"(coalesce(raw, CAST(0 AS DECIMAL(38,0))) * ${scale}L) div s")
-            .as(scoreCol))
+      raw.crossJoin(broadcast(s))
+        .select(col("node"), expr(s"(raw * ${scale}L) div s").as(scoreCol))
         .localCheckpoint(eager = false)
     }
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
@@ -321,7 +323,10 @@ object Graph {
         .agg(sum(col("auth").cast("decimal(38,0)")).as("raw"))
       hub = normalize(hRaw, "hub")
     }
-    auth.join(hub, "node")
+    nodes.join(auth, Seq("node"), "left_outer")
+      .join(hub, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
   }
 
   /** DuckDB mirror of [[hitsFixed]]: the identical normalize-by-L1

@@ -339,7 +339,9 @@ object Stats {
     * 1e9·d·n₁/n < 2⁵³ — i.e. up to ~9e6 events at a single time point;
     * beyond that the two engines still agree (identical IEEE
     * expression) but the nano value itself carries float error.
-    * One row out: (n0, n1, o1, e1, v1, chi2). */
+    * One row out: (n0, n1, o1, e1, v1, chi2); chi2 is NULL by contract
+    * on a degenerate cohort (zero variance — every event time single-
+    * group, or no events at all) rather than a silent NaN/∞. */
   def logRank(per: DataFrame, life: String = "life", ev: String = "ev",
               grp: String = "grp"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -379,12 +381,19 @@ object Stats {
         sum(d38(col("e_nano"))).as("e1n"),
         sum(d38(col("v_nano"))).as("v1n"))
       .crossJoin(broadcast(counts))
+      // degenerate-cohort contract: when every event time has all its
+      // at-risk subjects in one group (n1_at ∈ {0, n_at}) the variance
+      // sum is 0 and the statistic is undefined — chi2 is then NULL BY
+      // CONTRACT (an explicit guard, not a silent NaN/∞ leak), as is the
+      // no-event cohort where the sums themselves are NULL
       .select(col("n0"), col("n1"), col("o1"),
         round(col("e1n").cast("double") / 1e9, 6).as("e1"),
         round(col("v1n").cast("double") / 1e9, 6).as("v1"),
-        round((col("o1").cast("double") - col("e1n").cast("double") / 1e9) *
-          (col("o1").cast("double") - col("e1n").cast("double") / 1e9) /
-          (col("v1n").cast("double") / 1e9), 6).as("chi2"))
+        when(col("v1n") > 0,
+          round((col("o1").cast("double") - col("e1n").cast("double") / 1e9) *
+            (col("o1").cast("double") - col("e1n").cast("double") / 1e9) /
+            (col("v1n").cast("double") / 1e9), 6))
+          .otherwise(lit(null).cast("double")).as("chi2"))
   }
 
   /** Always-valid mSPRT monitor (Johari, Koomen, Pekelis, Walsh —

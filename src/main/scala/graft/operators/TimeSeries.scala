@@ -299,21 +299,28 @@ object TimeSeries {
     require(rows.length <= maxRows,
       s"holtLinear is a declared calendar-bounded driver fold: " +
         s"${rows.length} rows > $maxRows — pre-aggregate the series")
-    // micro-cent headroom: aNum·y·1e6 and 8·(l+b) must stay inside a
-    // Long — fail loudly at ~$9B/period rather than wrapping silently
+    // micro-cent headroom: the per-period cap (~$9B/period) sizes the
+    // COMMON case, but it does not bound the recurrence state — b's
+    // two-point init is a DELTA (up to 2x the cap) and a sign-swinging
+    // near-cap series can push (bDen-bNum)·b past a Long. Every
+    // multiply/add in the fold therefore runs *Exact: any wrap throws
+    // ArithmeticException loudly instead of corrupting the trajectory.
     val lim = Long.MaxValue / 1000000L / (aDen max bDen)
     require(rows.forall(r => math.abs(r._2) < lim),
       s"holtLinear micro fixed point caps |cents| at $lim per period")
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
     val out = Array.ofDim[(Long, Long, Long, Long, Long)](rows.length)
-    var l = rows(0)._2 * 1000000L
-    var b = (rows(1)._2 - rows(0)._2) * 1000000L
-    out(0) = (rows(0)._1, rows(0)._2, l, b, l + b)
+    var l = multiplyExact(rows(0)._2, 1000000L)
+    var b = multiplyExact(subtractExact(rows(1)._2, rows(0)._2), 1000000L)
+    out(0) = (rows(0)._1, rows(0)._2, l, b, addExact(l, b))
     for (t <- 1 until rows.length) {
-      val y = rows(t)._2 * 1000000L
+      val y = multiplyExact(rows(t)._2, 1000000L)
       val lPrev = l
-      l = (aNum * y + (aDen - aNum) * (lPrev + b)) / aDen
-      b = (bNum * (l - lPrev) + (bDen - bNum) * b) / bDen
-      out(t) = (rows(t)._1, rows(t)._2, l, b, l + b)
+      l = addExact(multiplyExact(aNum, y),
+        multiplyExact(aDen - aNum, addExact(lPrev, b))) / aDen
+      b = addExact(multiplyExact(bNum, subtractExact(l, lPrev)),
+        multiplyExact(bDen - bNum, b)) / bDen
+      out(t) = (rows(t)._1, rows(t)._2, l, b, addExact(l, b))
     }
     spark.createDataFrame(out.toIndexedSeq)
       .toDF(ord, cents, "level_micro", "trend_micro", "forecast_micro")

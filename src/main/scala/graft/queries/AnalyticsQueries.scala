@@ -864,6 +864,42 @@ object AnalyticsQueries {
         SELECT user_id, max(n) AS n_events,
           string_agg(event_type, '>' ORDER BY rn) AS seq
         FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id"""),
-      "per-user ordered event sequences, cap-bounded before collection")
+      "per-user ordered event sequences, cap-bounded before collection"),
+
+    // ------------------------------------------------------------- HITS
+    // Kleinberg's hubs-and-authorities over the DIRECTED customer →
+    // supplier trade graph (the one-way sibling of q128's symmetrized
+    // PageRank): customers that buy from many strong suppliers become
+    // hubs, suppliers bought by many strong hubs become authorities.
+    // Three L1-normalized half-round pairs in the q128 fixed-point
+    // integer discipline — the oracle replays every round bit-for-bit
+    // through [[graft.operators.Graph.hitsOracleCtes]]'s HUGEINT CTE
+    // chain, so this registration IS the cross-engine replay of the
+    // operator (the GraphSpec hand pin covers the tiny-graph algebra).
+    "q218_hits" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val cust = t(s, d, "customer")
+          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+          .join(cust, col("o_custkey") === cust("c_custkey"))
+        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+        graft.operators.Graph.hitsFixed(cs, "src", "dst", iters = 3)
+          .orderBy($"auth".desc, $"node")
+          .limit(20)
+      },
+      Some(s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+            's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_nationkey IN (7, 8)),
+        edges AS (SELECT src, dst FROM cs),
+        ${graft.operators.Graph.hitsOracleCtes(3)}
+        SELECT node, auth, hub FROM hits_final
+        ORDER BY auth DESC, node LIMIT 20"""),
+      "fixed-point HITS hubs/authorities, 3 oracled L1-normalized rounds")
   )
 }

@@ -1337,6 +1337,113 @@ object PipelineQueries {
           FROM wtot wt JOIN gtot gt USING (prio) JOIN it10 USING (prio)
           ORDER BY wt.prio"""
       },
-      "Bradley-Terry preference strengths via ten integer fixed-point MM iterations")
+      "Bradley-Terry preference strengths via ten integer fixed-point MM iterations"),
+
+    // ------------------------------------------------------- log-rank test
+    // The two-cohort sequel to q207's Kaplan-Meier curve: does the
+    // BUILDING market segment retain customers differently from the
+    // rest? [[graft.operators.Stats.logRank]] (Mantel 1966) folds the
+    // per-event-time hypergeometric O−E and variance terms — quantized
+    // to exact nano integers so the DECIMAL(38,0)/HUGEINT sums compare
+    // arithmetically — into one (n0, n1, o1, e1, v1, chi2) row. Window
+    // state is bounded by the day calendar (the q207 shape), never the
+    // customer count; chi2 is NULL by contract on a zero-variance
+    // degenerate cohort.
+    "q220_logrank" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val per = t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(datediff(max($"o_orderdate"), min($"o_orderdate")).as("life"),
+            (max($"o_orderdate") < "1998-06-01").cast("long").as("ev"))
+          .join(t(s, d, "customer").select($"c_custkey",
+            ($"c_mktsegment" === "BUILDING").cast("long").as("grp")),
+            $"o_custkey" === $"c_custkey")
+        graft.operators.Stats.logRank(per)
+      },
+      Some("""WITH lt AS (SELECT o_custkey,
+            date_diff('day', min(o_orderdate), max(o_orderdate)) AS life,
+            CAST(max(o_orderdate) < TIMESTAMP '1998-06-01 00:00:00' AS BIGINT) AS ev
+          FROM orders GROUP BY 1),
+        per AS (SELECT lt.*, CAST(c_mktsegment = 'BUILDING' AS BIGINT) AS grp
+          FROM lt JOIN customer ON o_custkey = c_custkey),
+        hist AS (SELECT life, count(*) AS c_all,
+            CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_1,
+            CAST(sum(ev) AS BIGINT) AS d_all,
+            CAST(sum(CASE WHEN grp = 1 THEN ev ELSE 0 END) AS BIGINT) AS d_1
+          FROM per GROUP BY life),
+        risk AS (SELECT *,
+            CAST(sum(c_all) OVER () - COALESCE(sum(c_all) OVER (ORDER BY life
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at,
+            CAST(sum(c_1) OVER () - COALESCE(sum(c_1) OVER (ORDER BY life
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1_at
+          FROM hist),
+        terms AS (SELECT d_1,
+            CAST(round(1e9 * d_all * n1_at / n_at) AS BIGINT) AS e_nano,
+            CAST(round(1e9 * d_all * (n_at - d_all) / (n_at - 1)
+              * n1_at / n_at * (n_at - n1_at) / n_at) AS BIGINT) AS v_nano
+          FROM risk WHERE d_all > 0 AND n_at > 1),
+        counts AS (SELECT
+            CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+          FROM per),
+        fin AS (SELECT CAST(sum(d_1) AS BIGINT) AS o1,
+            CAST(sum(CAST(e_nano AS HUGEINT)) AS HUGEINT) AS e1n,
+            CAST(sum(CAST(v_nano AS HUGEINT)) AS HUGEINT) AS v1n
+          FROM terms)
+        SELECT n0, n1, o1,
+          round(CAST(e1n AS DOUBLE) / 1e9, 6) AS e1,
+          round(CAST(v1n AS DOUBLE) / 1e9, 6) AS v1,
+          CASE WHEN v1n > 0 THEN
+            round((CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)
+              * (CAST(o1 AS DOUBLE) - CAST(e1n AS DOUBLE) / 1e9)
+              / (CAST(v1n AS DOUBLE) / 1e9), 6)
+          END AS chi2
+        FROM fin CROSS JOIN counts"""),
+      "Mantel log-rank: BUILDING-vs-rest customer retention, nano-exact folds"),
+
+    // ------------------------------------------- Holt linear smoothing
+    // Double exponential smoothing with a linear trend (Holt 1957) over
+    // the monthly revenue calendar — level/trend in micro-cent integer
+    // fixed point, so the inherently sequential recurrence is
+    // bit-reproducible and the oracle replays the WHOLE trajectory as
+    // one recursive CTE (truncating integer division matches: Scala /,
+    // DuckDB // both round toward zero). The driver fold is DECLARED
+    // calendar-bounded ([[graft.operators.TimeSeries.holtLinear]]
+    // fails loudly past 1000 periods or on any Long wrap via *Exact
+    // arithmetic); the heavy lifting — the monthly aggregate — is one
+    // map-side-combined shuffle over the raw rows.
+    "q221_holt_linear" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ser = t(s, d, "orders")
+          .filter($"o_orderdate" >= "1994-01-01" && $"o_orderdate" < "1998-01-01")
+          .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+            .cast("long").as("ym"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        graft.operators.TimeSeries.holtLinear(ser, "ym", "cents")
+      },
+      Some("""WITH RECURSIVE ser AS (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1998-01-01'
+          GROUP BY 1),
+        idx AS MATERIALIZED (SELECT ym, cents,
+            row_number() OVER (ORDER BY ym) AS rn FROM ser),
+        holt(rn, ym, cents, l, b) AS (
+          SELECT i.rn, i.ym, i.cents, i.cents * 1000000,
+              ((SELECT cents FROM idx WHERE rn = 2) - i.cents) * 1000000
+            FROM idx i WHERE i.rn = 1
+          UNION ALL
+          SELECT i.rn, i.ym, i.cents,
+              (2 * i.cents * 1000000 + 8 * (h.l + h.b)) // 10,
+              (1 * ((2 * i.cents * 1000000 + 8 * (h.l + h.b)) // 10 - h.l)
+                + 9 * h.b) // 10
+            FROM holt h JOIN idx i ON i.rn = h.rn + 1)
+        SELECT ym, cents, l AS level_micro, b AS trend_micro,
+          l + b AS forecast_micro
+        FROM holt ORDER BY ym"""),
+      "Holt linear-trend smoothing, the full trajectory oracled as one recursive CTE")
   )
 }

@@ -910,6 +910,47 @@ object RelationalQueries {
           count(DISTINCT user_id) AS n_users
         FROM weeks JOIN cohorts USING (user_id)
         GROUP BY cohort_wk, week_offset ORDER BY cohort_wk, week_offset"""),
-      "weekly cohort retention matrix from first-active-week cohorts")
+      "weekly cohort retention matrix from first-active-week cohorts"),
+
+    // ------------------------------------- SCD2 with run-length collapse
+    // The [[graft.operators.Incremental.scd2]] build: unlike q81 (every
+    // event opens an interval), this is the Kimball dimension-history
+    // semantics — consecutive rows whose tracked attribute did NOT
+    // change collapse into one version, and each version's valid_to
+    // stitches to the NEXT CHANGE's ordinal (NULL = current). The
+    // attribute compare is null-safe (`<=>` / IS DISTINCT FROM): x →
+    // NULL → x is two real changes. Ordinals travel as epoch
+    // microseconds so both engines order and render identically.
+    "q219_scd2_collapse" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "events").filter($"user_id" < 8)
+          .select($"user_id",
+            // ts is TIMESTAMP_NTZ; the session runs UTC (the q80/q81
+            // unix_timestamp↔epoch parity), so the cast is the identity
+            unix_micros($"ts".cast("timestamp")).as("ord_us"),
+            $"event_id", $"event_type")
+        graft.operators.Incremental
+          .scd2(base, "user_id", "ord_us", "event_id", "event_type")
+          .orderBy($"user_id", $"version")
+      },
+      Some("""WITH base AS (SELECT user_id, epoch_us(ts) AS ord_us,
+            event_id, event_type
+          FROM events WHERE user_id < 8),
+        marked AS (SELECT *, lag(event_type) OVER w AS prev,
+            row_number() OVER w AS rn
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY ord_us, event_id)),
+        changes AS (SELECT * FROM marked
+          WHERE rn = 1 OR event_type IS DISTINCT FROM prev)
+        SELECT user_id, event_type,
+          CAST(row_number() OVER w2 AS INTEGER) AS version,
+          ord_us AS valid_from,
+          lead(ord_us, 1) OVER w2 AS valid_to,
+          CAST(lead(ord_us, 1) OVER w2 IS NULL AS INTEGER) AS is_current
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY ord_us, event_id)
+        ORDER BY user_id, version"""),
+      "Kimball SCD Type 2: change-collapsed versioned dimension history")
   )
 }

@@ -410,7 +410,12 @@ object TextQueries {
     // stays arithmetic, not float-lucky, at any corpus size. Confusion
     // cells are langs² ≤ 16; one corpus aggregate feeds everything.
     // sum_rc ships as BIGINT — its decimal value is cast at the output
-    // boundary only, after the wide arithmetic is done.
+    // boundary only, after the wide arithmetic is done, and that
+    // boundary is GUARDED: past ~3e9 documents Σr·c exceeds a BIGINT,
+    // where DuckDB's CAST(HUGEINT AS BIGINT) errors but Spark's
+    // non-ANSI cast would wrap silently — the explicit raise_error
+    // makes both engines fail loudly at the same boundary (pe/kappa
+    // stay wide and correct either way).
     "q216_cohens_kappa" -> Q(
       (s, d) => {
         import s.implicits._
@@ -438,7 +443,12 @@ object TextQueries {
           .agg(sum(d38($"rk") * d38($"ck")).as("sum_rc_w"))
         val tot = conf.agg(sum($"n").as("nn"))
         tot.crossJoin(broadcast(agree)).crossJoin(broadcast(rc))
-          .select($"nn".as("n"), $"n_agree", $"sum_rc_w".cast("long").as("sum_rc"),
+          .select($"nn".as("n"), $"n_agree",
+            when(abs($"sum_rc_w") <= d38(lit(Long.MaxValue)),
+              $"sum_rc_w".cast("long"))
+              .otherwise(raise_error(lit(
+                "q216 sum_rc exceeds BIGINT — report the wide column instead")))
+              .as("sum_rc"),
             round($"n_agree".cast("double") / $"nn", 6).as("po"),
             round($"sum_rc_w".cast("double") /
               (d38($"nn") * d38($"nn")).cast("double"), 6).as("pe"),

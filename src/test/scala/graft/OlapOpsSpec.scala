@@ -312,6 +312,52 @@ class OlapOpsSpec extends SparkSpec {
       "fixed-point ranks must not depend on the input partitioning")
   }
 
+  // -------------------------------------------------------------- HITS
+
+  test("HITS is bit-equal to an independent BigInt replay of the L1 recurrence") {
+    import graft.operators.Graph
+    // asymmetric directed graph with a shared target, a chain, and a
+    // duplicate edge (must count once) — every half-round exercised
+    val edges = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"),
+      ("x", "z"), ("a", "x")).toDF("src", "dst")
+    val iters = 3
+    val scale = 1000000000L
+    val got = Graph.hitsFixed(edges, "src", "dst", iters)
+      .select($"node", $"auth", $"hub")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // independent scalar replay (BigInt: nonneg, so / == the div floor)
+    val es = Seq(("a", "x"), ("b", "x"), ("c", "x"), ("a", "y"), ("x", "z"))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    var hub = nodes.map(_ -> BigInt(scale)).toMap
+    var auth = Map.empty[String, BigInt]
+    for (_ <- 1 to iters) {
+      val aRaw = es.groupBy(_._2).map { case (v, g) =>
+        v -> g.map(e => hub(e._1)).sum }
+      val aSum = aRaw.values.sum
+      auth = nodes.map(n =>
+        n -> aRaw.getOrElse(n, BigInt(0)) * scale / aSum).toMap
+      val hRaw = es.groupBy(_._1).map { case (u, g) =>
+        u -> g.map(e => auth(e._2)).sum }
+      val hSum = hRaw.values.sum
+      hub = nodes.map(n =>
+        n -> hRaw.getOrElse(n, BigInt(0)) * scale / hSum).toMap
+    }
+    val want = nodes.map(n => n -> (auth(n).toLong, hub(n).toLong)).toMap
+    assert(got == want, s"HITS trajectory diverged:\ngot  $got\nwant $want")
+    // and the algebra sanity: x is the sole multi-in-degree authority
+    assert(got("x")._1 > got("y")._1 && got("x")._1 > got("z")._1)
+  }
+
+  test("HITS is identical under repartitioning (integer arithmetic)") {
+    import graft.operators.Graph
+    val edges = (1 to 60).map(i => (s"n${i % 10}", s"n${(i * 7) % 11}"))
+      .toDF("src", "dst")
+    val a = Graph.hitsFixed(edges, "src", "dst", iters = 2)
+    val b = Graph.hitsFixed(edges.repartition(7), "src", "dst", iters = 2)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "fixed-point HITS must not depend on the input partitioning")
+  }
+
   // ------------------------------------------------------------ TWAP
 
   test("TWAP weighs values by holding time; simultaneous samples carry no weight") {

@@ -172,6 +172,45 @@ class SketchSpec extends SparkSpec {
       "3-way fold must equal the one-shot aggregate exactly")
   }
 
+  test("scd2 collapses unchanged runs and stitches valid_to to the next change") {
+    // key A: a,a,b,b,a -> three versions; the unchanged repeats vanish
+    val df = Seq(
+      ("A", 1L, 1L, Option("a")), ("A", 2L, 2L, Option("a")),
+      ("A", 3L, 3L, Option("b")), ("A", 4L, 4L, Option("b")),
+      ("A", 5L, 5L, Option("a")),
+      ("B", 1L, 6L, Option("z"))
+    ).toDF("k", "ord", "tie", "attr")
+    val got = Incremental.scd2(df, "k", "ord", "tie", "attr")
+      .select($"k", $"attr", $"version", $"valid_from", $"valid_to",
+        $"is_current")
+      .as[(String, Option[String], Int, Long, Option[Long], Int)]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    val want = Seq(
+      ("A", Option("a"), 1, 1L, Option(3L), 0),
+      ("A", Option("b"), 2, 3L, Option(5L), 0),
+      ("A", Option("a"), 3, 5L, Option.empty[Long], 1),
+      ("B", Option("z"), 1, 1L, Option.empty[Long], 1))
+    assert(got == want, s"SCD2 history diverged:\n$got")
+  }
+
+  test("scd2 attribute compare is null-safe: x -> NULL -> x is two real changes") {
+    // with =!= instead of <=> both NULL edges would be misread and the
+    // history would collapse to a single version
+    val df = Seq(
+      ("A", 1L, 1L, Option("x")), ("A", 2L, 2L, Option.empty[String]),
+      ("A", 3L, 3L, Option.empty[String]), ("A", 4L, 4L, Option("x"))
+    ).toDF("k", "ord", "tie", "attr")
+    val got = Incremental.scd2(df, "k", "ord", "tie", "attr")
+      .select($"attr", $"version", $"valid_from", $"valid_to")
+      .as[(Option[String], Int, Long, Option[Long])]
+      .collect().toSeq.sortBy(_._2)
+    val want = Seq(
+      (Option("x"), 1, 1L, Option(2L)),
+      (Option.empty[String], 2, 2L, Option(4L)),
+      (Option("x"), 3, 4L, Option.empty[Long]))
+    assert(got == want, s"null-safe SCD2 history diverged:\n$got")
+  }
+
   // ----------------------------------------------------------- Z-order
 
   test("Morton interleave places x bits at even, y bits at odd positions") {

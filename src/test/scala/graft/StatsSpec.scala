@@ -224,6 +224,45 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"KM curve diverged from the published values:\n$got")
   }
 
+  test("logRank reproduces the published 6-MP vs placebo trial statistic") {
+    // Freireich et al. 1963, BOTH arms this time: 6-MP (grp=1, the
+    // kaplanMeier fixture above) against placebo (21 subjects, all
+    // events). The published two-group log-rank is chi2 = 16.79 with
+    // O1 = 9, E1 = 19.25 — a literature pin independent of the q220
+    // oracle, which mirrors the operator's own construction
+    val mp6 = Seq(
+      (6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (10, 0),
+      (11, 0), (13, 1), (16, 1), (17, 0), (19, 0), (20, 0), (22, 1),
+      (23, 1), (25, 0), (32, 0), (32, 0), (34, 0), (35, 0))
+      .map { case (t, e) => (t.toLong, e.toLong, 1L) }
+    val plac = Seq(1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8, 11, 11, 12,
+      12, 15, 17, 22, 23).map(t => (t.toLong, 1L, 0L))
+    val r = Stats.logRank((mp6 ++ plac).toDF("life", "ev", "grp")).head()
+    assert(r.getAs[Long]("n0") == 21 && r.getAs[Long]("n1") == 21)
+    assert(r.getAs[Long]("o1") == 9, s"6-MP arm observed events: $r")
+    assert(r.getAs[Double]("e1") == 19.250501 &&
+      r.getAs[Double]("v1") == 6.256961,
+      s"nano-quantized hypergeometric folds diverged: $r")
+    assert(math.abs(r.getAs[Double]("chi2") - 16.79) < 0.01,
+      s"published 6-MP log-rank chi2 is 16.79: $r")
+  }
+
+  test("logRank emits NULL chi2 by contract on zero-variance cohorts") {
+    // every subject in one group: n1_at == n_at at every event time, so
+    // each variance term is 0 — the guard must yield NULL, not NaN/inf
+    val oneGroup = Seq((5L, 1L, 1L), (6L, 1L, 1L), (7L, 0L, 1L))
+      .toDF("life", "ev", "grp")
+    val r = Stats.logRank(oneGroup).head()
+    assert(r.getAs[Long]("n0") == 0 && r.getAs[Long]("n1") == 3)
+    assert(r.isNullAt(r.fieldIndex("chi2")),
+      s"degenerate cohort must yield NULL chi2: $r")
+    // no events at all: the term sums themselves are NULL — same contract
+    val noEv = Seq((5L, 0L, 1L), (6L, 0L, 0L)).toDF("life", "ev", "grp")
+    val r2 = Stats.logRank(noEv).head()
+    assert(r2.isNullAt(r2.fieldIndex("chi2")),
+      s"event-free cohort must yield NULL chi2: $r2")
+  }
+
   test("clusterAri matches the Hubert-Arabie hand example and its boundary cases") {
     // clusters {1,2,3},{4,5},{6} vs labels {1,2},{3,4,5},{6}:
     // sum C(n_ij,2) = 2, p_a = 4, p_b = 4, C(6,2) = 15

@@ -113,4 +113,42 @@ class TimeSeriesSpec extends SparkSpec {
       .select($"fk", $"n_dups").as[(Option[Long], Long)].collect().toMap
     assert(dups === Map(Option(10L) -> 2L), "only fk=10 repeats")
   }
+
+  test("holtLinear is bit-equal to an independent BigInt replay of the recurrence") {
+    import graft.operators.TimeSeries
+    // declining-then-recovering series: the trend goes negative, so the
+    // truncating (toward-zero) division direction is actually exercised
+    val ys = Seq(1000L, 700L, 450L, 300L, 280L, 350L, 500L, 720L)
+    val ser = ys.zipWithIndex.map { case (y, i) => (i.toLong + 1, y) }
+      .toDF("ord", "cents")
+    val got = TimeSeries.holtLinear(ser, "ord", "cents")
+      .select($"ord", $"level_micro", $"trend_micro", $"forecast_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // independent replay: BigInt /, like Scala Long /, truncates
+    var l = BigInt(ys.head) * 1000000
+    var b = BigInt(ys(1) - ys.head) * 1000000
+    val want = Seq((1L, l.toLong, b.toLong, (l + b).toLong)) ++
+      (1 until ys.length).map { t =>
+        val y = BigInt(ys(t)) * 1000000
+        val lPrev = l
+        l = (2 * y + 8 * (lPrev + b)) / 10
+        b = (1 * (l - lPrev) + 9 * b) / 10
+        (t.toLong + 1, l.toLong, b.toLong, (l + b).toLong)
+      }
+    assert(got == want, s"fixed-point trajectory diverged:\n$got\n$want")
+  }
+
+  test("holtLinear fails loudly (no silent wrap) on a sign-swinging near-cap series") {
+    import graft.operators.TimeSeries
+    // each period passes the per-period |cents| cap, but the two-point
+    // trend init is a DELTA of ~2x the cap: (bDen-bNum)*b then exceeds a
+    // Long, which before the *Exact fold wrapped silently. The contract
+    // is an exception, never a corrupted trajectory.
+    val lim = Long.MaxValue / 1000000L / 10L
+    val ser = Seq((1L, lim - 1), (2L, -(lim - 1)), (3L, lim - 1))
+      .toDF("ord", "cents")
+    intercept[ArithmeticException] {
+      TimeSeries.holtLinear(ser, "ord", "cents")
+    }
+  }
 }
