@@ -529,4 +529,46 @@ object Stats {
             col("expct")), 6)
           .as("ari"))
   }
+
+  /** Gini concentration coefficient per group over NONNEGATIVE integer
+    * `cents`: G = (2·Σᵢ i·x₍ᵢ₎)/(n·Σx) − (n+1)/n with x₍ᵢ₎ the
+    * ascending-sorted values. The rank sum folds per VALUE BLOCK on the
+    * (value → count) histogram — a block of c equal values after s
+    * predecessors contributes x·(c·s + c(c+1)/2), which is the same for
+    * ANY rank assignment inside a tie, so no tiebreak is needed and the
+    * window runs over the value domain (the q133 cent-domain
+    * discipline), never row-proportional. Everything is exact integer
+    * (c·(c+1) is always even, the block terms widen to DECIMAL(38,0))
+    * until the one final double expression. Contract: negative cents
+    * raise loudly (the Lorenz ordering is undefined there); an all-zero
+    * group yields NULL gini (0/0, undefined); output (groups…, n,
+    * sum_cents, gini) — sum_cents ships as BIGINT, exact while a
+    * group's total stays under 2⁶³ cents (~$9·10¹⁶). */
+  def gini(df: DataFrame, groups: Seq[String], cents: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val hist = df
+      .groupBy((groups.map(col) :+ col(cents).cast("long").as("x")): _*)
+      .agg(count(lit(1)).as("c"))
+    val before = Window.partitionBy(groups.map(col): _*).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = hist
+      .withColumn("s", coalesce(sum(col("c")).over(before), lit(0L)))
+      .withColumn("blk",
+        d38(col("x")) * (d38(col("c")) * d38(col("s")) +
+          d38(expr("(c * (c + 1)) div 2"))))
+    blocks.groupBy(groups.map(col): _*)
+      .agg(sum(col("c")).as("n"), min(col("x")).as("mn"),
+        sum(d38(col("x")) * d38(col("c"))).as("tot"),
+        sum(col("blk")).as("rsum"))
+      .select((groups.map(col) :+ col("n") :+
+        col("tot").cast("long").as("sum_cents") :+
+        when(col("mn") < 0,
+          raise_error(lit("gini: negative cents — Lorenz order undefined")))
+          .otherwise(when(col("tot") > 0,
+            round(lit(2.0) * col("rsum").cast("double") /
+              (col("n").cast("double") * col("tot").cast("double")) -
+              (col("n") + 1).cast("double") / col("n").cast("double"), 6))
+            .otherwise(lit(null).cast("double"))).as("gini")): _*)
+  }
 }

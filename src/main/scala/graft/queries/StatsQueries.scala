@@ -449,13 +449,15 @@ object StatsQueries {
 
     // ------------------------------------------- Gini concentration
     // Revenue-concentration inequality per nation: Gini over customer
-    // lifetime spend via the rank formula G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n
-    // on ascending-sorted spend. The rank window partitions by nation
-    // (never a global sort), Σi·xᵢ accumulates in DECIMAL(38,0) (rank ×
-    // cents products overflow longs at warehouse scale), and the final
-    // formula is one IEEE tree over exact integers. Equal-spend ties
-    // take arbitrary rank order — Σi·xᵢ is provably tie-invariant, so
-    // determinism is free.
+    // lifetime spend, G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n on ascending-sorted
+    // spend, via [[graft.operators.Stats.gini]]'s HISTOGRAM-BLOCK rank
+    // sum: a block of c equal values after s predecessors contributes
+    // x·(c·s + c(c+1)/2) — tie-invariant and provably equal to the
+    // row_number() formulation, which the oracle still uses, so the
+    // unchanged hash IS the cross-engine proof of the block identity.
+    // The operator's windows run over the per-nation VALUE histogram
+    // (the q133 cent-domain discipline) instead of ranking every
+    // customer row; all sums widen to DECIMAL(38,0).
     "q161_gini_nation" -> Q(
       (s, d) => {
         import s.implicits._
@@ -466,17 +468,10 @@ object StatsQueries {
             $"o_custkey" === $"c_custkey")
           .join(broadcast(t(s, d, "nation").select($"n_nationkey", $"n_name")),
             $"c_nationkey" === $"n_nationkey")
-        val ranked = spend.withColumn("i", row_number().over(
-          Window.partitionBy($"n_name").orderBy($"x", $"o_custkey")))
-        ranked.groupBy($"n_name")
-          .agg(count(lit(1)).as("n_cust"),
-            sum($"x".cast("decimal(38,0)")).as("sx"),
-            sum(($"i" * $"x").cast("decimal(38,0)")).as("six"))
-          .select($"n_name", $"n_cust",
-            round($"sx".cast("double") / 100.0, 2).as("total_spend"),
-            round(lit(2.0) * $"six".cast("double") /
-                ($"n_cust".cast("double") * $"sx".cast("double")) -
-              ($"n_cust" + 1.0) / $"n_cust", 6).as("gini"))
+        graft.operators.Stats.gini(spend, Seq("n_name"), "x")
+          .select($"n_name", $"n".as("n_cust"),
+            round($"sum_cents".cast("double") / 100.0, 2).as("total_spend"),
+            $"gini")
           .orderBy($"n_name")
       },
       Some("""WITH spend AS (SELECT o_custkey,

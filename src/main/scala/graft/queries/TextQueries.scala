@@ -1181,6 +1181,76 @@ object TextQueries {
           (CAST(sum(bucket - nt) AS BIGINT) * 1000000)
             // CAST(sum(bucket) AS BIGINT) AS waste_ppm
         FROM b GROUP BY bucket ORDER BY bucket"""),
-      "length-bucket padding profile: pad waste per 16-token bucket, exact ppm")
+      "length-bucket padding profile: pad waste per 16-token bucket, exact ppm"),
+
+    // ---------------------------------------- distribution drift (KL/JSD)
+    // Corpus-slice drift monitor: add-1-smoothed unigram distributions
+    // per language, compared pairwise by directed KL divergence
+    // (Kullback & Leibler 1951) and the symmetric bounded
+    // Jensen-Shannon divergence (Lin 1991) — the audit a training-data
+    // platform runs to detect when one slice's token mix shifts against
+    // another (or a refreshed crawl against the last one). Smoothing is
+    // DECLARED over the GLOBAL union vocabulary, so every pair shares
+    // one dense vector space: langs × vocab rows, pair-joined on the
+    // token — the whole computation is bounded by langs² · vocab (the
+    // enum × vocabulary shuffle class), never by corpus rows. Counts
+    // stay exact integers; each row's probabilities are one identical
+    // IEEE expression in both engines; only the final sums (rounded at
+    // 1e-6, noise ~1e-13) ride float order.
+    "q222_kl_drift" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val counts = docs(s, d)
+          .select($"lang", explode(words($"text")).as("w"))
+          .groupBy($"lang", $"w").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // vocab, langs, totals and dense share it
+        val vocab = counts.select($"w").distinct()
+        val nv = vocab.agg(count(lit(1)).as("vv"))
+        val langs = counts.select($"lang").distinct()
+        val totals = counts.groupBy($"lang").agg(sum($"c").as("n"))
+        val dense = langs.crossJoin(vocab)
+          .join(counts, Seq("lang", "w"), "left")
+          .join(broadcast(totals), "lang")
+          .crossJoin(broadcast(nv))
+          .select($"lang", $"w", $"n", $"vv",
+            ((coalesce($"c", lit(0L)) + 1).cast("double") / ($"n" + $"vv"))
+              .as("p"))
+          .localCheckpoint(eager = false) // both pair sides read it
+        val a = dense.select($"lang".as("lang_a"), $"w",
+          $"n".as("n_a"), $"vv", $"p".as("pa"))
+        val b = dense.select($"lang".as("lang_b"), $"w",
+          $"n".as("n_b"), $"p".as("pb"))
+        a.join(b, Seq("w")).filter($"lang_a" < $"lang_b")
+          .groupBy($"lang_a", $"lang_b")
+          .agg(max($"n_a").as("n_a"), max($"n_b").as("n_b"),
+            max($"vv").as("vocab"),
+            round(sum($"pa" * log($"pa" / $"pb")), 6).as("kl_ab"),
+            round(sum($"pb" * log($"pb" / $"pa")), 6).as("kl_ba"),
+            round(sum(lit(0.5) * ($"pa" * log($"pa" * 2.0 / ($"pa" + $"pb")) +
+              $"pb" * log($"pb" * 2.0 / ($"pa" + $"pb")))), 6).as("jsd"))
+          .orderBy($"lang_a", $"lang_b")
+      },
+      Some("""WITH toks AS (SELECT lang,
+            unnest(string_split(lower(text), ' ')) AS w FROM documents),
+        counts AS (SELECT lang, w, count(*) AS c FROM toks GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT w FROM counts),
+        nv AS (SELECT count(*) AS vv FROM vocab),
+        langs AS (SELECT DISTINCT lang FROM counts),
+        totals AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n
+          FROM counts GROUP BY 1),
+        dense AS MATERIALIZED (SELECT l.lang, v.w, t.n, nv.vv,
+            CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / (t.n + nv.vv) AS p
+          FROM langs l CROSS JOIN vocab v CROSS JOIN nv
+          LEFT JOIN counts c ON c.lang = l.lang AND c.w = v.w
+          JOIN totals t ON t.lang = l.lang)
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+          max(a.n) AS n_a, max(b.n) AS n_b, max(a.vv) AS vocab,
+          round(sum(a.p * ln(a.p / b.p)), 6) AS kl_ab,
+          round(sum(b.p * ln(b.p / a.p)), 6) AS kl_ba,
+          round(sum(0.5 * (a.p * ln(a.p * 2.0 / (a.p + b.p)) +
+            b.p * ln(b.p * 2.0 / (a.p + b.p)))), 6) AS jsd
+        FROM dense a JOIN dense b ON a.w = b.w AND a.lang < b.lang
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "pairwise KL + Jensen-Shannon drift across language slices, global-vocab smoothing")
   )
 }

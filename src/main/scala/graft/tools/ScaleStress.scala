@@ -54,7 +54,7 @@ object ScaleStress {
   private val Groups: Map[String, Seq[String]] = Map(
     "top5" -> Top5,
     "graph" -> Seq("q128_pagerank", "q142_bfs_levels", "q89_cc_stars_paths",
-      "q164_kcore", "q165_label_propagation"),
+      "q164_kcore", "q165_label_propagation", "q218_hits"),
     "composed" -> Seq("q205_dedup_first_neardup"))
 
   def main(args: Array[String]): Unit = {

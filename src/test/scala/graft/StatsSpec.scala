@@ -224,6 +224,42 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"KM curve diverged from the published values:\n$got")
   }
 
+  test("gini matches hand-computed values, including the tie-block algebra") {
+    // {1,2,3,4}: sample Gini 0.25; {0,0,0,10}: (n-1)/n = 0.75; all-equal: 0
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 0L), ("b", 0L), ("b", 0L), ("b", 10L),
+      ("c", 7L), ("c", 7L), ("c", 7L)
+    ).toDF("g", "cents")
+    val got = Stats.gini(df, Seq("g"), "cents")
+      .select($"g", $"n", $"sum_cents", $"gini")
+      .as[(String, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(("a", 4L, 10L, 0.25), ("b", 4L, 10L, 0.75),
+      ("c", 3L, 21L, 0.0)), s"hand Gini diverged: $got")
+    // block algebra == row_number algebra on a tied multiset: {2,2,2,5,5}
+    // ranks sum per formula: 2*(1+2+3) + 5*(4+5) = 57; n=5, sx=16
+    // G = 114/80 - 6/5 = 0.225
+    val tied = Seq(("t", 2L), ("t", 2L), ("t", 2L), ("t", 5L), ("t", 5L))
+      .toDF("g", "cents")
+    val r = Stats.gini(tied, Seq("g"), "cents")
+      .select($"gini").as[Double].head()
+    assert(r == 0.225, s"tie-block rank sum diverged: $r")
+  }
+
+  test("gini contracts: all-zero group is NULL, negative cents raise") {
+    val zeros = Seq(("z", 0L), ("z", 0L)).toDF("g", "cents")
+    val rz = Stats.gini(zeros, Seq("g"), "cents").head()
+    assert(rz.isNullAt(rz.fieldIndex("gini")),
+      s"all-zero group must yield NULL gini: $rz")
+    val neg = Seq(("n", 5L), ("n", -1L)).toDF("g", "cents")
+    val ex = intercept[Exception] {
+      Stats.gini(neg, Seq("g"), "cents").collect()
+    }
+    assert(ex.getMessage.contains("gini") ||
+      Option(ex.getCause).exists(_.getMessage.contains("gini")),
+      s"expected the negative-cents guard, got: ${ex.getMessage}")
+  }
+
   test("logRank reproduces the published 6-MP vs placebo trial statistic") {
     // Freireich et al. 1963, BOTH arms this time: 6-MP (grp=1, the
     // kaplanMeier fixture above) against placebo (21 subjects, all
