@@ -59,8 +59,11 @@ object Graph {
                     broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum && scale > 0,
       s"bad params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
+    // checkpoint the deduped edges BEFORE the degree self-join: both join
+    // sides would otherwise re-run the caller's whole edge-construction
+    // plan (often a multi-table join) inside the one materializing job
     val eDistinct = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val outdeg = eDistinct.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     // materialize (src, dst, odeg) ONCE, pre-partitioned for the chosen
     // regime; the degree table is never re-joined after this
@@ -287,8 +290,12 @@ object Graph {
   def hitsFixed(edges: DataFrame, src: String, dst: String, iters: Int,
                 scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && scale > 0, s"bad params: iters=$iters scale=$scale")
+    // materialize the deduped edge set ONCE — eByDst/eBySrc/nodes each
+    // trigger their own job, and without this they would re-run the
+    // caller's whole edge-construction plan (often a multi-table join)
+    // three times over
     val eDistinct = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val eByDst = eDistinct.repartition(col("dst")).localCheckpoint()
     val eBySrc = eDistinct.repartition(col("src")).localCheckpoint()
     val nodes = eDistinct.select(col("src").as("node"))
