@@ -281,7 +281,10 @@ object TimeSeries {
     * start). The recurrence is inherently sequential, so it runs as
     * the DECLARED driver-bounded fold (the q202/q217 pattern): the
     * input must be a pre-aggregated calendar series — `maxRows` (1000)
-    * fails loudly if a caller hands it raw rows. Emits one row per
+    * fails loudly if a caller hands it raw rows, and per-period values
+    * past the ~$9.2B cap fail the input guard (quantize coarser — whole
+    * dollars instead of cents buy ×100 headroom; the ×100 ScaleStress
+    * run verifies this cap fires loudly, see ScaleStress "r12" note). Emits one row per
     * period: (ordinal, cents, level_micro, trend_micro,
     * forecast_micro) where forecast is the one-step-ahead l+b. */
   def holtLinear(series: DataFrame, ord: String, cents: String,

@@ -55,7 +55,16 @@ object ScaleStress {
     "top5" -> Top5,
     "graph" -> Seq("q128_pagerank", "q142_bfs_levels", "q89_cc_stars_paths",
       "q164_kcore", "q165_label_propagation", "q218_hits"),
-    "composed" -> Seq("q205_dedup_first_neardup"))
+    "composed" -> Seq("q205_dedup_first_neardup"),
+    // round-12 additions: every NEW registered query gets a measured
+    // ×100 point (q218 rides the graph group). q221 is EXCLUDED by
+    // design: ×100 replication multiplies PER-PERIOD revenue (unlike
+    // real growth, which would also extend the calendar), so the run
+    // trips holtLinear's declared $9.2B/period micro-fixed-point cap —
+    // verified loudly (IllegalArgumentException), which IS the
+    // documented contract; a caller at that magnitude quantizes
+    // coarser (whole dollars buy ×100 headroom).
+    "r12" -> Seq("q219_scd2_collapse", "q220_logrank", "q222_kl_drift"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

@@ -324,6 +324,48 @@ class ScalePostureSpec extends SparkSpec {
     graft.queries.Registry.queries(name)(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
 
+  test("q219 SCD2: both window passes share ONE exchange on the key") {
+    // Incremental.scd2's contract: the lag-collapse pass and the
+    // lead/version pass order by the same (key)-partitioned (ord, tie)
+    // sort, so Spark must plan a single hash-partitioning exchange —
+    // a second exchange would mean the change stream shuffles twice
+    val p = plan("q219_scd2_collapse")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected ONE key exchange under both window passes, got $exchanges:\n${p.take(1400)}")
+    assert(p.contains("Window"), s"expected the lag/lead windows:\n${p.take(600)}")
+  }
+
+  test("q220 log-rank: global windows run over the day-bounded histogram only") {
+    // the q207 contract for the two-cohort sequel: the at-risk cumsums
+    // may read ONLY the checkpointed (life × grp) histogram; the only
+    // FileScans belong to the separate one-pass group-counts aggregate
+    // (orders + customer), never under a Window
+    val p = plan("q220_logrank")
+    assert(p.contains("Window"), "expected the at-risk cumsum windows")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")),
+      s"windows must read the materialized histogram:\n${p.take(1200)}")
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(lines.take(winIdx).count(_.contains("FileScan")) == 0,
+      s"no raw scan may feed a window — subject rows reach windows only " +
+        s"as the day histogram:\n${p.take(1400)}")
+  }
+
+  test("q222 KL drift: enum x vocab joins only, no cartesian product") {
+    // the drift monitor's bound is langs² · vocab: the language and
+    // total frames ride broadcasts (BroadcastNestedLoopJoin is the
+    // legal one-row/enum cross), the pair stage is an equi-join on the
+    // token, and a CartesianProduct anywhere would mean a data-scaled
+    // blowup
+    val p = plan("q222_kl_drift")
+    assert(!p.contains("CartesianProduct"),
+      s"no data-scaled cartesian may exist:\n${p.take(1400)}")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")),
+      s"the pair sides must read the checkpointed dense vectors:\n${p.take(1200)}")
+  }
+
   test("q146 OLS: the whole regression is ONE scan + one hash aggregate") {
     val p = plan("q146_ols_normal_eq")
     assert(p.linesIterator.count(_.contains("FileScan")) == 1,
