@@ -542,8 +542,9 @@ object Stats {
     * until the one final double expression. Contract: negative cents
     * raise loudly (the Lorenz ordering is undefined there); an all-zero
     * group yields NULL gini (0/0, undefined); output (groups…, n,
-    * sum_cents, gini) — sum_cents ships as BIGINT, exact while a
-    * group's total stays under 2⁶³ cents (~$9·10¹⁶). */
+    * sum_cents, gini) — sum_cents narrows to BIGINT behind a loud
+    * guard (the q216 boundary contract: raise_error past 2⁶³ cents,
+    * never a silent non-ANSI wrap). */
   def gini(df: DataFrame, groups: Seq[String], cents: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def d38(c: Column) = c.cast("decimal(38,0)")
@@ -554,15 +555,29 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, -1)
     val blocks = hist
       .withColumn("s", coalesce(sum(col("c")).over(before), lit(0L)))
+      // c·(c+1)/2 must widen BEFORE the multiply: at c ~3e9 the long
+      // product wraps silently. One factor is always even, so halving
+      // that factor first keeps every operand inside a long and the
+      // decimal product exact at any block size
       .withColumn("blk",
         d38(col("x")) * (d38(col("c")) * d38(col("s")) +
-          d38(expr("(c * (c + 1)) div 2"))))
+          expr("CASE WHEN c % 2 = 0" +
+            " THEN CAST(c div 2 AS DECIMAL(38,0)) * CAST(c + 1 AS DECIMAL(38,0))" +
+            " ELSE CAST(c AS DECIMAL(38,0)) * CAST((c + 1) div 2 AS DECIMAL(38,0))" +
+            " END")))
     blocks.groupBy(groups.map(col): _*)
       .agg(sum(col("c")).as("n"), min(col("x")).as("mn"),
         sum(d38(col("x")) * d38(col("c"))).as("tot"),
         sum(col("blk")).as("rsum"))
+      // the q216 boundary contract: the decimal total narrows to BIGINT
+      // only behind a loud guard — a silent non-ANSI cast would NULL or
+      // wrap past 2^63 cents while gini itself stayed plausibly correct
       .select((groups.map(col) :+ col("n") :+
-        col("tot").cast("long").as("sum_cents") :+
+        when(abs(col("tot")) <= d38(lit(Long.MaxValue)),
+          col("tot").cast("long"))
+          .otherwise(raise_error(lit(
+            "gini: group total exceeds BIGINT cents — report the wide column")))
+          .as("sum_cents") :+
         when(col("mn") < 0,
           raise_error(lit("gini: negative cents — Lorenz order undefined")))
           .otherwise(when(col("tot") > 0,

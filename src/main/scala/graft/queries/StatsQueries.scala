@@ -455,9 +455,12 @@ object StatsQueries {
     // x·(c·s + c(c+1)/2) — tie-invariant and provably equal to the
     // row_number() formulation, which the oracle still uses, so the
     // unchanged hash IS the cross-engine proof of the block identity.
-    // The operator's windows run over the per-nation VALUE histogram
-    // (the q133 cent-domain discipline) instead of ranking every
-    // customer row; all sums widen to DECIMAL(38,0).
+    // Posture note, honestly stated: lifetime spend is near-unique per
+    // customer, so HERE the histogram compresses almost nothing — the
+    // window input stays ~customer-cardinality (never larger). The
+    // block form pays off on discrete domains (unit cents, counts,
+    // ratings) where the histogram saturates; all sums widen to
+    // DECIMAL(38,0) either way.
     "q161_gini_nation" -> Q(
       (s, d) => {
         import s.implicits._

@@ -60,9 +60,11 @@ object ScaleStress {
     // ×100 point (q218 rides the graph group). q221 is EXCLUDED by
     // design: ×100 replication multiplies PER-PERIOD revenue (unlike
     // real growth, which would also extend the calendar), so the run
-    // trips holtLinear's declared $9.2B/period micro-fixed-point cap —
-    // verified loudly (IllegalArgumentException), which IS the
-    // documented contract; a caller at that magnitude quantizes
+    // trips holtLinear's declared $9.2B/period micro-fixed-point cap
+    // with an IllegalArgumentException — the cap-fires-loudly contract
+    // itself is pinned in TimeSeriesSpec ("per-period cap fires
+    // loudly"), so the exclusion rests on an automated guarantee, not
+    // this one observed run; a caller at that magnitude quantizes
     // coarser (whole dollars buy ×100 headroom).
     "r12" -> Seq("q219_scd2_collapse", "q220_logrank", "q222_kl_drift"))
 

@@ -339,18 +339,22 @@ class ScalePostureSpec extends SparkSpec {
 
   test("q220 log-rank: global windows run over the day-bounded histogram only") {
     // the q207 contract for the two-cohort sequel: the at-risk cumsums
-    // may read ONLY the checkpointed (life × grp) histogram; the only
-    // FileScans belong to the separate one-pass group-counts aggregate
-    // (orders + customer), never under a Window
+    // may read ONLY the checkpointed (life × grp) histogram. The whole
+    // plan carries EXACTLY the two FileScans of the separate one-pass
+    // group-counts aggregate (orders + customer) — if the histogram
+    // checkpoint were dropped, the per-frame's two scans would reappear
+    // under the windows and the count would rise to four (a plan-order
+    // line check would miss that: toString prints root-first, so scans
+    // always sit after the Window line)
     val p = plan("q220_logrank")
     assert(p.contains("Window"), "expected the at-risk cumsum windows")
     assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")),
       s"windows must read the materialized histogram:\n${p.take(1200)}")
-    val lines = p.linesIterator.toSeq
-    val winIdx = lines.indexWhere(_.contains("Window"))
-    assert(lines.take(winIdx).count(_.contains("FileScan")) == 0,
-      s"no raw scan may feed a window — subject rows reach windows only " +
-        s"as the day histogram:\n${p.take(1400)}")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 2,
+      s"expected exactly the counts-branch orders+customer scans, got " +
+        s"$scans — subject rows may reach windows only as the day " +
+        s"histogram:\n${p.take(1400)}")
   }
 
   test("q222 KL drift: enum x vocab joins only, no cartesian product") {

@@ -151,4 +151,18 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.holtLinear(ser, "ord", "cents")
     }
   }
+
+  test("holtLinear per-period cap fires loudly past the fixed-point envelope") {
+    import graft.operators.TimeSeries
+    // the contract the ×100 ScaleStress run hits for q221 (replication
+    // multiplies per-period revenue past ~$9.2B): the input guard must
+    // reject the series with the cap message, never fold a wrapped value
+    val lim = Long.MaxValue / 1000000L / 10L
+    val ser = Seq((1L, lim), (2L, lim + 1)).toDF("ord", "cents")
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.holtLinear(ser, "ord", "cents")
+    }
+    assert(ex.getMessage.contains("caps |cents|"),
+      s"expected the per-period envelope guard: ${ex.getMessage}")
+  }
 }
