@@ -530,6 +530,70 @@ object Stats {
           .as("ari"))
   }
 
+  /** Isotonic regression by pool-adjacent-violators (Ayer et al. 1955;
+    * Barlow et al. 1972; Best & Chakravarti 1990) over a PRE-AGGREGATED
+    * ordered bin frame (`ord`, `n`, `events`): the weighted
+    * least-squares NONDECREASING fit of the per-bin event rate — the
+    * classic score-calibration step (a model's raw score bins → a
+    * monotone probability map). Inherently sequential stack merging, so
+    * it runs as the DECLARED driver-bounded fold (the q202/q221
+    * pattern): `maxBins` fails loudly on a non-aggregated input. Pool
+    * merges compare exact rationals by BigInt cross-multiplication —
+    * no float decides a merge — and each bin's fitted value is its
+    * pool's (Σevents, Σn) ratio, one double division at the output
+    * boundary. The DuckDB oracle does NOT mirror this stack: it
+    * evaluates the independent minimax identity
+    *   iso(i) = max_{j≤i} min_{k≥i} avg(events, j..k)
+    * (a theorem of the PAVA optimum), so the hash compare proves the
+    * implementation against a different algorithm, not a mirrored
+    * construction. Output: (ord, n, events, rate, iso), rates rounded
+    * at 1e-6 — distinct interval averages differ by ≥ 1/(W_a·W_b),
+    * far above double noise at any gated scale. */
+  def isotonicFit(bins: DataFrame, ord: String, n: String, events: String,
+                  maxBins: Int = 1000): DataFrame = {
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val rows = bins
+      .select(col(ord).cast("long"), col(n).cast("long"),
+        col(events).cast("long"))
+      .orderBy(col(ord)).as[(Long, Long, Long)].collect()
+    require(rows.nonEmpty, "isotonicFit needs at least one bin")
+    require(rows.length <= maxBins,
+      s"isotonicFit is a declared bin-bounded driver fold: " +
+        s"${rows.length} bins > $maxBins — pre-aggregate the bins")
+    require(rows.forall(r => r._2 > 0 && r._3 >= 0 && r._3 <= r._2),
+      "each bin needs n > 0 and 0 <= events <= n")
+    // PAVA stack: (firstIdx, Σn, Σevents); merge while the new pool's
+    // rate is BELOW the top's — rational compare via BigInt products
+    var stack = List.empty[(Int, Long, Long)]
+    rows.zipWithIndex.foreach { case ((_, w, s), i) =>
+      var cur = (i, w, s)
+      while (stack.nonEmpty && {
+        val (_, tw, ts) = stack.head
+        BigInt(ts) * cur._2 >= BigInt(cur._3) * tw // ts/tw >= cs/cw
+      }) {
+        val (ti, tw, ts) = stack.head
+        stack = stack.tail
+        cur = (ti, tw + cur._2, ts + cur._3)
+      }
+      stack = cur :: stack
+    }
+    val iso = Array.ofDim[Double](rows.length)
+    var end = rows.length
+    stack.foreach { case (first, w, s) =>
+      val v = s.toDouble / w
+      (first until end).foreach(iso(_) = v)
+      end = first
+    }
+    spark.createDataFrame(rows.toIndexedSeq.zipWithIndex.map {
+      case ((o, w, s), i) => (o, w, s, s.toDouble / w, iso(i))
+    }).toDF(ord, n, events, "rate_raw", "iso_raw")
+      .select(col(ord), col(n), col(events),
+        round(col("rate_raw"), 6).as("rate"),
+        round(col("iso_raw"), 6).as("iso"))
+      .orderBy(col(ord))
+  }
+
   /** Gini concentration coefficient per group over NONNEGATIVE integer
     * `cents`: G = (2·Σᵢ i·x₍ᵢ₎)/(n·Σx) − (n+1)/n with x₍ᵢ₎ the
     * ascending-sorted values. The rank sum folds per VALUE BLOCK on the

@@ -1444,6 +1444,52 @@ object PipelineQueries {
         SELECT ym, cents, l AS level_micro, b AS trend_micro,
           l + b AS forecast_micro
         FROM holt ORDER BY ym"""),
-      "Holt linear-trend smoothing, the full trajectory oracled as one recursive CTE")
+      "Holt linear-trend smoothing, the full trajectory oracled as one recursive CTE"),
+
+    // --------------------------------------------- isotonic calibration
+    // Pool-adjacent-violators isotonic fit (Ayer et al. 1955) of the
+    // return rate against the discount level — the monotone calibration
+    // map a scoring pipeline fits over its score bins. The heavy stage
+    // is ONE map-side-combined aggregate into the ≤11-cell discount
+    // enum; the sequential stack then runs as the declared driver fold
+    // ([[graft.operators.Stats.isotonicFit]], BigInt-exact merges). The
+    // oracle is the INDEPENDENT minimax identity iso(i) = max_{j≤i}
+    // min_{k≥i} avg(j..k) — a theorem of the PAVA optimum evaluated
+    // over all O(bins²) intervals — so the hash compare proves the
+    // stack against a different algorithm entirely.
+    "q223_isotonic_calibration" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bins = t(s, d, "lineitem")
+          .select(round($"l_discount" * 100).cast("int").as("bin"),
+            ($"l_returnflag" === "R").cast("long").as("y"))
+          .groupBy($"bin")
+          .agg(count(lit(1)).as("n"), sum($"y").as("events"))
+        graft.operators.Stats.isotonicFit(bins, "bin", "n", "events")
+      },
+      Some("""WITH bins AS (SELECT CAST(round(l_discount * 100) AS INT) AS bin,
+            count(*) AS n,
+            CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS events
+          FROM lineitem GROUP BY 1),
+        ord AS (SELECT *, row_number() OVER (ORDER BY bin) AS i FROM bins),
+        pre AS (SELECT *,
+            sum(n) OVER (ORDER BY i) AS cn,
+            sum(events) OVER (ORDER BY i) AS ce
+          FROM ord),
+        iv AS (SELECT j.i AS j, k.i AS k,
+            CAST(k.ce - COALESCE(jp.ce, 0) AS DOUBLE)
+              / (k.cn - COALESCE(jp.cn, 0)) AS avgv
+          FROM pre j JOIN pre k ON j.i <= k.i
+          LEFT JOIN pre jp ON jp.i = j.i - 1),
+        inner_min AS (SELECT v.j, o.i, min(v.avgv) AS m
+          FROM iv v JOIN ord o ON v.j <= o.i AND v.k >= o.i
+          GROUP BY 1, 2),
+        iso AS (SELECT i, max(m) AS isov FROM inner_min GROUP BY 1)
+        SELECT CAST(o.bin AS BIGINT) AS bin, CAST(o.n AS BIGINT) AS n, o.events,
+          round(CAST(o.events AS DOUBLE) / o.n, 6) AS rate,
+          round(iso.isov, 6) AS iso
+        FROM ord o JOIN iso ON o.i = iso.i ORDER BY o.bin"""),
+      "PAVA isotonic calibration, oracled by the independent minimax identity")
   )
 }

@@ -66,7 +66,8 @@ object ScaleStress {
     // loudly"), so the exclusion rests on an automated guarantee, not
     // this one observed run; a caller at that magnitude quantizes
     // coarser (whole dollars buy ×100 headroom).
-    "r12" -> Seq("q219_scd2_collapse", "q220_logrank", "q222_kl_drift"))
+    "r12" -> Seq("q219_scd2_collapse", "q220_logrank", "q222_kl_drift",
+      "q223_isotonic_calibration"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

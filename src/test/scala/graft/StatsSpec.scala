@@ -224,6 +224,65 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"KM curve diverged from the published values:\n$got")
   }
 
+  test("isotonicFit pools violators and reproduces hand-computed PAVA fits") {
+    // rates (0.4, 0.2, 0.3) with equal weights: PAVA pools all three to
+    // 0.3; rates (0.1, 0.5, 0.3, 0.7): the middle pair pools to 0.4
+    val v1 = Seq((1L, 10L, 4L), (2L, 10L, 2L), (3L, 10L, 3L))
+      .toDF("ord", "n", "events")
+    val got1 = Stats.isotonicFit(v1, "ord", "n", "events")
+      .select($"ord", $"iso").as[(Long, Double)].collect().toSeq
+    assert(got1 == Seq((1L, 0.3), (2L, 0.3), (3L, 0.3)),
+      s"full pool diverged: $got1")
+    val v2 = Seq((1L, 10L, 1L), (2L, 10L, 5L), (3L, 10L, 3L), (4L, 10L, 7L))
+      .toDF("ord", "n", "events")
+    val got2 = Stats.isotonicFit(v2, "ord", "n", "events")
+      .select($"ord", $"rate", $"iso").as[(Long, Double, Double)]
+      .collect().toSeq
+    assert(got2 == Seq((1L, 0.1, 0.1), (2L, 0.5, 0.4), (3L, 0.3, 0.4),
+      (4L, 0.7, 0.7)), s"middle-pair pool diverged: $got2")
+    // weighted merge: (w=1, r=1.0) then (w=3, r=0.0) pools to 0.25
+    val v3 = Seq((1L, 1L, 1L), (2L, 3L, 0L)).toDF("ord", "n", "events")
+    val got3 = Stats.isotonicFit(v3, "ord", "n", "events")
+      .select($"iso").as[Double].collect().toSeq
+    assert(got3 == Seq(0.25, 0.25), s"weighted pool diverged: $got3")
+    // an already-monotone input is returned unchanged
+    val v4 = Seq((1L, 10L, 1L), (2L, 10L, 5L), (3L, 10L, 9L))
+      .toDF("ord", "n", "events")
+    val got4 = Stats.isotonicFit(v4, "ord", "n", "events")
+      .select($"rate", $"iso").as[(Double, Double)].collect().toSeq
+    assert(got4.forall(r => r._1 == r._2),
+      s"monotone input must be a fixed point: $got4")
+  }
+
+  test("isotonicFit invariants: nondecreasing, mean-preserving, guards loud") {
+    // pseudo-random but deterministic bin frame
+    val rows = (1 to 40).map { i =>
+      val w = 1L + (i * 7) % 13
+      (i.toLong, w, (i * 31) % (w + 1))
+    }
+    val df = rows.toDF("ord", "n", "events")
+    val iso = Stats.isotonicFit(df, "ord", "n", "events")
+      .select($"ord", $"n", $"iso").as[(Long, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    iso.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 <= b._3 + 1e-12, s"fit must be nondecreasing: $a -> $b")
+    }
+    // PAVA preserves the weighted mean (each pool keeps its own mass);
+    // rounding at 1e-6 bounds the drift by 5e-7 per bin
+    val mw = iso.map { case (_, w, v) => w * v }.sum / rows.map(_._2).sum
+    val raw = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(math.abs(mw - raw) < 1e-5, s"weighted mean must be preserved: $mw vs $raw")
+    // loud contracts: empty, oversized, and malformed bins
+    intercept[IllegalArgumentException] {
+      Stats.isotonicFit(Seq.empty[(Long, Long, Long)]
+        .toDF("ord", "n", "events"), "ord", "n", "events")
+    }
+    intercept[IllegalArgumentException] {
+      Stats.isotonicFit(Seq((1L, 0L, 0L)).toDF("ord", "n", "events"),
+        "ord", "n", "events")
+    }
+  }
+
   test("gini matches hand-computed values, including the tie-block algebra") {
     // {1,2,3,4}: sample Gini 0.25; {0,0,0,10}: (n-1)/n = 0.75; all-equal: 0
     val df = Seq(
