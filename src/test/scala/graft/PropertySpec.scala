@@ -269,6 +269,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gini equals the brute-force sorted-rank formula on random multisets") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(40, Gen.choose(0L, 50L)) // heavy ties on purpose
+    (1L to 5L).foreach { seed =>
+      val xs = gen(Gen.Parameters.default, Seed(seed)).get
+      val got = graft.operators.Stats
+        .gini(xs.map(("g", _)).toDF("g", "cents"), Seq("g"), "cents")
+        .select(col("gini")).as[Option[Double]].collect()(0)
+      val sorted = xs.sorted
+      val n = sorted.length
+      val sx = sorted.sum
+      if (sx == 0) assert(got.isEmpty, "all-zero multiset must be NULL")
+      else {
+        val six = sorted.zipWithIndex.map { case (x, i) => BigInt(x) * (i + 1) }.sum
+        val want = BigDecimal(2.0 * six.toDouble / (n.toDouble * sx) -
+          (n + 1).toDouble / n)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(got.contains(want),
+          s"gini diverged from brute force (seed $seed): $got vs $want")
+      }
+    }
+  }
+
+  test("isotonicFit matches the brute-force minimax over random bins") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(12, Gen.zip(Gen.choose(1L, 9L), Gen.choose(0, 9)))
+    (1L to 5L).foreach { seed =>
+      val bins = gen(Gen.Parameters.default, Seed(seed)).get
+        .map { case (w, e) => (w, math.min(e, w)) }
+        .zipWithIndex.map { case ((w, e), i) => (i.toLong, w, e) }
+      val got = graft.operators.Stats
+        .isotonicFit(bins.toDF("ord", "n", "events"), "ord", "n", "events")
+        .orderBy(col("ord")).select(col("iso")).as[Double].collect().toSeq
+      // the independent minimax identity, O(n^3), over exact prefix sums
+      val cw = bins.scanLeft(0L)(_ + _._2).tail
+      val ce = bins.scanLeft(0L)(_ + _._3).tail
+      def avg(j: Int, k: Int): Double = // bins j..k inclusive, 0-based
+        (ce(k) - (if (j == 0) 0L else ce(j - 1))).toDouble /
+          (cw(k) - (if (j == 0) 0L else cw(j - 1)))
+      val want = bins.indices.map { i =>
+        val v = (0 to i).map(j => (i until bins.length).map(k => avg(j, k)).min).max
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(got == want, s"PAVA vs minimax diverged (seed $seed):\n$got\n$want")
+    }
+  }
+
+  test("logRank chi2 is invariant under swapping the group labels") {
+    import org.apache.spark.sql.functions._
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0L, 20L), Gen.oneOf(0L, 1L), Gen.oneOf(0L, 1L)))
+    (1L to 5L).foreach { seed =>
+      val rows = gen(Gen.Parameters.default, Seed(seed)).get
+      val a = graft.operators.Stats
+        .logRank(rows.toDF("life", "ev", "grp")).head()
+      val b = graft.operators.Stats
+        .logRank(rows.map(r => (r._1, r._2, 1L - r._3))
+          .toDF("life", "ev", "grp")).head()
+      // (O−E)² is the same on either margin; only the labeled counts swap
+      assert(a.getAs[Long]("n0") == b.getAs[Long]("n1") &&
+        a.getAs[Long]("n1") == b.getAs[Long]("n0"), s"margins must swap")
+      val ca = Option(a.getAs[java.lang.Double]("chi2")).map(_.toDouble)
+      val cb = Option(b.getAs[java.lang.Double]("chi2")).map(_.toDouble)
+      (ca, cb) match {
+        case (Some(x), Some(y)) =>
+          assert(math.abs(x - y) <= 2e-6, // each side rounds at 1e-6
+            s"chi2 must be label-symmetric (seed $seed): $x vs $y")
+        case _ => assert(ca.isEmpty == cb.isEmpty,
+          s"NULL contract must be label-symmetric (seed $seed): $ca vs $cb")
+      }
+    }
+  }
+
+  test("holtLinear holds an exactly linear series as a fixed point") {
+    import org.apache.spark.sql.functions._
+    // for y_t = a + b·t (integer a, b) the recurrence reproduces
+    // l_t = y_t·1e6 and b_t = b·1e6 EXACTLY (every division is even),
+    // so each forecast is the true next point — for any smoothing params
+    val gen = Gen.zip(Gen.choose(-1000L, 1000L), Gen.choose(-50L, 50L))
+    (1L to 5L).foreach { seed =>
+      val (a, b) = gen(Gen.Parameters.default, Seed(seed)).get
+      val ser = (1L to 20L).map(t => (t, a + b * t)).toDF("ord", "cents")
+      val got = graft.operators.TimeSeries
+        .holtLinear(ser, "ord", "cents")
+        .select(col("ord"), col("level_micro"), col("trend_micro"))
+        .as[(Long, Long, Long)].collect().toSeq
+      got.foreach { case (t, l, tr) =>
+        assert(l == (a + b * t) * 1000000L && tr == b * 1000000L,
+          s"linear series must be a fixed point (seed $seed): t=$t l=$l tr=$tr")
+      }
+    }
+  }
+
   test("kaplanMeier survival is non-increasing and in (0, 1] on random cohorts") {
     import org.apache.spark.sql.functions._
     val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 30), Gen.oneOf(0L, 1L)))
