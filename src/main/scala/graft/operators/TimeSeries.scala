@@ -268,6 +268,69 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Classical additive seasonal decomposition (Persons 1919; the
+    * `seasonal_decompose` of statsmodels) over a CONTIGUOUS calendar
+    * series of (ordinal, integer cents) rows with an EVEN `period`:
+    *   trend_t    = the centered 2×period moving average — half weight
+    *                on the two edge points, NULL where the ±period/2
+    *                window is incomplete;
+    *   seasonal_m = the per-phase (ord mod period) mean of the
+    *                detrended series, re-centered so Σ seasonal = 0;
+    *   remainder  = detrended − seasonal.
+    * Everything is exact integer micro-cents: the weighted window sum
+    * T = y_{t−h} + 2Σ_{|i|<h} y_{t+i} + y_{t+h} folds in DECIMAL(38,0)
+    * before the one truncating division by 2·period (Spark `div` ==
+    * DuckDB `//` toward zero, the q221 discipline), phase means are
+    * integer `div`s of exact sums, so both engines replay the
+    * decomposition bit-for-bit. A pure zero-sum period-periodic signal
+    * plus a linear trend decomposes EXACTLY (every division is even) —
+    * pinned in TimeSeriesSpec. Per-period |cents| past the ~$9.2B
+    * envelope raise loudly (the holtLinear cap, enforced in-plan).
+    * Windows run over the calendar-bounded series frame (the q207
+    * shape), never raw rows: the caller pre-aggregates. Output:
+    * (ord, cents, trend_micro, seasonal_micro, remainder_micro). */
+  def classicalDecompose(series: DataFrame, ord: String, cents: String,
+                         period: Int = 12): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"classical 2xMA needs an even period >= 2: $period")
+    val h = period / 2
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val lim = Long.MaxValue / 1000000L / (2L * period + 2L)
+    val w = Window.orderBy(col(ord))
+    val inner = Window.orderBy(col(ord)).rowsBetween(-(h - 1), h - 1)
+    val full = Window.orderBy(col(ord)).rowsBetween(-h, h)
+    val withT = series
+      .select(col(ord).cast("long").as(ord),
+        when(abs(col(cents).cast("long")) < lim, col(cents).cast("long"))
+          .otherwise(raise_error(lit(
+            s"classicalDecompose caps |cents| at $lim per period")))
+          .as(cents))
+      .withColumn("t2p",
+        when(count(lit(1)).over(full) === period + 1,
+          sum(col(cents)).over(inner) * 2 +
+            lag(col(cents), h).over(w) + lead(col(cents), h).over(w)))
+      .withColumn("trend_micro",
+        expr(s"(CAST(t2p AS DECIMAL(38,0)) * 1000000) div ${2 * period}"))
+      .withColumn("detr", col(cents) * 1000000L - col("trend_micro"))
+      .localCheckpoint() // the seasonal means and the output share it
+    val season = withT.filter(col("detr").isNotNull)
+      .groupBy((col(ord) % period).as("m"))
+      // fold in decimal: a long sum of micro detrended values wraps
+      // once phase-years × |detr| nears 2^63 (a 30-year daily series)
+      .agg(expr("sum(CAST(detr AS DECIMAL(38,0))) div count(1)").as("s_raw"))
+      .localCheckpoint(eager = false) // both the adjust agg and join read it
+    val sAdj = season
+      .crossJoin(broadcast(season.agg(
+        expr(s"sum(CAST(s_raw AS DECIMAL(38,0))) div $period").as("adj"))))
+      .select(col("m"), (col("s_raw") - col("adj")).as("seasonal_micro"))
+    withT
+      .join(broadcast(sAdj), (col(ord) % period) === col("m"), "left")
+      .select(col(ord), col(cents), col("trend_micro"),
+        col("seasonal_micro"),
+        (col("detr") - col("seasonal_micro")).as("remainder_micro"))
+      .orderBy(col(ord))
+  }
+
   /** Holt's linear-trend double exponential smoothing (Holt 1957 /
     * Winters 1960, no seasonal term) over a CALENDAR-BOUNDED series of
     * (ordinal, integer cents) rows — level and trend in micro-cents,

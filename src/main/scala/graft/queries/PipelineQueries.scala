@@ -1490,6 +1490,59 @@ object PipelineQueries {
           round(CAST(o.events AS DOUBLE) / o.n, 6) AS rate,
           round(iso.isov, 6) AS iso
         FROM ord o JOIN iso ON o.i = iso.i ORDER BY o.bin"""),
-      "PAVA isotonic calibration, oracled by the independent minimax identity")
+      "PAVA isotonic calibration, oracled by the independent minimax identity"),
+
+    // --------------------------------------- seasonal decomposition
+    // Classical additive decomposition (Persons 1919 — the statsmodels
+    // seasonal_decompose shape) of the monthly revenue calendar:
+    // centered 2×12 moving-average trend, zero-sum monthly seasonal
+    // indices from the detrended phase means, remainder as what's left.
+    // The decomposition sibling of q221's Holt SMOOTHER — this one
+    // separates the series into components instead of forecasting it.
+    // All arithmetic is exact integer micro-cents with truncating
+    // division mirrored on both engines; windows and phase means run
+    // over the 48-row calendar aggregate, never raw orders.
+    "q224_seasonal_decompose" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ser = t(s, d, "orders")
+          .filter($"o_orderdate" >= "1994-01-01" && $"o_orderdate" < "1998-01-01")
+          .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+            .cast("long").as("ym"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        graft.operators.TimeSeries.classicalDecompose(ser, "ym", "cents")
+      },
+      Some("""WITH ser AS (SELECT
+            CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1998-01-01'
+          GROUP BY 1),
+        wt AS (SELECT ym, cents,
+            CASE WHEN count(*) OVER (ORDER BY ym
+                ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) = 13
+              THEN sum(cents) OVER (ORDER BY ym
+                  ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) * 2
+                + lag(cents, 6) OVER (ORDER BY ym)
+                + lead(cents, 6) OVER (ORDER BY ym)
+            END AS t2p
+          FROM ser),
+        tr AS (SELECT *,
+            CAST(CAST(t2p AS HUGEINT) * 1000000 // 24 AS BIGINT) AS trend_micro,
+            cents * 1000000
+              - CAST(CAST(t2p AS HUGEINT) * 1000000 // 24 AS BIGINT) AS detr
+          FROM wt),
+        season AS (SELECT ym % 12 AS m,
+            CAST(sum(CAST(detr AS HUGEINT)) // count(*) AS BIGINT) AS s_raw
+          FROM tr WHERE detr IS NOT NULL GROUP BY 1),
+        adj AS (SELECT CAST(sum(CAST(s_raw AS HUGEINT)) // 12 AS BIGINT) AS a
+          FROM season),
+        sadj AS (SELECT m, s_raw - a AS seasonal_micro
+          FROM season CROSS JOIN adj)
+        SELECT t.ym, t.cents, t.trend_micro, s.seasonal_micro,
+          t.detr - s.seasonal_micro AS remainder_micro
+        FROM tr t LEFT JOIN sadj s ON t.ym % 12 = s.m
+        ORDER BY t.ym"""),
+      "classical trend/seasonal/remainder decomposition, integer-exact both engines")
   )
 }

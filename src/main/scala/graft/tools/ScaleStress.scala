@@ -57,15 +57,16 @@ object ScaleStress {
       "q164_kcore", "q165_label_propagation", "q218_hits"),
     "composed" -> Seq("q205_dedup_first_neardup"),
     // round-12 additions: every NEW registered query gets a measured
-    // ×100 point (q218 rides the graph group). q221 is EXCLUDED by
-    // design: ×100 replication multiplies PER-PERIOD revenue (unlike
-    // real growth, which would also extend the calendar), so the run
-    // trips holtLinear's declared $9.2B/period micro-fixed-point cap
-    // with an IllegalArgumentException — the cap-fires-loudly contract
-    // itself is pinned in TimeSeriesSpec ("per-period cap fires
-    // loudly"), so the exclusion rests on an automated guarantee, not
-    // this one observed run; a caller at that magnitude quantizes
-    // coarser (whole dollars buy ×100 headroom).
+    // ×100 point (q218 rides the graph group). q221 and q224 are
+    // EXCLUDED by design: ×100 replication multiplies PER-PERIOD
+    // revenue (unlike real growth, which would also extend the
+    // calendar), so the runs trip the calendar folds' declared
+    // ~$9.2B/$3.5B-per-period micro-fixed-point caps — the
+    // caps-fire-loudly contracts are pinned in TimeSeriesSpec
+    // ("per-period cap fires loudly" / "guards: odd period and
+    // over-cap cents"), so the exclusions rest on automated
+    // guarantees, not one observed run; a caller at that magnitude
+    // quantizes coarser (whole dollars buy ×100 headroom).
     "r12" -> Seq("q219_scd2_collapse", "q220_logrank", "q222_kl_drift",
       "q223_isotonic_calibration"))
 

@@ -152,6 +152,53 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("classicalDecompose recovers a planted trend+seasonal EXACTLY") {
+    import graft.operators.TimeSeries
+    // y_t = a + b·t + s_{t mod 12} with Σs = 0: the 2×12 MA of the
+    // zero-sum periodic part is exactly 0 and the weighted window sum
+    // of the linear part is exactly 24·(a+bt), so every division is
+    // even and the decomposition is EXACT — including a NEGATIVE trend,
+    // which exercises the truncating-division parity both engines claim
+    val s12 = Seq(50L, -30L, 20L, -40L, 10L, 35L, -25L, 15L, -5L, 30L, -45L, -15L)
+    assert(s12.sum == 0)
+    for (b <- Seq(7L, -7L)) {
+      val ser = (0L until 48L)
+        .map(t => (t, 10000L + b * t + s12((t % 12).toInt)))
+        .toDF("ord", "cents")
+      val got = TimeSeries.classicalDecompose(ser, "ord", "cents")
+        .select($"ord", $"trend_micro", $"seasonal_micro", $"remainder_micro")
+        .as[(Long, Option[Long], Long, Option[Long])].collect().toSeq
+      got.foreach { case (t, trend, seas, rem) =>
+        if (t < 6 || t >= 42)
+          assert(trend.isEmpty && rem.isEmpty,
+            s"incomplete ±6 window must be NULL at t=$t (b=$b)")
+        else {
+          assert(trend.contains((10000L + b * t) * 1000000L),
+            s"trend must be exact at t=$t (b=$b): $trend")
+          assert(rem.contains(0L), s"remainder must vanish at t=$t (b=$b): $rem")
+        }
+        assert(seas == s12((t % 12).toInt) * 1000000L,
+          s"seasonal index must be exact at t=$t (b=$b): $seas")
+      }
+    }
+  }
+
+  test("classicalDecompose guards: odd period and over-cap cents fail loudly") {
+    import graft.operators.TimeSeries
+    val ser = (0L until 24L).map(t => (t, t * 100L)).toDF("ord", "cents")
+    intercept[IllegalArgumentException] {
+      TimeSeries.classicalDecompose(ser, "ord", "cents", period = 7)
+    }
+    val lim = Long.MaxValue / 1000000L / 26L
+    val hot = (0L until 24L).map(t => (t, lim + t)).toDF("ord", "cents")
+    val ex = intercept[Exception] {
+      TimeSeries.classicalDecompose(hot, "ord", "cents").collect()
+    }
+    assert(ex.getMessage.contains("caps |cents|") ||
+      Option(ex.getCause).exists(_.getMessage.contains("caps |cents|")),
+      s"expected the per-period envelope guard: ${ex.getMessage}")
+  }
+
   test("holtLinear per-period cap fires loudly past the fixed-point envelope") {
     import graft.operators.TimeSeries
     // the contract the ×100 ScaleStress run hits for q221 (replication
