@@ -553,14 +553,16 @@ object Stats {
                   maxBins: Int = 1000): DataFrame = {
     val spark = bins.sparkSession
     import spark.implicits._
+    // limit BEFORE collect: the loud "pre-aggregate" contract must fire
+    // on a raw-row input, not OOM the driver trying to materialize it
     val rows = bins
       .select(col(ord).cast("long"), col(n).cast("long"),
         col(events).cast("long"))
-      .orderBy(col(ord)).as[(Long, Long, Long)].collect()
+      .orderBy(col(ord)).limit(maxBins + 1).as[(Long, Long, Long)].collect()
     require(rows.nonEmpty, "isotonicFit needs at least one bin")
     require(rows.length <= maxBins,
       s"isotonicFit is a declared bin-bounded driver fold: " +
-        s"${rows.length} bins > $maxBins — pre-aggregate the bins")
+        s"over $maxBins bins — pre-aggregate the bins")
     require(rows.forall(r => r._2 > 0 && r._3 >= 0 && r._3 <= r._2),
       "each bin needs n > 0 and 0 <= events <= n")
     // PAVA stack: (firstIdx, Σn, Σevents); merge while the new pool's
@@ -574,7 +576,10 @@ object Stats {
       }) {
         val (ti, tw, ts) = stack.head
         stack = stack.tail
-        cur = (ti, tw + cur._2, ts + cur._3)
+        // addExact: pooled weights from adversarial callers must throw,
+        // not wrap into garbage the BigInt compares then trust
+        cur = (ti, java.lang.Math.addExact(tw, cur._2),
+          java.lang.Math.addExact(ts, cur._3))
       }
       stack = cur :: stack
     }

@@ -274,8 +274,14 @@ object TimeSeries {
     *   trend_t    = the centered 2×period moving average — half weight
     *                on the two edge points, NULL where the ±period/2
     *                window is incomplete;
-    *   seasonal_m = the per-phase (ord mod period) mean of the
-    *                detrended series, re-centered so Σ seasonal = 0;
+    *   seasonal_m = the per-phase (pmod(ord, period) — negative
+    *                ordinals keep their true phase where Java's signed
+    *                % would splinter them) mean of the detrended
+    *                series, re-centered by the truncating mean so
+    *                Σ seasonal = 0 up to the integer-division residue
+    *                (|Σ| < period micro-units; exactly 0 whenever the
+    *                phase-mean sum divides evenly, e.g. the planted
+    *                spec signal);
     *   remainder  = detrended − seasonal.
     * Everything is exact integer micro-cents: the weighted window sum
     * T = y_{t−h} + 2Σ_{|i|<h} y_{t+i} + y_{t+h} folds in DECIMAL(38,0)
@@ -301,7 +307,10 @@ object TimeSeries {
     val full = Window.orderBy(col(ord)).rowsBetween(-h, h)
     val withT = series
       .select(col(ord).cast("long").as(ord),
-        when(abs(col(cents).cast("long")) < lim, col(cents).cast("long"))
+        // two-sided compare, NOT abs(): abs(Long.MinValue) wraps
+        // negative and would slip through the envelope silently
+        when(col(cents).cast("long") > -lim && col(cents).cast("long") < lim,
+          col(cents).cast("long"))
           .otherwise(raise_error(lit(
             s"classicalDecompose caps |cents| at $lim per period")))
           .as(cents))
@@ -313,8 +322,14 @@ object TimeSeries {
         expr(s"(CAST(t2p AS DECIMAL(38,0)) * 1000000) div ${2 * period}"))
       .withColumn("detr", col(cents) * 1000000L - col("trend_micro"))
       .localCheckpoint() // the seasonal means and the output share it
+    // 2 full cycles minimum (the statsmodels contract): fewer rows
+    // would yield an all-NULL decomposition silently — the count reads
+    // the checkpoint, so this loud guard costs nothing
+    val nRows = withT.count()
+    require(nRows >= 2L * period,
+      s"classicalDecompose needs >= ${2 * period} periods (2 cycles): $nRows")
     val season = withT.filter(col("detr").isNotNull)
-      .groupBy((col(ord) % period).as("m"))
+      .groupBy(pmod(col(ord), lit(period)).as("m"))
       // fold in decimal: a long sum of micro detrended values wraps
       // once phase-years × |detr| nears 2^63 (a 30-year daily series)
       .agg(expr("sum(CAST(detr AS DECIMAL(38,0))) div count(1)").as("s_raw"))
@@ -324,7 +339,7 @@ object TimeSeries {
         expr(s"sum(CAST(s_raw AS DECIMAL(38,0))) div $period").as("adj"))))
       .select(col("m"), (col("s_raw") - col("adj")).as("seasonal_micro"))
     withT
-      .join(broadcast(sAdj), (col(ord) % period) === col("m"), "left")
+      .join(broadcast(sAdj), pmod(col(ord), lit(period)) === col("m"), "left")
       .select(col(ord), col(cents), col("trend_micro"),
         col("seasonal_micro"),
         (col("detr") - col("seasonal_micro")).as("remainder_micro"))
@@ -358,13 +373,15 @@ object TimeSeries {
       s"smoothing fractions must lie in (0,1): $aNum/$aDen, $bNum/$bDen")
     val spark = series.sparkSession
     import spark.implicits._
+    // limit BEFORE collect (the isotonicFit discipline): a raw-row
+    // input must hit the loud guard, not OOM the driver first
     val rows = series.select(col(ord).cast("long"), col(cents).cast("long"))
-      .orderBy(col(ord)).as[(Long, Long)].collect()
+      .orderBy(col(ord)).limit(maxRows + 1).as[(Long, Long)].collect()
     require(rows.length >= 2,
       s"holtLinear needs >= 2 periods: ${rows.length}")
     require(rows.length <= maxRows,
       s"holtLinear is a declared calendar-bounded driver fold: " +
-        s"${rows.length} rows > $maxRows — pre-aggregate the series")
+        s"over $maxRows rows — pre-aggregate the series")
     // micro-cent headroom: the per-period cap (~$9B/period) sizes the
     // COMMON case, but it does not bound the recurrence state — b's
     // two-point init is a DELTA (up to 2x the cap) and a sign-swinging
