@@ -555,6 +555,76 @@ object StreamPipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-key SCD Type 2 maintenance — the STREAMING form of the batch
+    * [[graft.operators.Incremental.scd2]] build (q219): dimension
+    * history maintained INCREMENTALLY as the change stream arrives,
+    * instead of re-deriving it from the full log. State per key is ONE
+    * open version — (attr, version, valid_from, last ordinal/tie) —
+    * never history-proportional: each arriving change whose attribute
+    * DIFFERS null-safely from the open one (x→NULL→x is two real
+    * changes, the q219 contract) EMITS the closed version
+    * (key, attr, version, valid_from, valid_to=change ordinal) and
+    * re-opens; unchanged attributes fold into the open version
+    * silently, exactly like the batch run-collapse. The open versions
+    * themselves live only in state (they are still mutable — a sink
+    * materializes them by unioning emitted CLOSED rows with a state
+    * snapshot, or reads the batch build for the current picture).
+    *
+    * Contract: changes arrive in (ordinal, tie) order per key across
+    * micro-batches (each batch's rows are sorted internally); an
+    * out-of-order arrival fails loudly (the CUSUM discipline) — SCD2
+    * is order-defined and silently absorbing a replay would corrupt
+    * every later interval. StreamingSpec pins streamed closed versions
+    * == the batch operator's closed rows on the same change log. */
+  private class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long, String),
+        (String, String, Int, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    // (attr — may be genuinely null, version, valid_from, lastOrd, lastTie)
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (String, Int, Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(String, Int, Long, Long, Long)]("scd2",
+        E.tuple(E.STRING, E.scalaInt, E.scalaLong, E.scalaLong, E.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, Long, String)],
+                                 tv: TimerValues): Iterator[(String, String, Int, Long, Long)] = {
+      var (attr, ver, from, lastOrd, lastTie) =
+        if (st.exists()) st.get() else (null: String, 0, 0L, Long.MinValue, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Int, Long, Long)]
+      rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ord, tie, a) =>
+        require(ord > lastOrd || (ord == lastOrd && tie > lastTie),
+          s"SCD2 changes must arrive in (ord, tie) order per key: " +
+            s"$key got ($ord, $tie) after ($lastOrd, $lastTie)")
+        lastOrd = ord; lastTie = tie
+        if (ver == 0) { attr = a; ver = 1; from = ord }
+        else if (Option(a) != Option(attr)) { // null-safe: x→NULL→x = 2 changes
+          out += ((key, attr, ver, from, ord))
+          attr = a; ver += 1; from = ord
+        }
+      }
+      st.update((attr, ver, from, lastOrd, lastTie))
+      out.iterator
+    }
+  }
+
+  /** [[Scd2Processor]] wired to a typed change stream of
+    * (key, ordinal, tiebreak, attribute). Emits CLOSED versions only
+    * (append mode); RocksDB provider required, as for
+    * [[cusumStream]]. */
+  def scd2Stream(changes: Dataset[(String, Long, Long, String)])
+      : Dataset[(String, String, Int, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_._1)
+      .transformWithState(new Scd2Processor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Watermarked stream-stream inner equi-join with an event-time range
     * bound. Both sides buffer state only within their watermark; the
     * range predicate lets Spark evict rows once the other side's clock

@@ -737,6 +737,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed SCD2 closed versions equal the batch operator on the same log") {
+    // the q219 build maintained incrementally: state = ONE open version
+    // per key; every emitted row is a CLOSED version, and the emitted
+    // set must equal the batch operator's valid_to-closed rows exactly
+    // — including the null-safe attribute compare and the run-collapse
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val base = Tables(spark, sf("sf0.001"), "events")
+        .filter($"user_id" < 8)
+        .select($"user_id".cast("string").as("k"),
+          unix_micros($"ts".cast("timestamp")).as("ord"),
+          $"event_id".as("tie"), $"event_type".as("attr"))
+      val batch = graft.operators.Incremental
+        .scd2(base, "k", "ord", "tie", "attr")
+        .filter($"valid_to".isNotNull)
+        .select($"k", $"attr", $"version", $"valid_from", $"valid_to")
+        .as[(String, String, Int, Long, Long)].collect().toSeq.sorted
+      assert(batch.nonEmpty, "the fixture log must close some versions")
+      val feed = base.orderBy($"ord", $"tie")
+        .as[(String, Long, Long, String)].collect().toSeq
+      val stream = MemoryStream[(String, Long, Long, String)]
+      val q = StreamPipeline.scd2Stream(stream.toDS())
+        .toDF("k", "attr", "version", "valid_from", "valid_to")
+        .writeStream.format("memory").queryName("scd2q")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("scd2_ck").toString)
+        .start()
+      // three micro-batches; versions opened in one batch must close in
+      // a later one purely from state
+      feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { ch =>
+        stream.addData(ch: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table("scd2q")
+        .as[(String, String, Int, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch,
+        s"streamed SCD2 diverged from the batch build " +
+          s"(${streamed.size} vs ${batch.size} closed versions; first: " +
+          s"${streamed.take(2)} vs ${batch.take(2)})")
+      // order contract: an out-of-order change must kill the query loudly
+      val stream2 = MemoryStream[(String, Long, Long, String)]
+      val q2 = StreamPipeline.scd2Stream(stream2.toDS())
+        .toDF("k", "attr", "version", "valid_from", "valid_to")
+        .writeStream.format("memory").queryName("scd2q2")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("scd2_ck2").toString)
+        .start()
+      stream2.addData(("k", 100L, 1L, "a"))
+      q2.processAllAvailable()
+      stream2.addData(("k", 90L, 2L, "b")) // ordinal rollback
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("(ord, tie) order"),
+        s"rollback must fail the order contract: ${ex.getMessage.take(200)}")
+      q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming near-dup suppression: LSH bucket index filters across batches") {
     implicit val sqlCtx = spark.sqlContext
     val base = Files.createTempDirectory("neardup").toString
