@@ -644,6 +644,157 @@ object StatsQueries {
             round(CAST(u2a AS DOUBLE) /
               (CAST(ta AS DOUBLE) * CAST(tb AS DOUBLE)) - 1.0, 6) AS r_rb
           FROM u"""),
-      "tie-corrected Mann-Whitney U on returned-vs-kept prices")
+      "tie-corrected Mann-Whitney U on returned-vs-kept prices"),
+
+    // ----------------------------- Theil-Sen slope + Mann-Kendall test
+    // The robust trend pair (Theil 1950 / Sen 1968; Mann 1945 / Kendall
+    // 1975): median-of-pairwise-slopes estimator plus the S-statistic
+    // monotone-trend test with the standard tie-corrected variance
+    // n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18 and the ±1 continuity-corrected
+    // z. The O(n²) pair stage runs over the CALENDAR-BOUNDED daily
+    // aggregate (366 rows for 1996 — C(366,2)=66,795 pairs regardless of
+    // raw-row scale), never raw orders: the only data-proportional work
+    // is the one map-side-combined daily rollup. Slopes are single IEEE
+    // divisions of exact cent/day integers, identical on both engines;
+    // the 66,795-element exact median hits one element (odd count), so
+    // sen_slope is bit-reproducible, not interpolation luck.
+    "q225_theil_sen" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ser = t(s, d, "orders")
+          .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+          .groupBy(datediff($"o_orderdate", lit("1996-01-01"))
+            .cast("long").as("day"))
+          .agg(Relational.centsSum($"o_totalprice").as("cents"))
+          .localCheckpoint() // ≤366 rows feed 4 derivations: 1 scan, not 4
+        val a = ser.select($"day".as("d1"), $"cents".as("c1"))
+        val b = ser.select($"day".as("d2"), $"cents".as("c2"))
+        val pairs = a.join(broadcast(b), col("d1") < col("d2"))
+          .select((($"c2" - $"c1").cast("double") /
+              ($"d2" - $"d1").cast("double")).as("slope"),
+            signum(($"c2" - $"c1").cast("double")).cast("long").as("sgn"))
+        val pairAgg = pairs.agg(
+          expr("percentile(slope, 0.5)").as("sen"),
+          sum($"sgn").as("s_stat"))
+        val nRow = ser.agg(count(lit(1)).as("n"))
+        val ties = ser.groupBy($"cents").agg(count(lit(1)).as("tcnt"))
+          .agg(coalesce(sum(when($"tcnt" > 1,
+            $"tcnt" * ($"tcnt" - 1) * (lit(2) * $"tcnt" + 5))), lit(0L)).as("tt"))
+        val varExpr = ($"n" * ($"n" - 1) * (lit(2) * $"n" + 5) - $"tt") / lit(18.0)
+        pairAgg.crossJoin(nRow).crossJoin(ties)
+          .select($"n", $"s_stat",
+            round(varExpr, 6).as("var_s"),
+            round(when($"s_stat" > 0, ($"s_stat" - 1) / sqrt(varExpr))
+              .when($"s_stat" < 0, ($"s_stat" + 1) / sqrt(varExpr))
+              .otherwise(lit(0.0)), 6).as("z_mk"),
+            round($"sen", 6).as("sen_slope"))
+      },
+      Some("""WITH ser AS (SELECT
+            CAST(date_diff('day', DATE '1996-01-01', o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+          GROUP BY 1),
+        pairs AS (SELECT
+            CAST(b.cents - a.cents AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope,
+            CAST(sign(b.cents - a.cents) AS BIGINT) AS sgn
+          FROM ser a JOIN ser b ON a.day < b.day),
+        pa AS (SELECT median(slope) AS sen, CAST(sum(sgn) AS BIGINT) AS s_stat
+          FROM pairs),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ser),
+        tg AS (SELECT CAST(coalesce(sum(CASE WHEN tcnt > 1
+              THEN tcnt * (tcnt - 1) * (2 * tcnt + 5) END), 0) AS BIGINT) AS tt
+          FROM (SELECT cents, count(*) AS tcnt FROM ser GROUP BY 1))
+        SELECT n, s_stat,
+          round((n * (n - 1) * (2 * n + 5) - tt) / 18.0, 6) AS var_s,
+          round(CASE
+            WHEN s_stat > 0 THEN (s_stat - 1)
+              / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+            WHEN s_stat < 0 THEN (s_stat + 1)
+              / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+            ELSE 0.0 END, 6) AS z_mk,
+          round(sen, 6) AS sen_slope
+        FROM pa CROSS JOIN nn CROSS JOIN tg"""),
+      "Theil-Sen slope + tie-corrected Mann-Kendall z over the daily calendar"),
+
+    // ------------------------- stratified ATE + saturated-propensity IPW
+    // The third leg of the causal family (q198 CUPED, q210 caliper
+    // matching, q213 QTE): stratify on the customer market segment,
+    // estimate the high-priority treatment effect on order value as the
+    // stratum-weighted mean difference (Cochran 1968), and ALSO as the
+    // Horvitz-Thompson IPW sum with the saturated per-stratum propensity
+    // e_s = n1s/ns (Rosenbaum & Rubin 1983). For discrete saturated
+    // strata the two estimators coincide by algebra — StatsSpec pins the
+    // identity — so ate_strat == ate_ipw is a built-in cross-check
+    // computed along two genuinely different float paths (5-term
+    // stratum fold vs per-row weighted sum). Degenerate strata with an
+    // empty arm are excluded by contract on BOTH engines (n1>0, n0>0);
+    // everything upstream of the closed forms is one hash aggregate
+    // over the broadcast-joined customer dimension.
+    "q227_stratified_ipw" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        val o = t(s, d, "orders")
+          .select($"o_custkey",
+            ($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH")
+              .cast("int").as("treat"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment", $"treat", $"y")
+        val st = o.groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("ns"),
+            sum($"treat").cast("long").as("n1"),
+            sum(when($"treat" === 1, $"y")).as("s1"),
+            sum(when($"treat" === 0, $"y")).as("s0"))
+        val kept = st.filter($"n1" > 0 && $"ns" - $"n1" > 0)
+        val glob = st.agg(sum($"n1").as("n1g"), sum($"ns" - $"n1").as("n0g"),
+          sum($"s1").cast("long").as("s1g"), sum($"s0").cast("long").as("s0g"))
+        val sa = kept.agg(sum($"ns").as("nk"),
+          sum($"ns" * ($"s1".cast("double") / $"n1" -
+            $"s0".cast("double") / ($"ns" - $"n1"))).as("num"))
+        val ipw = o.join(broadcast(kept), "c_mktsegment")
+          .agg(sum(when($"treat" === 1,
+              $"y" * ($"ns".cast("double") / $"n1"))
+            .otherwise(-$"y" * ($"ns".cast("double") / ($"ns" - $"n1"))))
+            .as("wsum"))
+        sa.crossJoin(glob).crossJoin(ipw)
+          .select(($"n1g" + $"n0g").as("n_total"), $"n1g".as("n_treat"),
+            round($"s1g".cast("double") / $"n1g" -
+              $"s0g".cast("double") / $"n0g", 2).as("naive_diff"),
+            round($"num" / $"nk", 2).as("ate_strat"),
+            round($"wsum" / $"nk", 2).as("ate_ipw"))
+      },
+      Some("""WITH o AS (SELECT c_mktsegment,
+            CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS treat,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        st AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS ns,
+            CAST(sum(treat) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN treat = 1 THEN y END) AS BIGINT) AS s1,
+            CAST(sum(CASE WHEN treat = 0 THEN y END) AS BIGINT) AS s0
+          FROM o GROUP BY 1),
+        kept AS (SELECT * FROM st WHERE n1 > 0 AND ns - n1 > 0),
+        gl AS (SELECT CAST(sum(n1) AS BIGINT) AS n1g,
+            CAST(sum(ns - n1) AS BIGINT) AS n0g,
+            CAST(sum(s1) AS BIGINT) AS s1g,
+            CAST(sum(s0) AS BIGINT) AS s0g
+          FROM st),
+        sa AS (SELECT CAST(sum(ns) AS BIGINT) AS nk,
+            sum(ns * (CAST(s1 AS DOUBLE) / n1
+              - CAST(s0 AS DOUBLE) / (ns - n1))) AS num
+          FROM kept),
+        ipw AS (SELECT sum(CASE WHEN o.treat = 1
+              THEN y * (CAST(k.ns AS DOUBLE) / k.n1)
+              ELSE -y * (CAST(k.ns AS DOUBLE) / (k.ns - k.n1)) END) AS wsum
+          FROM o JOIN kept k USING (c_mktsegment))
+        SELECT n1g + n0g AS n_total, n1g AS n_treat,
+          round(CAST(s1g AS DOUBLE) / n1g - CAST(s0g AS DOUBLE) / n0g, 2)
+            AS naive_diff,
+          round(num / nk, 2) AS ate_strat,
+          round(wsum / nk, 2) AS ate_ipw
+        FROM sa CROSS JOIN gl CROSS JOIN ipw"""),
+      "stratified ATE vs saturated-propensity IPW, the coincidence oracled")
   )
 }

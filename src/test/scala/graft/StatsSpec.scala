@@ -423,4 +423,83 @@ class StatsSpec extends SparkSpec {
       .select($"reject").as[Int].collect()
     assert(aa.forall(_ == 0), "the symmetric A/A stream must never reject")
   }
+
+  test("q225 Theil-Sen/Mann-Kendall: a literal O(n²) loop reproduces the query") {
+    // Independent-identity pin (the q202/q223 pattern): the DuckDB oracle
+    // mirrors q225's construction, so a shared misreading of the MK
+    // variance or the continuity correction would pass both engines.
+    // This recomputes S, the tie-corrected variance, z, and the exact
+    // median-of-slopes from DEFINITIONS — a plain pairwise loop over the
+    // collected daily series — and asserts the query's outputs.
+    val ser = Tables(spark, sf("sf0.001"), "orders")
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .groupBy(datediff($"o_orderdate", lit("1996-01-01")).cast("long").as("day"))
+      .agg(graft.operators.Relational.centsSum($"o_totalprice").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = ser.length
+    assert(n > 100, s"fixture sanity: expected a dense 1996 calendar, got $n days")
+    var sStat = 0L
+    val slopes = Array.newBuilder[Double]
+    for (i <- 0 until n; j <- (i + 1) until n) {
+      val dc = ser(j)._2 - ser(i)._2
+      sStat += java.lang.Long.signum(dc)
+      slopes += dc.toDouble / (ser(j)._1 - ser(i)._1).toDouble
+    }
+    val sorted = slopes.result().sorted
+    // Spark exact Percentile / DuckDB median: linear interpolation at
+    // rank p·(m−1) — identical formula on both engines
+    val pos = 0.5 * (sorted.length - 1)
+    val lo = pos.toInt
+    val sen = if (pos == lo) sorted(lo)
+      else sorted(lo) + (pos - lo) * (sorted(lo + 1) - sorted(lo))
+    val tt = ser.groupBy(_._2).valuesIterator.map(_.length.toLong)
+      .filter(_ > 1).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n.toLong * (n.toLong - 1) * (2L * n + 5) - tt) / 18.0
+    val z = if (sStat > 0) (sStat - 1) / math.sqrt(varS)
+      else if (sStat < 0) (sStat + 1) / math.sqrt(varS) else 0.0
+    val row = graft.queries.Registry.queries("q225_theil_sen")(
+      spark, sf("sf0.001")).head()
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("s_stat") == sStat)
+    assert(math.abs(row.getAs[Double]("var_s") - varS) < 1e-5)
+    assert(math.abs(row.getAs[Double]("z_mk") - z) < 2e-6)
+    assert(math.abs(row.getAs[Double]("sen_slope") - sen) < 2e-6)
+  }
+
+  test("q227: stratified ATE coincides with saturated-propensity IPW") {
+    // Cochran/Rosenbaum-Rubin identity: with the SATURATED per-stratum
+    // propensity e_s = n1s/ns, the Horvitz-Thompson IPW estimator
+    // collapses algebraically to the stratum-size-weighted mean
+    // difference. Pinned two ways: (1) literal Scala folds of both
+    // estimators on synthetic strata (unequal sizes, a degenerate
+    // no-control stratum that must be EXCLUDED by both paths) agree to
+    // 1e-9 before any rounding; (2) the real query's two per-engine
+    // float paths (5-term stratum fold vs per-row weighted sum) land on
+    // the same rounded cents.
+    val rows = Seq(
+      ("A", 1, 10000L), ("A", 1, 14000L), ("A", 0, 9000L), ("A", 0, 11000L),
+      ("B", 1, 30000L), ("B", 0, 25000L), ("B", 0, 27000L),
+      ("C", 1, 5000L), ("C", 1, 7000L), ("C", 1, 6000L), ("C", 0, 4000L),
+      ("D", 1, 99900L), ("D", 1, 88800L)) // no control arm → excluded
+    val kept = rows.groupBy(_._1).filter { case (_, rs) =>
+      rs.exists(_._2 == 1) && rs.exists(_._2 == 0) }
+    assert(!kept.contains("D"))
+    val nk = kept.valuesIterator.map(_.size).sum.toDouble
+    val strat = kept.valuesIterator.map { rs =>
+      val y1 = rs.filter(_._2 == 1).map(_._3)
+      val y0 = rs.filter(_._2 == 0).map(_._3)
+      rs.size * (y1.sum.toDouble / y1.size - y0.sum.toDouble / y0.size)
+    }.sum / nk
+    val ipw = kept.valuesIterator.flatMap { rs =>
+      val ns = rs.size.toDouble
+      val n1 = rs.count(_._2 == 1).toDouble
+      rs.map { case (_, tr, y) =>
+        if (tr == 1) y * (ns / n1) else -y * (ns / (ns - n1)) }
+    }.sum / nk
+    assert(math.abs(strat - ipw) < 1e-9, s"identity broke: $strat vs $ipw")
+    val row = graft.queries.Registry.queries("q227_stratified_ipw")(
+      spark, sf("sf0.001")).head()
+    assert(row.getAs[Double]("ate_strat") == row.getAs[Double]("ate_ipw"),
+      "the two float paths must land on the same rounded cents")
+  }
 }
