@@ -409,4 +409,67 @@ object TimeSeries {
       .toDF(ord, cents, "level_micro", "trend_micro", "forecast_micro")
       .orderBy(col(ord))
   }
+
+  /** EWMA control chart (Roberts 1959) — the third classical monitor
+    * next to CUSUM (q202) and the mSPRT (q217), and the level-only
+    * sibling of [[holtLinear]] whose POINT is the alarm, not the
+    * smooth: z_t = (λNum·y_t·1e6 + (λDen−λNum)·z_{t−1}) quot λDen in
+    * micro-cent integer fixed point (z₁ = y₁·1e6), flagged against the
+    * ASYMPTOTIC control limit L·σ·√(λ/(2−λ)) around the series mean —
+    * the standard large-t limit; the first few periods are therefore
+    * screened slightly conservatively (the exact time-varying band is
+    * narrower there), which is the documented trade for keeping every
+    * limit term a closed form of exact integer moments. σ is the
+    * population stddev of the per-period cents, computed from exact
+    * integer sums (Σy in a long, Σy² in BigInt) with the double
+    * expression written token-for-token as the DuckDB oracle's, so
+    * alarm flags — strict `>` compares of identical IEEE doubles —
+    * are bit-reproducible. Same declared calendar-bounded driver-fold
+    * contract as [[holtLinear]]: loud `maxRows` guard, loud per-period
+    * cents cap, every fold step in `*Exact` arithmetic.
+    * Output: (ordinal, cents, ewma_micro, alarm). */
+  def ewmaChart(series: DataFrame, ord: String, cents: String,
+                lamNum: Long = 2, lamDen: Long = 10,
+                l: Double = 3.0, maxRows: Int = 1000): DataFrame = {
+    require(lamNum > 0 && lamDen > lamNum,
+      s"EWMA weight must lie in (0,1): $lamNum/$lamDen")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val rows = series.select(col(ord).cast("long"), col(cents).cast("long"))
+      .orderBy(col(ord)).limit(maxRows + 1).as[(Long, Long)].collect()
+    require(rows.length >= 2, s"ewmaChart needs >= 2 periods: ${rows.length}")
+    require(rows.length <= maxRows,
+      s"ewmaChart is a declared calendar-bounded driver fold: " +
+        s"over $maxRows rows — pre-aggregate the series")
+    val lim = Long.MaxValue / 1000000L / lamDen
+    require(rows.forall(r => math.abs(r._2) < lim),
+      s"ewmaChart micro fixed point caps |cents| at $lim per period")
+    import java.lang.Math.{addExact, multiplyExact}
+    val n = rows.length
+    var sy = 0L
+    var sy2 = BigInt(0)
+    rows.foreach { r => sy = addExact(sy, r._2); sy2 += BigInt(r._2) * r._2 }
+    // token-for-token the oracle's limit expression (see q229): any
+    // algebraic "simplification" here would de-synchronize the IEEE
+    // trees and make boundary alarms engine-dependent
+    val meanC = sy.toDouble / n
+    val sigma = math.sqrt(
+      (n.toDouble * sy2.toDouble - sy.toDouble * sy.toDouble) /
+        (n.toDouble * n.toDouble))
+    val band = l * sigma *
+      math.sqrt((lamNum.toDouble / lamDen) / (2.0 - lamNum.toDouble / lamDen))
+    val out = Array.ofDim[(Long, Long, Long, Int)](n)
+    var z = multiplyExact(rows(0)._2, 1000000L)
+    def flag(zMicro: Long): Int =
+      if (math.abs(zMicro.toDouble / 1000000.0 - meanC) > band) 1 else 0
+    out(0) = (rows(0)._1, rows(0)._2, z, flag(z))
+    for (t <- 1 until n) {
+      z = addExact(multiplyExact(lamNum, multiplyExact(rows(t)._2, 1000000L)),
+        multiplyExact(lamDen - lamNum, z)) / lamDen
+      out(t) = (rows(t)._1, rows(t)._2, z, flag(z))
+    }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF(ord, cents, "ewma_micro", "alarm")
+      .orderBy(col(ord))
+  }
 }

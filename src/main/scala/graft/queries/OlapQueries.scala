@@ -911,6 +911,82 @@ object OlapQueries {
             round(coalesce(CAST(1.0 AS DOUBLE) / firstrel, 0.0), 6) AS mrr,
             round(CAST(hits AS DOUBLE) / 10.0, 6) AS p_at_10
           FROM m CROSS JOIN idcg"""),
-      "NDCG@10 / MRR / P@10 of BM25 against deterministic graded qrels")
+      "NDCG@10 / MRR / P@10 of BM25 against deterministic graded qrels"),
+
+    // ------------------------------------------ degree assortativity
+    // Newman (2002) degree-assortativity coefficient of the undirected
+    // customer-supplier trade graph: the Pearson correlation of
+    // (deg(u), deg(v)) over the DIRECTED edge list with both
+    // orientations included — exactly Newman's undirected formula.
+    // Non-iterative sibling of the q128/q140 graph family: one distinct
+    // edge build (checkpointed before fan-out, the q128 discipline: it
+    // feeds the degree aggregate AND the moment join), one degree hash
+    // aggregate, two shuffle equi-joins to attach endpoint degrees, and
+    // ONE exact moment aggregate (128-bit sums — Σdu·dv over 10^12
+    // edges with 10^6-degree hubs needs >64 bits). The closed form is
+    // a single double expression over the one-row moment frame, with
+    // the zero-variance regular-graph case emitting NULL by contract
+    // on both engines (the logRank discipline).
+    "q228_assortativity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import graft.functions.Aggregators.sum128
+        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
+        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
+        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(concat(lit("c"), $"o_custkey").as("src"),
+            concat(lit("s"), $"l_suppkey").as("dst"))
+          .distinct()
+        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+          .localCheckpoint() // feeds the degree build AND the moment join
+        val deg = both.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint() // two join sides + the node count read it
+        val pairs = both
+          .join(deg.select($"node".as("src"), $"deg".as("du")), "src")
+          .join(deg.select($"node".as("dst"), $"deg".as("dv")), "dst")
+        val mom = pairs.agg(
+          count(lit(1)).as("m2"),
+          sum128($"du").cast("double").as("sj"),
+          sum128($"dv").cast("double").as("sk"),
+          sum128($"du" * $"dv").cast("double").as("sjk"),
+          sum128($"du" * $"du").cast("double").as("sj2"),
+          sum128($"dv" * $"dv").cast("double").as("sk2"))
+        val den = (col("m2").cast("double") * col("sj2") - col("sj") * col("sj")) *
+          (col("m2").cast("double") * col("sk2") - col("sk") * col("sk"))
+        mom.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+          .select($"n_nodes",
+            expr("m2 div 2").as("m_edges"),
+            when(den > 0, round(
+                (col("m2").cast("double") * col("sjk") - col("sj") * col("sk")) /
+                  sqrt(den), 6))
+              .otherwise(lit(null).cast("double")).as("assortativity"))
+      },
+      Some("""WITH cs AS (SELECT DISTINCT
+            'c' || CAST(o_custkey AS VARCHAR) AS src,
+            's' || CAST(l_suppkey AS VARCHAR) AS dst
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        bo AS (SELECT src, dst FROM cs
+          UNION ALL SELECT dst AS src, src AS dst FROM cs),
+        deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+          FROM bo GROUP BY 1),
+        p AS (SELECT d1.deg AS du, d2.deg AS dv
+          FROM bo e JOIN deg d1 ON e.src = d1.node
+          JOIN deg d2 ON e.dst = d2.node),
+        mom AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+            CAST(sum(du) AS DOUBLE) AS sj, CAST(sum(dv) AS DOUBLE) AS sk,
+            CAST(sum(du * dv) AS DOUBLE) AS sjk,
+            CAST(sum(du * du) AS DOUBLE) AS sj2,
+            CAST(sum(dv * dv) AS DOUBLE) AS sk2
+          FROM p),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        SELECT n_nodes, m2 // 2 AS m_edges,
+          CASE WHEN (CAST(m2 AS DOUBLE) * sj2 - sj * sj)
+                  * (CAST(m2 AS DOUBLE) * sk2 - sk * sk) > 0
+            THEN round((CAST(m2 AS DOUBLE) * sjk - sj * sk)
+              / sqrt((CAST(m2 AS DOUBLE) * sj2 - sj * sj)
+                   * (CAST(m2 AS DOUBLE) * sk2 - sk * sk)), 6)
+          END AS assortativity
+        FROM mom CROSS JOIN nn"""),
+      "Newman degree assortativity of the trade graph, exact 128-bit moments")
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1543,6 +1543,142 @@ object PipelineQueries {
           t.detr - s.seasonal_micro AS remainder_micro
         FROM tr t LEFT JOIN sadj s ON t.ym % 12 = s.m
         ORDER BY t.ym"""),
-      "classical trend/seasonal/remainder decomposition, integer-exact both engines")
+      "classical trend/seasonal/remainder decomposition, integer-exact both engines"),
+
+    // --------------------------------------------- RFM segmentation
+    // The classic recency/frequency/monetary customer segmentation
+    // (Hughes 1994): per-customer R/F/M from ONE hash aggregate over
+    // orders, quintile scores per dimension, then the 125-cell segment
+    // rollup. Deliberately NOT ntile() — a partitionless window is a
+    // single-partition total sort, the one shape that cannot scale.
+    // Instead the quintile cutpoints come from the exact-quantile
+    // engine ([[graft.operators.Relational.exactQuantilesQuantized]]:
+    // bounded histogram passes, no global sort), land in a ONE-ROW
+    // broadcast frame, and scoring is a narrow CASE over it. Cutpoint
+    // parity: quintile interpolation fractions are fifths, so p·5 is
+    // integer up to IEEE ULPs and round(p·5) is identical on both
+    // engines (the q149 eighth-cent discipline); scores compare
+    // metric·5 > cutpoint·5 in exact integers. R is reverse-scored
+    // (most recent = 5) per the textbook convention.
+    "q226_rfm_segments" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rfm = t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(datediff(lit("2001-08-02"), max($"o_orderdate"))
+              .cast("long").as("r_days"),
+            count(lit(1)).as("f"),
+            graft.operators.Relational.centsSum($"o_totalprice").as("m"))
+          .localCheckpoint() // feeds 3 quantile builds + the scoring pass
+        def cuts(c: String): DataFrame =
+          graft.operators.Relational.exactQuantilesQuantized(
+              rfm, c, Seq(0.2, 0.4, 0.6, 0.8), scale = 1)
+            .select((0 to 3).map(i =>
+              round(col(s"p$i") * 5).cast("long").as(s"${c}_b$i")): _*)
+        val bounds = cuts("r_days").crossJoin(cuts("f")).crossJoin(cuts("m"))
+        def score(c: Column, pre: String): Column = (0 to 3).map(i =>
+          when(c * 5 > col(s"${pre}_b$i"), 1).otherwise(0)).reduce(_ + _)
+        rfm.crossJoin(broadcast(bounds))
+          .select((lit(5) - score($"r_days", "r_days")).as("r_score"),
+            (lit(1) + score($"f", "f")).as("f_score"),
+            (lit(1) + score($"m", "m")).as("m_score"),
+            $"m")
+          .groupBy($"r_score", $"f_score", $"m_score")
+          .agg(count(lit(1)).as("n_cust"),
+            // truncating integer division: exact on both engines (a
+            // round(·,2) double here died on a half-cent boundary)
+            expr("sum(m) div count(1)").as("avg_cents"))
+          .orderBy($"r_score", $"f_score", $"m_score")
+      },
+      Some("""WITH rfm AS (SELECT o_custkey,
+            CAST(date_diff('day', max(o_orderdate), DATE '2001-08-02') AS BIGINT)
+              AS r_days,
+            CAST(count(*) AS BIGINT) AS f,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+          FROM orders GROUP BY 1),
+        b AS (SELECT
+            CAST(round(quantile_cont(CAST(r_days AS DOUBLE), 0.2) * 5) AS BIGINT) AS r_b0,
+            CAST(round(quantile_cont(CAST(r_days AS DOUBLE), 0.4) * 5) AS BIGINT) AS r_b1,
+            CAST(round(quantile_cont(CAST(r_days AS DOUBLE), 0.6) * 5) AS BIGINT) AS r_b2,
+            CAST(round(quantile_cont(CAST(r_days AS DOUBLE), 0.8) * 5) AS BIGINT) AS r_b3,
+            CAST(round(quantile_cont(CAST(f AS DOUBLE), 0.2) * 5) AS BIGINT) AS f_b0,
+            CAST(round(quantile_cont(CAST(f AS DOUBLE), 0.4) * 5) AS BIGINT) AS f_b1,
+            CAST(round(quantile_cont(CAST(f AS DOUBLE), 0.6) * 5) AS BIGINT) AS f_b2,
+            CAST(round(quantile_cont(CAST(f AS DOUBLE), 0.8) * 5) AS BIGINT) AS f_b3,
+            CAST(round(quantile_cont(CAST(m AS DOUBLE), 0.2) * 5) AS BIGINT) AS m_b0,
+            CAST(round(quantile_cont(CAST(m AS DOUBLE), 0.4) * 5) AS BIGINT) AS m_b1,
+            CAST(round(quantile_cont(CAST(m AS DOUBLE), 0.6) * 5) AS BIGINT) AS m_b2,
+            CAST(round(quantile_cont(CAST(m AS DOUBLE), 0.8) * 5) AS BIGINT) AS m_b3
+          FROM rfm),
+        sc AS (SELECT m,
+            5 - (CASE WHEN r_days * 5 > r_b0 THEN 1 ELSE 0 END
+               + CASE WHEN r_days * 5 > r_b1 THEN 1 ELSE 0 END
+               + CASE WHEN r_days * 5 > r_b2 THEN 1 ELSE 0 END
+               + CASE WHEN r_days * 5 > r_b3 THEN 1 ELSE 0 END) AS r_score,
+            1 + (CASE WHEN f * 5 > f_b0 THEN 1 ELSE 0 END
+               + CASE WHEN f * 5 > f_b1 THEN 1 ELSE 0 END
+               + CASE WHEN f * 5 > f_b2 THEN 1 ELSE 0 END
+               + CASE WHEN f * 5 > f_b3 THEN 1 ELSE 0 END) AS f_score,
+            1 + (CASE WHEN m * 5 > m_b0 THEN 1 ELSE 0 END
+               + CASE WHEN m * 5 > m_b1 THEN 1 ELSE 0 END
+               + CASE WHEN m * 5 > m_b2 THEN 1 ELSE 0 END
+               + CASE WHEN m * 5 > m_b3 THEN 1 ELSE 0 END) AS m_score
+          FROM rfm CROSS JOIN b)
+        SELECT r_score, f_score, m_score,
+          CAST(count(*) AS BIGINT) AS n_cust,
+          CAST(sum(m) // count(*) AS BIGINT) AS avg_cents
+        FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      "RFM quintile segmentation via the exact-quantile engine, no ntile sort"),
+
+    // ------------------------------------------- EWMA control chart
+    // Completes the classical monitor trio (q202 CUSUM catches small
+    // persistent shifts, q217 mSPRT is always-valid sequential testing;
+    // EWMA is the smoothed-level chart between them). Integer fixed
+    // point as q221: the inherently sequential recurrence runs as the
+    // DECLARED calendar-bounded driver fold
+    // ([[graft.operators.TimeSeries.ewmaChart]], loud caps, *Exact
+    // arithmetic), the oracle replays the whole trajectory as ONE
+    // recursive CTE, and the control-limit doubles are written
+    // token-for-token on both engines so every alarm flag hashes
+    // identically. The one data-proportional stage is the daily rollup.
+    "q229_ewma_chart" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ser = t(s, d, "orders")
+          .filter($"o_orderdate" >= "1997-01-01" && $"o_orderdate" < "1998-01-01")
+          .groupBy(datediff($"o_orderdate", lit("1997-01-01"))
+            .cast("long").as("day"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        graft.operators.TimeSeries.ewmaChart(ser, "day", "cents")
+      },
+      Some("""WITH RECURSIVE ser AS (SELECT
+            CAST(date_diff('day', DATE '1997-01-01', o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+          GROUP BY 1),
+        idx AS MATERIALIZED (SELECT day, cents,
+            row_number() OVER (ORDER BY day) AS rn FROM ser),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(cents) AS BIGINT) AS sy,
+            sum(CAST(cents AS HUGEINT) * cents) AS sy2
+          FROM ser),
+        ew(rn, day, cents, z) AS (
+          SELECT rn, day, cents, cents * 1000000 FROM idx WHERE rn = 1
+          UNION ALL
+          SELECT i.rn, i.day, i.cents,
+              (2 * i.cents * 1000000 + 8 * e.z) // 10
+            FROM ew e JOIN idx i ON i.rn = e.rn + 1),
+        lim AS (SELECT CAST(sy AS DOUBLE) / n AS mean_c,
+            3.0 * sqrt((CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+              * sqrt((2.0 / 10.0) / (2.0 - 2.0 / 10.0)) AS band
+          FROM st)
+        SELECT day, cents, z AS ewma_micro,
+          CASE WHEN abs(CAST(z AS DOUBLE) / 1000000.0 - mean_c) > band
+            THEN 1 ELSE 0 END AS alarm
+        FROM ew CROSS JOIN lim ORDER BY day"""),
+      "EWMA control chart, trajectory and alarm flags oracled via recursive CTE")
   )
 }

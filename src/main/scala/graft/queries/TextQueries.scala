@@ -1251,6 +1251,67 @@ object TextQueries {
             b.p * ln(b.p * 2.0 / (a.p + b.p)))), 6) AS jsd
         FROM dense a JOIN dense b ON a.w = b.w AND a.lang < b.lang
         GROUP BY 1, 2 ORDER BY 1, 2"""),
-      "pairwise KL + Jensen-Shannon drift across language slices, global-vocab smoothing")
+      "pairwise KL + Jensen-Shannon drift across language slices, global-vocab smoothing"),
+
+    // ------------------------- interpolated Kneser-Ney bigram model
+    // The n-gram language model every data pipeline fits for perplexity
+    // filtering and domain scoring (Kneser & Ney 1995; Chen & Goodman
+    // 1999's interpolated form, D = 0.75):
+    //   P(w2|w1) = max(c−D,0)/c(w1·) + D·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+    // where the continuation probability counts CONTEXTS, not tokens —
+    // the famous "San Francisco" correction. Scale shape: bigram
+    // extraction is one NARROW zip_with over the token arrays (no
+    // shuffle, no window); every aggregate and join after it runs on
+    // the bigram-TYPE table — vocabulary²-bounded, not corpus-bounded —
+    // and the total-types frame is a broadcast scalar. The probability
+    // is one double expression over exact counts, written
+    // token-for-token as the oracle's, and TextDedupSpec pins the
+    // independent normalization identity Σ_w2 P(w2|w1) = 1.
+    "q230_kneser_ney" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val toks = docs(s, d)
+          .select(split(lower($"text"), " ").as("a"))
+        val big = toks
+          .select(explode(zip_with(
+            slice($"a", lit(1), size($"a") - 1),
+            slice($"a", lit(2), size($"a") - 1),
+            (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+          .select($"bg.w1", $"bg.w2")
+        val c = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c"))
+          .localCheckpoint() // left/right/total marginals + the join read it
+        val left = c.groupBy($"w1")
+          .agg(sum($"c").as("c1"), count(lit(1)).as("n1p_l"))
+        val right = c.groupBy($"w2").agg(count(lit(1)).as("n1p_r"))
+        val total = c.agg(count(lit(1)).as("n_types"))
+        c.join(left, "w1").join(right, "w2").crossJoin(broadcast(total))
+          .filter($"c" >= 5)
+          .select($"w1", $"w2", $"c",
+            round(greatest($"c" - 0.75, lit(0.0)) / $"c1" +
+              lit(0.75) / $"c1" * $"n1p_l" * ($"n1p_r" / $"n_types"), 6)
+              .as("p_kn"))
+          .orderBy($"p_kn".desc, $"w1", $"w2")
+          .limit(15)
+      },
+      Some("""WITH toks AS (SELECT string_split(lower(text), ' ') AS a
+            FROM documents),
+        ix AS (SELECT a, unnest(generate_series(1, len(a) - 1)) AS i
+          FROM toks),
+        bg AS (SELECT a[i] AS w1, a[i + 1] AS w2 FROM ix),
+        c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+          FROM bg GROUP BY 1, 2),
+        lf AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c1,
+            CAST(count(*) AS BIGINT) AS n1p_l
+          FROM c GROUP BY 1),
+        rt AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
+          FROM c GROUP BY 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM c)
+        SELECT w1, w2, c,
+          round(greatest(c - 0.75, 0.0) / c1
+            + 0.75 / c1 * n1p_l * (n1p_r / n_types), 6) AS p_kn
+        FROM c JOIN lf USING (w1) JOIN rt USING (w2) CROSS JOIN tot
+        WHERE c >= 5
+        ORDER BY p_kn DESC, w1, w2 LIMIT 15"""),
+      "interpolated Kneser-Ney bigram probabilities, continuation counts and all")
   )
 }

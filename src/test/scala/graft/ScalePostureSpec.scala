@@ -751,6 +751,58 @@ class ScalePostureSpec extends SparkSpec {
     assert(sig(tidy) == sig(frag), "compaction must preserve every row")
   }
 
+  test("q225 trend pair: the O(n²) stage reads only the checkpointed calendar") {
+    // Theil-Sen/Mann-Kendall's pair join is C(366,2) BY CONSTRUCTION —
+    // but only if both join sides read the materialized daily aggregate.
+    // Dropping the checkpoint would re-derive the rollup per side (and
+    // per marginal: n, ties), pushing four orders scans under the join.
+    val p = plan("q225_theil_sen")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"every stage must read the ≤366-row checkpoint, not orders:\n${p.take(1400)}")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")),
+      s"expected the checkpointed calendar frame:\n${p.take(800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the d1<d2 pair stage must broadcast the bounded side:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q226 RFM: quintile scoring is broadcast CASE logic — no ntile sort") {
+    // the classic RFM trap is ntile() over a partitionless window: a
+    // single-partition total sort of every customer. The contract here
+    // is cutpoints from the bounded-histogram quantile engine landing
+    // in a broadcast one-row frame, with the rfm aggregate checkpointed
+    // once (zero raw-table scans anywhere in the final plan)
+    val p = plan("q226_rfm_segments")
+    assert(!p.contains("ntile"), s"no ntile window may exist:\n${p.take(1200)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"scoring must read the checkpointed rfm frame, not orders:\n${p.take(1400)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row cutpoint frame must ride a broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q228 assortativity: moment join reads the checkpointed edge set only") {
+    // the q128 checkpoint-before-fanout discipline: the distinct edge
+    // build feeds the degree aggregate AND the two endpoint joins — if
+    // either side re-derived it, the lineitem⋈orders distinct would run
+    // three times and FileScans would reappear under the moment join
+    val p = plan("q228_assortativity")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"the moment join must read checkpoints, not raw tables:\n${p.take(1400)}")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")))
+    assert(!p.contains("CartesianProduct"),
+      s"only the broadcast scalar cross is legal:\n${p.take(1200)}")
+  }
+
+  test("q230 Kneser-Ney: marginals read the checkpointed bigram-type table; top-k never global-sorts") {
+    val p = plan("q230_kneser_ney")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"every marginal must read the checkpointed type table:\n${p.take(1400)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-15 must be a bounded take, not a total sort:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

@@ -402,4 +402,47 @@ class TextDedupSpec extends SparkSpec {
     assert(words == generic, s"specialized path must match:\n$words\nvs\n$generic")
     assert(words.nonEmpty, "fixture must produce at least one pair")
   }
+
+  test("q230 Kneser-Ney: definitional set-based replay + normalization identity") {
+    // Independent-identity pin: q230's oracle mirrors its algebraic
+    // construction (marginals of the bigram-type table), so a shared
+    // misreading — the classic one is using TOKEN counts instead of
+    // distinct-CONTEXT counts in the continuation term — would pass
+    // both engines. This replays the model from DEFINITIONS (explicit
+    // distinct-context SETS over the collected corpus) and checks the
+    // query's output rows against it, then asserts the interpolated-KN
+    // normalization theorem Σ_{w2∈vocab} P(w2|w1) = 1 for every w1 —
+    // which holds only when the discount mass D·N1+(w1·)/c(w1·)
+    // exactly funds the continuation distribution.
+    val texts = Tables(spark, sf("sf0.001"), "documents")
+      .select(lower($"text")).as[String].collect()
+    val bigrams = texts.flatMap { t =>
+      val a = t.split(" ", -1); a.dropRight(1).zip(a.drop(1)) }
+    assert(bigrams.length > 100, s"fixture sanity: ${bigrams.length} bigrams")
+    val c = bigrams.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = c.toSeq.groupBy(_._1._1).map { case (w1, m) => w1 -> m.map(_._2).sum }
+    val n1pl = c.keySet.groupBy(_._1).map { case (w1, ks) => w1 -> ks.map(_._2).size }
+    val n1pr = c.keySet.groupBy(_._2).map { case (w2, ks) => w2 -> ks.map(_._1).size }
+    val nTypes = c.size
+    def pkn(w1: String, w2: String): Double = {
+      val cc = c.getOrElse((w1, w2), 0L)
+      math.max(cc - 0.75, 0.0) / c1(w1) +
+        0.75 / c1(w1) * n1pl(w1) * (n1pr.getOrElse(w2, 0).toDouble / nTypes)
+    }
+    val vocab = n1pr.keySet // all words that ever FOLLOW something
+    c1.keys.foreach { w1 =>
+      val total = vocab.iterator.map(w2 => pkn(w1, w2)).sum
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"KN normalization broke for '$w1': $total")
+    }
+    val rows = graft.queries.Registry.queries("q230_kneser_ney")(
+      spark, sf("sf0.001")).collect()
+    assert(rows.length == 15)
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("c") == c((w1, w2)))
+      assert(math.abs(r.getAs[Double]("p_kn") - pkn(w1, w2)) < 2e-6,
+        s"($w1,$w2): query ${r.getAs[Double]("p_kn")} vs definitional ${pkn(w1, w2)}")
+    }
+  }
 }

@@ -212,4 +212,63 @@ class TimeSeriesSpec extends SparkSpec {
     assert(ex.getMessage.contains("caps |cents|"),
       s"expected the per-period envelope guard: ${ex.getMessage}")
   }
+
+  test("ewmaChart tracks the exact rational EWMA within the truncation envelope") {
+    import graft.operators.TimeSeries
+    // Independent-identity pin: the oracle replays the SAME truncating
+    // recurrence, so a shared fixed-point slip would pass both engines.
+    // The exact rational EWMA z_t = λ·y_t + (1−λ)·z_{t−1} (BigInt
+    // numerators over λDen^t) is a DIFFERENT computation related by
+    // analysis: each fold step truncates < 1 micro and the error
+    // recursion e_t ≤ (1−λ)·e_{t−1} + 1 is bounded by 1/λ = λDen/λNum
+    // = 5 micros. A drift past that bound means the fold is wrong.
+    val ys = Seq(1000L, 700L, 450L, 300L, 280L, 350L, 500L, 720L, 640L, 810L)
+    val ser = ys.zipWithIndex.map { case (y, i) => (i.toLong + 1, y) }
+      .toDF("ord", "cents")
+    val got = TimeSeries.ewmaChart(ser, "ord", "cents")
+      .select($"ord", $"ewma_micro").as[(Long, Long)].collect().toSeq
+    // exact rational replay: numerator over 10^t, no truncation at all
+    var num = BigInt(ys.head) * 1000000 // z as num / 10^(t-1)
+    var den = BigInt(1)
+    got.zipWithIndex.foreach { case ((_, zMicro), t) =>
+      if (t > 0) { num = 2 * BigInt(ys(t)) * 1000000 * den + 8 * num; den *= 10 }
+      val exact = BigDecimal(num) / BigDecimal(den)
+      assert((BigDecimal(zMicro) - exact).abs <= 5,
+        s"t=$t: fold $zMicro vs exact $exact drifted past the 5-micro envelope")
+    }
+  }
+
+  test("ewmaChart alarms on an injected shift and never on the stable stream") {
+    import graft.operators.TimeSeries
+    // control-chart behavior (the msprtMonitor discipline): a late
+    // level shift far past 3σ·√(λ/(2−λ)) must alarm once the smoothed
+    // level crosses the band; a mild alternating stream must not
+    val stable = (1 to 40).map(t =>
+      (t.toLong, 10000L + (if (t % 2 == 0) 50L else -50L)))
+    val calm = TimeSeries.ewmaChart(stable.toDF("ord", "cents"), "ord", "cents")
+      .select($"alarm").as[Int].collect()
+    assert(calm.forall(_ == 0), "the stable alternating stream must never alarm")
+    val shifted = stable.take(30) ++ (31 to 40).map(t => (t.toLong, 40000L))
+    val hot = TimeSeries.ewmaChart(shifted.toDF("ord", "cents"), "ord", "cents")
+      .select($"ord", $"alarm").as[(Long, Int)].collect().sortBy(_._1)
+    assert(hot.takeRight(5).exists(_._2 == 1),
+      s"a 4x level shift must alarm: ${hot.takeRight(10).toSeq}")
+    assert(hot.take(25).forall(_._2 == 0),
+      "pre-shift periods must stay inside the band")
+  }
+
+  test("ewmaChart guards fire loudly: per-period cap and raw-row input") {
+    import graft.operators.TimeSeries
+    val lim = Long.MaxValue / 1000000L / 10L
+    val hot = Seq((1L, lim), (2L, lim + 1)).toDF("ord", "cents")
+    val ex = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaChart(hot, "ord", "cents")
+    }
+    assert(ex.getMessage.contains("caps |cents|"))
+    val raw = (1L to 50L).map(t => (t, t)).toDF("ord", "cents")
+    val ex2 = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaChart(raw, "ord", "cents", maxRows = 40)
+    }
+    assert(ex2.getMessage.contains("pre-aggregate"))
+  }
 }
