@@ -446,18 +446,7 @@ object TimeSeries {
       s"ewmaChart micro fixed point caps |cents| at $lim per period")
     import java.lang.Math.{addExact, multiplyExact}
     val n = rows.length
-    var sy = 0L
-    var sy2 = BigInt(0)
-    rows.foreach { r => sy = addExact(sy, r._2); sy2 += BigInt(r._2) * r._2 }
-    // token-for-token the oracle's limit expression (see q229): any
-    // algebraic "simplification" here would de-synchronize the IEEE
-    // trees and make boundary alarms engine-dependent
-    val meanC = sy.toDouble / n
-    val sigma = math.sqrt(
-      (n.toDouble * sy2.toDouble - sy.toDouble * sy.toDouble) /
-        (n.toDouble * n.toDouble))
-    val band = l * sigma *
-      math.sqrt((lamNum.toDouble / lamDen) / (2.0 - lamNum.toDouble / lamDen))
+    val (meanC, band) = ewmaLimits(rows.map(_._2), lamNum, lamDen, l)
     val out = Array.ofDim[(Long, Long, Long, Int)](n)
     var z = multiplyExact(rows(0)._2, 1000000L)
     def flag(zMicro: Long): Int =
@@ -471,5 +460,27 @@ object TimeSeries {
     spark.createDataFrame(out.toIndexedSeq)
       .toDF(ord, cents, "ewma_micro", "alarm")
       .orderBy(col(ord))
+  }
+
+  /** (center, band) of the EWMA chart fitted on a reference series:
+    * mean and L·σ·√(λ/(2−λ)) from exact integer sums (Σy long, Σy²
+    * BigInt). ONE implementation shared by [[ewmaChart]], the q229
+    * oracle (token-for-token: any algebraic "simplification" here
+    * would de-synchronize the IEEE trees and make boundary alarms
+    * engine-dependent), and the streaming monitor's equivalence spec. */
+  private[graft] def ewmaLimits(ys: Seq[Long], lamNum: Long, lamDen: Long,
+                                l: Double): (Double, Double) = {
+    import java.lang.Math.addExact
+    val n = ys.length
+    var sy = 0L
+    var sy2 = BigInt(0)
+    ys.foreach { y => sy = addExact(sy, y); sy2 += BigInt(y) * y }
+    val meanC = sy.toDouble / n
+    val sigma = math.sqrt(
+      (n.toDouble * sy2.toDouble - sy.toDouble * sy.toDouble) /
+        (n.toDouble * n.toDouble))
+    val band = l * sigma *
+      math.sqrt((lamNum.toDouble / lamDen) / (2.0 - lamNum.toDouble / lamDen))
+    (meanC, band)
   }
 }

@@ -919,4 +919,80 @@ class StreamingSpec extends SparkSpec {
     assert(admitted() == Seq(1L, 3L, 5L, 7L, 11L),
       s"post-janitor: base suppresses doc 10, doc 11 admitted: ${admitted()}")
   }
+
+  test("streamed EWMA trajectory and alarms equal the batch ewmaChart fold") {
+    // the q229 monitor in its streaming form: state = one
+    // (z_micro, lastDay) pair per key. The batch operator fits its
+    // control limits on its own series; the stream takes them as fixed
+    // inputs (the classical reference-window deployment), so feeding
+    // the stream the batch-fit pair (the SHARED TimeSeries.ewmaLimits —
+    // one implementation, no formula drift) must reproduce the batch
+    // trajectory AND flags bit-for-bit.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val ser = Tables(spark, sf("sf0.001"), "orders")
+        .filter($"o_orderdate" >= "1997-01-01" && $"o_orderdate" < "1998-01-01")
+        .groupBy(datediff($"o_orderdate", lit("1997-01-01"))
+          .cast("long").as("day"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        .localCheckpoint()
+      val batch = graft.operators.TimeSeries.ewmaChart(ser, "day", "cents")
+        .select($"day".cast("int"), $"ewma_micro", $"alarm")
+        .as[(Int, Long, Int)].collect().toSeq.sortBy(_._1)
+      assert(batch.nonEmpty && batch.exists(_._2 != 0L))
+      val feed = ser.select($"day".cast("int"), $"cents")
+        .orderBy($"day").as[(Int, Long)].collect().toSeq
+      val (mu, band) = graft.operators.TimeSeries.ewmaLimits(
+        feed.map(_._2), lamNum = 2, lamDen = 10, l = 3.0)
+      val stream = MemoryStream[(String, Int, Long)]
+      val q = StreamPipeline.ewmaStream(stream.toDS(), 2L, 10L, mu, band)
+        .toDF("key", "d", "ewma_micro", "alarm")
+        .writeStream.format("memory").queryName("ewmaq")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ewma_ck").toString)
+        .start()
+      val chunks = feed.grouped(math.max(1, feed.size / 3 + 1)).toSeq
+      chunks.foreach { ch =>
+        stream.addData(ch.map { case (d, c) => ("rev", d, c) }: _*)
+        q.processAllAvailable() // state must carry across micro-batches
+      }
+      q.stop()
+      val streamed = spark.table("ewmaq")
+        .select($"d", $"ewma_micro", $"alarm")
+        .as[(Int, Long, Int)].collect().toSeq.sortBy(_._1)
+      assert(streamed == batch,
+        s"streamed EWMA diverged from batch (first rows: " +
+          s"${streamed.take(3)} vs ${batch.take(3)})")
+      // order contract: a replayed period must kill the query loudly
+      val stream2 = MemoryStream[(String, Int, Long)]
+      val q2 = StreamPipeline.ewmaStream(stream2.toDS(), 2L, 10L, 100.0, 10.0)
+        .toDF("key", "d", "ewma_micro", "alarm")
+        .writeStream.format("memory").queryName("ewmaq2")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("ewma_ck2").toString)
+        .start()
+      stream2.addData(("k", 10, 50L))
+      q2.processAllAvailable()
+      stream2.addData(("k", 10, 60L)) // replay of period 10
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("strictly increasing"),
+        s"replay must fail the order contract: ${ex.getMessage.take(200)}")
+      q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -257,6 +257,49 @@ class TimeSeriesSpec extends SparkSpec {
       "pre-shift periods must stay inside the band")
   }
 
+  test("q232 Yule-Walker: planted AR(2) recovered; output satisfies the defining system") {
+    import graft.operators.TimeSeries
+    // (1) planted truth: a stationary AR(2) with known φ = (0.6, −0.3),
+    // driven by fixed splitmix-scrambled pseudo-noise (deterministic —
+    // the test can never flake; a plain Weyl ramp would be a sawtooth
+    // with near-1 lag autocorrelation and corrupt the plant). The
+    // sample ACF of 5000 points pins the fitted coefficients.
+    val (phi1, phi2) = (0.6, -0.3)
+    var (y1, y2) = (0.0, 0.0)
+    val ys = (1 to 5000).map { t =>
+      var h = t * 0x9E3779B97F4A7C15L // full splitmix64 finalizer
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      h = h ^ (h >>> 31)
+      val e = ((h & 0xffffL) - 32767.5) / 32768.0
+      val y = phi1 * y1 + phi2 * y2 + e
+      y2 = y1; y1 = y
+      (t.toLong, math.round(y * 10000))
+    }
+    val acf = TimeSeries.acf(ys.toDF("ord", "x"), "ord", "x", 2)
+      .select($"lag", $"acf").as[(Int, Double)].collect().toMap
+    val (r1, r2) = (acf(1), acf(2))
+    val f1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+    val f2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert(math.abs(f1 - phi1) < 0.05 && math.abs(f2 - phi2) < 0.05,
+      s"planted (0.6, -0.3) not recovered: ($f1, $f2)")
+    // (2) the registered query's output must SATISFY the Yule-Walker
+    // system r1 = φ1 + φ2·r1, r2 = φ1·r1 + φ2 — the independence that
+    // matters: a misderived closed form (the oracle mirrors it) would
+    // not solve the defining equations, however consistently both
+    // engines computed it. Tolerance covers the 6-decimal rounding.
+    val q = graft.queries.Registry.queries("q232_yule_walker")(
+      spark, sf("sf0.001")).head()
+    val (qr1, qr2) = (q.getAs[Double]("r1"), q.getAs[Double]("r2"))
+    val (qp1, qp2) = (q.getAs[Double]("phi1"), q.getAs[Double]("phi2"))
+    assert(math.abs(qr1 - (qp1 + qp2 * qr1)) < 5e-6,
+      s"YW equation 1 violated: $qr1 vs ${qp1 + qp2 * qr1}")
+    assert(math.abs(qr2 - (qp1 * qr1 + qp2)) < 5e-6,
+      s"YW equation 2 violated: $qr2 vs ${qp1 * qr1 + qp2}")
+    assert(math.abs(q.getAs[Double]("var_ratio") -
+      (1.0 - qp1 * qr1 - qp2 * qr2)) < 5e-6)
+  }
+
   test("ewmaChart guards fire loudly: per-period cap and raw-row input") {
     import graft.operators.TimeSeries
     val lim = Long.MaxValue / 1000000L / 10L
