@@ -866,6 +866,77 @@ object AnalyticsQueries {
         FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id"""),
       "per-user ordered event sequences, cap-bounded before collection"),
 
+    // --------------------------------------- Yule-Walker AR(2) fit
+    // The autoregressive closed form on top of q170's exact-moment ACF
+    // (Yule 1927 / Walker 1931): φ solves the 2×2 Toeplitz system
+    // [1 r1; r1 1]·φ = [r1; r2], giving φ1 = r1(1−r2)/(1−r1²),
+    // φ2 = (r2−r1²)/(1−r1²), innovation-variance ratio σ²/c0 =
+    // 1 − φ1·r1 − φ2·r2. Everything heavy is [[TimeSeries.acf]]'s one
+    // calendar-bounded pass (decimal-exact moments, one IEEE tree per
+    // lag); the solve is O(1) arithmetic over a one-row frame. The
+    // degenerate |1−r1²| = 0 system emits NULL coefficients by contract
+    // on both engines (the logRank discipline), and TimeSeriesSpec pins
+    // the closed form against an independent numeric 2×2 matrix solve
+    // plus a planted-AR(2) recovery.
+    "q232_yule_walker" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val daily = t(s, d, "orders")
+          .groupBy(to_date($"o_orderdate").as("day"))
+          .agg(sum(round($"o_totalprice" * 100).cast("long")).as("x"))
+        val wide = TimeSeries.acf(daily, "day", "x", maxLag = 2)
+          .agg(max(when($"lag" === 1, $"n_pairs")).as("m1"),
+            max(when($"lag" === 1, $"acf")).as("a1"),
+            max(when($"lag" === 2, $"acf")).as("a2"))
+        val det = lit(1.0) - $"a1" * $"a1"
+        val p1 = $"a1" * (lit(1.0) - $"a2") / (lit(1.0) - $"a1" * $"a1")
+        val p2 = ($"a2" - $"a1" * $"a1") / (lit(1.0) - $"a1" * $"a1")
+        wide.select($"m1".as("n_pairs1"),
+          round($"a1", 6).as("r1"), round($"a2", 6).as("r2"),
+          when(abs(det) > 0, round(p1, 6)).as("phi1"),
+          when(abs(det) > 0, round(p2, 6)).as("phi2"),
+          when(abs(det) > 0,
+            round(lit(1.0) - p1 * $"a1" - p2 * $"a2", 6)).as("var_ratio"))
+      },
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+            sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+          FROM orders GROUP BY 1),
+        ser AS (SELECT day, x,
+            row_number() OVER (ORDER BY day) AS rn FROM daily),
+        gstats AS (SELECT n, sxx,
+            CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+          FROM (SELECT count(*) AS n, sum(CAST(x AS HUGEINT)) AS s,
+              sum(CAST(x AS HUGEINT) * x) AS sxx FROM ser)),
+        pairs AS (SELECT l.lag, a.x AS x, b.x AS xb
+          FROM ser a CROSS JOIN generate_series(1, 2) AS l(lag)
+          JOIN ser b ON b.rn = a.rn + l.lag),
+        bylag AS (SELECT lag, count(*) AS m,
+            sum(CAST(x AS HUGEINT) * xb) AS sxy,
+            sum(CAST(x AS HUGEINT)) AS h,
+            sum(CAST(xb AS HUGEINT)) AS t2
+          FROM pairs GROUP BY lag),
+        rk AS (SELECT lag, CAST(m AS BIGINT) AS m,
+            (CAST(sxy AS DOUBLE) - xbar * CAST(h + t2 AS DOUBLE)
+              + CAST(m AS DOUBLE) * xbar * xbar) /
+            (CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * xbar * xbar) AS acf
+          FROM bylag CROSS JOIN gstats),
+        wide AS (SELECT
+            max(CASE WHEN lag = 1 THEN m END) AS m1,
+            max(CASE WHEN lag = 1 THEN acf END) AS a1,
+            max(CASE WHEN lag = 2 THEN acf END) AS a2
+          FROM rk)
+        SELECT m1 AS n_pairs1,
+          round(a1, 6) AS r1, round(a2, 6) AS r2,
+          CASE WHEN abs(1.0 - a1 * a1) > 0 THEN
+            round(a1 * (1.0 - a2) / (1.0 - a1 * a1), 6) END AS phi1,
+          CASE WHEN abs(1.0 - a1 * a1) > 0 THEN
+            round((a2 - a1 * a1) / (1.0 - a1 * a1), 6) END AS phi2,
+          CASE WHEN abs(1.0 - a1 * a1) > 0 THEN
+            round(1.0 - a1 * (1.0 - a2) / (1.0 - a1 * a1) * a1
+              - (a2 - a1 * a1) / (1.0 - a1 * a1) * a2, 6) END AS var_ratio
+        FROM wide"""),
+      "Yule-Walker AR(2) over the exact-moment daily-revenue ACF"),
+
     // ------------------------------------------------------------- HITS
     // Kleinberg's hubs-and-authorities over the DIRECTED customer →
     // supplier trade graph (the one-way sibling of q128's symmetrized

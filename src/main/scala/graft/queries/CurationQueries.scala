@@ -131,6 +131,47 @@ object CurationQueries {
         CAST(sum(least(off + n, (seq_id + 1) * 64)
                - greatest(off, seq_id * 64)) AS BIGINT) AS n_tokens
       FROM x GROUP BY seq_id ORDER BY seq_id"""),
-      "concat-and-chunk packing into 64-token sequences, per-seq occupancy")
+      "concat-and-chunk packing into 64-token sequences, per-seq occupancy"),
+
+    // --------------------------- weighted sample without replacement
+    // Efraimidis-Spirakis (IPL 2006) A-Res: each item draws
+    // u = (md5-slice + 0.5)/2^60 and the k items with the LARGEST
+    // u^(1/w) are a weighted sample without replacement — the
+    // distributed corpus-downsampling primitive (sample by quality
+    // weight, dedup weight, domain budget). Ranked in log space,
+    // key = ln(u)/w (monotone in u^(1/w), no pow): one NARROW
+    // projection + a TakeOrdered top-k, nothing else — the shape that
+    // holds at any corpus size, and the reason this beats the
+    // sort-the-whole-corpus-by-priority layout. Weight here is
+    // n_chars (longer documents proportionally likelier — the token-
+    // budget sampling convention). Determinism: u is an md5 slice (the
+    // q134 hash-sample discipline), and the emitted key is rounded at
+    // 1e-9 — eight orders above any cross-engine ln() ULP wobble —
+    // with doc_id as the total tie-break. CurationOpsSpec pins the
+    // log-space trick against literal u^(1/w) ranking AND the
+    // selection frequencies against the w_i/Σw law over md5 salts.
+    "q231_weighted_sample" -> Q(
+      (s, d) => {
+        import s.implicits._
+        docs(s, d)
+          .filter($"n_chars" > 0) // positive weights by contract
+          .select($"doc_id", $"n_chars",
+            conv(substring(md5(concat(lit("q231:"),
+                $"doc_id".cast("string"))), 1, 15), 16, 10)
+              .cast("long").as("h"))
+          .select($"doc_id", $"n_chars",
+            round(log(($"h" + lit(0.5)) / lit(1152921504606846976.0)) /
+              $"n_chars", 9).as("es_key"))
+          .orderBy($"es_key".desc, $"doc_id")
+          .limit(20)
+      },
+      Some("""WITH k AS (SELECT doc_id, n_chars,
+            CAST('0x' || substr(md5('q231:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS h
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, n_chars,
+          round(ln((h + 0.5) / 1152921504606846976.0) / n_chars, 9) AS es_key
+        FROM k ORDER BY es_key DESC, doc_id LIMIT 20"""),
+      "Efraimidis-Spirakis weighted sample: one narrow pass + top-k, md5 draws")
   )
 }

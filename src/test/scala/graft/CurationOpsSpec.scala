@@ -178,4 +178,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Seq(("s1", 3L, 0.2667, 0.3333), ("s2", 1L, -2.0, 2.0)),
       s"caliper hand case diverged: $got")
   }
+
+  private def md5u(s: String): Double = {
+    // q231's draw, replayed literally: first 15 md5 hex chars → 60-bit
+    // int → u = (h + 0.5)/2^60
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(d.take(15), 16) + 0.5) / 1152921504606846976.0
+  }
+
+  test("q231 A-Res: log-space ranking equals literal u^(1/w); frequencies follow w/Σw") {
+    // (1) the log-space trick: ln(u)/w is a monotone transform of
+    // u^(1/w), so both rankings must be IDENTICAL on real data — the
+    // equivalence that justifies shipping the pow-free form
+    val rows = Tables(spark, sf("sf0.001"), "documents")
+      .filter($"n_chars" > 0)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+    assert(rows.length > 20)
+    val topLog = rows.sortBy { case (id, w) =>
+      (-(math.log(md5u(s"q231:$id")) / w), id) }.take(20).map(_._1).toSeq
+    val topPow = rows.sortBy { case (id, w) =>
+      (-math.pow(md5u(s"q231:$id"), 1.0 / w), id) }.take(20).map(_._1).toSeq
+    assert(topLog == topPow, s"log-space top-20 diverged:\n$topLog\n$topPow")
+    // and the registered query returns exactly that top-20
+    val q = graft.queries.Registry.queries("q231_weighted_sample")(
+      spark, sf("sf0.001")).select($"doc_id").as[Long].collect().toSeq
+    assert(q == topPow, s"query top-20 diverged from the literal law:\n$q\n$topPow")
+    // (2) the Efraimidis-Spirakis law: P(item wins) = w_i/Σw. Three
+    // items with weights 1:2:7 over 4000 salts — md5 is FIXED, so the
+    // observed frequencies are constants; the 4σ binomial envelope
+    // (±0.03 at p=0.7) makes the assertion deterministic, not flaky.
+    val weights = Map("a" -> 1.0, "b" -> 2.0, "c" -> 7.0)
+    val wins = (0 until 4000).map { salt =>
+      weights.maxBy { case (it, w) => math.log(md5u(s"$salt:$it")) / w }._1
+    }.groupBy(identity).view.mapValues(_.size / 4000.0).toMap
+    assert(math.abs(wins("a") - 0.1) < 0.03, s"P(a)=${wins("a")}")
+    assert(math.abs(wins("b") - 0.2) < 0.03, s"P(b)=${wins("b")}")
+    assert(math.abs(wins("c") - 0.7) < 0.03, s"P(c)=${wins("c")}")
+  }
 }
