@@ -568,4 +568,51 @@ object Graph {
         UNION ALL SELECT sc, 'NULL', 0 FROM scen),
       $rounds"""
   }
+
+  /** Newman (2002) degree-assortativity coefficient of an undirected
+    * graph: the Pearson correlation of (deg(u), deg(v)) over the
+    * DIRECTED edge list with both orientations included — exactly
+    * Newman's undirected formula. Input contract: `edges` holds each
+    * undirected edge ONCE, in a single orientation, no duplicates (the
+    * caller dedups — the [[pageRankFixed]] discipline); src/dst share
+    * one id namespace. Non-iterative: the doubled edge set is
+    * checkpointed BEFORE fan-out (it feeds the degree aggregate AND
+    * the moment join — the q128 discipline), degrees come from one
+    * hash aggregate, endpoint degrees attach via two equi-joins, and
+    * the moments fold 128-bit exact ([[graft.functions.Aggregators
+    * .sum128]]: Σdu·dv over 10^12 edges with 10^6-degree hubs needs
+    * >64 bits). The closed form is one double expression over the
+    * one-row moment frame; a zero-variance regular graph (every degree
+    * equal — cycles, cliques) emits NULL by contract on both engines.
+    * Output: one row (n_nodes, m_edges, assortativity·1e−6-rounded).
+    * OlapOpsSpec pins the textbook values: path P₄ → −1/2, star K₁,₃
+    * → −1, cycle C₄ → NULL. */
+  def assortativity(edges: DataFrame, src: String, dst: String): DataFrame = {
+    import graft.functions.Aggregators.sum128
+    val cs = edges.select(col(src).cast("string").as("src"),
+      col(dst).cast("string").as("dst"))
+    val both = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint() // feeds the degree build AND the moment join
+    val deg = both.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // two join sides + the node count read it
+    val pairs = both
+      .join(deg.select(col("node").as("src"), col("deg").as("du")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dv")), "dst")
+    val mom = pairs.agg(
+      count(lit(1)).as("m2"),
+      sum128(col("du")).cast("double").as("sj"),
+      sum128(col("dv")).cast("double").as("sk"),
+      sum128(col("du") * col("dv")).cast("double").as("sjk"),
+      sum128(col("du") * col("du")).cast("double").as("sj2"),
+      sum128(col("dv") * col("dv")).cast("double").as("sk2"))
+    val den = (col("m2").cast("double") * col("sj2") - col("sj") * col("sj")) *
+      (col("m2").cast("double") * col("sk2") - col("sk") * col("sk"))
+    mom.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
+      .select(col("n_nodes"),
+        expr("m2 div 2").as("m_edges"),
+        when(den > 0, round(
+            (col("m2").cast("double") * col("sjk") - col("sj") * col("sk")) /
+              sqrt(den), 6))
+          .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
 }

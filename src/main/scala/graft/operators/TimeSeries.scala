@@ -414,20 +414,25 @@ object TimeSeries {
     * next to CUSUM (q202) and the mSPRT (q217), and the level-only
     * sibling of [[holtLinear]] whose POINT is the alarm, not the
     * smooth: z_t = (λNum·y_t·1e6 + (λDen−λNum)·z_{t−1}) quot λDen in
-    * micro-cent integer fixed point (z₁ = y₁·1e6), flagged against the
-    * ASYMPTOTIC control limit L·σ·√(λ/(2−λ)) around the series mean —
-    * the standard large-t limit; the first few periods are therefore
-    * screened slightly conservatively (the exact time-varying band is
-    * narrower there), which is the documented trade for keeping every
-    * limit term a closed form of exact integer moments. σ is the
-    * population stddev of the per-period cents, computed from exact
-    * integer sums (Σy in a long, Σy² in BigInt) with the double
+    * micro-cent integer fixed point, seeded at the CENTER LINE
+    * z₀ = (Σy·1e6) quot n (Roberts' standard start — seeding at the
+    * first OBSERVATION would give z₁ the full per-period variance σ²
+    * and over-alarm ~32% of in-control starts against the 1σ-wide
+    * default band; self-review caught exactly that in the first cut).
+    * Flags compare against the ASYMPTOTIC limit L·σ·√(λ/(2−λ)) around
+    * the series mean; with the center-line seed the exact variance
+    * σ²·λ/(2−λ)·(1−(1−λ)^{2t}) is BELOW the asymptotic band at every
+    * finite t, so early periods are screened genuinely conservatively.
+    * σ is the population stddev of the per-period cents, computed from
+    * exact integer sums (Σy in a long, Σy² in BigInt) with the double
     * expression written token-for-token as the DuckDB oracle's, so
     * alarm flags — strict `>` compares of identical IEEE doubles —
-    * are bit-reproducible. Same declared calendar-bounded driver-fold
-    * contract as [[holtLinear]]: loud `maxRows` guard, loud per-period
-    * cents cap, every fold step in `*Exact` arithmetic.
-    * Output: (ordinal, cents, ewma_micro, alarm). */
+    * are bit-reproducible; the seed itself is a truncating BigInt
+    * division, bit-equal to the oracle's HUGEINT `//`. Same declared
+    * calendar-bounded driver-fold contract as [[holtLinear]]: loud
+    * `maxRows` guard, loud per-period cents cap, every fold step in
+    * `*Exact` arithmetic. Output: (ordinal, cents, ewma_micro, alarm)
+    * — one row per OBSERVED period (the z₀ seed is state, not a row). */
   def ewmaChart(series: DataFrame, ord: String, cents: String,
                 lamNum: Long = 2, lamDen: Long = 10,
                 l: Double = 3.0, maxRows: Int = 1000): DataFrame = {
@@ -448,11 +453,10 @@ object TimeSeries {
     val n = rows.length
     val (meanC, band) = ewmaLimits(rows.map(_._2), lamNum, lamDen, l)
     val out = Array.ofDim[(Long, Long, Long, Int)](n)
-    var z = multiplyExact(rows(0)._2, 1000000L)
+    var z = ewmaSeed(rows.map(_._2))
     def flag(zMicro: Long): Int =
       if (math.abs(zMicro.toDouble / 1000000.0 - meanC) > band) 1 else 0
-    out(0) = (rows(0)._1, rows(0)._2, z, flag(z))
-    for (t <- 1 until n) {
+    for (t <- 0 until n) {
       z = addExact(multiplyExact(lamNum, multiplyExact(rows(t)._2, 1000000L)),
         multiplyExact(lamDen - lamNum, z)) / lamDen
       out(t) = (rows(t)._1, rows(t)._2, z, flag(z))
@@ -482,5 +486,17 @@ object TimeSeries {
     val band = l * sigma *
       math.sqrt((lamNum.toDouble / lamDen) / (2.0 - lamNum.toDouble / lamDen))
     (meanC, band)
+  }
+
+  /** The chart's center-line seed in micro-cents: (Σy·1e6) quot n as a
+    * truncating BigInt division — bit-equal to the oracle's HUGEINT
+    * `//` and safely past long range (Σy·1e6 overflows a long at the
+    * per-period cap). Shared by [[ewmaChart]] and the streaming
+    * monitor's reference-window fit. */
+  private[graft] def ewmaSeed(ys: Seq[Long]): Long = {
+    import java.lang.Math.addExact
+    var sy = 0L
+    ys.foreach(y => sy = addExact(sy, y))
+    (BigInt(sy) * 1000000 / ys.length).toLong
   }
 }

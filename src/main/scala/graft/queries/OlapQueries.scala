@@ -915,51 +915,24 @@ object OlapQueries {
 
     // ------------------------------------------ degree assortativity
     // Newman (2002) degree-assortativity coefficient of the undirected
-    // customer-supplier trade graph: the Pearson correlation of
-    // (deg(u), deg(v)) over the DIRECTED edge list with both
-    // orientations included — exactly Newman's undirected formula.
-    // Non-iterative sibling of the q128/q140 graph family: one distinct
-    // edge build (checkpointed before fan-out, the q128 discipline: it
-    // feeds the degree aggregate AND the moment join), one degree hash
-    // aggregate, two shuffle equi-joins to attach endpoint degrees, and
-    // ONE exact moment aggregate (128-bit sums — Σdu·dv over 10^12
-    // edges with 10^6-degree hubs needs >64 bits). The closed form is
-    // a single double expression over the one-row moment frame, with
-    // the zero-variance regular-graph case emitting NULL by contract
-    // on both engines (the logRank discipline).
+    // customer-supplier trade graph — the non-iterative sibling of the
+    // q128/q140 graph family. All mechanics live in
+    // [[graft.operators.Graph.assortativity]] (checkpointed doubled
+    // edges, one degree hash aggregate, two equi-joins, ONE 128-bit
+    // exact moment fold, NULL on zero-variance regular graphs);
+    // OlapOpsSpec pins the operator against textbook hand values
+    // (P₄ → −1/2, K₁,₃ → −1, C₄ → NULL), so the mirrored-construction
+    // oracle below is backed by an independent identity.
     "q228_assortativity" -> Q(
       (s, d) => {
         import s.implicits._
-        import graft.functions.Aggregators.sum128
         val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
         val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
         val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
           .select(concat(lit("c"), $"o_custkey").as("src"),
             concat(lit("s"), $"l_suppkey").as("dst"))
           .distinct()
-        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
-          .localCheckpoint() // feeds the degree build AND the moment join
-        val deg = both.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-          .localCheckpoint() // two join sides + the node count read it
-        val pairs = both
-          .join(deg.select($"node".as("src"), $"deg".as("du")), "src")
-          .join(deg.select($"node".as("dst"), $"deg".as("dv")), "dst")
-        val mom = pairs.agg(
-          count(lit(1)).as("m2"),
-          sum128($"du").cast("double").as("sj"),
-          sum128($"dv").cast("double").as("sk"),
-          sum128($"du" * $"dv").cast("double").as("sjk"),
-          sum128($"du" * $"du").cast("double").as("sj2"),
-          sum128($"dv" * $"dv").cast("double").as("sk2"))
-        val den = (col("m2").cast("double") * col("sj2") - col("sj") * col("sj")) *
-          (col("m2").cast("double") * col("sk2") - col("sk") * col("sk"))
-        mom.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"))))
-          .select($"n_nodes",
-            expr("m2 div 2").as("m_edges"),
-            when(den > 0, round(
-                (col("m2").cast("double") * col("sjk") - col("sj") * col("sk")) /
-                  sqrt(den), 6))
-              .otherwise(lit(null).cast("double")).as("assortativity"))
+        graft.operators.Graph.assortativity(cs, "src", "dst")
       },
       Some("""WITH cs AS (SELECT DISTINCT
             'c' || CAST(o_custkey AS VARCHAR) AS src,

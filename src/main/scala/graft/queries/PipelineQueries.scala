@@ -1634,7 +1634,10 @@ object PipelineQueries {
     // Completes the classical monitor trio (q202 CUSUM catches small
     // persistent shifts, q217 mSPRT is always-valid sequential testing;
     // EWMA is the smoothed-level chart between them). Integer fixed
-    // point as q221: the inherently sequential recurrence runs as the
+    // point as q221, seeded at the center line (Σy·1e6) div n — the
+    // Roberts start; a first-observation seed would over-alarm
+    // in-control starts (see TimeSeries.ewmaChart): the inherently
+    // sequential recurrence runs as the
     // DECLARED calendar-bounded driver fold
     // ([[graft.operators.TimeSeries.ewmaChart]], loud caps, *Exact
     // arithmetic), the oracle replays the whole trajectory as ONE
@@ -1664,7 +1667,10 @@ object PipelineQueries {
             sum(CAST(cents AS HUGEINT) * cents) AS sy2
           FROM ser),
         ew(rn, day, cents, z) AS (
-          SELECT rn, day, cents, cents * 1000000 FROM idx WHERE rn = 1
+          SELECT i.rn, i.day, i.cents,
+              (2 * i.cents * 1000000
+                + 8 * ((CAST(st.sy AS HUGEINT) * 1000000) // st.n)) // 10
+            FROM idx i CROSS JOIN st WHERE i.rn = 1
           UNION ALL
           SELECT i.rn, i.day, i.cents,
               (2 * i.cents * 1000000 + 8 * e.z) // 10
@@ -1675,7 +1681,7 @@ object PipelineQueries {
               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
               * sqrt((2.0 / 10.0) / (2.0 - 2.0 / 10.0)) AS band
           FROM st)
-        SELECT day, cents, z AS ewma_micro,
+        SELECT day, cents, CAST(z AS BIGINT) AS ewma_micro,
           CASE WHEN abs(CAST(z AS DOUBLE) / 1000000.0 - mean_c) > band
             THEN 1 ELSE 0 END AS alarm
         FROM ew CROSS JOIN lim ORDER BY day"""),

@@ -747,6 +747,10 @@ object StatsQueries {
             sum($"treat").cast("long").as("n1"),
             sum(when($"treat" === 1, $"y")).as("s1"),
             sum(when($"treat" === 0, $"y")).as("s0"))
+          .localCheckpoint() // enum-sized; kept/glob/ipw-broadcast read it
+          // (without it each consumer re-derives the orders⋈customer
+          // aggregate: 4 scans of each table where the declared two
+          // passes — stratum build + per-row IPW — need only 2)
         val kept = st.filter($"n1" > 0 && $"ns" - $"n1" > 0)
         val glob = st.agg(sum($"n1").as("n1g"), sum($"ns" - $"n1").as("n0g"),
           sum($"s1").cast("long").as("s1g"), sum($"s0").cast("long").as("s0g"))

@@ -559,18 +559,20 @@ object StreamPipeline {
     * batch [[graft.operators.TimeSeries.ewmaChart]] fold (q229), and
     * the smoothed-level sibling of [[CusumProcessor]]. The recurrence
     * z_t = (λNum·y_t·1e6 + (λDen−λNum)·z_{t−1}) quot λDen keeps exactly
-    * ONE (z_micro, lastPeriod) pair per key in `ValueState` (z init =
-    * first value·1e6, the batch contract), every step in `*Exact`
-    * arithmetic. Control limits are FIXED inputs (muCents, band) — the
-    * classical deployment fits them on a reference window and monitors
-    * forward ([[graft.operators.TimeSeries.ewmaLimits]] is that fit);
+    * ONE (z_micro, lastPeriod) pair per key in `ValueState`, seeded at
+    * the CENTER LINE `zInit` (the batch contract — Roberts' standard
+    * start; [[graft.operators.TimeSeries.ewmaSeed]] is the fit), every
+    * step in `*Exact` arithmetic. Control limits are FIXED inputs
+    * (muCents, band) — the classical deployment fits them on a
+    * reference window and monitors forward
+    * ([[graft.operators.TimeSeries.ewmaLimits]] is that fit);
     * the batch operator estimates them from its own series, so the
     * StreamingSpec equivalence pin feeds the stream the batch-estimated
     * pair and asserts identical trajectories AND flags. Same
     * strictly-increasing-period contract as CUSUM: a replayed or late
     * period fails loudly — the chart is order-defined.
     * Emits (key, period, ewma_micro, alarm) per folded period. */
-  private class EwmaProcessor(lamNum: Long, lamDen: Long,
+  private class EwmaProcessor(lamNum: Long, lamDen: Long, zInit: Long,
                               muCents: Double, band: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, Int, Long), (String, Int, Long, Int)] {
@@ -585,8 +587,7 @@ object StreamPipeline {
                                  tv: TimerValues): Iterator[(String, Int, Long, Int)] = {
       val lim = Long.MaxValue / 1000000L / lamDen
       var (z, lastP) =
-        if (st.exists()) st.get() else (0L, Int.MinValue)
-      var seeded = st.exists()
+        if (st.exists()) st.get() else (zInit, Int.MinValue)
       val out = rows.toArray.sortBy(_._2).map { case (_, period, y) =>
         require(period > lastP,
           s"EWMA periods must be strictly increasing per key: " +
@@ -594,8 +595,7 @@ object StreamPipeline {
         require(math.abs(y) < lim,
           s"ewmaStream micro fixed point caps |cents| at $lim per period")
         lastP = period
-        z = if (!seeded) { seeded = true; multiplyExact(y, 1000000L) }
-          else addExact(multiplyExact(lamNum, multiplyExact(y, 1000000L)),
+        z = addExact(multiplyExact(lamNum, multiplyExact(y, 1000000L)),
             multiplyExact(lamDen - lamNum, z)) / lamDen
         val alarm =
           if (math.abs(z.toDouble / 1000000.0 - muCents) > band) 1 else 0
@@ -607,18 +607,20 @@ object StreamPipeline {
   }
 
   /** [[EwmaProcessor]] wired to a typed stream of (key, period, cents).
-    * λ = lamNum/lamDen; (muCents, band) from a reference-window fit —
+    * λ = lamNum/lamDen; zInit (center-line seed, micro-cents) and
+    * (muCents, band) from a reference-window fit —
+    * [[graft.operators.TimeSeries.ewmaSeed]] /
     * [[graft.operators.TimeSeries.ewmaLimits]]. RocksDB provider
     * required, as for [[cusumStream]]. */
   def ewmaStream(events: Dataset[(String, Int, Long)], lamNum: Long,
-                 lamDen: Long, muCents: Double, band: Double)
+                 lamDen: Long, zInit: Long, muCents: Double, band: Double)
       : Dataset[(String, Int, Long, Int)] = {
     require(lamNum > 0 && lamDen > lamNum,
       s"EWMA weight must lie in (0,1): $lamNum/$lamDen")
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .transformWithState(new EwmaProcessor(lamNum, lamDen, muCents, band),
+      .transformWithState(new EwmaProcessor(lamNum, lamDen, zInit, muCents, band),
         TimeMode.None(), OutputMode.Append())
   }
 

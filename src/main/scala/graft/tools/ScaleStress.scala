@@ -68,7 +68,18 @@ object ScaleStress {
     // guarantees, not one observed run; a caller at that magnitude
     // quantizes coarser (whole dollars buy ×100 headroom).
     "r12" -> Seq("q219_scd2_collapse", "q220_logrank", "q222_kl_drift",
-      "q223_isotonic_calibration"))
+      "q223_isotonic_calibration"),
+    // the round-12 continuation batch. q229 rides along — unlike
+    // q221/q224: ×100-replicated per-DAY revenue peaks at ~2.3e11
+    // cents (measured, sf0.1 1997), a 4× margin under the 9.2e11-cent
+    // fixed-point cap, so the sweep fits but a ~×400 factor or an
+    // sf1-based replica would trip the (loud) guard. q225's pair stage is
+    // calendar-bounded by construction; q226's quantile passes, q227's
+    // strata, q228's moment joins, q230's marginals and q231's top-k
+    // are all aggregate-bounded — the sweep is the measured evidence.
+    "r12b" -> Seq("q225_theil_sen", "q226_rfm_segments",
+      "q227_stratified_ipw", "q228_assortativity", "q229_ewma_chart",
+      "q230_kneser_ney", "q231_weighted_sample", "q232_yule_walker"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

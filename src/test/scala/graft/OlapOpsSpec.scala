@@ -452,4 +452,26 @@ class OlapOpsSpec extends SparkSpec {
       .agg(sum($"rank")).head().getLong(0)
     assert(total <= 1000000L, s"mass grew: $total > scale")
   }
+
+  test("assortativity: textbook hand values — P4 is -1/2, K1,3 is -1, C4 is NULL") {
+    // Independent-identity pin for q228: the DuckDB oracle mirrors the
+    // same doubled-edge Pearson construction, so only published hand
+    // values catch a shared misreading (single-orientation correlation,
+    // endpoint-degree off-by-one). Newman (2002) §II: the 4-path has
+    // r = −1/2, any star is perfectly disassortative (r = −1), and a
+    // regular graph (cycle: every degree 2) has zero variance → the
+    // declared NULL contract.
+    import graft.operators.Graph
+    def r(edges: Seq[(String, String)]): (Long, Long, Option[Double]) = {
+      val row = Graph.assortativity(edges.toDF("a", "b"), "a", "b").head()
+      (row.getLong(0), row.getLong(1),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)))
+    }
+    assert(r(Seq(("1", "2"), ("2", "3"), ("3", "4"))) == ((4L, 3L, Some(-0.5))),
+      "path P4 must score -1/2")
+    assert(r(Seq(("h", "a"), ("h", "b"), ("h", "c"))) == ((4L, 3L, Some(-1.0))),
+      "star K1,3 must score -1")
+    assert(r(Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1"))) ==
+      ((4L, 4L, None)), "regular C4 must emit the NULL contract")
+  }
 }

@@ -803,6 +803,43 @@ class ScalePostureSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q227 IPW: exactly the two declared passes; stratum frame checkpointed") {
+    // the per-row IPW leg is the DELIBERATE second float path of the
+    // built-in cross-check; the enum-sized stratum frame is
+    // checkpointed, so kept, glob, and the ipw broadcast all read the
+    // materialized rows — the FINAL plan carries exactly the IPW leg's
+    // orders+customer pair (un-checkpointed, every stratum consumer
+    // re-derived the aggregate and this plan carried 8 FileScans)
+    val p = plan("q227_stratified_ipw")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 2,
+      s"expected only the IPW leg's orders+customer scans, got $scans:\n${p.take(1400)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer dim must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q231 weighted sample: one narrow scan + TakeOrdered, no shuffle at all") {
+    // the registration comment's whole scale claim, enforced: A-Res is
+    // a projection plus a bounded top-k — any Exchange or Window here
+    // means the sample became a data-scaled sort
+    val p = plan("q231_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded take:\n${p.take(1200)}")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"exactly one documents scan:\n${p.take(1200)}")
+    assert(!p.contains("Exchange") && !p.contains("Window"),
+      s"the sample must not shuffle or sort globally:\n${p.take(1400)}")
+  }
+
+  test("q232 Yule-Walker: the solve reads only acf's checkpointed series") {
+    val p = plan("q232_yule_walker")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"every acf pass must read the calendar checkpoint, not orders:\n${p.take(1400)}")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

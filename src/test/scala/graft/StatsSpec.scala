@@ -502,4 +502,46 @@ class StatsSpec extends SparkSpec {
     assert(row.getAs[Double]("ate_strat") == row.getAs[Double]("ate_ipw"),
       "the two float paths must land on the same rounded cents")
   }
+
+  test("q226 RFM: a literal sorted-rank quintile replay reproduces the segments") {
+    // Definitional replay (the q225 pattern): the DuckDB oracle mirrors
+    // the engine-side construction, so a shared slip — swapped
+    // dimensions, the un-reversed R score, a misread quantile rank —
+    // would pass both engines. This recomputes quantile_cont from its
+    // sorted-array DEFINITION (rank p·(n−1), linear interpolation),
+    // scores from the textbook convention (R reversed: most recent = 5),
+    // rolls the segments up with plain Scala folds, and asserts the
+    // query's rows EXACTLY. The cutpoint compare (strict >) and the
+    // ×5 integerization are contract, shared deliberately.
+    val rfm = Tables(spark, sf("sf0.001"), "orders")
+      .groupBy($"o_custkey")
+      .agg(datediff(lit("2001-08-02"), max($"o_orderdate")).cast("long").as("r"),
+        count(lit(1)).as("f"),
+        graft.operators.Relational.centsSum($"o_totalprice").as("m"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rfm.size > 50, s"fixture sanity: ${rfm.size} customers")
+    def cuts5(vs: Seq[Long]): Seq[Long] = {
+      val s = vs.sorted
+      Seq(0.2, 0.4, 0.6, 0.8).map { p =>
+        val pos = p * (s.length - 1)
+        val lo = pos.toInt
+        val v = if (pos == lo) s(lo).toDouble
+          else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+        math.round(v * 5)
+      }
+    }
+    val (rc, fc, mc) = (cuts5(rfm.map(_._2)), cuts5(rfm.map(_._3)), cuts5(rfm.map(_._4)))
+    def sc(x: Long, cuts: Seq[Long]): Int = cuts.count(c => x * 5 > c)
+    val want = rfm.groupBy { case (_, r, f, m) =>
+        (5 - sc(r, rc), 1 + sc(f, fc), 1 + sc(m, mc)) }
+      .map { case ((r, f, m), rows) =>
+        (r, f, m, rows.size.toLong, rows.map(_._4).sum / rows.size) }
+      .toSeq.sortBy(t => (t._1, t._2, t._3))
+    val got = graft.queries.Registry.queries("q226_rfm_segments")(
+        spark, sf("sf0.001"))
+      .as[(Int, Int, Int, Long, Long)].collect().toSeq
+    assert(got == want,
+      s"segments diverged from the definitional replay (first: " +
+        s"${got.take(3)} vs ${want.take(3)})")
+  }
 }

@@ -948,8 +948,9 @@ class StreamingSpec extends SparkSpec {
         .orderBy($"day").as[(Int, Long)].collect().toSeq
       val (mu, band) = graft.operators.TimeSeries.ewmaLimits(
         feed.map(_._2), lamNum = 2, lamDen = 10, l = 3.0)
+      val zInit = graft.operators.TimeSeries.ewmaSeed(feed.map(_._2))
       val stream = MemoryStream[(String, Int, Long)]
-      val q = StreamPipeline.ewmaStream(stream.toDS(), 2L, 10L, mu, band)
+      val q = StreamPipeline.ewmaStream(stream.toDS(), 2L, 10L, zInit, mu, band)
         .toDF("key", "d", "ewma_micro", "alarm")
         .writeStream.format("memory").queryName("ewmaq")
         .outputMode("append")
@@ -970,7 +971,8 @@ class StreamingSpec extends SparkSpec {
           s"${streamed.take(3)} vs ${batch.take(3)})")
       // order contract: a replayed period must kill the query loudly
       val stream2 = MemoryStream[(String, Int, Long)]
-      val q2 = StreamPipeline.ewmaStream(stream2.toDS(), 2L, 10L, 100.0, 10.0)
+      val q2 = StreamPipeline.ewmaStream(stream2.toDS(), 2L, 10L,
+        100L * 1000000L, 100.0, 10.0)
         .toDF("key", "d", "ewma_micro", "alarm")
         .writeStream.format("memory").queryName("ewmaq2")
         .outputMode("append")

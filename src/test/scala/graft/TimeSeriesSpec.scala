@@ -227,11 +227,12 @@ class TimeSeriesSpec extends SparkSpec {
       .toDF("ord", "cents")
     val got = TimeSeries.ewmaChart(ser, "ord", "cents")
       .select($"ord", $"ewma_micro").as[(Long, Long)].collect().toSeq
-    // exact rational replay: numerator over 10^t, no truncation at all
-    var num = BigInt(ys.head) * 1000000 // z as num / 10^(t-1)
+    // exact rational replay from the SAME center-line seed: numerator
+    // over 10^t, no per-step truncation at all
+    var num = BigInt(TimeSeries.ewmaSeed(ys)) // z as num / 10^t
     var den = BigInt(1)
     got.zipWithIndex.foreach { case ((_, zMicro), t) =>
-      if (t > 0) { num = 2 * BigInt(ys(t)) * 1000000 * den + 8 * num; den *= 10 }
+      num = 2 * BigInt(ys(t)) * 1000000 * den + 8 * num; den *= 10
       val exact = BigDecimal(num) / BigDecimal(den)
       assert((BigDecimal(zMicro) - exact).abs <= 5,
         s"t=$t: fold $zMicro vs exact $exact drifted past the 5-micro envelope")
@@ -242,7 +243,11 @@ class TimeSeriesSpec extends SparkSpec {
     import graft.operators.TimeSeries
     // control-chart behavior (the msprtMonitor discipline): a late
     // level shift far past 3σ·√(λ/(2−λ)) must alarm once the smoothed
-    // level crosses the band; a mild alternating stream must not
+    // level crosses the band; a mild alternating stream must not.
+    // The first point sits a full σ off the mean ON PURPOSE: with the
+    // center-line seed this stays calm (Var(z₁) = λ²σ² ≪ band²) — the
+    // first-cut z₁=y₁ seeding alarmed here ~32% of in-control starts,
+    // the self-review catch that forced the Roberts init.
     val stable = (1 to 40).map(t =>
       (t.toLong, 10000L + (if (t % 2 == 0) 50L else -50L)))
     val calm = TimeSeries.ewmaChart(stable.toDF("ord", "cents"), "ord", "cents")
