@@ -268,6 +268,59 @@ object TimeSeries {
       .orderBy(col("lag"))
   }
 
+  /** Cross-correlation function between two pre-aggregated series —
+    * the bivariate sibling of [[acf]], same exact-moment discipline:
+    * numerator Σ(x_t−x̄)(y_{t+k}−ȳ) expands into DECIMAL(38,0)-exact
+    * folds over TIME-joined pairs (`b.ord = a.ord + lag` — calendar
+    * gaps drop pairs, the irregular-index convention), denominator
+    * from each series' full exact moments, one IEEE tree per lag.
+    * SIGN CONVENTION (spec-pinned with a planted shift): a positive
+    * peak lag k means y FOLLOWS x by k periods — y(t) = x(t−k) peaks
+    * at +k. Both inputs must be aggregated one-row-per-ordinal frames;
+    * they are checkpointed here (each feeds its moment aggregate AND
+    * all 2·maxLag+1 join probes). Returns (lag, n_pairs, ccf),
+    * unrounded, lags −maxLag..+maxLag. */
+  def ccf(a: DataFrame, b: DataFrame, ord: String, value: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
+    val ac = a.select(col(ord).cast("long").as("day"), col(value).as("v"))
+      .localCheckpoint()
+    val bc = b.select(col(ord).cast("long").as("day"), col(value).as("v"))
+      .localCheckpoint()
+    val xs = ac.agg(count(lit(1)).as("nx"), sum(d38(col("v"))).as("sx"),
+        sum(d38(col("v")) * col("v")).as("sxx"))
+      .select(col("sxx"),
+        (col("sx").cast("double") / col("nx").cast("double")).as("xbar"),
+        col("nx"))
+    val ys = bc.agg(count(lit(1)).as("ny"), sum(d38(col("v"))).as("sy"),
+        sum(d38(col("v")) * col("v")).as("syy"))
+      .select(col("syy"),
+        (col("sy").cast("double") / col("ny").cast("double")).as("ybar"),
+        col("ny"))
+    val lags = xs.select(explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"))
+    val pairs = ac.select(col("day"), col("v").as("x"))
+      .crossJoin(broadcast(lags))
+      .withColumn("dayb", col("day") + col("lag"))
+      .join(bc.select(col("day").as("dayb"), col("v").as("y")), "dayb")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(d38(col("x")) * col("y")).as("sxy"),
+        sum(d38(col("x"))).as("tx"),
+        sum(d38(col("y"))).as("ty"))
+    pairs.crossJoin(broadcast(xs)).crossJoin(broadcast(ys))
+      .select(col("lag"), col("m").as("n_pairs"),
+        ((col("sxy").cast("double") - col("xbar") * col("ty").cast("double")
+            - col("ybar") * col("tx").cast("double")
+            + col("m").cast("double") * col("xbar") * col("ybar")) /
+          (sqrt(col("sxx").cast("double")
+              - col("nx").cast("double") * col("xbar") * col("xbar")) *
+           sqrt(col("syy").cast("double")
+              - col("ny").cast("double") * col("ybar") * col("ybar"))))
+          .as("ccf"))
+      .orderBy(col("lag"))
+  }
+
   /** Classical additive seasonal decomposition (Persons 1919; the
     * `seasonal_decompose` of statsmodels) over a CONTIGUOUS calendar
     * series of (ordinal, integer cents) rows with an EVEN `period`:

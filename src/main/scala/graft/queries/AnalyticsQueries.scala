@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -865,6 +865,72 @@ object AnalyticsQueries {
           string_agg(event_type, '>' ORDER BY rn) AS seq
         FROM r WHERE rn <= 20 GROUP BY user_id ORDER BY user_id"""),
       "per-user ordered event sequences, cap-bounded before collection"),
+
+    // ------------------------------- cross-correlation lead-lag scan
+    // The bivariate sibling of q170's ACF: ccf between two market
+    // revenue series (nation-7 vs nation-8 customers, daily 1996) at
+    // lags −7..+7 — the lead-lag question ("does market A move before
+    // market B?") every ops dashboard asks. Same exact-moment
+    // discipline as q170: numerator Σ(x_t−x̄)(y_{t+k}−ȳ) expands into
+    // DECIMAL(38,0)-exact folds over TIME-joined pairs (b.day = a.day
+    // + lag — calendar gaps drop pairs, the irregular-index ccf
+    // convention), denominator from the full-series exact moments, one
+    // IEEE tree per lag. Both daily frames are checkpointed (≤366 rows
+    // each; they feed the stats aggregates AND the 15-lag pair join).
+    "q233_xcorr_leadlag" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def series(nation: Int): DataFrame = {
+          val cust = t(s, d, "customer")
+            .filter($"c_nationkey" === nation).select($"c_custkey")
+          t(s, d, "orders")
+            .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+            .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+            .groupBy(datediff($"o_orderdate", lit("1996-01-01"))
+              .cast("long").as("day"))
+            .agg(Relational.centsSum($"o_totalprice").as("v"))
+        }
+        TimeSeries.ccf(series(7), series(8), "day", "v", maxLag = 7)
+          .select($"lag", $"n_pairs", round($"ccf", 6).as("ccf"))
+      },
+      Some("""WITH a AS (SELECT
+            CAST(date_diff('day', DATE '1996-01-01', o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_nationkey = 7
+            AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+          GROUP BY 1),
+        b AS (SELECT
+            CAST(date_diff('day', DATE '1996-01-01', o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE c_nationkey = 8
+            AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+          GROUP BY 1),
+        xs AS (SELECT sum(CAST(v AS HUGEINT) * v) AS sxx,
+            CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar,
+            CAST(count(*) AS BIGINT) AS nx
+          FROM a),
+        ys AS (SELECT sum(CAST(v AS HUGEINT) * v) AS syy,
+            CAST(sum(CAST(v AS HUGEINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ybar,
+            CAST(count(*) AS BIGINT) AS ny
+          FROM b),
+        lg AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+        pairs AS (SELECT lg.lag, CAST(count(*) AS BIGINT) AS m,
+            sum(CAST(a.v AS HUGEINT) * b.v) AS sxy,
+            sum(CAST(a.v AS HUGEINT)) AS tx,
+            sum(CAST(b.v AS HUGEINT)) AS ty
+          FROM a CROSS JOIN lg JOIN b ON b.day = a.day + lg.lag
+          GROUP BY 1)
+        SELECT lag, m AS n_pairs,
+          round((CAST(sxy AS DOUBLE) - xbar * CAST(ty AS DOUBLE)
+              - ybar * CAST(tx AS DOUBLE)
+              + CAST(m AS DOUBLE) * xbar * ybar) /
+            (sqrt(CAST(sxx AS DOUBLE) - CAST(nx AS DOUBLE) * xbar * xbar) *
+             sqrt(CAST(syy AS DOUBLE) - CAST(ny AS DOUBLE) * ybar * ybar)), 6)
+            AS ccf
+        FROM pairs CROSS JOIN xs CROSS JOIN ys ORDER BY lag"""),
+      "lead-lag cross-correlation between two market revenue series, exact moments"),
 
     // --------------------------------------- Yule-Walker AR(2) fit
     // The autoregressive closed form on top of q170's exact-moment ACF

@@ -579,6 +579,69 @@ object PipelineQueries {
         SELECT n_nonzero, sum_pow50, est_distinct, n_exact FROM hll, ex"""),
       "HLL as a maintainable MV: monthly register sketches fold to the year by max"),
 
+    // ----------------------- two-digit-prefix quantile sketch as an MV
+    // The quantile sibling of q203's HLL MV: a mergeable HDR-histogram-
+    // style sketch whose bucket key is the value's TWO-SIGNIFICANT-
+    // DIGIT decimal prefix (lower bound rebuilt as prefix || zeros —
+    // pure string/integer ops, so the key is bit-identical on both
+    // engines with no log() in sight; within-bucket relative width
+    // ≤ 10%). Each month aggregates its own ≤ ~900-bucket histogram
+    // (one hash aggregate); the year view folds them by element-wise
+    // SUM — counts are linear, so merge(sketch(Jan..Dec)) ==
+    // sketch(year) exactly, and the oracle one-shots the year's
+    // buckets: the hash compare IS the merge-closure proof. Quantile
+    // ranks are INTEGER ceilings ((p·n + (den−1)) div den — no float
+    // rank to straddle an engine boundary); the walk is a cumulative
+    // window over the bounded bucket frame. At 100 TB this is the
+    // "p99 latency, any date range" dashboard shape: per-day bucket
+    // tables folded at query time, never a re-scan of history.
+    // SketchSpec pins the ≤10% bound against exact sorted quantiles.
+    "q234_prefix_quantile_mv" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cents = t(s, d, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+            month($"l_shipdate").as("m"))
+          .filter($"v" >= 10) // two significant digits by contract
+          .select($"m", concat(substring($"v".cast("string"), 1, 2),
+            expr("repeat('0', CAST(length(CAST(v AS STRING)) - 2 AS INT))"))
+            .cast("long").as("lb"))
+        val monthly = cents.groupBy($"m", $"lb").agg(count(lit(1)).as("cnt"))
+        val merged = monthly.groupBy($"lb").agg(sum($"cnt").as("cnt"))
+        val cum = merged.select($"lb", $"cnt",
+          sum($"cnt").over(Window.orderBy($"lb")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
+        val n = merged.agg(sum($"cnt").as("n"))
+        cum.crossJoin(broadcast(n))
+          .agg(max($"n").as("n"),
+            min(when($"cum" >= expr("(n + 1) div 2"), $"lb"))
+              .as("p50_lb"),
+            min(when($"cum" >= expr("(9 * n + 9) div 10"), $"lb"))
+              .as("p90_lb"),
+            min(when($"cum" >= expr("(99 * n + 99) div 100"), $"lb"))
+              .as("p99_lb"))
+      },
+      Some("""WITH c AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+            FROM lineitem
+            WHERE CAST(round(l_extendedprice * 100) AS BIGINT) >= 10),
+        k AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 2) ||
+              repeat('0', CAST(length(CAST(v AS VARCHAR)) - 2 AS INT))
+            AS BIGINT) AS lb
+          FROM c),
+        merged AS (SELECT lb, CAST(count(*) AS BIGINT) AS cnt
+          FROM k GROUP BY 1),
+        cum AS (SELECT lb, cnt,
+            sum(cnt) OVER (ORDER BY lb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM merged),
+        nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged)
+        SELECT max(n) AS n,
+          min(CASE WHEN cum >= (n + 1) // 2 THEN lb END) AS p50_lb,
+          min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lb END) AS p90_lb,
+          min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lb END) AS p99_lb
+        FROM cum CROSS JOIN nn"""),
+      "mergeable 2-digit-prefix quantile sketch: monthly histograms fold to the year"),
+
     // --------------------------------------------------- WOE / IV screen
     // Weight-of-evidence binning + information value — the credit-
     // scoring feature screen (Siddiqi 2006) a feature platform runs

@@ -79,7 +79,8 @@ object ScaleStress {
     // are all aggregate-bounded — the sweep is the measured evidence.
     "r12b" -> Seq("q225_theil_sen", "q226_rfm_segments",
       "q227_stratified_ipw", "q228_assortativity", "q229_ewma_chart",
-      "q230_kneser_ney", "q231_weighted_sample", "q232_yule_walker"))
+      "q230_kneser_ney", "q231_weighted_sample", "q232_yule_walker",
+      "q233_xcorr_leadlag", "q234_prefix_quantile_mv"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

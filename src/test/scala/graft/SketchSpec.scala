@@ -242,4 +242,36 @@ class SketchSpec extends SparkSpec {
     // first cell is the origin (standard orientation)
     assert(cells.head == ((0L, 0L, 0L)))
   }
+
+  test("q234 prefix sketch: each estimate brackets the exact quantile within its bucket") {
+    // The oracle proves merge closure (it one-shots the year's buckets);
+    // THIS pins the accuracy contract the bucket design promises: the
+    // reported lower bound lb satisfies lb ≤ exact rank-r value < lb +
+    // 10^(digits−2) — the two-significant-digit bucket width, ≤ 10%
+    // relative. Exact quantiles come from a literal sort of the
+    // collected column, ranks from the same integer ceilings.
+    import spark.implicits._
+    val cents = Tables(spark, sf("sf0.001"), "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      .filter($"v" >= 10).as[Long].collect().sorted
+    val n = cents.length.toLong
+    val row = graft.queries.Registry.queries("q234_prefix_quantile_mv")(
+      spark, sf("sf0.001")).head()
+    assert(row.getAs[Long]("n") == n)
+    val checks = Seq(
+      ("p50_lb", (n + 1) / 2),
+      ("p90_lb", (9 * n + 9) / 10),
+      ("p99_lb", (99 * n + 99) / 100))
+    checks.foreach { case (cname, r) =>
+      val lb = row.getAs[Long](cname)
+      val exact = cents((r - 1).toInt)
+      val step = math.pow(10.0, lb.toString.length - 2).toLong
+      assert(lb <= exact && exact < lb + step,
+        s"$cname: exact rank-$r value $exact outside bucket [$lb, ${lb + step})")
+      // the 10% promise is structural: step = 10^(d−2) ≤ lb/10 because
+      // the 2-digit prefix makes lb ≥ 10·10^(d−2)
+      assert(step * 10 <= lb,
+        s"$cname: bucket wider than the promised 10%: lb=$lb step=$step")
+    }
+  }
 }

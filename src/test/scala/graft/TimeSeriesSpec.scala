@@ -305,6 +305,35 @@ class TimeSeriesSpec extends SparkSpec {
       (1.0 - qp1 * qr1 - qp2 * qr2)) < 5e-6)
   }
 
+  test("ccf: a planted 3-day shift peaks at lag +3; xy/yx antisymmetry holds") {
+    import graft.operators.TimeSeries
+    // y(t+3) = x(t): y FOLLOWS x by 3 days, so the documented sign
+    // convention demands the peak at +3 — the lead/lag direction is
+    // the classic ccf bug and the mirrored oracle cannot catch it
+    val xs = (1 to 400).map { t =>
+      var h = t * 0x9E3779B97F4A7C15L
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      (t.toLong, ((h ^ (h >>> 31)) & 0xffffL) + 1000L)
+    }
+    val ys = xs.map { case (t, v) => (t + 3, v) }
+    val a = xs.toDF("day", "v")
+    val b = ys.toDF("day", "v")
+    val r = TimeSeries.ccf(a, b, "day", "v", maxLag = 7)
+      .select($"lag", $"ccf").as[(Int, Double)].collect().toMap
+    assert(r(3) > 0.99, s"planted shift must peak at +3: ${r.toSeq.sorted}")
+    assert(r.filter(_._1 != 3).values.forall(math.abs(_) < 0.5),
+      s"off-peak lags must stay small: ${r.toSeq.sorted}")
+    // ccf_xy(k) == ccf_yx(−k): same matched pairs, roles swapped — the
+    // decimal folds are identical reals, only float op order differs
+    val rev = TimeSeries.ccf(b, a, "day", "v", maxLag = 7)
+      .select($"lag", $"ccf").as[(Int, Double)].collect().toMap
+    (-7 to 7).foreach { k =>
+      assert(math.abs(r(k) - rev(-k)) < 1e-12,
+        s"antisymmetry broke at lag $k: ${r(k)} vs ${rev(-k)}")
+    }
+  }
+
   test("ewmaChart guards fire loudly: per-period cap and raw-row input") {
     import graft.operators.TimeSeries
     val lim = Long.MaxValue / 1000000L / 10L
