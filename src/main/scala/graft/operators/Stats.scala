@@ -655,4 +655,86 @@ object Stats {
               (col("n") + 1).cast("double") / col("n").cast("double"), 6))
             .otherwise(lit(null).cast("double"))).as("gini")): _*)
   }
+
+  /** One-way ANOVA F over an integral value column (Fisher 1925): ONE
+    * map-side-combined aggregate to the (group → n, Σy, Σy²) frame —
+    * enum-bounded state — then the decomposition SSB = Σ s_g²/n_g −
+    * S²/N, SSW = Σ ss_g − Σ s_g²/n_g as one double expression over
+    * those exact moments (the house float-parity rule; the Σ over
+    * groups is a k-term double fold whose summation-order ULP noise
+    * sits ten orders below the 1e-6 output rounding). Emits one row:
+    * (k, n, f_stat, eta2) — η² = SSB/SST the effect size. Degenerate
+    * designs (k < 2, or zero within-group variance) emit NULL F by
+    * contract (the logRank discipline). StatsSpec pins the moment
+    * algebra against a literal group-mean/deviation-loop computation
+    * on a hand dataset. */
+  def anovaF(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val g = df.groupBy(group.as("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(value.cast("decimal(38,0)")).as("sg"),
+        psum(value, value).as("ssg"))
+    val mom = g.agg(
+      count(lit(1)).as("k"),
+      sum(col("ng")).as("n"),
+      sum(col("sg")).cast("double").as("s"),
+      sum(col("ssg")).as("ss"),
+      sum(col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")).as("sb"))
+    val ssb = col("sb") - col("s") * col("s") / col("n").cast("double")
+    val ssw = col("ss") - col("sb")
+    val sst = col("ss") - col("s") * col("s") / col("n").cast("double")
+    mom.select(col("k"), col("n"),
+      when(col("k") >= 2 && ssw > 0,
+        round((ssb / (col("k") - 1).cast("double")) /
+          (ssw / (col("n") - col("k")).cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("f_stat"),
+      when(sst > 0, round(ssb / sst, 6))
+        .otherwise(lit(null).cast("double")).as("eta2"))
+  }
+
+  /** Paired sign-flip permutation test (Fisher's randomization test in
+    * its one-sample form): H₀ says the paired differences are
+    * symmetric about zero, so flipping each difference's sign is
+    * distribution-preserving; the two-sided p-value is
+    * (1 + #{b : |T_b| ≥ |T_obs|}) / (B+1) with T = Σ±d_i. EVERYTHING
+    * is exact integer arithmetic — T_obs and every replicate T_b are
+    * long sums of cent differences, the only float is the final
+    * p-value division — so both engines agree bit-for-bit with no
+    * rounding leaps of faith. Signs are md5 bits (`salt:b:key` — the
+    * q201 derandomization discipline: reproducible across engines,
+    * runs, and partitionings). Scale shape: the caller hands a
+    * pre-aggregated pairs frame (calendar/enum-bounded by
+    * construction); the ×B expansion is one narrow generate with
+    * map-side combine into B cells — the q201 bootstrap shape.
+    * `df` must carry integral `diffCol` and a distinct `keyCol`.
+    * Output row: (n_pairs, t_obs, n_extreme, p_value). StatsSpec pins
+    * the two exact endpoints: an all-positive shift yields the minimum
+    * p = 1/(B+1), an exactly antithetic frame yields T_obs = 0 →
+    * p = 1. */
+  def signFlipTest(df: DataFrame, keyCol: Column, diffCol: Column,
+                   b: Int = 256, salt: String = "sf"): DataFrame = {
+    require(b >= 1, s"need at least one sign replicate: $b")
+    val pairs = df.select(keyCol.cast("string").as("k"),
+      diffCol.cast("long").as("diff"))
+      .localCheckpoint() // feeds T_obs AND the xB expansion
+    val tobs = pairs.agg(sum(col("diff")).as("t_obs"),
+      count(lit(1)).as("n_pairs"))
+    val flips = pairs
+      .select(col("k"), col("diff"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("b"),
+        when(conv(substring(md5(concat(lit(s"$salt:"),
+            col("b").cast("string"), lit(":"), col("k"))), 1, 1), 16, 10)
+            .cast("long") % 2 === 0, col("diff"))
+          .otherwise(-col("diff")).as("sd"))
+      .groupBy(col("b")).agg(sum(col("sd")).as("tb"))
+    flips.crossJoin(broadcast(tobs))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        max(col("t_obs")).as("t_obs"),
+        sum(when(abs(col("tb")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+      .select(col("n_pairs"), col("t_obs"), col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") / lit((b + 1).toDouble), 6)
+          .as("p_value"))
+  }
 }

@@ -799,6 +799,95 @@ object StatsQueries {
           round(num / nk, 2) AS ate_strat,
           round(wsum / nk, 2) AS ate_ipw
         FROM sa CROSS JOIN gl CROSS JOIN ipw"""),
-      "stratified ATE vs saturated-propensity IPW, the coincidence oracled")
+      "stratified ATE vs saturated-propensity IPW, the coincidence oracled"),
+
+    // ---------------------------------------------- one-way ANOVA F
+    // Fisher's F across the five market segments — the k-group
+    // generalization of q147's Welch t (which covers k=2 with unequal
+    // variances; ANOVA is the classical equal-variance omnibus). All
+    // mechanics in [[graft.operators.Stats.anovaF]]: one enum-bounded
+    // moment aggregate, the SSB/SSW decomposition as a closed form,
+    // NULL on degenerate designs. η² rides along as the effect size.
+    // The k-term group fold's summation-order ULP noise is ~1e-16
+    // relative vs the 1e-6 rounding — the declared float discipline.
+    "q235_anova_f" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        val o = t(s, d, "orders")
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment",
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("y"))
+        Stats.anovaF(o, $"c_mktsegment", $"y")
+      },
+      Some("""WITH o AS (SELECT c_mktsegment AS g,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS y
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+            sum(CAST(y AS HUGEINT)) AS sg,
+            CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS ssg
+          FROM o GROUP BY 1),
+        mom AS (SELECT CAST(count(*) AS BIGINT) AS k,
+            CAST(sum(ng) AS BIGINT) AS n,
+            CAST(sum(sg) AS DOUBLE) AS s,
+            sum(ssg) AS ss,
+            sum(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+              / CAST(ng AS DOUBLE)) AS sb
+          FROM grp)
+        SELECT k, n,
+          CASE WHEN k >= 2 AND (ss - sb) > 0 THEN
+            round(((sb - s * s / CAST(n AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+              / ((ss - sb) / CAST(n - k AS DOUBLE)), 6) END AS f_stat,
+          CASE WHEN (ss - s * s / CAST(n AS DOUBLE)) > 0 THEN
+            round((sb - s * s / CAST(n AS DOUBLE))
+              / (ss - s * s / CAST(n AS DOUBLE)), 6) END AS eta2
+        FROM mom"""),
+      "one-way ANOVA F + eta-squared across market segments, exact moments"),
+
+    // --------------------------------- paired sign-flip permutation test
+    // Fisher's randomization test on the year-over-year daily revenue
+    // change (1997 vs 1996, paired by day-of-year): did revenue shift,
+    // without ANY distributional assumption? All mechanics in
+    // [[graft.operators.Stats.signFlipTest]]: exact long T statistics,
+    // md5-bit signs (the q201 derandomization), B=256 replicates as one
+    // narrow generate with map-side combine into 256 cells over the
+    // CALENDAR-BOUNDED pairs frame — the data-proportional work is the
+    // two daily rollups. The oracle re-derives every replicate sum
+    // bit-for-bit; StatsSpec pins the two exact endpoints (min-p on an
+    // all-positive shift, p=1 on an antithetic frame).
+    "q236_sign_flip" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def daily(y: Int): DataFrame = t(s, d, "orders")
+          .filter(year($"o_orderdate") === y)
+          .groupBy(dayofyear($"o_orderdate").cast("long").as("day"))
+          .agg(Relational.centsSum($"o_totalprice").as(s"c$y"))
+        val pairs = daily(1996).join(daily(1997), "day")
+          .select($"day", ($"c1997" - $"c1996").as("diff"))
+        Stats.signFlipTest(pairs, $"day", $"diff", b = 256, salt = "q236")
+      },
+      Some("""WITH a AS (SELECT CAST(dayofyear(o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c96
+          FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        b2 AS (SELECT CAST(dayofyear(o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c97
+          FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+        p AS (SELECT a.day, c97 - c96 AS diff FROM a JOIN b2 USING (day)),
+        t AS (SELECT CAST(sum(diff) AS BIGINT) AS t_obs,
+            CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        fl AS (SELECT bb.b,
+            CAST(sum(CASE WHEN CAST('0x' || substr(md5('q236:' ||
+                  CAST(bb.b AS VARCHAR) || ':' || CAST(p.day AS VARCHAR)),
+                  1, 1) AS BIGINT) % 2 = 0
+              THEN diff ELSE -diff END) AS BIGINT) AS tb
+          FROM p CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b) bb
+          GROUP BY 1)
+        SELECT n_pairs, t_obs,
+          CAST(sum(CASE WHEN abs(tb) >= abs(t_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme,
+          round(CAST(sum(CASE WHEN abs(tb) >= abs(t_obs) THEN 1 ELSE 0 END)
+            + 1 AS DOUBLE) / 257.0, 6) AS p_value
+        FROM fl CROSS JOIN t GROUP BY 1, 2"""),
+      "exact-integer sign-flip permutation test on YoY daily revenue changes")
   )
 }

@@ -810,7 +810,69 @@ object VectorQueries {
           CAST(ma.n * s.sxy - ma.sx * mb.sx AS BIGINT) AS c_num
         FROM s JOIN m ma ON s.i = ma.i JOIN m mb ON s.j = mb.i
         ORDER BY i, j"""),
-      "scatter(a ∪ b) == finalize(moments(a) + moments(b)) — PCA as an MV")
+      "scatter(a ∪ b) == finalize(moments(a) + moments(b)) — PCA as an MV"),
+
+    // ------------------------------- simplified silhouette (clustering QA)
+    // The internal clustering-quality score that pairs with q214's
+    // EXTERNAL Adjusted Rand Index: the simplified silhouette
+    // (Hruschka et al. 2004 — distances to CENTROIDS, not the O(n²)
+    // pairwise original): per point, a = d²(own centroid), b = d²(next
+    // centroid), s = (b−a)/max(a,b). Distances are the SAME integer
+    // fixed-point Σ(pᵢ−cᵢ)² the k-means trainer uses (exact on both
+    // engines — integers carry no float-parity risk at all); each
+    // point touches only the k=8 broadcast centroids (a narrow ×k
+    // expansion, the IVF probe shape), the per-point state is a
+    // k-bounded sorted pair list, and the rollup is a ≤k-cell hash
+    // aggregate. Per-cell mean s is the one float (ULP noise ~1e-13
+    // vs the 1e-6 rounding). s = 0 by contract when a = b = 0.
+    "q237_silhouette" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val e = emb(s, d)
+        val cents = Similarity.kmeansCentroids(
+          e, "vec_id", "embedding", k = 8, iters = 3)
+        val pts = e.select($"vec_id",
+          expr("transform(embedding, v -> " +
+            "CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("pf"))
+        val d2 = pts.crossJoin(broadcast(cents))
+          .select($"vec_id", $"cell",
+            expr("aggregate(zip_with(pf, cf, (x, y) -> (x - y) * (x - y)), " +
+              "0L, (acc, v) -> acc + v)").as("dist"))
+        val ab = d2.groupBy($"vec_id")
+          .agg(slice(array_sort(collect_list(struct($"dist", $"cell"))), 1, 2)
+            .as("two"))
+          .select($"two"(0).getField("cell").as("cell"),
+            $"two"(0).getField("dist").as("a"),
+            $"two"(1).getField("dist").as("b"))
+        ab.select($"cell",
+            when(greatest($"a", $"b") > 0,
+              ($"b" - $"a").cast("double") /
+                greatest($"a", $"b").cast("double"))
+              .otherwise(lit(0.0)).as("si"))
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n"), round(avg($"si"), 6).as("mean_sil"))
+          .orderBy($"cell")
+      },
+      Some(s"""WITH ${kmeansSql(k = 8, iters = 3, scaleL = 1000000L, dims = 64)},
+        d2 AS (SELECT p.vec_id, c.cell,
+            ${fixedDistSql("p", "c", 64)} AS dist
+          FROM p, c3 c),
+        ab AS (SELECT vec_id,
+            max(CASE WHEN rn = 1 THEN cell END) AS cell,
+            max(CASE WHEN rn = 1 THEN dist END) AS a,
+            max(CASE WHEN rn = 2 THEN dist END) AS b
+          FROM (SELECT vec_id, cell, dist, row_number() OVER (
+              PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2)
+          WHERE rn <= 2 GROUP BY vec_id),
+        si AS (SELECT cell,
+            CASE WHEN greatest(a, b) > 0
+              THEN CAST(b - a AS DOUBLE) / CAST(greatest(a, b) AS DOUBLE)
+              ELSE 0.0 END AS si
+          FROM ab)
+        SELECT cell, CAST(count(*) AS BIGINT) AS n,
+          round(avg(si), 6) AS mean_sil
+        FROM si GROUP BY 1 ORDER BY 1"""),
+      "simplified silhouette per k-means cell, integer fixed-point distances")
   ) :+ mmrQuery
 
   // ------------------------------------------------- MMR re-ranking

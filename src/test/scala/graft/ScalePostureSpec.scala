@@ -840,6 +840,38 @@ class ScalePostureSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q235 ANOVA: one broadcast dim join + hash aggregates, nothing sorts") {
+    val p = plan("q235_anova_f")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"orders + customer, once each:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "the customer dim must broadcast")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "the moment fold must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q236 sign-flip: the xB expansion is a narrow generate over the checkpointed pairs") {
+    // the q201 bootstrap shape: B=256 replicates from ONE generate with
+    // map-side combine into B cells — never a resampling shuffle or a
+    // join against a replicate table
+    val p = plan("q236_sign_flip")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"the expansion must read the checkpointed pairs frame:\n${p.take(1400)}")
+    assert(p.contains("Generate explode"),
+      s"replicates must come from a narrow generate:\n${p.take(1200)}")
+    assert(p.contains("partial_sum"), "replicate sums must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q237 silhouette: k broadcast centroids, one embeddings scan, bounded per-point state") {
+    val p = plan("q237_silhouette")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"one embeddings scan; centroids ride their training checkpoint:\n${p.take(1400)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the k=8 centroid table must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

@@ -477,4 +477,45 @@ class SimilaritySpec extends SparkSpec {
     assert(ranked.last == 4L,
       s"the antipodal vector must rank last: ${ranked.toSeq}")
   }
+
+  test("q237 silhouette: a literal integer-loop replay reproduces the cell means") {
+    // Definitional replay (the q225 pattern): the oracle mirrors the
+    // SQL construction, so this recomputes everything downstream of the
+    // trained centroids — quantization, all-k integer distances, the
+    // (dist, cell) sort, s = (b−a)/max(a,b), the per-cell mean — with
+    // plain Scala loops and asserts the query's rows.
+    val dir = sf("sf0.001")
+    val cents = Similarity.kmeansCentroids(
+        Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 3)
+      .select($"cell", $"cf").as[(Int, Seq[Long])].collect().sortBy(_._1)
+    val pts = Tables(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    assert(pts.length > 100 && cents.length == 8)
+    val per = pts.map { case (_, v) =>
+      val pf = v.map(x => math.round(x.toDouble * 1000000)).toArray
+      val ds = cents.map { case (cell, cf) =>
+        var acc = 0L
+        var i = 0
+        while (i < pf.length) {
+          val dd = pf(i) - cf(i); acc += dd * dd; i += 1
+        }
+        (acc, cell)
+      }.sorted
+      val (a, cell) = ds(0)
+      val b = ds(1)._1
+      val s = if (math.max(a, b) > 0) (b - a).toDouble / math.max(a, b) else 0.0
+      (cell, s)
+    }
+    val want = per.groupBy(_._1).map { case (cell, ss) =>
+      (cell, ss.length.toLong, math.rint(ss.map(_._2).sum / ss.length * 1e6) / 1e6)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Registry.queries("q237_silhouette")(spark, dir)
+      .as[(Int, Long, Double)].collect().toSeq
+    got.zip(want).foreach { case ((gc, gn, gs), (wc, wn, ws)) =>
+      assert(gc == wc && gn == wn, s"cell/count diverged: $got vs $want")
+      assert(math.abs(gs - ws) < 2e-6, s"cell $gc mean diverged: $gs vs $ws")
+    }
+    assert(got.length == want.length)
+  }
 }

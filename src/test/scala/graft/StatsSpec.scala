@@ -503,6 +503,59 @@ class StatsSpec extends SparkSpec {
       "the two float paths must land on the same rounded cents")
   }
 
+  test("anovaF equals a literal deviation-loop computation; degenerate designs are NULL") {
+    // Independent-identity pin: the operator computes SSB/SSW through
+    // the moment algebra Σs_g²/n_g − S²/N; this recomputes them from
+    // the DEFINITION — group means and squared deviations in plain
+    // loops — so a misread decomposition cannot pass both paths.
+    val data = Seq(("a", 6L), ("a", 8L), ("a", 4L), ("a", 5L), ("a", 3L), ("a", 4L),
+      ("b", 8L), ("b", 12L), ("b", 9L), ("b", 11L), ("b", 6L), ("b", 8L),
+      ("c", 13L), ("c", 9L), ("c", 11L), ("c", 8L), ("c", 7L), ("c", 12L))
+    val row = Stats.anovaF(data.toDF("g", "y"), $"g", $"y").head()
+    val grand = data.map(_._2).sum.toDouble / data.size
+    val byG = data.groupBy(_._1).values
+    val ssb = byG.map { rs =>
+      val m = rs.map(_._2).sum.toDouble / rs.size
+      rs.size * (m - grand) * (m - grand) }.sum
+    val ssw = byG.flatMap { rs =>
+      val m = rs.map(_._2).sum.toDouble / rs.size
+      rs.map(r => (r._2 - m) * (r._2 - m)) }.sum
+    val f = (ssb / (3 - 1)) / (ssw / (data.size - 3))
+    assert(row.getAs[Long]("k") == 3 && row.getAs[Long]("n") == 18)
+    assert(math.abs(row.getAs[Double]("f_stat") - f) < 2e-6,
+      s"F diverged: ${row.getAs[Double]("f_stat")} vs $f")
+    assert(math.abs(row.getAs[Double]("eta2") - ssb / (ssb + ssw)) < 2e-6)
+    // degenerate contracts: one group → NULL F; zero within-variance → NULL F
+    val one = Stats.anovaF(Seq(("a", 1L), ("a", 2L)).toDF("g", "y"),
+      $"g", $"y").head()
+    assert(one.isNullAt(one.fieldIndex("f_stat")))
+    val flat = Stats.anovaF(Seq(("a", 5L), ("a", 5L), ("b", 9L), ("b", 9L))
+      .toDF("g", "y"), $"g", $"y").head()
+    assert(flat.isNullAt(flat.fieldIndex("f_stat")))
+  }
+
+  test("signFlipTest hits its exact endpoints: min-p on a shift, p=1 antithetic") {
+    // Deterministic endpoint pins — both are EXACT consequences of the
+    // construction, no tolerance needed. (1) all differences +100:
+    // |T_b| = 100·|#plus − #minus| < 36,500 = T_obs for every b unless
+    // the md5 bits all agree (impossible over 365 keys), so
+    // n_extreme = 0 and p = 1/257. (2) an exactly antithetic frame
+    // (d and −d for every key pair): T_obs = 0, so every replicate
+    // satisfies |T_b| ≥ 0 and p = 1.
+    val shift = (1 to 365).map(d => (d.toLong, 100L)).toDF("k", "diff")
+    val r1 = Stats.signFlipTest(shift, $"k", $"diff", b = 256, salt = "t").head()
+    assert(r1.getAs[Long]("t_obs") == 36500L)
+    assert(r1.getAs[Long]("n_extreme") == 0L,
+      s"a uniform shift must be the most extreme statistic: $r1")
+    assert(r1.getAs[Double]("p_value") == math.rint(1e6 / 257.0) / 1e6)
+    val anti = (1 to 100).flatMap(d =>
+      Seq((d.toLong, d * 7L), (1000L + d, -d * 7L))).toDF("k", "diff")
+    val r2 = Stats.signFlipTest(anti, $"k", $"diff", b = 256, salt = "t").head()
+    assert(r2.getAs[Long]("t_obs") == 0L)
+    assert(r2.getAs[Long]("n_extreme") == 256L)
+    assert(r2.getAs[Double]("p_value") == 1.0)
+  }
+
   test("q226 RFM: a literal sorted-rank quintile replay reproduces the segments") {
     // Definitional replay (the q225 pattern): the DuckDB oracle mirrors
     // the engine-side construction, so a shared slip — swapped
