@@ -1312,6 +1312,54 @@ object TextQueries {
         FROM c JOIN lf USING (w1) JOIN rt USING (w2) CROSS JOIN tot
         WHERE c >= 5
         ORDER BY p_kn DESC, w1, w2 LIMIT 15"""),
-      "interpolated Kneser-Ney bigram probabilities, continuation counts and all")
+      "interpolated Kneser-Ney bigram probabilities, continuation counts and all"),
+
+    // ------------------------------- positional phrase search
+    // Exact phrase retrieval over a positional inverted index — the
+    // search-engine primitive BM25 (q66-family) can't express: find
+    // every occurrence of "slow hash batch" as adjacent positions.
+    // Scale shape is the classic IR one: the postings frame is
+    // FILTERED TO THE PHRASE'S TERMS before anything joins (candidate
+    // volume bounded by the rarest term's document frequency, not the
+    // corpus), checkpointed once, and the adjacency test is two
+    // equi-joins on (doc_id, pos±k) — no windows, no per-doc sorts.
+    // Positions are 0-based on both engines (DuckDB's 1-based
+    // list positions shifted by construction). TextDedupSpec replays
+    // every hit count against a literal sliding-window scan.
+    "q238_phrase_search" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val phrase = Seq("slow", "hash", "batch")
+        val post = docs(s, d)
+          .select($"doc_id", posexplode(split(lower($"text"), " ")))
+          .toDF("doc_id", "pos", "term")
+          .filter($"term".isin(phrase: _*))
+          .localCheckpoint() // one scan feeds all three term branches
+        def termAt(t: String, off: Int): DataFrame = post
+          .filter($"term" === t)
+          .select($"doc_id", ($"pos" - off).as("start"))
+        val hits = termAt("slow", 0)
+          .join(termAt("hash", 1), Seq("doc_id", "start"))
+          .join(termAt("batch", 2), Seq("doc_id", "start"))
+        hits.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_hits"),
+            min($"start").cast("long").as("first_pos"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS a
+            FROM documents),
+        post AS (SELECT doc_id, i - 1 AS pos, a[i] AS term
+          FROM (SELECT doc_id, a,
+              unnest(generate_series(1, len(a))) AS i FROM toks)
+          WHERE a[i] IN ('slow', 'hash', 'batch')),
+        hits AS (SELECT p0.doc_id, p0.pos AS start
+          FROM post p0
+          JOIN post p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+          JOIN post p2 ON p2.doc_id = p0.doc_id AND p2.pos = p0.pos + 2
+          WHERE p0.term = 'slow' AND p1.term = 'hash' AND p2.term = 'batch')
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+          CAST(min(start) AS BIGINT) AS first_pos
+        FROM hits GROUP BY 1 ORDER BY 1"""),
+      "positional phrase search: term-filtered postings, adjacency as equi-joins")
   )
 }

@@ -872,6 +872,18 @@ class ScalePostureSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q238 phrase search: adjacency joins read only the term-filtered postings") {
+    // the IR discipline: the postings frame is filtered to the
+    // phrase's 3 terms BEFORE anything joins (candidates bounded by
+    // term document-frequency, not corpus size) and checkpointed once —
+    // the final plan re-reads that bounded frame, never the corpus
+    val p = plan("q238_phrase_search")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"joins must read the checkpointed postings, not documents:\n${p.take(1400)}")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")))
+    assert(!p.contains("CartesianProduct") && !p.contains("Window"))
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

@@ -445,4 +445,23 @@ class TextDedupSpec extends SparkSpec {
         s"($w1,$w2): query ${r.getAs[Double]("p_kn")} vs definitional ${pkn(w1, w2)}")
     }
   }
+
+  test("q238 phrase search: a literal sliding-window scan reproduces every hit") {
+    // Definitional replay at sf0.01 (the phrase does not occur in the
+    // 50-doc sf0.001 slice — a vacuous pass proves nothing): the
+    // postings-join construction vs the textbook window scan.
+    val dir = sf("sf0.01")
+    val corpus = Tables(spark, dir, "documents")
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val want = corpus.flatMap { case (id, t) =>
+      val a = t.split(" ", -1)
+      val hits = (0 to a.length - 3).filter(i =>
+        a(i) == "slow" && a(i + 1) == "hash" && a(i + 2) == "batch")
+      if (hits.nonEmpty) Some((id, hits.size.toLong, hits.min.toLong)) else None
+    }.sortBy(_._1).toSeq
+    assert(want.nonEmpty, "fixture sanity: the phrase must occur at sf0.01")
+    val got = graft.queries.Registry.queries("q238_phrase_search")(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == want, s"hits diverged:\n$got\n$want")
+  }
 }
