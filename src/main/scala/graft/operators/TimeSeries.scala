@@ -302,7 +302,10 @@ object TimeSeries {
     val pairs = ac.select(col("day"), col("v").as("x"))
       .crossJoin(broadcast(lags))
       .withColumn("dayb", col("day") + col("lag"))
-      .join(bc.select(col("day").as("dayb"), col("v").as("y")), "dayb")
+      // the probe side is the calendar-bounded series — broadcast it,
+      // never shuffle the (a × 2·maxLag+1) expansion into a sort-merge
+      .join(broadcast(bc.select(col("day").as("dayb"), col("v").as("y"))),
+        "dayb")
       .groupBy(col("lag"))
       .agg(count(lit(1)).as("m"),
         sum(d38(col("x")) * col("y")).as("sxy"),

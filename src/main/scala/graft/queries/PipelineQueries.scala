@@ -608,11 +608,16 @@ object PipelineQueries {
             .cast("long").as("lb"))
         val monthly = cents.groupBy($"m", $"lb").agg(count(lit(1)).as("cnt"))
         val merged = monthly.groupBy($"lb").agg(sum($"cnt").as("cnt"))
+        // n rides a full-frame window over the SAME bounded bucket
+        // frame — a separate agg branch would re-run the lineitem
+        // scan + both aggregation layers (self-review catch)
         val cum = merged.select($"lb", $"cnt",
           sum($"cnt").over(Window.orderBy($"lb")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"))
-        val n = merged.agg(sum($"cnt").as("n"))
-        cum.crossJoin(broadcast(n))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          sum($"cnt").over(Window.orderBy($"lb")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("n"))
+        cum
           .agg(max($"n").as("n"),
             min(when($"cum" >= expr("(n + 1) div 2"), $"lb"))
               .as("p50_lb"),
@@ -632,14 +637,16 @@ object PipelineQueries {
           FROM k GROUP BY 1),
         cum AS (SELECT lb, cnt,
             sum(cnt) OVER (ORDER BY lb
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-          FROM merged),
-        nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+            CAST(sum(cnt) OVER (ORDER BY lb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n
+          FROM merged)
         SELECT max(n) AS n,
           min(CASE WHEN cum >= (n + 1) // 2 THEN lb END) AS p50_lb,
           min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lb END) AS p90_lb,
           min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lb END) AS p99_lb
-        FROM cum CROSS JOIN nn"""),
+        FROM cum"""),
       "mergeable 2-digit-prefix quantile sketch: monthly histograms fold to the year"),
 
     // --------------------------------------------------- WOE / IV screen

@@ -858,18 +858,24 @@ object StatsQueries {
     "q236_sign_flip" -> Q(
       (s, d) => {
         import s.implicits._
+        // pair on (month, day-of-month), NOT dayofyear: 1996 is a leap
+        // year, so dayofyear would misalign every pair after Feb 28 and
+        // silently drop Dec 31 (self-review catch)
         def daily(y: Int): DataFrame = t(s, d, "orders")
           .filter(year($"o_orderdate") === y)
-          .groupBy(dayofyear($"o_orderdate").cast("long").as("day"))
+          .groupBy((month($"o_orderdate") * 100 + dayofmonth($"o_orderdate"))
+            .cast("long").as("day"))
           .agg(Relational.centsSum($"o_totalprice").as(s"c$y"))
         val pairs = daily(1996).join(daily(1997), "day")
           .select($"day", ($"c1997" - $"c1996").as("diff"))
         Stats.signFlipTest(pairs, $"day", $"diff", b = 256, salt = "q236")
       },
-      Some("""WITH a AS (SELECT CAST(dayofyear(o_orderdate) AS BIGINT) AS day,
+      Some("""WITH a AS (SELECT
+            CAST(month(o_orderdate) * 100 + dayofmonth(o_orderdate) AS BIGINT) AS day,
             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c96
           FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
-        b2 AS (SELECT CAST(dayofyear(o_orderdate) AS BIGINT) AS day,
+        b2 AS (SELECT
+            CAST(month(o_orderdate) * 100 + dayofmonth(o_orderdate) AS BIGINT) AS day,
             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c97
           FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
         p AS (SELECT a.day, c97 - c96 AS diff FROM a JOIN b2 USING (day)),

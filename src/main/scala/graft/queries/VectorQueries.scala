@@ -817,9 +817,10 @@ object VectorQueries {
     // EXTERNAL Adjusted Rand Index: the simplified silhouette
     // (Hruschka et al. 2004 — distances to CENTROIDS, not the O(n²)
     // pairwise original): per point, a = d²(own centroid), b = d²(next
-    // centroid), s = (b−a)/max(a,b). Distances are the SAME integer
-    // fixed-point Σ(pᵢ−cᵢ)² the k-means trainer uses (exact on both
-    // engines — integers carry no float-parity risk at all); each
+    // centroid), s = (b−a)/max(a,b). Distances are LITERALLY the
+    // trainer's quantization + codegen'd FixedSqDist (shared
+    // VectorFunctions helpers, not re-derived expressions — exact
+    // integers carry no float-parity risk at all); each
     // point touches only the k=8 broadcast centroids (a narrow ×k
     // expansion, the IVF probe shape), the per-point state is a
     // k-bounded sorted pair list, and the rollup is a ≤k-cell hash
@@ -832,12 +833,10 @@ object VectorQueries {
         val cents = Similarity.kmeansCentroids(
           e, "vec_id", "embedding", k = 8, iters = 3)
         val pts = e.select($"vec_id",
-          expr("transform(embedding, v -> " +
-            "CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT))").as("pf"))
+          graft.functions.VectorFunctions.toFixedVec($"embedding", 1e6).as("pf"))
         val d2 = pts.crossJoin(broadcast(cents))
           .select($"vec_id", $"cell",
-            expr("aggregate(zip_with(pf, cf, (x, y) -> (x - y) * (x - y)), " +
-              "0L, (acc, v) -> acc + v)").as("dist"))
+            graft.functions.VectorFunctions.sqDistFixed($"pf", $"cf").as("dist"))
         val ab = d2.groupBy($"vec_id")
           .agg(slice(array_sort(collect_list(struct($"dist", $"cell"))), 1, 2)
             .as("two"))

@@ -840,6 +840,30 @@ class ScalePostureSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q233 ccf: the 15-lag probe joins read only the checkpointed calendars") {
+    // TimeSeries.ccf checkpoints both daily frames — each feeds its
+    // moment aggregate AND all 15 lag probes; un-checkpointed, the
+    // orders⋈customer rollup would re-run per consumer
+    val p = plan("q233_xcorr_leadlag")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"lag joins must read the ≤366-row checkpoints, not orders:\n${p.take(1400)}")
+    assert(p.linesIterator.exists(_.contains("Scan ExistingRDD")))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q234 prefix sketch: ONE lineitem scan; total count rides the bucket window") {
+    // the self-review catch: a separate n = merged.agg(...) branch
+    // re-ran the lineitem scan + both aggregation layers — n now rides
+    // a full-frame window over the SAME bounded bucket frame
+    val p = plan("q234_prefix_quantile_mv")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"exactly one lineitem scan — a second means the count branch re-aggregates:\n${p.take(1400)}")
+    assert(p.contains("Window"), "the rank walk runs over the bounded bucket frame")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no join of any kind should remain:\n${p.take(1200)}")
+  }
+
   test("q235 ANOVA: one broadcast dim join + hash aggregates, nothing sorts") {
     val p = plan("q235_anova_f")
     assert(p.linesIterator.count(_.contains("FileScan")) == 2,

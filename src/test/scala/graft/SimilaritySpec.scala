@@ -493,7 +493,10 @@ class SimilaritySpec extends SparkSpec {
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
     assert(pts.length > 100 && cents.length == 8)
     val per = pts.map { case (_, v) =>
-      val pf = v.map(x => math.round(x.toDouble * 1000000)).toArray
+      // HALF_UP like Spark round()/DuckDB round(): math.round would
+      // push negative exact halves toward +inf (self-review catch)
+      val pf = v.map(x => BigDecimal(x.toDouble * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong).toArray
       val ds = cents.map { case (cell, cf) =>
         var acc = 0L
         var i = 0
