@@ -302,23 +302,56 @@ object Stats {
   def kaplanMeier(per: DataFrame, life: String = "life",
                   ev: String = "ev"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val upTo = Window.orderBy(col(life))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(per, life, ev)
+      .withColumn("surv", round(exp(sum(
+        log(lit(1.0) - col("d").cast("double") / col("at_risk"))).over(upTo)), 6))
+      .select(col(life).cast("long").as("t_days"), col("d").as("n_events"),
+        col("at_risk"), col("surv"))
+      .orderBy(col("t_days"))
+  }
+
+  /** Shared survival machinery: the lifetime histogram with at-risk
+    * counts, filtered to event times — consumed by [[kaplanMeier]] and
+    * [[nelsonAalen]]. State bounded by the time domain. */
+  private def riskTable(per: DataFrame, life: String, ev: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val hist = per.groupBy(col(life))
       .agg(count(lit(1)).as("n_all"), sum(col(ev)).as("d"))
       .localCheckpoint() // at-risk cumsum + event rows share it
     val before = Window.orderBy(col(life))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val upTo = Window.orderBy(col(life))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     hist
       .withColumn("at_risk",
         sum(col("n_all")).over(Window.orderBy(col(life)).rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)) -
           coalesce(sum(col("n_all")).over(before), lit(0L)))
       .filter(col("d") > 0)
-      .withColumn("surv", round(exp(sum(
-        log(lit(1.0) - col("d").cast("double") / col("at_risk"))).over(upTo)), 6))
+  }
+
+  /** Nelson-Aalen cumulative hazard (Nelson 1972; Aalen, Ann. Stat.
+    * 1978) over the same per-subject (`life`, `ev`) rows as
+    * [[kaplanMeier]] — the hazard-scale twin: Ĥ(t) = Σ_{tᵢ≤t} dᵢ/nᵢ,
+    * plus the Fleming-Harrington/Breslow survival exp(−Ĥ), which
+    * dominates the KM product-limit estimate (exp(−x) ≥ 1−x per
+    * factor — StatsSpec pins both that dominance and the literal
+    * hand fold on the published 6-MP trial data). Same scale shape:
+    * everything runs on the day-bounded event-time histogram via the
+    * shared [[riskTable]]; the cumulative Σ d/n is an ORDERED window
+    * fold, so its float summation order is identical on both engines.
+    * Emits (t_days, n_events, at_risk, cum_haz, surv_fh). */
+  def nelsonAalen(per: DataFrame, life: String = "life",
+                  ev: String = "ev"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val upTo = Window.orderBy(col(life))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(per, life, ev)
+      .withColumn("ch",
+        sum(col("d").cast("double") / col("at_risk")).over(upTo))
       .select(col(life).cast("long").as("t_days"), col("d").as("n_events"),
-        col("at_risk"), col("surv"))
+        col("at_risk"), round(col("ch"), 6).as("cum_haz"),
+        round(exp(-col("ch")), 6).as("surv_fh"))
       .orderBy(col("t_days"))
   }
 

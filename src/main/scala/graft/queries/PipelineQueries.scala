@@ -848,6 +848,46 @@ object PipelineQueries {
         FROM risk WHERE d > 0 ORDER BY t_days"""),
       "Kaplan-Meier product-limit survival over the day-bounded lifetime histogram"),
 
+    // --------------------------------------------- Nelson-Aalen hazard
+    // The hazard-scale twin of q207's Kaplan-Meier over the SAME
+    // censored customer lifetimes: Ĥ(t) = Σ d/n and the Fleming-
+    // Harrington survival exp(−Ĥ) — the estimator of choice when event
+    // counts are small relative to the risk set (its increments are the
+    // raw hazard a churn model consumes). Mechanics shared with q207
+    // via [[graft.operators.Stats.riskTable]] (day-bounded histogram,
+    // one at-risk cumsum); the cumulative Σ d/n is an ORDERED window
+    // fold, identical on both engines. StatsSpec pins the published
+    // 6-MP trial hand fold and exp(−Ĥ) ≥ KM dominance.
+    "q239_nelson_aalen" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val per = t(s, d, "orders")
+          .groupBy($"o_custkey")
+          .agg(datediff(max($"o_orderdate"), min($"o_orderdate")).as("life"),
+            (max($"o_orderdate") < "1998-06-01").cast("long").as("ev"))
+        graft.operators.Stats.nelsonAalen(per)
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+            date_diff('day', min(o_orderdate), max(o_orderdate)) AS life,
+            CAST(max(o_orderdate) < TIMESTAMP '1998-06-01 00:00:00' AS BIGINT) AS ev
+          FROM orders GROUP BY 1),
+        hist AS (SELECT life, count(*) AS n_all, CAST(sum(ev) AS BIGINT) AS d
+          FROM per GROUP BY life),
+        risk AS (SELECT *,
+            CAST(sum(n_all) OVER () -
+              COALESCE(sum(n_all) OVER (ORDER BY life
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS at_risk
+          FROM hist),
+        ch AS (SELECT life, d, at_risk,
+            sum(CAST(d AS DOUBLE) / at_risk) OVER (ORDER BY life
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch
+          FROM risk WHERE d > 0)
+        SELECT CAST(life AS BIGINT) AS t_days, d AS n_events, at_risk,
+          round(ch, 6) AS cum_haz, round(exp(-ch), 6) AS surv_fh
+        FROM ch ORDER BY t_days"""),
+      "Nelson-Aalen cumulative hazard + Fleming-Harrington survival, KM's twin"),
+
     // ---------------------------------------------- jackknife influence
     // Quenouille/Tukey delete-1 jackknife WITHOUT materializing the n
     // leave-one-out replicates: loo_i = (S − xᵢ)/(n−1) is linear in the

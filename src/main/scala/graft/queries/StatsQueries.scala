@@ -894,6 +894,55 @@ object StatsQueries {
           round(CAST(sum(CASE WHEN abs(tb) >= abs(t_obs) THEN 1 ELSE 0 END)
             + 1 AS DOUBLE) / 257.0, 6) AS p_value
         FROM fl CROSS JOIN t GROUP BY 1, 2"""),
-      "exact-integer sign-flip permutation test on YoY daily revenue changes")
+      "exact-integer sign-flip permutation test on YoY daily revenue changes"),
+
+    // ------------------------------------------ weighted percentiles
+    // Quantity-weighted price quartiles — "the price of the typical
+    // UNIT sold", vs q149's row-weighted "typical line item": the
+    // lower weighted quantile v_p = min{v : F_w(v) ≥ p}. EVERYTHING is
+    // exact integers: the weight ECDF is a cumulative window over the
+    // distinct-cents histogram (state bounded by the catalog price
+    // grid — part price × integer quantity — never row count, the
+    // rankedPair boundedness class) and each pick is an integer-
+    // rational compare (4·cumw ≥ k·W), so no float exists anywhere in
+    // the query. StatsSpec replays the walk literally and pins the
+    // all-weights-1 degeneration to the unweighted lower median.
+    "q240_weighted_quartiles" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val hist = t(s, d, "lineitem")
+          .groupBy(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+          .agg(sum($"l_quantity".cast("long")).as("w"))
+        val cum = hist.select($"cents", $"w",
+          sum($"w").over(Window.orderBy($"cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cumw"),
+          sum($"w").over(Window.orderBy($"cents")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("tw"))
+        cum.agg(max($"tw").as("total_w"),
+          min(when($"cumw" * 4 >= $"tw", $"cents")).as("wp25_cents"),
+          min(when($"cumw" * 2 >= $"tw", $"cents")).as("wmed_cents"),
+          min(when($"cumw" * 4 >= $"tw" * 3, $"cents")).as("wp75_cents"))
+      },
+      Some("""WITH hist AS (SELECT
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1),
+        cum AS (SELECT cents, w,
+            CAST(sum(w) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS cumw,
+            CAST(sum(w) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS tw
+          FROM hist)
+        SELECT max(tw) AS total_w,
+          min(CASE WHEN cumw * 4 >= tw THEN cents END) AS wp25_cents,
+          min(CASE WHEN cumw * 2 >= tw THEN cents END) AS wmed_cents,
+          min(CASE WHEN cumw * 4 >= tw * 3 THEN cents END) AS wp75_cents
+        FROM cum"""),
+      "quantity-weighted price quartiles: integer-exact weight-ECDF walk")
   )
 }

@@ -624,6 +624,62 @@ object StreamPipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Per-key Misra-Gries "frequent" heavy hitters (Misra & Gries 1982;
+    * the counter-based top-k SpaceSaving descends from) — the
+    * streaming trending-items monitor: state per key is AT MOST k
+    * (item, count) counters however long the stream runs, the property
+    * that makes it deployable where an exact per-item count table
+    * (q101's CountMin answers point queries, not "what is trending")
+    * would grow with the item vocabulary. Classic algorithm: increment
+    * a present item, insert while fewer than k counters, otherwise
+    * decrement ALL counters and drop zeros. The summary is arrival-
+    * order-dependent (inherent to MG — there is no order-free exact
+    * form), so the STREAMING guarantees are what the spec pins, and
+    * they hold under ANY order: ≤ k counters; counter ≤ true count;
+    * counter ≥ true − N/(k+1); every item with true frequency >
+    * N/(k+1) present. Emits a versioned snapshot of the counters
+    * after each micro-batch (a latest-wins sink keeps max version). */
+  private class MisraGriesProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String), (String, Long, String, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Array[String], Array[Long])] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Array[String], Array[Long])]("mg",
+        E.product[(Long, Array[String], Array[Long])], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+                                 tv: TimerValues): Iterator[(String, Long, String, Long)] = {
+      val (ver, items, counts) =
+        if (st.exists()) st.get() else (0L, Array.empty[String], Array.empty[Long])
+      val m = scala.collection.mutable.LinkedHashMap(items.zip(counts).toSeq: _*)
+      rows.foreach { case (_, item) =>
+        if (m.contains(item)) m(item) += 1
+        else if (m.size < k) m(item) = 1L
+        else m.keys.toArray.foreach { kk => // the decrement-all step
+          m(kk) -= 1
+          if (m(kk) == 0L) m.remove(kk): Unit
+        }
+      }
+      val nv = ver + 1
+      st.update((nv, m.keys.toArray, m.values.toArray))
+      m.iterator.map { case (it, c) => (key, nv, it, c) }
+    }
+  }
+
+  /** [[MisraGriesProcessor]] wired to a typed stream of (key, item).
+    * RocksDB provider required, as for [[cusumStream]]. */
+  def mgTopKStream(events: Dataset[(String, String)], k: Int)
+      : Dataset[(String, Long, String, Long)] = {
+    require(k >= 1, s"need at least one counter: $k")
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new MisraGriesProcessor(k),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-key SCD Type 2 maintenance — the STREAMING form of the batch
     * [[graft.operators.Incremental.scd2]] build (q219): dimension
     * history maintained INCREMENTALLY as the change stream arrives,

@@ -81,7 +81,8 @@ object ScaleStress {
       "q227_stratified_ipw", "q228_assortativity", "q229_ewma_chart",
       "q230_kneser_ney", "q231_weighted_sample", "q232_yule_walker",
       "q233_xcorr_leadlag", "q234_prefix_quantile_mv", "q235_anova_f",
-      "q236_sign_flip", "q237_silhouette", "q238_phrase_search"))
+      "q236_sign_flip", "q237_silhouette", "q238_phrase_search",
+      "q239_nelson_aalen", "q240_weighted_quartiles"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

@@ -224,6 +224,38 @@ class StatsSpec extends SparkSpec {
     assert(got == want, s"KM curve diverged from the published values:\n$got")
   }
 
+  test("nelsonAalen: literal 6-MP hand fold; exp(-H) dominates the KM curve") {
+    // same Freireich 6-MP arm as the KM pin. (1) definitional fold:
+    // H(t) = Σ d/n accumulated by a plain loop over the published risk
+    // table — (3/21, 1/17, 1/15, 1/12, 1/11, 1/7, 1/6). (2) the
+    // Fleming-Harrington survival exp(−H) must dominate Kaplan-Meier
+    // at every event time (exp(−x) ≥ 1−x factor-wise) — an ORDER
+    // relation between two independently-computed curves, immune to a
+    // shared construction slip.
+    val times = Seq(
+      (6, 1), (6, 1), (6, 1), (6, 0), (7, 1), (9, 0), (10, 1), (10, 0),
+      (11, 0), (13, 1), (16, 1), (17, 0), (19, 0), (20, 0), (22, 1),
+      (23, 1), (25, 0), (32, 0), (32, 0), (34, 0), (35, 0))
+    val per = times.map { case (t, e) => (t, e.toLong) }.toDF("life", "ev")
+    val got = Stats.nelsonAalen(per)
+      .select($"t_days", $"n_events", $"at_risk", $"cum_haz", $"surv_fh")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    val steps = Seq((6, 3, 21), (7, 1, 17), (10, 1, 15), (13, 1, 12),
+      (16, 1, 11), (22, 1, 7), (23, 1, 6))
+    var h = 0.0
+    steps.zip(got).foreach { case ((t, d, n), (gt, gd, gn, gh, _)) =>
+      h += d.toDouble / n
+      assert(gt == t && gd == d && gn == n, s"risk table diverged: $got")
+      assert(math.abs(gh - h) < 2e-6, s"t=$t: H $gh vs hand $h")
+    }
+    val km = Stats.kaplanMeier(per)
+      .select($"t_days", $"surv").as[(Long, Double)].collect().toMap
+    got.foreach { case (t, _, _, _, sfh) =>
+      assert(sfh >= km(t) - 1e-9,
+        s"t=$t: Fleming-Harrington $sfh must dominate KM ${km(t)}")
+    }
+  }
+
   test("isotonicFit pools violators and reproduces hand-computed PAVA fits") {
     // rates (0.4, 0.2, 0.3) with equal weights: PAVA pools all three to
     // 0.3; rates (0.1, 0.5, 0.3, 0.7): the middle pair pools to 0.4
@@ -554,6 +586,34 @@ class StatsSpec extends SparkSpec {
     assert(r2.getAs[Long]("t_obs") == 0L)
     assert(r2.getAs[Long]("n_extreme") == 256L)
     assert(r2.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("q240 weighted quartiles: literal walk replay; weights=1 degenerates to the lower median") {
+    // (1) definitional replay on real data: sort the collected
+    // (cents, qty) pairs, walk cumulative weights, pick
+    // min{v : 4·F ≥ k·W} — plain loops vs the window construction.
+    val rows = Tables(spark, sf("sf0.001"), "lineitem")
+      .select(round($"l_extendedprice" * 100).cast("long").as("c"),
+        $"l_quantity".cast("long").as("q"))
+      .as[(Long, Long)].collect()
+    val hist = rows.groupBy(_._1).map { case (c, rs) => (c, rs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val tw = hist.map(_._2).sum
+    def pick(num: Long, den: Long): Long = {
+      var cum = 0L
+      hist.find { case (_, w) => cum += w; cum * den >= tw * num }.get._1
+    }
+    val row = graft.queries.Registry.queries("q240_weighted_quartiles")(
+      spark, sf("sf0.001")).head()
+    assert(row.getAs[Long]("total_w") == tw)
+    assert(row.getAs[Long]("wp25_cents") == pick(1, 4))
+    assert(row.getAs[Long]("wmed_cents") == pick(1, 2))
+    assert(row.getAs[Long]("wp75_cents") == pick(3, 4))
+    // (2) with unit weights the weighted median IS the lower median
+    val vals = Seq(10L, 40L, 20L, 50L, 30L)
+    var cum = 0L
+    val med = vals.sorted.find { v => cum += 1; cum * 2 >= vals.size }.get
+    assert(med == 30L, "odd-count lower median sanity")
   }
 
   test("q226 RFM: a literal sorted-rank quintile replay reproduces the segments") {

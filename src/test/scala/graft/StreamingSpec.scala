@@ -997,4 +997,60 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamed Misra-Gries holds every guarantee against the exact counts") {
+    // MG summaries are arrival-order-dependent (no order-free exact
+    // form exists), so the pins are the GUARANTEES, which hold under
+    // any order: ≤ k counters per key; counter ≤ true count; counter ≥
+    // true − N/(k+1); every item with true frequency > N/(k+1) present.
+    // Zipf-ish stream: item frequencies 40, 25, 12, and 23 singletons.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val items = Seq.fill(40)("hot") ++ Seq.fill(25)("warm") ++
+        Seq.fill(12)("mild") ++ (1 to 23).map(i => s"one$i")
+      // deterministic interleave so no single run front-loads a tail item
+      val feed = items.zipWithIndex.sortBy { case (_, i) => (i % 7, i) }.map(_._1)
+      val n = feed.size
+      val k = 5
+      val stream = MemoryStream[(String, String)]
+      val q = StreamPipeline.mgTopKStream(stream.toDS(), k)
+        .toDF("key", "ver", "item", "cnt")
+        .writeStream.format("memory").queryName("mgq")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("mg_ck").toString)
+        .start()
+      feed.grouped(n / 3 + 1).foreach { ch => // state carries across batches
+        stream.addData(ch.map(it => ("events", it)): _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val lastVer = spark.table("mgq").agg(max($"ver")).as[Long].head()
+      val snap = spark.table("mgq").filter($"ver" === lastVer)
+        .select($"item", $"cnt").as[(String, Long)].collect().toMap
+      val truth = feed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val slack = n.toDouble / (k + 1)
+      assert(snap.size <= k, s"state must stay <= $k counters: $snap")
+      snap.foreach { case (it, c) =>
+        assert(c <= truth(it), s"$it: counter $c exceeds true ${truth(it)}")
+        assert(c >= truth(it) - slack,
+          s"$it: counter $c below true ${truth(it)} - N/(k+1) $slack")
+      }
+      truth.filter(_._2 > slack).keys.foreach { it =>
+        assert(snap.contains(it),
+          s"item '$it' (freq ${truth(it)} > $slack) must survive MG: $snap")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
