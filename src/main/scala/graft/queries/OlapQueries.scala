@@ -960,6 +960,74 @@ object OlapQueries {
                    * (CAST(m2 AS DOUBLE) * sk2 - sk * sk)), 6)
           END AS assortativity
         FROM mom CROSS JOIN nn"""),
-      "Newman degree assortativity of the trade graph, exact 128-bit moments")
+      "Newman degree assortativity of the trade graph, exact 128-bit moments"),
+
+    // ------------------------------------------------ ABC / Pareto classes
+    // The 80/95 ABC inventory classification (Pareto analysis): parts
+    // ranked by revenue, class A up to 80% cumulative share, B to 95%,
+    // C the tail. Cutoffs are EXACT integer compares (cum·100 ≤ 80·T —
+    // no float share touches the classification), ties broken by part
+    // key, and the one global sort runs over the per-part revenue
+    // aggregate — CATALOG-bounded (the q149 histogram boundedness
+    // class), never over raw lineitem rows. Output: three rows with
+    // exact counts/cents and the one rounded share division.
+    "q241_abc_analysis" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val byPart = t(s, d, "lineitem")
+          .groupBy($"l_partkey")
+          .agg(Relational.centsSum($"l_extendedprice").as("cents"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy($"cents".desc, $"l_partkey")
+        val classed = byPart.select($"l_partkey", $"cents",
+            sum($"cents").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)).as("cum"),
+            sum($"cents").over(w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing))
+              .as("t"))
+          .select($"cents",
+            when($"cum" * 100 <= $"t" * 80, "A")
+              .when($"cum" * 100 <= $"t" * 95, "B")
+              .otherwise("C").as("abc"))
+        // total rides a full-frame window over the 3-row class frame —
+        // a second aggregate branch off `classed` would re-run the
+        // lineitem scan + the ranking window (the q234 discipline)
+        classed.groupBy($"abc")
+          .agg(count(lit(1)).as("n_parts"),
+            sum($"cents").as("sum_cents"))
+          .select($"abc", $"n_parts", $"sum_cents",
+            round($"sum_cents".cast("double") /
+              sum($"sum_cents").over(
+                org.apache.spark.sql.expressions.Window.orderBy($"abc")
+                  .rowsBetween(
+                    org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                    org.apache.spark.sql.expressions.Window.unboundedFollowing))
+                .cast("double"), 6).as("share"))
+          .orderBy($"abc")
+      },
+      Some("""WITH byp AS (SELECT l_partkey,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+              AS cents
+          FROM lineitem GROUP BY 1),
+        cl AS (SELECT cents,
+            CASE WHEN cum * 100 <= t * 80 THEN 'A'
+                 WHEN cum * 100 <= t * 95 THEN 'B'
+                 ELSE 'C' END AS abc
+          FROM (SELECT cents,
+              CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum,
+              CAST(sum(cents) OVER () AS BIGINT) AS t
+            FROM byp)),
+        cls AS (SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+            CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM cl GROUP BY abc)
+        SELECT abc, n_parts, sum_cents,
+          round(CAST(sum_cents AS DOUBLE) /
+            CAST(CAST(sum(sum_cents) OVER () AS BIGINT) AS DOUBLE), 6) AS share
+        FROM cls ORDER BY abc"""),
+      "ABC/Pareto revenue classes with exact integer cutoffs over the catalog")
   )
 }

@@ -943,6 +943,55 @@ object StatsQueries {
           min(CASE WHEN cumw * 2 >= tw THEN cents END) AS wmed_cents,
           min(CASE WHEN cumw * 4 >= tw * 3 THEN cents END) AS wp75_cents
         FROM cum"""),
-      "quantity-weighted price quartiles: integer-exact weight-ECDF walk")
+      "quantity-weighted price quartiles: integer-exact weight-ECDF walk"),
+
+    // -------------------------------------------- price elasticity
+    // Log-log demand regression per brand: elasticity = d ln(qty) /
+    // d ln(price) — the econ measure a pricing platform fits. ln
+    // values are quantized to NANO-NAT integers (round(ln·1e9): both
+    // engines' ln agree to ~1e-15 relative, six orders below the
+    // quantization step — the q215 entropy discipline), so the
+    // per-brand slope moments fold exactly in DECIMAL(38,0) and the
+    // closed form is one mirrored IEEE tree. Zero-variance groups
+    // (single price point) emit NULL by contract. Shape: ONE broadcast
+    // dim join + one enum-bounded (25-brand) moment aggregate.
+    "q242_price_elasticity" -> Q(
+      (s, d) => {
+        import s.implicits._
+        def d38(c: Column) = c.cast("decimal(38,0)")
+        val li = t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .select($"p_brand",
+            round(log($"l_extendedprice" / $"l_quantity") * 1e9)
+              .cast("long").as("lp"), // ln(unit price) nano-nats
+            round(log($"l_quantity") * 1e9).cast("long").as("lq"))
+        li.groupBy($"p_brand")
+          .agg(count(lit(1)).as("n"),
+            sum(d38($"lp")).as("sx"), sum(d38($"lq")).as("sy"),
+            sum(d38($"lp") * $"lp").as("sxx"),
+            sum(d38($"lp") * $"lq").as("sxy"))
+          .select($"p_brand", $"n",
+            when($"n" * $"sxx" - $"sx" * $"sx" > 0,
+              round(($"n" * $"sxy" - $"sx" * $"sy").cast("double") /
+                ($"n" * $"sxx" - $"sx" * $"sx").cast("double"), 6))
+              .otherwise(lit(null).cast("double")).as("elasticity"))
+          .orderBy($"p_brand")
+      },
+      Some("""WITH li AS (SELECT p_brand,
+            CAST(round(ln(l_extendedprice / l_quantity) * 1e9) AS BIGINT) AS lp,
+            CAST(round(ln(l_quantity) * 1e9) AS BIGINT) AS lq
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        mom AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+            sum(CAST(lp AS HUGEINT)) AS sx, sum(CAST(lq AS HUGEINT)) AS sy,
+            sum(CAST(lp AS HUGEINT) * lp) AS sxx,
+            sum(CAST(lp AS HUGEINT) * lq) AS sxy
+          FROM li GROUP BY 1)
+        SELECT p_brand, n,
+          CASE WHEN n * sxx - sx * sx > 0 THEN
+            round(CAST(n * sxy - sx * sy AS DOUBLE) /
+              CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS elasticity
+        FROM mom ORDER BY p_brand"""),
+      "log-log price elasticity per brand, nano-nat quantized exact moments")
   )
 }

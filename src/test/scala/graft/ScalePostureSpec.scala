@@ -864,6 +864,28 @@ class ScalePostureSpec extends SparkSpec {
       s"no join of any kind should remain:\n${p.take(1200)}")
   }
 
+  test("q241 ABC: one lineitem scan; ranking and share ride catalog-bounded windows") {
+    // the q234 discipline twice over: the classification window runs on
+    // the per-part aggregate (catalog-bounded), and the share total
+    // rides a full-frame window over the 3-row class frame — a second
+    // aggregate branch would re-run the lineitem scan
+    val p = plan("q241_abc_analysis")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1,
+      s"exactly one lineitem scan:\n${p.take(1400)}")
+    assert(!p.contains("Join"), s"no join of any kind:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q242 elasticity: broadcast part dim + one enum-bounded moment aggregate") {
+    val p = plan("q242_price_elasticity")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2,
+      s"lineitem + part, once each:\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), "the part dim must broadcast")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "the moment fold must map-side combine")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q235 ANOVA: one broadcast dim join + hash aggregates, nothing sorts") {
     val p = plan("q235_anova_f")
     assert(p.linesIterator.count(_.contains("FileScan")) == 2,

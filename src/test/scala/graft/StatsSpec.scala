@@ -616,6 +616,83 @@ class StatsSpec extends SparkSpec {
     assert(med == 30L, "odd-count lower median sanity")
   }
 
+  test("q241 ABC: a literal sort-and-classify replay reproduces the classes") {
+    val byPart = Tables(spark, sf("sf0.001"), "lineitem")
+      .groupBy($"l_partkey")
+      .agg(graft.operators.Relational.centsSum($"l_extendedprice").as("c"))
+      .as[(Long, Long)].collect()
+    val sorted = byPart.sortBy { case (k, c) => (-c, k) }
+    val t = sorted.map(_._2).sum
+    var cum = 0L
+    val classed = sorted.map { case (_, c) =>
+      cum += c
+      val cl = if (cum * 100 <= t * 80) "A"
+        else if (cum * 100 <= t * 95) "B" else "C"
+      (cl, c)
+    }
+    val want = classed.groupBy(_._1).map { case (cl, rs) =>
+      val sc = rs.map(_._2).sum
+      (cl, rs.length.toLong, sc, math.rint(sc.toDouble / t * 1e6) / 1e6)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Registry.queries("q241_abc_analysis")(
+      spark, sf("sf0.001")).as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"ABC classes diverged:\n$got\n$want")
+    // structural invariants (true for ANY revenue distribution — this
+    // synthetic catalog is near-uniform, so no Pareto-skew assumption):
+    // class A's cumulative share is capped at 80% by construction,
+    // A+B at 95%, and the three shares partition the total
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m("A")._4 <= 0.800001, s"A share must respect the 80% cutoff: $got")
+    assert(m("A")._4 + m("B")._4 <= 0.950002, s"A+B must respect 95%: $got")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5, s"shares must partition: $got")
+    assert(got.map(_._3).sum == t, "class cents must sum to the total exactly")
+  }
+
+  test("q242 elasticity: literal nano-quantized fold; planted log-log slope recovered") {
+    // (1) replay on real data: java Math.log IS Spark's log, so the
+    // nano quantization and the slope fold reproduce exactly
+    val rows = Tables(spark, sf("sf0.001"), "lineitem")
+      .join(broadcast(Tables(spark, sf("sf0.001"), "part")
+        .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"l_extendedprice".cast("double"),
+        $"l_quantity".cast("double"))
+      .as[(String, Double, Double)].collect()
+    val want = rows.groupBy(_._1).map { case (b, rs) =>
+      val xy = rs.map { case (_, p, q) =>
+        (math.round(math.log(p / q) * 1e9), math.round(math.log(q) * 1e9)) }
+      val n = BigInt(xy.length)
+      val sx = xy.map(v => BigInt(v._1)).sum
+      val sy = xy.map(v => BigInt(v._2)).sum
+      val sxx = xy.map(v => BigInt(v._1) * v._1).sum
+      val sxy = xy.map(v => BigInt(v._1) * v._2).sum
+      val den = n * sxx - sx * sx
+      b -> (if (den > 0)
+        Some(math.rint((n * sxy - sx * sy).toDouble / den.toDouble * 1e6) / 1e6)
+      else None)
+    }
+    val got = graft.queries.Registry.queries("q242_price_elasticity")(
+        spark, sf("sf0.001")).collect()
+      .map(r => r.getAs[String]("p_brand") ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    want.foreach { case (b, w) =>
+      assert(got(b) == w, s"brand $b: ${got(b)} vs replay $w") }
+    // (2) planted slope: qty chosen so ln(qty) = 3 − 2·ln(unit price)
+    // EXACTLY on a price grid → elasticity −2 to quantization precision
+    val planted = (1 to 50).map { i =>
+      val lnQ = 3.0 - 2.0 * (i * 0.05)
+      (math.exp(lnQ), i * 0.05) // (qty, ln unit price)
+    }
+    val pxy = planted.map { case (q, lup) =>
+      (math.round(lup * 1e9), math.round(math.log(q) * 1e9)) }
+    val n = BigInt(pxy.length)
+    val sx = pxy.map(v => BigInt(v._1)).sum
+    val sy = pxy.map(v => BigInt(v._2)).sum
+    val sxx = pxy.map(v => BigInt(v._1) * v._1).sum
+    val sxy = pxy.map(v => BigInt(v._1) * v._2).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(math.abs(slope + 2.0) < 1e-6, s"planted elasticity -2, got $slope")
+  }
+
   test("q226 RFM: a literal sorted-rank quintile replay reproduces the segments") {
     // Definitional replay (the q225 pattern): the DuckDB oracle mirrors
     // the engine-side construction, so a shared slip — swapped
