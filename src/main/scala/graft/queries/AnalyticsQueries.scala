@@ -932,6 +932,40 @@ object AnalyticsQueries {
         FROM pairs CROSS JOIN xs CROSS JOIN ys ORDER BY lag"""),
       "lead-lag cross-correlation between two market revenue series, exact moments"),
 
+    // --------------------------------- first-occurrence sequence pairs
+    // Level-2 sequential pattern support (the AprioriAll/GSP building
+    // block, Agrawal & Srikant ICDE'95): for every ORDERED event-type
+    // pair (a → b), how many users saw their first a strictly before
+    // their first b? The "eventually precedes" relation — q162's Markov
+    // transitions count only IMMEDIATE successors; funnels fix one
+    // path; this measures every pairwise ordering at once. Shape: one
+    // (user × type) min-timestamp hash aggregate (state bounded by
+    // users × the 5-type enum), a per-user self-join with ≤ 5×5
+    // fanout, one count aggregate — exact integers end to end.
+    "q243_seq_pairs" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val firsts = t(s, d, "events")
+          .groupBy($"user_id", $"event_type")
+          .agg(min($"ts").as("t0"))
+          .localCheckpoint() // both self-join sides read it
+        firsts.select($"user_id", $"event_type".as("a"), $"t0".as("ta"))
+          .join(firsts.select($"user_id", $"event_type".as("b"), $"t0".as("tb")),
+            "user_id")
+          .filter($"a" =!= $"b" && $"ta" < $"tb")
+          .groupBy($"a", $"b")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"a", $"b")
+      },
+      Some("""WITH firsts AS (SELECT user_id, event_type, min(ts) AS t0
+          FROM events GROUP BY 1, 2)
+        SELECT f1.event_type AS a, f2.event_type AS b,
+          CAST(count(*) AS BIGINT) AS n_users
+        FROM firsts f1 JOIN firsts f2 ON f1.user_id = f2.user_id
+        WHERE f1.event_type <> f2.event_type AND f1.t0 < f2.t0
+        GROUP BY 1, 2 ORDER BY 1, 2"""),
+      "first-occurrence ordering support for every event-type pair"),
+
     // --------------------------------------- Yule-Walker AR(2) fit
     // The autoregressive closed form on top of q170's exact-moment ACF
     // (Yule 1927 / Walker 1931): φ solves the 2×2 Toeplitz system

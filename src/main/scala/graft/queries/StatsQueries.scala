@@ -992,6 +992,58 @@ object StatsQueries {
             round(CAST(n * sxy - sx * sy AS DOUBLE) /
               CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS elasticity
         FROM mom ORDER BY p_brand"""),
-      "log-log price elasticity per brand, nano-nat quantized exact moments")
+      "log-log price elasticity per brand, nano-nat quantized exact moments"),
+
+    // ------------------------------------- interpurchase-time medians
+    // The repeat-purchase cadence per market segment: days between a
+    // customer's CONSECUTIVE orders (per-customer lag window — state
+    // bounded by one customer's history per partition), median'd per
+    // segment through the scale-safe grouped engine
+    // ([[Relational.groupedMedian2]]: cost bounded by DISTINCT gap
+    // values — the ≤ ~2400-day calendar domain — never by row count;
+    // per-group `percentile` would buffer every gap of a segment in
+    // one executor). med2 = lo + hi doubled-median stays an exact
+    // BIGINT (the q133 house rule); the readable days double is one
+    // division. Gap multisets are tie-robust: equal-date orders sort
+    // by key, and consecutive differences of a sorted sequence are
+    // permutation-invariant within ties.
+    "q244_interpurchase" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val cust = t(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        val w = Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")
+        val gaps = t(s, d, "orders")
+          .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+          .withColumn("gap",
+            datediff($"o_orderdate", lag($"o_orderdate", 1).over(w))
+              .cast("long"))
+          .filter($"gap".isNotNull)
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .select($"c_mktsegment".as("seg"), $"gap")
+        graft.operators.Relational.groupedMedian2(gaps, "seg", "gap")
+          .select($"seg", $"n".as("n_gaps"), $"med2",
+            ($"med2".cast("double") / 2.0).as("median_days"))
+          .orderBy($"seg")
+      },
+      Some("""WITH gaps AS (SELECT c_mktsegment AS seg,
+            CAST(date_diff('day', lag(o_orderdate) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS BIGINT) AS gap
+          FROM orders JOIN customer ON o_custkey = c_custkey),
+        g AS (SELECT seg, gap FROM gaps WHERE gap IS NOT NULL),
+        ord AS (SELECT seg, gap,
+            row_number() OVER (PARTITION BY seg ORDER BY gap) AS rn,
+            count(*) OVER (PARTITION BY seg) AS n FROM g)
+        SELECT seg, max(n) AS n_gaps,
+          CAST(sum(gap * (CASE WHEN 2 * rn = n THEN 1
+            WHEN 2 * rn = n + 1 THEN 2
+            WHEN 2 * rn = n + 2 THEN 1 ELSE 0 END)) AS BIGINT) AS med2,
+          CAST(sum(gap * (CASE WHEN 2 * rn = n THEN 1
+            WHEN 2 * rn = n + 1 THEN 2
+            WHEN 2 * rn = n + 2 THEN 1 ELSE 0 END)) AS DOUBLE) / 2.0
+            AS median_days
+        FROM ord GROUP BY seg ORDER BY seg"""),
+      "per-segment interpurchase-gap medians via the scale-safe grouped engine")
   )
 }

@@ -83,7 +83,7 @@ object ScaleStress {
       "q233_xcorr_leadlag", "q234_prefix_quantile_mv", "q235_anova_f",
       "q236_sign_flip", "q237_silhouette", "q238_phrase_search",
       "q239_nelson_aalen", "q240_weighted_quartiles", "q241_abc_analysis",
-      "q242_price_elasticity"))
+      "q242_price_elasticity", "q243_seq_pairs", "q244_interpurchase"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

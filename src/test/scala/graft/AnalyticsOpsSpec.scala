@@ -251,4 +251,47 @@ class AnalyticsOpsSpec extends SparkSpec {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnlj == 2, s"expected exactly the 2 one-row stat joins, got $bnlj")
   }
+
+  test("q243 sequence pairs: a literal first-occurrence replay reproduces supports") {
+    import spark.implicits._
+    val ev = Tables(spark, sf("sf0.001"), "events")
+      // NTZ has no direct long cast; micros preserve the total order
+      .select($"user_id", $"event_type",
+        expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ))"))
+      .as[(Long, String, Long)].collect()
+    val firsts = ev.groupBy(r => (r._1, r._2))
+      .map { case ((u, t), rs) => (u, t, rs.map(_._3).min) }
+    val want = firsts.groupBy(_._1).values.flatMap { types =>
+      for { a <- types; b <- types if a._2 != b._2 && a._3 < b._3 }
+        yield (a._2, b._2)
+    }.groupBy(identity).map { case ((a, b), hits) =>
+      (a, b, hits.size.toLong) }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Registry.queries("q243_seq_pairs")(
+      spark, sf("sf0.001")).as[(String, String, Long)].collect().toSeq
+    assert(got == want, s"supports diverged:\n$got\n$want")
+    assert(want.nonEmpty)
+  }
+
+  test("q244 interpurchase: a literal sorted-gap replay reproduces the medians") {
+    import spark.implicits._
+    val orders = Tables(spark, sf("sf0.001"), "orders")
+      .join(broadcast(Tables(spark, sf("sf0.001"), "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_custkey",
+        datediff($"o_orderdate", lit("1990-01-01")).cast("long"), $"o_orderkey")
+      .as[(String, Long, Long, Long)].collect()
+    val gaps = orders.groupBy(_._2).values.flatMap { rs =>
+      val sorted = rs.sortBy(r => (r._3, r._4))
+      sorted.sliding(2).collect { case Array(p, c) => (c._1, c._3 - p._3) }
+    }.toSeq
+    val want = gaps.groupBy(_._1).map { case (seg, gs) =>
+      val s = gs.map(_._2).sorted
+      val n = s.length
+      val med2 = if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+      (seg, n.toLong, med2, med2.toDouble / 2.0)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.Registry.queries("q244_interpurchase")(
+      spark, sf("sf0.001")).as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == want, s"medians diverged:\n$got\n$want")
+  }
 }
