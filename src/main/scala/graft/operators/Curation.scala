@@ -26,6 +26,41 @@ object Curation {
   /** Fixed-point probability/ratio scale: 6 decimal digits. */
   val Scale = 1000000L
 
+  /** Exact positional phrase search over a positional inverted index —
+    * the retrieval primitive BM25 can't express (find every occurrence
+    * of the words ADJACENT and in order). Scale shape is the classic
+    * IR one: postings are FILTERED TO THE PHRASE'S TERMS before
+    * anything joins (candidate volume bounded by the rarest term's
+    * document frequency, not the corpus), checkpointed once so one
+    * scan feeds every term branch, and adjacency is |phrase|−1
+    * equi-joins on (doc, pos−offset) — no windows, no per-doc sorts.
+    * Tokens are lowercased single-space splits, positions 0-based.
+    * Returns (id, n_hits, first_pos), one row per matching document.
+    * Overlapping occurrences each count (a start position per match).
+    * TextDedupSpec pins literal tuples on adversarial text (repeated
+    * and overlapping occurrences, off-by-one decoys) AND replays the
+    * sf0.01 corpus through a definitional sliding-window scan — the
+    * two defenses that catch a pos−off/pos+off convention slip the
+    * mirrored oracle alone would share. */
+  def phraseSearch(df: DataFrame, id: String, text: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val post = df
+      .select(col(id), posexplode(split(lower(col(text)), " ")))
+      .toDF(id, "pos", "term")
+      .filter(col("term").isin(phrase.distinct: _*))
+      .localCheckpoint() // one scan feeds all |phrase| term branches
+    def termAt(t: String, off: Int): DataFrame = post
+      .filter(col("term") === t)
+      .select(col(id), (col("pos") - off).as("start"))
+    val hits = phrase.zipWithIndex
+      .map { case (t, i) => termAt(t, i) }
+      .reduce((a, b) => a.join(b, Seq(id, "start")))
+    hits.groupBy(col(id))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
   /** All bigram OCCURRENCES (not distinct sets) per doc, from two
     * shifted array slices — codegen'd collection ops (the q64 shape). */
   def bigrams(df: DataFrame, id: String, text: String): DataFrame = {

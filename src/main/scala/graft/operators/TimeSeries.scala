@@ -279,7 +279,10 @@ object TimeSeries {
     * at +k. Both inputs must be aggregated one-row-per-ordinal frames;
     * they are checkpointed here (each feeds its moment aggregate AND
     * all 2·maxLag+1 join probes). Returns (lag, n_pairs, ccf),
-    * unrounded, lags −maxLag..+maxLag. */
+    * unrounded, DENSE over lags −maxLag..+maxLag: a lag with zero
+    * overlapping pairs still emits its row, n_pairs = 0 and ccf NULL
+    * (the generated lag frame is the left side of the final join, so
+    * sparse/disjoint series can't silently shrink the range). */
   def ccf(a: DataFrame, b: DataFrame, ord: String, value: String,
           maxLag: Int): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1: $maxLag")
@@ -311,8 +314,11 @@ object TimeSeries {
         sum(d38(col("x")) * col("y")).as("sxy"),
         sum(d38(col("x"))).as("tx"),
         sum(d38(col("y"))).as("ty"))
-    pairs.crossJoin(broadcast(xs)).crossJoin(broadcast(ys))
-      .select(col("lag"), col("m").as("n_pairs"),
+    // lag frame LEFT side: zero-overlap lags survive with m NULL →
+    // n_pairs 0, ccf NULL (dense −maxLag..+maxLag contract)
+    lags.join(broadcast(pairs), Seq("lag"), "left")
+      .crossJoin(broadcast(xs)).crossJoin(broadcast(ys))
+      .select(col("lag"), coalesce(col("m"), lit(0L)).as("n_pairs"),
         ((col("sxy").cast("double") - col("xbar") * col("ty").cast("double")
             - col("ybar") * col("tx").cast("double")
             + col("m").cast("double") * col("xbar") * col("ybar")) /
@@ -445,7 +451,9 @@ object TimeSeries {
     // multiply/add in the fold therefore runs *Exact: any wrap throws
     // ArithmeticException loudly instead of corrupting the trajectory.
     val lim = Long.MaxValue / 1000000L / (aDen max bDen)
-    require(rows.forall(r => math.abs(r._2) < lim),
+    // two-sided compare: math.abs(Long.MinValue) wraps negative and
+    // would slip the cap (classicalDecompose's guard form)
+    require(rows.forall(r => r._2 > -lim && r._2 < lim),
       s"holtLinear micro fixed point caps |cents| at $lim per period")
     import java.lang.Math.{addExact, multiplyExact, subtractExact}
     val out = Array.ofDim[(Long, Long, Long, Long, Long)](rows.length)
@@ -503,7 +511,8 @@ object TimeSeries {
       s"ewmaChart is a declared calendar-bounded driver fold: " +
         s"over $maxRows rows — pre-aggregate the series")
     val lim = Long.MaxValue / 1000000L / lamDen
-    require(rows.forall(r => math.abs(r._2) < lim),
+    // two-sided: abs(Long.MinValue) wraps negative and passes < lim
+    require(rows.forall(r => r._2 > -lim && r._2 < lim),
       s"ewmaChart micro fixed point caps |cents| at $lim per period")
     import java.lang.Math.{addExact, multiplyExact}
     val n = rows.length

@@ -340,15 +340,7 @@ object AnalyticsQueries {
     "q142_bfs_levels" -> Q(
       (s, d) => {
         import s.implicits._
-        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
-        val cust = t(s, d, "customer")
-          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
-        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
-          .join(cust, col("o_custkey") === cust("c_custkey"))
-        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
-        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        val both = TradeGraph.edgesBoth(s, d) // shared materialized edges
         val source = t(s, d, "customer")
           .filter($"c_nationkey".isin(7, 8))
           .agg(concat(lit("c"), min($"c_custkey")).as("node"))
@@ -922,14 +914,15 @@ object AnalyticsQueries {
             sum(CAST(b.v AS HUGEINT)) AS ty
           FROM a CROSS JOIN lg JOIN b ON b.day = a.day + lg.lag
           GROUP BY 1)
-        SELECT lag, m AS n_pairs,
+        SELECT lg.lag, CAST(COALESCE(m, 0) AS BIGINT) AS n_pairs,
           round((CAST(sxy AS DOUBLE) - xbar * CAST(ty AS DOUBLE)
               - ybar * CAST(tx AS DOUBLE)
               + CAST(m AS DOUBLE) * xbar * ybar) /
             (sqrt(CAST(sxx AS DOUBLE) - CAST(nx AS DOUBLE) * xbar * xbar) *
              sqrt(CAST(syy AS DOUBLE) - CAST(ny AS DOUBLE) * ybar * ybar)), 6)
             AS ccf
-        FROM pairs CROSS JOIN xs CROSS JOIN ys ORDER BY lag"""),
+        FROM lg LEFT JOIN pairs ON pairs.lag = lg.lag
+          CROSS JOIN xs CROSS JOIN ys ORDER BY lg.lag"""),
       "lead-lag cross-correlation between two market revenue series, exact moments"),
 
     // --------------------------------- first-occurrence sequence pairs
@@ -1050,14 +1043,7 @@ object AnalyticsQueries {
     "q218_hits" -> Q(
       (s, d) => {
         import s.implicits._
-        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
-        val cust = t(s, d, "customer")
-          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
-        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
-          .join(cust, col("o_custkey") === cust("c_custkey"))
-        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
+        val cs = TradeGraph.edges(s, d) // shared materialized edges
         graft.operators.Graph.hitsFixed(cs, "src", "dst", iters = 3)
           .orderBy($"auth".desc, $"node")
           .limit(20)

@@ -388,18 +388,13 @@ object OlapQueries {
     "q128_pagerank" -> Q(
       (s, d) => {
         import s.implicits._
-        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
         // two nations' customers: thousands of nodes — plenty for the
         // operator demo while keeping the suite's iterative tail short
-        // (the operator itself is scale-shaped; see ScaleStress x10)
-        val cust = t(s, d, "customer")
-          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
-        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
-          .join(cust, col("o_custkey") === cust("c_custkey"))
-        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
-        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        // (the operator itself is scale-shaped; see ScaleStress x10).
+        // Edge set from the SHARED TradeGraph materialization — the
+        // whole graph family reads one ingest-time edge parquet
+        // instead of re-deriving lineitem⋈orders⋈customer per query
+        val both = TradeGraph.edgesBoth(s, d)
         graft.operators.Graph.pageRankFixed(both, "src", "dst", iters = 5)
           .filter($"node".startsWith("s"))
           .orderBy($"rank".desc, $"node")
@@ -768,15 +763,7 @@ object OlapQueries {
     "q164_kcore" -> Q(
       (s, d) => {
         import s.implicits._
-        val cust = t(s, d, "customer")
-          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
-        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
-          .join(cust, col("o_custkey") === cust("c_custkey"))
-        val cs = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
-          .join(o, $"l_orderkey" === o("o_orderkey"))
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
-        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        val both = TradeGraph.edgesBoth(s, d) // shared materialized edges
         // statePartitions=4: the nation-bounded subgraph is ~10^3 nodes
         // at any tested SF — per-round tasks track it, not the session's
         // 32 (drop the arg on an unfiltered 100 TB graph)
@@ -815,15 +802,7 @@ object OlapQueries {
     "q165_label_propagation" -> Q(
       (s, d) => {
         import s.implicits._
-        val cust = t(s, d, "customer")
-          .filter($"c_nationkey".isin(7, 8)).select($"c_custkey")
-        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
-          .join(cust, col("o_custkey") === cust("c_custkey"))
-        val cs = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
-          .join(o, $"l_orderkey" === o("o_orderkey"))
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
-        val both = cs.union(cs.select($"dst".as("src"), $"src".as("dst")))
+        val both = TradeGraph.edgesBoth(s, d) // shared materialized edges
         graft.operators.Graph.labelPropagationFixed(both, "src", "dst",
           rounds = 4, statePartitions = 4)
           .groupBy($"lbl").agg(count(lit(1)).as("members"),
@@ -926,13 +905,10 @@ object OlapQueries {
     "q228_assortativity" -> Q(
       (s, d) => {
         import s.implicits._
-        val li = t(s, d, "lineitem").select($"l_orderkey", $"l_suppkey")
-        val o = t(s, d, "orders").select($"o_orderkey", $"o_custkey")
-        val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-          .select(concat(lit("c"), $"o_custkey").as("src"),
-            concat(lit("s"), $"l_suppkey").as("dst"))
-          .distinct()
-        graft.operators.Graph.assortativity(cs, "src", "dst")
+        // all-nation edge set (no customer filter) — its own
+        // materialized tag in the shared TradeGraph layout cache
+        graft.operators.Graph.assortativity(TradeGraph.edgesAll(s, d),
+          "src", "dst")
       },
       Some("""WITH cs AS (SELECT DISTINCT
             'c' || CAST(o_custkey AS VARCHAR) AS src,

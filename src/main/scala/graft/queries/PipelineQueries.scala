@@ -585,11 +585,14 @@ object PipelineQueries {
     // DIGIT decimal prefix (lower bound rebuilt as prefix || zeros —
     // pure string/integer ops, so the key is bit-identical on both
     // engines with no log() in sight; within-bucket relative width
-    // ≤ 10%). Each month aggregates its own ≤ ~900-bucket histogram
-    // (one hash aggregate); the year view folds them by element-wise
-    // SUM — counts are linear, so merge(sketch(Jan..Dec)) ==
-    // sketch(year) exactly, and the oracle one-shots the year's
-    // buckets: the hash compare IS the merge-closure proof. Quantile
+    // ≤ 10%). Each CALENDAR month (a real year-month partition key,
+    // yyyy*100+mm — not month-of-year, which would fold all ~7
+    // shipping years into 12 cells and break the per-period MV story)
+    // aggregates its own ≤ ~900-bucket histogram (one hash aggregate);
+    // the full view folds them by element-wise SUM — counts are
+    // linear, so merge(sketch(every year-month)) == sketch(all)
+    // exactly, and the oracle one-shots the global buckets: the hash
+    // compare IS the merge-closure proof. Quantile
     // ranks are INTEGER ceilings ((p·n + (den−1)) div den — no float
     // rank to straddle an engine boundary); the walk is a cumulative
     // window over the bounded bucket frame. At 100 TB this is the
@@ -601,7 +604,7 @@ object PipelineQueries {
         import s.implicits._
         val cents = t(s, d, "lineitem")
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
-            month($"l_shipdate").as("m"))
+            (year($"l_shipdate") * 100 + month($"l_shipdate")).as("m"))
           .filter($"v" >= 10) // two significant digits by contract
           .select($"m", concat(substring($"v".cast("string"), 1, 2),
             expr("repeat('0', CAST(length(CAST(v AS STRING)) - 2 AS INT))"))
@@ -647,7 +650,7 @@ object PipelineQueries {
           min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lb END) AS p90_lb,
           min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lb END) AS p99_lb
         FROM cum"""),
-      "mergeable 2-digit-prefix quantile sketch: monthly histograms fold to the year"),
+      "mergeable 2-digit-prefix quantile sketch: year-month histograms fold to the full view"),
 
     // --------------------------------------------------- WOE / IV screen
     // Weight-of-evidence binning + information value — the credit-

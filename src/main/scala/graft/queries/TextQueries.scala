@@ -1324,26 +1324,17 @@ object TextQueries {
     // corpus), checkpointed once, and the adjacency test is two
     // equi-joins on (doc_id, pos±k) — no windows, no per-doc sorts.
     // Positions are 0-based on both engines (DuckDB's 1-based
-    // list positions shifted by construction). TextDedupSpec replays
-    // every hit count against a literal sliding-window scan.
+    // list positions shifted by construction). Construction factored
+    // as Curation.phraseSearch; TextDedupSpec replays every sf0.01 hit
+    // against a definitional sliding-window scan AND hand-pins literal
+    // tuples on adversarial text (the reversed-phrase doc that a
+    // pos+offset convention slip would false-match).
     "q238_phrase_search" -> Q(
       (s, d) => {
         import s.implicits._
-        val phrase = Seq("slow", "hash", "batch")
-        val post = docs(s, d)
-          .select($"doc_id", posexplode(split(lower($"text"), " ")))
-          .toDF("doc_id", "pos", "term")
-          .filter($"term".isin(phrase: _*))
-          .localCheckpoint() // one scan feeds all three term branches
-        def termAt(t: String, off: Int): DataFrame = post
-          .filter($"term" === t)
-          .select($"doc_id", ($"pos" - off).as("start"))
-        val hits = termAt("slow", 0)
-          .join(termAt("hash", 1), Seq("doc_id", "start"))
-          .join(termAt("batch", 2), Seq("doc_id", "start"))
-        hits.groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_hits"),
-            min($"start").cast("long").as("first_pos"))
+        graft.operators.Curation
+          .phraseSearch(docs(s, d), "doc_id", "text",
+            Seq("slow", "hash", "batch"))
           .orderBy($"doc_id")
       },
       Some("""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS a

@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The ONE materialized customer→supplier trade edge set shared by the
+  * iterative graph family — q128 PageRank, q142 BFS, q164 k-core, q165
+  * LPA, q218 HITS all analyze the SAME graph (distinct 'c'‖custkey →
+  * 's'‖suppkey edges for nation-7/8 customers), and before this each
+  * re-derived and re-distincted it from lineitem⋈orders⋈customer
+  * per query (~9 s combined at sf0.1). The q96/q115 shared-PQ-index
+  * pattern replayed: the edge set is written ONCE per testdata
+  * generation (mtime-keyed via [[LayoutKey]], `_SUCCESS`-guarded so a
+  * half-built write is rebuilt, never served) and every consumer reads
+  * the parquet — each query's executed plan then scans `trade_edges`
+  * and touches NO base table (ScalePostureSpec pins zero
+  * lineitem/orders/customer FileScans per consumer). At 100 TB this is
+  * exactly how a graph family runs in production: one edge-list
+  * materialization at ingest, N analyses over it. Each consumer's
+  * DuckDB oracle still re-derives the edges from the BASE tables, so
+  * the hash compare keeps validating this build end-to-end.
+  *
+  * q228's assortativity graph (all nations, no customer filter) is a
+  * DIFFERENT edge set and materializes under its own tag. */
+object TradeGraph {
+
+  private def build(s: SparkSession, d: String, tag: String,
+                    nations: Option[Seq[Int]]): DataFrame = {
+    val path = LayoutKey.dir(d, "lineitem", tag)
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      val o = nations match {
+        case Some(ns) =>
+          val cust = Tables(s, d, "customer")
+            .filter(col("c_nationkey").isin(ns.map(Integer.valueOf): _*))
+            .select(col("c_custkey"))
+          Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+            .join(cust, col("o_custkey") === col("c_custkey"))
+        case None =>
+          Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      }
+      Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  /** Directed, DISTINCT c→s edges for nation-7/8 customers — the graph
+    * q128/q142/q164/q165/q218 share. */
+  def edges(s: SparkSession, d: String): DataFrame =
+    build(s, d, "trade_edges_n78", Some(Seq(7, 8)))
+
+  /** Symmetrized both-direction view of [[edges]] (node namespaces are
+    * disjoint — 'c' vs 's' prefixes — so the union stays duplicate-free). */
+  def edgesBoth(s: SparkSession, d: String): DataFrame = {
+    val cs = edges(s, d)
+    cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Directed, DISTINCT c→s edges over ALL customers — q228's graph. */
+  def edgesAll(s: SparkSession, d: String): DataFrame =
+    build(s, d, "trade_edges_all", None)
+}

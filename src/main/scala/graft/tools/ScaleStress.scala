@@ -83,7 +83,13 @@ object ScaleStress {
       "q233_xcorr_leadlag", "q234_prefix_quantile_mv", "q235_anova_f",
       "q236_sign_flip", "q237_silhouette", "q238_phrase_search",
       "q239_nelson_aalen", "q240_weighted_quartiles", "q241_abc_analysis",
-      "q242_price_elasticity", "q243_seq_pairs", "q244_interpurchase"))
+      "q242_price_elasticity", "q243_seq_pairs", "q244_interpurchase"),
+    // round-13 directive #3: the remaining >2 s bench queries that had
+    // plan pins but NO measured ×10/×100 row — close the gap so every
+    // expensive plan's scale claim is a measurement, not an argument
+    "r13gap" -> Seq("q201_poisson_bootstrap", "q101_countmin_heavy",
+      "q214_cluster_ari", "q75_dedup_clusters", "q149_equidepth_hist",
+      "q125_canonical_keep", "q95_minhash_xx64"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

@@ -930,6 +930,40 @@ class ScalePostureSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Window"))
   }
 
+  test("graph family reads the ONE materialized trade edge set, never base tables") {
+    // TradeGraph discipline (the q96/q115 shared-PQ-index pattern): the
+    // edge list materializes once per testdata generation; every
+    // family member's executed plan must carry ZERO FileScans over
+    // lineitem/orders — re-deriving lineitem⋈orders⋈customer per query
+    // is exactly the re-derivation the materialization exists to kill.
+    val d = sf("sf0.001")
+    val ep = graft.queries.TradeGraph.edges(spark, d)
+      .queryExecution.executedPlan.toString
+    // plan toString truncates long paths — match the layout root (the
+    // mtime-keyed dir flattens '/' to '_', so a slashed base-table
+    // path can never alias it)
+    assert(ep.contains("FileScan") && ep.contains("graft_layout"),
+      s"edges() must read the materialized parquet:\n${ep.take(600)}")
+    val family = Seq("q128_pagerank", "q142_bfs_levels", "q164_kcore",
+      "q165_label_propagation", "q218_hits", "q228_assortativity")
+    family.foreach { q =>
+      val p = plan(q)
+      // base-table scans carry the SLASHED testdata path; the layout
+      // cache path flattens it to underscores, so this cannot alias
+      val base = p.linesIterator.filter(l => l.contains("FileScan") &&
+        (l.contains("/lineitem.parquet") || l.contains("/orders.parquet") ||
+         l.contains("/customer.parquet"))).toSeq
+      // q142's BFS source node (min custkey) legitimately reads
+      // customer — the scalar source pick, not an edge re-derivation
+      val allowed =
+        if (q == "q142_bfs_levels") base.filter(!_.contains("/customer.parquet"))
+        else base
+      assert(allowed.isEmpty,
+        s"$q re-derives the trade edges from base tables:\n" +
+          allowed.mkString("\n"))
+    }
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

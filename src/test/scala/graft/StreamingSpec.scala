@@ -1053,4 +1053,119 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("streamed seq-pairs == batch q243 on the same events; out-of-order fails loudly") {
+    // The funnel-family stream (VERDICT r12 #7): per-user first-
+    // occurrence map as enum-bounded value state; each (user, a, b)
+    // increment emitted at most once, so the grouped count over the
+    // emitted rows must equal the batch self-join's n_users EXACTLY.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = sf("sf0.001")
+      val batch = graft.queries.Registry.queries("q243_seq_pairs")(spark, dir)
+        .as[(String, String, Long)].collect().toSeq.sorted
+      assert(batch.nonEmpty, "fixture sanity: some ordered pairs must exist")
+      // global ts order implies per-user nondecreasing order — the
+      // processor's arrival contract; ties within a user are harmless
+      // (simultaneous firsts pair in neither direction)
+      val feed = Tables(spark, dir, "events")
+        .select($"user_id".cast("string"), // NTZ→TS is a no-op in the UTC session
+          unix_micros($"ts".cast("timestamp")), $"event_type")
+        .orderBy($"ts").as[(String, Long, String)].collect().toSeq
+      val stream = MemoryStream[(String, Long, String)]
+      val q = StreamPipeline.seqPairsStream(stream.toDS())
+        .toDF("user", "a", "b")
+        .writeStream.format("memory").queryName("sqp")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sqp_ck").toString)
+        .start()
+      // three micro-batches: firsts recorded in one batch must pair
+      // with types first seen in a LATER batch purely from state
+      feed.grouped(feed.size / 3 + 1).foreach { ch =>
+        stream.addData(ch: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val streamed = spark.table("sqp").groupBy($"a", $"b")
+        .agg(count(lit(1)).as("n_users"))
+        .as[(String, String, Long)].collect().toSeq.sorted
+      assert(streamed == batch,
+        s"streamed pair support diverged from batch q243 " +
+          s"(${streamed.size} vs ${batch.size} pairs; first: " +
+          s"${streamed.take(3)} vs ${batch.take(3)})")
+      // a timestamp rollback must kill the query loudly (a late event
+      // could retroactively change an already-emitted first occurrence)
+      val stream2 = MemoryStream[(String, Long, String)]
+      val q2 = StreamPipeline.seqPairsStream(stream2.toDS())
+        .toDF("user", "a", "b")
+        .writeStream.format("memory").queryName("sqp2")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("sqp_ck2").toString)
+        .start()
+      stream2.addData(("u1", 100L, "view"))
+      q2.processAllAvailable()
+      stream2.addData(("u1", 90L, "purchase")) // rollback
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("nondecreasing"),
+        s"rollback must fail the order contract: ${ex.getMessage.take(200)}")
+      q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streamed Misra-Gries emits a tombstone when decrement-all empties the map") {
+    // Without the tombstone, a latest-wins sink (max version) would keep
+    // serving batch 1's counters after batch 2 emptied them — the empty
+    // snapshot must still carry a row for its version to win.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(String, String)]
+      val q = StreamPipeline.mgTopKStream(stream.toDS(), k = 1)
+        .toDF("key", "ver", "item", "cnt")
+        .writeStream.format("memory").queryName("mgtomb")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("mg_tomb_ck").toString)
+        .start()
+      stream.addData(("events", "a")) // batch 1: {a: 1}
+      q.processAllAvailable()
+      // batch 2: 'b' decrements 'a' to 0 and is not inserted (classic
+      // MG: a full map decrements instead of inserting) — map empty
+      stream.addData(("events", "b"))
+      q.processAllAvailable()
+      q.stop()
+      val v2 = spark.table("mgtomb").filter($"ver" === 2L)
+        .select($"item", $"cnt").as[(String, Long)].collect()
+      assert(v2.toSeq == Seq((null, 0L)),
+        s"version 2 must be exactly the (null, 0) tombstone: ${v2.toSeq}")
+      val v1 = spark.table("mgtomb").filter($"ver" === 1L)
+        .select($"item", $"cnt").as[(String, Long)].collect()
+      assert(v1.toSeq == Seq(("a", 1L)))
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

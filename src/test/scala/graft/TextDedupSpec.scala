@@ -464,4 +464,33 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == want, s"hits diverged:\n$got\n$want")
   }
+
+  test("phraseSearch hand pins: literal tuples on adversarial text") {
+    // LITERAL expected (doc_id, n_hits, first_pos) tuples — the defense
+    // a mirrored oracle cannot provide. Doc 3 is the exact convention-
+    // slip detector: under the WRONG pos+offset alignment the reversed
+    // "batch hash slow" aligns (0+2 = 1+1 = 2+0) and would false-hit;
+    // doc 2 is the off-by-one decoy (a gap inside "slow hash _ batch").
+    import graft.operators.Curation
+    val corpus = Seq(
+      (1L, "slow hash batch slow hash batch"), // hits at 0 and 3
+      (2L, "x slow hash x batch slow hash batch"), // decoy at 1, hit at 5
+      (3L, "batch hash slow"), // reversed — pos+off slip would match
+      (4L, "batch slow hash"), // phrase truncated at document end
+      (5L, "SLOW Hash BATCH") // case folding
+    ).toDF("doc_id", "text")
+    val got = Curation.phraseSearch(corpus, "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L), (2L, 1L, 5L), (5L, 1L, 0L)),
+      s"hand-pinned phrase hits diverged: $got")
+    // overlapping occurrences (possible only with a repeated term):
+    // "hash hash" over "hash hash hash hash" starts at 0, 1 and 2
+    val ov = Curation.phraseSearch(
+        Seq((9L, "hash hash hash hash")).toDF("doc_id", "text"),
+        "doc_id", "text", Seq("hash", "hash"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ov == Seq((9L, 3L, 0L)),
+      s"overlapping repeated-term hits diverged: $ov")
+  }
 }

@@ -334,6 +334,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("ccf emits a DENSE lag range: zero-overlap lags get n_pairs=0, ccf NULL") {
+    import graft.operators.TimeSeries
+    // disjoint calendars: a on days 1..4, b on days 100..103 — no lag
+    // in −3..+3 has any overlapping pair, yet all 7 rows must appear
+    // (the documented range, not just 'lags with >= 1 pair')
+    val a = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("day", "v")
+    val b = Seq((100L, 5L), (101L, 6L), (102L, 7L), (103L, 8L)).toDF("day", "v")
+    val r = TimeSeries.ccf(a, b, "day", "v", maxLag = 3)
+      .select($"lag", $"n_pairs", $"ccf")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.isNullAt(2)))
+    assert(r.map(_._1).toSeq == (-3 to 3).toSeq,
+      s"lag range must be dense −3..+3: ${r.toSeq}")
+    assert(r.forall { case (_, n, isNull) => n == 0L && isNull },
+      s"zero-overlap lags must carry n_pairs=0 and NULL ccf: ${r.toSeq}")
+    // partial overlap keeps real lags real: shift b onto a's calendar
+    val b2 = Seq((2L, 5L), (3L, 6L)).toDF("day", "v")
+    val r2 = TimeSeries.ccf(a, b2, "day", "v", maxLag = 3)
+      .select($"lag", $"n_pairs").as[(Int, Long)].collect().toMap
+    assert(r2.keys.toSeq.sorted == (-3 to 3).toSeq)
+    // b.day = a.day + lag: lag 0 matches days {2,3} (2 pairs), lag +2
+    // only day 3 (1 pair), lag +3 nothing — dense row with 0
+    assert(r2(0) == 2L && r2(2) == 1L && r2(3) == 0L,
+      s"overlap counts wrong: $r2")
+  }
+
   test("ewmaChart guards fire loudly: per-period cap and raw-row input") {
     import graft.operators.TimeSeries
     val lim = Long.MaxValue / 1000000L / 10L
