@@ -20,12 +20,20 @@ import graft.operators.{Curation, Dedup}
   *                        (docs, tokens — the q30 counting surface).
   *   2. quality_langid  — CCNet-style quality gate (q31's ratios) +
   *                        marker-word language-ID (q32): keep docs with
-  *                        ≥ 8 tokens (the 8-gram decontamination width),
-  *                        alpha_ratio ≥ 0.4, and predicted language
-  *                        'en' (the monolingual-pretraining convention).
-  *   3. exact_dedup     — q40/q205's first stage: one hash aggregate on
-  *                        the content digest, keep min-id per content
-  *                        ([[Dedup.exactKeepers]]).
+  *                        ≥ 16 tokens, at least one English stopword,
+  *                        unique-token ratio ≥ 0.3 (the repetition/spam
+  *                        screen), alpha_ratio ≥ 0.4, and predicted
+  *                        language 'en' (the monolingual-pretraining
+  *                        convention; vacuous on this all-English-vocab
+  *                        fixture — the stopword gate is what binds).
+  *   3. exact_dedup     — q40/q205's first stage at the FINGERPRINT
+  *                        level (sorted distinct token set —
+  *                        [[TextFunctions.fingerprint]], q40's
+  *                        n_unique_fingerprint surface): one hash
+  *                        aggregate, keep min-id per normalized
+  *                        content, so token-permutation duplicates
+  *                        collapse here and the leg-8 leak audit can
+  *                        REQUIRE zero straddling fingerprints.
   *   4. near_dup        — MinHash+LSH over the KEEPERS ONLY (the q205
   *                        dedup-first composition; q42/q95 machinery,
   *                        xx64 scheme — the production hash), drop the
@@ -98,6 +106,10 @@ object CurationE2E {
     val filtered = timed("quality_langid") {
       val scored = corpus
         .withColumn("n_words", TextFunctions.wordCount($"text"))
+        .withColumn("stop_ratio", TextFunctions.stopwordRatio($"text", en))
+        .withColumn("uniq_ratio",
+          TextFunctions.uniqueWordCount($"text").cast("double") /
+            TextFunctions.wordCount($"text"))
         .withColumn("alpha_ratio", TextFunctions.alphaRatio($"text"))
         .withColumn("pred_lang", TextFunctions.langId(
           TextFunctions.langScore($"text", en),
@@ -105,16 +117,18 @@ object CurationE2E {
           TextFunctions.langScore($"text", es),
           TextFunctions.langScore($"text", fr)))
       val df = mat(scored
-        .filter($"n_words" >= 8 && $"alpha_ratio" >= 0.4 &&
+        .filter($"n_words" >= 16 && $"stop_ratio" > 0.0 &&
+          $"uniq_ratio" >= 0.3 && $"alpha_ratio" >= 0.4 &&
           $"pred_lang" === "en")
         .select($"doc_id", $"source", $"text"))
       val (nd, nt) = census(df)
       (df, nd, nt)
     }
 
-    // ---- leg 3: exact dedup (q40/q205 first stage) ----
+    // ---- leg 3: exact dedup at the fingerprint level (q40 surface) ----
     val exactKept = timed("exact_dedup") {
-      val keep = Dedup.exactKeepers(filtered, "doc_id", "text")
+      val keep = Dedup.keepers(filtered, "doc_id",
+          TextFunctions.fingerprint(col("text")))
         .select($"keeper_id".as("doc_id"))
       val df = mat(filtered.join(keep, Seq("doc_id")))
       val (nd, nt) = census(df)
@@ -217,17 +231,18 @@ object CurationE2E {
       }
       res
     }
-    // acceptance check: after exact dedup (leg 3) no two surviving docs
-    // share a byte-identical text, so no content FINGERPRINT can
-    // straddle the split unless two DIFFERENT texts normalize equal —
-    // report it; a nonzero value is the signal to rerun with
-    // fingerprint-level keepers
+    // acceptance check: leg 3 deduped at the FINGERPRINT level, so no
+    // two surviving docs can share a normalized token set — a nonzero
+    // straddle count would mean the composition is broken, fail loudly
+    require(straddling == 0L,
+      s"composed pipeline must leave ZERO straddling fingerprints, " +
+        s"got $straddling — fingerprint dedup leg is broken")
     println(s"[curation] straddling fingerprints after dedup: $straddling")
 
     def r4(x: Double) = math.rint(x * 10000) / 10000
     val total = legs.map(_._2).sum
     val legsJson = legs.map { case (n, s, docs, toks) =>
-      s""""$n":{"sec":${r4(s)},"docs":$docs,"tokens":$toks}"""
+      s""""$n":{"sec":${r4(s)},"rows":$docs,"tokens":$toks}"""
     }.mkString("{", ",", "}")
     val (trd, trt, ted, tet) = splitRow
     val json =
