@@ -436,7 +436,7 @@ object Dedup {
     // it across the cluster, and partitioning by the groupBy key means
     // the signature aggregate needs no further shuffle (measured 3×
     // end-to-end on local[32]).
-    val toks = tokens(df, id, text).repartition(col(id))
+    val toks = Relational.spread(tokens(df, id, text), col(id))
     val sigs = scheme match {
       case "lcg"    => minhashSignaturesLcg(toks, id, k)
       case "oph"    => ophDensifiedSignatures(toks, id, k)
@@ -761,7 +761,7 @@ object Dedup {
   def simhashChunks(df: DataFrame, id: String, text: String): DataFrame = {
     // Same pre-hash repartition rationale as minhashNearDups: parallelize
     // the per-token digest/bit-decode work and pre-align with the groupBy.
-    val toks = tokens(df, id, text).repartition(col(id))
+    val toks = Relational.spread(tokens(df, id, text), col(id))
       .withColumn("h", md5(col("sh")))
     val withDigits = toks.select(
       col(id) +: (0 until 16).map(i => hexDigit(col("h"), i + 1).as(s"d$i")): _*)
@@ -775,7 +775,7 @@ object Dedup {
     * by design (no DuckDB xxhash64); validated in TextDedupSpec by the
     * pigeonhole recall property within its own hash family. */
   def simhashChunksXx(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = tokens(df, id, text).repartition(col(id))
+    val toks = Relational.spread(tokens(df, id, text), col(id))
       .withColumn("h", xxhash64(col("sh")))
     simhashFromBits(toks, id,
       b => shiftright(col("h"), b).bitwiseAND(1).cast("int"))

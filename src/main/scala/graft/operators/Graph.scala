@@ -188,7 +188,7 @@ object Graph {
                 source: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0: $rounds")
     val e = edges.select(col(src).as("src"), col(dst).as("dst")).distinct()
-      .repartition(col("src"))
+      .transform(Relational.spread(_, col("src")))
       .localCheckpoint()
     var reached = source.select(col(source.columns.head).as("node"))
       .distinct()
@@ -296,8 +296,8 @@ object Graph {
     // three times over
     val eDistinct = edges.select(col(src).as("src"), col(dst).as("dst"))
       .distinct().localCheckpoint()
-    val eByDst = eDistinct.repartition(col("dst")).localCheckpoint()
-    val eBySrc = eDistinct.repartition(col("src")).localCheckpoint()
+    val eByDst = Relational.spread(eDistinct, col("dst")).localCheckpoint()
+    val eBySrc = Relational.spread(eDistinct, col("src")).localCheckpoint()
     val nodes = eDistinct.select(col("src").as("node"))
       .union(eDistinct.select(col("dst"))).distinct()
       .localCheckpoint()

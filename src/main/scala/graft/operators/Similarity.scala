@@ -168,7 +168,7 @@ object Similarity {
     // the quantized vectors only (d longs/row), the k-means working set
     // MLlib caches too.
     val pts = fixedPts(df, id, vec, scale)
-      .repartition(col("pid")).localCheckpoint()
+      .transform(Relational.spread(_, col("pid"))).localCheckpoint()
     (pts, lloydFixed(pts, k, iters))
   }
 
@@ -539,7 +539,7 @@ object Similarity {
     // pqIters grouped rounds instead of M·pqIters sequential ones
     val resM = res
       .select(col("pid"), col("cell"), posexplode(subArr).as(Seq("m", "pf")))
-      .repartition(col("pid")).localCheckpoint()
+      .transform(Relational.spread(_, col("pid"))).localCheckpoint()
     // seeds: the ksub smallest-digest points, cell ids in digest order —
     // the same seedless hash-sample as lloydFixed, sliced once per m
     val seeds = res

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Closed-form statistics over exact integer moments — the one-pass,
@@ -769,5 +770,74 @@ object Stats {
       .select(col("n_pairs"), col("t_obs"), col("n_extreme"),
         round((col("n_extreme") + 1).cast("double") / lit((b + 1).toDouble), 6)
           .as("p_value"))
+  }
+
+  /** [[signFlipTest]] run for a FAMILY of groups in one pass — the
+    * per-segment experiment readout that multiple-testing correction
+    * (q245's Benjamini-Hochberg step-up) exists for. Identical exact-
+    * integer machinery, with the group id folded into the md5 sign
+    * draw (`salt:b:g:key`) so each group's B replicates are
+    * independent. One narrow ×B generate with map-side combine into
+    * (group × B) cells, then a group-bounded aggregate — the q201
+    * shape, still no per-row shuffle beyond the combine. Output: one
+    * (g, n_pairs, t_obs, n_extreme) row per group; the caller derives
+    * p = (n_extreme+1)/(B+1) and any correction over the ENUM-bounded
+    * group frame. */
+  def signFlipByGroup(df: DataFrame, grpCol: Column, keyCol: Column,
+                      diffCol: Column, b: Int, salt: String): DataFrame = {
+    require(b >= 1, s"need at least one sign replicate: $b")
+    val pairs = df.select(grpCol.cast("string").as("g"),
+      keyCol.cast("string").as("k"), diffCol.cast("long").as("diff"))
+      .localCheckpoint() // feeds per-group T_obs AND the xB expansion
+    val tobs = pairs.groupBy(col("g"))
+      .agg(sum(col("diff")).as("t_obs"), count(lit(1)).as("n_pairs"))
+    val flips = pairs
+      .select(col("g"), col("k"), col("diff"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .select(col("g"), col("b"),
+        when(conv(substring(md5(concat(lit(s"$salt:"),
+            col("b").cast("string"), lit(":"), col("g"), lit(":"),
+            col("k"))), 1, 1), 16, 10)
+            .cast("long") % 2 === 0, col("diff"))
+          .otherwise(-col("diff")).as("sd"))
+      .groupBy(col("g"), col("b")).agg(sum(col("sd")).as("tb"))
+    flips.join(broadcast(tobs), "g")
+      .groupBy(col("g"))
+      .agg(max(col("n_pairs")).as("n_pairs"),
+        max(col("t_obs")).as("t_obs"),
+        sum(when(abs(col("tb")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .as("n_extreme"))
+  }
+
+  /** Benjamini-Hochberg step-up (Benjamini & Hochberg JRSS-B 1995) over
+    * an ENUM-BOUNDED family of RATIONAL p-values p_i = pNum_i/den:
+    * rank p ascending (ties by `tie`), find the LARGEST k with
+    * p_(k) ≤ k·α/m, reject ranks 1..k — the step-up RESCUES an earlier
+    * rank whose own compare failed when a later rank passes (the
+    * property a naive per-row threshold gets wrong; StatsSpec pins it
+    * on a literal construction plus the textbook 15-p example).
+    * The compare is pure integers — α = alphaNum/alphaDen and
+    * p = pNum/den give p_(k) ≤ k·α/m ⟺ alphaDen·m·pNum ≤
+    * den·alphaNum·k — so no float touches any decision. Windows run
+    * over the family frame, which the caller guarantees enum-bounded
+    * (tests per segment/nation — never data-proportional). Adds
+    * (p_rank, rejected) to the input columns. */
+  def bhStepUp(tests: DataFrame, pNum: Column, tie: Column, den: Long,
+               alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(den >= 1 && alphaNum >= 1 && alphaDen > alphaNum,
+      s"need den >= 1 and alpha in (0,1): $alphaNum/$alphaDen over $den")
+    val w = Window.orderBy(pNum, tie)
+    val full = Window.orderBy(col("p_rank")).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    tests
+      .withColumn("p_rank", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__kstar", max(when(
+          lit(alphaDen) * col("__m") * pNum <=
+            lit(den * alphaNum) * col("p_rank"),
+          col("p_rank")).otherwise(0)).over(full))
+      .withColumn("rejected", (col("p_rank") <= col("__kstar")).cast("int"))
+      .drop("__m", "__kstar")
   }
 }

@@ -1057,6 +1057,55 @@ object AnalyticsQueries {
         ${graft.operators.Graph.hitsOracleCtes(3)}
         SELECT node, auth, hub FROM hits_final
         ORDER BY auth DESC, node LIMIT 20"""),
-      "fixed-point HITS hubs/authorities, 3 oracled L1-normalized rounds")
+      "fixed-point HITS hubs/authorities, 3 oracled L1-normalized rounds"),
+
+    // -------------------------------- time-windowed funnel conversion
+    // The windowed companion to q243's order-free "eventually
+    // precedes": did the user's FIRST view convert to a purchase
+    // WITHIN 24 hours — the time-to-convert funnel every growth
+    // dashboard reports, grouped into daily first-view cohorts.
+    // Shape: one per-user min aggregate (first view), one user-keyed
+    // LEFT SEMI join whose residual range predicate (t0, t0+24h]
+    // bounds the purchase probe (the q54 range-join shape — equi on
+    // user, range residual; no window functions, no self cross join),
+    // then a cohort-day aggregate. Conversion ratio is the only
+    // double, rounded at 6dp over exact counts. The first-view frame
+    // feeds three consumers (semi probe, flag join, cohort grouping)
+    // — checkpointed once.
+    "q247_funnel_window" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events")
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t0"))
+          .localCheckpoint()
+        val p = ev.filter($"event_type" === "purchase")
+          .select($"user_id".as("pu"), $"ts".as("pts"))
+        val converted = v.join(p,
+            $"user_id" === $"pu" && $"pts" > $"t0" &&
+              $"pts" <= $"t0" + expr("INTERVAL 24 HOURS"),
+            "left_semi")
+          .select($"user_id", lit(1L).as("c"))
+        v.join(converted, Seq("user_id"), "left")
+          .groupBy(to_date($"t0").as("cohort_day"))
+          .agg(count(lit(1)).as("n_viewed"),
+            sum(coalesce($"c", lit(0L))).as("n_converted"))
+          .withColumn("cvr",
+            round($"n_converted".cast("double") / $"n_viewed", 6))
+          .orderBy($"cohort_day")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        conv AS (SELECT DISTINCT v.user_id FROM v JOIN events e
+            ON e.user_id = v.user_id AND e.event_type = 'purchase'
+            AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 24 HOUR),
+        f AS (SELECT CAST(v.t0 AS DATE) AS cohort_day,
+            CASE WHEN conv.user_id IS NULL THEN 0 ELSE 1 END AS c
+          FROM v LEFT JOIN conv ON v.user_id = conv.user_id)
+        SELECT cohort_day, count(*) AS n_viewed,
+          CAST(sum(c) AS BIGINT) AS n_converted,
+          round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS cvr
+        FROM f GROUP BY 1 ORDER BY 1"""),
+      "daily first-view cohorts converting to purchase within 24h, range-join shaped")
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.{Aggregators, TextFunctions}
+import graft.operators.Relational
 
 /** Capability-widening suite beyond the reference's own operator surface
   * (SURVEY.md §2.6/§2.7 extensions): pivot/unpivot reshaping, the full
@@ -252,7 +253,7 @@ object ExtendedQueries {
         val ws = TextFunctions.words($"text")
         t(s, d, "documents")
           // single-row-group fixture scan -> spread the bigram build
-          .repartition($"doc_id")
+          .transform(Relational.spread(_, $"doc_id"))
           .select(explode(arrays_zip(
             slice(ws, lit(1), size(ws) - 1),
             slice(ws, lit(2), size(ws) - 1))).as("z"))
@@ -589,7 +590,7 @@ object ExtendedQueries {
         // on BOTH engines (they cannot be 8-gram-checked).
         val sh = t(s, d, "documents")
           .filter(size(ws) >= 8)
-          .repartition($"doc_id") // single-row-group scan: spread the zip
+          .transform(Relational.spread(_, $"doc_id")) // spread the zip
           .select($"doc_id", explode(arrays_zip(
             (0 until 8).map(i => slice(ws, lit(i + 1), size(ws) - 7)): _*)).as("z"))
           .select($"doc_id",

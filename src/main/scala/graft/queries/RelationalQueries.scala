@@ -645,7 +645,7 @@ object RelationalQueries {
           t(s, d, "orders")
             // single-row-group fixture scan -> spread the to_json/from_json
             // round-trip (the dominant per-row cost) across cores
-            .repartition($"o_orderkey")
+            .transform(graft.operators.Relational.spread(_, $"o_orderkey"))
             .select($"o_orderkey", $"o_totalprice", $"o_orderdate", $"o_orderpriority"))
         graft.streaming.StreamPipeline.decodeJson(json, schema)
           .agg(count(lit(1)).as("n"),

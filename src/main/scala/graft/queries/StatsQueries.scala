@@ -1044,6 +1044,91 @@ object StatsQueries {
             WHEN 2 * rn = n + 2 THEN 1 ELSE 0 END)) AS DOUBLE) / 2.0
             AS median_days
         FROM ord GROUP BY seg ORDER BY seg"""),
-      "per-segment interpurchase-gap medians via the scale-safe grouped engine")
+      "per-segment interpurchase-gap medians via the scale-safe grouped engine"),
+
+    // --------------------------- Benjamini-Hochberg multiple testing
+    // The experimentation platform's missing piece after the per-test
+    // family (q236's sign-flip, q217's mSPRT): run a FAMILY of m
+    // hypothesis tests — here, one sign-flip permutation test of the
+    // 1996→1997 daily-revenue change PER NATION — and control the
+    // false-discovery rate with the BH step-up (Benjamini & Hochberg
+    // JRSS-B 1995): sort p ascending, find the largest k with
+    // p_(k) ≤ k·α/m, reject ranks 1..k. EVERYTHING stays exact
+    // integers: each p = (n_extreme+1)/(B+1) is a rational with a
+    // common denominator, so the step-up compare p_(k) ≤ k·α/m at
+    // α = 1/10 becomes 10·m·(n_extreme+1) ≤ (B+1)·k — no float
+    // touches any decision, and the reported p_value is display-only.
+    // Scale shape: the ×B expansion is the q201 narrow-generate with
+    // map-side combine ([[Stats.signFlipByGroup]]); ranks and the k*
+    // cummax run over the NATION-bounded test frame (≤ 25 rows).
+    // StatsSpec pins the step-up against a literal textbook example
+    // (including the non-monotone case where a later small p rescues
+    // an earlier larger one — the property a naive per-row threshold
+    // gets wrong).
+    "q245_bh_fdr" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val B = 64
+        val cust = t(s, d, "customer").select($"c_custkey", $"c_nationkey")
+        def daily(y: Int): DataFrame = t(s, d, "orders")
+          .filter(year($"o_orderdate") === y)
+          .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_nationkey".as("nat"),
+            (month($"o_orderdate") * 100 + dayofmonth($"o_orderdate"))
+              .cast("long").as("day"))
+          .agg(Relational.centsSum($"o_totalprice").as(s"c$y"))
+        val pairs = daily(1996).join(daily(1997), Seq("nat", "day"))
+          .select($"nat", $"day", ($"c1997" - $"c1996").as("diff"))
+        val tests = Stats.signFlipByGroup(pairs, $"nat", $"day", $"diff",
+            b = B, salt = "q245")
+          .select($"g".cast("int").as("nat"), $"n_pairs", $"t_obs",
+            $"n_extreme")
+        // BH step-up over the nation-bounded frame (Stats.bhStepUp —
+        // hand-pinned in StatsSpec incl. the rank-rescue property)
+        Stats.bhStepUp(tests, $"n_extreme" + 1, $"nat",
+            den = (B + 1).toLong, alphaNum = 1L, alphaDen = 10L)
+          .select($"nat", $"n_pairs", $"t_obs", $"n_extreme",
+            round(($"n_extreme" + 1).cast("double") / lit((B + 1).toDouble), 6)
+              .as("p_value"),
+            $"p_rank", $"rejected")
+          .orderBy($"p_rank", $"nat")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_nationkey FROM customer),
+        a AS (SELECT c_nationkey AS nat,
+            CAST(month(o_orderdate) * 100 + dayofmonth(o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c96
+          FROM orders JOIN c ON o_custkey = c_custkey
+          WHERE year(o_orderdate) = 1996 GROUP BY 1, 2),
+        b2 AS (SELECT c_nationkey AS nat,
+            CAST(month(o_orderdate) * 100 + dayofmonth(o_orderdate) AS BIGINT) AS day,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c97
+          FROM orders JOIN c ON o_custkey = c_custkey
+          WHERE year(o_orderdate) = 1997 GROUP BY 1, 2),
+        p AS (SELECT nat, day, c97 - c96 AS diff FROM a JOIN b2 USING (nat, day)),
+        t AS (SELECT nat, CAST(sum(diff) AS BIGINT) AS t_obs,
+            CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1),
+        fl AS (SELECT p.nat, bb.b,
+            CAST(sum(CASE WHEN CAST('0x' || substr(md5('q245:' ||
+                  CAST(bb.b AS VARCHAR) || ':' || CAST(p.nat AS VARCHAR) ||
+                  ':' || CAST(p.day AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+              THEN diff ELSE -diff END) AS BIGINT) AS tb
+          FROM p CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bb
+          GROUP BY 1, 2),
+        ex AS (SELECT fl.nat,
+            CAST(sum(CASE WHEN abs(tb) >= abs(t_obs) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_extreme
+          FROM fl JOIN t USING (nat) GROUP BY 1),
+        r AS (SELECT t.nat, n_pairs, t_obs, n_extreme,
+            CAST(row_number() OVER (ORDER BY n_extreme, t.nat) AS INTEGER)
+              AS p_rank,
+            CAST(count(*) OVER () AS BIGINT) AS m
+          FROM t JOIN ex USING (nat)),
+        ks AS (SELECT max(CASE WHEN 10 * m * (n_extreme + 1) <= 65 * p_rank
+            THEN p_rank ELSE 0 END) AS kstar FROM r)
+        SELECT nat, n_pairs, t_obs, n_extreme,
+          round(CAST(n_extreme + 1 AS DOUBLE) / 65.0, 6) AS p_value,
+          p_rank, CAST(p_rank <= kstar AS INTEGER) AS rejected
+        FROM r CROSS JOIN ks ORDER BY p_rank, nat"""),
+      "per-nation sign-flip tests under Benjamini-Hochberg FDR control, exact step-up")
   )
 }

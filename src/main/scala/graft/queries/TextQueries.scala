@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Relational}
 
 /** Text-analysis + dedup + multimodal-plumbing suite over `documents` —
   * the LLM-data-pipeline extensions (BASELINE.json north-star). Every
@@ -808,7 +808,7 @@ object TextQueries {
           .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_unique"),
                max($"c").as("top_uni"))
         val bi = docs(s, d)
-          .repartition($"doc_id") // single-row-group scan: spread the zip
+          .transform(Relational.spread(_, $"doc_id")) // spread the zip
           .select($"doc_id", explode(arrays_zip(
             slice(ws, lit(1), size(ws) - 1),
             slice(ws, lit(2), size(ws) - 1))).as("z"))
@@ -870,7 +870,7 @@ object TextQueries {
         val cands = Dedup.lshCandidates(
           Dedup.lshBands(
             Dedup.minhashSignaturesLcg(
-              Dedup.tokens(base, "doc_id", "text").repartition($"doc_id"),
+              Relational.spread(Dedup.tokens(base, "doc_id", "text"), $"doc_id"),
               "doc_id", k = 64),
             "doc_id", k = 64, bands = 8),
           "doc_id", maxBucket = 100)
@@ -1351,6 +1351,69 @@ object TextQueries {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
           CAST(min(start) AS BIGINT) AS first_pos
         FROM hits GROUP BY 1 ORDER BY 1"""),
-      "positional phrase search: term-filtered postings, adjacency as equi-joins")
+      "positional phrase search: term-filtered postings, adjacency as equi-joins"),
+
+    // ------------------------------ edit-distance blocked near-dup
+    // Entity-resolution-style near-dup via Levenshtein distance under
+    // BLOCKING — the string-similarity family's answer where MinHash
+    // (token sets, q42) is blind: character-level edits that preserve
+    // most of the token multiset. All-pairs Levenshtein is O(n²·L²)
+    // and never acceptable; the standard blocking discipline bounds
+    // it: candidates must share (first token, token-count band) — a
+    // hash aggregate + an equi-join, never a cross join — and hot
+    // blocks are dropped by a loud structural cap (the q42 maxBucket
+    // stop-bucket move). The compared key is the 80-char PREFIX (the
+    // blocker convention for long documents: cap the O(L²) DP row
+    // length; both engines' classic Levenshtein on the same substring
+    // is bit-identical integer output). Output: candidate pairs at
+    // distance ≤ 10 — on this fixture that is exact-prefix duplicates
+    // plus true small-edit variants, with every ≥41-distance in-block
+    // pair rejected (measured at sf0.01).
+    "q246_edit_blocking" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // repartition BEFORE the checkpoint: a small corpus arrives as
+        // one scan partition and would run every DP single-threaded
+        // (the q42 minhash lesson — this was measured 4.8 s -> well
+        // under 1 s with the spread + the length short-circuit below)
+        val base = docs(s, d).select($"doc_id",
+            substring($"text", 1, 80).as("pfx"),
+            concat(element_at(split(lower($"text"), " "), 1), lit(":"),
+              expr("size(split(lower(text), ' ')) div 8").cast("string"))
+              .as("blk"))
+          // explicit partition count: AQE would coalesce an advisory
+          // repartition of 5000 tiny rows back to ONE partition and
+          // single-thread every DP again
+          .repartition(32, col("blk"))
+          .localCheckpoint() // feeds block sizes AND both join sides
+        val okBlocks = base.groupBy($"blk").agg(count(lit(1)).as("n"))
+          .filter($"n" <= 200) // stop-block cap: a degenerate hot block
+          .select($"blk")      // (shared boilerplate head) is skipped
+        val pool = base.join(broadcast(okBlocks), "blk")
+        pool.select($"blk", $"doc_id".as("id_a"), $"pfx".as("pfx_a"))
+          .join(pool.select($"blk", $"doc_id".as("id_b"), $"pfx".as("pfx_b")),
+            "blk")
+          // the length gap lower-bounds edit distance, so this
+          // semantics-free short-circuit skips the O(L²) DP on most
+          // pairs (predicates evaluate in order under codegen)
+          .filter($"id_a" < $"id_b" &&
+            abs(length($"pfx_a") - length($"pfx_b")) <= 10)
+          .select($"id_a", $"id_b",
+            levenshtein($"pfx_a", $"pfx_b").as("dist"))
+          .filter($"dist" <= 10)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH d AS (SELECT doc_id, substr(text, 1, 80) AS pfx,
+            string_split(lower(text), ' ')[1] || ':' ||
+              CAST(len(string_split(lower(text), ' ')) // 8 AS VARCHAR) AS blk
+          FROM documents),
+        ok AS (SELECT blk FROM d GROUP BY blk HAVING count(*) <= 200),
+        p AS (SELECT d.* FROM d JOIN ok USING (blk))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+        FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 10
+        ORDER BY id_a, id_b"""),
+      "Levenshtein near-dup under (first-token, length-band) blocking with a stop-block cap")
   )
 }

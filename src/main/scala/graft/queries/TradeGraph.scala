@@ -9,8 +9,11 @@ import graft.Tables
   * iterative graph family — q128 PageRank, q142 BFS, q164 k-core, q165
   * LPA, q218 HITS all analyze the SAME graph (distinct 'c'‖custkey →
   * 's'‖suppkey edges for nation-7/8 customers), and before this each
-  * re-derived and re-distincted it from lineitem⋈orders⋈customer
-  * per query (~9 s combined at sf0.1). The q96/q115 shared-PQ-index
+  * re-derived and re-distincted it from lineitem⋈orders⋈customer per
+  * query. Measured A/B at sf0.1 local[32] (name-filtered Bench, family
+  * of six vs the r12 committed detail): 17.86 s → 13.14 s (−4.7 s;
+  * q228 3.15 → 1.32 s, q128 3.39 → 2.61 s, q218 2.99 → 2.29 s),
+  * result hashes unchanged. The q96/q115 shared-PQ-index
   * pattern replayed: the edge set is written ONCE per testdata
   * generation (mtime-keyed via [[LayoutKey]], `_SUCCESS`-guarded so a
   * half-built write is rebuilt, never served) and every consumer reads

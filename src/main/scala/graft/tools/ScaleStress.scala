@@ -89,7 +89,12 @@ object ScaleStress {
     // expensive plan's scale claim is a measurement, not an argument
     "r13gap" -> Seq("q201_poisson_bootstrap", "q101_countmin_heavy",
       "q214_cluster_ari", "q75_dedup_clusters", "q149_equidepth_hist",
-      "q125_canonical_keep", "q95_minhash_xx64"))
+      "q125_canonical_keep", "q95_minhash_xx64"),
+    // the round-13 additions: BH family tests (enum-bounded windows),
+    // blocked Levenshtein (stop-block-capped equi-join), windowed
+    // funnel (user-keyed range join)
+    "r13new" -> Seq("q245_bh_fdr", "q246_edit_blocking",
+      "q247_funnel_window"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10

@@ -734,4 +734,32 @@ class StatsSpec extends SparkSpec {
       s"segments diverged from the definitional replay (first: " +
         s"${got.take(3)} vs ${want.take(3)})")
   }
+
+  test("bhStepUp matches the BH 1995 textbook example and rescues earlier ranks") {
+    // Benjamini & Hochberg JRSS-B 1995 §4, the original 15-p-value
+    // family at alpha = 0.05: the step-up rejects EXACTLY the four
+    // smallest (p4 = .0095 <= 4/300 while p5 = .0201 > 5/300).
+    val pn = Seq(1L, 4L, 19L, 95L, 201L, 278L, 298L, 344L, 459L,
+      3240L, 4262L, 5719L, 6528L, 7590L, 10000L)
+    val tests = pn.zipWithIndex.map { case (p, i) => (i, p) }.toDF("id", "pn")
+      .repartition(2) // block ConvertToLocalRelation (plan-shape realism)
+    val r = Stats.bhStepUp(tests, $"pn", $"id", den = 10000L,
+        alphaNum = 1L, alphaDen = 20L)
+      .select($"p_rank", $"rejected").as[(Int, Int)].collect().toMap
+    (1 to 15).foreach { k =>
+      assert(r(k) == (if (k <= 4) 1 else 0),
+        s"BH textbook example: rank $k got ${r(k)}")
+    }
+    // rank-rescue property: p = (.10, .30, .35, .90) at alpha = 1/2,
+    // thresholds k/8 — rank 2 FAILS its own compare (.30 > .25) but
+    // rank 3 passes (.35 <= .375), so the step-up must still reject
+    // rank 2 (k* = 3); a naive per-row threshold would keep it
+    val resc = Seq((1, 10L), (2, 30L), (3, 35L), (4, 90L))
+      .toDF("id", "pn").repartition(2)
+    val r2 = Stats.bhStepUp(resc, $"pn", $"id", den = 100L,
+        alphaNum = 1L, alphaDen = 2L)
+      .select($"p_rank", $"rejected").as[(Int, Int)].collect().toMap
+    assert(r2 == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 0),
+      s"step-up rescue broke: $r2")
+  }
 }
