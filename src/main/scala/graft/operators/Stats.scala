@@ -556,11 +556,17 @@ object Stats {
       .withColumn("expct",
         (d38(col("p_a")) * d38(col("p_b"))).cast("double") /
           (d38(col("n")) * (d38(col("n")) - 1) / 2).cast("double"))
+      .withColumn("__den",
+        (d38(col("p_a")) + d38(col("p_b"))).cast("double") / 2.0 -
+          col("expct"))
       .select(col("n"), col("n_clusters"), col("n_labels"),
         col("p_ij"), col("p_a"), col("p_b"),
-        round((col("p_ij") - col("expct")) /
-          ((d38(col("p_a")) + d38(col("p_b"))).cast("double") / 2.0 -
-            col("expct")), 6)
+        // NULL BY CONTRACT on a degenerate design (the q220 logRank
+        // precedent): two trivial partitions — everything one cluster
+        // AND one label — make max==expected index, ARI undefined
+        // (hit live by the ×100 stress: 100 copies of one doc)
+        when(col("__den") =!= 0.0,
+          round((col("p_ij") - col("expct")) / col("__den"), 6))
           .as("ari"))
   }
 

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.TextFunctions
+import graft.operators.Relational
 
 /** Rounds 9-10 surface: the dataset-engineering and experimentation
   * operators a 100 TB training-data platform runs between curation and
@@ -1312,12 +1313,15 @@ object PipelineQueries {
           FROM (SELECT count(*) AS b FROM lab GROUP BY source)),
         nn AS (SELECT count(*) AS n FROM lab)
         SELECT n, n_clusters, n_labels, p_ij, p_a, p_b,
-          round((p_ij - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
+          CASE WHEN CAST(CAST(p_a AS HUGEINT) + p_b AS DOUBLE) / 2.0
+               - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE) <> 0.0
+          THEN round((p_ij - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
               / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE))
             / (CAST(CAST(p_a AS HUGEINT) + p_b AS DOUBLE) / 2.0
                - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
                  / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE)), 6)
-            AS ari
+          END AS ari
         FROM sij, sa, sb, nn"""),
       "Adjusted Rand Index: dedup clusters vs provenance, exact pair counting"),
 
@@ -1798,6 +1802,192 @@ object PipelineQueries {
           CASE WHEN abs(CAST(z AS DOUBLE) / 1000000.0 - mean_c) > band
             THEN 1 ELSE 0 END AS alarm
         FROM ew CROSS JOIN lim ORDER BY day"""),
-      "EWMA control chart, trajectory and alarm flags oracled via recursive CTE")
+      "EWMA control chart, trajectory and alarm flags oracled via recursive CTE"),
+
+    // ------------------------------------------- uplift deciles + Qini
+    // Targeting evaluation (Radcliffe 2007): rank the population by a
+    // model score, split into deciles, and read the cumulative
+    // treatment-vs-control conversion gap — the uplift curve — plus
+    // the Qini value Q(k) = convT_cum − convC_cum·nT_cum/nC_cum (the
+    // expected extra conversions at depth k had controls been
+    // treated). Deciles come from the exact-quantile ENGINE's nine
+    // cutpoints (q149 — distinct-cents-bounded, never a global row
+    // sort: ntile() over the population is exactly the 100 TB hazard
+    // this avoids), assignment is one broadcast compare chain, and
+    // everything to the last division is exact integers (treatment =
+    // the q134 seedless md5 coin; conversion = a 1996-buyer semi-join
+    // flag). On a random coin the true uplift is ~0 — the machinery,
+    // not the effect, is what the oracle pins. Decile 0 = top scores.
+    "q248_uplift_qini" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val buyers = t(s, d, "orders")
+          .filter(year($"o_orderdate") === 1996)
+          .select($"o_custkey".as("c_custkey")).distinct()
+        val base = t(s, d, "customer")
+          .select($"c_custkey",
+            expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"),
+            (conv(substring(md5(concat(lit("q248:"),
+              $"c_custkey".cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 2).as("treat"))
+          .join(buyers.withColumn("conv", lit(1L)), Seq("c_custkey"), "left")
+          .select($"cents", $"treat", coalesce($"conv", lit(0L)).as("conv"))
+          .localCheckpoint() // feeds the quantile engine AND bucketing
+        val bounds = Relational.exactQuantilesQuantized(
+            base, "cents", (1 to 9).map(_ / 10.0), scale = 1)
+          .select((0 to 8).map(i =>
+            round(col(s"p$i") * 10).cast("long").as(s"b$i")): _*)
+        val above = (0 to 8).map(i =>
+            when($"cents" * 10 > col(s"b$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val byDec = base.crossJoin(broadcast(bounds))
+          .groupBy((lit(9) - above).as("decile"))
+          .agg(sum(when($"treat" === 1, 1L).otherwise(0L)).as("n_t"),
+            sum(when($"treat" === 0, 1L).otherwise(0L)).as("n_c"),
+            sum(when($"treat" === 1, $"conv").otherwise(0L)).as("conv_t"),
+            sum(when($"treat" === 0, $"conv").otherwise(0L)).as("conv_c"))
+        val w = Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDec
+          .select($"decile", $"n_t", $"n_c", $"conv_t", $"conv_c",
+            sum($"n_t").over(w).as("cnt"), sum($"n_c").over(w).as("cnc"),
+            sum($"conv_t").over(w).as("cct"), sum($"conv_c").over(w).as("ccc"))
+          .select($"decile", $"n_t", $"n_c", $"conv_t", $"conv_c",
+            round($"cct".cast("double") / $"cnt"
+              - $"ccc".cast("double") / $"cnc", 6).as("uplift_cum"),
+            round($"cct".cast("double")
+              - $"ccc".cast("double") * $"cnt" / $"cnc", 6).as("qini"))
+          .orderBy($"decile")
+      },
+      Some("""WITH base AS (SELECT
+            CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+            CAST('0x' || substr(md5('q248:' || CAST(c_custkey AS VARCHAR)),
+              1, 15) AS BIGINT) % 2 AS treat,
+            CASE WHEN c_custkey IN (SELECT o_custkey FROM orders
+              WHERE year(o_orderdate) = 1996) THEN 1 ELSE 0 END AS conv
+          FROM customer),
+        b AS (SELECT
+            CAST(round(quantile_cont(cents, 0.1) * 10) AS BIGINT) AS b0,
+            CAST(round(quantile_cont(cents, 0.2) * 10) AS BIGINT) AS b1,
+            CAST(round(quantile_cont(cents, 0.3) * 10) AS BIGINT) AS b2,
+            CAST(round(quantile_cont(cents, 0.4) * 10) AS BIGINT) AS b3,
+            CAST(round(quantile_cont(cents, 0.5) * 10) AS BIGINT) AS b4,
+            CAST(round(quantile_cont(cents, 0.6) * 10) AS BIGINT) AS b5,
+            CAST(round(quantile_cont(cents, 0.7) * 10) AS BIGINT) AS b6,
+            CAST(round(quantile_cont(cents, 0.8) * 10) AS BIGINT) AS b7,
+            CAST(round(quantile_cont(cents, 0.9) * 10) AS BIGINT) AS b8
+          FROM base),
+        dec AS (SELECT 9 - (CASE WHEN cents * 10 > b0 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b1 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b2 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b3 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b4 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b5 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b6 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b7 THEN 1 ELSE 0 END
+            + CASE WHEN cents * 10 > b8 THEN 1 ELSE 0 END) AS decile,
+            treat, conv
+          FROM base CROSS JOIN b),
+        g AS (SELECT decile,
+            CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+            CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+            CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_t,
+            CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_c
+          FROM dec GROUP BY 1),
+        c AS (SELECT *,
+            CAST(sum(n_t) OVER (ORDER BY decile) AS BIGINT) AS cnt,
+            CAST(sum(n_c) OVER (ORDER BY decile) AS BIGINT) AS cnc,
+            CAST(sum(conv_t) OVER (ORDER BY decile) AS BIGINT) AS cct,
+            CAST(sum(conv_c) OVER (ORDER BY decile) AS BIGINT) AS ccc
+          FROM g)
+        SELECT decile, n_t, n_c, conv_t, conv_c,
+          round(CAST(cct AS DOUBLE) / cnt - CAST(ccc AS DOUBLE) / cnc, 6)
+            AS uplift_cum,
+          round(CAST(cct AS DOUBLE) - CAST(ccc AS DOUBLE) * cnt / cnc, 6)
+            AS qini
+        FROM c ORDER BY decile"""),
+      "uplift deciles + Qini from exact-quantile cutpoints, no global row sort"),
+
+    // --------------------------------- split-conformal calibration
+    // Split-conformal prediction (Papadopoulos et al. 2002; Vovk's
+    // inductive form): fit on one half, take q̂ = the ⌈(n+1)(1−α)⌉-th
+    // smallest absolute calibration residual, and |y − ŷ| ≤ q̂ then
+    // covers a fresh point with probability ≥ 1−α under
+    // exchangeability — THE distribution-free interval the ML-serving
+    // layer (q-serve/MLBENCH family) should attach to every
+    // prediction. Everything is exact integers: the split is the q134
+    // md5 coin on (orderkey, linenumber); the "model" is the
+    // 1-parameter cents-per-unit rate fit by truncating integer
+    // division on the calibration half; q̂ comes from a cumulative
+    // window over the DISTINCT-residual histogram (q240's boundedness:
+    // state scales with the price-grid, never row count) with the
+    // ceiling rank as the integer compare 10·cum ≥ 9·(n+1); coverage
+    // on the held-out half is the only division. StatsSpec asserts
+    // the finite-sample guarantee (coverage ≥ 1−α−ε) and replays q̂
+    // definitionally from a sorted driver-side array.
+    "q249_conformal" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val li = t(s, d, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+              .as("cents"),
+            $"l_quantity".cast("long").as("qty"),
+            (conv(substring(md5(concat(lit("q249:"),
+              $"l_orderkey".cast("string"), lit(":"),
+              $"l_linenumber".cast("string"))), 1, 15), 16, 10)
+              .cast("long") % 2).as("calib"))
+          .localCheckpoint() // feeds rate, residual hist, test coverage
+        val rate = li.filter($"calib" === 1)
+          .agg(expr("sum(cents) div sum(qty)").as("rate"))
+        val hist = li.filter($"calib" === 1).crossJoin(broadcast(rate))
+          .groupBy(abs($"cents" - $"qty" * $"rate").as("r"))
+          .agg(count(lit(1)).as("cw"))
+        val cum = hist.select($"r", $"cw",
+          sum($"cw").over(Window.orderBy($"r").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)).as("cum"),
+          sum($"cw").over(Window.orderBy($"r").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+        // k = ceil(9(n+1)/10); cum >= k  <=>  10*cum >= 9*(n+1)
+        val qhat = cum.agg(max($"n").as("n_calib"),
+          min(when($"cum" * 10 >= ($"n" + 1) * 9, $"r")).as("qhat_cents"))
+        li.filter($"calib" === 0)
+          .crossJoin(broadcast(qhat)).crossJoin(broadcast(rate))
+          .agg(max($"rate").as("rate_cents_per_unit"),
+            max($"n_calib").as("n_calib"),
+            max($"qhat_cents").as("qhat_cents"),
+            count(lit(1)).as("n_test"),
+            sum(when(abs($"cents" - $"qty" * $"rate") <= $"qhat_cents", 1L)
+              .otherwise(0L)).as("n_covered"))
+          .withColumn("coverage",
+            round($"n_covered".cast("double") / $"n_test", 6))
+      },
+      Some("""WITH li AS (SELECT
+            CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+            CAST(l_quantity AS BIGINT) AS qty,
+            CAST('0x' || substr(md5('q249:' || CAST(l_orderkey AS VARCHAR)
+              || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15) AS BIGINT)
+              % 2 AS calib
+          FROM lineitem),
+        rate AS (SELECT CAST(sum(cents) // sum(qty) AS BIGINT) AS rate
+          FROM li WHERE calib = 1),
+        hist AS (SELECT abs(cents - qty * rate) AS r,
+            CAST(count(*) AS BIGINT) AS cw
+          FROM li CROSS JOIN rate WHERE calib = 1 GROUP BY 1),
+        cum AS (SELECT r,
+            CAST(sum(cw) OVER (ORDER BY r) AS BIGINT) AS cum,
+            CAST(sum(cw) OVER () AS BIGINT) AS n
+          FROM hist),
+        qh AS (SELECT max(n) AS n_calib,
+            min(CASE WHEN cum * 10 >= (n + 1) * 9 THEN r END) AS qhat_cents
+          FROM cum)
+        SELECT max(rate) AS rate_cents_per_unit,
+          max(n_calib) AS n_calib, max(qhat_cents) AS qhat_cents,
+          CAST(count(*) AS BIGINT) AS n_test,
+          CAST(sum(CASE WHEN abs(cents - qty * rate) <= qhat_cents
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+          round(CAST(sum(CASE WHEN abs(cents - qty * rate) <= qhat_cents
+            THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS coverage
+        FROM li CROSS JOIN rate CROSS JOIN qh WHERE calib = 0"""),
+      "split-conformal 90% interval: integer rate fit, histogram-walk q-hat, held-out coverage")
   )
 }

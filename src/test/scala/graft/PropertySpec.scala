@@ -267,6 +267,15 @@ class PropertySpec extends SparkSpec {
         .select(col("ari")).as[Double].collect()(0)
       assert(self == 1.0, s"ARI(P, P) must be 1: $self")
     }
+    // NULL by contract on TWO TRIVIAL partitions (one cluster AND one
+    // label): max index == expected index, ARI undefined — the ×100
+    // stress hit this live (100 copies of one doc, one source) as an
+    // ANSI DIVIDE_BY_ZERO before the guard
+    val triv = (0 until 10).map(i => (i, "c0", "l0")).toDF("id", "cl", "lb")
+    val nullAri = graft.operators.Stats.clusterAri(triv, "cl", "lb")
+      .select(col("ari")).collect()(0)
+    assert(nullAri.isNullAt(0),
+      s"degenerate ARI must be NULL by contract: $nullAri")
   }
 
   test("gini equals the brute-force sorted-rank formula on random multisets") {

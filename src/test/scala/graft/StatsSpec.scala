@@ -762,4 +762,36 @@ class StatsSpec extends SparkSpec {
     assert(r2 == Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 0),
       s"step-up rescue broke: $r2")
   }
+
+  test("q249 conformal: q-hat replays definitionally; coverage meets 1-alpha") {
+    // Split-conformal with alpha = 0.1: q-hat must equal the
+    // ceil(9(n+1)/10)-th smallest calibration residual from a literal
+    // driver-side sort, and held-out coverage must meet the
+    // finite-sample guarantee (>= 1-alpha in expectation; 0.88 allows
+    // one-sided sampling slack on the 30k-point test half).
+    val dir = sf("sf0.01")
+    val row = graft.queries.Registry.queries("q249_conformal")(spark, dir)
+      .head()
+    val rate = row.getAs[Long]("rate_cents_per_unit")
+    val nCal = row.getAs[Long]("n_calib")
+    val qhat = row.getAs[Long]("qhat_cents")
+    val cov = row.getAs[Double]("coverage")
+    // definitional replay: same split coin, same rate, literal sort
+    val li = Tables(spark, dir, "lineitem")
+      .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        $"l_quantity".cast("long").as("qty"),
+        (conv(substring(md5(concat(lit("q249:"),
+          $"l_orderkey".cast("string"), lit(":"),
+          $"l_linenumber".cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2).as("calib"))
+    val calRes = li.filter($"calib" === 1)
+      .select(abs($"cents" - $"qty" * rate)).as[Long].collect().sorted
+    assert(calRes.length == nCal, s"${calRes.length} vs $nCal")
+    val k = math.ceil(9.0 * (nCal + 1) / 10.0).toLong
+    assert(calRes(k.toInt - 1) == qhat,
+      s"q-hat ${calRes(k.toInt - 1)} (rank $k of $nCal) vs engine $qhat")
+    assert(cov >= 0.88, s"coverage $cov below the 1-alpha guarantee band")
+    // exchangeability sanity: not vacuously 1.0 (intervals must bind)
+    assert(cov < 1.0, s"coverage $cov is vacuous — q-hat not binding")
+  }
 }
