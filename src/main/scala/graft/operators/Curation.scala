@@ -43,8 +43,11 @@ object Curation {
     * two defenses that catch a pos−off/pos+off convention slip the
     * mirrored oracle alone would share. */
   def phraseSearch(df: DataFrame, id: String, text: String,
-                   phrase: Seq[String]): DataFrame = {
-    require(phrase.nonEmpty, "phrase must have at least one term")
+                   rawPhrase: Seq[String]): DataFrame = {
+    require(rawPhrase.nonEmpty, "phrase must have at least one term")
+    // fold the PHRASE's case too: postings are built from lowered text,
+    // so a mixed-case phrase term would silently match nothing
+    val phrase = rawPhrase.map(_.toLowerCase)
     val post = df
       .select(col(id), posexplode(split(lower(col(text)), " ")))
       .toDF(id, "pos", "term")

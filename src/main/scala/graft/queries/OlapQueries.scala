@@ -1004,6 +1004,110 @@ object OlapQueries {
           round(CAST(sum_cents AS DOUBLE) /
             CAST(CAST(sum(sum_cents) OVER () AS BIGINT) AS DOUBLE), 6) AS share
         FROM cls ORDER BY abc"""),
-      "ABC/Pareto revenue classes with exact integer cutoffs over the catalog")
+      "ABC/Pareto revenue classes with exact integer cutoffs over the catalog"),
+
+    // ------------------------------------------ association rules
+    // Market-basket association rules (Agrawal-Imielinski-Swami
+    // SIGMOD'93 — the batch L2 sibling of q243's sequential GSP):
+    // baskets are orders, items are the DISTINCT part brands in each
+    // order, and for every brand pair a<b the rule a→b is graded by
+    // support(a,b)/N, confidence supp(ab)/supp(a), and lift
+    // conf·N/supp(b). All counts are exact integers from two hash
+    // aggregates; the pair stage is a per-basket self-join whose
+    // fanout is bounded by the ≤7-line order schema (≤ C(7,2) = 21
+    // pairs per basket — the q243 enum-fanout class), and the rule
+    // frame itself is brand²-bounded (≤ 300 rows) before the windows.
+    // Output: top-15 rules by lift (ties broken by the pair).
+    "q250_assoc_rules" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ob = t(s, d, "lineitem").select($"l_orderkey", $"l_partkey")
+          .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
+            $"l_partkey" === $"p_partkey")
+          .select($"l_orderkey".as("ok"), $"p_brand".as("b"))
+          .distinct()
+          .localCheckpoint() // feeds N, singles, and both pair sides
+        val n = ob.agg(countDistinct($"ok").as("n_baskets"))
+        val singles = ob.groupBy($"b").agg(count(lit(1)).as("supp"))
+        val pairs = ob.select($"ok", $"b".as("ba"))
+          .join(ob.select($"ok", $"b".as("bb")), "ok")
+          .filter($"ba" < $"bb")
+          .groupBy($"ba", $"bb").agg(count(lit(1)).as("supp_ab"))
+        pairs
+          .join(broadcast(singles.select($"b".as("ba"), $"supp".as("supp_a"))), "ba")
+          .join(broadcast(singles.select($"b".as("bb"), $"supp".as("supp_b"))), "bb")
+          .crossJoin(broadcast(n))
+          .filter($"supp_ab" >= 100) // minsup floor (the Apriori prune)
+          .select($"ba", $"bb", $"supp_ab", $"supp_a", $"supp_b",
+            round($"supp_ab".cast("double") / $"supp_a", 6).as("confidence"),
+            round($"supp_ab".cast("double") * $"n_baskets" /
+              ($"supp_a" * $"supp_b"), 6).as("lift"))
+          .orderBy($"lift".desc, $"ba", $"bb")
+          .limit(15)
+      },
+      Some("""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM ob),
+        s AS (SELECT b, CAST(count(*) AS BIGINT) AS supp FROM ob GROUP BY 1),
+        p AS (SELECT a.b AS ba, c.b AS bb, CAST(count(*) AS BIGINT) AS supp_ab
+          FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b GROUP BY 1, 2)
+        SELECT ba, bb, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+          round(CAST(supp_ab AS DOUBLE) / sa.supp, 6) AS confidence,
+          round(CAST(supp_ab AS DOUBLE) * n_baskets
+            / (CAST(sa.supp AS HUGEINT) * sb.supp), 6) AS lift
+        FROM p JOIN s sa ON sa.b = ba JOIN s sb ON sb.b = bb CROSS JOIN n
+        WHERE supp_ab >= 100
+        ORDER BY lift DESC, ba, bb LIMIT 15"""),
+      "brand-pair association rules: support/confidence/lift, basket-bounded fanout"),
+
+    // ------------------------------------------ batch sessionization
+    // The BATCH twin of the streaming sessionizer (StreamPipeline's
+    // flatMapGroupsWithState demo): per-user event sessions split at
+    // >30-minute inactivity gaps — the canonical lag-window pattern.
+    // session id = running sum of new-session flags over the
+    // (user)-partitioned (ts, event_id) order (state per partition:
+    // one lag row), then two bounded aggregates: per-session counts →
+    // a session-LENGTH histogram (distinct-size-bounded output, never
+    // per-session rows). Durations are exact epoch-microsecond longs.
+    "q251_batch_sessions" -> Q(
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sess = t(s, d, "events")
+          .select($"user_id", $"event_id", $"ts")
+          .withColumn("new_s",
+            when($"ts" > lag($"ts", 1).over(w) + expr("INTERVAL 30 MINUTES")
+              || lag($"ts", 1).over(w).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum($"new_s").over(run))
+          .groupBy($"user_id", $"sid")
+          .agg(count(lit(1)).as("n_events"),
+            // NTZ→TS cast is a no-op in the UTC-pinned session
+            (unix_micros(max($"ts").cast("timestamp"))
+              - unix_micros(min($"ts").cast("timestamp"))).as("dur_us"))
+        sess.groupBy($"n_events")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum($"dur_us").as("total_dur_us"))
+          .orderBy($"n_events")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (SELECT user_id,
+            sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+            ts FROM e),
+        g AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+            CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+          FROM sess GROUP BY 1, 2)
+        SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+        FROM g GROUP BY 1 ORDER BY 1"""),
+      "per-user 30-min-gap sessionization folded to a session-length histogram")
   )
 }

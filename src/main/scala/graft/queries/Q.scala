@@ -32,6 +32,22 @@ object LayoutKey {
       s"${src.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_${src.lastModified}" +
       s"/$tag"
   }
+
+  /** Multi-source variant: the cache key folds in EVERY input table's
+    * mtime (the ScaleStress replica discipline — "any table, not just
+    * lineitem"), so regenerating ANY of them invalidates the layout.
+    * A single-table key here would silently serve edges derived from
+    * stale sibling tables (round-13 review catch on TradeGraph). */
+  def dir(d: String, tables: Seq[String], tag: String): String = {
+    require(tables.nonEmpty, "need at least one source table")
+    val head = new java.io.File(s"$d/${tables.head}.parquet")
+    val stamp = tables
+      .map(t => new java.io.File(s"$d/$t.parquet").lastModified)
+      .mkString("-")
+    "/tmp/graft_layout/" +
+      s"${head.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_$stamp" +
+      s"/$tag"
+  }
 }
 
 object Registry {

@@ -1381,10 +1381,7 @@ object TextQueries {
             concat(element_at(split(lower($"text"), " "), 1), lit(":"),
               expr("size(split(lower(text), ' ')) div 8").cast("string"))
               .as("blk"))
-          // explicit partition count: AQE would coalesce an advisory
-          // repartition of 5000 tiny rows back to ONE partition and
-          // single-thread every DP again
-          .repartition(32, col("blk"))
+          .transform(Relational.spread(_, col("blk"))) // vs AQE coalesce
           .localCheckpoint() // feeds block sizes AND both join sides
         val okBlocks = base.groupBy($"blk").agg(count(lit(1)).as("n"))
           .filter($"n" <= 200) // stop-block cap: a degenerate hot block

@@ -31,7 +31,10 @@ object TradeGraph {
 
   private def build(s: SparkSession, d: String, tag: String,
                     nations: Option[Seq[Int]]): DataFrame = {
-    val path = LayoutKey.dir(d, "lineitem", tag)
+    // keyed on ALL THREE source tables' mtimes: regenerating orders or
+    // customer (not just lineitem) must invalidate the edges, or every
+    // consumer silently analyzes a stale graph (self-review catch)
+    val path = LayoutKey.dir(d, Seq("lineitem", "orders", "customer"), tag)
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
       val o = nations match {
         case Some(ns) =>

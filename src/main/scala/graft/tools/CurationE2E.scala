@@ -151,7 +151,7 @@ object CurationE2E {
       val ws = TextFunctions.words($"text")
       val sh = corpus // bench 8-grams come from the RAW corpus: eval
         .filter($"doc_id" < 50 && size(ws) >= 8) // data is never "filtered"
-        .repartition($"doc_id")
+        .transform(graft.operators.Relational.spread(_, $"doc_id"))
         .select(explode(array_distinct(
           TextFunctions.wordShingles($"text", 8))).as("sh"))
         .distinct()

@@ -94,7 +94,8 @@ object ScaleStress {
     // blocked Levenshtein (stop-block-capped equi-join), windowed
     // funnel (user-keyed range join)
     "r13new" -> Seq("q245_bh_fdr", "q246_edit_blocking",
-      "q247_funnel_window", "q248_uplift_qini", "q249_conformal"))
+      "q247_funnel_window", "q248_uplift_qini", "q249_conformal",
+      "q250_assoc_rules", "q251_batch_sessions"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
