@@ -826,6 +826,83 @@ object StreamPipeline {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Timer-driven funnel timeout — the STREAMING twin of the batch
+    * windowed-conversion query (q247) and the engine's demonstration
+    * of transformWithState EVENT-TIME TIMERS (the new-API successor of
+    * the sessionizer's GroupStateTimeout): per user, the FIRST 'view'
+    * arms a timer at t0 + window; a 'purchase' inside (t0, t0+window]
+    * emits (user, t0_us, 1, lag_us) immediately and marks the funnel
+    * done; when the WATERMARK passes the deadline first,
+    * [[FunnelTimeoutProcessor.handleExpiredTimer]] emits
+    * (user, t0_us, 0, −1) — the not-converted outcome that append-mode
+    * logic can never finalize without a timer (absence of an event is
+    * not an event). State per user: one (t0, done) pair, never
+    * event-proportional; a late purchase after the timer fired finds
+    * done=true and is ignored, the correct under-watermark semantics.
+    * StreamingSpec pins the streamed outcome set against batch q247's
+    * converted flags on the same events. */
+  private class FunnelTimeoutProcessor(windowUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp, Long, String),
+        (String, Long, Int, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Boolean)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Boolean)]("funnel",
+        E.tuple(E.scalaLong, E.scalaBoolean), TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, java.sql.Timestamp, Long, String)],
+                                 tv: TimerValues): Iterator[(String, Long, Int, Long)] = {
+      var (t0, done) = if (st.exists()) st.get() else (Long.MinValue, false)
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Int, Long)]()
+      rows.toArray.sortBy(_._3).foreach { case (_, _, tsUs, et) =>
+        if (et == "view" && t0 == Long.MinValue) {
+          t0 = tsUs
+          // ceil to ms so the timer can never fire before an exactly
+          // boundary-timestamped purchase is watermark-complete
+          getHandle.registerTimer((t0 + windowUs + 999L) / 1000L)
+        } else if (et == "purchase" && t0 != Long.MinValue && !done &&
+            tsUs > t0 && tsUs <= t0 + windowUs) {
+          out += ((key, t0, 1, tsUs - t0))
+          done = true
+        }
+      }
+      if (t0 != Long.MinValue) st.update((t0, done))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(String, Long, Int, Long)] = {
+      val (t0, done) = if (st.exists()) st.get() else (Long.MinValue, true)
+      if (t0 != Long.MinValue && !done) {
+        st.update((t0, true))
+        Iterator((key, t0, 0, -1L))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[FunnelTimeoutProcessor]] over a raw (user, ts, event_type)
+    * frame: watermarks `ts` (event-time timers need the event-time
+    * clock), carries the exact micros alongside, and emits one
+    * (user, t0_us, converted, lag_us) outcome per first-view funnel.
+    * RocksDB provider required, as for [[cusumStream]]. */
+  def funnelTimeoutStream(events: DataFrame, tsCol: String,
+                          watermark: String, windowUs: Long)
+      : Dataset[(String, Long, Int, Long)] = {
+    require(windowUs > 0, s"window must be positive: $windowUs")
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col("user_id").cast("string"), col(tsCol),
+        unix_micros(col(tsCol)), col("event_type"))
+      .as[(String, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelTimeoutProcessor(windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Watermarked stream-stream inner equi-join with an event-time range
     * bound. Both sides buffer state only within their watermark; the
     * range predicate lets Spark evict rows once the other side's clock

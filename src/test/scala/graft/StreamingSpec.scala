@@ -1127,6 +1127,80 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("timer-driven funnel timeout matches the batch window semantics") {
+    // transformWithState EVENT-TIME TIMERS: converted funnels emit on
+    // the purchase row; unconverted ones emit ONLY when the watermark
+    // passes t0+window and handleExpiredTimer fires — the outcome an
+    // append query cannot produce (absence of an event is not an
+    // event). Pinned against a literal driver-side replay of q247's
+    // window rule on the same events.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = sf("sf0.001")
+      val winUs = 24L * 3600 * 1000000
+      val ev = Tables(spark, dir, "events")
+        .select($"user_id".cast("string"),
+          unix_micros($"ts".cast("timestamp")), $"event_type")
+        .as[(String, Long, String)].collect().sortBy(_._2)
+      // definitional replay of the q247 rule: first view t0; converted
+      // iff some purchase lands in (t0, t0 + 24h]
+      val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+        rows.filter(_._3 == "view").map(_._2).minOption.map { t0 =>
+          val conv = rows.exists(r => r._3 == "purchase" &&
+            r._2 > t0 && r._2 <= t0 + winUs)
+          (u, t0, if (conv) 1 else 0)
+        }
+      }.toSeq.sorted
+      assert(want.exists(_._3 == 1) && want.exists(_._3 == 0),
+        s"fixture sanity: need both outcomes, got ${want.count(_._3 == 1)} conv")
+      val stream = MemoryStream[(String, Long, String)]
+      val q = StreamPipeline.funnelTimeoutStream(
+          stream.toDF().toDF("user_id", "ts_us", "event_type")
+            .withColumn("ts", expr("timestamp_micros(ts_us)")),
+          "ts", "1 minute", winUs)
+        .toDF("user", "t0_us", "converted", "lag_us")
+        .writeStream.format("memory").queryName("funq")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("fun_ck").toString)
+        .start()
+      ev.grouped(ev.length / 3 + 1).foreach { ch =>
+        stream.addData(ch.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // two sentinel batches: the first advances the watermark past
+      // every deadline, the second gives the timers a batch to fire in
+      val far = ev.map(_._2).max + 4 * winUs
+      stream.addData(("__wm", far, "view")); q.processAllAvailable()
+      stream.addData(("__wm2", far + 1, "view")); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("funq")
+        .filter(!$"user".startsWith("__wm"))
+        .select($"user", $"t0_us", $"converted")
+        .as[(String, Long, Int)].collect().toSeq.sorted
+      assert(got == want,
+        s"streamed funnel outcomes diverged (${got.size} vs ${want.size}; " +
+          s"first: ${got.take(3)} vs ${want.take(3)})")
+      // converted rows carry the true in-window lag; timeouts carry -1
+      val lags = spark.table("funq").filter(!$"user".startsWith("__wm"))
+        .select($"converted", $"lag_us").as[(Int, Long)].collect()
+      assert(lags.forall { case (c, l) =>
+        if (c == 1) l > 0 && l <= winUs else l == -1L },
+        s"lag contract broke: ${lags.take(5).toSeq}")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamed Misra-Gries emits a tombstone when decrement-all empties the map") {
     // Without the tombstone, a latest-wins sink (max version) would keep
     // serving batch 1's counters after batch 2 emptied them — the empty
