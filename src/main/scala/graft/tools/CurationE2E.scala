@@ -90,6 +90,12 @@ object CurationE2E {
       (r.getLong(0), r.getLong(1))
     }
 
+    // Untimed warmup (the Bench/E2E discipline): absorb Hadoop FS init
+    // and codegen-framework JIT so leg 1 measures the scan, not the JVM
+    Tables(spark, sfDir, "documents").limit(100)
+      .select(TextFunctions.wordCount($"text").as("n"))
+      .agg(sum($"n")).head()
+
     // ---- leg 1: ingest ----
     val corpus = timed("ingest") {
       val df = mat(Tables(spark, sfDir, "documents")
