@@ -46,8 +46,10 @@ object Curation {
                    rawPhrase: Seq[String]): DataFrame = {
     require(rawPhrase.nonEmpty, "phrase must have at least one term")
     // fold the PHRASE's case too: postings are built from lowered text,
-    // so a mixed-case phrase term would silently match nothing
-    val phrase = rawPhrase.map(_.toLowerCase)
+    // so a mixed-case phrase term would silently match nothing.
+    // Locale.ROOT: default-locale toLowerCase diverges from Spark's
+    // locale-independent lower() (the tr-TR dotless-i trap)
+    val phrase = rawPhrase.map(_.toLowerCase(java.util.Locale.ROOT))
     val post = df
       .select(col(id), posexplode(split(lower(col(text)), " ")))
       .toDF(id, "pos", "term")

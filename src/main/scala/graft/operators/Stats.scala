@@ -556,17 +556,24 @@ object Stats {
       .withColumn("expct",
         (d38(col("p_a")) * d38(col("p_b"))).cast("double") /
           (d38(col("n")) * (d38(col("n")) - 1) / 2).cast("double"))
-      .withColumn("__den",
-        (d38(col("p_a")) + d38(col("p_b"))).cast("double") / 2.0 -
-          col("expct"))
       .select(col("n"), col("n_clusters"), col("n_labels"),
         col("p_ij"), col("p_a"), col("p_b"),
         // NULL BY CONTRACT on a degenerate design (the q220 logRank
-        // precedent): two trivial partitions — everything one cluster
-        // AND one label — make max==expected index, ARI undefined
-        // (hit live by the ×100 stress: 100 copies of one doc)
-        when(col("__den") =!= 0.0,
-          round((col("p_ij") - col("expct")) / col("__den"), 6))
+        // precedent): the denominator (p_a+p_b)/2 − p_a·p_b/T is zero
+        // EXACTLY when p_a = p_b ∈ {0, T} — both partitions trivial
+        // (one big cluster each: hit live by the ×100 stress, 100
+        // copies of one doc) or both all-singletons. Guarded by the
+        // EXACT INTEGER characterization, not a float compare: at
+        // T² > 2⁵³ the double-cast denominator of a degenerate design
+        // rounds to a tiny nonzero and a float guard would emit a
+        // garbage ratio (self-review catch).
+        when(col("p_a") === col("p_b") &&
+            (col("p_a") === 0L ||
+             d38(col("p_a")) === d38(col("n")) * (d38(col("n")) - 1) / 2),
+          lit(null).cast("double"))
+          .otherwise(round((col("p_ij") - col("expct")) /
+            ((d38(col("p_a")) + d38(col("p_b"))).cast("double") / 2.0 -
+              col("expct")), 6))
           .as("ari"))
   }
 

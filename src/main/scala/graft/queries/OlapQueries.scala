@@ -1040,8 +1040,12 @@ object OlapQueries {
           .filter($"supp_ab" >= 100) // minsup floor (the Apriori prune)
           .select($"ba", $"bb", $"supp_ab", $"supp_a", $"supp_b",
             round($"supp_ab".cast("double") / $"supp_a", 6).as("confidence"),
+            // DECIMAL product before the double cast: long*long supports
+            // overflow at warehouse scale (~2e10 each); this mirrors the
+            // oracle's HUGEINT-product-then-double semantics exactly
             round($"supp_ab".cast("double") * $"n_baskets" /
-              ($"supp_a" * $"supp_b"), 6).as("lift"))
+              ($"supp_a".cast("decimal(38,0)") * $"supp_b").cast("double"),
+              6).as("lift"))
           .orderBy($"lift".desc, $"ba", $"bb")
           .limit(15)
       },
@@ -1074,8 +1078,7 @@ object OlapQueries {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-        val run = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val sess = t(s, d, "events")
           .select($"user_id", $"event_id", $"ts")
           .withColumn("new_s",

@@ -1313,10 +1313,10 @@ object PipelineQueries {
           FROM (SELECT count(*) AS b FROM lab GROUP BY source)),
         nn AS (SELECT count(*) AS n FROM lab)
         SELECT n, n_clusters, n_labels, p_ij, p_a, p_b,
-          CASE WHEN CAST(CAST(p_a AS HUGEINT) + p_b AS DOUBLE) / 2.0
-               - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
-                 / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE) <> 0.0
-          THEN round((p_ij - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
+          CASE WHEN p_a = p_b AND (p_a = 0
+              OR CAST(p_a AS HUGEINT) = CAST(n AS HUGEINT) * (n - 1) // 2)
+          THEN NULL
+          ELSE round((p_ij - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)
               / CAST(CAST(n AS HUGEINT) * (n - 1) // 2 AS DOUBLE))
             / (CAST(CAST(p_a AS HUGEINT) + p_b AS DOUBLE) / 2.0
                - CAST(CAST(p_a AS HUGEINT) * p_b AS DOUBLE)

@@ -41,8 +41,15 @@ object LayoutKey {
   def dir(d: String, tables: Seq[String], tag: String): String = {
     require(tables.nonEmpty, "need at least one source table")
     val head = new java.io.File(s"$d/${tables.head}.parquet")
+    // fold each table's NAME into the stamp alongside its mtime: a
+    // bare mtime list would collide when a caller later swaps one
+    // sibling table for another written by the same datagen run
+    // (identical mtimes → identical key → stale layout served).
+    // Note java.io lastModified is 0 for a MISSING file — the key
+    // still differs once the file appears, so absence never pins a
+    // stale layout past the table's creation.
     val stamp = tables
-      .map(t => new java.io.File(s"$d/$t.parquet").lastModified)
+      .map(t => s"$t${new java.io.File(s"$d/$t.parquet").lastModified}")
       .mkString("-")
     "/tmp/graft_layout/" +
       s"${head.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_$stamp" +

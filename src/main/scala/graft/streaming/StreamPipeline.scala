@@ -837,26 +837,41 @@ object StreamPipeline {
     * (user, t0_us, 0, −1) — the not-converted outcome that append-mode
     * logic can never finalize without a timer (absence of an event is
     * not an event). State per user: one (t0, done) pair, never
-    * event-proportional; a late purchase after the timer fired finds
-    * done=true and is ignored, the correct under-watermark semantics.
-    * StreamingSpec pins the streamed outcome set against batch q247's
-    * converted flags on the same events. */
+    * event-proportional; a purchase arriving after the timer fired
+    * finds done=true and is ignored.
+    *
+    * Arrival contract (the SCD2/seqPairs discipline): per-user
+    * NONDECREASING event time ACROSS batches — rows within a batch are
+    * sorted here, but a cross-batch reorder (a purchase batch-1, its
+    * preceding view batch-2) could silently flip an outcome the batch
+    * query would count, so it fails loudly instead; resolve legal
+    * under-watermark disorder upstream (e.g. the buffered
+    * sessionizer). StreamingSpec pins the streamed outcome set against
+    * batch q247's converted flags on the same events AND the loud
+    * rollback guard. */
   private class FunnelTimeoutProcessor(windowUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, java.sql.Timestamp, Long, String),
         (String, Long, Int, Long)] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig}
     import org.apache.spark.sql.{Encoders => E}
-    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Boolean)] = _
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Boolean, Long)] = _ // (t0, done, lastTs — the order guard)
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[(Long, Boolean)]("funnel",
-        E.tuple(E.scalaLong, E.scalaBoolean), TTLConfig.NONE)
+      st = getHandle.getValueState[(Long, Boolean, Long)]("funnel",
+        E.tuple(E.scalaLong, E.scalaBoolean, E.scalaLong), TTLConfig.NONE)
     override def handleInputRows(key: String,
                                  rows: Iterator[(String, java.sql.Timestamp, Long, String)],
                                  tv: TimerValues): Iterator[(String, Long, Int, Long)] = {
-      var (t0, done) = if (st.exists()) st.get() else (Long.MinValue, false)
+      var (t0, done, lastTs) =
+        if (st.exists()) st.get() else (Long.MinValue, false, Long.MinValue)
       val out = scala.collection.mutable.ArrayBuffer[(String, Long, Int, Long)]()
       rows.toArray.sortBy(_._3).foreach { case (_, _, tsUs, et) =>
+        require(tsUs >= lastTs,
+          s"funnelTimeoutStream requires nondecreasing per-user event " +
+            s"time across batches: $key got $tsUs after $lastTs " +
+            s"(a cross-batch reorder could silently flip an outcome)")
+        lastTs = tsUs
         if (et == "view" && t0 == Long.MinValue) {
           t0 = tsUs
           // ceil to ms so the timer can never fire before an exactly
@@ -868,14 +883,15 @@ object StreamPipeline {
           done = true
         }
       }
-      if (t0 != Long.MinValue) st.update((t0, done))
+      if (lastTs != Long.MinValue) st.update((t0, done, lastTs))
       out.iterator
     }
     override def handleExpiredTimer(key: String, tv: TimerValues,
                                     info: ExpiredTimerInfo): Iterator[(String, Long, Int, Long)] = {
-      val (t0, done) = if (st.exists()) st.get() else (Long.MinValue, true)
+      val (t0, done, lastTs) =
+        if (st.exists()) st.get() else (Long.MinValue, true, Long.MinValue)
       if (t0 != Long.MinValue && !done) {
-        st.update((t0, true))
+        st.update((t0, true, lastTs))
         Iterator((key, t0, 0, -1L))
       } else Iterator.empty
     }

@@ -276,6 +276,13 @@ class PropertySpec extends SparkSpec {
       .select(col("ari")).collect()(0)
     assert(nullAri.isNullAt(0),
       s"degenerate ARI must be NULL by contract: $nullAri")
+    // the OTHER zero-denominator design: both sides all singletons
+    // (p_a = p_b = 0) — the integer guard must catch it too
+    val singl = (0 until 10).map(i => (i, s"c$i", s"l$i")).toDF("id", "cl", "lb")
+    val nullAri2 = graft.operators.Stats.clusterAri(singl, "cl", "lb")
+      .select(col("ari")).collect()(0)
+    assert(nullAri2.isNullAt(0),
+      s"all-singleton ARI must be NULL by contract: $nullAri2")
   }
 
   test("gini equals the brute-force sorted-rank formula on random multisets") {
