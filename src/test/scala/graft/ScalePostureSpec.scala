@@ -964,6 +964,41 @@ class ScalePostureSpec extends SparkSpec {
     }
   }
 
+  test("round-13 query family: plan shapes match their scale claims") {
+    // q245: the ×64 flip expansion must map-side combine (the q201/q236
+    // bootstrap shape) and the BH windows run over the nation frame
+    val p245 = plan("q245_bh_fdr")
+    assert(p245.contains("partial_sum"),
+      s"q245 flip sums must map-side combine:\n${p245.take(1200)}")
+    assert(!p245.contains("CartesianProduct"))
+    // q246: blocked Levenshtein may never plan an unbounded pair stage
+    val p246 = plan("q246_edit_blocking")
+    assert(!p246.contains("CartesianProduct"),
+      s"q246 pairs must come from the block equi-join:\n${p246.take(1200)}")
+    // q247: the window rule is a range-residual JOIN — no window
+    // functions, no cross product
+    val p247 = plan("q247_funnel_window")
+    assert(!p247.contains("Window") && !p247.contains("CartesianProduct"),
+      s"q247 must stay join-shaped:\n${p247.take(1200)}")
+    // q248: deciles come from broadcast cutpoints — an ntile/global row
+    // sort over the population is exactly the hazard this avoids
+    val p248 = plan("q248_uplift_qini")
+    assert(!p248.contains("ntile"),
+      s"q248 must not rank the population:\n${p248.take(1200)}")
+    assert(p248.contains("BroadcastExchange"),
+      s"q248 cutpoints must broadcast:\n${p248.take(1200)}")
+    // q249: every consumer (rate, histogram, coverage) reads the ONE
+    // checkpointed projection — no FileScan may appear in the plan
+    val p249 = plan("q249_conformal")
+    assert(p249.linesIterator.count(_.contains("FileScan")) == 0,
+      s"q249 must read only the checkpointed projection:\n${p249.take(1200)}")
+    assert(p249.linesIterator.exists(_.contains("Scan ExistingRDD")))
+    // q250: baskets pair via the ok equi-join; the rule joins broadcast
+    val p250 = plan("q250_assoc_rules")
+    assert(!p250.contains("CartesianProduct"),
+      s"q250 pairs must come from the basket equi-join:\n${p250.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a
