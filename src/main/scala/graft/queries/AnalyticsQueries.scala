@@ -1106,6 +1106,60 @@ object AnalyticsQueries {
           CAST(sum(c) AS BIGINT) AS n_converted,
           round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS cvr
         FROM f GROUP BY 1 ORDER BY 1"""),
-      "daily first-view cohorts converting to purchase within 24h, range-join shaped")
+      "daily first-view cohorts converting to purchase within 24h, range-join shaped"),
+
+    // ------------------------------------- cohort retention matrix
+    // The classic retention triangle every growth dashboard renders:
+    // customers cohorted by FIRST-order month, then for each month
+    // offset k the share of the cohort ordering again k months later.
+    // Month arithmetic is the integer key y·12+m (never months_between
+    // float semantics), so offsets are exact on both engines. Shape:
+    // one per-customer min aggregate (first order), one distinct
+    // (cohort, offset, customer) projection into a hash aggregate
+    // whose state is calendar²-bounded, cohort sizes broadcast back.
+    // Scoped to the 1995 cohorts × offsets 0..11 — a bounded 12×12
+    // triangle (the output contract; raw scans stay full-table).
+    "q252_cohort_retention" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val o = t(s, d, "orders").select($"o_custkey",
+            (year($"o_orderdate") * 12 + month($"o_orderdate")).as("mk"))
+          .localCheckpoint() // feeds firsts AND the activity projection
+        val first = o.groupBy($"o_custkey").agg(min($"mk").as("cm"))
+          .filter($"cm" >= 1995 * 12 + 1 && $"cm" <= 1995 * 12 + 12)
+          .localCheckpoint() // feeds sizes AND the activity join
+        val sizes = first.groupBy($"cm").agg(count(lit(1)).as("cohort_size"))
+        val active = o.join(first, "o_custkey")
+          .select($"cm", ($"mk" - $"cm").cast("long").as("k"), $"o_custkey")
+          .filter($"k" <= 11)
+          .distinct()
+          .groupBy($"cm", $"k").agg(count(lit(1)).as("n_active"))
+        active.join(broadcast(sizes), "cm")
+          // div, not `/`: Column `/` on ints is DOUBLE division
+          .select(expr("CAST(((cm - 1) div 12) * 100 " +
+              "+ (cm - ((cm - 1) div 12) * 12) AS BIGINT)").as("cohort_ym"),
+            $"k", $"n_active", $"cohort_size",
+            round($"n_active".cast("double") / $"cohort_size", 6)
+              .as("retention"))
+          .orderBy($"cohort_ym", $"k")
+      },
+      Some("""WITH o AS (SELECT o_custkey,
+            year(o_orderdate) * 12 + month(o_orderdate) AS mk
+          FROM orders),
+        f AS (SELECT o_custkey, min(mk) AS cm FROM o GROUP BY 1),
+        f95 AS (SELECT * FROM f
+          WHERE cm BETWEEN 1995 * 12 + 1 AND 1995 * 12 + 12),
+        sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS cohort_size
+          FROM f95 GROUP BY 1),
+        act AS (SELECT cm, k, CAST(count(*) AS BIGINT) AS n_active
+          FROM (SELECT DISTINCT f95.cm, o.mk - f95.cm AS k, o.o_custkey
+            FROM o JOIN f95 USING (o_custkey) WHERE o.mk - f95.cm <= 11)
+          GROUP BY 1, 2)
+        SELECT CAST((cm - 1) // 12 * 100 + (cm - (cm - 1) // 12 * 12)
+            AS BIGINT) AS cohort_ym,
+          k, n_active, cohort_size,
+          round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        FROM act JOIN sz USING (cm) ORDER BY cohort_ym, k"""),
+      "1995 monthly cohorts x 12 offsets retention triangle, integer month keys")
   )
 }

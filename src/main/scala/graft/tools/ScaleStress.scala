@@ -95,7 +95,8 @@ object ScaleStress {
     // funnel (user-keyed range join)
     "r13new" -> Seq("q245_bh_fdr", "q246_edit_blocking",
       "q247_funnel_window", "q248_uplift_qini", "q249_conformal",
-      "q250_assoc_rules", "q251_batch_sessions"))
+      "q250_assoc_rules", "q251_batch_sessions"),
+    "r13c" -> Seq("q252_cohort_retention"))
 
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
