@@ -294,4 +294,40 @@ class AnalyticsOpsSpec extends SparkSpec {
       spark, sf("sf0.001")).as[(String, Long, Long, Double)].collect().toSeq
     assert(got == want, s"medians diverged:\n$got\n$want")
   }
+
+  test("q252 cohort retention: a literal first-order replay reproduces the triangle") {
+    // Definitional replay in plain Scala — defends the y·12+m month
+    // arithmetic and the (cm−1) div 12 year-month reconstruction (a
+    // December off-by-one in either would survive a mirrored oracle).
+    val dir = sf("sf0.001")
+    val rows = Tables(spark, dir, "orders")
+      .select($"o_custkey",
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("mk"))
+      .as[(Long, Int)].collect()
+    val first = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohorts = first.filter { case (_, cm) =>
+      cm >= 1995 * 12 + 1 && cm <= 1995 * 12 + 12 }
+    val sizes = cohorts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val active = rows.flatMap { case (cust, mk) =>
+      cohorts.get(cust).collect {
+        case cm if mk - cm <= 11 => (cm, (mk - cm).toLong, cust) }
+    }.distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong)
+    val want = active.toSeq.map { case ((cm, k), nAct) =>
+      val ym = ((cm - 1) / 12).toLong * 100 + (cm - (cm - 1) / 12 * 12)
+      (ym, k, nAct, sizes(cm),
+        // HALF_UP like the engines' round(), never math.rint's banker's
+        BigDecimal(nAct.toDouble / sizes(cm))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(t => (t._1, t._2))
+    assert(want.nonEmpty && want.exists(_._2 > 0),
+      s"fixture sanity: need cohorts with later activity (${want.size})")
+    // December cohort must reconstruct as yyyy12, never (yyyy+1)00
+    assert(want.forall { case (ym, _, _, _, _) =>
+      ym % 100 >= 1 && ym % 100 <= 12 }, s"month reconstruction broke")
+    val got = graft.queries.Registry.queries("q252_cohort_retention")(
+      spark, dir).as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == want,
+      s"triangle diverged (${got.size} vs ${want.size}; " +
+        s"first: ${got.take(3)} vs ${want.take(3)})")
+  }
 }
