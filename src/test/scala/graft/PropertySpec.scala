@@ -285,6 +285,32 @@ class PropertySpec extends SparkSpec {
       s"all-singleton ARI must be NULL by contract: $nullAri2")
   }
 
+  test("bhStepUp equals the literal BH fold on random p-value families") {
+    import org.apache.spark.sql.functions._
+    // random rational p-families (numerators over den=100), alpha=1/4:
+    // the engine's windowed step-up must equal the textbook driver fold
+    // k* = max{k : alphaDen·m·p_(k) <= den·alphaNum·k} on every draw
+    val gen = Gen.choose(1, 12).flatMap(m =>
+      Gen.listOfN(m, Gen.choose(1L, 100L)))
+    (1L to 8L).foreach { seed =>
+      val pn = gen(Gen.Parameters.default, Seed(seed)).get
+      val m = pn.size
+      val sorted = pn.zipWithIndex.sortBy { case (p, i) => (p, i) }
+      val kstar = sorted.zipWithIndex.collect {
+        case ((p, _), r) if 4L * m * p <= 100L * 1L * (r + 1) => r + 1
+      }.maxOption.getOrElse(0)
+      val want = sorted.zipWithIndex.map { case ((p, id), r) =>
+        (id, r + 1, if (r + 1 <= kstar) 1 else 0) }.sortBy(_._1)
+      val got = graft.operators.Stats.bhStepUp(
+          pn.zipWithIndex.map { case (p, i) => (i, p) }.toDF("id", "pn")
+            .repartition(2),
+          col("pn"), col("id"), den = 100L, alphaNum = 1L, alphaDen = 4L)
+        .select(col("id"), col("p_rank"), col("rejected"))
+        .as[(Int, Int, Int)].collect().toSeq.sortBy(_._1)
+      assert(got == want, s"seed $seed (m=$m, pn=$pn): $got vs $want")
+    }
+  }
+
   test("gini equals the brute-force sorted-rank formula on random multisets") {
     import org.apache.spark.sql.functions._
     val gen = Gen.listOfN(40, Gen.choose(0L, 50L)) // heavy ties on purpose
