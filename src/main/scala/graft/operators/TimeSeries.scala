@@ -474,6 +474,82 @@ object TimeSeries {
       .orderBy(col(ord))
   }
 
+  /** Holt-Winters ADDITIVE seasonal smoothing (Winters 1960) — the
+    * seasonal completion of [[holtLinear]] and the third member of the
+    * classical exponential family (SES ≡ the EWMA level, Holt adds
+    * trend, HW adds the m-periodic seasonal state):
+    *   l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t)   + (1−γ)s_{t−m}
+    *   fit_t = l_{t−1} + b_{t−1} + s_{t−m}   (the one-step forecast)
+    * Textbook two-season init: l = mean(season 1), b = (mean(season 2)
+    * − mean(season 1))/m, s_i = y_i − l for the first season; output
+    * starts at t = m+1 (the first smoothed period). Same declared
+    * calendar-bounded driver-fold contract as [[holtLinear]]: micro-
+    * cent integer fixed point with TRUNCATING division (Scala Long `/`
+    * == DuckDB `//` on integers, negatives included — verified −7/2 =
+    * −3 in both), every step in `*Exact` arithmetic so a wrap throws
+    * loudly, loud `maxRows` and two-sided per-period cents caps, and
+    * n ≥ 2·period so both init seasons exist. The q253 oracle replays
+    * the whole trajectory through ONE recursive CTE carrying the
+    * m-slot seasonal state as a list; TimeSeriesSpec replays it
+    * independently in BigInt. Output: (ordinal, cents, level_micro,
+    * trend_micro, season_micro, fitted_micro), one row per smoothed
+    * period. */
+  def holtWinters(series: DataFrame, ord: String, cents: String,
+                  period: Int = 12,
+                  aNum: Long = 2, aDen: Long = 10,
+                  bNum: Long = 1, bDen: Long = 10,
+                  gNum: Long = 3, gDen: Long = 10,
+                  maxRows: Int = 1000): DataFrame = {
+    require(period >= 2, s"need a real season: period=$period")
+    require(aNum > 0 && aDen > aNum && bNum > 0 && bDen > bNum &&
+      gNum > 0 && gDen > gNum,
+      s"weights must lie in (0,1): $aNum/$aDen, $bNum/$bDen, $gNum/$gDen")
+    val spark = series.sparkSession
+    import spark.implicits._
+    val rows = series.select(col(ord).cast("long"), col(cents).cast("long"))
+      .orderBy(col(ord)).limit(maxRows + 1).as[(Long, Long)].collect()
+    require(rows.length >= 2 * period,
+      s"holtWinters needs >= 2 full seasons (${2 * period}): ${rows.length}")
+    require(rows.length <= maxRows,
+      s"holtWinters is a declared calendar-bounded driver fold: " +
+        s"over $maxRows rows — pre-aggregate the series")
+    // the init sums fold `period` micro-cent terms, so the per-period
+    // cap divides the holtLinear headroom by the period; two-sided —
+    // abs(Long.MinValue) wraps negative past a one-sided compare
+    val lim = Long.MaxValue / 1000000L /
+      (aDen max bDen max gDen) / period
+    require(rows.forall(r => r._2 > -lim && r._2 < lim),
+      s"holtWinters micro fixed point caps |cents| at $lim per period")
+    import java.lang.Math.{addExact, multiplyExact, subtractExact}
+    val m = period
+    val sum1 = rows.take(m).map(_._2).reduce(addExact(_, _))
+    val sum2 = rows.slice(m, 2 * m).map(_._2).reduce(addExact(_, _))
+    var l = multiplyExact(sum1, 1000000L) / m
+    var b = multiplyExact(subtractExact(sum2, sum1), 1000000L) / (m.toLong * m)
+    val s = Array.tabulate(m)(i =>
+      subtractExact(multiplyExact(rows(i)._2, 1000000L), l))
+    val out = Array.ofDim[(Long, Long, Long, Long, Long, Long)](rows.length - m)
+    for (t <- m until rows.length) {
+      val y = multiplyExact(rows(t)._2, 1000000L)
+      val sOld = s(t % m)
+      val fit = addExact(addExact(l, b), sOld)
+      val lPrev = l
+      l = addExact(multiplyExact(aNum, subtractExact(y, sOld)),
+        multiplyExact(aDen - aNum, addExact(lPrev, b))) / aDen
+      b = addExact(multiplyExact(bNum, subtractExact(l, lPrev)),
+        multiplyExact(bDen - bNum, b)) / bDen
+      s(t % m) = addExact(multiplyExact(gNum, subtractExact(y, l)),
+        multiplyExact(gDen - gNum, sOld)) / gDen
+      out(t - m) = (rows(t)._1, rows(t)._2, l, b, s(t % m), fit)
+    }
+    spark.createDataFrame(out.toIndexedSeq)
+      .toDF(ord, cents, "level_micro", "trend_micro", "season_micro",
+        "fitted_micro")
+      .orderBy(col(ord))
+  }
+
   /** EWMA control chart (Roberts 1959) — the third classical monitor
     * next to CUSUM (q202) and the mSPRT (q217), and the level-only
     * sibling of [[holtLinear]] whose POINT is the alarm, not the

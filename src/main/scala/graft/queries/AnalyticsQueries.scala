@@ -1160,6 +1160,65 @@ object AnalyticsQueries {
           k, n_active, cohort_size,
           round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         FROM act JOIN sz USING (cm) ORDER BY cohort_ym, k"""),
-      "1995 monthly cohorts x 12 offsets retention triangle, integer month keys")
+      "1995 monthly cohorts x 12 offsets retention triangle, integer month keys"),
+
+    // --------------------------------- Holt-Winters additive smoothing
+    // The seasonal completion of q221's Holt (and q229's EWMA level):
+    // Winters 1960 additive form over the same 48-month revenue
+    // series, m = 12. The oracle replays the ENTIRE trajectory — level,
+    // trend, AND the 12-slot seasonal state carried as a list through
+    // one recursive CTE (l_t recomputed inline where b_t and s_t need
+    // it, the q221 precedent) — so the hash compare proves all three
+    // recurrences bit-for-bit. Integer micro-cents with truncating
+    // division throughout (Scala Long `/` == DuckDB `//`, negatives
+    // included); ×100-excluded like q221/q224 (replication multiplies
+    // PER-PERIOD revenue past the declared cap, which fires loudly —
+    // TimeSeriesSpec pins the guard and an independent BigInt replay).
+    "q253_holt_winters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ser = t(s, d, "orders")
+          .filter($"o_orderdate" >= "1994-01-01" && $"o_orderdate" < "1998-01-01")
+          .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate"))
+            .cast("long").as("ym"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+        graft.operators.TimeSeries.holtWinters(ser, "ym", "cents", period = 12)
+      },
+      Some("""WITH RECURSIVE ser AS (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS ym,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+          FROM orders
+          WHERE o_orderdate >= DATE '1994-01-01' AND o_orderdate < DATE '1998-01-01'
+          GROUP BY 1),
+        idx AS MATERIALIZED (SELECT ym, cents,
+            row_number() OVER (ORDER BY ym) AS rn FROM ser),
+        seed AS MATERIALIZED (SELECT
+            (SELECT CAST(sum(cents) AS BIGINT) FROM idx WHERE rn <= 12) AS sum1,
+            (SELECT CAST(sum(cents) AS BIGINT) FROM idx
+              WHERE rn > 12 AND rn <= 24) AS sum2,
+            (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n),
+        hw(rn, ym, cents, l, b, fit, sl) AS (
+          SELECT 12, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+              s.sum1 * 1000000 // 12,
+              (s.sum2 - s.sum1) * 1000000 // 144,
+              CAST(NULL AS BIGINT),
+              (SELECT list(i.cents * 1000000 - s.sum1 * 1000000 // 12
+                 ORDER BY i.rn) FROM idx i WHERE i.rn <= 12)
+            FROM seed s
+          UNION ALL
+          SELECT t.rn, t.ym, t.cents, t.lnew,
+              (1 * (t.lnew - t.lprev) + 9 * t.bprev) // 10,
+              t.lprev + t.bprev + t.sold,
+              list_slice(t.sl, 2, 12) ||
+                [(3 * (t.cents * 1000000 - t.lnew) + 7 * t.sold) // 10]
+            FROM (SELECT i.rn, i.ym, i.cents,
+                h.l AS lprev, h.b AS bprev, h.sl[1] AS sold, h.sl AS sl,
+                (2 * (i.cents * 1000000 - h.sl[1]) + 8 * (h.l + h.b)) // 10
+                  AS lnew
+              FROM hw h JOIN idx i ON i.rn = h.rn + 1) t)
+        SELECT ym, cents, l AS level_micro, b AS trend_micro,
+          sl[12] AS season_micro, fit AS fitted_micro
+        FROM hw WHERE rn > 12 ORDER BY ym"""),
+      "Holt-Winters additive: level+trend+12-slot seasonal state, one recursive CTE")
   )
 }

@@ -57,7 +57,9 @@ object ScaleStress {
       "q164_kcore", "q165_label_propagation", "q218_hits"),
     "composed" -> Seq("q205_dedup_first_neardup"),
     // round-12 additions: every NEW registered query gets a measured
-    // ×100 point (q218 rides the graph group). q221 and q224 are
+    // ×100 point (q218 rides the graph group). q221 and q224 (and
+    // round-13's q253 Holt-Winters, same envelope shrunk by its
+    // 12-month init sums) are
     // EXCLUDED by design: ×100 replication multiplies PER-PERIOD
     // revenue (unlike real growth, which would also extend the
     // calendar), so the runs trip the calendar folds' declared

@@ -138,6 +138,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == want, s"fixed-point trajectory diverged:\n$got\n$want")
   }
 
+  test("holtWinters is bit-equal to an independent BigInt replay; guards fire") {
+    import graft.operators.TimeSeries
+    // period 4, three seasons with a NEGATIVE seasonal trough so the
+    // truncating division direction is exercised on the seasonal state
+    val ys = Seq(100L, 300L, 50L, 200L, 140L, 360L, 80L, 250L,
+      180L, 410L, 110L, 300L)
+    val ser = ys.zipWithIndex.map { case (y, i) => (i.toLong + 1, y) }
+      .toDF("ord", "cents")
+    val got = TimeSeries.holtWinters(ser, "ord", "cents", period = 4)
+      .select($"ord", $"level_micro", $"trend_micro", $"season_micro",
+        $"fitted_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val m = 4
+    val sum1 = ys.take(m).sum; val sum2 = ys.slice(m, 2 * m).sum
+    var l = BigInt(sum1) * 1000000 / m
+    var b = BigInt(sum2 - sum1) * 1000000 / (m * m)
+    val s = Array.tabulate(m)(i => BigInt(ys(i)) * 1000000 - l)
+    val want = (m until ys.length).map { t =>
+      val y = BigInt(ys(t)) * 1000000
+      val sOld = s(t % m)
+      val fit = l + b + sOld
+      val lPrev = l
+      l = (2 * (y - sOld) + 8 * (lPrev + b)) / 10
+      b = (1 * (l - lPrev) + 9 * b) / 10
+      s(t % m) = (3 * (y - l) + 7 * sOld) / 10
+      (t.toLong + 1, l.toLong, b.toLong, s(t % m).toLong, fit.toLong)
+    }
+    assert(got == want, s"HW trajectory diverged:\n$got\n$want")
+    // guards: fewer than two full seasons, and the per-period cents cap
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtWinters(ser.limit(7), "ord", "cents", period = 4)
+    }
+    val lim = Long.MaxValue / 1000000L / 10L / 4L
+    val hot = (1 to 8).map(i =>
+      (i.toLong, if (i % 2 == 0) lim else -lim)).toDF("ord", "cents")
+    intercept[IllegalArgumentException] {
+      TimeSeries.holtWinters(hot, "ord", "cents", period = 4)
+    }
+  }
+
   test("holtLinear fails loudly (no silent wrap) on a sign-swinging near-cap series") {
     import graft.operators.TimeSeries
     // each period passes the per-period |cents| cap, but the two-point
