@@ -2,7 +2,7 @@ package graft.multimodal
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
@@ -135,6 +135,126 @@ object Multimodal {
         }
       }
   }
+
+  // ------------------------------------------------------------------
+  // Perceptual hashing (dHash) — the multimodal leg of the dedup family.
+  // ------------------------------------------------------------------
+
+  /** Deterministic grayscale value for the variant-PNG fixture at pixel
+    * (px,py): source `s` draws a Knuth-mixed pseudo-texture (well-spread
+    * dHash bits — a plain gradient collapses cross-source Hamming
+    * distances), variant `p` perturbs it perceptually:
+    * p=0 pristine; p=1 uniform +8 brightness (a monotone per-pixel map,
+    * which dHash is invariant to BY THEOREM — adjacent-pixel comparisons
+    * are unchanged); p=2 a 3×3 white block at the origin (a local edit
+    * that flips only the few hash bits sampled near it). Base values top
+    * out at 239+8 < 255, so the brightness shift never clips (clipping
+    * would break the invariance the spec pins). All arithmetic is
+    * non-negative Long — exactly replayable in DuckDB BIGINT CTEs. */
+  def variantGray(s: Long, p: Long, px: Int, py: Int): Int =
+    if (p == 2 && px < 3 && py < 3) 255
+    else {
+      val v = (s * 7919L + px * 104729L + py * 130363L) * 2654435761L
+      (((v % 2147483648L) >> 16) % 240 + (if (p == 1) 8 else 0)).toInt
+    }
+
+  /** Variant-PNG fixture encoder: for each id, source s = id/3 and
+    * variant p = id%3 select a (s%6+12) × (s%5+10) grayscale image via
+    * [[variantGray]], encoded with the REAL `javax.imageio` PNG codec on
+    * the executors (r=g=b, so integer luma recovers the gray exactly).
+    * Same partition-wise batch shape as [[encodePngs]]: one encoder
+    * context per partition, no shuffle. The image COUNT tracks the
+    * input row count — replicating the corpus ×k yields ×k images, so
+    * the scale sweep measures a genuinely data-proportional workload. */
+  def encodeVariantPngs(df: DataFrame, id: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    // spread BEFORE the per-row codec work: a single-file parquet scan
+    // (or an AQE-coalesced advisory repartition) would otherwise feed
+    // the whole corpus to one encoder thread (the q246/q42 lesson)
+    graft.operators.Relational.spread(df.select(col(id).cast("long").as(id)), col(id))
+      .as[Long].mapPartitions { ids =>
+      ids.map { mid =>
+        val (s, p) = (mid / 3, mid % 3)
+        val w = (s % 6 + 12).toInt
+        val h = (s % 5 + 10).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = variantGray(s, p, x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (mid, bos.toByteArray)
+      }
+    }.toDF("media_id", "content")
+  }
+
+  /** Decode + nearest-neighbor downsample to a `gw`×`gh` gray grid: the
+    * codec-slot half of dHash. ImageIO decodes on the executors
+    * (partition-wise batch, one codec context per partition); sample
+    * (x,y) reads pixel (x·W/gw, y·H/gh) — integer positions, so an
+    * external oracle can replay the sampling exactly — and gray is the
+    * integer luma (299r+587g+114b)/1000, exact for r=g=b. Emits the grid
+    * row-major as one small array column so the HASH half
+    * ([[dhashChunks]]) stays a pure codegen'd expression — the split
+    * keeps mapPartitions confined to the codec, the house rule for
+    * multimodal ops. */
+  def sampleGrayGrid(binary: DataFrame, gw: Int = 9, gh: Int = 8)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    binary.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (mid, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"media_id=$mid: not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= gw && h >= gh,
+            s"media_id=$mid: $w x $h smaller than the $gw x $gh sample grid")
+          val grays = new Array[Int](gw * gh)
+          var y = 0
+          while (y < gh) {
+            var x = 0
+            while (x < gw) {
+              val p = img.getRGB(x * w / gw, y * h / gh)
+              grays(y * gw + x) =
+                (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+                  + 114 * (p & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          (mid, w, h, grays)
+        }
+      }.toDF("media_id", "width", "height", "grays")
+  }
+
+  /** dHash from the sampled gray grid, as four 16-bit chunk columns
+    * c0..c3 (the [[graft.operators.Dedup.simhashChunks]] house
+    * representation — chunked sketches stay non-negative INT32, so both
+    * Hamming popcounts and the DuckDB oracle avoid BIGINT bit-63
+    * overflow, which DuckDB rejects). Bit i (= y·8+x) of the 64-bit hash
+    * is [grid(y, x+1) > grid(y, x)] — the classic horizontal-gradient
+    * hash (Krawetz 2013): invariant to any monotone brightness map,
+    * sensitive to structure. Built as a literal 64-term when() expression
+    * tree, fully inside whole-stage codegen (no UDF, no higher-order
+    * function). */
+  def dhashChunks(grays: Column, gw: Int = 9): Seq[Column] =
+    (0 until 4).map { k =>
+      (16 * k until 16 * k + 16).map { i =>
+        val (y, x) = (i / 8, i % 8)
+        when(element_at(grays, y * gw + x + 2) > element_at(grays, y * gw + x + 1),
+          lit(1 << (i % 16))).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"c$k")
+    }
 
   /** Frame sampling: every `everyN`-th frame index per asset, exploded to
     * one row per sampled frame — the fan-out stage a video feature

@@ -833,6 +833,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** Generic Hamming-banded near-dup pairs over an ALREADY-BUILT chunked
+    * 64-bit sketch (c0..c3 16-bit chunks) — the blocking stage shared by
+    * every perceptual-hash modality (dHash over images here; an audio
+    * chromaprint or video keyframe hash lands in the same shape). Where
+    * [[simhashBandedPairs]] fuses sketch construction with its fixed
+    * 4×16 banding, this one takes the sketch as input and parameterizes
+    * the band count: `nBands` ∈ {4, 8} splits the 64 bits into equal
+    * bands, and the pigeonhole guarantee (two sketches within Hamming
+    * d < nBands must agree exactly on ≥ 1 band) makes recall EXACT for
+    * `maxDist` ≤ nBands−1 — 8 bands buys d ≤ 7, the working range for
+    * perceptual image hashes, at the cost of 8-bit band values whose
+    * buckets grow with corpus size. That growth is the standard LSH
+    * skew story, handled the [[lshCandidates]] way: bucket sizes are
+    * counted first and buckets larger than `maxBucket` are DROPPED
+    * (stop-bucket removal — a near-constant-corpus band bucket would
+    * otherwise cost O(n²) candidate pairs); pairs in dropped buckets
+    * still surface through any of their other nBands−1 bands, and at
+    * corpus scale the wider-hash/multi-index upgrade path (256-bit
+    * pHash, HmSearch) keeps buckets sparse without changing this plan
+    * shape. Singleton buckets are skipped outright (no pair to emit).
+    * Candidates are verified with the exact chunked Hamming distance —
+    * every stage an equi-join/hash-aggregate on (band_idx, band_value),
+    * never all-pairs. */
+  def hammingBandedPairs(sketch: DataFrame, id: String, maxDist: Int,
+                         nBands: Int = 8, maxBucket: Int = 200): DataFrame = {
+    require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
+    require(maxDist < nBands,
+      s"maxDist=$maxDist: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
+    val sk = sketch.select(col(id), col("c0"), col("c1"), col("c2"), col("c3"))
+      .localCheckpoint()
+    val bandExprs: Seq[Column] =
+      if (nBands == 4) Seq(col("c0"), col("c1"), col("c2"), col("c3"))
+      else (0 until 8).map(b =>
+        shiftright(col(s"c${b / 2}"), 8 * (b % 2)).bitwiseAND(255))
+    val bands = sk.select(col(id), posexplode(array(bandExprs: _*)).as(Seq("bi", "bv")))
+    val keep = bands.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucket))
+    val inBuckets = bands.join(keep, Seq("bi", "bv"))
+    val cand = inBuckets.alias("a")
+      .join(inBuckets.alias("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    cand
+      .join(sk.select(col(id).as("id_a"), col("c0").as("a0"), col("c1").as("a1"),
+        col("c2").as("a2"), col("c3").as("a3")), "id_a")
+      .join(sk.select(col(id).as("id_b"), col("c0").as("b0"), col("c1").as("b1"),
+        col("c2").as("b2"), col("c3").as("b3")), "id_b")
+      .withColumn("dist", hammingChunks(
+        Seq(col("a0"), col("a1"), col("a2"), col("a3")),
+        Seq(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   // ------------------------------------------------- substring spans
 
   /** Substring-level duplication profile (Lee et al., "Deduplicating

@@ -306,6 +306,39 @@ object TextQueries {
          FROM cand JOIN sk sa ON sa.doc_id = id_a JOIN sk sb ON sb.doc_id = id_b)
        WHERE dist <= $maxDist ORDER BY id_a, id_b"""
 
+  /** Closed-form dHash replay for the variant-PNG fixture
+    * ([[graft.multimodal.Multimodal.encodeVariantPngs]]): rebuilds the
+    * sampled 9×8 gray grid from the deterministic pixel formula through
+    * integer CTEs — no codec, no md5 — ending in a `hash(media_id,
+    * c0..c3)` CTE the callers SELECT from. Constants mirror
+    * [[graft.multimodal.Multimodal.variantGray]] (Knuth multiplicative
+    * mixer, 240-bounded base, +8 brightness for p=1, 3×3 white block for
+    * p=2); sampling is the same integer nearest-neighbor (x·W/9, y·H/8).
+    * All arithmetic stays non-negative BIGINT — DuckDB rejects 1<<63, so
+    * the hash lives as four 16-bit chunks, the house sketch shape. */
+  private val dhashOracle: String =
+    """WITH ids AS (SELECT doc_id AS media_id, doc_id // 3 AS s, doc_id % 3 AS p,
+             (doc_id // 3) % 6 + 12 AS w, (doc_id // 3) % 5 + 10 AS h
+           FROM documents),
+       xs AS (SELECT unnest(generate_series(0, 8)) AS x),
+       ys AS (SELECT unnest(generate_series(0, 7)) AS y),
+       grid AS (SELECT media_id, s, p, x, y, (x * w) // 9 AS px, (y * h) // 8 AS py
+                FROM ids, xs, ys),
+       gray AS (SELECT media_id, x, y,
+           CASE WHEN p = 2 AND px < 3 AND py < 3 THEN 255
+                ELSE ((((s*7919 + px*104729 + py*130363) * 2654435761) % 2147483648) >> 16) % 240
+                     + CASE WHEN p = 1 THEN 8 ELSE 0 END END AS g
+         FROM grid),
+       bits AS (SELECT media_id, y, x, g,
+           lead(g) OVER (PARTITION BY media_id, y ORDER BY x) AS gn FROM gray),
+       hash AS (SELECT media_id,
+           CAST(sum(CASE WHEN x < 8 AND gn > g AND (y*8+x) // 16 = 0 THEN 1 << ((y*8+x) % 16) ELSE 0 END) AS INTEGER) AS c0,
+           CAST(sum(CASE WHEN x < 8 AND gn > g AND (y*8+x) // 16 = 1 THEN 1 << ((y*8+x) % 16) ELSE 0 END) AS INTEGER) AS c1,
+           CAST(sum(CASE WHEN x < 8 AND gn > g AND (y*8+x) // 16 = 2 THEN 1 << ((y*8+x) % 16) ELSE 0 END) AS INTEGER) AS c2,
+           CAST(sum(CASE WHEN x < 8 AND gn > g AND (y*8+x) // 16 = 3 THEN 1 << ((y*8+x) % 16) ELSE 0 END) AS INTEGER) AS c3
+         FROM bits GROUP BY media_id)
+    """
+
   private val EnStops = Seq("the", "a", "of", "and")
   private val DeStops = Seq("der", "die", "und", "das")
   private val EsStops = Seq("el", "la", "los", "y")
@@ -742,6 +775,68 @@ object TextQueries {
             + (255 - doc_id * 13 % 256) AS BIGINT) AS sum_b
         FROM documents WHERE doc_id < 300 ORDER BY media_id"""),
       "real PNG codec round-trip: decoded geometry + exact pixel sums"),
+
+    // --------------------------------------- perceptual hash (dHash)
+    // The multimodal leg of the dedup family: dHash (Krawetz 2013) over
+    // the variant-PNG fixture — one image per document row (so the image
+    // count is data-proportional: corpus ×k ⇒ images ×k), source s =
+    // doc_id/3 drawing a Knuth-mixed texture, variant p = doc_id%3
+    // applying a perceptual perturbation (p=1 uniform brightness, p=2 a
+    // local 3×3 edit). The Spark side runs the REAL codec round-trip
+    // (ImageIO encode → decode → 9×8 nearest-neighbor gray sample in the
+    // mapPartitions codec slot) then builds the hash as a pure codegen'd
+    // 64-term expression tree ([[graft.multimodal.Multimodal
+    // .dhashChunks]]); the oracle never touches a codec — it replays the
+    // closed-form pixel arithmetic through integer CTEs, so agreement
+    // proves the decode/sample/hash pipeline end-to-end (the q175
+    // discipline, extended to the hash).
+    "q254_dhash64" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
+          docs(s, d), "doc_id")
+        val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
+        grid.select($"media_id" +:
+            graft.multimodal.Multimodal.dhashChunks($"grays"): _*)
+          .orderBy($"media_id")
+      },
+      Some(dhashOracle + "\nSELECT media_id, c0, c1, c2, c3 FROM hash ORDER BY media_id"),
+      "dHash-64 perceptual hash via real PNG codec round-trip, chunked c0..c3"),
+
+    // ----------------------------- perceptual near-dup (Hamming-banded)
+    // Near-duplicate IMAGE pairs: dHash sketches blocked by 8×8-bit
+    // Hamming bands (equi-join on (band_idx, band_value) with the q42
+    // stop-bucket cap — never all-pairs), candidates verified at exact
+    // chunked Hamming ≤ 7. The ORACLE takes the INDEPENDENT path: exact
+    // all-pairs Hamming over the closed-form hashes, no banding — the
+    // hash-match therefore PROVES the 8-band pigeonhole recall guarantee
+    // (d ≤ 7 < 8 bands ⇒ some band agrees exactly) plus the fact that no
+    // fixture bucket overflows the cap (max bucket 57 at sf0.01, cap
+    // 200; an overflow would drop a pair and fail loudly here). The
+    // fixture guarantees signal: p=1 pairs sit at distance 0 (dHash's
+    // brightness invariance), p=2 pairs at 1..7, cross-source mass at
+    // mean ~32.
+    "q255_dhash_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
+          docs(s, d), "doc_id")
+        val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
+        val sketch = grid.select($"media_id" +:
+          graft.multimodal.Multimodal.dhashChunks($"grays"): _*)
+        Dedup.hammingBandedPairs(sketch, "media_id",
+            maxDist = 7, nBands = 8, maxBucket = 200)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(dhashOracle + s"""
+        SELECT * FROM (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+            CAST(${simhashDist("a", "b")} AS INTEGER) AS dist
+          FROM hash a JOIN hash b ON a.media_id < b.media_id)
+        WHERE dist <= 7 ORDER BY id_a, id_b"""),
+      "perceptual near-dup pairs: Hamming-banded dHash blocking vs exact-all-pairs oracle"),
 
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and

@@ -999,6 +999,20 @@ class ScalePostureSpec extends SparkSpec {
       s"q250 pairs must come from the basket equi-join:\n${p250.take(1200)}")
   }
 
+  test("q255 perceptual near-dup: band equi-join candidates, never all-pairs") {
+    // The dHash blocking stage is the q42 LSH discipline on images:
+    // candidates come from the (band_idx, band_value) equi-join over the
+    // stop-bucket-capped band table — a cartesian / nested-loop pair
+    // stage anywhere would mean the image corpus pairs quadratically
+    val p = plan("q255_dhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q255 pairs must come from the band equi-join:\n${p.take(1200)}")
+    // the sketch is checkpointed once and fans out (bands + two verify
+    // sides) — the codec never re-runs per consumer
+    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
+      s"q255 must read the checkpointed sketch, not re-decode per branch:\n${p.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a
