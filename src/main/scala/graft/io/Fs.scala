@@ -67,6 +67,35 @@ object Fs {
       throw new java.io.IOException(s"atomic promotion of $p failed (target exists?)")
   }
 
+  /** Build-and-promote for materialized layouts (the TradeGraph /
+    * PQ-index cache family): the builder writes its whole output tree
+    * into a HIDDEN tmp sibling (leading-dot name — Hadoop's path filter
+    * hides it from any concurrent reader's directory listing), then ONE
+    * directory rename publishes it. Concurrent JVMs racing the same
+    * cache path (Bench + a test run on the same testdata) each build
+    * into their own tmp; exactly one rename wins, losers delete their
+    * tmp and serve the winner's (complete, atomically-published)
+    * output — no reader can ever observe a half-built listing, which
+    * the old build-in-place `write.mode(overwrite).parquet(path)`
+    * allowed (round-13 ADVICE). Worst-case race on stores whose rename
+    * moves INTO an existing target (raw local FS): the loser's tmp
+    * lands nested under the winner's dir — still leading-dot, still
+    * invisible to readers, and both builders write identical content
+    * by construction. */
+  def promoteDir(spark: SparkSession, path: String)(build: String => Unit): Unit = {
+    val (f, hp) = fs(spark, path)
+    val tmp = new Path(hp.getParent,
+      s".${hp.getName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    build(tmp.toString)
+    val published = !f.exists(hp) && f.rename(tmp, hp)
+    if (!published) {
+      f.delete(tmp, true) // a concurrent builder won — serve its output
+      if (!f.exists(hp))
+        throw new java.io.IOException(
+          s"promotion of $path failed with no published winner present")
+    }
+  }
+
   /** Recursively delete a path if it exists (janitor passes). */
   def deleteRecursive(spark: SparkSession, p: String): Boolean = {
     val (f, hp) = fs(spark, p)

@@ -320,14 +320,19 @@ object Similarity {
                           corpus: DataFrame, path: String, id: String,
                           vec: String, kCells: Int, iters: Int,
                           scale: Double = 1e6): (DataFrame, DataFrame) = {
-    // assign/_SUCCESS is written LAST, so a half-built index (crash
-    // between the two writes) is rebuilt, never served; probed through
-    // Hadoop FS so the lifecycle holds on HDFS/S3A stores too
+    // assign/_SUCCESS is the completeness probe (written last inside
+    // the tmp build); the whole two-table index is then published by
+    // ONE atomic directory rename (Fs.promoteDir), so concurrent JVMs
+    // racing this cache path never read a half-built index; probed
+    // through Hadoop FS so the lifecycle holds on HDFS/S3A stores too
     if (!graft.io.Fs.exists(spark, s"$path/assign/_SUCCESS")) {
-      val (pts, cents) = kmeansCore(corpus, id, vec, kCells, iters, scale)
-      cents.write.mode("overwrite").parquet(s"$path/cents")
-      assignCells(pts, cents).select(col("pid"), col("cell"))
-        .write.mode("overwrite").parquet(s"$path/assign")
+      graft.io.Fs.deleteRecursive(spark, path) // torn pre-promote build
+      graft.io.Fs.promoteDir(spark, path) { tmp =>
+        val (pts, cents) = kmeansCore(corpus, id, vec, kCells, iters, scale)
+        cents.write.mode("overwrite").parquet(s"$tmp/cents")
+        assignCells(pts, cents).select(col("pid"), col("cell"))
+          .write.mode("overwrite").parquet(s"$tmp/assign")
+      }
     }
     (spark.read.parquet(s"$path/cents"), spark.read.parquet(s"$path/assign"))
   }
@@ -472,11 +477,14 @@ object Similarity {
                          ksub: Int, pqIters: Int, dims: Int,
                          scale: Double = 1e6): (DataFrame, DataFrame, DataFrame) = {
     if (!graft.io.Fs.exists(spark, s"$path/cand/_SUCCESS")) {
-      val (_, cents, codebooks, cand) = pqIndex(candidates, corpus, id, vec,
-        kCells, coarseIters, subspaces, ksub, pqIters, dims, scale)
-      cents.write.mode("overwrite").parquet(s"$path/cents")
-      codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
-      cand.write.mode("overwrite").parquet(s"$path/cand")
+      graft.io.Fs.deleteRecursive(spark, path) // torn pre-promote build
+      graft.io.Fs.promoteDir(spark, path) { tmp =>
+        val (_, cents, codebooks, cand) = pqIndex(candidates, corpus, id, vec,
+          kCells, coarseIters, subspaces, ksub, pqIters, dims, scale)
+        cents.write.mode("overwrite").parquet(s"$tmp/cents")
+        codebooks.write.mode("overwrite").parquet(s"$tmp/codebooks")
+        cand.write.mode("overwrite").parquet(s"$tmp/cand")
+      }
     }
     (spark.read.parquet(s"$path/cents"),
       spark.read.parquet(s"$path/codebooks"),

@@ -831,14 +831,28 @@ object Stats {
     * on a literal construction plus the textbook 15-p example).
     * The compare is pure integers — α = alphaNum/alphaDen and
     * p = pNum/den give p_(k) ≤ k·α/m ⟺ alphaDen·m·pNum ≤
-    * den·alphaNum·k — so no float touches any decision. Windows run
-    * over the family frame, which the caller guarantees enum-bounded
-    * (tests per segment/nation — never data-proportional). Adds
+    * den·alphaNum·k — so no float touches any decision. The rank
+    * window is GLOBAL (unpartitioned — the step-up couples every rank
+    * to m), i.e. single-partition by construction, so the operator
+    * carries the house loud-cap discipline: the family row count is
+    * probed with a `limit(maxFamily+1)` count (the TimeSeries guard
+    * shape — O(maxFamily), never a full count of an unbounded frame)
+    * and an over-cap family REFUSES instead of silently
+    * single-threading a data-proportional input. Callers are
+    * enum-bounded far below the default (q245 runs one test per
+    * nation, ≤ 25 rows); a genuinely larger family belongs in a
+    * partitioned per-stratum variant, not a bigger cap. Adds
     * (p_rank, rejected) to the input columns. */
   def bhStepUp(tests: DataFrame, pNum: Column, tie: Column, den: Long,
-               alphaNum: Long, alphaDen: Long): DataFrame = {
+               alphaNum: Long, alphaDen: Long,
+               maxFamily: Int = 4096): DataFrame = {
     require(den >= 1 && alphaNum >= 1 && alphaDen > alphaNum,
       s"need den >= 1 and alpha in (0,1): $alphaNum/$alphaDen over $den")
+    val probed = tests.limit(maxFamily + 1).count()
+    require(probed <= maxFamily,
+      s"bhStepUp family exceeds $maxFamily tests: the global step-up rank " +
+        s"window is single-partition by construction — partition the family " +
+        s"(per-stratum BH) instead of ranking it whole")
     val w = Window.orderBy(pNum, tie)
     val full = Window.orderBy(col("p_rank")).rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

@@ -1108,6 +1108,74 @@ object AnalyticsQueries {
         FROM f GROUP BY 1 ORDER BY 1"""),
       "daily first-view cohorts converting to purchase within 24h, range-join shaped"),
 
+    // ------------------------------------- multi-step windowed funnel
+    // The k-step generalization of q247 (round-13 directive #7) and the
+    // batch twin of StreamPipeline.funnelStepsStream: the ladder is
+    // view → click → purchase with a 24h window PER TRANSITION, each
+    // stage anchored at the previous stage's FIRST qualifying time
+    // (min over the window — identical to the stream's first-arrival
+    // rule under its nondecreasing-ts contract, which StreamingSpec
+    // pins). Shape: one per-user min aggregate for the anchor, then one
+    // user-keyed range semi-aggregate join PER TRANSITION — k bounded
+    // joins over per-user firsts, no windows, no cross product; output
+    // folds to the (k+1)-row stage histogram, never per-user rows.
+    // total_lag_us sums view→purchase lag over full completions only
+    // (partial funnels have no completed lag to sum).
+    "q256_funnel_steps" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ev = t(s, d, "events").localCheckpoint() // feeds all 3 type slices
+        val v = ev.filter($"event_type" === "view")
+          .groupBy($"user_id").agg(min($"ts").as("t0"))
+          .localCheckpoint() // anchors transition 1 AND the outcome join
+        val c1 = v.join(ev.filter($"event_type" === "click")
+              .select($"user_id".as("cu"), $"ts".as("cts")),
+            $"user_id" === $"cu" && $"cts" > $"t0" &&
+              $"cts" <= $"t0" + expr("INTERVAL 24 HOURS"))
+          .groupBy($"user_id", $"t0").agg(min($"cts").as("t1"))
+          .localCheckpoint() // anchors transition 2 AND the outcome join
+        val c2 = c1.join(ev.filter($"event_type" === "purchase")
+              .select($"user_id".as("pu"), $"ts".as("pts")),
+            $"user_id" === $"pu" && $"pts" > $"t1" &&
+              $"pts" <= $"t1" + expr("INTERVAL 24 HOURS"))
+          .groupBy($"user_id").agg(min($"pts").as("t2"))
+        v.join(c1.select($"user_id", $"t1"), Seq("user_id"), "left")
+          .join(c2.select($"user_id", $"t2"), Seq("user_id"), "left")
+          .select(
+            when($"t2".isNotNull, 2).when($"t1".isNotNull, 1).otherwise(0)
+              .as("stages"),
+            // NTZ→TS cast is a no-op in the UTC-pinned session (q251)
+            when($"t2".isNotNull,
+              unix_micros($"t2".cast("timestamp"))
+                - unix_micros($"t0".cast("timestamp"))).otherwise(0L)
+              .as("lag_us"))
+          .groupBy($"stages")
+          .agg(count(lit(1)).as("n_users"),
+            sum($"lag_us").as("total_lag_us"))
+          .orderBy($"stages")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        c1 AS (SELECT v.user_id, v.t0, min(e.ts) AS t1 FROM v JOIN events e
+            ON e.user_id = v.user_id AND e.event_type = 'click'
+            AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 24 HOUR
+          GROUP BY 1, 2),
+        c2 AS (SELECT c1.user_id, min(e.ts) AS t2 FROM c1 JOIN events e
+            ON e.user_id = c1.user_id AND e.event_type = 'purchase'
+            AND e.ts > c1.t1 AND e.ts <= c1.t1 + INTERVAL 24 HOUR
+          GROUP BY 1),
+        st AS (SELECT v.user_id,
+            CASE WHEN c2.user_id IS NOT NULL THEN 2
+                 WHEN c1.user_id IS NOT NULL THEN 1 ELSE 0 END AS stages,
+            CASE WHEN c2.user_id IS NOT NULL
+                 THEN epoch_us(c2.t2) - epoch_us(v.t0) ELSE 0 END AS lag_us
+          FROM v LEFT JOIN c1 ON c1.user_id = v.user_id
+                 LEFT JOIN c2 ON c2.user_id = v.user_id)
+        SELECT stages, count(*) AS n_users,
+          CAST(sum(lag_us) AS BIGINT) AS total_lag_us
+        FROM st GROUP BY 1 ORDER BY 1"""),
+      "k-step windowed funnel (view->click->purchase, 24h per step) folded to a stage histogram"),
+
     // ------------------------------------- cohort retention matrix
     // The classic retention triangle every growth dashboard renders:
     // customers cohorted by FIRST-order month, then for each month

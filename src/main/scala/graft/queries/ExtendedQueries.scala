@@ -1003,14 +1003,17 @@ object ExtendedQueries {
         import s.implicits._
         val layout = LayoutKey.dir(d, "orders", "orders_evolved")
         if (!graft.io.Fs.exists(s, s"$layout/_done.marker")) {
-          t(s, d, "orders").filter($"o_orderkey" < 2000)
-            .select($"o_orderkey", $"o_totalprice")
-            .write.mode("overwrite").parquet(s"$layout/v=1")
-          t(s, d, "orders")
-            .filter($"o_orderkey" >= 2000 && $"o_orderkey" < 4000)
-            .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
-            .write.mode("overwrite").parquet(s"$layout/v=2")
-          graft.io.Fs.touch(s, s"$layout/_done.marker")
+          graft.io.Fs.deleteRecursive(s, layout) // torn pre-promote build
+          graft.io.Fs.promoteDir(s, layout) { tmp =>
+            t(s, d, "orders").filter($"o_orderkey" < 2000)
+              .select($"o_orderkey", $"o_totalprice")
+              .write.mode("overwrite").parquet(s"$tmp/v=1")
+            t(s, d, "orders")
+              .filter($"o_orderkey" >= 2000 && $"o_orderkey" < 4000)
+              .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+              .write.mode("overwrite").parquet(s"$tmp/v=2")
+            graft.io.Fs.touch(s, s"$tmp/_done.marker")
+          }
         }
         s.read.option("mergeSchema", "true").parquet(layout)
           .groupBy(coalesce($"o_orderstatus", lit("pre-v2")).as("status"))

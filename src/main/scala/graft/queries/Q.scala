@@ -45,11 +45,14 @@ object LayoutKey {
     // bare mtime list would collide when a caller later swaps one
     // sibling table for another written by the same datagen run
     // (identical mtimes → identical key → stale layout served).
+    // The ':' delimiter keeps (name, mtime) pairs unambiguous — a
+    // table name ending in digits would otherwise let two distinct
+    // pairs concatenate to the same stamp (round-13 ADVICE).
     // Note java.io lastModified is 0 for a MISSING file — the key
     // still differs once the file appears, so absence never pins a
     // stale layout past the table's creation.
     val stamp = tables
-      .map(t => s"$t${new java.io.File(s"$d/$t.parquet").lastModified}")
+      .map(t => s"$t:${new java.io.File(s"$d/$t.parquet").lastModified}")
       .mkString("-")
     "/tmp/graft_layout/" +
       s"${head.getPath.replaceAll("[^A-Za-z0-9._-]", "_")}_$stamp" +

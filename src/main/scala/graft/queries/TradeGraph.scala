@@ -36,22 +36,30 @@ object TradeGraph {
     // consumer silently analyzes a stale graph (self-review catch)
     val path = LayoutKey.dir(d, Seq("lineitem", "orders", "customer"), tag)
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
-      val o = nations match {
-        case Some(ns) =>
-          val cust = Tables(s, d, "customer")
-            .filter(col("c_nationkey").isin(ns.map(Integer.valueOf): _*))
-            .select(col("c_custkey"))
-          Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-            .join(cust, col("o_custkey") === col("c_custkey"))
-        case None =>
-          Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // a dir without _SUCCESS is a torn pre-promoteDir build — clear it
+      // so the atomic publication below can land
+      graft.io.Fs.deleteRecursive(s, path)
+      // build into a hidden tmp + one atomic rename: two concurrent JVMs
+      // (Bench + a test run on the same testdata) each build privately,
+      // one rename wins, and no reader ever sees a half-built listing
+      graft.io.Fs.promoteDir(s, path) { tmp =>
+        val o = nations match {
+          case Some(ns) =>
+            val cust = Tables(s, d, "customer")
+              .filter(col("c_nationkey").isin(ns.map(Integer.valueOf): _*))
+              .select(col("c_custkey"))
+            Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+              .join(cust, col("o_custkey") === col("c_custkey"))
+          case None =>
+            Tables(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        }
+        Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("c"), col("o_custkey")).as("src"),
+            concat(lit("s"), col("l_suppkey")).as("dst"))
+          .distinct()
+          .write.mode("overwrite").parquet(tmp)
       }
-      Tables(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-        .join(o, col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
-        .distinct()
-        .write.mode("overwrite").parquet(path)
     }
     s.read.parquet(path)
   }

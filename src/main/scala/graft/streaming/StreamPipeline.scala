@@ -811,6 +811,71 @@ object StreamPipeline {
     }
   }
 
+  /** Incremental basket pair-support maintenance — the STREAMING twin
+    * of q250's association-rule pair stage (round-13 directive #5).
+    * Order lines arrive as (orderkey, brand) rows, possibly SPLIT
+    * across batches, duplicated (an order holds several lines of one
+    * brand), and in ANY order — brand-SET accumulation is commutative,
+    * so unlike [[SeqPairsProcessor]] there is no arrival-order
+    * contract to enforce. State per order is its distinct brand set,
+    * enum-bounded (TPC-H orders carry ≤ 7 lines; the require fails a
+    * runaway key loudly — this operator is for bounded basket
+    * vocabularies, the same declaration q250 makes batch-side with its
+    * ≤ C(7,2) fanout note). Each brand NEW to its order emits exactly
+    * one canonical (ba < bb) pair row per already-present brand, so
+    * every (order, pair) is emitted AT MOST ONCE over the stream's
+    * lifetime and a running count over the emitted rows equals the
+    * batch distinct-basket pair support EXACTLY at every batch
+    * boundary — versioned support snapshots by construction
+    * (StreamingSpec pins snapshot monotonicity per version and final
+    * equality against the q250 pair stage on the same lines). */
+  private class BasketPairsProcessor(maxBrands: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String), (Long, String, String)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[Array[String]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[String]]("brands",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 tv: TimerValues): Iterator[(Long, String, String)] = {
+      val have = scala.collection.mutable.LinkedHashSet(
+        (if (st.exists()) st.get() else Array.empty[String]).toIndexedSeq: _*)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+      rows.foreach { case (_, b) =>
+        if (!have.contains(b)) {
+          require(have.size < maxBrands,
+            s"basketPairsStream state is enum-bounded: order $key exceeded " +
+              s"$maxBrands distinct brands — this operator is for bounded " +
+              s"basket vocabularies")
+          have.foreach { a =>
+            val p = if (a < b) (key, a, b) else (key, b, a)
+            out += p
+          }
+          have += b
+        }
+      }
+      st.update(have.toArray)
+      out.iterator
+    }
+  }
+
+  /** [[BasketPairsProcessor]] wired to a typed stream of
+    * (orderkey, brand) lines. Emits one canonical (order, ba, bb) row
+    * the first time a basket is seen to contain both brands; group the
+    * output by (ba, bb) for running pair supports. RocksDB provider
+    * required, as for [[cusumStream]]. */
+  def basketPairsStream(lines: Dataset[(Long, String)], maxBrands: Int = 32)
+      : Dataset[(Long, String, String)] = {
+    require(maxBrands >= 2, s"need at least two brands per basket: $maxBrands")
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import lines.sparkSession.implicits._
+    lines.groupByKey(_._1)
+      .transformWithState(new BasketPairsProcessor(maxBrands),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** [[SeqPairsProcessor]] wired to a typed stream of
     * (user, tsMicros, event_type). Emits (user, a, b) exactly when
     * user's first a preceded their first b; RocksDB provider required,
@@ -901,9 +966,14 @@ object StreamPipeline {
     * frame: watermarks `ts` (event-time timers need the event-time
     * clock), carries the exact micros alongside, and emits one
     * (user, t0_us, converted, lag_us) outcome per first-view funnel.
-    * RocksDB provider required, as for [[cusumStream]]. */
+    * All three input columns are parameters (defaulting to the events
+    * fixture's names) so a differently-named frame binds explicitly
+    * instead of failing at plan time on a hardcoded name (round-13
+    * ADVICE). RocksDB provider required, as for [[cusumStream]]. */
   def funnelTimeoutStream(events: DataFrame, tsCol: String,
-                          watermark: String, windowUs: Long)
+                          watermark: String, windowUs: Long,
+                          userCol: String = "user_id",
+                          typeCol: String = "event_type")
       : Dataset[(String, Long, Int, Long)] = {
     require(windowUs > 0, s"window must be positive: $windowUs")
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -911,11 +981,115 @@ object StreamPipeline {
     events
       .withColumn(tsCol, col(tsCol).cast("timestamp"))
       .withWatermark(tsCol, watermark)
-      .select(col("user_id").cast("string"), col(tsCol),
-        unix_micros(col(tsCol)), col("event_type"))
+      .select(col(userCol).cast("string"), col(tsCol),
+        unix_micros(col(tsCol)), col(typeCol))
       .as[(String, java.sql.Timestamp, Long, String)]
       .groupByKey(_._1)
       .transformWithState(new FunnelTimeoutProcessor(windowUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Multi-step funnel with per-step windows and RE-ARMED event-time
+    * timers — the k-step generalization of [[FunnelTimeoutProcessor]]
+    * (round-13 directive #7): `steps` is the ordered event-type ladder
+    * (e.g. view → click → purchase) and windowsUs(i) bounds the wait
+    * for steps(i+1) after steps(i)'s event time. State per user stays
+    * ONE (stage, stageTs, t0, done, lastTs) tuple whatever k is; each
+    * advancement re-arms the timer at the NEW deadline. A previously
+    * registered timer cannot be deleted without tracking its exact
+    * registration, so a STALE expiry (the stage advanced after arming)
+    * is disarmed by COMPARISON instead: expiry earlier than the current
+    * stage's ceil-ms deadline is ignored. Outcomes, one per funnel:
+    * reaching the last step emits (user, t0_us, k−1, total_lag_us) on
+    * the arriving row; the watermark passing the CURRENT deadline first
+    * emits (user, t0_us, stages_completed, −1) from the timer. Same
+    * per-user nondecreasing-ts arrival contract as the one-step
+    * processor, enforced loudly. */
+  private class FunnelStepsProcessor(steps: Array[String],
+                                     windowsUs: Array[Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, java.sql.Timestamp, Long, String),
+        (String, Long, Int, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => E}
+    // (stage, stageTs, t0, done, lastTs — the order guard)
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Int, Long, Long, Boolean, Long)] = _
+    private def deadlineMs(stageTs: Long, stage: Int): Long =
+      (stageTs + windowsUs(stage) + 999L) / 1000L // ceil, as 1-step
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Long, Long, Boolean, Long)]("fsteps",
+        E.product[(Int, Long, Long, Boolean, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+                                 rows: Iterator[(String, java.sql.Timestamp, Long, String)],
+                                 tv: TimerValues): Iterator[(String, Long, Int, Long)] = {
+      var (stage, stageTs, t0, done, lastTs) =
+        if (st.exists()) st.get() else (-1, 0L, 0L, false, Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer[(String, Long, Int, Long)]()
+      rows.toArray.sortBy(_._3).foreach { case (_, _, tsUs, et) =>
+        require(tsUs >= lastTs,
+          s"funnelStepsStream requires nondecreasing per-user event " +
+            s"time across batches: $key got $tsUs after $lastTs " +
+            s"(a cross-batch reorder could silently flip an outcome)")
+        lastTs = tsUs
+        if (stage == -1) {
+          if (et == steps(0)) {
+            stage = 0; stageTs = tsUs; t0 = tsUs
+            getHandle.registerTimer(deadlineMs(stageTs, 0))
+          }
+        } else if (!done && et == steps(stage + 1) &&
+            tsUs > stageTs && tsUs <= stageTs + windowsUs(stage)) {
+          stage += 1; stageTs = tsUs
+          if (stage == steps.length - 1) {
+            done = true
+            out += ((key, t0, stage, tsUs - t0))
+          } else getHandle.registerTimer(deadlineMs(stageTs, stage))
+        }
+      }
+      if (lastTs != Long.MinValue) st.update((stage, stageTs, t0, done, lastTs))
+      out.iterator
+    }
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[(String, Long, Int, Long)] = {
+      val (stage, stageTs, t0, done, lastTs) =
+        if (st.exists()) st.get() else (-1, 0L, 0L, true, Long.MinValue)
+      // stale-timer disarm: an expiry armed for an EARLIER stage sits
+      // before the current deadline and must not finalize the funnel
+      if (stage >= 0 && !done &&
+          info.getExpiryTimeInMs() >= deadlineMs(stageTs, stage)) {
+        st.update((stage, stageTs, t0, true, lastTs))
+        Iterator((key, t0, stage, -1L))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[FunnelStepsProcessor]] over a raw (user, ts, event_type) frame —
+    * the same wiring contract as [[funnelTimeoutStream]] (explicit
+    * column parameters, watermarked event-time clock, exact micros
+    * carried alongside). Emits ONE (user, t0_us, stages_completed,
+    * total_lag_us) outcome per funnel: stages_completed = k−1 with the
+    * true view→last-step lag when the ladder completes, else the stage
+    * reached with lag −1 when the watermark passes that stage's
+    * deadline. RocksDB provider required, as for [[cusumStream]]. */
+  def funnelStepsStream(events: DataFrame, tsCol: String, watermark: String,
+                        steps: Seq[String], windowsUs: Seq[Long],
+                        userCol: String = "user_id",
+                        typeCol: String = "event_type")
+      : Dataset[(String, Long, Int, Long)] = {
+    require(steps.length >= 2 && steps.distinct.length == steps.length,
+      s"need >= 2 DISTINCT funnel steps: $steps")
+    require(windowsUs.length == steps.length - 1 && windowsUs.forall(_ > 0),
+      s"need one positive window per transition: $windowsUs for $steps")
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import events.sparkSession.implicits._
+    events
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol).cast("string"), col(tsCol),
+        unix_micros(col(tsCol)), col(typeCol))
+      .as[(String, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new FunnelStepsProcessor(steps.toArray, windowsUs.toArray),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -56,29 +56,42 @@ import graft.operators.{Curation, Dedup}
   * Every leg ends in an eager localCheckpoint + count, so each wall
   * time covers exactly its own stage (no lazy-plan bleed into the next
   * leg). Legs reuse the registered operators/shapes — nothing here is
-  * a shell. Wall-clock + counts are the artifact, as in `E2E.json`. */
+  * a shell. Wall-clock + counts are the artifact, as in `E2E.json`.
+  *
+  * With a `xN` argument (e.g. `x10`) the SAME composed pipeline also
+  * runs against the ×N ScaleStress replica and the artifact gains a
+  * "scaling" block with per-leg ratios — the composed-pipeline scale
+  * claim measured directly, not inferred from its ingredients (round-13
+  * verdict directive #2). Replication makes every document an exact
+  * ×N duplicate group, so the EXPECTED shape is: scan-bound legs
+  * (ingest/quality/exact_dedup) near ×N, and everything downstream of
+  * the fingerprint dedup near ×1 — the dedup-first composition
+  * collapsing duplication before any pairwise stage is precisely what
+  * q205 pins per-query. A near-dup or decontaminate leg that scaled
+  * with ×N here would mean the composition is broken. */
 object CurationE2E {
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("CURATION_E2E.json")
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** One leg's record: name, wall seconds, surviving docs, tokens. */
+  final case class Leg(name: String, sec: Double, docs: Long, tokens: Long)
+
+  /** Full-run result: per-leg timings plus the split/leak acceptance
+    * numbers (chunks, sequences, train/test doc+token counts, and the
+    * straddling-fingerprint count the caller REQUIREs to be zero). */
+  final case class RunResult(legs: Seq[Leg], chunks: Long, seqs: Long,
+      straddling: Long, trainDocs: Long, trainToks: Long,
+      testDocs: Long, testToks: Long)
+
+  /** The composed pipeline, parameterized only by the source dir so the
+    * base and ×N-replica runs execute the identical plan chain. */
+  def runLegs(spark: SparkSession, sfDir: String): RunResult = {
     import spark.implicits._
 
-    val legs = scala.collection.mutable.ArrayBuffer
-      .empty[(String, Double, Long, Long)] // name, sec, docs, tokens
+    val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
     def timed(name: String)(body: => (DataFrame, Long, Long)): DataFrame = {
       val t0 = System.nanoTime()
       val (df, docs, toks) = body
-      legs += ((name, (System.nanoTime() - t0) / 1e9, docs, toks))
-      println(f"[curation] $name%-16s ${legs.last._2}%8.2f s  " +
+      legs += Leg(name, (System.nanoTime() - t0) / 1e9, docs, toks)
+      println(f"[curation] $name%-16s ${legs.last.sec}%8.2f s  " +
         f"docs=$docs%7d  tokens=$toks%9d")
       df
     }
@@ -87,14 +100,10 @@ object CurationE2E {
     def census(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)), sum(TextFunctions.wordCount($"text")))
         .head()
-      (r.getLong(0), r.getLong(1))
+      // sum() over zero rows is NULL — a fully-filtering gate should
+      // report 0 survivors, not NPE the tool (the Dedup.scala pattern)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-
-    // Untimed warmup (the Bench/E2E discipline): absorb Hadoop FS init
-    // and codegen-framework JIT so leg 1 measures the scan, not the JVM
-    Tables(spark, sfDir, "documents").limit(100)
-      .select(TextFunctions.wordCount($"text").as("n"))
-      .agg(sum($"n")).head()
 
     // ---- leg 1: ingest ----
     val corpus = timed("ingest") {
@@ -192,8 +201,8 @@ object CurationE2E {
             md5(array_join(slice($"w", ($"chunk_idx" * S + 1).cast("int"),
               lit(C)), " ")).as("chunk_hash")))
         n = df.count()
-        val toks = df.agg(sum($"n_tok")).head().getLong(0)
-        (df, n, toks)
+        val toksRow = df.agg(sum($"n_tok")).head()
+        (df, n, if (toksRow.isNullAt(0)) 0L else toksRow.getLong(0))
       }
       n
     }
@@ -205,8 +214,8 @@ object CurationE2E {
         val df = mat(Curation.packSequences(clean, "doc_id", "text",
           seqLen = 64))
         n = df.count()
-        val toks = df.agg(sum($"n_tokens")).head().getLong(0)
-        (df, n, toks)
+        val toksRow = df.agg(sum($"n_tokens")).head()
+        (df, n, if (toksRow.isNullAt(0)) 0L else toksRow.getLong(0))
       }
       n
     }
@@ -237,28 +246,80 @@ object CurationE2E {
       }
       res
     }
+    val (trd, trt, ted, tet) = splitRow
+    RunResult(legs.toSeq, nChunks, nSeqs, straddling, trd, trt, ted, tet)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("CURATION_E2E.json")
+    // optional "xN" second arg: also run the composed pipeline against
+    // the ×N ScaleStress replica and emit per-leg ratios
+    val scaleFactor: Option[Int] =
+      args.drop(1).headOption.map { a =>
+        require(a.matches("x\\d+"), s"expected xN (e.g. x10), got $a")
+        a.drop(1).toInt
+      }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // Untimed warmup (the Bench/E2E discipline): absorb Hadoop FS init
+    // and codegen-framework JIT so leg 1 measures the scan, not the JVM
+    Tables(spark, sfDir, "documents").limit(100)
+      .select(TextFunctions.wordCount($"text").as("n"))
+      .agg(sum($"n")).head()
+
+    val base = runLegs(spark, sfDir)
     // acceptance check: leg 3 deduped at the FINGERPRINT level, so no
     // two surviving docs can share a normalized token set — a nonzero
     // straddle count would mean the composition is broken, fail loudly
-    require(straddling == 0L,
+    require(base.straddling == 0L,
       s"composed pipeline must leave ZERO straddling fingerprints, " +
-        s"got $straddling — fingerprint dedup leg is broken")
-    println(s"[curation] straddling fingerprints after dedup: $straddling")
+        s"got ${base.straddling} — fingerprint dedup leg is broken")
+    println(s"[curation] straddling fingerprints after dedup: ${base.straddling}")
 
     def r4(x: Double) = math.rint(x * 10000) / 10000
-    val total = legs.map(_._2).sum
-    val legsJson = legs.map { case (n, s, docs, toks) =>
-      s""""$n":{"sec":${r4(s)},"rows":$docs,"tokens":$toks}"""
+    def legsJson(legs: Seq[Leg]): String = legs.map { l =>
+      s""""${l.name}":{"sec":${r4(l.sec)},"rows":${l.docs},"tokens":${l.tokens}}"""
     }.mkString("{", ",", "}")
-    val (trd, trt, ted, tet) = splitRow
+
+    // ---- optional ×N scaled run of the SAME composed pipeline ----
+    val scalingJson = scaleFactor.map { factor =>
+      val dst = ScaleStress.ensureReplica(spark, sfDir, factor)
+      println(s"[curation] scaled run x$factor against $dst")
+      val scaled = runLegs(spark, dst)
+      require(scaled.straddling == 0L,
+        s"x$factor run must ALSO leave zero straddling fingerprints, " +
+          s"got ${scaled.straddling}")
+      val ratios = base.legs.zip(scaled.legs).map { case (b, s) =>
+        require(b.name == s.name, s"leg order drifted: ${b.name} vs ${s.name}")
+        s""""${b.name}":${r4(if (b.sec > 0) s.sec / b.sec else 0.0)}"""
+      }.mkString("{", ",", "}")
+      s""","scaling":{"factor":$factor,
+         |"total_sec":${r4(scaled.legs.map(_.sec).sum)},
+         |"legs":${legsJson(scaled.legs)},
+         |"leg_ratios":$ratios,
+         |"note":"same composed pipeline on the xN exact-duplicate replica; scan-bound legs track the factor while every leg downstream of the fingerprint dedup stays near x1 — the dedup-first composition collapsing duplication before any pairwise stage"}"""
+        .stripMargin.replace("\n", "")
+    }.getOrElse("")
+
+    val total = base.legs.map(_.sec).sum
     val json =
       s"""{"metric":"curation_e2e","sf_dir":"$sfDir","cpus":"$cpus",
-         |"total_sec":${r4(total)},"legs":$legsJson,
-         |"chunks":$nChunks,"sequences":$nSeqs,
-         |"split":{"train_docs":$trd,"train_tokens":$trt,
-         |"test_docs":$ted,"test_tokens":$tet,
-         |"straddling_fingerprints":$straddling},
-         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q193/q179/q195 operators"}"""
+         |"total_sec":${r4(total)},"legs":${legsJson(base.legs)},
+         |"chunks":${base.chunks},"sequences":${base.seqs},
+         |"split":{"train_docs":${base.trainDocs},"train_tokens":${base.trainToks},
+         |"test_docs":${base.testDocs},"test_tokens":${base.testToks},
+         |"straddling_fingerprints":${base.straddling}},
+         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q193/q179/q195 operators"$scalingJson}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

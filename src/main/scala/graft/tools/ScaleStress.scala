@@ -98,40 +98,27 @@ object ScaleStress {
     "r13new" -> Seq("q245_bh_fdr", "q246_edit_blocking",
       "q247_funnel_window", "q248_uplift_qini", "q249_conformal",
       "q250_assoc_rules", "q251_batch_sessions"),
-    "r13c" -> Seq("q252_cohort_retention"))
+    "r13c" -> Seq("q252_cohort_retention"),
+    // round-14 additions. q254/q255 are data-proportional BY DESIGN
+    // (one image per document row — ×100 replication means 500k real
+    // PNG encode/decode round-trips, so the ratio reflects the codec
+    // path scaling, not a fixture bound); q256's per-user firsts
+    // saturate under replication like q247's.
+    "r14" -> Seq("q254_dhash64", "q255_dhash_neardup", "q256_funnel_steps"))
 
-  def main(args: Array[String]): Unit = {
-    val factor = if (args.nonEmpty) args(0).toInt else 10
-    val groupName = if (args.length > 1) Some(args(1)) else None
-    groupName.foreach(g => require(Groups.contains(g),
-      s"unknown group '$g' (know: ${Groups.keys.mkString(", ")})"))
-    val groupMode = groupName.isDefined
-    val src = "/root/testdata/sf0.1"
-    // replica dir keyed on EVERY source table's mtime (the layout-cache
-    // discipline): a regenerated sf0.1 — any table, not just lineitem —
-    // invalidates the replica instead of silently benchmarking fresh
-    // base timings against stale replicated data
+  /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
+    * on every source table's mtime (the layout-cache discipline — a
+    * regenerated source invalidates the replica). Replicated fact
+    * tables get fresh synthetic keys per replica so grouping
+    * cardinality scales; dims copy through. Shared with
+    * [[CurationE2E]], whose composed-pipeline scaling run needs the
+    * same replica the per-query sweep measures against. */
+  private[tools] def ensureReplica(spark: SparkSession, src: String,
+                                   factor: Int): String = {
+    import spark.implicits._
     val srcKey = graft.Tables.names
       .map(t => new java.io.File(s"$src/$t.parquet").lastModified).max
     val dst = s"/tmp/graft_scale_x${factor}_$srcKey"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // default 128MB splits would bin the ~8MB replica files into 2-3
-      // scan tasks; 16MB mimics the per-task data share of a real cluster
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.files.openCostInBytes", "1m")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    // Replicated tables get fresh synthetic keys per replica so grouping
-    // cardinality scales with the data; dims copy through unchanged.
     val replicated = Map(
       "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
       "documents" -> "doc_id", "events" -> "user_id", "embeddings" -> "vec_id")
@@ -153,6 +140,33 @@ object ScaleStress {
       }
       println(s"STRESS built $dst")
     }
+    dst
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val groupName = if (args.length > 1) Some(args(1)) else None
+    groupName.foreach(g => require(Groups.contains(g),
+      s"unknown group '$g' (know: ${Groups.keys.mkString(", ")})"))
+    val groupMode = groupName.isDefined
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // default 128MB splits would bin the ~8MB replica files into 2-3
+      // scan tasks; 16MB mimics the per-task data share of a real cluster
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dst = ensureReplica(spark, src, factor)
 
     val queries = Seq(
       "q01_pricing_summary", "q07_iqr_filter", "q09_summary_stats",

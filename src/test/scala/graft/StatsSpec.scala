@@ -763,6 +763,24 @@ class StatsSpec extends SparkSpec {
       s"step-up rescue broke: $r2")
   }
 
+  test("bhStepUp refuses an over-cap family instead of single-threading it") {
+    // the step-up's rank window is GLOBAL (every rank couples to m), so
+    // the operator carries the house loud-cap: a family larger than
+    // maxFamily must throw, not silently drag a data-proportional frame
+    // through one partition. The probe is limit(cap+1)-bounded, so the
+    // refusal itself costs O(cap) even on a huge input.
+    val big = spark.range(10).toDF("id").withColumn("pn", $"id" + 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Stats.bhStepUp(big, $"pn", $"id", den = 100L,
+        alphaNum = 1L, alphaDen = 20L, maxFamily = 9)
+    }
+    assert(e.getMessage.contains("single-partition"), e.getMessage)
+    // at exactly the cap it proceeds (boundary is inclusive)
+    val ok = graft.operators.Stats.bhStepUp(big, $"pn", $"id", den = 100L,
+      alphaNum = 1L, alphaDen = 20L, maxFamily = 10)
+    assert(ok.count() == 10)
+  }
+
   test("q249 conformal: q-hat replays definitionally; coverage meets 1-alpha") {
     // Split-conformal with alpha = 0.1: q-hat must equal the
     // ceil(9(n+1)/10)-th smallest calibration residual from a literal

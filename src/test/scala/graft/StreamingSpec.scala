@@ -1127,6 +1127,186 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamed basket pair supports == batch q250 pair stage; snapshots are versioned") {
+    // The q250 streaming twin (VERDICT r13 #5): per-order distinct
+    // brand set as enum-bounded value state; each (order, ba<bb) pair
+    // emitted exactly once — across duplicated lines, shuffled arrival
+    // order, and batch splits — so the grouped count over emissions
+    // equals the batch distinct-basket pair support EXACTLY, and the
+    // per-batch snapshots form a monotone version chain.
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = sf("sf0.001")
+      // q250's basket frame: raw order lines → brand, duplicates KEPT
+      // (the stream must collapse them via state, as the batch stage
+      // collapses them via DISTINCT)
+      val lines = Tables(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_partkey")
+        .join(broadcast(Tables(spark, dir, "part")
+          .select($"p_partkey", $"p_brand")), $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey".as("ok"), $"p_brand".as("b"))
+      val batch = lines.distinct()
+        .as("x").join(lines.distinct().as("y"), Seq("ok"))
+        .filter($"x.b" < $"y.b")
+        .groupBy($"x.b".as("ba"), $"y.b".as("bb"))
+        .agg(count(lit(1)).as("supp"))
+        .as[(String, String, Long)].collect().toSeq.sorted
+      assert(batch.nonEmpty, "fixture sanity: some brand pairs must exist")
+      // shuffled feed: an order's lines land in DIFFERENT batches
+      val feed = new scala.util.Random(42).shuffle(
+        lines.as[(Long, String)].collect().toSeq)
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamPipeline.basketPairsStream(stream.toDS())
+        .toDF("ok", "ba", "bb")
+        .writeStream.format("memory").queryName("bps")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("bps_ck").toString)
+        .start()
+      // versioned snapshots: after each batch, the support table is a
+      // superset of the previous version (supports only grow)
+      var prev = Map.empty[(String, String), Long]
+      feed.grouped(feed.size / 3 + 1).foreach { ch =>
+        stream.addData(ch: _*)
+        q.processAllAvailable()
+        val snap = spark.table("bps").groupBy($"ba", $"bb")
+          .agg(count(lit(1)).as("supp"))
+          .as[(String, String, Long)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+        prev.foreach { case (k, n) =>
+          assert(snap.getOrElse(k, 0L) >= n,
+            s"pair support regressed across versions: $k $n -> ${snap.get(k)}")
+        }
+        prev = snap
+      }
+      q.stop()
+      val streamed = prev.toSeq.map { case ((a, b), n) => (a, b, n) }.sorted
+      assert(streamed == batch,
+        s"streamed basket supports diverged from batch q250 pair stage " +
+          s"(${streamed.size} vs ${batch.size} pairs; first: " +
+          s"${streamed.take(3)} vs ${batch.take(3)})")
+      // enum-bound contract: an order exceeding maxBrands distinct
+      // brands must kill the query loudly, not grow state silently
+      val stream2 = MemoryStream[(Long, String)]
+      val q2 = StreamPipeline.basketPairsStream(stream2.toDS(), maxBrands = 2)
+        .toDF("ok", "ba", "bb")
+        .writeStream.format("memory").queryName("bps2")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("bps_ck2").toString)
+        .start()
+      stream2.addData((1L, "A"), (1L, "B"))
+      q2.processAllAvailable()
+      stream2.addData((1L, "C")) // third distinct brand: over the cap
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("enum-bounded"),
+        s"over-cap basket must fail loudly: ${ex.getMessage.take(200)}")
+      q2.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("multi-step funnel stream == literal k-step replay == batch q256 histogram") {
+    // The k-step timer funnel (VERDICT r13 #7): view → click → purchase
+    // with a 24h window per transition, timers RE-ARMED per stage and
+    // stale expirations disarmed by deadline comparison. Pinned two
+    // independent ways: per-user outcomes against a literal driver-side
+    // fold of the k-step rule, and the outcome histogram against the
+    // registered batch q256 (which reaches the same stages through
+    // range-join min-aggregates, not a fold).
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val dir = sf("sf0.001")
+      val winUs = 24L * 3600 * 1000000
+      val ev = Tables(spark, dir, "events")
+        .select($"user_id".cast("string"),
+          unix_micros($"ts".cast("timestamp")), $"event_type")
+        .as[(String, Long, String)].collect().sortBy(_._2)
+      // literal k-step rule: first view anchors; each stage advances on
+      // the FIRST qualifying next-step event inside its window
+      val want = ev.groupBy(_._1).flatMap { case (u, rows) =>
+        rows.filter(_._3 == "view").map(_._2).minOption.map { t0 =>
+          val t1 = rows.filter(r => r._3 == "click" &&
+            r._2 > t0 && r._2 <= t0 + winUs).map(_._2).minOption
+          val t2 = t1.flatMap(a => rows.filter(r => r._3 == "purchase" &&
+            r._2 > a && r._2 <= a + winUs).map(_._2).minOption)
+          val stages = if (t2.isDefined) 2 else if (t1.isDefined) 1 else 0
+          (u, t0, stages, t2.map(_ - t0).getOrElse(-1L))
+        }
+      }.toSeq.sorted
+      assert(Set(0, 1, 2).subsetOf(want.map(_._3).toSet),
+        s"fixture sanity: need all three outcomes, got ${want.map(_._3).distinct}")
+      val stream = MemoryStream[(String, Long, String)]
+      val q = StreamPipeline.funnelStepsStream(
+          stream.toDF().toDF("user_id", "ts_us", "event_type")
+            .withColumn("ts", expr("timestamp_micros(ts_us)")),
+          "ts", "1 minute",
+          steps = Seq("view", "click", "purchase"),
+          windowsUs = Seq(winUs, winUs))
+        .toDF("user", "t0_us", "stages", "lag_us")
+        .writeStream.format("memory").queryName("fsq")
+        .outputMode("append")
+        .option("checkpointLocation",
+          Files.createTempDirectory("fs_ck").toString)
+        .start()
+      ev.grouped(ev.length / 3 + 1).foreach { ch =>
+        stream.addData(ch.toSeq: _*)
+        q.processAllAvailable()
+      }
+      // two sentinel batches: advance the watermark past every possible
+      // deadline, then give the timers a batch to fire in
+      val far = ev.map(_._2).max + 8 * winUs
+      stream.addData(("__wm", far, "view")); q.processAllAvailable()
+      stream.addData(("__wm2", far + 1, "view")); q.processAllAvailable()
+      q.stop()
+      val got = spark.table("fsq")
+        .filter(!$"user".startsWith("__wm"))
+        .select($"user", $"t0_us", $"stages", $"lag_us")
+        .as[(String, Long, Int, Long)].collect().toSeq.sorted
+      assert(got == want,
+        s"streamed k-step outcomes diverged (${got.size} vs ${want.size}; " +
+          s"first: ${got.take(3)} vs ${want.take(3)})")
+      // full completions carry the true view→purchase lag, partials −1
+      assert(got.forall { case (_, _, st, l) =>
+        if (st == 2) l > 0 && l <= 2 * winUs else l == -1L },
+        "lag contract broke")
+      // independent cross-check: the outcome histogram equals batch
+      // q256's range-join construction on the same fixture
+      val wantHist = want.groupBy(_._3).map { case (st, rows) =>
+        (st, rows.size.toLong,
+          rows.map(r => if (st == 2) r._4 else 0L).sum)
+      }.toSeq.sorted
+      val q256 = graft.queries.Registry.queries("q256_funnel_steps")(spark, dir)
+        .as[(Int, Long, Long)].collect().toSeq.sorted
+      assert(q256 == wantHist,
+        s"batch q256 histogram diverged from the literal rule: " +
+          s"$q256 vs $wantHist")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("timer-driven funnel timeout matches the batch window semantics") {
     // transformWithState EVENT-TIME TIMERS: converted funnels emit on
     // the purchase row; unconverted ones emit ONLY when the watermark
