@@ -339,6 +339,36 @@ object TextQueries {
          FROM bits GROUP BY media_id)
     """
 
+  /** Closed-form audio-fingerprint replay for the variant-WAV fixture
+    * ([[graft.multimodal.Multimodal.encodeVariantWavs]]): PCM samples
+    * from the quadratic congruential formula (mirroring
+    * [[graft.multimodal.Multimodal.audioSample]]), per-frame energy
+    * sums, adjacent-comparison bits packed into the 4×16-bit chunk
+    * shape — integer CTEs only, no codec, ending in a
+    * `hash(media_id, c0..c3)` CTE. */
+  private val wavOracle: String =
+    """WITH ids AS (SELECT doc_id AS media_id, doc_id // 3 AS s, doc_id % 3 AS p
+           FROM documents),
+       fr AS (SELECT unnest(generate_series(0, 64)) AS f),
+       js AS (SELECT unnest(generate_series(0, 23)) AS j),
+       v AS (SELECT media_id, p, f, j,
+             s*7919 + (f*24+j)*104729 + 12345 AS v FROM ids, fr, js),
+       smp AS (SELECT media_id, f,
+           CASE WHEN p = 2 AND (f*24 + j) < 72 THEN 2047
+                ELSE (CASE WHEN p = 1 THEN 2 ELSE 1 END) *
+                  ((((v*v + 3*v) % 2147483648) >> 12) % 4096 - 2048) END AS x
+         FROM v),
+       en AS (SELECT media_id, f, sum(x*x) AS e FROM smp GROUP BY 1, 2),
+       bits AS (SELECT media_id, f, e,
+           lead(e) OVER (PARTITION BY media_id ORDER BY f) AS e2 FROM en),
+       hash AS (SELECT media_id,
+           CAST(sum(CASE WHEN f < 64 AND e2 > e AND f // 16 = 0 THEN 1 << (f % 16) ELSE 0 END) AS INTEGER) AS c0,
+           CAST(sum(CASE WHEN f < 64 AND e2 > e AND f // 16 = 1 THEN 1 << (f % 16) ELSE 0 END) AS INTEGER) AS c1,
+           CAST(sum(CASE WHEN f < 64 AND e2 > e AND f // 16 = 2 THEN 1 << (f % 16) ELSE 0 END) AS INTEGER) AS c2,
+           CAST(sum(CASE WHEN f < 64 AND e2 > e AND f // 16 = 3 THEN 1 << (f % 16) ELSE 0 END) AS INTEGER) AS c3
+         FROM bits GROUP BY media_id)
+    """
+
   private val EnStops = Seq("the", "a", "of", "and")
   private val DeStops = Seq("der", "die", "und", "das")
   private val EsStops = Seq("el", "la", "los", "y")
@@ -837,6 +867,121 @@ object TextQueries {
           FROM hash a JOIN hash b ON a.media_id < b.media_id)
         WHERE dist <= 7 ORDER BY id_a, id_b"""),
       "perceptual near-dup pairs: Hamming-banded dHash blocking vs exact-all-pairs oracle"),
+
+    // --------------------------- perceptual dedup clusters + keepers
+    // The q75 lifecycle on the IMAGE modality: dHash pairs are only
+    // half a dedup pipeline — a near-dup of a near-dup is the same
+    // image family even when the two ends never pair directly (the
+    // brightness twin of A pairs at distance 0 while the locally-edited
+    // sibling sits ≤ 7 from both), so the keeper policy runs on
+    // CONNECTED COMPONENTS over the q255 pair graph via the one
+    // clustering entry point ([[Dedup.cluster]] → star contraction).
+    // Every image gets a cluster id (= min member id), cluster size,
+    // and a keep-first keeper flag — the row a curation pipeline's
+    // image leg would anti-join against. The oracle reaches the same
+    // fixpoint through a recursive CTE over the closed-form exact pair
+    // graph, so the whole iterative operator is hash-verified.
+    // Bench note: ~6 s at sf0.1 is contraction-ROUND overhead (each
+    // star alternation = checkpoint + signature jobs on a tiny graph —
+    // the q75/q89 iterative class), NOT data volume; the CC kernel's
+    // ×100 posture is q89's measured 1.33× and the pair stage is
+    // q255's banding.
+    "q257_dhash_clusters" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
+          docs(s, d), "doc_id")
+        val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
+        val sketch = grid.select($"media_id" +:
+            graft.multimodal.Multimodal.dhashChunks($"grays"): _*)
+          .localCheckpoint() // feeds the pair stage AND the node list
+        val pairs = Dedup.hammingBandedPairs(sketch, "media_id",
+          maxDist = 7, nBands = 8, maxBucket = 200)
+        val cc = Dedup.cluster(sketch.select($"media_id"), "media_id",
+          pairs.select($"id_a", $"id_b"))
+        val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "cluster_id")
+          .select($"id".as("media_id"), $"cluster_id", $"cluster_size",
+            ($"id" === $"cluster_id").cast("int").as("is_keeper"))
+          .orderBy($"media_id")
+      },
+      Some("WITH RECURSIVE" + dhashOracle.stripPrefix("WITH") + s""",
+        pairs AS (SELECT * FROM (
+            SELECT a.media_id AS id_a, b.media_id AS id_b,
+              ${simhashDist("a", "b")} AS dist
+            FROM hash a JOIN hash b ON a.media_id < b.media_id)
+          WHERE dist <= 7),
+        und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(id, lbl) AS (
+          SELECT media_id, media_id FROM hash
+          UNION
+          SELECT u.dst, w.lbl FROM walk w JOIN und u ON u.src = w.id),
+        cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+        SELECT cc.id AS media_id, cluster_id, cluster_size,
+          CAST(cc.id = cluster_id AS INTEGER) AS is_keeper
+        FROM cc JOIN sz USING (cluster_id) ORDER BY media_id"""),
+      "perceptual near-dup graph -> CC clusters -> keeper per image family"),
+
+    // ------------------------------------ audio fingerprint (real WAV)
+    // The dedup family's SECOND real-codec modality: 65-frame × 24-
+    // sample 16-bit PCM clips synthesized per document row, encoded
+    // with the REAL javax.sound WAV codec (RIFF container) on the
+    // executors, decoded back through AudioSystem, folded to per-frame
+    // energies, and fingerprinted by the adjacent-energy-comparison
+    // hash ([[graft.multimodal.Multimodal.adjacentHashChunks]] — the
+    // audio analogue of dHash: invariant to any linear gain, sensitive
+    // to temporal structure). Variants mirror the image fixture: p=1
+    // amplitude ×2 (fingerprint-invariant BY THEOREM — every energy
+    // scales by exactly 4), p=2 a 3-frame burst (local edit). The
+    // oracle replays sample synthesis + energies + packing through
+    // integer CTEs with no codec, so the match proves the WAV
+    // round-trip end-to-end (the q175/q254 discipline on audio).
+    "q258_wav_fingerprint" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val wavs = graft.multimodal.Multimodal.encodeVariantWavs(
+          docs(s, d), "doc_id")
+        val en = graft.multimodal.Multimodal.decodeFrameEnergies(wavs)
+        en.select($"media_id" +:
+            graft.multimodal.Multimodal.adjacentHashChunks($"energies"): _*)
+          .orderBy($"media_id")
+      },
+      Some(wavOracle + "\nSELECT media_id, c0, c1, c2, c3 FROM hash ORDER BY media_id"),
+      "audio fingerprint via real WAV codec round-trip: frame-energy comparisons, chunked"),
+
+    // ----------------------------- audio near-dup (Hamming-banded)
+    // Near-duplicate AUDIO pairs through the SAME generic banding
+    // operator as the image leg ([[Dedup.hammingBandedPairs]] — the
+    // blocking stage is modality-agnostic once a 64-bit sketch exists,
+    // which is the point of the chunked house shape). Oracle: exact
+    // all-pairs over the closed-form fingerprints, so the hash match
+    // again proves the 8-band pigeonhole recall guarantee on this
+    // modality's distance distribution (gain twins at 0, bursts ≤ 3,
+    // cross-source mass at mean ~32, min 5 measured).
+    "q259_wav_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val wavs = graft.multimodal.Multimodal.encodeVariantWavs(
+          docs(s, d), "doc_id")
+        val en = graft.multimodal.Multimodal.decodeFrameEnergies(wavs)
+        val sketch = en.select($"media_id" +:
+          graft.multimodal.Multimodal.adjacentHashChunks($"energies"): _*)
+        Dedup.hammingBandedPairs(sketch, "media_id",
+            maxDist = 7, nBands = 8, maxBucket = 200)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(wavOracle + s"""
+        SELECT * FROM (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+            CAST(${simhashDist("a", "b")} AS INTEGER) AS dist
+          FROM hash a JOIN hash b ON a.media_id < b.media_id)
+        WHERE dist <= 7 ORDER BY id_a, id_b"""),
+      "audio near-dup pairs: the generic Hamming banding on the WAV fingerprint"),
 
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and

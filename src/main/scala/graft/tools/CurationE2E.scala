@@ -42,12 +42,19 @@ import graft.operators.{Curation, Dedup}
   *                        benchmark set (doc_id < 50): the bench docs
   *                        leave the corpus, and any doc sharing ≥ 50%
   *                        of its 8-grams with the bench set drops.
-  *   6. chunk           — q193's overlapping chunking (32-token chunks
+  *   6. image_dedup     — the MULTIMODAL leg (round-14): each surviving
+  *                        doc's image attachment (variant-PNG fixture)
+  *                        through the q254/q255 machinery — real codec
+  *                        round-trip, codegen'd dHash, Hamming-banded
+  *                        blocking — dropping the larger id of each
+  *                        perceptual near-dup pair; runs after text
+  *                        dedup so the codec touches keepers only.
+  *   7. chunk           — q193's overlapping chunking (32-token chunks
   *                        at stride 24, stable md5 chunk ids).
-  *   7. pack            — q179's concat-and-chunk packing into
+  *   8. pack            — q179's concat-and-chunk packing into
   *                        64-token training sequences
   *                        ([[Curation.packSequences]]).
-  *   8. split_leak      — q195's group-hash 80/20 train/test split by
+  *   9. split_leak      — q195's group-hash 80/20 train/test split by
   *                        `source` + the cross-split fingerprint leak
   *                        audit (after steps 3-5 it must report ZERO
   *                        straddling fingerprints — the composed
@@ -186,12 +193,36 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 6: overlapping chunking (q193 shape) ----
+    // ---- leg 6: image near-dup over each survivor's attachment ----
+    // The multimodal leg (round-14): every surviving doc carries an
+    // image attachment (the variant-PNG fixture stands in for real
+    // blobs — consecutive ids share near-duplicate images), and docs
+    // whose attachment is the LARGER id of a perceptual near-dup pair
+    // drop — the q254/q255 machinery (real codec round-trip, codegen'd
+    // dHash, Hamming-banded blocking) composed the same drop-the-loser
+    // way as the text near_dup leg. Runs AFTER text dedup, so the
+    // codec only touches keepers (dedup-first, applied cross-modally).
+    val imgKept = timed("image_dedup") {
+      implicit val sp: SparkSession = spark
+      val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
+        clean.select($"doc_id"), "doc_id")
+      val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
+      val sketch = grid.select($"media_id" +:
+        graft.multimodal.Multimodal.dhashChunks($"grays"): _*)
+      val pairs = Dedup.hammingBandedPairs(sketch, "media_id",
+        maxDist = 7, nBands = 8, maxBucket = 200)
+      val losers = pairs.select($"id_b".as("doc_id")).distinct()
+      val df = mat(clean.join(losers, Seq("doc_id"), "left_anti"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 7: overlapping chunking (q193 shape) ----
     val nChunks = {
       var n = 0L
       timed("chunk") {
         val S = 24; val C = 32
-        val df = mat(clean
+        val df = mat(imgKept
           .select($"doc_id", TextFunctions.words($"text").as("w"))
           .withColumn("n", size($"w"))
           .withColumn("chunk_idx",
@@ -211,7 +242,7 @@ object CurationE2E {
     val nSeqs = {
       var n = 0L
       timed("pack") {
-        val df = mat(Curation.packSequences(clean, "doc_id", "text",
+        val df = mat(Curation.packSequences(imgKept, "doc_id", "text",
           seqLen = 64))
         n = df.count()
         val toksRow = df.agg(sum($"n_tokens")).head()
@@ -224,7 +255,7 @@ object CurationE2E {
     val (straddling, splitRow) = {
       var res: (Long, (Long, Long, Long, Long)) = null
       timed("split_leak") {
-        val assigned = mat(clean
+        val assigned = mat(imgKept
           .withColumn("split",
             when(conv(substring(md5(concat(lit("q195:"), $"source")), 1, 15),
               16, 10).cast("long") % 100 < 80, "train").otherwise("test"))

@@ -104,7 +104,15 @@ object ScaleStress {
     // PNG encode/decode round-trips, so the ratio reflects the codec
     // path scaling, not a fixture bound); q256's per-user firsts
     // saturate under replication like q247's.
-    "r14" -> Seq("q254_dhash64", "q255_dhash_neardup", "q256_funnel_steps"))
+    "r14" -> Seq("q254_dhash64", "q255_dhash_neardup", "q256_funnel_steps"),
+    // the round-14 continuation: perceptual clusters + the audio twins.
+    // At ×100 the exact-duplicate replicas concentrate identical
+    // sketches into mega-buckets that the stop-bucket cap DROPS — the
+    // declared LSH semantics (exact duplicates belong to exact dedup,
+    // the q205 composition), so the measured point exercises the cap
+    // path, not a pair explosion.
+    "r14b" -> Seq("q257_dhash_clusters", "q258_wav_fingerprint",
+      "q259_wav_neardup"))
 
   /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
     * on every source table's mtime (the layout-cache discipline — a

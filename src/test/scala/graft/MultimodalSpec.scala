@@ -155,6 +155,92 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("pigeonhole"))
   }
 
+  // -------------------------------------------------- WAV fingerprint pins
+
+  /** Full codec-path audio fingerprint for ids [0, n): WAV encode →
+    * RIFF parse → frame energies → chunks, the exact q258 pipeline. */
+  private def wavSketch(n: Int) = {
+    implicit val s = spark
+    val ids = spark.range(n).toDF("doc_id")
+    val en = Multimodal.decodeFrameEnergies(
+      Multimodal.encodeVariantWavs(ids.repartition(4), "doc_id"))
+    en.select($"media_id" +: Multimodal.adjacentHashChunks($"energies"): _*)
+  }
+
+  test("WAV fingerprint literal pin via the real codec") {
+    // Expected chunks computed outside the JVM (independent Python
+    // replay of the closed-form PCM arithmetic) — pins the RIFF
+    // round-trip, the little-endian int16 decode, the frame-energy
+    // fold, and the bit packing together.
+    val got = wavSketch(3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(0L) == ((18674, 9107, 37015, 25521)))
+    assert(got(1L) == ((18674, 9107, 37015, 25521)))
+  }
+
+  test("audio gain invariance: a linear amplitude map never flips a bit") {
+    // THEOREM: fingerprint bit f is [E(f+1) > E(f)] and amplitude ×2
+    // scales every frame energy by exactly 4 (no clipping — samples
+    // stay inside int16), preserving every comparison; so the p=1 gain
+    // variant of EVERY source must fingerprint identically to p=0.
+    val h = wavSketch(240).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    (0 until 80).foreach { s =>
+      assert(h(3L * s) == h(3L * s + 1), s"source $s: gain flipped a bit")
+    }
+  }
+
+  test("audio burst edit stays inside the near-dup band; some bursts flip bits") {
+    def popcount(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val h = wavSketch(240).collect()
+      .map(r => r.getLong(0) -> Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val ds = (0 until 80).map(s => popcount(h(3L * s), h(3L * s + 2)))
+    // a 3-frame burst only touches comparisons at frames 0..3, so the
+    // distance is structurally ≤ 4 — and unlike the image block it CAN
+    // be invisible (the burst's forced comparison pattern may match the
+    // base), so the pin is the band plus a nonzero flip count overall
+    assert(ds.forall(d => d >= 0 && d <= 4), s"burst distances escaped [0,4]: $ds")
+    assert(ds.count(_ > 0) > 40, s"fixture sanity: most bursts should flip bits, got ${ds.count(_ > 0)}")
+  }
+
+  test("chunk-walk WAV parser == platform codec, both directions") {
+    // The decode hot path is the lock-free chunk walker (the platform
+    // reader serializes under executor threads — see parseWavPcm's
+    // doc); this pins it byte-for-byte against the REAL codec: PCM
+    // parsed from platform-writer files must equal what
+    // AudioSystem.getAudioInputStream extracts from the same bytes.
+    implicit val s = spark
+    val wavs = Multimodal.encodeVariantWavs(
+      spark.range(60).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect()
+    wavs.foreach { case (mid, bytes) =>
+      val (rate, pcm) = Multimodal.parseWavPcm(bytes)
+      assert(rate == 8000, s"id=$mid rate $rate")
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      assert(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian)
+      val ref = ais.readAllBytes()
+      assert(java.util.Arrays.equals(pcm, ref),
+        s"id=$mid: chunk-walk PCM diverged from the platform reader")
+    }
+  }
+
+  test("WAV decode fails loudly on junk bytes and on geometry drift") {
+    implicit val s = spark
+    val junk = Seq((7L, "not a wav".getBytes("UTF-8"))).toDF("media_id", "content")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFrameEnergies(junk).collect()
+    }
+    // a clip with the wrong sample count must refuse, not mis-frame
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFrameEnergies(
+        Multimodal.encodeVariantWavs(Seq(1L).toDF("doc_id"), "doc_id"),
+        frameLen = 24, nFrames = 64).collect()
+    }
+  }
+
   test("resize plan preserves aspect ratio and caps the long side") {
     implicit val s = spark
     val decoded = Multimodal.decodeStub(

@@ -1013,6 +1013,27 @@ class ScalePostureSpec extends SparkSpec {
       s"q255 must read the checkpointed sketch, not re-decode per branch:\n${p.take(1200)}")
   }
 
+  test("round-14 family: funnel stays join-shaped, perceptual dedup stays banded") {
+    // q256: the k-step ladder is bounded range joins over per-user
+    // firsts — like q247, no window functions and no cross product
+    val p256 = plan("q256_funnel_steps")
+    assert(!p256.contains("Window") && !p256.contains("CartesianProduct"),
+      s"q256 must stay join-shaped:\n${p256.take(1200)}")
+    // q257: clustering consumes the BANDED pair graph — a cartesian
+    // anywhere would mean the image corpus pairs quadratically before
+    // contraction even starts
+    val p257 = plan("q257_dhash_clusters")
+    assert(!p257.contains("CartesianProduct") && !p257.contains("BroadcastNestedLoopJoin"),
+      s"q257 pairs must come from the band equi-join:\n${p257.take(1200)}")
+    // q259: the generic banding operator carries its posture to the
+    // audio modality unchanged
+    val p259 = plan("q259_wav_neardup")
+    assert(!p259.contains("CartesianProduct") && !p259.contains("BroadcastNestedLoopJoin"),
+      s"q259 pairs must come from the band equi-join:\n${p259.take(1200)}")
+    assert(p259.linesIterator.count(_.contains("FileScan")) == 0,
+      s"q259 must read the checkpointed sketch, not re-decode per branch:\n${p259.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a
