@@ -77,23 +77,45 @@ object Fs {
     * tmp and serve the winner's (complete, atomically-published)
     * output — no reader can ever observe a half-built listing, which
     * the old build-in-place `write.mode(overwrite).parquet(path)`
-    * allowed (round-13 ADVICE). Worst-case race on stores whose rename
-    * moves INTO an existing target (raw local FS): the loser's tmp
-    * lands nested under the winner's dir — still leading-dot, still
-    * invisible to readers, and both builders write identical content
-    * by construction. */
-  def promoteDir(spark: SparkSession, path: String)(build: String => Unit): Unit = {
+    * allowed (round-13 ADVICE).
+    *
+    * `marker` is the caller's completeness probe (a file path relative
+    * to `path`, e.g. `_SUCCESS` or `assign/_SUCCESS`): a target
+    * carrying the marker is COMPLETE and is never touched; a target
+    * without it is a torn legacy build-in-place leftover and is
+    * cleared — but only inside the NARROW window between the (long)
+    * build and the rename, re-verified immediately before the delete.
+    * Clearing at call-site-probe time instead would let this JVM
+    * delete a cache a concurrent winner published during our build,
+    * crashing its readers for our whole rebuild window (round-14
+    * review catch). The tmp dir is removed on EVERY non-published
+    * exit, including a throwing build, so failed runs leave no hidden
+    * garbage. Worst-case race on stores whose rename moves INTO an
+    * existing target (raw local FS): the loser's tmp lands nested
+    * under the winner's dir — still leading-dot, still invisible to
+    * readers, and both builders write identical content by
+    * construction. */
+  def promoteDir(spark: SparkSession, path: String, marker: String)
+                (build: String => Unit): Unit = {
     val (f, hp) = fs(spark, path)
+    val markerPath = new Path(hp, marker)
+    if (f.exists(markerPath)) return // already published, nothing to do
     val tmp = new Path(hp.getParent,
       s".${hp.getName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
-    build(tmp.toString)
-    val published = !f.exists(hp) && f.rename(tmp, hp)
-    if (!published) {
-      f.delete(tmp, true) // a concurrent builder won — serve its output
-      if (!f.exists(hp))
-        throw new java.io.IOException(
-          s"promotion of $path failed with no published winner present")
+    var published = false
+    try {
+      build(tmp.toString)
+      // narrow publication section: re-verify right before clearing
+      if (!f.exists(markerPath)) {
+        if (f.exists(hp)) f.delete(hp, true) // torn leftover, re-verified NOW
+        published = f.rename(tmp, hp)
+      }
+    } finally {
+      if (!published) f.delete(tmp, true) // loser or failed build
     }
+    if (!published && !f.exists(markerPath) && !f.exists(hp))
+      throw new java.io.IOException(
+        s"promotion of $path failed with no published winner present")
   }
 
   /** Recursively delete a path if it exists (janitor passes). */

@@ -373,13 +373,17 @@ object Multimodal {
 
   /** Decode a WAV binary column back to per-frame ENERGIES (sum of
     * sample squares over `frameLen`-sample frames) — the codec-slot
-    * half of the audio fingerprint, mirroring [[sampleGrayGrid]]:
-    * `AudioSystem.getAudioInputStream` parses the RIFF container for
-    * real on the executors, the PCM geometry is validated loudly, and
-    * the emitted energy array is small and integral so the HASH half
-    * stays a pure codegen'd expression and an external oracle can
-    * replay it exactly (energies of int16 samples fit comfortably in
-    * long: 24 · 4094² < 2³¹). */
+    * half of the audio fingerprint, mirroring [[sampleGrayGrid]]. The
+    * hot-path container parse is [[parseWavPcm]], NOT the platform
+    * reader (which serializes on its provider registry — measured
+    * numbers in that method's doc); the REAL platform codec still
+    * participates on the ENCODE side ([[encodeVariantWavs]] writes
+    * through the JDK's WAVE writer) and MultimodalSpec cross-validates
+    * the parser byte-for-byte against `AudioSystem`'s reader. PCM
+    * geometry is validated loudly, and the emitted energy array is
+    * small and integral so the HASH half stays a pure codegen'd
+    * expression and an external oracle can replay it exactly (energies
+    * of int16 samples fit comfortably in long: 24 · 4094² < 2³¹). */
   def decodeFrameEnergies(binary: DataFrame, frameLen: Int = 24,
                           nFrames: Int = 65)
                          (implicit spark: SparkSession): DataFrame = {

@@ -842,17 +842,24 @@ object Dedup {
     * the band count: `nBands` ∈ {4, 8} splits the 64 bits into equal
     * bands, and the pigeonhole guarantee (two sketches within Hamming
     * d < nBands must agree exactly on ≥ 1 band) makes recall EXACT for
-    * `maxDist` ≤ nBands−1 — 8 bands buys d ≤ 7, the working range for
-    * perceptual image hashes, at the cost of 8-bit band values whose
-    * buckets grow with corpus size. That growth is the standard LSH
-    * skew story, handled the [[lshCandidates]] way: bucket sizes are
-    * counted first and buckets larger than `maxBucket` are DROPPED
-    * (stop-bucket removal — a near-constant-corpus band bucket would
-    * otherwise cost O(n²) candidate pairs); pairs in dropped buckets
-    * still surface through any of their other nBands−1 bands, and at
-    * corpus scale the wider-hash/multi-index upgrade path (256-bit
-    * pHash, HmSearch) keeps buckets sparse without changing this plan
-    * shape. Singleton buckets are skipped outright (no pair to emit).
+    * `maxDist` ≤ nBands−1 — PROVIDED no bucket overflows the cap
+    * below. 8 bands buys d ≤ 7, the working range for perceptual image
+    * hashes, at the cost of 8-bit band values whose buckets grow with
+    * corpus size. That growth is the standard LSH skew story, handled
+    * the [[lshCandidates]] way: bucket sizes are counted first and
+    * buckets larger than `maxBucket` are DROPPED (stop-bucket removal —
+    * a near-constant-corpus band bucket would otherwise cost O(n²)
+    * candidate pairs). The cap TRADES RECALL FOR BOUNDEDNESS: a pair
+    * whose every agreeing band overflows is lost (the pigeonhole gives
+    * ≥ 1 agreeing band, not a spare), so exact recall holds exactly
+    * when the corpus density keeps agreeing bands under the cap —
+    * which the q255/q259 oracles PROVE at fixture scale by matching
+    * the exact all-pairs construction, and which a 500k-sketch ×100
+    * replica deliberately violates (2048 possible 8-bit buckets ⇒
+    * avg ≈ 244 > 200) to exercise this path. At corpus scale the
+    * wider-hash/multi-index upgrade (256-bit pHash, HmSearch) keeps
+    * buckets sparse without changing this plan shape. Singleton
+    * buckets are skipped outright (no pair to emit).
     * Candidates are verified with the exact chunked Hamming distance —
     * every stage an equi-join/hash-aggregate on (band_idx, band_value),
     * never all-pairs. */

@@ -326,8 +326,7 @@ object Similarity {
     // racing this cache path never read a half-built index; probed
     // through Hadoop FS so the lifecycle holds on HDFS/S3A stores too
     if (!graft.io.Fs.exists(spark, s"$path/assign/_SUCCESS")) {
-      graft.io.Fs.deleteRecursive(spark, path) // torn pre-promote build
-      graft.io.Fs.promoteDir(spark, path) { tmp =>
+      graft.io.Fs.promoteDir(spark, path, "assign/_SUCCESS") { tmp =>
         val (pts, cents) = kmeansCore(corpus, id, vec, kCells, iters, scale)
         cents.write.mode("overwrite").parquet(s"$tmp/cents")
         assignCells(pts, cents).select(col("pid"), col("cell"))
@@ -477,8 +476,7 @@ object Similarity {
                          ksub: Int, pqIters: Int, dims: Int,
                          scale: Double = 1e6): (DataFrame, DataFrame, DataFrame) = {
     if (!graft.io.Fs.exists(spark, s"$path/cand/_SUCCESS")) {
-      graft.io.Fs.deleteRecursive(spark, path) // torn pre-promote build
-      graft.io.Fs.promoteDir(spark, path) { tmp =>
+      graft.io.Fs.promoteDir(spark, path, "cand/_SUCCESS") { tmp =>
         val (_, cents, codebooks, cand) = pqIndex(candidates, corpus, id, vec,
           kCells, coarseIters, subspaces, ksub, pqIters, dims, scale)
         cents.write.mode("overwrite").parquet(s"$tmp/cents")

@@ -836,7 +836,11 @@ object Stats {
     * to m), i.e. single-partition by construction, so the operator
     * carries the house loud-cap discipline: the family row count is
     * probed with a `limit(maxFamily+1)` count (the TimeSeries guard
-    * shape — O(maxFamily), never a full count of an unbounded frame)
+    * shape). The limit caps rows COLLECTED, not upstream work — a
+    * family built from an aggregate/join executes its plan once for
+    * the probe and once for the ranking pass (callers' family frames
+    * are enum-bounded aggregates, so the extra pass is one cheap
+    * aggregate; pass a localCheckpoint'd frame to pay it only once) —
     * and an over-cap family REFUSES instead of silently
     * single-threading a data-proportional input. Callers are
     * enum-bounded far below the default (q245 runs one test per

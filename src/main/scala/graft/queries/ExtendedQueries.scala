@@ -1003,8 +1003,7 @@ object ExtendedQueries {
         import s.implicits._
         val layout = LayoutKey.dir(d, "orders", "orders_evolved")
         if (!graft.io.Fs.exists(s, s"$layout/_done.marker")) {
-          graft.io.Fs.deleteRecursive(s, layout) // torn pre-promote build
-          graft.io.Fs.promoteDir(s, layout) { tmp =>
+          graft.io.Fs.promoteDir(s, layout, "_done.marker") { tmp =>
             t(s, d, "orders").filter($"o_orderkey" < 2000)
               .select($"o_orderkey", $"o_totalprice")
               .write.mode("overwrite").parquet(s"$tmp/v=1")

@@ -316,10 +316,15 @@ object TextQueries {
     * p=2); sampling is the same integer nearest-neighbor (x·W/9, y·H/8).
     * All arithmetic stays non-negative BIGINT — DuckDB rejects 1<<63, so
     * the hash lives as four 16-bit chunks, the house sketch shape. */
-  private val dhashOracle: String =
-    """WITH ids AS (SELECT doc_id AS media_id, doc_id // 3 AS s, doc_id % 3 AS p,
+  private val dhashOracle: String = dhashCtes(
+    """SELECT doc_id AS media_id, doc_id // 3 AS s, doc_id % 3 AS p,
              (doc_id // 3) % 6 + 12 AS w, (doc_id // 3) % 5 + 10 AS h
-           FROM documents),
+           FROM documents""")
+
+  /** The dHash CTE chain over an arbitrary `(media_id, s, p, w, h)`
+    * source (q254's document ids, q260's per-frame synthetic ids). */
+  private def dhashCtes(idsSql: String): String =
+    s"""WITH ids AS ($idsSql),
        xs AS (SELECT unnest(generate_series(0, 8)) AS x),
        ys AS (SELECT unnest(generate_series(0, 7)) AS y),
        grid AS (SELECT media_id, s, p, x, y, (x * w) // 9 AS px, (y * h) // 8 AS py
@@ -929,9 +934,13 @@ object TextQueries {
     // The dedup family's SECOND real-codec modality: 65-frame × 24-
     // sample 16-bit PCM clips synthesized per document row, encoded
     // with the REAL javax.sound WAV codec (RIFF container) on the
-    // executors, decoded back through AudioSystem, folded to per-frame
-    // energies, and fingerprinted by the adjacent-energy-comparison
-    // hash ([[graft.multimodal.Multimodal.adjacentHashChunks]] — the
+    // executors, parsed back by the lock-free chunk-walking RIFF
+    // parser (the platform reader serializes under executor threads —
+    // Multimodal.parseWavPcm documents the A/B, and MultimodalSpec
+    // pins the parser byte-for-byte against AudioSystem's reader),
+    // folded to per-frame energies, and fingerprinted by the
+    // adjacent-energy-comparison hash
+    // ([[graft.multimodal.Multimodal.adjacentHashChunks]] — the
     // audio analogue of dHash: invariant to any linear gain, sensitive
     // to temporal structure). Variants mirror the image fixture: p=1
     // amplitude ×2 (fingerprint-invariant BY THEOREM — every energy
@@ -982,6 +991,76 @@ object TextQueries {
           FROM hash a JOIN hash b ON a.media_id < b.media_id)
         WHERE dist <= 7 ORDER BY id_a, id_b"""),
       "audio near-dup pairs: the generic Hamming banding on the WAV fingerprint"),
+
+    // ------------------------------------ video near-dup (frame sets)
+    // The THIRD modality, composed from proven parts the way real
+    // video dedup works: frame-SAMPLE each video (every 2nd of its 8
+    // synthetic frames — production fingerprints hash a SAMPLE, not
+    // every frame; the explode is the Multimodal.sampleFrames fan-out
+    // shape), per-frame perceptual dHash through the REAL PNG codec
+    // (the q254 machinery — the codec runs once per DISTINCT frame
+    // image), then video-level near-dup as JACCARD OVER FRAME-HASH
+    // SETS via the token-join machinery (Dedup.sparseJaccardPairs —
+    // shuffle keyed by hash token, never all-pairs). The fixture's
+    // video variants demonstrate the perceptual composition: p=1 drops
+    // the first frame (a temporal clip → sampled Jaccard 3/4), p=2
+    // brightens frame 0 (dHash-INVARIANT by theorem → the edited
+    // video's hash set is IDENTICAL, Jaccard 1 — a byte-level
+    // fingerprint would call it a different video); cross-source sets
+    // are disjoint. The oracle replays frame hashes closed-form and
+    // reaches Jaccard through a token equi-join — the same scalable
+    // shape, no codec.
+    "q260_video_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        implicit val sp: SparkSession = s
+        val vf = docs(s, d).select($"doc_id".as("video"))
+          .withColumn("p", $"video" % 3)
+          .withColumn("f", explode(sequence(lit(0), lit(6), lit(2))))
+          .filter(!($"p" === 1 && $"f" === 0)) // p=1: clipped first frame
+          // div, not `/`: Column `/` on longs is DOUBLE division (q252)
+          .withColumn("mid",
+            lit(3L) * (expr("video div 3") * 8 + $"f")
+              + when($"p" === 2 && $"f" === 0, 1L).otherwise(0L))
+          .localCheckpoint() // feeds the distinct-codec pass AND the join
+        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
+          vf.select($"mid".as("doc_id")).distinct(), "doc_id")
+        val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
+        val sketch = grid.select($"media_id".as("mid"),
+          concat_ws(":",
+            graft.multimodal.Multimodal.dhashChunks($"grays"): _*).as("tok"))
+        val tokens = vf.join(sketch, "mid")
+          .groupBy($"video").agg(collect_set($"tok").as("toks"))
+        Dedup.sparseJaccardPairs(tokens, "video", col("toks"), threshold = 0.7)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(dhashCtes(
+        """SELECT DISTINCT mid AS media_id, mid // 3 AS s, mid % 3 AS p,
+              (mid // 3) % 6 + 12 AS w, (mid // 3) % 5 + 10 AS h
+           FROM (SELECT doc_id AS video, doc_id % 3 AS vp, f,
+                   3 * ((doc_id // 3) * 8 + f)
+                     + CASE WHEN doc_id % 3 = 2 AND f = 0 THEN 1 ELSE 0 END AS mid
+                 FROM documents, (SELECT unnest(generate_series(0, 6, 2)) AS f)
+                 WHERE NOT (doc_id % 3 = 1 AND f = 0))""") + s""",
+        vt AS (SELECT DISTINCT video,
+            c0 || ':' || c1 || ':' || c2 || ':' || c3 AS tok
+          FROM (SELECT doc_id AS video, doc_id % 3 AS vp, f,
+                  3 * ((doc_id // 3) * 8 + f)
+                    + CASE WHEN doc_id % 3 = 2 AND f = 0 THEN 1 ELSE 0 END AS mid
+                FROM documents, (SELECT unnest(generate_series(0, 6, 2)) AS f)
+                WHERE NOT (doc_id % 3 = 1 AND f = 0)) vf
+          JOIN hash ON hash.media_id = vf.mid),
+        sz AS (SELECT video, count(*) AS n FROM vt GROUP BY 1),
+        inter AS (SELECT a.video AS id_a, b.video AS id_b,
+            CAST(count(*) AS BIGINT) AS n_inter
+          FROM vt a JOIN vt b ON a.tok = b.tok AND a.video < b.video
+          GROUP BY 1, 2)
+        SELECT * FROM (
+          SELECT id_a, id_b,
+            round(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard
+          FROM inter JOIN sz sa ON sa.video = id_a JOIN sz sb ON sb.video = id_b)
+        WHERE jaccard >= 0.7 ORDER BY id_a, id_b"""),
+      "video near-dup: frame-sampled dHash sets, Jaccard via token join — clip-tolerant, brightness-invariant"),
 
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and

@@ -36,13 +36,13 @@ object TradeGraph {
     // consumer silently analyzes a stale graph (self-review catch)
     val path = LayoutKey.dir(d, Seq("lineitem", "orders", "customer"), tag)
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
-      // a dir without _SUCCESS is a torn pre-promoteDir build — clear it
-      // so the atomic publication below can land
-      graft.io.Fs.deleteRecursive(s, path)
       // build into a hidden tmp + one atomic rename: two concurrent JVMs
       // (Bench + a test run on the same testdata) each build privately,
-      // one rename wins, and no reader ever sees a half-built listing
-      graft.io.Fs.promoteDir(s, path) { tmp =>
+      // one rename wins, and no reader ever sees a half-built listing;
+      // torn legacy leftovers are cleared INSIDE promoteDir's narrow
+      // publication window (clearing here would race a concurrent
+      // winner's published dir — round-14 review catch)
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
         val o = nations match {
           case Some(ns) =>
             val cust = Tables(s, d, "customer")

@@ -106,13 +106,22 @@ object ScaleStress {
     // saturate under replication like q247's.
     "r14" -> Seq("q254_dhash64", "q255_dhash_neardup", "q256_funnel_steps"),
     // the round-14 continuation: perceptual clusters + the audio twins.
-    // At ×100 the exact-duplicate replicas concentrate identical
-    // sketches into mega-buckets that the stop-bucket cap DROPS — the
-    // declared LSH semantics (exact duplicates belong to exact dedup,
-    // the q205 composition), so the measured point exercises the cap
-    // path, not a pair explosion.
+    // NOTE on the ×100 point for every banded query here and in r14:
+    // replication rewrites doc_id (key·factor+rep), so each replica
+    // draws a DIFFERENT fixture image/clip — the sketches are NOT
+    // duplicates. What the ×100 run exercises is 8-bit BAND-SPACE
+    // SATURATION: 500k sketches over ≤ 8×256 = 2048 (band, value)
+    // buckets average ≈ 244 members > the 200 cap, so most buckets are
+    // stop-dropped and recall degrades by design (the declared cap
+    // trade — see hammingBandedPairs' doc); the measured ratio is the
+    // bounded-candidate path's cost, and the production answer at this
+    // density is a wider hash / more bands, not a bigger cap.
     "r14b" -> Seq("q257_dhash_clusters", "q258_wav_fingerprint",
-      "q259_wav_neardup"))
+      "q259_wav_neardup"),
+    // q260 is codec-count-proportional like q254 (×100 ⇒ ~835k distinct
+    // frame images through the real PNG codec), so its ×100 leg is the
+    // sweep's most expensive — measured once, like q116's
+    "r14c" -> Seq("q260_video_neardup"))
 
   /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
     * on every source table's mtime (the layout-cache discipline — a
@@ -130,21 +139,29 @@ object ScaleStress {
     val replicated = Map(
       "lineitem" -> "l_orderkey", "orders" -> "o_orderkey",
       "documents" -> "doc_id", "events" -> "user_id", "embeddings" -> "vec_id")
-    if (Tables.names.forall(t =>
-        graft.io.Fs.exists(spark, s"$dst/$t.parquet/_SUCCESS"))) {
+    // completeness probe = the LAST table the build loop writes, so a
+    // torn legacy in-place build (which wrote in Tables.names order)
+    // never looks complete; the whole replica is then published by one
+    // atomic rename (Fs.promoteDir) — this path is now shared between
+    // ScaleStress and CurationE2E, exactly the concurrent-JVM pairing
+    // the promoteDir discipline exists for (round-14 review catch)
+    val marker = s"${Tables.names.last}.parquet/_SUCCESS"
+    if (graft.io.Fs.exists(spark, s"$dst/$marker")) {
       println(s"STRESS reusing existing $dst")
     } else {
-      Tables.names.foreach { t =>
-        val df = Tables(spark, src, t)
-        val out = replicated.get(t) match {
-          case Some(key) =>
-            df.crossJoin(spark.range(factor).select($"id".as("__rep")))
-              .withColumn(key, col(key) * factor + col("__rep"))
-              .drop("__rep")
-              .repartition(32)
-          case None => df
+      graft.io.Fs.promoteDir(spark, dst, marker) { tmp =>
+        Tables.names.foreach { t =>
+          val df = Tables(spark, src, t)
+          val out = replicated.get(t) match {
+            case Some(key) =>
+              df.crossJoin(spark.range(factor).select($"id".as("__rep")))
+                .withColumn(key, col(key) * factor + col("__rep"))
+                .drop("__rep")
+                .repartition(32)
+            case None => df
+          }
+          out.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
         }
-        out.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       }
       println(s"STRESS built $dst")
     }

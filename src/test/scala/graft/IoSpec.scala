@@ -89,4 +89,40 @@ class IoSpec extends SparkSpec {
       df.schema.map(f => (f.name, f.dataType)))
     assert(back.count() == 3)
   }
+
+  test("promoteDir: failing build leaves no tmp; published target is never rebuilt") {
+    import graft.io.Fs
+    val dir = Files.createTempDirectory("promote").toString
+    val path = s"$dir/layout"
+    // a throwing build must clean its hidden tmp and publish nothing
+    intercept[RuntimeException] {
+      Fs.promoteDir(spark, path, "_SUCCESS") { tmp =>
+        Fs.touch(spark, s"$tmp/partial")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(!Fs.exists(spark, path), "failed build must not publish")
+    assert(new java.io.File(dir).listFiles.forall(
+        f => !f.getName.startsWith(".layout.tmp")),
+      "failed build leaked its hidden tmp dir")
+    // successful publication
+    Fs.promoteDir(spark, path, "_SUCCESS") { tmp =>
+      Fs.writeText(spark, s"$tmp/v", "1")
+      Fs.touch(spark, s"$tmp/_SUCCESS")
+    }
+    assert(Fs.readText(spark, s"$path/v") == "1")
+    // the marker makes a re-promotion a no-op: the build must not even
+    // run, and the published content must survive untouched
+    Fs.promoteDir(spark, path, "_SUCCESS") { _ =>
+      fail("build ran despite a published completeness marker")
+    }
+    assert(Fs.readText(spark, s"$path/v") == "1")
+    // a TORN leftover (no marker) is cleared and rebuilt
+    Fs.deleteRecursive(spark, s"$path/_SUCCESS")
+    Fs.promoteDir(spark, path, "_SUCCESS") { tmp =>
+      Fs.writeText(spark, s"$tmp/v", "2")
+      Fs.touch(spark, s"$tmp/_SUCCESS")
+    }
+    assert(Fs.readText(spark, s"$path/v") == "2")
+  }
 }

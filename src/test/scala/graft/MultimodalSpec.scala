@@ -227,6 +227,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video near-dup: clip and brightness variants land at their theorem Jaccards") {
+    // The q260 composition on the spec fixture dir: for every complete
+    // video triple, the brightness-edited sibling (p=2, frame-0 dHash
+    // invariant) must sit at Jaccard EXACTLY 1.0 with its source, and
+    // the clipped sibling (p=1, one of four sampled frames gone) at
+    // EXACTLY 0.75 — literal values forced by the invariance theorem
+    // and the sample arithmetic, not read off the implementation.
+    val jac = graft.queries.Registry.queries("q260_video_neardup")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // sources with all three variants present in the fixture
+    val complete = (0 until 160).filter(s =>
+      jac.contains((3L * s, 3L * s + 1)) && jac.contains((3L * s, 3L * s + 2)))
+    assert(complete.size > 100, s"fixture sanity: ${complete.size} complete triples")
+    complete.foreach { s =>
+      assert(jac((3L * s, 3L * s + 2)) == 1.0,
+        s"source $s: brightness edit must be Jaccard 1.0")
+      assert(jac((3L * s, 3L * s + 1)) == 0.75,
+        s"source $s: one clipped frame of four must be Jaccard 0.75")
+    }
+  }
+
   test("WAV decode fails loudly on junk bytes and on geometry drift") {
     implicit val s = spark
     val junk = Seq((7L, "not a wav".getBytes("UTF-8"))).toDF("media_id", "content")

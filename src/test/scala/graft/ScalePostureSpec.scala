@@ -1032,6 +1032,12 @@ class ScalePostureSpec extends SparkSpec {
       s"q259 pairs must come from the band equi-join:\n${p259.take(1200)}")
     assert(p259.linesIterator.count(_.contains("FileScan")) == 0,
       s"q259 must read the checkpointed sketch, not re-decode per branch:\n${p259.take(1200)}")
+    // q260: video pairs come from the frame-hash TOKEN equi-join — a
+    // cartesian would mean videos pair quadratically instead of
+    // through shared frame hashes
+    val p260 = plan("q260_video_neardup")
+    assert(!p260.contains("CartesianProduct") && !p260.contains("BroadcastNestedLoopJoin"),
+      s"q260 pairs must come from the token equi-join:\n${p260.take(1200)}")
   }
 
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {

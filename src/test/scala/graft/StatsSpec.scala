@@ -767,8 +767,8 @@ class StatsSpec extends SparkSpec {
     // the step-up's rank window is GLOBAL (every rank couples to m), so
     // the operator carries the house loud-cap: a family larger than
     // maxFamily must throw, not silently drag a data-proportional frame
-    // through one partition. The probe is limit(cap+1)-bounded, so the
-    // refusal itself costs O(cap) even on a huge input.
+    // through one partition. The probe collects at most cap+1 rows
+    // (upstream plan work still runs once — see the operator's doc).
     val big = spark.range(10).toDF("id").withColumn("pn", $"id" + 1)
     val e = intercept[IllegalArgumentException] {
       graft.operators.Stats.bhStepUp(big, $"pn", $"id", den = 100L,
