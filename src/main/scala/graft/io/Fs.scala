@@ -100,20 +100,44 @@ object Fs {
     val (f, hp) = fs(spark, path)
     val markerPath = new Path(hp, marker)
     if (f.exists(markerPath)) return // already published, nothing to do
-    val tmp = new Path(hp.getParent,
-      s".${hp.getName}.tmp-${java.util.UUID.randomUUID.toString.take(8)}")
+    val suffix = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new Path(hp.getParent, s".${hp.getName}.tmp-$suffix")
     var published = false
     try {
       build(tmp.toString)
-      // narrow publication section: re-verify right before clearing
+      // a build that did not produce its own completeness marker is
+      // miswired (wrong marker path, or the touch was dropped): fail at
+      // the source — publishing it would put every future call into a
+      // delete-and-rebuild loop over a dir that always looks torn
+      if (!f.exists(new Path(tmp, marker)))
+        throw new java.io.IOException(
+          s"promoteDir build for $path did not write its marker '$marker'")
+      // narrow publication section: re-verify right before clearing.
+      // A torn target is moved ASIDE atomically rather than deleted —
+      // a slow recursive delete under a racer that published between
+      // the check and the clear would destroy COMPLETE data; a rename
+      // merely hides it (identical content is republished micro-
+      // seconds later), and the aside copy is dropped only after our
+      // own publication landed.
       if (!f.exists(markerPath)) {
-        if (f.exists(hp)) f.delete(hp, true) // torn leftover, re-verified NOW
-        published = f.rename(tmp, hp)
+        val aside = new Path(hp.getParent, s".${hp.getName}.torn-$suffix")
+        val cleared = !f.exists(hp) || f.rename(hp, aside)
+        if (cleared) {
+          published = f.rename(tmp, hp)
+          f.delete(aside, true) // best-effort: hidden either way
+        }
+        // !cleared (delete-less protocol: a failed move-aside) falls
+        // through to the loud no-winner check below — renaming tmp onto
+        // a surviving target would nest it invisibly on raw local FS
+        // and report success over a torn cache
       }
     } finally {
       if (!published) f.delete(tmp, true) // loser or failed build
     }
-    if (!published && !f.exists(markerPath) && !f.exists(hp))
+    // a loser is only legitimate when a real winner's marker exists —
+    // a surviving marker-less dir is NOT a winner (previously the
+    // `exists(hp)` conjunct silently accepted exactly that)
+    if (!published && !f.exists(markerPath))
       throw new java.io.IOException(
         s"promotion of $path failed with no published winner present")
   }

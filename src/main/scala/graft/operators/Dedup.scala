@@ -855,8 +855,9 @@ object Dedup {
     * when the corpus density keeps agreeing bands under the cap —
     * which the q255/q259 oracles PROVE at fixture scale by matching
     * the exact all-pairs construction, and which a 500k-sketch ×100
-    * replica deliberately violates (2048 possible 8-bit buckets ⇒
-    * avg ≈ 244 > 200) to exercise this path. At corpus scale the
+    * replica deliberately violates (each sketch enters one bucket PER
+    * BAND: 500k entries over 256 values per band ⇒ avg ≈ 1953 ≫ 200)
+    * to exercise this path. At corpus scale the
     * wider-hash/multi-index upgrade (256-bit pHash, HmSearch) keeps
     * buckets sparse without changing this plan shape. Singleton
     * buckets are skipped outright (no pair to emit).

@@ -110,9 +110,10 @@ object ScaleStress {
     // replication rewrites doc_id (key·factor+rep), so each replica
     // draws a DIFFERENT fixture image/clip — the sketches are NOT
     // duplicates. What the ×100 run exercises is 8-bit BAND-SPACE
-    // SATURATION: 500k sketches over ≤ 8×256 = 2048 (band, value)
-    // buckets average ≈ 244 members > the 200 cap, so most buckets are
-    // stop-dropped and recall degrades by design (the declared cap
+    // SATURATION: every sketch enters one bucket PER BAND, so 500k
+    // sketches put 500k entries into each band's ≤256 values — avg
+    // ≈ 1953 members ≫ the 200 cap — and most buckets are
+    // stop-dropped; recall degrades by design (the declared cap
     // trade — see hammingBandedPairs' doc); the measured ratio is the
     // bounded-candidate path's cost, and the production answer at this
     // density is a wider hash / more bands, not a bigger cap.

@@ -124,5 +124,16 @@ class IoSpec extends SparkSpec {
       Fs.touch(spark, s"$tmp/_SUCCESS")
     }
     assert(Fs.readText(spark, s"$path/v") == "2")
+    // a build that forgets its own marker is MISWIRED and must refuse
+    // at the source — publishing it would loop every future call
+    // through a delete-and-rebuild of a permanently torn-looking dir
+    val path2 = s"$dir/layout2"
+    val e = intercept[java.io.IOException] {
+      Fs.promoteDir(spark, path2, "_SUCCESS") { tmp =>
+        Fs.writeText(spark, s"$tmp/v", "1") // no _SUCCESS touch
+      }
+    }
+    assert(e.getMessage.contains("did not write its marker"), e.getMessage)
+    assert(!Fs.exists(spark, path2), "miswired build must not publish")
   }
 }
