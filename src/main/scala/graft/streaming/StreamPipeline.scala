@@ -281,16 +281,55 @@ object StreamPipeline {
     * the generation scheme avoids). */
   def nearDupSuppressWriter(indexDir: String, outDir: String,
                             id: String, text: String,
-                            k: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit =
+                            k: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit = {
+    import graft.operators.Dedup
+    bucketSuppressWriter(indexDir, outDir, id, b =>
+      Dedup.lshBands(
+        Dedup.minhashSignaturesLcg(Dedup.tokens(b, id, text), id, k),
+        id, k, bands))
+  }
+
+  /** [[bucketSuppressWriter]] on the IMAGE modality (round-14): each
+    * micro-batch of (id, pngBytes) rows runs the q254 machinery — real
+    * codec decode + 9×8 gray sample in the partition-wise codec slot,
+    * codegen'd dHash — and its 8×8-bit Hamming bands become the bucket
+    * rows. An arriving image sharing ANY band with an admitted one is
+    * suppressed: brightness/gain re-encodes (dHash-identical) always
+    * collide on all 8 bands; local edits within Hamming 7 are
+    * GUARANTEED ≥ 1 colliding band by the pigeonhole, so the ingest
+    * filter's recall on the near-dup band matches the batch q255
+    * semantics (modulo the same no-verify trade the text writer
+    * documents). The index/commit/compaction protocol is shared —
+    * the modality only changes how bucket rows are derived. */
+  def imageDedupSuppressWriter(indexDir: String, outDir: String,
+                               id: String, content: String): (DataFrame, Long) => Unit =
+    bucketSuppressWriter(indexDir, outDir, id, { b =>
+      implicit val sp: org.apache.spark.sql.SparkSession = b.sparkSession
+      val grid = graft.multimodal.Multimodal.sampleGrayGrid(
+        b.select(col(id).cast("long").as("media_id"), col(content).as("content")))
+      grid.select(col("media_id").as(id) +:
+          graft.multimodal.Multimodal.dhashChunks(col("grays")): _*)
+        .select(col(id), posexplode(array((0 until 8).map(bnd =>
+            shiftright(col(s"c${bnd / 2}"), 8 * (bnd % 2)).bitwiseAND(255)
+              .cast("string")): _*))
+          .as(Seq("band_idx", "band_hash")))
+    })
+
+  /** The modality-generic core of the suppression writers: `bucketsOf`
+    * turns a micro-batch into (id, band_idx, band_hash) bucket rows —
+    * MinHash-LSH bands for text, dHash Hamming bands for images, any
+    * future sketch for audio/video — and everything downstream (the
+    * persistent index join, the within-batch min-id rule, the
+    * single-commit-point exactly-once protocol, compaction, the
+    * janitor) is one shared implementation. */
+  def bucketSuppressWriter(indexDir: String, outDir: String, id: String,
+                           bucketsOf: DataFrame => DataFrame): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       import graft.io.Fs
-      import graft.operators.Dedup
       val spark = batch.sparkSession
       val name = f"batch-$batchId%06d"
       if (!Fs.exists(spark, s"$outDir/$name.commit")) {
-        val buckets = Dedup.lshBands(
-          Dedup.minhashSignaturesLcg(Dedup.tokens(batch, id, text), id, k),
-          id, k, bands).persist()
+        val buckets = bucketsOf(batch).persist()
         // committed index = newest promoted base + deltas whose OUT
         // marker exists and that the base doesn't cover (never the
         // in-flight batch: its marker isn't there yet)

@@ -1127,6 +1127,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming IMAGE dedup suppression: dHash band index filters across batches") {
+    // The text suppression protocol instantiated on the image modality
+    // (bucketSuppressWriter + dHash Hamming bands): the index join, the
+    // within-batch min-id rule, and the single-commit exactly-once
+    // protocol are the SAME shared implementation — only the bucket
+    // derivation (real codec → dHash → 8×8-bit bands) changes. Fixture
+    // ids chosen so cross-source band collisions cannot flake the pin
+    // (sources 0/2/3 are pairwise band-disjoint in the closed form).
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val base = Files.createTempDirectory("imgdedup").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.imageDedupSuppressWriter(
+      indexDir, outDir, "media_id", "content")
+    // real PNG bytes for the chosen ids, via the actual codec
+    val png = graft.multimodal.Multimodal.encodeVariantPngs(
+        Seq(0L, 1L, 2L, 6L, 9L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"media_id").as[Long].collect().toSeq.sorted
+    // batch 0: id 1 is id 0's brightness twin (dHash-IDENTICAL — all 8
+    // bands collide within the batch); id 6 (source 2) is unrelated
+    writer(Seq((0L, png(0L)), (1L, png(1L)), (6L, png(6L)))
+      .toDF("media_id", "content"), 0L)
+    assert(admitted() == Seq(0L, 6L),
+      s"within-batch: the brightness twin must be suppressed: ${admitted()}")
+    // batch 1: id 2 is id 0's LOCAL EDIT (Hamming ≤ 7 ⇒ pigeonhole
+    // guarantees ≥ 1 colliding band with the PERSISTED index); id 9
+    // (source 3) is new
+    writer(Seq((2L, png(2L)), (9L, png(9L)))
+      .toDF("media_id", "content"), 1L)
+    assert(admitted() == Seq(0L, 6L, 9L),
+      s"cross-batch: the band index must suppress the edited copy: ${admitted()}")
+    // crash redelivery of batch 0: the single commit point makes it a
+    // no-op — its docs must NOT be suppressed by their own index rows
+    writer(Seq((0L, png(0L)), (1L, png(1L)), (6L, png(6L)))
+      .toDF("media_id", "content"), 0L)
+    assert(admitted() == Seq(0L, 6L, 9L),
+      s"redelivered batch must be a no-op: ${admitted()}")
+  }
+
   test("streamed basket pair supports == batch q250 pair stage; snapshots are versioned") {
     // The q250 streaming twin (VERDICT r13 #5): per-order distinct
     // brand set as enum-bounded value state; each (order, ba<bb) pair
