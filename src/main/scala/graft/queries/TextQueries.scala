@@ -855,13 +855,10 @@ object TextQueries {
     "q255_dhash_neardup" -> Q(
       (s, d) => {
         import s.implicits._
-        implicit val sp: SparkSession = s
-        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
-          docs(s, d), "doc_id")
-        val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
-        val sketch = grid.select($"media_id" +:
-          graft.multimodal.Multimodal.dhashChunks($"grays"): _*)
-        Dedup.hammingBandedPairs(sketch, "media_id",
+        // reads the ONE materialized sketch store (MediaSketch — the
+        // TradeGraph discipline: hash at ingest, N analyses); the
+        // oracle's closed-form re-derivation keeps validating the build
+        Dedup.hammingBandedPairs(MediaSketch.dhash(s, d), "media_id",
             maxDist = 7, nBands = 8, maxBucket = 200)
           .orderBy($"id_a", $"id_b")
       },
@@ -886,21 +883,16 @@ object TextQueries {
     // image leg would anti-join against. The oracle reaches the same
     // fixpoint through a recursive CTE over the closed-form exact pair
     // graph, so the whole iterative operator is hash-verified.
-    // Bench note: ~6 s at sf0.1 is contraction-ROUND overhead (each
-    // star alternation = checkpoint + signature jobs on a tiny graph —
-    // the q75/q89 iterative class), NOT data volume; the CC kernel's
-    // ×100 posture is q89's measured 1.33× and the pair stage is
-    // q255's banding.
+    // Bench note: ~4 s at sf0.1 (post-MediaSketch) is contraction-ROUND
+    // overhead (each star alternation = checkpoint + signature jobs on
+    // a tiny graph — the q75/q89 iterative class), NOT data volume; the
+    // CC kernel's ×100 posture is q89's measured 1.33× and the pair
+    // stage is q255's banding.
     "q257_dhash_clusters" -> Q(
       (s, d) => {
         import s.implicits._
-        implicit val sp: SparkSession = s
-        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
-          docs(s, d), "doc_id")
-        val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
-        val sketch = grid.select($"media_id" +:
-            graft.multimodal.Multimodal.dhashChunks($"grays"): _*)
-          .localCheckpoint() // feeds the pair stage AND the node list
+        // the MediaSketch store feeds the pair stage AND the node list
+        val sketch = MediaSketch.dhash(s, d)
         val pairs = Dedup.hammingBandedPairs(sketch, "media_id",
           maxDist = 7, nBands = 8, maxBucket = 200)
         val cc = Dedup.cluster(sketch.select($"media_id"), "media_id",

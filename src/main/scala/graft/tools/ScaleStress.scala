@@ -122,7 +122,11 @@ object ScaleStress {
     // q260 is codec-count-proportional like q254 (×100 ⇒ ~835k distinct
     // frame images through the real PNG codec), so its ×100 leg is the
     // sweep's most expensive — measured once, like q116's
-    "r14c" -> Seq("q260_video_neardup"))
+    "r14c" -> Seq("q260_video_neardup"),
+    // re-measure after the MediaSketch materialization (the consumers'
+    // plans changed: the codec pass moved to the ingest-time build,
+    // which the warmup pays — the q96 PQ-index convention)
+    "r14sketch" -> Seq("q255_dhash_neardup", "q257_dhash_clusters"))
 
   /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
     * on every source table's mtime (the layout-cache discipline — a

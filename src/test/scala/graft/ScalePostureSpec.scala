@@ -1007,10 +1007,20 @@ class ScalePostureSpec extends SparkSpec {
     val p = plan("q255_dhash_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"q255 pairs must come from the band equi-join:\n${p.take(1200)}")
-    // the sketch is checkpointed once and fans out (bands + two verify
-    // sides) — the codec never re-runs per consumer
-    assert(p.linesIterator.count(_.contains("FileScan")) == 0,
-      s"q255 must read the checkpointed sketch, not re-decode per branch:\n${p.take(1200)}")
+    // the sketch comes from the ONE materialized MediaSketch store (the
+    // TradeGraph discipline): the consumer plan must never scan
+    // documents.parquet — a base-table scan would mean the codec
+    // pipeline re-runs per consumer. (The layout scan itself sits above
+    // hammingBandedPairs' eager checkpoint, so it is pinned on the
+    // store's own plan below, the TradeGraph edges() style.)
+    val docScans = p.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("/documents.parquet")).toSeq
+    assert(docScans.isEmpty,
+      s"q255 re-derives the sketch from the base table:\n${docScans.mkString("\n")}")
+    val sp = graft.queries.MediaSketch.dhash(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("FileScan") && sp.contains("graft_layout"),
+      s"MediaSketch.dhash must read the materialized parquet:\n${sp.take(600)}")
   }
 
   test("round-14 family: funnel stays join-shaped, perceptual dedup stays banded") {
@@ -1025,6 +1035,9 @@ class ScalePostureSpec extends SparkSpec {
     val p257 = plan("q257_dhash_clusters")
     assert(!p257.contains("CartesianProduct") && !p257.contains("BroadcastNestedLoopJoin"),
       s"q257 pairs must come from the band equi-join:\n${p257.take(1200)}")
+    assert(!p257.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q257 must read the MediaSketch store, not re-run the codec:\n${p257.take(1200)}")
     // q259: the generic banding operator carries its posture to the
     // audio modality unchanged
     val p259 = plan("q259_wav_neardup")
