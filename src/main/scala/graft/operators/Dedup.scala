@@ -864,6 +864,18 @@ object Dedup {
     * Candidates are verified with the exact chunked Hamming distance —
     * every stage an equi-join/hash-aggregate on (band_idx, band_value),
     * never all-pairs. */
+  /** The ONE band derivation over the chunked c0..c3 sketch shape,
+    * shared by [[hammingBandedPairs]] and the streaming ingest filter
+    * ([[graft.streaming.StreamPipeline.imageDedupSuppressWriter]]) —
+    * a silent copy at either site would let the batch and ingest
+    * recall semantics diverge without a compile-time signal. */
+  def hammingBandExprs(nBands: Int): Seq[Column] = {
+    require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
+    if (nBands == 4) Seq(col("c0"), col("c1"), col("c2"), col("c3"))
+    else (0 until 8).map(b =>
+      shiftright(col(s"c${b / 2}"), 8 * (b % 2)).bitwiseAND(255))
+  }
+
   def hammingBandedPairs(sketch: DataFrame, id: String, maxDist: Int,
                          nBands: Int = 8, maxBucket: Int = 200): DataFrame = {
     require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
@@ -871,11 +883,8 @@ object Dedup {
       s"maxDist=$maxDist: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
     val sk = sketch.select(col(id), col("c0"), col("c1"), col("c2"), col("c3"))
       .localCheckpoint()
-    val bandExprs: Seq[Column] =
-      if (nBands == 4) Seq(col("c0"), col("c1"), col("c2"), col("c3"))
-      else (0 until 8).map(b =>
-        shiftright(col(s"c${b / 2}"), 8 * (b % 2)).bitwiseAND(255))
-    val bands = sk.select(col(id), posexplode(array(bandExprs: _*)).as(Seq("bi", "bv")))
+    val bands = sk.select(col(id),
+      posexplode(array(hammingBandExprs(nBands): _*)).as(Seq("bi", "bv")))
     val keep = bands.groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucket))

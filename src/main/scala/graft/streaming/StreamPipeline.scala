@@ -283,47 +283,95 @@ object StreamPipeline {
                             id: String, text: String,
                             k: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup
-    bucketSuppressWriter(indexDir, outDir, id, b =>
-      Dedup.lshBands(
-        Dedup.minhashSignaturesLcg(Dedup.tokens(b, id, text), id, k),
-        id, k, bands))
+    bucketSuppressWriter(indexDir, outDir, id,
+      bucketsOf = b =>
+        Dedup.lshBands(
+          Dedup.minhashSignaturesLcg(Dedup.tokens(b, id, text), id, k),
+          id, k, bands),
+      // any shared 128-bit band hash suppresses (no verify — the text
+      // posture documented above; md5 band values make spurious
+      // collisions negligible, unlike narrow perceptual bands)
+      hitExistingOf = (b, idx) => b.join(
+        idx.select(col("band_idx"), col("band_hash")),
+        Seq("band_idx", "band_hash"), "left_semi").select(col(id)),
+      hitWithinOf = { b =>
+        // min id per bucket wins; the window frame is one LSH bucket —
+        // bounded by bucket occupancy, never batch size
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_hash"))
+        b.withColumn("__own", min(col(id)).over(w))
+          .filter(col(id) > col("__own")).select(col(id))
+      })
   }
 
   /** [[bucketSuppressWriter]] on the IMAGE modality (round-14): each
     * micro-batch of (id, pngBytes) rows runs the q254 machinery — real
     * codec decode + 9×8 gray sample in the partition-wise codec slot,
-    * codegen'd dHash — and its 8×8-bit Hamming bands become the bucket
-    * rows. An arriving image sharing ANY band with an admitted one is
-    * suppressed: brightness/gain re-encodes (dHash-identical) always
-    * collide on all 8 bands; local edits within Hamming 7 are
-    * GUARANTEED ≥ 1 colliding band by the pigeonhole, so the ingest
-    * filter's recall on the near-dup band matches the batch q255
-    * semantics (modulo the same no-verify trade the text writer
-    * documents). The index/commit/compaction protocol is shared —
-    * the modality only changes how bucket rows are derived. */
+    * codegen'd dHash — its 8×8-bit Hamming bands become the bucket rows
+    * (derived by the SAME [[graft.operators.Dedup.hammingBandExprs]] as
+    * batch q255 — one shared derivation, no silent divergence), and —
+    * unlike the text writer — every band collision is VERIFIED at exact
+    * chunked Hamming ≤ `maxDist` before suppressing. The verify stage
+    * is not optional here: an 8-bit band space holds only 8×256 = 2048
+    * keys, so collision-only admission would saturate and permanently
+    * suppress every arrival past a ~256-image ceiling (round-14 review
+    * catch — spec-pinned by admitting a band-colliding far image). The
+    * index rows therefore carry the full sketch chunks alongside each
+    * band, and recall keeps the batch pigeonhole guarantee (d ≤ 7 ⇒
+    * some band collides ⇒ the verify sees the pair) while precision is
+    * the exact distance test, matching q255's semantics at ingest.
+    * The index/commit/compaction protocol is shared — the modality
+    * only changes bucket derivation and the match rule. */
   def imageDedupSuppressWriter(indexDir: String, outDir: String,
-                               id: String, content: String): (DataFrame, Long) => Unit =
-    bucketSuppressWriter(indexDir, outDir, id, { b =>
-      implicit val sp: org.apache.spark.sql.SparkSession = b.sparkSession
-      val grid = graft.multimodal.Multimodal.sampleGrayGrid(
-        b.select(col(id).cast("long").as("media_id"), col(content).as("content")))
-      grid.select(col("media_id").as(id) +:
-          graft.multimodal.Multimodal.dhashChunks(col("grays")): _*)
-        .select(col(id), posexplode(array((0 until 8).map(bnd =>
-            shiftright(col(s"c${bnd / 2}"), 8 * (bnd % 2)).bitwiseAND(255)
-              .cast("string")): _*))
-          .as(Seq("band_idx", "band_hash")))
-    })
+                               id: String, content: String,
+                               maxDist: Int = 7): (DataFrame, Long) => Unit = {
+    import graft.operators.Dedup
+    val chunks = Seq("c0", "c1", "c2", "c3")
+    bucketSuppressWriter(indexDir, outDir, id,
+      bucketsOf = { b =>
+        implicit val sp: org.apache.spark.sql.SparkSession = b.sparkSession
+        val grid = graft.multimodal.Multimodal.sampleGrayGrid(
+          b.select(col(id).cast("long").as("media_id"), col(content).as("content")))
+        grid.select(col("media_id").as(id) +:
+            graft.multimodal.Multimodal.dhashChunks(col("grays")): _*)
+          .select(col(id) +: col("c0") +: col("c1") +: col("c2") +: col("c3") +:
+            Seq(posexplode(array(Dedup.hammingBandExprs(8).map(_.cast("string")): _*))
+              .as(Seq("band_idx", "band_hash"))): _*)
+      },
+      hitExistingOf = (b, idx) => b.join(
+          idx.select(col("band_idx"), col("band_hash"),
+            col("c0").as("i0"), col("c1").as("i1"),
+            col("c2").as("i2"), col("c3").as("i3")),
+          Seq("band_idx", "band_hash"))
+        .filter(Dedup.hammingChunks(chunks.map(col),
+          Seq(col("i0"), col("i1"), col("i2"), col("i3"))) <= maxDist)
+        .select(col(id)),
+      hitWithinOf = b => b.alias("l")
+        .join(b.alias("r"),
+          col("l.band_idx") === col("r.band_idx") &&
+            col("l.band_hash") === col("r.band_hash") &&
+            col(s"l.$id") > col(s"r.$id"))
+        .filter(Dedup.hammingChunks(chunks.map(c => col(s"l.$c")),
+          chunks.map(c => col(s"r.$c"))) <= maxDist)
+        .select(col(s"l.$id").as(id)))
+  }
 
   /** The modality-generic core of the suppression writers: `bucketsOf`
-    * turns a micro-batch into (id, band_idx, band_hash) bucket rows —
-    * MinHash-LSH bands for text, dHash Hamming bands for images, any
-    * future sketch for audio/video — and everything downstream (the
-    * persistent index join, the within-batch min-id rule, the
-    * single-commit-point exactly-once protocol, compaction, the
-    * janitor) is one shared implementation. */
+    * turns a micro-batch into (id, band_idx, band_hash, …payload)
+    * bucket rows — MinHash-LSH bands for text, dHash Hamming bands
+    * PLUS the sketch chunks for images, any future sketch for
+    * audio/video — `hitExistingOf(batchBuckets, committedIndex)` and
+    * `hitWithinOf(batchBuckets)` decide suppression (collision-only
+    * for wide-hash text bands; collision + exact-distance verify for
+    * narrow perceptual bands), and everything downstream — the
+    * persistent index (which keeps EVERY bucketsOf column, so match
+    * rules can carry verify payload), the single-commit-point
+    * exactly-once protocol, compaction, the janitor — is one shared
+    * implementation. */
   def bucketSuppressWriter(indexDir: String, outDir: String, id: String,
-                           bucketsOf: DataFrame => DataFrame): (DataFrame, Long) => Unit =
+                           bucketsOf: DataFrame => DataFrame,
+                           hitExistingOf: (DataFrame, DataFrame) => DataFrame,
+                           hitWithinOf: DataFrame => DataFrame): (DataFrame, Long) => Unit =
     (batch, batchId) => {
       import graft.io.Fs
       val spark = batch.sparkSession
@@ -336,31 +384,22 @@ object StreamPipeline {
         val committed = committedIndexPaths(spark, indexDir, outDir)
         val hitExisting =
           if (committed.isEmpty) buckets.filter(lit(false)).select(col(id))
-          else buckets.join(
-            spark.read.parquet(committed: _*)
-              .select(col("band_idx"), col("band_hash")),
-            Seq("band_idx", "band_hash"), "left_semi").select(col(id))
-        // within-batch: min id per bucket wins; the window frame is one
-        // LSH bucket — bounded by bucket occupancy, never batch size
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band_idx"), col("band_hash"))
-        val hitWithin = buckets
-          .withColumn("__own", min(col(id)).over(w))
-          .filter(col(id) > col("__own")).select(col(id))
-        val suppressed = hitExisting.union(hitWithin).distinct()
+          else hitExistingOf(buckets, spark.read.parquet(committed: _*))
+        val suppressed = hitExisting.union(hitWithinOf(buckets)).distinct()
         val survivors = batch.join(suppressed, Seq(id), "left_anti").persist()
         survivors.write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
         buckets.join(survivors.select(col(id)), Seq(id), "left_semi")
-          .select(col(id), col("band_idx"), col("band_hash"))
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$name")
         Fs.touch(spark, s"$outDir/$name.commit")
         survivors.unpersist(); buckets.unpersist()
       }
     }
 
-  /** Index state for [[nearDupSuppressWriter]]: the newest promoted
-    * base generation (gen, covered batch names) if any, plus the
-    * marker-committed delta names it does not cover. */
+  /** Index state for the [[bucketSuppressWriter]] family (text and
+    * image writers share one index lifecycle — [[compactNearDupIndex]]
+    * and the janitor apply to EITHER modality's indexDir): the newest
+    * promoted base generation (gen, covered batch names) if any, plus
+    * the marker-committed delta names it does not cover. */
   private def indexState(spark: SparkSession, indexDir: String,
                          outDir: String): (Option[(Int, Set[String])], Seq[String]) = {
     import graft.io.Fs

@@ -1143,7 +1143,7 @@ class StreamingSpec extends SparkSpec {
       indexDir, outDir, "media_id", "content")
     // real PNG bytes for the chosen ids, via the actual codec
     val png = graft.multimodal.Multimodal.encodeVariantPngs(
-        Seq(0L, 1L, 2L, 6L, 9L).toDF("doc_id"), "doc_id")
+        Seq(0L, 1L, 2L, 3L, 6L, 9L).toDF("doc_id"), "doc_id")
       .as[(Long, Array[Byte])].collect().toMap
     def admitted(): Seq[Long] =
       Sinks.readAppendOnce(spark, outDir).get
@@ -1161,11 +1161,20 @@ class StreamingSpec extends SparkSpec {
       .toDF("media_id", "content"), 1L)
     assert(admitted() == Seq(0L, 6L, 9L),
       s"cross-batch: the band index must suppress the edited copy: ${admitted()}")
+    // batch 2: id 3 (source 1, p0) SHARES a band with admitted id 0 but
+    // sits at Hamming 35 — the verify stage must ADMIT it. Collision-
+    // only suppression (the pre-verify design) fails exactly here and
+    // saturates the whole filter at a ~256-image ceiling (the 8-bit
+    // band space holds only 2048 keys): this is the round-14 review
+    // catch, pinned.
+    writer(Seq((3L, png(3L))).toDF("media_id", "content"), 2L)
+    assert(admitted() == Seq(0L, 3L, 6L, 9L),
+      s"band-colliding FAR image must pass the Hamming verify: ${admitted()}")
     // crash redelivery of batch 0: the single commit point makes it a
     // no-op — its docs must NOT be suppressed by their own index rows
     writer(Seq((0L, png(0L)), (1L, png(1L)), (6L, png(6L)))
       .toDF("media_id", "content"), 0L)
-    assert(admitted() == Seq(0L, 6L, 9L),
+    assert(admitted() == Seq(0L, 3L, 6L, 9L),
       s"redelivered batch must be a no-op: ${admitted()}")
   }
 
