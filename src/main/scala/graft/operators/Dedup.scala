@@ -833,6 +833,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** The ONE band derivation over the chunked c0..c3 sketch shape,
+    * shared by [[hammingBandedPairs]] and the streaming ingest filter
+    * ([[graft.streaming.StreamPipeline.imageDedupSuppressWriter]]) —
+    * a silent copy at either site would let the batch and ingest
+    * recall semantics diverge without a compile-time signal. */
+  def hammingBandExprs(nBands: Int): Seq[Column] = {
+    require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
+    if (nBands == 4) Seq(col("c0"), col("c1"), col("c2"), col("c3"))
+    else (0 until 8).map(b =>
+      shiftright(col(s"c${b / 2}"), 8 * (b % 2)).bitwiseAND(255))
+  }
+
   /** Generic Hamming-banded near-dup pairs over an ALREADY-BUILT chunked
     * 64-bit sketch (c0..c3 16-bit chunks) — the blocking stage shared by
     * every perceptual-hash modality (dHash over images here; an audio
@@ -864,18 +876,6 @@ object Dedup {
     * Candidates are verified with the exact chunked Hamming distance —
     * every stage an equi-join/hash-aggregate on (band_idx, band_value),
     * never all-pairs. */
-  /** The ONE band derivation over the chunked c0..c3 sketch shape,
-    * shared by [[hammingBandedPairs]] and the streaming ingest filter
-    * ([[graft.streaming.StreamPipeline.imageDedupSuppressWriter]]) —
-    * a silent copy at either site would let the batch and ingest
-    * recall semantics diverge without a compile-time signal. */
-  def hammingBandExprs(nBands: Int): Seq[Column] = {
-    require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
-    if (nBands == 4) Seq(col("c0"), col("c1"), col("c2"), col("c3"))
-    else (0 until 8).map(b =>
-      shiftright(col(s"c${b / 2}"), 8 * (b % 2)).bitwiseAND(255))
-  }
-
   def hammingBandedPairs(sketch: DataFrame, id: String, maxDist: Int,
                          nBands: Int = 8, maxBucket: Int = 200): DataFrame = {
     require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")

@@ -321,15 +321,38 @@ object StreamPipeline {
     * some band collides ⇒ the verify sees the pair) while precision is
     * the exact distance test, matching q255's semantics at ingest.
     * The index/commit/compaction protocol is shared — the modality
-    * only changes bucket derivation and the match rule. */
+    * only changes bucket derivation and the match rule.
+    *
+    * Cost posture past saturation: once the 2048-key band space fills,
+    * each arrival's verify join touches O(admitted/2048) index rows
+    * per band — linear growth the BATCH side caps with its stop-bucket
+    * filter. The streaming trade is declared rather than capped: a
+    * dropped bucket at ingest would silently ADMIT true duplicates
+    * (the opposite failure to batch, where dropped pairs still reach a
+    * later exact pass). A corpus large enough to feel this keys on a
+    * wider hash / more bands (the [[graft.operators.Dedup
+    * .hammingBandedPairs]] upgrade path), which shrinks per-bucket
+    * occupancy without touching this protocol; compaction keeps the
+    * index read to one generation either way. */
   def imageDedupSuppressWriter(indexDir: String, outDir: String,
                                id: String, content: String,
                                maxDist: Int = 7): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup
+    // same pigeonhole bound as the batch twin: 8 bands only guarantee a
+    // colliding band for d <= 7 — a larger maxDist would silently lose
+    // recall, contradicting the guarantee documented above
+    require(maxDist >= 0 && maxDist < 8,
+      s"maxDist=$maxDist: 8-band pigeonhole only guarantees recall for d <= 7")
     val chunks = Seq("c0", "c1", "c2", "c3")
     bucketSuppressWriter(indexDir, outDir, id,
       bucketsOf = { b =>
         implicit val sp: org.apache.spark.sql.SparkSession = b.sparkSession
+        // a non-numeric id would cast to NULL and silently disable the
+        // whole filter (anti-joins never match null) — refuse instead
+        val dt = b.schema(id).dataType
+        require(dt == org.apache.spark.sql.types.LongType ||
+            dt == org.apache.spark.sql.types.IntegerType,
+          s"imageDedupSuppressWriter needs an integral id column, got $dt for '$id'")
         val grid = graft.multimodal.Multimodal.sampleGrayGrid(
           b.select(col(id).cast("long").as("media_id"), col(content).as("content")))
         grid.select(col("media_id").as(id) +:
@@ -338,14 +361,22 @@ object StreamPipeline {
             Seq(posexplode(array(Dedup.hammingBandExprs(8).map(_.cast("string")): _*))
               .as(Seq("band_idx", "band_hash"))): _*)
       },
-      hitExistingOf = (b, idx) => b.join(
+      hitExistingOf = { (b, idx) =>
+        // an index persisted by the pre-verify writer lacks the chunk
+        // columns — refuse with a clear message instead of an
+        // UNRESOLVED_COLUMN analysis error mid-stream
+        require(chunks.forall(idx.columns.contains),
+          s"image dedup index at $indexDir predates the verify stage " +
+            s"(no sketch chunks) — rebuild it or compact from scratch")
+        b.join(
           idx.select(col("band_idx"), col("band_hash"),
             col("c0").as("i0"), col("c1").as("i1"),
             col("c2").as("i2"), col("c3").as("i3")),
           Seq("band_idx", "band_hash"))
         .filter(Dedup.hammingChunks(chunks.map(col),
           Seq(col("i0"), col("i1"), col("i2"), col("i3"))) <= maxDist)
-        .select(col(id)),
+        .select(col(id))
+      },
       hitWithinOf = b => b.alias("l")
         .join(b.alias("r"),
           col("l.band_idx") === col("r.band_idx") &&

@@ -1128,13 +1128,15 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("streaming IMAGE dedup suppression: dHash band index filters across batches") {
-    // The text suppression protocol instantiated on the image modality
-    // (bucketSuppressWriter + dHash Hamming bands): the index join, the
-    // within-batch min-id rule, and the single-commit exactly-once
-    // protocol are the SAME shared implementation — only the bucket
-    // derivation (real codec → dHash → 8×8-bit bands) changes. Fixture
-    // ids chosen so cross-source band collisions cannot flake the pin
-    // (sources 0/2/3 are pairwise band-disjoint in the closed form).
+    // The suppression protocol instantiated on the image modality
+    // (bucketSuppressWriter with the dHash bucket derivation AND the
+    // exact-Hamming verify match rule — the within-batch rule here is
+    // a verified pairwise self-join, NOT the text writer's min-id
+    // window): the index lifecycle and single-commit exactly-once
+    // protocol are the shared implementation. Fixture ids chosen from
+    // the closed form: sources 0/2/3 pairwise band-disjoint; id 3
+    // (source 1) and id 12 (source 4) band-COLLIDE with admitted
+    // images at Hamming ≫ 7 — the verify-stage pins.
     implicit val sqlCtx = spark.sqlContext
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val base = Files.createTempDirectory("imgdedup").toString
@@ -1143,38 +1145,40 @@ class StreamingSpec extends SparkSpec {
       indexDir, outDir, "media_id", "content")
     // real PNG bytes for the chosen ids, via the actual codec
     val png = graft.multimodal.Multimodal.encodeVariantPngs(
-        Seq(0L, 1L, 2L, 3L, 6L, 9L).toDF("doc_id"), "doc_id")
+        Seq(0L, 1L, 2L, 3L, 6L, 9L, 12L).toDF("doc_id"), "doc_id")
       .as[(Long, Array[Byte])].collect().toMap
     def admitted(): Seq[Long] =
       Sinks.readAppendOnce(spark, outDir).get
         .select($"media_id").as[Long].collect().toSeq.sorted
     // batch 0: id 1 is id 0's brightness twin (dHash-IDENTICAL — all 8
-    // bands collide within the batch); id 6 (source 2) is unrelated
-    writer(Seq((0L, png(0L)), (1L, png(1L)), (6L, png(6L)))
+    // bands collide AND the verify sees distance 0 ⇒ suppressed); id 3
+    // (source 1) SHARES a band with id 0 in the SAME batch but sits at
+    // Hamming 35 — the within-batch VERIFY must admit it (collision-
+    // only suppression, the pre-verify design, fails exactly here and
+    // saturates the filter at a ~256-image ceiling: the 8-bit band
+    // space holds only 2048 keys); id 6 (source 2) is unrelated
+    writer(Seq((0L, png(0L)), (1L, png(1L)), (3L, png(3L)), (6L, png(6L)))
       .toDF("media_id", "content"), 0L)
-    assert(admitted() == Seq(0L, 6L),
-      s"within-batch: the brightness twin must be suppressed: ${admitted()}")
+    assert(admitted() == Seq(0L, 3L, 6L),
+      s"within-batch: twin suppressed, band-colliding FAR image admitted: ${admitted()}")
     // batch 1: id 2 is id 0's LOCAL EDIT (Hamming ≤ 7 ⇒ pigeonhole
-    // guarantees ≥ 1 colliding band with the PERSISTED index); id 9
-    // (source 3) is new
+    // guarantees ≥ 1 colliding band with the PERSISTED index, and the
+    // verify confirms) — suppressed; id 9 (source 3) band-collides
+    // with admitted id 3 at Hamming 26 — verify-admitted
     writer(Seq((2L, png(2L)), (9L, png(9L)))
       .toDF("media_id", "content"), 1L)
-    assert(admitted() == Seq(0L, 6L, 9L),
-      s"cross-batch: the band index must suppress the edited copy: ${admitted()}")
-    // batch 2: id 3 (source 1, p0) SHARES a band with admitted id 0 but
-    // sits at Hamming 35 — the verify stage must ADMIT it. Collision-
-    // only suppression (the pre-verify design) fails exactly here and
-    // saturates the whole filter at a ~256-image ceiling (the 8-bit
-    // band space holds only 2048 keys): this is the round-14 review
-    // catch, pinned.
-    writer(Seq((3L, png(3L))).toDF("media_id", "content"), 2L)
     assert(admitted() == Seq(0L, 3L, 6L, 9L),
-      s"band-colliding FAR image must pass the Hamming verify: ${admitted()}")
+      s"cross-batch: edited copy suppressed, far collider admitted: ${admitted()}")
+    // batch 2: id 12 (source 4) shares bands with THREE admitted images
+    // (3, 6, 9) — every collision at Hamming > 7, all must verify-pass
+    writer(Seq((12L, png(12L))).toDF("media_id", "content"), 2L)
+    assert(admitted() == Seq(0L, 3L, 6L, 9L, 12L),
+      s"multi-collision FAR image must pass every Hamming verify: ${admitted()}")
     // crash redelivery of batch 0: the single commit point makes it a
     // no-op — its docs must NOT be suppressed by their own index rows
-    writer(Seq((0L, png(0L)), (1L, png(1L)), (6L, png(6L)))
+    writer(Seq((0L, png(0L)), (1L, png(1L)), (3L, png(3L)), (6L, png(6L)))
       .toDF("media_id", "content"), 0L)
-    assert(admitted() == Seq(0L, 3L, 6L, 9L),
+    assert(admitted() == Seq(0L, 3L, 6L, 9L, 12L),
       s"redelivered batch must be a no-op: ${admitted()}")
   }
 
