@@ -117,14 +117,23 @@ object Fs {
       // a slow recursive delete under a racer that published between
       // the check and the clear would destroy COMPLETE data; a rename
       // merely hides it (identical content is republished micro-
-      // seconds later), and the aside copy is dropped only after our
-      // own publication landed.
+      // seconds later), and the aside copy is dropped ONLY after our
+      // own publication landed: if the publish rename fails (a
+      // concurrent winner slipped in between the move-aside and our
+      // rename), the moved-aside dir may be the only COMPLETE copy on
+      // this store, so it is renamed BACK instead of deleted — an
+      // unconditional delete here destroyed complete data until a
+      // rebuild (round-14 ADVICE). A failed restore (winner now holds
+      // the target) leaves the aside hidden; the loud no-winner check
+      // below still decides the outcome from the marker.
       if (!f.exists(markerPath)) {
         val aside = new Path(hp.getParent, s".${hp.getName}.torn-$suffix")
-        val cleared = !f.exists(hp) || f.rename(hp, aside)
+        val movedAside = f.exists(hp) && f.rename(hp, aside)
+        val cleared = movedAside || !f.exists(hp)
         if (cleared) {
           published = f.rename(tmp, hp)
-          f.delete(aside, true) // best-effort: hidden either way
+          if (published) f.delete(aside, true) // redundant once ours landed
+          else if (movedAside) f.rename(aside, hp) // restore, never discard
         }
         // !cleared (delete-less protocol: a failed move-aside) falls
         // through to the loud no-winner check below — renaming tmp onto

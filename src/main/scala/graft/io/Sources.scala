@@ -66,9 +66,16 @@ object Sources {
   def materializePartitioned(spark: SparkSession, df: => DataFrame,
                              path: String, partCols: Seq[String]): DataFrame = {
     // Hadoop FS probe (not java.io.File): the reuse contract must hold
-    // when `path` is on HDFS/S3A, where a local-file check never matches
+    // when `path` is on HDFS/S3A, where a local-file check never matches.
+    // Built in a hidden tmp sibling and published by ONE rename
+    // (Fs.promoteDir — the TradeGraph/MediaSketch discipline): a
+    // concurrent JVM racing the same layout path sees either the whole
+    // partition tree or nothing, never a half-written listing (the
+    // round-14 ADVICE sweep's last build-in-place cache sites)
     if (!Fs.exists(spark, s"$path/_SUCCESS"))
-      df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+      Fs.promoteDir(spark, path, "_SUCCESS") { tmp =>
+        df.write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp)
+      }
     spark.read.parquet(path)
   }
 

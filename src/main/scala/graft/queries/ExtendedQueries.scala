@@ -842,8 +842,10 @@ object ExtendedQueries {
           .filter($"l_orderkey" < 1000)
           .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
             $"l_quantity", $"l_extendedprice", $"l_shipdate")
-        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS"))
-          base.write.mode("overwrite").json(layout)
+        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS")) // atomic publish:
+          graft.io.Fs.promoteDir(s, layout, "_SUCCESS") { tmp => // no torn
+            base.write.mode("overwrite").json(tmp)               // listings
+          }
         graft.io.Sources.jsonLines(s, layout, base.schema)
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n_items"),
@@ -878,8 +880,10 @@ object ExtendedQueries {
           .filter($"o_orderkey" < 4000)
           .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
             $"o_orderdate", $"o_orderpriority")
-        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS"))
-          base.write.mode("overwrite").option("header", "true").csv(layout)
+        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS")) // atomic publish
+          graft.io.Fs.promoteDir(s, layout, "_SUCCESS") { tmp =>
+            base.write.mode("overwrite").option("header", "true").csv(tmp)
+          }
         graft.io.Sources.csv(s, layout, base.schema)
           .groupBy($"o_orderstatus")
           .agg(count(lit(1)).as("n_orders"),
@@ -967,8 +971,10 @@ object ExtendedQueries {
         val base = t(s, d, "part")
           .filter($"p_size" <= 25)
           .select($"p_partkey", $"p_brand", $"p_type", $"p_size", $"p_retailprice")
-        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS"))
-          base.write.mode("overwrite").orc(layout)
+        if (!graft.io.Fs.exists(s, s"$layout/_SUCCESS")) // atomic publish
+          graft.io.Fs.promoteDir(s, layout, "_SUCCESS") { tmp =>
+            base.write.mode("overwrite").orc(tmp)
+          }
         graft.io.Sources.orc(s, layout, base.schema)
           .groupBy($"p_brand")
           .agg(count(lit(1)).as("n_parts"),

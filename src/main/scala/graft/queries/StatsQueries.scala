@@ -1083,6 +1083,12 @@ object StatsQueries {
             b = B, salt = "q245")
           .select($"g".cast("int").as("nat"), $"n_pairs", $"t_obs",
             $"n_extreme")
+          // checkpoint the ≤25-row family BEFORE the step-up: bhStepUp's
+          // loud-cap probe (limit(cap+1).count) would otherwise execute
+          // the whole B=64 sign-flip expansion a second time — the exact
+          // double-pass the operator doc tells callers to avoid (the
+          // round-14 q245 drift, measured and fixed here)
+          .localCheckpoint()
         // BH step-up over the nation-bounded frame (Stats.bhStepUp —
         // hand-pinned in StatsSpec incl. the rank-rescue property)
         Stats.bhStepUp(tests, $"n_extreme" + 1, $"nat",
