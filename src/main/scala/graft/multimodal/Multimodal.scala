@@ -150,13 +150,26 @@ object Multimodal {
     * that flips only the few hash bits sampled near it). Base values top
     * out at 239+8 < 255, so the brightness shift never clips (clipping
     * would break the invariance the spec pins). All arithmetic is
-    * non-negative Long — exactly replayable in DuckDB BIGINT CTEs. */
-  def variantGray(s: Long, p: Long, px: Int, py: Int): Int =
+    * non-negative Long — exactly replayable in DuckDB BIGINT CTEs.
+    * The Knuth multiply is STAGED MODULAR: the affine mix is reduced
+    * mod 2³¹ BEFORE the 2654435761 multiply, so every intermediate
+    * stays < 2⁶³ (the product of a < 2³¹ residue and a < 2³² constant)
+    * and the value equals the ideal unbounded arithmetic for every
+    * admissible s — the unstaged form silently wrapped past
+    * s ≈ 4.4×10⁵ (Int64 overflow on s·7919·2654435761), breaking the
+    * non-negativity and DuckDB-replay claims exactly where the ×100
+    * replica's frame ids live (round-14 ADVICE). The residual envelope
+    * (s·7919 itself) is pinned loudly at s < 2⁵⁰. */
+  def variantGray(s: Long, p: Long, px: Int, py: Int): Int = {
+    require(s >= 0 && s < (1L << 50),
+      s"variantGray source id $s outside [0, 2^50): s*7919 would overflow Int64")
     if (p == 2 && px < 3 && py < 3) 255
     else {
-      val v = (s * 7919L + px * 104729L + py * 130363L) * 2654435761L
+      val m = (s * 7919L + px * 104729L + py * 130363L) % 2147483648L
+      val v = m * 2654435761L
       (((v % 2147483648L) >> 16) % 240 + (if (p == 1) 8 else 0)).toInt
     }
+  }
 
   /** Variant-PNG fixture encoder: for each id, source s = id/3 and
     * variant p = id%3 select a (s%6+12) × (s%5+10) grayscale image via
@@ -270,14 +283,24 @@ object Multimodal {
     * energy scales by exactly 4, preserving every comparison); p=2 a
     * 3-frame constant burst at the start (a local edit). Samples stay
     * in [−4096, 4094] ⊂ int16, so the gain never clips. All arithmetic
-    * is non-negative-modulus Long — exactly replayable in DuckDB. */
-  def audioSample(s: Long, p: Long, i: Int): Int =
+    * is non-negative-modulus Long — exactly replayable in DuckDB.
+    * The quadratic mix is STAGED MODULAR like [[variantGray]]'s: the
+    * affine seed is reduced mod 2³¹ before squaring (v ≡ v₀ mod 2³¹ ⇒
+    * v²+3v ≡ v₀²+3v₀ mod 2³¹, and the reduced square stays < 2⁶²), so
+    * the value equals the ideal unbounded arithmetic for every
+    * admissible s — the unstaged v₀² wrapped past s ≈ 3.8×10⁵, only
+    * ~7× above the ×100 replica's id range (round-14 ADVICE). The
+    * residual envelope (s·7919) is pinned loudly at s < 2⁵⁰. */
+  def audioSample(s: Long, p: Long, i: Int): Int = {
+    require(s >= 0 && s < (1L << 50),
+      s"audioSample source id $s outside [0, 2^50): s*7919 would overflow Int64")
     if (p == 2 && i < 72) 2047
     else {
-      val v = s * 7919L + i * 104729L + 12345L
+      val v = (s * 7919L + i * 104729L + 12345L) % 2147483648L
       val b = ((((v * v + 3 * v) % 2147483648L) >> 12) % 4096 - 2048).toInt
       if (p == 1) b * 2 else b
     }
+  }
 
   /** Variant-WAV fixture encoder: for each id, source s = id/3 and
     * variant p = id%3 select a 65-frame × 24-sample mono 16-bit PCM
@@ -430,6 +453,151 @@ object Multimodal {
     (0 until 4).map { k =>
       (16 * k until 16 * k + 16).map { i =>
         when(element_at(arr, i + 2) > element_at(arr, i + 1),
+          lit(1 << (i % 16))).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"c$k")
+    }
+
+  // ------------------------------------------------------------------
+  // Spectral audio fingerprint — the frequency-domain upgrade of the
+  // energy hash (round-14 verdict #5): frame ENERGY is blind to any
+  // energy-preserving edit (Parseval: a within-frame sample PERMUTATION
+  // keeps Σx² exactly), so the energy fingerprint calls spectrally
+  // different content a duplicate. Per-frame band POWERS at fixed DFT
+  // bins discriminate exactly there — the integer-arithmetic analogue
+  // of a chromaprint's band energies (Haitsma & Kalker, "A Highly
+  // Robust Audio Fingerprint System", ISMIR 2002).
+  // ------------------------------------------------------------------
+
+  /** Variant-WAV fixture encoder for the SPECTRAL fingerprint: for each
+    * id, source s = id/3 and variant p = id%3 select a 65-frame ×
+    * 24-sample clip of [[audioSample]]'s pristine (p=0) texture, with
+    * p=1 amplitude ×2 (a linear gain — invariant for BOTH fingerprints
+    * by theorem: energies scale ×4, every DFT coefficient ×2, so every
+    * power comparison is preserved) and p=2 each frame's samples SORTED
+    * ascending (the discriminating edit: a permutation preserves every
+    * frame energy EXACTLY — the energy hash sees distance 0 — while the
+    * quarter-wave band powers change completely; measured spectral
+    * distances 28–41 vs cross-source mean ~33). Encoded through the
+    * REAL platform WAV writer like [[encodeVariantWavs]]. */
+  def encodeSpectralWavs(df: DataFrame, id: String)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    graft.operators.Relational.spread(df.select(col(id).cast("long").as(id)), col(id))
+      .as[Long].mapPartitions { ids =>
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val writer: javax.sound.sampled.spi.AudioFileWriter = {
+          val it = java.util.ServiceLoader
+            .load(classOf[javax.sound.sampled.spi.AudioFileWriter]).iterator()
+          var w: javax.sound.sampled.spi.AudioFileWriter = null
+          while (it.hasNext && w == null) {
+            val c = it.next()
+            if (c.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+              w = c
+          }
+          require(w != null, "no WAVE AudioFileWriter provider on this JVM")
+          w
+        }
+        ids.map { mid =>
+          val (s, p) = (mid / 3, mid % 3)
+          val n = 65 * 24
+          val pristine = Array.tabulate(n)(i => audioSample(s, 0, i))
+          val xs = p match {
+            case 0L => pristine
+            case 1L => pristine.map(_ * 2) // ±4096 still fits int16
+            case _ => // frame-local ascending sort: energy-invariant
+              val out = new Array[Int](n)
+              var f = 0
+              while (f < 65) {
+                val fr = java.util.Arrays.copyOfRange(pristine, f * 24, f * 24 + 24)
+                java.util.Arrays.sort(fr)
+                System.arraycopy(fr, 0, out, f * 24, 24)
+                f += 1
+              }
+              out
+          }
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            bytes(2 * i) = (xs(i) & 0xff).toByte
+            bytes(2 * i + 1) = ((xs(i) >> 8) & 0xff).toByte
+            i += 1
+          }
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          writer.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          (mid, bos.toByteArray)
+        }
+      }.toDF("media_id", "content")
+  }
+
+  /** Decode a WAV binary column to per-frame BAND POWERS at the two
+    * exactly-integer DFT bins of a 24-sample frame — the codec-slot
+    * half of the spectral fingerprint, mirroring [[decodeFrameEnergies]]
+    * (same lock-free [[parseWavPcm]] hot path, same loud geometry
+    * validation). Bin k=6 (quarter wave: phase πj/2 walks the pattern
+    * cos ∈ {1,0,−1,0}, sin ∈ {0,1,0,−1}) and bin k=12 (Nyquist:
+    * cos = (−1)^j) are the ONLY nontrivial bins of N=24 whose
+    * coefficients are exact integers, so the powers re² + im² are
+    * exact Longs an external oracle replays digit-for-digit — the
+    * integer-Goertzel discipline without a single float. Emits
+    * (media_id, p6: array<long>, p12: array<long>); sizes are bounded
+    * (|re| ≤ 12·4096 ⇒ power ≤ ~4.8×10⁹ ≪ 2⁶³). */
+  def decodeFrameSpectra(binary: DataFrame, frameLen: Int = 24,
+                         nFrames: Int = 65)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    require(frameLen % 4 == 0, s"frameLen=$frameLen: quarter-wave bins need a multiple of 4")
+    binary.select(col("media_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (mid, bytes) =>
+          val data = try parseWavPcm(bytes)._2 catch {
+            case e: IllegalArgumentException =>
+              throw new IllegalArgumentException(s"media_id=$mid: ${e.getMessage}")
+          }
+          require(data.length == frameLen * nFrames * 2,
+            s"media_id=$mid: ${data.length} PCM bytes, " +
+              s"expected ${frameLen * nFrames * 2}")
+          val p6 = new Array[Long](nFrames)
+          val p12 = new Array[Long](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var (re6, im6, re12) = (0L, 0L, 0L)
+            var j = 0
+            while (j < frameLen) {
+              val i = f * frameLen + j
+              val v = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+              (j % 4: @unchecked) match {
+                case 0 => re6 += v
+                case 1 => im6 += v
+                case 2 => re6 -= v
+                case 3 => im6 -= v
+              }
+              if (j % 2 == 0) re12 += v else re12 -= v
+              j += 1
+            }
+            p6(f) = re6 * re6 + im6 * im6
+            p12(f) = re12 * re12
+            f += 1
+          }
+          (mid, p6, p12)
+        }
+      }.toDF("media_id", "p6", "p12")
+  }
+
+  /** Combined 64-bit spectral hash from the two band-power arrays, in
+    * the house 4×16-bit chunk shape: bits 0..31 (c0, c1) compare
+    * adjacent bin-6 powers over frames 0..32, bits 32..63 (c2, c3)
+    * compare adjacent bin-12 powers over frames 32..64 — both bands
+    * contribute, every frame participates in one of them, and each bit
+    * is the [[adjacentHashChunks]] comparison on its band (gain-
+    * invariant per band by theorem). Pure codegen'd 64-term expression
+    * tree like [[dhashChunks]]. */
+  def spectralHashChunks(p6: Column, p12: Column): Seq[Column] =
+    (0 until 4).map { k =>
+      val src = if (k < 2) p6 else p12
+      (16 * k until 16 * k + 16).map { i =>
+        when(element_at(src, i + 2) > element_at(src, i + 1),
           lit(1 << (i % 16))).otherwise(lit(0))
       }.reduce(_ + _).cast("int").as(s"c$k")
     }

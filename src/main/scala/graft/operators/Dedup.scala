@@ -881,6 +881,10 @@ object Dedup {
     require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
     require(maxDist < nBands,
       s"maxDist=$maxDist: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
+    // a cap below 2 drops EVERY bucket (pairs need two members) and
+    // silently reports zero recall — refuse loudly like the bounds above
+    require(maxBucket >= 2,
+      s"maxBucket=$maxBucket: a cap below 2 drops every bucket and returns zero pairs")
     val sk = sketch.select(col(id), col("c0"), col("c1"), col("c2"), col("c3"))
       .localCheckpoint()
     val bands = sk.select(col(id),

@@ -892,4 +892,92 @@ object Similarity {
     }
     df.withColumn(out, array(scores.toIndexedSeq: _*))
   }
+
+  // ------------------------------------------------------------------
+  // Multimodal similarity SEARCH: query-by-image/audio over a sketch
+  // store (the MediaSketch consumer the ANN family was missing — the
+  // embedding ladder above, replayed on the Hamming metric).
+  // ------------------------------------------------------------------
+
+  private val Chunks = Seq("c0", "c1", "c2", "c3")
+
+  /** Brute-force Hamming top-k over a chunked 64-bit sketch table (the
+    * c0..c3 house shape [[graft.operators.Dedup.simhashChunks]] /
+    * dHash / audio fingerprints all share): every query sketch against
+    * every candidate sketch, exact chunked-Hamming popcount distance,
+    * deterministic (dist, cand_id) tie-broken `row_number` top-k per
+    * query. The EXACTNESS BASELINE of the Hamming ladder, mirroring
+    * [[bruteForceTopK]] on cosine: queries broadcast (top-k search is a
+    * small-|Q| operation by contract), so the plan is ONE narrow pass
+    * over the candidate table — a BroadcastNestedLoopJoin whose build
+    * side is |Q| rows, never a shuffle of the corpus. At corpus scale
+    * the pruned variant below replaces the scan; this one remains the
+    * recall ground truth it is judged against (the q87/q93 ladder). */
+  def hammingTopK(queries: DataFrame, candidates: DataFrame, id: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val q = queries.select(col(id).as("query_id") +:
+      Chunks.map(c => col(c).as(s"q$c")): _*)
+    val c = candidates.select(col(id).as("cand_id") +: Chunks.map(col): _*)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("dist", Dedup.hammingChunks(
+        Chunks.map(ch => col(s"q$ch")), Chunks.map(col)).cast("int"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("dist"))
+  }
+
+  /** Radius-bounded Hamming k-NN through band blocking — the SCALE path
+    * of the query-by-sketch ladder: candidates come from the
+    * (band_idx, band_value) equi-join between the query band table and
+    * the corpus band table (the [[graft.operators.Dedup
+    * .hammingBandedPairs]] blocking, asymmetric query-vs-corpus), are
+    * verified at exact chunked Hamming ≤ `radius`, and the survivors
+    * rank into a deterministic (dist, cand_id) top-k per query. The
+    * pigeonhole makes recall EXACT within the radius: `radius` <
+    * `nBands` forces every true neighbor to agree with the query on ≥ 1
+    * band, so the banded result equals the brute-force result filtered
+    * to dist ≤ radius — a THEOREM the oracle checks, not a tuning
+    * claim. Unlike the self-join pair operator, no stop-bucket cap is
+    * needed for boundedness: each corpus band row meets at most |Q|
+    * query rows (≤ |Q| entries per band value on the build side), so
+    * the join cost is |Q|-linear in the corpus, never quadratic — the
+    * skew ceiling is per-bucket |Q|·occupancy, which the 16-bit band
+    * space (nBands = 4) keeps sparse at corpus density where 8-bit
+    * bands saturate (the q255 density story, answered the same way as
+    * q261's). */
+  def hammingTopKBanded(queries: DataFrame, candidates: DataFrame,
+                        id: String, k: Int, radius: Int,
+                        nBands: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(radius >= 0 && radius < nBands,
+      s"radius=$radius: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
+    val qsk = queries.select(col(id).as("query_id") +:
+      Chunks.map(c => col(c).as(s"q$c")): _*).localCheckpoint()
+    val csk = candidates.select(col(id).as("cand_id") +: Chunks.map(col): _*)
+    // band tables through the ONE shared derivation (hammingBandExprs
+    // names c0..c3, so the query side re-projects its q-prefixed chunks
+    // back to chunk names first)
+    val qBands = qsk.select(col("query_id") +: Chunks.map(c => col(s"q$c").as(c)): _*)
+      .select(col("query_id"),
+        posexplode(array(Dedup.hammingBandExprs(nBands): _*)).as(Seq("bi", "bv")))
+    val cBands = csk.select(col("cand_id"),
+      posexplode(array(Dedup.hammingBandExprs(nBands): _*)).as(Seq("bi", "bv")))
+    val cand = cBands.join(broadcast(qBands), Seq("bi", "bv"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id")).distinct()
+    val scored = cand
+      .join(broadcast(qsk), "query_id")
+      .join(csk, "cand_id")
+      .withColumn("dist", Dedup.hammingChunks(
+        Chunks.map(ch => col(s"q$ch")), Chunks.map(col)).cast("int"))
+      .filter(col("dist") <= radius)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("dist"))
+  }
 }

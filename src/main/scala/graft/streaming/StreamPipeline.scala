@@ -323,30 +323,53 @@ object StreamPipeline {
     * The index/commit/compaction protocol is shared — the modality
     * only changes bucket derivation and the match rule.
     *
-    * Cost posture past saturation: once the 2048-key band space fills,
+    * Cost posture past saturation: with the default `nBands = 8`, once
+    * the 2048-key band space fills,
     * each arrival's verify join touches O(admitted/2048) index rows
     * per band — linear growth the BATCH side caps with its stop-bucket
     * filter. The streaming trade is declared rather than capped: a
     * dropped bucket at ingest would silently ADMIT true duplicates
     * (the opposite failure to batch, where dropped pairs still reach a
-    * later exact pass). A corpus large enough to feel this keys on a
-    * wider hash / more bands (the [[graft.operators.Dedup
-    * .hammingBandedPairs]] upgrade path), which shrinks per-bucket
-    * occupancy without touching this protocol; compaction keeps the
-    * index read to one generation either way. */
+    * later exact pass). A corpus large enough to feel this keys on
+    * `nBands = 4` — the SAME wide-band regime batch q261 registers:
+    * 16-bit bands give a 4×65,536-key space, lifting the occupancy
+    * ceiling three orders of magnitude at the cost of the tighter
+    * pigeonhole guarantee d ≤ 3 (`maxDist` must shrink with it — the
+    * require below ties them); a wider sketch (256-bit dHash) is the
+    * upgrade past that. Compaction keeps the index read to one
+    * generation either way. The band scheme is PART OF THE PERSISTED
+    * INDEX'S CONTRACT: rows written under one `nBands` are meaningless
+    * to a reader deriving the other width (16-bit values never equal
+    * 8-bit values, so a mixed index silently admits every duplicate) —
+    * the writer records the scheme in a create-only `_bands` marker on
+    * first use and every later batch REFUSES a mismatch loudly. */
   def imageDedupSuppressWriter(indexDir: String, outDir: String,
                                id: String, content: String,
-                               maxDist: Int = 7): (DataFrame, Long) => Unit = {
+                               maxDist: Int = 7,
+                               nBands: Int = 8): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup
-    // same pigeonhole bound as the batch twin: 8 bands only guarantee a
-    // colliding band for d <= 7 — a larger maxDist would silently lose
-    // recall, contradicting the guarantee documented above
-    require(maxDist >= 0 && maxDist < 8,
-      s"maxDist=$maxDist: 8-band pigeonhole only guarantees recall for d <= 7")
+    require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
+    // same pigeonhole bound as the batch twin: nBands bands only
+    // guarantee a colliding band for d < nBands — a larger maxDist
+    // would silently lose recall, contradicting the guarantee above
+    require(maxDist >= 0 && maxDist < nBands,
+      s"maxDist=$maxDist: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
     val chunks = Seq("c0", "c1", "c2", "c3")
     bucketSuppressWriter(indexDir, outDir, id,
       bucketsOf = { b =>
         implicit val sp: org.apache.spark.sql.SparkSession = b.sparkSession
+        // band-scheme pin: first batch records nBands; every later one
+        // must match — a silent scheme change would make every existing
+        // index row uncomparable and admit all duplicates
+        val schemeFile = s"$indexDir/_bands"
+        if (!graft.io.Fs.exists(sp, schemeFile))
+          graft.io.Fs.writeText(sp, schemeFile, nBands.toString)
+        else {
+          val recorded = graft.io.Fs.readText(sp, schemeFile).trim
+          require(recorded == nBands.toString,
+            s"image dedup index at $indexDir was built with $recorded bands; " +
+              s"this writer derives $nBands — rebuild the index or match the scheme")
+        }
         // a non-numeric id would cast to NULL and silently disable the
         // whole filter (anti-joins never match null) — refuse instead
         val dt = b.schema(id).dataType
@@ -358,7 +381,7 @@ object StreamPipeline {
         grid.select(col("media_id").as(id) +:
             graft.multimodal.Multimodal.dhashChunks(col("grays")): _*)
           .select(col(id) +: col("c0") +: col("c1") +: col("c2") +: col("c3") +:
-            Seq(posexplode(array(Dedup.hammingBandExprs(8).map(_.cast("string")): _*))
+            Seq(posexplode(array(Dedup.hammingBandExprs(nBands).map(_.cast("string")): _*))
               .as(Seq("band_idx", "band_hash"))): _*)
       },
       hitExistingOf = { (b, idx) =>
@@ -481,7 +504,7 @@ object StreamPipeline {
     * holds the OLD delta paths in its plan, so deleting them the
     * instant the new meta lands races that reader into FileNotFound. */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
-                          outDir: String): Int = {
+                          outDir: String, warnBucketAt: Int = 200): Int = {
     import graft.io.Fs
     val (base, deltas) = indexState(spark, indexDir, outDir)
     if (deltas.isEmpty) return 0
@@ -493,7 +516,51 @@ object StreamPipeline {
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/base-$gen")
     Fs.writeTextAtomic(spark, s"$indexDir/base-$gen.meta",
       covered.toSeq.sorted.mkString("\n"))
+    // occupancy telemetry (round-14 verdict #6): the image writer's
+    // saturation point is DECLARED in its doc but was not observable
+    // before it hurt — compaction already has the whole index in hand,
+    // so probe it here and warn LOUDLY once any band bucket crosses the
+    // threshold (default = the batch side's stop-bucket cap: past it
+    // the batch operator would drop the bucket and the ingest verify
+    // join's per-arrival cost is growing linearly)
+    val hot = nearDupIndexStats(spark, indexDir, outDir)
+      .filter(col("max_bucket") >= warnBucketAt).collect()
+    hot.foreach { r =>
+      Console.err.println(s"[compactNearDupIndex] WARN band ${r.getAs[Int]("band_idx")} " +
+        s"of $indexDir: max bucket ${r.getAs[Long]("max_bucket")} >= $warnBucketAt " +
+        s"(avg ${r.getAs[Double]("avg_bucket")}, ${r.getAs[Long]("n_buckets")} buckets) — " +
+        "the band space is saturating; move to wider bands (nBands=4) or a wider sketch")
+    }
     deltas.size
+  }
+
+  /** Per-band occupancy of the committed near-dup index — the
+    * observability probe for the suppression writers' declared
+    * saturation ceilings ([[imageDedupSuppressWriter]]'s 8-bit bands
+    * hold 2048 keys; occupancy growth is the early signal to move to
+    * `nBands = 4` or a wider sketch BEFORE per-arrival verify cost
+    * hurts). One hash aggregate over the index (band_idx, band_hash)
+    * pairs — the same shape the suppression join reads, so the probe
+    * costs one scan and no extra state. Returns one row per band:
+    * (band_idx, n_entries, n_buckets, max_bucket, avg_bucket). */
+  def nearDupIndexStats(spark: SparkSession, indexDir: String,
+                        outDir: String): DataFrame = {
+    val paths = committedIndexPaths(spark, indexDir, outDir)
+    if (paths.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "band_idx INT, n_entries BIGINT, n_buckets BIGINT, " +
+            "max_bucket BIGINT, avg_bucket DOUBLE"))
+    spark.read.parquet(paths: _*)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .groupBy(col("band_idx").cast("int").as("band_idx"))
+      .agg(sum(col("bucket_n")).as("n_entries"),
+        count(lit(1)).as("n_buckets"),
+        max(col("bucket_n")).as("max_bucket"),
+        round(avg(col("bucket_n")), 4).as("avg_bucket"))
+      .orderBy(col("band_idx"))
   }
 
   /** Janitor for the near-dup index: delete base generations and

@@ -126,7 +126,25 @@ object ScaleStress {
     // re-measure after the MediaSketch materialization (the consumers'
     // plans changed: the codec pass moved to the ingest-time build,
     // which the warmup pays — the q96 PQ-index convention)
-    "r14sketch" -> Seq("q255_dhash_neardup", "q257_dhash_clusters"))
+    "r14sketch" -> Seq("q255_dhash_neardup", "q257_dhash_clusters"),
+    // round-15 additions: the wide-band (4×16-bit) regime that stays
+    // non-degenerate at band-space density — where r14b documents 8-bit
+    // buckets saturating, these queries' 65,536-value bands keep ×100
+    // occupancy ≈ 7.6 ≪ the cap, so the pair/search stages still EMIT;
+    // the measured rows_x100 field (AssertEmits) is the recall evidence
+    "r15" -> Seq("q261_dhash_neardup_wide", "q262_hamming_knn",
+      "q263_hamming_knn_banded"),
+    // the spectral fingerprint twins: codec-count-proportional like
+    // q258/q259 (×100 ⇒ 500k real WAV round-trips), pair stage in the
+    // wide-band posture so it stays non-degenerate at density
+    "r15b" -> Seq("q264_spectral_fingerprint", "q265_spectral_neardup"))
+
+  /** Queries whose ×N run must also RECORD its output row count and
+    * refuse an empty result: their scale claim is nonzero recall at
+    * density, which a fast-but-empty pair stage would fake (the q255
+    * ×100 lesson — "0.58×" because nearly every bucket was dropped). */
+  private val AssertEmits = Set("q261_dhash_neardup_wide",
+    "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup")
 
   /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
     * on every source table's mtime (the layout-cache discipline — a
@@ -297,14 +315,28 @@ object ScaleStress {
       // the ×100 leg is timed once post-warmup (see Top5 note)
       val big = if (groupMode) run(dst) else math.min(run(dst), run(dst))
       val ratio = big / small
-      println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio $ratio%5.2f")
-      (name, small, big, ratio)
+      // for queries whose ×N output EXISTENCE is itself the scale claim
+      // (the wide-band pair stage must EMIT at band-space density —
+      // round-14 verdict: assert the recall, don't infer it from a fast
+      // wall time), record the measured ×N row count and refuse zero
+      val rows: Option[Long] =
+        if (groupMode && AssertEmits(name)) {
+          val n = SparkEntry.queries(name)(spark, dst).count()
+          require(n > 0, s"$name emitted ZERO rows at x$factor — " +
+            "the density-proof claim is broken, not merely slow")
+          Some(n)
+        } else None
+      println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio $ratio%5.2f" +
+        rows.map(n => s"  rows_x$factor=$n").getOrElse(""))
+      (name, small, big, ratio, rows)
     }
     // committed scaling record: the 100 TB claims as measurements
     val flagged = results.filter(_._4 > flagAt).map(_._1)
     def f3(v: Double): String = "%.3f".format(v)
-    def entryJson(n: String, s: Double, b: Double, r: Double): String =
+    def entryJson(n: String, s: Double, b: Double, r: Double,
+                  rows: Option[Long]): String =
       s""""$n":{"t_base":${f3(s)},"t_x$factor":${f3(b)},"ratio":${f3(r)},""" +
+        rows.map(c => s""""rows_x$factor":$c,""").getOrElse("") +
         s""""flagged":${r > flagAt}}"""
     if (groupMode) {
       // append the extra decade under "x<factor>" without touching the
@@ -341,7 +373,7 @@ object ScaleStress {
       val newNames = results.map(_._1).toSet
       val keptPrev = prevEntries.filterNot { case (n, _) => newNames(n) }
       val qJsonMerged = (keptPrev.map { case (n, v) => s""""$n":$v""" } ++
-        results.map { case (n, s, b, r) => entryJson(n, s, b, r) })
+        results.map { case (n, s, b, r, c) => entryJson(n, s, b, r, c) })
         .mkString("{", ",", "}")
       val flaggedMerged =
         (prevFlagged.filterNot(newNames) ++ flagged).distinct
@@ -353,7 +385,7 @@ object ScaleStress {
       println(s"STRESS merged ${results.size} entries into x$factor block of SCALING.json " +
         s"(${flaggedMerged.size} flagged: ${flaggedMerged.mkString(", ")})")
     } else {
-      val qJson = results.map { case (n, s, b, r) => entryJson(n, s, b, r) }
+      val qJson = results.map { case (n, s, b, r, c) => entryJson(n, s, b, r, c) }
         .mkString("{", ",", "}")
       // a sweep rerun must PRESERVE any recorded x-factor blocks — the
       // r9 verdict's artifact-integrity lesson: a partial producer may

@@ -142,17 +142,99 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("stop-bucket cap drops overflowing buckets; pigeonhole bound is enforced") {
-    val sk = dhashSketch(60)
-    // every band bucket holds ≥ 2 members (each p0/p1 twin shares all 8
-    // bands), so maxBucket = 1 drops every bucket → zero candidates
+    // three identical sketches: every band bucket holds exactly 3
+    // members, so maxBucket = 2 drops every bucket → zero candidates
+    // even though all three pairs sit at Hamming distance 0
+    val tri = Seq((1L, 7, 8, 9, 10), (2L, 7, 8, 9, 10), (3L, 7, 8, 9, 10))
+      .toDF("media_id", "c0", "c1", "c2", "c3")
     assert(graft.operators.Dedup
-      .hammingBandedPairs(sk, "media_id", maxDist = 7, nBands = 8, maxBucket = 1)
+      .hammingBandedPairs(tri, "media_id", maxDist = 7, nBands = 8, maxBucket = 2)
       .isEmpty)
     // d ≥ nBands has no recall guarantee — must refuse, not silently miss
+    val sk = dhashSketch(60)
     val e = intercept[IllegalArgumentException] {
       graft.operators.Dedup.hammingBandedPairs(sk, "media_id", maxDist = 8, nBands = 8)
     }
     assert(e.getMessage.contains("pigeonhole"))
+    // maxBucket < 2 CANNOT emit a pair — the operator must refuse loudly
+    // instead of silently reporting zero recall (round-14 ADVICE)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingBandedPairs(sk, "media_id", maxDist = 7,
+        nBands = 8, maxBucket = 1)
+    }
+    assert(e2.getMessage.contains("maxBucket"))
+  }
+
+  test("fixture mixers match ideal unbounded arithmetic far past the old wrap point") {
+    // The staged-modular forms (round-14 ADVICE) must equal the IDEAL
+    // unbounded integer arithmetic — computed here through BigInt, which
+    // cannot wrap — including deep in the regime where the unstaged
+    // Long forms overflowed (variantGray past s ≈ 4.4e5, audioSample
+    // past s ≈ 3.8e5; the ×100 replica's frame ids reach s ≈ 1.3e6).
+    val M = BigInt(2147483648L)
+    val bigS = Seq(0L, 439803L, 1300000L, 7L << 40, (1L << 50) - 1)
+    for (s <- bigS; px <- Seq(0, 8); py <- Seq(0, 7)) {
+      val ideal = ((((BigInt(s) * 7919 + px * 104729 + py * 130363)
+        * BigInt(2654435761L)) mod M) >> 16) % 240
+      val got = Multimodal.variantGray(s, 0, px, py)
+      assert(got == ideal.toInt, s"variantGray(s=$s,$px,$py): $got vs $ideal")
+      assert(got >= 0 && got <= 239, s"variantGray range: $got")
+    }
+    for (s <- bigS; i <- Seq(0, 100, 1559)) {
+      val v = BigInt(s) * 7919 + i * 104729 + 12345
+      val ideal = (((v * v + 3 * v) mod M) >> 12) % 4096 - 2048
+      val got = Multimodal.audioSample(s, 0, i)
+      assert(got == ideal.toInt, s"audioSample(s=$s,$i): $got vs $ideal")
+      assert(got >= -2048 && got <= 2047, s"audioSample range: $got")
+    }
+    // the residual s*7919 envelope is pinned loudly at 2^50
+    val eg = intercept[IllegalArgumentException] {
+      Multimodal.variantGray(1L << 50, 0, 0, 0)
+    }
+    assert(eg.getMessage.contains("2^50"))
+    val ea = intercept[IllegalArgumentException] {
+      Multimodal.audioSample(1L << 50, 0, 0)
+    }
+    assert(ea.getMessage.contains("2^50"))
+  }
+
+  // --------------------------------------- spectral fingerprint pins
+
+  test("spectral fingerprint separates the edit the energy fingerprint confuses") {
+    // The round-14 verdict #5 discrimination, pinned on the REAL codec
+    // path: the spectral fixture's p=2 variant sorts each frame's
+    // samples — a permutation preserves every frame energy EXACTLY
+    // (Parseval), so the ENERGY hash must sit at distance 0 (confused:
+    // it would merge spectrally different content), while the quarter-
+    // wave band powers change and the SPECTRAL hash must separate it
+    // far beyond any near-dup threshold. The p=1 gain variant stays at
+    // distance 0 for BOTH — linear gain scales every energy ×4 and
+    // every DFT power ×4, preserving all comparisons by theorem.
+    implicit val s = spark
+    val ids = (0L until 30L).toDF("doc_id")
+    val wavs = Multimodal.encodeSpectralWavs(ids, "doc_id").localCheckpoint()
+    def hashes(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Int]] =
+      df.collect().map(r => r.getLong(0) ->
+        Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val spec = Multimodal.decodeFrameSpectra(wavs)
+    val sh = hashes(spec.select($"media_id" +:
+      Multimodal.spectralHashChunks($"p6", $"p12"): _*))
+    val en = Multimodal.decodeFrameEnergies(wavs)
+    val eh = hashes(en.select($"media_id" +:
+      Multimodal.adjacentHashChunks($"energies"): _*))
+    def d(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    (0 until 10).foreach { src =>
+      val (p0, p1, p2) = (3L * src, 3L * src + 1, 3L * src + 2)
+      assert(d(eh(p0), eh(p1)) == 0, s"source $src: energy hash must be gain-invariant")
+      assert(d(sh(p0), sh(p1)) == 0, s"source $src: spectral hash must be gain-invariant")
+      assert(d(eh(p0), eh(p2)) == 0,
+        s"source $src: the sorted frame is energy-IDENTICAL — " +
+          s"a nonzero distance means the fixture's permutation leaked into energies")
+      val ds = d(sh(p0), sh(p2))
+      assert(ds >= 8, s"source $src: spectral hash must separate the sorted " +
+        s"frame far beyond any near-dup threshold, got $ds")
+    }
   }
 
   // -------------------------------------------------- WAV fingerprint pins

@@ -1053,6 +1053,43 @@ class ScalePostureSpec extends SparkSpec {
       s"q260 pairs must come from the token equi-join:\n${p260.take(1200)}")
   }
 
+  test("round-15 family: wide-band pairs stay banded, Hamming k-NN broadcasts the query side") {
+    // q261: the wide-band regime is the SAME banded plan as q255 — the
+    // (band_idx, band_value) equi-join with stop-bucket cap — only the
+    // band width changes; a cartesian would defeat the density fix
+    val p261 = plan("q261_dhash_neardup_wide")
+    assert(!p261.contains("CartesianProduct") && !p261.contains("BroadcastNestedLoopJoin"),
+      s"q261 pairs must come from the band equi-join:\n${p261.take(1200)}")
+    assert(!p261.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q261 must read the MediaSketch store, not re-run the codec:\n${p261.take(1200)}")
+    // q262: brute-force Hamming k-NN IS a BroadcastNestedLoopJoin by
+    // design — but the build side must be the |Q|-row broadcast query
+    // set (one narrow corpus pass), never a shuffle of the corpus
+    val p262 = plan("q262_hamming_knn")
+    assert(p262.contains("BroadcastNestedLoopJoin") && p262.contains("BroadcastExchange"),
+      s"q262 must broadcast the query set over one corpus pass:\n${p262.take(1200)}")
+    assert(!p262.contains("CartesianProduct") && !p262.contains("SortMergeJoin"),
+      s"q262 must not shuffle the corpus for the scan:\n${p262.take(1200)}")
+    assert(!p262.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q262 must read the MediaSketch store:\n${p262.take(1200)}")
+    // q263: the banded search path replaces the corpus scan with band
+    // equi-joins (broadcast query bands) — no nested-loop anywhere
+    val p263 = plan("q263_hamming_knn_banded")
+    assert(!p263.contains("CartesianProduct") && !p263.contains("BroadcastNestedLoopJoin"),
+      s"q263 candidates must come from the band equi-join:\n${p263.take(1200)}")
+    assert(p263.contains("BroadcastExchange"),
+      s"q263 must broadcast the query bands:\n${p263.take(1200)}")
+    // q265: the spectral near-dup inherits the banded posture — pairs
+    // from the band equi-join over the checkpointed sketch, no re-decode
+    val p265 = plan("q265_spectral_neardup")
+    assert(!p265.contains("CartesianProduct") && !p265.contains("BroadcastNestedLoopJoin"),
+      s"q265 pairs must come from the band equi-join:\n${p265.take(1200)}")
+    assert(p265.linesIterator.count(_.contains("FileScan")) == 0,
+      s"q265 must read the checkpointed sketch, not re-decode per branch:\n${p265.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

@@ -521,4 +521,71 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got.length == want.length)
   }
+
+  // ----------------------------------------- Hamming k-NN (round-15)
+
+  /** Deterministic chunked sketches: id-mixed 16-bit chunks, plus two
+    * planted near neighbors of id 0 (distances 1 and 3) and one at 4 —
+    * just outside the radius-3 recall contract. */
+  private lazy val hSketch = {
+    val base = (0L until 40L).map { i =>
+      val m = (i * 2654435761L) % 2147483648L
+      (i, (m & 0xffff).toInt, ((m >> 16) & 0x7fff).toInt,
+        ((i * 104729) & 0xffff).toInt, ((i * 7919) & 0xffff).toInt)
+    }
+    val (q0, a, b, c0, d0) = base.head
+    val planted = Seq(
+      (100L, a ^ 1, b, c0, d0),         // dist 1 from id 0
+      (101L, a ^ 3, b ^ 4, c0, d0),     // dist 3 from id 0
+      (102L, a ^ 3, b ^ 4, c0 ^ 8, d0)) // dist 4 — outside radius 3
+    (base ++ planted).toDF("id", "c0", "c1", "c2", "c3")
+  }
+
+  private def driverHamming(): Map[(Long, Long), Int] = {
+    val rows = hSketch.collect().map(r => r.getLong(0) ->
+      Seq(r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    (for ((qa, ca) <- rows; (qb, cb) <- rows if qa != qb)
+      yield (qa, qb) -> ca.zip(cb).map { case (x, y) =>
+        Integer.bitCount(x ^ y) }.sum).toMap
+  }
+
+  test("hammingTopK == driver-side exact top-k with (dist, id) tie-break") {
+    val dist = driverHamming()
+    val queries = hSketch.filter($"id" < 3)
+    val want = (0L until 3L).flatMap { q =>
+      dist.toSeq.collect { case ((`q`, c), d) => (c, d) }
+        .sortBy { case (c, d) => (d, c) }.take(4).zipWithIndex
+        .map { case ((c, d), i) => (q, i + 1, c, d) }
+    }.toSet
+    val got = Similarity.hammingTopK(queries, hSketch, "id", k = 4)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    // the planted dist-1 neighbor must be id 0's rank-1
+    assert(got.contains((0L, 1, 100L, 1)))
+  }
+
+  test("banded Hamming k-NN equals brute force within the radius (pigeonhole)") {
+    val brute = Similarity.hammingTopK(hSketch.filter($"id" < 3), hSketch,
+        "id", k = 4)
+      .filter($"dist" <= 3)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    val banded = Similarity.hammingTopKBanded(hSketch.filter($"id" < 3),
+        hSketch, "id", k = 4, radius = 3, nBands = 4)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    // ranks agree because (dist, cand_id) orders every <=3 candidate
+    // before any >3 candidate — filtering commutes with ranking
+    assert(banded == brute, s"banded $banded vs brute-within-radius $brute")
+    // the dist-4 plant is OUTSIDE the radius contract and must be absent
+    assert(!banded.exists(_._3 == 102L))
+    // …while brute-force (no radius) does reach it
+    assert(Similarity.hammingTopK(hSketch.filter($"id" === 0), hSketch,
+        "id", k = 4)
+      .as[(Long, Int, Long, Int)].collect().exists(_._3 == 102L))
+    // radius >= nBands voids the pigeonhole guarantee — refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hammingTopKBanded(hSketch, hSketch, "id", k = 4,
+        radius = 4, nBands = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
 }

@@ -1182,6 +1182,116 @@ class StreamingSpec extends SparkSpec {
       s"redelivered batch must be a no-op: ${admitted()}")
   }
 
+  test("wide-band IMAGE ingest filter: 16-bit bands, d<=3, scheme pinned in the index") {
+    // The q261 wide-band regime at INGEST (round-14 verdict #1): nBands
+    // = 4 gives a 4×65,536-key band space — occupancy stays sparse at
+    // corpus density where the 8-bit default saturates — with the
+    // tighter d ≤ 3 guarantee. Fixture ids from the closed form:
+    // source 1 (ids 3/4/5) has its p=2 edit at distance exactly 3
+    // (suppressed); source 0's p=2 edit (id 2) sits at distance 7 —
+    // inside the 8-band scheme's reach but OUTSIDE the wide scheme's
+    // declared d ≤ 3 recall, so it must be ADMITTED (the trade is
+    // observable, not hidden); p0 sources 3 and 8 (ids 9, 24) share a
+    // 16-bit band at Hamming 10 — the verify stage must admit.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val base = Files.createTempDirectory("imgwide").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.imageDedupSuppressWriter(
+      indexDir, outDir, "media_id", "content", maxDist = 3, nBands = 4)
+    val png = graft.multimodal.Multimodal.encodeVariantPngs(
+        Seq(0L, 2L, 3L, 4L, 5L, 9L, 24L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"media_id").as[Long].collect().toSeq.sorted
+    // batch 0: 4 is 3's brightness twin (d=0), 5 its local edit (d=3) —
+    // both inside the 4-band pigeonhole, both suppressed within-batch
+    writer(Seq((3L, png(3L)), (4L, png(4L)), (5L, png(5L)))
+      .toDF("media_id", "content"), 0L)
+    assert(admitted() == Seq(3L),
+      s"within-batch: d=0 twin and d=3 edit both suppressed: ${admitted()}")
+    // batch 1: id 2 (d=7 from id 0, same batch) is ADMITTED — the wide
+    // scheme's declared trade surrenders the d in [4,7] tail; id 4
+    // (d=0 from PERSISTED survivor 3) is suppressed cross-batch
+    writer(Seq((0L, png(0L)), (2L, png(2L)), (4L, png(4L)), (9L, png(9L)))
+      .toDF("media_id", "content"), 1L)
+    assert(admitted() == Seq(0L, 2L, 3L, 9L),
+      s"d=7 edit admitted (declared trade), persisted twin suppressed: ${admitted()}")
+    // batch 2: id 24 shares a 16-bit band with survivor 9 at Hamming 10
+    // — collision alone must not suppress; the exact verify admits
+    writer(Seq((24L, png(24L))).toDF("media_id", "content"), 2L)
+    assert(admitted() == Seq(0L, 2L, 3L, 9L, 24L),
+      s"band-colliding far image must verify-admit: ${admitted()}")
+    // the band scheme is part of the index contract: an 8-band writer
+    // against this 4-band index must refuse loudly, not silently admit
+    // every duplicate (16-bit values never equal 8-bit values)
+    val writer8 = StreamPipeline.imageDedupSuppressWriter(
+      indexDir, outDir, "media_id", "content", maxDist = 7, nBands = 8)
+    val e = intercept[IllegalArgumentException] {
+      writer8(Seq((6L, png(3L))).toDF("media_id", "content"), 3L)
+    }
+    assert(e.getMessage.contains("bands"), e.getMessage)
+    // the tie between maxDist and nBands is enforced at construction
+    val e2 = intercept[IllegalArgumentException] {
+      StreamPipeline.imageDedupSuppressWriter(indexDir, outDir,
+        "media_id", "content", maxDist = 7, nBands = 4)
+    }
+    assert(e2.getMessage.contains("pigeonhole"), e2.getMessage)
+  }
+
+  test("near-dup index occupancy telemetry: per-band stats + compaction WARN") {
+    // The saturation point of the ingest filters is DECLARED in their
+    // docs (round-14); this pins the probe that makes it OBSERVABLE:
+    // every admitted image contributes exactly one index entry per
+    // band, so n_entries per band == the admitted count, and the stats
+    // survive compaction unchanged (one generation, same rows). The
+    // compaction WARN fires once any bucket crosses the threshold.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val base = Files.createTempDirectory("imgstats").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.imageDedupSuppressWriter(
+      indexDir, outDir, "media_id", "content", maxDist = 3, nBands = 4)
+    val png = graft.multimodal.Multimodal.encodeVariantPngs(
+        Seq(0L, 3L, 4L, 9L, 24L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    writer(Seq((0L, png(0L)), (3L, png(3L)), (4L, png(4L)))
+      .toDF("media_id", "content"), 0L) // 4 suppressed (twin of 3)
+    writer(Seq((9L, png(9L)), (24L, png(24L)))
+      .toDF("media_id", "content"), 1L) // both admitted (far/verify)
+    val stats = StreamPipeline.nearDupIndexStats(spark, indexDir, outDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(stats.map(_._1).toSeq == Seq(0, 1, 2, 3), s"4 bands: ${stats.toSeq}")
+    stats.foreach { case (bi, entries, buckets, maxB, avgB) =>
+      assert(entries == 4L, s"band $bi: one entry per admitted image: $entries")
+      // ids 9 and 24 share a 16-bit band (sources 3/8, band 2) — that
+      // band has a 2-bucket; every other band has 4 singletons
+      if (bi == 2) assert(maxB == 2L && buckets == 3L, s"band 2: ($buckets, $maxB)")
+      else assert(maxB == 1L && buckets == 4L, s"band $bi: ($buckets, $maxB)")
+      assert(avgB == math.rint(entries.toDouble / buckets * 10000) / 10000,
+        s"band $bi avg: $avgB")
+    }
+    // compaction folds the two deltas into generation 0, warns past the
+    // threshold (1 forces it here), and leaves the stats IDENTICAL
+    val buf = new java.io.ByteArrayOutputStream()
+    val folded = Console.withErr(new java.io.PrintStream(buf, true, "UTF-8")) {
+      StreamPipeline.compactNearDupIndex(spark, indexDir, outDir, warnBucketAt = 1)
+    }
+    assert(folded == 2, s"two deltas folded: $folded")
+    assert(buf.toString("UTF-8").contains("WARN"),
+      s"threshold 1 must trip the saturation warning: ${buf.toString("UTF-8").take(200)}")
+    val after = StreamPipeline.nearDupIndexStats(spark, indexDir, outDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(after.toSeq == stats.toSeq,
+      s"stats must survive compaction unchanged: ${after.toSeq} vs ${stats.toSeq}")
+    // an empty index reports an empty frame, not a crash
+    assert(StreamPipeline.nearDupIndexStats(spark, s"$base/none", s"$base/none2")
+      .isEmpty)
+  }
+
   test("streamed basket pair supports == batch q250 pair stage; snapshots are versioned") {
     // The q250 streaming twin (VERDICT r13 #5): per-order distinct
     // brand set as enum-bounded value state; each (order, ba<bb) pair
