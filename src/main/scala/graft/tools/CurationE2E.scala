@@ -49,12 +49,21 @@ import graft.operators.{Curation, Dedup}
   *                        blocking — dropping the larger id of each
   *                        perceptual near-dup pair; runs after text
   *                        dedup so the codec touches keepers only.
-  *   7. chunk           — q193's overlapping chunking (32-token chunks
+  *   7. audio_dedup     — the SECOND multimodal leg (round-15): each
+  *                        surviving doc's audio attachment (variant-WAV
+  *                        fixture through the q258/q259 machinery —
+  *                        real WAV codec round-trip, lock-free RIFF
+  *                        parse, energy fingerprint, the same generic
+  *                        Hamming banding). The attachment keys on a
+  *                        TRANSPOSED id so audio families cut ACROSS
+  *                        image families — the modalities dedup
+  *                        independently, as unrelated attachments do.
+  *   8. chunk           — q193's overlapping chunking (32-token chunks
   *                        at stride 24, stable md5 chunk ids).
-  *   8. pack            — q179's concat-and-chunk packing into
+  *   9. pack            — q179's concat-and-chunk packing into
   *                        64-token training sequences
   *                        ([[Curation.packSequences]]).
-  *   9. split_leak      — q195's group-hash 80/20 train/test split by
+  *  10. split_leak      — q195's group-hash 80/20 train/test split by
   *                        `source` + the cross-split fingerprint leak
   *                        audit (after steps 3-5 it must report ZERO
   *                        straddling fingerprints — the composed
@@ -217,12 +226,41 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 7: overlapping chunking (q193 shape) ----
+    // ---- leg 7: audio near-dup over each survivor's attachment ----
+    // The second multimodal leg (round-15): every surviving doc carries
+    // an audio clip, keyed on a TRANSPOSED id — (doc_id mod 3) major,
+    // doc_id div 3 minor — so audio families group DIFFERENT docs than
+    // the image families did (real attachments are independent across
+    // modalities; a doc that kept its image can still carry a duplicate
+    // clip). The q258/q259 machinery: real WAV codec round-trip on
+    // keepers only, energy fingerprint, generic Hamming banding, drop
+    // the larger id of each near-dup pair. The transposed id stays
+    // far inside the mixer's 2^50 envelope (≤ 2·2³¹ + maxId/3).
+    val audioKept = timed("audio_dedup") {
+      implicit val sp: SparkSession = spark
+      val mapped = imgKept.select($"doc_id",
+        (($"doc_id" % 3) * lit(1L << 31) + expr("doc_id div 3")).as("amid"))
+      val wavs = graft.multimodal.Multimodal.encodeVariantWavs(
+        mapped.select($"amid"), "amid")
+      val en = graft.multimodal.Multimodal.decodeFrameEnergies(wavs)
+      val sketch = en.select($"media_id" +:
+        graft.multimodal.Multimodal.adjacentHashChunks($"energies"): _*)
+      val pairs = Dedup.hammingBandedPairs(sketch, "media_id",
+        maxDist = 7, nBands = 8, maxBucket = 200)
+      val losers = mapped
+        .join(pairs.select($"id_b".as("amid")).distinct(), Seq("amid"))
+        .select($"doc_id")
+      val df = mat(imgKept.join(losers, Seq("doc_id"), "left_anti"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 8: overlapping chunking (q193 shape) ----
     val nChunks = {
       var n = 0L
       timed("chunk") {
         val S = 24; val C = 32
-        val df = mat(imgKept
+        val df = mat(audioKept
           .select($"doc_id", TextFunctions.words($"text").as("w"))
           .withColumn("n", size($"w"))
           .withColumn("chunk_idx",
@@ -238,11 +276,11 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 7: sequence packing (q179 / Curation.packSequences) ----
+    // ---- leg 9: sequence packing (q179 / Curation.packSequences) ----
     val nSeqs = {
       var n = 0L
       timed("pack") {
-        val df = mat(Curation.packSequences(imgKept, "doc_id", "text",
+        val df = mat(Curation.packSequences(audioKept, "doc_id", "text",
           seqLen = 64))
         n = df.count()
         val toksRow = df.agg(sum($"n_tokens")).head()
@@ -251,11 +289,11 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 8: group split + leak audit (q195 shape) ----
+    // ---- leg 10: group split + leak audit (q195 shape) ----
     val (straddling, splitRow) = {
       var res: (Long, (Long, Long, Long, Long)) = null
       timed("split_leak") {
-        val assigned = mat(imgKept
+        val assigned = mat(audioKept
           .withColumn("split",
             when(conv(substring(md5(concat(lit("q195:"), $"source")), 1, 15),
               16, 10).cast("long") % 100 < 80, "train").otherwise("test"))
@@ -350,7 +388,7 @@ object CurationE2E {
          |"split":{"train_docs":${base.trainDocs},"train_tokens":${base.trainToks},
          |"test_docs":${base.testDocs},"test_tokens":${base.testToks},
          |"straddling_fingerprints":${base.straddling}},
-         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q193/q179/q195 operators"$scalingJson}"""
+         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q254-q255(image)/q258-q259(audio)/q193/q179/q195 operators"$scalingJson}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
