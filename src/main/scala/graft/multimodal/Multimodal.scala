@@ -64,6 +64,19 @@ object Multimodal {
       }
   }
 
+  /** Executor-side ImageIO config, applied once per codec partition:
+    * the platform DEFAULT wraps every `ImageIO.read`/`write` in a
+    * disk-backed cache stream — one temp-file create/write/delete per
+    * image under java.io.tmpdir, even when both ends are in-memory
+    * byte arrays. At executor concurrency that turns the pure-memory
+    * codec path into small-file I/O whose cost tracks tmp-filesystem
+    * aging (measured on this box: q254's 5k-image pass degraded
+    * 0.97 → ~3.5 s between rounds with no code change on the path;
+    * cache off restores the memory path). Static JVM flag, idempotent
+    * — called at every codec `mapPartitions` entry so executors get
+    * it no matter which operator runs first. */
+  private def imageCodecInit(): Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** One decoded image's exact pixel statistics: geometry + per-channel
     * pixel SUMS (sums, not means, so the values stay integral and an
     * external oracle can reproduce them exactly). */
@@ -83,6 +96,7 @@ object Multimodal {
   def encodePngs(df: DataFrame, id: String)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     df.select(col(id).cast("long")).as[Long].mapPartitions { ids =>
+      imageCodecInit()
       ids.map { mid =>
         val w = (mid % 13 + 4).toInt
         val h = (mid % 7 + 3).toInt
@@ -116,6 +130,7 @@ object Multimodal {
     binary.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageCodecInit()
         rows.map { case (mid, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -172,24 +187,30 @@ object Multimodal {
   }
 
   /** Variant-PNG fixture encoder: for each id, source s = id/3 and
-    * variant p = id%3 select a (s%6+12) × (s%5+10) grayscale image via
+    * variant p = id%3 select a (s%6+wBase) × (s%5+hBase) grayscale
+    * image via
     * [[variantGray]], encoded with the REAL `javax.imageio` PNG codec on
     * the executors (r=g=b, so integer luma recovers the gray exactly).
     * Same partition-wise batch shape as [[encodePngs]]: one encoder
     * context per partition, no shuffle. The image COUNT tracks the
     * input row count — replicating the corpus ×k yields ×k images, so
-    * the scale sweep measures a genuinely data-proportional workload. */
-  def encodeVariantPngs(df: DataFrame, id: String)(implicit spark: SparkSession): DataFrame = {
+    * the scale sweep measures a genuinely data-proportional workload.
+    * The default (12×10 base) feeds the 9×8 dHash-64 family; the wide
+    * 256-bit family (q266) uses 20×18 so every image covers its 17×16
+    * sample grid. */
+  def encodeVariantPngs(df: DataFrame, id: String, wBase: Int = 12,
+                        hBase: Int = 10)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     // spread BEFORE the per-row codec work: a single-file parquet scan
     // (or an AQE-coalesced advisory repartition) would otherwise feed
     // the whole corpus to one encoder thread (the q246/q42 lesson)
     graft.operators.Relational.spread(df.select(col(id).cast("long").as(id)), col(id))
       .as[Long].mapPartitions { ids =>
+      imageCodecInit()
       ids.map { mid =>
         val (s, p) = (mid / 3, mid % 3)
-        val w = (s % 6 + 12).toInt
-        val h = (s % 5 + 10).toInt
+        val w = (s % 6 + wBase).toInt
+        val h = (s % 5 + hBase).toInt
         val img = new java.awt.image.BufferedImage(
           w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
         var y = 0
@@ -225,6 +246,7 @@ object Multimodal {
     binary.select(col("media_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        imageCodecInit()
         rows.map { case (mid, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -268,6 +290,28 @@ object Multimodal {
           lit(1 << (i % 16))).otherwise(lit(0))
       }.reduce(_ + _).cast("int").as(s"c$k")
     }
+
+  /** [[dhashChunks]] generalized to any sample grid: bit i (row-major,
+    * gw−1 horizontal comparisons per row × gh rows) is
+    * [grid(y, x+1) > grid(y, x)], packed into ⌈(gw−1)·gh / 16⌉ 16-bit
+    * chunk columns c0..cN — the house sketch shape at any width. The
+    * 17×16 grid yields the 256-bit dHash (16 chunks) that recovers the
+    * d ≤ 15 recall range at corpus density: 16 bands of 16 bits keep
+    * bucket occupancy sparse (the q261 argument) while the pigeonhole
+    * guarantee d < nChunks now COVERS the full perceptual edit band the
+    * 64-bit hash's wide regime had to surrender (d ≤ 3). Still a pure
+    * codegen'd expression tree — (gw−1)·gh when() terms, no UDF. */
+  def dhashChunksGrid(grays: Column, gw: Int, gh: Int): Seq[Column] = {
+    val bits = (gw - 1) * gh
+    require(bits % 16 == 0, s"grid ${gw}x$gh: ${bits} comparison bits not 16-aligned")
+    (0 until bits / 16).map { k =>
+      (16 * k until 16 * k + 16).map { i =>
+        val (y, x) = (i / (gw - 1), i % (gw - 1))
+        when(element_at(grays, y * gw + x + 2) > element_at(grays, y * gw + x + 1),
+          lit(1 << (i % 16))).otherwise(lit(0))
+      }.reduce(_ + _).cast("int").as(s"c$k")
+    }
+  }
 
   // ------------------------------------------------------------------
   // Audio fingerprinting — the dedup family's second real-codec modality.

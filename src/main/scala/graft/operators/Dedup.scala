@@ -911,6 +911,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
   }
 
+  /** [[hammingBandedPairs]] generalized to a sketch of ANY chunk count
+    * (the 256-bit dHash's c0..c15, or any future wider sketch): each
+    * 16-bit chunk IS one band, so the pigeonhole guarantee covers
+    * d ≤ nChunks−1 — at 16 chunks that is d ≤ 15, the full perceptual
+    * edit band the 64-bit hash's wide regime (q261, d ≤ 3) had to
+    * surrender — while the 65,536-value band space keeps ×100 bucket
+    * occupancy sparse exactly as q261's does. Same plan shape: band
+    * equi-join with stop-bucket cap, exact chunked-Hamming verify,
+    * never all-pairs. This is the REGISTERED wider-sketch upgrade the
+    * 8-bit-band saturation docs pointed at (round-14 What's wrong #1);
+    * the 64-bit entry points stay as the cheap default where corpus
+    * density allows them. */
+  def hammingBandedPairsChunks(sketch: DataFrame, id: String, maxDist: Int,
+                               nChunks: Int,
+                               maxBucket: Int = 200): DataFrame = {
+    require(nChunks >= 2, s"nChunks=$nChunks: need >= 2 chunk columns")
+    require(maxDist < nChunks,
+      s"maxDist=$maxDist: $nChunks-chunk pigeonhole only guarantees recall for d <= ${nChunks - 1}")
+    require(maxBucket >= 2,
+      s"maxBucket=$maxBucket: a cap below 2 drops every bucket and returns zero pairs")
+    val chunkNames = (0 until nChunks).map(k => s"c$k")
+    val sk = sketch.select((col(id) +: chunkNames.map(col)): _*).localCheckpoint()
+    val bands = sk.select(col(id),
+      posexplode(array(chunkNames.map(col): _*)).as(Seq("bi", "bv")))
+    val keep = bands.groupBy(col("bi"), col("bv"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucket))
+    val inBuckets = bands.join(keep, Seq("bi", "bv"))
+    val cand = inBuckets.alias("a")
+      .join(inBuckets.alias("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+    cand
+      .join(sk.select((col(id).as("id_a") +:
+        chunkNames.map(c => col(c).as(s"a_$c"))): _*), "id_a")
+      .join(sk.select((col(id).as("id_b") +:
+        chunkNames.map(c => col(c).as(s"b_$c"))): _*), "id_b")
+      .withColumn("dist", hammingChunks(
+        chunkNames.map(c => col(s"a_$c")), chunkNames.map(c => col(s"b_$c"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
   // ------------------------------------------------- substring spans
 
   /** Substring-level duplication profile (Lee et al., "Deduplicating

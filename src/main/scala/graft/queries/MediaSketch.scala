@@ -40,4 +40,31 @@ object MediaSketch {
     }
     s.read.parquet(path)
   }
+
+  /** The 256-BIT twin (media_id, c0..c15): the wide-SKETCH upgrade of
+    * the density story — where [[dhash]]'s 64 bits force a choice
+    * between saturation-prone 8-bit bands (d ≤ 7, q255) and sparse
+    * 16-bit bands with d ≤ 3 (q261), a 17×16 sample grid yields 256
+    * comparison bits whose SIXTEEN 16-bit bands are simultaneously
+    * sparse at corpus density AND pigeonhole-guaranteed to d ≤ 15 —
+    * strictly more recall range than the 8-band regime ever had. The
+    * wide fixture images (20×18 base) cover the larger grid; same
+    * mtime-keyed, atomically-promoted store discipline. */
+  def dhash256(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "dhash256_sketch")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
+          graft.Tables(s, d, "documents").select($"doc_id"), "doc_id",
+          wBase = 20, hBase = 18)
+        graft.multimodal.Multimodal.sampleGrayGrid(pngs, gw = 17, gh = 16)
+          .select($"media_id" +:
+            graft.multimodal.Multimodal.dhashChunksGrid($"grays", 17, 16): _*)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
 }

@@ -374,6 +374,42 @@ object TextQueries {
          FROM bits GROUP BY media_id)
     """
 
+  /** Closed-form 256-BIT dHash replay for the WIDE variant-PNG fixture
+    * (20×18 base images, 17×16 sample grid — [[graft.multimodal
+    * .Multimodal.dhashChunksGrid]]): the same staged-modular pixel
+    * arithmetic as [[dhashOracle]], sixteen 16-bit chunks (chunk k =
+    * row k's 16 horizontal comparisons), ending in a
+    * `hash(media_id, c0..c15)` CTE. */
+  private val dhash256Oracle: String = {
+    val chunkCols = (0 until 16).map { k =>
+      s"CAST(sum(CASE WHEN x < 16 AND gn > g AND y = $k THEN 1 << x ELSE 0 END) AS INTEGER) AS c$k"
+    }.mkString(",\n           ")
+    s"""WITH ids AS (SELECT doc_id AS media_id, doc_id // 3 AS s, doc_id % 3 AS p,
+             (doc_id // 3) % 6 + 20 AS w, (doc_id // 3) % 5 + 18 AS h
+           FROM documents),
+       xs AS (SELECT unnest(generate_series(0, 16)) AS x),
+       ys AS (SELECT unnest(generate_series(0, 15)) AS y),
+       grid AS (SELECT media_id, s, p, x, y, (x * w) // 17 AS px, (y * h) // 16 AS py
+                FROM ids, xs, ys),
+       gray AS (SELECT media_id, x, y,
+           CASE WHEN p = 2 AND px < 3 AND py < 3 THEN 255
+                ELSE (((((s*7919 + px*104729 + py*130363) % 2147483648) * 2654435761) % 2147483648) >> 16) % 240
+                     + CASE WHEN p = 1 THEN 8 ELSE 0 END END AS g
+         FROM grid),
+       bits AS (SELECT media_id, y, x, g,
+           lead(g) OVER (PARTITION BY media_id, y ORDER BY x) AS gn FROM gray),
+       hash AS (SELECT media_id,
+           $chunkCols
+         FROM bits GROUP BY media_id)
+    """
+  }
+
+  // each bit_count is cast up front: DuckDB's bit_count returns TINYINT
+  // and sixteen summed terms can reach 256, overflowing 127 mid-fold
+  private def dhash256Dist(a: String, b: String): String =
+    (0 until 16).map(c => s"CAST(bit_count(xor($a.c$c, $b.c$c)) AS INTEGER)")
+      .mkString(" + ")
+
   /** Closed-form SPECTRAL-fingerprint replay for the spectral-WAV
     * fixture ([[graft.multimodal.Multimodal.encodeSpectralWavs]]):
     * pristine PCM from the staged-modular mixer, p=1 gain ×2, p=2
@@ -1258,6 +1294,35 @@ object TextQueries {
           FROM hash a JOIN hash b ON a.media_id < b.media_id)
         WHERE dist <= 3 ORDER BY id_a, id_b"""),
       "spectral near-dup: separates energy-identical spectral edits, keeps gain twins"),
+
+    // ------------------------- 256-bit dHash near-dup (wide SKETCH)
+    // The wider-sketch upgrade both saturation docs pointed at — and
+    // the completion of the density story: q255's 8-bit bands saturate
+    // at 500k sketches; q261's 16-bit bands stay sparse but surrender
+    // recall to d ≤ 3; a 256-BIT dHash (17×16 sample grid over the
+    // 20×18 wide fixture) gives SIXTEEN 16-bit bands that are
+    // simultaneously sparse at density AND pigeonhole-guaranteed to
+    // d ≤ 15 — strictly MORE recall range than the 8-band regime ever
+    // had (the fixture's p=2 edits land at 4..8 on this hash: inside
+    // d ≤ 15, outside q261's d ≤ 3 — the recovered band). Sketch from
+    // the materialized dhash256 store; pairs via the generalized
+    // chunk-banding operator; oracle = exact all-pairs at threshold 15
+    // over the closed-form 256-bit hashes, so the match proves the
+    // 16-chunk pigeonhole end to end.
+    "q266_dhash256_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Dedup.hammingBandedPairsChunks(MediaSketch.dhash256(s, d),
+            "media_id", maxDist = 15, nChunks = 16, maxBucket = 200)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(dhash256Oracle + s"""
+        SELECT * FROM (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+            CAST(${dhash256Dist("a", "b")} AS INTEGER) AS dist
+          FROM hash a JOIN hash b ON a.media_id < b.media_id)
+        WHERE dist <= 15 ORDER BY id_a, id_b"""),
+      "256-bit dHash near-dup: 16x16-bit bands — sparse at density AND d<=15 recall, the full upgrade"),
 
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and

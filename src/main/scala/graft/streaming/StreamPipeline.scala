@@ -346,7 +346,46 @@ object StreamPipeline {
   def imageDedupSuppressWriter(indexDir: String, outDir: String,
                                id: String, content: String,
                                maxDist: Int = 7,
-                               nBands: Int = 8): (DataFrame, Long) => Unit = {
+                               nBands: Int = 8): (DataFrame, Long) => Unit =
+    sketchDedupSuppressWriter(indexDir, outDir, id, maxDist, nBands) { b =>
+      implicit val sp: org.apache.spark.sql.SparkSession = b.sparkSession
+      val grid = graft.multimodal.Multimodal.sampleGrayGrid(
+        b.select(col(id).cast("long").as("media_id"), col(content).as("content")))
+      grid.select(col("media_id").as(id) +:
+        graft.multimodal.Multimodal.dhashChunks(col("grays")): _*)
+    }
+
+  /** [[sketchDedupSuppressWriter]] on the AUDIO modality (round-15):
+    * each micro-batch of (id, wavBytes) rows runs the q258 machinery —
+    * lock-free RIFF parse + frame energies in the partition-wise codec
+    * slot, codegen'd adjacent-energy hash — and the shared banding /
+    * verify / index protocol does the rest. One more one-line proof
+    * that the suppression core is modality-generic: only the
+    * batch → sketch derivation differs from the image writer. */
+  def audioDedupSuppressWriter(indexDir: String, outDir: String,
+                               id: String, content: String,
+                               maxDist: Int = 7,
+                               nBands: Int = 8): (DataFrame, Long) => Unit =
+    sketchDedupSuppressWriter(indexDir, outDir, id, maxDist, nBands) { b =>
+      implicit val sp: org.apache.spark.sql.SparkSession = b.sparkSession
+      val en = graft.multimodal.Multimodal.decodeFrameEnergies(
+        b.select(col(id).cast("long").as("media_id"), col(content).as("content")))
+      en.select(col("media_id").as(id) +:
+        graft.multimodal.Multimodal.adjacentHashChunks(col("energies")): _*)
+    }
+
+  /** The sketch-modality core shared by [[imageDedupSuppressWriter]]
+    * and [[audioDedupSuppressWriter]]: `sketchOf` turns a micro-batch
+    * into its (id, c0..c3) chunked 64-bit sketch (the codec work);
+    * everything else — Hamming banding via the ONE shared
+    * [[graft.operators.Dedup.hammingBandExprs]], the mandatory
+    * exact-Hamming verify on every collision, the `_bands` scheme
+    * marker, and [[bucketSuppressWriter]]'s index/commit/compaction
+    * protocol — is this one implementation, so the modalities cannot
+    * silently diverge. */
+  def sketchDedupSuppressWriter(indexDir: String, outDir: String,
+                                id: String, maxDist: Int, nBands: Int)
+                               (sketchOf: DataFrame => DataFrame): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup
     require(nBands == 4 || nBands == 8, s"nBands=$nBands: need 4 or 8")
     // same pigeonhole bound as the batch twin: nBands bands only
@@ -367,7 +406,7 @@ object StreamPipeline {
         else {
           val recorded = graft.io.Fs.readText(sp, schemeFile).trim
           require(recorded == nBands.toString,
-            s"image dedup index at $indexDir was built with $recorded bands; " +
+            s"sketch dedup index at $indexDir was built with $recorded bands; " +
               s"this writer derives $nBands — rebuild the index or match the scheme")
         }
         // a non-numeric id would cast to NULL and silently disable the
@@ -375,11 +414,8 @@ object StreamPipeline {
         val dt = b.schema(id).dataType
         require(dt == org.apache.spark.sql.types.LongType ||
             dt == org.apache.spark.sql.types.IntegerType,
-          s"imageDedupSuppressWriter needs an integral id column, got $dt for '$id'")
-        val grid = graft.multimodal.Multimodal.sampleGrayGrid(
-          b.select(col(id).cast("long").as("media_id"), col(content).as("content")))
-        grid.select(col("media_id").as(id) +:
-            graft.multimodal.Multimodal.dhashChunks(col("grays")): _*)
+          s"sketchDedupSuppressWriter needs an integral id column, got $dt for '$id'")
+        sketchOf(b)
           .select(col(id) +: col("c0") +: col("c1") +: col("c2") +: col("c3") +:
             Seq(posexplode(array(Dedup.hammingBandExprs(nBands).map(_.cast("string")): _*))
               .as(Seq("band_idx", "band_hash"))): _*)
@@ -389,7 +425,7 @@ object StreamPipeline {
         // columns — refuse with a clear message instead of an
         // UNRESOLVED_COLUMN analysis error mid-stream
         require(chunks.forall(idx.columns.contains),
-          s"image dedup index at $indexDir predates the verify stage " +
+          s"sketch dedup index at $indexDir predates the verify stage " +
             s"(no sketch chunks) — rebuild it or compact from scratch")
         b.join(
           idx.select(col("band_idx"), col("band_hash"),

@@ -137,14 +137,23 @@ object ScaleStress {
     // the spectral fingerprint twins: codec-count-proportional like
     // q258/q259 (×100 ⇒ 500k real WAV round-trips), pair stage in the
     // wide-band posture so it stays non-degenerate at density
-    "r15b" -> Seq("q264_spectral_fingerprint", "q265_spectral_neardup"))
+    "r15b" -> Seq("q264_spectral_fingerprint", "q265_spectral_neardup"),
+    // the 256-bit wide-SKETCH upgrade: 16 sparse bands AND d<=15 recall
+    // (the warmup pays the dhash256 store build — the MediaSketch
+    // convention; the timed pass is the 16-band blocking itself)
+    "r15c" -> Seq("q266_dhash256_neardup"),
+    // re-measure after the ImageIO disk-cache elimination (the codec
+    // hot path no longer writes a temp file per image — the r14sketch
+    // refresh convention applied to the codec-bound entries)
+    "r15codec" -> Seq("q254_dhash64", "q260_video_neardup"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
     * density, which a fast-but-empty pair stage would fake (the q255
     * ×100 lesson — "0.58×" because nearly every bucket was dropped). */
   private val AssertEmits = Set("q261_dhash_neardup_wide",
-    "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup")
+    "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup",
+    "q266_dhash256_neardup")
 
   /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
     * on every source table's mtime (the layout-cache discipline — a

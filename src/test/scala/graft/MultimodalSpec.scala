@@ -198,6 +198,59 @@ class MultimodalSpec extends SparkSpec {
     assert(ea.getMessage.contains("2^50"))
   }
 
+  // ------------------------------------------- 256-bit dHash pins
+
+  /** Full codec-path 256-bit sketch for ids [0, n): wide 20×18-base
+    * fixture, 17×16 sample grid, 16 chunk columns — the q266 pipeline. */
+  private def dhash256Sketch(n: Int) = {
+    implicit val s = spark
+    val ids = spark.range(n).toDF("doc_id")
+    val grid = Multimodal.sampleGrayGrid(
+      Multimodal.encodeVariantPngs(ids.repartition(4), "doc_id",
+        wBase = 20, hBase = 18), gw = 17, gh = 16)
+    grid.select($"media_id" +: Multimodal.dhashChunksGrid($"grays", 17, 16): _*)
+  }
+
+  test("256-bit dHash: banded pairs == exact all-pairs at d<=15; edits inside the recovered band") {
+    // The wide-SKETCH completion of the density story: the generalized
+    // 16-chunk banding must equal the exact theta-join ground truth at
+    // the full d <= 15 pigeonhole range, and the fixture's p=2 edits
+    // must land INSIDE it (measured 4..8 on this hash) — i.e. inside
+    // the band the 64-bit wide regime (q261, d <= 3) surrenders.
+    val sk = dhash256Sketch(120)
+    val rows = sk.collect().map(r =>
+      r.getLong(0) -> (1 to 16).map(r.getInt))
+    def dist(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    val exact = (for {
+      (ia, ca) <- rows; (ib, cb) <- rows if ia < ib
+      d = dist(ca, cb) if d <= 15
+    } yield (ia, ib, d)).toSet
+    val banded = graft.operators.Dedup
+      .hammingBandedPairsChunks(sk, "media_id", maxDist = 15, nChunks = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == exact, s"banded ${banded.size} vs exact ${exact.size}")
+    val h = rows.toMap
+    (0 until 40).foreach { s =>
+      assert(dist(h(3L * s), h(3L * s + 1)) == 0,
+        s"source $s: 256-bit hash must be brightness-invariant")
+      val d2 = dist(h(3L * s), h(3L * s + 2))
+      assert(d2 >= 1 && d2 <= 15,
+        s"source $s: p2 edit must land inside the d<=15 band, got $d2")
+    }
+    // every p=1 twin pair must therefore be IN the banded result
+    (0 until 40).foreach { s =>
+      assert(banded.contains((3L * s, 3L * s + 1, 0)),
+        s"source $s: twin pair missing from banded output")
+    }
+    // guard parity with the 4-chunk operator
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingBandedPairsChunks(sk, "media_id",
+        maxDist = 16, nChunks = 16)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+
   // --------------------------------------- spectral fingerprint pins
 
   test("spectral fingerprint separates the edit the energy fingerprint confuses") {

@@ -965,11 +965,18 @@ class ScalePostureSpec extends SparkSpec {
   }
 
   test("round-13 query family: plan shapes match their scale claims") {
-    // q245: the ×64 flip expansion must map-side combine (the q201/q236
-    // bootstrap shape) and the BH windows run over the nation frame
+    // q245: the test family is CHECKPOINTED before the step-up
+    // (round-15 — bhStepUp's loud-cap probe would otherwise re-execute
+    // the ×64 sign-flip expansion), so the final plan must rank the
+    // materialized ≤25-row frame: an ExistingRDD scan, no file scan,
+    // no cross product (the q249 checkpointed-projection pin shape;
+    // the expansion's own map-side combine is the q201/q236 kernel,
+    // pinned there)
     val p245 = plan("q245_bh_fdr")
-    assert(p245.contains("partial_sum"),
-      s"q245 flip sums must map-side combine:\n${p245.take(1200)}")
+    assert(p245.contains("Scan ExistingRDD"),
+      s"q245 must rank the checkpointed family frame:\n${p245.take(1200)}")
+    assert(p245.linesIterator.count(_.contains("FileScan")) == 0,
+      s"q245 final plan must not rescan the base tables:\n${p245.take(1200)}")
     assert(!p245.contains("CartesianProduct"))
     // q246: blocked Levenshtein may never plan an unbounded pair stage
     val p246 = plan("q246_edit_blocking")
@@ -1088,6 +1095,14 @@ class ScalePostureSpec extends SparkSpec {
       s"q265 pairs must come from the band equi-join:\n${p265.take(1200)}")
     assert(p265.linesIterator.count(_.contains("FileScan")) == 0,
       s"q265 must read the checkpointed sketch, not re-decode per branch:\n${p265.take(1200)}")
+    // q266: the 16-chunk banding keeps the same plan discipline, over
+    // the materialized dhash256 store (no codec re-run per consumer)
+    val p266 = plan("q266_dhash256_neardup")
+    assert(!p266.contains("CartesianProduct") && !p266.contains("BroadcastNestedLoopJoin"),
+      s"q266 pairs must come from the band equi-join:\n${p266.take(1200)}")
+    assert(!p266.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q266 must read the dhash256 store, not re-run the codec:\n${p266.take(1200)}")
   }
 
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {

@@ -1240,6 +1240,37 @@ class StreamingSpec extends SparkSpec {
     assert(e2.getMessage.contains("pigeonhole"), e2.getMessage)
   }
 
+  test("streaming AUDIO dedup suppression: the sketch writer core is modality-generic") {
+    // audioDedupSuppressWriter = sketchDedupSuppressWriter with the
+    // q258 WAV pipeline as the sketch derivation — the whole banding /
+    // verify / index / exactly-once machinery is the SAME code the
+    // image writer runs, so this pins the one thing the audio
+    // instantiation adds: the codec slot. Closed-form distances:
+    // gain twin (0,1) at 0, burst edit (0,2) at 1, cross-source far.
+    implicit val sqlCtx = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val base = Files.createTempDirectory("wavdedup").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.audioDedupSuppressWriter(
+      indexDir, outDir, "media_id", "content")
+    val wav = graft.multimodal.Multimodal.encodeVariantWavs(
+        Seq(0L, 1L, 2L, 3L).toDF("doc_id"), "doc_id")
+      .as[(Long, Array[Byte])].collect().toMap
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"media_id").as[Long].collect().toSeq.sorted
+    // batch 0: 1 is 0's gain twin (d=0, suppressed within-batch);
+    // 3 (source 1) is far — admitted
+    writer(Seq((0L, wav(0L)), (1L, wav(1L)), (3L, wav(3L)))
+      .toDF("media_id", "content"), 0L)
+    assert(admitted() == Seq(0L, 3L),
+      s"gain twin suppressed within-batch: ${admitted()}")
+    // batch 1: 2 is 0's burst edit (d=1 vs the PERSISTED index row)
+    writer(Seq((2L, wav(2L))).toDF("media_id", "content"), 1L)
+    assert(admitted() == Seq(0L, 3L),
+      s"burst edit suppressed cross-batch: ${admitted()}")
+  }
+
   test("near-dup index occupancy telemetry: per-band stats + compaction WARN") {
     // The saturation point of the ingest filters is DECLARED in their
     // docs (round-14); this pins the probe that makes it OBSERVABLE:
