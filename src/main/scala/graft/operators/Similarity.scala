@@ -899,7 +899,7 @@ object Similarity {
   // embedding ladder above, replayed on the Hamming metric).
   // ------------------------------------------------------------------
 
-  private val Chunks = Seq("c0", "c1", "c2", "c3")
+  private def chunksOf(n: Int): Seq[String] = (0 until n).map(k => s"c$k")
 
   /** Brute-force Hamming top-k over a chunked 64-bit sketch table (the
     * c0..c3 house shape [[graft.operators.Dedup.simhashChunks]] /
@@ -914,8 +914,10 @@ object Similarity {
     * the pruned variant below replaces the scan; this one remains the
     * recall ground truth it is judged against (the q87/q93 ladder). */
   def hammingTopK(queries: DataFrame, candidates: DataFrame, id: String,
-                  k: Int): DataFrame = {
+                  k: Int, nChunks: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
+    require(nChunks >= 2, s"nChunks=$nChunks: need >= 2 chunk columns")
+    val Chunks = chunksOf(nChunks)
     val q = queries.select(col(id).as("query_id") +:
       Chunks.map(c => col(c).as(s"q$c")): _*)
     val c = candidates.select(col(id).as("cand_id") +: Chunks.map(col): _*)
@@ -950,21 +952,30 @@ object Similarity {
     * q261's). */
   def hammingTopKBanded(queries: DataFrame, candidates: DataFrame,
                         id: String, k: Int, radius: Int,
-                        nBands: Int = 4): DataFrame = {
+                        nBands: Int = 4, nChunks: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(radius >= 0 && radius < nBands,
       s"radius=$radius: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
+    // the 64-bit house sketch (4 chunks) keeps the shared 4/8-band
+    // derivation; any wider sketch bands on its chunk columns directly
+    // (one 16-bit band per chunk — the q266 discipline), so the
+    // pigeonhole range scales with the sketch width
+    require(nChunks == 4 || nBands == nChunks,
+      s"nChunks=$nChunks sketches band on their chunk columns: nBands must equal nChunks, got $nBands")
+    val Chunks = chunksOf(nChunks)
     val qsk = queries.select(col(id).as("query_id") +:
       Chunks.map(c => col(c).as(s"q$c")): _*).localCheckpoint()
     val csk = candidates.select(col(id).as("cand_id") +: Chunks.map(col): _*)
-    // band tables through the ONE shared derivation (hammingBandExprs
-    // names c0..c3, so the query side re-projects its q-prefixed chunks
+    def bandExprs: Seq[Column] =
+      if (nChunks == 4) Dedup.hammingBandExprs(nBands) else Chunks.map(col)
+    // band tables through the ONE shared derivation (band exprs name
+    // c0..cN, so the query side re-projects its q-prefixed chunks
     // back to chunk names first)
     val qBands = qsk.select(col("query_id") +: Chunks.map(c => col(s"q$c").as(c)): _*)
       .select(col("query_id"),
-        posexplode(array(Dedup.hammingBandExprs(nBands): _*)).as(Seq("bi", "bv")))
+        posexplode(array(bandExprs: _*)).as(Seq("bi", "bv")))
     val cBands = csk.select(col("cand_id"),
-      posexplode(array(Dedup.hammingBandExprs(nBands): _*)).as(Seq("bi", "bv")))
+      posexplode(array(bandExprs: _*)).as(Seq("bi", "bv")))
     val cand = cBands.join(broadcast(qBands), Seq("bi", "bv"))
       .filter(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id")).distinct()

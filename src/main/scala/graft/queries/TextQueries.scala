@@ -1324,6 +1324,36 @@ object TextQueries {
         WHERE dist <= 15 ORDER BY id_a, id_b"""),
       "256-bit dHash near-dup: 16x16-bit bands — sparse at density AND d<=15 recall, the full upgrade"),
 
+    // ---------------- query-by-image k-NN on the 256-bit sketch (wide)
+    // The q263 search ladder carried onto the wide sketch: banded
+    // radius-15 k-NN over the dhash256 store — each 16-bit chunk is one
+    // band (the q266 discipline), so within-radius recall is EXACT by
+    // pigeonhole across the FULL perceptual band (d ≤ 15), where the
+    // 64-bit search had to choose radius 3. Same plan shape: broadcast
+    // query bands, corpus band equi-join, exact 16-chunk verify,
+    // deterministic (dist, cand_id) top-k. Oracle: 256-bit all-pairs
+    // top-k restricted to d ≤ 15 (ranking by (dist, id) commutes with
+    // the radius filter, as in q263).
+    "q267_hamming_knn_wide" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sketch = MediaSketch.dhash256(s, d)
+        graft.operators.Similarity.hammingTopKBanded(
+            sketch.filter($"media_id" < 24), sketch, "media_id",
+            k = 5, radius = 15, nBands = 16, nChunks = 16)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(dhash256Oracle + s"""
+        SELECT * FROM (
+          SELECT q.media_id AS query_id,
+            CAST(row_number() OVER (PARTITION BY q.media_id
+              ORDER BY ${dhash256Dist("q", "c")}, c.media_id) AS INTEGER) AS rank,
+            c.media_id AS cand_id,
+            CAST(${dhash256Dist("q", "c")} AS INTEGER) AS dist
+          FROM hash q JOIN hash c ON q.media_id < 24 AND c.media_id <> q.media_id)
+        WHERE rank <= 5 AND dist <= 15 ORDER BY query_id, rank"""),
+      "query-by-image on the 256-bit sketch: banded k-NN with d<=15 pigeonhole-exact recall"),
+
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and
     // the keeper policy needs CLUSTERS (a near-dup of a near-dup is the

@@ -145,7 +145,9 @@ object ScaleStress {
     // re-measure after the ImageIO disk-cache elimination (the codec
     // hot path no longer writes a temp file per image — the r14sketch
     // refresh convention applied to the codec-bound entries)
-    "r15codec" -> Seq("q254_dhash64", "q260_video_neardup"))
+    "r15codec" -> Seq("q254_dhash64", "q260_video_neardup"),
+    // wide-sketch search: the q263 ladder on the 256-bit store
+    "r15d" -> Seq("q267_hamming_knn_wide"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -153,7 +155,7 @@ object ScaleStress {
     * ×100 lesson — "0.58×" because nearly every bucket was dropped). */
   private val AssertEmits = Set("q261_dhash_neardup_wide",
     "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup",
-    "q266_dhash256_neardup")
+    "q266_dhash256_neardup", "q267_hamming_knn_wide")
 
   /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
     * on every source table's mtime (the layout-cache discipline — a

@@ -1103,6 +1103,13 @@ class ScalePostureSpec extends SparkSpec {
     assert(!p266.linesIterator.exists(l =>
         l.contains("FileScan") && l.contains("/documents.parquet")),
       s"q266 must read the dhash256 store, not re-run the codec:\n${p266.take(1200)}")
+    // q267: wide-sketch search keeps the q263 posture — band equi-join
+    // with broadcast query bands, never a nested loop over the corpus
+    val p267 = plan("q267_hamming_knn_wide")
+    assert(!p267.contains("CartesianProduct") && !p267.contains("BroadcastNestedLoopJoin"),
+      s"q267 candidates must come from the band equi-join:\n${p267.take(1200)}")
+    assert(p267.contains("BroadcastExchange"),
+      s"q267 must broadcast the query bands:\n${p267.take(1200)}")
   }
 
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {

@@ -587,5 +587,11 @@ class SimilaritySpec extends SparkSpec {
         radius = 4, nBands = 4)
     }
     assert(e.getMessage.contains("pigeonhole"))
+    // a wide sketch bands on its chunk columns: nBands must track nChunks
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.hammingTopKBanded(hSketch, hSketch, "id", k = 4,
+        radius = 7, nBands = 8, nChunks = 16)
+    }
+    assert(e2.getMessage.contains("nBands must equal nChunks"))
   }
 }
