@@ -1008,4 +1008,98 @@ object Dedup {
       .select(col(id), col("n_spans"), col("n_dup_spans"),
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6).as("dup_frac"))
   }
+
+  /** Position span of the winnowing key packing: pos rides the low 21
+    * bits under the 32-bit gram hash (key = hash·2²¹ + (2²¹−1−pos)),
+    * so keys stay < 2⁵³ — exact in Int64 AND in DuckDB BIGINT — and
+    * one windowed `array_min` selects the winnowing fingerprint
+    * (min hash, RIGHTMOST position on ties — the robust-winnowing rule)
+    * with zero extra machinery. */
+  private[operators] val WinnowPosSpan = 1 << 21
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every k-token gram, then
+    * in every window of `w` consecutive gram hashes record the minimum
+    * (rightmost on ties), and keep the distinct selections. Guarantees:
+    * any shared token run of ≥ k+w−1 tokens yields ≥ 1 shared
+    * fingerprint (the detection floor), and expected density is
+    * 2/(w+1) — a POSITION-ROBUST sample of the document, unlike
+    * fixed-stride windows ([[duplicateSpans]]) whose recall dies on a
+    * one-token insertion shifting every later window.
+    *
+    * Built entirely from codegen'd array HOFs over each row — gram
+    * join, md5 hash, key packing, per-window `array_min` — so the whole
+    * selection is NARROW (zero shuffles before the consumer's
+    * aggregation; the q111 discipline). Per-row cost is O(grams·w) with
+    * w a small constant. The min-with-rightmost-tie-break selection
+    * collapses to ONE integer comparison via the key packing above;
+    * `raise_error` guards the 2²¹-token packing ceiling loudly (the
+    * q221/q253 cap convention) instead of wrapping silently.
+    *
+    * Returns one row per selected fingerprint: (id, fp, pos) with
+    * fp the 32-bit gram hash and pos the 0-based gram position. Docs
+    * with fewer than k tokens emit nothing; docs with fewer than w
+    * grams emit the single min over all their grams (the standard
+    * short-document convention). Every value is replayable in DuckDB
+    * from md5 hex — the portable-hash house rule. */
+  def winnowedFingerprints(df: DataFrame, id: String, text: Column,
+                           k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(w >= 2, s"w must be >= 2: $w (w = 1 selects every gram)")
+    val span = lit(WinnowPosSpan.toLong)
+    val ws = split(lower(text), " ")
+    val grams = transform(sequence(lit(0), size(ws) - k),
+      i => array_join(slice(ws, i + 1, lit(k)), " "))
+    val keys = transform(grams, (g, i) =>
+      when(i >= span, raise_error(concat(lit(
+          s"winnowedFingerprints: gram position exceeds the 2^21 packing " +
+            s"ceiling at "), i.cast("string")))
+          .cast("long"))
+        .otherwise(conv(substring(md5(g), 1, 8), 16, 10).cast("long") * span
+          + (span - 1 - i)))
+    val nG = size(col("__keys"))
+    val mins = array_distinct(transform(
+      sequence(lit(0), greatest(nG - w, lit(0))),
+      j => array_min(slice(col("__keys"), j + 1, least(lit(w), nG - j)))))
+    df.filter(size(ws) >= k)
+      .select(col(id), keys.as("__keys"))
+      .select(col(id), explode(mins).as("__key"))
+      .select(col(id),
+        shiftright(col("__key"), 21).as("fp"),
+        (span - 1 - col("__key").bitwiseAND(span - 1)).cast("int").as("pos"))
+  }
+
+  /** Near-dup pairs by winnowed-fingerprint overlap — the consumer that
+    * makes [[winnowedFingerprints]] a dedup operator: documents sharing
+    * ≥ `minShared` distinct fingerprint HASHES pair, via the inverted
+    * fingerprint index (equi-join on fp → pair count), never all-pairs.
+    * A fingerprint appearing in more than `maxDf` documents is dropped
+    * before the join (the stop-gram twin of the LSH stop-bucket cap:
+    * a boilerplate gram shared by the whole corpus would contribute
+    * C(df, 2) candidate rows and no discrimination); `maxDf` bounds
+    * per-fingerprint join fan-out, so pair cost is Σ C(df, 2) over
+    * surviving fingerprints — df-bounded, exactly the posting-list
+    * shape that survives 100 TB. Returns (id_a, id_b, shared). */
+  def winnowedNearDupPairs(df: DataFrame, id: String, text: Column,
+                           k: Int, w: Int, minShared: Int,
+                           maxDf: Int = 50): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    // maxDf < 2 would drop every shareable fingerprint and silently
+    // report zero pairs — refuse loudly (the maxBucket convention)
+    require(maxDf >= 2,
+      s"maxDf=$maxDf: a cap below 2 drops every shared fingerprint")
+    val fps = winnowedFingerprints(df, id, text, k, w)
+      .select(col(id), col("fp")).distinct()
+      .localCheckpoint()
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+    val posts = fps.join(keep, "fp")
+    posts.alias("a")
+      .join(posts.alias("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$id") < col(s"b.$id"))
+      .groupBy(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -50,6 +50,33 @@ object MediaSketch {
     * strictly more recall range than the 8-band regime ever had. The
     * wide fixture images (20×18 base) cover the larger grid; same
     * mtime-keyed, atomically-promoted store discipline. */
+  /** The AUDIO twin (media_id, c0..c3): the spectral fingerprint of
+    * every document's WAV clip, materialized once per testdata
+    * generation like [[dhash]] — q265's near-dup pairs and q268's
+    * query-by-audio search both need every clip's hash, and before
+    * this each re-ran the WAV encode → RIFF parse → quarter-wave
+    * powers → pack pipeline per query (measured at sf0.1: the codec
+    * legs were ~2.5 s of q265's 3.5 s wall). q264 stays on the LIVE
+    * pipeline by design — it is the WAV codec round-trip test — and
+    * the consumers' DuckDB oracles still re-derive hashes from the
+    * closed-form integer spectra, validating this build end to end. */
+  def spectral(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "spectral_sketch")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val wavs = graft.multimodal.Multimodal.encodeSpectralWavs(
+          graft.Tables(s, d, "documents").select($"doc_id"), "doc_id")
+        graft.multimodal.Multimodal.decodeFrameSpectra(wavs)
+          .select($"media_id" +:
+            graft.multimodal.Multimodal.spectralHashChunks($"p6", $"p12"): _*)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   def dhash256(s: SparkSession, d: String): DataFrame = {
     val path = LayoutKey.dir(d, "documents", "dhash256_sketch")
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {

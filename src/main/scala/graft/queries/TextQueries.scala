@@ -1277,13 +1277,10 @@ object TextQueries {
     "q265_spectral_neardup" -> Q(
       (s, d) => {
         import s.implicits._
-        implicit val sp: SparkSession = s
-        val wavs = graft.multimodal.Multimodal.encodeSpectralWavs(
-          docs(s, d), "doc_id")
-        val spec = graft.multimodal.Multimodal.decodeFrameSpectra(wavs)
-        val sketch = spec.select($"media_id" +:
-          graft.multimodal.Multimodal.spectralHashChunks($"p6", $"p12"): _*)
-        Dedup.hammingBandedPairs(sketch, "media_id",
+        // sketch from the materialized store (the q255 MediaSketch
+        // discipline on the audio modality): hash at ingest, N
+        // analyses — the live codec round-trip stays q264's job
+        Dedup.hammingBandedPairs(MediaSketch.spectral(s, d), "media_id",
             maxDist = 3, nBands = 4, maxBucket = 200)
           .orderBy($"id_a", $"id_b")
       },
@@ -1353,6 +1350,175 @@ object TextQueries {
           FROM hash q JOIN hash c ON q.media_id < 24 AND c.media_id <> q.media_id)
         WHERE rank <= 5 AND dist <= 15 ORDER BY query_id, rank"""),
       "query-by-image on the 256-bit sketch: banded k-NN with d<=15 pigeonhole-exact recall"),
+
+    // --------------------------- query-by-audio k-NN (spectral sketch)
+    // The similarity-search mandate completed on the AUDIO modality:
+    // the q263 banded Hamming k-NN ladder over the spectral fingerprint
+    // store ([[MediaSketch.spectral]]) — for each query clip
+    // (media_id < 24), the k = 5 nearest corpus clips at exact
+    // chunked-Hamming distance ≤ 3 through the 4×16-bit band blocking,
+    // ties broken (dist, cand_id). Pigeonhole makes within-radius
+    // recall EXACT, so the oracle is the brute-force all-pairs top-k
+    // over the closed-form integer spectra restricted to d ≤ 3 — gain
+    // twins surface at distance 0 (by the ×2 theorem), sorted-frame
+    // spectral edits do NOT (distance ~30), which is exactly what an
+    // audio search should return and an energy-hash search would get
+    // wrong. Plan shape = q263's: broadcast query bands, corpus band
+    // equi-join, exact verify, |Q|-linear in the corpus.
+    "q268_spectral_knn" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sketch = MediaSketch.spectral(s, d)
+        graft.operators.Similarity.hammingTopKBanded(
+            sketch.filter($"media_id" < 24), sketch, "media_id",
+            k = 5, radius = 3, nBands = 4)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(spectralOracle + """
+        SELECT * FROM (
+          SELECT q.media_id AS query_id,
+            CAST(row_number() OVER (PARTITION BY q.media_id
+              ORDER BY bit_count(xor(q.c0, c.c0)) + bit_count(xor(q.c1, c.c1))
+                + bit_count(xor(q.c2, c.c2)) + bit_count(xor(q.c3, c.c3)),
+                c.media_id) AS INTEGER) AS rank,
+            c.media_id AS cand_id,
+            CAST(bit_count(xor(q.c0, c.c0)) + bit_count(xor(q.c1, c.c1))
+              + bit_count(xor(q.c2, c.c2)) + bit_count(xor(q.c3, c.c3)) AS INTEGER) AS dist
+          FROM hash q JOIN hash c ON q.media_id < 24 AND c.media_id <> q.media_id)
+        WHERE rank <= 5 AND dist <= 3 ORDER BY query_id, rank"""),
+      "query-by-audio: banded Hamming k-NN over the spectral sketch store, d<=3 pigeonhole-exact"),
+
+    // ------------------------------- winnowing fingerprints (MOSS)
+    // Schleimer, Wilkerson & Aiken SIGMOD 2003: hash every 4-token
+    // gram, select the minimum hash (rightmost on ties) of every
+    // window of 4 consecutive gram hashes, keep distinct selections.
+    // Position-ROBUST document fingerprinting — a one-token insertion
+    // shifts every later gram, which kills fixed-stride sampling
+    // (q124's documented alignment sensitivity) but changes only O(w)
+    // winnowing selections near the edit; any shared run of ≥ k+w−1
+    // tokens is GUARANTEED a shared fingerprint. The min-with-
+    // rightmost-tie-break selection rides one windowed `array_min`
+    // via the key packing (hash·2²¹ + 2²¹−1−pos, keys < 2⁵³ — exact
+    // in both engines); the whole selection is narrow codegen'd HOFs,
+    // zero shuffles. Oracle replays gram → md5 → packing → window
+    // minima in DuckDB list functions digit-for-digit.
+    "q269_winnow_fingerprints" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Dedup.winnowedFingerprints(docs(s, d), "doc_id", $"text",
+            k = 4, w = 4)
+          .orderBy($"doc_id", $"pos")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+        ks AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+            CAST('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 8) AS BIGINT)
+              * 2097152 + (2097151 - i)) AS ks
+          FROM ws WHERE len(ws) >= 4),
+        sel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(ks) - 4, 0) + 1),
+            j -> list_min(ks[j+1:least(j+4, len(ks))])))) AS key
+          FROM ks)
+        SELECT doc_id, key >> 21 AS fp,
+          CAST(2097151 - (key & 2097151) AS INTEGER) AS pos
+        FROM sel ORDER BY doc_id, pos"""),
+      "winnowing fingerprint selection (MOSS): windowed-min gram hashes, position-robust"),
+
+    // -------------------------- winnow-overlap near-dup pairs
+    // The consumer that makes winnowing a dedup operator: documents
+    // sharing >= 3 distinct fingerprint HASHES pair, through the
+    // inverted fingerprint index (equi-join on fp, group-count) —
+    // never all-pairs. Fingerprints in > 50 docs are stop-dropped
+    // before the join (the stop-gram twin of the LSH stop-bucket cap),
+    // so pair cost is sum C(df,2) over surviving fingerprints —
+    // df-bounded postings, the shape that survives 100 TB (measured
+    // max df on this corpus is 6, so the cap is slack here). At the
+    // ×100 replica every fp's df multiplies by the replication factor
+    // and crosses the cap — the stop-gram filter then drops ALL
+    // recall, exactly the saturation regime the duplication docs
+    // describe; q271 is the registered dedup-first answer, measured
+    // side by side in SCALING. Oracle: identical postings construction
+    // over the closed-form fingerprints.
+    "q270_winnow_neardup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Dedup.winnowedNearDupPairs(docs(s, d), "doc_id", $"text",
+            k = 4, w = 4, minShared = 3, maxDf = 50)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+        ks AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+            CAST('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 8) AS BIGINT)
+              * 2097152 + (2097151 - i)) AS ks
+          FROM ws WHERE len(ws) >= 4),
+        sel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(ks) - 4, 0) + 1),
+            j -> list_min(ks[j+1:least(j+4, len(ks))])))) AS key
+          FROM ks),
+        fps AS (SELECT DISTINCT doc_id, key >> 21 AS fp FROM sel),
+        keep AS (SELECT fp FROM fps GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 50),
+        posts AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM keep))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY id_a, id_b"""),
+      "winnow-overlap near-dup: >=3 shared winnowed fingerprints via df-capped postings join"),
+
+    // ---------------- dedup-first winnowing (the density answer)
+    // The q205 composition discipline applied to winnowing: exact
+    // hash-agg dedup FIRST (one content-hash aggregate collapses every
+    // exact replica to its min-id keeper), THEN winnow-overlap pairs
+    // over keepers only, with each pair carrying the collapsed copy
+    // counts. This is the registered answer to q270's ×100 saturation:
+    // replication drives every fingerprint's df past the stop-gram cap
+    // in the naive path (all recall dropped), while here the exact
+    // stage absorbs the duplication BEFORE any posting materializes —
+    // keeper dfs equal the base corpus dfs, so the pair stage emits
+    // the SAME near-dup structure at any replication factor. Both
+    // paths are measured side by side in SCALING.
+    "q271_winnow_dedup_first" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+        val keep = Dedup.exactKeepers(base, "doc_id", "text")
+          .localCheckpoint() // read 3x: keeper filter + both copy joins
+        val kept = base.join(
+          keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        Dedup.winnowedNearDupPairs(kept, "doc_id", $"text",
+            k = 4, w = 4, minShared = 3, maxDf = 50)
+          .join(keep.select($"keeper_id".as("id_a"), $"n_copies".as("copies_a")), "id_a")
+          .join(keep.select($"keeper_id".as("id_b"), $"n_copies".as("copies_b")), "id_b")
+          .select($"id_a", $"id_b", $"shared", $"copies_a", $"copies_b")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH keep AS (SELECT md5(text) AS content_hash,
+            min(doc_id) AS keeper_id, count(*) AS n_copies
+          FROM documents GROUP BY 1),
+        ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents WHERE doc_id IN (SELECT keeper_id FROM keep)),
+        ks AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+            CAST('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 8) AS BIGINT)
+              * 2097152 + (2097151 - i)) AS ks
+          FROM ws WHERE len(ws) >= 4),
+        sel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(ks) - 4, 0) + 1),
+            j -> list_min(ks[j+1:least(j+4, len(ks))])))) AS key
+          FROM ks),
+        fps AS (SELECT DISTINCT doc_id, key >> 21 AS fp FROM sel),
+        kf AS (SELECT fp FROM fps GROUP BY fp
+          HAVING count(*) BETWEEN 2 AND 50),
+        posts AS (SELECT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM kf)),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3)
+        SELECT id_a, id_b, shared,
+          ka.n_copies AS copies_a, kb.n_copies AS copies_b
+        FROM pairs JOIN keep ka ON ka.keeper_id = id_a
+          JOIN keep kb ON kb.keeper_id = id_b
+        ORDER BY id_a, id_b"""),
+      "dedup-first winnowing: exact keepers, then winnow-overlap pairs — recall survives replication"),
 
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and

@@ -374,6 +374,32 @@ object StreamPipeline {
         graft.multimodal.Multimodal.adjacentHashChunks(col("energies")): _*)
     }
 
+  /** [[sketchDedupSuppressWriter]] on the EMBEDDING modality
+    * (round-15): the sketch is the 64-bit hyperplane-sign SimHash of
+    * the embedding column — bit i set iff v[i] > 0, the q48 sign-LSH
+    * sketch reshaped into the house 4×16-bit chunks via the codegen'd
+    * [[graft.functions.VectorFunctions.signBucket]] — so suppression
+    * means SMALL-ANGLE arrival (sign-Hamming approximates angle:
+    * P[bit differs] = θ/π per Charikar STOC 2002), the streaming twin
+    * of the batch SemDeDup/sign-LSH family (q48/q180). No codec slot
+    * at all: the sketch is a pure expression over the vector column,
+    * which makes this the sharpest proof that the suppression core is
+    * modality-generic — text, image, audio, and embedding writers now
+    * differ ONLY in their sketch derivation. Defaults sit in the
+    * wide-band regime (4×16-bit bands, d ≤ 3) for the same density
+    * reasons as q261; embeddings shorter than 64 dims contribute 0
+    * bits past their end (signBucket's try_element_at), so mixed-dim
+    * corpora still band consistently. */
+  def embeddingDedupSuppressWriter(indexDir: String, outDir: String,
+                                   id: String, vec: String,
+                                   maxDist: Int = 3,
+                                   nBands: Int = 4): (DataFrame, Long) => Unit =
+    sketchDedupSuppressWriter(indexDir, outDir, id, maxDist, nBands) { b =>
+      b.select(col(id) +: (0 until 4).map(k =>
+        graft.functions.VectorFunctions.signBucket(col(vec), 16, 16 * k)
+          .cast("int").as(s"c$k")): _*)
+    }
+
   /** The sketch-modality core shared by [[imageDedupSuppressWriter]]
     * and [[audioDedupSuppressWriter]]: `sketchOf` turns a micro-batch
     * into its (id, c0..c3) chunked 64-bit sketch (the codec work);

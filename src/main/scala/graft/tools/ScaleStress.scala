@@ -147,7 +147,17 @@ object ScaleStress {
     // refresh convention applied to the codec-bound entries)
     "r15codec" -> Seq("q254_dhash64", "q260_video_neardup"),
     // wide-sketch search: the q263 ladder on the 256-bit store
-    "r15d" -> Seq("q267_hamming_knn_wide"))
+    "r15d" -> Seq("q267_hamming_knn_wide"),
+    // round-15 close: query-by-audio over the NEW materialized spectral
+    // store (q265 re-measured with it — the r14sketch refresh
+    // convention), the winnowing family (q269 narrow selection scales
+    // with corpus bytes; q270's ×100 row RECORDS the stop-gram cap
+    // dropping all recall under replication — the declared saturation
+    // datum, not a refusal — and q271's dedup-first composition is the
+    // measured answer right beside it)
+    "r15e" -> Seq("q265_spectral_neardup", "q268_spectral_knn",
+      "q269_winnow_fingerprints", "q270_winnow_neardup",
+      "q271_winnow_dedup_first"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -155,7 +165,17 @@ object ScaleStress {
     * ×100 lesson — "0.58×" because nearly every bucket was dropped). */
   private val AssertEmits = Set("q261_dhash_neardup_wide",
     "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup",
-    "q266_dhash256_neardup", "q267_hamming_knn_wide")
+    "q266_dhash256_neardup", "q267_hamming_knn_wide", "q268_spectral_knn",
+    "q269_winnow_fingerprints", "q271_winnow_dedup_first")
+
+  /** Queries whose ×N row count is recorded WITHOUT the nonzero
+    * refusal: q270's measured ×100 ZERO is itself the registered datum
+    * — replication drives every winnowed fingerprint's df past the
+    * stop-gram cap, dropping ALL recall (the saturation regime its
+    * registration declares) — with q271's dedup-first composition
+    * measured right beside it as the answer. An ACCIDENTAL zero
+    * elsewhere still refuses via AssertEmits. */
+  private val RecordRows = Set("q270_winnow_neardup")
 
   /** Build (or reuse) the ×`factor` replica of `src` under /tmp, keyed
     * on every source table's mtime (the layout-cache discipline — a
@@ -331,10 +351,11 @@ object ScaleStress {
       // round-14 verdict: assert the recall, don't infer it from a fast
       // wall time), record the measured ×N row count and refuse zero
       val rows: Option[Long] =
-        if (groupMode && AssertEmits(name)) {
+        if (groupMode && (AssertEmits(name) || RecordRows(name))) {
           val n = SparkEntry.queries(name)(spark, dst).count()
-          require(n > 0, s"$name emitted ZERO rows at x$factor — " +
-            "the density-proof claim is broken, not merely slow")
+          if (AssertEmits(name))
+            require(n > 0, s"$name emitted ZERO rows at x$factor — " +
+              "the density-proof claim is broken, not merely slow")
           Some(n)
         } else None
       println(f"STRESS $name%-24s sf0.1 $small%6.2f s  x$factor $big%6.2f s  ratio $ratio%5.2f" +

@@ -1112,6 +1112,48 @@ class ScalePostureSpec extends SparkSpec {
       s"q267 must broadcast the query bands:\n${p267.take(1200)}")
   }
 
+  test("round-15b family: audio search stays banded, winnowing stays narrow/postings-shaped") {
+    // q268: query-by-audio keeps the q263 search posture — band
+    // equi-join candidates with broadcast query bands over the
+    // materialized spectral store (never a nested loop, never a
+    // re-decode: the store scan sits under hammingTopKBanded's
+    // checkpoint, so no documents.parquet scan may appear)
+    val p268 = plan("q268_spectral_knn")
+    assert(!p268.contains("CartesianProduct") && !p268.contains("BroadcastNestedLoopJoin"),
+      s"q268 candidates must come from the band equi-join:\n${p268.take(1200)}")
+    assert(p268.contains("BroadcastExchange"),
+      s"q268 must broadcast the query bands:\n${p268.take(1200)}")
+    assert(!p268.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q268 must read the spectral store, not re-run the WAV codec:\n${p268.take(1200)}")
+    // the spectral store itself reads its materialized parquet (the
+    // MediaSketch.dhash pin replayed on the audio modality)
+    val sps = graft.queries.MediaSketch.spectral(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(sps.contains("FileScan") && sps.contains("graft_layout"),
+      s"MediaSketch.spectral must read the materialized parquet:\n${sps.take(600)}")
+    // q269: the winnowing selection is NARROW — codegen'd HOFs and a
+    // generate, no join anywhere; the only exchange is the
+    // presentation sort's range partitioning
+    val p269 = plan("q269_winnow_fingerprints")
+    assert(!p269.contains("Join"),
+      s"q269 must not join — the selection is per-row HOFs:\n${p269.take(1200)}")
+    assert(p269.contains("Generate"),
+      s"q269 explodes its per-doc selections:\n${p269.take(1200)}")
+    // q270: pairs come from the df-capped fingerprint postings
+    // equi-join — a cartesian/nested-loop would pair the corpus
+    // quadratically
+    val p270 = plan("q270_winnow_neardup")
+    assert(!p270.contains("CartesianProduct") && !p270.contains("BroadcastNestedLoopJoin"),
+      s"q270 pairs must come from the postings equi-join:\n${p270.take(1200)}")
+    // q271: the dedup-first composition must run the exact hash
+    // aggregate BEFORE the pairwise stage (the q205 pin): the keeper
+    // aggregate feeds a join, and no cartesian appears anywhere
+    val p271 = plan("q271_winnow_dedup_first")
+    assert(!p271.contains("CartesianProduct") && !p271.contains("BroadcastNestedLoopJoin"),
+      s"q271 pairs must come from the postings equi-join:\n${p271.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

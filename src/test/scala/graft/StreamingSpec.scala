@@ -1271,6 +1271,48 @@ class StreamingSpec extends SparkSpec {
       s"burst edit suppressed cross-batch: ${admitted()}")
   }
 
+  test("streaming EMBEDDING dedup suppression: sign-SimHash bands, no codec slot") {
+    // embeddingDedupSuppressWriter = sketchDedupSuppressWriter with a
+    // PURE-EXPRESSION sketch (bit i = v[i] > 0) — no codec slot at
+    // all, the sharpest proof the suppression core is modality-
+    // generic. Vectors constructed so sign distances are theorems:
+    // a positive scaling never flips a sign (gain twin, d = 0); two
+    // flipped dims give d = 2 <= 3 (suppressed); 24 flips confined to
+    // dims 16..39 leave band 0 COLLIDING while d = 24 >> 3 — the
+    // verify stage must admit exactly there.
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("embdedup").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.embeddingDedupSuppressWriter(
+      indexDir, outDir, "vec_id", "embedding")
+    // deterministic sign pattern: dim i of the base vector is positive
+    // iff i % 3 == 0 (magnitudes vary to rule out value-equality luck)
+    def v(flips: Set[Int], scale: Float = 1f): Array[Float] =
+      Array.tabulate(64) { i =>
+        val s = if ((i % 3 == 0) ^ flips(i)) 1f else -1f
+        s * scale * (1f + i * 0.01f)
+      }
+    val rows = Seq(
+      (0L, v(Set.empty)),            // base
+      (1L, v(Set.empty, scale = 2f)), // gain twin: d = 0
+      (3L, v((16 until 40).toSet)),  // band-0 collider at d = 24
+      (2L, v(Set(5, 40))))           // near-dup edit: d = 2
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"vec_id").as[Long].collect().toSeq.sorted
+    // batch 0: twin suppressed within-batch; band-colliding far vector
+    // must survive the exact-Hamming verify
+    writer(rows.take(3).toDF("vec_id", "embedding"), 0L)
+    assert(admitted() == Seq(0L, 3L),
+      s"gain twin suppressed, band collider verify-admitted: ${admitted()}")
+    // batch 1: the 2-flip edit suppresses against the PERSISTED index
+    writer(rows.drop(3).toDF("vec_id", "embedding"), 1L)
+    assert(admitted() == Seq(0L, 3L),
+      s"2-flip near-dup suppressed cross-batch: ${admitted()}")
+    // the index carries the wide-band scheme marker (the q261 regime)
+    assert(graft.io.Fs.readText(spark, s"$indexDir/_bands").trim == "4")
+  }
+
   test("near-dup index occupancy telemetry: per-band stats + compaction WARN") {
     // The saturation point of the ingest filters is DECLARED in their
     // docs (round-14); this pins the probe that makes it OBSERVABLE:

@@ -493,4 +493,120 @@ class TextDedupSpec extends SparkSpec {
     assert(ov == Seq((9L, 3L, 0L)),
       s"overlapping repeated-term hits diverged: $ov")
   }
+
+  // ------------------------------------------------ winnowing (MOSS)
+
+  /** Literal Scala replay of the winnowing selection — an
+    * implementation INDEPENDENT of the Spark HOF pipeline (explicit
+    * loops, explicit rightmost-tie-break instead of the key packing),
+    * so agreement pins the packing arithmetic, not just the idea. */
+  private def winnowReplay(text: String, k: Int, w: Int): Set[(Long, Int)] = {
+    val toks = text.toLowerCase.split(" ", -1)
+    if (toks.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grams = (0 to toks.length - k).map(i => toks.slice(i, i + k).mkString(" "))
+    val hs = grams.map { g =>
+      val hex = md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(8), 16)
+    }
+    val n = hs.length
+    (0 to math.max(n - w, 0)).map { j =>
+      val win = j until math.min(j + w, n)
+      // min hash, RIGHTMOST position on ties (the robust rule)
+      val m = win.map(hs).min
+      val pos = win.filter(hs(_) == m).max
+      (hs(pos), pos)
+    }.toSet
+  }
+
+  test("winnowedFingerprints equals the literal replay, incl. a rightmost tie") {
+    // "a b a b a" repeats gram "a b" at positions 0 and 2 — with w = 3
+    // the first window holds a genuine hash TIE, so this fixture
+    // exercises the rightmost-tie-break, not just the min
+    val fixture = Seq(
+      (0L, "a b a b a"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "x y"),        // fewer grams than w: single min over all
+      (3L, "solo"))       // fewer tokens than k: no fingerprints
+    val (k, w) = (2, 3)
+    // guard: the tie the fixture exists for must actually be there
+    val g0 = winnowReplay("a b a b a", k, w)
+    assert(g0.exists(_._2 == 2) || g0.exists(_._2 == 0),
+      s"fixture lost its repeated gram: $g0")
+    val got = Dedup.winnowedFingerprints(
+        fixture.toDF("doc_id", "text"), "doc_id", $"text", k, w)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    fixture.foreach { case (id, text) =>
+      val want = winnowReplay(text, k, w)
+      assert(got.getOrElse(id, Set.empty) == want,
+        s"doc $id: got ${got.get(id)}, replay says $want")
+    }
+    // density sanity: expected 2/(w+1) of grams selected, never more
+    // than one per window start
+    val d1 = got(1L).size.toDouble / (9 - k + 1)
+    assert(d1 > 0.1 && d1 <= 1.0, s"degenerate density $d1")
+  }
+
+  test("winnowing guarantee: a shared run of k+w-1 tokens shares a fingerprint") {
+    // k = 4, w = 4: any common run of >= 7 tokens must yield >= 1
+    // common selected HASH (Schleimer et al. theorem) — planted at
+    // DIFFERENT offsets so fixed-position schemes would miss it
+    val shared = "zebra yak xylophone walrus vulture tapir snake"
+    val pair = Seq(
+      (0L, s"alpha beta $shared gamma delta epsilon"),
+      (1L, s"one two three four five $shared six"))
+    val fps = Dedup.winnowedFingerprints(
+        pair.toDF("doc_id", "text"), "doc_id", $"text", k = 4, w = 4)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(0L) & fps(1L)).nonEmpty,
+      s"guaranteed shared fingerprint missing: ${fps(0L)} vs ${fps(1L)}")
+    // position-robustness: a one-token PREFIX insertion shifts every
+    // gram, yet the fingerprint hash set changes by at most O(w+k)
+    val base = "m n o p q r s t u v w x y z aa bb cc dd ee ff"
+    val edit = Seq((0L, base), (1L, s"INSERTED $base"))
+    val efps = Dedup.winnowedFingerprints(
+        edit.toDF("doc_id", "text"), "doc_id", $"text", k = 4, w = 4)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val symDiff = (efps(0L) -- efps(1L)) ++ (efps(1L) -- efps(0L))
+    assert(symDiff.size <= 2 * (4 + 4),
+      s"prefix edit disturbed ${symDiff.size} fingerprints — not position-robust")
+    assert((efps(0L) & efps(1L)).size >= efps(0L).size / 2,
+      s"prefix edit lost most fingerprints: ${efps(0L).size} -> ${(efps(0L) & efps(1L)).size}")
+  }
+
+  test("winnowedNearDupPairs: shared-run pair emitted, stop-gram cap drops saturated fps") {
+    val run = "quick brown foxes jump over seven lazy dogs tonight maybe"
+    val corpus = Seq(
+      (0L, s"intro words $run closing remarks here"),
+      (1L, s"different opening $run and another tail"),
+      (2L, "entirely unrelated content about spark plans and shuffles today")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowedNearDupPairs(corpus, "doc_id", $"text",
+        k = 4, w = 4, minShared = 2, maxDf = 50)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((0L, 1L)),
+      s"expected exactly the planted pair: $pairs")
+    // saturate: 60 copies of doc 0 push every shared fp's df past 50 —
+    // the stop-gram cap must drop ALL pairs (the declared q270 x100
+    // regime; q271's exact-dedup-first composition is the answer)
+    val saturated = (0L until 60L).map(i => (i, s"intro words $run closing remarks here"))
+      .toDF("doc_id", "text")
+    val none = Dedup.winnowedNearDupPairs(saturated, "doc_id", $"text",
+        k = 4, w = 4, minShared = 2, maxDf = 50).count()
+    assert(none == 0L, s"saturated fps must be stop-dropped, got $none pairs")
+    // loud-cap class: the degenerate knobs refuse instead of returning
+    // silently empty / silently dense results
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.winnowedNearDupPairs(corpus, "doc_id", $"text", 4, 4,
+        minShared = 2, maxDf = 1)
+    }
+    assert(e1.getMessage.contains("maxDf"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.winnowedFingerprints(corpus, "doc_id", $"text", k = 4, w = 1)
+    }
+    assert(e2.getMessage.contains("w = 1"), e2.getMessage)
+  }
 }
