@@ -901,6 +901,40 @@ object Similarity {
 
   private def chunksOf(n: Int): Seq[String] = (0 until n).map(k => s"c$k")
 
+  /** Top-k by token-set Jaccard through the sparse intersection join —
+    * the SEARCH form of [[graft.operators.Dedup.sparseJaccardPairs]]:
+    * for each query's token set, candidates are every corpus row
+    * sharing ≥ 1 token (the inverted-index contract — disjoint
+    * candidates score 0 and are unreachable by construction, exactly
+    * what a search index returns), scored by exact Jaccard via
+    * inclusion–exclusion over the intersection count, ranked with a
+    * deterministic (score desc, cand_id asc) tie-break on the ROUNDED
+    * score (6 dp — the oracle rounds identically, so rank order is
+    * engine-independent). Queries are broadcast (small-|Q| search
+    * contract, the q87 discipline); the token equi-join keeps cost
+    * Σ df(tok)·|Q-side postings| — never all-pairs. Token sets must
+    * be distinct-element arrays (collect_set output). */
+  def jaccardTopK(queries: DataFrame, candidates: DataFrame, id: String,
+                  toks: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val qsz = queries.select(col(id).as("query_id"), size(col(toks)).as("nq"))
+    val csz = candidates.select(col(id).as("cand_id"), size(col(toks)).as("nc"))
+    val qt = queries.select(col(id).as("query_id"), explode(col(toks)).as("tok"))
+    val ct = candidates.select(col(id).as("cand_id"), explode(col(toks)).as("tok"))
+    val inter = ct.join(broadcast(qt), Seq("tok"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val scored = inter.join(broadcast(qsz), "query_id").join(csz, "cand_id")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("nq") + col("nc") - col("n_inter")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("jaccard").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("jaccard"))
+  }
+
   /** Brute-force Hamming top-k over a chunked 64-bit sketch table (the
     * c0..c3 house shape [[graft.operators.Dedup.simhashChunks]] /
     * dHash / audio fingerprints all share): every query sketch against

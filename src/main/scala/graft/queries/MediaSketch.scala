@@ -77,6 +77,47 @@ object MediaSketch {
     s.read.parquet(path)
   }
 
+  /** The VIDEO twin (video, toks: array<string>): every document's
+    * frame-sampled dHash token set, materialized once per testdata
+    * generation. The frame-codec pass (one real PNG round-trip per
+    * DISTINCT frame image — the ×100 sweep's most expensive leg while
+    * it ran per-query) moves to this build; q260's near-dup pairs and
+    * q272's query-by-video search both read the parquet. Codec
+    * round-trip COVERAGE is unchanged: video frames go through the
+    * same PNG path q254 keeps live, and both consumers' oracles still
+    * re-derive every frame hash from the closed-form pixel
+    * arithmetic. Fixture geometry: 4 sampled frames per video (every
+    * 2nd of 8), p=1 clips the first frame, p=2 swaps frame 0 for a
+    * brightness variant (distinct media id space 3·(s·8+f)). */
+  def videoTokens(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "video_tok")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        implicit val sp: SparkSession = s
+        import s.implicits._
+        val vf = graft.Tables(s, d, "documents").select($"doc_id".as("video"))
+          .withColumn("p", $"video" % 3)
+          .withColumn("f", explode(sequence(lit(0), lit(6), lit(2))))
+          .filter(!($"p" === 1 && $"f" === 0)) // p=1: clipped first frame
+          // div, not `/`: Column `/` on longs is DOUBLE division (q252)
+          .withColumn("mid",
+            lit(3L) * (expr("video div 3") * 8 + $"f")
+              + when($"p" === 2 && $"f" === 0, 1L).otherwise(0L))
+          .localCheckpoint() // feeds the distinct-codec pass AND the join
+        val pngs = graft.multimodal.Multimodal.encodeVariantPngs(
+          vf.select($"mid".as("doc_id")).distinct(), "doc_id")
+        val grid = graft.multimodal.Multimodal.sampleGrayGrid(pngs)
+        val sketch = grid.select($"media_id".as("mid"),
+          concat_ws(":",
+            graft.multimodal.Multimodal.dhashChunks($"grays"): _*).as("tok"))
+        vf.join(sketch, "mid")
+          .groupBy($"video").agg(collect_set($"tok").as("toks"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   def dhash256(s: SparkSession, d: String): DataFrame = {
     val path = LayoutKey.dir(d, "documents", "dhash256_sketch")
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {

@@ -304,6 +304,75 @@ object StreamPipeline {
       })
   }
 
+  /** [[bucketSuppressWriter]] with the WINNOWING fingerprint rule
+    * (round-15): buckets are each arrival's distinct winnowed
+    * fingerprints ([[graft.operators.Dedup.winnowedFingerprints]] —
+    * the q269/q270 machinery, one shared derivation with the batch
+    * operator), and suppression is a COUNT THRESHOLD — an arrival
+    * sharing ≥ `minShared` distinct fingerprint hashes with one
+    * already-admitted document is dropped. This catches what the
+    * MinHash band writer structurally cannot: CONTAINMENT arrivals
+    * (a long doc quoting an admitted one shares the quoted run's
+    * fingerprints — guaranteed for runs of ≥ k+w−1 tokens — while its
+    * whole-set MinHash signature looks nothing like the original's,
+    * so no LSH band ever collides). Posting-list discipline at the
+    * index: fingerprints held by more than `maxPosting` admitted docs
+    * are skipped BEFORE the join (the q270 stop-gram cap at ingest —
+    * per-arrival join fan-out stays ≤ maxPosting per fingerprint;
+    * the trade, as in batch, is that corpus-boilerplate grams stop
+    * contributing evidence — tune minShared with it). Within a batch
+    * the smaller id wins a pair, matching the house keep-first
+    * convention; pair evidence is counted over DISTINCT hashes, the
+    * exact q270 semantics (StreamingSpec pins stream == batch on a
+    * shared fixture). No verify payload is needed: the threshold
+    * itself is the match rule, so index rows stay (id, band_idx,
+    * band_hash) and the occupancy telemetry applies unchanged. */
+  def winnowDedupSuppressWriter(indexDir: String, outDir: String,
+                                id: String, text: String,
+                                k: Int = 4, w: Int = 4,
+                                minShared: Int = 3,
+                                maxPosting: Int = 200): (DataFrame, Long) => Unit = {
+    import graft.operators.Dedup
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxPosting >= 1,
+      s"maxPosting=$maxPosting: a cap below 1 drops every posting")
+    bucketSuppressWriter(indexDir, outDir, id,
+      bucketsOf = b =>
+        Dedup.winnowedFingerprints(b.select(col(id), col(text)), id,
+            col(text), k, w)
+          .select(col(id), lit(0).as("band_idx"),
+            col("fp").cast("string").as("band_hash"))
+          .distinct(), // count DISTINCT shared hashes — q270's rule
+      hitExistingOf = { (b, idx) =>
+        val bounded = idx.join(
+          idx.groupBy(col("band_hash")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxPosting)
+            .select(col("band_hash")),
+          Seq("band_hash"), "left_semi")
+        b.select(col(id), col("band_hash"))
+          .join(bounded.select(col("band_hash"), col(id).as("__other")),
+            Seq("band_hash"))
+          .groupBy(col(id), col("__other"))
+          .agg(count(lit(1)).as("__sh"))
+          .filter(col("__sh") >= minShared)
+          .select(col(id))
+      },
+      hitWithinOf = { b =>
+        // pairwise keep-first: the larger id of any >= minShared pair
+        // drops, even when its partner is itself suppressed by an
+        // earlier arrival (the image writer's pairwise convention) —
+        // within-batch postings are bounded by micro-batch size
+        val l = b.select(col(id).as("__a"), col("band_hash"))
+        val r = b.select(col(id).as("__b"), col("band_hash"))
+        l.join(r, Seq("band_hash"))
+          .filter(col("__a") < col("__b"))
+          .groupBy(col("__a"), col("__b"))
+          .agg(count(lit(1)).as("__sh"))
+          .filter(col("__sh") >= minShared)
+          .select(col("__b").as(id))
+      })
+  }
+
   /** [[bucketSuppressWriter]] on the IMAGE modality (round-14): each
     * micro-batch of (id, pngBytes) rows runs the q254 machinery — real
     * codec decode + 9×8 gray sample in the partition-wise codec slot,

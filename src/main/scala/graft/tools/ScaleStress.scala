@@ -157,7 +157,12 @@ object ScaleStress {
     // measured answer right beside it)
     "r15e" -> Seq("q265_spectral_neardup", "q268_spectral_knn",
       "q269_winnow_fingerprints", "q270_winnow_neardup",
-      "q271_winnow_dedup_first"))
+      "q271_winnow_dedup_first"),
+    // the video store + search: q260 re-measured with the frame-codec
+    // pass moved to the warmup-paid MediaSketch.videoTokens build (its
+    // 55× codec-count-proportional row was the sweep's most expensive
+    // leg), q272's query-by-video over the same store
+    "r15f" -> Seq("q260_video_neardup", "q272_video_knn"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -166,7 +171,7 @@ object ScaleStress {
   private val AssertEmits = Set("q261_dhash_neardup_wide",
     "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup",
     "q266_dhash256_neardup", "q267_hamming_knn_wide", "q268_spectral_knn",
-    "q269_winnow_fingerprints", "q271_winnow_dedup_first")
+    "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -1152,6 +1152,27 @@ class ScalePostureSpec extends SparkSpec {
     val p271 = plan("q271_winnow_dedup_first")
     assert(!p271.contains("CartesianProduct") && !p271.contains("BroadcastNestedLoopJoin"),
       s"q271 pairs must come from the postings equi-join:\n${p271.take(1200)}")
+    // q272: query-by-video candidates come from the frame-token
+    // equi-join over the materialized video store — no nested loop,
+    // no per-query codec re-run
+    val p272 = plan("q272_video_knn")
+    assert(!p272.contains("CartesianProduct") && !p272.contains("BroadcastNestedLoopJoin"),
+      s"q272 candidates must come from the token equi-join:\n${p272.take(1200)}")
+    assert(p272.contains("BroadcastExchange"),
+      s"q272 must broadcast the query tokens:\n${p272.take(1200)}")
+    assert(!p272.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q272 must read the video token store, not re-run the codec:\n${p272.take(1200)}")
+    // q260 now shares that store: its consumer plan must not scan the
+    // base table either (the frame-codec pass moved to the build)
+    val p260s = plan("q260_video_neardup")
+    assert(!p260s.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q260 must read the video token store, not re-run the codec:\n${p260s.take(1200)}")
+    val vts = graft.queries.MediaSketch.videoTokens(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(vts.contains("FileScan") && vts.contains("graft_layout"),
+      s"MediaSketch.videoTokens must read the materialized parquet:\n${vts.take(600)}")
   }
 
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {

@@ -594,4 +594,31 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("nBands must equal nChunks"))
   }
+
+  test("jaccardTopK: literal scores, deterministic ties, disjoint unreachable") {
+    val sets = Seq(
+      (0L, Seq("a", "b", "c")),
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("c")),
+      (4L, Seq("c")),            // score-ties with 2 on every query
+      (9L, Seq("x", "y"))        // token-disjoint from everything
+    ).toDF("id", "toks")
+    val got = Similarity.jaccardTopK(sets.filter($"id" < 2), sets, "id",
+        "toks", k = 3)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // hand-computed: q0 -> 1 at 3/4, then the {c} twins at 1/3 tied,
+    // broken by cand_id; q1 -> 0 at 3/4, then the twins at 1/4
+    assert(got == Seq(
+      (0L, 1, 1L, 0.75), (0L, 2, 2L, 0.333333), (0L, 3, 4L, 0.333333),
+      (1L, 1, 0L, 0.75), (1L, 2, 2L, 0.25), (1L, 3, 4L, 0.25)),
+      s"literal top-k diverged: $got")
+    // the disjoint doc is UNREACHABLE — the inverted-index contract:
+    // no token collision, no candidate row, never a 0-scored filler
+    assert(!got.exists(_._3 == 9L))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.jaccardTopK(sets, sets, "id", "toks", k = 0)
+    }
+    assert(e.getMessage.contains("k must be >= 1"))
+  }
 }

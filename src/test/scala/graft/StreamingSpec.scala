@@ -1271,6 +1271,102 @@ class StreamingSpec extends SparkSpec {
       s"burst edit suppressed cross-batch: ${admitted()}")
   }
 
+  test("streaming WINNOW dedup suppression: containment caught, == batch q270 rule") {
+    // winnowDedupSuppressWriter drops an arrival sharing >= minShared
+    // distinct winnowed fingerprints with an admitted doc — the
+    // count-threshold rule the MinHash band writer cannot express.
+    // The fixture's doc 1 CONTAINS doc 0's 12-token run inside a much
+    // longer unrelated body: its winnowed fingerprints overlap doc 0's
+    // (guaranteed for runs >= k+w-1), while its MinHash LSH bands do
+    // NOT collide with doc 0's (asserted below, not assumed) — the
+    // exact arrival the nearDupSuppressWriter admits and this one
+    // suppresses.
+    implicit val sqlCtx = spark.sqlContext
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val corpus = Seq(
+      0L -> s"intro words $run closing remarks",
+      1L -> (s"$run entirely different continuation making this document " +
+        "much longer than the original with many extra tokens about " +
+        "unrelated matters and still more padding words here"),
+      2L -> "completely unrelated content about spark plans and shuffles")
+    val later = Seq(
+      3L -> s"another wrapper around $run with its own tail",
+      4L -> "fresh unrelated arrival about broadcast joins and skew")
+    val (k, w, minShared) = (4, 4, 3)
+    // precondition guards: the planted overlap really carries >= 3
+    // shared fingerprints, and the batch pair op agrees
+    val batchPairs = graft.operators.Dedup.winnowedNearDupPairs(
+        (corpus ++ later).toDF("doc_id", "text"), "doc_id", $"text",
+        k, w, minShared, maxDf = 50)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(batchPairs.map(p => (p._1, p._2)).contains((0L, 1L)),
+      s"fixture lost its containment pair: $batchPairs")
+    // the MinHash writer's evidence: doc 1's LSH bands do NOT collide
+    // with doc 0's (the containment arrival is invisible to it)
+    val bands = graft.operators.Dedup.lshBands(
+        graft.operators.Dedup.minhashSignaturesLcg(
+          graft.operators.Dedup.tokens(
+            corpus.take(2).toDF("doc_id", "text"), "doc_id", "text"),
+          "doc_id", k = 16),
+        "doc_id", k = 16, bands = 4)
+      .as[(Long, Int, String)].collect()
+    val collide = bands.filter(_._1 == 0L).map(b => (b._2, b._3)).toSet &
+      bands.filter(_._1 == 1L).map(b => (b._2, b._3)).toSet
+    assert(collide.isEmpty,
+      s"fixture must be MinHash-invisible containment, but bands collide: $collide")
+    val base = Files.createTempDirectory("winnowdedup").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.winnowDedupSuppressWriter(
+      indexDir, outDir, "doc_id", "text", k, w, minShared)
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+    // batch 0 == the q270 keep-first rule: suppressed = every id_b of
+    // a batch pair among batch-0 docs
+    writer(corpus.toDF("doc_id", "text"), 0L)
+    val expect0 = corpus.map(_._1).toSet --
+      batchPairs.filter(p => p._1 < 3 && p._2 < 3).map(_._2)
+    assert(admitted() == expect0.toSeq.sorted,
+      s"within-batch must match the batch pair rule: ${admitted()} vs $expect0")
+    // batch 1: doc 3 shares the run with ADMITTED doc 0 -> suppressed
+    // against the persisted index; doc 4 unrelated -> admitted
+    writer(later.toDF("doc_id", "text"), 1L)
+    assert(admitted() == (expect0 + 4L).toSeq.sorted,
+      s"cross-batch containment must suppress: ${admitted()}")
+    // posting cap (the q270 stop-gram trade at ingest), A/B: seed an
+    // index with TWO admitted carriers of the run (via a permissive
+    // writer — thresholds are read-side policy over the shared index
+    // rows), then present the same containment arrival to a capped
+    // (maxPosting = 1: every run fingerprint has posting 2, skipped)
+    // and an uncapped reader of that index — the cap ADMITS what the
+    // uncapped writer suppresses, which is exactly the declared trade
+    def seedTwoCarriers(base2: String): Unit = {
+      val permissive = StreamPipeline.winnowDedupSuppressWriter(
+        s"$base2/index", s"$base2/out", "doc_id", "text", k, w,
+        minShared = 999)
+      permissive(Seq(0L -> s"intro words $run closing remarks")
+        .toDF("doc_id", "text"), 0L)
+      permissive(Seq(10L -> s"other carrier of $run in its body elsewhere")
+        .toDF("doc_id", "text"), 1L)
+    }
+    val (capBase, unBase) = (Files.createTempDirectory("winnowcap").toString,
+      Files.createTempDirectory("winnowuncap").toString)
+    Seq(capBase, unBase).foreach(seedTwoCarriers)
+    StreamPipeline.winnowDedupSuppressWriter(
+      s"$capBase/index", s"$capBase/out", "doc_id", "text", k, w,
+      minShared, maxPosting = 1)(later.take(1).toDF("doc_id", "text"), 2L)
+    StreamPipeline.winnowDedupSuppressWriter(
+      s"$unBase/index", s"$unBase/out", "doc_id", "text", k, w,
+      minShared)(later.take(1).toDF("doc_id", "text"), 2L)
+    def adm(b: String): Seq[Long] =
+      Sinks.readAppendOnce(spark, s"$b/out").get
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(adm(capBase) == Seq(0L, 3L, 10L),
+      s"over-cap postings must stop contributing evidence: ${adm(capBase)}")
+    assert(adm(unBase) == Seq(0L, 10L),
+      s"the uncapped twin must still suppress the arrival: ${adm(unBase)}")
+  }
+
   test("streaming EMBEDDING dedup suppression: sign-SimHash bands, no codec slot") {
     // embeddingDedupSuppressWriter = sketchDedupSuppressWriter with a
     // PURE-EXPRESSION sketch (bit i = v[i] > 0) — no codec slot at
