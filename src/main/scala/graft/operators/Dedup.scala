@@ -1102,4 +1102,168 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }
+
+  // --------------------------------------------- exact substring dedup
+
+  /** Exact substring DEDUP — the transformation [[duplicateSpans]] only
+    * profiles (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL'22 — the operation every corpus actually ships
+    * through): excise every NON-FIRST occurrence of any duplicated
+    * `width`-char window and return the cleaned documents. The paper's
+    * suffix array is inherently sequential; the distributed-exact
+    * equivalent is stride-1 window fingerprints — a substring of length
+    * ≥ width duplicated ANYWHERE in the corpus duplicates all of its
+    * width-windows, so marking duplicated window hashes catches every
+    * such span with no alignment sensitivity (the stride-s recall gap
+    * documented on [[duplicateSpans]] closes at s = 1).
+    *
+    * The rule, deterministic and engine-reproducible:
+    *  1. every occurrence (id, pos) of a window hash seen ≥ 2 times
+    *     corpus-wide (across docs OR positions) is REMOVED unless it is
+    *     the globally FIRST occurrence under (id, pos) order — one copy
+    *     of every duplicated span survives, the paper's semantics;
+    *  2. removed windows union into per-doc char intervals; overlapping
+    *     or ADJACENT intervals merge (a contiguous removed char range is
+    *     one span however many windows tiled it);
+    *  3. cleaned text = the chars outside the union, in order. Note the
+    *     kept FIRST occurrence can itself lose chars to a different
+    *     overlapping removed span — greedy span excision, exactly the
+    *     paper's byte-range behavior.
+    *
+    * First-occurrence selection rides the winnowing key packing
+    * (id·2²¹ + pos): `min` over the window-hash partition IS the
+    * lexicographic (id, pos) minimum, one windowed aggregate instead of
+    * a sort. Cleaned text is rebuilt with a single `aggregate` fold over
+    * the per-doc merged-interval array — cursor walks the kept gaps —
+    * so reconstruction is narrow codegen'd HOFs, no second explode.
+    *
+    * Scale shape: |text| window hashes per doc (the stride-1 price — at
+    * 100 TB this is the corpus byte count, the same cost the suffix
+    * array pays sequentially), ONE shuffle keyed on the window hash
+    * (count + min over the hash partition), one per-doc window sort for
+    * the interval merge (partition = one doc's removed windows, bounded
+    * by doc length), zero pairwise stages — a span shared by 10⁶ docs
+    * is one hash partition, never C(10⁶,2) rows. Under replication the
+    * hash partitions grow with the factor but stay count+min aggregates
+    * (no cap to saturate — unlike the df-capped q270 postings, recall
+    * here survives ANY duplication level by construction); compose with
+    * [[exactKeepers]] first to shrink the window stream itself when the
+    * corpus is exact-copy-heavy.
+    *
+    * Returns one row per input doc (including untouched and short docs):
+    * (id, orig_len, n_spans_removed, chars_removed, clean_len,
+    * clean_md5) — clean_md5 pins the reconstructed TEXT cross-engine,
+    * not just its length. */
+  def substringDedup(docs: DataFrame, id: String, text: String,
+                     width: Int = 40): DataFrame =
+    substringCleanFrame(docs, id, text, width, seen = None)
+      .select(col(id), col("orig_len").cast("long").as("orig_len"),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("__removed"), lit(0L)).cast("long").as("chars_removed"),
+        length(col("__clean")).cast("long").as("clean_len"),
+        md5(col("__clean")).as("clean_md5"))
+
+  /** The ingest-time face of [[substringDedup]] (Lee et al. online):
+    * spans whose window hashes appear in `seen` — a one-column `wh`
+    * frame of every hash already admitted upstream — are excised from
+    * EVERY occurrence in `docs` (the first copy already lives
+    * elsewhere), while duplication WITHIN `docs` keeps the batch
+    * first-occurrence rule. With an empty/absent `seen` this is
+    * exactly the batch rule, which is what makes stream == batch
+    * pinnable. Returns (id, text cleaned, orig_len, n_spans_removed,
+    * chars_removed) — the doc stream itself, scrubbed. */
+  def substringScrub(docs: DataFrame, id: String, text: String,
+                     width: Int, seen: Option[DataFrame]): DataFrame =
+    substringCleanFrame(docs, id, text, width, seen)
+      .select(col(id), col("__clean").as(text),
+        col("orig_len").cast("long").as("orig_len"),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("__removed"), lit(0L)).cast("long").as("chars_removed"))
+
+  /** Stride-1 window hashes of `docs` — the index delta an ingest
+    * scrubber persists: one distinct `wh` per window content seen in
+    * this frame. */
+  def substringWindowHashes(docs: DataFrame, id: String, text: String,
+                            width: Int): DataFrame = {
+    require(width >= 4, s"width=$width: windows below 4 chars mark everything")
+    docs.filter(length(col(text)) >= width)
+      .select(col(id),
+        explode(sequence(lit(1), length(col(text)).cast("int") - (width - 1),
+          lit(1))).as("pos"), col(text))
+      .select(col(id), col("pos"),
+        md5(col(text).substr(col("pos"), lit(width))).as("wh"))
+  }
+
+  private def substringCleanFrame(docs: DataFrame, id: String, text: String,
+                                  width: Int,
+                                  seen: Option[DataFrame]): DataFrame = {
+    require(width >= 4, s"width=$width: windows below 4 chars mark everything")
+    val span = lit(WinnowPosSpan.toLong)
+    val base = docs.select(col(id), col(text).as("__txt"),
+      length(col(text)).cast("int").as("orig_len"))
+    val wins = substringWindowHashes(base, id, "__txt", width)
+    // (id, pos) packed into one orderable long — pos rides the low 21
+    // bits, so min over the hash partition is the global first
+    // occurrence. Guard the packing envelope loudly (the q221/q253
+    // loud-cap class): a negative id or a 2^21-char doc would reorder
+    // keys silently.
+    val packed = when(col(id).cast("long") < 0 || col("pos") >= span,
+        raise_error(concat(lit("substringDedup: (id, pos) outside the " +
+          "2^21 packing envelope: "), col(id).cast("string"), lit(","),
+          col("pos").cast("string"))).cast("long"))
+      .otherwise(col(id).cast("long") * span + col("pos"))
+    val byHash = Window.partitionBy(col("wh"))
+    // an occurrence is removed iff its hash was already admitted
+    // upstream (`seen`) — every in-frame occurrence goes, the first
+    // copy lives elsewhere — or it is a non-first occurrence of an
+    // in-frame duplicated hash. The upstream check joins BEFORE the
+    // window so both signals ride one wh-keyed shuffle; with no `seen`
+    // the plan is untouched (no join is added).
+    val flagged = seen match {
+      case None => wins.withColumn("__seen", lit(false))
+      case Some(s) => wins.join(
+          s.select(col("wh")).distinct().withColumn("__seen", lit(true)),
+          Seq("wh"), "left")
+        .withColumn("__seen", coalesce(col("__seen"), lit(false)))
+    }
+    val marked = flagged
+      .withColumn("__k", packed)
+      .withColumn("__n", count(lit(1)).over(byHash))
+      .withColumn("__fk", min(col("__k")).over(byHash))
+      .filter(col("__seen") || (col("__n") >= 2 && col("__k") =!= col("__fk")))
+      .select(col(id), col("pos"), (col("pos") + (width - 1)).as("e"))
+    // Merge overlapping/adjacent removed windows per doc: a window is a
+    // new span iff it starts past the running max end + 1 (gaps-and-
+    // islands; (id, pos) is unique so the order is total).
+    val byDoc = Window.partitionBy(col(id)).orderBy(col("pos"))
+    val merged = marked
+      .withColumn("__pm", max(col("e"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pm").isNull || col("pos") > col("__pm") + 1, 1)
+          .otherwise(0))
+      .withColumn("__grp", sum(col("__brk")).over(byDoc))
+      .groupBy(col(id), col("__grp"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy(col(id))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"),
+        count(lit(1)).as("__n_spans"),
+        sum(col("e") - col("s") + 1).as("__removed"))
+    // Rebuild: fold the sorted disjoint intervals, cursor at the next
+    // unremoved char. Merge guarantees s >= cursor (intervals disjoint
+    // with gaps >= 1), so every substr length is >= 0.
+    val clean = when(col("__ivs").isNull, col("__txt")).otherwise(
+      aggregate(col("__ivs"),
+        struct(lit("").as("parts"), lit(1).as("cur")),
+        (acc, iv) => struct(
+          concat(acc.getField("parts"),
+            col("__txt").substr(acc.getField("cur"),
+              iv.getField("s") - acc.getField("cur"))).as("parts"),
+          (iv.getField("e") + lit(1)).as("cur")),
+        acc => concat(acc.getField("parts"),
+          col("__txt").substr(acc.getField("cur"),
+            greatest(col("orig_len") - acc.getField("cur") + 1, lit(0))))))
+    base.join(perDoc, Seq(id), "left")
+      .withColumn("__clean", clean)
+  }
 }

@@ -17,6 +17,63 @@ object TextQueries {
 
   private def docs(s: SparkSession, d: String): DataFrame = Tables(s, d, "documents")
 
+  /** DuckDB mirror of [[graft.operators.Dedup.substringDedup]] over the
+    * doc source `src` (a table name or a parenthesized subquery):
+    * identical stride-1 md5 windows, identical (id·2²¹ + pos) packed
+    * first-occurrence rule, gaps-and-islands interval merge, and the
+    * cleaned text rebuilt via ordered string_agg over the kept gaps —
+    * so clean_md5 hash-verifies the reconstruction char-for-char.
+    * `extraSelect`/`extraJoin` let the dedup-first variant ride the
+    * same chain with its copy-count column appended. */
+  private def substringDedupOracle(src: String, extraSelect: String = "",
+                                   extraJoin: String = ""): String =
+    s"""WITH base AS (SELECT doc_id, text, length(text) AS orig_len
+          FROM $src),
+      wins AS (SELECT doc_id, g AS pos, md5(substr(text, g, 40)) AS wh
+        FROM (SELECT doc_id, text,
+            unnest(generate_series(1, length(text) - 39, 1)) AS g
+          FROM base WHERE orig_len >= 40)),
+      mk AS (SELECT doc_id, pos,
+          count(*) OVER (PARTITION BY wh) AS n,
+          min(doc_id * 2097152 + pos) OVER (PARTITION BY wh) AS fk
+        FROM wins),
+      marked AS (SELECT doc_id, pos, pos + 39 AS e FROM mk
+        WHERE n >= 2 AND doc_id * 2097152 + pos <> fk),
+      g1 AS (SELECT doc_id, pos, e,
+          CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
+              ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            -2) + 1 THEN 1 ELSE 0 END AS brk
+        FROM marked),
+      g2 AS (SELECT doc_id, pos, e,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM g1),
+      m AS (SELECT doc_id, grp, min(pos) AS s, max(e) AS e
+        FROM g2 GROUP BY doc_id, grp),
+      segs AS (
+        SELECT doc_id,
+          coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+          s - 1 AS ke
+        FROM m
+        UNION ALL
+        SELECT m.doc_id, max(m.e) + 1 AS ks, max(b.orig_len) AS ke
+        FROM m JOIN base b USING (doc_id) GROUP BY m.doc_id),
+      rebuilt AS (
+        SELECT s.doc_id,
+          string_agg(substr(b.text, s.ks, greatest(s.ke - s.ks + 1, 0)), ''
+            ORDER BY s.ks) AS ctext
+        FROM segs s JOIN base b USING (doc_id) GROUP BY s.doc_id),
+      stats AS (SELECT doc_id, count(*) AS n_spans,
+          sum(e - s + 1) AS removed FROM m GROUP BY doc_id)
+    SELECT b.doc_id, CAST(b.orig_len AS BIGINT) AS orig_len,
+      CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans_removed,
+      CAST(coalesce(st.removed, 0) AS BIGINT) AS chars_removed,
+      CAST(length(coalesce(r.ctext, b.text)) AS BIGINT) AS clean_len,
+      md5(coalesce(r.ctext, b.text)) AS clean_md5$extraSelect
+    FROM base b
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    $extraJoin
+    ORDER BY b.doc_id"""
+
   /** DuckDB mirror of [[graft.operators.Dedup.minhashNearDups]]: identical
     * md5-hex min-hash sketches, banding, stop-bucket cap and verify
     * arithmetic, so the driver hash-compares the full LSH pipeline. The
@@ -1562,6 +1619,57 @@ object TextQueries {
             JOIN sz sc ON sc.video = cand_id)
         WHERE rank <= 3 ORDER BY query_id, rank"""),
       "query-by-video: frame-token Jaccard top-k via the inverted frame-hash join"),
+
+    // ------------------------------------ exact substring DEDUP (Lee'22)
+    // q124 PROFILES substring duplication; this is the transformation
+    // the paper actually ships — excise every non-first occurrence of
+    // any duplicated 40-char window (stride 1 = the exact construction:
+    // every duplicated span >= 40 chars is caught under arbitrary
+    // alignment), merge overlapping/adjacent removed windows per doc,
+    // rebuild the cleaned text with an interval-fold. clean_md5 pins the
+    // reconstructed TEXT cross-engine — the oracle rebuilds it through
+    // gaps-and-islands + ordered string_agg where the engine folds a
+    // sorted interval array; identical chars or the hashes differ. One
+    // row per input doc, untouched docs included (n_spans_removed = 0).
+    "q273_substring_dedup" -> Q(
+      (s, d) => Dedup.substringDedup(docs(s, d), "doc_id", "text",
+          width = 40)
+        .orderBy(col("doc_id")),
+      Some(substringDedupOracle("documents")),
+      "exact substring dedup (Lee et al. ACL'22): excise non-first duplicated windows, rebuild text"),
+
+    // ---------------- dedup-first substring dedup (the q205 discipline)
+    // The composition for exact-copy-heavy corpora: exact hash-agg
+    // keepers FIRST (one content-hash aggregate), THEN the window
+    // stream is built over keepers only — under xN replication the
+    // stride-1 window stream (the dominant cost, corpus-byte-
+    // proportional) collapses back to base size before any md5 runs.
+    // Unlike q270's df-capped postings, q273 loses NO recall at density
+    // (count+min aggregates have no cap to saturate) — so here the
+    // composition buys COST, not recall, and the keeper output equals
+    // the base-corpus result modulo copy counts; both paths measured
+    // side by side in SCALING's x100 block.
+    "q274_substring_dedup_first" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+        val keep = Dedup.exactKeepers(base, "doc_id", "text")
+          .localCheckpoint() // read twice: keeper filter + copy-count join
+        val kept = base.join(
+          keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        Dedup.substringDedup(kept, "doc_id", "text", width = 40)
+          .join(keep.select($"keeper_id".as("doc_id"), $"n_copies"), "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(substringDedupOracle(
+        """(SELECT d.* FROM documents d JOIN (SELECT min(doc_id) AS keeper_id,
+             count(*) AS n_copies FROM documents GROUP BY md5(text)) k
+           ON d.doc_id = k.keeper_id)""",
+        extraSelect = ", k2.n_copies",
+        extraJoin = """JOIN (SELECT min(doc_id) AS keeper_id,
+            CAST(count(*) AS BIGINT) AS n_copies FROM documents
+            GROUP BY md5(text)) k2 ON k2.keeper_id = b.doc_id""")),
+      "dedup-first substring dedup: exact keepers collapse the window stream before any md5 runs"),
 
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and

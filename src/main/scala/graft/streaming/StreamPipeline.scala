@@ -373,6 +373,65 @@ object StreamPipeline {
       })
   }
 
+  /** Substring SCRUB at ingest — the streaming face of the batch
+    * [[graft.operators.Dedup.substringDedup]] (Lee et al. ACL'22,
+    * online form): arrivals are not DROPPED but TRANSFORMED — every
+    * span whose stride-1 window hash was already admitted (any earlier
+    * batch, or an earlier (id, pos) occurrence within this batch) is
+    * excised before the doc lands, so the admitted corpus never
+    * accumulates a second copy of any ≥ `width`-char substring. This
+    * is the suppression family's third match SEMANTICS (bucket
+    * collision → drop; count threshold → drop; here: hash hit →
+    * excise), and it composes with the drop writers — run it after a
+    * near-dup filter to scrub boilerplate out of the survivors.
+    *
+    * The index rides the ENTIRE shared lifecycle unchanged — rows are
+    * (id, band_idx = 0, band_hash = window md5), so
+    * [[compactNearDupIndex]], [[janitorNearDupIndex]] and
+    * [[nearDupIndexStats]] apply verbatim (occupancy telemetry reads
+    * as posting length per window hash). The delta persists every RAW
+    * window hash of the batch — including hashes inside spans that
+    * were themselves just excised: their FIRST copy is admitted
+    * (possibly in this very batch), and any later arrival must excise
+    * against it. Index growth is one row per distinct window content —
+    * corpus-byte-proportional, the same price the batch operator (and
+    * the paper's suffix array) pays; compaction keeps the read to one
+    * generation.
+    *
+    * Determinism contract: within a batch the rule is the batch
+    * operator's ((id, pos)-packed first occurrence); across batches,
+    * arrival order replaces id order. When batch boundaries respect id
+    * order the two coincide and stream == batch EXACTLY — StreamingSpec
+    * pins the two-batch replay against q273's output row-for-row.
+    * Crash safety is the family's marker protocol: output and index
+    * delta land before the `.commit` marker, and a replayed batch id
+    * is a no-op. */
+  def substringScrubWriter(indexDir: String, outDir: String,
+                           id: String, text: String,
+                           width: Int = 40): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      import graft.io.Fs
+      import graft.operators.Dedup
+      val spark = batch.sparkSession
+      val name = f"batch-$batchId%06d"
+      if (!Fs.exists(spark, s"$outDir/$name.commit")) {
+        val committed = committedIndexPaths(spark, indexDir, outDir)
+        val seen =
+          if (committed.isEmpty) None
+          else Some(spark.read.parquet(committed: _*)
+            .select(col("band_hash").as("wh")))
+        Dedup.substringScrub(batch.select(col(id), col(text)),
+            id, text, width, seen)
+          .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
+        Dedup.substringWindowHashes(batch.select(col(id), col(text)),
+            id, text, width)
+          .select(col(id), lit(0).as("band_idx"), col("wh").as("band_hash"))
+          .distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$name")
+        Fs.touch(spark, s"$outDir/$name.commit")
+      }
+    }
+
   /** [[bucketSuppressWriter]] on the IMAGE modality (round-14): each
     * micro-batch of (id, pngBytes) rows runs the q254 machinery — real
     * codec decode + 9×8 gray sample in the partition-wise codec slot,

@@ -162,7 +162,16 @@ object ScaleStress {
     // pass moved to the warmup-paid MediaSketch.videoTokens build (its
     // 55× codec-count-proportional row was the sweep's most expensive
     // leg), q272's query-by-video over the same store
-    "r15f" -> Seq("q260_video_neardup", "q272_video_knn"))
+    "r15f" -> Seq("q260_video_neardup", "q272_video_knn"),
+    // exact substring dedup: stride-1 window hashes are corpus-byte-
+    // proportional BY DESIGN (the distributed price of the paper's
+    // suffix-array exactness — ×100 ⇒ ~149M md5 windows through ONE
+    // wh-keyed shuffle), with NO recall cap to saturate: unlike q270's
+    // df-capped postings the count+min window has no stop condition, so
+    // the ×100 excision is the true fixpoint. q274 is the dedup-first
+    // composition measured beside it: exact keepers collapse the window
+    // stream to base size before any md5 runs.
+    "r15g" -> Seq("q273_substring_dedup", "q274_substring_dedup_first"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -171,7 +180,8 @@ object ScaleStress {
   private val AssertEmits = Set("q261_dhash_neardup_wide",
     "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup",
     "q266_dhash256_neardup", "q267_hamming_knn_wide", "q268_spectral_knn",
-    "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn")
+    "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn",
+    "q273_substring_dedup", "q274_substring_dedup_first")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

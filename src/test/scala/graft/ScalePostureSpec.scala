@@ -1175,6 +1175,30 @@ class ScalePostureSpec extends SparkSpec {
       s"MediaSketch.videoTokens must read the materialized parquet:\n${vts.take(600)}")
   }
 
+  test("substring dedup family: one wh-keyed window, id-keyed equi-joins only") {
+    // q273: the stride-1 window stream is a Generate feeding ONE
+    // window-hash-keyed Window (count + first-occurrence min in a
+    // single pass — no groupBy-then-join-back double scan of the
+    // exploded stream); every join is an id-keyed equi-join (the
+    // per-doc stats attach), never a pairwise stage — a span shared by
+    // 10^6 docs must stay one hash partition, not C(10^6,2) rows
+    val p273 = plan("q273_substring_dedup")
+    assert(!p273.contains("CartesianProduct") && !p273.contains("BroadcastNestedLoopJoin"),
+      s"q273 has no pairwise stage by construction:\n${p273.take(1200)}")
+    assert(p273.contains("Generate"),
+      s"q273 explodes the stride-1 window stream:\n${p273.take(1200)}")
+    assert(p273.contains("Window"),
+      s"q273 marks non-first occurrences with a wh-keyed window:\n${p273.take(1200)}")
+    // q274: the dedup-first composition runs the exact content-hash
+    // aggregate BEFORE any window explodes (the q205/q271 pin) — the
+    // keeper aggregate must appear, and still no pairwise stage
+    val p274 = plan("q274_substring_dedup_first")
+    assert(!p274.contains("CartesianProduct") && !p274.contains("BroadcastNestedLoopJoin"),
+      s"q274 has no pairwise stage by construction:\n${p274.take(1200)}")
+    assert(p274.contains("md5") || p274.contains("Aggregate"),
+      s"q274 must hash-aggregate keepers before the window stream:\n${p274.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a

@@ -1367,6 +1367,74 @@ class StreamingSpec extends SparkSpec {
       s"the uncapped twin must still suppress the arrival: ${adm(unBase)}")
   }
 
+  test("streaming substring SCRUB: two-batch replay == batch q273, cross-batch excision") {
+    // substringScrubWriter TRANSFORMS arrivals (hash hit -> excise)
+    // instead of dropping them — the third suppression semantics. The
+    // pin: an id-ordered two-batch replay must equal the batch
+    // operator's output ROW-FOR-ROW (same cleaned text hashes), because
+    // within-batch the rule is the (id, pos)-packed first occurrence
+    // and across batches arrival order IS id order here.
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "this exact license header repeats verbatim in many files"
+    val x = "a sentence long enough to exceed the window width by a fair margin indeed"
+    val b0 = Seq(
+      0L -> s"alpha opening words $boiler and then unique tail zero",
+      1L -> s"beta different start $boiler with other ending one",
+      2L -> "entirely novel content with no repeated forty character window at all in it")
+    val b1 = Seq(
+      3L -> x,                // fresh content, first occurrence: kept
+      4L -> x,                // within-batch exact copy: scrubbed empty
+      5L -> s"gamma third copy $boiler of the admitted header",  // cross-batch hit
+      6L -> (x + " plus a wholly distinct continuation that nobody else shares"))
+    val width = 40
+    val base = Files.createTempDirectory("sscrub").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.substringScrubWriter(
+      indexDir, outDir, "doc_id", "text", width)
+    writer(b0.toDF("doc_id", "text"), 0L)
+    writer(b1.toDF("doc_id", "text"), 1L)
+    val streamed = Sinks.readAppendOnce(spark, outDir).get
+      .select($"doc_id", md5($"text").as("clean_md5"), $"n_spans_removed",
+        $"chars_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val batch = graft.operators.Dedup.substringDedup(
+        (b0 ++ b1).toDF("doc_id", "text"), "doc_id", "text", width)
+      .select($"doc_id", $"clean_md5", $"n_spans_removed", $"chars_removed")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch,
+      s"id-ordered two-batch replay must equal batch q273:\n$streamed\nvs\n$batch")
+    // the semantics themselves, not just equivalence: the cross-batch
+    // copy of the admitted boilerplate is excised (doc 5 lost chars),
+    // the within-batch copy cleans to EMPTY, and doc 6's contained
+    // prefix is excised while its unique suffix survives
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(4L)._4 == x.length.toLong && byId(4L)._2 == md5hexJvm(""),
+      s"within-batch exact copy must scrub to empty: ${byId(4L)}")
+    assert(byId(5L)._4 >= boiler.length.toLong,
+      s"cross-batch boilerplate hit must excise: ${byId(5L)}")
+    assert(byId(6L)._4 == x.length.toLong,
+      s"contained prefix must excise, suffix survive: ${byId(6L)}")
+    assert(byId(3L)._4 == 0L, s"first occurrence kept whole: ${byId(3L)}")
+    // crash-safety marker: replaying a committed batch id is a no-op
+    writer(Seq(99L -> (x + x)).toDF("doc_id", "text"), 1L)
+    assert(Sinks.readAppendOnce(spark, outDir).get
+        .filter($"doc_id" === 99L).count() == 0L,
+      "replayed batch id must be a no-op")
+    // the index rides the shared lifecycle: compaction folds the two
+    // deltas into a promoted base and the occupancy probe reads it
+    // (posting length per window hash — band_idx 0 by construction)
+    val folded = StreamPipeline.compactNearDupIndex(spark, indexDir, outDir)
+    assert(folded == 2, s"expected 2 deltas folded, got $folded")
+    val stats = StreamPipeline.nearDupIndexStats(spark, indexDir, outDir)
+      .as[(Int, Long, Long, Long, Double)].collect()
+    assert(stats.length == 1 && stats(0)._1 == 0 && stats(0)._2 > 0,
+      s"occupancy probe must see the folded wh index: ${stats.toSeq}")
+  }
+
+  private def md5hexJvm(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("streaming EMBEDDING dedup suppression: sign-SimHash bands, no codec slot") {
     // embeddingDedupSuppressWriter = sketchDedupSuppressWriter with a
     // PURE-EXPRESSION sketch (bit i = v[i] > 0) — no codec slot at

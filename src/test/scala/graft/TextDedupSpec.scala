@@ -609,4 +609,139 @@ class TextDedupSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("w = 1"), e2.getMessage)
   }
+
+  // ------------------------------------------- exact substring dedup
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Independent literal replay of the substringDedup rule: mark every
+    * non-first occurrence (global (id, pos) order) of a window hash seen
+    * >= 2 times, union the marked char intervals, excise. Driver-side
+    * brute force — the spec's oracle, not the operator's plan. */
+  private def substringDedupReplay(corpus: Seq[(Long, String)], width: Int)
+      : Map[Long, (Long, Long, Long, Long, String)] = {
+    val occ = scala.collection.mutable.Map[String, List[(Long, Int)]]()
+    for ((id, txt) <- corpus; p <- 1 to txt.length - width + 1)
+      occ.updateWith(md5hex(txt.substring(p - 1, p - 1 + width))) {
+        prev => Some((id, p) :: prev.getOrElse(Nil))
+      }
+    val removed = scala.collection.mutable.Map[Long, List[(Int, Int)]]()
+    for ((_, lst) <- occ if lst.size >= 2; (id, p) <- lst.sorted.tail)
+      removed.updateWith(id)(prev =>
+        Some((p, p + width - 1) :: prev.getOrElse(Nil)))
+    corpus.map { case (id, txt) =>
+      val merged = removed.getOrElse(id, Nil).sorted
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, (s, e)) if s <= e0 + 1 =>
+            (s0, math.max(e0, e)) :: rest
+          case (acc, iv) => iv :: acc
+        }.reverse
+      val (parts, cur) = merged.foldLeft(("", 1)) {
+        case ((acc, c), (s, e)) => (acc + txt.substring(c - 1, s - 1), e + 1)
+      }
+      val clean = parts + txt.substring(cur - 1)
+      id -> ((txt.length.toLong, merged.size.toLong,
+        merged.map { case (s, e) => e - s + 1 }.sum.toLong,
+        clean.length.toLong, md5hex(clean)))
+    }.toMap
+  }
+
+  private def runSubstringDedup(corpus: Seq[(Long, String)], width: Int)
+      : Map[Long, (Long, Long, Long, Long, String)] =
+    Dedup.substringDedup(corpus.toDF("doc_id", "text"), "doc_id", "text", width)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+
+  test("substringDedup equals the literal replay on an adversarial fixture") {
+    val boiler = "this exact license header repeats verbatim in many files"
+    val corpus = Seq(
+      // shared boilerplate mid-doc in 0 and 1 (cross-doc span)
+      (0L, s"alpha opening words $boiler and then unique tail zero"),
+      (1L, s"beta different start $boiler with other ending one"),
+      // internal self-repetition (within-doc duplication)
+      (2L, "repeat me repeat me repeat me repeat me repeat me repeat me repeat me xyz"),
+      // shorter than width: passes through untouched
+      (3L, "tiny doc"),
+      // no duplication anywhere
+      (4L, "entirely novel content with no repeated forty character window at all in it")
+    )
+    assert(runSubstringDedup(corpus, 40) == substringDedupReplay(corpus, 40))
+    // the fixture is non-trivial: docs 0-2 must actually lose chars
+    val got = runSubstringDedup(corpus, 40)
+    assert(Seq(0L, 1L, 2L).exists(got(_)._3 > 0),
+      s"fixture planted no duplication: $got")
+    assert(got(3L) == ((8L, 0L, 0L, 8L, md5hex("tiny doc"))),
+      "short doc must pass through untouched")
+  }
+
+  test("substringDedup theorems: exact copy -> empty; X+X -> X; containment excised") {
+    val x = "a sentence long enough to exceed the window width by a fair margin indeed"
+    val suffix = " plus a wholly distinct continuation that nobody else shares anywhere"
+    val corpus = Seq(
+      (10L, x),           // first occurrence: kept whole
+      (11L, x),           // exact copy: cleans to empty
+      (12L, x + x),       // self-concatenation: cleans to... (second X excised)
+      (13L, x + suffix)   // containment: the X prefix excised, suffix kept
+    )
+    val got = runSubstringDedup(corpus, 40)
+    assert(got == substringDedupReplay(corpus, 40))
+    assert(got(10L)._5 == md5hex(x), "first occurrence kept whole")
+    assert(got(11L) == ((x.length.toLong, 1L, x.length.toLong, 0L, md5hex(""))),
+      s"exact copy must clean to empty: ${got(11L)}")
+    // doc 12: every window of the second X duplicates the first X's
+    // (and doc 10's) windows; the straddling windows are unique -> the
+    // removed union is exactly [|X|+1, 2|X|] and X survives... except
+    // doc 12's FIRST-X windows also duplicate doc 10's (id 10 < 12), so
+    // the whole of doc 12 is a non-first occurrence: cleans to empty.
+    assert(got(12L)._4 == 0L, s"copy-of-copy cleans to empty: ${got(12L)}")
+    // containment: B = X + suffix loses exactly the X prefix
+    assert(got(13L)._5 == md5hex(suffix),
+      s"contained prefix excised, unique suffix kept: ${got(13L)}")
+    assert(got(13L)._3 == x.length.toLong, "chars removed = |X|")
+    // X+X WITHOUT an earlier copy: run doc 12 alone with one fresh doc
+    val solo = Seq((20L, x + x), (21L, "unrelated filler text that matches nothing else at all here"))
+    val gotSolo = runSubstringDedup(solo, 40)
+    assert(gotSolo == substringDedupReplay(solo, 40))
+    assert(gotSolo(20L)._5 == md5hex(x), s"X+X cleans to X: ${gotSolo(20L)}")
+  }
+
+  test("substringDedup guards: width floor and the (id, pos) packing envelope") {
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringDedup(docs, "doc_id", "text", width = 3)
+    }
+    assert(e.getMessage.contains("width"), e.getMessage)
+    // a negative id breaks packed (id, pos) ordering -> must refuse
+    // loudly at evaluation, not return a silently wrong first-occurrence
+    val neg = Seq((-1L, "x" * 80), (1L, "x" * 80)).toDF("doc_id", "text")
+    val thrown = intercept[Exception] {
+      Dedup.substringDedup(neg, "doc_id", "text", width = 40).collect()
+    }
+    val chain = Iterator.iterate[Throwable](thrown)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ")
+    assert(chain.contains("packing envelope"),
+      s"expected the packing-envelope raise_error, got: $chain")
+  }
+
+  test("dedup-first substring dedup: keeper output survives exact replication") {
+    val boiler = "this exact license header repeats verbatim in many files"
+    val base = Seq(
+      (0L, s"alpha opening words $boiler and then unique tail zero"),
+      (1L, s"beta different start $boiler with other ending one"),
+      (2L, "entirely novel content with no repeated forty character window at all in it"))
+    // replicate every doc 5x with higher fresh ids (the ScaleStress shape)
+    val replicated = base ++ (1 to 5).flatMap(r =>
+      base.map { case (id, t) => (id + 100L * r, t) })
+    val keep = Dedup.exactKeepers(replicated.toDF("doc_id", "text"),
+        "doc_id", "text").localCheckpoint()
+    val kept = replicated.toDF("doc_id", "text")
+      .join(keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+      .as[(Long, String)].collect().toSeq
+    // keepers are exactly the base docs (min-id policy), so the
+    // dedup-first path's result equals the base-corpus result — the
+    // cost collapses, the output doesn't change
+    assert(runSubstringDedup(kept, 40) == runSubstringDedup(base, 40),
+      "keeper-corpus result must equal the base-corpus result")
+  }
 }
