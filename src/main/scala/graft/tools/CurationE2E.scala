@@ -32,24 +32,39 @@ import graft.operators.{Curation, Dedup}
   *                        n_unique_fingerprint surface): one hash
   *                        aggregate, keep min-id per normalized
   *                        content, so token-permutation duplicates
-  *                        collapse here and the leg-8 leak audit can
+  *                        collapse here and the leg-11 leak audit can
   *                        REQUIRE zero straddling fingerprints.
-  *   4. near_dup        — MinHash+LSH over the KEEPERS ONLY (the q205
-  *                        dedup-first composition; q42/q95 machinery,
-  *                        xx64 scheme — the production hash), drop the
-  *                        larger id of each ≥ 0.9-Jaccard pair.
-  *   5. decontaminate   — q82's word-8-gram overlap against the
+  *   4. substring_scrub — q273's exact substring dedup (Lee et al.
+  *                        ACL'22, in the paper's ORDER: exact → substring
+  *                        → fuzzy) over the keepers: excise every
+  *                        non-first occurrence of a duplicated 40-char
+  *                        window (cross-doc boilerplate that doc-LEVEL
+  *                        dedup structurally keeps — the spans q124
+  *                        profiles), drop docs scrubbed below one word,
+  *                        then collapse at the fingerprint level AGAIN
+  *                        (excision can reveal exact duplicates that
+  *                        differed only by the removed span). Keepers-
+  *                        sized window stream = the q274 dedup-first
+  *                        composition by position; everything below
+  *                        consumes the CLEANED text.
+  *   5. near_dup        — MinHash+LSH over the scrubbed keepers (the
+  *                        q205 dedup-first composition; q42/q95
+  *                        machinery, xx64 scheme — the production
+  *                        hash), drop the larger id of each
+  *                        ≥ 0.9-Jaccard pair — boilerplate can no
+  *                        longer glue unrelated docs into a bucket.
+  *   6. decontaminate   — q82's word-8-gram overlap against the
   *                        benchmark set (doc_id < 50): the bench docs
   *                        leave the corpus, and any doc sharing ≥ 50%
   *                        of its 8-grams with the bench set drops.
-  *   6. image_dedup     — the MULTIMODAL leg (round-14): each surviving
+  *   7. image_dedup     — the MULTIMODAL leg (round-14): each surviving
   *                        doc's image attachment (variant-PNG fixture)
   *                        through the q254/q255 machinery — real codec
   *                        round-trip, codegen'd dHash, Hamming-banded
   *                        blocking — dropping the larger id of each
   *                        perceptual near-dup pair; runs after text
   *                        dedup so the codec touches keepers only.
-  *   7. audio_dedup     — the SECOND multimodal leg (round-15): each
+  *   8. audio_dedup     — the SECOND multimodal leg (round-15): each
   *                        surviving doc's audio attachment (variant-WAV
   *                        fixture through the q258/q259 machinery —
   *                        real WAV codec round-trip, lock-free RIFF
@@ -58,12 +73,12 @@ import graft.operators.{Curation, Dedup}
   *                        TRANSPOSED id so audio families cut ACROSS
   *                        image families — the modalities dedup
   *                        independently, as unrelated attachments do.
-  *   8. chunk           — q193's overlapping chunking (32-token chunks
+  *   9. chunk           — q193's overlapping chunking (32-token chunks
   *                        at stride 24, stable md5 chunk ids).
-  *   9. pack            — q179's concat-and-chunk packing into
+  *  10. pack            — q179's concat-and-chunk packing into
   *                        64-token training sequences
   *                        ([[Curation.packSequences]]).
-  *  10. split_leak      — q195's group-hash 80/20 train/test split by
+  *  11. split_leak      — q195's group-hash 80/20 train/test split by
   *                        `source` + the cross-split fingerprint leak
   *                        audit (after steps 3-5 it must report ZERO
   *                        straddling fingerprints — the composed
@@ -166,18 +181,48 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 4: near-dup over keepers only (q205 composition) ----
-    val nearKept = timed("near_dup") {
-      val pairs = Dedup.minhashNearDups(exactKept, "doc_id", "text",
-        k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
-        scheme = "xx64")
-      val losers = pairs.select($"id_b".as("doc_id")).distinct()
-      val df = mat(exactKept.join(losers, Seq("doc_id"), "left_anti"))
+    // ---- leg 4: exact substring scrub over the keepers (q273) ----
+    // Lee et al.'s ordering: exact dedup -> SUBSTRING dedup -> fuzzy
+    // dedup. Doc-level exact dedup structurally keeps cross-doc
+    // boilerplate (two near-unique docs sharing a verbatim header both
+    // survive, header and all — the spans q124 profiles); this leg
+    // excises every non-first occurrence of any duplicated 40-char
+    // window from the keepers (q273's machinery, keepers-sized window
+    // stream — the q274 dedup-first composition by position), drops
+    // docs scrubbed below one word, and then collapses at the
+    // fingerprint level AGAIN: excision can REVEAL exact duplicates
+    // that differed only by the removed span, and the leg-11 leak
+    // audit requires zero straddling fingerprints of the FINAL texts.
+    // Everything downstream — fuzzy near-dup included — consumes the
+    // CLEANED text, so boilerplate can no longer glue unrelated docs
+    // into one LSH bucket.
+    val scrubbed = timed("substring_scrub") {
+      val sc = Dedup.substringScrub(
+        exactKept.select($"doc_id", $"text"), "doc_id", "text",
+        width = 40, seen = None)
+      val cleaned = exactKept.select($"doc_id", $"source")
+        .join(sc.filter(TextFunctions.wordCount($"text") >= 1)
+          .select($"doc_id", $"text"), Seq("doc_id"))
+      val keep2 = Dedup.keepers(cleaned, "doc_id",
+          TextFunctions.fingerprint(col("text")))
+        .select($"keeper_id".as("doc_id"))
+      val df = mat(cleaned.join(keep2, Seq("doc_id")))
       val (nd, nt) = census(df)
       (df, nd, nt)
     }
 
-    // ---- leg 5: decontamination vs the benchmark set (q82 shape) ----
+    // ---- leg 5: near-dup over scrubbed keepers (q205 composition) ----
+    val nearKept = timed("near_dup") {
+      val pairs = Dedup.minhashNearDups(scrubbed, "doc_id", "text",
+        k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
+        scheme = "xx64")
+      val losers = pairs.select($"id_b".as("doc_id")).distinct()
+      val df = mat(scrubbed.join(losers, Seq("doc_id"), "left_anti"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 6: decontamination vs the benchmark set (q82 shape) ----
     val clean = timed("decontaminate") {
       val ws = TextFunctions.words($"text")
       val sh = corpus // bench 8-grams come from the RAW corpus: eval
@@ -202,7 +247,7 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 6: image near-dup over each survivor's attachment ----
+    // ---- leg 7: image near-dup over each survivor's attachment ----
     // The multimodal leg (round-14): every surviving doc carries an
     // image attachment (the variant-PNG fixture stands in for real
     // blobs — consecutive ids share near-duplicate images), and docs
@@ -226,7 +271,7 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 7: audio near-dup over each survivor's attachment ----
+    // ---- leg 8: audio near-dup over each survivor's attachment ----
     // The second multimodal leg (round-15): every surviving doc carries
     // an audio clip, keyed on a TRANSPOSED id — (doc_id mod 3) major,
     // doc_id div 3 minor — so audio families group DIFFERENT docs than
@@ -255,7 +300,7 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 8: overlapping chunking (q193 shape) ----
+    // ---- leg 9: overlapping chunking (q193 shape) ----
     val nChunks = {
       var n = 0L
       timed("chunk") {
@@ -276,7 +321,7 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 9: sequence packing (q179 / Curation.packSequences) ----
+    // ---- leg 10: sequence packing (q179 / Curation.packSequences) ----
     val nSeqs = {
       var n = 0L
       timed("pack") {
@@ -289,7 +334,7 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 10: group split + leak audit (q195 shape) ----
+    // ---- leg 11: group split + leak audit (q195 shape) ----
     val (straddling, splitRow) = {
       var res: (Long, (Long, Long, Long, Long)) = null
       timed("split_leak") {
@@ -388,7 +433,7 @@ object CurationE2E {
          |"split":{"train_docs":${base.trainDocs},"train_tokens":${base.trainToks},
          |"test_docs":${base.testDocs},"test_tokens":${base.testToks},
          |"straddling_fingerprints":${base.straddling}},
-         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q254-q255(image)/q258-q259(audio)/q193/q179/q195 operators"$scalingJson}"""
+         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q254-q255(image)/q258-q259(audio)/q273(substring scrub)/q193/q179/q195 operators"$scalingJson}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
