@@ -154,6 +154,143 @@ case class Md5Head60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All `width`-char window hashes of a text in ONE O(n) pass — the
+  * codegen'd engine for exact substring dedup at scale
+  * ([[graft.operators.Dedup.substringDedupRolling]], q275).
+  *
+  * The md5 formulation (q273) hashes every 40-char window from scratch:
+  * O(n·width) digest work per doc plus a 32-char hex string per window
+  * through the shuffle. This expression computes the classic polynomial
+  * rolling hash over CODE POINTS —
+  * h(p) = Σ cp(p+j)·B^(width−1−j) mod M, B = 131, M = 2⁶¹−1 —
+  * with the O(1) slide h' = (h − cp_out·B^(width−1))·B + cp_in mod M:
+  * one pass, two modular multiplies per char, an 8-byte key per window.
+  * 128-bit products reduce via the Mersenne fold (2⁶⁴ ≡ 8 mod M) on
+  * `Math.multiplyHigh` — no BigInteger, no allocation beyond the output
+  * array and a width-sized ring buffer.
+  *
+  * A 61-bit hash is NOT collision-free, so the consumer must treat
+  * equal hashes as CANDIDATES and verify on the actual substring (the
+  * banded-Hamming verify discipline) — which also means hash identity
+  * never crosses engines: the DuckDB oracle pins the RESULT by grouping
+  * on the substring itself, not the hash. Output: one long per window,
+  * index i = the window starting at 1-based char position i+1; texts
+  * shorter than `width` return an empty array. */
+case class RollingWindowHash(child: Expression, width: Int)
+    extends UnaryExpression {
+
+  require(width >= 2, s"window width must be >= 2, got $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "rolling_window_hash"
+
+  override protected def nullSafeEval(input: Any): Any =
+    RollingWindowHash.hashWindows(input.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.RollingWindowHash.hashWindows($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RollingWindowHash {
+
+  /** Mersenne prime 2^61 - 1: products of two residues fit 122 bits,
+    * and 2^64 ≡ 2^3 (mod M) makes the 128-bit reduction two shifts. */
+  val M: Long = (1L << 61) - 1
+  val B: Long = 131L
+
+  /** (a · b) mod M for a, b in [0, M). */
+  def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // a·b = hi·2^64 + lo ≡ hi·8 + (lo >>> 61) + (lo & M)  (mod M)
+    var r = (hi << 3) | (lo >>> 61)
+    r += lo & M
+    if (r >= M) r -= M
+    if (r >= M) r -= M
+    r
+  }
+
+  /** B^e mod M by square-and-multiply (e = width - 1, computed once
+    * per call site — the JIT hoists it out of the per-row loop via the
+    * thread-local cache below). */
+  def powB(e: Int): Long = {
+    var r = 1L; var b = B; var k = e
+    while (k > 0) {
+      if ((k & 1) == 1) r = mulMod(r, b)
+      b = mulMod(b, b)
+      k >>= 1
+    }
+    r
+  }
+
+  private val bw1Cache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+
+  def hashWindows(s: UTF8String, width: Int): ArrayData = {
+    val bw1: Long = bw1Cache.computeIfAbsent(width, w => powB(w - 1))
+    val bytes = s.getBytes
+    val nBytes = bytes.length
+    val ring = new Array[Int](width)
+    // sequential UTF-8 decode: code points arrive in order, which is
+    // all a rolling recurrence needs — no random char access ever
+    var h = 0L
+    var ci = 0          // char index of the NEXT code point
+    var bi = 0          // byte cursor
+    var out: Array[Long] = null
+    var m = 0           // windows emitted
+    while (bi < nBytes) {
+      val b0 = bytes(bi) & 0xff
+      var cp = 0
+      if (b0 < 0x80) { cp = b0; bi += 1 }
+      else if ((b0 & 0xe0) == 0xc0 && bi + 1 < nBytes) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(bi + 1) & 0x3f); bi += 2
+      } else if ((b0 & 0xf0) == 0xe0 && bi + 2 < nBytes) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(bi + 1) & 0x3f) << 6) |
+          (bytes(bi + 2) & 0x3f); bi += 3
+      } else if ((b0 & 0xf8) == 0xf0 && bi + 3 < nBytes) {
+        cp = ((b0 & 0x07) << 18) | ((bytes(bi + 1) & 0x3f) << 12) |
+          ((bytes(bi + 2) & 0x3f) << 6) | (bytes(bi + 3) & 0x3f); bi += 4
+      } else { cp = b0; bi += 1 } // malformed byte: degrade, don't throw
+      if (ci >= width) {
+        // slide: drop the char leaving the window
+        var t = h - mulMod(ring(ci % width).toLong, bw1)
+        if (t < 0) t += M
+        h = mulMod(t, B)
+        h += cp.toLong
+        if (h >= M) h -= M
+      } else {
+        // fill: Horner
+        h = mulMod(h, B)
+        h += cp.toLong
+        if (h >= M) h -= M
+      }
+      ring(ci % width) = cp
+      ci += 1
+      if (ci >= width) {
+        if (out == null) {
+          // numChars is O(n); paid once, only for texts long enough
+          out = new Array[Long](s.numChars() - width + 1)
+        }
+        if (m == out.length)
+          throw new IllegalStateException(
+            "rolling_window_hash: decoded more chars than numChars — malformed UTF-8?")
+        out(m) = h
+        m += 1
+      }
+    }
+    if (out == null) new GenericArrayData(Array.emptyLongArray)
+    else if (m == out.length) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+}
+
 object WordShingleHash64 {
 
   /** Single pass: lowercase, scan space positions, hash each word-n-gram

@@ -36,6 +36,17 @@ object TextFunctions {
       GraftGlue.expression(text), n))
   }
 
+  /** All width-char window hashes of a text in one O(n) pass
+    * ([[graft.expressions.RollingWindowHash]]): polynomial rolling hash
+    * over code points, mod 2⁶¹−1 — the 8-byte-key engine of the q275
+    * substring-dedup path (candidates only; consumers verify on the
+    * actual substring). Element i = the window at 1-based char pos i+1. */
+  def rollingWindowHash(text: Column, width: Int): Column = {
+    import org.apache.spark.sql.graftglue.GraftGlue
+    GraftGlue.column(graft.expressions.RollingWindowHash(
+      GraftGlue.expression(text), width))
+  }
+
   /** The k salted MinHash slot values of a token straight from md5
     * digest bytes ([[graft.expressions.Md5MinHash60]]) — bit-equal to
     * the `conv(substring(md5(...)))` formulation, with no hex string /

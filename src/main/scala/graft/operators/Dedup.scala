@@ -1232,6 +1232,76 @@ object Dedup {
       .withColumn("__fk", min(col("__k")).over(byHash))
       .filter(col("__seen") || (col("__n") >= 2 && col("__k") =!= col("__fk")))
       .select(col(id), col("pos"), (col("pos") + (width - 1)).as("e"))
+    exciseMarked(base, id, marked)
+  }
+
+  /** [[substringDedup]] with the O(n) ROLLING hash engine (q275) — the
+    * same output contract, a production-shaped plan:
+    *
+    *  - window hashes come from ONE codegen'd pass per doc
+    *    ([[graft.expressions.RollingWindowHash]] — polynomial rolling
+    *    hash over code points, mod 2⁶¹−1) instead of an md5 digest per
+    *    window: O(n) vs O(n·width) hash work, and the wh-keyed shuffle
+    *    carries an 8-byte long instead of a 32-char hex string;
+    *  - a 61-bit hash is a CANDIDATE, not a match (the banded-Hamming
+    *    verify discipline): occurrences of a duplicated hash re-derive
+    *    their actual window substring and the first-occurrence rule is
+    *    applied per (hash, substring) — a collision can therefore cost
+    *    a verify row, never a wrong excision, and the output is defined
+    *    IDENTICAL to [[substringDedup]]'s (the oracle pins both with
+    *    the same substring-grouped SQL). The verify stage touches only
+    *    rows whose hash count is ≥ 2 — duplication-proportional, so a
+    *    mostly-unique corpus verifies almost nothing and a replica-
+    *    dense one pays it where the excision itself is the work (the
+    *    dedup-first composition shrinks both together). */
+  def substringDedupRolling(docs: DataFrame, id: String, text: String,
+                            width: Int = 40): DataFrame = {
+    require(width >= 4, s"width=$width: windows below 4 chars mark everything")
+    val span = lit(WinnowPosSpan.toLong)
+    val base = docs.select(col(id), col(text).as("__txt"),
+      length(col(text)).cast("int").as("orig_len"))
+    val wins = base.filter(col("orig_len") >= width)
+      .select(col(id), posexplode(
+        TextFunctions.rollingWindowHash(col("__txt"), width))
+        .as(Seq("__i", "wh")))
+      .select(col(id), (col("__i") + 1).as("pos"), col("wh"))
+    val packed = when(col(id).cast("long") < 0 || col("pos") >= span,
+        raise_error(concat(lit("substringDedupRolling: (id, pos) outside " +
+          "the 2^21 packing envelope: "), col(id).cast("string"), lit(","),
+          col("pos").cast("string"))).cast("long"))
+      .otherwise(col(id).cast("long") * span + col("pos"))
+    val byHash = Window.partitionBy(col("wh"))
+    val cand = wins
+      .withColumn("__n", count(lit(1)).over(byHash))
+      .filter(col("__n") >= 2)
+    // exact verify: only candidate rows re-derive their substring (one
+    // id-keyed join back to the texts), and first-occurrence marking
+    // groups by (hash, substring) — a colliding pair lands in the same
+    // hash partition but different substring groups, each keeping its
+    // own true first occurrence
+    val withSub = cand.join(base.select(col(id), col("__txt")), Seq(id))
+      .withColumn("__sub", col("__txt").substr(col("pos"), lit(width)))
+    val bySub = Window.partitionBy(col("wh"), col("__sub"))
+    val marked = withSub
+      .withColumn("__k", packed)
+      .withColumn("__n2", count(lit(1)).over(bySub))
+      .withColumn("__fk", min(col("__k")).over(bySub))
+      .filter(col("__n2") >= 2 && col("__k") =!= col("__fk"))
+      .select(col(id), col("pos"), (col("pos") + (width - 1)).as("e"))
+    exciseMarked(base, id, marked)
+      .select(col(id), col("orig_len").cast("long").as("orig_len"),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("__removed"), lit(0L)).cast("long").as("chars_removed"),
+        length(col("__clean")).cast("long").as("clean_len"),
+        md5(col("__clean")).as("clean_md5"))
+  }
+
+  /** Shared excision tail of the substring-dedup family: merge the
+    * marked windows (id, pos, e) into per-doc char intervals and
+    * rebuild each doc's cleaned text. `base` must carry
+    * (id, __txt, orig_len). */
+  private def exciseMarked(base: DataFrame, id: String,
+                           marked: DataFrame): DataFrame = {
     // Merge overlapping/adjacent removed windows per doc: a window is a
     // new span iff it starts past the running max end + 1 (gaps-and-
     // islands; (id, pos) is unique so the order is total).

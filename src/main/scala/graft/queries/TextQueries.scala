@@ -1671,6 +1671,26 @@ object TextQueries {
             GROUP BY md5(text)) k2 ON k2.keeper_id = b.doc_id""")),
       "dedup-first substring dedup: exact keepers collapse the window stream before any md5 runs"),
 
+    // ------------- substring dedup, rolling-hash engine (q273's twin)
+    // The production-shaped plan for the same contract: window hashes
+    // from ONE codegen'd O(n) rolling pass per doc (RollingWindowHash,
+    // 8-byte keys through the wh shuffle) instead of an md5 digest per
+    // window (O(n·40) + 32-char hex keys), plus an exact substring
+    // verify over candidate rows only — a 61-bit collision can cost a
+    // verify row, never a wrong excision. Output is DEFINED identical
+    // to q273, so the oracle is the SAME substring-grouped SQL: the
+    // hash-compare proves the rolling+verify path reproduces the md5
+    // path's excision byte-for-byte (and the spec pins frame equality
+    // on the adversarial fixtures). The q42-vs-q95 convention: one
+    // portable-hash formulation, one production-hash formulation,
+    // both oracled.
+    "q275_substring_dedup_rolling" -> Q(
+      (s, d) => Dedup.substringDedupRolling(docs(s, d), "doc_id", "text",
+          width = 40)
+        .orderBy(col("doc_id")),
+      Some(substringDedupOracle("documents")),
+      "substring dedup via codegen'd rolling window hash + exact-substring verify"),
+
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and
     // the keeper policy needs CLUSTERS (a near-dup of a near-dup is the

@@ -171,7 +171,14 @@ object ScaleStress {
     // the ×100 excision is the true fixpoint. q274 is the dedup-first
     // composition measured beside it: exact keepers collapse the window
     // stream to base size before any md5 runs.
-    "r15g" -> Seq("q273_substring_dedup", "q274_substring_dedup_first"))
+    "r15g" -> Seq("q273_substring_dedup", "q274_substring_dedup_first"),
+    // the rolling-hash engine A/B against q273's md5 formulation: same
+    // output contract (same oracle), O(n) codegen'd hashing + 8-byte
+    // shuffle keys + duplication-proportional exact verify — at x100
+    // the verify stage touches ~every window (the replica is maximally
+    // duplicated), so this measures the engine at its WORST duplication
+    // regime with q273's honest 42x row right beside it
+    "r15h" -> Seq("q275_substring_dedup_rolling"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -181,7 +188,8 @@ object ScaleStress {
     "q262_hamming_knn", "q263_hamming_knn_banded", "q265_spectral_neardup",
     "q266_dhash256_neardup", "q267_hamming_knn_wide", "q268_spectral_knn",
     "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn",
-    "q273_substring_dedup", "q274_substring_dedup_first")
+    "q273_substring_dedup", "q274_substring_dedup_first",
+    "q275_substring_dedup_rolling")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -1197,6 +1197,17 @@ class ScalePostureSpec extends SparkSpec {
       s"q274 has no pairwise stage by construction:\n${p274.take(1200)}")
     assert(p274.contains("md5") || p274.contains("Aggregate"),
       s"q274 must hash-aggregate keepers before the window stream:\n${p274.take(1200)}")
+    // q275: the rolling engine keeps the q273 posture — codegen'd
+    // rolling_window_hash feeds the Generate (no md5 in the window
+    // stream), hash candidates re-group by (wh, substring) for the
+    // exact verify, and still no pairwise stage anywhere
+    val p275 = plan("q275_substring_dedup_rolling")
+    assert(!p275.contains("CartesianProduct") && !p275.contains("BroadcastNestedLoopJoin"),
+      s"q275 has no pairwise stage by construction:\n${p275.take(1200)}")
+    assert(p275.contains("rolling_window_hash"),
+      s"q275 windows must come from the codegen'd rolling pass:\n${p275.take(1200)}")
+    assert(p275.contains("Window"),
+      s"q275 marks candidates/occurrences with wh-keyed windows:\n${p275.take(1200)}")
   }
 
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {

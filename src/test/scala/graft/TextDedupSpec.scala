@@ -724,6 +724,68 @@ class TextDedupSpec extends SparkSpec {
       s"expected the packing-envelope raise_error, got: $chain")
   }
 
+  test("RollingWindowHash equals the literal polynomial replay, incl. multibyte") {
+    import graft.expressions.RollingWindowHash
+    val M = BigInt(2).pow(61) - 1
+    // mulMod against BigInt on adversarial operands (top-of-range,
+    // where the 128-bit Mersenne fold has to be exact)
+    val ops = Seq(0L, 1L, 2L, RollingWindowHash.M - 1, RollingWindowHash.M - 2,
+      (1L << 60) + 12345L, 987654321987654321L % RollingWindowHash.M)
+    for (a <- ops; b <- ops)
+      assert(BigInt(RollingWindowHash.mulMod(a, b)) == (BigInt(a) * BigInt(b)).mod(M),
+        s"mulMod($a, $b)")
+    assert(BigInt(RollingWindowHash.powB(39)) == BigInt(131).modPow(39, M))
+    // window hashes == the direct polynomial, over code points
+    def replay(text: String, w: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray.toSeq
+      if (cps.length < w) Seq.empty
+      else (0 to cps.length - w).map { i =>
+        cps.slice(i, i + w).foldLeft(BigInt(0))((h, c) =>
+          (h * 131 + c).mod(M)).toLong
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running",
+      "héllo wörld — ünïcode façade with ∆ math and an emoji 🎉 tail padded out",
+      "exactly-forty-chars-window-here-padding!",  // len 40 -> 1 window
+      "short")                                     // < width -> empty
+    for (t <- texts; w <- Seq(4, 40)) {
+      val got = Seq(t).toDF("text")
+        .select(graft.functions.TextFunctions.rollingWindowHash($"text", w))
+        .as[Seq[Long]].collect()(0)
+      assert(got == replay(t, w), s"width $w mismatch on: $t")
+    }
+  }
+
+  test("substringDedupRolling == substringDedup frame-for-frame (verify path exact)") {
+    // the rolling+verify engine is DEFINED to reproduce the md5 path's
+    // excision; pin frame equality on both adversarial fixtures (which
+    // exercise cross-doc spans, self-repetition, containment, short
+    // docs) and on the replay oracle
+    def runRolling(corpus: Seq[(Long, String)], width: Int)
+        : Map[Long, (Long, Long, Long, Long, String)] =
+      Dedup.substringDedupRolling(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", width)
+        .as[(Long, Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val boiler = "this exact license header repeats verbatim in many files"
+    val x = "a sentence long enough to exceed the window width by a fair margin indeed"
+    val suffix = " plus a wholly distinct continuation that nobody else shares anywhere"
+    val f1 = Seq(
+      (0L, s"alpha opening words $boiler and then unique tail zero"),
+      (1L, s"beta different start $boiler with other ending one"),
+      (2L, "repeat me repeat me repeat me repeat me repeat me repeat me repeat me xyz"),
+      (3L, "tiny doc"),
+      (4L, "entirely novel content with no repeated forty character window at all in it"))
+    val f2 = Seq((10L, x), (11L, x), (12L, x + x), (13L, x + suffix))
+    for (corpus <- Seq(f1, f2)) {
+      val rolled = runRolling(corpus, 40)
+      assert(rolled == runSubstringDedup(corpus, 40),
+        s"rolling engine must equal the md5 engine on $corpus")
+      assert(rolled == substringDedupReplay(corpus, 40))
+    }
+  }
+
   test("dedup-first substring dedup: keeper output survives exact replication") {
     val boiler = "this exact license header repeats verbatim in many files"
     val base = Seq(
