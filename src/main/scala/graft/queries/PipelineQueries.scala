@@ -44,6 +44,65 @@ object PipelineQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // -------------------------------------------------- PII redaction
+    // The privacy gate every shipped corpus runs (q194's free-text
+    // twin): count + replace e-mails, dashed phones and IPv4 literals
+    // with typed placeholders ([[graft.operators.Curation.piiRedact]]).
+    // The fixture corpus carries no PII, so each doc gets a
+    // deterministic contact block planted from doc_id arithmetic —
+    // 1 + doc_id%3 e-mails, one TPC-H-shaped phone, one IP — BEFORE
+    // redaction; counts and the redacted-text md5 are then exact in
+    // both engines (patterns are in the Java-regex ∩ RE2 dialect:
+    // classes, bounded repetition, \b only). The redaction itself is a
+    // narrow codegen'd projection: no join, no aggregate — it scales
+    // with scan bandwidth, and the ×100 row measures exactly that.
+    "q276_pii_redact" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val k = ($"doc_id" % 3 + 1).cast("int")
+        val emails = array_join(transform(sequence(lit(1), k), i =>
+          concat(lit("user"), $"doc_id".cast("string"), lit("x"),
+            i.cast("string"), lit("@example.com"))), " ")
+        val phone = concat(lit("25-"),
+          lpad(($"doc_id" % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((($"doc_id" * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((($"doc_id" * 13) % 10000).cast("string"), 4, "0"))
+        val ip = concat(lit("10."), ($"doc_id" % 256).cast("string"),
+          lit("."), (expr("doc_id div 7") % 256).cast("string"),
+          lit(".1"))
+        val contact = concat($"text", lit(" reach me: "), emails,
+          lit(" tel "), phone, lit(" from "), ip)
+        graft.operators.Curation.piiRedact(
+            t(s, d, "documents").select($"doc_id", contact.as("__contact")),
+            "doc_id", col("__contact"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+          text || ' reach me: ' ||
+          array_to_string(list_transform(range(1, CAST(doc_id % 3 + 2 AS BIGINT)),
+            i -> 'user' || doc_id || 'x' || i || '@example.com'), ' ') ||
+          ' tel 25-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+          '-' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||
+          '-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0') ||
+          ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.1'
+            AS t FROM documents),
+        r AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+            '\b\d{2}-\d{3}-\d{3}-\d{4}\b', '[PHONE]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS clean,
+          len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+          len(regexp_extract_all(t, '\b\d{2}-\d{3}-\d{3}-\d{4}\b')) AS n_phones,
+          len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+        FROM c)
+        SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+          CAST(n_phones AS BIGINT) AS n_phones,
+          CAST(n_ips AS BIGINT) AS n_ips,
+          CAST(length(clean) AS BIGINT) AS clean_len,
+          md5(clean) AS clean_md5
+        FROM r ORDER BY doc_id"""),
+      "PII redaction: e-mail/phone/IPv4 counts + typed-placeholder rewrite, md5-pinned"),
+
     // ------------------------------------------------ overlapping chunking
     // The windowing step every RAG index and long-context pretraining
     // pipeline runs: split each document into C-token chunks at stride

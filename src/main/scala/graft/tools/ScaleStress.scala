@@ -178,7 +178,10 @@ object ScaleStress {
     // the verify stage touches ~every window (the replica is maximally
     // duplicated), so this measures the engine at its WORST duplication
     // regime with q273's honest 42x row right beside it
-    "r15h" -> Seq("q275_substring_dedup_rolling"))
+    "r15h" -> Seq("q275_substring_dedup_rolling"),
+    // PII redaction: a narrow per-row rewrite (plan-pinned join-free),
+    // so its x100 row IS the scan-bandwidth claim measured
+    "r15i" -> Seq("q276_pii_redact"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -189,7 +192,7 @@ object ScaleStress {
     "q266_dhash256_neardup", "q267_hamming_knn_wide", "q268_spectral_knn",
     "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn",
     "q273_substring_dedup", "q274_substring_dedup_first",
-    "q275_substring_dedup_rolling")
+    "q275_substring_dedup_rolling", "q276_pii_redact")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -216,4 +216,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(wins("b") - 0.2) < 0.03, s"P(b)=${wins("b")}")
     assert(math.abs(wins("c") - 0.7) < 0.03, s"P(c)=${wins("c")}")
   }
+
+  test("piiRedact: literal counts + redacted text on adversarial fixtures") {
+    import graft.operators.Curation
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cases = Seq(
+      // two e-mails (one repeated), one phone, one ip
+      (0L, "mail a.b+tag@x-y.co or A.B@x-y.co, tel 12-345-678-9012 from 10.2.30.4 ok",
+        (2L, 1L, 1L),
+        "mail [EMAIL] or [EMAIL], tel [PHONE] from [IP] ok"),
+      // decoys that must NOT match: bare domain, 3-2-4 dashed run
+      // (SSN-shaped, not the phone pattern), 3-part dotted number,
+      // digit run glued to a word (\b holds)
+      (1L, "see example.com and 123-45-6789 and 1.2.3 and x25-345-678-9012",
+        (0L, 0L, 0L),
+        "see example.com and 123-45-6789 and 1.2.3 and x25-345-678-9012"),
+      // clean text passes through byte-identical
+      (2L, "no personal data here at all", (0L, 0L, 0L),
+        "no personal data here at all"),
+      // counts are PER-PATTERN over the ORIGINAL text (the documented
+      // contract): a phone-shaped e-mail local part counts under BOTH
+      // patterns, while the sequential replacement (email first,
+      // placeholders carry no digits) redacts it exactly once
+      (3L, "ping 12-345-678-9012@host.org now", (1L, 1L, 0L),
+        "ping [EMAIL] now"))
+    val got = Curation.piiRedact(
+        cases.map(c => (c._1, c._2)).toDF("doc_id", "text"),
+        "doc_id", $"text")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    for ((id, raw, (ne, np, ni), clean) <- cases) {
+      val r = got(id)
+      assert((r._2, r._3, r._4) == ((ne, np, ni)),
+        s"doc $id counts: got (${r._2},${r._3},${r._4}) on '$raw'")
+      assert(r._6 == md5hex(clean) && r._5 == clean.length.toLong,
+        s"doc $id redaction drifted from the literal expectation: '$clean'")
+    }
+  }
 }

@@ -1210,6 +1210,17 @@ class ScalePostureSpec extends SparkSpec {
       s"q275 marks candidates/occurrences with wh-keyed windows:\n${p275.take(1200)}")
   }
 
+  test("q276 PII redaction is a narrow projection: no join, no aggregate") {
+    // the privacy pass must scale with scan bandwidth alone — a join
+    // or aggregate anywhere means the redaction plan stopped being a
+    // per-row rewrite (the only exchange is the presentation sort)
+    val p = plan("q276_pii_redact")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"q276 must be a pure projection over the scan:\n${p.take(1200)}")
+    assert(p.contains("Project"),
+      s"q276 rewrites rows in a codegen'd projection:\n${p.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a
