@@ -103,6 +103,58 @@ object PipelineQueries {
         FROM r ORDER BY doc_id"""),
       "PII redaction: e-mail/phone/IPv4 counts + typed-placeholder rewrite, md5-pinned"),
 
+    // ------------------------------------------------- shard layout
+    // The LAST layout stage before training — after chunk (q193) and
+    // pack (q179) the corpus must land as N shard files in a
+    // reproducible EPOCH-SHUFFLED order: shard = md5-hash of the doc
+    // id (the q195 split idiom — deterministic, engine-independent),
+    // within-shard order = md5("epoch1:" ++ id) ascending with id
+    // tie-break (a different epoch salt is a fresh global shuffle; the
+    // same salt replays byte-identically — auditable training order,
+    // the q157/q195 reproducibility discipline). The shard's ORDER is
+    // pinned cross-engine by an order-sensitive checksum
+    // Σ (rank mod p)·(id mod p) (p = 1000003; terms < 10¹², sums < 2⁶³
+    // — integer-exact in both engines), plus the first-ranked doc id.
+    // Scale shape: ONE window sort per shard partition (= corpus/N
+    // rows — the honest cost of a global shuffle, exactly what a
+    // layout writer pays in repartition+sortWithinPartitions), then a
+    // shard-bounded aggregate. No joins.
+    "q277_shard_layout" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val S = 16
+        val keyed = t(s, d, "documents").select($"doc_id",
+          TextFunctions.wordCount($"text").cast("long").as("n_tok"),
+          (conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))),
+            1, 15), 16, 10).cast("long") % S).as("shard"),
+          conv(substring(md5(concat(lit("epoch1:"), $"doc_id".cast("string"))),
+            1, 15), 16, 10).cast("long").as("__ord"))
+        val ranked = keyed.withColumn("__rk", row_number().over(
+          Window.partitionBy($"shard").orderBy($"__ord", $"doc_id")))
+        ranked.groupBy($"shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tok").as("n_tokens"),
+            sum(($"__rk" % 1000003) * ($"doc_id" % 1000003))
+              .as("order_checksum"),
+            max(when($"__rk" === 1, $"doc_id")).as("first_doc"))
+          .orderBy($"shard")
+      },
+      Some("""WITH keyed AS (SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tok,
+          CAST('0x' || substr(md5('shard:' || doc_id), 1, 15) AS BIGINT) % 16 AS shard,
+          CAST('0x' || substr(md5('epoch1:' || doc_id), 1, 15) AS BIGINT) AS ord
+        FROM documents),
+        ranked AS (SELECT doc_id, n_tok, shard,
+          row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rk
+        FROM keyed)
+        SELECT shard, count(*) AS n_docs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          CAST(sum((rk % 1000003) * (doc_id % 1000003)) AS BIGINT)
+            AS order_checksum,
+          max(CASE WHEN rk = 1 THEN doc_id END) AS first_doc
+        FROM ranked GROUP BY shard ORDER BY shard"""),
+      "epoch-shuffled shard layout: hash shards, seeded order, order-sensitive checksum"),
+
     // ------------------------------------------------ overlapping chunking
     // The windowing step every RAG index and long-context pretraining
     // pipeline runs: split each document into C-token chunks at stride

@@ -181,7 +181,11 @@ object ScaleStress {
     "r15h" -> Seq("q275_substring_dedup_rolling"),
     // PII redaction: a narrow per-row rewrite (plan-pinned join-free),
     // so its x100 row IS the scan-bandwidth claim measured
-    "r15i" -> Seq("q276_pii_redact"))
+    "r15i" -> Seq("q276_pii_redact"),
+    // shard layout: one shard-keyed window sort over the full corpus —
+    // the honest global-shuffle cost a layout writer pays; the x100 row
+    // measures it on 100x rows (16 shard partitions of ~31k docs each)
+    "r15j" -> Seq("q277_shard_layout"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -192,7 +196,8 @@ object ScaleStress {
     "q266_dhash256_neardup", "q267_hamming_knn_wide", "q268_spectral_knn",
     "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn",
     "q273_substring_dedup", "q274_substring_dedup_first",
-    "q275_substring_dedup_rolling", "q276_pii_redact")
+    "q275_substring_dedup_rolling", "q276_pii_redact",
+    "q277_shard_layout")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

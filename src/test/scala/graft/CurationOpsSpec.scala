@@ -217,6 +217,48 @@ class CurationOpsSpec extends SparkSpec {
     assert(math.abs(wins("c") - 0.7) < 0.03, s"P(c)=${wins("c")}")
   }
 
+  test("q277 shard layout: deterministic replay, epoch-sensitivity, literal checksum") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h15(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    // literal replay of the registered law over the sf0.001 corpus
+    val docs = graft.Tables(spark, sf("sf0.001"), "documents")
+      .select($"doc_id", graft.functions.TextFunctions.wordCount($"text").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val expected = docs
+      .map { case (id, n) => (h15(s"shard:$id") % 16, h15(s"epoch1:$id"), id, n) }
+      .groupBy(_._1).map { case (shard, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        shard -> (ordered.size.toLong, ordered.map(_._4).sum,
+          ordered.zipWithIndex.map { case (r, i) =>
+            ((i + 1) % 1000003L) * (r._3 % 1000003L) }.sum,
+          ordered.head._3)
+      }
+    val got = graft.queries.Registry.queries("q277_shard_layout")(
+        spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == expected, s"shard layout drifted from the literal law")
+    // determinism: a second run is byte-identical (no session state)
+    val again = graft.queries.Registry.queries("q277_shard_layout")(
+        spark, sf("sf0.001"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(again == got, "epoch shuffle must replay byte-identically")
+    // epoch-sensitivity: a different salt is a fresh global order —
+    // same membership (shard key unchanged), different checksums
+    val e2 = docs
+      .map { case (id, n) => (h15(s"shard:$id") % 16, h15(s"epoch2:$id"), id, n) }
+      .groupBy(_._1).map { case (shard, rows) =>
+        val ordered = rows.sortBy(r => (r._2, r._3))
+        shard -> ordered.zipWithIndex.map { case (r, i) =>
+          ((i + 1) % 1000003L) * (r._3 % 1000003L) }.sum
+      }
+    assert(expected.exists { case (s2, v) => e2(s2) != v._3 },
+      "a new epoch salt must produce a different order somewhere")
+  }
+
   test("piiRedact: literal counts + redacted text on adversarial fixtures") {
     import graft.operators.Curation
     def md5hex(s: String): String =

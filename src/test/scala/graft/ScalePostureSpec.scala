@@ -1221,6 +1221,18 @@ class ScalePostureSpec extends SparkSpec {
       s"q276 rewrites rows in a codegen'd projection:\n${p.take(1200)}")
   }
 
+  test("q277 shard layout: one shard-keyed window, no join") {
+    // the layout op pays exactly one global shuffle: the shard-keyed
+    // window sort (what repartition+sortWithinPartitions costs in a
+    // real layout writer), then a shard-bounded aggregate — a join
+    // anywhere would mean the plan stopped being a single-pass layout
+    val p = plan("q277_shard_layout")
+    assert(!p.contains("Join"),
+      s"q277 is a single-pass layout — no join may appear:\n${p.take(1200)}")
+    assert(p.contains("Window"),
+      s"q277 ranks within shards with a window sort:\n${p.take(1200)}")
+  }
+
   test("q184 scatter: narrow generate + map-side combine, no data-scaled join") {
     val p = plan("q184_emb_scatter")
     // the d(d+1)/2 per-row products come from chained posexplodes — a
