@@ -83,6 +83,11 @@ import graft.operators.{Curation, Dedup}
   *                        audit (after steps 3-5 it must report ZERO
   *                        straddling fingerprints — the composed
   *                        pipeline's acceptance check, asserted here).
+  *  12. shard_layout    — q277's epoch-shuffled shard layout of the
+  *                        train split: md5 shard assignment, salted
+  *                        within-shard order, order-sensitive checksum
+  *                        — the corpus leaves the pipeline as the 16
+  *                        shard files training actually reads.
   *
   * Every leg ends in an eager localCheckpoint + count, so each wall
   * time covers exactly its own stage (no lazy-plan bleed into the next
@@ -335,6 +340,7 @@ object CurationE2E {
     }
 
     // ---- leg 11: group split + leak audit (q195 shape) ----
+    var assignedOut: DataFrame = null
     val (straddling, splitRow) = {
       var res: (Long, (Long, Long, Long, Long)) = null
       timed("split_leak") {
@@ -356,10 +362,41 @@ object CurationE2E {
         val (trd, trt) = tot.getOrElse("train", (0L, 0L))
         val (ted, tet) = tot.getOrElse("test", (0L, 0L))
         res = (leak, (trd, trt, ted, tet))
+        assignedOut = assigned
         (assigned, trd + ted, trt + tet)
       }
       res
     }
+
+    // ---- leg 12: shard layout of the train split (q277 shape) ----
+    // The lifecycle's last act: the train split lands as 16
+    // epoch-shuffled shards — md5-hash shard assignment, salted-hash
+    // within-shard order, the order-sensitive checksum pinning each
+    // shard's exact training order (q277's law verbatim). One
+    // shard-keyed window sort + a shard-bounded aggregate; reported
+    // docs/tokens = the train split laid out.
+    timed("shard_layout") {
+      val S = 16
+      val keyed = assignedOut.filter($"split" === "train")
+        .select($"doc_id",
+          TextFunctions.wordCount($"text").cast("long").as("n_tok"),
+          (conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))),
+            1, 15), 16, 10).cast("long") % S).as("shard"),
+          conv(substring(md5(concat(lit("epoch1:"), $"doc_id".cast("string"))),
+            1, 15), 16, 10).cast("long").as("__ord"))
+      val ranked = keyed.withColumn("__rk",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"shard").orderBy($"__ord", $"doc_id")))
+      val shards = mat(ranked.groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
+          sum(($"__rk" % 1000003) * ($"doc_id" % 1000003))
+            .as("order_checksum")))
+      val a = shards.agg(coalesce(sum($"n_docs"), lit(0L)),
+        coalesce(sum($"n_tokens"), lit(0L))).head()
+      (shards, a.getLong(0), a.getLong(1))
+    }
+
     val (trd, trt, ted, tet) = splitRow
     RunResult(legs.toSeq, nChunks, nSeqs, straddling, trd, trt, ted, tet)
   }
@@ -433,7 +470,7 @@ object CurationE2E {
          |"split":{"train_docs":${base.trainDocs},"train_tokens":${base.trainToks},
          |"test_docs":${base.testDocs},"test_tokens":${base.testToks},
          |"straddling_fingerprints":${base.straddling}},
-         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q254-q255(image)/q258-q259(audio)/q273(substring scrub)/q193/q179/q195 operators"$scalingJson}"""
+         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q254-q255(image)/q258-q259(audio)/q273(substring scrub)/q193/q179/q195/q277(shard layout) operators"$scalingJson}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
