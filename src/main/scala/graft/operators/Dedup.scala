@@ -1296,6 +1296,67 @@ object Dedup {
         md5(col("__clean")).as("clean_md5"))
   }
 
+  /** WEIGHTED Jaccard near-dup pairs — the similarity axis the whole
+    * set-based family (q111/q42/q43) cannot express: J_w(A,B) =
+    * Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over TERM FREQUENCIES,
+    * so "spam spam spam spam" and "spam" are set-identical (set-Jaccard
+    * 1.0) but weighted-distant — repetition is part of the identity,
+    * which is what near-dup on template/spam-heavy corpora needs.
+    *
+    * The metric is defined over the df ≤ `maxDf` token space: tokens
+    * held by more documents are excluded from BOTH the intersection and
+    * the norms (the stop-gram discipline of q270, applied consistently
+    * so the score stays a true Jaccard on the filtered space — corpus
+    * boilerplate shouldn't glue documents together, and at scale those
+    * postings are exactly the quadratic ones). Within that space the
+    * computation is exact integer arithmetic: Σ min via the df-bounded
+    * postings self-join (pair cost Σ C(df,2), never all-pairs), norms
+    * as per-doc tf sums, Σ max = norm_a + norm_b − Σ min by
+    * inclusion–exclusion, and the keep/drop threshold is the integer
+    * cross-multiply w_inter·tDen ≥ w_union·tNum — no float at a
+    * decision boundary (the q182 discipline). df = 1 tokens stay in
+    * the norms (they are in the space — unshared mass that correctly
+    * lowers similarity) but skip the join (they cannot intersect).
+    *
+    * Compose with [[exactKeepers]] first on replica-dense corpora (the
+    * q271/q274 lesson — registered q278 does) so replication collapses
+    * before any posting's df multiplies across the cap. */
+  def weightedJaccardPairs(df: DataFrame, id: String, text: String,
+                           n: Int, maxDf: Int, tNum: Int,
+                           tDen: Int): DataFrame = {
+    require(n >= 1, s"n=$n: gram width must be >= 1")
+    require(maxDf >= 2, s"maxDf=$maxDf: a cap below 2 empties the join space")
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
+    // term = word n-gram OCCURRENCE (not distinct — frequencies are the
+    // point). Unigrams are df-degenerate on shared-vocabulary corpora
+    // (this fixture's 31-word vocab puts every unigram past any useful
+    // cap); grams carry the discriminative mass, the q269 lesson.
+    val ws = TextFunctions.words(col(text))
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => array_join(slice(ws, i + 1, lit(n)), " "))
+    val tf = df.filter(size(ws) >= n)
+      .select(col(id).as("doc"), explode(grams).as("w"))
+      .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // read 3x: df table, norms, postings
+    val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val inSpace = tf.join(dfTab.filter(col("df") <= maxDf).select(col("w")), "w")
+    val norms = inSpace.groupBy(col("doc")).agg(sum(col("tf")).as("norm"))
+    val posts = inSpace.join(
+      dfTab.filter(col("df").between(2, maxDf)).select(col("w")), "w")
+    posts.alias("a")
+      .join(posts.alias("b"),
+        col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(sum(least(col("a.tf"), col("b.tf"))).as("w_inter"))
+      .join(norms.select(col("doc").as("id_a"), col("norm").as("__na")), "id_a")
+      .join(norms.select(col("doc").as("id_b"), col("norm").as("__nb")), "id_b")
+      .withColumn("w_union", col("__na") + col("__nb") - col("w_inter"))
+      .filter(col("w_inter") * tDen >= col("w_union") * tNum)
+      .select(col("id_a"), col("id_b"), col("w_inter"), col("w_union"),
+        round(col("w_inter").cast("double") / col("w_union"), 6)
+          .as("wjaccard"))
+  }
+
   /** Shared excision tail of the substring-dedup family: merge the
     * marked windows (id, pos, e) into per-doc char intervals and
     * rebuild each doc's cleaned text. `base` must carry

@@ -1691,6 +1691,67 @@ object TextQueries {
       Some(substringDedupOracle("documents")),
       "substring dedup via codegen'd rolling window hash + exact-substring verify"),
 
+    // --------------------------- weighted Jaccard near-dup (tf axis)
+    // The similarity axis the set family can't express: term
+    // FREQUENCIES are part of document identity, so repetition-heavy
+    // twins that set-Jaccard calls identical score apart (spec pins
+    // the discriminating example). Defined over the df <= 50 token
+    // space (stop-gram discipline applied to numerator AND norms so
+    // the score stays a true Jaccard on the filtered space), exact
+    // integer arithmetic end-to-end, integer cross-multiply threshold
+    // 3/10. Registered DEDUP-FIRST (the q271/q274 lesson at
+    // registration time): exact keepers collapse replication BEFORE
+    // any posting's df multiplies across the cap, so the x100 row
+    // EMITS instead of recording a saturation zero.
+    "q278_weighted_jaccard" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+        val keep = Dedup.exactKeepers(base, "doc_id", "text")
+          .localCheckpoint() // read 3x: keeper filter + both copy joins
+        val kept = base.join(
+          keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        Dedup.weightedJaccardPairs(kept, "doc_id", "text",
+            n = 4, maxDf = 50, tNum = 3, tDen = 10)
+          .join(keep.select($"keeper_id".as("id_a"), $"n_copies".as("copies_a")), "id_a")
+          .join(keep.select($"keeper_id".as("id_b"), $"n_copies".as("copies_b")), "id_b")
+          .select($"id_a", $"id_b", $"w_inter", $"w_union", $"wjaccard",
+            $"copies_a", $"copies_b")
+          .orderBy($"id_a", $"id_b")
+      },
+      Some("""WITH keep AS (SELECT md5(text) AS h, min(doc_id) AS keeper_id,
+            count(*) AS n_copies FROM documents GROUP BY 1),
+        kd AS (SELECT d.doc_id, d.text FROM documents d
+          JOIN keep k ON d.doc_id = k.keeper_id),
+        ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM kd),
+        tf AS (SELECT doc_id AS doc, w, count(*) AS tf FROM (
+            SELECT doc_id, unnest(list_transform(range(1, len(ws) - 2),
+              i -> array_to_string(ws[i:i+3], ' '))) AS w
+            FROM ws WHERE len(ws) >= 4) GROUP BY 1, 2),
+        dft AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+        insp AS (SELECT tf.doc, tf.w, tf.tf FROM tf
+          JOIN dft USING (w) WHERE df <= 50),
+        norms AS (SELECT doc, sum(tf) AS norm FROM insp GROUP BY 1),
+        posts AS (SELECT insp.doc, insp.w, insp.tf FROM insp
+          JOIN dft USING (w) WHERE df BETWEEN 2 AND 50),
+        inter AS (SELECT a.doc AS id_a, b.doc AS id_b,
+            sum(least(a.tf, b.tf)) AS w_inter
+          FROM posts a JOIN posts b ON a.w = b.w AND a.doc < b.doc
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(w_inter AS BIGINT) AS w_inter,
+          CAST(na.norm + nb.norm - w_inter AS BIGINT) AS w_union,
+          round(CAST(w_inter AS DOUBLE) / (na.norm + nb.norm - w_inter), 6)
+            AS wjaccard,
+          CAST(ka.n_copies AS BIGINT) AS copies_a,
+          CAST(kb.n_copies AS BIGINT) AS copies_b
+        FROM inter JOIN norms na ON na.doc = id_a
+          JOIN norms nb ON nb.doc = id_b
+          JOIN keep ka ON ka.keeper_id = id_a
+          JOIN keep kb ON kb.keeper_id = id_b
+        WHERE w_inter * 10 >= (na.norm + nb.norm - w_inter) * 3
+        ORDER BY id_a, id_b"""),
+      "tf-weighted Jaccard near-dup: df-capped postings, integer-exact, dedup-first"),
+
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and
     // the keeper policy needs CLUSTERS (a near-dup of a near-dup is the

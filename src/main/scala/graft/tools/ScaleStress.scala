@@ -185,7 +185,11 @@ object ScaleStress {
     // shard layout: one shard-keyed window sort over the full corpus —
     // the honest global-shuffle cost a layout writer pays; the x100 row
     // measures it on 100x rows (16 shard partitions of ~31k docs each)
-    "r15j" -> Seq("q277_shard_layout"))
+    "r15j" -> Seq("q277_shard_layout"),
+    // weighted Jaccard, registered dedup-first: exact keepers collapse
+    // the x100 replication before any posting's df multiplies across
+    // the cap — the pair stage must EMIT at density (AssertEmits)
+    "r15k" -> Seq("q278_weighted_jaccard"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -197,7 +201,7 @@ object ScaleStress {
     "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn",
     "q273_substring_dedup", "q274_substring_dedup_first",
     "q275_substring_dedup_rolling", "q276_pii_redact",
-    "q277_shard_layout")
+    "q277_shard_layout", "q278_weighted_jaccard")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -1210,6 +1210,15 @@ class ScalePostureSpec extends SparkSpec {
       s"q275 marks candidates/occurrences with wh-keyed windows:\n${p275.take(1200)}")
   }
 
+  test("q278 weighted Jaccard: df-capped postings join, no cartesian") {
+    // pairs must come from the token postings equi-join over the
+    // df-capped space — a cartesian/nested-loop would pair the corpus
+    // quadratically; the keeper aggregate runs before any posting
+    val p = plan("q278_weighted_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q278 pairs must come from the postings equi-join:\n${p.take(1200)}")
+  }
+
   test("q276 PII redaction is a narrow projection: no join, no aggregate") {
     // the privacy pass must scale with scan bandwidth alone — a join
     // or aggregate anywhere means the redaction plan stopped being a

@@ -786,6 +786,41 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("weightedJaccardPairs: repetition discriminates where sets cannot") {
+    val corpus = Seq(
+      (0L, "spam alpha beta gamma delta"),
+      (1L, "spam spam spam spam alpha beta gamma delta"), // same token SET as 0
+      (2L, "totally different words here now"))
+    // precondition: 0 and 1 really are set-identical (set-Jaccard = 1)
+    val sets = corpus.toDF("doc_id", "text")
+      .select($"doc_id", array_sort(array_distinct(
+        TextFunctions.words($"text"))).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(sets(0L) == sets(1L), "fixture must be set-identical")
+    // weighted: tf_0 = all 1 (norm 5); tf_1 = spam 4 + four 1s (norm 8);
+    // w_inter = min(1,4) + 4 = 5; w_union = 5 + 8 - 5 = 8 -> 0.625
+    val pairs = Dedup.weightedJaccardPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 1, maxDf = 50, tNum = 1, tDen = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((0L, 1L, 5L, 8L, 0.625)),
+      s"hand-computed weighted pair drifted: $pairs")
+    // the df-space contract: with maxDf = 1 the require refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.weightedJaccardPairs(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 1, maxDf = 1, tNum = 1, tDen = 2)
+    }
+    assert(e.getMessage.contains("maxDf"), e.getMessage)
+    // stop-gram consistency: a token past the cap leaves numerator AND
+    // norms — add a boilerplate token to every doc and the (0,1) score
+    // must be UNCHANGED once that token's df crosses maxDf = 2
+    val glued = corpus.map { case (id, t) => (id, s"boiler $t") }
+    val capped = Dedup.weightedJaccardPairs(glued.toDF("doc_id", "text"),
+        "doc_id", "text", n = 1, maxDf = 2, tNum = 1, tDen = 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(capped == Seq((0L, 1L, 5L, 8L, 0.625)),
+      s"over-cap boilerplate must leave the filtered-space score intact: $capped")
+  }
+
   test("dedup-first substring dedup: keeper output survives exact replication") {
     val boiler = "this exact license header repeats verbatim in many files"
     val base = Seq(
