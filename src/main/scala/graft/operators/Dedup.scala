@@ -1296,6 +1296,46 @@ object Dedup {
         md5(col("__clean")).as("clean_md5"))
   }
 
+  /** Query-by-SNIPPET search (the MOSS use-case as a search op, not a
+    * pair op): for each query snippet, the corpus documents sharing the
+    * most winnowed fingerprints, ranked. Exact phrase search (q238)
+    * needs the snippet verbatim and BM25 (q129) bags the words away;
+    * winnowing sits between — any shared run of ≥ k+w−1 tokens
+    * GUARANTEES a shared fingerprint (the q269 theorem), so an edited
+    * or partial quote still reaches its source while order-scrambled
+    * bag overlap does not.
+    *
+    * Asymmetric postings discipline: corpus fingerprints held by more
+    * than `maxDf` documents are stop-dropped BEFORE the join (the q270
+    * cap — per-query fan-out ≤ maxDf per fingerprint); query
+    * fingerprints are a bounded set, so the join broadcasts them over
+    * the corpus postings. Ranking is deterministic: (shared desc,
+    * cand_id asc) per query, top `topK`. Returns
+    * (query_id, rank, cand_id, shared). */
+  def winnowSearchTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                       text: Column, k: Int, w: Int, maxDf: Int,
+                       topK: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf=$maxDf: a cap below 1 drops every posting")
+    require(topK >= 1, s"topK=$topK")
+    val qf = winnowedFingerprints(queries, id, text, k, w)
+      .select(col(id).as("query_id"), col("fp")).distinct()
+    val cf = winnowedFingerprints(corpus, id, text, k, w)
+      .select(col(id).as("cand_id"), col("fp")).distinct()
+      .localCheckpoint() // read twice: df table + postings
+    val keep = cf.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val posts = cf.join(keep.select(col("fp")), "fp")
+    val shared = posts.join(broadcast(qf), "fp")
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("shared").desc, col("cand_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank").cast("int").as("rank"),
+        col("cand_id"), col("shared"))
+  }
+
   /** WEIGHTED Jaccard near-dup pairs — the similarity axis the whole
     * set-based family (q111/q42/q43) cannot express: J_w(A,B) =
     * Σ_t min(tf_A, tf_B) / Σ_t max(tf_A, tf_B) over TERM FREQUENCIES,

@@ -1752,6 +1752,85 @@ object TextQueries {
         ORDER BY id_a, id_b"""),
       "tf-weighted Jaccard near-dup: df-capped postings, integer-exact, dedup-first"),
 
+    // --------------------- query-by-SNIPPET search (MOSS as search)
+    // The text-search gap between q238 (exact phrase — needs the
+    // snippet verbatim) and q129 (BM25 — bags the words away):
+    // winnow-fingerprint search finds the SOURCE of an edited or
+    // partial quote. Queries are constructed, deterministically in
+    // both engines, as adversarial snippets of every 25th doc: tokens
+    // 3..22 with the 10th token replaced by an out-of-vocabulary edit
+    // — a 20-token quote with a mid-edit, exactly what exact phrase
+    // search cannot find. The edit splits the snippet into runs of 7
+    // and 12 shared tokens, both ≥ k+w−1 = 7, so the q269 theorem
+    // GUARANTEES ≥ 2 shared fingerprints with the source doc — the
+    // search must surface it. Corpus postings are df ≤ 50 stop-capped
+    // (q270's discipline), query fingerprints broadcast, ranking
+    // (shared desc, cand_id) top-3 per query. The index is built over
+    // EXACT KEEPERS (dedup-first at registration, q278's convention):
+    // a real snippet index indexes distinct content, and under ×N
+    // replication the keeper dfs equal base dfs — the capped search
+    // keeps surfacing sources where a raw-corpus index would saturate
+    // to zero (the q270 regime).
+    "q279_winnow_search" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+        // the search INDEX is built over exact keepers (what a real
+        // snippet index indexes — the q278/q271 dedup-first discipline,
+        // which also keeps the df cap meaningful under replication)
+        val kept = base.join(
+          Dedup.exactKeepers(base, "doc_id", "text")
+            .select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+          .localCheckpoint() // read twice: query construction + corpus
+        val ws = words($"text")
+        val snippet = array_join(concat(
+          slice(ws, 3, 7), array(lit("zzedit")), slice(ws, 11, 12)), " ")
+        val queries = kept.filter($"doc_id" % 25 === 0 && size(ws) >= 22)
+          .select($"doc_id", snippet.as("text"))
+        Dedup.winnowSearchTopK(queries, kept, "doc_id", $"text",
+            k = 4, w = 4, maxDf = 50, topK = 3)
+          .orderBy($"query_id", $"rank")
+      },
+      Some("""WITH keep AS (SELECT min(doc_id) AS keeper_id
+          FROM documents GROUP BY md5(text)),
+        ws0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents WHERE doc_id IN (SELECT keeper_id FROM keep)),
+        q AS (SELECT doc_id, array_to_string(list_concat(
+            list_concat(ws[3:9], ['zzedit']), ws[11:22]), ' ') AS text
+          FROM ws0 WHERE doc_id % 25 = 0 AND len(ws) >= 22),
+        qws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM q),
+        qks AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+            CAST('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 8) AS BIGINT)
+              * 2097152 + (2097151 - i)) AS ks
+          FROM qws WHERE len(ws) >= 4),
+        qsel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(ks) - 4, 0) + 1),
+            j -> list_min(ks[j+1:least(j+4, len(ks))])))) AS key
+          FROM qks),
+        qf AS (SELECT DISTINCT doc_id AS query_id, key >> 21 AS fp FROM qsel),
+        cks AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+            CAST('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 8) AS BIGINT)
+              * 2097152 + (2097151 - i)) AS ks
+          FROM ws0 WHERE len(ws) >= 4),
+        csel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(ks) - 4, 0) + 1),
+            j -> list_min(ks[j+1:least(j+4, len(ks))])))) AS key
+          FROM cks),
+        cf AS (SELECT DISTINCT doc_id AS cand_id, key >> 21 AS fp FROM csel),
+        fkeep AS (SELECT fp FROM cf GROUP BY fp HAVING count(*) <= 50),
+        posts AS (SELECT cand_id, fp FROM cf
+          WHERE fp IN (SELECT fp FROM fkeep)),
+        sh AS (SELECT query_id, cand_id, count(*) AS shared
+          FROM qf JOIN posts USING (fp) GROUP BY 1, 2)
+        SELECT * FROM (
+          SELECT query_id,
+            CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY shared DESC, cand_id) AS INTEGER) AS rank,
+            cand_id, CAST(shared AS BIGINT) AS shared
+          FROM sh)
+        WHERE rank <= 3 ORDER BY query_id, rank"""),
+      "query-by-snippet: winnow-fingerprint search finds the source of an edited quote"),
+
     // ------------------------------------------------ near-dup clustering
     // Pairs are only half a dedup pipeline: LSH/Jaccard emit EDGES, and
     // the keeper policy needs CLUSTERS (a near-dup of a near-dup is the

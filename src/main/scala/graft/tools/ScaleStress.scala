@@ -189,7 +189,16 @@ object ScaleStress {
     // weighted Jaccard, registered dedup-first: exact keepers collapse
     // the x100 replication before any posting's df multiplies across
     // the cap — the pair stage must EMIT at density (AssertEmits)
-    "r15k" -> Seq("q278_weighted_jaccard"))
+    "r15k" -> Seq("q278_weighted_jaccard"),
+    // query-by-snippet: |Q|-bounded broadcast over df-capped KEEPER
+    // postings — the q263/q272 search shape on the text modality,
+    // registered dedup-first (the index indexes distinct content) so
+    // keeper dfs equal base dfs at any replication and the capped
+    // search keeps EMITTING at density (AssertEmits); note the x100
+    // replica's keeper ids are all = base_id*100, so every keeper
+    // passes the %25 query filter — |Q| grows 5000/200 = 25x, which
+    // is the measured fan-out, not a defect
+    "r15l" -> Seq("q279_winnow_search"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -201,7 +210,7 @@ object ScaleStress {
     "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn",
     "q273_substring_dedup", "q274_substring_dedup_first",
     "q275_substring_dedup_rolling", "q276_pii_redact",
-    "q277_shard_layout", "q278_weighted_jaccard")
+    "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -1219,6 +1219,17 @@ class ScalePostureSpec extends SparkSpec {
       s"q278 pairs must come from the postings equi-join:\n${p.take(1200)}")
   }
 
+  test("q279 winnow search: broadcast query fps over capped postings, no cartesian") {
+    // the snippet search keeps the q263/q272 search posture: a bounded
+    // query set broadcasts over the df-capped corpus postings — never
+    // a nested loop over the corpus
+    val p = plan("q279_winnow_search")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q279 candidates must come from the fingerprint equi-join:\n${p.take(1200)}")
+    assert(p.contains("BroadcastExchange"),
+      s"q279 must broadcast the query fingerprints:\n${p.take(1200)}")
+  }
+
   test("q276 PII redaction is a narrow projection: no join, no aggregate") {
     // the privacy pass must scale with scan bandwidth alone — a join
     // or aggregate anywhere means the redaction plan stopped being a

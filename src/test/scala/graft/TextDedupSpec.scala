@@ -786,6 +786,40 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowSearchTopK: an edited 20-token quote surfaces its source at rank 1") {
+    // per-doc disjoint vocabularies: only the true source can share a
+    // fingerprint, so ranking is a theorem, not a likelihood
+    val corpus = (0L until 6L)
+      .map(i => (i, (0 until 30).map(j => s"d${i}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // the registered q279 construction: tokens 3..22 of doc 2, with
+    // absolute token 10 replaced by an out-of-vocabulary edit — runs
+    // of 7 and 12 shared tokens, both >= k+w-1 = 7, so the winnowing
+    // guarantee yields >= 2 shared fingerprints with the source
+    val toks = (0 until 30).map(j => s"d2w$j")
+    val snip = (toks.slice(2, 9) ++ Seq("zzedit") ++ toks.slice(10, 22))
+      .mkString(" ")
+    val got = Dedup.winnowSearchTopK(
+        Seq((2L, snip)).toDF("doc_id", "text"), corpus,
+        "doc_id", $"text", k = 4, w = 4, maxDf = 50, topK = 3)
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got.map(_._3).toSet == Set(2L),
+      s"disjoint-vocab docs must be unreachable: $got")
+    val top = got.head
+    assert(top._1 == 2L && top._2 == 1 && top._3 == 2L && top._4 >= 2L,
+      s"source must rank 1 with >= 2 shared fingerprints (pigeonhole): $top")
+    // the contrast that motivates the operator: the edited snippet is
+    // NOT a substring of its source, so exact phrase search misses it
+    val srcText = (0 until 30).map(j => s"d2w$j").mkString(" ")
+    assert(!srcText.contains(snip), "fixture must be a genuinely edited quote")
+    // guards: degenerate knobs refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.winnowSearchTopK(Seq((2L, snip)).toDF("doc_id", "text"),
+        corpus, "doc_id", $"text", 4, 4, maxDf = 0, topK = 3)
+    }
+    assert(e.getMessage.contains("maxDf"), e.getMessage)
+  }
+
   test("weightedJaccardPairs: repetition discriminates where sets cannot") {
     val corpus = Seq(
       (0L, "spam alpha beta gamma delta"),
