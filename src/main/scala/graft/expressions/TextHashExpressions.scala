@@ -275,12 +275,12 @@ object RollingWindowHash {
       ci += 1
       if (ci >= width) {
         if (out == null) {
-          // numChars is O(n); paid once, only for texts long enough
-          out = new Array[Long](s.numChars() - width + 1)
+          // sized by the BYTE count — an upper bound on code points
+          // that stays valid even for malformed UTF-8 (where numChars
+          // and this decoder's degrade-don't-throw fallback can
+          // disagree — round-15 self-review catch); truncated below
+          out = new Array[Long](nBytes - width + 1)
         }
-        if (m == out.length)
-          throw new IllegalStateException(
-            "rolling_window_hash: decoded more chars than numChars — malformed UTF-8?")
         out(m) = h
         m += 1
       }

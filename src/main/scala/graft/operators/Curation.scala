@@ -205,6 +205,40 @@ object Curation {
           .as("n_tokens"))
   }
 
+  // ------------------------------------------------- shard layout
+
+  /** Epoch-shuffled shard layout (q277's law, THE single definition —
+    * the registered query and the CurationE2E closing leg both call
+    * this, so the two can't silently drift; round-15 self-review
+    * catch): shard = md5-hash of the id, within-shard order =
+    * md5(epochSalt:id) ascending with id tie-break (a new salt is a
+    * fresh global shuffle; the same salt replays byte-identically),
+    * and each shard's exact order is pinned by the order-sensitive
+    * checksum Σ (rank mod p)·(id mod p), p = 1000003 — integer-exact
+    * in both engines. One shard-keyed window sort (the
+    * repartition+sortWithinPartitions cost of a real layout writer) +
+    * a shard-bounded aggregate. Returns one row per shard:
+    * (shard, n_docs, n_tokens, order_checksum, first_doc). */
+  def shardLayout(df: DataFrame, id: String, text: String,
+                  nShards: Int, epochSalt: String): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(id),
+      TextFunctions.wordCount(col(text)).cast("long").as("n_tok"),
+      (conv(substring(md5(concat(lit("shard:"), col(id).cast("string"))),
+        1, 15), 16, 10).cast("long") % nShards).as("shard"),
+      conv(substring(md5(concat(lit(s"$epochSalt:"), col(id).cast("string"))),
+        1, 15), 16, 10).cast("long").as("__ord"))
+    val ranked = keyed.withColumn("__rk", row_number().over(
+      Window.partitionBy(col("shard")).orderBy(col("__ord"), col(id))))
+    ranked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum((col("__rk") % 1000003) * (col(id) % 1000003))
+          .as("order_checksum"),
+        max(when(col("__rk") === 1, col(id))).as("first_doc"))
+  }
+
   // ------------------------------------------------- PII redaction
 
   /** The three PII patterns, written in the COMMON dialect of Java

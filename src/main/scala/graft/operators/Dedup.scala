@@ -1173,8 +1173,9 @@ object Dedup {
     * pinnable. Returns (id, text cleaned, orig_len, n_spans_removed,
     * chars_removed) — the doc stream itself, scrubbed. */
   def substringScrub(docs: DataFrame, id: String, text: String,
-                     width: Int, seen: Option[DataFrame]): DataFrame =
-    substringCleanFrame(docs, id, text, width, seen)
+                     width: Int, seen: Option[DataFrame],
+                     wins: Option[DataFrame] = None): DataFrame =
+    substringCleanFrame(docs, id, text, width, seen, wins)
       .select(col(id), col("__clean").as(text),
         col("orig_len").cast("long").as("orig_len"),
         coalesce(col("__n_spans"), lit(0L)).as("n_spans_removed"),
@@ -1195,19 +1196,29 @@ object Dedup {
   }
 
   private def substringCleanFrame(docs: DataFrame, id: String, text: String,
-                                  width: Int,
-                                  seen: Option[DataFrame]): DataFrame = {
+                                  width: Int, seen: Option[DataFrame],
+                                  precomputedWins: Option[DataFrame] = None)
+      : DataFrame = {
     require(width >= 4, s"width=$width: windows below 4 chars mark everything")
     val span = lit(WinnowPosSpan.toLong)
     val base = docs.select(col(id), col(text).as("__txt"),
       length(col(text)).cast("int").as("orig_len"))
-    val wins = substringWindowHashes(base, id, "__txt", width)
+    // an ingest writer that also persists the window stream as its
+    // index delta passes the frame in, so the corpus-byte-proportional
+    // md5 pass runs ONCE per batch (round-15 self-review catch); the
+    // caller's frame must be (id, pos, wh) as substringWindowHashes
+    // emits it
+    val wins = precomputedWins.getOrElse(
+      substringWindowHashes(base, id, "__txt", width))
     // (id, pos) packed into one orderable long — pos rides the low 21
     // bits, so min over the hash partition is the global first
     // occurrence. Guard the packing envelope loudly (the q221/q253
-    // loud-cap class): a negative id or a 2^21-char doc would reorder
-    // keys silently.
-    val packed = when(col(id).cast("long") < 0 || col("pos") >= span,
+    // loud-cap class): a negative id, an id at or past 2^42 (id·2^21
+    // would wrap Long and silently reorder first-occurrence keys —
+    // round-15 self-review catch), or a 2^21-char doc would all
+    // corrupt the order.
+    val packed = when(col(id).cast("long") < 0 ||
+          col(id).cast("long") >= (1L << 42) || col("pos") >= span,
         raise_error(concat(lit("substringDedup: (id, pos) outside the " +
           "2^21 packing envelope: "), col(id).cast("string"), lit(","),
           col("pos").cast("string"))).cast("long"))
@@ -1265,7 +1276,8 @@ object Dedup {
         TextFunctions.rollingWindowHash(col("__txt"), width))
         .as(Seq("__i", "wh")))
       .select(col(id), (col("__i") + 1).as("pos"), col("wh"))
-    val packed = when(col(id).cast("long") < 0 || col("pos") >= span,
+    val packed = when(col(id).cast("long") < 0 ||
+          col(id).cast("long") >= (1L << 42) || col("pos") >= span,
         raise_error(concat(lit("substringDedupRolling: (id, pos) outside " +
           "the 2^21 packing envelope: "), col(id).cast("string"), lit(","),
           col("pos").cast("string"))).cast("long"))
@@ -1379,10 +1391,13 @@ object Dedup {
       .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("tf"))
       .localCheckpoint() // read 3x: df table, norms, postings
     val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val inSpace = tf.join(dfTab.filter(col("df") <= maxDf).select(col("w")), "w")
+    // carry df through ONE join and derive the space/postings as
+    // filters — a second dfTab join over the dominant token stream
+    // would re-shuffle it just to reapply a predicate on a value
+    // already in hand (round-15 self-review catch)
+    val inSpace = tf.join(dfTab, "w").filter(col("df") <= maxDf)
     val norms = inSpace.groupBy(col("doc")).agg(sum(col("tf")).as("norm"))
-    val posts = inSpace.join(
-      dfTab.filter(col("df").between(2, maxDf)).select(col("w")), "w")
+    val posts = inSpace.filter(col("df") >= 2).drop("df")
     posts.alias("a")
       .join(posts.alias("b"),
         col("a.w") === col("b.w") && col("a.doc") < col("b.doc"))

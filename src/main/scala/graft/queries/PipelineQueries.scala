@@ -122,21 +122,8 @@ object PipelineQueries {
     "q277_shard_layout" -> Q(
       (s, d) => {
         import s.implicits._
-        val S = 16
-        val keyed = t(s, d, "documents").select($"doc_id",
-          TextFunctions.wordCount($"text").cast("long").as("n_tok"),
-          (conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))),
-            1, 15), 16, 10).cast("long") % S).as("shard"),
-          conv(substring(md5(concat(lit("epoch1:"), $"doc_id".cast("string"))),
-            1, 15), 16, 10).cast("long").as("__ord"))
-        val ranked = keyed.withColumn("__rk", row_number().over(
-          Window.partitionBy($"shard").orderBy($"__ord", $"doc_id")))
-        ranked.groupBy($"shard")
-          .agg(count(lit(1)).as("n_docs"),
-            sum($"n_tok").as("n_tokens"),
-            sum(($"__rk" % 1000003) * ($"doc_id" % 1000003))
-              .as("order_checksum"),
-            max(when($"__rk" === 1, $"doc_id")).as("first_doc"))
+        graft.operators.Curation.shardLayout(t(s, d, "documents"),
+            "doc_id", "text", nShards = 16, epochSalt = "epoch1")
           .orderBy($"shard")
       },
       Some("""WITH keyed AS (SELECT doc_id,

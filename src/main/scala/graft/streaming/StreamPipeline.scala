@@ -420,11 +420,17 @@ object StreamPipeline {
           if (committed.isEmpty) None
           else Some(spark.read.parquet(committed: _*)
             .select(col("band_hash").as("wh")))
+        // ONE window-hash pass per batch: the stride-1 md5 stream is
+        // the writer's dominant cost, and both the scrub and the index
+        // delta need it — materialize once, feed both (round-15
+        // self-review catch; previously each job re-ran the explode)
+        val wins = Dedup.substringWindowHashes(
+            batch.select(col(id), col(text)), id, text, width)
+          .localCheckpoint()
         Dedup.substringScrub(batch.select(col(id), col(text)),
-            id, text, width, seen)
+            id, text, width, seen, Some(wins))
           .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name")
-        Dedup.substringWindowHashes(batch.select(col(id), col(text)),
-            id, text, width)
+        wins
           .select(col(id), lit(0).as("band_idx"), col("wh").as("band_hash"))
           .distinct()
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/$name")

@@ -40,7 +40,7 @@ import graft.operators.{Curation, Dedup}
   *                        non-first occurrence of a duplicated 40-char
   *                        window (cross-doc boilerplate that doc-LEVEL
   *                        dedup structurally keeps — the spans q124
-  *                        profiles), drop docs scrubbed below one word,
+  *                        profiles), drop docs scrubbed empty,
   *                        then collapse at the fingerprint level AGAIN
   *                        (excision can reveal exact duplicates that
   *                        differed only by the removed span). Keepers-
@@ -194,7 +194,7 @@ object CurationE2E {
     // excises every non-first occurrence of any duplicated 40-char
     // window from the keepers (q273's machinery, keepers-sized window
     // stream — the q274 dedup-first composition by position), drops
-    // docs scrubbed below one word, and then collapses at the
+    // docs scrubbed empty, and then collapses at the
     // fingerprint level AGAIN: excision can REVEAL exact duplicates
     // that differed only by the removed span, and the leg-11 leak
     // audit requires zero straddling fingerprints of the FINAL texts.
@@ -205,8 +205,12 @@ object CurationE2E {
       val sc = Dedup.substringScrub(
         exactKept.select($"doc_id", $"text"), "doc_id", "text",
         width = 40, seen = None)
+      // drop docs scrubbed to nothing: wordCount alone is vacuous here
+      // (split("", " ") is [""], so every string counts >= 1 word —
+      // round-15 self-review catch); the trim-length gate is what
+      // actually rejects empty and whitespace-only survivors
       val cleaned = exactKept.select($"doc_id", $"source")
-        .join(sc.filter(TextFunctions.wordCount($"text") >= 1)
+        .join(sc.filter(length(trim($"text")) > 0)
           .select($"doc_id", $"text"), Seq("doc_id"))
       val keep2 = Dedup.keepers(cleaned, "doc_id",
           TextFunctions.fingerprint(col("text")))
@@ -376,22 +380,11 @@ object CurationE2E {
     // shard-keyed window sort + a shard-bounded aggregate; reported
     // docs/tokens = the train split laid out.
     timed("shard_layout") {
-      val S = 16
-      val keyed = assignedOut.filter($"split" === "train")
-        .select($"doc_id",
-          TextFunctions.wordCount($"text").cast("long").as("n_tok"),
-          (conv(substring(md5(concat(lit("shard:"), $"doc_id".cast("string"))),
-            1, 15), 16, 10).cast("long") % S).as("shard"),
-          conv(substring(md5(concat(lit("epoch1:"), $"doc_id".cast("string"))),
-            1, 15), 16, 10).cast("long").as("__ord"))
-      val ranked = keyed.withColumn("__rk",
-        org.apache.spark.sql.functions.row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy($"shard").orderBy($"__ord", $"doc_id")))
-      val shards = mat(ranked.groupBy($"shard")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"),
-          sum(($"__rk" % 1000003) * ($"doc_id" % 1000003))
-            .as("order_checksum")))
+      // q277's law via THE shared operator (Curation.shardLayout) —
+      // the leg and the registered/oracled query cannot drift
+      val shards = mat(Curation.shardLayout(
+        assignedOut.filter($"split" === "train"), "doc_id", "text",
+        nShards = 16, epochSalt = "epoch1"))
       val a = shards.agg(coalesce(sum($"n_docs"), lit(0L)),
         coalesce(sum($"n_tokens"), lit(0L))).head()
       (shards, a.getLong(0), a.getLong(1))

@@ -722,6 +722,17 @@ class TextDedupSpec extends SparkSpec {
       .takeWhile(_ != null).map(_.toString).mkString(" | ")
     assert(chain.contains("packing envelope"),
       s"expected the packing-envelope raise_error, got: $chain")
+    // upper bound too: id >= 2^42 would wrap id*2^21 past Long.MaxValue
+    // and silently reorder first-occurrence keys (round-15 self-review
+    // catch) — must refuse loudly instead
+    val big = Seq((1L << 42, "x" * 80), (1L, "x" * 80)).toDF("doc_id", "text")
+    val thrownHi = intercept[Exception] {
+      Dedup.substringDedup(big, "doc_id", "text", width = 40).collect()
+    }
+    val chainHi = Iterator.iterate[Throwable](thrownHi)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ")
+    assert(chainHi.contains("packing envelope"),
+      s"expected the id-upper-bound raise_error, got: $chainHi")
   }
 
   test("RollingWindowHash equals the literal polynomial replay, incl. multibyte") {
