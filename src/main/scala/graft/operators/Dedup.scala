@@ -1216,12 +1216,18 @@ object Dedup {
     // loud-cap class): a negative id, an id at or past 2^42 (id·2^21
     // would wrap Long and silently reorder first-occurrence keys —
     // round-15 self-review catch), or a 2^21-char doc would all
-    // corrupt the order.
-    val packed = when(col(id).cast("long") < 0 ||
+    // corrupt the order. A NON-CASTABLE id (null, or a string the long
+    // cast nulls out) must hit the same raise: a NULL comparison makes
+    // the when-condition NULL, the raise branch is SKIPPED, the packed
+    // key is NULL, and those rows silently fall out of the marked
+    // filter — the whole dedup becomes a no-op for them (round-16
+    // advice catch; ingest writers accept arbitrary id columns).
+    val packed = when(col(id).cast("long").isNull ||
+          col(id).cast("long") < 0 ||
           col(id).cast("long") >= (1L << 42) || col("pos") >= span,
         raise_error(concat(lit("substringDedup: (id, pos) outside the " +
-          "2^21 packing envelope: "), col(id).cast("string"), lit(","),
-          col("pos").cast("string"))).cast("long"))
+          "2^21 packing envelope: "), coalesce(col(id).cast("string"),
+          lit("NULL")), lit(","), col("pos").cast("string"))).cast("long"))
       .otherwise(col(id).cast("long") * span + col("pos"))
     val byHash = Window.partitionBy(col("wh"))
     // an occurrence is removed iff its hash was already admitted
@@ -1276,14 +1282,22 @@ object Dedup {
         TextFunctions.rollingWindowHash(col("__txt"), width))
         .as(Seq("__i", "wh")))
       .select(col(id), (col("__i") + 1).as("pos"), col("wh"))
-    val packed = when(col(id).cast("long") < 0 ||
+    // null-castable ids must RAISE, not null out the packed key (the
+    // substringCleanFrame guard's rationale — see there)
+    val packed = when(col(id).cast("long").isNull ||
+          col(id).cast("long") < 0 ||
           col(id).cast("long") >= (1L << 42) || col("pos") >= span,
         raise_error(concat(lit("substringDedupRolling: (id, pos) outside " +
-          "the 2^21 packing envelope: "), col(id).cast("string"), lit(","),
-          col("pos").cast("string"))).cast("long"))
+          "the 2^21 packing envelope: "), coalesce(col(id).cast("string"),
+          lit("NULL")), lit(","), col("pos").cast("string"))).cast("long"))
       .otherwise(col(id).cast("long") * span + col("pos"))
     val byHash = Window.partitionBy(col("wh"))
+    // __k is attached to the FULL window stream, not the post-verify
+    // frame: a null id would drop out of the verify's inner id-join
+    // before a later guard ever ran, silently no-opping the dedup for
+    // those docs (and corrupting __n2 for their partners)
     val cand = wins
+      .withColumn("__k", packed)
       .withColumn("__n", count(lit(1)).over(byHash))
       .filter(col("__n") >= 2)
     // exact verify: only candidate rows re-derive their substring (one
@@ -1295,7 +1309,6 @@ object Dedup {
       .withColumn("__sub", col("__txt").substr(col("pos"), lit(width)))
     val bySub = Window.partitionBy(col("wh"), col("__sub"))
     val marked = withSub
-      .withColumn("__k", packed)
       .withColumn("__n2", count(lit(1)).over(bySub))
       .withColumn("__fk", min(col("__k")).over(bySub))
       .filter(col("__n2") >= 2 && col("__k") =!= col("__fk"))

@@ -284,10 +284,17 @@ object StreamPipeline {
                             k: Int = 16, bands: Int = 4): (DataFrame, Long) => Unit = {
     import graft.operators.Dedup
     bucketSuppressWriter(indexDir, outDir, id,
-      bucketsOf = b =>
+      bucketsOf = { b =>
+        // scheme pin (the `_bands` protocol on the text modality): the
+        // persisted band hashes are only comparable under the same
+        // (hash scheme, k, bands) — a reopened writer with a drifted
+        // config would match nothing and admit every duplicate
+        pinIndexScheme(b.sparkSession, indexDir, "_scheme",
+          s"minhash-lcg k=$k bands=$bands")
         Dedup.lshBands(
           Dedup.minhashSignaturesLcg(Dedup.tokens(b, id, text), id, k),
-          id, k, bands),
+          id, k, bands)
+      },
       // any shared 128-bit band hash suppresses (no verify — the text
       // posture documented above; md5 band values make spurious
       // collisions negligible, unlike narrow perceptual bands)
@@ -337,12 +344,25 @@ object StreamPipeline {
     require(maxPosting >= 1,
       s"maxPosting=$maxPosting: a cap below 1 drops every posting")
     bucketSuppressWriter(indexDir, outDir, id,
-      bucketsOf = b =>
+      bucketsOf = { b =>
+        // scheme pin: the persisted fingerprints are (k, w)-dependent —
+        // a reopened writer with either drifted derives values that
+        // match NOTHING in the index and admits every duplicate, the
+        // silent-total failure the marker refuses. minShared and
+        // maxPosting are deliberately NOT pinned: they are read-side
+        // POLICY over scheme-stable rows (every hash still compares;
+        // retuning the threshold mid-stream is a legitimate, visible
+        // operation — the posting-cap A/B spec reopens one index under
+        // different thresholds by design, and seeding a posting-2 cap
+        // fixture is impossible under a pinned threshold)
+        pinIndexScheme(b.sparkSession, indexDir, "_scheme",
+          s"winnow k=$k w=$w")
         Dedup.winnowedFingerprints(b.select(col(id), col(text)), id,
             col(text), k, w)
           .select(col(id), lit(0).as("band_idx"),
             col("fp").cast("string").as("band_hash"))
-          .distinct(), // count DISTINCT shared hashes — q270's rule
+          .distinct() // count DISTINCT shared hashes — q270's rule
+      },
       hitExistingOf = { (b, idx) =>
         val bounded = idx.join(
           idx.groupBy(col("band_hash")).agg(count(lit(1)).as("__df"))
@@ -393,10 +413,13 @@ object StreamPipeline {
     * window hash of the batch — including hashes inside spans that
     * were themselves just excised: their FIRST copy is admitted
     * (possibly in this very batch), and any later arrival must excise
-    * against it. Index growth is one row per distinct window content —
-    * corpus-byte-proportional, the same price the batch operator (and
-    * the paper's suffix array) pays; compaction keeps the read to one
-    * generation.
+    * against it. Index growth is one row per distinct (doc, window
+    * content) pair — posting-proportional, i.e. bounded by ADMITTED
+    * corpus bytes (the same order as the batch operator and the
+    * paper's suffix array; rows are kept per-doc rather than distinct
+    * on the hash alone because [[nearDupIndexStats]]'s occupancy read
+    * is posting length per window hash); compaction keeps the read to
+    * one generation.
     *
     * Determinism contract: within a batch the rule is the batch
     * operator's ((id, pos)-packed first occurrence); across batches,
@@ -415,6 +438,10 @@ object StreamPipeline {
       val spark = batch.sparkSession
       val name = f"batch-$batchId%06d"
       if (!Fs.exists(spark, s"$outDir/$name.commit")) {
+        // scheme pin: the persisted window md5s are width-dependent —
+        // a reopened writer with a different width would find no hash
+        // hits and admit every duplicated span verbatim
+        pinIndexScheme(spark, indexDir, "_scheme", s"substring width=$width")
         val committed = committedIndexPaths(spark, indexDir, outDir)
         val seen =
           if (committed.isEmpty) None
@@ -560,15 +587,7 @@ object StreamPipeline {
         // band-scheme pin: first batch records nBands; every later one
         // must match — a silent scheme change would make every existing
         // index row uncomparable and admit all duplicates
-        val schemeFile = s"$indexDir/_bands"
-        if (!graft.io.Fs.exists(sp, schemeFile))
-          graft.io.Fs.writeText(sp, schemeFile, nBands.toString)
-        else {
-          val recorded = graft.io.Fs.readText(sp, schemeFile).trim
-          require(recorded == nBands.toString,
-            s"sketch dedup index at $indexDir was built with $recorded bands; " +
-              s"this writer derives $nBands — rebuild the index or match the scheme")
-        }
+        pinIndexScheme(sp, indexDir, "_bands", nBands.toString)
         // a non-numeric id would cast to NULL and silently disable the
         // whole filter (anti-joins never match null) — refuse instead
         val dt = b.schema(id).dataType
@@ -645,6 +664,31 @@ object StreamPipeline {
       }
     }
 
+  /** Create-only SCHEME marker for a persisted suppression index — the
+    * `_bands` protocol generalized (round-16): the first batch records
+    * the parameters the index's hashes were derived under; every later
+    * batch REFUSES a mismatch loudly. The failure this kills is silent
+    * and total: index rows written under one scheme never equal values
+    * a differently-parameterized writer derives (another window width,
+    * another (k, w), another band count), so a restarted stream with
+    * drifted config would match NOTHING and admit every duplicate —
+    * the exact outcome the index exists to prevent. Scheme strings are
+    * compared verbatim; anything that changes the persisted hash
+    * values (or their match rule) belongs in them. */
+  private[streaming] def pinIndexScheme(spark: SparkSession, indexDir: String,
+                                        marker: String, scheme: String): Unit = {
+    import graft.io.Fs
+    val p = s"$indexDir/$marker"
+    if (!Fs.exists(spark, p)) Fs.writeText(spark, p, scheme)
+    else {
+      val recorded = Fs.readText(spark, p).trim
+      require(recorded == scheme,
+        s"suppression index at $indexDir was built with scheme " +
+          s"'$recorded'; this writer derives '$scheme' — rebuild the " +
+          "index or match the scheme")
+    }
+  }
+
   /** Index state for the [[bucketSuppressWriter]] family (text and
     * image writers share one index lifecycle — [[compactNearDupIndex]]
     * and the janitor apply to EITHER modality's indexDir): the newest
@@ -700,7 +744,8 @@ object StreamPipeline {
     * holds the OLD delta paths in its plan, so deleting them the
     * instant the new meta lands races that reader into FileNotFound. */
   def compactNearDupIndex(spark: SparkSession, indexDir: String,
-                          outDir: String, warnBucketAt: Int = 200): Int = {
+                          outDir: String, warnBucketAt: Int = 200,
+                          warnHint: String = BandOccupancyHint): Int = {
     import graft.io.Fs
     val (base, deltas) = indexState(spark, indexDir, outDir)
     if (deltas.isEmpty) return 0
@@ -725,10 +770,35 @@ object StreamPipeline {
       Console.err.println(s"[compactNearDupIndex] WARN band ${r.getAs[Int]("band_idx")} " +
         s"of $indexDir: max bucket ${r.getAs[Long]("max_bucket")} >= $warnBucketAt " +
         s"(avg ${r.getAs[Double]("avg_bucket")}, ${r.getAs[Long]("n_buckets")} buckets) — " +
-        "the band space is saturating; move to wider bands (nBands=4) or a wider sketch")
+        warnHint)
     }
     deltas.size
   }
+
+  /** Default [[compactNearDupIndex]] WARN hint — correct for the
+    * band-bucket writers (MinHash / winnow / sketch), whose occupancy
+    * growth means band-space SATURATION: past the threshold the batch
+    * twin would stop-drop the bucket and the ingest verify join's
+    * per-arrival cost is growing linearly. */
+  val BandOccupancyHint: String =
+    "the band space is saturating; move to wider bands (nBands=4) or a wider sketch"
+
+  /** The WARN hint for [[substringScrubWriter]] indexes, whose
+    * occupancy semantics INVERT the band reading (round-15 verdict #5):
+    * a "bucket" there is the posting length of one WINDOW HASH, and a
+    * hot hash is high-duplication BOILERPLATE — exactly what the
+    * scrubber exists to excise more of, not a recall-losing saturation.
+    * What the threshold still guards is COST: each arrival's hash-hit
+    * semi-join fans out by posting length, so a hot hash is a join-skew
+    * signal. Tune `warnBucketAt` for that meaning (boilerplate-heavy
+    * corpora legitimately run hot — raise it, or compact and scrub the
+    * upstream source), and pass this hint so the operator reading the
+    * log is not told to "widen bands" an index that has none. */
+  val SubstringOccupancyHint: String =
+    "hot window hash = high-duplication boilerplate (the excise join " +
+      "fans out by posting length): expected on boilerplate-heavy " +
+      "corpora — raise warnBucketAt if so, or scrub the upstream source; " +
+      "band-widening advice does NOT apply to a substring index"
 
   /** Per-band occupancy of the committed near-dup index — the
     * observability probe for the suppression writers' declared

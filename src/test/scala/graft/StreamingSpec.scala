@@ -1231,7 +1231,9 @@ class StreamingSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       writer8(Seq((6L, png(3L))).toDF("media_id", "content"), 3L)
     }
-    assert(e.getMessage.contains("bands"), e.getMessage)
+    // the generalized marker protocol (round-16) names both schemes
+    assert(e.getMessage.contains("'4'") && e.getMessage.contains("'8'"),
+      e.getMessage)
     // the tie between maxDist and nBands is enforced at construction
     val e2 = intercept[IllegalArgumentException] {
       StreamPipeline.imageDedupSuppressWriter(indexDir, outDir,
@@ -1422,9 +1424,23 @@ class StreamingSpec extends SparkSpec {
       "replayed batch id must be a no-op")
     // the index rides the shared lifecycle: compaction folds the two
     // deltas into a promoted base and the occupancy probe reads it
-    // (posting length per window hash — band_idx 0 by construction)
-    val folded = StreamPipeline.compactNearDupIndex(spark, indexDir, outDir)
+    // (posting length per window hash — band_idx 0 by construction).
+    // The boilerplate-heavy fixture (docs 0 and 1 both carry `boiler`,
+    // so its window hashes have posting length 2) must trip the WARN
+    // at threshold 2 — with the SUBSTRING hint, not the band-widening
+    // advice that doesn't apply to a hash-hit-excise index (round-15
+    // verdict #5: hot window hash = boilerplate to excise, the
+    // threshold guards excise-join fan-out, not band saturation)
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val folded = Console.withErr(new java.io.PrintStream(errBuf, true, "UTF-8")) {
+      StreamPipeline.compactNearDupIndex(spark, indexDir, outDir,
+        warnBucketAt = 2, warnHint = StreamPipeline.SubstringOccupancyHint)
+    }
     assert(folded == 2, s"expected 2 deltas folded, got $folded")
+    val err = errBuf.toString("UTF-8")
+    assert(err.contains("WARN") && err.contains("boilerplate") &&
+        !err.contains("wider bands"),
+      s"boilerplate-heavy substring index must WARN with the excise hint: $err")
     val stats = StreamPipeline.nearDupIndexStats(spark, indexDir, outDir)
       .as[(Int, Long, Long, Long, Double)].collect()
     assert(stats.length == 1 && stats(0)._1 == 0 && stats(0)._2 > 0,
@@ -1434,6 +1450,95 @@ class StreamingSpec extends SparkSpec {
   private def md5hexJvm(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("suppression index scheme markers: mismatched reopen refuses loudly, matched proceeds") {
+    // The `_bands` protocol generalized to every suppression writer
+    // (round-16): persisted index hashes are only comparable under the
+    // parameters they were derived with — a restarted stream with a
+    // drifted width / (k, w) / (k, bands) / nBands would match NOTHING
+    // and silently admit every duplicate. Each writer pins its scheme
+    // in a create-only marker on first batch; a mismatched reopen must
+    // THROW (naming both schemes), and a matched reopen must proceed.
+    implicit val sqlCtx = spark.sqlContext
+    // token-DISJOINT texts per id: the marker is what's under test, so
+    // no batch may be suppressed as an actual duplicate of another
+    def batch(ids: Long*) = ids.map(i =>
+        i -> (0 until 24).map(j => s"tok${i}x$j").mkString(" "))
+      .toDF("doc_id", "text")
+    def refuse(msgBoth: Seq[String])(body: => Unit): Unit = {
+      val e = intercept[IllegalArgumentException](body)
+      msgBoth.foreach(m => assert(e.getMessage.contains(m),
+        s"refusal must name '$m': ${e.getMessage}"))
+    }
+    // substring scrub: width IS the scheme (window md5s are width-keyed)
+    locally {
+      val b = Files.createTempDirectory("scheme_ss").toString
+      val w40 = StreamPipeline.substringScrubWriter(
+        s"$b/i", s"$b/o", "doc_id", "text", width = 40)
+      w40(batch(0L), 0L)
+      assert(graft.io.Fs.readText(spark, s"$b/i/_scheme").trim ==
+        "substring width=40")
+      refuse(Seq("width=40", "width=20")) {
+        StreamPipeline.substringScrubWriter(
+          s"$b/i", s"$b/o", "doc_id", "text", width = 20)(batch(1L), 1L)
+      }
+      w40(batch(2L), 2L) // matched reopen proceeds
+      assert(Sinks.readAppendOnce(spark, s"$b/o").get.count() == 2L)
+    }
+    // winnow: (k, w) key the fingerprints; minShared/maxPosting are
+    // read-side policy (the posting-cap A/B above reopens one index
+    // under different thresholds BY DESIGN) and must NOT refuse
+    locally {
+      val b = Files.createTempDirectory("scheme_wn").toString
+      val w = StreamPipeline.winnowDedupSuppressWriter(
+        s"$b/i", s"$b/o", "doc_id", "text", k = 4, w = 4, minShared = 3)
+      w(batch(0L), 0L)
+      assert(graft.io.Fs.readText(spark, s"$b/i/_scheme").trim ==
+        "winnow k=4 w=4")
+      refuse(Seq("k=4 w=4", "k=5 w=4")) {
+        StreamPipeline.winnowDedupSuppressWriter(
+          s"$b/i", s"$b/o", "doc_id", "text", k = 5, w = 4,
+          minShared = 3)(batch(1L), 1L)
+      }
+      StreamPipeline.winnowDedupSuppressWriter( // policy retune: allowed
+        s"$b/i", s"$b/o", "doc_id", "text", k = 4, w = 4,
+        minShared = 5)(batch(2L), 2L)
+      assert(Sinks.readAppendOnce(spark, s"$b/o").get.count() == 2L)
+    }
+    // minhash LSH: (scheme, k, bands) key the band hashes
+    locally {
+      val b = Files.createTempDirectory("scheme_mh").toString
+      val w = StreamPipeline.nearDupSuppressWriter(
+        s"$b/i", s"$b/o", "doc_id", "text", k = 16, bands = 4)
+      w(batch(0L), 0L)
+      assert(graft.io.Fs.readText(spark, s"$b/i/_scheme").trim ==
+        "minhash-lcg k=16 bands=4")
+      refuse(Seq("bands=4", "bands=2")) {
+        StreamPipeline.nearDupSuppressWriter(
+          s"$b/i", s"$b/o", "doc_id", "text", k = 16, bands = 2)(batch(1L), 1L)
+      }
+      w(batch(2L), 2L)
+      assert(Sinks.readAppendOnce(spark, s"$b/o").get.count() == 2L)
+    }
+    // sketch family (`_bands`, pre-existing marker, now refusal-pinned):
+    // the embedding writer exercises it without a codec in the loop
+    locally {
+      val b = Files.createTempDirectory("scheme_sk").toString
+      def vecs(ids: Long*) = ids.map(i =>
+          i -> Array.tabulate(64)(j => if ((j + i) % 3 == 0) 1f else -1f))
+        .toDF("vec_id", "embedding")
+      val w = StreamPipeline.embeddingDedupSuppressWriter(
+        s"$b/i", s"$b/o", "vec_id", "embedding") // nBands = 4
+      w(vecs(0L), 0L)
+      refuse(Seq("'4'", "'8'")) {
+        StreamPipeline.embeddingDedupSuppressWriter(
+          s"$b/i", s"$b/o", "vec_id", "embedding",
+          maxDist = 7, nBands = 8)(vecs(1L), 1L)
+      }
+      w(vecs(2L), 2L)
+      assert(Sinks.readAppendOnce(spark, s"$b/o").get.count() == 2L)
+    }
+  }
 
   test("streaming EMBEDDING dedup suppression: sign-SimHash bands, no codec slot") {
     // embeddingDedupSuppressWriter = sketchDedupSuppressWriter with a

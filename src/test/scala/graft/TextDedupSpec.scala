@@ -733,6 +733,21 @@ class TextDedupSpec extends SparkSpec {
       .takeWhile(_ != null).map(_.toString).mkString(" | ")
     assert(chainHi.contains("packing envelope"),
       s"expected the id-upper-bound raise_error, got: $chainHi")
+    // a NULL id (or any id the long cast nulls out) previously made
+    // the when-condition NULL, SKIPPED the raise branch, nulled the
+    // packed key, and the dedup silently no-opped for those rows
+    // (round-16 advice catch) — both engines must refuse loudly
+    for (f <- Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+        d => Dedup.substringDedup(d, "doc_id", "text", width = 40),
+        d => Dedup.substringDedupRolling(d, "doc_id", "text", width = 40))) {
+      val bad = Seq((Some(7L), "x" * 80), (Option.empty[Long], "x" * 80))
+        .toDF("doc_id", "text")
+      val t = intercept[Exception] { f(bad).collect() }
+      val c = Iterator.iterate[Throwable](t)(_.getCause)
+        .takeWhile(_ != null).map(_.toString).mkString(" | ")
+      assert(c.contains("packing envelope"),
+        s"expected the null-id raise_error, got: $c")
+    }
   }
 
   test("RollingWindowHash equals the literal polynomial replay, incl. multibyte") {
