@@ -241,41 +241,26 @@ object Curation {
 
   // ------------------------------------------------- PII redaction
 
-  /** The three PII patterns, written in the COMMON dialect of Java
-    * regex (Spark) and RE2 (DuckDB): character classes, bounded
-    * repetition and `\b` word boundaries only — no lookaround, no
-    * backreferences, so both engines compile them to the same
-    * language. Kept as named constants because the operator's contract
-    * IS the pattern set (a consumer deciding whether a corpus is clean
-    * needs to know exactly what was matched). */
-  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PhoneRe = "\\b\\d{2}-\\d{3}-\\d{3}-\\d{4}\\b"
-  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-
   /** PII redaction — the privacy gate every shipped training corpus
     * runs (the k-anonymity twin for FREE TEXT, q194's structured
     * counterpart): count and replace e-mail addresses, dashed phone
     * numbers (the TPC-H `c_phone` shape) and IPv4 literals with typed
-    * placeholders. Counts are per-pattern over the ORIGINAL text;
-    * replacement is sequential email → phone → ip (placeholders
-    * contain no digits, so an earlier replacement can never create a
-    * later match). Everything is a narrow codegen'd projection — no
-    * join, no aggregate, no shuffle: the operator scales with scan
-    * bandwidth, the shape a 100 TB privacy pass must have. Returns
-    * (id, n_emails, n_phones, n_ips, clean_len, clean_md5) — the md5
-    * pins the redacted TEXT cross-engine, not just its length. */
-  def piiRedact(df: DataFrame, id: String, text: Column): DataFrame = {
-    val r1 = regexp_replace(text, EmailRe, "[EMAIL]")
-    val r2 = regexp_replace(r1, PhoneRe, "[PHONE]")
-    val r3 = regexp_replace(r2, Ipv4Re, "[IP]")
-    df.select(col(id),
-      size(regexp_extract_all(text, lit(EmailRe), lit(0)))
-        .cast("long").as("n_emails"),
-      size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
-        .cast("long").as("n_phones"),
-      size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
-        .cast("long").as("n_ips"),
-      length(r3).cast("long").as("clean_len"),
-      md5(r3).as("clean_md5"))
-  }
+    * placeholders. A thin view over THE shared engine
+    * ([[graft.operators.Redact.redact]], round-16 consolidation — one
+    * rule table, one implementation, the count convention a
+    * parameter): this surface uses the DETECTION convention (counts
+    * per-pattern over the ORIGINAL text — see Redact's object doc,
+    * including the nested-pattern case where a count can exceed the
+    * placeholders in the clean text) with [[Redact.curationPiiRules]].
+    * Still a narrow codegen'd projection — no join, no aggregate, no
+    * shuffle: scales with scan bandwidth, the shape a 100 TB privacy
+    * pass must have. Returns (id, n_emails, n_phones, n_ips,
+    * clean_len, clean_md5) — the md5 pins the redacted TEXT
+    * cross-engine, not just its length. */
+  def piiRedact(df: DataFrame, id: String, text: Column): DataFrame =
+    Redact.redact(df.select(col(id), text.as("__pii_t")), col("__pii_t"),
+        Redact.curationPiiRules, countsOnOriginal = true)
+      .select(col(id), col("n_emails"), col("n_phones"), col("n_ips"),
+        length(col("redacted")).cast("long").as("clean_len"),
+        md5(col("redacted")).as("clean_md5"))
 }

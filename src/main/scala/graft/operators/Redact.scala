@@ -3,41 +3,99 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** PII scrubbing for training-data curation — the redaction pass a
-  * corpus pipeline runs before text reaches a tokenizer (emails, phone
-  * numbers, IPs, SSN-shaped ids → placeholder tokens).
+/** PII redaction for training-data curation — THE privacy gate a corpus
+  * pipeline runs before text reaches a tokenizer (emails, phone numbers,
+  * IPs, SSN-shaped ids → placeholder tokens).
+  *
+  * ONE rule table and ONE operator (round-16 consolidation — two
+  * divergent "the privacy gate" implementations were a trap for a
+  * consumer choosing one): every pattern lives in the named-constant
+  * table below, and [[redact]] is the single engine. The two registered
+  * surfaces are thin parameterizations of it —
+  * [[piiScrub]] (q107: the 4-rule superset, `<EMAIL>`-style
+  * placeholders, counts on the sequentially-rewritten state) and
+  * [[graft.operators.Curation.piiRedact]] (q276: email/intl-phone/IPv4,
+  * `[EMAIL]`-style, counts on the ORIGINAL text) — so they cannot
+  * silently drift.
   *
   * Patterns are RE2-safe (character classes, bounded repeats, `\b`; no
   * lookaround or backreferences) so the exact same regex runs in Spark's
-  * Java engine and the DuckDB oracle. Rules apply IN ORDER, each counting
-  * its matches on the text state it actually rewrites — so `n_<rule>` is
-  * the number of replacements performed, and an email's digits can't be
-  * double-counted by the later IP rule (it's already `<EMAIL>` by then).
+  * Java engine and the DuckDB oracle. Rules apply IN ORDER.
+  *
+  * COUNT CONVENTIONS — the one real semantic fork, so it is a parameter:
+  *
+  *  - `countsOnOriginal = false` (replacement counts): each rule counts
+  *    on the text state it actually rewrites, so `n_<rule>` equals the
+  *    number of replacements performed — an email's digits can't be
+  *    double-counted by the later IP rule (it's already `<EMAIL>` by
+  *    then). This is the convention for "how much did the scrub edit".
+  *  - `countsOnOriginal = true` (detection counts): every rule counts on
+  *    the ORIGINAL text — "how much PII did the document CONTAIN",
+  *    independent of rule order. A pattern NESTED inside an
+  *    earlier-replaced match (e.g. the IPv4-shaped domain in
+  *    `user@10.2.3.4`) is counted but never separately replaced, so
+  *    count totals can exceed placeholder occurrences in the clean
+  *    text — correct for detection, and the documented reason the two
+  *    conventions exist instead of one.
+  *
+  * Under BOTH conventions placeholders contain no digits, so an earlier
+  * replacement can never CREATE a later match.
   *
   * Scale posture: pure codegen'd projections (regexp_replace /
-  * regexp_extract_all) — linear per row, no shuffle, no UDFs.
+  * regexp_extract_all) — linear per row, no join, no aggregate, no
+  * shuffle (plan-pinned): the operator scales with scan bandwidth, the
+  * shape a 100 TB privacy pass must have.
   */
 object Redact {
 
-  /** (name, pattern, replacement) — order matters; see class doc. */
-  val piiRules: Seq[(String, String, String)] = Seq(
-    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
-    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
-    ("phone", "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b", "<PHONE>"),
-    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+  // ---------------- THE pattern table (single source of truth) ----
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  /** US 3-3-4 with `-`/`.`/space separators. */
+  val PhoneUsRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+  /** Dashed 2-3-3-4 — the TPC-H `c_phone` shape. */
+  val PhoneIntlRe = "\\b[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
-  /** Appends `redacted` plus one `n_<rule>` count column per rule.
-    * SSN runs before phone (a 3-2-4 digit group would otherwise be
-    * eaten as a malformed phone prefix); both run before IPv4. */
-  def piiScrub(df: DataFrame, text: Column,
-               rules: Seq[(String, String, String)] = piiRules): DataFrame = {
-    val staged = rules.foldLeft(df.withColumn("redacted", text)) {
-      case (acc, (name, pat, repl)) =>
-        acc
-          .withColumn(s"n_$name",
-            size(regexp_extract_all(col("redacted"), lit(pat), lit(0))).cast("long"))
-          .withColumn("redacted", regexp_replace(col("redacted"), pat, repl))
+  /** (name, pattern, replacement) — the scrub superset, in application
+    * order: SSN before phone (a 3-2-4 digit group would otherwise be
+    * eaten as a malformed phone prefix); both before IPv4. */
+  val piiRules: Seq[(String, String, String)] = Seq(
+    ("email", EmailRe, "<EMAIL>"),
+    ("ssn", SsnRe, "<SSN>"),
+    ("phone", PhoneUsRe, "<PHONE>"),
+    ("ipv4", Ipv4Re, "<IP>"))
+
+  /** q276's parameterization: the detection-count convention's rule
+    * set (rule names double as the output column suffixes). */
+  val curationPiiRules: Seq[(String, String, String)] = Seq(
+    ("emails", EmailRe, "[EMAIL]"),
+    ("phones", PhoneIntlRe, "[PHONE]"),
+    ("ips", Ipv4Re, "[IP]"))
+
+  /** THE redaction engine: appends one `n_<rule>` count column per rule
+    * plus `redacted` (the text after every rule applied in order). See
+    * the object doc for the two count conventions. */
+  def redact(df: DataFrame, text: Column,
+             rules: Seq[(String, String, String)] = piiRules,
+             countsOnOriginal: Boolean = false): DataFrame = {
+    // states(i) = text after rules 0..i-1 — rule i counts on states(i)
+    // (replacement convention) or on the original (detection convention)
+    val states = rules.scanLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
     }
-    staged
+    val withCounts = rules.zip(states.init).foldLeft(df) {
+      case (acc, ((name, pat, _), pre)) =>
+        acc.withColumn(s"n_$name",
+          size(regexp_extract_all(if (countsOnOriginal) text else pre,
+            lit(pat), lit(0))).cast("long"))
+    }
+    withCounts.withColumn("redacted", states.last)
   }
+
+  /** [[redact]] under the replacement-count convention with the scrub
+    * superset — q107's surface. */
+  def piiScrub(df: DataFrame, text: Column,
+               rules: Seq[(String, String, String)] = piiRules): DataFrame =
+    redact(df, text, rules, countsOnOriginal = false)
 }

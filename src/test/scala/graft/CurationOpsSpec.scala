@@ -283,7 +283,14 @@ class CurationOpsSpec extends SparkSpec {
       // patterns, while the sequential replacement (email first,
       // placeholders carry no digits) redacts it exactly once
       (3L, "ping 12-345-678-9012@host.org now", (1L, 1L, 0L),
-        "ping [EMAIL] now"))
+        "ping [EMAIL] now"),
+      // the NESTED-pattern case (round-16 advice): an IPv4-shaped run
+      // inside an e-mail domain counts under both patterns on the
+      // original text, but the e-mail replacement swallows it first —
+      // detection counts exceed the placeholders in the clean text BY
+      // DESIGN (the documented convention fork vs piiScrub)
+      (4L, "mail user@10.2.30.4.com now", (1L, 0L, 1L),
+        "mail [EMAIL] now"))
     val got = Curation.piiRedact(
         cases.map(c => (c._1, c._2)).toDF("doc_id", "text"),
         "doc_id", $"text")
@@ -296,5 +303,17 @@ class CurationOpsSpec extends SparkSpec {
       assert(r._6 == md5hex(clean) && r._5 == clean.length.toLong,
         s"doc $id redaction drifted from the literal expectation: '$clean'")
     }
+    // convention A/B on the shared engine (one rule table, one
+    // implementation — round-16 consolidation): the REPLACEMENT
+    // convention counts the nested IP as 0 (already `[EMAIL]` when the
+    // IP rule runs), the DETECTION convention as 1
+    import graft.operators.Redact
+    val ab = Seq(true, false).map { onOrig =>
+      Redact.redact(Seq("mail user@10.2.30.4.com now").toDF("text"),
+          $"text", Redact.curationPiiRules, countsOnOriginal = onOrig)
+        .select($"n_ips").as[Long].head()
+    }
+    assert(ab == Seq(1L, 0L),
+      s"count conventions must fork exactly on the nested pattern: $ab")
   }
 }
