@@ -991,17 +991,32 @@ object Similarity {
     require(radius >= 0 && radius < nBands,
       s"radius=$radius: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
     // the 64-bit house sketch (4 chunks) keeps the shared 4/8-band
-    // derivation; any wider sketch bands on its chunk columns directly
-    // (one 16-bit band per chunk — the q266 discipline), so the
-    // pigeonhole range scales with the sketch width
-    require(nChunks == 4 || nBands == nChunks,
-      s"nChunks=$nChunks sketches band on their chunk columns: nBands must equal nChunks, got $nBands")
+    // derivation; a wider sketch bands on GROUPS of its chunk columns —
+    // any divisor (round-16: previously 1:1 only), so a 256-bit sketch
+    // can trade radius for bucket sparsity WITHOUT changing sketch
+    // width (8 bands of 2 chunks = 32-bit band values, radius ≤ 7:
+    // each band value space squares, so buckets stay sparse at corpus
+    // densities where the 16-bit bands crowd). The pigeonhole is per
+    // BAND (a group of chunks): d ≤ radius < nBands still forces some
+    // whole group to agree, so within-radius recall stays exact.
+    require(nChunks == 4 || nChunks % nBands == 0,
+      s"nChunks=$nChunks sketches band on chunk GROUPS: nBands must divide nChunks, got $nBands")
     val Chunks = chunksOf(nChunks)
     val qsk = queries.select(col(id).as("query_id") +:
       Chunks.map(c => col(c).as(s"q$c")): _*).localCheckpoint()
     val csk = candidates.select(col(id).as("cand_id") +: Chunks.map(col): _*)
     def bandExprs: Seq[Column] =
-      if (nChunks == 4) Dedup.hammingBandExprs(nBands) else Chunks.map(col)
+      if (nChunks == 4) Dedup.hammingBandExprs(nBands)
+      else {
+        // one band per GROUP of nChunks/nBands chunk columns; the band
+        // value concatenates the group's chunks (string-keyed like the
+        // suppression indexes' band_hash — the join key's type does
+        // not affect the verify, which is exact chunked Hamming)
+        val per = nChunks / nBands
+        (0 until nBands).map(b => concat_ws(":",
+          Chunks.slice(b * per, (b + 1) * per)
+            .map(c => col(c).cast("string")): _*))
+      }
     // band tables through the ONE shared derivation (band exprs name
     // c0..cN, so the query side re-projects its q-prefixed chunks
     // back to chunk names first)

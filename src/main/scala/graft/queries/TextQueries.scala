@@ -1396,6 +1396,39 @@ object TextQueries {
         WHERE rank <= 5 AND dist <= 15 ORDER BY query_id, rank"""),
       "query-by-image on the 256-bit sketch: banded k-NN with d<=15 pigeonhole-exact recall"),
 
+    // ------- grouped-band k-NN on the 256-bit sketch (round-16): the
+    // radius ↔ sparsity dial the 1:1 chunk-banding rule was missing —
+    // the SAME 256-bit store banded as 8 bands of 2 chunks (32-bit
+    // band values), radius ≤ 7. Each band's value space SQUARES
+    // (2^16 → 2^32), so buckets stay sparse at corpus densities where
+    // sixteen 16-bit bands crowd, and the per-query join fan-out
+    // halves (8 band rows per sketch, not 16) — the price is recall
+    // range (d ≤ 7, still covering the fixture's 4..8-distance edits
+    // except the handful at 8, which the oracle's radius filter
+    // excludes identically). Pigeonhole per GROUP: d ≤ 7 < 8 bands
+    // forces some 2-chunk group to agree entirely — recall within the
+    // radius stays a theorem, which the brute-force-derived oracle
+    // checks end to end.
+    "q281_hamming_knn_grouped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val sketch = MediaSketch.dhash256(s, d)
+        graft.operators.Similarity.hammingTopKBanded(
+            sketch.filter($"media_id" < 24), sketch, "media_id",
+            k = 5, radius = 7, nBands = 8, nChunks = 16)
+          .orderBy($"query_id", $"rank")
+      },
+      Some(dhash256Oracle + s"""
+        SELECT * FROM (
+          SELECT q.media_id AS query_id,
+            CAST(row_number() OVER (PARTITION BY q.media_id
+              ORDER BY ${dhash256Dist("q", "c")}, c.media_id) AS INTEGER) AS rank,
+            c.media_id AS cand_id,
+            CAST(${dhash256Dist("q", "c")} AS INTEGER) AS dist
+          FROM hash q JOIN hash c ON q.media_id < 24 AND c.media_id <> q.media_id)
+        WHERE rank <= 5 AND dist <= 7 ORDER BY query_id, rank"""),
+      "grouped-band k-NN: 8x32-bit bands over the 256-bit sketch — sparser buckets, d<=7 exact recall"),
+
     // --------------------------- query-by-audio k-NN (spectral sketch)
     // The similarity-search mandate completed on the AUDIO modality:
     // the q263 banded Hamming k-NN ladder over the spectral fingerprint
@@ -1690,6 +1723,40 @@ object TextQueries {
         .orderBy(col("doc_id")),
       Some(substringDedupOracle("documents")),
       "substring dedup via codegen'd rolling window hash + exact-substring verify"),
+
+    // -------- dedup-first ROLLING substring dedup (q274 × q275, r16)
+    // q274 composes exact keepers with the md5 engine only — but the
+    // engine you'd actually run at 100 TB is the rolling one, so the
+    // PRODUCTION composition gets its own registered density answer:
+    // exact hash-agg keepers first (the window stream — still the
+    // dominant cost even at O(n) hashing — collapses to base size
+    // under any replication BEFORE the rolling pass runs), then
+    // q275's O(n) codegen'd engine over keepers only. Output is
+    // DEFINED identical to q274's (the rolling+verify path reproduces
+    // the md5 path's excision byte-for-byte), so the oracle is q274's
+    // same keeper-composed SQL — the hash compare pins the whole
+    // composed plan, keepers and engine together.
+    "q280_substring_rolling_first" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+        val keep = Dedup.exactKeepers(base, "doc_id", "text")
+          .localCheckpoint() // read twice: keeper filter + copy-count join
+        val kept = base.join(
+          keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        Dedup.substringDedupRolling(kept, "doc_id", "text", width = 40)
+          .join(keep.select($"keeper_id".as("doc_id"), $"n_copies"), "doc_id")
+          .orderBy($"doc_id")
+      },
+      Some(substringDedupOracle(
+        """(SELECT d.* FROM documents d JOIN (SELECT min(doc_id) AS keeper_id,
+             count(*) AS n_copies FROM documents GROUP BY md5(text)) k
+           ON d.doc_id = k.keeper_id)""",
+        extraSelect = ", k2.n_copies",
+        extraJoin = """JOIN (SELECT min(doc_id) AS keeper_id,
+            CAST(count(*) AS BIGINT) AS n_copies FROM documents
+            GROUP BY md5(text)) k2 ON k2.keeper_id = b.doc_id""")),
+      "dedup-first ROLLING substring dedup: exact keepers collapse the window stream, then the O(n) production engine"),
 
     // --------------------------- weighted Jaccard near-dup (tf axis)
     // The similarity axis the set family can't express: term

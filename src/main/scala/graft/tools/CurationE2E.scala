@@ -32,7 +32,7 @@ import graft.operators.{Curation, Dedup}
   *                        n_unique_fingerprint surface): one hash
   *                        aggregate, keep min-id per normalized
   *                        content, so token-permutation duplicates
-  *                        collapse here and the leg-11 leak audit can
+  *                        collapse here and the leg-12 leak audit can
   *                        REQUIRE zero straddling fingerprints.
   *   4. substring_scrub — q273's exact substring dedup (Lee et al.
   *                        ACL'22, in the paper's ORDER: exact → substring
@@ -53,18 +53,27 @@ import graft.operators.{Curation, Dedup}
   *                        hash), drop the larger id of each
   *                        ≥ 0.9-Jaccard pair — boilerplate can no
   *                        longer glue unrelated docs into a bucket.
-  *   6. decontaminate   — q82's word-8-gram overlap against the
+  *   6. winnow_dedup    — q270's winnowed-fingerprint overlap over the
+  *                        near-dup survivors (round-16): the
+  *                        CONTAINMENT pass — an edited or partial quote
+  *                        of an admitted doc shares its winnowed
+  *                        fingerprints (guaranteed for any common run
+  *                        of ≥ k+w−1 tokens) while MinHash is
+  *                        structurally blind to it and the substring
+  *                        scrub only catches ≥ 40-char VERBATIM runs;
+  *                        drop the larger id of each ≥ 3-shared pair.
+  *   7. decontaminate   — q82's word-8-gram overlap against the
   *                        benchmark set (doc_id < 50): the bench docs
   *                        leave the corpus, and any doc sharing ≥ 50%
   *                        of its 8-grams with the bench set drops.
-  *   7. image_dedup     — the MULTIMODAL leg (round-14): each surviving
+  *   8. image_dedup     — the MULTIMODAL leg (round-14): each surviving
   *                        doc's image attachment (variant-PNG fixture)
   *                        through the q254/q255 machinery — real codec
   *                        round-trip, codegen'd dHash, Hamming-banded
   *                        blocking — dropping the larger id of each
   *                        perceptual near-dup pair; runs after text
   *                        dedup so the codec touches keepers only.
-  *   8. audio_dedup     — the SECOND multimodal leg (round-15): each
+  *   9. audio_dedup     — the SECOND multimodal leg (round-15): each
   *                        surviving doc's audio attachment (variant-WAV
   *                        fixture through the q258/q259 machinery —
   *                        real WAV codec round-trip, lock-free RIFF
@@ -73,17 +82,17 @@ import graft.operators.{Curation, Dedup}
   *                        TRANSPOSED id so audio families cut ACROSS
   *                        image families — the modalities dedup
   *                        independently, as unrelated attachments do.
-  *   9. chunk           — q193's overlapping chunking (32-token chunks
+  *  10. chunk           — q193's overlapping chunking (32-token chunks
   *                        at stride 24, stable md5 chunk ids).
-  *  10. pack            — q179's concat-and-chunk packing into
+  *  11. pack            — q179's concat-and-chunk packing into
   *                        64-token training sequences
   *                        ([[Curation.packSequences]]).
-  *  11. split_leak      — q195's group-hash 80/20 train/test split by
+  *  12. split_leak      — q195's group-hash 80/20 train/test split by
   *                        `source` + the cross-split fingerprint leak
   *                        audit (after steps 3-5 it must report ZERO
   *                        straddling fingerprints — the composed
   *                        pipeline's acceptance check, asserted here).
-  *  12. shard_layout    — q277's epoch-shuffled shard layout of the
+  *  13. shard_layout    — q277's epoch-shuffled shard layout of the
   *                        train split: md5 shard assignment, salted
   *                        within-shard order, order-sensitive checksum
   *                        — the corpus leaves the pipeline as the 16
@@ -196,7 +205,7 @@ object CurationE2E {
     // stream — the q274 dedup-first composition by position), drops
     // docs scrubbed empty, and then collapses at the
     // fingerprint level AGAIN: excision can REVEAL exact duplicates
-    // that differed only by the removed span, and the leg-11 leak
+    // that differed only by the removed span, and the leg-12 leak
     // audit requires zero straddling fingerprints of the FINAL texts.
     // Everything downstream — fuzzy near-dup included — consumes the
     // CLEANED text, so boilerplate can no longer glue unrelated docs
@@ -231,7 +240,28 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 6: decontamination vs the benchmark set (q82 shape) ----
+    // ---- leg 6: winnow-containment dedup (q270 shape, round-16) ----
+    // The containment gap the lifecycle had: MinHash (leg 5) is
+    // structurally blind to a long doc QUOTING a shorter one (the
+    // quoted run's fingerprints are a sliver of the quoter's whole-set
+    // signature, so no LSH band ever collides), and substring_scrub
+    // (leg 4) only excises ≥ 40-char VERBATIM runs — an EDITED quote
+    // survives both. Winnowed-fingerprint overlap closes it: any
+    // shared run of ≥ k+w−1 tokens GUARANTEES shared fingerprints
+    // (the q269 theorem), edits included, and the df ≤ 50 stop-cap
+    // keeps the posting join fan-out bounded at any corpus size. Drop
+    // the larger id of each ≥ minShared pair — the keep-first
+    // convention, same as the near_dup leg.
+    val winnowKept = timed("winnow_dedup") {
+      val pairs = Dedup.winnowedNearDupPairs(nearKept, "doc_id", $"text",
+        k = 4, w = 4, minShared = 3, maxDf = 50)
+      val losers = pairs.select($"id_b".as("doc_id")).distinct()
+      val df = mat(nearKept.join(losers, Seq("doc_id"), "left_anti"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 7: decontamination vs the benchmark set (q82 shape) ----
     val clean = timed("decontaminate") {
       val ws = TextFunctions.words($"text")
       val sh = corpus // bench 8-grams come from the RAW corpus: eval
@@ -240,7 +270,7 @@ object CurationE2E {
         .select(explode(array_distinct(
           TextFunctions.wordShingles($"text", 8))).as("sh"))
         .distinct()
-      val candShingles = nearKept
+      val candShingles = winnowKept
         .filter($"doc_id" >= 50)
         .select($"doc_id", explode(array_distinct(
           TextFunctions.wordShingles($"text", 8))).as("sh"))
@@ -250,13 +280,13 @@ object CurationE2E {
           .agg(count(lit(1)).as("n_shingles")), "doc_id")
         .filter($"n_shared" * 2 >= $"n_shingles") // overlap >= 50%
         .select($"doc_id")
-      val df = mat(nearKept.filter($"doc_id" >= 50) // bench docs leave too
+      val df = mat(winnowKept.filter($"doc_id" >= 50) // bench docs leave too
         .join(contaminated, Seq("doc_id"), "left_anti"))
       val (nd, nt) = census(df)
       (df, nd, nt)
     }
 
-    // ---- leg 7: image near-dup over each survivor's attachment ----
+    // ---- leg 8: image near-dup over each survivor's attachment ----
     // The multimodal leg (round-14): every surviving doc carries an
     // image attachment (the variant-PNG fixture stands in for real
     // blobs — consecutive ids share near-duplicate images), and docs
@@ -280,7 +310,7 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 8: audio near-dup over each survivor's attachment ----
+    // ---- leg 9: audio near-dup over each survivor's attachment ----
     // The second multimodal leg (round-15): every surviving doc carries
     // an audio clip, keyed on a TRANSPOSED id — (doc_id mod 3) major,
     // doc_id div 3 minor — so audio families group DIFFERENT docs than
@@ -309,7 +339,7 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 9: overlapping chunking (q193 shape) ----
+    // ---- leg 10: overlapping chunking (q193 shape) ----
     val nChunks = {
       var n = 0L
       timed("chunk") {
@@ -330,7 +360,7 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 10: sequence packing (q179 / Curation.packSequences) ----
+    // ---- leg 11: sequence packing (q179 / Curation.packSequences) ----
     val nSeqs = {
       var n = 0L
       timed("pack") {
@@ -343,7 +373,7 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 11: group split + leak audit (q195 shape) ----
+    // ---- leg 12: group split + leak audit (q195 shape) ----
     var assignedOut: DataFrame = null
     val (straddling, splitRow) = {
       var res: (Long, (Long, Long, Long, Long)) = null
@@ -372,7 +402,7 @@ object CurationE2E {
       res
     }
 
-    // ---- leg 12: shard layout of the train split (q277 shape) ----
+    // ---- leg 13: shard layout of the train split (q277 shape) ----
     // The lifecycle's last act: the train split lands as 16
     // epoch-shuffled shards — md5-hash shard assignment, salted-hash
     // within-shard order, the order-sensitive checksum pinning each
@@ -463,7 +493,7 @@ object CurationE2E {
          |"split":{"train_docs":${base.trainDocs},"train_tokens":${base.trainToks},
          |"test_docs":${base.testDocs},"test_tokens":${base.testToks},
          |"straddling_fingerprints":${base.straddling}},
-         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q82/q254-q255(image)/q258-q259(audio)/q273(substring scrub)/q193/q179/q195/q277(shard layout) operators"$scalingJson}"""
+         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q270(winnow containment)/q82/q254-q255(image)/q258-q259(audio)/q273(substring scrub)/q193/q179/q195/q277(shard layout) operators"$scalingJson}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

@@ -198,7 +198,20 @@ object ScaleStress {
     // replica's keeper ids are all = base_id*100, so every keeper
     // passes the %25 query filter — |Q| grows 5000/200 = 25x, which
     // is the measured fan-out, not a defect
-    "r15l" -> Seq("q279_winnow_search"))
+    "r15l" -> Seq("q279_winnow_search"),
+    // round-16: the PRODUCTION substring composition — exact keepers
+    // collapse the ×100 replication to base size BEFORE the O(n)
+    // rolling pass runs, so the row sits beside q275's honest
+    // duplication-worst-case ratio and q274's md5 composition (the
+    // same ~0.37× regime is the expected shape: the keeper aggregate
+    // is the only ×100-proportional stage)
+    "r16a" -> Seq("q280_substring_rolling_first"),
+    // grouped-band search on the 256-bit store: 8×32-bit bands — the
+    // sparser-bucket point of the radius↔sparsity dial (vs q267's 16
+    // bands at d ≤ 15); the row must EMIT (the within-radius matches
+    // at d ≤ 7 exist at any replication — replicas draw distinct
+    // fixture images, so this measures band-join cost at density)
+    "r16b" -> Seq("q281_hamming_knn_grouped"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -210,7 +223,8 @@ object ScaleStress {
     "q269_winnow_fingerprints", "q271_winnow_dedup_first", "q272_video_knn",
     "q273_substring_dedup", "q274_substring_dedup_first",
     "q275_substring_dedup_rolling", "q276_pii_redact",
-    "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search")
+    "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search",
+    "q280_substring_rolling_first", "q281_hamming_knn_grouped")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

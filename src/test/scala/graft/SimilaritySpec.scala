@@ -587,12 +587,50 @@ class SimilaritySpec extends SparkSpec {
         radius = 4, nBands = 4)
     }
     assert(e.getMessage.contains("pigeonhole"))
-    // a wide sketch bands on its chunk columns: nBands must track nChunks
+    // a wide sketch bands on chunk GROUPS (round-16: any divisor) —
+    // a non-divisor band count must refuse loudly
     val e2 = intercept[IllegalArgumentException] {
       Similarity.hammingTopKBanded(hSketch, hSketch, "id", k = 4,
-        radius = 7, nBands = 8, nChunks = 16)
+        radius = 4, nBands = 5, nChunks = 16)
     }
-    assert(e2.getMessage.contains("nBands must equal nChunks"))
+    assert(e2.getMessage.contains("must divide"))
+  }
+
+  test("grouped-band Hamming k-NN: divisor banding keeps within-radius recall exact") {
+    // round-16: a wide sketch banded on GROUPS of chunks (here 8
+    // chunks as 4 bands of 2) trades recall range (radius < nBands)
+    // for squared band-value spaces — the pigeonhole now holds per
+    // GROUP, so banded == brute-within-radius must STILL be a theorem,
+    // including a planted pair whose differing bits straddle two
+    // chunks of the SAME group (the case chunk-per-band blocking never
+    // exercises: with 8 bands it would collide on 7, with 4 grouped
+    // bands the damaged group must be absorbed by the 3 clean ones)
+    val base = (0L until 30L).map { i =>
+      val m = i * 2654435761L
+      (i, Array.tabulate(8)(j => ((m >> (j * 7)) & 0x7fff).toInt))
+    }
+    val h = base.head._2
+    val planted = Seq(
+      // dist 3, all three flipped bits inside group 0 (chunks 0 and 1)
+      (200L, h.zipWithIndex.map { case (v, j) =>
+        if (j == 0) v ^ 5 else if (j == 1) v ^ 2 else v }),
+      // dist 4 — outside radius 3, must be absent from the banded result
+      (201L, h.zipWithIndex.map { case (v, j) =>
+        if (j == 0) v ^ 3 else if (j == 4) v ^ 9 else v }))
+    val wide = (base ++ planted)
+      .map { case (i, cs) => (i, cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6), cs(7)) }
+      .toDF("id", "c0", "c1", "c2", "c3", "c4", "c5", "c6", "c7")
+    val brute = Similarity.hammingTopK(wide.filter($"id" < 3), wide,
+        "id", k = 4, nChunks = 8)
+      .filter($"dist" <= 3)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    val banded = Similarity.hammingTopKBanded(wide.filter($"id" < 3), wide,
+        "id", k = 4, radius = 3, nBands = 4, nChunks = 8)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    assert(banded == brute, s"grouped-banded $banded vs brute $brute")
+    assert(banded.contains((0L, 1, 200L, 3)),
+      s"same-group dist-3 plant must be id 0's rank-1: $banded")
+    assert(!banded.exists(_._3 == 201L), "dist-4 plant is outside the radius")
   }
 
   test("jaccardTopK: literal scores, deterministic ties, disjoint unreachable") {
