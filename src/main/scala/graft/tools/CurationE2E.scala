@@ -252,6 +252,16 @@ object CurationE2E {
     // keeps the posting join fan-out bounded at any corpus size. Drop
     // the larger id of each ≥ minShared pair — the keep-first
     // convention, same as the near_dup leg.
+    //
+    // On THIS fixture the leg finds zero pairs at both scales (the
+    // synthetic corpus has no edited-quote containment left after the
+    // fingerprint + substring + MinHash legs), so what the artifact
+    // records is the audit's COST on survivors; that the leg FIRES on
+    // actual containment is pinned separately — StreamingSpec's
+    // winnow-suppression test constructs a MinHash-invisible
+    // containment arrival and proves band non-collision plus winnow
+    // suppression on the same fixture, and q270's oracle hash-verifies
+    // the pair rule corpus-wide.
     val winnowKept = timed("winnow_dedup") {
       val pairs = Dedup.winnowedNearDupPairs(nearKept, "doc_id", $"text",
         k = 4, w = 4, minShared = 3, maxDf = 50)
