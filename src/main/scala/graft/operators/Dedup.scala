@@ -1321,6 +1321,54 @@ object Dedup {
         md5(col("__clean")).as("clean_md5"))
   }
 
+  /** Substring DECONTAMINATION — the [[substringDedup]] excision
+    * machinery pointed at BENCHMARK overlap instead of in-corpus
+    * duplication (the span-level form of q82's doc-level 8-gram gate,
+    * and the batch face of the ingest scrubber's `seen` channel):
+    * every span of a corpus doc whose `width`-char window also occurs
+    * ANYWHERE in `bench` is excised — all occurrences, not non-first
+    * ones, because the eval set is not "first" anything: a training
+    * doc may not retain a verbatim run of benchmark text at all.
+    * Doc-LEVEL decontamination (q82) drops documents past an overlap
+    * ratio; this TRANSFORMS them — a long document quoting one
+    * benchmark paragraph keeps its other 99 paragraphs, the exact
+    * reason Lee et al.-style excision beats whole-doc filtering on
+    * contamination too. In-corpus duplication is deliberately left to
+    * the dedup family (q273/q280): the two rules compose in either
+    * order because both only ever REMOVE width-covered spans.
+    *
+    * Scale shape: the bench window set is benchmark-sized by contract
+    * (eval suites are MBs where the corpus is TBs), so it BROADCASTS
+    * and the corpus-byte-proportional window stream never shuffles at
+    * all — one narrow Generate per doc, a broadcast left-semi probe,
+    * and the per-doc interval fold. That is strictly cheaper than the
+    * dedup twin (whose count+min needs the one wh-keyed shuffle); a
+    * bench set too large to broadcast is the signal to pre-hash it to
+    * a parquet of distinct `wh` and feed THAT in here.
+    *
+    * Returns the [[substringDedup]] contract: one row per input doc,
+    * (id, orig_len, n_spans_removed, chars_removed, clean_len,
+    * clean_md5). */
+  def substringDecontaminate(docs: DataFrame, bench: DataFrame, id: String,
+                             text: String, width: Int = 40): DataFrame = {
+    require(width >= 4, s"width=$width: windows below 4 chars mark everything")
+    val base = docs.select(col(id), col(text).as("__txt"),
+      length(col(text)).cast("int").as("orig_len"))
+    val benchWh = substringWindowHashes(
+        bench.select(col(id), col(text)), id, text, width)
+      .select(col("wh")).distinct()
+    val wins = substringWindowHashes(base, id, "__txt", width)
+    val marked = wins
+      .join(broadcast(benchWh), Seq("wh"), "left_semi")
+      .select(col(id), col("pos"), (col("pos") + (width - 1)).as("e"))
+    exciseMarked(base, id, marked)
+      .select(col(id), col("orig_len").cast("long").as("orig_len"),
+        coalesce(col("__n_spans"), lit(0L)).as("n_spans_removed"),
+        coalesce(col("__removed"), lit(0L)).cast("long").as("chars_removed"),
+        length(col("__clean")).cast("long").as("clean_len"),
+        md5(col("__clean")).as("clean_md5"))
+  }
+
   /** Query-by-SNIPPET search (the MOSS use-case as a search op, not a
     * pair op): for each query snippet, the corpus documents sharing the
     * most winnowed fingerprints, ranked. Exact phrase search (q238)

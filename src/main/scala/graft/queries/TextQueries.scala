@@ -39,7 +39,15 @@ object TextQueries {
         FROM wins),
       marked AS (SELECT doc_id, pos, pos + 39 AS e FROM mk
         WHERE n >= 2 AND doc_id * 2097152 + pos <> fk),
-      g1 AS (SELECT doc_id, pos, e,
+      """ + substringRebuildTail(extraSelect, extraJoin)
+
+  /** The gaps-and-islands merge + ordered-string_agg rebuild + final
+    * select shared by the substring dedup and decontamination oracles:
+    * consumes CTEs `base` (doc_id, text, orig_len) and `marked`
+    * (doc_id, pos, e) from the caller's WITH chain. */
+  private def substringRebuildTail(extraSelect: String = "",
+                                   extraJoin: String = ""): String =
+    s"""g1 AS (SELECT doc_id, pos, e,
           CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id
               ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
             -2) + 1 THEN 1 ELSE 0 END AS brk
@@ -1757,6 +1765,44 @@ object TextQueries {
             CAST(count(*) AS BIGINT) AS n_copies FROM documents
             GROUP BY md5(text)) k2 ON k2.keeper_id = b.doc_id""")),
       "dedup-first ROLLING substring dedup: exact keepers collapse the window stream, then the O(n) production engine"),
+
+    // ---------------- substring DECONTAMINATION (round-16): the q273
+    // excision machinery pointed at BENCHMARK overlap — the span-level
+    // form of q82's doc-level gate. q82 DROPS a doc past 50% 8-gram
+    // overlap; this TRANSFORMS it: every span whose 40-char window
+    // occurs anywhere in the bench set (doc_id < 50, the house
+    // convention) is excised from every corpus doc — ALL occurrences,
+    // no first-keeper (training data may not retain benchmark text at
+    // all), so a long doc quoting one benchmark paragraph keeps its
+    // other content instead of dying whole. Scale posture is strictly
+    // CHEAPER than the dedup twin: the bench window set is
+    // benchmark-sized by contract, so it broadcasts and the
+    // corpus-byte-proportional window stream never shuffles (plan-
+    // pinned: no Exchange on the wins side). Oracle: bench window
+    // hashes as an IN-set over the same stride-1 windows, then the
+    // shared gaps-and-islands rebuild — clean_md5 pins every byte.
+    "q282_substring_decontaminate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val all = docs(s, d)
+        Dedup.substringDecontaminate(all.filter($"doc_id" >= 50),
+            all.filter($"doc_id" < 50), "doc_id", "text", width = 40)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id, text, length(text) AS orig_len
+            FROM documents WHERE doc_id >= 50),
+          bwh AS (SELECT DISTINCT md5(substr(text, g, 40)) AS wh
+            FROM (SELECT text,
+                unnest(generate_series(1, length(text) - 39, 1)) AS g
+              FROM documents WHERE doc_id < 50 AND length(text) >= 40)),
+          wins AS (SELECT doc_id, g AS pos, md5(substr(text, g, 40)) AS wh
+            FROM (SELECT doc_id, text,
+                unnest(generate_series(1, length(text) - 39, 1)) AS g
+              FROM base WHERE orig_len >= 40)),
+          marked AS (SELECT doc_id, pos, pos + 39 AS e FROM wins
+            WHERE wh IN (SELECT wh FROM bwh)),
+          """ + substringRebuildTail()),
+      "substring decontamination: excise every span whose 40-char window occurs in the bench set"),
 
     // --------------------------- weighted Jaccard near-dup (tf axis)
     // The similarity axis the set family can't express: term

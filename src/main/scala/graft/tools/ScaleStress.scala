@@ -211,7 +211,15 @@ object ScaleStress {
     // bands at d ≤ 15); the row must EMIT (the within-radius matches
     // at d ≤ 7 exist at any replication — replicas draw distinct
     // fixture images, so this measures band-join cost at density)
-    "r16b" -> Seq("q281_hamming_knn_grouped"))
+    "r16b" -> Seq("q281_hamming_knn_grouped"),
+    // substring decontamination: corpus-byte-proportional scan like
+    // q273 but with NO wh shuffle at all (the bench window set
+    // broadcasts), so its ×100 point should sit UNDER the dedup
+    // twin's — the cheaper-by-construction claim measured. Note the
+    // replica rewrites ids, so doc_id < 50 selects the 50 copies of
+    // base doc 0 as the ×100 bench set — a 1-distinct-doc bench; the
+    // row measures the scan+probe cost, which is the claim
+    "r16c" -> Seq("q282_substring_decontaminate"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -224,7 +232,8 @@ object ScaleStress {
     "q273_substring_dedup", "q274_substring_dedup_first",
     "q275_substring_dedup_rolling", "q276_pii_redact",
     "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search",
-    "q280_substring_rolling_first", "q281_hamming_knn_grouped")
+    "q280_substring_rolling_first", "q281_hamming_knn_grouped",
+    "q282_substring_decontaminate")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

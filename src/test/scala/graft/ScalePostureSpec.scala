@@ -1110,6 +1110,14 @@ class ScalePostureSpec extends SparkSpec {
       s"q267 candidates must come from the band equi-join:\n${p267.take(1200)}")
     assert(p267.contains("BroadcastExchange"),
       s"q267 must broadcast the query bands:\n${p267.take(1200)}")
+    // q281: grouped banding (round-16) keeps the identical search
+    // posture — band equi-join with broadcast query bands; the only
+    // plan difference from q267 is the band derivation width
+    val p281 = plan("q281_hamming_knn_grouped")
+    assert(!p281.contains("CartesianProduct") && !p281.contains("BroadcastNestedLoopJoin"),
+      s"q281 candidates must come from the grouped-band equi-join:\n${p281.take(1200)}")
+    assert(p281.contains("BroadcastExchange"),
+      s"q281 must broadcast the query bands:\n${p281.take(1200)}")
   }
 
   test("round-15b family: audio search stays banded, winnowing stays narrow/postings-shaped") {
@@ -1208,6 +1216,27 @@ class ScalePostureSpec extends SparkSpec {
       s"q275 windows must come from the codegen'd rolling pass:\n${p275.take(1200)}")
     assert(p275.contains("Window"),
       s"q275 marks candidates/occurrences with wh-keyed windows:\n${p275.take(1200)}")
+    // q280: the production composition = q274's keeper-first pin AND
+    // q275's rolling-pass pin in ONE plan — keepers hash-aggregate
+    // before the window stream, windows come from the codegen'd
+    // rolling pass (no md5 window stream), and still no pairwise stage
+    val p280 = plan("q280_substring_rolling_first")
+    assert(!p280.contains("CartesianProduct") && !p280.contains("BroadcastNestedLoopJoin"),
+      s"q280 has no pairwise stage by construction:\n${p280.take(1200)}")
+    assert(p280.contains("rolling_window_hash"),
+      s"q280 windows must come from the codegen'd rolling pass:\n${p280.take(1200)}")
+    // q282: decontamination probes the corpus window stream against a
+    // BROADCAST bench window set (benchmark-sized by contract) — the
+    // corpus-byte-proportional stream itself never shuffles, so the
+    // mark stage must be a broadcast hash semi-join, never a
+    // sort-merge of the window stream or any pairwise shape
+    val p282 = plan("q282_substring_decontaminate")
+    assert(!p282.contains("CartesianProduct") && !p282.contains("BroadcastNestedLoopJoin"),
+      s"q282 has no pairwise stage by construction:\n${p282.take(1200)}")
+    assert(p282.contains("BroadcastHashJoin"),
+      s"q282 must probe broadcast bench windows:\n${p282.take(1200)}")
+    assert(!p282.contains("SortMergeJoin"),
+      s"q282's window stream must never shuffle into a merge join:\n${p282.take(1200)}")
   }
 
   test("q278 weighted Jaccard: df-capped postings join, no cartesian") {

@@ -707,6 +707,47 @@ class TextDedupSpec extends SparkSpec {
     assert(gotSolo(20L)._5 == md5hex(x), s"X+X cleans to X: ${gotSolo(20L)}")
   }
 
+  test("substringDecontaminate: bench spans excised everywhere, corpus duplication untouched") {
+    // the bench paragraph (> width so the excision covers it fully
+    // wherever it lands) and a corpus-internal duplicate run the
+    // DEDUP family owns — decontamination must excise the former from
+    // EVERY occurrence and leave the latter alone
+    val benchPara = "the canonical benchmark question about the seven " +
+      "bridges of koenigsberg appears here verbatim"
+    val corpDup = "a corpus internal boilerplate run shared by two docs only"
+    require(benchPara.length > 40 && corpDup.length > 40)
+    val bench = Seq(
+      (1L, s"intro $benchPara outro"),
+      (2L, "another benchmark doc with entirely distinct content in it here"))
+    val corpus = Seq(
+      (100L, s"leading text $benchPara trailing text"), // quotes the bench
+      (101L, s"alpha $corpDup omega"),                  // in-corpus dup...
+      (102L, s"beta $corpDup gamma"),                   // ...both kept
+      (103L, "wholly unrelated content touching neither corpus nor bench"))
+    val got = Dedup.substringDecontaminate(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"),
+        "doc_id", "text", width = 40)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 100: the quoted bench paragraph is gone — every char of it
+    // PLUS the one-char shared context on each side (both docs flank
+    // the quote with a space, so the windows straddling the boundary
+    // are bench windows too — excision extends to the end of shared
+    // context, exactly what decontamination should do); leading and
+    // trailing survive (the whole-doc q82 gate would have killed them)
+    assert(got(100L)._4 == benchPara.length.toLong + 2,
+      s"bench quote + shared flanks must excise exactly: ${got(100L)}")
+    assert(got(100L)._6 == md5hex("leading texttrailing text"),
+      s"non-quoted content must survive byte-exact: ${got(100L)}")
+    // docs 101/102: in-corpus duplication is NOT this operator's job
+    assert(got(101L)._4 == 0L && got(102L)._4 == 0L,
+      s"corpus-internal duplicates stay: ${got(101L)} ${got(102L)}")
+    assert(got(103L)._4 == 0L && got(103L)._6 == md5hex(corpus(3)._2))
+    // one row per input doc, untouched docs included — the shared
+    // substringDedup output contract
+    assert(got.size == 4)
+  }
+
   test("substringDedup guards: width floor and the (id, pos) packing envelope") {
     val e = intercept[IllegalArgumentException] {
       Dedup.substringDedup(docs, "doc_id", "text", width = 3)
