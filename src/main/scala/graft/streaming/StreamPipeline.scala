@@ -674,19 +674,26 @@ object StreamPipeline {
     * drifted config would match NOTHING and admit every duplicate —
     * the exact outcome the index exists to prevent. Scheme strings are
     * compared verbatim; anything that changes the persisted hash
-    * values (or their match rule) belongs in them. */
+    * values (or their match rule) belongs in them. The marker is
+    * promoted by write-to-temp + atomic rename (the base-meta
+    * protocol): a crash mid-write must not leave a torn marker that
+    * wrongly refuses every future writer. */
   private[streaming] def pinIndexScheme(spark: SparkSession, indexDir: String,
                                         marker: String, scheme: String): Unit = {
     import graft.io.Fs
     val p = s"$indexDir/$marker"
-    if (!Fs.exists(spark, p)) Fs.writeText(spark, p, scheme)
-    else {
-      val recorded = Fs.readText(spark, p).trim
-      require(recorded == scheme,
-        s"suppression index at $indexDir was built with scheme " +
-          s"'$recorded'; this writer derives '$scheme' — rebuild the " +
-          "index or match the scheme")
+    if (!Fs.exists(spark, p)) {
+      // losing a same-moment creation race is fine IFF the winner
+      // pinned the same scheme — fall through to the verbatim check,
+      // which refuses a different winner exactly like a later reopen
+      try Fs.writeTextAtomic(spark, p, scheme)
+      catch { case _: java.io.IOException if Fs.exists(spark, p) => () }
     }
+    val recorded = Fs.readText(spark, p).trim
+    require(recorded == scheme,
+      s"suppression index at $indexDir was built with scheme " +
+        s"'$recorded'; this writer derives '$scheme' — rebuild the " +
+        "index or match the scheme")
   }
 
   /** Index state for the [[bucketSuppressWriter]] family (text and
