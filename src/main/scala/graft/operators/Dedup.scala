@@ -925,16 +925,35 @@ object Dedup {
     * density allows them. */
   def hammingBandedPairsChunks(sketch: DataFrame, id: String, maxDist: Int,
                                nChunks: Int,
-                               maxBucket: Int = 200): DataFrame = {
+                               maxBucket: Int = 200,
+                               chunksPerBand: Int = 1): DataFrame = {
     require(nChunks >= 2, s"nChunks=$nChunks: need >= 2 chunk columns")
-    require(maxDist < nChunks,
-      s"maxDist=$maxDist: $nChunks-chunk pigeonhole only guarantees recall for d <= ${nChunks - 1}")
+    // grouped banding (round-16, the q281 dial on the PAIR side): a
+    // band is a GROUP of chunksPerBand chunk columns, so the band
+    // value space exponentiates (16 → 32-bit values at 2 chunks/band)
+    // and buckets stay under the stop-cap at corpus densities where
+    // per-chunk bands crowd — the pair operator benefits MORE than
+    // search, because its crowded buckets are DROPPED (recall lost)
+    // rather than merely slow. The price is the tighter pigeonhole:
+    // maxDist < nBands, per GROUP.
+    require(chunksPerBand >= 1 && nChunks % chunksPerBand == 0,
+      s"chunksPerBand=$chunksPerBand must divide nChunks=$nChunks")
+    val nBands = nChunks / chunksPerBand
+    require(nBands >= 2, s"$nChunks chunks at $chunksPerBand per band " +
+      "leave fewer than 2 bands — no pigeonhole at all")
+    require(maxDist < nBands,
+      s"maxDist=$maxDist: $nBands-band pigeonhole only guarantees recall for d <= ${nBands - 1}")
     require(maxBucket >= 2,
       s"maxBucket=$maxBucket: a cap below 2 drops every bucket and returns zero pairs")
     val chunkNames = (0 until nChunks).map(k => s"c$k")
     val sk = sketch.select((col(id) +: chunkNames.map(col)): _*).localCheckpoint()
+    val bandExprs: Seq[Column] =
+      if (chunksPerBand == 1) chunkNames.map(col)
+      else (0 until nBands).map(b => concat_ws(":",
+        chunkNames.slice(b * chunksPerBand, (b + 1) * chunksPerBand)
+          .map(c => col(c).cast("string")): _*))
     val bands = sk.select(col(id),
-      posexplode(array(chunkNames.map(col): _*)).as(Seq("bi", "bv")))
+      posexplode(array(bandExprs.map(_.cast("string")): _*)).as(Seq("bi", "bv")))
     val keep = bands.groupBy(col("bi"), col("bv"))
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucket))

@@ -1374,6 +1374,33 @@ object TextQueries {
         WHERE dist <= 15 ORDER BY id_a, id_b"""),
       "256-bit dHash near-dup: 16x16-bit bands — sparse at density AND d<=15 recall, the full upgrade"),
 
+    // ------- grouped-band near-dup on the 256-bit sketch (round-16):
+    // q281's radius ↔ sparsity dial on the PAIR side, where it matters
+    // MORE — a crowded pair bucket is stop-DROPPED (recall lost), not
+    // merely slow, so squaring each band's value space (2 chunks/band
+    // → 32-bit values) is how the pair stage stays under the cap at
+    // corpus densities where sixteen 16-bit bands crowd. The price is
+    // the per-GROUP pigeonhole: d ≤ 7 over 8 bands — still covering
+    // the fixture's gain twins (d = 0) and most p=2 edits (4..8; the
+    // handful at exactly 8 fall outside BOTH engine and oracle, so
+    // the hash compare pins the boundary). Oracle: exact all-pairs at
+    // threshold 7 over the closed-form 256-bit hashes.
+    "q283_dhash256_neardup_grouped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Dedup.hammingBandedPairsChunks(MediaSketch.dhash256(s, d),
+            "media_id", maxDist = 7, nChunks = 16, maxBucket = 200,
+            chunksPerBand = 2)
+          .orderBy($"id_a", $"id_b")
+      },
+      Some(dhash256Oracle + s"""
+        SELECT * FROM (
+          SELECT a.media_id AS id_a, b.media_id AS id_b,
+            CAST(${dhash256Dist("a", "b")} AS INTEGER) AS dist
+          FROM hash a JOIN hash b ON a.media_id < b.media_id)
+        WHERE dist <= 7 ORDER BY id_a, id_b"""),
+      "grouped-band 256-bit near-dup: 8x32-bit bands keep pair buckets under the stop-cap at density"),
+
     // ---------------- query-by-image k-NN on the 256-bit sketch (wide)
     // The q263 search ladder carried onto the wide sketch: banded
     // radius-15 k-NN over the dhash256 store — each 16-bit chunk is one

@@ -465,6 +465,45 @@ object StreamPipeline {
       }
     }
 
+  /** Seed a [[substringScrubWriter]] index with a BENCHMARK window set
+    * — decontamination AT INGEST (round-16, the streaming face of the
+    * batch [[graft.operators.Dedup.substringDecontaminate]]): the
+    * bench corpus's stride-1 window hashes land as a PROMOTED BASE
+    * GENERATION (`base-0` + empty-coverage meta, exactly what
+    * [[compactNearDupIndex]] would produce), so every later batch's
+    * hash-hit excision treats benchmark text as "already admitted" —
+    * a verbatim eval quote is cut out of every arrival before it ever
+    * reaches the corpus, while the writer's own dedup semantics ride
+    * on top unchanged. The seed survives compaction (it folds into
+    * the next generation like any base) and the occupancy telemetry
+    * reads it like any other posting set.
+    *
+    * Call BEFORE the stream starts (or at any pause): a batch in
+    * flight while the seed promotes may miss it (its index paths were
+    * already resolved), which for decontamination means one batch of
+    * un-scrubbed admissions — rerun those docs through the batch
+    * operator if that window matters. `id`/`text` must be the same
+    * column names the writer uses: the index dirs are unioned by
+    * name, and a drifted id column would null out under compaction.
+    * Refuses an already-seeded or already-compacted index (base-0
+    * exists) — seeding is a create-time operation, not an append. */
+  def seedSubstringIndex(spark: SparkSession, indexDir: String,
+                         bench: DataFrame, id: String, text: String,
+                         width: Int = 40): Unit = {
+    import graft.io.Fs
+    import graft.operators.Dedup
+    pinIndexScheme(spark, indexDir, "_scheme", s"substring width=$width")
+    require(!Fs.exists(spark, s"$indexDir/base-0.meta"),
+      s"$indexDir already holds a base generation — seed only a fresh index")
+    Dedup.substringWindowHashes(
+        bench.select(col(id), col(text)), id, text, width)
+      .select(col(id), lit(0).as("band_idx"), col("wh").as("band_hash"))
+      .distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/base-0")
+    // empty covered set: every writer delta stays visible alongside
+    Fs.writeTextAtomic(spark, s"$indexDir/base-0.meta", "")
+  }
+
   /** [[bucketSuppressWriter]] on the IMAGE modality (round-14): each
     * micro-batch of (id, pngBytes) rows runs the q254 machinery — real
     * codec decode + 9×8 gray sample in the partition-wise codec slot,

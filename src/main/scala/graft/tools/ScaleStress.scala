@@ -219,7 +219,13 @@ object ScaleStress {
     // replica rewrites ids, so doc_id < 50 selects the 50 copies of
     // base doc 0 as the ×100 bench set — a 1-distinct-doc bench; the
     // row measures the scan+probe cost, which is the claim
-    "r16c" -> Seq("q282_substring_decontaminate"))
+    "r16c" -> Seq("q282_substring_decontaminate"),
+    // grouped-band PAIRS on the 256-bit store: the q281 dial where it
+    // matters more — crowded pair buckets are stop-DROPPED, so the
+    // squared band-value space keeps the pair stage emitting at
+    // densities where per-chunk bands crowd toward the cap; the row
+    // must EMIT (the d <= 7 pairs exist at any replication)
+    "r16d" -> Seq("q283_dhash256_neardup_grouped"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -233,7 +239,7 @@ object ScaleStress {
     "q275_substring_dedup_rolling", "q276_pii_redact",
     "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search",
     "q280_substring_rolling_first", "q281_hamming_knn_grouped",
-    "q282_substring_decontaminate")
+    "q282_substring_decontaminate", "q283_dhash256_neardup_grouped")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

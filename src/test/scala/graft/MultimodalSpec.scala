@@ -249,6 +249,26 @@ class MultimodalSpec extends SparkSpec {
         maxDist = 16, nChunks = 16)
     }
     assert(e.getMessage.contains("pigeonhole"))
+    // grouped banding (round-16): 8 bands of 2 chunks must equal the
+    // exact theta-join filtered to its d <= 7 per-GROUP pigeonhole
+    val grouped = graft.operators.Dedup
+      .hammingBandedPairsChunks(sk, "media_id", maxDist = 7, nChunks = 16,
+        chunksPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(grouped == exact.filter(_._3 <= 7),
+      s"grouped ${grouped.size} vs exact-within-7 ${exact.count(_._3 <= 7)}")
+    // a non-divisor grouping must refuse loudly
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingBandedPairsChunks(sk, "media_id",
+        maxDist = 4, nChunks = 16, chunksPerBand = 3)
+    }
+    assert(e2.getMessage.contains("must divide"))
+    // grouping everything into one band leaves no pigeonhole
+    val e3 = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.hammingBandedPairsChunks(sk, "media_id",
+        maxDist = 0, nChunks = 16, chunksPerBand = 16)
+    }
+    assert(e3.getMessage.contains("fewer than 2 bands"))
   }
 
   // --------------------------------------- spectral fingerprint pins

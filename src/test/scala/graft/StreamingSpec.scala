@@ -1451,6 +1451,61 @@ class StreamingSpec extends SparkSpec {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("seeded substring index: benchmark text excised AT INGEST (streaming decontamination)") {
+    // seedSubstringIndex = q282's decontamination as a stream property:
+    // the bench window set lands as a promoted base generation, so the
+    // scrub writer treats eval text as already-admitted and excises a
+    // verbatim quote from every arrival — before the doc ever lands
+    implicit val sqlCtx = spark.sqlContext
+    val benchPara = "the canonical benchmark question about the seven " +
+      "bridges of koenigsberg appears here verbatim"
+    val base = Files.createTempDirectory("sseed").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    StreamPipeline.seedSubstringIndex(spark, indexDir,
+      Seq(0L -> s"intro $benchPara outro").toDF("doc_id", "text"),
+      "doc_id", "text", width = 40)
+    val writer = StreamPipeline.substringScrubWriter(
+      indexDir, outDir, "doc_id", "text", width = 40)
+    writer(Seq(
+      100L -> s"leading text $benchPara trailing text",
+      101L -> "wholly unrelated arrival content touching nothing benchmark shaped at all")
+      .toDF("doc_id", "text"), 0L)
+    val got = Sinks.readAppendOnce(spark, outDir).get
+      .select($"doc_id", $"text", $"chars_removed")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(100L)._3 >= benchPara.length.toLong &&
+        !got(100L)._2.contains("koenigsberg"),
+      s"the quoted benchmark must be excised at ingest: ${got(100L)}")
+    assert(got(100L)._2.startsWith("leading text") &&
+        got(100L)._2.endsWith("trailing text"),
+      s"non-quoted content must survive: ${got(100L)}")
+    assert(got(101L)._3 == 0L,
+      s"an unrelated arrival lands untouched: ${got(101L)}")
+    // the writer's OWN dedup semantics ride on top: a later arrival
+    // duplicating doc 100's admitted (scrubbed) content is excised
+    // against the delta like any in-corpus duplicate
+    writer(Seq(102L -> s"leading text $benchPara trailing text")
+      .toDF("doc_id", "text"), 1L)
+    val got2 = Sinks.readAppendOnce(spark, outDir).get
+      .filter($"doc_id" === 102L)
+      .select(length(trim($"text"))).as[Long].head()
+    assert(got2 == 0L,
+      s"a full duplicate of an admitted arrival must scrub to empty, got len $got2")
+    // the seed survives compaction (folds like any base generation)
+    StreamPipeline.compactNearDupIndex(spark, indexDir, outDir)
+    writer(Seq(103L -> s"prefix $benchPara suffix").toDF("doc_id", "text"), 2L)
+    val got3 = Sinks.readAppendOnce(spark, outDir).get
+      .filter($"doc_id" === 103L).select($"text").as[String].head()
+    assert(!got3.contains("koenigsberg"),
+      s"post-compaction arrivals must still decontaminate: '$got3'")
+    // seeding is create-time only: a second seed must refuse
+    val e = intercept[IllegalArgumentException] {
+      StreamPipeline.seedSubstringIndex(spark, indexDir,
+        Seq(1L -> "more bench").toDF("doc_id", "text"), "doc_id", "text", 40)
+    }
+    assert(e.getMessage.contains("fresh index"), e.getMessage)
+  }
+
   test("suppression index scheme markers: mismatched reopen refuses loudly, matched proceeds") {
     // The `_bands` protocol generalized to every suppression writer
     // (round-16): persisted index hashes are only comparable under the
