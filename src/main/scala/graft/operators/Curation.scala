@@ -239,6 +239,82 @@ object Curation {
         max(when(col("__rk") === 1, col(id))).as("first_doc"))
   }
 
+  // ------------------------------------------------- source mixing
+
+  /** Temperature-scaled source MIXING — the data-mixture step every
+    * multi-source pretraining run performs (multilingual sampling à la
+    * XLM-R / mT5: draw from source s with probability ∝ n_s^(1/T), so
+    * high-resource sources are down-weighted and low-resource ones get
+    * a larger share than proportional): given a target corpus size
+    * `N · fracNum / fracDen`, compute each source's target count from
+    * its weighting and select its kept documents DETERMINISTICALLY —
+    * the n_target docs with the smallest (md5(id), id) rank inside the
+    * source, so the kept SET is a pure function of the corpus (every
+    * engine, every rerun, byte-identical — the q195 hash-split idiom
+    * applied to sampling).
+    *
+    * The temperature axis is kept INTEGER-EXACT (the house float-free
+    * boundary rule) by restricting to the three points that need no
+    * float pow: `weighting = "prop"` (u_s = n_s, T = 1 — proportional,
+    * mixing changes nothing but the total), `"sqrt"` (u_s = ⌊√n_s⌋,
+    * T = 2 — THE standard multilingual setting), `"uniform"` (u_s = 1,
+    * T = ∞ — equal share per source). ⌊√n⌋ via the correctly-rounded
+    * IEEE sqrt is exact for any realistic count (the true root of a
+    * non-square n < 2⁵² is > ½ulp from an integer), and everything
+    * downstream is integer: n_target_s = (N·fracNum div fracDen)·u_s
+    * div Σu, capped at n_s for the kept set with the UP-sampling
+    * demand surfaced as `n_epochs` = ⌈n_target / n_s⌉ (a low-resource
+    * source at T = 2 legitimately repeats — the mixture's epoch
+    * multiplier, reported rather than silently truncated).
+    *
+    * Scale shape: one source-keyed count aggregate (map-side
+    * combinable), the per-source table broadcast back (sources are
+    * enum-bounded by contract), and ONE source-partitioned rank window
+    * — the honest per-source sort a rank-exact sample costs; at 100 TB
+    * the drop-in replacement is a two-phase exact-quantile threshold
+    * on the md5 rank (the q133 machinery) if the per-source sort ever
+    * binds. Returns one row per source: (source, n_docs, u, n_target,
+    * n_kept, n_epochs, keep_sum, keep_sq_sum) — the two checksums pin
+    * the kept SET cross-engine, not just its size. */
+  def sourceMix(df: DataFrame, id: String, source: String,
+                fracNum: Long, fracDen: Long,
+                weighting: String = "sqrt"): DataFrame = {
+    require(fracDen > 0 && fracNum >= 0,
+      s"target fraction $fracNum/$fracDen must be a nonnegative ratio")
+    import org.apache.spark.sql.expressions.Window
+    val u: Column = weighting match {
+      case "prop" => col("n_docs")
+      case "sqrt" => floor(sqrt(col("n_docs").cast("double"))).cast("long")
+      case "uniform" => lit(1L)
+      case other => throw new IllegalArgumentException(
+        s"weighting '$other': need prop (T=1), sqrt (T=2) or uniform (T=inf)")
+    }
+    val counts = df.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("u", u)
+    val totals = counts.agg(sum(col("n_docs")).as("__N"), sum(col("u")).as("__U"))
+    val targets = counts.crossJoin(broadcast(totals))
+      .withColumn("n_target",
+        expr(s"((__N * $fracNum) div $fracDen) * u div __U"))
+      .select(col(source), col("n_docs"), col("u"), col("n_target"))
+    val w = Window.partitionBy(col(source))
+      .orderBy(md5(col(id).cast("string")), col(id))
+    val kept = df.select(col(id), col(source))
+      .withColumn("__rk", row_number().over(w))
+      .join(broadcast(targets.select(col(source), col("n_target"))), source)
+      .filter(col("__rk") <= col("n_target"))
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(id) % 1000003L).as("keep_sum"),
+        sum((col(id) % 1000003L) * (col(id) % 1000003L)).as("keep_sq_sum"))
+    targets.join(kept, Seq(source), "left")
+      .select(col(source), col("n_docs"), col("u"), col("n_target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        expr("(n_target + n_docs - 1) div n_docs").as("n_epochs"),
+        coalesce(col("keep_sum"), lit(0L)).as("keep_sum"),
+        coalesce(col("keep_sq_sum"), lit(0L)).as("keep_sq_sum"))
+  }
+
   // ------------------------------------------------- PII redaction
 
   /** PII redaction — the privacy gate every shipped training corpus

@@ -142,6 +142,67 @@ object PipelineQueries {
         FROM ranked GROUP BY shard ORDER BY shard"""),
       "epoch-shuffled shard layout: hash shards, seeded order, order-sensitive checksum"),
 
+    // --------------------------------------------- source mixing (T=2)
+    // The data-MIXTURE step every multi-source pretraining run performs
+    // (round-16): sample source s ∝ n_s^(1/T) — the XLM-R/mT5
+    // multilingual re-balance — with the kept set a deterministic
+    // function of the corpus (smallest (md5(id), id) ranks per source,
+    // the q195 hash idiom applied to sampling) and the temperature
+    // point T = 2 kept integer-exact via ⌊√n⌋ (floats never touch a
+    // keep/drop boundary). The fixture's `source` column is uniform
+    // (20 × equal), which would make any temperature vacuous — so the
+    // query derives the skewed mixture a real corpus has (web/books/
+    // code/wiki/papers at 8:4:2:1:1 by doc_id arithmetic, identical in
+    // both engines) and targets 4/5 of the corpus: sqrt weighting then
+    // drives the two smallest sources ABOVE their counts (n_epochs = 2
+    // — the up-sampling a T=2 mixture legitimately demands, surfaced
+    // as the epoch multiplier instead of silently truncated). The two
+    // checksums pin the kept SET cross-engine, not just its size.
+    "q284_temperature_mix" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = when($"doc_id" % 16 < 8, "web")
+          .when($"doc_id" % 16 < 12, "books")
+          .when($"doc_id" % 16 < 14, "code")
+          .when($"doc_id" % 16 === 14, "wiki")
+          .otherwise("papers")
+        graft.operators.Curation.sourceMix(
+            t(s, d, "documents").withColumn("mix_src", src),
+            "doc_id", "mix_src", fracNum = 4, fracDen = 5,
+            weighting = "sqrt")
+          .orderBy($"mix_src")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+            CASE WHEN doc_id % 16 < 8 THEN 'web'
+                 WHEN doc_id % 16 < 12 THEN 'books'
+                 WHEN doc_id % 16 < 14 THEN 'code'
+                 WHEN doc_id % 16 = 14 THEN 'wiki'
+                 ELSE 'papers' END AS mix_src
+          FROM documents),
+        cu AS (SELECT mix_src, count(*) AS n_docs,
+            CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS u
+          FROM src GROUP BY 1),
+        tot AS (SELECT sum(n_docs) AS nn, sum(u) AS uu FROM cu),
+        tg AS (SELECT mix_src, n_docs, u,
+            (((nn * 4) // 5) * u) // uu AS n_target FROM cu, tot),
+        rk AS (SELECT doc_id, mix_src,
+            row_number() OVER (PARTITION BY mix_src
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM src),
+        kept AS (SELECT rk.mix_src, count(*) AS n_kept,
+            sum(doc_id % 1000003) AS keep_sum,
+            sum((doc_id % 1000003) * (doc_id % 1000003)) AS keep_sq_sum
+          FROM rk JOIN tg USING (mix_src) WHERE rk.rk <= tg.n_target
+          GROUP BY 1)
+        SELECT tg.mix_src AS mix_src, CAST(tg.n_docs AS BIGINT) AS n_docs,
+          CAST(tg.u AS BIGINT) AS u, CAST(tg.n_target AS BIGINT) AS n_target,
+          CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+          CAST((tg.n_target + tg.n_docs - 1) // tg.n_docs AS BIGINT) AS n_epochs,
+          CAST(coalesce(kept.keep_sum, 0) AS BIGINT) AS keep_sum,
+          CAST(coalesce(kept.keep_sq_sum, 0) AS BIGINT) AS keep_sq_sum
+        FROM tg LEFT JOIN kept USING (mix_src) ORDER BY mix_src"""),
+      "temperature-2 source mixing: integer-exact isqrt weighting, deterministic hash-rank sampling, epoch multiplier"),
+
     // ------------------------------------------------ overlapping chunking
     // The windowing step every RAG index and long-context pretraining
     // pipeline runs: split each document into C-token chunks at stride

@@ -225,7 +225,12 @@ object ScaleStress {
     // squared band-value space keeps the pair stage emitting at
     // densities where per-chunk bands crowd toward the cap; the row
     // must EMIT (the d <= 7 pairs exist at any replication)
-    "r16d" -> Seq("q283_dhash256_neardup_grouped"))
+    "r16d" -> Seq("q283_dhash256_neardup_grouped"),
+    // temperature mixing: one source-keyed count + broadcast targets +
+    // one source-partitioned rank window — the honest per-source sort
+    // a rank-exact sample costs, measured on 100x rows (5 sources of
+    // ~100k-250k docs each sort independently)
+    "r16e" -> Seq("q284_temperature_mix"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -239,7 +244,8 @@ object ScaleStress {
     "q275_substring_dedup_rolling", "q276_pii_redact",
     "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search",
     "q280_substring_rolling_first", "q281_hamming_knn_grouped",
-    "q282_substring_decontaminate", "q283_dhash256_neardup_grouped")
+    "q282_substring_decontaminate", "q283_dhash256_neardup_grouped",
+    "q284_temperature_mix")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -259,6 +259,52 @@ class CurationOpsSpec extends SparkSpec {
       "a new epoch salt must produce a different order somewhere")
   }
 
+  test("sourceMix: isqrt temperature rebalance, deterministic kept set, epoch multiplier") {
+    import graft.operators.Curation
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // 3 sources with 9 / 4 / 1 docs, full-corpus target (frac 1/1):
+    // sqrt weights u = (3, 2, 1), U = 6, N = 14 → integer targets
+    // a: 14·3/6 = 7 (downsampled from 9), b: 14·2/6 = 4 (kept whole),
+    // c: 14·1/6 = 2 > 1 (UP-sampled: kept 1, n_epochs = 2)
+    val rows = (0L until 9L).map((_, "a")) ++
+      (10L until 14L).map((_, "b")) ++ Seq((20L, "c"))
+    val got = Curation.sourceMix(rows.toDF("doc_id", "src"),
+        "doc_id", "src", fracNum = 1, fracDen = 1, weighting = "sqrt")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    def expectKept(ids: Seq[Long], k: Int): (Long, Long) = {
+      val kept = ids.sortBy(i => (md5hex(i.toString), i)).take(k)
+      (kept.map(_ % 1000003L).sum,
+        kept.map(i => (i % 1000003L) * (i % 1000003L)).sum)
+    }
+    val (sa, qa) = expectKept(0L until 9L, 7)
+    assert(got("a") == (("a", 9L, 3L, 7L, 7L, 1L, sa, qa)), s"a: ${got("a")}")
+    val (sb, qb) = expectKept(10L until 14L, 4)
+    assert(got("b") == (("b", 4L, 2L, 4L, 4L, 1L, sb, qb)), s"b: ${got("b")}")
+    assert(got("c") == (("c", 1L, 1L, 2L, 1L, 2L, 20L, 400L)), s"c: ${got("c")}")
+    // the kept set is a deterministic rank, so rerunning is byte-stable
+    // and the T=1 point keeps exact proportionality: u = n_docs
+    val prop = Curation.sourceMix(rows.toDF("doc_id", "src"),
+        "doc_id", "src", fracNum = 1, fracDen = 2, weighting = "prop")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r._4).toMap
+    // N=14, total = 7, U = 14: targets = 7·n_s/14 = n_s/2 (floor)
+    assert(prop == Map("a" -> 4L, "b" -> 2L, "c" -> 0L), s"prop: $prop")
+    // T=inf: equal share per source
+    val uni = Curation.sourceMix(rows.toDF("doc_id", "src"),
+        "doc_id", "src", fracNum = 3, fracDen = 14, weighting = "uniform")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r._4).toMap
+    assert(uni == Map("a" -> 1L, "b" -> 1L, "c" -> 1L), s"uniform: $uni")
+    val e = intercept[IllegalArgumentException] {
+      Curation.sourceMix(rows.toDF("doc_id", "src"), "doc_id", "src",
+        1, 1, weighting = "t3")
+    }
+    assert(e.getMessage.contains("prop"), e.getMessage)
+  }
+
   test("piiRedact: literal counts + redacted text on adversarial fixtures") {
     import graft.operators.Curation
     def md5hex(s: String): String =
