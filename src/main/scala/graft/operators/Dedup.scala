@@ -1388,6 +1388,43 @@ object Dedup {
         md5(col("__clean")).as("clean_md5"))
   }
 
+  /** Winnow-based DECONTAMINATION — the FUZZY rung of the
+    * decontamination ladder (q82 drops docs on exact word-8-gram
+    * overlap; [[substringDecontaminate]] excises ≥ width-char VERBATIM
+    * runs; both are blind to an EDITED quote — one changed token
+    * breaks every 8-gram and every 40-char window that crosses it):
+    * a corpus doc sharing ≥ `minShared` distinct winnowed fingerprints
+    * with the benchmark set is flagged, and the q269 theorem makes the
+    * recall claim precise — any UNBROKEN run of ≥ k+w−1 tokens shared
+    * with an eval doc guarantees a shared fingerprint, so a lightly
+    * edited quote still contributes one fingerprint per surviving run
+    * between edits. Flagging (not excision) is the right semantics
+    * here: winnow fingerprints localize to gram positions, not char
+    * spans, so the operator reports the evidence and the caller
+    * decides drop vs manual review (the q82 convention).
+    *
+    * Scale shape: the bench fingerprint set is benchmark-sized by
+    * contract, so it BROADCASTS; each corpus posting row meets at most
+    * ONE bench row (the bench side is distinct on fp), so the probe is
+    * fan-out-free — no df cap needed, unlike the corpus-vs-corpus pair
+    * operator — and ONE doc-keyed aggregate finishes. Returns flagged
+    * docs only: (id, n_shared, n_fps). */
+  def winnowDecontaminate(docs: DataFrame, bench: DataFrame, id: String,
+                          text: Column, k: Int, w: Int,
+                          minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val bf = winnowedFingerprints(bench, id, text, k, w)
+      .select(col("fp")).distinct()
+    val cf = winnowedFingerprints(docs, id, text, k, w)
+      .select(col(id), col("fp")).distinct()
+    cf.join(broadcast(bf.withColumn("__hit", lit(1L))), Seq("fp"), "left")
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col(id), col("n_shared"), col("n_fps"))
+  }
+
   /** Query-by-SNIPPET search (the MOSS use-case as a search op, not a
     * pair op): for each query snippet, the corpus documents sharing the
     * most winnowed fingerprints, ranked. Exact phrase search (q238)

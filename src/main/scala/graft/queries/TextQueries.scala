@@ -1831,6 +1831,82 @@ object TextQueries {
           """ + substringRebuildTail()),
       "substring decontamination: excise every span whose 40-char window occurs in the bench set"),
 
+    // ------------- winnow decontamination (round-16): the FUZZY rung
+    // of the decontamination ladder. q82 (exact 8-grams) and q282
+    // (verbatim 40-char windows) are both broken by ONE edited token;
+    // winnowed-fingerprint overlap is not — any unbroken shared run of
+    // ≥ k+w−1 = 7 tokens guarantees a shared fingerprint (the q269
+    // theorem), so an edited quote still flags. The fixture makes the
+    // claim adversarial (the q279 construction): every 25th corpus doc
+    // gets an EDITED 20-token quote of bench doc (doc_id mod 50)
+    // appended — tokens 3..22 with the 10th replaced by an
+    // out-of-vocabulary edit, splitting the quote into runs of 7 and
+    // 12, so ≥ 2 shared fingerprints are GUARANTEED and the planted
+    // docs must all flag at minShared = 2 (natural corpus/bench
+    // overlaps flag identically in both engines on top). Flagging,
+    // not excision: winnow evidence localizes to gram positions, so
+    // the operator reports (doc, n_shared, n_fps) and the caller
+    // decides — the q82 convention.
+    "q285_winnow_decontaminate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val all = docs(s, d)
+        val bench = all.filter($"doc_id" < 50)
+        val ws = words($"text")
+        val bsnip = bench.filter(size(ws) >= 22)
+          .select(($"doc_id").as("__bid"),
+            array_join(concat(slice(ws, 3, 7), array(lit("zzedit")),
+              slice(ws, 11, 12)), " ").as("__snip"))
+        val corpus = all.filter($"doc_id" >= 50)
+          .withColumn("__bid",
+            when($"doc_id" % 25 === 0, $"doc_id" % 50).otherwise(lit(-1L)))
+          .join(broadcast(bsnip), Seq("__bid"), "left")
+          .select($"doc_id",
+            when($"__snip".isNotNull, concat($"text", lit(" "), $"__snip"))
+              .otherwise($"text").as("text"))
+        Dedup.winnowDecontaminate(corpus, bench.select($"doc_id", $"text"),
+            "doc_id", $"text", k = 4, w = 4, minShared = 2)
+          .orderBy($"doc_id")
+      },
+      Some("""WITH ws0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+        bsnip AS (SELECT doc_id AS bid,
+            array_to_string(list_concat(list_concat(ws[3:9], ['zzedit']),
+              ws[11:22]), ' ') AS snip
+          FROM ws0 WHERE doc_id < 50 AND len(ws) >= 22),
+        corpus AS (SELECT d.doc_id,
+            CASE WHEN d.doc_id % 25 = 0 AND b.snip IS NOT NULL
+              THEN d.text || ' ' || b.snip ELSE d.text END AS text
+          FROM documents d LEFT JOIN bsnip b ON b.bid = d.doc_id % 50
+          WHERE d.doc_id >= 50),
+        cws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM corpus),
+        cks AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+            CAST('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 8) AS BIGINT)
+              * 2097152 + (2097151 - i)) AS ks
+          FROM cws WHERE len(ws) >= 4),
+        csel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(ks) - 4, 0) + 1),
+            j -> list_min(ks[j+1:least(j+4, len(ks))])))) AS key
+          FROM cks),
+        cf AS (SELECT DISTINCT doc_id, key >> 21 AS fp FROM csel),
+        bks AS (SELECT doc_id, list_transform(range(0, len(ws) - 3), i ->
+            CAST('0x' || substr(md5(array_to_string(ws[i+1:i+4], ' ')), 1, 8) AS BIGINT)
+              * 2097152 + (2097151 - i)) AS ks
+          FROM ws0 WHERE doc_id < 50 AND len(ws) >= 4),
+        bsel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(0, greatest(len(ks) - 4, 0) + 1),
+            j -> list_min(ks[j+1:least(j+4, len(ks))])))) AS key
+          FROM bks),
+        bf AS (SELECT DISTINCT key >> 21 AS fp FROM bsel),
+        agg AS (SELECT doc_id, count(*) AS n_fps,
+            sum(CASE WHEN fp IN (SELECT fp FROM bf) THEN 1 ELSE 0 END)
+              AS n_shared
+          FROM cf GROUP BY 1)
+        SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+          CAST(n_fps AS BIGINT) AS n_fps
+        FROM agg WHERE n_shared >= 2 ORDER BY doc_id"""),
+      "winnow decontamination: edited bench quotes flag on guaranteed shared fingerprints"),
+
     // --------------------------- weighted Jaccard near-dup (tf axis)
     // The similarity axis the set family can't express: term
     // FREQUENCIES are part of document identity, so repetition-heavy

@@ -230,7 +230,12 @@ object ScaleStress {
     // one source-partitioned rank window — the honest per-source sort
     // a rank-exact sample costs, measured on 100x rows (5 sources of
     // ~100k-250k docs each sort independently)
-    "r16e" -> Seq("q284_temperature_mix"))
+    "r16e" -> Seq("q284_temperature_mix"),
+    // winnow decontamination: the corpus fp stream is the linear part
+    // (the q269 selection on 100x docs); the bench fp set broadcasts,
+    // so the probe is fan-out-free — the row must EMIT (every 25th
+    // replica doc carries a planted edited quote by construction)
+    "r16f" -> Seq("q285_winnow_decontaminate"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -245,7 +250,7 @@ object ScaleStress {
     "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search",
     "q280_substring_rolling_first", "q281_hamming_knn_grouped",
     "q282_substring_decontaminate", "q283_dhash256_neardup_grouped",
-    "q284_temperature_mix")
+    "q284_temperature_mix", "q285_winnow_decontaminate")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -748,6 +748,45 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("winnowDecontaminate: the edited quote flags where BOTH verbatim rungs are blind") {
+    // the decontamination ladder's separation, constructed exactly:
+    // a 15-token bench quote with its middle token edited splits into
+    // two shared runs of 7 tokens each — 7 = k+w−1 guarantees one
+    // winnowed fingerprint per run (the q269 theorem → n_shared >= 2),
+    // while each run is < 40 chars (no shared 40-char window: q282
+    // blind) and < 8 tokens (no shared word-8-gram: q82 blind)
+    val btoks = (0 until 30).map(i => s"bw$i")
+    val bench = Seq((0L, btoks.mkString(" ")))
+    val quote = (btoks.slice(3, 10) :+ "zedit") ++ btoks.slice(11, 18)
+    require(quote.slice(0, 7).mkString(" ").length < 40 &&
+      quote.slice(8, 15).mkString(" ").length < 40)
+    val corpus = Seq(
+      (100L, (0 until 12).map(i => s"cw$i").mkString(" ") + " " +
+        quote.mkString(" ")),
+      (101L, (0 until 20).map(i => s"uw$i").mkString(" ")))
+    val flags = Dedup.winnowDecontaminate(corpus.toDF("doc_id", "text"),
+        bench.toDF("doc_id", "text"), "doc_id", $"text",
+        k = 4, w = 4, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(flags.map(_._1) == Seq(100L) && flags.head._2 >= 2,
+      s"the edited quote must flag with >= 2 guaranteed fingerprints: $flags")
+    // the verbatim rungs ARE blind to the same fixture
+    val sub = Dedup.substringDecontaminate(corpus.toDF("doc_id", "text"),
+        bench.toDF("doc_id", "text"), "doc_id", "text", width = 40)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(sub.forall(_._4 == 0L),
+      s"no shared 40-char window exists — q282's rung must excise nothing: ${sub.toSeq}")
+    val sharedShingles = corpus.toDF("doc_id", "text")
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.wordShingles($"text", 8))).as("sh"))
+      .join(bench.toDF("doc_id", "text")
+        .select(explode(array_distinct(
+          graft.functions.TextFunctions.wordShingles($"text", 8))).as("sh")), "sh")
+      .count()
+    assert(sharedShingles == 0L,
+      s"no shared word-8-gram exists — q82's rung is blind: $sharedShingles")
+  }
+
   test("substringDedup guards: width floor and the (id, pos) packing envelope") {
     val e = intercept[IllegalArgumentException] {
       Dedup.substringDedup(docs, "doc_id", "text", width = 3)
