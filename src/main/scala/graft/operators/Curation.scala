@@ -279,9 +279,49 @@ object Curation {
   def sourceMix(df: DataFrame, id: String, source: String,
                 fracNum: Long, fracDen: Long,
                 weighting: String = "sqrt"): DataFrame = {
+    val targets = mixTargets(df, id, source, fracNum, fracDen, weighting)
+    val kept = sourceMixKeep(df, id, source, fracNum, fracDen, weighting)
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col(id) % 1000003L).as("keep_sum"),
+        sum((col(id) % 1000003L) * (col(id) % 1000003L)).as("keep_sq_sum"))
+    targets.join(kept, Seq(source), "left")
+      .select(col(source), col("n_docs"), col("u"), col("n_target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        expr("(n_target + n_docs - 1) div n_docs").as("n_epochs"),
+        coalesce(col("keep_sum"), lit(0L)).as("keep_sum"),
+        coalesce(col("keep_sq_sum"), lit(0L)).as("keep_sq_sum"))
+  }
+
+  /** The kept-ROWS face of [[sourceMix]] — the frame a composed
+    * pipeline actually feeds downstream (the summary is the audit, the
+    * rows are the corpus): every input column of the selected docs,
+    * selection rule identical by construction (one shared target
+    * derivation, one shared rank). Down-sampling only: a source whose
+    * target exceeds its count contributes every row ONCE here — the
+    * repeat factor is [[sourceMix]]'s `n_epochs`, applied by the
+    * training reader, not by materializing duplicate rows. */
+  def sourceMixKeep(df: DataFrame, id: String, source: String,
+                    fracNum: Long, fracDen: Long,
+                    weighting: String = "sqrt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targets = mixTargets(df, id, source, fracNum, fracDen, weighting)
+    val w = Window.partitionBy(col(source))
+      .orderBy(md5(col(id).cast("string")), col(id))
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(targets.select(col(source), col("n_target"))), source)
+      .filter(col("__rk") <= col("n_target"))
+      .drop("__rk", "n_target")
+  }
+
+  /** Shared target derivation for [[sourceMix]]/[[sourceMixKeep]]:
+    * (source, n_docs, u, n_target) — see sourceMix's doc for the
+    * integer-exact weighting points. */
+  private def mixTargets(df: DataFrame, id: String, source: String,
+                         fracNum: Long, fracDen: Long,
+                         weighting: String): DataFrame = {
     require(fracDen > 0 && fracNum >= 0,
       s"target fraction $fracNum/$fracDen must be a nonnegative ratio")
-    import org.apache.spark.sql.expressions.Window
     val u: Column = weighting match {
       case "prop" => col("n_docs")
       case "sqrt" => floor(sqrt(col("n_docs").cast("double"))).cast("long")
@@ -293,26 +333,10 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("u", u)
     val totals = counts.agg(sum(col("n_docs")).as("__N"), sum(col("u")).as("__U"))
-    val targets = counts.crossJoin(broadcast(totals))
+    counts.crossJoin(broadcast(totals))
       .withColumn("n_target",
         expr(s"((__N * $fracNum) div $fracDen) * u div __U"))
       .select(col(source), col("n_docs"), col("u"), col("n_target"))
-    val w = Window.partitionBy(col(source))
-      .orderBy(md5(col(id).cast("string")), col(id))
-    val kept = df.select(col(id), col(source))
-      .withColumn("__rk", row_number().over(w))
-      .join(broadcast(targets.select(col(source), col("n_target"))), source)
-      .filter(col("__rk") <= col("n_target"))
-      .groupBy(col(source))
-      .agg(count(lit(1)).as("n_kept"),
-        sum(col(id) % 1000003L).as("keep_sum"),
-        sum((col(id) % 1000003L) * (col(id) % 1000003L)).as("keep_sq_sum"))
-    targets.join(kept, Seq(source), "left")
-      .select(col(source), col("n_docs"), col("u"), col("n_target"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        expr("(n_target + n_docs - 1) div n_docs").as("n_epochs"),
-        coalesce(col("keep_sum"), lit(0L)).as("keep_sum"),
-        coalesce(col("keep_sq_sum"), lit(0L)).as("keep_sq_sum"))
   }
 
   // ------------------------------------------------- PII redaction

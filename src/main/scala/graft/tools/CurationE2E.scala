@@ -92,11 +92,15 @@ import graft.operators.{Curation, Dedup}
   *                        audit (after steps 3-5 it must report ZERO
   *                        straddling fingerprints — the composed
   *                        pipeline's acceptance check, asserted here).
-  *  13. shard_layout    — q277's epoch-shuffled shard layout of the
-  *                        train split: md5 shard assignment, salted
-  *                        within-shard order, order-sensitive checksum
-  *                        — the corpus leaves the pipeline as the 16
-  *                        shard files training actually reads.
+  *  13. mix             — q284's temperature-scaled source mixing of
+  *                        the train split (T = 2 via integer-exact
+  *                        isqrt weights, 4/5 target, deterministic
+  *                        per-source hash-rank kept set).
+  *  14. shard_layout    — q277's epoch-shuffled shard layout of the
+  *                        mixed train corpus: md5 shard assignment,
+  *                        salted within-shard order, order-sensitive
+  *                        checksum — the corpus leaves the pipeline as
+  *                        the 16 shard files training actually reads.
   *
   * Every leg ends in an eager localCheckpoint + count, so each wall
   * time covers exactly its own stage (no lazy-plan bleed into the next
@@ -412,18 +416,38 @@ object CurationE2E {
       res
     }
 
-    // ---- leg 13: shard layout of the train split (q277 shape) ----
-    // The lifecycle's last act: the train split lands as 16
+    // ---- leg 13: temperature mix of the train split (q284 shape) ----
+    // The data-MIXTURE step between splitting and layout (round-16):
+    // the train split is re-balanced across its `source` values at
+    // T = 2 (isqrt weighting, integer-exact) to a 4/5 target — the
+    // kept set a deterministic per-source (md5(id), id) rank via THE
+    // shared operator (Curation.sourceMixKeep, the q284 machinery),
+    // so the training corpus's source composition is a pure function
+    // of the corpus. The fixture's sources are near-uniform after the
+    // upstream gates, so the visible effect here is the honest COST of
+    // rank-exact sampling (one count agg + broadcast targets + the
+    // per-source rank window); the temperature REBALANCE itself is
+    // exercised and oracled on q284's skewed mixture.
+    val mixedTrain = timed("mix") {
+      val df = mat(Curation.sourceMixKeep(
+        assignedOut.filter($"split" === "train"), "doc_id", "source",
+        fracNum = 4, fracDen = 5, weighting = "sqrt"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 14: shard layout of the mixed train split (q277) ----
+    // The lifecycle's last act: the mixed train corpus lands as 16
     // epoch-shuffled shards — md5-hash shard assignment, salted-hash
     // within-shard order, the order-sensitive checksum pinning each
     // shard's exact training order (q277's law verbatim). One
     // shard-keyed window sort + a shard-bounded aggregate; reported
-    // docs/tokens = the train split laid out.
+    // docs/tokens = the train corpus laid out.
     timed("shard_layout") {
       // q277's law via THE shared operator (Curation.shardLayout) —
       // the leg and the registered/oracled query cannot drift
       val shards = mat(Curation.shardLayout(
-        assignedOut.filter($"split" === "train"), "doc_id", "text",
+        mixedTrain, "doc_id", "text",
         nShards = 16, epochSalt = "epoch1"))
       val a = shards.agg(coalesce(sum($"n_docs"), lit(0L)),
         coalesce(sum($"n_tokens"), lit(0L))).head()
@@ -503,7 +527,7 @@ object CurationE2E {
          |"split":{"train_docs":${base.trainDocs},"train_tokens":${base.trainToks},
          |"test_docs":${base.testDocs},"test_tokens":${base.testToks},
          |"straddling_fingerprints":${base.straddling}},
-         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q270(winnow containment)/q82/q254-q255(image)/q258-q259(audio)/q273(substring scrub)/q193/q179/q195/q277(shard layout) operators"$scalingJson}"""
+         |"note":"composed LLM-curation lifecycle over the documents fixture; each leg eager-checkpointed so wall times do not overlap; legs reuse the registered q31/q32/q40/q42(q205-composed)/q270(winnow containment)/q82/q254-q255(image)/q258-q259(audio)/q273(substring scrub)/q193/q179/q195/q284(temperature mix)/q277(shard layout) operators"$scalingJson}"""
         .stripMargin.replace("\n", "")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

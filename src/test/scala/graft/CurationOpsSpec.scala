@@ -303,6 +303,16 @@ class CurationOpsSpec extends SparkSpec {
         1, 1, weighting = "t3")
     }
     assert(e.getMessage.contains("prop"), e.getMessage)
+    // the kept-ROWS face selects the identical set (one shared target
+    // derivation + rank), keeps every input column, and materializes
+    // an up-sampled source's rows exactly ONCE
+    val keep = Curation.sourceMixKeep(rows.toDF("doc_id", "src"),
+        "doc_id", "src", 1, 1, "sqrt")
+      .as[(String, Long)].collect() // join reorders: (src, doc_id)
+    val byS = keep.groupBy(_._1).view
+      .mapValues(v => (v.length.toLong, v.map(_._2 % 1000003L).sum)).toMap
+    assert(byS("a") == ((7L, sa)) && byS("b") == ((4L, sb)) &&
+      byS("c") == ((1L, 20L)), s"kept rows must match the summary: $byS")
   }
 
   test("piiRedact: literal counts + redacted text on adversarial fixtures") {
