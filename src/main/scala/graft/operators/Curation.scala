@@ -280,7 +280,7 @@ object Curation {
                 fracNum: Long, fracDen: Long,
                 weighting: String = "sqrt"): DataFrame = {
     val targets = mixTargets(df, id, source, fracNum, fracDen, weighting)
-    val kept = sourceMixKeep(df, id, source, fracNum, fracDen, weighting)
+    val kept = keepRows(df, id, source, targets)
       .groupBy(col(source))
       .agg(count(lit(1)).as("n_kept"),
         sum(col(id) % 1000003L).as("keep_sum"),
@@ -303,9 +303,16 @@ object Curation {
     * training reader, not by materializing duplicate rows. */
   def sourceMixKeep(df: DataFrame, id: String, source: String,
                     fracNum: Long, fracDen: Long,
-                    weighting: String = "sqrt"): DataFrame = {
+                    weighting: String = "sqrt"): DataFrame =
+    keepRows(df, id, source,
+      mixTargets(df, id, source, fracNum, fracDen, weighting))
+
+  /** The shared rank-selection: n_target smallest (md5(id), id) per
+    * source — both public faces route here, so the kept set cannot
+    * drift between the audit and the rows. */
+  private def keepRows(df: DataFrame, id: String, source: String,
+                       targets: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val targets = mixTargets(df, id, source, fracNum, fracDen, weighting)
     val w = Window.partitionBy(col(source))
       .orderBy(md5(col(id).cast("string")), col(id))
     df.withColumn("__rk", row_number().over(w))

@@ -493,8 +493,13 @@ object StreamPipeline {
     import graft.io.Fs
     import graft.operators.Dedup
     pinIndexScheme(spark, indexDir, "_scheme", s"substring width=$width")
-    require(!Fs.exists(spark, s"$indexDir/base-0.meta"),
-      s"$indexDir already holds a base generation — seed only a fresh index")
+    // refuse ANY promoted generation, not just gen 0: readers union
+    // only the NEWEST base, so seeding under an existing base-N would
+    // leave base-0 permanently invisible — a silent no-op seed
+    val bases = Fs.listWithSuffix(spark, indexDir, ".meta")
+    require(bases.isEmpty,
+      s"$indexDir already holds promoted generation(s) " +
+        s"${bases.mkString(", ")} — seed only a fresh index")
     Dedup.substringWindowHashes(
         bench.select(col(id), col(text)), id, text, width)
       .select(col(id), lit(0).as("band_idx"), col("wh").as("band_hash"))
