@@ -1102,14 +1102,24 @@ object Dedup {
     * shape that survives 100 TB. Returns (id_a, id_b, shared). */
   def winnowedNearDupPairs(df: DataFrame, id: String, text: Column,
                            k: Int, w: Int, minShared: Int,
-                           maxDf: Int = 50): DataFrame = {
+                           maxDf: Int = 50): DataFrame =
+    winnowPairsFromFps(
+      winnowedFingerprints(df, id, text, k, w).select(col(id), col("fp")),
+      id, minShared, maxDf)
+
+  /** [[winnowedNearDupPairs]] over a PRE-DERIVED fingerprint frame
+    * (id, fp) — the face a materialized store feeds
+    * ([[graft.queries.TextSketch.winnowFps]]): winnow at ingest, pair
+    * at analysis time, the MediaSketch discipline on text. Identical
+    * pair arithmetic by construction (the derived face routes here). */
+  def winnowPairsFromFps(fpsIn: DataFrame, id: String, minShared: Int,
+                         maxDf: Int = 50): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     // maxDf < 2 would drop every shareable fingerprint and silently
     // report zero pairs — refuse loudly (the maxBucket convention)
     require(maxDf >= 2,
       s"maxDf=$maxDf: a cap below 2 drops every shared fingerprint")
-    val fps = winnowedFingerprints(df, id, text, k, w)
-      .select(col(id), col("fp")).distinct()
+    val fps = fpsIn.select(col(id), col("fp")).distinct()
       .localCheckpoint()
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
@@ -1443,13 +1453,33 @@ object Dedup {
     * (query_id, rank, cand_id, shared). */
   def winnowSearchTopK(queries: DataFrame, corpus: DataFrame, id: String,
                        text: Column, k: Int, w: Int, maxDf: Int,
-                       topK: Int): DataFrame = {
+                       topK: Int): DataFrame =
+    winnowSearchCore(
+      winnowedFingerprints(queries, id, text, k, w)
+        .select(col(id).as("query_id"), col("fp")).distinct(),
+      winnowedFingerprints(corpus, id, text, k, w)
+        .select(col(id).as("cand_id"), col("fp")),
+      maxDf, topK)
+
+  /** [[winnowSearchTopK]] over a PRE-DERIVED corpus fingerprint frame
+    * (id, fp) — the store-fed face ([[graft.queries.TextSketch]]): the
+    * query side still winnows live (queries are ad-hoc snippets by
+    * nature), the corpus index is read, which is exactly a snippet
+    * search service's shape. Same ranking arithmetic by construction. */
+  def winnowSearchTopKFps(queries: DataFrame, corpusFps: DataFrame,
+                          id: String, text: Column, k: Int, w: Int,
+                          maxDf: Int, topK: Int): DataFrame =
+    winnowSearchCore(
+      winnowedFingerprints(queries, id, text, k, w)
+        .select(col(id).as("query_id"), col("fp")).distinct(),
+      corpusFps.select(col(id).as("cand_id"), col("fp")),
+      maxDf, topK)
+
+  private def winnowSearchCore(qf: DataFrame, cfIn: DataFrame,
+                               maxDf: Int, topK: Int): DataFrame = {
     require(maxDf >= 1, s"maxDf=$maxDf: a cap below 1 drops every posting")
     require(topK >= 1, s"topK=$topK")
-    val qf = winnowedFingerprints(queries, id, text, k, w)
-      .select(col(id).as("query_id"), col("fp")).distinct()
-    val cf = winnowedFingerprints(corpus, id, text, k, w)
-      .select(col(id).as("cand_id"), col("fp")).distinct()
+    val cf = cfIn.distinct()
       .localCheckpoint() // read twice: df table + postings
     val keep = cf.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)

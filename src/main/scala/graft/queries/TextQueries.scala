@@ -1518,8 +1518,10 @@ object TextQueries {
     "q269_winnow_fingerprints" -> Q(
       (s, d) => {
         import s.implicits._
-        Dedup.winnowedFingerprints(docs(s, d), "doc_id", $"text",
-            k = 4, w = 4)
+        // the materialized store (TextSketch — winnow at ingest, the
+        // MediaSketch discipline on text); the oracle re-derives every
+        // fingerprint from the md5 closed form, validating the build
+        TextSketch.winnowFps(s, d)
           .orderBy($"doc_id", $"pos")
       },
       Some("""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
@@ -1555,8 +1557,11 @@ object TextQueries {
     "q270_winnow_neardup" -> Q(
       (s, d) => {
         import s.implicits._
-        Dedup.winnowedNearDupPairs(docs(s, d), "doc_id", $"text",
-            k = 4, w = 4, minShared = 3, maxDf = 50)
+        // postings from the materialized fingerprint store (round-16:
+        // winnow at ingest, pair at analysis — the TextSketch face)
+        Dedup.winnowPairsFromFps(
+            TextSketch.winnowFps(s, d).select($"doc_id", $"fp"),
+            "doc_id", minShared = 3, maxDf = 50)
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
@@ -1597,10 +1602,14 @@ object TextQueries {
         val base = docs(s, d)
         val keep = Dedup.exactKeepers(base, "doc_id", "text")
           .localCheckpoint() // read 3x: keeper filter + both copy joins
-        val kept = base.join(
-          keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
-        Dedup.winnowedNearDupPairs(kept, "doc_id", $"text",
-            k = 4, w = 4, minShared = 3, maxDf = 50)
+        // keeper postings = the store semi-joined to keepers (winnow
+        // selection is per-doc, so the restriction equals re-deriving
+        // over the kept subset — round-16 TextSketch face)
+        val keptFps = TextSketch.winnowFps(s, d)
+          .join(keep.select($"keeper_id".as("doc_id")), Seq("doc_id"),
+            "left_semi")
+        Dedup.winnowPairsFromFps(keptFps.select($"doc_id", $"fp"),
+            "doc_id", minShared = 3, maxDf = 50)
           .join(keep.select($"keeper_id".as("id_a"), $"n_copies".as("copies_a")), "id_a")
           .join(keep.select($"keeper_id".as("id_b"), $"n_copies".as("copies_b")), "id_b")
           .select($"id_a", $"id_b", $"shared", $"copies_a", $"copies_b")
@@ -2003,7 +2012,11 @@ object TextQueries {
           slice(ws, 3, 7), array(lit("zzedit")), slice(ws, 11, 12)), " ")
         val queries = kept.filter($"doc_id" % 25 === 0 && size(ws) >= 22)
           .select($"doc_id", snippet.as("text"))
-        Dedup.winnowSearchTopK(queries, kept, "doc_id", $"text",
+        // corpus postings from the store, keeper-restricted (winnow
+        // selection is per-doc, so the semi-join equals re-derivation)
+        val keptFps = TextSketch.winnowFps(s, d)
+          .join(kept.select($"doc_id"), Seq("doc_id"), "left_semi")
+        Dedup.winnowSearchTopKFps(queries, keptFps, "doc_id", $"text",
             k = 4, w = 4, maxDf = 50, topK = 3)
           .orderBy($"query_id", $"rank")
       },

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The ONE materialized winnow-fingerprint table (doc_id, fp, pos) at
+  * the house (k = 4, w = 4) scheme — the [[MediaSketch]] discipline on
+  * the TEXT modality (round-16): q269's selection, q270's pair
+  * postings, q271's keeper postings and q279's search index all need
+  * every document's winnowed fingerprints, and before this each re-ran
+  * the gram-md5 → key-pack → window-min selection per query (the
+  * dominant ~2–4 s of each). Fingerprints are computed ONCE per
+  * testdata generation (mtime-keyed via [[LayoutKey]], published
+  * atomically via `Fs.promoteDir`, `_SUCCESS`-guarded) and every
+  * consumer reads the parquet — at 100 TB this is exactly how a
+  * fingerprint index runs in production: winnow at INGEST, N analyses
+  * over the store (the same shape
+  * [[graft.streaming.StreamPipeline.winnowDedupSuppressWriter]]
+  * maintains incrementally, whose `_scheme` marker pins the identical
+  * (k, w)).
+  *
+  * The winnow selection is PER-DOC (a doc's fingerprints depend only
+  * on its own text), so any doc-subset consumer — q271/q279's exact
+  * keepers — restricts the store with a semi-join and gets exactly
+  * what a fresh derivation over the subset would produce. Consumers
+  * whose TEXT differs from the base table (q285's planted quotes, the
+  * lifecycle's scrubbed survivors) stay on the live derivation by
+  * construction. Every consumer's DuckDB oracle still re-derives the
+  * fingerprints from the md5 closed form, so the hash compare keeps
+  * validating this build end-to-end every round. */
+object TextSketch {
+
+  /** Materialized (doc_id, fp, pos) for every document, k = 4, w = 4. */
+  def winnowFps(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "winnow_fp_k4w4")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        import s.implicits._
+        graft.operators.Dedup.winnowedFingerprints(
+            graft.Tables(s, d, "documents").select($"doc_id", $"text"),
+            "doc_id", $"text", k = 4, w = 4)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+}

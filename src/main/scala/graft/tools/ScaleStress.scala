@@ -235,7 +235,13 @@ object ScaleStress {
     // (the q269 selection on 100x docs); the bench fp set broadcasts,
     // so the probe is fan-out-free — the row must EMIT (every 25th
     // replica doc carries a planted edited quote by construction)
-    "r16f" -> Seq("q285_winnow_decontaminate"))
+    "r16f" -> Seq("q285_winnow_decontaminate"),
+    // re-measure after the TextSketch materialization (the consumers'
+    // plans changed: the gram-md5 selection moved to the ingest-time
+    // store build, which the warmup pays — the r14sketch/r15e refresh
+    // convention on the text modality)
+    "r16sketch" -> Seq("q269_winnow_fingerprints", "q270_winnow_neardup",
+      "q271_winnow_dedup_first", "q279_winnow_search"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at

@@ -1140,20 +1140,30 @@ class ScalePostureSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sps.contains("FileScan") && sps.contains("graft_layout"),
       s"MediaSketch.spectral must read the materialized parquet:\n${sps.take(600)}")
-    // q269: the winnowing selection is NARROW — codegen'd HOFs and a
-    // generate, no join anywhere; the only exchange is the
-    // presentation sort's range partitioning
+    // q269: reads the materialized winnow store (round-16 TextSketch —
+    // winnow at ingest, the MediaSketch discipline on text): no join,
+    // no per-query gram-md5 re-derivation (no documents.parquet scan);
+    // the builder itself must read the materialized parquet
     val p269 = plan("q269_winnow_fingerprints")
     assert(!p269.contains("Join"),
-      s"q269 must not join — the selection is per-row HOFs:\n${p269.take(1200)}")
-    assert(p269.contains("Generate"),
-      s"q269 explodes its per-doc selections:\n${p269.take(1200)}")
+      s"q269 must not join — it reads the fingerprint store:\n${p269.take(1200)}")
+    assert(!p269.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q269 must read the winnow store, not re-derive per query:\n${p269.take(1200)}")
+    val wfs = graft.queries.TextSketch.winnowFps(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(wfs.contains("FileScan") && wfs.contains("graft_layout"),
+      s"TextSketch.winnowFps must read the materialized parquet:\n${wfs.take(600)}")
     // q270: pairs come from the df-capped fingerprint postings
-    // equi-join — a cartesian/nested-loop would pair the corpus
-    // quadratically
+    // equi-join over the SAME store — a cartesian/nested-loop would
+    // pair the corpus quadratically, and a documents.parquet scan
+    // would mean the selection re-derived per query
     val p270 = plan("q270_winnow_neardup")
     assert(!p270.contains("CartesianProduct") && !p270.contains("BroadcastNestedLoopJoin"),
       s"q270 pairs must come from the postings equi-join:\n${p270.take(1200)}")
+    assert(!p270.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q270 must read the winnow store, not re-derive per query:\n${p270.take(1200)}")
     // q271: the dedup-first composition must run the exact hash
     // aggregate BEFORE the pairwise stage (the q205 pin): the keeper
     // aggregate feeds a join, and no cartesian appears anywhere
