@@ -1184,8 +1184,9 @@ object Dedup {
     * clean_md5) — clean_md5 pins the reconstructed TEXT cross-engine,
     * not just its length. */
   def substringDedup(docs: DataFrame, id: String, text: String,
-                     width: Int = 40): DataFrame =
-    substringCleanFrame(docs, id, text, width, seen = None)
+                     width: Int = 40,
+                     wins: Option[DataFrame] = None): DataFrame =
+    substringCleanFrame(docs, id, text, width, seen = None, wins)
       .select(col(id), col("orig_len").cast("long").as("orig_len"),
         coalesce(col("__n_spans"), lit(0L)).as("n_spans_removed"),
         coalesce(col("__removed"), lit(0L)).cast("long").as("chars_removed"),
@@ -1379,14 +1380,20 @@ object Dedup {
     * (id, orig_len, n_spans_removed, chars_removed, clean_len,
     * clean_md5). */
   def substringDecontaminate(docs: DataFrame, bench: DataFrame, id: String,
-                             text: String, width: Int = 40): DataFrame = {
+                             text: String, width: Int = 40,
+                             docsWins: Option[DataFrame] = None,
+                             benchWins: Option[DataFrame] = None): DataFrame = {
     require(width >= 4, s"width=$width: windows below 4 chars mark everything")
     val base = docs.select(col(id), col(text).as("__txt"),
       length(col(text)).cast("int").as("orig_len"))
-    val benchWh = substringWindowHashes(
-        bench.select(col(id), col(text)), id, text, width)
+    // both window streams accept a pre-derived (id, pos, wh) frame
+    // (the TextSketch store: corpus and bench are row-subsets of one
+    // materialized table), same contract as substringScrub's `wins`
+    val benchWh = benchWins.getOrElse(substringWindowHashes(
+        bench.select(col(id), col(text)), id, text, width))
       .select(col("wh")).distinct()
-    val wins = substringWindowHashes(base, id, "__txt", width)
+    val wins = docsWins.getOrElse(
+      substringWindowHashes(base, id, "__txt", width))
     val marked = wins
       .join(broadcast(benchWh), Seq("wh"), "left_semi")
       .select(col(id), col("pos"), (col("pos") + (width - 1)).as("e"))

@@ -1602,14 +1602,16 @@ object TextQueries {
         val base = docs(s, d)
         val keep = Dedup.exactKeepers(base, "doc_id", "text")
           .localCheckpoint() // read 3x: keeper filter + both copy joins
-        // keeper postings = the store semi-joined to keepers (winnow
-        // selection is per-doc, so the restriction equals re-deriving
-        // over the kept subset — round-16 TextSketch face)
-        val keptFps = TextSketch.winnowFps(s, d)
-          .join(keep.select($"keeper_id".as("doc_id")), Seq("doc_id"),
-            "left_semi")
-        Dedup.winnowPairsFromFps(keptFps.select($"doc_id", $"fp"),
-            "doc_id", minShared = 3, maxDf = 50)
+        val kept = base.join(
+          keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        // deliberately NOT store-fed (unlike q269/q270): the
+        // composition's point is that the expensive derivation runs
+        // over KEEPERS ONLY — at replication density keepers are a
+        // sliver of the corpus and the live keeper derivation beats
+        // any full-corpus store scan (measured at x100: the store-fed
+        // variant semi-joins 9.9M stored fps where this derives ~100k)
+        Dedup.winnowedNearDupPairs(kept, "doc_id", $"text",
+            k = 4, w = 4, minShared = 3, maxDf = 50)
           .join(keep.select($"keeper_id".as("id_a"), $"n_copies".as("copies_a")), "id_a")
           .join(keep.select($"keeper_id".as("id_b"), $"n_copies".as("copies_b")), "id_b")
           .select($"id_a", $"id_b", $"shared", $"copies_a", $"copies_b")
@@ -1710,7 +1712,11 @@ object TextQueries {
     // row per input doc, untouched docs included (n_spans_removed = 0).
     "q273_substring_dedup" -> Q(
       (s, d) => Dedup.substringDedup(docs(s, d), "doc_id", "text",
-          width = 40)
+          width = 40,
+          // window stream from the materialized store (round-16
+          // TextSketch — the rows the ingest scrubber persists, built
+          // once; the oracle re-derives every window md5 from text)
+          wins = Some(TextSketch.substringWh(s, d)))
         .orderBy(col("doc_id")),
       Some(substringDedupOracle("documents")),
       "exact substring dedup (Lee et al. ACL'22): excise non-first duplicated windows, rebuild text"),
@@ -1734,6 +1740,13 @@ object TextQueries {
           .localCheckpoint() // read twice: keeper filter + copy-count join
         val kept = base.join(
           keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        // deliberately NOT store-fed (unlike q273/q282): the
+        // dedup-first claim IS that the stride-1 stream collapses to
+        // keeper size BEFORE it is built — at replication density the
+        // live keeper derivation (~2.2M windows) beats semi-joining
+        // the 149M-row full-corpus store (measured at x100: 1.3 s live
+        // vs 6.0 s store-fed), and the 0.37x density datum is the
+        // composition's own derivation, not a store read
         Dedup.substringDedup(kept, "doc_id", "text", width = 40)
           .join(keep.select($"keeper_id".as("doc_id"), $"n_copies"), "doc_id")
           .orderBy($"doc_id")
@@ -1821,8 +1834,13 @@ object TextQueries {
       (s, d) => {
         import s.implicits._
         val all = docs(s, d)
+        // corpus and bench window streams are row-subsets of the ONE
+        // materialized window table (round-16 TextSketch)
+        val wh = TextSketch.substringWh(s, d)
         Dedup.substringDecontaminate(all.filter($"doc_id" >= 50),
-            all.filter($"doc_id" < 50), "doc_id", "text", width = 40)
+            all.filter($"doc_id" < 50), "doc_id", "text", width = 40,
+            docsWins = Some(wh.filter($"doc_id" >= 50)),
+            benchWins = Some(wh.filter($"doc_id" < 50)))
           .orderBy($"doc_id")
       },
       Some("""WITH base AS (SELECT doc_id, text, length(text) AS orig_len

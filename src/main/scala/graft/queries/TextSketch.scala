@@ -43,4 +43,30 @@ object TextSketch {
     }
     s.read.parquet(path)
   }
+
+  /** The SUBSTRING twin (doc_id, pos, wh): every document's stride-1
+    * width-40 window md5s — exactly the rows
+    * [[graft.streaming.StreamPipeline.substringScrubWriter]] persists
+    * as its index at ingest, materialized once for the batch
+    * consumers: q273's excision, q274's keeper-restricted dedup-first
+    * composition, and BOTH sides of q282's decontamination (corpus and
+    * bench are row-subsets of the one table). Windows are per-doc, so
+    * any doc-subset restriction equals a fresh derivation over the
+    * subset. q275/q280 stay on the LIVE rolling-hash engine by design
+    * (the O(n) production path is the thing under test), and the
+    * oracles re-derive every window md5 from the text — the store is
+    * validated end-to-end each round. */
+  def substringWh(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "substring_wh_w40")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        import s.implicits._
+        graft.operators.Dedup.substringWindowHashes(
+            graft.Tables(s, d, "documents").select($"doc_id", $"text"),
+            "doc_id", "text", width = 40)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
 }

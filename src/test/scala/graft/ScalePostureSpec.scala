@@ -1203,8 +1203,13 @@ class ScalePostureSpec extends SparkSpec {
     val p273 = plan("q273_substring_dedup")
     assert(!p273.contains("CartesianProduct") && !p273.contains("BroadcastNestedLoopJoin"),
       s"q273 has no pairwise stage by construction:\n${p273.take(1200)}")
-    assert(p273.contains("Generate"),
-      s"q273 explodes the stride-1 window stream:\n${p273.take(1200)}")
+    // round-16: the stride-1 window stream comes from the materialized
+    // TextSketch store (no per-query Generate of 2.2M windows — the
+    // explode moved to the ingest-time build); the doc table is still
+    // scanned once for the rebuild text
+    assert(p273.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("graft_layout")),
+      s"q273 must read the window store, not re-derive per query:\n${p273.take(1200)}")
     assert(p273.contains("Window"),
       s"q273 marks non-first occurrences with a wh-keyed window:\n${p273.take(1200)}")
     // q274: the dedup-first composition runs the exact content-hash
