@@ -73,9 +73,11 @@ object Redact {
     ("phones", PhoneIntlRe, "[PHONE]"),
     ("ips", Ipv4Re, "[IP]"))
 
-  /** THE redaction engine: appends one `n_<rule>` count column per rule
-    * plus `redacted` (the text after every rule applied in order). See
-    * the object doc for the two count conventions. */
+  /** THE redaction engine: appends `redacted` (the text after every
+    * rule applied in order) followed by one `n_<rule>` count column per
+    * rule — `redacted` FIRST, the pre-consolidation public order a
+    * positional consumer may depend on (round-16 advice). See the
+    * object doc for the two count conventions. */
   def redact(df: DataFrame, text: Column,
              rules: Seq[(String, String, String)] = piiRules,
              countsOnOriginal: Boolean = false): DataFrame = {
@@ -84,13 +86,12 @@ object Redact {
     val states = rules.scanLeft(text) { case (t, (_, pat, repl)) =>
       regexp_replace(t, pat, repl)
     }
-    val withCounts = rules.zip(states.init).foldLeft(df) {
+    rules.zip(states.init).foldLeft(df.withColumn("redacted", states.last)) {
       case (acc, ((name, pat, _), pre)) =>
         acc.withColumn(s"n_$name",
           size(regexp_extract_all(if (countsOnOriginal) text else pre,
             lit(pat), lit(0))).cast("long"))
     }
-    withCounts.withColumn("redacted", states.last)
   }
 
   /** [[redact]] under the replacement-count convention with the scrub

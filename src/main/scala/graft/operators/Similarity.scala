@@ -1002,9 +1002,14 @@ object Similarity {
     require(nChunks == 4 || nChunks % nBands == 0,
       s"nChunks=$nChunks sketches band on chunk GROUPS: nBands must divide nChunks, got $nBands")
     val Chunks = chunksOf(nChunks)
+    // null chunks refuse loudly at the shared projections: concat_ws
+    // would silently skip them and void the per-band pigeonhole (the
+    // Dedup.nonNullChunk rationale — round-16 advice)
     val qsk = queries.select(col(id).as("query_id") +:
-      Chunks.map(c => col(c).as(s"q$c")): _*).localCheckpoint()
-    val csk = candidates.select(col(id).as("cand_id") +: Chunks.map(col): _*)
+      Chunks.map(c => Dedup.nonNullChunk(col(id), c).as(s"q$c")): _*)
+      .localCheckpoint()
+    val csk = candidates.select(col(id).as("cand_id") +:
+      Chunks.map(c => Dedup.nonNullChunk(col(id), c).as(c)): _*)
     def bandExprs: Seq[Column] =
       if (nChunks == 4) Dedup.hammingBandExprs(nBands)
       else {

@@ -1558,10 +1558,12 @@ object TextQueries {
       (s, d) => {
         import s.implicits._
         // postings from the materialized fingerprint store (round-16:
-        // winnow at ingest, pair at analysis — the TextSketch face)
+        // winnow at ingest, pair at analysis — the TextSketch face);
+        // expectScheme refuses a store built under a different (k, w)
         Dedup.winnowPairsFromFps(
             TextSketch.winnowFps(s, d).select($"doc_id", $"fp"),
-            "doc_id", minShared = 3, maxDf = 50)
+            "doc_id", minShared = 3, maxDf = 50,
+            expectScheme = Some(Dedup.winnowScheme(4, 4)))
           .orderBy($"id_a", $"id_b")
       },
       Some("""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS ws

@@ -29,9 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * validating this build end-to-end every round. */
 object TextSketch {
 
-  /** Materialized (doc_id, fp, pos) for every document, k = 4, w = 4. */
+  /** Materialized (doc_id, fp, pos) for every document, k = 4, w = 4.
+    * The fp column carries the `graft.scheme` = winnow_k4_w4 column-
+    * metadata marker (stamped by the deriving operator, persisted in
+    * the parquet footer schema) — the store-fed faces refuse a frame
+    * whose scheme differs from the call's (k, w). The `_m1` tag suffix
+    * retires pre-marker store generations. */
   def winnowFps(s: SparkSession, d: String): DataFrame = {
-    val path = LayoutKey.dir(d, "documents", "winnow_fp_k4w4")
+    val path = LayoutKey.dir(d, "documents", "winnow_fp_k4w4_m1")
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
       graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
         import s.implicits._
@@ -57,7 +62,8 @@ object TextSketch {
     * oracles re-derive every window md5 from the text — the store is
     * validated end-to-end each round. */
   def substringWh(s: SparkSession, d: String): DataFrame = {
-    val path = LayoutKey.dir(d, "documents", "substring_wh_w40")
+    // wh carries graft.scheme = substr_w40 (see winnowFps's note)
+    val path = LayoutKey.dir(d, "documents", "substring_wh_w40_m1")
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
       graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
         import s.implicits._

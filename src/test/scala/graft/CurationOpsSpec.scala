@@ -23,6 +23,13 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(2L)._4 === 1L)
     assert(out(2L)._6 === "ssn <SSN> vs phone <PHONE>")
     assert(out(3L) === ((3L, 0L, 0L, 0L, 0L, "clean text, no pii at all")))
+    // public column ORDER: `redacted` precedes the n_<rule> counts (the
+    // pre-consolidation order a positional consumer may rely on —
+    // round-16 advice pin)
+    val cols = Redact.piiScrub(df, col("text")).columns.toSeq
+    assert(cols == Seq("id", "text", "redacted",
+      "n_email", "n_ssn", "n_phone", "n_ipv4"),
+      s"redact() column order drifted: $cols")
   }
 
   test("weighted sample: heavy rows win proportionally; zero weight never picked") {

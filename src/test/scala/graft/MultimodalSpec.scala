@@ -165,6 +165,36 @@ class MultimodalSpec extends SparkSpec {
     assert(e2.getMessage.contains("maxBucket"))
   }
 
+  test("banding refuses a NULL chunk loudly (silent pigeonhole void otherwise)") {
+    // concat_ws SKIPS nulls, so grouped bands would value (null, 5) and
+    // (5, null) identically; per-chunk bands drop the null band value
+    // from the equi-join — either way recall silently degrades for that
+    // sketch (round-16 advice) — the house convention is a raise
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.toString).mkString(" | ")
+    val sk = Seq((1L, Some(3L), 4L, 5L, 6L), (2L, Option.empty[Long], 4L, 5L, 6L))
+      .toDF("media_id", "c0", "c1", "c2", "c3")
+    // grouped bands (2 chunks/band)
+    val tG = intercept[Exception] {
+      graft.operators.Dedup.hammingBandedPairsChunks(sk, "media_id",
+        maxDist = 1, nChunks = 4, chunksPerBand = 2).collect()
+    }
+    assert(chain(tG).contains("NULL chunk"), chain(tG))
+    // per-chunk bands
+    val tP = intercept[Exception] {
+      graft.operators.Dedup.hammingBandedPairsChunks(sk, "media_id",
+        maxDist = 3, nChunks = 4).collect()
+    }
+    assert(chain(tP).contains("NULL chunk"), chain(tP))
+    // the banded k-NN twin
+    val tK = intercept[Exception] {
+      graft.operators.Similarity.hammingTopKBanded(
+        sk.filter($"media_id" === 1L), sk, "media_id",
+        k = 1, radius = 3, nBands = 4, nChunks = 4).collect()
+    }
+    assert(chain(tK).contains("NULL chunk"), chain(tK))
+  }
+
   test("fixture mixers match ideal unbounded arithmetic far past the old wrap point") {
     // The staged-modular forms (round-14 ADVICE) must equal the IDEAL
     // unbounded integer arithmetic — computed here through BigInt, which
