@@ -111,12 +111,18 @@ object Dedup {
         sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // canonical larger→smaller edges, self-loops dropped, deduped
+    // canonical larger→smaller edges, self-loops dropped, deduped.
+    // LAZY local checkpoint: the sig aggregate right after is a full
+    // pass over every partition, so it both computes the signature and
+    // materializes the checkpoint in ONE job — the eager form spent a
+    // separate job per round on materialization alone, and on the
+    // small-graph tail (q75/q214/q257) that fixed per-round job cost
+    // WAS the runtime (round-17; lineage truncation is unchanged)
     var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var edgeSig = sig(edges)
     var converged = false
     var round = 0
@@ -141,7 +147,7 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(false) // materialized by the sig job below
       // signature mismatch disproves convergence outright; on a match,
       // ONE one-sided except confirms it — both sides are distinct sets,
       // so equal cardinality + next ⊆ edges ⇒ set equality (no symmetric

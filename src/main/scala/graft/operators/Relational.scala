@@ -180,6 +180,102 @@ object Relational {
     }: _*)
   }
 
+  /** MULTI-COLUMN twin of [[exactQuantilesQuantized]]: the same
+    * adaptive-width two-level histogram, run for SEVERAL columns in the
+    * SAME three passes — the repeat-derivation fix for the RFM shape
+    * (q226: three per-metric quantile builds = nine corpus passes where
+    * three suffice; round-17 verdict directive). The metric id `__m`
+    * rides every stage: the value stream is one posexplode over the
+    * column array (ONE scan of `df`), bucket widths / coarse histograms
+    * / target buckets / refine picks all key or partition by `__m`, so
+    * every window stays per-metric (never a one-task global frame) and
+    * the pass count is independent of the column count. Returns ONE row
+    * with columns `<col>_p<i>` — broadcastable exactly like the
+    * single-column form's output; each column's values equal
+    * `exactQuantilesQuantized(df, col, qs, ...)` by construction
+    * (RelationalSpec pins the equality per column). Quantization
+    * contract as the single-column form: exact for `scale`-decimal
+    * data. */
+  def exactQuantilesQuantizedMulti(df: DataFrame, cs: Seq[String],
+                                   qs: Seq[Double], scale: Int = 100,
+                                   minBucketWidth: Long = 1024L,
+                                   maxCoarseBuckets: Long = 1L << 16)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cs.nonEmpty && qs.nonEmpty, s"need columns and quantiles")
+    def centsOf(x: Column): Column = round(x * scale).cast("long")
+    def bucketOf(cents: Column): Column = // floor-division, negative-safe
+      floor(cents.cast("double") / col("__W")).cast("long")
+    // one scan: (metric id, cents); per-metric nulls drop independently
+    val rows = df
+      .select(posexplode(array(cs.map(c => centsOf(col(c))): _*))
+        .as(Seq("__m", "__cents")))
+      .filter(col("__cents").isNotNull)
+    // per-metric adaptive width — a |cs|-row broadcast frame
+    val statsW = rows.groupBy(col("__m"))
+      .agg(min(col("__cents")).as("__cmin"), max(col("__cents")).as("__cmax"))
+      .select(col("__m"), greatest(lit(minBucketWidth),
+        ceil((col("__cmax") - col("__cmin") + 1).cast("double") / maxCoarseBuckets)
+          .cast("long")).as("__W"))
+    // coarse histogram per metric; cumulative window PARTITIONED by __m
+    val coarse = rows.join(broadcast(statsW), "__m")
+      .groupBy(col("__m"), bucketOf(col("__cents")).as("b"), col("__W"))
+      .agg(count(lit(1)).as("cnt"))
+    val wb = Window.partitionBy(col("__m")).orderBy(col("b"))
+    val cumc = coarse.select(
+      col("__m"), col("b"), col("cnt"), col("__W"),
+      sum(col("cnt")).over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+      sum(col("cnt")).over(wb.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("n"))
+    def k(q: Double): Column = (col("n") - 1) * lit(q)
+    val targetAggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      val r0 = floor(k(q)) + 1
+      val r1 = ceil(k(q)) + 1
+      Seq(min(when(col("cum") >= r0, col("b"))).as(s"b0_$i"),
+          min(when(col("cum") >= r0, col("cum") - col("cnt"))).as(s"below0_$i"),
+          min(when(col("cum") >= r1, col("b"))).as(s"b1_$i"),
+          min(when(col("cum") >= r1, col("cum") - col("cnt"))).as(s"below1_$i"))
+    }
+    val targets = cumc.groupBy(col("__m"))
+      .agg(max(col("n")).as("n"), min(col("__W")).as("__W") +: targetAggs: _*)
+    // refine inside each metric's ≤ 2·|qs| target buckets
+    val withT = rows.select(col("__m"), col("__cents").as("v"))
+      .join(broadcast(targets), "__m")
+    val isTarget = qs.indices
+      .map(i => bucketOf(col("v")) === col(s"b0_$i") || bucketOf(col("v")) === col(s"b1_$i"))
+      .reduce(_ || _)
+    val fine = withT.filter(isTarget)
+      .groupBy(col("__m") +: col("v") +: col("n") +: col("__W") +:
+        qs.indices.flatMap(i =>
+          Seq(col(s"b0_$i"), col(s"below0_$i"), col(s"b1_$i"), col(s"below1_$i"))): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("fcum", sum(col("cnt")).over(
+        Window.partitionBy(col("__m"), bucketOf(col("v"))).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pickAggs = qs.zipWithIndex.flatMap { case (q, i) =>
+      val r0 = floor(k(q)) + 1
+      val r1 = ceil(k(q)) + 1
+      Seq(
+        min(when(bucketOf(col("v")) === col(s"b0_$i") &&
+          col(s"below0_$i") + col("fcum") >= r0, col("v"))).as(s"v0_$i"),
+        min(when(bucketOf(col("v")) === col(s"b1_$i") &&
+          col(s"below1_$i") + col("fcum") >= r1, col("v"))).as(s"v1_$i"))
+    }
+    val picked = fine.groupBy(col("__m")).agg(max(col("n")).as("n"), pickAggs: _*)
+    // fold the |cs|-row frame to the single wide row (one tiny agg —
+    // no driver collect)
+    val perMetric = picked.select(col("__m") +: qs.zipWithIndex.map { case (q, i) =>
+      val frac = k(q) - floor(k(q))
+      val v0 = col(s"v0_$i").cast("double") / scale.toDouble
+      val v1 = col(s"v1_$i").cast("double") / scale.toDouble
+      (v0 + frac * (v1 - v0)).as(s"p$i")
+    }: _*)
+    perMetric.agg(
+      cs.zipWithIndex.flatMap { case (c, m) => qs.indices.map(i =>
+        max(when(col("__m") === m, col(s"p$i"))).as(s"${c}_p$i")) }.head,
+      cs.zipWithIndex.flatMap { case (c, m) => qs.indices.map(i =>
+        max(when(col("__m") === m, col(s"p$i"))).as(s"${c}_p$i")) }.tail: _*)
+  }
+
   /** Single-row frame of interquartile bounds for `c` (exact quantiles,
     * A13): (lo, hi) = (Q1 - f·IQR, Q3 + f·IQR). Quantiles come from the
     * scalable histogram path ([[exactQuantilesQuantized]]), which is

@@ -39,6 +39,11 @@ object Selection {
                         id: Column, budget: Long): DataFrame = {
     val scored = df.withColumn("__s", score).withColumn("__w",
       coalesce(weight.cast("long"), lit(0L)))
+      // read 3x (histogram, above-cut stream, at-cut window) — without
+      // this the caller's scoring expressions (often text splits, the
+      // q83 shape) re-run per branch; the materialized frame is the
+      // narrow (id, weight, score) projection, not the documents
+      .localCheckpoint()
     // 1. score histogram (one row per distinct score)
     val byScore = scored.groupBy(col("__s")).agg(sum(col("__w")).as("__tok"))
     // 2. cumulative weight in score-DESC order via the range-partitioned

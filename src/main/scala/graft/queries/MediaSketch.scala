@@ -118,6 +118,54 @@ object MediaSketch {
     s.read.parquet(path)
   }
 
+  /** Materialized VERIFIED near-dup pairs (id_a, id_b, dist) at the
+    * house radius d ≤ 7 over [[dhash]] — the round-16 verdict's
+    * "TextSketch discipline one level up": q255 (pairs) and q257 (the
+    * cluster pipeline's pair stage) each re-ran banding + exact verify
+    * over the same sketch store every round, which is re-deriving a
+    * quantity that is fixed per testdata generation. Built ONCE via
+    * the registered banded operator (8 bands, stop-cap 200 — the
+    * exact q255 parameters, so reading the store IS reading q255's
+    * answer), promoted atomically, consumed by both. At 100 TB this
+    * is how a perceptual-dedup service runs: the pair graph is an
+    * INGEST artifact, maintained incrementally (the
+    * imageDedupSuppressWriter already does exactly this with verified
+    * Hamming admission), and analyses read it. Both consumers' DuckDB
+    * oracles still re-derive every pair from closed-form pixel
+    * arithmetic + exact all-pairs distance, so the store build stays
+    * hash-verified end to end each round. */
+  def dhashPairs(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "dhash_pairs_d7")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        graft.operators.Dedup.hammingBandedPairs(dhash(s, d), "media_id",
+            maxDist = 7, nBands = 8, maxBucket = 200)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** The 256-bit twin of [[dhashPairs]]: verified pairs at the FULL
+    * d ≤ 15 recall band over [[dhash256]] (16 × 16-bit bands, stop-cap
+    * 200 — q266's exact parameters). q283 (grouped 8 × 32-bit bands,
+    * d ≤ 7) deliberately stays on the LIVE operator: its whole claim
+    * is that squaring the band space keeps pair buckets under the
+    * stop-cap at ×100 densities where these 16-bit bands crowd — a
+    * store-filtered q283 would inherit this build's stop-drops and
+    * fake that evidence (the q271/q274 stay-live lesson). */
+  def dhash256Pairs(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "dhash256_pairs_d15")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        graft.operators.Dedup.hammingBandedPairsChunks(dhash256(s, d),
+            "media_id", maxDist = 15, nChunks = 16, maxBucket = 200)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   def dhash256(s: SparkSession, d: String): DataFrame = {
     val path = LayoutKey.dir(d, "documents", "dhash256_sketch")
     if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {

@@ -1437,7 +1437,10 @@ object PipelineQueries {
       (s, d) => {
         import s.implicits._
         import graft.operators.Dedup
+        // read 3x (pair shingles, node list, label join) — materialize
+        // the 100-doc slice once (round-17 repeat-derivation sharing)
         val base = t(s, d, "documents").filter($"doc_id" < 100)
+          .select($"doc_id", $"text", $"source").localCheckpoint()
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           TextFunctions.charNGrams($"text", 3), threshold = 0.6)
         val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
@@ -1845,13 +1848,14 @@ object PipelineQueries {
               .cast("long").as("r_days"),
             count(lit(1)).as("f"),
             graft.operators.Relational.centsSum($"o_totalprice").as("m"))
-          .localCheckpoint() // feeds 3 quantile builds + the scoring pass
-        def cuts(c: String): DataFrame =
-          graft.operators.Relational.exactQuantilesQuantized(
-              rfm, c, Seq(0.2, 0.4, 0.6, 0.8), scale = 1)
-            .select((0 to 3).map(i =>
-              round(col(s"p$i") * 5).cast("long").as(s"${c}_b$i")): _*)
-        val bounds = cuts("r_days").crossJoin(cuts("f")).crossJoin(cuts("m"))
+          .localCheckpoint() // feeds the quantile build + the scoring pass
+        // ONE three-metric quantile build (round-17: the multi-column
+        // engine folds the former 3 per-metric builds — 9 histogram
+        // passes — into 3)
+        val bounds = graft.operators.Relational.exactQuantilesQuantizedMulti(
+            rfm, Seq("r_days", "f", "m"), Seq(0.2, 0.4, 0.6, 0.8), scale = 1)
+          .select(Seq("r_days", "f", "m").flatMap(c => (0 to 3).map(i =>
+            round(col(s"${c}_p$i") * 5).cast("long").as(s"${c}_b$i"))): _*)
         def score(c: Column, pre: String): Column = (0 to 3).map(i =>
           when(c * 5 > col(s"${pre}_b$i"), 1).otherwise(0)).reduce(_ + _)
         rfm.crossJoin(broadcast(bounds))

@@ -1000,11 +1000,12 @@ object TextQueries {
     "q255_dhash_neardup" -> Q(
       (s, d) => {
         import s.implicits._
-        // reads the ONE materialized sketch store (MediaSketch — the
-        // TradeGraph discipline: hash at ingest, N analyses); the
-        // oracle's closed-form re-derivation keeps validating the build
-        Dedup.hammingBandedPairs(MediaSketch.dhash(s, d), "media_id",
-            maxDist = 7, nBands = 8, maxBucket = 200)
+        // reads the materialized VERIFIED-PAIRS store (round-17: the
+        // pair graph is an ingest artifact like the sketch itself —
+        // MediaSketch.dhashPairs builds it once via the registered
+        // banded operator at these exact parameters); the oracle's
+        // closed-form pixel re-derivation keeps validating the build
+        MediaSketch.dhashPairs(s, d)
           .orderBy($"id_a", $"id_b")
       },
       Some(dhashOracle + s"""
@@ -1036,10 +1037,11 @@ object TextQueries {
     "q257_dhash_clusters" -> Q(
       (s, d) => {
         import s.implicits._
-        // the MediaSketch store feeds the pair stage AND the node list
+        // the sketch store feeds the node list; the pair stage reads
+        // the verified-pairs store (round-17 — both are per-generation
+        // ingest artifacts); clustering stays the live operator
         val sketch = MediaSketch.dhash(s, d)
-        val pairs = Dedup.hammingBandedPairs(sketch, "media_id",
-          maxDist = 7, nBands = 8, maxBucket = 200)
+        val pairs = MediaSketch.dhashPairs(s, d)
         val cc = Dedup.cluster(sketch.select($"media_id"), "media_id",
           pairs.select($"id_a", $"id_b"))
         val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
@@ -1354,16 +1356,19 @@ object TextQueries {
     // simultaneously sparse at density AND pigeonhole-guaranteed to
     // d ≤ 15 — strictly MORE recall range than the 8-band regime ever
     // had (the fixture's p=2 edits land at 4..8 on this hash: inside
-    // d ≤ 15, outside q261's d ≤ 3 — the recovered band). Sketch from
-    // the materialized dhash256 store; pairs via the generalized
-    // chunk-banding operator; oracle = exact all-pairs at threshold 15
-    // over the closed-form 256-bit hashes, so the match proves the
-    // 16-chunk pigeonhole end to end.
+    // d ≤ 15, outside q261's d ≤ 3 — the recovered band). Pairs from
+    // the materialized verified-pairs store (built once per generation
+    // by the generalized chunk-banding operator at exactly these
+    // parameters); oracle = exact all-pairs at threshold 15 over the
+    // closed-form 256-bit hashes, so the match proves the 16-chunk
+    // pigeonhole — and the store build — end to end.
     "q266_dhash256_neardup" -> Q(
       (s, d) => {
         import s.implicits._
-        Dedup.hammingBandedPairsChunks(MediaSketch.dhash256(s, d),
-            "media_id", maxDist = 15, nChunks = 16, maxBucket = 200)
+        // the verified-pairs store at the full d <= 15 band (round-17;
+        // build = the registered 16-band operator at these parameters,
+        // oracle = exact all-pairs from closed-form pixels)
+        MediaSketch.dhash256Pairs(s, d)
           .orderBy($"id_a", $"id_b")
       },
       Some(dhash256Oracle + s"""
@@ -1384,7 +1389,11 @@ object TextQueries {
     // the fixture's gain twins (d = 0) and most p=2 edits (4..8; the
     // handful at exactly 8 fall outside BOTH engine and oracle, so
     // the hash compare pins the boundary). Oracle: exact all-pairs at
-    // threshold 7 over the closed-form 256-bit hashes.
+    // threshold 7 over the closed-form 256-bit hashes. Stays LIVE (not
+    // a dhash256Pairs store filter) on purpose: its ×100 evidence is
+    // that grouped bands stay under the stop-cap where the store
+    // build's 16-bit bands drop buckets — a store filter would inherit
+    // those drops and fake the recall claim (the q271/q274 lesson).
     "q283_dhash256_neardup_grouped" -> Q(
       (s, d) => {
         import s.implicits._
@@ -2094,7 +2103,10 @@ object TextQueries {
     "q75_dedup_clusters" -> Q(
       (s, d) => {
         import s.implicits._
+        // read twice (pair shingles, node list) — materialize the
+        // 100-doc slice once (round-17 repeat-derivation sharing)
         val base = docs(s, d).filter($"doc_id" < 100)
+          .select($"doc_id", $"text").localCheckpoint()
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           charNGrams($"text", 3), threshold = 0.6)
         val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)

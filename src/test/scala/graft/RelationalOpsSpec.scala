@@ -139,6 +139,39 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("multi-column quantiles equal the single-column engine per column") {
+    // the q226 shape: three metrics with wildly different ranges and
+    // distributions (negatives, ties, a wide-range column) through ONE
+    // three-pass build — must equal three independent single-column
+    // builds value-for-value
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(500)(i => (
+      (i % 37).toDouble - 18.0,                       // ties + negatives
+      math.floor(rnd.nextDouble() * 1e8) / 100,       // wide range
+      if (i % 7 == 0) 3.0 else (i % 11).toDouble      // clumped
+    )).toDF("a", "b", "c")
+    val qs = Seq(0.2, 0.4, 0.6, 0.8)
+    val multi = Relational.exactQuantilesQuantizedMulti(
+      df, Seq("a", "b", "c"), qs).collect()(0)
+    for (c <- Seq("a", "b", "c")) {
+      val single = Relational.exactQuantilesQuantized(df, c, qs).collect()(0)
+      qs.indices.foreach { i =>
+        assert(multi.getAs[Double](s"${c}_p$i") == single.getAs[Double](s"p$i"),
+          s"$c p$i: multi=${multi.getAs[Double](s"${c}_p$i")} " +
+            s"single=${single.getAs[Double](s"p$i")}")
+      }
+    }
+    // per-column nulls drop independently (a null in one metric must
+    // not shift another metric's ranks)
+    val withNulls = Seq[(Option[Double], Option[Double])](
+      (Some(1.0), Some(10.0)), (None, Some(20.0)), (Some(3.0), None),
+      (Some(2.0), Some(30.0))).toDF("a", "b")
+    val m2 = Relational.exactQuantilesQuantizedMulti(
+      withNulls, Seq("a", "b"), Seq(0.5)).collect()(0)
+    assert(m2.getAs[Double]("a_p0") == 2.0 && m2.getAs[Double]("b_p0") == 20.0,
+      s"null handling drifted: $m2")
+  }
+
   test("quantile bucket width adapts to a wide value range (bounded coarse histogram)") {
     // range spans ~1e10 cents; fixed W=1024 would make a ~1e7-bucket
     // histogram under the single-partition cumulative window

@@ -1028,6 +1028,16 @@ class ScalePostureSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(sp.contains("FileScan") && sp.contains("graft_layout"),
       s"MediaSketch.dhash must read the materialized parquet:\n${sp.take(600)}")
+    // round-17: the pair graph itself is a per-generation ingest
+    // artifact — the consumer reads the verified-pairs store (one
+    // layout FileScan), and the store's banded build is what the
+    // oracle's all-pairs re-derivation validates
+    assert(p.contains("graft_layout"),
+      s"q255 must read the materialized verified-pairs store:\n${p.take(600)}")
+    val pp = graft.queries.MediaSketch.dhashPairs(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("FileScan") && pp.contains("graft_layout"),
+      s"MediaSketch.dhashPairs must read the materialized parquet:\n${pp.take(600)}")
   }
 
   test("round-14 family: funnel stays join-shaped, perceptual dedup stays banded") {
