@@ -307,6 +307,41 @@ object Curation {
     keepRows(df, id, source,
       mixTargets(df, id, source, fracNum, fracDen, weighting))
 
+  /** The EPOCH-REPLICATED kept-rows face of [[sourceMix]] — the
+    * multiset an UP-sampling mixture actually trains on (round-17:
+    * previously the repeat factor existed only as the reported
+    * `n_epochs` number; the training reader was trusted to apply it).
+    * Emits EXACTLY n_target rows per source: each kept row once per
+    * FULL epoch, plus the rank-smallest (n_target mod n_docs) rows in
+    * the final PARTIAL epoch — so the mixture is integer-exact, the
+    * partial epoch reuses the same deterministic (md5(id), id) rank as
+    * the kept set itself, and a down-sampled source degenerates to
+    * [[sourceMixKeep]]'s rows at epoch = 1. Column contract: every
+    * input column plus a 1-based `epoch`.
+    *
+    * Scale shape: the same one count-aggregate + broadcast targets +
+    * one per-source rank window as the other faces, then a narrow
+    * per-row epoch Generate (fan-out = that source's n_epochs — the
+    * replication IS the requested output, there is nothing smaller to
+    * ship); no extra shuffle. */
+  def sourceMixKeepEpochs(df: DataFrame, id: String, source: String,
+                          fracNum: Long, fracDen: Long,
+                          weighting: String = "sqrt"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val targets = mixTargets(df, id, source, fracNum, fracDen, weighting)
+    val w = Window.partitionBy(col(source))
+      .orderBy(md5(col(id).cast("string")), col(id))
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(targets.select(col(source), col("n_docs"),
+        col("n_target"))), source)
+      // greatest(…, 1): sequence(1, 0) would DESCEND ([1, 0]) for a
+      // zero-target source; the filter below drops its rows either way
+      .withColumn("epoch", explode(sequence(lit(1L),
+        greatest(expr("(n_target + n_docs - 1) div n_docs"), lit(1L)))))
+      .filter((col("epoch") - 1) * col("n_docs") + col("__rk") <= col("n_target"))
+      .drop("__rk", "n_docs", "n_target")
+  }
+
   /** The shared rank-selection: n_target smallest (md5(id), id) per
     * source — both public faces route here, so the kept set cannot
     * drift between the audit and the rows. */

@@ -203,6 +203,65 @@ object PipelineQueries {
         FROM tg LEFT JOIN kept USING (mix_src) ORDER BY mix_src"""),
       "temperature-2 source mixing: integer-exact isqrt weighting, deterministic hash-rank sampling, epoch multiplier"),
 
+    // ------------------------------- epoch-replicated mixture rows
+    // q284 surfaces a low-resource source's repeat factor as the
+    // n_epochs NUMBER; this registers the replicated kept-ROWS face an
+    // up-sampling mixture actually trains on (round-17 directive):
+    // exactly n_target rows per source — each kept row once per full
+    // epoch plus the rank-smallest residue in the final partial epoch,
+    // all on the same deterministic (md5(id), id) rank. The q284
+    // fixture's sqrt weighting genuinely up-samples wiki/papers
+    // (n_target > n_docs -> epoch 2 appears), so the per-(source,
+    // epoch) row counts and set checksums pin full-epoch replication
+    // AND the partial-epoch selection cross-engine.
+    "q286_mix_epoch_rows" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val src = when($"doc_id" % 16 < 8, "web")
+          .when($"doc_id" % 16 < 12, "books")
+          .when($"doc_id" % 16 < 14, "code")
+          .when($"doc_id" % 16 === 14, "wiki")
+          .otherwise("papers")
+        graft.operators.Curation.sourceMixKeepEpochs(
+            t(s, d, "documents").select($"doc_id").withColumn("mix_src", src),
+            "doc_id", "mix_src", fracNum = 4, fracDen = 5,
+            weighting = "sqrt")
+          .groupBy($"mix_src", $"epoch")
+          .agg(count(lit(1)).as("n_rows"),
+            sum($"doc_id" % 1000003L).as("keep_sum"),
+            sum(($"doc_id" % 1000003L) * ($"doc_id" % 1000003L)).as("keep_sq_sum"))
+          .orderBy($"mix_src", $"epoch")
+      },
+      Some("""WITH esrc AS (SELECT doc_id,
+            CASE WHEN doc_id % 16 < 8 THEN 'web'
+                 WHEN doc_id % 16 < 12 THEN 'books'
+                 WHEN doc_id % 16 < 14 THEN 'code'
+                 WHEN doc_id % 16 = 14 THEN 'wiki'
+                 ELSE 'papers' END AS mix_src
+          FROM documents),
+        ecu AS (SELECT mix_src, count(*) AS n_docs,
+            CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT) AS u
+          FROM esrc GROUP BY 1),
+        etot AS (SELECT sum(n_docs) AS nn, sum(u) AS uu FROM ecu),
+        etg AS (SELECT mix_src, n_docs, u,
+            (((nn * 4) // 5) * u) // uu AS n_target FROM ecu, etot),
+        erk AS (SELECT doc_id, mix_src,
+            row_number() OVER (PARTITION BY mix_src
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM esrc),
+        eeps AS (SELECT mix_src, n_docs, n_target,
+            unnest(generate_series(1, CAST(greatest(
+              (n_target + n_docs - 1) // n_docs, 1) AS BIGINT))) AS epoch
+          FROM etg)
+        SELECT mix_src, CAST(epoch AS BIGINT) AS epoch,
+          count(*) AS n_rows,
+          CAST(sum(doc_id % 1000003) AS BIGINT) AS keep_sum,
+          CAST(sum((doc_id % 1000003) * (doc_id % 1000003)) AS BIGINT) AS keep_sq_sum
+        FROM erk JOIN eeps USING (mix_src)
+        WHERE (epoch - 1) * n_docs + rk <= n_target
+        GROUP BY 1, 2 ORDER BY mix_src, epoch"""),
+      "epoch-replicated mixture rows: full-epoch replication + deterministic partial-epoch residue"),
+
     // ------------------------------------------------ overlapping chunking
     // The windowing step every RAG index and long-context pretraining
     // pipeline runs: split each document into C-token chunks at stride

@@ -509,6 +509,54 @@ object StreamPipeline {
     Fs.writeTextAtomic(spark, s"$indexDir/base-0.meta", "")
   }
 
+  /** Seed a [[winnowDedupSuppressWriter]] index with a BENCHMARK
+    * fingerprint set — the FUZZY rung of ingest decontamination
+    * (round-17, completing the ladder [[seedSubstringIndex]] started):
+    * the substring seeder catches VERBATIM quotes only — one edited
+    * token breaks every 40-char window crossing it, so a lightly
+    * edited eval item still lands. Seeding the winnow index puts the
+    * bench corpus's winnowed fingerprints in as a promoted base
+    * generation (`base-0` + empty-coverage meta, exactly what
+    * [[compactNearDupIndex]] would produce), so the writer's
+    * count-threshold rule treats bench docs as "already admitted":
+    * an arrival sharing ≥ minShared distinct fingerprints with ONE
+    * bench doc is DROPPED at ingest — and the q269 theorem makes the
+    * recall floor precise (any unbroken shared run of ≥ k+w−1 tokens
+    * guarantees a shared fingerprint, so an edited quote contributes
+    * one fingerprint per surviving run between edits). This is the
+    * streaming face of the batch [[graft.operators.Dedup
+    * .winnowDecontaminate]] — with drop-at-arrival semantics, because
+    * a suppression writer's output IS the admitted corpus (the batch
+    * operator flags for review; an ingest gate has to decide).
+    * minShared stays read-side policy as on the writer — the seeder
+    * pins only the (k, w) scheme.
+    *
+    * Same contracts as the substring seeder: call BEFORE the stream
+    * starts; `id`/`text` must be the writer's column names; refuses an
+    * already-promoted index (seeding is create-time, not append);
+    * bench ids share the index's id space, so reserve a range if
+    * provenance matters — suppression only needs per-doc
+    * distinctness. */
+  def seedWinnowIndex(spark: SparkSession, indexDir: String,
+                      bench: DataFrame, id: String, text: String,
+                      k: Int = 4, w: Int = 4): Unit = {
+    import graft.io.Fs
+    import graft.operators.Dedup
+    pinIndexScheme(spark, indexDir, "_scheme", s"winnow k=$k w=$w")
+    val bases = Fs.listWithSuffix(spark, indexDir, ".meta")
+    require(bases.isEmpty,
+      s"$indexDir already holds promoted generation(s) " +
+        s"${bases.mkString(", ")} — seed only a fresh index")
+    Dedup.winnowedFingerprints(bench.select(col(id), col(text)), id,
+        col(text), k, w)
+      .select(col(id), lit(0).as("band_idx"),
+        col("fp").cast("string").as("band_hash"))
+      .distinct() // the writer's row shape: distinct hashes per doc
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/base-0")
+    // empty covered set: every writer delta stays visible alongside
+    Fs.writeTextAtomic(spark, s"$indexDir/base-0.meta", "")
+  }
+
   /** [[bucketSuppressWriter]] on the IMAGE modality (round-14): each
     * micro-batch of (id, pngBytes) rows runs the q254 machinery — real
     * codec decode + 9×8 gray sample in the partition-wise codec slot,

@@ -120,8 +120,12 @@ import graft.operators.{Curation, Dedup}
   * with ×N here would mean the composition is broken. */
 object CurationE2E {
 
-  /** One leg's record: name, wall seconds, surviving docs, tokens. */
-  final case class Leg(name: String, sec: Double, docs: Long, tokens: Long)
+  /** One leg's record: name, wall seconds, surviving docs, tokens.
+    * Multi-pass legs (passes > 1) report the MINIMUM wall across warm
+    * passes — the Bench best-of-N convention — with the observed max
+    * kept as the recorded spread. */
+  final case class Leg(name: String, sec: Double, docs: Long, tokens: Long,
+                       passes: Int = 1, secMax: Double = 0.0)
 
   /** Full-run result: per-leg timings plus the split/leak acceptance
     * numbers (chunks, sequences, train/test doc+token counts, and the
@@ -144,6 +148,29 @@ object CurationE2E {
         f"docs=$docs%7d  tokens=$toks%9d")
       df
     }
+    // The two SCAN-BOUND legs swing with page-cache state (the ×100
+    // quality_langid leg measured 2.4–34 s on identical code — README
+    // drift footnote); a committed single draw is therefore noise, not
+    // a measurement. Multi-pass minimum per the Bench best-of-N
+    // convention (round-17 directive #5): run the body `passes` times,
+    // keep the LAST materialization for the pipeline, report min with
+    // the max recorded as spread. Compute-bound legs stay single-pass
+    // (their draw variance is the honest measurement).
+    def timedBest(name: String, passes: Int)
+                 (body: => (DataFrame, Long, Long)): DataFrame = {
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var last: (DataFrame, Long, Long) = null
+      for (_ <- 1 to passes) {
+        val t0 = System.nanoTime()
+        last = body
+        times += (System.nanoTime() - t0) / 1e9
+      }
+      legs += Leg(name, times.min, last._2, last._3, passes, times.max)
+      println(f"[curation] $name%-16s ${times.min}%8.2f s  " +
+        f"docs=${last._2}%7d  tokens=${last._3}%9d  " +
+        f"(best of $passes, max ${times.max}%.2f)")
+      last._1
+    }
     // eager materialization: each leg pays for exactly its own work
     def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
     def census(df: DataFrame): (Long, Long) = {
@@ -155,7 +182,7 @@ object CurationE2E {
     }
 
     // ---- leg 1: ingest ----
-    val corpus = timed("ingest") {
+    val corpus = timedBest("ingest", passes = 4) {
       val df = mat(Tables(spark, sfDir, "documents")
         .select($"doc_id", $"source", $"lang", $"text"))
       val (nd, nt) = census(df)
@@ -167,7 +194,7 @@ object CurationE2E {
     val de = Seq("der", "die", "und", "das")
     val es = Seq("el", "la", "los", "y")
     val fr = Seq("le", "les", "et", "dans")
-    val filtered = timed("quality_langid") {
+    val filtered = timedBest("quality_langid", passes = 4) {
       val scored = corpus
         .withColumn("n_words", TextFunctions.wordCount($"text"))
         .withColumn("stop_ratio", TextFunctions.stopwordRatio($"text", en))
@@ -428,10 +455,24 @@ object CurationE2E {
     // rank-exact sampling (one count agg + broadcast targets + the
     // per-source rank window); the temperature REBALANCE itself is
     // exercised and oracled on q284's skewed mixture.
-    val mixedTrain = timed("mix") {
-      val df = mat(Curation.sourceMixKeep(
-        assignedOut.filter($"split" === "train"), "doc_id", "source",
-        fracNum = 4, fracDen = 5, weighting = "sqrt"))
+    // optional UP-SAMPLING mode (round-17): SPARK_GRAFT_MIX_UPSAMPLE=1
+    // swaps the kept-rows face for the epoch-replicated one
+    // (Curation.sourceMixKeepEpochs, q286) — the training multiset a
+    // low-resource source's n_epochs > 1 actually expands to, flowing
+    // into the shard layout as real rows (same doc_id per epoch copy:
+    // md5 shard assignment co-locates a doc's epochs, and identical
+    // rows tie harmlessly in the order checksum). Default OFF so the
+    // committed artifact's legs stay comparable round-over-round.
+    val mixUpsample = sys.env.get("SPARK_GRAFT_MIX_UPSAMPLE").contains("1")
+    val mixedTrain = timed(if (mixUpsample) "mix_epochs" else "mix") {
+      val train = assignedOut.filter($"split" === "train")
+      val df = mat(
+        if (mixUpsample)
+          Curation.sourceMixKeepEpochs(train, "doc_id", "source",
+            fracNum = 4, fracDen = 5, weighting = "sqrt")
+        else
+          Curation.sourceMixKeep(train, "doc_id", "source",
+            fracNum = 4, fracDen = 5, weighting = "sqrt"))
       val (nd, nt) = census(df)
       (df, nd, nt)
     }
@@ -496,7 +537,9 @@ object CurationE2E {
 
     def r4(x: Double) = math.rint(x * 10000) / 10000
     def legsJson(legs: Seq[Leg]): String = legs.map { l =>
-      s""""${l.name}":{"sec":${r4(l.sec)},"rows":${l.docs},"tokens":${l.tokens}}"""
+      val spread = if (l.passes > 1)
+        s""","passes":${l.passes},"sec_max":${r4(l.secMax)}""" else ""
+      s""""${l.name}":{"sec":${r4(l.sec)},"rows":${l.docs},"tokens":${l.tokens}$spread}"""
     }.mkString("{", ",", "}")
 
     // ---- optional ×N scaled run of the SAME composed pipeline ----

@@ -241,7 +241,18 @@ object ScaleStress {
     // store build, which the warmup pays — the r14sketch/r15e refresh
     // convention on the text modality)
     "r16sketch" -> Seq("q269_winnow_fingerprints", "q270_winnow_neardup",
-      "q271_winnow_dedup_first", "q279_winnow_search"))
+      "q271_winnow_dedup_first", "q279_winnow_search"),
+    // round-17: the epoch-replicated mixture rows — q284's plan plus a
+    // narrow per-row epoch Generate whose fan-out IS the requested
+    // output (n_target rows per source, exactly); the row must EMIT
+    // (up-sampled sources exist at any replication under the q284
+    // skewed fixture). Also re-measure the store-fed dhash consumers
+    // after the verified-pairs materialization (the r14sketch refresh
+    // convention on the pair stores: q255/q266 are now serve-path reads
+    // like q96, q257's pair stage reads the store, q283 stays live).
+    "r17" -> Seq("q286_mix_epoch_rows"),
+    "r17pairs" -> Seq("q255_dhash_neardup", "q257_dhash_clusters",
+      "q266_dhash256_neardup", "q283_dhash256_neardup_grouped"))
 
   /** Queries whose ×N run must also RECORD its output row count and
     * refuse an empty result: their scale claim is nonzero recall at
@@ -256,7 +267,8 @@ object ScaleStress {
     "q277_shard_layout", "q278_weighted_jaccard", "q279_winnow_search",
     "q280_substring_rolling_first", "q281_hamming_knn_grouped",
     "q282_substring_decontaminate", "q283_dhash256_neardup_grouped",
-    "q284_temperature_mix", "q285_winnow_decontaminate")
+    "q284_temperature_mix", "q285_winnow_decontaminate",
+    "q286_mix_epoch_rows")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

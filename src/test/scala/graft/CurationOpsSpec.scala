@@ -322,6 +322,41 @@ class CurationOpsSpec extends SparkSpec {
       byS("c") == ((1L, 20L)), s"kept rows must match the summary: $byS")
   }
 
+  test("sourceMixKeepEpochs: full-epoch replication + rank-smallest partial residue") {
+    import graft.operators.Curation
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // uniform weighting, N = 10, U = 2 → n_target = 5 per source:
+    // a (2 docs) UP-samples to 5 rows = 2 full epochs + 1-row partial;
+    // b (8 docs) down-samples to its 5 rank-smallest at epoch 1
+    val rows = (0L until 2L).map((_, "a")) ++ (10L until 18L).map((_, "b"))
+    val got = Curation.sourceMixKeepEpochs(rows.toDF("doc_id", "src"),
+        "doc_id", "src", fracNum = 1, fracDen = 1, weighting = "uniform")
+      .as[(String, Long, Long)].collect().toSeq // join reorders: (src, id, epoch)
+      .map { case (s, i, e) => (i, s, e) }
+    def rank(ids: Seq[Long]): Seq[Long] = ids.sortBy(i => (md5hex(i.toString), i))
+    val ra = rank(0L until 2L); val rb = rank(10L until 18L)
+    val expected =
+      ra.map((_, "a", 1L)) ++ ra.map((_, "a", 2L)) ++ ra.take(1).map((_, "a", 3L)) ++
+      rb.take(5).map((_, "b", 1L))
+    assert(got.sortBy(r => (r._2, r._3, r._1)) ==
+      expected.sortBy(r => (r._2, r._3, r._1)),
+      s"epoch rows drifted:\n${got.sortBy(r => (r._2, r._3, r._1))}\n$expected")
+    // per source: exactly n_target rows; epoch-1 rows == sourceMixKeep
+    assert(got.count(_._2 == "a") == 5 && got.count(_._2 == "b") == 5)
+    val keep = Curation.sourceMixKeep(rows.toDF("doc_id", "src"),
+        "doc_id", "src", 1, 1, "uniform")
+      .as[(String, Long)].collect().map(r => (r._2, r._1)).toSet
+    assert(got.filter(_._3 == 1L).map(r => (r._1, r._2)).toSet == keep,
+      "epoch 1 must equal the down-sampling kept set")
+    // a zero-target source emits nothing (and the epoch sequence never
+    // descends): frac 1/100 → total target 0 for every source here
+    val zero = Curation.sourceMixKeepEpochs(rows.toDF("doc_id", "src"),
+      "doc_id", "src", fracNum = 1, fracDen = 100, weighting = "uniform")
+    assert(zero.isEmpty, "zero-target mixture must emit no rows")
+  }
+
   test("piiRedact: literal counts + redacted text on adversarial fixtures") {
     import graft.operators.Curation
     def md5hex(s: String): String =

@@ -1506,6 +1506,77 @@ class StreamingSpec extends SparkSpec {
     assert(e.getMessage.contains("fresh index"), e.getMessage)
   }
 
+  test("seeded winnow index: an EDITED benchmark quote dropped at ingest (fuzzy decontamination)") {
+    // seedWinnowIndex = the decontamination ladder's FUZZY rung as a
+    // stream property: the substring seeder is blind to an edited
+    // quote (one changed token breaks every 40-char window crossing
+    // it); the winnow seed catches it — any unbroken shared run of
+    // >= k+w-1 tokens guarantees a shared fingerprint (q269 theorem)
+    implicit val sqlCtx = spark.sqlContext
+    // 27 three-char tokens: unbroken runs between edits stay >= 7
+    // tokens (fingerprints guaranteed) but < 40 CHARS (every verbatim
+    // window must cross an edit or the wrapper boundary — the
+    // substring rung is provably blind, asserted below)
+    val toks = (1 to 27).map(i => f"t$i%02d")
+    val bench = toks.mkString(" ")
+    val edited = toks.updated(8, "zz1").updated(17, "zz2").mkString(" ")
+    val base = Files.createTempDirectory("wseed").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val (k, w, minShared) = (4, 4, 3)
+    StreamPipeline.seedWinnowIndex(spark, indexDir,
+      Seq(0L -> bench).toDF("doc_id", "text"), "doc_id", "text", k, w)
+    // precondition 1: the substring rung really is blind to the edit
+    // (no 40-char window of the edited text occurs verbatim in bench —
+    // checked via the batch operator: zero chars excised)
+    val blind = graft.operators.Dedup.substringDecontaminate(
+        Seq(100L -> s"wrapper $edited tail").toDF("doc_id", "text"),
+        Seq(0L -> bench).toDF("doc_id", "text"), "doc_id", "text", width = 40)
+      .select($"chars_removed").as[Long].head()
+    assert(blind == 0L,
+      s"fixture broken: the verbatim rung must be blind to the edit ($blind)")
+    // precondition 2: the fuzzy rung sees it — >= minShared distinct
+    // shared fingerprints via the batch operator
+    val flagged = graft.operators.Dedup.winnowDecontaminate(
+        Seq(100L -> s"wrapper $edited tail").toDF("doc_id", "text"),
+        Seq(0L -> bench).toDF("doc_id", "text"), "doc_id", $"text",
+        k, w, minShared)
+      .as[(Long, Long, Long)].collect()
+    assert(flagged.map(_._1).toSeq == Seq(100L),
+      s"fixture broken: batch winnow must flag the edited quote: ${flagged.toSeq}")
+    val writer = StreamPipeline.winnowDedupSuppressWriter(
+      indexDir, outDir, "doc_id", "text", k, w, minShared)
+    writer(Seq(
+      100L -> s"wrapper $edited tail",
+      101L -> "wholly unrelated arrival content about spark joins and shuffles here")
+      .toDF("doc_id", "text"), 0L)
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(admitted() == Seq(101L),
+      s"the edited quote must be dropped at ingest, unrelated admitted: ${admitted()}")
+    // the seed survives compaction (folds like any base generation)
+    StreamPipeline.compactNearDupIndex(spark, indexDir, outDir)
+    writer(Seq(102L -> s"other wrapper $edited different tail")
+      .toDF("doc_id", "text"), 1L)
+    assert(admitted() == Seq(101L),
+      s"post-compaction arrivals must still drop: ${admitted()}")
+    // scheme refusal: a seeded index pins (k, w) — a writer opened at a
+    // drifted k must refuse by name, not silently admit everything
+    val e = intercept[IllegalArgumentException] {
+      StreamPipeline.winnowDedupSuppressWriter(
+        indexDir, outDir, "doc_id", "text", k = 5, w = 4, minShared)(
+        Seq(103L -> "any text at all for the refused batch").toDF("doc_id", "text"), 2L)
+    }
+    assert(e.getMessage.contains("k=4 w=4") && e.getMessage.contains("k=5 w=4"),
+      e.getMessage)
+    // seeding is create-time only: a second seed must refuse
+    val e2 = intercept[IllegalArgumentException] {
+      StreamPipeline.seedWinnowIndex(spark, indexDir,
+        Seq(1L -> "more bench").toDF("doc_id", "text"), "doc_id", "text", k, w)
+    }
+    assert(e2.getMessage.contains("fresh index"), e2.getMessage)
+  }
+
   test("suppression index scheme markers: mismatched reopen refuses loudly, matched proceeds") {
     // The `_bands` protocol generalized to every suppression writer
     // (round-16): persisted index hashes are only comparable under the
