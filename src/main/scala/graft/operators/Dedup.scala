@@ -1718,6 +1718,7 @@ object Dedup {
     // would re-shuffle it just to reapply a predicate on a value
     // already in hand (round-15 self-review catch)
     val inSpace = tf.join(dfTab, "w").filter(col("df") <= maxDf)
+      .localCheckpoint() // read 3x: norms + both posting join sides
     val norms = inSpace.groupBy(col("doc")).agg(sum(col("tf")).as("norm"))
     val posts = inSpace.filter(col("df") >= 2).drop("df")
     posts.alias("a")
