@@ -205,6 +205,74 @@ object Curation {
           .as("n_tokens"))
   }
 
+  /** CONTENT-DEFINED chunking (CDC — the rsync/LBFS/FastCDC boundary
+    * rule, round-17): cut each document where the hash of the w-char
+    * window ENDING at a position has residue 0 mod `den` (expected
+    * chunk length ≈ den chars), plus the forced final boundary at the
+    * text end. The property fixed-SIZE chunking (q193) structurally
+    * lacks: boundaries are functions of LOCAL CONTENT, so an insertion
+    * near the front shifts only the chunk it lands in — every later
+    * boundary re-aligns and the downstream chunk hashes are UNCHANGED
+    * (spec-pinned), which is what makes chunk-hash dedup robust to
+    * shifted/edited near-duplicates where fixed-offset chunks all
+    * move. This is the pure content rule; production deployments add
+    * min/max chunk-length guards (FastCDC §3.2) — those make the
+    * boundary decision SEQUENTIAL per doc (each cut depends on the
+    * previous), which this operator deliberately omits so the whole
+    * derivation stays one codegen'd HOF projection; a degenerate
+    * residue-dense region therefore yields short chunks rather than a
+    * recursive fold.
+    *
+    * The window hash is the md5-hex prefix (portable — the DuckDB
+    * oracle replays every boundary), positions below `w` can never cut
+    * (the window must fit), and a doc shorter than w + 1 chars is one
+    * chunk. Returns one row per chunk: (id, chunk_idx, start, 1-based;
+    * chunk_len, chunk_md5).
+    *
+    * Scale shape: the per-position md5 pass runs as a CODEGEN'D
+    * PROJECTION over exploded positions — NOT inside an array-HOF
+    * lambda, which falls to the interpreted evaluator and measured
+    * 58 s vs ~4 s at sf0.1 for the identical arithmetic (round-17
+    * self-catch) — so the corpus-byte-proportional stage is the same
+    * shape as [[graft.operators.Dedup.substringWindowHashes]]'s. The
+    * residue filter keeps ≈ 1/den of positions, ONE doc-keyed
+    * aggregate collects each doc's boundary list (bounded by
+    * chars/den per doc), and the chunk rebuild is narrow HOFs over
+    * that bounded list. Output ≈ bytes/den rows. Consumers aggregate
+    * chunk_md5 for chunk-level dedup: one hash-agg, the exact-dedup
+    * posture at sub-document granularity. */
+  def cdcChunks(df: DataFrame, id: String, text: String,
+                w: Int = 8, den: Int = 64): DataFrame = {
+    require(w >= 2, s"w=$w: a 1-char window cuts on single characters")
+    require(den >= 2, s"den=$den: residue mod 1 cuts everywhere")
+    val n = length(col(text))
+    val base = df.filter(n >= 1)
+      .select(col(id), col(text).as("__t"), n.cast("int").as("__n"))
+    // candidate cut AFTER position p (p in [w, n-1]; n itself closes
+    // the last chunk): md5 of the window (p-w, p] has residue 0
+    val cuts = base.filter(col("__n") > w)
+      .select(col(id),
+        explode(sequence(lit(w), col("__n") - 1)).as("__p"), col("__t"))
+      .filter(conv(substring(
+          md5(col("__t").substr(col("__p") - (w - 1), lit(w))), 1, 8), 16, 10)
+        .cast("long") % den === 0)
+      .groupBy(col(id))
+      .agg(sort_array(collect_list(col("__p"))).as("__cuts"))
+    val bs = concat(array(lit(0)),
+      coalesce(col("__cuts"), array().cast("array<int>")),
+      array(col("__n")))
+    base.join(cuts, Seq(id), "left")
+      .select(col(id), col("__t"),
+        posexplode(transform(sequence(lit(1), size(bs) - 1),
+          i => struct(element_at(bs, i).as("s"),
+            (element_at(bs, i + 1) - element_at(bs, i)).as("l"))))
+          .as(Seq("__i", "__c")))
+      .select(col(id), col("__i").cast("long").as("chunk_idx"),
+        (col("__c.s") + 1).cast("long").as("start"),
+        col("__c.l").cast("long").as("chunk_len"),
+        md5(col("__t").substr(col("__c.s") + 1, col("__c.l"))).as("chunk_md5"))
+  }
+
   // ------------------------------------------------- shard layout
 
   /** Epoch-shuffled shard layout (q277's law, THE single definition —

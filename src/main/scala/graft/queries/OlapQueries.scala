@@ -261,7 +261,10 @@ object OlapQueries {
       (s, d) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // read 3x (pair shingles, node list, length join) — materialize
+        // the 100-doc slice once (round-17 repeat-derivation sharing)
         val base = t(s, d, "documents").filter($"doc_id" < 100)
+          .select($"doc_id", $"text", $"n_chars").localCheckpoint()
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           graft.functions.TextFunctions.charNGrams($"text", 3), threshold = 0.6)
         val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)

@@ -262,6 +262,87 @@ object PipelineQueries {
         GROUP BY 1, 2 ORDER BY mix_src, epoch"""),
       "epoch-replicated mixture rows: full-epoch replication + deterministic partial-epoch residue"),
 
+    // ------------------------------- content-defined chunking (CDC)
+    // The rsync/LBFS/FastCDC boundary rule (round-17): cut where the
+    // md5 of the 8-char window ending at a position has residue 0 mod
+    // 64 (expected chunk ~64 chars) — boundaries are functions of
+    // LOCAL content, so an insertion shifts only the chunk it lands in
+    // and every later chunk hash re-aligns (spec-pinned), the property
+    // fixed-size chunking (q193) structurally lacks and the reason
+    // storage dedup and shift-robust corpus dedup chunk this way. The
+    // registered slice pins every boundary, span and chunk md5
+    // byte-for-byte against the oracle's replay of the same rule.
+    "q287_cdc_chunks" -> Q(
+      (s, d) => {
+        import s.implicits._
+        graft.operators.Curation.cdcChunks(
+            t(s, d, "documents").filter($"doc_id" < 40)
+              .select($"doc_id", $"text"),
+            "doc_id", "text", w = 8, den = 64)
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      Some("""WITH ccd AS (SELECT doc_id, text, length(text) AS n
+          FROM documents WHERE doc_id < 40),
+        ccb AS (SELECT doc_id, text,
+            list_concat(list_concat([CAST(0 AS BIGINT)],
+              list_filter(range(8, n), p ->
+                CAST('0x' || substr(md5(substr(text, CAST(p - 7 AS INTEGER), 8)), 1, 8)
+                  AS BIGINT) % 64 = 0)), [CAST(n AS BIGINT)]) AS bs
+          FROM ccd),
+        cch AS (SELECT doc_id, text, bs,
+            unnest(range(1, len(bs))) AS i FROM ccb)
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS chunk_idx,
+          CAST(bs[CAST(i AS INTEGER)] + 1 AS BIGINT) AS start,
+          CAST(bs[CAST(i + 1 AS INTEGER)] - bs[CAST(i AS INTEGER)] AS BIGINT) AS chunk_len,
+          md5(substr(text, CAST(bs[CAST(i AS INTEGER)] + 1 AS INTEGER),
+            CAST(bs[CAST(i + 1 AS INTEGER)] - bs[CAST(i AS INTEGER)] AS INTEGER))) AS chunk_md5
+        FROM cch ORDER BY doc_id, chunk_idx"""),
+      "content-defined chunking: md5-window residue boundaries, insertion-realigning spans"),
+
+    // ---------------------- CDC chunk-level dedup (the consumer)
+    // Exact dedup at CDC-CHUNK granularity over the full corpus: one
+    // hash aggregate on chunk_md5 — sub-document duplication that
+    // doc-level exact dedup keeps (a shared paragraph in otherwise
+    // distinct docs) surfaces here WITHOUT the stride-1 window volume
+    // of q273 (≈ bytes/64 chunk rows vs one row per byte), and the
+    // content-defined boundaries mean a SHIFTED copy of a paragraph
+    // still lands on identical chunk hashes. Output is bounded by the
+    // distinct duplicated-chunk count; ×100 replication multiplies
+    // occurrence counts, not output rows.
+    "q288_cdc_dedup" -> Q(
+      (s, d) => {
+        import s.implicits._
+        // reads the materialized chunk table (TextSketch — chunk at
+        // ingest, the store discipline; q287 keeps the live face); the
+        // oracle re-derives every boundary + chunk md5 from the text
+        graft.queries.TextSketch.cdcChunkTable(s, d)
+          .groupBy($"chunk_md5", $"chunk_len")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct($"doc_id").as("n_docs"),
+            min($"doc_id").as("first_doc"))
+          .filter($"n_occ" >= 2)
+          .orderBy($"chunk_md5")
+      },
+      Some("""WITH dcd AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        dcb AS (SELECT doc_id, text,
+            list_concat(list_concat([CAST(0 AS BIGINT)],
+              list_filter(range(8, n), p ->
+                CAST('0x' || substr(md5(substr(text, CAST(p - 7 AS INTEGER), 8)), 1, 8)
+                  AS BIGINT) % 64 = 0)), [CAST(n AS BIGINT)]) AS bs
+          FROM dcd),
+        dch AS (SELECT doc_id,
+            md5(substr(text, CAST(bs[CAST(i AS INTEGER)] + 1 AS INTEGER),
+              CAST(bs[CAST(i + 1 AS INTEGER)] - bs[CAST(i AS INTEGER)] AS INTEGER)))
+              AS chunk_md5,
+            CAST(bs[CAST(i + 1 AS INTEGER)] - bs[CAST(i AS INTEGER)] AS BIGINT)
+              AS chunk_len
+          FROM (SELECT doc_id, text, bs, unnest(range(1, len(bs))) AS i FROM dcb))
+        SELECT chunk_md5, chunk_len, count(*) AS n_occ,
+          count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        FROM dch GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY chunk_md5"""),
+      "CDC chunk-hash dedup: shift-robust sub-document duplication in one hash aggregate"),
+
     // ------------------------------------------------ overlapping chunking
     // The windowing step every RAG index and long-context pretraining
     // pipeline runs: split each document into C-token chunks at stride

@@ -61,6 +61,30 @@ object TextSketch {
     * (the O(n) production path is the thing under test), and the
     * oracles re-derive every window md5 from the text — the store is
     * validated end-to-end each round. */
+  /** The CDC-CHUNK table (doc_id, chunk_idx, start, chunk_len,
+    * chunk_md5) at the house (w = 8, den = 64) scheme — content-defined
+    * chunking IS an ingest-time operation (chunk once, N analyses:
+    * exactly how storage dedup and shift-robust corpus dedup deploy
+    * it), so the full-corpus consumer (q288's duplicated-chunk rollup)
+    * reads this store while q287's id-bounded slice stays on the LIVE
+    * operator (the registered live face); the oracle re-derives every
+    * boundary and chunk md5 from the text, validating the build each
+    * round. Same mtime-keyed, atomically-promoted discipline as the
+    * other stores. */
+  def cdcChunkTable(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "cdc_chunks_w8d64")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        import s.implicits._
+        graft.operators.Curation.cdcChunks(
+            graft.Tables(s, d, "documents").select($"doc_id", $"text"),
+            "doc_id", "text", w = 8, den = 64)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   def substringWh(s: SparkSession, d: String): DataFrame = {
     // wh carries graft.scheme = substr_w40 (see winnowFps's note)
     val path = LayoutKey.dir(d, "documents", "substring_wh_w40_m1")

@@ -250,7 +250,12 @@ object ScaleStress {
     // after the verified-pairs materialization (the r14sketch refresh
     // convention on the pair stores: q255/q266 are now serve-path reads
     // like q96, q257's pair stage reads the store, q283 stays live).
-    "r17" -> Seq("q286_mix_epoch_rows"),
+    // q287 is an id-bounded slice (fixed query, unbounded operator —
+    // the q42 convention); q288's full-corpus chunk aggregate is the
+    // scale face: ×100 multiplies occurrence COUNTS per chunk, not
+    // output rows (the exact-dedup absorption posture at sub-document
+    // granularity) — both must EMIT
+    "r17" -> Seq("q286_mix_epoch_rows", "q287_cdc_chunks", "q288_cdc_dedup"),
     "r17pairs" -> Seq("q255_dhash_neardup", "q257_dhash_clusters",
       "q266_dhash256_neardup", "q283_dhash256_neardup_grouped"))
 
@@ -268,7 +273,7 @@ object ScaleStress {
     "q280_substring_rolling_first", "q281_hamming_knn_grouped",
     "q282_substring_decontaminate", "q283_dhash256_neardup_grouped",
     "q284_temperature_mix", "q285_winnow_decontaminate",
-    "q286_mix_epoch_rows")
+    "q286_mix_epoch_rows", "q287_cdc_chunks", "q288_cdc_dedup")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -357,6 +357,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(zero.isEmpty, "zero-target mixture must emit no rows")
   }
 
+  test("cdcChunks: literal boundary replay + insertion re-alignment") {
+    import graft.operators.Curation
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // literal replay of the rule: cut after position p (w <= p < n)
+    // iff the md5 of the window (p-w, p] has residue 0 mod den
+    def replay(text: String, w: Int, den: Int): Seq[(Long, Long, Long, String)] = {
+      val n = text.length
+      val cuts = (w until n).filter { p =>
+        java.lang.Long.parseLong(md5hex(text.substring(p - w, p)).take(8), 16) % den == 0
+      }
+      val bs = 0 +: cuts :+ n
+      bs.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+        (i.toLong, (a + 1).toLong, (b - a).toLong, md5hex(text.substring(a, b)))
+      }.toSeq
+    }
+    val rnd = new scala.util.Random(5)
+    val text = (0 until 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    def run(t: String): Seq[(Long, Long, Long, String)] =
+      Curation.cdcChunks(Seq((7L, t)).toDF("doc_id", "text"),
+          "doc_id", "text", w = 8, den = 16)
+        .orderBy($"chunk_idx")
+        .select($"chunk_idx", $"start", $"chunk_len", $"chunk_md5")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    val got = run(text)
+    assert(got == replay(text, 8, 16),
+      s"chunking drifted from the literal rule:\n$got\n${replay(text, 8, 16)}")
+    assert(got.size >= 3, s"fixture must yield several chunks, got ${got.size}")
+    // the CDC property: prepend one char — only the FIRST chunk may
+    // change (boundaries are local-content functions, every later one
+    // re-aligns), where fixed-offset chunks would ALL shift
+    val shifted = run("Z" + text)
+    assert(shifted.map(_._4).takeRight(got.size - 1) == got.map(_._4).drop(1),
+      "chunk hashes after the first boundary must re-align under insertion")
+    // a doc shorter than the window is one whole-text chunk
+    val short = run("tiny")
+    assert(short == Seq((0L, 1L, 4L, md5hex("tiny"))), short.toString)
+    // guards
+    val e = intercept[IllegalArgumentException] {
+      Curation.cdcChunks(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", w = 1)
+    }
+    assert(e.getMessage.contains("window"), e.getMessage)
+  }
+
   test("piiRedact: literal counts + redacted text on adversarial fixtures") {
     import graft.operators.Curation
     def md5hex(s: String): String =
