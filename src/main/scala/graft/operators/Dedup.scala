@@ -1491,9 +1491,11 @@ object Dedup {
     * and the corpus-byte-proportional window stream never shuffles at
     * all — one narrow Generate per doc, a broadcast left-semi probe,
     * and the per-doc interval fold. That is strictly cheaper than the
-    * dedup twin (whose count+min needs the one wh-keyed shuffle); a
-    * bench set too large to broadcast is the signal to pre-hash it to
-    * a parquet of distinct `wh` and feed THAT in here.
+    * dedup twin (whose count+min needs the one wh-keyed shuffle). The
+    * contract is LOUD (round-17): the bench side is counted and
+    * refused past `maxBenchWindows` by name — a genuinely larger eval
+    * set should be pre-hashed to a parquet of distinct `wh` and fed
+    * via `benchWins`, or the bound raised deliberately.
     *
     * Returns the [[substringDedup]] contract: one row per input doc,
     * (id, orig_len, n_spans_removed, chars_removed, clean_len,

@@ -1322,4 +1322,32 @@ class ScalePostureSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"scatter sums must map-side combine:\n${p.take(1200)}")
   }
+
+  test("round-17 family: epoch mixture stays rank-windowed, CDC stays store-fed + generate-shaped") {
+    // q286: the epoch fan-out is a narrow Generate over the rank-kept
+    // rows — one source-partitioned window, broadcast targets, never a
+    // cartesian or a data-scaled join
+    val p286 = plan("q286_mix_epoch_rows")
+    assert(p286.contains("Window") && p286.contains("Generate"),
+      s"q286 needs the rank window + the epoch generate:\n${p286.take(1200)}")
+    assert(!p286.contains("CartesianProduct") && !p286.contains("SortMergeJoin"),
+      s"q286's only joins are the broadcast targets:\n${p286.take(1200)}")
+    // q287 (the LIVE face): the per-position md5 runs over a Generate'd
+    // position stream (the codegen'd-projection shape whose HOF-lambda
+    // twin measured 58 s vs 3.5 s at sf0.1), one doc-keyed boundary
+    // aggregate, no cartesian
+    val p287 = plan("q287_cdc_chunks")
+    assert(p287.contains("Generate"),
+      s"q287's md5 pass must ride an exploded position stream:\n${p287.take(1200)}")
+    assert(!p287.contains("CartesianProduct"),
+      s"q287 must stay join/aggregate-shaped:\n${p287.take(1200)}")
+    // q288 (the store consumer): reads the materialized chunk table —
+    // never re-runs the corpus-byte md5 pass per analysis
+    val p288 = plan("q288_cdc_dedup")
+    assert(!p288.linesIterator.exists(l =>
+        l.contains("FileScan") && l.contains("/documents.parquet")),
+      s"q288 must read the chunk store, not re-chunk the corpus:\n${p288.take(1200)}")
+    assert(p288.contains("graft_layout"),
+      s"q288 must read the materialized chunk table:\n${p288.take(600)}")
+  }
 }
