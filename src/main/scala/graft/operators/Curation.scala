@@ -395,11 +395,8 @@ object Curation {
   def sourceMixKeepEpochs(df: DataFrame, id: String, source: String,
                           fracNum: Long, fracDen: Long,
                           weighting: String = "sqrt"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val targets = mixTargets(df, id, source, fracNum, fracDen, weighting)
-    val w = Window.partitionBy(col(source))
-      .orderBy(md5(col(id).cast("string")), col(id))
-    df.withColumn("__rk", row_number().over(w))
+    rankedBySource(df, id, source)
       .join(broadcast(targets.select(col(source), col("n_docs"),
         col("n_target"))), source)
       // greatest(…, 1): sequence(1, 0) would DESCEND ([1, 0]) for a
@@ -410,19 +407,30 @@ object Curation {
       .drop("__rk", "n_docs", "n_target")
   }
 
+  /** THE rank definition — the single place the deterministic
+    * (md5(id), id) per-source selection order is declared. Every
+    * kept-rows face ([[keepRows]] behind [[sourceMixKeep]], and
+    * [[sourceMixKeepEpochs]]'s epoch residue) derives its 1-based
+    * `__rk` here, so a future edit to the ordering cannot silently
+    * desynchronize the epoch rows from the audit/rows faces
+    * (round-17 advice). */
+  private def rankedBySource(df: DataFrame, id: String,
+                             source: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rk", row_number().over(
+      Window.partitionBy(col(source))
+        .orderBy(md5(col(id).cast("string")), col(id))))
+  }
+
   /** The shared rank-selection: n_target smallest (md5(id), id) per
     * source — both public faces route here, so the kept set cannot
     * drift between the audit and the rows. */
   private def keepRows(df: DataFrame, id: String, source: String,
-                       targets: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(source))
-      .orderBy(md5(col(id).cast("string")), col(id))
-    df.withColumn("__rk", row_number().over(w))
+                       targets: DataFrame): DataFrame =
+    rankedBySource(df, id, source)
       .join(broadcast(targets.select(col(source), col("n_target"))), source)
       .filter(col("__rk") <= col("n_target"))
       .drop("__rk", "n_target")
-  }
 
   /** Shared target derivation for [[sourceMix]]/[[sourceMixKeep]]:
     * (source, n_docs, u, n_target) — see sourceMix's doc for the

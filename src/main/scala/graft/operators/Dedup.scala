@@ -434,7 +434,25 @@ object Dedup {
   def minhashNearDups(df: DataFrame, id: String, text: String,
                       k: Int = 64, bands: Int = 8,
                       threshold: Double = 0.9, maxBucket: Int = 100,
-                      scheme: String = "salted"): DataFrame = {
+                      scheme: String = "salted"): DataFrame =
+    minhashNearDupsFromSigs(minhashDocSignatures(df, id, text, k, scheme),
+      df, id, text, k, bands, threshold, maxBucket,
+      expectScheme = Some(minhashScheme(scheme, k)))
+
+  /** Canonical scheme string for a k-slot MinHash signature derivation
+    * under hash family `scheme` — the marker a materialized signature
+    * store carries on its `mh0` column. */
+  def minhashScheme(scheme: String, k: Int): String = s"minhash_${scheme}_k$k"
+
+  /** The signature-DERIVATION face of [[minhashNearDups]]: one row per
+    * doc, (id, mh0..mh{k-1}), `mh0` stamped with the
+    * [[minhashScheme]] column-metadata marker so a store built here and
+    * read back from parquet refuses a mismatched consumer loudly (the
+    * TextSketch discipline). Signatures are PER-DOC (a doc's sketch
+    * depends only on its own tokens), so any doc-subset restriction of
+    * a stored table equals a fresh derivation over the subset. */
+  def minhashDocSignatures(df: DataFrame, id: String, text: String,
+                           k: Int, scheme: String): DataFrame = {
     require(Set("salted", "lcg", "oph", "xx64")(scheme), s"unknown scheme $scheme")
     // Repartition the token stream by id BEFORE hashing: a small corpus
     // arrives as one scan partition, which would run the k/2-digests-per-
@@ -449,6 +467,26 @@ object Dedup {
       case "xx64"   => minhashSignaturesXx(toks, id, k)
       case "salted" => minhashSignatures(toks, id, k)
     }
+    sigs.select(col(id) +: stampScheme(col("mh0"), "mh0",
+        minhashScheme(scheme, k)) +:
+      (1 until k).map(j => col(s"mh$j")): _*)
+  }
+
+  /** [[minhashNearDups]] over PRE-DERIVED signatures (id, mh0..mh{k-1})
+    * — the face a materialized signature store feeds
+    * ([[graft.queries.TextSketch.minhashSigs]]): sketch at ingest, band
+    * + verify at analysis time. `df` supplies the TRUE token sets for
+    * the exact-Jaccard verify (candidates only — the store replaces the
+    * corpus-wide hash/aggregate pass, not the exactness); `sigs` must
+    * cover exactly `df`'s doc set and carry the expected scheme marker
+    * on `mh0` (pass `None` for an ad-hoc frame the caller vouches
+    * for). */
+  def minhashNearDupsFromSigs(sigs: DataFrame, df: DataFrame, id: String,
+                              text: String, k: Int, bands: Int,
+                              threshold: Double, maxBucket: Int,
+                              expectScheme: Option[String]): DataFrame = {
+    expectScheme.foreach(e =>
+      requireScheme(sigs, "mh0", e, "minhashNearDupsFromSigs"))
     val cands = lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket)
     val sets = tokenSets(df, id, text)
     cands
@@ -522,13 +560,49 @@ object Dedup {
     * integer cross-multiply. Verification intersects the TRUE shingle
     * arrays per candidate — O(|src|+|dst|) each, never n². */
   def containmentPairs(df: DataFrame, id: String, shingles: Column,
-                       tNum: Int, tDen: Int): DataFrame = {
+                       tNum: Int, tDen: Int): DataFrame =
+    containmentPairsCore(
+      df.select(col(id).as("doc"), shingles.as("__set")), tNum, tDen)
+
+  /** Canonical scheme string for a per-doc word-n-gram shingle-SET
+    * derivation ([[wordShingleSets]]) — the marker a materialized
+    * shingle-set store carries on its `sh_set` column. */
+  def shingleSetScheme(n: Int): String = s"shingle_words_n$n"
+
+  /** Per-doc distinct word-n-gram shingle sets (id, sh_set), `sh_set`
+    * stamped with [[shingleSetScheme]] — the derivation a materialized
+    * shingle-set store runs at build time. Shingle sets are PER-DOC, so
+    * a doc-subset restriction of the stored table equals a fresh
+    * derivation over the subset. */
+  def wordShingleSets(df: DataFrame, id: String, text: Column,
+                      n: Int): DataFrame =
+    df.select(col(id), stampScheme(TextFunctions.wordShingles(text, n),
+      "sh_set", shingleSetScheme(n)))
+
+  /** [[containmentPairs]] over PRE-DERIVED shingle sets (id, sh_set) —
+    * the face a materialized shingle-set store feeds
+    * ([[graft.queries.TextSketch.shingleSets4]]): the interpreted
+    * shingle HOF runs once at store build, and every analysis-time
+    * consumer reads stored arrays. `sets` must carry the expected
+    * scheme marker on `sh_set` (`None` = ad-hoc frame the caller
+    * vouches for) and cover exactly the doc set under test. */
+  def containmentPairsFromSets(sets: DataFrame, id: String, tNum: Int,
+                               tDen: Int, expectScheme: Option[String])
+      : DataFrame = {
+    expectScheme.foreach(e =>
+      requireScheme(sets, "sh_set", e, "containmentPairsFromSets"))
+    containmentPairsCore(
+      sets.select(col(id).as("doc"), col("sh_set").as("__set")), tNum, tDen)
+  }
+
+  private def containmentPairsCore(docSetsIn: DataFrame, tNum: Int,
+                                   tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
     // The shingle HOF is interpreted (no doGenCode) and this plan has
     // multiple consumers (candidate tokens + both verify sides) —
     // materialize the per-doc arrays once and let every consumer read
     // stored arrays (the prefixJaccardPairs discipline)
-    val docSets = df.select(col(id).as("doc"), shingles.as("__set"))
+    val docSets = docSetsIn
       .withColumn("__n", size(col("__set")))
       .localCheckpoint()
     // 64-bit shingle hashes through the candidate machinery: exchanges
@@ -1520,18 +1594,28 @@ object Dedup {
     val benchWh = benchWins.getOrElse(substringWindowHashes(
         bench.select(col(id), col(text)), id, text, width))
       .select(col("wh")).distinct()
-      .localCheckpoint() // counted for the broadcast guard, then probed
     // the bench side broadcasts on the "benchmark-sized by contract"
     // assumption — make the contract LOUD (round-16 What's wrong #2):
     // a caller pointing `bench` at a corpus-sized frame should hit a
-    // refusal naming the bound, not an executor OOM
-    val nBench = benchWh.count()
-    require(nBench <= maxBenchWindows,
-      s"substringDecontaminate: bench side has $nBench distinct window " +
-        s"hashes > maxBenchWindows=$maxBenchWindows — the bench side " +
-        "broadcasts on the benchmark-sized contract (eval suites are MBs " +
-        "where the corpus is TBs); a larger eval set should be pre-hashed " +
-        "to parquet and fed via benchWins, or raise the bound deliberately")
+    // refusal naming the bound, not an executor OOM. The guard only
+    // runs on the DERIVED path: a caller supplying `benchWins` vouches
+    // for its size (the winnowPairsFromFps expectScheme=None escape),
+    // which is exactly why pre-hashing a genuinely larger eval set and
+    // feeding it via benchWins is the working remediation the message
+    // names. NOTE this makes the derived path EAGER — one bench-sized
+    // count job runs at DataFrame-construction time; no block is
+    // retained (the broadcast probe re-derives the MB-sized bench side
+    // lazily rather than pinning a checkpoint in a long-lived service).
+    if (benchWins.isEmpty) {
+      val nBench = benchWh.count()
+      require(nBench <= maxBenchWindows,
+        s"substringDecontaminate: bench side has $nBench distinct window " +
+          s"hashes > maxBenchWindows=$maxBenchWindows — the bench side " +
+          "broadcasts on the benchmark-sized contract (eval suites are MBs " +
+          "where the corpus is TBs); a larger eval set should be pre-hashed " +
+          "to parquet and fed via benchWins (the caller-vouches escape: the " +
+          "guard is skipped), or raise the bound deliberately")
+    }
     val wins = docsWins.getOrElse(
       substringWindowHashes(base, id, "__txt", width))
     val marked = wins
@@ -1572,10 +1656,12 @@ object Dedup {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
     val bf = winnowedFingerprints(bench, id, text, k, w)
       .select(col("fp")).distinct()
-      .localCheckpoint() // counted for the broadcast guard, then probed
     // loud twin of substringDecontaminate's bench-side bound: the fp
     // set broadcasts on the benchmark-sized contract, so refuse a
-    // corpus-sized side by name instead of OOMing the executors
+    // corpus-sized side by name instead of OOMing the executors. This
+    // count makes the face EAGER (one bench-sized job at construction
+    // time); the broadcast probe re-derives the small side lazily —
+    // no checkpoint block accrues across calls in a long-lived service.
     val nBench = bf.count()
     require(nBench <= maxBenchFps,
       s"winnowDecontaminate: bench side has $nBench distinct fingerprints " +
@@ -1646,22 +1732,29 @@ object Dedup {
       : DataFrame = {
     require(maxDf >= 1, s"maxDf=$maxDf: a cap below 1 drops every posting")
     require(topK >= 1, s"topK=$topK")
-    val cf = cfIn.distinct()
-      .localCheckpoint() // read twice: df table + postings
-    val keep = cf.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val posts = cf.join(keep.select(col("fp")), "fp")
+    // df-cap as ONE window count over the fp partition instead of the
+    // checkpoint + groupBy + self-join shape (round-17 advice): same
+    // stop-drop semantics, one fewer shuffle, fully LAZY — no
+    // construction-time corpus job and no checkpoint block lingering
+    // in a long-lived service's block manager
+    val posts = cfIn.distinct()
+      .withColumn("__df", count(lit(1)).over(
+        Window.partitionBy(col("fp"))))
+      .filter(col("__df") <= maxDf)
+      .drop("__df")
     // the query side broadcasts on the ad-hoc-snippet contract — guard
     // it loudly like the decontamination bench sides (round-16 What's
-    // wrong #2); qf is already distinct by construction in both callers
-    val qfC = qf.localCheckpoint()
-    val nQ = qfC.count()
+    // wrong #2); qf is already distinct by construction in both
+    // callers. The count is the one EAGER job this face runs at
+    // construction time; the broadcast re-derives the snippet-sized
+    // query side lazily (no retained block).
+    val nQ = qf.count()
     require(nQ <= maxQueryFps,
       s"winnowSearch: query side has $nQ fingerprint rows > " +
         s"$maxQueryFps — the query side broadcasts on the ad-hoc-snippet " +
         "contract; a corpus-sized query set is a PAIR problem " +
         "(winnowedNearDupPairs), not a search")
-    val shared = posts.join(broadcast(qfC), "fp")
+    val shared = posts.join(broadcast(qf), "fp")
       .groupBy(col("query_id"), col("cand_id"))
       .agg(count(lit(1)).as("shared"))
     shared

@@ -282,7 +282,7 @@ object PipelineQueries {
           .orderBy($"doc_id", $"chunk_idx")
       },
       Some("""WITH ccd AS (SELECT doc_id, text, length(text) AS n
-          FROM documents WHERE doc_id < 40),
+          FROM documents WHERE doc_id < 40 AND length(text) >= 1),
         ccb AS (SELECT doc_id, text,
             list_concat(list_concat([CAST(0 AS BIGINT)],
               list_filter(range(8, n), p ->
@@ -323,7 +323,8 @@ object PipelineQueries {
           .filter($"n_occ" >= 2)
           .orderBy($"chunk_md5")
       },
-      Some("""WITH dcd AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      Some("""WITH dcd AS (SELECT doc_id, text, length(text) AS n FROM documents
+          WHERE length(text) >= 1),
         dcb AS (SELECT doc_id, text,
             list_concat(list_concat([CAST(0 AS BIGINT)],
               list_filter(range(8, n), p ->
@@ -342,6 +343,97 @@ object PipelineQueries {
         FROM dch GROUP BY 1, 2 HAVING count(*) >= 2
         ORDER BY chunk_md5"""),
       "CDC chunk-hash dedup: shift-robust sub-document duplication in one hash aggregate"),
+
+    // ---------------------------- dedup-first CDC chunk dedup (round-18)
+    // q288 composed the house way (the q205/q271/q274 convention): exact
+    // keepers collapse whole-doc replication BEFORE the chunk rollup, so
+    // the surviving duplicated chunks are genuinely CROSS-DOC shared
+    // blocks (boilerplate paragraphs in otherwise distinct docs) — the
+    // rows a curation pipeline acts on — and under ×N replication the
+    // rollup runs over base-sized keeper chunks (q288's own ×100 datum
+    // is occurrence-count growth by design; this is the production
+    // shape). Store-fed AND dedup-first: chunks are per-doc, so the
+    // keeper semi-join restriction of the materialized cdcChunkTable
+    // equals a fresh derivation over the keepers.
+    "q290_cdc_dedup_first" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val keep = graft.operators.Dedup.exactKeepers(
+          t(s, d, "documents"), "doc_id", "text")
+        graft.queries.TextSketch.cdcChunkTable(s, d)
+          .join(keep.select($"keeper_id".as("doc_id")), Seq("doc_id"),
+            "left_semi")
+          .groupBy($"chunk_md5", $"chunk_len")
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct($"doc_id").as("n_docs"),
+            min($"doc_id").as("first_doc"))
+          .filter($"n_occ" >= 2)
+          .orderBy($"chunk_md5")
+      },
+      Some("""WITH dfk AS (SELECT md5(text) AS h, min(doc_id) AS keeper_id
+          FROM documents GROUP BY 1),
+        dfd AS (SELECT d.doc_id, d.text, length(d.text) AS n
+          FROM documents d JOIN dfk ON d.doc_id = dfk.keeper_id
+          WHERE length(d.text) >= 1),
+        dfb AS (SELECT doc_id, text,
+            list_concat(list_concat([CAST(0 AS BIGINT)],
+              list_filter(range(8, n), p ->
+                CAST('0x' || substr(md5(substr(text, CAST(p - 7 AS INTEGER), 8)), 1, 8)
+                  AS BIGINT) % 64 = 0)), [CAST(n AS BIGINT)]) AS bs
+          FROM dfd),
+        dfh AS (SELECT doc_id,
+            md5(substr(text, CAST(bs[CAST(i AS INTEGER)] + 1 AS INTEGER),
+              CAST(bs[CAST(i + 1 AS INTEGER)] - bs[CAST(i AS INTEGER)] AS INTEGER)))
+              AS chunk_md5,
+            CAST(bs[CAST(i + 1 AS INTEGER)] - bs[CAST(i AS INTEGER)] AS BIGINT)
+              AS chunk_len
+          FROM (SELECT doc_id, text, bs, unnest(range(1, len(bs))) AS i FROM dfb))
+        SELECT chunk_md5, chunk_len, count(*) AS n_occ,
+          count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        FROM dfh GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY chunk_md5"""),
+      "dedup-first CDC chunk dedup: exact keepers collapse replication before the chunk rollup"),
+
+    // --------------------------------- intra-doc repetition (round-18)
+    // The LOOPING-OUTPUT quality screen every synthetic/generated-text
+    // gate needs and the cross-doc family can't express: a document
+    // that repeats its own 3-gram phrases (degenerate generation, spam
+    // keyword stuffing, boilerplate self-padding) is invisible to
+    // exact/near/substring dedup — those compare ACROSS docs — but its
+    // repeated-gram mass ratio exposes it in one narrow per-doc
+    // projection: rep_ppm = (n_grams − n_distinct)·10⁶ div n_grams
+    // over word-3-grams, integer-exact (no float at a future keep/drop
+    // boundary). No shuffle at all except the presentation sort; at
+    // 100 TB this is a scan-proportional map, the cheapest shape there
+    // is. Docs under 3 words carry no 3-gram and are out of the
+    // measure's domain (dropped, matching the oracle's len >= 3 gate).
+    "q289_intradoc_repetition" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents")
+          .select($"doc_id", TextFunctions.words($"text").as("w"))
+          .filter(size($"w") >= 3)
+          .select($"doc_id",
+            transform(sequence(lit(1), size($"w") - 2),
+              i => concat_ws(" ", slice($"w", i, lit(3)))).as("g"))
+          .select($"doc_id",
+            size($"g").cast("long").as("n_grams"),
+            size(array_distinct($"g")).cast("long").as("n_distinct"))
+          .withColumn("rep_ppm",
+            expr("((n_grams - n_distinct) * 1000000) div n_grams"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH rpw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+          FROM documents),
+        rpg AS (SELECT doc_id, list_transform(range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g
+          FROM rpw WHERE len(ws) >= 3)
+        SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+          CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+          CAST(((len(g) - len(list_distinct(g))) * 1000000) // len(g)
+            AS BIGINT) AS rep_ppm
+        FROM rpg ORDER BY doc_id"""),
+      "intra-doc repetition ratio: the looping-generation screen, one narrow per-doc pass"),
 
     // ------------------------------------------------ overlapping chunking
     // The windowing step every RAG index and long-context pretraining

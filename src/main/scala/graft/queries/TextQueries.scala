@@ -759,9 +759,13 @@ object TextQueries {
         // q111 discipline) measured 4.96 s vs 3.35 s here: containment
         // at t=1/2 admits most of the corpus as candidates, so the
         // semi-join saves no HOF work while its extra stages cost; the
-        // generic form's ONE checkpointed shingle table wins
-        Dedup.containmentPairs(docs(s, d), "doc_id",
-            wordShingles($"text", 4), tNum = 1, tDen = 2)
+        // generic form's ONE checkpointed shingle table wins. Round-18:
+        // that shingle table now comes from the materialized
+        // TextSketch.shingleSets4 store (the interpreted shingle HOF
+        // runs once at store build, not per query)
+        Dedup.containmentPairsFromSets(TextSketch.shingleSets4(s, d),
+            "doc_id", tNum = 1, tDen = 2,
+            expectScheme = Some(Dedup.shingleSetScheme(4)))
           .orderBy($"id_src", $"id_dst")
       },
       Some("""WITH s AS (SELECT doc_id, CASE WHEN len(ws) >= 4
@@ -800,9 +804,16 @@ object TextQueries {
     "q42_dedup_minhash_lsh" -> Q(
       (s, d) => {
         import s.implicits._
-        Dedup.minhashNearDups(docs(s, d).filter($"doc_id" < 1000), "doc_id", "text",
+        // store-fed (round-18): signatures from the materialized
+        // TextSketch.minhashSigs table (sketch at ingest — signatures
+        // are per-doc, so the id-bound restriction equals a fresh
+        // derivation); the exact-Jaccard verify still reads TRUE token
+        // sets from the text, and the oracle re-derives the sketches
+        Dedup.minhashNearDupsFromSigs(
+            TextSketch.minhashSigs(s, d, "lcg").filter($"doc_id" < 1000),
+            docs(s, d).filter($"doc_id" < 1000), "doc_id", "text",
             k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
-            scheme = "lcg")
+            expectScheme = Some(Dedup.minhashScheme("lcg", 64)))
           .orderBy($"id_a", $"id_b")
       },
       Some(minhashOracle(bound = 1000, k = 64, bands = 8,
@@ -831,6 +842,14 @@ object TextQueries {
           .localCheckpoint() // read 3x: keeper filter + both copy joins
         val kept = base.join(
           keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
+        // STAYS LIVE by measured A/B (round-18, the q271 stay-live
+        // lesson on the signature store): feeding keeper signatures
+        // from TextSketch.minhashSigs via a keeper semi-join measured
+        // 3.98 s vs 2.89 s live (solo best-of-4 each, same window) —
+        // the store semi-join adds a join stage where the live chain
+        // reuses the keeper exchange, and the verify still has to read
+        // kept text either way. The id-bounded consumers (q42/q95)
+        // adopt the store; the dedup-first composition keeps deriving.
         Dedup.minhashNearDups(kept, "doc_id", "text",
             k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
             scheme = "lcg")
@@ -866,9 +885,12 @@ object TextQueries {
     "q95_minhash_xx64" -> Q(
       (s, d) => {
         import s.implicits._
-        Dedup.minhashNearDups(docs(s, d).filter($"doc_id" < 1000), "doc_id", "text",
+        // store-fed like q42 — the xx64 signature store
+        Dedup.minhashNearDupsFromSigs(
+            TextSketch.minhashSigs(s, d, "xx64").filter($"doc_id" < 1000),
+            docs(s, d).filter($"doc_id" < 1000), "doc_id", "text",
             k = 64, bands = 8, threshold = 0.9, maxBucket = 100,
-            scheme = "xx64")
+            expectScheme = Some(Dedup.minhashScheme("xx64", 64)))
           .orderBy($"id_a", $"id_b")
       },
       Some(minhashOracle(bound = 1000, k = 64, bands = 8,

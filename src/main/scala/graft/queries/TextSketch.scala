@@ -85,6 +85,52 @@ object TextSketch {
     s.read.parquet(path)
   }
 
+  /** Materialized MinHash SIGNATURES (doc_id, mh0..mh63) for every
+    * document under hash family `scheme` ("lcg" | "xx64"), k = 64 —
+    * the round-17 directive's sketch store: q42/q95/q205 each re-ran
+    * the token-hash → 64-slot min aggregate per query, and signatures
+    * are per-doc, so any doc-subset consumer (q42/q95's id bound,
+    * q205's exact keepers) restricts the store and gets exactly a
+    * fresh derivation's rows. `mh0` carries the minhash_{scheme}_k64
+    * scheme marker; the store-fed face refuses a mismatched frame.
+    * The exact-Jaccard verify still reads TRUE token sets from the
+    * text, and every consumer's oracle re-derives the sketches from
+    * md5/XXH64 closed forms — the store is hash-validated end-to-end
+    * each round. */
+  def minhashSigs(s: SparkSession, d: String, scheme: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", s"minhash_${scheme}_k64")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        import s.implicits._
+        graft.operators.Dedup.minhashDocSignatures(
+            graft.Tables(s, d, "documents").select($"doc_id", $"text"),
+            "doc_id", "text", k = 64, scheme = scheme)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
+  /** Materialized word-4-gram shingle SETS (doc_id, sh_set) — the
+    * per-doc arrays the containment/Jaccard family's interpreted
+    * shingle HOF derives (~0.25 ms/doc): built once per testdata
+    * generation, read by the store-fed faces. Sets are per-doc, so
+    * doc-subset consumers restrict with a filter/semi-join. `sh_set`
+    * carries the shingle_words_n4 scheme marker. */
+  def shingleSets4(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "shingle_sets_n4")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        import s.implicits._
+        graft.operators.Dedup.wordShingleSets(
+            graft.Tables(s, d, "documents").select($"doc_id", $"text"),
+            "doc_id", $"text", n = 4)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   def substringWh(s: SparkSession, d: String): DataFrame = {
     // wh carries graft.scheme = substr_w40 (see winnowFps's note)
     val path = LayoutKey.dir(d, "documents", "substring_wh_w40_m1")

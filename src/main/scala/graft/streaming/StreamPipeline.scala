@@ -393,6 +393,84 @@ object StreamPipeline {
       })
   }
 
+  /** [[bucketSuppressWriter]] with the CONTENT-DEFINED-CHUNK rule
+    * (round-18) — the streaming twin of the batch CDC chunk store
+    * ([[graft.queries.TextSketch.cdcChunkTable]] / q288, previously the
+    * one sketch index with no incremental ingest path): each arrival is
+    * chunked by [[graft.operators.Curation.cdcChunks]]'s local
+    * boundary rule (md5 of the trailing w-char window, residue 0 mod
+    * den — an insertion shifts only the chunk it lands in), and an
+    * arrival sharing ≥ `minShared` DISTINCT chunk hashes with one
+    * already-admitted document is dropped. This is shift-robust
+    * BLOCK-level evidence the other writers don't carry: a doc that
+    * re-ships whole paragraphs of an admitted doc at different offsets
+    * shares those paragraphs' chunks verbatim (the storage-dedup
+    * posture), where the MinHash writer needs whole-set similarity and
+    * the winnow writer samples gram fingerprints. Chunks are coarser
+    * than winnow grams (≈ bytes/den per doc), so the index is the
+    * CHEAPEST of the five — and correspondingly blunter: sub-chunk
+    * edits break that chunk's hash, so tune (den, minShared) for the
+    * granularity the corpus needs.
+    *
+    * Index rows are the family shape (id, band_idx = 0, band_hash =
+    * chunk_md5), distinct per doc, so [[compactNearDupIndex]],
+    * [[janitorNearDupIndex]] and [[nearDupIndexStats]] apply verbatim;
+    * the `_scheme` pin records (w, den) — chunk boundaries AND hashes
+    * are both (w, den)-dependent, the silent-total-mismatch failure the
+    * marker exists to refuse. `minShared`/`maxPosting` stay read-side
+    * policy over scheme-stable rows (the winnow writer's rationale).
+    * Postings held by more than `maxPosting` admitted docs (corpus
+    * boilerplate blocks) are skipped before the join — per-arrival
+    * fan-out stays ≤ maxPosting per chunk hash. Within a batch the
+    * smaller id wins a pair (house keep-first); when batch boundaries
+    * respect id order, admitted docs' index rows equal the batch
+    * operator's distinct (id, chunk_md5) projection over the same docs
+    * — StreamingSpec pins stream == batch chunk equality. */
+  def cdcDedupSuppressWriter(indexDir: String, outDir: String,
+                             id: String, text: String,
+                             w: Int = 8, den: Int = 64,
+                             minShared: Int = 2,
+                             maxPosting: Int = 200): (DataFrame, Long) => Unit = {
+    import graft.operators.Curation
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    require(maxPosting >= 1,
+      s"maxPosting=$maxPosting: a cap below 1 drops every posting")
+    bucketSuppressWriter(indexDir, outDir, id,
+      bucketsOf = { b =>
+        pinIndexScheme(b.sparkSession, indexDir, "_scheme",
+          s"cdc w=$w den=$den")
+        Curation.cdcChunks(b.select(col(id), col(text)), id, text, w, den)
+          .select(col(id), lit(0).as("band_idx"),
+            col("chunk_md5").as("band_hash"))
+          .distinct() // count DISTINCT shared chunk hashes per pair
+      },
+      hitExistingOf = { (b, idx) =>
+        val bounded = idx.join(
+          idx.groupBy(col("band_hash")).agg(count(lit(1)).as("__df"))
+            .filter(col("__df") <= maxPosting)
+            .select(col("band_hash")),
+          Seq("band_hash"), "left_semi")
+        b.select(col(id), col("band_hash"))
+          .join(bounded.select(col("band_hash"), col(id).as("__other")),
+            Seq("band_hash"))
+          .groupBy(col(id), col("__other"))
+          .agg(count(lit(1)).as("__sh"))
+          .filter(col("__sh") >= minShared)
+          .select(col(id))
+      },
+      hitWithinOf = { b =>
+        // pairwise keep-first (the winnow/image writers' convention)
+        val l = b.select(col(id).as("__a"), col("band_hash"))
+        val r = b.select(col(id).as("__b"), col("band_hash"))
+        l.join(r, Seq("band_hash"))
+          .filter(col("__a") < col("__b"))
+          .groupBy(col("__a"), col("__b"))
+          .agg(count(lit(1)).as("__sh"))
+          .filter(col("__sh") >= minShared)
+          .select(col("__b").as(id))
+      })
+  }
+
   /** Substring SCRUB at ingest — the streaming face of the batch
     * [[graft.operators.Dedup.substringDedup]] (Lee et al. ACL'22,
     * online form): arrivals are not DROPPED but TRANSFORMED — every

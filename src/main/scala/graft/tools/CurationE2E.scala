@@ -82,21 +82,30 @@ import graft.operators.{Curation, Dedup}
   *                        TRANSPOSED id so audio families cut ACROSS
   *                        image families — the modalities dedup
   *                        independently, as unrelated attachments do.
-  *  10. chunk           — q193's overlapping chunking (32-token chunks
+  *  10. cdc_dedup       — q288's shift-robust block rung (round-18):
+  *                        content-defined chunking of the survivors
+  *                        (w = 8, den = 64 — q287's realignment
+  *                        theorem), then drop the larger id of any
+  *                        pair sharing ≥ 2 distinct chunk hashes via
+  *                        the same df-capped posting machinery as
+  *                        leg 6 — offset-shifted paragraph re-ships
+  *                        that stay under both similarity thresholds
+  *                        land on identical chunk hashes here.
+  *  11. chunk           — q193's overlapping chunking (32-token chunks
   *                        at stride 24, stable md5 chunk ids).
-  *  11. pack            — q179's concat-and-chunk packing into
+  *  12. pack            — q179's concat-and-chunk packing into
   *                        64-token training sequences
   *                        ([[Curation.packSequences]]).
-  *  12. split_leak      — q195's group-hash 80/20 train/test split by
+  *  13. split_leak      — q195's group-hash 80/20 train/test split by
   *                        `source` + the cross-split fingerprint leak
   *                        audit (after steps 3-5 it must report ZERO
   *                        straddling fingerprints — the composed
   *                        pipeline's acceptance check, asserted here).
-  *  13. mix             — q284's temperature-scaled source mixing of
+  *  14. mix             — q284's temperature-scaled source mixing of
   *                        the train split (T = 2 via integer-exact
   *                        isqrt weights, 4/5 target, deterministic
   *                        per-source hash-rank kept set).
-  *  14. shard_layout    — q277's epoch-shuffled shard layout of the
+  *  15. shard_layout    — q277's epoch-shuffled shard layout of the
   *                        mixed train corpus: md5 shard assignment,
   *                        salted within-shard order, order-sensitive
   *                        checksum — the corpus leaves the pipeline as
@@ -161,6 +170,14 @@ object CurationE2E {
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var last: (DataFrame, Long, Long) = null
       for (_ <- 1 to passes) {
+        // free the superseded pass's checkpoint blocks before timing
+        // the next one (round-17 advice: 4 passes would otherwise pin
+        // ~4× the leg's output in the block manager until GC) — only
+        // the FINAL pass's frame flows downstream, so earlier passes
+        // are dead weight the moment they are re-run
+        if (last != null)
+          org.apache.spark.sql.graftglue.GraftGlue
+            .unpersistLocalCheckpoint(last._1)
         val t0 = System.nanoTime()
         last = body
         times += (System.nanoTime() - t0) / 1e9
@@ -380,12 +397,44 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 10: overlapping chunking (q193 shape) ----
+    // ---- leg 10: CDC chunk-overlap dedup (q288 shape, round-18) ----
+    // The shift-robust BLOCK rung of the dedup ladder: leg 4 excised
+    // verbatim ≥ 40-char spans stride-1, and legs 5/6 caught whole-doc
+    // and containment similarity — but a doc re-shipping whole
+    // paragraphs of another at shifted offsets can still slip through
+    // when its overall similarity stays under both thresholds.
+    // Content-defined boundaries (md5 window residue — q287's
+    // realignment theorem) make shared blocks land on identical chunk
+    // hashes regardless of offset; docs sharing ≥ minShared distinct
+    // chunk hashes with a smaller-id survivor drop (keep-first, the
+    // house rule). Pair evidence rides the SAME df-capped posting
+    // machinery as the winnow leg (winnowPairsFromFps is declared
+    // scheme-generic pair arithmetic; chunk hashes are its fp), so
+    // pair cost is Σ C(df,2) over surviving chunk hashes. Like the
+    // winnow leg, on this heavily pre-deduped fixture the leg's
+    // visible number is the honest audit COST on survivors; the
+    // operator's FIRING is pinned by q288's oracle and the streaming
+    // writer's spec. At ×100 the leg runs at base size — upstream
+    // fingerprint dedup has already collapsed replicas.
+    val cdcKept = timed("cdc_dedup") {
+      val chunks = Curation.cdcChunks(
+        audioKept.select($"doc_id", $"text"), "doc_id", "text",
+        w = 8, den = 64)
+      val losers = Dedup.winnowPairsFromFps(
+          chunks.select($"doc_id", $"chunk_md5".as("fp")),
+          "doc_id", minShared = 2, maxDf = 50)
+        .select($"id_b".as("doc_id")).distinct()
+      val df = mat(audioKept.join(losers, Seq("doc_id"), "left_anti"))
+      val (nd, nt) = census(df)
+      (df, nd, nt)
+    }
+
+    // ---- leg 11: overlapping chunking (q193 shape) ----
     val nChunks = {
       var n = 0L
       timed("chunk") {
         val S = 24; val C = 32
-        val df = mat(audioKept
+        val df = mat(cdcKept
           .select($"doc_id", TextFunctions.words($"text").as("w"))
           .withColumn("n", size($"w"))
           .withColumn("chunk_idx",
@@ -401,7 +450,7 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 11: sequence packing (q179 / Curation.packSequences) ----
+    // ---- leg 12: sequence packing (q179 / Curation.packSequences) ----
     val nSeqs = {
       var n = 0L
       timed("pack") {
@@ -414,7 +463,7 @@ object CurationE2E {
       n
     }
 
-    // ---- leg 12: group split + leak audit (q195 shape) ----
+    // ---- leg 13: group split + leak audit (q195 shape) ----
     var assignedOut: DataFrame = null
     val (straddling, splitRow) = {
       var res: (Long, (Long, Long, Long, Long)) = null
@@ -443,7 +492,7 @@ object CurationE2E {
       res
     }
 
-    // ---- leg 13: temperature mix of the train split (q284 shape) ----
+    // ---- leg 14: temperature mix of the train split (q284 shape) ----
     // The data-MIXTURE step between splitting and layout (round-16):
     // the train split is re-balanced across its `source` values at
     // T = 2 (isqrt weighting, integer-exact) to a 4/5 target — the
@@ -477,7 +526,7 @@ object CurationE2E {
       (df, nd, nt)
     }
 
-    // ---- leg 14: shard layout of the mixed train split (q277) ----
+    // ---- leg 15: shard layout of the mixed train split (q277) ----
     // The lifecycle's last act: the mixed train corpus lands as 16
     // epoch-shuffled shards — md5-hash shard assignment, salted-hash
     // within-shard order, the order-sensitive checksum pinning each

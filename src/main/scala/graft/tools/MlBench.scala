@@ -94,18 +94,39 @@ object MlBench {
       numTrees = 100, maxDepth = 10)
 
     // ---- timed: read -> fit+eval -> save (the sparkML.log window) ----
-    val t0 = System.nanoTime()
-    val df = spark.read.parquet(fixtureDir)
-    val tFit0 = System.nanoTime()
-    val (model, m) = FarePipeline.fitEval(df, cfg)
-    val fitSec = (System.nanoTime() - tFit0) / 1e9
-    model.write.overwrite().save(modelDir)
-    val totalSec = (System.nanoTime() - t0) / 1e9
+    // Best-of-N draw (round-18 — the lifecycle scan-leg discipline
+    // brought to the ML artifact): the RF fit leg bursts up to 2.6×
+    // same-code within one session (README round-17 artifact-window
+    // note: 123.8/133.0 s draws 40 min after a 46.0 s one on identical
+    // code), so a single draw is page-cache/scheduler noise, not a
+    // measurement. Run the identical timed window `passes` times,
+    // report the MINIMUM with the observed max recorded in-file as the
+    // spread; metric values are seed-deterministic and REQUIRE'd
+    // identical across passes — the draw re-times, never re-decides.
+    val passes = sys.env.getOrElse("GRAFT_MLBENCH_PASSES", "4").toInt
+    val draws = (1 to passes).map { p =>
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet(fixtureDir)
+      val tFit0 = System.nanoTime()
+      val (model, m) = FarePipeline.fitEval(df, cfg)
+      val fitSec = (System.nanoTime() - tFit0) / 1e9
+      model.write.overwrite().save(modelDir)
+      val totalSec = (System.nanoTime() - t0) / 1e9
+      println(f"[mlbench] pass $p: total $totalSec%.1f s (fit $fitSec%.1f s)")
+      (totalSec, fitSec, m)
+    }
+    val ms = draws.map(_._3)
+    require(ms.forall(m => m.testRmse == ms.head.testRmse &&
+        m.trainRmse == ms.head.trainRmse && m.testR2 == ms.head.testR2),
+      "metric values must be identical across passes (seeded end-to-end)")
+    val (totalSec, fitSec, m) = draws.minBy(_._1)
+    val totalMax = draws.map(_._1).max
 
     def r4(x: Double) = math.rint(x * 10000) / 10000
     val json =
-      s"""{"metric":"ml_training_leg","rows":$rows,"cpus":"$cpus",
+      s"""{"metric":"ml_training_leg","rows":$rows,"cpus":$cpus,
          |"total_sec":${r4(totalSec)},"fit_eval_sec":${r4(fitSec)},
+         |"passes":$passes,"total_sec_max":${r4(totalMax)},
          |"params":{"model":"rf","numTrees":100,"maxDepth":10,"features":17},
          |"metrics":{"train_rmse":${r4(m.trainRmse)},"train_mae":${r4(m.trainMae)},
          |"train_r2":${r4(m.trainR2)},"test_rmse":${r4(m.testRmse)},

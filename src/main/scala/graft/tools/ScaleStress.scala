@@ -256,6 +256,12 @@ object ScaleStress {
     // output rows (the exact-dedup absorption posture at sub-document
     // granularity) — both must EMIT
     "r17" -> Seq("q286_mix_epoch_rows", "q287_cdc_chunks", "q288_cdc_dedup"),
+    // round-18: q290 is the dedup-first composition of q288 — keepers
+    // collapse ×N replication before the chunk rollup, so its ×100 row
+    // pins the near-flat production shape beside q288's declared
+    // occurrence-count growth; q289 is a narrow per-doc projection
+    // (scan-proportional — the flattest honest shape in the suite)
+    "r18" -> Seq("q289_intradoc_repetition", "q290_cdc_dedup_first"),
     "r17pairs" -> Seq("q255_dhash_neardup", "q257_dhash_clusters",
       "q266_dhash256_neardup", "q283_dhash256_neardup_grouped"))
 
@@ -273,7 +279,8 @@ object ScaleStress {
     "q280_substring_rolling_first", "q281_hamming_knn_grouped",
     "q282_substring_decontaminate", "q283_dhash256_neardup_grouped",
     "q284_temperature_mix", "q285_winnow_decontaminate",
-    "q286_mix_epoch_rows", "q287_cdc_chunks", "q288_cdc_dedup")
+    "q286_mix_epoch_rows", "q287_cdc_chunks", "q288_cdc_dedup",
+    "q289_intradoc_repetition", "q290_cdc_dedup_first")
 
   /** Queries whose ×N row count is recorded WITHOUT the nonzero
     * refusal: q270's measured ×100 ZERO is itself the registered datum

@@ -1369,6 +1369,80 @@ class StreamingSpec extends SparkSpec {
       s"the uncapped twin must still suppress the arrival: ${adm(unBase)}")
   }
 
+  test("streaming CDC chunk dedup suppression: shifted copy caught, index == batch chunks, compaction fold") {
+    // cdcDedupSuppressWriter drops an arrival sharing >= minShared
+    // distinct CDC chunk hashes with an admitted doc — shift-robust
+    // BLOCK evidence: doc 3 re-ships doc 0's body behind an inserted
+    // prefix, so once the first content-defined cut inside the common
+    // region realigns them, every later chunk hash matches verbatim
+    // (fixed-offset chunking would see nothing aligned — the q287
+    // boundary theorem at ingest).
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Curation
+    val body = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen"
+    val (cw, den, minShared) = (8, 16, 2)
+    val corpus = Seq(
+      0L -> s"original document body: $body",
+      2L -> "completely unrelated content about spark plans and shuffles")
+    val later = Seq(
+      3L -> s"INSERTED PREFIX SHIFTING EVERYTHING $body",
+      4L -> "fresh unrelated arrival about broadcast joins and skew work")
+    // precondition guards (asserted, not assumed): the shifted copy
+    // shares >= minShared distinct chunk hashes with doc 0 under
+    // (cw, den), and no unrelated pair does
+    def chunkSets(docs: Seq[(Long, String)]): Map[Long, Set[String]] =
+      Curation.cdcChunks(docs.toDF("doc_id", "text"), "doc_id", "text",
+          cw, den)
+        .select($"doc_id", $"chunk_md5").distinct()
+        .as[(Long, String)].collect().toSeq
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val sets = chunkSets(corpus ++ later)
+    assert((sets(0L) & sets(3L)).size >= minShared,
+      s"fixture must share chunks across the shift: ${(sets(0L) & sets(3L)).size}")
+    for (u <- Seq(2L, 4L); v <- sets.keys if v != u)
+      assert((sets(u) & sets(v)).size < minShared,
+        s"unrelated docs $u/$v must stay below the threshold")
+    val base = Files.createTempDirectory("cdcdedup").toString
+    val (indexDir, outDir) = (s"$base/index", s"$base/out")
+    val writer = StreamPipeline.cdcDedupSuppressWriter(
+      indexDir, outDir, "doc_id", "text", cw, den, minShared)
+    def admitted(): Seq[Long] =
+      Sinks.readAppendOnce(spark, outDir).get
+        .select($"doc_id").as[Long].collect().toSeq.sorted
+    writer(corpus.toDF("doc_id", "text"), 0L)
+    assert(admitted() == Seq(0L, 2L), s"batch 0: ${admitted()}")
+    // batch 1: doc 3 shares the realigned chunks with ADMITTED doc 0 →
+    // suppressed against the persisted index; doc 4 unrelated → admitted
+    writer(later.toDF("doc_id", "text"), 1L)
+    assert(admitted() == Seq(0L, 2L, 4L),
+      s"shifted copy must suppress cross-batch: ${admitted()}")
+    // stream == batch chunk equality: admitted docs' index rows are
+    // EXACTLY the batch operator's distinct (id, chunk_md5) projection
+    // over the same docs (id-ordered batches, so arrival order = id
+    // order and the writer's keep-first matches the batch rule)
+    val idxRows = spark.read
+      .parquet(s"$indexDir/batch-000000", s"$indexDir/batch-000001")
+      .select($"doc_id", $"band_hash").as[(Long, String)]
+      .collect().toSet
+    val admittedDocs = (corpus ++ later).filter(d => Set(0L, 2L, 4L)(d._1))
+    val batchRows = chunkSets(admittedDocs).toSeq
+      .flatMap { case (k, v) => v.toSeq.map(k -> _) }.toSet
+    assert(idxRows == batchRows,
+      s"index must equal batch chunks: ${idxRows.size} vs ${batchRows.size}")
+    // compaction folds the two deltas into a promoted base generation;
+    // suppression continues against the folded index
+    assert(StreamPipeline.compactNearDupIndex(spark, indexDir, outDir) == 2)
+    writer(Seq(
+        5L -> s"yet another wrapper before $body",
+        6L -> "genuinely novel closing arrival about catalyst rules")
+      .toDF("doc_id", "text"), 2L)
+    assert(admitted() == Seq(0L, 2L, 4L, 6L),
+      s"post-compaction re-ship must still suppress: ${admitted()}")
+  }
+
   test("streaming substring SCRUB: two-batch replay == batch q273, cross-batch excision") {
     // substringScrubWriter TRANSFORMS arrivals (hash hit -> excise)
     // instead of dropping them — the third suppression semantics. The
@@ -1629,6 +1703,23 @@ class StreamingSpec extends SparkSpec {
       StreamPipeline.winnowDedupSuppressWriter( // policy retune: allowed
         s"$b/i", s"$b/o", "doc_id", "text", k = 4, w = 4,
         minShared = 5)(batch(2L), 2L)
+      assert(Sinks.readAppendOnce(spark, s"$b/o").get.count() == 2L)
+    }
+    // cdc: (w, den) key BOTH the boundaries and the chunk hashes;
+    // minShared/maxPosting are read-side policy and must NOT refuse
+    locally {
+      val b = Files.createTempDirectory("scheme_cdc").toString
+      val w = StreamPipeline.cdcDedupSuppressWriter(
+        s"$b/i", s"$b/o", "doc_id", "text") // w=8 den=64
+      w(batch(0L), 0L)
+      assert(graft.io.Fs.readText(spark, s"$b/i/_scheme").trim ==
+        "cdc w=8 den=64")
+      refuse(Seq("den=64", "den=32")) {
+        StreamPipeline.cdcDedupSuppressWriter(
+          s"$b/i", s"$b/o", "doc_id", "text", den = 32)(batch(1L), 1L)
+      }
+      StreamPipeline.cdcDedupSuppressWriter( // policy retune: allowed
+        s"$b/i", s"$b/o", "doc_id", "text", minShared = 5)(batch(2L), 2L)
       assert(Sinks.readAppendOnce(spark, s"$b/o").get.count() == 2L)
     }
     // minhash LSH: (scheme, k, bands) key the band hashes
