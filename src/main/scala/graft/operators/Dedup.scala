@@ -1792,20 +1792,58 @@ object Dedup {
     * before any posting's df multiplies across the cap. */
   def weightedJaccardPairs(df: DataFrame, id: String, text: String,
                            n: Int, maxDf: Int, tNum: Int,
-                           tDen: Int): DataFrame = {
+                           tDen: Int): DataFrame =
+    weightedJaccardCore(wordTf(df, id, text, n), maxDf, tNum, tDen)
+
+  /** Canonical scheme string for a per-doc word-n-gram TERM-FREQUENCY
+    * derivation ([[wordTf]]) — the marker a materialized tf-posting
+    * store carries on its `w` column. */
+  def tfPostingScheme(n: Int): String = s"tf_words_n$n"
+
+  /** Per-doc word-n-gram term frequencies (doc, w, tf), `w` stamped
+    * with [[tfPostingScheme]] — the derivation a materialized tf store
+    * runs at build time. Term = gram OCCURRENCE (not distinct —
+    * frequencies are the point). Unigrams are df-degenerate on
+    * shared-vocabulary corpora (this fixture's 31-word vocab puts every
+    * unigram past any useful cap); grams carry the discriminative mass,
+    * the q269 lesson. Frequencies are PER-DOC, so a doc-subset
+    * restriction of a stored table equals a fresh derivation — but the
+    * df TABLE is not: every consumer recomputes df over its own doc
+    * space after restricting. */
+  def wordTf(df: DataFrame, id: String, text: String, n: Int): DataFrame = {
     require(n >= 1, s"n=$n: gram width must be >= 1")
-    require(maxDf >= 2, s"maxDf=$maxDf: a cap below 2 empties the join space")
-    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
-    // term = word n-gram OCCURRENCE (not distinct — frequencies are the
-    // point). Unigrams are df-degenerate on shared-vocabulary corpora
-    // (this fixture's 31-word vocab puts every unigram past any useful
-    // cap); grams carry the discriminative mass, the q269 lesson.
     val ws = TextFunctions.words(col(text))
     val grams = transform(sequence(lit(0), size(ws) - n),
       i => array_join(slice(ws, i + 1, lit(n)), " "))
-    val tf = df.filter(size(ws) >= n)
+    df.filter(size(ws) >= n)
       .select(col(id).as("doc"), explode(grams).as("w"))
       .groupBy(col("doc"), col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("doc"), stampScheme(col("w"), "w", tfPostingScheme(n)),
+        col("tf"))
+  }
+
+  /** [[weightedJaccardPairs]] over a PRE-DERIVED tf frame (doc, w, tf)
+    * — the face a materialized tf-posting store feeds
+    * ([[graft.queries.TextSketch.tfPostings4]]). The df cap is always
+    * recomputed over the SUPPLIED frame's doc space (restricting the
+    * store to keepers changes every df — the cap must see keeper
+    * frequencies, not corpus ones), so store-fed equals live by
+    * construction. `w` must carry the expected scheme marker (`None` =
+    * caller vouches). */
+  def weightedJaccardPairsFromTf(tf: DataFrame, maxDf: Int, tNum: Int,
+                                 tDen: Int, expectScheme: Option[String])
+      : DataFrame = {
+    expectScheme.foreach(e =>
+      requireScheme(tf, "w", e, "weightedJaccardPairsFromTf"))
+    weightedJaccardCore(tf.select(col("doc"), col("w"), col("tf")),
+      maxDf, tNum, tDen)
+  }
+
+  private def weightedJaccardCore(tfIn: DataFrame, maxDf: Int, tNum: Int,
+                                  tDen: Int): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf: a cap below 2 empties the join space")
+    require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
+    val tf = tfIn
       .localCheckpoint() // read 3x: df table, norms, postings
     val dfTab = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     // carry df through ONE join and derive the space/postings as

@@ -1987,8 +1987,20 @@ object TextQueries {
           .localCheckpoint() // read 3x: keeper filter + both copy joins
         val kept = base.join(
           keep.select($"keeper_id".as("doc_id")), Seq("doc_id"), "inner")
-        Dedup.weightedJaccardPairs(kept, "doc_id", "text",
-            n = 4, maxDf = 50, tNum = 3, tDen = 10)
+        // store-fed by measured A/B (round-18): the tf store replaces
+        // the DOMINANT stage (gram HOF → explode → tf aggregate over
+        // kept text) — 5.95 s live vs 1.53 s store-fed, solo best-of-4
+        // each, same window. Contrast q205, whose store only replaced
+        // the cheap signature aggregate and LOST to exchange reuse —
+        // the store pays exactly where the replaced derivation
+        // dominates. df recomputes over the keeper space inside the
+        // face (the cap must see keeper frequencies), so store-fed
+        // equals live by construction; the oracle re-derives everything
+        Dedup.weightedJaccardPairsFromTf(
+            TextSketch.tfPostings4(s, d).join(
+              keep.select($"keeper_id".as("doc")), Seq("doc"), "left_semi"),
+            maxDf = 50, tNum = 3, tDen = 10,
+            expectScheme = Some(Dedup.tfPostingScheme(4)))
           .join(keep.select($"keeper_id".as("id_a"), $"n_copies".as("copies_a")), "id_a")
           .join(keep.select($"keeper_id".as("id_b"), $"n_copies".as("copies_b")), "id_b")
           .select($"id_a", $"id_b", $"w_inter", $"w_union", $"wjaccard",

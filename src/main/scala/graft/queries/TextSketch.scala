@@ -131,6 +131,27 @@ object TextSketch {
     s.read.parquet(path)
   }
 
+  /** Materialized word-4-gram TF POSTINGS (doc, w, tf) — the weighted-
+    * Jaccard family's occurrence-count substrate, derived once per
+    * testdata generation by [[graft.operators.Dedup.wordTf]] (`w`
+    * scheme-marked tf_words_n4). Frequencies are per-doc (subset
+    * restriction = fresh derivation); the df CAP is not — the store-fed
+    * face recomputes df over the restricted doc space, so keeper
+    * consumers see keeper frequencies. */
+  def tfPostings4(s: SparkSession, d: String): DataFrame = {
+    val path = LayoutKey.dir(d, "documents", "tf_postings_n4")
+    if (!graft.io.Fs.exists(s, s"$path/_SUCCESS")) {
+      graft.io.Fs.promoteDir(s, path, "_SUCCESS") { tmp =>
+        import s.implicits._
+        graft.operators.Dedup.wordTf(
+            graft.Tables(s, d, "documents").select($"doc_id", $"text"),
+            "doc_id", "text", n = 4)
+          .write.mode("overwrite").parquet(tmp)
+      }
+    }
+    s.read.parquet(path)
+  }
+
   def substringWh(s: SparkSession, d: String): DataFrame = {
     // wh carries graft.scheme = substr_w40 (see winnowFps's note)
     val path = LayoutKey.dir(d, "documents", "substring_wh_w40_m1")
