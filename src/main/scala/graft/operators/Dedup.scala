@@ -696,7 +696,10 @@ object Dedup {
                               n: Int, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"need 0 < tNum/tDen <= 1; got $tNum/$tDen")
     val hashArr = TextFunctions.wordShingleHash64(col(text), n)
-    val toks = df
+    // r18 (guide §2.5): the shingle-hash HOF + explode is narrow — over
+    // a single-row-group scan it ran as ONE task; spread only when
+    // actually narrow (identity on a production fan-out scan)
+    val toks = Relational.spreadIfNarrow(df, col(id))
       .select(col(id).as("doc"), size(hashArr).as("__n"),
         explode(hashArr).as("sh"))
     val cand = prefixCandidates(toks, tNum, tDen)
@@ -710,8 +713,11 @@ object Dedup {
     val candIds = cand.select(col("id_a").as("doc"))
       .union(cand.select(col("id_b").as("doc"))).distinct()
       .localCheckpoint()
-    val verifySets = df
-      .join(candIds.withColumnRenamed("doc", id), Seq(id), "left_semi")
+    // spread the verify-set derivation too (same narrow-HOF rationale):
+    // the semi-join of a narrow scan against a broadcast stays narrow
+    val verifySets = Relational.spreadIfNarrow(
+        df.join(candIds.withColumnRenamed("doc", id), Seq(id), "left_semi"),
+        col(id))
       .select(col(id).as("doc"),
         TextFunctions.wordShingles(col(text), n).as("__set"))
       .withColumn("__n", size(col("__set")))
@@ -1239,7 +1245,14 @@ object Dedup {
     val mins = array_distinct(transform(
       sequence(lit(0), greatest(nG - w, lit(0))),
       j => array_min(slice(col("__keys"), j + 1, least(lit(w), nG - j)))))
-    df.filter(size(ws) >= k)
+    // r18 (guide §2.5): the gram-md5 HOF chain is NARROW — over a
+    // single-row-group scan it runs as ONE task however many cores the
+    // session has; spread (only when actually narrow — identity on a
+    // production fan-out scan) so the O(grams·w) per-doc hash work
+    // parallelizes. Keyed on id: every consumer's next shuffle
+    // (distinct / groupBy on id-led keys) is satisfied by the same
+    // partitioning, so no second exchange appears at scale.
+    Relational.spreadIfNarrow(df.filter(size(ws) >= k), col(id))
       .select(col(id), keys.as("__keys"))
       .select(col(id), explode(mins).as("__key"))
       .select(col(id),
@@ -1396,7 +1409,12 @@ object Dedup {
   def substringWindowHashes(docs: DataFrame, id: String, text: String,
                             width: Int): DataFrame = {
     require(width >= 4, s"width=$width: windows below 4 chars mark everything")
-    docs.filter(length(col(text)) >= width)
+    // r18 (guide §2.5): the stride-1 window-md5 stream (|text| digests
+    // per doc — the dominant cost of every substring face) is narrow;
+    // over a single-row-group scan it ran as ONE task. Spread only when
+    // actually narrow — identity on a production fan-out scan.
+    Relational.spreadIfNarrow(
+        docs.filter(length(col(text)) >= width), col(id))
       .select(col(id),
         explode(sequence(lit(1), length(col(text)).cast("int") - (width - 1),
           lit(1))).as("pos"), col(text))
@@ -1500,6 +1518,12 @@ object Dedup {
     val span = lit(WinnowPosSpan.toLong)
     val base = docs.select(col(id), col(text).as("__txt"),
       length(col(text)).cast("int").as("orig_len"))
+    // r18 A/B: deliberately NOT spread (unlike substringWindowHashes) —
+    // the rolling pass is O(n) per doc, cheap enough that repartitioning
+    // the text cost more than the parallelism bought back (solo 4-pass
+    // min 1.30 s live vs 1.58 s spread at sf0.1; q280's keeper-composed
+    // face measured flat). The md5 faces keep the spread: their hash
+    // work is O(n·width) and measured 2.5-3.4 → 1.6-2.3 s.
     val wins = base.filter(col("orig_len") >= width)
       .select(col(id), posexplode(
         TextFunctions.rollingWindowHash(col("__txt"), width))

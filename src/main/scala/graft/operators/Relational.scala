@@ -26,6 +26,27 @@ object Relational {
   def spread(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, cols: _*)
 
+  /** SCALE-ADAPTIVE [[spread]] (r18, optimization-guide §2.5 "one huge
+    * unsplittable file → repartition immediately after the read"): the
+    * local testdata tables are single-row-group parquet, so any narrow
+    * per-row-expensive chain (md5 sketch kernels, gram HOFs) downstream
+    * of a scan runs as ONE task no matter the core count. This spreads
+    * ONLY when the frame's planned parallelism is actually below
+    * defaultParallelism — on a production multi-row-group/multi-file
+    * table the scan already fans out and this is the identity, so no
+    * shuffle of wide rows (text payloads) is ever ADDED at scale; the
+    * unconditional [[spread]] stays the right face where the downstream
+    * aggregate needed the same-key exchange anyway (the minhash
+    * "exchange moved earlier" pattern). The `.rdd` probe compiles the
+    * (scan-shaped) plan but launches no job. */
+  def spreadIfNarrow(df: DataFrame, cols: Column*): DataFrame =
+    if (df.isStreaming) df // micro-batch frames can't probe .rdd; the
+                           // per-batch writers own their partitioning
+    else if (df.rdd.getNumPartitions <
+        df.sparkSession.sparkContext.defaultParallelism)
+      spread(df, cols: _*)
+    else df
+
   /** Exact cent-quantized sum of a money column: `sum(round(c*100)::long)`.
     * Per-element quantization is bit-deterministic across engines and the
     * integer sum is associative, so results are exactly reproducible

@@ -295,7 +295,11 @@ object Sketches {
     // row r's cell comes from digest slice r%4 of digest r/4 — one md5
     // per input row for the standard d<=4, not d (the same slicing as
     // hashPositions, kept inline because the sketch needs r back)
-    df.select(key.cast("string").as("k"))
+    // r18 (guide §2.5): the per-row digest chain below is narrow — over
+    // a single-row-group scan it ran as ONE task; spread only when the
+    // scan is actually narrow (identity on a production fan-out scan,
+    // where the map-side partial aggregate keeps shuffle at 2048 cells)
+    Relational.spreadIfNarrow(df.select(key.cast("string").as("k")))
       .select(explode(sequence(lit(0), lit(digests(d) - 1))).as("g"), col("k"))
       .select(col("g"), md5(concat(lit(s"$salt:"), col("g"), lit(":"), col("k"))).as("dg"))
       .select(explode(sequence(lit(0), lit(3))).as("s"), col("g"), col("dg"))

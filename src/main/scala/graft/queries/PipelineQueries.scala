@@ -811,7 +811,11 @@ object PipelineQueries {
           .select($"o_orderpriority".as("prio"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
             $"o_orderkey")
-        val rep = rows
+        // r18 (guide §2.5): 8 md5 digests per order row is the query's
+        // dominant compute and the chain below is narrow — over the
+        // single-row-group scan it ran as ONE task; spread only when
+        // the scan is actually narrow (identity at production fan-out)
+        val rep = Relational.spreadIfNarrow(rows)
           .withColumn("g", explode(sequence(lit(0), lit(B / 4 - 1))))
           .withColumn("dg", md5(concat(lit("q201:"), $"g".cast("string"),
             lit(":"), $"o_orderkey".cast("string"))))
