@@ -126,26 +126,35 @@ object Dedup {
     var edgeSig = sig(edges)
     var converged = false
     var round = 0
+    // r18 (guide §2.4 "two operations keyed the same way can share one
+    // exchange"): each star step used to compute the neighborhood min
+    // with a groupBy + join-back — TWO exchanges of the edge table per
+    // step (four per alternation, plus the distinct). A min-over-
+    // partition window computes the same m with ONE exchange per step
+    // (the window's sort is by the partition key only). Same mins, same
+    // edge set, same fixpoint labels; measured on the CC-bound tail
+    // (q89/q116/q75/q125/q214/q257) before adopting.
+    import org.apache.spark.sql.expressions.Window
     while (!converged && round < maxIter) {
       // large-star over both directions: center c, m = min(Γ(c) ∪ {c});
       // each neighbor n > c re-attaches to m (m ≤ c < n keeps direction)
       val und = edges.select(col("u").as("c"), col("v").as("n"))
         .union(edges.select(col("v").as("c"), col("u").as("n")))
-      // no distinct here: duplicate (u,v) rows are absorbed by the mins
-      // groupBy and the final distinct below — deduping now would cost a
+      // no distinct here: duplicate (u,v) rows are absorbed by the min
+      // windows and the final distinct below — deduping now would cost a
       // full edge-set shuffle per alternation for no semantic gain
       val ls = und
-        .join(und.groupBy(col("c")).agg(min(col("n")).as("mn"))
-          .select(col("c"), least(col("mn"), col("c")).as("m")), "c")
+        .withColumn("m", least(min(col("n")).over(
+          Window.partitionBy(col("c"))), col("c")))
         .filter(col("n") > col("c"))
         .select(col("n").as("u"), col("m").as("v"))
       // small-star on the larger→smaller edges: u and all its smaller
       // neighbors attach to their minimum m
-      val mins = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val next = ls.join(mins, "u")
-        .filter(col("v") =!= col("m"))
+      val sm = ls.withColumn("m", min(col("v")).over(
+        Window.partitionBy(col("u"))))
+      val next = sm.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .union(mins.select(col("u"), col("m").as("v")))
+        .union(sm.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(false) // materialized by the sig job below
       // signature mismatch disproves convergence outright; on a match,
@@ -488,7 +497,15 @@ object Dedup {
     expectScheme.foreach(e =>
       requireScheme(sigs, "mh0", e, "minhashNearDupsFromSigs"))
     val cands = lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket)
-    val sets = tokenSets(df, id, text)
+    // r18 A/B: the verify-set tokenization is consumed by BOTH candidate
+    // joins, which re-derived it as two ~0.7 s single-task passes
+    // (q205's dominant stages). Spreading the TEXT payload before
+    // tokenizing measured net-worse (q205 3.31→3.47, q42 1.39→1.59 s —
+    // the wide-row shuffle costs more than the parallelism buys back),
+    // so instead materialize the token sets ONCE and let both joins read
+    // the checkpoint. Eager at construction time like every other
+    // multi-consumer checkpoint in this file.
+    val sets = tokenSets(df, id, text).localCheckpoint()
     cands
       .join(sets.select(col(id).as("id_a"), col("sh_set").as("sh_a")), "id_a")
       .join(sets.select(col(id).as("id_b"), col("sh_set").as("sh_b")), "id_b")

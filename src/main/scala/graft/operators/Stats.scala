@@ -156,6 +156,11 @@ object Stats {
     * (mirror the tree in the oracle). Returns one row:
     * (n, pearson, spearman), unrounded. */
   def rankCorr(df: DataFrame, x: String, y: String): DataFrame = {
+    // r18 A/B: deliberately NOT spread — the joint histogram barely
+    // compresses when y is near-unique, so pre-exchanging the rows moves
+    // the same bytes the aggregate's own exchange would, and the 32-way
+    // checkpoint slowed the marginal/moment consumers (3.31 → 4.01 s
+    // measured). Integer grouping is too light to amortize a spread.
     val joint = df.groupBy(col(x), col(y)).agg(count(lit(1)).as("n"))
       .localCheckpoint() // 3 consumers; never re-scan the input
     val rx = doubledAvgRanks(

@@ -40,6 +40,9 @@ object AnalyticsQueries {
     "q135_copurchase_pmi" -> Q(
       (s, d) => {
         import s.implicits._
+        // r18 A/B: deliberately NOT spread — collect_set is data movement,
+        // not compute; pre-exchanging the rows moved the same bytes the
+        // aggregate's own exchange would and measured 1.57 → 1.97 s.
         val sets = t(s, d, "lineitem").select($"l_orderkey", $"l_partkey")
           .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
             $"l_partkey" === $"p_partkey")
@@ -586,10 +589,14 @@ object AnalyticsQueries {
         import s.implicits._
         val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
         val wu = Window.partitionBy($"user_id")
-        val seq = t(s, d, "events")
-          .select($"user_id", $"ts", $"event_id",
-            when($"event_type" === "purchase", "CONV")
-              .otherwise($"event_type").as("st"))
+        // r18 (guide §2.5): make the window exchange an explicit 32-way
+        // spread — AQE coalesced the implicit user_id exchange to 2
+        // partitions, serializing the journey windows (identity at
+        // production fan-out where the scan already spreads)
+        val seq = Relational.spreadIfNarrow(t(s, d, "events")
+            .select($"user_id", $"ts", $"event_id",
+              when($"event_type" === "purchase", "CONV")
+                .otherwise($"event_type").as("st")), $"user_id")
           .withColumn("rn", row_number().over(wo))
           .withColumn("prn", min(when($"st" === "CONV", $"rn")).over(wu))
           .filter($"prn".isNull || $"rn" <= $"prn")
@@ -600,8 +607,13 @@ object AnalyticsQueries {
             .select(lit("START").as("s"), $"st".as("t")))
           .groupBy($"s", $"t").agg(count(lit(1)).as("n"))
         val rt = counts.groupBy($"s").agg(sum($"n").as("rtot"))
+        // r18: checkpoint the (≤ 7×7-row) transition table — the 5
+        // removal-scenario branches below otherwise each re-derived the
+        // whole events window chain (profiled: 9 concurrent ~0.86 s
+        // stages re-running the same journey windows)
         val pn = counts.join(rt, "s")
           .select($"s", $"t", expr("n * 1000000000L div rtot").as("pr"))
+          .localCheckpoint()
         val channels = Seq("click", "error", "signup", "view")
         val scTrans = channels.map { c =>
             pn.filter($"s" =!= c)
@@ -730,6 +742,8 @@ object AnalyticsQueries {
     "q163_association_rules" -> Q(
       (s, d) => {
         import s.implicits._
+        // r18 A/B: deliberately NOT spread — same verdict as q135
+        // (collect_set is movement, not compute; measured 1.63 → 1.75 s)
         val sets = t(s, d, "lineitem").select($"l_orderkey", $"l_partkey")
           .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
             $"l_partkey" === $"p_partkey")

@@ -633,6 +633,12 @@ object OlapQueries {
         // narrowing round of both selections (and the final aggregate)
         // then scans stored longs instead of re-reading parquet and
         // re-deriving round(price·100) per pass
+        // r18 A/B: deliberately NOT spread — fanning the checkpoint to 32
+        // partitions made every one of the engine's ~10 narrowing passes
+        // pay 32-task scheduling for ~ms of work each (2.64 → 3.78 s
+        // measured); the per-row compute here (integer compares) is far
+        // too light to amortize the spread. Single-row-group locality is
+        // the RIGHT layout for a many-small-pass driver-assisted engine.
         val li = t(s, d, "lineitem")
           .select($"l_returnflag".as("flag"),
             round($"l_extendedprice" * 100).cast("long").as("c"))
@@ -1024,6 +1030,9 @@ object OlapQueries {
     "q250_assoc_rules" -> Q(
       (s, d) => {
         import s.implicits._
+        // r18 A/B: deliberately NOT spread — the distinct's partial is
+        // movement, not compute; pre-exchanging measured 1.66 → 2.20 s
+        // (same verdict as q135/q163's collect_set)
         val ob = t(s, d, "lineitem").select($"l_orderkey", $"l_partkey")
           .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
             $"l_partkey" === $"p_partkey")

@@ -2327,6 +2327,12 @@ object PipelineQueries {
     "q249_conformal" -> Q(
       (s, d) => {
         import s.implicits._
+        // r18 A/B: deliberately NOT spread — the md5-coin projection is
+        // heavy, but a pre-checkpoint spread measured 2.01 → 2.40 s: the
+        // raw-key shuffle plus 32-task scheduling on the three cheap
+        // downstream passes cost more than parallelizing one 0.7 s
+        // derivation bought (contrast q201, where EIGHT digests/row
+        // amortize the same spread 2.9 → 1.4 s).
         val li = t(s, d, "lineitem")
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
               .as("cents"),

@@ -44,8 +44,15 @@ object ScaleQueries {
         val dim = t(s, d, "supplier").filter($"s_nationkey" === 7)
           .select($"s_suppkey")
         val bloom = Sketches.bloomBuild(dim, $"s_suppkey", M, K, SALT)
+        // r18 (guide §2.5): the K-md5-per-row membership test ran as ONE
+        // task over the single-row-group scan (0.94 s stage, paid twice:
+        // n_candidates + the exact join re-derive cand); spread keyed on
+        // the join key so the semi-join's exchange is satisfied too
+        // (identity at production fan-out)
         val cand = Sketches.bloomFilter(
-          t(s, d, "lineitem").select($"l_suppkey", $"l_extendedprice"),
+          Relational.spreadIfNarrow(
+            t(s, d, "lineitem").select($"l_suppkey", $"l_extendedprice"),
+            $"l_suppkey"),
           bloom, $"l_suppkey", M, K, SALT)
         val nCand = cand.agg(count(lit(1)).as("n_candidates"))
         val matched = cand.join(dim, cand("l_suppkey") === dim("s_suppkey"), "left_semi")

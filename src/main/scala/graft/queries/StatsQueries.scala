@@ -305,6 +305,11 @@ object StatsQueries {
         // and feeds the quantile engine's three passes AND the final
         // bucket count (scale=1: the engine interpolates directly in
         // integer cents, so p·8 is an exact eighth-cent long)
+        // r18 A/B: deliberately NOT spread — same verdict as q133: the
+        // quantile engine's passes are light integer scans, and a 32-way
+        // checkpoint made each pass pay 32-task scheduling (2.10 → 3.72 s
+        // measured). Locality beats parallelism for many-cheap-pass
+        // engines at this row count.
         val li = t(s, d, "lineitem")
           .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
           .localCheckpoint()
@@ -359,9 +364,16 @@ object StatsQueries {
     "q155_target_encode_oof" -> Q(
       (s, d) => {
         import s.implicits._
-        val cells = t(s, d, "lineitem")
-          .join(t(s, d, "part").select($"p_partkey", $"p_brand"),
-            $"l_partkey" === $"p_partkey")
+        // r18 (guide §2.5): the md5-fold projection + partial aggregate
+        // ran as ONE task over the single-row-group scan (0.9 s stage);
+        // spread keyed on p_brand — partitioning by a subset of the
+        // (brand, fold) group keys satisfies the aggregate's clustered
+        // distribution, so no second exchange (identity at production)
+        val cells = Relational.spreadIfNarrow(t(s, d, "lineitem")
+            .select($"l_partkey", $"l_extendedprice",
+              $"l_orderkey", $"l_linenumber")
+            .join(t(s, d, "part").select($"p_partkey", $"p_brand"),
+              $"l_partkey" === $"p_partkey"), $"p_brand")
           .select($"p_brand",
             pmod(conv(substring(md5(concat(lit("q155:"),
               $"l_orderkey".cast("string"), lit(":"),
@@ -959,9 +971,15 @@ object StatsQueries {
       (s, d) => {
         import s.implicits._
         def d38(c: Column) = c.cast("decimal(38,0)")
-        val li = t(s, d, "lineitem")
-          .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
-            $"l_partkey" === $"p_partkey")
+        // r18 (guide §2.5): the log+decimal moment chain ran as ONE task
+        // over the single-row-group scan (1.23 s stage); spread keyed on
+        // the group key so the partial aggregate parallelizes and the
+        // final groupBy reuses the exchange (identity at production
+        // fan-out — a broadcast join preserves scan parallelism)
+        val li = Relational.spreadIfNarrow(t(s, d, "lineitem")
+            .select($"l_partkey", $"l_extendedprice", $"l_quantity")
+            .join(broadcast(t(s, d, "part").select($"p_partkey", $"p_brand")),
+              $"l_partkey" === $"p_partkey"), $"p_brand")
           .select($"p_brand",
             round(log($"l_extendedprice" / $"l_quantity") * 1e9)
               .cast("long").as("lp"), // ln(unit price) nano-nats
