@@ -496,7 +496,17 @@ object Dedup {
                               expectScheme: Option[String]): DataFrame = {
     expectScheme.foreach(e =>
       requireScheme(sigs, "mh0", e, "minhashNearDupsFromSigs"))
-    val cands = lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket)
+    // r18 batch 3: the verify joins STREAM the candidate-pair side (the
+    // token-set side arrives as a broadcast/build relation), so when AQE
+    // coalesces the candidate aggregate's output to ONE partition the
+    // jaccardDistinct verify work serializes no matter how the sets are
+    // laid out (stage profile: two ~0.9 s single-task joins in q205).
+    // Pin a spread of the narrow (id_a, id_b) pairs — spreadIfNarrow
+    // can't see this one because the STATIC plan already says 32; it is
+    // the runtime coalesce that collapses it.
+    val cands = Relational.spread(
+      lshCandidates(lshBands(sigs, id, k, bands), id, maxBucket),
+      col("id_a"))
     // r18 A/B: the verify-set tokenization is consumed by BOTH candidate
     // joins, which re-derived it as two ~0.7 s single-task passes
     // (q205's dominant stages). Spreading the TEXT payload before
@@ -505,7 +515,17 @@ object Dedup {
     // so instead materialize the token sets ONCE and let both joins read
     // the checkpoint. Eager at construction time like every other
     // multi-consumer checkpoint in this file.
-    val sets = tokenSets(df, id, text).localCheckpoint()
+    //
+    // r18 batch 3: spread the SETS (not the text) before the checkpoint.
+    // The stage profile showed both verify joins running as one task
+    // each over the 1-partition checkpoint (0.96 + 0.85 s of q205's
+    // wall): the broadcast candidate side follows the sets side's
+    // partitioning, so a 1-partition checkpoint serializes the
+    // jaccardDistinct verify work. One id-keyed exchange of the narrow
+    // (id, sh_set) rows lets both joins verify 32-way; spreadIfNarrow
+    // keeps it the identity on an already-parallel frame at scale.
+    val sets = Relational.spreadIfNarrow(tokenSets(df, id, text), col(id))
+      .localCheckpoint()
     cands
       .join(sets.select(col(id).as("id_a"), col("sh_set").as("sh_a")), "id_a")
       .join(sets.select(col(id).as("id_b"), col("sh_set").as("sh_b")), "id_b")

@@ -2332,7 +2332,10 @@ object PipelineQueries {
         // raw-key shuffle plus 32-task scheduling on the three cheap
         // downstream passes cost more than parallelizing one 0.7 s
         // derivation bought (contrast q201, where EIGHT digests/row
-        // amortize the same spread 2.9 → 1.4 s).
+        // amortize the same spread 2.9 → 1.4 s). A second variant —
+        // spread the raw keys, then coalesce(4) the CHECKPOINTED blocks
+        // so the downstream passes stay few-task — also measured flat
+        // (2.19 vs 2.24 s over 4 warm passes), so the simple form stays.
         val li = t(s, d, "lineitem")
           .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
               .as("cents"),
