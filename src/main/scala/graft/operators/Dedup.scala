@@ -190,6 +190,59 @@ object Dedup {
               maxIter: Int = 25): DataFrame =
     connectedComponentsStars(nodes, id, pairs, maxIter)
 
+  /** Driver-solved twin of [[cluster]] for PROVABLY BOUNDED slices (r18
+    * optimization): when the node set is structurally capped by the
+    * caller (an audit over a fixed sample, an enum-keyed family), the
+    * distributed star-contraction loop spends ~30 one-task Spark jobs on
+    * a graph that fits in a few KB — a driver union-find computes the
+    * identical min-label components in one collect. The bounded-driver-
+    * solve discipline (the q133/BT-solve pattern): LOUD `require`s on
+    * the node count and on edge endpoints, never a silent fallback; for
+    * data-scaled graphs use [[cluster]]. Ids must be integral (long/int)
+    * — the only id shape the bounded callers use. Returns (id,
+    * cluster_id) LONG columns, labels == the component minimum, exactly
+    * [[connectedComponentsStars]]'s fixpoint (spec-pinned equal). */
+  def clusterBoundedDriver(nodes: DataFrame, id: String, pairs: DataFrame,
+                           maxNodes: Int = 1024): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val idType = nodes.schema(nodes.columns.indexOf(id)).dataType
+    require(idType == org.apache.spark.sql.types.LongType ||
+        idType == org.apache.spark.sql.types.IntegerType,
+      s"clusterBoundedDriver($id): integral ids only, got $idType")
+    val ns = nodes.select(col(id).cast("long")).limit(maxNodes + 1)
+      .collect().map(_.getLong(0))
+    require(ns.length <= maxNodes,
+      s"clusterBoundedDriver: > $maxNodes nodes — this slice is not " +
+        "bounded; use cluster() (distributed star contraction)")
+    val maxPairs = maxNodes.toLong * (maxNodes - 1) / 2
+    val es = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .distinct().limit((maxPairs + 1).toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(es.length <= maxPairs,
+      s"clusterBoundedDriver: > $maxPairs distinct pairs; use cluster()")
+    val nodeSet = ns.toSet
+    // union-find with path halving; roots resolve to the component MIN id
+    val parent = scala.collection.mutable.HashMap[Long, Long](
+      ns.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    es.foreach { case (a, b) =>
+      require(nodeSet.contains(a) && nodeSet.contains(b),
+        s"clusterBoundedDriver: pair ($a, $b) references a node outside " +
+          "the node slice")
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // roots were always merged toward the smaller id, so find(n) IS the
+    // component minimum — the cluster() fixpoint label
+    val labels = ns.toSeq.map(n => (n, find(n)))
+    labels.toDF("id", "cluster_id")
+  }
+
   /** Exact dedup stats: total vs distinct-by-content-hash. */
   def exactStats(df: DataFrame, text: String): DataFrame =
     df.agg(count(lit(1)).as("n_docs"),
@@ -739,7 +792,10 @@ object Dedup {
     val toks = Relational.spreadIfNarrow(df, col(id))
       .select(col(id).as("doc"), size(hashArr).as("__n"),
         explode(hashArr).as("sh"))
-    val cand = prefixCandidates(toks, tNum, tDen)
+    // r18: the candidate table has THREE consumers (both candIds sides +
+    // the verify join) — without a checkpoint each re-runs the prefix
+    // self-join + distinct; pairs are two ids each, cheap to hold
+    val cand = prefixCandidates(toks, tNum, tDen).localCheckpoint()
     // no broadcast HINT on the candidate-id semi-join: the candidate set
     // scales with the corpus's duplication rate (worst case most of the
     // corpus), and a forced broadcast of a data-scaled frame is a driver

@@ -59,32 +59,35 @@ object Graph {
                     broadcastRanks: Boolean = true): DataFrame = {
     require(iters >= 0 && dampNum > 0 && dampDen > dampNum && scale > 0,
       s"bad params: iters=$iters damp=$dampNum/$dampDen scale=$scale")
-    // checkpoint the deduped edges BEFORE the degree self-join: both join
-    // sides would otherwise re-run the caller's whole edge-construction
-    // plan (often a multi-table join) inside the one materializing job
-    val eDistinct = edges.select(col(src).as("src"), col(dst).as("dst"))
-      .distinct().localCheckpoint()
-    val outdeg = eDistinct.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    // materialize (src, dst, odeg) ONCE, pre-partitioned for the chosen
-    // regime; the degree table is never re-joined after this
-    val e = eDistinct.join(outdeg, "src")
+    // r18 (guide §2.4): the degree used to be a groupBy + join-back over
+    // a separately checkpointed edge set — two exchanges of the edge
+    // table and TWO eager materialization jobs. A count-over-partition
+    // window computes the same odeg per edge row in the exchange the
+    // plan already pays, so (src, dst, odeg) materializes in ONE job,
+    // pre-partitioned for the chosen regime; the caller's edge-
+    // construction plan still runs exactly once (inside this job).
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(src).as("src"), col(dst).as("dst"))
+      .distinct()
+      .withColumn("odeg", count(lit(1)).over(Window.partitionBy(col("src"))))
       .repartition(if (broadcastRanks) col("dst") else col("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
       .localCheckpoint()
-    // N and the base unit travel as a one-row broadcast, never a collect;
-    // integer div (Spark `/` on longs would widen to double). scale must
-    // exceed the node count or every rank floors to 0 — fail loudly at
-    // the first job instead of converging to all-zeros silently
-    val unit = nodes.agg(count(lit(1)).as("n"))
-      .select(when(expr(s"${scale}L div n") > 0, expr(s"${scale}L div n"))
-        .otherwise(raise_error(concat(lit(
-          s"pageRankFixed: scale=$scale < node count n="), col("n"),
-          lit(" — every rank would floor to 0; raise scale"))))
-        .as("u"))
-    var rank = nodes.crossJoin(broadcast(unit))
-      .select(col("node"), col("u").as("r"))
+    // r18: the base unit is a DRIVER SOLVE of a one-row aggregate (the
+    // bounded-collect discipline: one long, any scale) instead of a
+    // one-row frame crossJoin-broadcast per iteration — the former
+    // re-ran the count aggregate and a broadcast exchange every round.
+    // Loud failure contract unchanged: scale must exceed the node count
+    // or every rank floors to 0.
+    val n = nodes.count()
+    require(n > 0, "pageRankFixed: empty graph — no nodes")
+    require(scale / n > 0,
+      s"pageRankFixed: scale=$scale < node count n=$n — every rank would " +
+        "floor to 0; raise scale")
+    val u = scale / n // floor division on positive longs == `div`
+    var rank = nodes.select(col("node"), lit(u).as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val rankBySrc = rank.withColumnRenamed("node", "src")
@@ -92,10 +95,10 @@ object Graph {
         .join(if (broadcastRanks) broadcast(rankBySrc) else rankBySrc, "src")
         .select(col("dst"), expr("r div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("csum"))
-      rank = nodes.crossJoin(broadcast(unit))
+      rank = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left_outer")
         .select(col("node"),
-          expr(s"(${dampDen - dampNum}L * u + ${dampNum}L * coalesce(csum, 0L)) " +
+          expr(s"(${(dampDen - dampNum).toLong * u}L + ${dampNum}L * coalesce(csum, 0L)) " +
             s"div ${dampDen}L").as("r"))
         // LAZY checkpoint: still truncates the logical plan (O(1) depth)
         // and caches the round's RDD on first compute, but skips the
@@ -198,16 +201,22 @@ object Graph {
     var i = 1
     // an empty frontier makes every remaining round a no-op on both
     // engines (the oracle's extra CTE rounds add nothing), so exiting
-    // early changes no result — it only skips dead shuffle jobs; the
-    // emptiness probe is a head(1) on the already-materialized round
-    while (i <= rounds && !frontier.isEmpty) {
+    // early changes no result — it only skips dead shuffle jobs.
+    // r18: the emptiness probe is the count() that MATERIALIZES the
+    // round's lazy checkpoint (one job does both), and the reached
+    // union is checkpointed lazily — the next round's anti-join (or the
+    // final consumer) materializes it, so a round schedules ONE job
+    // where it used to schedule three (next ckpt + reached ckpt + head).
+    var frontierNonEmpty = frontier.count() > 0
+    while (i <= rounds && frontierNonEmpty) {
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(reached, Seq("node"), "left_anti")
         .select(col("node"), lit(i).as("dist"))
-        .localCheckpoint()
-      reached = reached.union(next).localCheckpoint()
+        .localCheckpoint(eager = false)
+      frontierNonEmpty = next.count() > 0
+      reached = reached.union(next).localCheckpoint(eager = false)
       frontier = next
       i += 1
     }
@@ -306,7 +315,13 @@ object Graph {
     // the rounds carry only the nonzero rows (on a bipartite graph that
     // halves every broadcast) and the all-nodes zero fill happens ONCE
     // at the end — algebraically identical to the oracle's dense rounds
-    def normalize(raw: DataFrame, scoreCol: String): DataFrame = {
+    def normalize(raw0: DataFrame, scoreCol: String): DataFrame = {
+      // r18: materialize the raw sums ONCE — `raw` feeds BOTH the L1-sum
+      // aggregate and the normalized projection, and un-checkpointed the
+      // edge join + groupBy re-ran twice per half-round (once under the
+      // sum's broadcast, once when the next half-round materialized the
+      // lazy checkpoint). One eager checkpoint halves the half-round.
+      val raw = raw0.localCheckpoint()
       // Σ raw as decimal; the one-row sum travels as a broadcast
       val s = raw.agg(sum(col("raw")).as("s"))
       raw.crossJoin(broadcast(s))

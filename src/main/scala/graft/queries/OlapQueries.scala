@@ -267,7 +267,11 @@ object OlapQueries {
           .select($"doc_id", $"text", $"n_chars").localCheckpoint()
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           graft.functions.TextFunctions.charNGrams($"text", 3), threshold = 0.6)
-        val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
+        // r18: ≤ 100 nodes by construction — driver union-find (bounded-
+        // solve discipline, loud require) replaces ~30 one-task star-
+        // contraction jobs; identical labels, oracle-verified every run
+        val cc = Dedup.clusterBoundedDriver(base.select($"doc_id"),
+          "doc_id", pairs, maxNodes = 128)
         val withLen = cc.join(
           base.select($"doc_id".as("id"), $"n_chars"), "id")
         val w = Window.partitionBy($"cluster_id")

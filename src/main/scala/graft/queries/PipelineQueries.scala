@@ -1679,7 +1679,12 @@ object PipelineQueries {
           .select($"doc_id", $"text", $"source").localCheckpoint()
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           TextFunctions.charNGrams($"text", 3), threshold = 0.6)
-        val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
+        // r18: the slice is structurally ≤ 100 nodes — the audit's CC is
+        // a driver union-find (bounded-solve discipline, loud require at
+        // 128), not ~30 one-task star-contraction jobs; labels identical
+        // (the oracle's recursive CTE re-verifies them every run)
+        val cc = Dedup.clusterBoundedDriver(base.select($"doc_id"),
+          "doc_id", pairs, maxNodes = 128)
         val lab = cc.join(base.select($"doc_id".as("id"), $"source"), "id")
         graft.operators.Stats.clusterAri(lab, "cluster_id", "source")
       },

@@ -2143,7 +2143,11 @@ object TextQueries {
           .select($"doc_id", $"text").localCheckpoint()
         val pairs = Dedup.sparseJaccardPairs(base, "doc_id",
           charNGrams($"text", 3), threshold = 0.6)
-        val cc = Dedup.cluster(base.select($"doc_id"), "doc_id", pairs)
+        // r18: ≤ 100 nodes by construction — driver union-find (bounded-
+        // solve discipline, loud require) replaces ~30 one-task star-
+        // contraction jobs; identical labels, oracle-verified every run
+        val cc = Dedup.clusterBoundedDriver(base.select($"doc_id"),
+          "doc_id", pairs, maxNodes = 128)
         val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, "cluster_id")
           .select($"id".as("doc_id"), $"cluster_id", $"cluster_size",

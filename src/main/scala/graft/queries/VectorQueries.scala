@@ -233,7 +233,11 @@ object VectorQueries {
         val base = emb(s, d).filter($"vec_id" < 300)
         val pairs = Similarity.bruteForceNearDupPairs(
           base, "vec_id", "embedding", threshold = 0.35)
-        val cc = Dedup.cluster(base.select($"vec_id"), "vec_id", pairs)
+        // r18: ≤ 300 nodes by construction — driver union-find (bounded-
+        // solve discipline, loud require) replaces the star-contraction
+        // job loop; identical labels, oracle-verified every run
+        val cc = Dedup.clusterBoundedDriver(base.select($"vec_id"),
+          "vec_id", pairs, maxNodes = 512)
         val sizes = cc.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
         cc.join(sizes, "cluster_id")
           .select($"id".as("vec_id"), $"cluster_id", $"cluster_size",

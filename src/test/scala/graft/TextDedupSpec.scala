@@ -302,6 +302,32 @@ class TextDedupSpec extends SparkSpec {
     assert(iso == Map(3L -> 3L, 7L -> 7L), "no edges -> identity labeling")
   }
 
+  test("clusterBoundedDriver matches star-contraction labels and refuses unbounded input") {
+    // mixed graph: the driver union-find must reach the identical
+    // min-label fixpoint as the distributed star contraction
+    val nodes = Seq(0L, 1L, 2L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L), (1L, 0L)).toDF("id_a", "id_b")
+    val drv = Dedup.clusterBoundedDriver(nodes, "id", pairs, maxNodes = 8)
+      .as[(Long, Long)].collect().toMap
+    val stars = Dedup.connectedComponentsStars(nodes, "id",
+      pairs.dropDuplicates()).as[(Long, Long)].collect().toMap
+    assert(drv == stars, s"driver union-find diverged: $drv vs $stars")
+    // a chain graph too (the adversarial shape for min-label)
+    val cn = (0L until 16L).toDF("id")
+    val cp = (0L until 15L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val cd = Dedup.clusterBoundedDriver(cn, "id", cp, maxNodes = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(cd.values.toSet == Set(0L), "single chain is one component labeled 0")
+    // LOUD refusals: over the node bound, and an edge escaping the slice
+    intercept[IllegalArgumentException] {
+      Dedup.clusterBoundedDriver(cn, "id", cp, maxNodes = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.clusterBoundedDriver(nodes, "id",
+        Seq((0L, 42L)).toDF("id_a", "id_b"), maxNodes = 8)
+    }
+  }
+
   test("star contraction needs O(log^2 n) alternations where min-label needs diameter") {
     // a 64-node path: min-label propagation would need ~63 rounds (its
     // default maxIter=50 gives up); star contraction halves chain length
