@@ -105,11 +105,22 @@ object Relational {
     *   projection (wide rows, remote storage, costly decode); leave off
     *   when a narrow columnar re-scan is cheaper than executor-local
     *   materialization. Results are identical either way. */
+  /** @param domainBounded caller's promise that the column's VALUE DOMAIN
+    *   is structurally bounded (money cents, counts, day offsets — not
+    *   arbitrary 64-bit data): the engine then folds its three corpus
+    *   passes into ONE per-value histogram pass (r18, guide §1.2 "remove
+    *   unnecessary passes") and runs the range/coarse/refine stages over
+    *   the domain-bounded distinct-value table instead of re-scanning the
+    *   data. Identical results and identical bucket geometry (same W
+    *   formula); only the pass structure changes. Do NOT set it for
+    *   columns whose distinct-value count tracks the DATA (free-form
+    *   doubles, ids) — the histogram would be row-scaled. */
   def exactQuantilesQuantized(df: DataFrame, c: String, qs: Seq[Double],
                               scale: Int = 100, minBucketWidth: Long = 1024L,
                               maxCoarseBuckets: Long = 1L << 16,
                               strict: Boolean = false,
-                              reuseScan: Boolean = false): DataFrame = {
+                              reuseScan: Boolean = false,
+                              domainBounded: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def centsOf(x: Column): Column = round(x * scale).cast("long")
     def bucketOf(cents: Column): Column = // floor-division, negative-safe
@@ -124,6 +135,15 @@ object Relational {
       else base.select(centsOf(col(c)).as("__cents"))
     }
     val rows = if (reuseScan) rows0.localCheckpoint() else rows0
+    // domainBounded: the ONE corpus pass — per-value counts (plus the
+    // per-value max round-trip error when strict, whose max-of-maxes is
+    // the global max the strict gate needs)
+    val hist = if (!domainBounded) None else Some {
+      val aggs = Seq(sum(lit(1L)).as("__hcnt")) ++
+        (if (strict) Seq(max(col("__err")).as("__err")) else Nil)
+      rows.groupBy(col("__cents")).agg(aggs.head, aggs.tail: _*)
+        .localCheckpoint()
+    }
     val wBase = greatest(lit(minBucketWidth),
       ceil((col("__cmax") - col("__cmin") + 1).cast("double") / maxCoarseBuckets).cast("long"))
     // strict: assert_true is folded INTO the width expression (adding a
@@ -137,17 +157,24 @@ object Relational {
       else wBase
     val statsAggs = Seq(max(col("__cents")).as("__cmax")) ++
       (if (strict) Seq(max(col("__err")).as("__qerr")) else Nil)
-    val statsW = rows
+    val statsW = hist.getOrElse(rows)
       .agg(min(col("__cents")).as("__cmin"), statsAggs: _*)
       .select(wExpr.as("__W"))
 
     // Level 1: coarse bucket histogram. Map-side combine collapses the
     // scan to ≤ maxCoarseBuckets rows regardless of row count; the
     // ordered cumulative window runs over that bounded histogram only.
-    val coarse = rows.select(col("__cents"))
-      .crossJoin(broadcast(statsW))
-      .groupBy(bucketOf(col("__cents")).as("b"), col("__W"))
-      .agg(count(lit(1)).as("cnt"))
+    // (domainBounded: summed from the value histogram — no data re-scan)
+    val coarse = hist match {
+      case Some(h) => h.select(col("__cents"), col("__hcnt"))
+        .crossJoin(broadcast(statsW))
+        .groupBy(bucketOf(col("__cents")).as("b"), col("__W"))
+        .agg(sum(col("__hcnt")).as("cnt"))
+      case None => rows.select(col("__cents"))
+        .crossJoin(broadcast(statsW))
+        .groupBy(bucketOf(col("__cents")).as("b"), col("__W"))
+        .agg(count(lit(1)).as("cnt"))
+    }
     val wb = Window.orderBy(col("b"))
     val cumc = coarse.select(
       col("b"), col("cnt"), col("__W"),
@@ -172,14 +199,24 @@ object Relational {
     // per-bucket distinct-value histogram is bounded by W rows, so the
     // partitioned cumulative window and final pick are O(|qs|·W) however
     // skewed the data is (an all-ties column compresses to one row).
-    val withT = rows.select(col("__cents").as("v")).crossJoin(broadcast(targets))
+    // (domainBounded: the value histogram IS the per-value refine table —
+    // filter it to the target buckets, no third data pass)
     val isTarget = qs.indices
       .map(i => bucketOf(col("v")) === col(s"b0_$i") || bucketOf(col("v")) === col(s"b1_$i"))
       .reduce(_ || _)
-    val fine = withT.filter(isTarget)
-      .groupBy(col("v") +: col("n") +: col("__W") +: qs.indices.flatMap(i =>
-        Seq(col(s"b0_$i"), col(s"below0_$i"), col(s"b1_$i"), col(s"below1_$i"))): _*)
-      .agg(count(lit(1)).as("cnt"))
+    val fine0 = hist match {
+      case Some(h) => h
+        .select(col("__cents").as("v"), col("__hcnt").as("cnt"))
+        .crossJoin(broadcast(targets))
+        .filter(isTarget)
+      case None => rows.select(col("__cents").as("v"))
+        .crossJoin(broadcast(targets))
+        .filter(isTarget)
+        .groupBy(col("v") +: col("n") +: col("__W") +: qs.indices.flatMap(i =>
+          Seq(col(s"b0_$i"), col(s"below0_$i"), col(s"b1_$i"), col(s"below1_$i"))): _*)
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val fine = fine0
       .withColumn("fcum", sum(col("cnt")).over(
         Window.partitionBy(bucketOf(col("v"))).orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -220,7 +257,8 @@ object Relational {
   def exactQuantilesQuantizedMulti(df: DataFrame, cs: Seq[String],
                                    qs: Seq[Double], scale: Int = 100,
                                    minBucketWidth: Long = 1024L,
-                                   maxCoarseBuckets: Long = 1L << 16)
+                                   maxCoarseBuckets: Long = 1L << 16,
+                                   domainBounded: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(cs.nonEmpty && qs.nonEmpty, s"need columns and quantiles")
@@ -232,16 +270,27 @@ object Relational {
       .select(posexplode(array(cs.map(c => centsOf(col(c))): _*))
         .as(Seq("__m", "__cents")))
       .filter(col("__cents").isNotNull)
+    // domainBounded (the single-column form's r18 contract): ONE corpus
+    // pass builds the per-(metric, value) histogram; range, coarse and
+    // refine all run over the domain-bounded distinct-value table
+    val hist = if (!domainBounded) None else Some(
+      rows.groupBy(col("__m"), col("__cents"))
+        .agg(sum(lit(1L)).as("__hcnt")).localCheckpoint())
     // per-metric adaptive width — a |cs|-row broadcast frame
-    val statsW = rows.groupBy(col("__m"))
+    val statsW = hist.getOrElse(rows).groupBy(col("__m"))
       .agg(min(col("__cents")).as("__cmin"), max(col("__cents")).as("__cmax"))
       .select(col("__m"), greatest(lit(minBucketWidth),
         ceil((col("__cmax") - col("__cmin") + 1).cast("double") / maxCoarseBuckets)
           .cast("long")).as("__W"))
     // coarse histogram per metric; cumulative window PARTITIONED by __m
-    val coarse = rows.join(broadcast(statsW), "__m")
-      .groupBy(col("__m"), bucketOf(col("__cents")).as("b"), col("__W"))
-      .agg(count(lit(1)).as("cnt"))
+    val coarse = hist match {
+      case Some(h) => h.join(broadcast(statsW), "__m")
+        .groupBy(col("__m"), bucketOf(col("__cents")).as("b"), col("__W"))
+        .agg(sum(col("__hcnt")).as("cnt"))
+      case None => rows.join(broadcast(statsW), "__m")
+        .groupBy(col("__m"), bucketOf(col("__cents")).as("b"), col("__W"))
+        .agg(count(lit(1)).as("cnt"))
+    }
     val wb = Window.partitionBy(col("__m")).orderBy(col("b"))
     val cumc = coarse.select(
       col("__m"), col("b"), col("cnt"), col("__W"),
@@ -259,16 +308,24 @@ object Relational {
     val targets = cumc.groupBy(col("__m"))
       .agg(max(col("n")).as("n"), min(col("__W")).as("__W") +: targetAggs: _*)
     // refine inside each metric's ≤ 2·|qs| target buckets
-    val withT = rows.select(col("__m"), col("__cents").as("v"))
-      .join(broadcast(targets), "__m")
+    // (domainBounded: the value histogram IS the refine table)
     val isTarget = qs.indices
       .map(i => bucketOf(col("v")) === col(s"b0_$i") || bucketOf(col("v")) === col(s"b1_$i"))
       .reduce(_ || _)
-    val fine = withT.filter(isTarget)
-      .groupBy(col("__m") +: col("v") +: col("n") +: col("__W") +:
-        qs.indices.flatMap(i =>
-          Seq(col(s"b0_$i"), col(s"below0_$i"), col(s"b1_$i"), col(s"below1_$i"))): _*)
-      .agg(count(lit(1)).as("cnt"))
+    val fine0 = hist match {
+      case Some(h) => h
+        .select(col("__m"), col("__cents").as("v"), col("__hcnt").as("cnt"))
+        .join(broadcast(targets), "__m")
+        .filter(isTarget)
+      case None => rows.select(col("__m"), col("__cents").as("v"))
+        .join(broadcast(targets), "__m")
+        .filter(isTarget)
+        .groupBy(col("__m") +: col("v") +: col("n") +: col("__W") +:
+          qs.indices.flatMap(i =>
+            Seq(col(s"b0_$i"), col(s"below0_$i"), col(s"b1_$i"), col(s"below1_$i"))): _*)
+        .agg(count(lit(1)).as("cnt"))
+    }
+    val fine = fine0
       .withColumn("fcum", sum(col("cnt")).over(
         Window.partitionBy(col("__m"), bucketOf(col("v"))).orderBy(col("v"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -307,9 +364,10 @@ object Relational {
     * way, just at quantized resolution. */
   def iqrBounds(df: DataFrame, c: String, factor: Double = 1.5,
                 scale: Int = 100, strict: Boolean = false,
-                reuseScan: Boolean = false): DataFrame =
+                reuseScan: Boolean = false,
+                domainBounded: Boolean = false): DataFrame =
     exactQuantilesQuantized(df, c, Seq(0.25, 0.75), scale, strict = strict,
-        reuseScan = reuseScan)
+        reuseScan = reuseScan, domainBounded = domainBounded)
       .select(col("p0").as("q1"), col("p1").as("q3"))
       .select((col("q1") - lit(factor) * (col("q3") - col("q1"))).as("lo"),
               (col("q3") + lit(factor) * (col("q3") - col("q1"))).as("hi"))
@@ -526,8 +584,10 @@ object Relational {
   }
 
   def iqrFilter(df: DataFrame, c: String, factor: Double = 1.5,
-                reuseScan: Boolean = false): DataFrame =
-    df.crossJoin(broadcast(iqrBounds(df, c, factor, reuseScan = reuseScan)))
+                reuseScan: Boolean = false,
+                domainBounded: Boolean = false): DataFrame =
+    df.crossJoin(broadcast(iqrBounds(df, c, factor, reuseScan = reuseScan,
+        domainBounded = domainBounded)))
       .filter(col(c) >= col("lo") && col(c) <= col("hi"))
       .drop("lo", "hi")
 
@@ -564,7 +624,8 @@ object Relational {
     * error with `strict = true`. */
   def summaryStats(df: DataFrame, c: String, roundScale: Int = 6,
                    strict: Boolean = false,
-                   reuseScan: Boolean = false): DataFrame =
+                   reuseScan: Boolean = false,
+                   domainBounded: Boolean = false): DataFrame =
     df.agg(
       count(col(c)).as("n"),
       round(avg(col(c)), roundScale).as("mean"),
@@ -572,7 +633,7 @@ object Relational {
       min(col(c)).as("mn"),
       max(col(c)).as("mx"))
     .crossJoin(broadcast(exactQuantilesQuantized(df, c, Seq(0.25, 0.5, 0.75),
-      strict = strict, reuseScan = reuseScan)))
+      strict = strict, reuseScan = reuseScan, domainBounded = domainBounded)))
     .select(col("n"), col("mean"), col("sd"), col("mn"),
       round(col("p0"), roundScale).as("q1"),
       round(col("p1"), roundScale).as("median"),

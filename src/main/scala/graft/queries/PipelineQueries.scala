@@ -2094,7 +2094,11 @@ object PipelineQueries {
         // engine folds the former 3 per-metric builds — 9 histogram
         // passes — into 3)
         val bounds = graft.operators.Relational.exactQuantilesQuantizedMulti(
-            rfm, Seq("r_days", "f", "m"), Seq(0.2, 0.4, 0.6, 0.8), scale = 1)
+            rfm, Seq("r_days", "f", "m"), Seq(0.2, 0.4, 0.6, 0.8), scale = 1,
+            // r18 one-pass engine path: r/f are enum/count-bounded and m's
+            // per-value histogram is bounded by the CUSTOMER dimension the
+            // input frame already carries (hist ≤ input cardinality)
+            domainBounded = true)
           .select(Seq("r_days", "f", "m").flatMap(c => (0 to 3).map(i =>
             round(col(s"${c}_p$i") * 5).cast("long").as(s"${c}_b$i"))): _*)
         def score(c: Column, pre: String): Column = (0 to 3).map(i =>
@@ -2238,7 +2242,9 @@ object PipelineQueries {
           .select($"cents", $"treat", coalesce($"conv", lit(0L)).as("conv"))
           .localCheckpoint() // feeds the quantile engine AND bucketing
         val bounds = Relational.exactQuantilesQuantized(
-            base, "cents", (1 to 9).map(_ / 10.0), scale = 1)
+            base, "cents", (1 to 9).map(_ / 10.0), scale = 1,
+            // r18: acctbal cents — bounded money domain; one-pass engine
+            domainBounded = true)
           .select((0 to 8).map(i =>
             round(col(s"p$i") * 10).cast("long").as(s"b$i")): _*)
         val above = (0 to 8).map(i =>

@@ -161,8 +161,10 @@ object RelationalQueries {
     "q07_iqr_filter" -> Q(
       (s, d) => {
         import s.implicits._
+        // r18: domainBounded — cents of a bounded money domain; the
+        // engine's one-pass value-histogram path (identical results)
         Relational.iqrFilter(t(s, d, "lineitem"), "l_extendedprice",
-            reuseScan = true)
+            reuseScan = true, domainBounded = true)
           .agg(count(lit(1)).as("n_kept"),
                moneySum($"l_extendedprice").as("sum_kept"),
                round(avg($"l_extendedprice"), 6).as("avg_kept"))
@@ -192,8 +194,9 @@ object RelationalQueries {
     // percentiles (matches DuckDB quantile_cont bit-for-bit modulo the
     // rounding guard).
     "q09_summary_stats" -> Q(
+      // r18: domainBounded — money cents; one-pass quartile path
       (s, d) => Relational.summaryStats(t(s, d, "lineitem"), "l_extendedprice",
-        reuseScan = true),
+        reuseScan = true, domainBounded = true),
       Some("""SELECT count(l_extendedprice) AS n,
         round(avg(l_extendedprice),6) AS mean,
         round(stddev_samp(l_extendedprice),6) AS sd,

@@ -314,7 +314,10 @@ object StatsQueries {
           .select(round($"l_extendedprice" * 100).cast("long").as("cents"))
           .localCheckpoint()
         val bounds = Relational.exactQuantilesQuantized(
-            li, "cents", (1 to 7).map(_ / 8.0), scale = 1)
+            li, "cents", (1 to 7).map(_ / 8.0), scale = 1,
+            // r18: cents of a bounded money domain — the one-pass
+            // per-value-histogram engine path (identical results/W)
+            domainBounded = true)
           .select((0 to 6).map(i =>
             round(col(s"p$i") * 8).cast("long").as(s"b$i")): _*)
         val bucket = (0 to 6).map(i =>

@@ -172,6 +172,44 @@ class RelationalOpsSpec extends SparkSpec {
       s"null handling drifted: $m2")
   }
 
+  test("domainBounded one-pass quantile path equals the three-pass path exactly") {
+    // r18: the per-value-histogram path must be value-identical to the
+    // re-scanning path in every regime (n=1, ties, dense dups, wide
+    // range) and through the multi-column engine; strict mode must still
+    // fail fast on sub-cent data through the histogram's folded max-err
+    val rnd = new scala.util.Random(13)
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val cases = Seq(
+      Seq(42.17),
+      Seq(3.0, 3.0, 3.0, 3.0),
+      Seq.fill(4000)(math.floor(rnd.nextDouble() * 1e6) / 100))
+    cases.foreach { xs =>
+      val df = xs.toDF("x")
+      val a = Relational.exactQuantilesQuantized(df, "x", qs).collect()(0)
+      val b = Relational.exactQuantilesQuantized(df, "x", qs,
+        domainBounded = true).collect()(0)
+      qs.indices.foreach(i => assert(
+        a.getAs[Double](s"p$i") == b.getAs[Double](s"p$i"),
+        s"n=${xs.length} p$i: 3-pass=${a.getAs[Double](s"p$i")} " +
+          s"1-pass=${b.getAs[Double](s"p$i")}"))
+    }
+    val mdf = Seq.tabulate(300)(i =>
+      ((i % 23).toDouble, math.floor(rnd.nextDouble() * 1e7) / 100))
+      .toDF("a", "b")
+    val m0 = Relational.exactQuantilesQuantizedMulti(mdf, Seq("a", "b"), qs)
+      .collect()(0)
+    val m1 = Relational.exactQuantilesQuantizedMulti(mdf, Seq("a", "b"), qs,
+      domainBounded = true).collect()(0)
+    for (c <- Seq("a", "b"); i <- qs.indices)
+      assert(m0.getAs[Double](s"${c}_p$i") == m1.getAs[Double](s"${c}_p$i"),
+        s"multi $c p$i drifted")
+    val e = intercept[Exception] {
+      Relational.exactQuantilesQuantized(Seq(1.001, 2.0).toDF("x"), "x",
+        Seq(0.5), strict = true, domainBounded = true).collect()
+    }
+    assert(e.getMessage.contains("not 100-quantized"), e.getMessage)
+  }
+
   test("quantile bucket width adapts to a wide value range (bounded coarse histogram)") {
     // range spans ~1e10 cents; fixed W=1024 would make a ~1e7-bucket
     // histogram under the single-partition cumulative window
